@@ -1,0 +1,89 @@
+"""Per-cell scalar transforms (SURVEY.md §2.2 P3-P8, §2.7).
+
+Every function here is a pure Column expression — JVM-side, inside
+whole-stage codegen, no Python UDFs. These are the Spark forms of the
+reference's per-record cleaning helpers:
+
+- empty-string -> NULL normalization applied to nearly every field
+  (reference ``extract-app/app.py:41-54``);
+- default fill (``recycling`` -> False, ``app.py:40``);
+- digit-strip clean (``size_box``, ``app.py:42``);
+- strict-pattern timestamp parse returning NULL on failure
+  (``src/2_run_events_info_temp_pipeline.py:76-83``);
+- lenient dateutil-style parse with format fallback (``app.py:17-35``);
+- schema cast against a string DDL (the ``"name:BQTYPE"`` declarations,
+  ``src/1_run_main_table_pipeline.py:95-116``).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+from pyspark.sql.types import StructType
+
+ColumnOrName = Column | str
+
+# Reference format '%Y-%m-%dT%H:%M:%S.%f' (src/2_...py:79)
+STRICT_TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+
+# Fallback chain standing in for dateutil.parser.parse (app.py:17-35).
+# Documented, bounded set — SURVEY.md §7 chose explicit formats over
+# emulating dateutil exactly.
+LENIENT_TS_FMTS = (
+    "yyyy-MM-dd'T'HH:mm:ss.SSSSSS",
+    "yyyy-MM-dd'T'HH:mm:ss",
+    "yyyy-MM-dd HH:mm:ss.SSSSSS",
+    "yyyy-MM-dd HH:mm:ss",
+    "yyyy-MM-dd",
+    "yyyy/MM/dd HH:mm:ss",
+    "dd-MM-yyyy HH:mm:ss",
+)
+
+
+def _c(col: ColumnOrName) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def empty_to_null(col: ColumnOrName) -> Column:
+    """P3: '' -> NULL (the `x if x not in [None, ""] else None` pattern)."""
+    return F.nullif(_c(col), F.lit(""))
+
+
+def default_fill(col: ColumnOrName, default) -> Column:
+    """P4: null-or-empty -> default (e.g. recycling -> False)."""
+    return F.coalesce(empty_to_null(col), F.lit(default))
+
+
+def strip_digits(col: ColumnOrName) -> Column:
+    """P5: remove all digit characters (size_box clean)."""
+    return F.regexp_replace(_c(col), "[0-9]", "")
+
+
+def try_ts(col: ColumnOrName, fmt: str = STRICT_TS_FMT) -> Column:
+    """P7: strict-pattern parse, NULL on failure (never raises)."""
+    return F.try_to_timestamp(_c(col), F.lit(fmt))
+
+
+def lenient_ts(col: ColumnOrName) -> Column:
+    """P8: lenient parse via a coalesce chain over known formats."""
+    c = _c(col)
+    return F.coalesce(*[F.try_to_timestamp(c, F.lit(f)) for f in LENIENT_TS_FMTS])
+
+
+def lenient_date(col: ColumnOrName) -> Column:
+    """P8 date-only variant: 'yyyy-MM-dd' string or NULL."""
+    return F.date_format(lenient_ts(col), "yyyy-MM-dd")
+
+
+def cast_to_ddl(df: DataFrame, ddl: str) -> DataFrame:
+    """P6: project+cast to a declared string-DDL schema.
+
+    Spark's analog of the reference's per-pipeline ``"a:STRING,b:INTEGER"``
+    sink schemas: selects exactly the declared columns (pruning) and
+    casts each (non-ANSI => null on bad cast, matching the permissive
+    BigQuery-insert coercion).
+    """
+    schema = StructType.fromDDL(ddl)
+    return df.select(
+        [F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+    )

@@ -1,0 +1,139 @@
+"""Refinement chain (SURVEY.md §2.4, M1-M14) — the Spark forms of the
+reference's ~29 sequential BigQuery stored procedures
+(``Composer/DAG_cloudrun_dataflow_sp.py:90-362``): dedup -> merge-upsert
+-> derive work table -> column-update passes -> ranked-visit passes.
+
+Every function is pure DataFrame -> DataFrame, keyed on the parent key,
+so the whole chain is one Catalyst plan per output instead of 29
+sequential warehouse jobs. Scale posture:
+
+- dedup and n-th-event use one ``row_number`` window partitioned by the
+  key (single shuffle, AQE-skew-handled);
+- all update-by-join passes join child *aggregates* (pre-shrunk by a
+  partial-agg groupBy) to the parent — the join input is |keys|, not
+  |child rows|;
+- merge-upsert is a full-outer join + schema-driven per-column coalesce
+  (no MERGE on vanilla parquet; SURVEY.md §7 hard parts).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+
+def dedup_latest(
+    df: DataFrame, keys: list[str], order_by: list[Column]
+) -> DataFrame:
+    """M1 (`delete_duplicates`): keep one row per key, latest first.
+
+    ``order_by`` must be deterministic (include a unique tiebreaker) so
+    results are stable across partitionings. row_number over a
+    key-partitioned window = one shuffle on the key.
+    """
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def merge_upsert(master: DataFrame, updates: DataFrame, keys: list[str]) -> DataFrame:
+    """M2 (`merge_temp_master`): upsert — insert new keys, update existing
+    (update wins), schema-driven over all non-key columns.
+
+    full_outer join on the key + per-column ``coalesce(update, master)``.
+    At scale this is one co-partitioned shuffle join; with a table format
+    that supports MERGE (Delta/Iceberg) swap the implementation, the
+    call-site contract is identical.
+    """
+    value_cols = [c for c in master.columns if c not in keys]
+    if set(updates.columns) != set(master.columns):
+        missing = set(master.columns) - set(updates.columns)
+        raise ValueError(f"updates missing columns: {sorted(missing)}")
+    m = master.alias("m")
+    u = updates.alias("u")
+    return m.join(u, on=keys, how="full_outer").select(
+        *[F.col(k) for k in keys],
+        *[
+            F.coalesce(F.col(f"u.{c}"), F.col(f"m.{c}")).alias(c)
+            for c in value_cols
+        ],
+    )
+
+
+def latest_child_attrs(
+    child: DataFrame,
+    keys: list[str],
+    attrs: list[str],
+    ts_col: str,
+    tiebreak: str,
+) -> DataFrame:
+    """M4 (`update_..._work_status`/`_lob` core): per key, the attribute
+    values of the latest child row.
+
+    max_by with a composite deterministic ordering (ts, tiebreak) — a
+    single hash aggregation with map-side partial aggregation, cheaper
+    than a row_number window (no sort of the full child set).
+    """
+    order = F.struct(F.col(ts_col), F.col(tiebreak))
+    return child.groupBy(*keys).agg(
+        *[F.max_by(F.col(a), order).alias(f"latest_{a}") for a in attrs]
+    )
+
+
+def apply_update(
+    parent: DataFrame, derived: DataFrame, keys: list[str], mapping: dict[str, str]
+) -> DataFrame:
+    """M4/M6/M9 shell: left-join a derived per-key table onto the parent
+    and overwrite columns (``mapping``: parent_col -> derived_col).
+    Column replace uses coalesce(parent, derived)? No — update semantics:
+    derived wins when present (the SPs UPDATE unconditionally on match)."""
+    joined = parent.join(derived, on=keys, how="left")
+    out = joined
+    for parent_col, derived_col in mapping.items():
+        out = out.withColumn(
+            parent_col, F.coalesce(F.col(derived_col), F.col(parent_col))
+        )
+    return out.drop(*[c for c in derived.columns if c not in keys])
+
+
+def child_rollup(
+    child: DataFrame, keys: list[str], aggs: dict[str, Column]
+) -> DataFrame:
+    """M5/M7 (`update_..._work_packages`/`_total`): per-key rollup of a
+    child table (counts, sums, bool-status counts). Partial aggregation
+    shrinks map-side; only the per-key partials shuffle."""
+    return child.groupBy(*keys).agg(*[c.alias(n) for n, c in aggs.items()])
+
+
+def nth_event(
+    child: DataFrame, keys: list[str], ts_col: str, tiebreak: str, n: int
+) -> DataFrame:
+    """M8 (`insert_table_temp(n)`): the n-th child row per key in event
+    order; n=0 means the last (the reference's 'remaining/last visit'
+    convention, DAG:193-246)."""
+    asc = [F.col(ts_col).asc(), F.col(tiebreak).asc()]
+    desc = [F.col(ts_col).desc(), F.col(tiebreak).desc()]
+    w = Window.partitionBy(*keys).orderBy(*(desc if n == 0 else asc))
+    pick = 1 if n == 0 else n
+    return (
+        child.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == pick)
+        .drop("_rn")
+    )
+
+
+def visit_order(
+    child: DataFrame, keys: list[str], ts_col: str, tiebreak: str
+) -> DataFrame:
+    """M11 (`insert_delivery_order_visit_order`): materialized visit
+    ranking (key, visit_rank, visit ts)."""
+    w = Window.partitionBy(*keys).orderBy(F.col(ts_col).asc(), F.col(tiebreak).asc())
+    return child.withColumn("visit_rank", F.row_number().over(w))
+
+
+def first_scheduled(child: DataFrame, keys: list[str], ts_col: str) -> DataFrame:
+    """M10 (`update_..._work_scheduled`): earliest schedule event per key."""
+    return child.groupBy(*keys).agg(F.min(ts_col).alias("scheduled_ts"))

@@ -1,0 +1,549 @@
+"""DuckDB oracle SQL for every declared query (driver contract).
+
+Each SQL string must produce, on the same parquet tables, exactly the
+rows/columns of the Spark query with the same column names — the driver
+compares row-count + schema + order-insensitive value hash (columns
+sorted by name). Engine-parity rules used throughout:
+
+- md5/sha256 hex output is identical across engines;
+- integer aggregates CAST to BIGINT (DuckDB sum(int) is HUGEINT);
+- timestamps via strftime; doubles via round(x, n) with both engines
+  computing the same sequential expression;
+- the simhash / LSH oracles are *generated* from the same constants the
+  Spark implementation uses, so the two stay in lockstep by
+  construction.
+"""
+
+from __future__ import annotations
+
+from aproximacion_1_etl_spark.text.vector import _hyperplane
+
+# --- shared fragments ---------------------------------------------------
+
+_WORK_SQL = """
+WITH items AS (
+  SELECT l_orderkey, count(*) AS n_items,
+         round(sum(l_quantity), 2) AS sum_qty,
+         floor((CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS DOUBLE)) * 100.0 + 0.5) / 100.0 AS revenue
+  FROM lineitem GROUP BY 1
+), latest AS (
+  SELECT user_id, event_type AS latest_event_type, value AS latest_value
+  FROM (SELECT *, row_number() OVER (
+          PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events) WHERE rn = 1
+), sched AS (
+  SELECT user_id, min(ts) AS scheduled_ts FROM events GROUP BY 1
+), work AS (
+  SELECT o.o_orderkey, o.o_custkey, o.o_orderstatus,
+         round(o.o_totalprice, 2) AS o_totalprice,
+         coalesce(i.n_items, 0) AS n_items,
+         coalesce(i.sum_qty, 0.0) AS sum_qty,
+         coalesce(i.revenue, 0.0) AS revenue,
+         l.latest_event_type,
+         floor((l.latest_value) * 100.0 + 0.5) / 100.0 AS latest_value,
+         strftime(s.scheduled_ts, '%Y-%m-%d %H:%M:%S') AS first_event_ts
+  FROM orders o
+  LEFT JOIN items i ON o.o_orderkey = i.l_orderkey
+  LEFT JOIN latest l ON o.o_custkey = l.user_id
+  LEFT JOIN sched s ON o.o_custkey = s.user_id
+)
+"""
+
+_SHINGLES_SQL = """
+shingles AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+    FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks)-2)) AS i
+          FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                FROM documents WHERE len(string_split(text, ' ')) >= 3))
+  )
+)
+"""
+
+
+def _simhash_sql(bits: int = 16) -> str:
+    """Generated mirror of text/dedup.py::simhash (same bit math)."""
+    bit_cols = []
+    for j in range(bits):
+        div = 2 ** (3 - j % 4)
+        bit_cols.append(
+            f"CASE WHEN ((strpos('0123456789abcdef', substr(h, {j // 4 + 1}, 1)) - 1)"
+            f" // {div}) % 2 = 1 THEN 1 ELSE -1 END AS b{j}"
+        )
+    sums = ", ".join(f"CAST(sum(b{j}) AS BIGINT) AS s{j}" for j in range(bits))
+    sig = " + ".join(
+        f"CASE WHEN s{j} >= 0 THEN {2**j} ELSE 0 END" for j in range(bits)
+    )
+    return f"""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+h AS (SELECT doc_id, md5(tok) AS h FROM tok),
+bits AS (SELECT doc_id, {', '.join(bit_cols)} FROM h),
+s AS (SELECT doc_id, {sums} FROM bits GROUP BY 1)
+SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM s
+"""
+
+
+def _plane_literal(table: int, plane: int, dim: int) -> str:
+    return "[" + ", ".join(repr(_hyperplane(table, plane, d)) for d in range(dim)) + "]"
+
+
+def _near_dup_lsh_sql(
+    threshold: float = 0.4, planes: int = 4, tables: int = 2, dim: int = 64
+) -> str:
+    """Generated mirror of text/vector.py::embedding_near_dup_lsh."""
+    per_table = []
+    for t in range(tables):
+        terms = " + ".join(
+            f"CASE WHEN list_dot_product(v, {_plane_literal(t, p, dim)}) >= 0 "
+            f"THEN {2**p} ELSE 0 END"
+            for p in range(planes)
+        )
+        per_table.append(
+            f"SELECT vec_id, nv, {t} AS tbl, ({terms}) AS bucket FROM e"
+        )
+    buckets = " UNION ALL ".join(per_table)
+    return f"""
+WITH raw AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+e AS (SELECT vec_id, v,
+             list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv
+      FROM raw),
+bk AS ({buckets}),
+cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         FROM bk a JOIN bk b
+           ON a.tbl = b.tbl AND a.bucket = b.bucket
+          AND a.vec_id < b.vec_id),
+p AS (SELECT c.vec_a, c.vec_b,
+             floor(list_dot_product(ea.nv, eb.nv) * 1000000.0 + 0.5)
+               / 1000000.0 AS cos_sim
+      FROM cand c
+      JOIN e ea ON c.vec_a = ea.vec_id
+      JOIN e eb ON c.vec_b = eb.vec_id)
+SELECT vec_a, vec_b, floor((cos_sim) * 10000.0 + 0.5) / 10000.0 AS cos_sim
+FROM p WHERE cos_sim >= {threshold}
+"""
+
+
+def _lsh_sql(
+    query_ids: str = "0, 1, 2, 3, 4",
+    k: int = 10,
+    planes: int = 4,
+    tables: int = 2,
+    dim: int = 64,
+) -> str:
+    """Generated mirror of text/vector.py::ann_topk_lsh — identical
+    hyperplane constants, bucketing, candidate dedup, and ranking."""
+    per_table = []
+    for t in range(tables):
+        terms = " + ".join(
+            f"CASE WHEN list_dot_product(v, {_plane_literal(t, p, dim)}) >= 0 "
+            f"THEN {2**p} ELSE 0 END"
+            for p in range(planes)
+        )
+        per_table.append(
+            f"SELECT vec_id, v, {t} AS tbl, ({terms}) AS bucket FROM e"
+        )
+    buckets = " UNION ALL ".join(per_table)
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+bk AS ({buckets}),
+q AS (SELECT vec_id AS qid, v AS qv, tbl, bucket FROM bk
+      WHERE vec_id IN ({query_ids})),
+cand AS (SELECT DISTINCT q.qid, b.vec_id
+         FROM bk b JOIN q ON b.tbl = q.tbl AND b.bucket = q.bucket
+         WHERE b.vec_id != q.qid),
+s AS (SELECT c.qid AS query_id, c.vec_id,
+             floor((list_dot_product(qe.v, ce.v) /
+                   (sqrt(list_dot_product(qe.v, qe.v)) *
+                    sqrt(list_dot_product(ce.v, ce.v)))) * 1000000000.0 + 0.5) / 1000000000.0 AS cos_sim
+      FROM cand c
+      JOIN e ce ON c.vec_id = ce.vec_id
+      JOIN e qe ON c.qid = qe.vec_id),
+r AS (SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS rank
+      FROM s)
+SELECT query_id, vec_id, floor((cos_sim) * 10000.0 + 0.5) / 10000.0 AS cos_sim, rank
+FROM r WHERE rank <= {k}
+"""
+
+
+ALL_ORACLES: dict[str, str] = {
+    "flagship_order_lifecycle": _WORK_SQL
+    + """
+SELECT o_orderstatus, latest_event_type, count(*) AS n_orders,
+       floor((CAST(sum(CAST(revenue AS DECIMAL(30,8))) AS DOUBLE)) * 100.0 + 0.5) / 100.0 AS total_revenue,
+       floor((avg(n_items)) * 10000.0 + 0.5) / 10000.0 AS avg_items
+FROM work GROUP BY 1, 2
+""",
+    "m1_dedup_latest": """
+SELECT o_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS latest_orderdate,
+       o_orderstatus
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) rn
+      FROM orders)
+WHERE rn = 1
+""",
+    "m2_merge_upsert": """
+WITH base AS (SELECT o_orderkey, o_orderstatus,
+                     round(o_totalprice, 2) AS totalprice FROM orders),
+m AS (SELECT * FROM base WHERE o_orderkey % 3 != 0),
+u AS (SELECT o_orderkey, 'U' AS o_orderstatus,
+             round(totalprice + 1.0, 2) AS totalprice
+      FROM base WHERE o_orderkey % 2 = 0)
+SELECT coalesce(m.o_orderkey, u.o_orderkey) AS o_orderkey,
+       coalesce(u.o_orderstatus, m.o_orderstatus) AS o_orderstatus,
+       coalesce(u.totalprice, m.totalprice) AS totalprice
+FROM m FULL OUTER JOIN u ON m.o_orderkey = u.o_orderkey
+""",
+    "m4_latest_status": """
+SELECT user_id, event_type AS latest_event_type,
+       floor((value) * 100.0 + 0.5) / 100.0 AS latest_value
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+      FROM events)
+WHERE rn = 1
+""",
+    "m5_child_rollup": """
+SELECT l_orderkey, count(*) AS n_items,
+       round(sum(l_quantity), 2) AS sum_qty,
+       floor((CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS DOUBLE)) * 100.0 + 0.5) / 100.0 AS revenue,
+       CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_returned
+FROM lineitem GROUP BY 1
+""",
+    "m6_case_derivation": """
+SELECT CASE WHEN o_totalprice < 50000 THEN 'low'
+            WHEN o_totalprice < 150000 THEN 'mid'
+            ELSE 'high' END AS price_band,
+       o_orderpriority, count(*) AS n_orders,
+       floor((CAST(sum(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE) / count(*)) * 100.0 + 0.5) / 100.0 AS avg_price
+FROM orders GROUP BY 1, 2
+""",
+    "m8_nth_event": """
+SELECT user_id, event_id, event_type,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS event_ts
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY user_id ORDER BY ts ASC, event_id ASC) rn FROM events)
+WHERE rn = 2
+""",
+    "m8_last_event": """
+SELECT user_id, event_id, event_type,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS event_ts
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn FROM events)
+WHERE rn = 1
+""",
+    "m10_first_scheduled": """
+SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS scheduled_ts
+FROM events GROUP BY 1
+""",
+    "m11_visit_order": """
+SELECT user_id, event_id, visit_rank,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS visit_ts
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS visit_rank
+      FROM events)
+WHERE visit_rank <= 3
+""",
+    "f2_explode_roundtrip": """
+SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem
+""",
+    "p3_p5_cleaning": """
+WITH dirty AS (
+  SELECT c_custkey, c_name,
+         CASE WHEN c_custkey % 5 = 0 THEN '' ELSE c_mktsegment END AS seg
+  FROM customer)
+SELECT c_custkey,
+       regexp_replace(c_name, '[0-9]', '', 'g') AS clean_name,
+       nullif(seg, '') AS seg_or_null,
+       coalesce(nullif(seg, ''), 'NONE') AS seg_filled
+FROM dirty
+""",
+    "p6_cast_ddl": """
+SELECT CAST(l_orderkey AS VARCHAR) AS l_orderkey,
+       CAST(l_linenumber AS BIGINT) AS l_linenumber,
+       round(l_tax, 2) AS l_tax
+FROM lineitem
+""",
+    "p7_try_timestamp": """
+SELECT event_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS parsed_ts,
+       try_strptime(props, '%Y-%m-%dT%H:%M:%S.%f') IS NULL AS bad_parse_null
+FROM events
+""",
+    "p8_lenient_dates": """
+SELECT o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS parsed_date
+FROM orders
+""",
+    "p12_json_props": """
+SELECT event_type,
+       count(CAST(props->>'$.k' AS BIGINT)) AS n,
+       CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+       floor((avg(CAST(props->>'$.k' AS BIGINT))) * 10000.0 + 0.5) / 10000.0 AS avg_k
+FROM events GROUP BY 1
+""",
+    "s1_rest_fetch": """
+SELECT d || '#p' || p || '#r' || i AS order_id,
+       CAST(p * 100 + i AS DOUBLE) AS amount
+FROM (SELECT unnest(['2024-01-01', '2024-01-02', '2024-01-03']) AS d),
+     (SELECT unnest(generate_series(1, 2)) AS p),
+     (SELECT unnest(generate_series(0, 4)) AS i)
+""",
+    "s3_s6_json_roundtrip": """
+SELECT strftime(o_orderdate, '%Y-%m-%d') AS ingest_date,
+       count(*) AS n_orders,
+       floor((CAST(sum(CAST(round(o_totalprice, 2) AS DECIMAL(30,8))) AS DOUBLE)) * 100.0 + 0.5) / 100.0 AS day_total
+FROM orders WHERE o_orderkey < 1000 GROUP BY 1
+""",
+    "s9_enrichment_lookup": """
+SELECT c_custkey, c_nationkey AS destination_structure_id,
+       CASE WHEN c_nationkey IN (1, 2, 3) THEN n.n_name END AS segmentation
+FROM customer LEFT JOIN nation n ON c_nationkey = n.n_nationkey
+""",
+    "join_enrichment_dims": """
+SELECT r_name AS region, count(*) AS n_customers,
+       floor((avg(c_acctbal)) * 100.0 + 0.5) / 100.0 AS avg_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY 1
+""",
+    "join_semi_anti": """
+SELECT c_mktsegment,
+       CAST(sum(CASE WHEN has_o THEN 1 ELSE 0 END) AS BIGINT) AS n_with_orders,
+       CAST(sum(CASE WHEN has_o THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_without_orders
+FROM (SELECT c_mktsegment,
+             EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) AS has_o
+      FROM customer)
+GROUP BY 1
+""",
+    "agg_rollup": """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+       round(sum(o_totalprice), 2) AS total
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+""",
+    "agg_cube": """
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       round(sum(l_quantity), 2) AS qty
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+    "set_ops": """
+SELECT
+  (SELECT count(*) FROM
+    (SELECT DISTINCT o_custkey FROM orders WHERE o_orderdate < '1998-01-01'
+     INTERSECT
+     SELECT DISTINCT o_custkey FROM orders WHERE o_orderdate >= '1998-01-01'))
+    AS n_both,
+  (SELECT count(*) FROM
+    (SELECT DISTINCT o_custkey FROM orders WHERE o_orderdate < '1998-01-01'
+     EXCEPT
+     SELECT DISTINCT o_custkey FROM orders WHERE o_orderdate >= '1998-01-01'))
+    AS n_only_early
+""",
+    "window_running_sum": """
+SELECT o_custkey, o_orderkey,
+       floor((sum(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 100.0 + 0.5) / 100.0 AS running_spend
+FROM orders
+""",
+    "topk_orders": """
+SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice, o_orderstatus
+FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20
+""",
+    "pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       floor((CAST(sum(CAST(l_extendedprice AS DECIMAL(30,8))) AS DOUBLE)) * 100.0 + 0.5) / 100.0 AS sum_base_price,
+       floor((CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS DOUBLE)) * 100.0 + 0.5) / 100.0 AS sum_disc_price,
+       floor((CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(30,8))) AS DOUBLE)) * 100.0 + 0.5) / 100.0 AS sum_charge,
+       floor((avg(l_quantity)) * 10000.0 + 0.5) / 10000.0 AS avg_qty,
+       floor((CAST(sum(CAST(l_extendedprice AS DECIMAL(30,8))) AS DOUBLE) / count(*)) * 10000.0 + 0.5) / 10000.0 AS avg_price,
+       floor((CAST(sum(CAST(l_discount AS DECIMAL(30,8))) AS DOUBLE) / count(*)) * 10000.0 + 0.5) / 10000.0 AS avg_disc,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= '1998-09-02' GROUP BY 1, 2
+""",
+    "q3_shipping_priority": """
+SELECT o_orderkey,
+       floor((CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS DOUBLE)) * 100.0 + 0.5) / 100.0 AS revenue,
+       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,
+       o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < '1998-01-01' AND l_shipdate > '1998-01-01'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey ASC LIMIT 10
+""",
+    "q5_nation_revenue": """
+SELECT n_name AS nation,
+       floor((CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS DOUBLE)) * 100.0 + 0.5) / 100.0 AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= '1996-01-01' AND o_orderdate < '1998-01-01'
+GROUP BY 1
+""",
+    "sessionize": """
+WITH x AS (
+  SELECT user_id,
+         epoch(ts) AS sec,
+         lag(epoch(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS prev_sec
+  FROM events)
+SELECT user_id,
+       CAST(sum(CASE WHEN prev_sec IS NULL OR sec - prev_sec > 7200
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+       count(*) AS n_events
+FROM x GROUP BY 1
+""",
+    "dedup_exact": """
+SELECT sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+         AS content_hash,
+       min(doc_id) AS keep_id, count(*) AS dup_count
+FROM documents GROUP BY 1
+""",
+    "dedup_minhash_lsh": "WITH "
+    + _SHINGLES_SQL
+    + """,
+sig AS (
+  SELECT doc_id, b, min(md5(b || ':' || shingle)) AS s
+  FROM shingles, (SELECT unnest(generate_series(0, 7)) AS b)
+  GROUP BY 1, 2)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS matching_bands
+FROM sig a JOIN sig b ON a.b = b.b AND a.s = b.s AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= 2
+""",
+    "dedup_simhash": _simhash_sql(16),
+    "ngram_jaccard": "WITH "
+    + _SHINGLES_SQL
+    + """,
+sz AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM shingles a JOIN shingles b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       floor((i * 1.0 / (sa.sz + sb.sz - i)) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+FROM inter
+JOIN sz sa ON doc_a = sa.doc_id
+JOIN sz sb ON doc_b = sb.doc_id
+WHERE floor((i * 1.0 / (sa.sz + sb.sz - i)) * 1000000.0 + 0.5) / 1000000.0 >= 0.3
+""",
+    "text_profile": """
+SELECT doc_id,
+  CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+       AS BIGINT) AS n_bpe_tokens,
+  CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+       WHEN greatest(es_h, de_h, fr_h, en_h) >= 1
+            AND es_h = greatest(es_h, de_h, fr_h, en_h) THEN 'es'
+       WHEN greatest(es_h, de_h, fr_h, en_h) >= 1
+            AND de_h = greatest(es_h, de_h, fr_h, en_h) THEN 'de'
+       WHEN greatest(es_h, de_h, fr_h, en_h) >= 1
+            AND fr_h = greatest(es_h, de_h, fr_h, en_h) THEN 'fr'
+       WHEN greatest(es_h, de_h, fr_h, en_h) >= 1
+            AND en_h = greatest(es_h, de_h, fr_h, en_h) THEN 'en'
+       ELSE 'und' END AS lang_pred,
+  floor((0.25 * (CASE WHEN length(text) BETWEEN 100 AND 20000
+                     THEN 1.0 ELSE 0.0 END)
+      + 0.25 * (1.0 - len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) * 1.0
+                 / greatest(length(text), 1))
+      + 0.25 * (len(regexp_extract_all(text, '[A-Za-z]')) * 1.0
+                 / greatest(length(text), 1))
+      + 0.25 * (CASE WHEN length(text) * 1.0 /
+                       greatest(len(regexp_split_to_array(trim(text),
+                                                          '\\s+')), 1)
+                       BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.0 END))
+        * 10000.0 + 0.5) / 10000.0
+    AS quality,
+  md5(array_to_string(list_sort(list_distinct(
+        string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                     ' '))), chr(1))) AS fingerprint
+FROM (
+  SELECT *,
+    (CASE WHEN contains(' ' || lower(text) || ' ', ' el ') THEN 1 ELSE 0 END +
+     CASE WHEN contains(' ' || lower(text) || ' ', ' la ') THEN 1 ELSE 0 END +
+     CASE WHEN contains(' ' || lower(text) || ' ', ' de ') THEN 1 ELSE 0 END +
+     CASE WHEN contains(' ' || lower(text) || ' ', ' que ') THEN 1 ELSE 0 END +
+     CASE WHEN contains(' ' || lower(text) || ' ', ' los ') THEN 1 ELSE 0 END +
+     CASE WHEN contains(' ' || lower(text) || ' ', ' una ') THEN 1 ELSE 0 END)
+      AS es_h,
+    (CASE WHEN contains(' ' || lower(text) || ' ', ' der ') THEN 1 ELSE 0 END +
+     CASE WHEN contains(' ' || lower(text) || ' ', ' die ') THEN 1 ELSE 0 END +
+     CASE WHEN contains(' ' || lower(text) || ' ', ' und ') THEN 1 ELSE 0 END +
+     CASE WHEN contains(' ' || lower(text) || ' ', ' das ') THEN 1 ELSE 0 END +
+     CASE WHEN contains(' ' || lower(text) || ' ', ' ist ') THEN 1 ELSE 0 END +
+     CASE WHEN contains(' ' || lower(text) || ' ', ' nicht ') THEN 1 ELSE 0 END)
+      AS de_h,
+    (CASE WHEN contains(' ' || lower(text) || ' ', ' le ') THEN 1 ELSE 0 END +
+     CASE WHEN contains(' ' || lower(text) || ' ', ' les ') THEN 1 ELSE 0 END +
+     CASE WHEN contains(' ' || lower(text) || ' ', ' des ') THEN 1 ELSE 0 END +
+     CASE WHEN contains(' ' || lower(text) || ' ', ' est ') THEN 1 ELSE 0 END +
+     CASE WHEN contains(' ' || lower(text) || ' ', ' une ') THEN 1 ELSE 0 END +
+     CASE WHEN contains(' ' || lower(text) || ' ', ' dans ') THEN 1 ELSE 0 END)
+      AS fr_h,
+    (CASE WHEN contains(' ' || lower(text) || ' ', ' the ') THEN 1 ELSE 0 END +
+     CASE WHEN contains(' ' || lower(text) || ' ', ' and ') THEN 1 ELSE 0 END +
+     CASE WHEN contains(' ' || lower(text) || ' ', ' of ') THEN 1 ELSE 0 END +
+     CASE WHEN contains(' ' || lower(text) || ' ', ' is ') THEN 1 ELSE 0 END +
+     CASE WHEN contains(' ' || lower(text) || ' ', ' that ') THEN 1 ELSE 0 END +
+     CASE WHEN contains(' ' || lower(text) || ' ', ' with ') THEN 1 ELSE 0 END)
+      AS en_h
+  FROM documents)
+""",
+    "ann_cosine_topk": """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id IN (0, 1, 2, 3, 4)),
+s AS (SELECT qid AS query_id, e.vec_id,
+             floor((list_dot_product(qv, v) /
+                   (sqrt(list_dot_product(qv, qv)) *
+                    sqrt(list_dot_product(v, v)))) * 1000000000.0 + 0.5) / 1000000000.0 AS cos_sim
+      FROM e CROSS JOIN q WHERE e.vec_id != qid),
+r AS (SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS rank
+      FROM s)
+SELECT query_id, vec_id, floor((cos_sim) * 10000.0 + 0.5) / 10000.0 AS cos_sim, rank
+FROM r WHERE rank <= 10
+""",
+    "ann_topk_lsh": _lsh_sql(),
+    "embedding_near_dup_lsh": _near_dup_lsh_sql(),
+    "embedding_near_dup": """
+WITH raw AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+e AS (SELECT vec_id,
+             list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv
+      FROM raw),
+p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             floor(list_dot_product(a.nv, b.nv) * 1000000.0 + 0.5)
+               / 1000000.0 AS cos_sim
+      FROM e a JOIN e b ON a.vec_id < b.vec_id)
+SELECT vec_a, vec_b, floor((cos_sim) * 10000.0 + 0.5) / 10000.0 AS cos_sim
+FROM p WHERE cos_sim >= 0.4
+""",
+    "multimodal_features": """
+SELECT doc_id,
+       (['image', 'audio', 'video'])[CAST(doc_id % 3 AS INT) + 1]
+         AS media_type,
+       CAST(strlen(text) AS BIGINT) AS byte_len,
+       CAST(unicode(substr(text, 1, 1)) AS INT) AS first_byte,
+       CAST(list_sum(list_transform(regexp_extract_all(text, '.'),
+                                    x -> unicode(x))) % 997 AS BIGINT)
+         AS checksum
+FROM documents
+""",
+    "streaming_windowed_counts": """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, count(*) AS n_events,
+       floor((CAST(sum(CAST(value AS DECIMAL(30,8))) AS DOUBLE)) * 100.0 + 0.5) / 100.0 AS sum_value
+FROM events GROUP BY 1, 2
+""",
+}

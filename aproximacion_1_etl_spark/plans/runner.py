@@ -1,0 +1,123 @@
+"""The E3-equivalent linear driver (SURVEY.md §3): what the reference
+spreads over an Airflow DAG of 35 sequential tasks (extract -> 5 Beam
+pipelines -> 29 BigQuery stored procedures) collapses here into one
+driver program building ONE Catalyst plan per output table.
+
+Role mapping onto the driver testdata (FIXTURES.md §B):
+``orders`` = delivery_order_master (wide parent), ``lineitem`` =
+packages/items children, ``events`` = events_info child keyed by
+user_id (== customer key), dimensions = enrichment lookups.
+
+The chain (mirrors DAG order at ``Composer/DAG_cloudrun_dataflow_sp.py:
+323-362``): M1 dedup -> M5/M7 child rollups -> M4 latest-status ->
+M10 first-scheduled -> update-by-join passes -> final work table.
+All joins are key-equi on the parent key; the child aggregates are
+pre-shrunk before joining (|keys| rows, not |child| rows).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _fround(col, n: int = 2):
+    """Engine-portable rounding (see queries._fround)."""
+    f = float(10 ** n)
+    return F.floor(col * F.lit(f) + F.lit(0.5)) / F.lit(f)
+
+from aproximacion_1_etl_spark.operators.refine import (
+    child_rollup,
+    dedup_latest,
+    first_scheduled,
+    latest_child_attrs,
+)
+from aproximacion_1_etl_spark.sources.tables import load_table
+
+
+def run_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build the delivery_order_work-equivalent table: one row per
+    order, enriched with child rollups and latest-event attributes."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    events = load_table(spark, sf_dir, "events")
+
+    # M1: dedup the parent (idempotent re-ingest tolerance)
+    master = dedup_latest(
+        orders,
+        keys=["o_orderkey"],
+        order_by=[F.col("o_orderdate").desc(), F.col("o_custkey").desc()],
+    )
+
+    # M5/M7: per-order child rollup (packages-per-order analog)
+    items = child_rollup(
+        lineitem,
+        keys=["l_orderkey"],
+        aggs={
+            "n_items": F.count("*"),
+            "sum_qty": F.round(F.sum("l_quantity"), 2),
+            "revenue": _fround(
+                F.sum(
+                    (
+                        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    ).cast("decimal(30,8)")
+                ).cast("double"),
+                2,
+            ),
+        },
+    )
+
+    # M4: latest event status per user (status/lob-from-events analog)
+    latest = latest_child_attrs(
+        events,
+        keys=["user_id"],
+        attrs=["event_type", "value"],
+        ts_col="ts",
+        tiebreak="event_id",
+    )
+
+    # M10: first (scheduled) event per user
+    sched = first_scheduled(events, keys=["user_id"], ts_col="ts")
+
+    user_state = latest.join(sched, on="user_id", how="left")
+
+    # Update-by-join passes onto the work table
+    work = (
+        master.join(items, master["o_orderkey"] == items["l_orderkey"], "left")
+        .drop("l_orderkey")
+        .join(user_state, master["o_custkey"] == user_state["user_id"], "left")
+        .drop("user_id")
+    )
+    return work.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        F.coalesce("n_items", F.lit(0)).alias("n_items"),
+        F.coalesce("sum_qty", F.lit(0.0)).alias("sum_qty"),
+        F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
+        F.col("latest_event_type"),
+        _fround(F.col("latest_value"), 2).alias("latest_value"),
+        F.date_format("scheduled_ts", "yyyy-MM-dd HH:mm:ss").alias(
+            "first_event_ts"
+        ),
+    )
+
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship rollup over the work table: order-lifecycle summary per
+    (status, latest event type) — the compact, stable-schema result the
+    driver smoke-checks."""
+    work = run_daily(spark, sf_dir)
+    return (
+        work.groupBy("o_orderstatus", "latest_event_type")
+        .agg(
+            F.count("*").alias("n_orders"),
+            _fround(
+                F.sum(F.col("revenue").cast("decimal(30,8)")).cast("double"),
+                2,
+            ).alias("total_revenue"),
+            _fround(F.avg("n_items"), 4).alias("avg_items"),
+        )
+        .orderBy("o_orderstatus", "latest_event_type")
+    )

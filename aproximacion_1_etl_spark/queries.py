@@ -1,0 +1,727 @@
+"""Declared queries — one per implemented operator (SURVEY.md §2).
+
+Each function takes (spark, sf_dir) and returns a DataFrame; the
+matching DuckDB oracle lives in ``oracles.py`` under the same key.
+Conventions that keep Spark<->DuckDB value-hashes stable (SURVEY.md §7):
+
+- every computed column is aliased identically in both engines;
+- doubles rounded (2-4 decimals), timestamps emitted as formatted
+  strings, integer aggregates cast to BIGINT;
+- every ranking window has a deterministic tiebreaker.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from aproximacion_1_etl_spark.functions.cleaning import (
+    cast_to_ddl,
+    default_fill,
+    empty_to_null,
+    lenient_ts,
+    strip_digits,
+    try_ts,
+)
+from aproximacion_1_etl_spark.operators.explode import (
+    explode_json_array,
+    pack_children_as_json,
+)
+from aproximacion_1_etl_spark.operators.refine import (
+    child_rollup,
+    dedup_latest,
+    first_scheduled,
+    latest_child_attrs,
+    merge_upsert,
+    nth_event,
+    visit_order,
+)
+from aproximacion_1_etl_spark.plans.runner import flagship
+from aproximacion_1_etl_spark.sources.json_ingest import (
+    read_day_files,
+    split_corrupt,
+)
+from aproximacion_1_etl_spark.sources.rest import fetch_distributed, task_grid
+from aproximacion_1_etl_spark.sources.tables import load_table
+from aproximacion_1_etl_spark.streaming.events import run_available_now
+from aproximacion_1_etl_spark.text.analysis import (
+    fingerprint,
+    lang_id,
+    quality_score,
+    regex_token_count,
+    token_count,
+)
+from aproximacion_1_etl_spark.text.dedup import (
+    exact_dedup,
+    minhash_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    word_shingles,
+)
+from aproximacion_1_etl_spark.text.multimodal import (
+    attach_media,
+    decode_stub_features,
+)
+from aproximacion_1_etl_spark.text.vector import (
+    ann_topk_bruteforce,
+    ann_topk_lsh,
+    embedding_near_dup,
+    embedding_near_dup_lsh,
+)
+
+_fmt = "yyyy-MM-dd HH:mm:ss"
+
+
+def _fround(col, n: int = 2):
+    """Engine-portable deterministic rounding: floor(x*10^n + 0.5)/10^n
+    in IEEE double — identical in any engine. Native round() half-way
+    semantics differ (Spark rounds the shortest decimal repr HALF_UP,
+    DuckDB rounds the binary value numerically), which breaks oracle
+    hash-matching whenever a value lands exactly on .xx5."""
+    f = float(10 ** n)
+    return F.floor(col * F.lit(f) + F.lit(0.5)) / F.lit(f)
+
+
+def _dsum(expr, scale: int = 2):
+    """Deterministic money sum: cast each double to decimal before
+    summing so the result is independent of partition/summation order
+    (and identical across engines), then back to double, floor-rounded."""
+    return _fround(F.sum(expr.cast("decimal(30,8)")).cast("double"), scale)
+
+
+def _ts_str(col) -> F.Column:
+    return F.date_format(col, _fmt)
+
+
+# ---------------------------------------------------------------- core ETL
+
+
+def q_flagship_order_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return flagship(spark, sf_dir)
+
+
+def q_m1_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1: one surviving row per customer — their latest order."""
+    orders = load_table(spark, sf_dir, "orders")
+    out = dedup_latest(
+        orders,
+        keys=["o_custkey"],
+        order_by=[F.col("o_orderdate").desc(), F.col("o_orderkey").desc()],
+    )
+    return out.select(
+        "o_custkey",
+        "o_orderkey",
+        _ts_str("o_orderdate").alias("latest_orderdate"),
+        "o_orderstatus",
+    )
+
+
+def q_m2_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2: full-outer upsert — updates win, unmatched master survives,
+    new keys insert."""
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("totalprice"),
+    )
+    master = base.filter(F.col("o_orderkey") % 3 != 0)
+    updates = base.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        F.lit("U").alias("o_orderstatus"),
+        F.round(F.col("totalprice") + 1.0, 2).alias("totalprice"),
+    )
+    return merge_upsert(master, updates, keys=["o_orderkey"])
+
+
+def q_m4_latest_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4: latest event attributes per user via max_by."""
+    events = load_table(spark, sf_dir, "events")
+    out = latest_child_attrs(
+        events, ["user_id"], ["event_type", "value"], "ts", "event_id"
+    )
+    return out.select(
+        "user_id",
+        F.col("latest_event_type"),
+        _fround(F.col("latest_value"), 2).alias("latest_value"),
+    )
+
+
+def q_m5_child_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5/M7: per-order child rollup (count / sum / conditional count)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return child_rollup(
+        li,
+        keys=["l_orderkey"],
+        aggs={
+            "n_items": F.count("*"),
+            "sum_qty": F.round(F.sum("l_quantity"), 2),
+            "revenue": _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+            "n_returned": F.sum(
+                F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+            ).cast("bigint"),
+        },
+    )
+
+
+def q_m6_case_derivation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6: CASE-derived attribute columns + rollup."""
+    orders = load_table(spark, sf_dir, "orders")
+    cat = (
+        F.when(F.col("o_totalprice") < 50000, "low")
+        .when(F.col("o_totalprice") < 150000, "mid")
+        .otherwise("high")
+    )
+    return (
+        orders.withColumn("price_band", cat)
+        .groupBy("price_band", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            _fround(
+                F.sum(F.col("o_totalprice").cast("decimal(30,8)")).cast(
+                    "double"
+                )
+                / F.count("*"),
+                2,
+            ).alias("avg_price"),
+        )
+    )
+
+
+def q_m8_nth_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8 (insert_table_temp(2)): each user's 2nd event."""
+    events = load_table(spark, sf_dir, "events")
+    out = nth_event(events, ["user_id"], "ts", "event_id", n=2)
+    return out.select(
+        "user_id", "event_id", "event_type", _ts_str("ts").alias("event_ts")
+    )
+
+
+def q_m8_last_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8 (insert_table_temp(0)): each user's last event."""
+    events = load_table(spark, sf_dir, "events")
+    out = nth_event(events, ["user_id"], "ts", "event_id", n=0)
+    return out.select(
+        "user_id", "event_id", "event_type", _ts_str("ts").alias("event_ts")
+    )
+
+
+def q_m10_first_scheduled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M10: earliest event per user."""
+    events = load_table(spark, sf_dir, "events")
+    out = first_scheduled(events, ["user_id"], "ts")
+    return out.select(
+        "user_id", _ts_str("scheduled_ts").alias("scheduled_ts")
+    )
+
+
+def q_m11_visit_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M11: materialized visit ranking, first 3 visits per user."""
+    events = load_table(spark, sf_dir, "events")
+    out = visit_order(events, ["user_id"], "ts", "event_id")
+    return out.filter(F.col("visit_rank") <= 3).select(
+        "user_id",
+        "event_id",
+        F.col("visit_rank").cast("bigint").alias("visit_rank"),
+        _ts_str("ts").alias("visit_ts"),
+    )
+
+
+def q_f2_explode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2-F5 + P12: children -> JSON-string array in parent -> from_json
+    + explode with parent-key carry. Round-trips to the original child
+    table, which is exactly what the oracle checks."""
+    li = load_table(spark, sf_dir, "lineitem")
+    packed = pack_children_as_json(
+        li,
+        parent_keys=["l_orderkey"],
+        child_cols=["l_linenumber", "l_quantity", "l_returnflag"],
+        json_col="items_json",
+    )
+    return explode_json_array(
+        packed,
+        json_col="items_json",
+        element_schema_ddl="l_linenumber INT, l_quantity DOUBLE, l_returnflag STRING",
+        parent_keys=["l_orderkey"],
+        projections={
+            "l_linenumber": "l_linenumber",
+            "l_quantity": "l_quantity",
+            "l_returnflag": "l_returnflag",
+        },
+    )
+
+
+def q_p3_p5_cleaning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3/P4/P5: empty->null, default fill, digit-strip."""
+    c = load_table(spark, sf_dir, "customer")
+    seg_dirty = F.when(F.col("c_custkey") % 5 == 0, F.lit("")).otherwise(
+        F.col("c_mktsegment")
+    )
+    return c.select(
+        "c_custkey",
+        strip_digits(F.col("c_name")).alias("clean_name"),
+        empty_to_null(seg_dirty).alias("seg_or_null"),
+        default_fill(seg_dirty, "NONE").alias("seg_filled"),
+    )
+
+
+def q_p6_cast_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6: declared string-DDL schema cast (select + cast + prune)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = cast_to_ddl(
+        li, "l_orderkey STRING, l_linenumber BIGINT, l_tax DOUBLE"
+    )
+    return out.select(
+        "l_orderkey", "l_linenumber", F.round("l_tax", 2).alias("l_tax")
+    )
+
+
+def q_p7_try_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7: strict-pattern parse, NULL on failure (round-trip + a column
+    that always fails to parse)."""
+    ev = load_table(spark, sf_dir, "events")
+    iso = F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+    return ev.select(
+        "event_id",
+        F.date_format(try_ts(iso), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "parsed_ts"
+        ),
+        try_ts(F.col("props")).isNull().alias("bad_parse_null"),
+    )
+
+
+def q_p8_lenient_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8: lenient multi-format parse via coalesce fallback chain."""
+    orders = load_table(spark, sf_dir, "orders")
+    mixed = F.when(
+        F.col("o_orderkey") % 2 == 0,
+        F.date_format("o_orderdate", "yyyy/MM/dd HH:mm:ss"),
+    ).otherwise(F.date_format("o_orderdate", "yyyy-MM-dd"))
+    return orders.select(
+        "o_orderkey", _ts_str(lenient_ts(mixed)).alias("parsed_date")
+    )
+
+
+def q_p12_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P12/§2.7 JSON: get_json_object over the props column + rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            _fround(F.avg("k"), 4).alias("avg_k"),
+        )
+    )
+
+
+def q_s1_rest_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/S2: distributed paginated fetch over a (day, page) task grid
+    with a deterministic fake HTTP client."""
+    from datetime import date
+
+    days = [date(2024, 1, d) for d in (1, 2, 3)]
+
+    def fake_fetch(fetch_date: str, page: int) -> list[dict]:
+        return [
+            {
+                "order_id": f"{fetch_date}#p{page}#r{i}",
+                "amount": float(page * 100 + i),
+            }
+            for i in range(5)
+        ]
+
+    tasks = task_grid(spark, days, max_pages=2)
+    return fetch_distributed(
+        tasks, fake_fetch, "order_id STRING, amount DOUBLE"
+    )
+
+
+def q_s3_s6_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3+S5+S6+F6: write day-partitioned JSON, read back with metadata
+    exclusion + corrupt-record tolerance, aggregate per day."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") < 1000
+    )
+    day_df = orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("totalprice"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("ingest_date"),
+    )
+    path = tempfile.mkdtemp(prefix="graft_json_")
+    day_df.write.mode("overwrite").partitionBy("ingest_date").json(path)
+    back = read_day_files(
+        spark,
+        path,
+        schema_ddl="o_orderkey BIGINT, o_orderstatus STRING, totalprice DOUBLE",
+        multiline=False,
+    )
+    clean, _corrupt = split_corrupt(back)
+    return clean.groupBy("ingest_date").agg(
+        F.count("*").alias("n_orders"),
+        _dsum(F.col("totalprice")).alias("day_total"),
+    )
+
+
+def q_s9_enrichment_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9: gated broadcast-lookup enrichment (the geo-service analog)."""
+    from aproximacion_1_etl_spark.sources.rest import enrich_segmentation
+
+    c = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    lookup = nation.select(
+        F.col("n_nationkey").alias("destination_structure_id"),
+        F.col("n_name").alias("segmentation"),
+    )
+    cust = c.select(
+        "c_custkey",
+        F.col("c_nationkey").alias("destination_structure_id"),
+    )
+    out = enrich_segmentation(cust, lookup, gate_ids=(1, 2, 3))
+    return out.select("c_custkey", "destination_structure_id", "segmentation")
+
+
+# ------------------------------------------------------- joins / aggregates
+
+
+def q_join_enrichment_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast dimension-join chain customer -> nation -> region."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            _fround(F.avg("c_acctbal"), 2).alias("avg_acctbal"),
+        )
+    )
+
+
+def q_join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_semi / left_anti joins: customers with vs without orders."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    on = c["c_custkey"] == o["o_custkey"]
+    with_orders = (
+        c.join(o, on, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_with_orders"))
+    )
+    without = (
+        c.join(o, on, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_without_orders"))
+    )
+    return (
+        with_orders.join(without, "c_mktsegment", "full_outer")
+        .select(
+            "c_mktsegment",
+            F.coalesce("n_with_orders", F.lit(0)).alias("n_with_orders"),
+            F.coalesce("n_without_orders", F.lit(0)).alias("n_without_orders"),
+        )
+    )
+
+
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (status, priority) with subtotals + grand total."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("qty"),
+    )
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT over customer-key sets from two date halves."""
+    o = load_table(spark, sf_dir, "orders")
+    cut = "1998-01-01"
+    h1 = o.filter(F.col("o_orderdate") < cut).select("o_custkey").distinct()
+    h2 = o.filter(F.col("o_orderdate") >= cut).select("o_custkey").distinct()
+    n_both = h1.intersect(h2).agg(F.count("*").alias("n_both"))
+    n_only_early = h1.exceptAll(h2.distinct()).agg(
+        F.count("*").alias("n_only_early")
+    )
+    return n_both.crossJoin(n_only_early)
+
+
+def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window frame: per-customer running spend in order-date order."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        _fround(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+    )
+
+
+def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: 20 most expensive orders (deterministic tiebreak)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(20)
+        .select(
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "o_orderstatus",
+        )
+    )
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary over lineitem."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            _dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            _dsum(disc_price).alias("sum_disc_price"),
+            _dsum(charge).alias("sum_charge"),
+            _fround(F.avg("l_quantity"), 4).alias("avg_qty"),
+            _fround(
+                F.sum(F.col("l_extendedprice").cast("decimal(30,8)")).cast(
+                    "double"
+                )
+                / F.count("*"),
+                4,
+            ).alias("avg_price"),
+            _fround(
+                F.sum(F.col("l_discount").cast("decimal(30,8)")).cast("double")
+                / F.count("*"),
+                4,
+            ).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style: top 10 unshipped-revenue orders for one segment."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cut = "1998-01-01"
+    return (
+        c.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(o, c["c_custkey"] == o["o_custkey"])
+        .filter(F.col("o_orderdate") < cut)
+        .join(li, o["o_orderkey"] == li["l_orderkey"])
+        .filter(F.col("l_shipdate") > cut)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            _dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+        .select(
+            "o_orderkey",
+            "revenue",
+            _ts_str("o_orderdate").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+    )
+
+
+def q_q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style: revenue per nation where supplier and customer
+    share the nation, one region, one date year."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(li, o["o_orderkey"] == li["l_orderkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .filter(c["c_nationkey"] == s["s_nationkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .filter(F.col("r_name") == "ASIA")
+        .filter(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1998-01-01")
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            _dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue")
+        )
+    )
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (2 h) via lag + conditional cumsum."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.col("ts").cast("double")
+    prev = F.lag(sec).over(w)
+    new_session = F.when(
+        prev.isNull() | ((sec - prev) > 7200), 1
+    ).otherwise(0)
+    return (
+        ev.withColumn("new_session", new_session)
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_session").cast("bigint").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL) — rows-only check (approximate
+    results are engine-specific by design, so no value oracle)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users")
+    )
+
+
+# ----------------------------------------------------------- north star
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup(docs)
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = word_shingles(docs, n=3)
+    sigs = minhash_signatures(sh, bands=8)
+    return minhash_candidate_pairs(sigs, bands=8, min_matching_bands=2)
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash(docs, bits=16)
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = word_shingles(docs, n=3)
+    return ngram_jaccard_pairs(sh, threshold=0.3)
+
+
+def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        token_count(t).cast("bigint").alias("n_tokens"),
+        regex_token_count(t).cast("bigint").alias("n_bpe_tokens"),
+        lang_id(t).alias("lang_pred"),
+        quality_score(t).alias("quality"),
+        fingerprint(t).alias("fingerprint"),
+    )
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann_topk_bruteforce(emb, query_ids=[0, 1, 2, 3, 4], k=10)
+
+
+def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann_topk_lsh(
+        emb, query_ids=[0, 1, 2, 3, 4], k=10, planes=4, tables=2, dim=64
+    )
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup(emb, threshold=0.4)
+
+
+def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup_lsh(emb, threshold=0.4)
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_stub_features(attach_media(docs))
+
+
+def q_streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9: Structured Streaming tumbling-window agg, Trigger.AvailableNow
+    (deterministic => oracle-checkable against the batch equivalent)."""
+    return run_available_now(spark, sf_dir, "1 day", glob="events.parquet")
+
+
+ALL_QUERIES = {
+    "flagship_order_lifecycle": q_flagship_order_lifecycle,
+    "m1_dedup_latest": q_m1_dedup_latest,
+    "m2_merge_upsert": q_m2_merge_upsert,
+    "m4_latest_status": q_m4_latest_status,
+    "m5_child_rollup": q_m5_child_rollup,
+    "m6_case_derivation": q_m6_case_derivation,
+    "m8_nth_event": q_m8_nth_event,
+    "m8_last_event": q_m8_last_event,
+    "m10_first_scheduled": q_m10_first_scheduled,
+    "m11_visit_order": q_m11_visit_order,
+    "f2_explode_roundtrip": q_f2_explode_roundtrip,
+    "p3_p5_cleaning": q_p3_p5_cleaning,
+    "p6_cast_ddl": q_p6_cast_ddl,
+    "p7_try_timestamp": q_p7_try_timestamp,
+    "p8_lenient_dates": q_p8_lenient_dates,
+    "p12_json_props": q_p12_json_props,
+    "s1_rest_fetch": q_s1_rest_fetch,
+    "s3_s6_json_roundtrip": q_s3_s6_json_roundtrip,
+    "s9_enrichment_lookup": q_s9_enrichment_lookup,
+    "join_enrichment_dims": q_join_enrichment_dims,
+    "join_semi_anti": q_join_semi_anti,
+    "agg_rollup": q_agg_rollup,
+    "agg_cube": q_agg_cube,
+    "set_ops": q_set_ops,
+    "window_running_sum": q_window_running_sum,
+    "topk_orders": q_topk_orders,
+    "pricing_summary": q_pricing_summary,
+    "q3_shipping_priority": q_q3_shipping_priority,
+    "q5_nation_revenue": q_q5_nation_revenue,
+    "sessionize": q_sessionize,
+    "approx_distinct": q_approx_distinct,
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "ngram_jaccard": q_ngram_jaccard,
+    "text_profile": q_text_profile,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_topk_lsh": q_ann_topk_lsh,
+    "embedding_near_dup": q_embedding_near_dup,
+    "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
+    "multimodal_features": q_multimodal_features,
+    "streaming_windowed_counts": q_streaming_windowed_counts,
+}

@@ -1,0 +1,84 @@
+"""Parquet table catalog (the engine's BigQuery-table analog).
+
+The reference lands data in BigQuery tables (reference
+``src/1_run_main_table_pipeline.py:125-130``, WriteToBigQuery with
+explicit schema, CREATE_IF_NEEDED / WRITE_APPEND). Here the at-rest
+format is Parquet: columnar, splittable, predicate-pushdown-friendly —
+the right substrate for a 100 TB Spark deployment.
+
+Readers take explicit paths so the same code serves
+``/root/testdata/sf*`` locally and object-store URIs on a cluster.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Small dimension tables: always broadcast-join these (well under any
+# reasonable autoBroadcastJoinThreshold even at 100 TB fact scale —
+# dims grow with catalog size, not event volume).
+BROADCAST_DIMS = ("region", "nation", "customer", "supplier", "part")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one catalog table. Column pruning + filter pushdown reach the
+    parquet scan because we return the raw scan and let callers select.
+
+    Nanosecond-precision parquet timestamps (the ``events.ts`` column)
+    are not directly readable by Spark's vectorized reader; we read them
+    as raw nanos (``nanosAsLong``) and truncate to microseconds — the
+    same truncation DuckDB applies, so both engines see identical
+    values.
+    """
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view for spark.sql() queries."""
+    for t in TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+    partition_by: list[str] | None = None,
+) -> None:
+    """Table sink: append, auto-create (operator S7,
+    reference ``src/1_run_main_table_pipeline.py:125-130``).
+
+    ``partition_by`` gives at-rest partition pruning (the Spark analog of
+    the reference's day-partitioned GCS layout, ``app.py:122-133``).
+    """
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)

@@ -1,0 +1,106 @@
+"""Structured Streaming ingest of the events stream (SURVEY.md §2.9).
+
+The reference is strictly daily batch; this is the engine's streaming
+extension: file-source ``readStream`` -> watermark -> tumbling-window
+aggregation -> sink, with ``Trigger.AvailableNow`` for batch-equivalent
+catch-up runs (processes everything currently available, then stops —
+so results are deterministic and comparable to the batch oracle).
+
+At scale: the file source tracks processed files in checkpoint state;
+watermark bounds the window state store; the windowed agg shuffles on
+(window, event_type) — the same partitioning story as batch groupBy.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+EVENTS_DDL = (
+    "event_id BIGINT, ts BIGINT, user_id BIGINT, "
+    "event_type STRING, value DOUBLE, props STRING"
+)
+
+
+def read_events_stream(spark: SparkSession, dir_path: str, glob: str = "*.parquet") -> DataFrame:
+    """File-source stream over the events parquet directory. Streaming
+    sources need an explicit schema (no inference at stream start); the
+    nanosecond ``ts`` is read as raw nanos and truncated to micros
+    (matching the batch reader in sources/tables.py)."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    stream = (
+        spark.readStream.schema(EVENTS_DDL)
+        .option("pathGlobFilter", glob)
+        .parquet(dir_path)
+    )
+    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window_duration: str = "1 day",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Tumbling-window counts/sums per event_type with late-data
+    watermark. Works identically on a batch DataFrame (window() is the
+    same expression), which is how the oracle checks it."""
+    streaming = events.isStreaming
+    base = events.withWatermark("ts", watermark) if streaming else events
+    return (
+        base.groupBy(
+            F.window("ts", window_duration).alias("win"), F.col("event_type")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            # decimal-cast sum: deterministic across partition orders and
+            # engines (double summation order otherwise varies)
+            (
+                F.floor(
+                    F.sum(F.col("value").cast("decimal(30,8)")).cast("double")
+                    * F.lit(100.0)
+                    + F.lit(0.5)
+                )
+                / F.lit(100.0)
+            ).alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_available_now(
+    spark: SparkSession,
+    source_dir: str,
+    window_duration: str = "1 day",
+    glob: str = "*.parquet",
+) -> DataFrame:
+    """Run the windowed aggregation as a real stream with
+    Trigger.AvailableNow into a memory sink; returns the final result
+    table (deterministic: all available data processed, stream stopped).
+    """
+    table = f"events_windowed_{uuid.uuid4().hex[:8]}"
+    stream = windowed_event_counts(
+        read_events_stream(spark, source_dir, glob), window_duration
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(table)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(table)

@@ -1,0 +1,247 @@
+"""Document deduplication at training-data scale (SURVEY.md §2.10).
+
+Four families over the ``documents`` table (doc_id, text, lang, source):
+
+- **exact**: content-hash groupBy (sha256 of normalized text);
+- **MinHash + LSH**: word-shingles -> per-band min-hash signature ->
+  band-bucket join -> candidate pairs. Avoids the O(n^2) pairwise scan:
+  only docs sharing a band signature ever meet in a join, and the join
+  key (band, signature) is high-cardinality => well-distributed shuffle;
+- **SimHash**: 16-bit locality-sensitive bit signature from token
+  hashes; near-dups share (or nearly share) the signature;
+- **n-gram Jaccard**: exact set overlap on shingles for candidate pairs
+  (the verification stage after LSH).
+
+Determinism/portability note: all hashing is md5/sha256 over strings
+(identical hex output in any engine) — deliberately NOT Spark's
+``hash()`` (murmur3) so every operator is DuckDB-oracle-checkable and
+results are reproducible across engine versions.
+
+At 100 TB: every stage is groupBy/join on keys derived from content —
+no driver-side state, no collect; shingling multiplies rows ~|tokens|
+per doc, which parquet+AQE absorb (the explode is map-side, the only
+shuffles are the per-(doc,band) partial-agg groupBy and the band-bucket
+self-join; skewed bands — e.g. empty-text signature — are handled by
+AQE skew-join splitting).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+DEFAULT_BANDS = 8
+
+
+def normalized(text: Column) -> Column:
+    """Canonical text form for exact dedup: lowercase, collapsed
+    whitespace, trimmed."""
+    return F.trim(F.regexp_replace(F.lower(text), "\\s+", " "))
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup: one survivor (min id) per normalized-content hash.
+
+    Returns (content_hash, keep_id, dup_count). hash-groupBy: one
+    shuffle on a uniformly distributed 256-bit key — optimal at scale.
+    """
+    return (
+        docs.select(
+            F.sha2(normalized(F.col(text_col)), 256).alias("content_hash"),
+            F.col(id_col),
+        )
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").alias("dup_count"),
+        )
+    )
+
+
+def word_shingles(
+    docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """One row per word n-gram ("shingle") per doc. Docs shorter than n
+    tokens produce no shingles (they can't participate in n-gram
+    similarity). Pure JVM expressions: split -> transform(sequence) ->
+    explode; no UDFs."""
+    toks = F.split(F.col(text_col), " ")
+    k = F.size(toks) - (n - 1)
+    gram = F.transform(
+        F.sequence(F.lit(1), k),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(n)]
+        ),
+    )
+    return (
+        docs.filter(F.size(toks) >= n)
+        .select(F.col(id_col), F.explode(gram).alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    shingles: DataFrame, bands: int = DEFAULT_BANDS, id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc MinHash signature: for band b, min over shingles of
+    md5(b || ':' || shingle). One partial-aggregated groupBy on doc_id.
+
+    md5 hex strings compare lexicographically == numerically (fixed
+    width), so ``min(md5)`` IS the minhash — no hex->int conversion
+    needed, and the signature is engine-portable.
+    """
+    return shingles.groupBy(id_col).agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{b}:"), F.col("shingle")))).alias(
+                f"sig_{b}"
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def minhash_candidate_pairs(
+    signatures: DataFrame,
+    bands: int = DEFAULT_BANDS,
+    min_matching_bands: int = 2,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """LSH banding (r=1): docs sharing >= ``min_matching_bands`` band
+    signatures become candidate near-dup pairs (doc_a < doc_b).
+
+    Implementation: melt signatures to (band, sig, doc) rows, self-join
+    on (band, sig) — only same-bucket docs meet — then count matching
+    bands per pair. The self-join key includes the band index so buckets
+    from different bands never cross.
+    """
+    melted = signatures.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"), F.col(f"sig_{b}").alias("sig")
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bs"),
+    ).select(id_col, "bs.band", "bs.sig")
+    a = melted.alias("a")
+    b = melted.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.sig") == F.col("b.sig"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .agg(F.count("*").alias("matching_bands"))
+        .filter(F.col("matching_bands") >= min_matching_bands)
+    )
+
+
+def _hexval(ch: Column) -> Column:
+    """Value 0-15 of a lowercase hex character, via position in the hex
+    alphabet (portable: no conv())."""
+    return F.instr(F.lit("0123456789abcdef"), ch) - 1
+
+
+def simhash(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 16
+) -> DataFrame:
+    """SimHash signature (``bits`` wide, default 16) per document.
+
+    Token hash = first bits/4 hex chars of md5(token); bit j of the
+    signature = sign of sum over tokens of (bit j of token hash ? +1 :
+    -1). Near-dup docs differ in few bits (compare via popcount of XOR
+    downstream). Expressed as explode -> per-bit conditional sums ->
+    one groupBy; everything stays in codegen.
+    """
+    tok = F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    h = F.md5(F.col("tok"))
+    per_tok = docs.select(F.col(id_col), tok).select(
+        F.col(id_col),
+        *[
+            # bit j lives in hex char j//4, bit position 3-(j%4) from MSB
+            (
+                F.when(
+                    (
+                        F.floor(
+                            _hexval(F.substring(h, j // 4 + 1, 1))
+                            / (2 ** (3 - j % 4))
+                        )
+                        % 2
+                    )
+                    == 1,
+                    F.lit(1),
+                ).otherwise(F.lit(-1))
+            ).alias(f"b{j}")
+            for j in range(bits)
+        ],
+    )
+    summed = per_tok.groupBy(id_col).agg(
+        *[F.sum(f"b{j}").alias(f"s{j}") for j in range(bits)]
+    )
+    sig = None
+    for j in range(bits):
+        term = F.when(F.col(f"s{j}") >= 0, F.lit(2**j)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return summed.select(F.col(id_col), sig.cast("bigint").alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    shingles: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for doc pairs sharing >= 1 shingle.
+
+    |A ∩ B| from a shingle-equijoin, |A ∪ B| = |A|+|B|-|A ∩ B|. The join
+    is on the shingle value (high cardinality, well distributed). At
+    100 TB run this AFTER MinHash-LSH candidate filtering; standalone it
+    is quadratic in the worst case (all-identical corpus).
+    """
+    sizes = shingles.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    inter = (
+        a.join(
+            b,
+            on=[
+                F.col("a.shingle") == F.col("b.shingle"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        inter.join(sa, F.col("doc_a") == F.col(f"sa.{id_col}"))
+        .join(sb, F.col("doc_b") == F.col(f"sb.{id_col}"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.floor(
+                    F.col("inter")
+                    / (F.col("sa.sz") + F.col("sb.sz") - F.col("inter"))
+                    * F.lit(1000000.0)
+                    + F.lit(0.5)
+                )
+                / F.lit(1000000.0)
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

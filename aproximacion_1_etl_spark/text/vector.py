@@ -1,0 +1,271 @@
+"""Similarity search over embedding columns (SURVEY.md §2.10).
+
+Operates on the ``embeddings`` table (vec_id, embedding array<float>,
+label). Two paths:
+
+- **brute-force cosine top-k** — exact baseline: broadcast the (small)
+  query set against the corpus, dot product via higher-order functions
+  (``zip_with`` + ``aggregate``: JVM-side, no UDF, no data movement
+  beyond the broadcast), rank per query with a window.
+- **LSH-bucketed top-k** — the 100 TB path: random-hyperplane signs
+  bucket vectors; candidates = same-bucket (multi-probe across tables),
+  exact cosine only within buckets. Turns O(Q x N) into
+  O(Q x N / 2^planes x tables) at a recall cost.
+
+Determinism: hyperplane components come from md5 of (table, plane, dim)
+— no RNG, reproducible across runs and engines.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+
+def _fround(col: Column, n: int) -> Column:
+    """Engine-portable rounding (see queries._fround)."""
+    f = float(10 ** n)
+    return F.floor(col * F.lit(f) + F.lit(0.5)) / F.lit(f)
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine_sim(a: Column, b: Column) -> Column:
+    """Cosine similarity between two array<double> columns."""
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def _as_double(df: DataFrame, vec_col: str) -> DataFrame:
+    return df.withColumn(vec_col, F.col(vec_col).cast("array<double>"))
+
+
+def ann_topk_bruteforce(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k per query vector.
+
+    The query side is tiny => broadcast nested-loop join (no shuffle of
+    the corpus). Ranking: round cosine to 9 decimals before ordering so
+    ties are decided by vec_id, deterministically, independent of float
+    summation order. Output (query_id, vec_id, cos_sim, rank).
+    """
+    emb = _as_double(embeddings, vec_col)
+    queries = emb.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    pairs = emb.join(F.broadcast(queries), F.col(id_col) != F.col("query_id"))
+    scored = pairs.select(
+        "query_id",
+        id_col,
+        _fround(cosine_sim(F.col("qvec"), F.col(vec_col)), 9).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            id_col,
+            _fround(F.col("cos_sim"), 4).alias("cos_sim"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
+def _hyperplane(table: int, plane: int, dim: int) -> float:
+    """Deterministic pseudo-random hyperplane component in [-1, 1):
+    md5-driven, engine-independent."""
+    import hashlib
+
+    h = hashlib.md5(f"{table}:{plane}:{dim}".encode()).hexdigest()
+    return int(h[:8], 16) / float(2**31) - 1.0
+
+
+def lsh_bucket(vec: Column, table: int, planes: int, dim: int) -> Column:
+    """Random-hyperplane LSH bucket id for one hash table: the sign
+    pattern of ``planes`` projections, packed into an int. Pure
+    expressions — the hyperplanes are literal arrays baked into the
+    plan (a few KB; broadcast-equivalent)."""
+    bucket: Column = F.lit(0)
+    for p in range(planes):
+        plane = F.array(
+            *[F.lit(_hyperplane(table, p, d)) for d in range(dim)]
+        )
+        proj = _dot(vec, plane)
+        bucket = bucket + F.when(proj >= 0, F.lit(2**p)).otherwise(F.lit(0))
+    return bucket
+
+
+def ann_topk_lsh(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    planes: int = 4,
+    tables: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: exact cosine only among same-bucket candidates
+    (union over ``tables`` hash tables). The scale path: the corpus is
+    scanned once per table, bucketed map-side, and the join key
+    (table, bucket) fans the work out; only candidates are scored."""
+    emb = _as_double(embeddings, vec_col)
+    bucketed = None
+    for t in range(tables):
+        b = emb.select(
+            id_col,
+            vec_col,
+            F.lit(t).alias("tbl"),
+            lsh_bucket(F.col(vec_col), t, planes, dim).alias("bucket"),
+        )
+        bucketed = b if bucketed is None else bucketed.unionByName(b)
+    queries = bucketed.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        "tbl",
+        "bucket",
+    )
+    cand = (
+        bucketed.join(
+            F.broadcast(queries),
+            on=[
+                bucketed["tbl"] == queries["tbl"],
+                bucketed["bucket"] == queries["bucket"],
+                bucketed[id_col] != queries["query_id"],
+            ],
+        )
+        .select("query_id", id_col, vec_col, "qvec")
+        .dropDuplicates(["query_id", id_col])
+    )
+    scored = cand.select(
+        "query_id",
+        id_col,
+        _fround(cosine_sim(F.col("qvec"), F.col(vec_col)), 9).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            id_col,
+            _fround(F.col("cos_sim"), 4).alias("cos_sim"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
+def embedding_near_dup(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (vec_a < vec_b,
+    cos >= threshold).
+
+    Written as a self-join; at test scale Catalyst broadcasts one side.
+    At 100 TB, pre-filter candidates with ``ann_topk_lsh``'s bucketing
+    (same-bucket pairs only) — this exact form is the verification
+    stage, and the per-pair cosine is pure codegen.
+    """
+    emb = _as_double(embeddings, vec_col)
+    # Pre-normalize once per vector so the per-pair work is ONE array
+    # fold (dot of unit vectors) instead of three (dot + both norms) —
+    # 3x less per-pair cost in the quadratic stage. Per-element division
+    # order matches the oracle exactly, keeping doubles bit-identical.
+    v = F.col(vec_col)
+    unit = F.transform(v, lambda x: x / F.sqrt(_dot(v, v)))
+    a = emb.select(F.col(id_col).alias("vec_a"), unit.alias("na"))
+    b = emb.select(F.col(id_col).alias("vec_b"), unit.alias("nb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            _fround(_dot(F.col("na"), F.col("nb")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .select("vec_a", "vec_b", _fround(F.col("cos_sim"), 4).alias("cos_sim"))
+    )
+
+
+def embedding_near_dup_lsh(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    planes: int = 4,
+    tables: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate pairs, LSH-bucketed — the 100 TB path.
+
+    Exact cosine is computed ONLY for pairs sharing a random-hyperplane
+    bucket in at least one hash table, cutting the quadratic stage by
+    ~2^planes/tables at a recall cost (sign-LSH collision probability
+    is 1 - theta/pi per plane, so high-cosine pairs are very likely to
+    collide in some table). Candidates dedup on the pair key; cosine on
+    pre-normalized vectors (one fold per pair).
+    """
+    emb = _as_double(embeddings, vec_col)
+    v = F.col(vec_col)
+    unit = F.transform(v, lambda x: x / F.sqrt(_dot(v, v)))
+    bucketed = None
+    for t in range(tables):
+        b = emb.select(
+            F.col(id_col),
+            unit.alias("nv"),
+            F.lit(t).alias("tbl"),
+            lsh_bucket(v, t, planes, dim).alias("bucket"),
+        )
+        bucketed = b if bucketed is None else bucketed.unionByName(b)
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    cand = (
+        a.join(
+            b,
+            on=[
+                F.col("a.tbl") == F.col("b.tbl"),
+                F.col("a.bucket") == F.col("b.bucket"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("vec_a"),
+            F.col(f"b.{id_col}").alias("vec_b"),
+            F.col("a.nv").alias("na"),
+            F.col("b.nv").alias("nb"),
+        )
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    return (
+        cand.select(
+            "vec_a",
+            "vec_b",
+            _fround(_dot(F.col("na"), F.col("nb")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .select(
+            "vec_a", "vec_b", _fround(F.col("cos_sim"), 4).alias("cos_sim")
+        )
+    )

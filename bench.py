@@ -1,0 +1,85 @@
+#!/usr/bin/env python3
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced with a count() (no driver-side row materialization
+— we measure engine time, not collect transfer). A warmup run of the
+flagship query absorbs JVM/codegen startup so numbers reflect steady
+state.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from aproximacion_1_etl_spark.queries import ALL_QUERIES
+from aproximacion_1_etl_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+# Headline set: the flagship chain + heavy representatives of each
+# operator family (joins/aggs, windows, explode, text dedup, vector).
+HEADLINE = [
+    "flagship_order_lifecycle",
+    "m5_child_rollup",
+    "m1_dedup_latest",
+    "f2_explode_roundtrip",
+    "pricing_summary",
+    "q3_shipping_priority",
+    "q5_nation_revenue",
+    "window_running_sum",
+    "sessionize",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "text_profile",
+    "ann_cosine_topk",
+    "embedding_near_dup_lsh",
+]
+
+
+def main() -> None:
+    spark = get_spark(
+        "bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=int(CPUS),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warmup (JVM + codegen + parquet footer caches)
+    ALL_QUERIES["flagship_order_lifecycle"](spark, SF_DIR).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        ALL_QUERIES[name](spark, SF_DIR).count()
+        timings[name] = round(time.time() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,52 @@
+"""End-to-end smoke on the driver testdata: flagship plan, streaming
+ingest, and the __spark_entry__ contract surface."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod
+from aproximacion_1_etl_spark.plans.runner import flagship, run_daily
+from aproximacion_1_etl_spark.streaming.events import run_available_now
+
+
+def test_run_daily_work_table(spark, sf_dir):
+    work = run_daily(spark, sf_dir)
+    assert work.count() > 0
+    # one row per order, children rolled up, no duplicate keys
+    keys = work.select("o_orderkey").distinct().count()
+    assert keys == work.count()
+
+
+def test_flagship_smoke(spark, sf_dir):
+    out = flagship(spark, sf_dir)
+    rows = out.collect()
+    assert len(rows) > 0
+    assert set(out.columns) == {
+        "o_orderstatus", "latest_event_type", "n_orders",
+        "total_revenue", "avg_items",
+    }
+
+
+def test_entry_contract(spark):
+    df = entrymod.entry(spark)
+    assert df.count() >= 0
+
+
+def test_queries_oracle_keys_align(spark):
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    assert set(oracles) <= set(qs)
+    # every non-oracle query is intentionally rows-only
+    rows_only = set(qs) - set(oracles)
+    assert rows_only == {"approx_distinct"}
+
+
+def test_streaming_available_now(spark, sf_dir):
+    out = run_available_now(spark, sf_dir, "1 day", glob="events.parquet")
+    rows = out.collect()
+    assert len(rows) > 0
+    assert {"window_start", "event_type", "n_events", "sum_value"} == set(
+        out.columns
+    )

@@ -1,0 +1,81 @@
+"""Refinement-chain tests (M1-M14) on hand-built micro-fixtures where
+the expected output is computable by eye — dedup tie-breaks, merge
+update-wins semantics, n-th/last event selection."""
+
+import pyspark.sql.functions as F
+
+from aproximacion_1_etl_spark.operators.refine import (
+    dedup_latest,
+    latest_child_attrs,
+    merge_upsert,
+    nth_event,
+    visit_order,
+)
+
+
+def test_dedup_latest_keeps_newest_with_tiebreak(spark):
+    df = spark.createDataFrame(
+        [("k1", "2024-01-01", 1), ("k1", "2024-01-02", 2),
+         ("k1", "2024-01-02", 3), ("k2", "2023-12-31", 4)],
+        ["k", "d", "id"],
+    )
+    out = dedup_latest(df, ["k"], [F.col("d").desc(), F.col("id").desc()])
+    got = {r["k"]: r["id"] for r in out.collect()}
+    assert got == {"k1": 3, "k2": 4}
+
+
+def test_merge_upsert_update_wins_insert_survives(spark):
+    master = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], ["k", "s", "v"]
+    )
+    updates = spark.createDataFrame(
+        [(2, "B", None), (3, "c", 30.0)], "k INT, s STRING, v DOUBLE"
+    )
+    out = {r["k"]: (r["s"], r["v"]) for r in
+           merge_upsert(master, updates, ["k"]).collect()}
+    assert out[1] == ("a", 10.0)          # untouched master row
+    assert out[2] == ("B", 20.0)          # update wins; null falls back
+    assert out[3] == ("c", 30.0)          # pure insert
+
+
+def test_merge_upsert_schema_mismatch_raises(spark):
+    master = spark.createDataFrame([(1, "a")], ["k", "s"])
+    updates = spark.createDataFrame([(1,)], ["k"])
+    try:
+        merge_upsert(master, updates, ["k"])
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "missing columns" in str(e)
+
+
+def test_nth_and_last_event(spark):
+    df = spark.createDataFrame(
+        [("u", "2024-01-01", 1, "a"), ("u", "2024-01-02", 2, "b"),
+         ("u", "2024-01-03", 3, "c"), ("v", "2024-01-01", 4, "only")],
+        ["k", "ts", "id", "tag"],
+    )
+    second = {r["k"]: r["tag"] for r in
+              nth_event(df, ["k"], "ts", "id", n=2).collect()}
+    assert second == {"u": "b"}  # v has no 2nd event
+    last = {r["k"]: r["tag"] for r in
+            nth_event(df, ["k"], "ts", "id", n=0).collect()}
+    assert last == {"u": "c", "v": "only"}
+
+
+def test_latest_child_attrs_max_by(spark):
+    df = spark.createDataFrame(
+        [("u", "2024-01-01", 1, "old"), ("u", "2024-01-02", 2, "new"),
+         ("u", "2024-01-02", 1, "tie-lower-id")],
+        ["k", "ts", "id", "tag"],
+    )
+    out = latest_child_attrs(df, ["k"], ["tag"], "ts", "id").collect()[0]
+    assert out["latest_tag"] == "new"
+
+
+def test_visit_order_ranks(spark):
+    df = spark.createDataFrame(
+        [("u", "2024-01-02", 2), ("u", "2024-01-01", 1)], ["k", "ts", "id"]
+    )
+    ranks = {r["id"]: r["visit_rank"] for r in
+             visit_order(df, ["k"], "ts", "id").collect()}
+    assert ranks == {1: 1, 2: 2}

@@ -1,0 +1,109 @@
+"""North-star operator tests (§2.10): dedup families, similarity
+search, text analysis, multimodal plumbing — semantic properties on
+micro-fixtures (exact expectations), plus shape checks on testdata."""
+
+import pyspark.sql.functions as F
+
+from aproximacion_1_etl_spark.text.analysis import lang_id, token_count
+from aproximacion_1_etl_spark.text.dedup import (
+    exact_dedup,
+    minhash_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    word_shingles,
+)
+from aproximacion_1_etl_spark.text.multimodal import (
+    attach_media,
+    decode_stub_features,
+    frame_sample,
+)
+from aproximacion_1_etl_spark.text.vector import ann_topk_bruteforce
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+
+
+def test_exact_dedup_collapses_normalized_equals(spark):
+    docs = _docs(spark, ["Hello  World", "hello world", "other text"])
+    out = exact_dedup(docs).collect()
+    by_keep = {r["keep_id"]: r["dup_count"] for r in out}
+    assert by_keep == {0: 2, 2: 1}
+
+
+def test_minhash_finds_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    near = base.replace("lazy", "sleepy")
+    far = "completely different content with no overlap whatsoever here ok"
+    sh = word_shingles(_docs(spark, [base, near, far]), n=3)
+    pairs = minhash_candidate_pairs(
+        minhash_signatures(sh), min_matching_bands=1
+    ).collect()
+    found = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    assert (0, 1) in found
+    assert (0, 2) not in found and (1, 2) not in found
+
+
+def test_jaccard_identical_docs_is_one(spark):
+    docs = _docs(spark, ["a b c d e", "a b c d e", "x y z w v"])
+    sh = word_shingles(docs, n=3)
+    pairs = ngram_jaccard_pairs(sh, threshold=0.9).collect()
+    assert len(pairs) == 1
+    assert pairs[0]["jaccard"] == 1.0
+
+
+def test_simhash_similar_docs_close(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    out = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash(
+            _docs(spark, [base, base + " extra", "q w e r t y u i o p"])
+        ).collect()
+    }
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+    assert hamming(out[0], out[1]) <= hamming(out[0], out[2])
+
+
+def test_ann_topk_self_similarity_excluded_and_ranked(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),   # closest to 0
+        (2, [0.0, 1.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0]),  # antipode
+    ]
+    emb = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    out = ann_topk_bruteforce(emb, query_ids=[0], k=3).collect()
+    ranked = [r["vec_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert ranked == [1, 2, 3]
+    assert all(r["vec_id"] != 0 for r in out)
+
+
+def test_lang_id_and_token_count(spark):
+    df = spark.createDataFrame(
+        [("el que la de los casa",), ("der und das ist haus",),
+         ("xyz qwe rty",)],
+        ["text"],
+    )
+    out = [r["l"] for r in df.select(lang_id(F.col("text")).alias("l")).collect()]
+    assert out == ["es", "de", "und"]
+    n = df.select(token_count(F.col("text")).alias("n")).collect()
+    assert n[0]["n"] == 6
+
+
+def test_multimodal_stub_features_and_frames(spark):
+    docs = spark.createDataFrame(
+        [(3, "abcdef" * 40)], ["doc_id", "text"]  # doc_id 3 -> image
+    )
+    media = attach_media(docs)
+    feats = decode_stub_features(media).collect()[0]
+    assert feats["byte_len"] == 240
+    assert feats["first_byte"] == ord("a")
+    assert feats["checksum"] == sum(b"abcdef" * 40) % 997
+    video = spark.createDataFrame([(2, "x" * 320)], ["doc_id", "text"])
+    frames = frame_sample(attach_media(video), every_nth=10).collect()
+    assert len(frames) == 2  # 20 frames of 16B, sampled every 10th
+    assert all(len(f["frame"]) == 16 for f in frames)
