@@ -134,6 +134,36 @@ def visit_order(
     return child.withColumn("visit_rank", F.row_number().over(w))
 
 
+def visit_columns(
+    child: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    tiebreak: str,
+    attrs: list[str],
+    n_visits: int = 3,
+) -> DataFrame:
+    """M9 (`update_..._work_visit(n)` x3): pivot the first ``n_visits``
+    child rows per key into wide ``visit_{n}_{attr}`` columns — what the
+    reference does with 3 sequential UPDATE SPs (DAG:201-238) collapses
+    into ONE ranked window + ONE conditional aggregation (single
+    shuffle on the key, no pivot-table second shuffle)."""
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak).asc()
+    )
+    ranked = child.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= n_visits
+    )
+    aggs = []
+    for n in range(1, n_visits + 1):
+        for a in [ts_col, *attrs]:
+            aggs.append(
+                F.max(F.when(F.col("_rn") == n, F.col(a))).alias(
+                    f"visit_{n}_{a}"
+                )
+            )
+    return ranked.groupBy(*keys).agg(*aggs)
+
+
 def first_scheduled(child: DataFrame, keys: list[str], ts_col: str) -> DataFrame:
     """M10 (`update_..._work_scheduled`): earliest schedule event per key."""
     return child.groupBy(*keys).agg(F.min(ts_col).alias("scheduled_ts"))

@@ -320,6 +320,130 @@ FROM (SELECT c_mktsegment,
       FROM customer)
 GROUP BY 1
 """,
+    "work_table_build": _WORK_SQL + "SELECT * FROM work",
+    "m9_visit_columns": """
+WITH r AS (
+  SELECT user_id, ts, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts ASC, event_id ASC) AS rn
+  FROM events
+)
+SELECT user_id,
+  strftime(max(CASE WHEN rn = 1 THEN ts END), '%Y-%m-%d %H:%M:%S') AS visit_1_ts,
+  max(CASE WHEN rn = 1 THEN event_type END) AS visit_1_event_type,
+  strftime(max(CASE WHEN rn = 2 THEN ts END), '%Y-%m-%d %H:%M:%S') AS visit_2_ts,
+  max(CASE WHEN rn = 2 THEN event_type END) AS visit_2_event_type,
+  strftime(max(CASE WHEN rn = 3 THEN ts END), '%Y-%m-%d %H:%M:%S') AS visit_3_ts,
+  max(CASE WHEN rn = 3 THEN event_type END) AS visit_3_event_type
+FROM r WHERE rn <= 3 GROUP BY user_id
+""",
+    "asof_latest_event": """
+WITH j AS (
+  SELECT e.event_id, e.user_id,
+         strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS event_ts,
+         o.o_orderkey, o.o_orderdate,
+         row_number() OVER (PARTITION BY e.event_id
+                            ORDER BY o.o_orderdate DESC NULLS LAST,
+                                     o.o_orderkey DESC NULLS LAST) AS rn
+  FROM events e
+  LEFT JOIN orders o
+    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+)
+SELECT event_id, user_id, event_ts,
+       o_orderkey AS asof_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS asof_ts
+FROM j WHERE rn = 1
+""",
+    "range_join_events": """
+SELECT a.event_id, a.user_id,
+       strftime(a.ts, '%Y-%m-%d %H:%M:%S') AS event_ts,
+       CAST(count(b.ts) AS BIGINT) AS n_events_24h,
+       floor((CAST(coalesce(sum(CAST(b.value AS DECIMAL(30,8))),
+                            CAST(0 AS DECIMAL(30,8))) AS DOUBLE))
+             * 100.0 + 0.5) / 100.0 AS sum_value_24h
+FROM events a
+LEFT JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts >= a.ts
+ AND b.ts < a.ts + INTERVAL 1 DAY
+GROUP BY 1, 2, 3
+""",
+    "pivot_status": """
+SELECT o_orderpriority,
+       CAST(count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS n_f,
+       CAST(count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS n_o,
+       CAST(count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS n_p
+FROM orders GROUP BY 1
+""",
+    "grouping_sets": """
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n, round(sum(o_totalprice), 2) AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                        (o_orderstatus), ())
+""",
+    "s8_union_schema_drift": """
+SELECT o_orderkey, o_orderstatus, CAST(NULL AS DOUBLE) AS totalprice
+FROM orders WHERE o_orderkey % 2 = 0
+UNION ALL
+SELECT o_orderkey, CAST(NULL AS VARCHAR), round(o_totalprice, 2)
+FROM orders WHERE o_orderkey % 2 = 1
+""",
+    "s4_metadata_sidecar": """
+SELECT strftime(o_orderdate, '%Y-%m-%d') AS ingest_date,
+       CAST(count(CASE WHEN o_orderkey % 97 != 0 THEN 1 END) AS BIGINT)
+         AS total_ordenes,
+       CAST(count(CASE WHEN o_orderkey % 97 = 0 THEN 1 END) AS BIGINT)
+         AS fallos
+FROM orders WHERE o_orderdate >= '2001-06-01' GROUP BY 1
+""",
+    "ann_topk_ivf": """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT vec_id AS cid, v AS cv, list_dot_product(v, v) AS cc
+         FROM e WHERE vec_id < 16),
+d AS (SELECT e.vec_id, e.v, c.cid,
+             floor((list_dot_product(e.v, e.v) + c.cc
+                    - 2.0 * list_dot_product(e.v, c.cv)) * 1000000.0 + 0.5)
+               / 1000000.0 AS d6
+      FROM e CROSS JOIN cent c),
+assign AS (SELECT vec_id, v, cid AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY d6 ASC, cid ASC) AS rn FROM d)
+  WHERE rn = 1),
+probes AS (SELECT vec_id AS query_id, v AS qv, cid AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY d6 ASC, cid ASC) AS rn
+    FROM d WHERE vec_id IN (0, 1, 2, 3, 4))
+  WHERE rn <= 4),
+cand AS (SELECT p.query_id, a.vec_id, p.qv, a.v
+         FROM assign a JOIN probes p
+           ON a.cell = p.cell AND a.vec_id != p.query_id),
+s AS (SELECT query_id, vec_id,
+             floor((list_dot_product(qv, v) /
+                    (sqrt(list_dot_product(qv, qv)) *
+                     sqrt(list_dot_product(v, v)))) * 1000000000.0 + 0.5)
+               / 1000000000.0 AS cos_sim
+      FROM cand),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, vec_id ASC) AS rank
+      FROM s)
+SELECT query_id, vec_id,
+       floor((cos_sim) * 10000.0 + 0.5) / 10000.0 AS cos_sim, rank
+FROM r WHERE rank <= 10
+""",
+    "streaming_sliding_counts": """
+WITH b AS (SELECT min(ts) AS mn, max(ts) AS mx FROM events),
+wins AS (SELECT unnest(generate_series(date_trunc('day', mn) - INTERVAL 1 DAY,
+                                       date_trunc('day', mx),
+                                       INTERVAL 1 DAY)) AS ws FROM b)
+SELECT strftime(w.ws, '%Y-%m-%d %H:%M:%S') AS window_start, e.event_type,
+       count(*) AS n_events,
+       floor((CAST(sum(CAST(e.value AS DECIMAL(30,8))) AS DOUBLE))
+             * 100.0 + 0.5) / 100.0 AS sum_value
+FROM events e JOIN wins w
+  ON e.ts >= w.ws AND e.ts < w.ws + INTERVAL 2 DAY
+GROUP BY 1, 2
+""",
     "agg_rollup": """
 SELECT o_orderstatus, o_orderpriority, count(*) AS n,
        round(sum(o_totalprice), 2) AS total

@@ -38,7 +38,12 @@ from aproximacion_1_etl_spark.operators.refine import (
     nth_event,
     visit_order,
 )
-from aproximacion_1_etl_spark.plans.runner import flagship
+from aproximacion_1_etl_spark.operators.joins import (
+    asof_join,
+    range_join_rollup,
+)
+from aproximacion_1_etl_spark.operators.refine import visit_columns
+from aproximacion_1_etl_spark.plans.runner import flagship, run_daily
 from aproximacion_1_etl_spark.sources.json_ingest import (
     read_day_files,
     split_corrupt,
@@ -67,6 +72,7 @@ from aproximacion_1_etl_spark.text.multimodal import (
 )
 from aproximacion_1_etl_spark.text.vector import (
     ann_topk_bruteforce,
+    ann_topk_ivf,
     ann_topk_lsh,
     embedding_near_dup,
     embedding_near_dup_lsh,
@@ -387,6 +393,192 @@ def q_s9_enrichment_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("c_custkey", "destination_structure_id", "segmentation")
 
 
+def q_work_table_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3/M3-M13: the full refinement chain — the reference's 29
+    sequential stored procedures as ONE Catalyst plan producing the
+    delivery_order_work-equivalent table."""
+    return run_daily(spark, sf_dir)
+
+
+def q_m9_visit_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M9: first-3-visits pivoted wide (visit_n_ts / visit_n_type)."""
+    events = load_table(spark, sf_dir, "events")
+    out = visit_columns(
+        events, ["user_id"], "ts", "event_id", ["event_type"], n_visits=3
+    )
+    return out.select(
+        "user_id",
+        *[
+            c
+            for n in (1, 2, 3)
+            for c in (
+                _ts_str(f"visit_{n}_ts").alias(f"visit_{n}_ts"),
+                F.col(f"visit_{n}_event_type"),
+            )
+        ],
+    )
+
+
+def q_asof_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event annotated with the user's most recent
+    order at or before the event time (union + single-key-shuffle
+    window — no range-join explosion; SURVEY.md §2.5
+    [absent]-but-useful)."""
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts"
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    out = asof_join(
+        events,
+        orders,
+        left_key="user_id",
+        right_key="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        value_cols=["o_orderkey"],
+        tiebreak="o_orderkey",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        _ts_str("ts").alias("event_ts"),
+        F.col("asof_o_orderkey").alias("asof_orderkey"),
+        _ts_str("asof_ts").alias("asof_ts"),
+    )
+
+
+def q_range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range self-join: per event, the same user's event count / value
+    mass in the next 24 h (burst detection; equi-key + range
+    predicate)."""
+    events = load_table(spark, sf_dir, "events")
+    left = events.select("event_id", "user_id", "ts")
+    right = events.select("user_id", "ts", "value")
+    out = range_join_rollup(
+        left,
+        right,
+        left_key="user_id",
+        right_key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        days=1,
+        aggs={
+            "n_events_24h": F.count("_rts"),
+            "sum_value_24h": _fround(
+                F.coalesce(
+                    F.sum(F.col("value").cast("decimal(30,8)")),
+                    F.lit(0).cast("decimal(30,8)"),
+                ).cast("double"),
+                2,
+            ),
+        },
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        _ts_str("ts").alias("event_ts"),
+        "n_events_24h",
+        "sum_value_24h",
+    )
+
+
+def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: order counts by priority x status (explicit value list =>
+    no extra distinct-scan job; stable column set)."""
+    o = load_table(spark, sf_dir, "orders")
+    out = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), F.lit(0)).cast("bigint").alias("n_f"),
+        F.coalesce(F.col("O"), F.lit(0)).cast("bigint").alias("n_o"),
+        F.coalesce(F.col("P"), F.lit(0)).cast("bigint").alias("n_p"),
+    )
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS: (status, priority), (status), () in one pass."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupingSets(
+        [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+def q_s8_union_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8: unionByName across drifted schemas (missing columns -> NULL),
+    the per-file-branch union tolerance of the reference's pipelines."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_orderstatus"
+    )
+    b = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("totalprice")
+    )
+    return a.unionByName(b, allowMissingColumns=True)
+
+
+def q_s4_metadata_sidecar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4+F6: day-partitioned JSON write with injected corrupt lines,
+    PERMISSIVE read with corrupt-record capture, per-day metadata
+    sidecar {ingest_date, total_ordenes, fallos} written + read back —
+    the reference's extraction-metadata contract (app.py:166-171)."""
+    import os
+
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= "2001-06-01"
+    )
+    line = F.when(
+        F.col("o_orderkey") % 97 == 0, F.lit("CORRUPT{{not json")
+    ).otherwise(
+        F.to_json(
+            F.struct(
+                F.col("o_orderkey"),
+                F.col("o_orderstatus"),
+                F.round("o_totalprice", 2).alias("totalprice"),
+            )
+        )
+    )
+    path = tempfile.mkdtemp(prefix="graft_sidecar_")
+    # repartition by the partition column first: one file per day-dir
+    # instead of (tasks x days) tiny files — the 100 TB-safe layout.
+    o.select(
+        line.alias("value"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("ingest_date"),
+    ).repartition("ingest_date").write.mode("overwrite").partitionBy(
+        "ingest_date"
+    ).text(path)
+    back = (
+        spark.read.schema(
+            "o_orderkey BIGINT, o_orderstatus STRING, totalprice DOUBLE, "
+            "_corrupt_record STRING"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+    # Corrupt lines parse to all-NULL data columns; counting off a data
+    # column (o_orderkey, never null in valid rows) instead of
+    # _corrupt_record avoids Spark's corrupt-record-only-query
+    # restriction without caching the parse.
+    meta = back.groupBy("ingest_date").agg(
+        F.count("o_orderkey").alias("total_ordenes"),
+        F.count(F.when(F.col("o_orderkey").isNull(), 1)).alias("fallos"),
+    )
+    meta_path = os.path.join(path, "_metadata_out")
+    meta.coalesce(1).write.mode("overwrite").json(meta_path)
+    return spark.read.schema(
+        "ingest_date STRING, total_ordenes BIGINT, fallos BIGINT"
+    ).json(meta_path)
+
+
 # ------------------------------------------------------- joins / aggregates
 
 
@@ -653,6 +845,13 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk_bruteforce(emb, query_ids=[0, 1, 2, 3, 4], k=10)
 
 
+def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann_topk_ivf(
+        emb, query_ids=[0, 1, 2, 3, 4], k=10, n_centroids=16, nprobe=4
+    )
+
+
 def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return ann_topk_lsh(
@@ -681,8 +880,26 @@ def q_streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(spark, sf_dir, "1 day", glob="events.parquet")
 
 
+def q_streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9: hopping/sliding windows (2-day window, 1-day slide) over the
+    same AvailableNow stream — each event lands in 2 windows."""
+    return run_available_now(
+        spark, sf_dir, "2 days", glob="events.parquet", slide="1 day"
+    )
+
+
 ALL_QUERIES = {
     "flagship_order_lifecycle": q_flagship_order_lifecycle,
+    "work_table_build": q_work_table_build,
+    "m9_visit_columns": q_m9_visit_columns,
+    "asof_latest_event": q_asof_latest_event,
+    "range_join_events": q_range_join_events,
+    "pivot_status": q_pivot_status,
+    "grouping_sets": q_grouping_sets,
+    "s8_union_schema_drift": q_s8_union_schema_drift,
+    "s4_metadata_sidecar": q_s4_metadata_sidecar,
+    "ann_topk_ivf": q_ann_topk_ivf,
+    "streaming_sliding_counts": q_streaming_sliding_counts,
     "m1_dedup_latest": q_m1_dedup_latest,
     "m2_merge_upsert": q_m2_merge_upsert,
     "m4_latest_status": q_m4_latest_status,

@@ -46,6 +46,7 @@ def windowed_event_counts(
     events: DataFrame,
     window_duration: str = "1 day",
     watermark: str = "1 hour",
+    slide: str | None = None,
 ) -> DataFrame:
     """Tumbling-window counts/sums per event_type with late-data
     watermark. Works identically on a batch DataFrame (window() is the
@@ -54,7 +55,10 @@ def windowed_event_counts(
     base = events.withWatermark("ts", watermark) if streaming else events
     return (
         base.groupBy(
-            F.window("ts", window_duration).alias("win"), F.col("event_type")
+            F.window("ts", window_duration, slide or window_duration).alias(
+                "win"
+            ),
+            F.col("event_type"),
         )
         .agg(
             F.count("*").alias("n_events"),
@@ -85,14 +89,19 @@ def run_available_now(
     source_dir: str,
     window_duration: str = "1 day",
     glob: str = "*.parquet",
+    slide: str | None = None,
 ) -> DataFrame:
     """Run the windowed aggregation as a real stream with
     Trigger.AvailableNow into a memory sink; returns the final result
     table (deterministic: all available data processed, stream stopped).
+    ``slide`` < ``window_duration`` makes the windows hopping/sliding
+    (each event lands in window_duration/slide overlapping windows;
+    state per open window is bounded by the watermark).
     """
     table = f"events_windowed_{uuid.uuid4().hex[:8]}"
     stream = windowed_event_counts(
-        read_events_stream(spark, source_dir, glob), window_duration
+        read_events_stream(spark, source_dir, glob), window_duration,
+        slide=slide,
     )
     q = (
         stream.writeStream.format("memory")

@@ -174,6 +174,103 @@ def ann_topk_lsh(
     )
 
 
+def _dist2_to_lit(vec: Column, cvec: list[float], cdot: float) -> Column:
+    """Squared L2 distance to a literal centroid via the dot-product
+    identity |a-c|^2 = a.a + c.c - 2 a.c (three folds -> one, since
+    c.c is precomputed and a.a is shared across centroids)."""
+    c = F.array(*[F.lit(float(x)) for x in cvec])
+    return _dot(vec, vec) + F.lit(cdot) - 2.0 * _dot(vec, c)
+
+
+def ann_topk_ivf(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style approximate top-k: coarse-quantize the corpus to its
+    nearest centroid (inverted lists), probe only the ``nprobe`` cells
+    nearest each query, exact cosine within probed cells.
+
+    Centroids here are the first ``n_centroids`` vectors (deterministic
+    stand-in for a k-means codebook — the operator shape is identical;
+    swap the codebook source without touching the plan). The codebook
+    is collected driver-side (bounded, it IS the model) and baked into
+    the plan as literals, so cell assignment is pure codegen: NO
+    shuffle, no join — each corpus row computes ``n_centroids``
+    distances map-side and takes the lexicographic argmin. At 100 TB
+    the corpus is scanned once; only probed-cell candidates reach the
+    (broadcast) query join and the top-k window.
+    """
+    emb = _as_double(embeddings, vec_col)
+    cents = {
+        r[0]: [float(x) for x in r[1]]
+        for r in emb.filter(F.col(id_col) < n_centroids)
+        .select(id_col, vec_col)
+        .collect()
+    }
+    cdots = {cid: sum(x * x for x in v) for cid, v in cents.items()}
+
+    def dist_structs(vec: Column) -> Column:
+        return F.array(
+            *[
+                F.struct(
+                    _fround(_dist2_to_lit(vec, cents[cid], cdots[cid]), 6).alias(
+                        "d"
+                    ),
+                    F.lit(cid).alias("cid"),
+                )
+                for cid in sorted(cents)
+            ]
+        )
+
+    v = F.col(vec_col)
+    assigned = emb.select(
+        id_col,
+        vec_col,
+        F.array_min(dist_structs(v)).getField("cid").alias("cell"),
+    )
+    probes = (
+        emb.filter(F.col(id_col).isin(query_ids))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qvec"),
+            F.explode(
+                F.slice(F.array_sort(dist_structs(v)), 1, nprobe)
+            ).alias("p"),
+        )
+        .select("query_id", "qvec", F.col("p.cid").alias("cell"))
+    )
+    cand = assigned.join(
+        F.broadcast(probes),
+        on=[
+            assigned["cell"] == probes["cell"],
+            assigned[id_col] != probes["query_id"],
+        ],
+    ).select("query_id", id_col, vec_col, "qvec")
+    scored = cand.select(
+        "query_id",
+        id_col,
+        _fround(cosine_sim(F.col("qvec"), F.col(vec_col)), 9).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            id_col,
+            _fround(F.col("cos_sim"), 4).alias("cos_sim"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
 def embedding_near_dup(
     embeddings: DataFrame,
     threshold: float = 0.95,

@@ -1,0 +1,94 @@
+"""Temporal-join and wide-pivot operator tests on micro-fixtures."""
+
+from datetime import datetime
+
+import pyspark.sql.functions as F
+
+from aproximacion_1_etl_spark.operators.joins import (
+    asof_join,
+    range_join_rollup,
+)
+from aproximacion_1_etl_spark.operators.refine import visit_columns
+
+
+def _ts(s):
+    return datetime.fromisoformat(s)
+
+
+def test_asof_join_picks_latest_at_or_before(spark):
+    orders = spark.createDataFrame(
+        [(1, 10, _ts("2024-01-05T00:00:00")),
+         (2, 10, _ts("2024-01-01T00:00:00")),
+         (3, 20, _ts("2024-01-05T00:00:00"))],
+        ["okey", "cust", "odate"],
+    )
+    events = spark.createDataFrame(
+        [(100, 10, _ts("2024-01-02T00:00:00"), "a"),
+         (101, 10, _ts("2024-01-04T00:00:00"), "b"),
+         (102, 10, _ts("2024-01-06T00:00:00"), "c")],
+        ["event_id", "user", "ts", "etype"],
+    )
+    out = asof_join(
+        orders, events, "cust", "user", "odate", "ts",
+        value_cols=["etype"], tiebreak="event_id",
+    )
+    got = {r["okey"]: r["asof_etype"] for r in out.collect()}
+    # order 1 (Jan 5): latest prior event is b (Jan 4); order 2 (Jan 1):
+    # none; order 3: customer 20 has no events.
+    assert got == {1: "b", 2: None, 3: None}
+
+
+def test_asof_join_equal_ts_counts_and_tiebreaks(spark):
+    orders = spark.createDataFrame(
+        [(1, 10, _ts("2024-01-02T00:00:00"))], ["okey", "cust", "odate"]
+    )
+    events = spark.createDataFrame(
+        [(100, 10, _ts("2024-01-02T00:00:00"), "x"),
+         (101, 10, _ts("2024-01-02T00:00:00"), "y")],
+        ["event_id", "user", "ts", "etype"],
+    )
+    out = asof_join(
+        orders, events, "cust", "user", "odate", "ts",
+        value_cols=["etype"], tiebreak="event_id",
+    )
+    # <= semantics: same-instant event matches; tie -> max event_id
+    assert out.collect()[0]["asof_etype"] == "y"
+
+
+def test_range_join_rollup_window_bounds(spark):
+    orders = spark.createDataFrame(
+        [(1, 10, _ts("2024-01-01T00:00:00"))], ["okey", "cust", "odate"]
+    )
+    events = spark.createDataFrame(
+        [(1, 10, _ts("2024-01-01T00:00:00"), 1.0),   # in (inclusive start)
+         (2, 10, _ts("2024-01-07T23:59:59"), 2.0),   # in (just under +7d)
+         (3, 10, _ts("2024-01-08T00:00:00"), 4.0),   # out (exclusive end)
+         (4, 99, _ts("2024-01-02T00:00:00"), 8.0)],  # out (other key)
+        ["event_id", "user", "ts", "value"],
+    )
+    out = range_join_rollup(
+        orders, events, "cust", "user", "odate", "ts", days=7,
+        aggs={"n": F.count("_rts"),
+              "s": F.coalesce(F.sum("value"), F.lit(0.0))},
+    )
+    row = out.collect()[0]
+    assert (row["n"], row["s"]) == (2, 3.0)
+
+
+def test_visit_columns_pivots_first_n(spark):
+    events = spark.createDataFrame(
+        [(10, _ts("2024-01-01T00:00:00"), 1, "a"),
+         (10, _ts("2024-01-02T00:00:00"), 2, "b"),
+         (10, _ts("2024-01-03T00:00:00"), 3, "c"),
+         (10, _ts("2024-01-04T00:00:00"), 4, "d"),  # 4th: dropped
+         (20, _ts("2024-02-01T00:00:00"), 5, "z")],
+        ["user_id", "ts", "event_id", "event_type"],
+    )
+    out = visit_columns(
+        events, ["user_id"], "ts", "event_id", ["event_type"], n_visits=3
+    )
+    rows = {r["user_id"]: r for r in out.collect()}
+    assert rows[10]["visit_1_event_type"] == "a"
+    assert rows[10]["visit_3_event_type"] == "c"
+    assert rows[20]["visit_1_event_type"] == "z"
+    assert rows[20]["visit_2_event_type"] is None
