@@ -1,0 +1,57 @@
+"""Arrow-batched grouped Python operators (SURVEY.md §2.8).
+
+The reference's per-element Python (Beam ``FlatMap`` bodies,
+``src/2_run_events_info_temp_pipeline.py:73-110``) maps to Spark's
+vectorized path: ``applyInPandas`` ships each group to Python ONCE as
+an Arrow batch, runs a pandas function over the whole group, and
+returns columnar results — ~10-100x over row-at-a-time UDFs and the
+only sane shape at 100 TB (one shuffle on the group key, then pure
+columnar compute; no per-row serialization).
+
+Used for statistics the built-in JVM aggregates don't cover (exact
+median is available as percentile(), but the point here is the grouped
+custom-Python surface itself, oracle-checked against DuckDB).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+
+def grouped_stats_pandas(
+    df: DataFrame,
+    key: str,
+    value_col: str,
+    scale: int = 4,
+) -> DataFrame:
+    """Per-key stats computed in grouped pandas: row count, exact
+    median (linear interpolation, matching DuckDB ``median``), and
+    spread (max - min). Floats floor-rounded to ``scale`` decimals for
+    engine-stable hashing."""
+    mult = float(10**scale)
+    out_schema = (
+        f"{key} BIGINT, n BIGINT, median_value DOUBLE, spread DOUBLE"
+    )
+
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        import math
+
+        v = pdf[value_col].astype(float)
+        med = float(v.median())
+        spread = float(v.max() - v.min())
+        return pd.DataFrame(
+            {
+                key: [pdf[key].iloc[0]],
+                "n": [len(pdf)],
+                "median_value": [math.floor(med * mult + 0.5) / mult],
+                "spread": [math.floor(spread * mult + 0.5) / mult],
+            }
+        )
+
+    return (
+        df.select(key, value_col)
+        .groupBy(key)
+        .applyInPandas(stats, schema=out_schema)
+    )

@@ -529,6 +529,72 @@ SELECT user_id,
        count(*) AS n_events
 FROM x GROUP BY 1
 """,
+    "q13_order_count_distribution": """
+SELECT c_count, count(*) AS n_customers
+FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY 1)
+GROUP BY 1
+""",
+    "q17_small_qty_revenue": """
+WITH pa AS (SELECT l_partkey, 0.2 * avg(l_quantity) AS qty_lim
+            FROM lineitem GROUP BY 1)
+SELECT floor((CAST(sum(CAST(l_extendedprice AS DECIMAL(30,8))) AS DOUBLE)
+              / 7.0) * 100.0 + 0.5) / 100.0 AS avg_yearly
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN pa USING (l_partkey)
+WHERE p_brand = 'Brand#4' AND l_quantity < qty_lim
+""",
+    "q18_big_spenders": """
+WITH big AS (SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+             FROM lineitem GROUP BY 1 HAVING round(sum(l_quantity), 2) > 300)
+SELECT c_custkey, c_name, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,
+       round(o_totalprice, 2) AS o_totalprice, total_qty
+FROM orders
+JOIN big ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+""",
+    "skew_salted_agg": """
+SELECT event_type, count(*) AS n_events,
+       floor((CAST(sum(CAST(value AS DECIMAL(30,8))) AS DOUBLE))
+             * 100.0 + 0.5) / 100.0 AS sum_value
+FROM events GROUP BY 1
+""",
+    "skew_replicated_join": """
+SELECT c_mktsegment, count(*) AS n_events,
+       floor((CAST(sum(CAST(value AS DECIMAL(30,8))) AS DOUBLE))
+             * 100.0 + 0.5) / 100.0 AS sum_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY 1
+""",
+    "grouped_pandas_stats": """
+SELECT user_id, count(*) AS n,
+       floor((median(value)) * 10000.0 + 0.5) / 10000.0 AS median_value,
+       floor((max(value) - min(value)) * 10000.0 + 0.5) / 10000.0 AS spread
+FROM events GROUP BY 1
+""",
+    "s3_partitioned_pruned": """
+SELECT CAST(month(o_orderdate) AS BIGINT) AS order_month,
+       count(*) AS n_orders,
+       floor((CAST(sum(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE))
+             * 100.0 + 0.5) / 100.0 AS month_total
+FROM orders WHERE year(o_orderdate) = 1997 GROUP BY 1
+""",
+    "streaming_stateful_sessions": """
+WITH x AS (
+  SELECT user_id,
+         epoch(ts) AS sec,
+         lag(epoch(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS prev_sec
+  FROM events)
+SELECT user_id,
+       CAST(sum(CASE WHEN prev_sec IS NULL OR sec - prev_sec > 7200
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+       count(*) AS n_events
+FROM x GROUP BY 1
+""",
     "dedup_exact": """
 SELECT sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
          AS content_hash,

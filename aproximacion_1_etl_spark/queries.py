@@ -773,6 +773,159 @@ def q_q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-style: distribution of orders-per-customer including
+    zero-order customers (left outer join + two-level aggregation)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count("*").alias("n_customers")
+    )
+
+
+def q_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-style: revenue from small-quantity lineitems of one
+    brand, threshold correlated on the per-part average quantity. The
+    per-part aggregate is tiny relative to lineitem, so it broadcasts
+    back — the correlated subquery costs one extra scan, zero extra
+    shuffles on the fact side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    part_avg = li.groupBy("l_partkey").agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_lim")
+    )
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .filter(F.col("p_brand") == "Brand#4")
+        .join(F.broadcast(part_avg), "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_lim"))
+        .agg(
+            _fround(
+                F.sum(F.col("l_extendedprice").cast("decimal(30,8)")).cast(
+                    "double"
+                )
+                / 7.0,
+                2,
+            ).alias("avg_yearly")
+        )
+    )
+
+
+def q_q18_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-style: orders whose total quantity exceeds 300 (HAVING
+    over a child rollup, semi-joined back to parent + customer)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    return (
+        o.join(F.broadcast(big), o["o_orderkey"] == big["l_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            _ts_str("o_orderdate").alias("o_orderdate"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "total_qty",
+        )
+    )
+
+
+def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase aggregation over the low-cardinality (hence
+    hot-keyed) event_type — result identical to the plain group-by."""
+    from aproximacion_1_etl_spark.operators.skew import salted_aggregate
+
+    ev = load_table(spark, sf_dir, "events")
+    out = salted_aggregate(
+        ev,
+        keys=["event_type"],
+        salt_on="event_id",
+        metrics={
+            "n_events": F.lit(1),
+            "sum_value": F.col("value"),
+        },
+        buckets=16,
+    )
+    return out.select(
+        "event_type",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        _fround(F.col("sum_value").cast("double"), 2).alias("sum_value"),
+    )
+
+
+def q_skew_replicated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replicated-dim salted join events->customer, rolled up per
+    mktsegment — result identical to the plain equi-join."""
+    from aproximacion_1_etl_spark.operators.skew import replicated_skew_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    joined = replicated_skew_join(
+        ev, c, fact_key="user_id", dim_key="c_custkey", salt_on="event_id",
+        buckets=8,
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_events"),
+        _dsum(F.col("value")).alias("sum_value"),
+    )
+
+
+def q_grouped_pandas_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8: grouped Arrow-batched Python (applyInPandas) — per-user
+    exact median / spread of event values."""
+    from aproximacion_1_etl_spark.operators.pandas_ops import (
+        grouped_stats_pandas,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return grouped_stats_pandas(ev, key="user_id", value_col="value")
+
+
+def q_s3_partitioned_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3: day-partitioned parquet table sink + partition-pruned read
+    (the engine's GCS-day-layout analog; the read scans only the
+    selected year's directories — verified in tests via the plan's
+    partition filters)."""
+    o = load_table(spark, sf_dir, "orders")
+    path = tempfile.mkdtemp(prefix="graft_part_")
+    o.withColumn("order_year", F.year("o_orderdate")).repartition(
+        "order_year"
+    ).write.mode("overwrite").partitionBy("order_year").parquet(path)
+    back = spark.read.parquet(path).filter(F.col("order_year") == 1997)
+    return back.groupBy(
+        F.month("o_orderdate").cast("bigint").alias("order_month")
+    ).agg(
+        F.count("*").alias("n_orders"),
+        _dsum(F.col("o_totalprice")).alias("month_total"),
+    )
+
+
+def q_streaming_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9: custom stateful operator (applyInPandasWithState) — running
+    per-user sessionization; AvailableNow replay makes it equal the
+    batch result, which the oracle checks."""
+    from aproximacion_1_etl_spark.streaming.stateful import (
+        run_stateful_sessions,
+    )
+
+    return run_stateful_sessions(spark, sf_dir, glob="events.parquet")
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (2 h) via lag + conditional cumsum."""
     ev = load_table(spark, sf_dir, "events")
@@ -929,6 +1082,14 @@ ALL_QUERIES = {
     "q3_shipping_priority": q_q3_shipping_priority,
     "q5_nation_revenue": q_q5_nation_revenue,
     "sessionize": q_sessionize,
+    "q13_order_count_distribution": q_q13_order_count_distribution,
+    "q17_small_qty_revenue": q_q17_small_qty_revenue,
+    "q18_big_spenders": q_q18_big_spenders,
+    "skew_salted_agg": q_skew_salted_agg,
+    "skew_replicated_join": q_skew_replicated_join,
+    "grouped_pandas_stats": q_grouped_pandas_stats,
+    "s3_partitioned_pruned": q_s3_partitioned_pruned,
+    "streaming_stateful_sessions": q_streaming_stateful_sessions,
     "approx_distinct": q_approx_distinct,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
