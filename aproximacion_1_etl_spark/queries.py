@@ -964,7 +964,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    sh = word_shingles(docs, n=3)
+    sh = word_shingles(docs, n=3, distinct=False)
     sigs = minhash_signatures(sh, bands=8)
     return minhash_candidate_pairs(sigs, bands=8, min_matching_bands=2)
 

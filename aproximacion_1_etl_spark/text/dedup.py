@@ -59,12 +59,21 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 
 
 def word_shingles(
-    docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    distinct: bool = True,
 ) -> DataFrame:
     """One row per word n-gram ("shingle") per doc. Docs shorter than n
     tokens produce no shingles (they can't participate in n-gram
     similarity). Pure JVM expressions: split -> transform(sequence) ->
-    explode; no UDFs."""
+    explode; no UDFs.
+
+    ``distinct=True`` (set semantics) is required by exact Jaccard;
+    MinHash consumers pass ``distinct=False`` — ``min(hash)`` is
+    idempotent under duplicates, and skipping the dedup removes a full
+    shuffle of the exploded (~|tokens| x docs) shingle set."""
     toks = F.split(F.col(text_col), " ")
     k = F.size(toks) - (n - 1)
     gram = F.transform(
@@ -73,11 +82,18 @@ def word_shingles(
             " ", *[F.element_at(toks, i + j) for j in range(n)]
         ),
     )
-    return (
-        docs.filter(F.size(toks) >= n)
-        .select(F.col(id_col), F.explode(gram).alias("shingle"))
-        .distinct()
+    # Rebalance BEFORE the ~|tokens|x explode fan-out: a narrow upstream
+    # (one small file locally; a filtered/skewed scan at cluster scale)
+    # would otherwise serialize the shingling + hashing on few tasks.
+    # Keying by id also lines the shuffle up with every downstream
+    # per-doc groupBy.
+    spread = docs.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
     )
+    out = spread.filter(F.size(toks) >= n).select(
+        F.col(id_col), F.explode(gram).alias("shingle")
+    )
+    return out.distinct() if distinct else out
 
 
 def minhash_signatures(
@@ -128,6 +144,11 @@ def minhash_candidate_pairs(
         ).alias("bs"),
     ).select(id_col, "bs.band", "bs.sig")
     a = melted.alias("a")
+    # No join hint: (band, sig) is high-cardinality (md5 strings), so at
+    # corpus scale AQE picks a well-distributed sort-merge join with the
+    # identical-child exchange reused (signatures computed once);
+    # locally it broadcasts the small melted side, which measures faster
+    # than forcing the shuffle.
     b = melted.alias("b")
     return (
         a.join(
@@ -210,6 +231,8 @@ def ngram_jaccard_pairs(
     """
     sizes = shingles.groupBy(id_col).agg(F.count("*").alias("sz"))
     a = shingles.alias("a")
+    # No hint: shingle keys are high-cardinality, AQE distributes well
+    # at scale (see minhash_candidate_pairs).
     b = shingles.alias("b")
     inter = (
         a.join(

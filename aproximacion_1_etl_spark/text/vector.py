@@ -324,7 +324,12 @@ def embedding_near_dup_lsh(
     collide in some table). Candidates dedup on the pair key; cosine on
     pre-normalized vectors (one fold per pair).
     """
+    # Rebalance before the heavy per-row projection (tables x planes
+    # array folds): a narrow upstream would serialize it on few tasks.
     emb = _as_double(embeddings, vec_col)
+    emb = emb.repartition(
+        emb.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+    )
     v = F.col(vec_col)
     unit = F.transform(v, lambda x: x / F.sqrt(_dot(v, v)))
     bucketed = None
@@ -337,6 +342,11 @@ def embedding_near_dup_lsh(
         )
         bucketed = b if bucketed is None else bucketed.unionByName(b)
     a = bucketed.alias("a")
+    # No join hint: (tbl, bucket) has only tables x 2^planes distinct
+    # values, so forcing a shuffle join would concentrate the pair work
+    # on that many tasks. Locally Catalyst broadcasts the (rebalanced)
+    # bucketed side; at corpus scale raise ``planes`` so bucket
+    # cardinality grows with the data and AQE's sort-merge distributes.
     b = bucketed.alias("b")
     cand = (
         a.join(
