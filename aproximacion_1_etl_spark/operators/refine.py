@@ -167,3 +167,31 @@ def visit_columns(
 def first_scheduled(child: DataFrame, keys: list[str], ts_col: str) -> DataFrame:
     """M10 (`update_..._work_scheduled`): earliest schedule event per key."""
     return child.groupBy(*keys).agg(F.min(ts_col).alias("scheduled_ts"))
+
+
+def scd2_history(
+    changes: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    tiebreak: str,
+    attrs: list[str],
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 history: turn a change stream
+    into validity intervals [valid_from, valid_to) per key, current row
+    marked with NULL valid_to.
+
+    The reference keeps only the latest state (its master table is
+    UPDATE-d in place, `Case Study Documentation (English).md:129`);
+    SCD2 is the auditable superset an analytics engine needs. One
+    window (lead over the key's time order) — a single shuffle on the
+    key; no self-join."""
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak).asc()
+    )
+    return changes.select(
+        *keys,
+        *attrs,
+        F.col(ts_col).alias("valid_from"),
+        F.lead(F.col(ts_col)).over(w).alias("valid_to"),
+        (F.lead(F.col(ts_col)).over(w).isNull()).alias("is_current"),
+    )

@@ -595,6 +595,20 @@ SELECT user_id,
        count(*) AS n_events
 FROM x GROUP BY 1
 """,
+    "scd2_history": """
+SELECT user_id, event_type,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+       strftime(lead(ts) OVER w, '%Y-%m-%d %H:%M:%S') AS valid_to,
+       lead(ts) OVER w IS NULL AS is_current
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+""",
+    "bucketed_join_rollup": """
+SELECT o_orderstatus, count(*) AS n_lines,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY 1
+""",
     "dedup_exact": """
 SELECT sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
          AS content_hash,

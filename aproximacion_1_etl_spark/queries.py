@@ -926,6 +926,57 @@ def q_streaming_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame
     return run_stateful_sessions(spark, sf_dir, glob="events.parquet")
 
 
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2: per-user event stream -> validity intervals (lead window),
+    current row open-ended."""
+    from aproximacion_1_etl_spark.operators.refine import scd2_history
+
+    ev = load_table(spark, sf_dir, "events")
+    out = scd2_history(
+        ev,
+        keys=["user_id"],
+        ts_col="ts",
+        tiebreak="event_id",
+        attrs=["event_type"],
+    )
+    return out.select(
+        "user_id",
+        "event_type",
+        _ts_str("valid_from").alias("valid_from"),
+        _ts_str("valid_to").alias("valid_to"),
+        "is_current",
+    )
+
+
+def q_bucketed_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-table co-located join: orders and per-order lineitem
+    both bucketed on the order key, joined exchange-free (the plan has
+    no shuffle; asserted in tests), then rolled up per status."""
+    import os
+
+    from aproximacion_1_etl_spark.sources.bucketed import (
+        bucketed_join,
+        write_bucketed,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_quantity"
+    )
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    write_bucketed(o, f"b_orders_{tag}", "o_orderkey", n_buckets=8)
+    write_bucketed(li, f"b_lineitem_{tag}", "o_orderkey", n_buckets=8)
+    joined = bucketed_join(
+        spark, f"b_orders_{tag}", f"b_lineitem_{tag}", on="o_orderkey"
+    )
+    return joined.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_lines"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (2 h) via lag + conditional cumsum."""
     ev = load_table(spark, sf_dir, "events")
@@ -1089,6 +1140,8 @@ ALL_QUERIES = {
     "skew_replicated_join": q_skew_replicated_join,
     "grouped_pandas_stats": q_grouped_pandas_stats,
     "s3_partitioned_pruned": q_s3_partitioned_pruned,
+    "scd2_history": q_scd2_history,
+    "bucketed_join_rollup": q_bucketed_join_rollup,
     "streaming_stateful_sessions": q_streaming_stateful_sessions,
     "approx_distinct": q_approx_distinct,
     "dedup_exact": q_dedup_exact,

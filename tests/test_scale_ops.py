@@ -105,3 +105,52 @@ def test_partitioned_write_prunes(spark, sf_dir):
     # pruned scan must agree with the filtered source
     n_direct = o.filter(F.year("o_orderdate") == 1997).count()
     assert back.count() == n_direct
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    from aproximacion_1_etl_spark.sources.bucketed import (
+        bucketed_join,
+        write_bucketed,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_quantity"
+    )
+    write_bucketed(o, "t_b_orders", "o_orderkey", n_buckets=4)
+    write_bucketed(li, "t_b_lineitem", "o_orderkey", n_buckets=4)
+    joined = bucketed_join(
+        spark, "t_b_orders", "t_b_lineitem", "o_orderkey",
+        force_sort_merge=True,
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        joined.explain(mode="formatted")
+    plan = buf.getvalue()
+    # co-located buckets: sort-merge join with zero shuffles
+    assert "Exchange" not in plan, plan
+    plain = o.join(li, "o_orderkey")
+    assert joined.count() == plain.count()
+
+
+def test_scd2_intervals_tile_per_key(spark, sf_dir):
+    from aproximacion_1_etl_spark.operators.refine import scd2_history
+
+    ev = load_table(spark, sf_dir, "events")
+    h = scd2_history(
+        ev, keys=["user_id"], ts_col="ts", tiebreak="event_id",
+        attrs=["event_type"],
+    )
+    # exactly one current row per key; intervals chain without gaps
+    per_key = h.groupBy("user_id").agg(
+        F.sum(F.col("is_current").cast("int")).alias("n_current"),
+        F.count("*").alias("n_rows"),
+        F.count("valid_to").alias("n_closed"),
+    )
+    bad = per_key.filter(
+        (F.col("n_current") != 1)
+        | (F.col("n_closed") != F.col("n_rows") - 1)
+    )
+    assert bad.count() == 0
