@@ -609,6 +609,34 @@ SELECT o_orderstatus, count(*) AS n_lines,
 FROM orders JOIN lineitem ON o_orderkey = l_orderkey
 GROUP BY 1
 """,
+    "event_value_quantiles": """
+SELECT event_type,
+       floor((quantile_cont(value, 0.5)) * 10000.0 + 0.5) / 10000.0 AS p50,
+       floor((quantile_cont(value, 0.9)) * 10000.0 + 0.5) / 10000.0 AS p90,
+       floor((quantile_cont(value, 0.99)) * 10000.0 + 0.5) / 10000.0 AS p99
+FROM events GROUP BY 1
+""",
+    "top_tokens_per_lang": """
+WITH toks AS (
+  SELECT lang, unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
+           AS token
+  FROM documents),
+c AS (SELECT lang, token, count(*) AS n FROM toks
+      WHERE token != '' GROUP BY 1, 2),
+r AS (SELECT *, row_number() OVER (
+        PARTITION BY lang ORDER BY n DESC, token ASC) AS rank FROM c)
+SELECT lang, token, n, rank FROM r WHERE rank <= 5
+""",
+    "udtf_sentences": """
+WITH parts AS (
+  SELECT doc_id, string_split(text, '. ') AS ps FROM documents)
+SELECT doc_id, i AS sent_idx, ps[i] AS sentence
+FROM parts, (SELECT unnest(generate_series(1, 10000)) AS i)
+WHERE i <= len(ps) AND ps[i] != ''
+""",
+    "streaming_dedup_keys": """
+SELECT DISTINCT user_id, event_type FROM events
+""",
     "dedup_exact": """
 SELECT sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
          AS content_hash,

@@ -977,6 +977,98 @@ def q_bucketed_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (linear interpolation) per event_type — the
+    built-in JVM `percentile` aggregate; for 100 TB dashboards swap in
+    `approx_percentile` (t-digest, single-pass mergeable sketch)."""
+    ev = load_table(spark, sf_dir, "events")
+    q = F.percentile("value", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
+    return ev.groupBy("event_type").agg(
+        _fround(q[0], 4).alias("p50"),
+        _fround(q[1], 4).alias("p90"),
+        _fround(q[2], 4).alias("p99"),
+    )
+
+
+def q_top_tokens_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token frequency: explode lowercase tokens, count per (lang,
+    token), keep the top 5 per language (rank window with count-desc /
+    token-asc tiebreak). The canonical corpus-stats shape: map-side
+    explode -> one partial-agged shuffle -> small per-group window."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), "\\s+")).alias(
+            "token"
+        ),
+    ).filter(F.col("token") != "")
+    counts = toks.groupBy("lang", "token").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("lang").orderBy(
+        F.col("n").desc(), F.col("token").asc()
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("lang", "token", "n", F.col("rank").cast("bigint").alias("rank"))
+    )
+
+
+def q_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 UDTF surface: a Python user-defined TABLE function (Spark
+    3.5+/4.x) splitting each document into numbered sentences via a
+    LATERAL join — the FlatMap-with-multiple-outputs shape of the
+    reference's Beam generators (`src/2_...py:73-110`) as a first-class
+    SQL table function."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sent_idx BIGINT, sentence STRING")
+    class SplitSentences:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for i, s in enumerate(text.split(". ")):
+                if s:
+                    yield i + 1, s
+
+    spark.udtf.register("split_sentences", SplitSentences)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "docs_for_udtf"
+    )
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.sent_idx, s.sentence
+        FROM docs_for_udtf d, LATERAL split_sentences(d.text) s
+        """
+    )
+
+
+def q_streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9: streaming dropDuplicates — the distinct (user_id,
+    event_type) key set surviving a streamed dedup equals the batch
+    DISTINCT (survivor choice varies with arrival order, key set does
+    not, so only keys are emitted)."""
+    import uuid
+
+    from aproximacion_1_etl_spark.streaming.events import read_events_stream
+
+    table = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    stream = (
+        read_events_stream(spark, sf_dir, "events.parquet")
+        .select("user_id", "event_type")
+        .dropDuplicates(["user_id", "event_type"])
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(table)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_dd_"))
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(table)
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (2 h) via lag + conditional cumsum."""
     ev = load_table(spark, sf_dir, "events")
@@ -1142,6 +1234,10 @@ ALL_QUERIES = {
     "s3_partitioned_pruned": q_s3_partitioned_pruned,
     "scd2_history": q_scd2_history,
     "bucketed_join_rollup": q_bucketed_join_rollup,
+    "event_value_quantiles": q_event_value_quantiles,
+    "top_tokens_per_lang": q_top_tokens_per_lang,
+    "udtf_sentences": q_udtf_sentences,
+    "streaming_dedup_keys": q_streaming_dedup_keys,
     "streaming_stateful_sessions": q_streaming_stateful_sessions,
     "approx_distinct": q_approx_distinct,
     "dedup_exact": q_dedup_exact,

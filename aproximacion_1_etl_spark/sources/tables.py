@@ -82,3 +82,37 @@ def write_table(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
+
+
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    target_partitions: int,
+    partition_by: list[str] | None = None,
+) -> None:
+    """Small-file compaction: rewrite a parquet directory into
+    ``target_partitions`` files (per partition dir if ``partition_by``).
+
+    Small files are the chronic failure mode of long-appended tables
+    (the reference appends per day-file via streaming inserts,
+    ``src/1_run_main_table_pipeline.py:125-130``; at 100 TB a scan over
+    millions of KB-size files is listing-bound, not IO-bound). Rewrite
+    to a temp dir then atomically swap so readers never see a partial
+    table."""
+    import shutil
+    import tempfile as _tf
+
+    df = spark.read.parquet(path)
+    tmp = _tf.mkdtemp(prefix="compact_")
+    writer = (
+        df.repartition(target_partitions, *(partition_by or []))
+        if partition_by
+        else df.coalesce(target_partitions)
+    ).write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(tmp)
+    backup = path.rstrip("/") + "._pre_compact"
+    os.rename(path, backup)
+    shutil.move(tmp, path)
+    shutil.rmtree(backup, ignore_errors=True)

@@ -154,3 +154,21 @@ def test_scd2_intervals_tile_per_key(spark, sf_dir):
         | (F.col("n_closed") != F.col("n_rows") - 1)
     )
     assert bad.count() == 0
+
+
+def test_compact_table_reduces_files(spark, sf_dir):
+    import glob
+    import os
+
+    from aproximacion_1_etl_spark.sources.tables import compact_table
+
+    o = load_table(spark, sf_dir, "orders")
+    path = tempfile.mkdtemp(prefix="graft_compact_") + "/t"
+    o.repartition(24).write.parquet(path)
+    before = len(glob.glob(os.path.join(path, "*.parquet")))
+    assert before >= 24
+    total = spark.read.parquet(path).count()
+    compact_table(spark, path, target_partitions=2)
+    after = len(glob.glob(os.path.join(path, "*.parquet")))
+    assert after <= 2
+    assert spark.read.parquet(path).count() == total
