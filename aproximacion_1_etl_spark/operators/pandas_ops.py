@@ -20,6 +20,28 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 
+def l2_norm_udf():
+    """Scalar pandas_udf (Arrow-vectorized): L2 norm of an
+    array<double> column, floor-rounded to 4 decimals. Sequential
+    per-element summation matches DuckDB's list_dot_product fold order,
+    keeping doubles bit-stable pre-round."""
+    import math
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def l2_norm(vecs: pd.Series) -> pd.Series:
+        def norm(v) -> float:
+            s = 0.0
+            for x in v:
+                s += float(x) * float(x)
+            return math.floor(math.sqrt(s) * 10000.0 + 0.5) / 10000.0
+
+        return vecs.map(norm)
+
+    return l2_norm
+
+
 def grouped_stats_pandas(
     df: DataFrame,
     key: str,

@@ -637,6 +637,13 @@ WHERE i <= len(ps) AND ps[i] != ''
     "streaming_dedup_keys": """
 SELECT DISTINCT user_id, event_type FROM events
 """,
+    "pandas_udf_norm": """
+SELECT vec_id, CAST(len(embedding) AS BIGINT) AS n_dims,
+       floor(sqrt(list_dot_product(embedding::DOUBLE[],
+                                   embedding::DOUBLE[]))
+             * 10000.0 + 0.5) / 10000.0 AS l2_norm
+FROM embeddings
+""",
     "dedup_exact": """
 SELECT sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
          AS content_hash,

@@ -1042,6 +1042,20 @@ def q_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pandas_udf_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 scalar pandas_udf (Arrow-vectorized, batch-at-a-time): L2
+    norm of each embedding; see operators/pandas_ops.l2_norm_udf."""
+    from aproximacion_1_etl_spark.operators.pandas_ops import l2_norm_udf
+
+    l2_norm = l2_norm_udf()
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.size("embedding").cast("bigint").alias("n_dims"),
+        l2_norm(F.col("embedding").cast("array<double>")).alias("l2_norm"),
+    )
+
+
 def q_streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.9: streaming dropDuplicates — the distinct (user_id,
     event_type) key set surviving a streamed dedup equals the batch
@@ -1238,6 +1252,7 @@ ALL_QUERIES = {
     "top_tokens_per_lang": q_top_tokens_per_lang,
     "udtf_sentences": q_udtf_sentences,
     "streaming_dedup_keys": q_streaming_dedup_keys,
+    "pandas_udf_norm": q_pandas_udf_norm,
     "streaming_stateful_sessions": q_streaming_stateful_sessions,
     "approx_distinct": q_approx_distinct,
     "dedup_exact": q_dedup_exact,

@@ -1,0 +1,71 @@
+"""foreachBatch incremental upsert: the streaming form of the
+reference's M2 merge (temp -> master), processing update files as they
+arrive and folding each micro-batch into the master with the same
+merge_upsert used in batch."""
+
+import os
+import tempfile
+
+import pyspark.sql.functions as F
+
+from aproximacion_1_etl_spark.operators.refine import merge_upsert
+from aproximacion_1_etl_spark.sources.tables import load_table
+
+
+def test_foreachbatch_upsert_accumulates(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    src = tempfile.mkdtemp(prefix="cdc_src_")
+    master_path = tempfile.mkdtemp(prefix="cdc_master_") + "/master"
+    # two update files => two micro-batches (maxFilesPerTrigger=1)
+    o.filter(F.col("o_orderkey") % 2 == 0).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(src, "f1"))
+    o.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey", F.lit("X").alias("o_orderstatus")
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(src, "f2"))
+
+    stream = (
+        spark.readStream.schema("o_orderkey BIGINT, o_orderstatus STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+
+    def fold(batch_df, batch_id):
+        if os.path.isdir(master_path):
+            master = batch_df.sparkSession.read.parquet(master_path)
+            merged = merge_upsert(master, batch_df, keys=["o_orderkey"])
+        else:
+            merged = batch_df
+        out = master_path + f"_v{batch_id}"
+        merged.write.mode("overwrite").parquet(out)
+        # atomic-swap publish (same pattern as compact_table)
+        import shutil
+
+        if os.path.isdir(master_path):
+            shutil.rmtree(master_path)
+        shutil.move(out, master_path)
+
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_cdc_"))
+        .start()
+    )
+    q.awaitTermination()
+
+    final = spark.read.parquet(master_path)
+    # %6==0 keys got both updates; which write wins depends on file
+    # arrival order, so assert on the guaranteed invariants instead:
+    # key set = union, and keys touched only by one file keep its value
+    expected_keys = (
+        o.filter((F.col("o_orderkey") % 2 == 0) | (F.col("o_orderkey") % 3 == 0))
+        .select("o_orderkey")
+        .distinct()
+    )
+    assert final.count() == expected_keys.count()
+    only_f2 = final.filter(
+        (F.col("o_orderkey") % 3 == 0) & (F.col("o_orderkey") % 2 != 0)
+    )
+    assert only_f2.filter(F.col("o_orderstatus") != "X").count() == 0
