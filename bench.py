@@ -30,17 +30,24 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 # operator family (joins/aggs, windows, explode, text dedup, vector).
 HEADLINE = [
     "flagship_order_lifecycle",
+    "work_table_build",
     "m5_child_rollup",
     "m1_dedup_latest",
     "f2_explode_roundtrip",
     "pricing_summary",
     "q3_shipping_priority",
     "q5_nation_revenue",
+    "q13_order_count_distribution",
+    "q18_big_spenders",
     "window_running_sum",
     "sessionize",
+    "event_value_quantiles",
+    "skew_salted_agg",
+    "grouped_pandas_stats",
     "dedup_exact",
     "dedup_minhash_lsh",
     "text_profile",
+    "top_tokens_per_lang",
     "ann_cosine_topk",
     "embedding_near_dup_lsh",
 ]
