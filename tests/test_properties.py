@@ -1,0 +1,116 @@
+"""Property-based tests (hypothesis) for the operators whose semantics
+have sharp edges: merge-upsert, as-of join, salted aggregation. Each
+property is checked against a naive Python reference implementation on
+randomized small inputs — complementing the DuckDB oracle corpus,
+which fixes one dataset but can't explore edge shapes (empty sides,
+all-duplicate keys, ties)."""
+
+import pyspark.sql.functions as F
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from aproximacion_1_etl_spark.operators.joins import asof_join
+from aproximacion_1_etl_spark.operators.refine import merge_upsert
+from aproximacion_1_etl_spark.operators.skew import salted_aggregate
+
+SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+keys = st.integers(min_value=0, max_value=9)
+vals = st.integers(min_value=-100, max_value=100)
+
+
+@given(
+    master=st.lists(st.tuples(keys, vals), max_size=12),
+    updates=st.lists(st.tuples(keys, vals), max_size=12),
+)
+@settings(**SETTINGS)
+def test_merge_upsert_semantics(spark, master, updates):
+    # one row per key on each side (the operator's contract)
+    m = {k: v for k, v in master}
+    u = {k: v for k, v in updates}
+    mdf = spark.createDataFrame(
+        [(k, v) for k, v in m.items()] or [(None, None)], "k BIGINT, v BIGINT"
+    ).filter(F.col("k").isNotNull())
+    udf_ = spark.createDataFrame(
+        [(k, v) for k, v in u.items()] or [(None, None)], "k BIGINT, v BIGINT"
+    ).filter(F.col("k").isNotNull())
+    got = {
+        r["k"]: r["v"]
+        for r in merge_upsert(mdf, udf_, keys=["k"]).collect()
+    }
+    expected = {**m, **u}  # update wins; unmatched master survives
+    assert got == expected
+
+
+@given(
+    left=st.lists(st.tuples(keys, st.integers(0, 50)), max_size=10),
+    right=st.lists(
+        st.tuples(keys, st.integers(0, 50), vals), max_size=10
+    ),
+)
+@settings(**SETTINGS)
+def test_asof_join_matches_naive(spark, left, right):
+    # deterministic row ids for tie-breaking
+    lrows = [(i, k, t) for i, (k, t) in enumerate(left)]
+    rrows = [(i, k, t, v) for i, (k, t, v) in enumerate(right)]
+    ldf = spark.createDataFrame(
+        lrows or [(None, None, None)],
+        "lid BIGINT, k BIGINT, ts BIGINT",
+    ).filter(F.col("lid").isNotNull())
+    ldf = ldf.withColumn("ts", F.timestamp_seconds("ts"))
+    rdf = spark.createDataFrame(
+        rrows or [(None, None, None, None)],
+        "rid BIGINT, k BIGINT, ts BIGINT, v BIGINT",
+    ).filter(F.col("rid").isNotNull())
+    rdf = rdf.withColumn("ts", F.timestamp_seconds("ts"))
+    out = asof_join(
+        ldf,
+        rdf,
+        left_key="k",
+        right_key="k",
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["v"],
+        tiebreak="rid",
+    )
+    got = {r["lid"]: r["asof_v"] for r in out.collect()}
+
+    def naive(lk, lt):
+        cand = [(t, i, v) for (i, k, t, v) in rrows if k == lk and t <= lt]
+        return max(cand)[2] if cand else None
+
+    expected = {i: naive(k, t) for (i, k, t) in lrows}
+    assert got == expected
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 10**6), vals),
+        max_size=30,
+    ),
+)
+@settings(**SETTINGS)
+def test_salted_aggregate_matches_naive(spark, rows):
+    df = spark.createDataFrame(
+        [(k, s, v) for k, s, v in rows] or [(None, None, None)],
+        "k BIGINT, salt_src BIGINT, v BIGINT",
+    ).filter(F.col("k").isNotNull())
+    out = salted_aggregate(
+        df,
+        keys=["k"],
+        salt_on="salt_src",
+        metrics={"n": F.lit(1), "sv": F.col("v")},
+        buckets=4,
+    )
+    got = {
+        r["k"]: (int(r["n"]), int(r["sv"])) for r in out.collect()
+    }
+    expected = {}
+    for k, _, v in rows:
+        n, sv = expected.get(k, (0, 0))
+        expected[k] = (n + 1, sv + v)
+    assert got == expected
