@@ -644,6 +644,47 @@ SELECT vec_id, CAST(len(embedding) AS BIGINT) AS n_dims,
              * 10000.0 + 0.5) / 10000.0 AS l2_norm
 FROM embeddings
 """,
+    "q22_idle_customers": """
+WITH ab AS (SELECT avg(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0)
+SELECT c_mktsegment, count(*) AS n_custs,
+       floor((CAST(sum(CAST(c_acctbal AS DECIMAL(30,8))) AS DOUBLE))
+             * 100.0 + 0.5) / 100.0 AS total_bal
+FROM customer, ab
+WHERE c_acctbal > ab
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= '1998-06-01')
+GROUP BY 1
+""",
+    "trailing_range_avg": """
+SELECT event_id, user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS event_ts,
+       floor((CAST(sum(CAST(value AS DECIMAL(30,8))) OVER w AS DOUBLE)
+              / count(value) OVER w) * 10000.0 + 0.5) / 10000.0 AS avg_7d
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY CAST(epoch(ts) AS BIGINT)
+             RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
+""",
+    "ntile_quartiles": """
+WITH q AS (
+  SELECT c_mktsegment, o_totalprice, o_orderkey,
+         ntile(4) OVER (PARTITION BY c_mktsegment
+                        ORDER BY o_totalprice ASC, o_orderkey ASC)
+           AS quartile
+  FROM orders JOIN customer ON o_custkey = c_custkey)
+SELECT c_mktsegment, CAST(quartile AS INT) AS quartile,
+       count(*) AS n_orders,
+       round(min(o_totalprice), 2) AS min_price,
+       round(max(o_totalprice), 2) AS max_price
+FROM q GROUP BY 1, 2
+""",
+    "streaming_interval_join": """
+SELECT a.event_id AS click_id, b.event_id AS purchase_id, a.user_id
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_type = 'click' AND b.event_type = 'purchase'
+ AND b.ts >= a.ts AND b.ts < a.ts + INTERVAL 24 HOURS
+""",
     "dedup_exact": """
 SELECT sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
          AS content_hash,

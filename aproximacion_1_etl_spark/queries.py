@@ -1042,6 +1042,122 @@ def q_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-style: above-average-balance customers with no recent
+    orders — scalar aggregate subquery (broadcast single row) + anti
+    join against a filtered fact."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= "1998-06-01"
+    )
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("ab")
+    )
+    rich = c.join(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("ab")
+    )
+    idle = rich.join(o, rich["c_custkey"] == o["o_custkey"], "left_anti")
+    return idle.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_custs"),
+        _dsum(F.col("c_acctbal")).alias("total_bal"),
+    )
+
+
+def q_trailing_range_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: per event, the same user's average value over
+    the trailing 7 days (range on epoch seconds — value-based frame, not
+    row-count-based)."""
+    ev = load_table(spark, sf_dir, "events")
+    sec = F.col("ts").cast("double").cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(sec)
+        .rangeBetween(-7 * 86400, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        _ts_str("ts").alias("event_ts"),
+        _fround(
+            F.sum(F.col("value").cast("decimal(30,8)")).over(w).cast("double")
+            / F.count("value").over(w),
+            4,
+        ).alias("avg_7d"),
+    )
+
+
+def q_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile ranking: order-value quartiles within each market segment
+    (customer join), rolled up to quartile boundaries."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    j = o.join(
+        F.broadcast(c.select("c_custkey", "c_mktsegment")),
+        o["o_custkey"] == F.col("c_custkey"),
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    q = j.withColumn("quartile", F.ntile(4).over(w))
+    return q.groupBy("c_mktsegment", "quartile").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    )
+
+
+def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 stream-stream interval join: click-like events joined to the
+    same user's purchase-like events within the following 24 h, both
+    sides watermarked (state bounded by watermark + interval). The
+    matched pair set is deterministic, so it oracle-checks against the
+    batch interval join."""
+    import uuid
+
+    from aproximacion_1_etl_spark.streaming.events import read_events_stream
+
+    table = f"stream_ij_{uuid.uuid4().hex[:8]}"
+    s1 = (
+        read_events_stream(spark, sf_dir, "events.parquet")
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    s2 = (
+        read_events_stream(spark, sf_dir, "events.parquet")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = s1.join(
+        s2,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            < F.col("click_ts") + F.expr("INTERVAL 24 HOURS")
+        ),
+    ).select("click_id", "purchase_id", "user_id")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(table)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_ij_"))
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(table)
+
+
 def q_pandas_udf_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.8 scalar pandas_udf (Arrow-vectorized, batch-at-a-time): L2
     norm of each embedding; see operators/pandas_ops.l2_norm_udf."""
@@ -1253,6 +1369,10 @@ ALL_QUERIES = {
     "udtf_sentences": q_udtf_sentences,
     "streaming_dedup_keys": q_streaming_dedup_keys,
     "pandas_udf_norm": q_pandas_udf_norm,
+    "q22_idle_customers": q_q22_idle_customers,
+    "trailing_range_avg": q_trailing_range_avg,
+    "ntile_quartiles": q_ntile_quartiles,
+    "streaming_interval_join": q_streaming_interval_join,
     "streaming_stateful_sessions": q_streaming_stateful_sessions,
     "approx_distinct": q_approx_distinct,
     "dedup_exact": q_dedup_exact,
