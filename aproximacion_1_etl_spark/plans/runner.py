@@ -29,8 +29,6 @@ def _fround(col, n: int = 2):
 from aproximacion_1_etl_spark.operators.refine import (
     child_rollup,
     dedup_latest,
-    first_scheduled,
-    latest_child_attrs,
 )
 from aproximacion_1_etl_spark.sources.tables import load_table
 
@@ -67,19 +65,18 @@ def run_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
     )
 
-    # M4: latest event status per user (status/lob-from-events analog)
-    latest = latest_child_attrs(
-        events,
-        keys=["user_id"],
-        attrs=["event_type", "value"],
-        ts_col="ts",
-        tiebreak="event_id",
+    # M4 + M10 fused: the reference runs latest-status and
+    # first-scheduled as separate UPDATE SPs (DAG:114-136, 248-254);
+    # both are per-user aggregates over the same child, so ONE
+    # partial-agged shuffle computes them together (max_by with a
+    # (ts, id) struct for deterministic latest, min for first) —
+    # one events pass and one join instead of two of each.
+    ord_key = F.struct(F.col("ts"), F.col("event_id"))
+    user_state = events.groupBy("user_id").agg(
+        F.max_by("event_type", ord_key).alias("latest_event_type"),
+        F.max_by("value", ord_key).alias("latest_value"),
+        F.min("ts").alias("scheduled_ts"),
     )
-
-    # M10: first (scheduled) event per user
-    sched = first_scheduled(events, keys=["user_id"], ts_col="ts")
-
-    user_state = latest.join(sched, on="user_id", how="left")
 
     # Update-by-join passes onto the work table
     work = (

