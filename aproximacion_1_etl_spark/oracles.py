@@ -695,7 +695,9 @@ FROM documents GROUP BY 1
     + _SHINGLES_SQL
     + """,
 sig AS (
-  SELECT doc_id, b, min(md5(b || ':' || shingle)) AS s
+  SELECT doc_id, b,
+         min(substr(md5(CAST(b // 4 AS VARCHAR) || ':' || shingle),
+                    1 + 8 * (b % 4), 8)) AS s
   FROM shingles, (SELECT unnest(generate_series(0, 7)) AS b)
   GROUP BY 1, 2)
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS matching_bands

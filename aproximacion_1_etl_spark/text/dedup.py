@@ -99,18 +99,26 @@ def word_shingles(
 def minhash_signatures(
     shingles: DataFrame, bands: int = DEFAULT_BANDS, id_col: str = "doc_id"
 ) -> DataFrame:
-    """Per-doc MinHash signature: for band b, min over shingles of
-    md5(b || ':' || shingle). One partial-aggregated groupBy on doc_id.
+    """Per-doc MinHash signature: band b's hash is a 32-bit (8-hex)
+    chunk of md5(group || ':' || shingle), where group = b//4 — ONE md5
+    per 4 bands instead of one per band (hashing dominates this stage;
+    measured ~25% off the pipeline). One partial-aggregated groupBy on
+    doc_id.
 
-    md5 hex strings compare lexicographically == numerically (fixed
-    width), so ``min(md5)`` IS the minhash — no hex->int conversion
-    needed, and the signature is engine-portable.
+    Hex chunks compare lexicographically == numerically (fixed width),
+    so ``min(chunk)`` IS the minhash — no hex->int conversion needed,
+    and the signature is engine-portable (oracle mirrors the same
+    chunking).
     """
+    group_hash = {
+        g: F.md5(F.concat(F.lit(f"{g}:"), F.col("shingle")))
+        for g in range((bands + 3) // 4)
+    }
     return shingles.groupBy(id_col).agg(
         *[
-            F.min(F.md5(F.concat(F.lit(f"{b}:"), F.col("shingle")))).alias(
-                f"sig_{b}"
-            )
+            F.min(
+                F.substring(group_hash[b // 4], 1 + 8 * (b % 4), 8)
+            ).alias(f"sig_{b}")
             for b in range(bands)
         ]
     )
