@@ -685,6 +685,31 @@ FROM events a JOIN events b
  AND a.event_type = 'click' AND b.event_type = 'purchase'
  AND b.ts >= a.ts AND b.ts < a.ts + INTERVAL 24 HOURS
 """,
+    "csv_roundtrip": """
+SELECT o_orderstatus, count(*) AS n,
+       floor((CAST(sum(CAST(round(o_totalprice, 2) AS DECIMAL(30,8)))
+                   AS DOUBLE)) * 100.0 + 0.5) / 100.0 AS total,
+       strftime(min(o_orderdate), '%Y-%m-%d') AS first_date
+FROM orders GROUP BY 1
+""",
+    "orc_roundtrip": """
+SELECT l_returnflag, count(*) AS n,
+       round(sum(l_quantity), 2) AS qty
+FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1
+""",
+    "array_funcs": """
+WITH a AS (
+  SELECT l_orderkey,
+         list_sort(list(round(l_quantity, 2))) AS qtys
+  FROM lineitem GROUP BY 1)
+SELECT l_orderkey,
+       CAST(len(qtys) AS BIGINT) AS n_items,
+       qtys[1] AS min_qty,
+       CAST(len(list_filter(qtys, q -> q > 25)) AS BIGINT) AS n_large,
+       floor((list_sum(list_transform(qtys, q -> q * 2.0)))
+             * 100.0 + 0.5) / 100.0 AS double_total
+FROM a
+""",
     "dedup_exact": """
 SELECT sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
          AS content_hash,

@@ -118,3 +118,56 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus", "latest_event_type")
     )
+
+
+def run_daily_job(
+    spark: SparkSession, sf_dir: str, out_dir: str
+) -> dict:
+    """The full daily-run entry point (E3): build the work table, land
+    it as parquet (S7), write the per-status metadata sidecar (S4),
+    return a run summary. What the reference needs Airflow + Cloud Run
+    + 5 Dataflow jobs + 29 SPs for (DAG:323-362) is this one function."""
+    import json as _json
+    import os as _os
+
+    work = run_daily(spark, sf_dir)
+    work_path = _os.path.join(out_dir, "delivery_order_work")
+    work.write.mode("overwrite").parquet(work_path)
+
+    landed = spark.read.parquet(work_path)
+    meta = landed.groupBy("o_orderstatus").agg(
+        F.count("*").alias("total_ordenes"),
+        F.count(F.when(F.col("latest_event_type").isNull(), 1)).alias(
+            "sin_eventos"
+        ),
+    )
+    meta_path = _os.path.join(out_dir, "metadata")
+    meta.coalesce(1).write.mode("overwrite").json(meta_path)
+
+    summary = {
+        "rows": landed.count(),
+        "statuses": meta.count(),
+        "out": work_path,
+    }
+    with open(_os.path.join(out_dir, "run_summary.json"), "w") as f:
+        _json.dump(summary, f)
+    return summary
+
+
+def main() -> None:
+    import argparse
+    import json as _json
+
+    from aproximacion_1_etl_spark.session import get_spark
+
+    ap = argparse.ArgumentParser(description="Run the daily work-table build")
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--out", required=True)
+    args = ap.parse_args()
+    spark = get_spark("daily-runner")
+    spark.sparkContext.setLogLevel("ERROR")
+    print(_json.dumps(run_daily_job(spark, args.sf_dir, args.out)))
+
+
+if __name__ == "__main__":
+    main()

@@ -1158,6 +1158,76 @@ def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(table)
 
 
+def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source/sink: header + explicit DDL schema + date format on
+    write, permissive typed read back (the engine's delimited-file
+    surface; reference only had JSON, §2.1)."""
+    o = load_table(spark, sf_dir, "orders")
+    path = tempfile.mkdtemp(prefix="graft_csv_")
+    o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("totalprice"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+    ).repartition(4).write.mode("overwrite").option("header", True).csv(path)
+    back = (
+        spark.read.schema(
+            "o_orderkey BIGINT, o_orderstatus STRING, "
+            "totalprice DOUBLE, orderdate STRING"
+        )
+        .option("header", True)
+        .csv(path)
+    )
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        _dsum(F.col("totalprice")).alias("total"),
+        F.min("orderdate").alias("first_date"),
+    )
+
+
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source/sink: the second columnar at-rest format (built into
+    Spark; same pushdown/pruning machinery as parquet)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    path = tempfile.mkdtemp(prefix="graft_orc_")
+    li.select("l_orderkey", "l_quantity", "l_returnflag").write.mode(
+        "overwrite"
+    ).orc(path)
+    back = spark.read.orc(path).filter(F.col("l_returnflag") == "R")
+    return back.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("qty"),
+    )
+
+
+def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 higher-order array functions: per-order sorted quantity
+    array (deterministic collect), filtered/transformed/folded JVM-side
+    — no UDFs, no explode-regroup round trip."""
+    li = load_table(spark, sf_dir, "lineitem")
+    arr = F.array_sort(F.collect_list(F.round("l_quantity", 2)))
+    return (
+        li.groupBy("l_orderkey")
+        .agg(arr.alias("qtys"))
+        .select(
+            "l_orderkey",
+            F.size("qtys").cast("bigint").alias("n_items"),
+            F.element_at("qtys", 1).alias("min_qty"),
+            F.size(F.filter("qtys", lambda q: q > 25))
+            .cast("bigint")
+            .alias("n_large"),
+            _fround(
+                F.aggregate(
+                    F.transform("qtys", lambda q: q * F.lit(2.0)),
+                    F.lit(0.0),
+                    lambda acc, q: acc + q,
+                ),
+                2,
+            ).alias("double_total"),
+        )
+    )
+
+
 def q_pandas_udf_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.8 scalar pandas_udf (Arrow-vectorized, batch-at-a-time): L2
     norm of each embedding; see operators/pandas_ops.l2_norm_udf."""
@@ -1373,6 +1443,9 @@ ALL_QUERIES = {
     "trailing_range_avg": q_trailing_range_avg,
     "ntile_quartiles": q_ntile_quartiles,
     "streaming_interval_join": q_streaming_interval_join,
+    "csv_roundtrip": q_csv_roundtrip,
+    "orc_roundtrip": q_orc_roundtrip,
+    "array_funcs": q_array_funcs,
     "streaming_stateful_sessions": q_streaming_stateful_sessions,
     "approx_distinct": q_approx_distinct,
     "dedup_exact": q_dedup_exact,

@@ -50,3 +50,15 @@ def test_streaming_available_now(spark, sf_dir):
     assert {"window_start", "event_type", "n_events", "sum_value"} == set(
         out.columns
     )
+
+
+def test_run_daily_job_lands_outputs(spark, sf_dir, tmp_path):
+    from aproximacion_1_etl_spark.plans.runner import run_daily_job
+
+    out = str(tmp_path / "daily")
+    summary = run_daily_job(spark, sf_dir, out)
+    assert summary["rows"] > 0
+    landed = spark.read.parquet(os.path.join(out, "delivery_order_work"))
+    assert landed.count() == summary["rows"]
+    meta = spark.read.json(os.path.join(out, "metadata"))
+    assert meta.count() == summary["statuses"]
