@@ -685,6 +685,32 @@ FROM events a JOIN events b
  AND a.event_type = 'click' AND b.event_type = 'purchase'
  AND b.ts >= a.ts AND b.ts < a.ts + INTERVAL 24 HOURS
 """,
+    "rolling_hash_fingerprint": """
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(regexp_extract_all(text, '[\\s\\S]'),
+                          c -> CAST(unicode(c) AS BIGINT))),
+         (a, b) -> (a * 31 + b) % 1000000007) AS rolling_hash,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM documents
+""",
+    "sql_surface": """
+WITH yearly AS (
+  SELECT o_custkey, year(o_orderdate) AS yr,
+         count(*) AS n_orders,
+         floor(CAST(sum(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE)
+               * 100.0 + 0.5) / 100.0 AS spend
+  FROM orders GROUP BY 1, 2
+)
+SELECT o_custkey, CAST(yr AS BIGINT) AS yr, n_orders,
+       CAST(spend AS DOUBLE) AS spend,
+       CAST(rank() OVER (PARTITION BY yr ORDER BY spend DESC,
+                         o_custkey ASC) AS BIGINT) AS spend_rank
+FROM yearly
+WHERE yr = 1997
+ORDER BY spend_rank LIMIT 25
+""",
     "csv_roundtrip": """
 SELECT o_orderstatus, count(*) AS n,
        floor((CAST(sum(CAST(round(o_totalprice, 2) AS DECIMAL(30,8)))

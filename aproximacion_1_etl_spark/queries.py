@@ -1158,6 +1158,55 @@ def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(table)
 
 
+def q_rolling_hash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling (polynomial) hash fingerprint per document: fold
+    acc = (acc*31 + codepoint) mod 1e9+7 over every character — exact
+    BIGINT arithmetic JVM-side via a higher-order aggregate (no UDF),
+    order-sensitive unlike the bag-of-tokens fingerprint in
+    text_profile."""
+    docs = load_table(spark, sf_dir, "documents")
+    chars = F.regexp_extract_all(F.col("text"), F.lit(r"[\s\S]"), 0)
+    rolled = F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * F.lit(31).cast("long") + F.ascii(ch))
+        % F.lit(1000000007).cast("long"),
+    )
+    return docs.select(
+        "doc_id",
+        rolled.alias("rolling_hash"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    )
+
+
+def q_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's SQL entry point: temp-view catalog + spark.sql —
+    the same Catalyst plans as the DataFrame API (a CTE + window query
+    exercising the SQL parser path end-to-end)."""
+    from aproximacion_1_etl_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH yearly AS (
+          SELECT o_custkey,
+                 year(o_orderdate) AS yr,
+                 CAST(count(*) AS BIGINT) AS n_orders,
+                 floor(sum(CAST(o_totalprice AS DECIMAL(30,8)))
+                       * 100.0 + 0.5) / 100.0 AS spend
+          FROM orders GROUP BY 1, 2
+        )
+        SELECT o_custkey, yr, n_orders,
+               CAST(spend AS DOUBLE) AS spend,
+               CAST(rank() OVER (PARTITION BY yr ORDER BY spend DESC,
+                                 o_custkey ASC) AS BIGINT) AS spend_rank
+        FROM yearly
+        WHERE yr = 1997
+        ORDER BY spend_rank LIMIT 25
+        """
+    )
+
+
 def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV source/sink: header + explicit DDL schema + date format on
     write, permissive typed read back (the engine's delimited-file
@@ -1444,6 +1493,8 @@ ALL_QUERIES = {
     "ntile_quartiles": q_ntile_quartiles,
     "streaming_interval_join": q_streaming_interval_join,
     "csv_roundtrip": q_csv_roundtrip,
+    "rolling_hash_fingerprint": q_rolling_hash_fingerprint,
+    "sql_surface": q_sql_surface,
     "orc_roundtrip": q_orc_roundtrip,
     "array_funcs": q_array_funcs,
     "streaming_stateful_sessions": q_streaming_stateful_sessions,
