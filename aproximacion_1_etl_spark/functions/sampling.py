@@ -1,0 +1,101 @@
+"""Deterministic sampling / dataset splitting (training-data pipeline).
+
+``df.sample`` is seed-dependent on partitioning and not reproducible
+across engines, so large-scale pipelines sample by KEY HASH instead:
+a row is in the p% sample iff a fixed-width prefix of md5(key) falls
+below a threshold. Properties that matter at 100 TB:
+
+- **Narrow**: pure per-row filter — no shuffle, no state; composes with
+  partition pruning and column pruning on the scan.
+- **Stable**: the same key lands in the same sample/split on every run,
+  every engine, any partitioning — which is what makes train/test
+  splits leak-proof across pipeline re-runs.
+- **Portable**: lowercase-hex md5 prefixes compare lexicographically
+  the same everywhere (fixed width), so the DuckDB oracle mirrors the
+  expression verbatim; no int conversion needed.
+
+The reference has no sampling surface (its corpus is ~1 M rows); this
+is part of the north-star LLM-pipeline extension alongside
+text/dedup.py (same md5-prefix trick as minhash signatures,
+`text/dedup.py::minhash_signatures`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# 4 hex chars = 16 bits of the md5 → rate granularity 1/65536, plenty
+# for sampling rates and split fractions.
+_WIDTH = 4
+_SPACE = 16**_WIDTH
+
+
+def _hash_prefix(key: Column) -> Column:
+    """First 4 hex chars of md5 of the key rendered as a string."""
+    return F.substring(F.md5(key.cast("string")), 1, _WIDTH)
+
+
+def rate_threshold(rate: float) -> str:
+    """Hex threshold h such that P[prefix < h] == round(rate * 65536) /
+    65536 for a uniform hash. rate 1.0 returns 'g', which sorts after
+    every hex prefix (a 5-char '10000' would NOT: 'f...' > '10000'
+    lexicographically)."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    v = round(rate * _SPACE)
+    if v >= _SPACE:
+        return "g"
+    return format(v, f"0{_WIDTH}x")
+
+
+def deterministic_sample(
+    df: DataFrame, key_col: str, rate: float
+) -> DataFrame:
+    """Keep ~``rate`` of rows, chosen by key hash (stable across runs,
+    engines, and partitionings)."""
+    return df.filter(_hash_prefix(F.col(key_col)) < F.lit(rate_threshold(rate)))
+
+
+def split_column(
+    key: Column, fractions: dict[str, float], name: str = "split"
+) -> Column:
+    """Label each row with a split name by hash range. ``fractions``
+    maps split name -> fraction; fractions must sum to 1 (the last
+    split absorbs rounding). Ranges are cumulative in insertion order,
+    so ('train', .8), ('val', .1), ('test', .1) gives
+    [0, .8) / [.8, .9) / [.9, 1]."""
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    prefix = _hash_prefix(key)
+    expr = None
+    cum = 0.0
+    names = list(fractions)
+    for split_name in names[:-1]:
+        cum += fractions[split_name]
+        branch = prefix < F.lit(rate_threshold(cum))
+        expr = (
+            F.when(branch, F.lit(split_name))
+            if expr is None
+            else expr.when(branch, F.lit(split_name))
+        )
+    last = F.lit(names[-1])
+    return (last if expr is None else expr.otherwise(last)).alias(name)
+
+
+def stratified_sample(
+    df: DataFrame, key_col: str, strata_col: str, rates: dict[str, float]
+) -> DataFrame:
+    """Per-stratum deterministic sampling (``sampleBy`` equivalent,
+    reproducible): stratum s keeps ~rates[s] of its rows; strata absent
+    from ``rates`` are dropped. Still a narrow per-row filter — the
+    stratum column is just data, no shuffle."""
+    prefix = _hash_prefix(F.col(key_col))
+    cond = None
+    for stratum, rate in rates.items():
+        branch = (F.col(strata_col) == stratum) & (
+            prefix < F.lit(rate_threshold(rate))
+        )
+        cond = branch if cond is None else cond | branch
+    return df.filter(cond if cond is not None else F.lit(False))

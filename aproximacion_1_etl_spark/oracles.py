@@ -695,6 +695,32 @@ SELECT doc_id,
        CAST(length(text) AS BIGINT) AS n_chars
 FROM documents
 """,
+    "deterministic_sample": """
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_sampled,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '0ccd'  -- 5% = 3277/65536
+GROUP BY lang
+""",
+    "train_test_split": """
+SELECT CASE
+         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccd' THEN 'train'  -- 80%
+         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'    -- 90%
+         ELSE 'test'
+       END AS split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+GROUP BY 1
+""",
+    "stratified_sample": """
+SELECT lang, CAST(count(*) AS BIGINT) AS n_sampled
+FROM documents
+WHERE (lang = 'en' AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '3333')  -- 20%
+   OR (lang = 'es' AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '8000')  -- 50%
+GROUP BY lang
+""",
     "sql_surface": """
 WITH yearly AS (
   SELECT o_custkey, year(o_orderdate) AS yr,

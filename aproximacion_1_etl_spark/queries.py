@@ -1361,6 +1361,57 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_candidate_pairs(sigs, bands=8, min_matching_bands=2)
 
 
+def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 extension: reproducible 5% key-hash sample (no shuffle in
+    the sample itself — narrow filter on an md5 prefix) rolled up per
+    lang. Stable across runs/engines/partitionings, unlike df.sample."""
+    from aproximacion_1_etl_spark.functions.sampling import (
+        deterministic_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return deterministic_sample(docs, "doc_id", 0.05).groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_sampled"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+    )
+
+
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 extension: leak-proof 80/10/10 train/val/test split by key
+    hash — the same doc lands in the same split every run."""
+    from aproximacion_1_etl_spark.functions.sampling import split_column
+
+    docs = load_table(spark, sf_dir, "documents")
+    labeled = docs.select(
+        "*",
+        split_column(
+            F.col("doc_id"), {"train": 0.8, "val": 0.1, "test": 0.1}
+        ),
+    )
+    return labeled.groupBy("split").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+    )
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 extension: per-stratum deterministic sampling (sampleBy
+    equivalent): downsample dominant 'en' to 20%, keep 50% of 'es';
+    other langs dropped. Narrow filter; no shuffle until the rollup."""
+    from aproximacion_1_etl_spark.functions.sampling import (
+        stratified_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        stratified_sample(
+            docs, "doc_id", "lang", {"en": 0.2, "es": 0.5}
+        )
+        .groupBy("lang")
+        .agg(F.count("*").cast("bigint").alias("n_sampled"))
+    )
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return simhash(docs, bits=16)
@@ -1502,6 +1553,9 @@ ALL_QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
+    "deterministic_sample": q_deterministic_sample,
+    "train_test_split": q_train_test_split,
+    "stratified_sample": q_stratified_sample,
     "ngram_jaccard": q_ngram_jaccard,
     "text_profile": q_text_profile,
     "ann_cosine_topk": q_ann_cosine_topk,

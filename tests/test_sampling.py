@@ -1,0 +1,67 @@
+"""Deterministic sampling / splitting (functions/sampling.py).
+
+The property that matters: sample membership depends only on the key,
+never on partitioning, run order, or seed state."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from aproximacion_1_etl_spark.functions.sampling import (
+    deterministic_sample,
+    rate_threshold,
+    split_column,
+    stratified_sample,
+)
+
+
+def test_rate_threshold_bounds():
+    assert rate_threshold(0.0) == "0000"
+    assert rate_threshold(1.0) == "g"  # sorts after every hex prefix
+    assert rate_threshold(0.05) == "0ccd"
+    with pytest.raises(ValueError):
+        rate_threshold(1.5)
+
+
+def test_sample_invariant_under_partitioning(spark):
+    df = spark.range(0, 5000).withColumnRenamed("id", "k")
+    a = {r.k for r in deterministic_sample(df, "k", 0.1).collect()}
+    b = {
+        r.k
+        for r in deterministic_sample(df.repartition(17, "k"), "k", 0.1).collect()
+    }
+    assert a == b
+    # uniform hash: 10% +- a loose band
+    assert 350 < len(a) < 650
+
+
+def test_split_exhaustive_and_stable(spark):
+    df = spark.range(0, 2000).withColumnRenamed("id", "k")
+    labeled = df.select(
+        "k", split_column(F.col("k"), {"train": 0.8, "val": 0.1, "test": 0.1})
+    )
+    counts = {r.split: r.n for r in labeled.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == 2000  # every row gets exactly one split
+    assert counts["train"] > counts["val"]
+    # train members never migrate on re-run
+    again = {
+        r.k
+        for r in labeled.filter(F.col("split") == "train").collect()
+    }
+    assert again == {
+        r.k
+        for r in df.select(
+            "k", split_column(F.col("k"), {"train": 0.8, "val": 0.1, "test": 0.1})
+        ).filter(F.col("split") == "train").collect()
+    }
+    with pytest.raises(ValueError):
+        split_column(F.col("k"), {"a": 0.5, "b": 0.1})
+
+
+def test_stratified_rates(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = stratified_sample(docs, "doc_id", "lang", {"en": 1.0, "es": 0.0})
+    langs = {r.lang for r in out.select("lang").distinct().collect()}
+    assert langs <= {"en"}  # es rate 0 and unlisted langs dropped
+    n_en = docs.filter(F.col("lang") == "en").count()
+    assert out.count() == n_en  # rate 1.0 keeps every row
