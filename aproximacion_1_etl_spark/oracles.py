@@ -721,6 +721,42 @@ WHERE (lang = 'en' AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '3333')  -- 
    OR (lang = 'es' AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '8000')  -- 50%
 GROUP BY lang
 """,
+    "corpus_clean": """
+WITH scored AS (
+  SELECT doc_id, lang,
+    floor((0.25 * (CASE WHEN length(text) BETWEEN 100 AND 20000
+                       THEN 1.0 ELSE 0.0 END)
+        + 0.25 * (1.0 - len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) * 1.0
+                   / greatest(length(text), 1))
+        + 0.25 * (len(regexp_extract_all(text, '[A-Za-z]')) * 1.0
+                   / greatest(length(text), 1))
+        + 0.25 * (CASE WHEN length(text) * 1.0 /
+                         greatest(len(regexp_split_to_array(trim(text),
+                                                            '\\s+')), 1)
+                         BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.0 END))
+          * 10000.0 + 0.5) / 10000.0 AS quality,
+    sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+      AS content_hash
+  FROM documents
+), good AS (
+  SELECT * FROM scored WHERE quality >= 0.5
+), surv AS (
+  SELECT *, min(doc_id) OVER (PARTITION BY content_hash) AS keep_id
+  FROM good
+)
+SELECT CASE
+         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccd' THEN 'train'
+         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
+         ELSE 'test'
+       END AS split,
+       lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       floor(CAST(sum(CAST(quality AS DECIMAL(30,8))) AS DOUBLE)
+             * 10000.0 + 0.5) / 10000.0 AS sum_quality
+FROM surv
+WHERE doc_id = keep_id
+GROUP BY 1, 2
+""",
     "sql_surface": """
 WITH yearly AS (
   SELECT o_custkey, year(o_orderdate) AS yr,

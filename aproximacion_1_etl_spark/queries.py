@@ -1412,6 +1412,43 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 flagship composite: the end-to-end training-corpus
+    pipeline — quality-score every doc, gate at 0.5, keep one survivor
+    (min id) per normalized-content hash, assign a leak-proof 80/10/10
+    split by key hash, roll up per (split, lang).
+
+    Scale shape: one narrow scoring pass, one shuffle on the 256-bit
+    content hash (uniform), one final rollup — no driver-side state."""
+    from aproximacion_1_etl_spark.functions.sampling import split_column
+    from aproximacion_1_etl_spark.text.analysis import quality_score
+    from aproximacion_1_etl_spark.text.dedup import normalized
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        quality_score(F.col("text")).alias("quality"),
+        F.sha2(normalized(F.col("text")), 256).alias("content_hash"),
+    )
+    good = scored.filter(F.col("quality") >= 0.5)
+    w = Window.partitionBy("content_hash")
+    survivors = good.withColumn(
+        "keep_id", F.min("doc_id").over(w)
+    ).filter(F.col("doc_id") == F.col("keep_id"))
+    labeled = survivors.select(
+        "lang",
+        "quality",
+        split_column(
+            F.col("doc_id"), {"train": 0.8, "val": 0.1, "test": 0.1}
+        ),
+    )
+    return labeled.groupBy("split", "lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        _dsum(F.col("quality"), 4).alias("sum_quality"),
+    )
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return simhash(docs, bits=16)
@@ -1556,6 +1593,7 @@ ALL_QUERIES = {
     "deterministic_sample": q_deterministic_sample,
     "train_test_split": q_train_test_split,
     "stratified_sample": q_stratified_sample,
+    "corpus_clean": q_corpus_clean,
     "ngram_jaccard": q_ngram_jaccard,
     "text_profile": q_text_profile,
     "ann_cosine_topk": q_ann_cosine_topk,

@@ -44,6 +44,7 @@ HEADLINE = [
     "event_value_quantiles",
     "skew_salted_agg",
     "dedup_exact",
+    "corpus_clean",
     "dedup_minhash_lsh",
     "text_profile",
     "top_tokens_per_lang",

@@ -58,6 +58,14 @@ def test_split_exhaustive_and_stable(spark):
         split_column(F.col("k"), {"a": 0.5, "b": 0.1})
 
 
+def test_sample_is_narrow(spark):
+    """Sampling must add NO shuffle — at 100 TB it has to stay a pure
+    scan+filter that composes with pruning."""
+    df = spark.range(0, 1000).withColumnRenamed("id", "k")
+    plan = deterministic_sample(df, "k", 0.1)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
 def test_stratified_rates(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     out = stratified_sample(docs, "doc_id", "lang", {"en": 1.0, "es": 0.0})
