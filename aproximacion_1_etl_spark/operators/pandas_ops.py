@@ -53,8 +53,11 @@ def grouped_stats_pandas(
     spread (max - min). Floats floor-rounded to ``scale`` decimals for
     engine-stable hashing."""
     mult = float(10**scale)
+    # Key type follows the input schema (string, int, ... — not assumed
+    # BIGINT), same derivation notify_each_partition uses via df.dtypes.
+    key_type = dict(df.dtypes)[key]
     out_schema = (
-        f"{key} BIGINT, n BIGINT, median_value DOUBLE, spread DOUBLE"
+        f"{key} {key_type}, n BIGINT, median_value DOUBLE, spread DOUBLE"
     )
 
     def stats(pdf: pd.DataFrame) -> pd.DataFrame:

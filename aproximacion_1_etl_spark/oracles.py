@@ -662,7 +662,8 @@ SELECT event_id, user_id,
        floor((CAST(sum(CAST(value AS DECIMAL(30,8))) OVER w AS DOUBLE)
               / count(value) OVER w) * 10000.0 + 0.5) / 10000.0 AS avg_7d
 FROM events
-WINDOW w AS (PARTITION BY user_id ORDER BY CAST(epoch(ts) AS BIGINT)
+WINDOW w AS (PARTITION BY user_id
+             ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
              RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
 """,
     "ntile_quartiles": """

@@ -13,6 +13,13 @@ retried per batch and surviving failures are RETURNED as data (a
 DataFrame of failed ids) rather than raised — at 100 TB a notification
 sink must not kill the job; the failure table feeds the metadata
 sidecar (S4) like the reference's ``fallos`` count (app.py:166-171).
+
+Delivery semantics: **at-least-once**. The send runs as an eager
+action inside this call (never lazily attached to the returned
+DataFrame), so one call = one delivery pass; but a Spark task that
+fails or is speculatively re-executed re-sends its partition, so the
+receiver must tolerate duplicates (idempotent endpoint or dedup on
+``id_col`` downstream).
 """
 
 from __future__ import annotations
@@ -37,6 +44,13 @@ def notify_each_partition(
     to ``max_retries`` times (mirroring the extractor's per-page retry
     budget, reference app.py:100). Returns a DataFrame of
     (<id_col>, n_attempts) for rows still undelivered.
+
+    The delivery pass executes EAGERLY here, exactly once per call
+    (at-least-once per row — see module docstring): the per-partition
+    send runs as a single distributed action whose only driver-side
+    result is the (small) failure list, and the returned DataFrame is
+    built locally from that list, so re-evaluating it never re-fires
+    the side effect.
     """
 
     def run_partition(rows: Iterator[Row]) -> Iterator[tuple]:
@@ -65,6 +79,8 @@ def notify_each_partition(
         return iter(out)
 
     schema = f"{id_col} {dict(df.dtypes)[id_col]}, n_attempts INT"
-    return df.sparkSession.createDataFrame(
-        df.rdd.mapPartitions(run_partition), schema
-    )
+    # collect() IS the action that fires the sends — once, here. Only
+    # undelivered ids travel to the driver (normally ~zero rows), so
+    # this is not a data-scale collect.
+    failures = df.rdd.mapPartitions(run_partition).collect()
+    return df.sparkSession.createDataFrame(failures, schema)

@@ -96,14 +96,28 @@ def compact_table(
     Small files are the chronic failure mode of long-appended tables
     (the reference appends per day-file via streaming inserts,
     ``src/1_run_main_table_pipeline.py:125-130``; at 100 TB a scan over
-    millions of KB-size files is listing-bound, not IO-bound). Rewrite
-    to a temp dir then atomically swap so readers never see a partial
-    table."""
+    millions of KB-size files is listing-bound, not IO-bound).
+
+    Swap protocol: the compacted copy is written to a sibling dir on
+    the SAME filesystem as ``path`` (so both renames are true renames,
+    never cross-device copies), any stale backup from a prior failed
+    run is cleared first, then ``path`` is swapped out and back in two
+    renames. Readers that open the table in the instant between the
+    two renames see a missing path — callers needing stronger
+    guarantees should route readers through a catalog/manifest (or a
+    table format with snapshot isolation, e.g. Delta/Iceberg); a crash
+    between the renames leaves the data intact under
+    ``<path>._pre_compact`` for manual restore."""
     import shutil
-    import tempfile as _tf
 
     df = spark.read.parquet(path)
-    tmp = _tf.mkdtemp(prefix="compact_")
+    base = path.rstrip("/")
+    tmp = base + "._compact_tmp"
+    backup = base + "._pre_compact"
+    # Clear leftovers from a previous failed run (a stale non-empty
+    # backup would make os.rename(path, backup) fail with ENOTEMPTY).
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(backup, ignore_errors=True)
     writer = (
         df.repartition(target_partitions, *(partition_by or []))
         if partition_by
@@ -112,7 +126,6 @@ def compact_table(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(tmp)
-    backup = path.rstrip("/") + "._pre_compact"
     os.rename(path, backup)
-    shutil.move(tmp, path)
+    os.rename(tmp, path)
     shutil.rmtree(backup, ignore_errors=True)
