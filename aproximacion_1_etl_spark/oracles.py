@@ -942,4 +942,115 @@ SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
        floor((CAST(sum(CAST(value AS DECIMAL(30,8))) AS DOUBLE)) * 100.0 + 0.5) / 100.0 AS sum_value
 FROM events GROUP BY 1, 2
 """,
+    "q6_forecast_revenue": """
+SELECT floor((CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(30,8))) AS DOUBLE)) * 100.0 + 0.5) / 100.0 AS revenue
+FROM lineitem
+WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+""",
+    "q7_nation_volume": """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       floor((CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS DOUBLE)) * 100.0 + 0.5) / 100.0 AS volume
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+GROUP BY 1, 2, 3
+""",
+    "q10_returned_items": """
+SELECT c_custkey, c_name,
+       floor((CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS DOUBLE)) * 100.0 + 0.5) / 100.0 AS revenue,
+       round(c_acctbal, 2) AS c_acctbal, n_name
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= '1997-01-01' AND o_orderdate < '1997-04-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey ASC LIMIT 20
+""",
+    "q12_priority_lines": """
+SELECT l_linestatus,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
+GROUP BY 1
+""",
+    "q14_promo_revenue": """
+SELECT floor((100.0
+        * CAST(sum(CASE WHEN p_type = 'PROMO'
+                        THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))
+                        ELSE CAST(0 AS DECIMAL(30,8)) END) AS DOUBLE)
+        / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS DOUBLE))
+       * 10000.0 + 0.5) / 10000.0 AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= '1997-03-01' AND l_shipdate < '1997-04-01'
+""",
+    "q16_supplier_count": """
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#4'
+  AND p_size IN (1, 4, 9, 14, 19, 24, 29, 34)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+""",
+    "q19_disjunctive_revenue": """
+SELECT floor((CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS DOUBLE)) * 100.0 + 0.5) / 100.0 AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 50
+       AND l_quantity BETWEEN 20 AND 30)
+""",
+    "q20_promo_shippers": """
+SELECT s_suppkey, s_name, round(s_acctbal, 2) AS s_acctbal
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_type = 'PROMO'
+    AND l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
+  GROUP BY l_suppkey
+  HAVING round(sum(l_quantity), 2) > 300)
+""",
+    "window_lag_lead": """
+SELECT event_id, user_id,
+       floor((value - lag(value) OVER w) * 10000.0 + 0.5) / 10000.0
+         AS value_delta,
+       lead(CAST(floor(epoch(ts)) AS BIGINT)) OVER w
+         - CAST(floor(epoch(ts)) AS BIGINT) AS gap_sec
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+""",
+    "window_percent_rank": """
+SELECT o_orderkey, c_mktsegment,
+       floor(percent_rank() OVER w * 1000000.0 + 0.5) / 1000000.0
+         AS pct_rank,
+       floor(cume_dist() OVER w * 1000000.0 + 0.5) / 1000000.0
+         AS cum_dist
+FROM orders JOIN customer ON o_custkey = c_custkey
+WINDOW w AS (PARTITION BY c_mktsegment
+             ORDER BY o_totalprice ASC, o_orderkey ASC)
+""",
+    "window_ignore_nulls": """
+SELECT event_id, user_id,
+       floor(last_value(CASE WHEN value > 500 THEN value END IGNORE NULLS)
+               OVER w * 10000.0 + 0.5) / 10000.0 AS last_big_value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""",
 }

@@ -44,7 +44,7 @@ def main() -> None:
         n for n in entrymod.queries() if n not in SKIP
     ]
     qs = entrymod.queries()
-    print(f"{'query':<32} {'exchanges':>9} {'codegen':>8} {'bcast':>6}")
+    print(f"{'query':<32} {'exchanges':>9} {'pushed':>8} {'bcast':>6}")
     worst: list[tuple[int, str]] = []
     for name in names:
         df = qs[name](spark, SF_DIR)
@@ -57,8 +57,16 @@ def main() -> None:
         # the detail section — count only detail headers "(N) Exchange"
         n_ex = len(re.findall(r"\(\d+\) Exchange\b", plan))
         n_bc = len(re.findall(r"\(\d+\) BroadcastExchange\b", plan))
-        codegen = "yes" if "*(" in plan else "-"
-        print(f"{name:<32} {max(n_ex, 0):>9} {codegen:>8} {n_bc:>6}")
+        # Under AQE the pre-execution plan carries no WholeStageCodegen
+        # markers (they materialize in the final adaptive plan), so
+        # audit what IS visible pre-execution: did every parquet scan
+        # get pushed filters and a pruned schema?
+        n_scan = len(re.findall(r"\(\d+\) Scan parquet\b|FileScan parquet", plan))
+        n_pushed = plan.count("PushedFilters: [I") + plan.count(
+            "PushedFilters: [E"
+        ) + plan.count("PushedFilters: [G") + plan.count("PushedFilters: [L")
+        pushed = f"{n_pushed}/{n_scan}" if n_scan else "-"
+        print(f"{name:<32} {max(n_ex, 0):>9} {pushed:>8} {n_bc:>6}")
         worst.append((max(n_ex, 0), name))
     worst.sort(reverse=True)
     print("\nmost shuffles:", ", ".join(f"{n}({c})" for c, n in worst[:5]))
