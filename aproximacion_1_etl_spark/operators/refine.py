@@ -63,6 +63,50 @@ def merge_upsert(master: DataFrame, updates: DataFrame, keys: list[str]) -> Data
     )
 
 
+def merge_upsert_evolve(
+    master: DataFrame, updates: DataFrame, keys: list[str]
+) -> DataFrame:
+    """M2 variant with schema evolution: ``updates`` may carry columns
+    the master lacks (and vice versa) — the merged output has the union
+    schema, with NULL where a side never had the column. This is the
+    append-only schema-drift story (S8) applied to the upsert path: at
+    100 TB you cannot rewrite history to add a column, so the merge
+    must widen on the fly (what Delta calls mergeSchema).
+    """
+    m_missing = [c for c in updates.columns if c not in master.columns]
+    u_missing = [c for c in master.columns if c not in updates.columns]
+    m = master
+    u = updates
+    for c in m_missing:
+        m = m.withColumn(c, F.lit(None).cast(dict(updates.dtypes)[c]))
+    for c in u_missing:
+        u = u.withColumn(c, F.lit(None).cast(dict(master.dtypes)[c]))
+    return merge_upsert(m, u.select(*m.columns), keys)
+
+
+def merge_partial_rollup(
+    base: DataFrame,
+    delta: DataFrame,
+    keys: list[str],
+    sum_cols: list[str],
+) -> DataFrame:
+    """Incremental aggregate maintenance: fold a delta batch's partial
+    rollup into an existing rollup WITHOUT rescanning history.
+
+    Both inputs carry re-aggregatable partials (sums/counts) keyed by
+    ``keys``; the merge is unionByName + one groupBy summing each
+    partial — cost proportional to |delta| + |affected keys|, never to
+    the historical fact table. avg/ratio metrics must be stored as
+    (sum, count) pairs and derived at read time (averages are not
+    re-aggregatable). This is what replaces the reference's daily
+    full-recompute SP chain (DAG:323-362) once the corpus no longer
+    fits a nightly rescan."""
+    merged = base.unionByName(delta, allowMissingColumns=False)
+    return merged.groupBy(*keys).agg(
+        *[F.sum(c).alias(c) for c in sum_cols]
+    )
+
+
 def latest_child_attrs(
     child: DataFrame,
     keys: list[str],

@@ -1053,4 +1053,74 @@ FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 """,
+    "incremental_rollup": """
+SELECT l_partkey,
+       count(*) AS n_items,
+       floor((CAST(sum(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE)) * 100.0 + 0.5) / 100.0 AS sum_qty,
+       floor((CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS DOUBLE)) * 100.0 + 0.5) / 100.0 AS revenue
+FROM lineitem GROUP BY 1
+""",
+    "m2_merge_evolution": """
+WITH master AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderdate < '1999-01-01'
+), updates AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice,
+         o_orderpriority IN ('1-URGENT', '2-HIGH') AS is_priority
+  FROM orders WHERE o_orderdate >= '1998-01-01'
+)
+SELECT coalesce(u.o_orderkey, m.o_orderkey) AS o_orderkey,
+       coalesce(u.o_orderstatus, m.o_orderstatus) AS o_orderstatus,
+       round(coalesce(u.o_totalprice, m.o_totalprice), 2) AS o_totalprice,
+       u.is_priority
+FROM master m FULL OUTER JOIN updates u ON m.o_orderkey = u.o_orderkey
+""",
+    "column_profile": """
+SELECT 'o_orderkey' AS column_name, count(*) AS n_rows,
+       count(*) - count(o_orderkey) AS n_nulls,
+       CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct
+FROM orders
+UNION ALL
+SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
+       CAST(count(DISTINCT o_custkey) AS BIGINT) FROM orders
+UNION ALL
+SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+       CAST(count(DISTINCT o_orderstatus) AS BIGINT) FROM orders
+UNION ALL
+SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+       CAST(count(DISTINCT o_orderpriority) AS BIGINT) FROM orders
+""",
+    "frame_sample": """
+SELECT doc_id, CAST(i AS INT) AS frame_no,
+       md5(substr(text, i * 16 + 1, 16)) AS frame_md5
+FROM (SELECT doc_id, text,
+             unnest(generate_series(
+               0, CAST(floor(strlen(text) / 16) AS INT) - 1, 10)) AS i
+      FROM documents WHERE doc_id % 3 = 2)
+""",
+    "tfidf_top_terms": """
+WITH term_doc AS (
+  SELECT lang, doc_id, t.term, count(*) AS tf
+  FROM (SELECT lang, doc_id,
+               unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+        FROM documents) t
+  GROUP BY 1, 2, 3
+), term_stats AS (
+  SELECT lang, term, CAST(sum(tf) AS BIGINT) AS total_tf,
+         CAST(count(*) AS BIGINT) AS df
+  FROM term_doc GROUP BY 1, 2
+), nd AS (
+  SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1
+), scored AS (
+  SELECT s.lang, term, total_tf, df,
+         floor(total_tf * ln((n_docs + 1.0) / (df + 1.0)) * 10000.0 + 0.5)
+           / 10000.0 AS tfidf
+  FROM term_stats s JOIN nd ON s.lang = nd.lang
+)
+SELECT lang, term, total_tf, df, tfidf, CAST(rank AS INT) AS rank
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY lang ORDER BY tfidf DESC, term ASC) AS rank
+      FROM scored)
+WHERE rank <= 5
+""",
 }

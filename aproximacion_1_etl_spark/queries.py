@@ -1507,6 +1507,21 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_stub_features(attach_media(docs))
 
 
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 multimodal: 1->N frame-sampling fan-out over video
+    payloads (mapInPandas; frames surfaced as md5 so the binary column
+    is hash-comparable across engines)."""
+    from aproximacion_1_etl_spark.text.multimodal import frame_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    frames = frame_sample(attach_media(docs), every_nth=10)
+    return frames.select(
+        "doc_id",
+        F.col("frame_no").cast("int").alias("frame_no"),
+        F.md5("frame").alias("frame_md5"),
+    )
+
+
 def q_streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.9: Structured Streaming tumbling-window agg, Trigger.AvailableNow
     (deterministic => oracle-checkable against the batch equivalent)."""
@@ -1771,6 +1786,95 @@ def q_q20_promo_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------- round-2 scale operators
+
+
+def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance (merge_partial_rollup): the
+    historical per-part rollup plus a delta batch's partials, merged
+    without rescanning history — equivalent by construction to the full
+    recompute the oracle runs."""
+    from aproximacion_1_etl_spark.operators.refine import (
+        merge_partial_rollup,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    cut = "1999-01-01"
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("l_partkey").agg(
+            F.count("*").cast("bigint").alias("n_items"),
+            F.sum(F.col("l_quantity").cast("decimal(30,8)")).alias(
+                "sum_qty"
+            ),
+            F.sum(
+                (
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                ).cast("decimal(30,8)")
+            ).alias("revenue"),
+        )
+
+    base = partial(li.filter(F.col("l_shipdate") < cut))
+    delta = partial(li.filter(F.col("l_shipdate") >= cut))
+    merged = merge_partial_rollup(
+        base, delta, ["l_partkey"], ["n_items", "sum_qty", "revenue"]
+    )
+    return merged.select(
+        "l_partkey",
+        F.col("n_items").cast("bigint").alias("n_items"),
+        _fround(F.col("sum_qty").cast("double"), 2).alias("sum_qty"),
+        _fround(F.col("revenue").cast("double"), 2).alias("revenue"),
+    )
+
+
+def q_m2_merge_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2 + schema evolution (merge_upsert_evolve): the update batch
+    carries a column the master never had (is_priority); the merged
+    output widens, with NULL for keys only present in the master."""
+    from aproximacion_1_etl_spark.operators.refine import (
+        merge_upsert_evolve,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    master = o.filter(F.col("o_orderdate") < "1999-01-01").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    updates = o.filter(F.col("o_orderdate") >= "1998-01-01").select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.col("o_orderpriority")
+        .isin("1-URGENT", "2-HIGH")
+        .alias("is_priority"),
+    )
+    merged = merge_upsert_evolve(master, updates, ["o_orderkey"])
+    return merged.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        "is_priority",
+    )
+
+
+def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass column profiler over orders: nulls + exact distinct
+    per column in one aggregation job."""
+    from aproximacion_1_etl_spark.functions.profile import column_profile
+
+    o = load_table(spark, sf_dir, "orders")
+    return column_profile(
+        o, ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+    )
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language top-5 TF-IDF terms over the documents corpus."""
+    from aproximacion_1_etl_spark.text.analysis import tfidf_top_terms
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, top_k=5)
+
+
 # ------------------------------------------------- round-2 window extras
 
 
@@ -1926,4 +2030,9 @@ ALL_QUERIES = {
     "window_lag_lead": q_window_lag_lead,
     "window_percent_rank": q_window_percent_rank,
     "window_ignore_nulls": q_window_ignore_nulls,
+    "incremental_rollup": q_incremental_rollup,
+    "m2_merge_evolution": q_m2_merge_evolution,
+    "column_profile": q_column_profile,
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "frame_sample": q_frame_sample,
 }

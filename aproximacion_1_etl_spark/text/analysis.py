@@ -102,6 +102,65 @@ def fingerprint(text: Column) -> Column:
     return F.md5(F.concat_ws("\x01", toks))
 
 
+def tfidf_top_terms(
+    docs: DataFrame,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    top_k: int = 5,
+) -> DataFrame:
+    """Per-language top-k terms by corpus TF-IDF.
+
+    tokens = lowercase [a-z]+ runs; per (lang, term):
+    score = total_tf * ln((n_docs_lang + 1) / (df + 1)), floor-rounded
+    to 4 decimals; rank by (score desc, term asc) — fully deterministic
+    so both engines agree. Three aggregations, each keyed and
+    partial-agg shrunk (per-doc term counts -> per-lang term stats ->
+    per-lang top-k window over |distinct terms| rows, never raw
+    tokens).
+    """
+    from pyspark.sql import Window
+
+    toks = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit("[a-z]+"), F.lit(0)
+    )
+    term_doc = (
+        docs.select("doc_id", F.col(lang_col).alias("lang"), toks.alias("t"))
+        .select("doc_id", "lang", F.explode("t").alias("term"))
+        .groupBy("lang", "doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    term_stats = term_doc.groupBy("lang", "term").agg(
+        F.sum("tf").alias("total_tf"),
+        F.count("*").alias("df"),
+    )
+    n_docs = docs.groupBy(F.col(lang_col).alias("lang")).agg(
+        F.count("*").alias("n_docs")
+    )
+    scored = term_stats.join(F.broadcast(n_docs), "lang").select(
+        "lang",
+        "term",
+        F.col("total_tf").cast("bigint").alias("total_tf"),
+        F.col("df").cast("bigint").alias("df"),
+        (
+            F.floor(
+                F.col("total_tf")
+                * F.log((F.col("n_docs") + 1) / (F.col("df") + 1))
+                * 10000.0
+                + 0.5
+            )
+            / 10000.0
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("lang", "term", "total_tf", "df", "tfidf", "rank")
+    )
+
+
 def document_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """All metrics in one scan — the per-document profile table."""
     t = F.col(text_col)

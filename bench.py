@@ -39,6 +39,11 @@ HEADLINE = [
     "q5_nation_revenue",
     "q13_order_count_distribution",
     "q18_big_spenders",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q19_disjunctive_revenue",
+    "incremental_rollup",
+    "tfidf_top_terms",
     "window_running_sum",
     "sessionize",
     "event_value_quantiles",

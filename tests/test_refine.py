@@ -79,3 +79,55 @@ def test_visit_order_ranks(spark):
     ranks = {r["id"]: r["visit_rank"] for r in
              visit_order(df, ["k"], "ts", "id").collect()}
     assert ranks == {1: 1, 2: 2}
+
+
+def test_merge_upsert_evolve_widens_schema(spark):
+    from aproximacion_1_etl_spark.operators.refine import merge_upsert_evolve
+
+    master = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k INT, s STRING"
+    )
+    updates = spark.createDataFrame(
+        [(2, "B", True), (3, "c", False)], "k INT, s STRING, flag BOOLEAN"
+    )
+    out = merge_upsert_evolve(master, updates, ["k"])
+    assert set(out.columns) == {"k", "s", "flag"}
+    got = {r["k"]: (r["s"], r["flag"]) for r in out.collect()}
+    assert got[1] == ("a", None)   # master-only row: new column is NULL
+    assert got[2] == ("B", True)   # updated row carries the new column
+    assert got[3] == ("c", False)  # inserted row
+
+
+def test_merge_partial_rollup_equals_full_recompute(spark):
+    from aproximacion_1_etl_spark.operators.refine import merge_partial_rollup
+
+    rows = [(k, float(v)) for k in ("a", "b", "c") for v in range(1, 7)]
+    df = spark.createDataFrame(rows, "k STRING, v DOUBLE")
+
+    def partial(d):
+        return d.groupBy("k").agg(
+            F.count("*").alias("n"), F.sum("v").alias("sv")
+        )
+
+    base = partial(df.filter(F.col("v") <= 3))
+    delta = partial(df.filter(F.col("v") > 3))
+    merged = merge_partial_rollup(base, delta, ["k"], ["n", "sv"])
+    full = partial(df)
+    got = {r["k"]: (r["n"], r["sv"]) for r in merged.collect()}
+    want = {r["k"]: (r["n"], r["sv"]) for r in full.collect()}
+    assert got == want
+
+
+def test_column_profile_counts(spark):
+    from aproximacion_1_etl_spark.functions.profile import column_profile
+
+    df = spark.createDataFrame(
+        [(1, "x"), (2, None), (3, "x"), (None, "y")],
+        "a INT, b STRING",
+    )
+    prof = {r["column_name"]: r for r in column_profile(df).collect()}
+    assert prof["a"]["n_rows"] == 4
+    assert prof["a"]["n_nulls"] == 1
+    assert prof["a"]["n_distinct"] == 3
+    assert prof["b"]["n_nulls"] == 1
+    assert prof["b"]["n_distinct"] == 2
