@@ -75,6 +75,37 @@ def lenient_date(col: ColumnOrName) -> Column:
     return F.date_format(lenient_ts(col), "yyyy-MM-dd")
 
 
+# PII patterns deliberately use only syntax common to Java regex (Spark)
+# and RE2 (DuckDB): char classes, +, {m,}, no lookaround/backrefs.
+PII_PATTERNS: dict[str, str] = {
+    "email": "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}",
+    "phone": "[0-9][0-9 ()+.-]{6,}[0-9]",
+}
+
+
+def pii_scrub(col: ColumnOrName, token: str = "[REDACTED]") -> Column:
+    """Redact PII-shaped substrings (emails, phone-number-like digit
+    runs) with ``token``. A pre-training scrub pass: pure
+    regexp_replace chain, JVM-side, one narrow projection — no Python
+    in the hot path at any scale."""
+    out = _c(col)
+    for pat in PII_PATTERNS.values():
+        out = F.regexp_replace(out, pat, token)
+    return out
+
+
+def pii_count(col: ColumnOrName) -> Column:
+    """Number of PII-shaped matches in the value (audit metric for the
+    scrub pass)."""
+    c = _c(col)
+    total: Column = F.lit(0)
+    for pat in PII_PATTERNS.values():
+        total = total + F.size(
+            F.regexp_extract_all(c, F.lit(pat), F.lit(0))
+        )
+    return total.cast("bigint")
+
+
 def cast_to_ddl(df: DataFrame, ddl: str) -> DataFrame:
     """P6: project+cast to a declared string-DDL schema.
 

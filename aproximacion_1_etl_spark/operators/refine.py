@@ -84,6 +84,39 @@ def merge_upsert_evolve(
     return merge_upsert(m, u.select(*m.columns), keys)
 
 
+def merge_upsert_delete(
+    master: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    op_col: str = "op",
+) -> DataFrame:
+    """CDC-style merge: ``changes`` carries an ``op_col`` of 'U'
+    (upsert) or 'D' (delete). Deletes drop the key from the result;
+    upserts follow merge_upsert semantics (update wins, inserts
+    survive).
+
+    Same single full-outer co-partitioned join as merge_upsert — the
+    delete is a post-join filter, not a second pass. This is the
+    WHEN MATCHED AND op='D' THEN DELETE arm of a warehouse MERGE,
+    expressed on vanilla parquet."""
+    value_cols = [c for c in master.columns if c not in keys]
+    m = master.alias("m")
+    u = changes.alias("u")
+    joined = m.join(u, on=keys, how="full_outer")
+    # a key is dropped iff the change side says 'D'; master-only rows
+    # (op null) and upserts survive
+    kept = joined.filter(
+        F.col(f"u.{op_col}").isNull() | (F.col(f"u.{op_col}") != "D")
+    )
+    return kept.select(
+        *[F.col(k) for k in keys],
+        *[
+            F.coalesce(F.col(f"u.{c}"), F.col(f"m.{c}")).alias(c)
+            for c in value_cols
+        ],
+    )
+
+
 def merge_partial_rollup(
     base: DataFrame,
     delta: DataFrame,

@@ -1090,6 +1090,75 @@ UNION ALL
 SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
        CAST(count(DISTINCT o_orderpriority) AS BIGINT) FROM orders
 """,
+    "repetition_profile": """
+WITH sh AS (
+  SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks)-2)) AS i
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks
+              FROM documents
+              WHERE len(string_split(text, ' ')) >= 3)))
+SELECT doc_id, count(*) AS n_grams,
+       CAST(count(DISTINCT shingle) AS BIGINT) AS n_distinct,
+       floor((1 - count(DISTINCT shingle) / CAST(count(*) AS DOUBLE))
+             * 10000.0 + 0.5) / 10000.0 AS dup_ratio
+FROM sh GROUP BY 1
+""",
+    "decontaminate": """
+WITH g AS (
+  SELECT DISTINCT doc_id, source,
+         toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+           || toks[i+3] || ' ' || toks[i+4] AS shingle
+  FROM (SELECT doc_id, source, toks,
+               unnest(generate_series(1, len(toks)-4)) AS i
+        FROM (SELECT doc_id, source, string_split(text, ' ') AS toks
+              FROM documents
+              WHERE len(string_split(text, ' ')) >= 5))
+), b AS (SELECT DISTINCT shingle FROM g WHERE source = 'src0')
+SELECT g.doc_id, count(*) AS n_shared
+FROM g JOIN b ON g.shingle = b.shingle
+WHERE g.source <> 'src0'
+GROUP BY 1 HAVING count(*) >= 3
+""",
+    "pii_scrub": """
+SELECT doc_id,
+       md5(regexp_replace(
+             regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}',
+               '[REDACTED]', 'g'),
+             '[0-9][0-9 ()+.-]{6,}[0-9]', '[REDACTED]', 'g'))
+         AS scrubbed_md5,
+       CAST(len(regexp_extract_all(text,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}'))
+            + len(regexp_extract_all(text,
+                '[0-9][0-9 ()+.-]{6,}[0-9]')) AS BIGINT) AS n_pii
+FROM documents
+""",
+    "m2_merge_delete": """
+WITH master AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderdate < '1999-01-01'
+), changes AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice,
+         CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op
+  FROM orders WHERE o_orderdate >= '1998-01-01'
+)
+SELECT coalesce(u.o_orderkey, m.o_orderkey) AS o_orderkey,
+       coalesce(u.o_orderstatus, m.o_orderstatus) AS o_orderstatus,
+       round(coalesce(u.o_totalprice, m.o_totalprice), 2) AS o_totalprice
+FROM master m FULL OUTER JOIN changes u ON m.o_orderkey = u.o_orderkey
+WHERE u.op IS NULL OR u.op <> 'D'
+""",
+    "binary_file_source": """
+SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+       md5(text) AS content_md5
+FROM documents WHERE doc_id < 200
+""",
+    "streaming_static_enrich": """
+SELECT c_mktsegment, count(*) AS n_events,
+       floor((CAST(sum(CAST(value AS DECIMAL(30,8))) AS DOUBLE)) * 100.0 + 0.5) / 100.0 AS sum_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY 1
+""",
     "frame_sample": """
 SELECT doc_id, CAST(i AS INT) AS frame_no,
        md5(substr(text, i * 16 + 1, 16)) AS frame_md5

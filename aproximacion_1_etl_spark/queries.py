@@ -1875,6 +1875,102 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(docs, top_k=5)
 
 
+def q_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 quality: intra-doc duplicate 3-gram ratio (Gopher-style
+    repetition filter signal) per document."""
+    from aproximacion_1_etl_spark.text.dedup import repetition_profile
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_profile(docs, n=3)
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10: benchmark decontamination — corpus docs sharing >= 3
+    distinct 5-grams with the held-out 'benchmark' slice (source =
+    src0), benchmark side broadcast."""
+    from aproximacion_1_etl_spark.text.dedup import decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("source") != "src0")
+    benchmark = docs.filter(F.col("source") == "src0")
+    return decontaminate(corpus, benchmark, n=5, min_shared=3)
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10: PII scrub pass over documents — redacted text digest +
+    match count per doc (counts are 0 on this synthetic corpus; the
+    redaction semantics are unit-tested on crafted rows in
+    test_cleaning)."""
+    from aproximacion_1_etl_spark.functions.cleaning import (
+        pii_count,
+        pii_scrub,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5(pii_scrub(F.col("text"))).alias("scrubbed_md5"),
+        pii_count(F.col("text")).alias("n_pii"),
+    )
+
+
+def q_m2_merge_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2 + CDC deletes (merge_upsert_delete): change batch carries
+    op U/D; D drops the order from the merged master."""
+    from aproximacion_1_etl_spark.operators.refine import (
+        merge_upsert_delete,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    master = o.filter(F.col("o_orderdate") < "1999-01-01").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    changes = o.filter(F.col("o_orderdate") >= "1998-01-01").select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.when(F.col("o_orderstatus") == "F", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+    merged = merge_upsert_delete(master, changes, ["o_orderkey"])
+    return merged.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+    )
+
+
+def q_binary_file_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 multimodal ingest: docs materialized as .bin files, read
+    back via the binaryFile source, manifest (id, bytes, md5)."""
+    from aproximacion_1_etl_spark.sources.binary import (
+        binary_ingest_manifest,
+        read_binary_files,
+        write_doc_files,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 200
+    )
+    out_dir = tempfile.mkdtemp(prefix="binsrc_")
+    write_doc_files(docs, out_dir)
+    return binary_ingest_manifest(read_binary_files(spark, out_dir))
+
+
+def q_streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9: stream-static broadcast enrichment (events stream x
+    customer dim) rolled up per market segment."""
+    from aproximacion_1_etl_spark.streaming.events import (
+        stream_static_enrich,
+    )
+
+    customer = load_table(spark, sf_dir, "customer")
+    return stream_static_enrich(
+        spark, sf_dir, customer, glob="events.parquet"
+    )
+
+
 # ------------------------------------------------- round-2 window extras
 
 
@@ -2035,4 +2131,10 @@ ALL_QUERIES = {
     "column_profile": q_column_profile,
     "tfidf_top_terms": q_tfidf_top_terms,
     "frame_sample": q_frame_sample,
+    "repetition_profile": q_repetition_profile,
+    "decontaminate": q_decontaminate,
+    "pii_scrub": q_pii_scrub,
+    "m2_merge_delete": q_m2_merge_delete,
+    "binary_file_source": q_binary_file_source,
+    "streaming_static_enrich": q_streaming_static_enrich,
 }

@@ -84,6 +84,52 @@ def windowed_event_counts(
     )
 
 
+def stream_static_enrich(
+    spark: SparkSession,
+    source_dir: str,
+    customer: DataFrame,
+    glob: str = "*.parquet",
+) -> DataFrame:
+    """Stream-static enrichment join: the events stream joined to the
+    static customer dimension (broadcast — the static side is planned
+    per micro-batch, so a small dim never shuffles the stream), rolled
+    up per market segment. Trigger.AvailableNow + complete-mode memory
+    sink => deterministic, batch-oracle-checkable.
+
+    At scale this is the canonical streaming enrichment shape: the
+    stream side stays partitioned by its source; only the rolled-up
+    (|segments|-sized) state lives in the state store."""
+    table = f"events_enriched_{uuid.uuid4().hex[:8]}"
+    ev = read_events_stream(spark, source_dir, glob)
+    dim = customer.select(
+        F.col("c_custkey"), F.col("c_mktsegment")
+    )
+    joined = ev.join(
+        F.broadcast(dim), ev["user_id"] == dim["c_custkey"]
+    )
+    agg = joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_events"),
+        (
+            F.floor(
+                F.sum(F.col("value").cast("decimal(30,8)")).cast("double")
+                * F.lit(100.0)
+                + F.lit(0.5)
+            )
+            / F.lit(100.0)
+        ).alias("sum_value"),
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(table)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(table)
+
+
 def run_available_now(
     spark: SparkSession,
     source_dir: str,

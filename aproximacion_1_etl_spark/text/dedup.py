@@ -176,6 +176,67 @@ def minhash_candidate_pairs(
     )
 
 
+def repetition_profile(
+    docs: DataFrame, n: int = 3, id_col: str = "doc_id"
+) -> DataFrame:
+    """Intra-document repetition (Gopher-style quality rule): the
+    fraction of duplicate word n-grams WITHIN each doc. High dup_ratio
+    flags boilerplate / degenerate repetition — a standard
+    training-data filter signal.
+
+    One explode + one per-doc groupBy (count vs distinct count); docs
+    shorter than ``n`` tokens are excluded (no n-grams)."""
+    sh = word_shingles(docs, n=n, id_col=id_col, distinct=False)
+    return sh.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_grams"),
+        F.count_distinct("shingle").alias("n_distinct"),
+    ).select(
+        id_col,
+        "n_grams",
+        F.col("n_distinct").cast("bigint").alias("n_distinct"),
+        (
+            F.floor(
+                (1 - F.col("n_distinct") / F.col("n_grams"))
+                * F.lit(10000.0)
+                + F.lit(0.5)
+            )
+            / F.lit(10000.0)
+        ).alias("dup_ratio"),
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    min_shared: int = 1,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing >=
+    ``min_shared`` distinct word n-grams with any benchmark doc — the
+    standard guard against test-set leakage into training corpora.
+
+    Shape: distinct n-gram sets on both sides, equi-join on the shingle
+    value, per-corpus-doc count. The benchmark side is orders of
+    magnitude smaller than the corpus (eval sets vs 100 TB), so it is
+    broadcast — the corpus never shuffles; contamination detection
+    costs one scan of the corpus plus the explode."""
+    c_sh = word_shingles(corpus, n=n, id_col=id_col, distinct=True)
+    b_sh = (
+        word_shingles(benchmark, n=n, id_col=id_col, distinct=True)
+        .select(F.col("shingle").alias("b_shingle"))
+        .distinct()
+    )
+    return (
+        c_sh.join(
+            F.broadcast(b_sh), c_sh["shingle"] == b_sh["b_shingle"]
+        )
+        .groupBy(id_col)
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def _hexval(ch: Column) -> Column:
     """Value 0-15 of a lowercase hex character, via position in the hex
     alphabet (portable: no conv())."""

@@ -376,3 +376,107 @@ def embedding_near_dup_lsh(
             "vec_a", "vec_b", _fround(F.col("cos_sim"), 4).alias("cos_sim")
         )
     )
+
+
+def train_ivf_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    iterations: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict[int, list[float]]:
+    """Distributed Lloyd's k-means for the IVF codebook (the trained
+    replacement for ann_topk_ivf's first-N stand-in).
+
+    Each iteration is one distributed pass: assign every vector to its
+    nearest centroid map-side (centroids are plan literals — no join,
+    no shuffle for assignment), then recompute means with ONE groupBy
+    over (cell) using element-wise array aggregation
+    (``posexplode``-free: aggregate(array_agg) would collect per group,
+    so instead sum each dimension with zip_with folds over a running
+    array — the per-group state is one dim-length array, not the
+    member vectors).
+
+    Driver holds only the codebook (n_centroids x dim floats — it IS
+    the model); corpus never leaves executors. Deterministic: init =
+    first n_centroids vectors by id, ties in assignment break to the
+    lower cell id (array_min on (dist, cid) structs).
+
+    Iterative algorithms are inherently multi-job (one per iteration);
+    this is the documented exception to "everything is one Catalyst
+    plan" — each pass IS one plan, reusing the cached input.
+    """
+    emb = _as_double(embeddings, vec_col).select(id_col, vec_col)
+    emb.cache()
+    try:
+        cents = {
+            int(r[0]): [float(x) for x in r[1]]
+            for r in emb.filter(F.col(id_col) < n_centroids).collect()
+        }
+        # remap arbitrary init ids to dense cell ids 0..n-1
+        cents = {i: v for i, (_, v) in enumerate(sorted(cents.items()))}
+        for _ in range(iterations):
+            cdots = {cid: sum(x * x for x in v) for cid, v in cents.items()}
+            dist_structs = F.array(
+                *[
+                    F.struct(
+                        _fround(
+                            _dist2_to_lit(
+                                F.col(vec_col), cents[cid], cdots[cid]
+                            ),
+                            9,
+                        ).alias("d"),
+                        F.lit(cid).alias("cid"),
+                    )
+                    for cid in sorted(cents)
+                ]
+            )
+            assigned = emb.select(
+                F.array_min(dist_structs).getField("cid").alias("cell"),
+                F.col(vec_col).alias("v"),
+            )
+            dim = len(next(iter(cents.values())))
+            new_rows = (
+                assigned.groupBy("cell")
+                .agg(
+                    F.count("*").alias("n"),
+                    *[
+                        F.sum(F.element_at(F.col("v"), d + 1)).alias(f"s{d}")
+                        for d in range(dim)
+                    ],
+                )
+                .collect()
+            )
+            for r in new_rows:
+                cents[int(r["cell"])] = [
+                    float(r[f"s{d}"]) / int(r["n"]) for d in range(dim)
+                ]
+        return cents
+    finally:
+        emb.unpersist()
+
+
+def quantization_error(
+    embeddings: DataFrame,
+    centroids: dict[int, list[float]],
+    vec_col: str = "embedding",
+) -> float:
+    """Mean squared distance of every vector to its nearest centroid —
+    the k-means objective, one distributed pass."""
+    emb = _as_double(embeddings, vec_col)
+    cdots = {cid: sum(x * x for x in v) for cid, v in centroids.items()}
+    dist_structs = F.array(
+        *[
+            F.struct(
+                _dist2_to_lit(F.col(vec_col), centroids[cid], cdots[cid]).alias(
+                    "d"
+                ),
+                F.lit(cid).alias("cid"),
+            )
+            for cid in sorted(centroids)
+        ]
+    )
+    row = emb.select(
+        F.avg(F.array_min(dist_structs).getField("d")).alias("mse")
+    ).collect()[0]
+    return float(row["mse"])

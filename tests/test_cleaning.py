@@ -72,3 +72,34 @@ def test_cast_to_ddl_prunes_and_coerces(spark):
     # permissive cast: bad input -> NULL, never an error (P6)
     bad = cast_to_ddl(_one(spark, a="xx", b=1), "a BIGINT, b BIGINT")
     assert bad.collect()[0]["a"] is None
+
+
+def test_pii_scrub_redacts_emails_and_phones(spark):
+    import pyspark.sql.functions as F
+
+    from aproximacion_1_etl_spark.functions.cleaning import (
+        pii_count,
+        pii_scrub,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "contact alice@example.com or +1 (555) 123-4567 now"),
+            (2, "no pii here at all"),
+            (3, "two mails a@b.io c@d.org"),
+        ],
+        "id INT, t STRING",
+    )
+    out = {
+        r["id"]: (r["s"], r["n"])
+        for r in df.select(
+            "id",
+            pii_scrub(F.col("t")).alias("s"),
+            pii_count(F.col("t")).alias("n"),
+        ).collect()
+    }
+    assert out[1][0] == "contact [REDACTED] or +[REDACTED] now"
+    assert out[1][1] == 2
+    assert out[2] == ("no pii here at all", 0)
+    assert out[3][0] == "two mails [REDACTED] [REDACTED]"
+    assert out[3][1] == 2

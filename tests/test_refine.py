@@ -131,3 +131,18 @@ def test_column_profile_counts(spark):
     assert prof["a"]["n_distinct"] == 3
     assert prof["b"]["n_nulls"] == 1
     assert prof["b"]["n_distinct"] == 2
+
+
+def test_merge_upsert_delete_semantics(spark):
+    from aproximacion_1_etl_spark.operators.refine import merge_upsert_delete
+
+    master = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k INT, s STRING"
+    )
+    changes = spark.createDataFrame(
+        [(2, "B", "U"), (3, None, "D"), (4, "d", "U")],
+        "k INT, s STRING, op STRING",
+    )
+    got = {r["k"]: r["s"] for r in
+           merge_upsert_delete(master, changes, ["k"]).collect()}
+    assert got == {1: "a", 2: "B", 4: "d"}  # 3 deleted

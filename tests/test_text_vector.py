@@ -107,3 +107,53 @@ def test_multimodal_stub_features_and_frames(spark):
     frames = frame_sample(attach_media(video), every_nth=10).collect()
     assert len(frames) == 2  # 20 frames of 16B, sampled every 10th
     assert all(len(f["frame"]) == 16 for f in frames)
+
+
+def test_repetition_profile_flags_repeated_doc(spark):
+    from aproximacion_1_etl_spark.text.dedup import repetition_profile
+
+    df = spark.createDataFrame(
+        [(1, "a b c a b c a b c"),   # 7 3-grams, 3 distinct
+         (2, "one two three four"),  # 2 3-grams, both distinct
+         (3, "too short")],          # excluded (< 3 tokens)
+        "doc_id INT, text STRING",
+    )
+    out = {r["doc_id"]: r for r in repetition_profile(df).collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["n_grams"] == 7 and out[1]["n_distinct"] == 3
+    assert out[2]["dup_ratio"] == 0.0
+
+
+def test_decontaminate_finds_shared_ngrams(spark):
+    from aproximacion_1_etl_spark.text.dedup import decontaminate
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "completely unrelated text with different words entirely")],
+        "doc_id INT, text STRING",
+    )
+    bench = spark.createDataFrame(
+        [(100, "xx the quick brown fox jumps yy")],
+        "doc_id INT, text STRING",
+    )
+    hits = {r["doc_id"]: r["n_shared"] for r in
+            decontaminate(corpus, bench, n=5, min_shared=1).collect()}
+    assert 1 in hits and 2 not in hits
+
+
+def test_kmeans_ivf_training_reduces_error_deterministically(spark, sf_dir):
+    from aproximacion_1_etl_spark.sources.tables import load_table
+    from aproximacion_1_etl_spark.text.vector import (
+        quantization_error,
+        train_ivf_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    init = train_ivf_centroids(emb, n_centroids=8, iterations=0)
+    trained = train_ivf_centroids(emb, n_centroids=8, iterations=3)
+    e0 = quantization_error(emb, init)
+    e3 = quantization_error(emb, trained)
+    assert e3 < e0  # Lloyd iterations strictly improve the objective here
+    # deterministic: same input -> identical codebook
+    again = train_ivf_centroids(emb, n_centroids=8, iterations=3)
+    assert trained == again
