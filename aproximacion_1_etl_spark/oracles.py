@@ -1090,6 +1090,63 @@ UNION ALL
 SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
        CAST(count(DISTINCT o_orderpriority) AS BIGINT) FROM orders
 """,
+    "q4_late_ship_orders": """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= '1997-01-01' AND o_orderdate < '1997-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY 1
+""",
+    "q8_market_share": """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       floor((CAST(sum(CASE WHEN n1.n_name = 'NATION_1'
+                 THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))
+                 ELSE CAST(0 AS DECIMAL(30,8)) END) AS DOUBLE)
+              / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS DOUBLE))
+             * 1000000.0 + 0.5) / 1000000.0 AS mkt_share
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+JOIN region ON n2.n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY 1
+""",
+    "q15_top_supplier": """
+WITH rev AS (
+  SELECT l_suppkey,
+         floor((CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS DOUBLE)) * 100.0 + 0.5) / 100.0 AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1997-04-01'
+  GROUP BY 1)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+""",
+    "q21_sole_returner": """
+WITH l1 AS (SELECT l_orderkey, l_suppkey FROM lineitem
+            WHERE l_returnflag = 'R')
+SELECT s_name, count(*) AS numwait
+FROM l1
+JOIN supplier ON l1.l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_1'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY 1
+""",
+    "streaming_dedup_watermarked": """
+SELECT DISTINCT user_id, event_type FROM events
+""",
     "repetition_profile": """
 WITH sh AS (
   SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle

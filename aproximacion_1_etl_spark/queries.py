@@ -1971,6 +1971,176 @@ def q_streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_q4_late_ship_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-style (adapted: the testdata lacks commit/receipt
+    dates, so 'late' = some lineitem shipped > 60 days after the order
+    date): per order priority, count of orders in one quarter with at
+    least one late shipment — EXISTS via left-semi join."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    late = li.join(
+        o.select("o_orderkey", "o_orderdate"), li["l_orderkey"] == o["o_orderkey"]
+    ).filter(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60))
+    return (
+        o.filter(
+            (F.col("o_orderdate") >= "1997-01-01")
+            & (F.col("o_orderdate") < "1997-04-01")
+        )
+        .join(
+            late.select(F.col("l_orderkey").alias("lk")).distinct(),
+            F.col("o_orderkey") == F.col("lk"),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+def q_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-style: NATION_1 suppliers' share of ASIA-customer
+    revenue by order year — two nation lookups (supplier side for the
+    share numerator, customer side joined through region for the
+    market), conditional-sum ratio."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    cn = n.select(
+        F.col("n_nationkey").alias("cn_key"),
+        F.col("n_regionkey").alias("cn_region"),
+    )
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(30,8)"
+    )
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(sn), s["s_nationkey"] == F.col("sn_key"))
+        .join(F.broadcast(cn), c["c_nationkey"] == F.col("cn_key"))
+        .join(F.broadcast(r), F.col("cn_region") == r["r_regionkey"])
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(
+            _fround(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_1", vol).otherwise(
+                        F.lit(0).cast("decimal(30,8)")
+                    )
+                ).cast("double")
+                / F.sum(vol).cast("double"),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+def q_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-style: supplier(s) achieving the maximum quarterly
+    revenue — aggregate, then keep the rows equal to the global max
+    (scalar-subquery shape via cross-joined max)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1997-04-01")
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            _dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("total_revenue")
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    return (
+        rev.join(F.broadcast(mx), rev["total_revenue"] == mx["mx"])
+        .join(F.broadcast(s), rev["l_suppkey"] == s["s_suppkey"])
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+def q_q21_sole_returner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-style (adapted to available columns: 'R' return flag
+    stands in for late delivery): suppliers of NATION_1 who returned
+    lines on multi-supplier orders where NO OTHER supplier returned —
+    the Q21 semi-join + anti-join sandwich on a self-referencing
+    child."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    l1 = li.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_suppkey"
+    )
+    # EXISTS: another supplier on the same order (any flag)
+    l2 = li.select(
+        F.col("l_orderkey").alias("l2_ok"), F.col("l_suppkey").alias("l2_sk")
+    ).distinct()
+    # NOT EXISTS: another supplier who ALSO returned on that order
+    l3 = l1.select(
+        F.col("l_orderkey").alias("l3_ok"), F.col("l_suppkey").alias("l3_sk")
+    ).distinct()
+    cand = (
+        l1.join(
+            l2,
+            (F.col("l_orderkey") == F.col("l2_ok"))
+            & (F.col("l_suppkey") != F.col("l2_sk")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("l3_ok"))
+            & (F.col("l_suppkey") != F.col("l3_sk")),
+            "left_anti",
+        )
+    )
+    nat = n.filter(F.col("n_name") == "NATION_1")
+    return (
+        cand.join(F.broadcast(s), cand["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(nat), s["s_nationkey"] == nat["n_nationkey"], "left_semi")
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
+def q_streaming_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9: dropDuplicatesWithinWatermark — the BOUNDED-state streaming
+    dedup (state evicted past the watermark horizon, unlike plain
+    streaming dropDuplicates whose key state grows forever). Key set
+    equals batch DISTINCT because the full span fits one AvailableNow
+    batch; at scale the watermark is the state-size knob."""
+    import uuid
+
+    from aproximacion_1_etl_spark.streaming.events import (
+        read_events_stream,
+    )
+
+    table = f"stream_ddw_{uuid.uuid4().hex[:8]}"
+    stream = (
+        read_events_stream(spark, sf_dir, "events.parquet")
+        .withWatermark("ts", "30 days")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(table)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_ddw_"))
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(table)
+
+
 # ------------------------------------------------- round-2 window extras
 
 
@@ -2137,4 +2307,9 @@ ALL_QUERIES = {
     "m2_merge_delete": q_m2_merge_delete,
     "binary_file_source": q_binary_file_source,
     "streaming_static_enrich": q_streaming_static_enrich,
+    "q4_late_ship_orders": q_q4_late_ship_orders,
+    "q8_market_share": q_q8_market_share,
+    "q15_top_supplier": q_q15_top_supplier,
+    "q21_sole_returner": q_q21_sole_returner,
+    "streaming_dedup_watermarked": q_streaming_dedup_watermarked,
 }
