@@ -1147,6 +1147,39 @@ GROUP BY 1
     "streaming_dedup_watermarked": """
 SELECT DISTINCT user_id, event_type FROM events
 """,
+    "session_window_rollup": """
+WITH x AS (
+  SELECT user_id, ts, event_id, epoch(ts) AS sec,
+         lag(epoch(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+), y AS (
+  SELECT user_id, ts,
+         sum(CASE WHEN prev IS NULL OR sec - prev >= 7200
+                  THEN 1 ELSE 0 END) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM x)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       count(*) AS n_events
+FROM y GROUP BY user_id, sid
+""",
+    "length_histogram": """
+SELECT CAST(floor(n_chars / 100.0) AS BIGINT) AS bucket,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(min(n_chars) AS BIGINT) AS min_chars,
+       CAST(max(n_chars) AS BIGINT) AS max_chars
+FROM documents GROUP BY 1
+""",
+    "map_props": """
+SELECT event_id,
+       CAST(len(json_keys(props)) AS INT) AS n_props,
+       array_to_string(list_sort(json_keys(props)), ',') AS keys_csv,
+       CAST(props->>'k' AS BIGINT) AS k_val
+FROM events
+""",
     "repetition_profile": """
 WITH sh AS (
   SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle

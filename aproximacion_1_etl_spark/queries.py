@@ -106,6 +106,7 @@ def _ts_str(col) -> F.Column:
 
 
 def q_flagship_order_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: the reference's master+children lifecycle rollup (dedup -> child agg join -> latest event) in one plan."""
     return flagship(spark, sf_dir)
 
 
@@ -1350,11 +1351,13 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10: exact dedup — one survivor per normalized-content sha256 hash."""
     docs = load_table(spark, sf_dir, "documents")
     return exact_dedup(docs)
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10: MinHash+LSH near-dup candidate pairs (shingle -> banded minhash -> bucket self-join)."""
     docs = load_table(spark, sf_dir, "documents")
     sh = word_shingles(docs, n=3, distinct=False)
     sigs = minhash_signatures(sh, bands=8)
@@ -1450,17 +1453,20 @@ def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10: SimHash 16-bit signatures per doc (near-dups differ in few bits)."""
     docs = load_table(spark, sf_dir, "documents")
     return simhash(docs, bits=16)
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10: exact 3-gram Jaccard similarity for docs sharing a shingle (LSH verification stage)."""
     docs = load_table(spark, sf_dir, "documents")
     sh = word_shingles(docs, n=3)
     return ngram_jaccard_pairs(sh, threshold=0.3)
 
 
 def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10: per-doc text analytics — token counts, BPE-ish tokens, language-ID, quality score, fingerprint."""
     docs = load_table(spark, sf_dir, "documents")
     t = F.col("text")
     return docs.select(
@@ -1474,11 +1480,13 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10: exact brute-force cosine top-k per query vector (broadcast queries, JVM array folds)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return ann_topk_bruteforce(emb, query_ids=[0, 1, 2, 3, 4], k=10)
 
 
 def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10: IVF approximate top-k — literal-codebook cell assignment map-side, nprobe cells probed."""
     emb = load_table(spark, sf_dir, "embeddings")
     return ann_topk_ivf(
         emb, query_ids=[0, 1, 2, 3, 4], k=10, n_centroids=16, nprobe=4
@@ -1486,6 +1494,7 @@ def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10: LSH-bucketed approximate top-k (random-hyperplane signs, multi-table probing)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return ann_topk_lsh(
         emb, query_ids=[0, 1, 2, 3, 4], k=10, planes=4, tables=2, dim=64
@@ -1493,16 +1502,19 @@ def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10: embedding-cosine near-dup pairs, exact self-join form (the verification stage)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return embedding_near_dup(emb, threshold=0.4)
 
 
 def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10: embedding near-dup pairs, LSH-bucketed — exact cosine only within shared buckets."""
     emb = load_table(spark, sf_dir, "embeddings")
     return embedding_near_dup_lsh(emb, threshold=0.4)
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10: multimodal feature extraction over binary payloads (mapInPandas, stubbed decode)."""
     docs = load_table(spark, sf_dir, "documents")
     return decode_stub_features(attach_media(docs))
 
@@ -2141,6 +2153,58 @@ def q_streaming_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame
     return spark.table(table)
 
 
+def q_session_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in gap-session windows (F.session_window, 2 h gap) — the
+    declarative form of the lag/cumsum sessionize query: one aggregation,
+    sessions merged by the engine. Works identically over readStream
+    (with a watermark) — batch form here so the oracle can check exact
+    session boundaries."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "user_id", F.session_window("ts", "2 hours").alias("sw")
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            _ts_str(F.col("sw.start")).alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-length histogram: 100-char buckets with per-bucket counts
+    and char totals — the size-distribution profile a corpus curation
+    pass starts from."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(
+            F.floor(F.col("n_chars") / 100).cast("bigint").alias("bucket")
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.min("n_chars").cast("bigint").alias("min_chars"),
+            F.max("n_chars").cast("bigint").alias("max_chars"),
+        )
+    )
+
+
+def q_map_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: events.props JSON parsed to map<string,bigint>
+    (not a fixed struct — schema-free key set), then map_keys /
+    element access / size."""
+    ev = load_table(spark, sf_dir, "events")
+    m = F.from_json(F.col("props"), "map<string,bigint>")
+    return ev.select(
+        "event_id",
+        F.size(m).alias("n_props"),
+        F.concat_ws(",", F.array_sort(F.map_keys(m))).alias("keys_csv"),
+        m.getItem("k").alias("k_val"),
+    )
+
+
 # ------------------------------------------------- round-2 window extras
 
 
@@ -2312,4 +2376,7 @@ ALL_QUERIES = {
     "q15_top_supplier": q_q15_top_supplier,
     "q21_sole_returner": q_q21_sole_returner,
     "streaming_dedup_watermarked": q_streaming_dedup_watermarked,
+    "session_window_rollup": q_session_window_rollup,
+    "length_histogram": q_length_histogram,
+    "map_props": q_map_props,
 }
