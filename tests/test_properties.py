@@ -114,3 +114,64 @@ def test_salted_aggregate_matches_naive(spark, rows):
         n, sv = expected.get(k, (0, 0))
         expected[k] = (n + 1, sv + v)
     assert got == expected
+
+
+@given(
+    master=st.lists(st.tuples(keys, vals), max_size=12),
+    changes=st.lists(
+        st.tuples(keys, vals, st.sampled_from(["U", "D"])), max_size=12
+    ),
+)
+@settings(**SETTINGS)
+def test_merge_upsert_delete_semantics(spark, master, changes):
+    from aproximacion_1_etl_spark.operators.refine import merge_upsert_delete
+
+    m = {k: v for k, v in master}
+    c = {k: (v, op) for k, v, op in changes}  # one change per key
+    mdf = spark.createDataFrame(
+        [(k, v) for k, v in m.items()] or [(None, None)], "k BIGINT, v BIGINT"
+    ).filter(F.col("k").isNotNull())
+    cdf = spark.createDataFrame(
+        [(k, v, op) for k, (v, op) in c.items()] or [(None, None, None)],
+        "k BIGINT, v BIGINT, op STRING",
+    ).filter(F.col("k").isNotNull())
+    got = {
+        r["k"]: r["v"]
+        for r in merge_upsert_delete(mdf, cdf, keys=["k"]).collect()
+    }
+    expected = {}
+    for k in set(m) | set(c):
+        if k in c:
+            v, op = c[k]
+            if op == "D":
+                continue
+            expected[k] = v if v is not None else m.get(k)
+        else:
+            expected[k] = m[k]
+    assert got == expected
+
+
+@given(
+    rows=st.lists(st.tuples(keys, vals), min_size=1, max_size=24),
+    split_at=st.integers(min_value=0, max_value=24),
+)
+@settings(**SETTINGS)
+def test_merge_partial_rollup_equals_full(spark, rows, split_at):
+    from aproximacion_1_etl_spark.operators.refine import merge_partial_rollup
+
+    base_rows, delta_rows = rows[:split_at], rows[split_at:]
+
+    def partial(rs):
+        df = spark.createDataFrame(
+            rs or [(None, None)], "k BIGINT, v BIGINT"
+        ).filter(F.col("k").isNotNull())
+        return df.groupBy("k").agg(
+            F.count("*").alias("n"), F.sum("v").alias("sv")
+        )
+
+    merged = merge_partial_rollup(
+        partial(base_rows), partial(delta_rows), ["k"], ["n", "sv"]
+    )
+    got = {r["k"]: (r["n"], r["sv"]) for r in merged.collect()}
+    want = {r["k"]: (r["n"], r["sv"]) for r in partial(rows).collect()}
+    assert got == want
