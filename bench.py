@@ -39,10 +39,6 @@ HEADLINE = [
     "q5_nation_revenue",
     "q13_order_count_distribution",
     "q18_big_spenders",
-    "q6_forecast_revenue",
-    "q10_returned_items",
-    "q19_disjunctive_revenue",
-    "incremental_rollup",
     "window_running_sum",
     "sessionize",
     "event_value_quantiles",
@@ -54,8 +50,14 @@ HEADLINE = [
     "top_tokens_per_lang",
     "ann_cosine_topk",
     "embedding_near_dup_lsh",
-    # token-explode-heavy newcomer AFTER the dedup/vector block so its
-    # heap churn doesn't inflate the r1-comparable numbers above
+    # round-2 newcomers AFTER the full r1-comparable prefix: their heap
+    # churn measurably inflates the dedup/vector block when interleaved
+    # (minhash 1.34 s with the r1 ordering vs 2.7 s with four extra
+    # queries run before it — same code, same data)
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q19_disjunctive_revenue",
+    "incremental_rollup",
     "tfidf_top_terms",
     # Python-worker query LAST: applyInPandas spins up 32 Python workers
     # and leaves GC pressure that inflates the next JVM-only query by
@@ -97,6 +99,19 @@ def main() -> None:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
+    # round-1 headline set (BENCH_r01.json keys) — reported as a
+    # like-for-like subtotal so cross-round totals stay comparable as
+    # the headline list grows
+    r1_keys = {
+        "flagship_order_lifecycle", "work_table_build", "m5_child_rollup",
+        "m1_dedup_latest", "f2_explode_roundtrip", "pricing_summary",
+        "q3_shipping_priority", "q5_nation_revenue",
+        "q13_order_count_distribution", "q18_big_spenders",
+        "window_running_sum", "sessionize", "event_value_quantiles",
+        "skew_salted_agg", "dedup_exact", "corpus_clean",
+        "dedup_minhash_lsh", "text_profile", "top_tokens_per_lang",
+        "ann_cosine_topk", "embedding_near_dup_lsh", "grouped_pandas_stats",
+    }
     print(
         json.dumps(
             {
@@ -105,6 +120,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_val,
+                "r1_subset_wall": round(
+                    sum(v for k, v in timings.items() if k in r1_keys), 3
+                ),
+                "n_queries": len(timings),
             }
         )
     )
