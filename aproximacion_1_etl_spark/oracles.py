@@ -1180,6 +1180,24 @@ SELECT event_id,
        CAST(props->>'k' AS BIGINT) AS k_val
 FROM events
 """,
+    "variant_props": """
+SELECT event_id,
+       CAST(props->>'k' AS BIGINT) AS k_val,
+       (props->>'k') IS NOT NULL AS has_k
+FROM events
+""",
+    "listagg_statuses": """
+SELECT o_custkey,
+       string_agg(o_orderstatus, ','
+                  ORDER BY o_orderdate, o_orderkey) AS status_seq
+FROM orders GROUP BY 1
+""",
+    "unpivot_status_counts": """
+SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders
+FROM orders
+WHERE o_orderstatus IN ('F', 'O', 'P')
+GROUP BY 1, 2
+""",
     "repetition_profile": """
 WITH sh AS (
   SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle

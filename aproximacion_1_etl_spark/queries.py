@@ -2205,6 +2205,55 @@ def q_map_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT surface (Spark 4): parse_json ->
+    variant_get path extraction — schema-on-read without declaring a
+    struct/map, the engine's answer to evolving JSON payloads."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'bigint')")
+    return ev.select(
+        "event_id",
+        k.alias("k_val"),
+        k.isNotNull().alias("has_k"),
+    )
+
+
+def q_listagg_statuses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """listagg WITHIN GROUP (ordered string aggregation): each
+    customer's order-status history as one ordered CSV string."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.expr(
+            "listagg(o_orderstatus, ',') "
+            "within group (order by o_orderdate, o_orderkey)"
+        ).alias("status_seq")
+    )
+
+
+def q_unpivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pivot -> unpivot roundtrip: per-priority status counts widened
+    to columns (pivot) then melted back to long form (unpivot/melt) —
+    both reshape directions of the engine."""
+    o = load_table(spark, sf_dir, "orders")
+    statuses = ["F", "O", "P"]
+    wide = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", statuses)
+        .agg(F.count(F.lit(1)))
+    )
+    return (
+        wide.unpivot(
+            ["o_orderpriority"], statuses, "o_orderstatus", "n_orders"
+        )
+        .filter(F.col("n_orders").isNotNull())
+        .select(
+            "o_orderpriority",
+            "o_orderstatus",
+            F.col("n_orders").cast("bigint").alias("n_orders"),
+        )
+    )
+
+
 # ------------------------------------------------- round-2 window extras
 
 
@@ -2379,4 +2428,7 @@ ALL_QUERIES = {
     "session_window_rollup": q_session_window_rollup,
     "length_histogram": q_length_histogram,
     "map_props": q_map_props,
+    "variant_props": q_variant_props,
+    "listagg_statuses": q_listagg_statuses,
+    "unpivot_status_counts": q_unpivot_status_counts,
 }
