@@ -1180,6 +1180,36 @@ SELECT event_id,
        CAST(props->>'k' AS BIGINT) AS k_val
 FROM events
 """,
+    "near_dup_verified": "WITH "
+    + _SHINGLES_SQL
+    + """,
+sig AS (
+  SELECT doc_id, b,
+         min(substr(md5(CAST(b // 4 AS VARCHAR) || ':' || shingle),
+                    1 + 8 * (b % 4), 8)) AS s
+  FROM shingles, (SELECT unnest(generate_series(0, 7)) AS b)
+  GROUP BY 1, 2),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sig a JOIN sig b ON a.b = b.b AND a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING count(*) >= 2),
+sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY 1),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+  FROM cand c
+  JOIN shingles sa ON sa.doc_id = c.doc_a
+  JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       floor(floor(n_inter / CAST(za.sz + zb.sz - n_inter AS DOUBLE)
+                   * 1000000.0 + 0.5) / 1000000.0 * 10000.0 + 0.5)
+         / 10000.0 AS jaccard
+FROM inter
+JOIN sizes za ON inter.doc_a = za.doc_id
+JOIN sizes zb ON inter.doc_b = zb.doc_id
+WHERE floor(n_inter / CAST(za.sz + zb.sz - n_inter AS DOUBLE)
+            * 1000000.0 + 0.5) / 1000000.0 >= 0.6
+""",
     "variant_props": """
 SELECT event_id,
        CAST(props->>'k' AS BIGINT) AS k_val,

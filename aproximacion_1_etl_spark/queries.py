@@ -2205,6 +2205,53 @@ def q_map_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_near_dup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 composite: the canonical two-stage near-dup pipeline at
+    scale — MinHash-LSH candidate generation (sub-quadratic) followed
+    by exact 3-gram Jaccard verification computed ONLY for candidate
+    pairs. The verify join fans each candidate pair out to its shingle
+    intersections; cost is |candidates| x avg-shingles, never
+    |docs|^2."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(word_shingles(docs, distinct=False))
+    cands = minhash_candidate_pairs(sigs, min_matching_bands=2)
+    sh = word_shingles(docs, distinct=True)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    sa = sh.select(F.col("doc_id").alias("a_id"), F.col("shingle").alias("a_sh"))
+    sb = sh.select(F.col("doc_id").alias("b_id"), F.col("shingle").alias("b_sh"))
+    inter = (
+        cands.join(sa, cands["doc_a"] == sa["a_id"])
+        .join(sb, (cands["doc_b"] == sb["b_id"]) & (F.col("a_sh") == F.col("b_sh")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    za = sizes.select(F.col("doc_id").alias("za_id"), F.col("sz").alias("sz_a"))
+    zb = sizes.select(F.col("doc_id").alias("zb_id"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(F.broadcast(za), inter["doc_a"] == za["za_id"])
+        .join(F.broadcast(zb), inter["doc_b"] == zb["zb_id"])
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.floor(
+                    F.col("n_inter")
+                    / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter"))
+                    * F.lit(1000000.0)
+                    + F.lit(0.5)
+                )
+                / F.lit(1000000.0)
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.6)
+        .select(
+            "doc_a",
+            "doc_b",
+            _fround(F.col("jaccard"), 4).alias("jaccard"),
+        )
+    )
+
+
 def q_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured VARIANT surface (Spark 4): parse_json ->
     variant_get path extraction — schema-on-read without declaring a
@@ -2431,4 +2478,5 @@ ALL_QUERIES = {
     "variant_props": q_variant_props,
     "listagg_statuses": q_listagg_statuses,
     "unpivot_status_counts": q_unpivot_status_counts,
+    "near_dup_verified": q_near_dup_verified,
 }
