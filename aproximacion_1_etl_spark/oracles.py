@@ -1330,4 +1330,77 @@ FROM (SELECT *, row_number() OVER (
       FROM scored)
 WHERE rank <= 5
 """,
+    "q2_min_cost_supplier": """
+WITH eu AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'),
+psel AS (SELECT p_partkey, p_type FROM part
+         WHERE p_type = 'LARGE' AND p_size < 26),
+cost AS (
+  SELECT p_partkey, s_suppkey, min(l_extendedprice) AS cost
+  FROM lineitem
+  JOIN eu ON l_suppkey = s_suppkey
+  JOIN psel ON l_partkey = p_partkey
+  GROUP BY 1, 2),
+best AS (SELECT p_partkey, min(cost) AS mn FROM cost GROUP BY 1)
+SELECT eu.s_acctbal, eu.s_name, eu.n_name, c.p_partkey, psel.p_type,
+       floor(c.cost * 100.0 + 0.5) / 100.0 AS supply_cost
+FROM cost c
+JOIN best b ON c.p_partkey = b.p_partkey AND c.cost = b.mn
+JOIN eu ON c.s_suppkey = eu.s_suppkey
+JOIN psel ON c.p_partkey = psel.p_partkey
+""",
+    "q9_product_profit": """
+SELECT n_name AS nation, CAST(year(l_shipdate) AS INT) AS o_year,
+       floor(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(30,8))) AS DOUBLE)
+             * 100.0 + 0.5) / 100.0 AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%red%'
+GROUP BY 1, 2
+""",
+    "q11_part_value": """
+WITH nat AS (
+  SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_9'),
+val AS (
+  SELECT l_partkey,
+         sum(CAST(l_extendedprice * l_quantity AS DECIMAL(30,8))) AS v
+  FROM lineitem WHERE l_suppkey IN (SELECT s_suppkey FROM nat)
+  GROUP BY 1),
+tot AS (SELECT CAST(sum(v) AS DOUBLE) AS t FROM val)
+SELECT l_partkey,
+       floor(CAST(v AS DOUBLE) * 100.0 + 0.5) / 100.0 AS part_value
+FROM val, tot
+WHERE CAST(v AS DOUBLE) > t * 0.0001
+""",
+    "dup_clusters": "WITH RECURSIVE "
+    + _SHINGLES_SQL.strip()
+    + """,
+sig AS (
+  SELECT doc_id, b,
+         min(substr(md5(CAST(b // 4 AS VARCHAR) || ':' || shingle),
+                    1 + 8 * (b % 4), 8)) AS s
+  FROM shingles, (SELECT unnest(generate_series(0, 7)) AS b)
+  GROUP BY 1, 2),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sig a JOIN sig b ON a.b = b.b AND a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING count(*) >= 2),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM cand
+  UNION ALL
+  SELECT doc_b, doc_a FROM cand),
+reach(id, r) AS (
+  SELECT src, src FROM edges GROUP BY 1, 2
+  UNION
+  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.id)
+SELECT id AS doc_id, min(r) AS cluster_id, (id = min(r)) AS keep
+FROM reach GROUP BY id
+""",
 }

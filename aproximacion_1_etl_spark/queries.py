@@ -59,6 +59,7 @@ from aproximacion_1_etl_spark.text.analysis import (
     token_count,
 )
 from aproximacion_1_etl_spark.text.dedup import (
+    dedup_clusters,
     exact_dedup,
     minhash_candidate_pairs,
     minhash_signatures,
@@ -2364,6 +2365,171 @@ def q_window_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-style (adapted: testdata has no partsupp, so supply
+    cost(part, supplier) = the minimum extendedprice the pair ever
+    traded at in lineitem): for LARGE parts of size < 26, keep only the
+    EUROPE supplier(s) offering the per-part minimum cost — the
+    correlated-min subquery shape, de-correlated into a per-part min
+    aggregate + equality join (Catalyst's own strategy for Q2).
+    Region/nation/part filters are applied BEFORE the lineitem
+    aggregate so the big scan reduces early; dimension sides broadcast.
+    Reference parity: joins of this shape are the SP layer's key-equi
+    pattern (DAG_cloudrun_dataflow_sp.py:146-191)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    p = load_table(spark, sf_dir, "part")
+    eu = (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(
+            F.broadcast(r.filter(F.col("r_name") == "EUROPE")),
+            n["n_regionkey"] == r["r_regionkey"],
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    psel = p.filter(
+        (F.col("p_type") == "LARGE") & (F.col("p_size") < 26)
+    ).select("p_partkey", "p_type")
+    cost = (
+        li.join(F.broadcast(eu), li["l_suppkey"] == eu["s_suppkey"])
+        .join(F.broadcast(psel), li["l_partkey"] == psel["p_partkey"])
+        .groupBy("p_partkey", "s_suppkey")
+        .agg(F.min("l_extendedprice").alias("cost"))
+    )
+    # Per-part min via a window over the aggregate's own partitioning
+    # (one shuffle on p_partkey) instead of a second groupBy + self
+    # equi-join — audited: 2 exchanges total vs 5 for the join form.
+    mn = F.min("cost").over(Window.partitionBy("p_partkey"))
+    return (
+        cost.withColumn("mn", mn)
+        .filter(F.col("cost") == F.col("mn"))
+        .join(F.broadcast(eu), "s_suppkey")
+        .join(F.broadcast(psel), "p_partkey")
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_type",
+            _fround(F.col("cost"), 2).alias("supply_cost"),
+        )
+    )
+
+
+def q_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-style (adapted: profit = discounted revenue, no
+    supplycost in testdata): per (supplier nation, ship year) profit
+    over parts whose name contains 'red' — the classic star join
+    (fact x 2 small dims broadcast) feeding a two-key aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    pn = p.filter(F.col("p_name").contains("red")).select("p_partkey")
+    sn = s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"]).select(
+        "s_suppkey", "n_name"
+    )
+    return (
+        li.join(F.broadcast(pn), li["l_partkey"] == pn["p_partkey"])
+        .join(F.broadcast(sn), li["l_suppkey"] == sn["s_suppkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").alias("o_year"),
+        )
+        .agg(
+            _dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("sum_profit")
+        )
+    )
+
+
+def q_q11_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-style (adapted: part 'stock value' = sum of
+    extendedprice x quantity traded by NATION_9 suppliers): keep parts
+    whose value exceeds 0.01% of the national total — a global scalar
+    subquery broadcast against the per-part aggregate. The threshold
+    compare happens on exact decimal sums cast to double (identically
+    in the oracle) BEFORE display rounding, so the cut is
+    engine-stable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    nat = (
+        s.join(
+            F.broadcast(n.filter(F.col("n_name") == "NATION_9")),
+            s["s_nationkey"] == n["n_nationkey"],
+        )
+        .select("s_suppkey")
+    )
+    val = (
+        li.join(F.broadcast(nat), li["l_suppkey"] == nat["s_suppkey"], "left_semi")
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * F.col("l_quantity")).cast(
+                    "decimal(30,8)"
+                )
+            ).alias("v")
+        )
+    )
+    tot = val.agg(F.sum("v").cast("double").alias("t"))
+    return (
+        val.join(F.broadcast(tot))
+        .filter(F.col("v").cast("double") > F.col("t") * 0.0001)
+        .select(
+            "l_partkey",
+            _fround(F.col("v").cast("double"), 2).alias("part_value"),
+        )
+    )
+
+
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10: near-dup CLUSTER assignment — MinHash-LSH candidate pairs
+    (as in near_dup_verified) closed under transitivity via iterative
+    min-label connected components, yielding (doc_id, cluster_id, keep)
+    where exactly one doc per cluster is kept. This is the decision
+    step of corpus dedup: A~B and B~C collapse to one kept doc even
+    when A~C never met in any LSH bucket."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(word_shingles(docs, distinct=False))
+    cands = minhash_candidate_pairs(sigs, min_matching_bands=2)
+    return dedup_clusters(cands)
+
+
+def q_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 mergeable-sketch distinct counts (rows-only: estimates are
+    engine-specific): per-source HyperLogLog sketches over document
+    user-facing tokens, merged with hll_union_agg into a corpus-wide
+    estimate WITHOUT re-scanning — the map-side-combinable sketch
+    pattern that replaces count(DISTINCT) at 100 TB, where the exact
+    form needs a full shuffle of every distinct value. Accuracy vs
+    exact is pytest-gated (test_text_vector)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    per_source = toks.groupBy("source").agg(
+        F.hll_sketch_agg("tok").alias("sk"),
+        F.count("*").alias("n_tokens"),
+    )
+    return per_source.select(
+        "source",
+        "n_tokens",
+        F.hll_sketch_estimate("sk").alias("approx_distinct_toks"),
+    ).unionByName(
+        per_source.agg(
+            F.lit("ALL").alias("source"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias(
+                "approx_distinct_toks"
+            ),
+        )
+    )
+
+
 ALL_QUERIES = {
     "flagship_order_lifecycle": q_flagship_order_lifecycle,
     "work_table_build": q_work_table_build,
@@ -2479,4 +2645,9 @@ ALL_QUERIES = {
     "listagg_statuses": q_listagg_statuses,
     "unpivot_status_counts": q_unpivot_status_counts,
     "near_dup_verified": q_near_dup_verified,
+    "q2_min_cost_supplier": q_q2_min_cost_supplier,
+    "q9_product_profit": q_q9_product_profit,
+    "q11_part_value": q_q11_part_value,
+    "dup_clusters": q_dup_clusters,
+    "hll_sketch_union": q_hll_sketch_union,
 }

@@ -337,3 +337,72 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup candidate pairs: every doc in
+    a pair gets a ``cluster_id`` = the smallest doc id reachable through
+    the pair graph, plus ``keep`` marking the one representative per
+    cluster. This is the step that turns pairwise near-dup evidence
+    into an actual dedup decision (drop all ``keep = false`` rows) —
+    transitive closure matters because A~B and B~C must collapse to ONE
+    kept doc even when A~C was never a candidate pair.
+
+    Iterative min-label propagation: each round every node adopts
+    ``min(own label, neighbour labels)``; converges in O(graph
+    diameter) rounds. Near-dup graphs are overwhelmingly tiny cliques
+    and short chains (diameter 2-4), so the loop exits after a handful
+    of rounds long before ``max_iters`` — checked per round with a
+    cheap ``changed == 0`` aggregate. Each round's labels are
+    ``localCheckpoint``-ed: the lineage would otherwise double per
+    round (label join re-derives all prior rounds), which at 100 TB
+    means re-running the whole LSH pipeline once per iteration. For
+    graphs with genuinely long chains, swap the propagation step for
+    the large-star/small-star algorithm (Kiveris et al., "Connected
+    Components in MapReduce") — same per-round join shape, O(log^2 n)
+    rounds.
+    """
+    sym = pairs.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    ).union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+    sym = sym.repartition(
+        pairs.sparkSession.sparkContext.defaultParallelism, "src"
+    ).localCheckpoint()
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("label"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        nbr = (
+            sym.join(labels, sym["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr, labels["id"] == nbr["src"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_min", F.col("label"))
+                ).alias("label"),
+                (F.col("nbr_min") < F.col("label")).alias("changed"),
+            )
+            .localCheckpoint()
+        )
+        labels = new_labels.select("id", "label")
+        if (
+            new_labels.filter(F.col("changed")).limit(1).count() == 0
+        ):
+            break
+    return labels.select(
+        F.col("id").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        (F.col("id") == F.col("label")).alias("keep"),
+    )

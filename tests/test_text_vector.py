@@ -157,3 +157,34 @@ def test_kmeans_ivf_training_reduces_error_deterministically(spark, sf_dir):
     # deterministic: same input -> identical codebook
     again = train_ivf_centroids(emb, n_centroids=8, iterations=3)
     assert trained == again
+
+
+def test_dedup_clusters_transitive_closure(spark):
+    # chain A-B, B-C plus isolated pair D-E: A,B,C must share one
+    # cluster (min id 0) with exactly one keeper, even though A-C was
+    # never a pair.
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11)], ["doc_a", "doc_b"]
+    )
+    from aproximacion_1_etl_spark.text.dedup import dedup_clusters
+
+    out = {r["doc_id"]: (r["cluster_id"], r["keep"])
+           for r in dedup_clusters(pairs).collect()}
+    assert out == {
+        0: (0, True), 1: (0, False), 2: (0, False),
+        10: (10, True), 11: (10, False),
+    }
+
+
+def test_hll_union_estimate_close_to_exact(spark, sf_dir):
+    from aproximacion_1_etl_spark.queries import q_hll_sketch_union
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    exact = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .agg(F.count_distinct("tok"))
+        .collect()[0][0]
+    )
+    rows = {r["source"]: r for r in q_hll_sketch_union(spark, sf_dir).collect()}
+    est = rows["ALL"]["approx_distinct_toks"]
+    assert abs(est - exact) <= max(2, 0.05 * exact)
