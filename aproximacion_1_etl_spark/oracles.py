@@ -1403,4 +1403,92 @@ reach(id, r) AS (
 SELECT id AS doc_id, min(r) AS cluster_id, (id = min(r)) AS keep
 FROM reach GROUP BY id
 """,
+    "gap_fill_daily": """
+WITH ev AS (SELECT * FROM events WHERE user_id < 20),
+daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n_events
+  FROM ev GROUP BY 1, 2),
+lastt AS (
+  SELECT user_id, day, event_type AS last_type FROM (
+    SELECT user_id, CAST(ts AS DATE) AS day, event_type,
+           row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM ev) WHERE rn = 1),
+span AS (SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1 FROM ev),
+days AS (SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+         FROM span),
+spine AS (SELECT u.user_id, d.day
+          FROM (SELECT DISTINCT user_id FROM ev) u CROSS JOIN days d)
+SELECT s.user_id,
+       strftime(s.day, '%Y-%m-%d') AS day,
+       CAST(coalesce(dd.n_events, 0) AS BIGINT) AS n_events,
+       last_value(l.last_type IGNORE NULLS) OVER (
+         PARTITION BY s.user_id ORDER BY s.day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carried_type
+FROM spine s
+LEFT JOIN daily dd ON s.user_id = dd.user_id AND s.day = dd.day
+LEFT JOIN lastt l ON s.user_id = l.user_id AND s.day = l.day
+""",
+    "anomaly_zscore": """
+WITH stats AS (
+  SELECT user_id,
+         CAST(sum(CAST(value AS DECIMAL(30,8))) AS DOUBLE) / count(*) AS mu0,
+         CAST(sum(CAST(value * value AS DECIMAL(30,8))) AS DOUBLE) / count(*) AS m2
+  FROM events GROUP BY 1),
+s2 AS (SELECT user_id, mu0 AS mu, sqrt(m2 - mu0 * mu0) AS sigma FROM stats)
+SELECT event_id, e.user_id,
+       floor(value * 100.0 + 0.5) / 100.0 AS value,
+       floor((value - mu) / sigma * 1000.0 + 0.5) / 1000.0 AS z
+FROM events e JOIN s2 ON e.user_id = s2.user_id
+WHERE abs(floor((value - mu) / sigma * 1000.0 + 0.5) / 1000.0) > 2.0
+""",
+    "haversine_nearest": """
+WITH fac AS (
+  SELECT n_name AS f_name,
+         -60.0 + n_nationkey * 4.8 AS f_lat,
+         -170.0 + n_nationkey * 13.7 AS f_lon
+  FROM nation),
+cust AS (
+  SELECT c_custkey,
+         -55.0 + CAST(c_custkey % 110 AS DOUBLE) AS c_lat,
+         -180.0 + CAST((c_custkey * 7) % 360 AS DOUBLE) AS c_lon
+  FROM customer WHERE c_custkey % 10 = 0),
+d AS (
+  SELECT c_custkey, f_name,
+         floor(12742.0 * asin(sqrt(
+           sin(radians(f_lat - c_lat) / 2) * sin(radians(f_lat - c_lat) / 2)
+           + cos(radians(c_lat)) * cos(radians(f_lat))
+             * sin(radians(f_lon - c_lon) / 2) * sin(radians(f_lon - c_lon) / 2)
+         )) * 10.0 + 0.5) / 10.0 AS dist_km
+  FROM cust CROSS JOIN fac)
+SELECT c_custkey, f_name, dist_km FROM (
+  SELECT *, row_number() OVER (PARTITION BY c_custkey
+                               ORDER BY dist_km ASC, f_name ASC) AS rn
+  FROM d) WHERE rn = 1
+""",
+    "cohort_retention": """
+WITH o AS (
+  SELECT o_custkey, date_trunc('month', o_orderdate) AS om FROM orders),
+first AS (SELECT o_custkey, min(om) AS cohort FROM o GROUP BY 1)
+SELECT strftime(cohort, '%Y-%m') AS cohort_month,
+       CAST(datediff('month', cohort, om) AS INT) AS months_since,
+       CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_customers
+FROM o JOIN first ON o.o_custkey = first.o_custkey
+WHERE datediff('month', cohort, om) <= 6
+GROUP BY 1, 2
+""",
+    "event_funnel": """
+WITH v AS (
+  SELECT user_id, min(ts) AS v_ts FROM events
+  WHERE event_type = 'view' GROUP BY 1),
+c AS (
+  SELECT e.user_id, min(ts) AS c_ts FROM events e JOIN v USING (user_id)
+  WHERE event_type = 'click' AND ts > v_ts GROUP BY 1),
+p AS (
+  SELECT e.user_id, min(ts) AS p_ts FROM events e JOIN c USING (user_id)
+  WHERE event_type = 'purchase' AND ts > c_ts GROUP BY 1)
+SELECT '1_view' AS stage, count(*) AS n_users FROM v
+UNION ALL SELECT '2_click', count(*) FROM c
+UNION ALL SELECT '3_purchase', count(*) FROM p
+""",
 }

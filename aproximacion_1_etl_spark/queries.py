@@ -2530,6 +2530,175 @@ def q_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample (§2.6 extension): per-user daily event counts
+    over the full calendar span, zero-filled for missing days, with the
+    last-seen event_type carried forward (last IGNORE NULLS).
+
+    Scale shape: the day spine is tiny (span in days) and the per-user
+    daily aggregate reduces before the spine join, so the only full
+    shuffle is the groupBy on (user_id, day); the spine is broadcast.
+    """
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 20)
+    day = F.to_date("ts").alias("day")
+    daily = ev.groupBy("user_id", day).agg(F.count("*").alias("n_events"))
+    w_last = Window.partitionBy("user_id", F.to_date("ts")).orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    lastt = (
+        ev.select("user_id", day, "event_type", F.row_number().over(w_last).alias("rn"))
+        .where("rn = 1")
+        .select("user_id", "day", F.col("event_type").alias("last_type"))
+    )
+    span = ev.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    days = span.select(F.explode(F.sequence("d0", "d1")).alias("day"))
+    users = ev.select("user_id").distinct()
+    spine = users.crossJoin(F.broadcast(days))
+    filled = spine.join(daily, ["user_id", "day"], "left").join(
+        lastt, ["user_id", "day"], "left"
+    )
+    w_ff = Window.partitionBy("user_id").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return filled.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
+        F.last("last_type", ignorenulls=True).over(w_ff).alias("carried_type"),
+    )
+
+
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key z-score outlier flagging (§2.6 extension): events whose
+    value deviates > 2 population standard deviations from their user's
+    mean. Two-pass agg + broadcast join-back instead of a whole-partition
+    window: the aggregate reduces 10 k rows/user to one stats row, so at
+    100 TB the second pass is a broadcast hash join, not a re-shuffle of
+    every event into user-partitions. Moments use decimal-cast sums so
+    the mean/variance are summation-order independent (oracle parity)."""
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(30,8)")).alias("s1"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(30,8)")).alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n")
+    var = F.col("s2").cast("double") / F.col("n") - mean * mean
+    stats = stats.select(
+        "user_id", mean.alias("mu"), F.sqrt(var).alias("sigma")
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        ev.join(F.broadcast(stats), "user_id")
+        .select(
+            "event_id",
+            "user_id",
+            _fround(F.col("value"), 2).alias("value"),
+            _fround(z, 3).alias("z"),
+        )
+        .where(F.abs(F.col("z")) > 2.0)
+    )
+
+
+def q_haversine_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geo nearest-facility assignment (reference stores per-order
+    geo_location lat/lon, app.py:48): each customer (synthetic
+    deterministic coordinates) is matched to its closest facility
+    (one per nation) by haversine distance. Broadcast the 25-row
+    facility dim -> the cross product never shuffles the big side;
+    distance math is all JVM-side built-ins (whole-stage codegen)."""
+    nation = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("f_key"),
+        F.col("n_name").alias("f_name"),
+        (F.lit(-60.0) + F.col("n_nationkey") * F.lit(4.8)).alias("f_lat"),
+        (F.lit(-170.0) + F.col("n_nationkey") * F.lit(13.7)).alias("f_lon"),
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") % 10 == 0)
+        .select(
+            "c_custkey",
+            (F.lit(-55.0) + (F.col("c_custkey") % 110).cast("double")).alias("c_lat"),
+            (F.lit(-180.0) + ((F.col("c_custkey") * 7) % 360).cast("double")).alias(
+                "c_lon"
+            ),
+        )
+    )
+    joined = cust.crossJoin(F.broadcast(nation))
+    sdlat = F.sin(F.radians(F.col("f_lat") - F.col("c_lat")) / 2)
+    sdlon = F.sin(F.radians(F.col("f_lon") - F.col("c_lon")) / 2)
+    a = sdlat * sdlat + F.cos(F.radians("c_lat")) * F.cos(F.radians("f_lat")) * sdlon * sdlon
+    dist = _fround(F.lit(12742.0) * F.asin(F.sqrt(a)), 1)
+    ranked = joined.select("c_custkey", "f_name", dist.alias("dist_km"))
+    w = Window.partitionBy("c_custkey").orderBy(
+        F.col("dist_km").asc(), F.col("f_name").asc()
+    )
+    return ranked.withColumn("rn", F.row_number().over(w)).where("rn = 1").drop("rn")
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix (§2.6 extension): customers grouped by
+    first-order month, distinct actives per (cohort, months-since) for
+    the first 6 months. One agg to find cohorts + one shuffle join back
+    on the same key (co-partitioned at scale; broadcast when the cohort
+    dim fits)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.trunc("o_orderdate", "month").alias("om")
+    )
+    first = o.groupBy("o_custkey").agg(F.min("om").alias("cohort"))
+    m = F.months_between(F.col("om"), F.col("cohort")).cast("int")
+    return (
+        o.join(first, "o_custkey")
+        .select(
+            "o_custkey",
+            F.date_format("cohort", "yyyy-MM").alias("cohort_month"),
+            m.alias("months_since"),
+        )
+        .where(F.col("months_since") <= 6)
+        .groupBy("cohort_month", "months_since")
+        .agg(F.count_distinct("o_custkey").alias("n_customers"))
+    )
+
+
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered event funnel (§2.6 extension): users who viewed, then
+    clicked AFTER their first view, then purchased AFTER that first
+    click. Each stage is a keyed min-aggregate joined to the previous
+    stage's frontier — three reduces on the same key (AQE co-partitions
+    them; no per-user window over the raw event stream needed)."""
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    spark_rows = [
+        v.agg(F.lit("1_view").alias("stage"), F.count("*").alias("n_users")),
+        c.agg(F.lit("2_click").alias("stage"), F.count("*").alias("n_users")),
+        p.agg(F.lit("3_purchase").alias("stage"), F.count("*").alias("n_users")),
+    ]
+    out = spark_rows[0]
+    for r in spark_rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
 ALL_QUERIES = {
     "flagship_order_lifecycle": q_flagship_order_lifecycle,
     "work_table_build": q_work_table_build,
@@ -2650,4 +2819,9 @@ ALL_QUERIES = {
     "q11_part_value": q_q11_part_value,
     "dup_clusters": q_dup_clusters,
     "hll_sketch_union": q_hll_sketch_union,
+    "gap_fill_daily": q_gap_fill_daily,
+    "anomaly_zscore": q_anomaly_zscore,
+    "haversine_nearest": q_haversine_nearest,
+    "cohort_retention": q_cohort_retention,
+    "event_funnel": q_event_funnel,
 }
