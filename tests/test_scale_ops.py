@@ -172,3 +172,62 @@ def test_compact_table_reduces_files(spark, sf_dir):
     after = len(glob.glob(os.path.join(path, "*.parquet")))
     assert after <= 2
     assert spark.read.parquet(path).count() == total
+
+
+def test_sorted_layout_tightens_rowgroup_stats(spark, sf_dir):
+    """File layout is a first-class performance input (PERF.md): range-
+    partitioning + sorting on the filter key gives each file a narrow
+    min/max envelope, so a scan with a selective predicate skips most
+    row groups entirely. At 100 TB this is the difference between
+    reading 8 files and reading 8,000."""
+    import datetime
+    import glob
+
+    import pyarrow.parquet as pq
+
+    o = load_table(spark, sf_dir, "orders")
+    rnd = tempfile.mkdtemp(prefix="graft_layout_rnd_")
+    srt = tempfile.mkdtemp(prefix="graft_layout_srt_")
+    o.repartition(8).write.mode("overwrite").parquet(rnd)
+    (
+        o.repartitionByRange(8, "o_orderdate")
+        .sortWithinPartitions("o_orderdate")
+        .write.mode("overwrite")
+        .parquet(srt)
+    )
+
+    lo = datetime.datetime(1996, 1, 1)
+    hi = datetime.datetime(1996, 4, 1)
+
+    def overlapping_row_groups(path):
+        n_total = n_hit = 0
+        for f in glob.glob(path + "/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            for rg_i in range(md.num_row_groups):
+                rg = md.row_group(rg_i)
+                col = next(
+                    rg.column(i)
+                    for i in range(rg.num_columns)
+                    if rg.column(i).path_in_schema == "o_orderdate"
+                )
+                st = col.statistics
+                n_total += 1
+                if st.min <= hi and st.max >= lo:
+                    n_hit += 1
+        return n_hit, n_total
+
+    hit_rnd, tot_rnd = overlapping_row_groups(rnd)
+    hit_srt, tot_srt = overlapping_row_groups(srt)
+    # random layout: every row group spans the full date range
+    assert hit_rnd == tot_rnd >= 8
+    # sorted layout: the predicate touches only the envelope that
+    # actually contains 1996 Q1 (orders span ~6.5 years -> 1 of 8)
+    assert hit_srt <= max(1, tot_srt // 4), (hit_srt, tot_srt)
+
+    pred = (F.col("o_orderdate") >= F.lit(lo)) & (F.col("o_orderdate") < F.lit(hi))
+    back = spark.read.parquet(srt).filter(pred)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        back.explain(mode="formatted")
+    assert "PushedFilters" in buf.getvalue()
+    assert back.count() == o.filter(pred).count()
