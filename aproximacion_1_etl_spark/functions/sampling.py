@@ -84,6 +84,46 @@ def split_column(
     return (last if expr is None else expr.otherwise(last)).alias(name)
 
 
+def weighted_sample_topk(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    strata_col: str | None = None,
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis–Spirtes A-ES): each row gets score = u^(1/w) with u a
+    hash-derived uniform in (0,1], and the k highest scores win — rows
+    with larger ``weight_col`` are proportionally more likely to be
+    kept. The standard tool for importance-weighted data mixing in
+    training pipelines (upweight long/high-quality documents without a
+    multi-pass resample).
+
+    Scale shape: the score is a narrow per-row expression; selection is
+    one top-k (per stratum when ``strata_col`` is given) — a single
+    shuffle on the stratum key with map-side partial top-k via
+    window + filter under AQE. Determinism: u comes from the same
+    md5-prefix trick as ``deterministic_sample`` so every engine and
+    every run picks the identical sample.
+    """
+    u = (F.conv(_hash_prefix(F.col(key_col)), 16, 10).cast("double") + 1) / (
+        _SPACE + 1
+    )
+    w = F.greatest(F.col(weight_col).cast("double"), F.lit(1.0))
+    scored = df.withColumn("sample_score", F.pow(u, 1.0 / w))
+    from pyspark.sql import Window
+
+    parts = [strata_col] if strata_col else []
+    win = Window.partitionBy(*parts).orderBy(
+        F.col("sample_score").desc(), F.col(key_col).asc()
+    )
+    return (
+        scored.withColumn("sample_rank", F.row_number().over(win))
+        .filter(F.col("sample_rank") <= k)
+        .drop("sample_rank")
+    )
+
+
 def stratified_sample(
     df: DataFrame, key_col: str, strata_col: str, rates: dict[str, float]
 ) -> DataFrame:

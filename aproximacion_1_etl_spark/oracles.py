@@ -1491,4 +1491,31 @@ SELECT '1_view' AS stage, count(*) AS n_users FROM v
 UNION ALL SELECT '2_click', count(*) FROM c
 UNION ALL SELECT '3_purchase', count(*) FROM p
 """,
+    "weighted_sample": """
+WITH s AS (
+  SELECT lang, doc_id,
+         pow((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) + 1)
+               / 65537.0,
+             1.0 / greatest(CAST(n_chars AS DOUBLE), 1.0)) AS sample_score
+  FROM documents)
+SELECT lang, doc_id,
+       floor(sample_score * 1000000.0 + 0.5) / 1000000.0 AS score
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY lang ORDER BY sample_score DESC, doc_id ASC) AS rn
+      FROM s)
+WHERE rn <= 25
+""",
+    "inverted_index": """
+WITH toks AS (
+  SELECT DISTINCT doc_id, t.token
+  FROM (SELECT doc_id,
+               unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+        FROM documents) t
+  WHERE length(token) >= 3)
+SELECT token,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+       array_to_string(list_sort(list(DISTINCT doc_id))[1:10], ',') AS postings
+FROM toks GROUP BY 1
+HAVING count(DISTINCT doc_id) >= 50
+""",
 }

@@ -2699,6 +2699,56 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 importance-weighted data mixing: A-ES weighted sampling
+    without replacement — top 25 documents per language, selection
+    probability proportional to length (functions/sampling.py::
+    weighted_sample_topk). Deterministic by key hash, so the oracle
+    reproduces the identical sample."""
+    from aproximacion_1_etl_spark.functions.sampling import (
+        weighted_sample_topk,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    picked = weighted_sample_topk(
+        docs, key_col="doc_id", weight_col="n_chars", k=25, strata_col="lang"
+    )
+    return picked.select(
+        "lang", "doc_id", _fround(F.col("sample_score"), 6).alias("score")
+    )
+
+
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build (posting lists) over the document corpus:
+    token -> document frequency + the first 10 posting doc_ids. The
+    exploded (token, doc) stream reduces map-side before the single
+    shuffle on token; posting arrays are bounded with slice so no
+    unbounded collect_set blows executor memory at 100 TB (cap BEFORE
+    materializing would use a windowed top-k at real scale)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
+            )
+        ).alias("token"),
+    ).where(F.length("token") >= 3)
+    return (
+        toks.groupBy("token")
+        .agg(
+            F.count_distinct("doc_id").alias("df"),
+            F.concat_ws(
+                ",",
+                F.slice(F.array_sort(F.collect_set("doc_id")), 1, 10).cast(
+                    "array<string>"
+                ),
+            ).alias("postings"),
+        )
+        .where(F.col("df") >= 50)
+    )
+
+
 ALL_QUERIES = {
     "flagship_order_lifecycle": q_flagship_order_lifecycle,
     "work_table_build": q_work_table_build,
@@ -2824,4 +2874,6 @@ ALL_QUERIES = {
     "haversine_nearest": q_haversine_nearest,
     "cohort_retention": q_cohort_retention,
     "event_funnel": q_event_funnel,
+    "weighted_sample": q_weighted_sample,
+    "inverted_index": q_inverted_index,
 }

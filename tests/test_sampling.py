@@ -73,3 +73,24 @@ def test_stratified_rates(spark, sf_dir):
     assert langs <= {"en"}  # es rate 0 and unlisted langs dropped
     n_en = docs.filter(F.col("lang") == "en").count()
     assert out.count() == n_en  # rate 1.0 keeps every row
+
+
+def test_weighted_sample_biases_toward_heavy_rows(spark):
+    """A-ES: with weights heavily skewed to one half of the keys, the
+    top-k should be dominated by heavy rows; sample is deterministic
+    across re-runs."""
+    from aproximacion_1_etl_spark.functions.sampling import (
+        weighted_sample_topk,
+    )
+
+    df = spark.range(0, 400).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") < 200, F.lit(1000.0)).otherwise(F.lit(1.0)).alias("w"),
+    )
+    picked = weighted_sample_topk(df, "k", "w", k=50)
+    rows = picked.collect()
+    assert len(rows) == 50
+    heavy = sum(1 for r in rows if r.k < 200)
+    assert heavy >= 45  # 1000x weight dominates the draw
+    again = {r.k for r in weighted_sample_topk(df, "k", "w", k=50).collect()}
+    assert again == {r.k for r in rows}

@@ -231,3 +231,45 @@ def test_sorted_layout_tightens_rowgroup_stats(spark, sf_dir):
         back.explain(mode="formatted")
     assert "PushedFilters" in buf.getvalue()
     assert back.count() == o.filter(pred).count()
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
+    """Runtime row-level filtering: with a selective dimension side,
+    Catalyst injects a bloom-filter aggregate on the build side and a
+    might_contain probe into the fact scan, so most fact rows are
+    dropped BEFORE the join shuffle. At 100 TB this cuts the shuffle
+    of the big side by the dimension's selectivity. (Thresholds are
+    lowered here because local test tables are tiny; on a real
+    cluster the 10 MB/10 GB defaults trigger it organically.)"""
+    conf = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in conf}
+    try:
+        for k, v in conf.items():
+            spark.conf.set(k, v)
+        o = load_table(spark, sf_dir, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = load_table(spark, sf_dir, "lineitem")
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n"))
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            j.explain(mode="formatted")
+        plan = buf.getvalue().lower()
+        assert "bloom_filter_agg" in plan and "might_contain" in plan, plan
+        rows = {r["o_orderpriority"]: r["n"] for r in j.collect()}
+        assert set(rows) == {"1-URGENT"} and rows["1-URGENT"] > 0
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
