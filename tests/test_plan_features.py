@@ -1,0 +1,113 @@
+"""Plan-level scale features: the engine leans on Catalyst/AQE for the
+behaviors that matter at 100 TB — runtime skew handling, nested-schema
+pruning, and shuffle reuse. These tests pin each one to the physical
+plan so a config or upgrade regression is caught, not guessed.
+(Complements tools/plan_audit.py, which tracks shuffle/broadcast counts
+for the query catalog.)"""
+
+import contextlib
+import io
+
+import pyspark.sql.functions as F
+
+from aproximacion_1_etl_spark.sources.tables import load_table
+
+
+def _with_conf(spark, conf):
+    saved = {k: spark.conf.get(k, None) for k in conf}
+    for k, v in conf.items():
+        spark.conf.set(k, v)
+    return saved
+
+
+def _restore(spark, saved):
+    for k, v in saved.items():
+        if v is None:
+            spark.conf.unset(k)
+        else:
+            spark.conf.set(k, v)
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """AQE skew-join is the zero-code path for skewed keys (manual
+    salting in operators/skew.py is the fallback for aggregations,
+    which AQE does not split). With one key owning half the rows, the
+    final plan must mark the sort-merge join's skewed partition as
+    split (skew=true). Thresholds are shrunk because test data is KB,
+    not the 256 MB-scale defaults."""
+    conf = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.shuffle.partitions": "64",
+    }
+    saved = _with_conf(spark, conf)
+    try:
+        big = spark.range(0, 400000).select(
+            F.when(F.col("id") % 2 == 0, F.lit(7))
+            .otherwise(F.col("id") % 1000)
+            .alias("k"),
+            F.col("id").alias("payload"),
+        )
+        dim = spark.range(0, 1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("attr")
+        )
+        j = big.join(dim, "k").groupBy().agg(F.count("*").alias("n"))
+        assert j.collect()[0]["n"] == 400000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+    finally:
+        _restore(spark, saved)
+
+
+def test_nested_schema_pruning_reaches_scan(spark, sf_dir, tmp_path):
+    """The reference's order record is deeply nested (~100 fields,
+    8 array-of-struct children). Reading one sub-field must prune the
+    rest at the parquet scan (ReadSchema carries only the selected
+    leaf), or every query pays the full nested width."""
+    o = load_table(spark, sf_dir, "orders")
+    nested = o.select(
+        "o_orderkey",
+        F.struct(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_totalprice").alias("totalprice"),
+            F.struct(F.col("o_orderpriority").alias("priority")).alias("meta"),
+        ).alias("info"),
+    )
+    path = str(tmp_path / "nested_orders")
+    nested.write.mode("overwrite").parquet(path)
+    back = spark.read.parquet(path).select(
+        "o_orderkey", F.col("info.meta.priority").alias("priority")
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        back.explain(mode="formatted")
+    plan = buf.getvalue()
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "priority" in read_schema
+    assert "totalprice" not in read_schema, read_schema
+    assert "status" not in read_schema, read_schema
+    assert back.count() == o.count()
+
+
+def test_self_referencing_plan_reuses_shuffle(spark, sf_dir):
+    """Share-of-total queries reference the same aggregate twice; Spark
+    must materialize that shuffle ONCE (ReusedExchange), not recompute
+    the upstream scan+agg per branch — at 100 TB recomputing the
+    aggregate doubles the job."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = li.groupBy("l_returnflag").agg(
+        F.sum(F.col("l_quantity").cast("decimal(30,8)")).alias("q")
+    )
+    tot = s.agg(F.sum("q").alias("t"))
+    out = s.crossJoin(tot).select(
+        "l_returnflag", (F.col("q") / F.col("t")).alias("share")
+    )
+    rows = out.collect()
+    assert abs(sum(float(r["share"]) for r in rows) - 1.0) < 1e-9
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan, plan
