@@ -1518,4 +1518,37 @@ SELECT token,
 FROM toks GROUP BY 1
 HAVING count(DISTINCT doc_id) >= 50
 """,
+    "chunk_documents": """
+WITH grid AS (
+  SELECT doc_id, lang, text,
+         CAST(unnest(generate_series(0,
+           CAST(greatest(ceil((n_chars - 400) / 300.0), 0) AS INT))) AS INT)
+           AS chunk_id
+  FROM documents)
+SELECT doc_id, lang, chunk_id,
+       CAST(chunk_id * 300 AS BIGINT) AS chunk_start,
+       CAST(length(substr(text, chunk_id * 300 + 1, 400)) AS BIGINT) AS chunk_len,
+       md5(substr(text, chunk_id * 300 + 1, 400)) AS chunk_hash
+FROM grid
+WHERE length(substr(text, chunk_id * 300 + 1, 400)) > 0
+""",
+    "pack_sequences": """
+WITH d AS (
+  SELECT doc_id, lang,
+         CAST(length(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents),
+b AS (
+  SELECT doc_id, lang, n_tokens,
+         CAST(floor(coalesce(sum(n_tokens) OVER (
+             PARTITION BY lang ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           / 4096.0) AS BIGINT) AS bin_id
+  FROM d)
+SELECT lang, bin_id,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+       min(doc_id) AS first_doc,
+       max(doc_id) AS last_doc
+FROM b GROUP BY 1, 2
+""",
 }

@@ -2749,6 +2749,75 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-pipeline chunking: split each document into fixed-size
+    character windows with 25% overlap (stride 300, width 400). The
+    chunk grid is computed per-row with sequence() + posexplode — a
+    narrow fan-out, no shuffle at all; at 100 TB chunking composes
+    with the scan and any downstream repartition is the consumer's
+    choice."""
+    docs = load_table(spark, sf_dir, "documents")
+    width, stride = 400, 300
+    offsets = F.sequence(
+        F.lit(0),
+        F.greatest(
+            F.ceil((F.col("n_chars") - width) / F.lit(float(stride))), F.lit(0)
+        ).cast("int"),
+    )
+    piece = F.substring(F.col("text"), F.col("chunk_id") * stride + 1, width)
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            "text",
+            F.posexplode(offsets).alias("chunk_id", "_i"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "chunk_id",
+            (F.col("chunk_id") * stride).cast("bigint").alias("chunk_start"),
+            F.length(piece).cast("bigint").alias("chunk_len"),
+            F.md5(piece).alias("chunk_hash"),
+        )
+        .where(F.col("chunk_len") > 0)
+    )
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing: assign documents (ordered by doc_id
+    within language) to fixed token-budget bins by running-sum
+    division — the deterministic streaming-pack used to batch training
+    sequences. One window pass (running sum) + one reduce per bin;
+    both engines compute the identical assignment because the order
+    and arithmetic are exact integers."""
+    budget = 4096
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    binned = docs.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        (F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / budget)
+        .cast("bigint")
+        .alias("bin_id"),
+    )
+    return binned.groupBy("lang", "bin_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("bin_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
 ALL_QUERIES = {
     "flagship_order_lifecycle": q_flagship_order_lifecycle,
     "work_table_build": q_work_table_build,
@@ -2876,4 +2945,6 @@ ALL_QUERIES = {
     "event_funnel": q_event_funnel,
     "weighted_sample": q_weighted_sample,
     "inverted_index": q_inverted_index,
+    "chunk_documents": q_chunk_documents,
+    "pack_sequences": q_pack_sequences,
 }
