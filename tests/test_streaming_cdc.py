@@ -69,3 +69,46 @@ def test_foreachbatch_upsert_accumulates(spark, sf_dir):
         (F.col("o_orderkey") % 3 == 0) & (F.col("o_orderkey") % 2 != 0)
     )
     assert only_f2.filter(F.col("o_orderstatus") != "X").count() == 0
+
+
+def test_available_now_checkpoint_resume_is_incremental(spark, sf_dir):
+    """The reference re-ingests its full 5-month corpus every day
+    (SURVEY.md §6); the Spark-native fix is Trigger.AvailableNow over
+    the landing directory with a persistent checkpoint — each run
+    drains only files that arrived since the last run, exactly once.
+    Run 1 sees file f1; run 2 (same checkpoint) must emit only f2's
+    rows, never reprocessing f1."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    src = tempfile.mkdtemp(prefix="inc_src_")
+    sink = tempfile.mkdtemp(prefix="inc_sink_") + "/out"
+    ckpt = tempfile.mkdtemp(prefix="inc_ckpt_")
+    schema = "o_orderkey BIGINT, o_orderstatus STRING"
+
+    def drain():
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(src + "/*")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    f1 = o.filter(F.col("o_orderkey") < 1000)
+    f1.coalesce(1).write.mode("overwrite").parquet(os.path.join(src, "f1"))
+    drain()
+    n1 = spark.read.parquet(sink).count()
+    assert n1 == f1.count()
+
+    f2 = o.filter(F.col("o_orderkey") >= 1000)
+    f2.coalesce(1).write.mode("overwrite").parquet(os.path.join(src, "f2"))
+    drain()
+    out = spark.read.parquet(sink)
+    # exactly-once: every source row present exactly once, f1 not re-read
+    assert out.count() == o.count()
+    assert out.select("o_orderkey").distinct().count() == o.count()
