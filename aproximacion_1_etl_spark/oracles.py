@@ -1551,4 +1551,42 @@ SELECT lang, bin_id,
        max(doc_id) AS last_doc
 FROM b GROUP BY 1, 2
 """,
+    "table_diff": """
+WITH old AS (
+  SELECT o_orderkey,
+         md5(concat_ws('|', o_orderstatus,
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR))) AS h
+  FROM orders WHERE o_orderdate < '1998-01-01'),
+new AS (
+  SELECT o_orderkey,
+         md5(concat_ws('|',
+             CASE WHEN o_orderdate >= '1997-01-01' THEN 'O'
+                  ELSE o_orderstatus END,
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR))) AS h
+  FROM orders WHERE o_orderdate < '1999-01-01')
+SELECT diff_status, count(*) AS n_keys FROM (
+  SELECT CASE WHEN a.o_orderkey IS NULL THEN 'added'
+              WHEN b.o_orderkey IS NULL THEN 'deleted'
+              WHEN a.h = b.h THEN 'unchanged'
+              ELSE 'changed' END AS diff_status
+  FROM old a FULL OUTER JOIN new b ON a.o_orderkey = b.o_orderkey)
+GROUP BY 1
+""",
+    "token_entropy": """
+WITH toks AS (
+  SELECT doc_id, t.tok
+  FROM (SELECT doc_id,
+               unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        FROM documents) t),
+tf AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+tot AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM tf GROUP BY 1),
+ent AS (
+  SELECT tf.doc_id,
+         CAST(max(n) AS BIGINT) AS n_tokens,
+         floor(CAST(sum(CAST(-(c / n) * log2(c / n) AS DECIMAL(30,8)))
+                    AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS entropy
+  FROM tf JOIN tot ON tf.doc_id = tot.doc_id
+  GROUP BY 1)
+SELECT doc_id, n_tokens, entropy FROM ent WHERE entropy < 4.5
+""",
 }

@@ -2818,6 +2818,80 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (ops surface for the reference's daily re-publish,
+    M2/M14): compare yesterday's master (orders < 1998) against
+    today's (orders < 1999, statuses uppercased-after-merge shape) and
+    classify every key as added / deleted / changed / unchanged via one
+    full-outer join on the key with row-hash compare. One shuffle on
+    the join key; row hashes are computed before the join so the
+    compare is O(1) per row (and the hash, not the row, is what a
+    100 TB diff would persist)."""
+    o = load_table(spark, sf_dir, "orders")
+    price_str = F.col("o_totalprice").cast("decimal(12,2)").cast("string")
+    old = o.where(F.col("o_orderdate") < "1998-01-01").select(
+        "o_orderkey",
+        F.md5(F.concat_ws("|", F.col("o_orderstatus"), price_str)).alias("h"),
+    )
+    new = o.where(F.col("o_orderdate") < "1999-01-01").select(
+        "o_orderkey",
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.when(
+                    F.col("o_orderdate") >= "1997-01-01", F.lit("O")
+                ).otherwise(F.col("o_orderstatus")),
+                price_str,
+            )
+        ).alias("h"),
+    )
+    j = old.alias("a").join(
+        new.alias("b"), F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full"
+    )
+    status = (
+        F.when(F.col("a.o_orderkey").isNull(), F.lit("added"))
+        .when(F.col("b.o_orderkey").isNull(), F.lit("deleted"))
+        .when(F.col("a.h") == F.col("b.h"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return (
+        j.select(status.alias("diff_status"))
+        .groupBy("diff_status")
+        .agg(F.count("*").alias("n_keys"))
+    )
+
+
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy-based quality filter (§2.10): Shannon entropy of each
+    document's token distribution — low entropy flags repetitive /
+    boilerplate text (complements text/dedup.py::repetition_profile).
+    Two keyed reduces (token counts, then per-doc entropy terms), both
+    map-side combinable; entropy terms are decimal-cast before the sum
+    so the result is summation-order independent (oracle parity)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
+        ).alias("tok"),
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    totals = tf.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    p = F.col("c") / F.col("n")
+    term = (-p * F.log2(p)).cast("decimal(30,8)")
+    ent = (
+        tf.join(totals, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.max("n").alias("n_tokens"),
+            _fround(F.sum(term).cast("double"), 4).alias("entropy"),
+        )
+    )
+    return ent.select(
+        "doc_id", F.col("n_tokens").cast("bigint").alias("n_tokens"), "entropy"
+    ).where(F.col("entropy") < 4.5)
+
+
 ALL_QUERIES = {
     "flagship_order_lifecycle": q_flagship_order_lifecycle,
     "work_table_build": q_work_table_build,
@@ -2947,4 +3021,6 @@ ALL_QUERIES = {
     "inverted_index": q_inverted_index,
     "chunk_documents": q_chunk_documents,
     "pack_sequences": q_pack_sequences,
+    "table_diff": q_table_diff,
+    "token_entropy": q_token_entropy,
 }
