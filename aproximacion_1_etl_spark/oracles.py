@@ -1589,4 +1589,48 @@ ent AS (
   GROUP BY 1)
 SELECT doc_id, n_tokens, entropy FROM ent WHERE entropy < 4.5
 """,
+    "dq_checks": """
+SELECT 'custkey_not_null' AS rule,
+       CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violations FROM orders
+UNION ALL
+SELECT 'status_accepted_values',
+       CAST(sum(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END)
+            AS BIGINT) FROM orders
+UNION ALL
+SELECT 'totalprice_positive',
+       CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'priority_format',
+       CAST(sum(CASE WHEN NOT regexp_matches(o_orderpriority, '^[1-5]-')
+                THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+UNION ALL
+SELECT 'orderkey_unique', CAST(count(*) AS BIGINT)
+FROM (SELECT o_orderkey FROM orders GROUP BY 1 HAVING count(*) > 1)
+UNION ALL
+SELECT 'custkey_fk', CAST(count(*) AS BIGINT)
+FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+""",
+    "scd2_pit_join": """
+WITH states AS (
+  SELECT user_id, event_type, ts, event_id FROM events
+  WHERE event_type IN ('signup', 'error')),
+hist AS (
+  SELECT user_id AS s_user, event_type AS state, ts AS valid_from,
+         lead(ts) OVER (PARTITION BY user_id
+                        ORDER BY ts ASC, event_id ASC) AS valid_to
+  FROM states),
+facts AS (
+  SELECT event_id, user_id, ts, value FROM events
+  WHERE event_type = 'purchase')
+SELECT f.event_id, f.user_id,
+       strftime(f.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+       floor(f.value * 100.0 + 0.5) / 100.0 AS value,
+       h.state
+FROM facts f LEFT JOIN hist h
+  ON f.user_id = h.s_user
+ AND h.valid_from <= f.ts
+ AND f.ts < coalesce(h.valid_to, TIMESTAMP '9999-12-31')
+""",
 }

@@ -2892,6 +2892,77 @@ def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).where(F.col("entropy") < 4.5)
 
 
+def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality rule suite over the work tables (functions/
+    quality.py): row-level rules fused into ONE scan of orders, plus a
+    uniqueness shuffle and a referential anti-join (broadcast: customer
+    is the dim side). The reference runs 29 SPs with zero validation
+    between steps; this is the guardrail a production chain needs."""
+    from aproximacion_1_etl_spark.functions.quality import (
+        fk_violations,
+        row_rule_violations,
+        unique_violations,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    row_rules = row_rule_violations(
+        o,
+        {
+            "custkey_not_null": F.col("o_custkey").isNull(),
+            "status_accepted_values": ~F.col("o_orderstatus").isin("O", "F", "P"),
+            "totalprice_positive": F.col("o_totalprice") <= 0,
+            "priority_format": ~F.col("o_orderpriority").rlike("^[1-5]-"),
+        },
+    )
+    return (
+        row_rules.unionByName(unique_violations(o, ["o_orderkey"], "orderkey_unique"))
+        .unionByName(
+            fk_violations(o, "o_custkey", F.broadcast(c), "c_custkey", "custkey_fk")
+        )
+    )
+
+
+def q_scd2_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join (late-arriving-fact correctness): each
+    purchase event is joined to the SCD2 state interval (signup/error
+    stream -> validity windows, operators/refine.py::scd2_history)
+    valid AT the purchase timestamp — an equi-join on user_id with the
+    interval bounds as join filters, so Catalyst still plans a keyed
+    join (one shuffle), not a cartesian."""
+    from aproximacion_1_etl_spark.operators.refine import scd2_history
+
+    ev = load_table(spark, sf_dir, "events")
+    states = ev.where(F.col("event_type").isin("signup", "error"))
+    hist = scd2_history(
+        states,
+        keys=["user_id"],
+        ts_col="ts",
+        tiebreak="event_id",
+        attrs=["event_type"],
+    ).select(
+        F.col("user_id").alias("s_user"),
+        F.col("event_type").alias("state"),
+        "valid_from",
+        "valid_to",
+    )
+    facts = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    cond = (
+        (facts.user_id == hist.s_user)
+        & (hist.valid_from <= facts.ts)
+        & (facts.ts < F.coalesce(hist.valid_to, F.lit("9999-12-31").cast("timestamp")))
+    )
+    return facts.join(hist, cond, "left").select(
+        "event_id",
+        "user_id",
+        _ts_str(F.col("ts")).alias("purchase_ts"),
+        _fround(F.col("value"), 2).alias("value"),
+        "state",
+    )
+
+
 ALL_QUERIES = {
     "flagship_order_lifecycle": q_flagship_order_lifecycle,
     "work_table_build": q_work_table_build,
@@ -3023,4 +3094,6 @@ ALL_QUERIES = {
     "pack_sequences": q_pack_sequences,
     "table_diff": q_table_diff,
     "token_entropy": q_token_entropy,
+    "dq_checks": q_dq_checks,
+    "scd2_pit_join": q_scd2_pit_join,
 }
