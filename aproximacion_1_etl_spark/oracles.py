@@ -1633,4 +1633,29 @@ FROM facts f LEFT JOIN hist h
  AND h.valid_from <= f.ts
  AND f.ts < coalesce(h.valid_to, TIMESTAMP '9999-12-31')
 """,
+    "bigram_pmi": """
+WITH toks AS (
+  SELECT doc_id,
+         generate_subscripts(regexp_extract_all(lower(text), '[a-z]+'), 1)
+           AS pos,
+         unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+  FROM documents),
+pairs AS (
+  SELECT tok AS tok_a,
+         lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS tok_b
+  FROM toks),
+c_ab AS (
+  SELECT tok_a, tok_b, count(*) AS n_ab FROM pairs
+  WHERE tok_b IS NOT NULL GROUP BY 1, 2 HAVING count(*) >= 5),
+uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY 1),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM toks)
+SELECT tok_a, tok_b, CAST(n_ab AS BIGINT) AS n_ab,
+       floor(log2(n_ab * n_total / (a.n * b.n)) * 10000.0 + 0.5) / 10000.0
+         AS pmi
+FROM c_ab JOIN uni a ON c_ab.tok_a = a.tok
+          JOIN uni b ON c_ab.tok_b = b.tok
+          CROSS JOIN tot
+ORDER BY pmi DESC, tok_a ASC, tok_b ASC
+LIMIT 20
+""",
 }

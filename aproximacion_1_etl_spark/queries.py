@@ -2963,6 +2963,52 @@ def q_scd2_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation extraction: top-20 bigrams by pointwise mutual
+    information. Bigrams come from a lead() window over the exploded
+    token stream (one shuffle on doc_id); PMI is computed from exact
+    integer counts (c_ab * N / (c_a * c_b)) so both engines agree
+    bit-for-bit; final selection is a distributed top-k
+    (TakeOrderedAndProject), not a global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+        ).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    pairs = toks.select(
+        F.col("tok").alias("tok_a"), F.lead("tok").over(w).alias("tok_b")
+    ).where(F.col("tok_b").isNotNull())
+    c_ab = pairs.groupBy("tok_a", "tok_b").agg(F.count("*").alias("n_ab"))
+    uni = toks.groupBy("tok").agg(F.count("*").alias("n"))
+    tot = toks.agg(F.count("*").alias("n_total"))
+    pmi = F.log2(
+        F.col("n_ab") * F.col("n_total") / (F.col("n_a") * F.col("n_b"))
+    )
+    return (
+        c_ab.where(F.col("n_ab") >= 5)
+        .join(
+            F.broadcast(uni.select(F.col("tok").alias("tok_a"), F.col("n").alias("n_a"))),
+            "tok_a",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("tok").alias("tok_b"), F.col("n").alias("n_b"))),
+            "tok_b",
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "tok_a",
+            "tok_b",
+            F.col("n_ab").cast("bigint").alias("n_ab"),
+            _fround(pmi, 4).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), F.col("tok_a").asc(), F.col("tok_b").asc())
+        .limit(20)
+    )
+
+
 ALL_QUERIES = {
     "flagship_order_lifecycle": q_flagship_order_lifecycle,
     "work_table_build": q_work_table_build,
@@ -3096,4 +3142,5 @@ ALL_QUERIES = {
     "token_entropy": q_token_entropy,
     "dq_checks": q_dq_checks,
     "scd2_pit_join": q_scd2_pit_join,
+    "bigram_pmi": q_bigram_pmi,
 }

@@ -111,3 +111,29 @@ def test_self_referencing_plan_reuses_shuffle(spark, sf_dir):
     assert abs(sum(float(r["share"]) for r in rows) - 1.0) < 1e-9
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in plan, plan
+
+
+def test_observe_collects_metrics_without_second_pass(spark, sf_dir):
+    """Pipeline observability at scale: df.observe() accumulates
+    metrics DURING the action (Spark's Observation API), so a daily
+    job can report row counts / null rates / sums without re-scanning
+    100 TB for a metrics query. The reference's DAG has no metrics
+    between its 29 SP steps at all."""
+    from pyspark.sql import Observation
+
+    li = load_table(spark, sf_dir, "lineitem")
+    obs = Observation("ingest_metrics")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("l_quantity").isNull(), 1).otherwise(0)).alias(
+            "null_qty"
+        ),
+        F.min("l_shipdate").alias("min_ship"),
+    )
+    out = observed.groupBy("l_returnflag").agg(F.count("*").alias("n"))
+    by_flag = {r["l_returnflag"]: r["n"] for r in out.collect()}
+    m = obs.get
+    assert m["n_rows"] == sum(by_flag.values()) == li.count()
+    assert m["null_qty"] == 0
+    assert m["min_ship"] is not None
