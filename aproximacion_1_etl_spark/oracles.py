@@ -1658,4 +1658,37 @@ FROM c_ab JOIN uni a ON c_ab.tok_a = a.tok
 ORDER BY pmi DESC, tok_a ASC, tok_b ASC
 LIMIT 20
 """,
+    "corpus_to_sequences": """
+WITH gated AS (SELECT * FROM documents WHERE n_chars >= 200),
+grid AS (
+  SELECT doc_id, lang, text,
+         CAST(unnest(generate_series(0,
+           CAST(greatest(ceil((n_chars - 400) / 300.0), 0) AS INT))) AS INT)
+           AS chunk_id
+  FROM gated),
+chunks AS (
+  SELECT doc_id, lang, chunk_id,
+         CAST(length(substr(text, chunk_id * 300 + 1, 400)) AS BIGINT)
+           AS chunk_len,
+         md5(substr(text, chunk_id * 300 + 1, 400)) AS chunk_hash
+  FROM grid
+  WHERE length(substr(text, chunk_id * 300 + 1, 400)) >= 50),
+uniq AS (
+  SELECT doc_id, lang, chunk_id, chunk_len FROM (
+    SELECT *, row_number() OVER (PARTITION BY chunk_hash
+                                 ORDER BY doc_id ASC, chunk_id ASC) AS rn
+    FROM chunks) WHERE rn = 1),
+binned AS (
+  SELECT lang, doc_id, chunk_len,
+         CAST(floor(coalesce(sum(chunk_len) OVER (
+             PARTITION BY lang ORDER BY doc_id, chunk_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           / 4096.0) AS BIGINT) AS bin_id
+  FROM uniq)
+SELECT lang, bin_id,
+       count(*) AS n_chunks,
+       CAST(sum(chunk_len) AS BIGINT) AS bin_chars,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM binned GROUP BY 1, 2
+""",
 }

@@ -3009,6 +3009,67 @@ def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_to_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-sequence builder — the LLM-pipeline
+    flagship: quality gate -> overlapping chunking -> exact chunk-level
+    dedup (content hash) -> context-window packing, in ONE declarative
+    plan. Shuffle budget: dedup's hash shuffle + packing's per-lang
+    window + the final rollup; chunking itself is narrow. Every stage
+    is JVM-side (md5 / substring / running sum) — no Python in the
+    path, so the same plan scales to a 1000-executor corpus build."""
+    width, stride, budget = 400, 300, 4096
+    docs = load_table(spark, sf_dir, "documents").where(F.col("n_chars") >= 200)
+    offsets = F.sequence(
+        F.lit(0),
+        F.greatest(
+            F.ceil((F.col("n_chars") - width) / F.lit(float(stride))), F.lit(0)
+        ).cast("int"),
+    )
+    piece = F.substring(F.col("text"), F.col("chunk_id") * stride + 1, width)
+    chunks = (
+        docs.select(
+            "doc_id",
+            "lang",
+            "text",
+            F.posexplode(offsets).alias("chunk_id", "_i"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "chunk_id",
+            F.length(piece).cast("bigint").alias("chunk_len"),
+            F.md5(piece).alias("chunk_hash"),
+        )
+        .where(F.col("chunk_len") >= 50)
+    )
+    w_dedup = Window.partitionBy("chunk_hash").orderBy(
+        F.col("doc_id").asc(), F.col("chunk_id").asc()
+    )
+    uniq = (
+        chunks.withColumn("rn", F.row_number().over(w_dedup))
+        .where("rn = 1")
+        .drop("rn")
+    )
+    w_pack = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id", "chunk_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    binned = uniq.select(
+        "lang",
+        "doc_id",
+        "chunk_len",
+        (F.coalesce(F.sum("chunk_len").over(w_pack), F.lit(0)) / budget)
+        .cast("bigint")
+        .alias("bin_id"),
+    )
+    return binned.groupBy("lang", "bin_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum("chunk_len").alias("bin_chars"),
+        F.count_distinct("doc_id").alias("n_docs"),
+    )
+
+
 ALL_QUERIES = {
     "flagship_order_lifecycle": q_flagship_order_lifecycle,
     "work_table_build": q_work_table_build,
@@ -3143,4 +3204,5 @@ ALL_QUERIES = {
     "dq_checks": q_dq_checks,
     "scd2_pit_join": q_scd2_pit_join,
     "bigram_pmi": q_bigram_pmi,
+    "corpus_to_sequences": q_corpus_to_sequences,
 }

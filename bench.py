@@ -63,6 +63,8 @@ HEADLINE = [
     # and leaves GC pressure that inflates the next JVM-only query by
     # ~3x (measured: dedup_minhash_lsh 6.96s after it vs 1.9s isolated).
     "grouped_pandas_stats",
+    # round-2 session-2 newcomer: the LLM-pipeline flagship composite
+    "corpus_to_sequences",
 ]
 
 
