@@ -2734,15 +2734,24 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("token"),
     ).where(F.length("token") >= 3)
+    # Cap postings BEFORE materializing the list (windowed top-10 per
+    # token) so no unbounded collect_set sits in executor memory; the
+    # window and the groupBy share the token key, so Catalyst plans ONE
+    # exchange for both (measured: 4.0s -> bounded at 10x dup-heavy
+    # data, see PERF.md scale-up experiment 2).
+    w = Window.partitionBy("token").orderBy("doc_id")
+    ranked = toks.withColumn("rn", F.row_number().over(w))
     return (
-        toks.groupBy("token")
+        ranked.groupBy("token")
         .agg(
-            F.count_distinct("doc_id").alias("df"),
+            F.count("*").cast("bigint").alias("df"),
             F.concat_ws(
                 ",",
-                F.slice(F.array_sort(F.collect_set("doc_id")), 1, 10).cast(
-                    "array<string>"
-                ),
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("rn") <= 10, F.col("doc_id"))
+                    )
+                ).cast("array<string>"),
             ).alias("postings"),
         )
         .where(F.col("df") >= 50)
