@@ -1691,4 +1691,14 @@ SELECT lang, bin_id,
        CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
 FROM binned GROUP BY 1, 2
 """,
+    "rest_datasource": """
+SELECT '2024-01-0' || CAST(d AS VARCHAR) || '#p' || CAST(p AS VARCHAR)
+         || '#r' || CAST(i AS VARCHAR) AS order_id,
+       '2024-01-0' || CAST(d AS VARCHAR) AS fetch_date,
+       CAST(p AS INT) AS page,
+       floor(CAST(p * 100 + i AS DOUBLE) * 100.0 + 0.5) / 100.0 AS amount
+FROM (SELECT unnest(generate_series(1, 3)) AS d),
+     (SELECT unnest(generate_series(1, 2)) AS p),
+     (SELECT unnest(generate_series(0, 4)) AS i)
+""",
 }

@@ -3079,6 +3079,27 @@ def q_corpus_to_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rest_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/S2 as a registered Spark 4 Python DataSource
+    (sources/rest_datasource.py): the paginated REST extract read via
+    spark.read.format("rest_orders") — one task per (day, page)
+    InputPartition, so retries/speculation are per-page and the source
+    composes with column pruning like any built-in format."""
+    from aproximacion_1_etl_spark.sources.rest_datasource import register
+
+    register(spark)
+    df = (
+        spark.read.format("rest_orders")
+        .option("start_date", "2024-01-01")
+        .option("n_days", 3)
+        .option("max_pages", 2)
+        .load()
+    )
+    return df.select(
+        "order_id", "fetch_date", "page", _fround(F.col("amount"), 2).alias("amount")
+    )
+
+
 ALL_QUERIES = {
     "flagship_order_lifecycle": q_flagship_order_lifecycle,
     "work_table_build": q_work_table_build,
@@ -3214,4 +3235,5 @@ ALL_QUERIES = {
     "scd2_pit_join": q_scd2_pit_join,
     "bigram_pmi": q_bigram_pmi,
     "corpus_to_sequences": q_corpus_to_sequences,
+    "rest_datasource": q_rest_datasource,
 }

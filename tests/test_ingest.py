@@ -107,3 +107,28 @@ def test_metadata_sidecar_counts(spark, tmp_path):
     df = df.withColumn("ingest_date", F.lit("2024-03-01"))
     side = metadata_sidecar(df).collect()
     assert side[0]["total_ordenes"] == 2
+
+
+def test_rest_datasource_plans_one_task_per_page(spark):
+    """Python DataSource API: the (day, page) grid must become real
+    InputPartitions (task-level retry/speculation), and the rows must
+    match the task-grid implementation in sources/rest.py."""
+    from aproximacion_1_etl_spark.sources.rest_datasource import register
+
+    register(spark)
+    df = (
+        spark.read.format("rest_orders")
+        .option("start_date", "2024-01-01")
+        .option("n_days", 4)
+        .option("max_pages", 3)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 12  # 4 days x 3 pages
+    assert df.count() == 12 * 5
+    one = df.filter(
+        (df.fetch_date == "2024-01-02") & (df.page == 2)
+    ).collect()
+    assert {r.order_id for r in one} == {
+        f"2024-01-02#p2#r{i}" for i in range(5)
+    }
+    assert all(r.amount == 200.0 + int(r.order_id[-1]) for r in one)
