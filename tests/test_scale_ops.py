@@ -273,3 +273,19 @@ def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_approx_percentile_tracks_exact(spark, sf_dir):
+    """The sketch path for quantiles at scale: percentile_approx is a
+    one-pass mergeable sketch (map-side combinable), vs the exact
+    per-group sort. Accuracy must hold within the sketch's resolution
+    so dashboards can use it on 100 TB without the sort."""
+    ev = load_table(spark, sf_dir, "events")
+    rows = ev.groupBy("event_type").agg(
+        F.expr("percentile_approx(value, array(0.5, 0.9), 10000)").alias("ap"),
+        F.expr("percentile(value, array(0.5, 0.9))").alias("ex"),
+    ).collect()
+    assert len(rows) == 5
+    for r in rows:
+        for a, e in zip(r["ap"], r["ex"]):
+            assert abs(a - e) <= max(0.05 * abs(e), 0.5), (r["event_type"], a, e)
