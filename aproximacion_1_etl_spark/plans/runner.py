@@ -144,9 +144,32 @@ def run_daily_job(
     meta_path = _os.path.join(out_dir, "metadata")
     meta.coalesce(1).write.mode("overwrite").json(meta_path)
 
+    # Post-publish data-quality gate (the validation the reference's
+    # 29-SP chain never does): row rules fused into one scan of the
+    # landed table + a PK uniqueness check; violations land beside the
+    # data and in the run summary.
+    from aproximacion_1_etl_spark.functions.quality import (
+        row_rule_violations,
+        unique_violations,
+    )
+
+    dq = row_rule_violations(
+        landed,
+        {
+            "orderkey_not_null": F.col("o_orderkey").isNull(),
+            "totalprice_positive": F.col("o_totalprice") <= 0,
+            "n_items_non_negative": F.col("n_items") < 0,
+        },
+    ).unionByName(unique_violations(landed, ["o_orderkey"], "orderkey_unique"))
+    dq_rows = dq.collect()
+    dq.sparkSession.createDataFrame(dq_rows, dq.schema).coalesce(1).write.mode(
+        "overwrite"
+    ).json(_os.path.join(out_dir, "dq_report"))
+
     summary = {
         "rows": landed.count(),
         "statuses": meta.count(),
+        "dq_violations": {r["rule"]: r["n_violations"] for r in dq_rows},
         "out": work_path,
     }
     with open(_os.path.join(out_dir, "run_summary.json"), "w") as f:

@@ -89,9 +89,14 @@ def compact_table(
     path: str,
     target_partitions: int,
     partition_by: list[str] | None = None,
+    sort_by: list[str] | None = None,
 ) -> None:
     """Small-file compaction: rewrite a parquet directory into
     ``target_partitions`` files (per partition dir if ``partition_by``).
+    ``sort_by`` additionally clusters rows on the given key(s) during
+    the rewrite (range partition + in-file sort) so post-compaction
+    scans with predicates on those keys skip row groups via parquet
+    min/max stats.
 
     Small files are the chronic failure mode of long-appended tables
     (the reference appends per day-file via streaming inserts,
@@ -118,11 +123,22 @@ def compact_table(
     # backup would make os.rename(path, backup) fail with ENOTEMPTY).
     shutil.rmtree(tmp, ignore_errors=True)
     shutil.rmtree(backup, ignore_errors=True)
-    writer = (
+    compacted = (
         df.repartition(target_partitions, *(partition_by or []))
         if partition_by
         else df.coalesce(target_partitions)
-    ).write.mode("overwrite")
+    )
+    if sort_by:
+        # Cluster rows while we are rewriting anyway: range-partition +
+        # in-file sort gives every output file a tight min/max envelope
+        # on the sort key, so selective scans skip whole row groups
+        # (asserted in test_scale_ops::test_sorted_layout_tightens_
+        # rowgroup_stats). The repartitionByRange replaces the plain
+        # coalesce - same file count, clustered layout.
+        if not partition_by:
+            compacted = df.repartitionByRange(target_partitions, *sort_by)
+        compacted = compacted.sortWithinPartitions(*sort_by)
+    writer = compacted.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(tmp)

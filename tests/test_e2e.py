@@ -62,3 +62,10 @@ def test_run_daily_job_lands_outputs(spark, sf_dir, tmp_path):
     assert landed.count() == summary["rows"]
     meta = spark.read.json(os.path.join(out, "metadata"))
     assert meta.count() == summary["statuses"]
+    # the post-publish DQ gate ran, landed a report, and found a clean table
+    dq = {r["rule"]: r["n_violations"] for r in
+          spark.read.json(os.path.join(out, "dq_report")).collect()}
+    assert dq == summary["dq_violations"]
+    assert set(dq) == {"orderkey_not_null", "totalprice_positive",
+                       "n_items_non_negative", "orderkey_unique"}
+    assert all(v == 0 for v in dq.values())

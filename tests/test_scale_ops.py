@@ -289,3 +289,43 @@ def test_approx_percentile_tracks_exact(spark, sf_dir):
     for r in rows:
         for a, e in zip(r["ap"], r["ex"]):
             assert abs(a - e) <= max(0.05 * abs(e), 0.5), (r["event_type"], a, e)
+
+
+def test_compact_table_with_sort_clusters_layout(spark, sf_dir):
+    """Compaction + sort_by must leave each output file with a tight
+    min/max envelope on the sort key (layout clustering during the
+    rewrite we already pay for)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from aproximacion_1_etl_spark.sources.tables import compact_table
+
+    o = load_table(spark, sf_dir, "orders")
+    path = tempfile.mkdtemp(prefix="graft_compact_sort_") + "/t"
+    o.repartition(16).write.parquet(path)
+    total = spark.read.parquet(path).count()
+    compact_table(spark, path, target_partitions=4, sort_by=["o_orderkey"])
+    files = sorted(glob.glob(path + "/*.parquet"))
+    assert len(files) <= 4
+    ranges = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        col = next(
+            md.row_group(0).column(i)
+            for i in range(md.row_group(0).num_columns)
+            if md.row_group(0).column(i).path_in_schema == "o_orderkey"
+        )
+        lo = col.statistics.min
+        hi = max(
+            next(md.row_group(g).column(i).statistics.max
+                 for i in range(md.row_group(g).num_columns)
+                 if md.row_group(g).column(i).path_in_schema == "o_orderkey")
+            for g in range(md.num_row_groups)
+        )
+        ranges.append((lo, hi))
+    ranges.sort()
+    # files tile the key space with no overlap (range partitioning)
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, ranges
+    assert spark.read.parquet(path).count() == total
