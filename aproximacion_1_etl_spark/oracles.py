@@ -1701,4 +1701,22 @@ FROM (SELECT unnest(generate_series(1, 3)) AS d),
      (SELECT unnest(generate_series(1, 2)) AS p),
      (SELECT unnest(generate_series(0, 4)) AS i)
 """,
+    "lateral_topn": """
+SELECT n.n_name, x.c_name,
+       floor(x.c_acctbal * 100.0 + 0.5) / 100.0 AS acctbal
+FROM nation n, LATERAL (
+  SELECT c_name, c_acctbal FROM customer c
+  WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_name ASC LIMIT 3) x
+""",
+    "recursive_cte": """
+WITH RECURSIVE anc AS (
+  SELECT n_nationkey AS node, n_nationkey AS root, 0 AS depth
+  FROM nation WHERE n_nationkey < 5
+  UNION ALL
+  SELECT n.n_nationkey, a.root, a.depth + 1
+  FROM nation n JOIN anc a ON n.n_nationkey - 5 = a.node
+)
+SELECT node, root, CAST(depth AS INT) AS depth FROM anc
+""",
 }

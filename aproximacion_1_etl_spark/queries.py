@@ -3100,6 +3100,49 @@ def q_rest_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL LATERAL correlated subquery (Spark 4 SQL surface): per-nation
+    top-3 customers by balance, expressed as a lateral per-row subquery
+    instead of a window — Catalyst decorrelates it into a ranked join,
+    so the SQL sugar costs nothing at scale."""
+    from aproximacion_1_etl_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n.n_name, x.c_name,
+               floor(x.c_acctbal * 100.0 + 0.5) / 100.0 AS acctbal
+        FROM nation n, LATERAL (
+          SELECT c_name, c_acctbal FROM customer c
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_name ASC LIMIT 3) x
+        """
+    )
+
+
+def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE (Spark 4 SQL surface): ancestor chains over a
+    derived hierarchy (nation n reports to n-5), returning each node's
+    root and depth — the fixed-point iteration dup_clusters implements
+    with a DataFrame loop, here in pure SQL."""
+    from aproximacion_1_etl_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH RECURSIVE anc AS (
+          SELECT n_nationkey AS node, n_nationkey AS root,
+                 0 AS depth
+          FROM nation WHERE n_nationkey < 5
+          UNION ALL
+          SELECT n.n_nationkey, a.root, a.depth + 1
+          FROM nation n JOIN anc a ON n.n_nationkey - 5 = a.node
+        )
+        SELECT node, root, CAST(depth AS INT) AS depth FROM anc
+        """
+    )
+
+
 ALL_QUERIES = {
     "flagship_order_lifecycle": q_flagship_order_lifecycle,
     "work_table_build": q_work_table_build,
@@ -3236,4 +3279,6 @@ ALL_QUERIES = {
     "bigram_pmi": q_bigram_pmi,
     "corpus_to_sequences": q_corpus_to_sequences,
     "rest_datasource": q_rest_datasource,
+    "lateral_topn": q_lateral_topn,
+    "recursive_cte": q_recursive_cte,
 }
