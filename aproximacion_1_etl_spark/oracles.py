@@ -1719,4 +1719,24 @@ WITH RECURSIVE anc AS (
 )
 SELECT node, root, CAST(depth AS INT) AS depth FROM anc
 """,
+    "sentence_dedup": """
+WITH docs AS (SELECT * FROM documents WHERE doc_id < 200),
+sents AS (
+  SELECT doc_id,
+         generate_subscripts(string_split(text, '. '), 1) AS pos,
+         unnest(string_split(text, '. ')) AS sent
+  FROM docs),
+f AS (SELECT * FROM sents WHERE length(sent) > 0),
+kept AS (
+  SELECT doc_id, pos, sent FROM (
+    SELECT *, row_number() OVER (PARTITION BY md5(sent)
+                                 ORDER BY doc_id, pos) AS rn
+    FROM f) WHERE rn = 1)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       md5(string_agg(sent, '. ' ORDER BY pos)) AS clean_hash,
+       CAST(length(string_agg(sent, '. ' ORDER BY pos)) AS BIGINT)
+         AS clean_len
+FROM kept GROUP BY 1
+""",
 }

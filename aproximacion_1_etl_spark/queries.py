@@ -3143,6 +3143,46 @@ def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sentence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide sentence-level dedup with document reconstruction
+    (C4/RefinedWeb-style boilerplate removal): split docs into
+    sentences, keep only each sentence's FIRST corpus occurrence
+    (hash + row_number, deterministic), then reassemble documents from
+    their surviving sentences in order. One shuffle on sentence hash +
+    one reduce back onto doc_id; reconstruction uses an order-preserving
+    array_sort over (pos, sentence) structs, not a window."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    sents = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), "\\. ")).alias("pos", "sent"),
+    ).where(F.length("sent") > 0)
+    w = Window.partitionBy(F.md5(F.col("sent"))).orderBy(
+        F.col("doc_id").asc(), F.col("pos").asc()
+    )
+    kept = sents.withColumn("rn", F.row_number().over(w)).where("rn = 1")
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.concat_ws(
+                ". ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("pos"), F.col("sent")))
+                    ),
+                    lambda s: s["sent"],
+                ),
+            ).alias("clean_text"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_kept").cast("bigint").alias("n_kept"),
+            F.md5(F.col("clean_text")).alias("clean_hash"),
+            F.length(F.col("clean_text")).cast("bigint").alias("clean_len"),
+        )
+    )
+
+
 ALL_QUERIES = {
     "flagship_order_lifecycle": q_flagship_order_lifecycle,
     "work_table_build": q_work_table_build,
@@ -3281,4 +3321,5 @@ ALL_QUERIES = {
     "rest_datasource": q_rest_datasource,
     "lateral_topn": q_lateral_topn,
     "recursive_cte": q_recursive_cte,
+    "sentence_dedup": q_sentence_dedup,
 }
