@@ -2541,24 +2541,22 @@ def q_gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 20)
     day = F.to_date("ts").alias("day")
-    daily = ev.groupBy("user_id", day).agg(F.count("*").alias("n_events"))
-    w_last = Window.partitionBy("user_id", F.to_date("ts")).orderBy(
-        F.col("ts").desc(), F.col("event_id").desc()
-    )
-    lastt = (
-        ev.select("user_id", day, "event_type", F.row_number().over(w_last).alias("rn"))
-        .where("rn = 1")
-        .select("user_id", "day", F.col("event_type").alias("last_type"))
+    # count + day's last event_type fused into ONE aggregation (max_by
+    # with a (ts, event_id) struct order) — one shuffle and one scan
+    # where a row_number-window formulation would pay a second of each.
+    daily = ev.groupBy("user_id", day).agg(
+        F.count("*").alias("n_events"),
+        F.max_by(
+            "event_type", F.struct(F.col("ts"), F.col("event_id"))
+        ).alias("last_type"),
     )
     span = ev.agg(
         F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
     )
     days = span.select(F.explode(F.sequence("d0", "d1")).alias("day"))
-    users = ev.select("user_id").distinct()
+    users = daily.select("user_id").distinct()
     spine = users.crossJoin(F.broadcast(days))
-    filled = spine.join(daily, ["user_id", "day"], "left").join(
-        lastt, ["user_id", "day"], "left"
-    )
+    filled = spine.join(daily, ["user_id", "day"], "left")
     w_ff = Window.partitionBy("user_id").orderBy("day").rowsBetween(
         Window.unboundedPreceding, 0
     )
