@@ -118,3 +118,29 @@ def cast_to_ddl(df: DataFrame, ddl: str) -> DataFrame:
     return df.select(
         [F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
     )
+
+
+def flatten_struct(df: DataFrame, sep: str = "_") -> DataFrame:
+    """Recursively flatten every struct column into top-level columns
+    named ``parent<sep>child`` — the generalized form of the
+    reference's hand-written wide projection (``app.py:37-98`` lifts
+    ``destination.geo_location.lat`` etc. field-by-field; here the
+    schema drives it, so a ~100-field nested order flattens with zero
+    per-field code). Arrays are left intact (un-nesting them is
+    explode's job, operators/explode.py). Pure projection — no shuffle,
+    fully prunable by Catalyst."""
+    cols = []
+    again = False
+    for f in df.schema.fields:
+        if isinstance(f.dataType, StructType):
+            again = True
+            for sub in f.dataType.fields:
+                cols.append(
+                    F.col(f"`{f.name}`.`{sub.name}`").alias(
+                        f"{f.name}{sep}{sub.name}"
+                    )
+                )
+        else:
+            cols.append(F.col(f"`{f.name}`"))
+    out = df.select(cols)
+    return flatten_struct(out, sep) if again else out

@@ -1739,4 +1739,115 @@ SELECT doc_id,
          AS clean_len
 FROM kept GROUP BY 1
 """,
+    "log_parse": """
+WITH lines AS (
+  SELECT printf('evt=%d ts=%s user=%d type=%s cents=%d',
+                event_id, strftime(ts, '%Y-%m-%d %H:%M:%S'),
+                user_id, event_type,
+                CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS value
+  FROM events),
+parsed AS (
+  SELECT CAST(regexp_extract(value,
+              'evt=(\\d+) ts=(.+) user=(\\d+) type=(\\w+) cents=(-?\\d+)',
+              1) AS BIGINT) AS event_id,
+         regexp_extract(value,
+              'evt=(\\d+) ts=(.+) user=(\\d+) type=(\\w+) cents=(-?\\d+)',
+              4) AS event_type,
+         CAST(regexp_extract(value,
+              'evt=(\\d+) ts=(.+) user=(\\d+) type=(\\w+) cents=(-?\\d+)',
+              5) AS BIGINT) AS cents
+  FROM lines)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(cents) AS BIGINT) AS total_cents,
+       min(event_id) AS first_event
+FROM parsed GROUP BY 1
+""",
+    "url_canonicalize": """
+SELECT source || '.example.com' AS host,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       min('https://' || source || '.example.com/docs/' || doc_id
+           || '?id=' || doc_id) AS first_url
+FROM documents GROUP BY 1
+""",
+    "collated_group": """
+WITH mixed AS (
+  SELECT CASE WHEN event_id % 2 = 0 THEN upper(event_type)
+              ELSE event_type END AS type_mixed,
+         value
+  FROM events)
+SELECT lower(type_mixed) AS event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       floor(CAST(sum(CAST(value AS DECIMAL(30,8))) AS DOUBLE)
+             * 100.0 + 0.5) / 100.0 AS total_value
+FROM mixed GROUP BY 1
+""",
+    "sql_script_chain": """
+WITH t AS (SELECT avg(c_acctbal) AS avg_bal FROM customer
+           WHERE c_acctbal > 0)
+SELECT n.n_name,
+       CAST(count(*) AS BIGINT) AS n_rich,
+       floor(CAST(sum(CAST(c.c_acctbal AS DECIMAL(30,8))) AS DOUBLE)
+             * 100.0 + 0.5) / 100.0 AS total_bal
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey, t
+WHERE c.c_acctbal > t.avg_bal
+GROUP BY n.n_name
+""",
+    "dynamic_overwrite": """
+WITH staged AS (
+  SELECT year(o_orderdate) AS order_year,
+         CASE WHEN year(o_orderdate) = 1997
+              THEN o_totalprice * 0.9 ELSE o_totalprice END AS price
+  FROM orders)
+SELECT order_year, CAST(count(*) AS BIGINT) AS n,
+       floor(CAST(sum(CAST(price AS DECIMAL(30,8))) AS DOUBLE)
+             * 100.0 + 0.5) / 100.0 AS total
+FROM staged GROUP BY 1
+""",
+    "approx_topk_types": """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY 1
+""",
+    "execute_immediate_param": """
+SELECT o_custkey,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       min(o_orderkey) AS sample_order
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY o_custkey
+        ORDER BY o_orderdate ASC, o_orderkey ASC) AS rn
+      FROM orders WHERE o_orderstatus = 'F')
+WHERE rn <= 2 GROUP BY 1
+""",
+    "auto_flatten": """
+SELECT o.o_orderkey,
+       c.c_name AS customer_name,
+       c.c_mktsegment AS customer_segment,
+       c.c_nationkey AS nation,
+       floor(c.c_acctbal * 100.0 + 0.5) / 100.0 AS customer_account_balance,
+       floor(o.o_totalprice * 100.0 + 0.5) / 100.0 AS total
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE floor(c.c_acctbal * 100.0 + 0.5) / 100.0 > 9000.0
+""",
+    "c4_boilerplate_filter": """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+chunks AS (
+  SELECT doc_id,
+         unnest(generate_series(0,
+             CAST(floor((len(t) - 1) / 10) AS INT))) AS pos,
+         t
+  FROM toks),
+lines AS (
+  SELECT doc_id, pos, list_slice(t, pos * 10 + 1, pos * 10 + 10) AS line
+  FROM chunks),
+kept AS (
+  SELECT * FROM lines
+  WHERE len(line) = 10
+    AND len(list_filter(line, x -> length(x) <= 1)) <= 2)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_lines_kept,
+       md5(string_agg(array_to_string(line, ' '), ' ' ORDER BY pos))
+         AS clean_hash
+FROM kept GROUP BY 1
+HAVING count(*) >= 2
+""",
 }

@@ -3197,6 +3197,317 @@ def q_sentence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_log_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw text-line ingestion surface (``spark.read.text``): events are
+    serialized as one log line per row, landed as plain text files, read
+    back line-oriented, and re-parsed with ``regexp_extract`` — the
+    semi-structured-log path the reference's JSON-only ingest lacks.
+    Money travels as integer cents inside the line so both engines
+    format/parse bit-identically (no float printf divergence)."""
+    ev = load_table(spark, sf_dir, "events")
+    path = tempfile.mkdtemp(prefix="graft_log_")
+    lines = ev.select(
+        F.format_string(
+            "evt=%d ts=%s user=%d type=%s cents=%d",
+            F.col("event_id"),
+            _ts_str("ts"),
+            F.col("user_id"),
+            F.col("event_type"),
+            F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long"),
+        ).alias("value")
+    )
+    lines.repartition(4).write.mode("overwrite").text(path)
+    raw = spark.read.text(path)
+    pat = r"evt=(\d+) ts=(.+) user=(\d+) type=(\w+) cents=(-?\d+)"
+    parsed = raw.select(
+        F.regexp_extract("value", pat, 1).cast("bigint").alias("event_id"),
+        F.regexp_extract("value", pat, 4).alias("event_type"),
+        F.regexp_extract("value", pat, 5).cast("bigint").alias("cents"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("cents").alias("total_cents"),
+        F.min("event_id").alias("first_event"),
+    )
+
+
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization with ``parse_url`` (host / path / query-param
+    extraction, tracking-param strip) — the dedup key-prep step of any
+    web-scale corpus pipeline. URLs are synthesized deterministically
+    from the documents table, then decomposed with the engine's URL
+    functions; canonical identity = (host, path, id param) with
+    utm_*/ref stripped."""
+    d = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id"),
+        F.lit("?id="),
+        F.col("doc_id"),
+        F.lit("&utm_source=feed&ref="),
+        F.col("lang"),
+    )
+    u = d.select(
+        "doc_id",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("id"))
+        .cast("bigint")
+        .alias("id_param"),
+    )
+    canon = u.select(
+        "doc_id",
+        "host",
+        F.concat(F.lit("https://"), F.col("host"), F.col("path"), F.lit("?id="), F.col("id_param")).alias("canonical_url"),
+    )
+    return canon.groupBy("host").agg(
+        F.count("*").alias("n_docs"),
+        F.min("canonical_url").alias("first_url"),
+    )
+
+
+def q_collated_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-insensitive grouping via Spark 4 collations: a mixed-case
+    event_type column (upper-cased on even ids) groups under
+    ``UTF8_LCASE`` collation without materializing a lowercased copy —
+    collation-aware comparison happens inside the hash aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    mixed = ev.select(
+        F.when(
+            F.col("event_id") % 2 == 0, F.upper("event_type")
+        ).otherwise(F.col("event_type")).alias("type_mixed"),
+        "value",
+    )
+    g = mixed.groupBy(
+        F.collate(F.col("type_mixed"), "UTF8_LCASE").alias("k")
+    ).agg(
+        F.count("*").alias("n"),
+        _dsum(F.col("value")).alias("total_value"),
+    )
+    # emit a deterministic representative (the collated group may pick
+    # any case variant as its key value)
+    return g.select(
+        F.lower(F.col("k")).alias("event_type"),
+        "n",
+        "total_value",
+    )
+
+
+def q_sql_script_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scripting (Spark 4 BEGIN/END blocks with DECLARE/SET) — the
+    engine-native form of the reference's BigQuery stored procedures
+    (`Composer/DAG_cloudrun_dataflow_sp.py:90-318`): a multi-statement
+    script computes a threshold into a variable, then the final SELECT
+    uses it; control flow lives in the engine, not an external
+    orchestrator."""
+    from aproximacion_1_etl_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE avg_bal DOUBLE;
+          SET avg_bal = (SELECT avg(c_acctbal) FROM customer
+                         WHERE c_acctbal > 0);
+          SELECT n.n_name,
+                 CAST(count(*) AS BIGINT) AS n_rich,
+                 floor(sum(CAST(c.c_acctbal AS DECIMAL(30,8)))
+                       * 100.0 + 0.5) / 100.0 AS total_bal
+          FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+          WHERE c.c_acctbal > avg_bal
+          GROUP BY n.n_name;
+        END
+        """
+    )
+
+
+def q_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite (INSERT OVERWRITE of only the
+    partitions present in the incoming batch): the engine-native form of
+    the reference's per-day re-landing (`app.py:122-133` rewrites one
+    day's file; here one year's partition is replaced, all others
+    untouched — no read-modify-write of the whole table)."""
+    o = load_table(spark, sf_dir, "orders")
+    path = tempfile.mkdtemp(prefix="graft_dynover_")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    base = o.withColumn("order_year", F.year("o_orderdate"))
+    base.repartition("order_year").write.mode("overwrite").partitionBy(
+        "order_year"
+    ).parquet(path)
+    # re-land ONLY 1997, with a 10% discount applied; dynamic mode
+    # replaces just that partition directory
+    patch = base.filter(F.col("order_year") == 1997).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 0.9
+    )
+    patch.repartition("order_year").write.mode("overwrite").partitionBy(
+        "order_year"
+    ).parquet(path)
+    final = spark.read.parquet(path)
+    return final.groupBy("order_year").agg(
+        F.count("*").alias("n"),
+        _dsum(F.col("o_totalprice")).alias("total"),
+    )
+
+
+def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable count-min sketch (§2.6 sketch family, with
+    hll_sketch_union): per-partition CMS partials merge associatively in
+    the JVM aggregate, then the driver queries the merged sketch for
+    each candidate key — frequency estimation with fixed memory no
+    matter the stream size. Estimates are >= true counts (one-sided
+    error), asserted in tests; rows-only driver check (DuckDB has no
+    CMS)."""
+    ev = load_table(spark, sf_dir, "events")
+    sk = ev.agg(
+        F.count_min_sketch(
+            F.col("event_type"), F.lit(0.001), F.lit(0.99), F.lit(42)
+        ).alias("sketch")
+    ).collect()[0]["sketch"]
+    types = [r["event_type"] for r in ev.select("event_type").distinct().collect()]
+    cms = spark._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        bytes(sk)
+    )
+    rows = [(t, int(cms.estimateCount(t))) for t in sorted(types)]
+    return spark.createDataFrame(rows, "event_type STRING, est_count BIGINT")
+
+
+def q_approx_topk_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_top_k heavy-hitter aggregate: top event types with
+    estimated counts from a bounded-memory summary. With maxItemsTracked
+    >= the distinct count the estimate is exact, so the oracle checks it
+    against plain GROUP BY counts."""
+    ev = load_table(spark, sf_dir, "events")
+    topk = ev.agg(
+        F.expr("approx_top_k(event_type, 10, 10000)").alias("tk")
+    ).select(F.explode("tk").alias("e"))
+    return topk.select(
+        F.col("e.item").alias("event_type"),
+        F.col("e.count").cast("bigint").alias("n"),
+    )
+
+
+def q_execute_immediate_param(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL via EXECUTE IMMEDIATE ... USING — the engine
+    form of the reference's parameterized procedures
+    (`insert_table_temp(n)`, DAG:193-246, called with n=1,2,3,0): one
+    statement template, bind values at call time, no string splicing.
+    Binds the n-th-order rank and a status filter."""
+    from aproximacion_1_etl_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        EXECUTE IMMEDIATE
+          'SELECT o_custkey,
+                  CAST(count(*) AS BIGINT) AS n_orders,
+                  min(o_orderkey) AS sample_order
+           FROM (SELECT *, row_number() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate ASC, o_orderkey ASC) AS rn
+                 FROM orders WHERE o_orderstatus = ?)
+           WHERE rn <= ? GROUP BY 1'
+          USING 'F', 2
+        """
+    )
+
+
+def q_auto_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-driven recursive struct flattening: a nested order record
+    (order + customer sub-struct + geo sub-sub-struct, the reference's
+    ~100-field shape, app.py:37-98) flattens to dotted-name columns with
+    zero per-field code. The nested struct is built then flattened back
+    — the output hash proves lossless field lifting."""
+    from aproximacion_1_etl_spark.functions.cleaning import flatten_struct
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    nested = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .select(
+            "o_orderkey",
+            F.struct(
+                F.col("c_name").alias("name"),
+                F.col("c_mktsegment").alias("segment"),
+                F.struct(
+                    F.col("c_nationkey").alias("nation"),
+                    _fround(F.col("c_acctbal"), 2).alias("balance"),
+                ).alias("account"),
+            ).alias("customer"),
+            _fround(F.col("o_totalprice"), 2).alias("total"),
+        )
+    )
+    flat = flatten_struct(nested)
+    return flat.filter(F.col("customer_account_balance") > 9000.0).select(
+        "o_orderkey",
+        "customer_name",
+        "customer_segment",
+        F.col("customer_account_nation").alias("nation"),
+        "customer_account_balance",
+        "total",
+    )
+
+
+def q_c4_boilerplate_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-level cleaning (§2.10): chunk each document into
+    10-token lines, drop ragged tails and lines where > 20% of tokens
+    are single characters (C4's short-token boilerplate heuristic),
+    then rebuild the document and drop docs left with < 2 lines. All
+    higher-order array functions — explode + slice + filter run inside
+    whole-stage codegen, no Python."""
+    line_w = 10
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.split(F.col("text"), " ").alias("toks")
+    )
+    chunks = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.floor((F.size("toks") - 1) / line_w).cast("int"),
+                ),
+                lambda i: F.slice(F.col("toks"), i * line_w + 1, line_w),
+            )
+        ).alias("pos", "line"),
+    )
+    kept = chunks.filter(
+        (F.size("line") == line_w)
+        & (
+            F.size(F.filter(F.col("line"), lambda t: F.length(t) <= 1))
+            <= int(line_w * 0.2)
+        )
+    )
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_lines_kept"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.flatten(
+                        F.transform(
+                            F.array_sort(
+                                F.collect_list(F.struct("pos", "line"))
+                            ),
+                            lambda s: s["line"],
+                        )
+                    ),
+                )
+            ).alias("clean_hash"),
+        )
+        .filter(F.col("n_lines_kept") >= 2)
+        .select(
+            "doc_id",
+            F.col("n_lines_kept").cast("bigint").alias("n_lines_kept"),
+            "clean_hash",
+        )
+    )
+
+
 ALL_QUERIES = {
     "flagship_order_lifecycle": q_flagship_order_lifecycle,
     "work_table_build": q_work_table_build,
@@ -3336,4 +3647,14 @@ ALL_QUERIES = {
     "lateral_topn": q_lateral_topn,
     "recursive_cte": q_recursive_cte,
     "sentence_dedup": q_sentence_dedup,
+    "log_parse": q_log_parse,
+    "url_canonicalize": q_url_canonicalize,
+    "collated_group": q_collated_group,
+    "sql_script_chain": q_sql_script_chain,
+    "dynamic_overwrite": q_dynamic_overwrite,
+    "heavy_hitters_cms": q_heavy_hitters_cms,
+    "approx_topk_types": q_approx_topk_types,
+    "execute_immediate_param": q_execute_immediate_param,
+    "auto_flatten": q_auto_flatten,
+    "c4_boilerplate_filter": q_c4_boilerplate_filter,
 }

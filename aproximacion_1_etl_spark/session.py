@@ -52,6 +52,11 @@ def get_spark(
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
+        # Write timestamps as TIMESTAMP_MICROS, not the legacy INT96:
+        # INT96 column chunks carry no min/max statistics, so sorted /
+        # z-ordered layouts lose all row-group skipping on timestamp
+        # keys (and INT96 is unreadable by most modern readers).
+        "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
         # ANSI off: the reference's parsing is permissive (null on
         # failure, reference src/2_...py:76-83); try_* functions plus
         # non-ANSI casts reproduce that contract.

@@ -40,19 +40,31 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one catalog table. Column pruning + filter pushdown reach the
     parquet scan because we return the raw scan and let callers select.
 
-    Nanosecond-precision parquet timestamps (the ``events.ts`` column)
-    are not directly readable by Spark's vectorized reader; we read them
-    as raw nanos (``nanosAsLong``) and truncate to microseconds — the
-    same truncation DuckDB applies, so both engines see identical
-    values.
+    Timestamp columns are normalized to session-timezone TIMESTAMP
+    (LTZ, with the session pinned to UTC — session.py) no matter how
+    the file stored them, so downstream epoch math and DuckDB hash
+    parity hold across generator versions:
+
+    - nanosecond int64 timestamps (not readable by the vectorized
+      reader) come in as raw nanos (``nanosAsLong``) and are truncated
+      to microseconds — the same truncation DuckDB applies;
+    - microsecond no-tz timestamps would otherwise surface as
+      TIMESTAMP_NTZ under Spark 4's NTZ inference, which rejects
+      ``cast(double)`` epoch math — we disable the inference so naive
+      file values mean UTC wall-clock, exactly DuckDB's reading.
     """
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set(
+            "spark.sql.parquet.inferTimestampNTZ.enabled", "false"
+        )
     except Exception:
         pass
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif name == "events" and dict(df.dtypes).get("ts") == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -1,0 +1,115 @@
+"""Versioned snapshot tables: atomic publish + time travel.
+
+The reference mutates BigQuery tables in place through a 29-procedure
+chain (`Composer/DAG_cloudrun_dataflow_sp.py:90-318`) — a half-finished
+run leaves the table in an intermediate state, and yesterday's data is
+gone after today's overwrite. The snapshot layout fixes both with plain
+parquet + one manifest file, the core idea of Delta/Iceberg stripped to
+what the engine needs:
+
+    <table>/v=0/part-*.parquet
+    <table>/v=1/part-*.parquet
+    <table>/_VERSION            <- single small file naming the current
+                                   committed version
+
+Writers land a NEW version directory in full, then flip ``_VERSION``
+(one tiny-file write = the commit point — readers either see the old
+version or the new one, never a partial table, fixing the visibility
+gap compact_table documents). Readers resolve ``_VERSION`` unless asked
+for an explicit older version (time travel). Old versions are immutable
+until ``vacuum`` removes them.
+
+At 100 TB nothing changes: the manifest is one small file per table;
+data files are never rewritten in place, so concurrent readers of v_n
+are undisturbed by the v_n+1 publish.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+_MANIFEST = "_VERSION"
+
+
+def _manifest_path(path: str) -> str:
+    return os.path.join(path, _MANIFEST)
+
+
+def current_version(path: str) -> int | None:
+    """Committed version of the table at ``path`` (None = never
+    published)."""
+    try:
+        with open(_manifest_path(path)) as f:
+            return int(f.read().strip())
+    except (FileNotFoundError, ValueError):
+        return None
+
+
+def list_versions(path: str) -> list[int]:
+    """All version directories present (committed or orphaned)."""
+    if not os.path.isdir(path):
+        return []
+    return sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(path)
+        if d.startswith("v=") and d.split("=", 1)[1].isdigit()
+    )
+
+
+def write_snapshot(df: DataFrame, path: str) -> int:
+    """Publish ``df`` as the next version of the table; returns the new
+    version number. The version directory is fully written before the
+    manifest flips, so a crash mid-write leaves the previous version
+    current and the partial directory orphaned (cleaned by vacuum)."""
+    os.makedirs(path, exist_ok=True)
+    cur = current_version(path)
+    nxt = 0 if cur is None else cur + 1
+    # skip over orphaned (never-committed) higher version dirs
+    existing = list_versions(path)
+    if existing:
+        nxt = max(nxt, existing[-1] + 1)
+    vdir = os.path.join(path, f"v={nxt}")
+    df.write.mode("overwrite").parquet(vdir)
+    tmp = _manifest_path(path) + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(str(nxt))
+    os.replace(tmp, _manifest_path(path))  # atomic commit point
+    return nxt
+
+
+def read_snapshot(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Read the current committed version, or time-travel to an older
+    one with ``version=``."""
+    cur = current_version(path)
+    if cur is None:
+        raise FileNotFoundError(f"no committed version at {path}")
+    v = cur if version is None else version
+    if v > cur or v not in list_versions(path):
+        raise ValueError(f"version {v} not available (current={cur})")
+    return spark.read.parquet(os.path.join(path, f"v={v}"))
+
+
+def vacuum(path: str, keep_last: int = 2) -> list[int]:
+    """Drop all but the newest ``keep_last`` committed versions (and any
+    orphaned uncommitted dirs newer than the manifest); returns removed
+    versions. Never removes the current version."""
+    cur = current_version(path)
+    if cur is None:
+        return []
+    removed = []
+    committed = [v for v in list_versions(path) if v <= cur]
+    for v in committed[:-keep_last] if keep_last > 0 else committed[:-1]:
+        if v == cur:
+            continue
+        shutil.rmtree(os.path.join(path, f"v={v}"), ignore_errors=True)
+        removed.append(v)
+    for v in list_versions(path):
+        if v > cur:
+            shutil.rmtree(os.path.join(path, f"v={v}"), ignore_errors=True)
+            removed.append(v)
+    return removed

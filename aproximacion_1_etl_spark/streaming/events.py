@@ -19,27 +19,49 @@ import uuid
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-EVENTS_DDL = (
+EVENTS_DDL_NANOS = (
     "event_id BIGINT, ts BIGINT, user_id BIGINT, "
+    "event_type STRING, value DOUBLE, props STRING"
+)
+EVENTS_DDL_TS = (
+    "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
     "event_type STRING, value DOUBLE, props STRING"
 )
 
 
 def read_events_stream(spark: SparkSession, dir_path: str, glob: str = "*.parquet") -> DataFrame:
     """File-source stream over the events parquet directory. Streaming
-    sources need an explicit schema (no inference at stream start); the
-    nanosecond ``ts`` is read as raw nanos and truncated to micros
-    (matching the batch reader in sources/tables.py)."""
+    sources need an explicit schema (no inference at stream start), but
+    the at-rest ``ts`` encoding varies by generator version (nanosecond
+    int64 vs microsecond no-tz timestamp) — probe the footer with a
+    batch read and pick the matching stream schema, normalizing to
+    session-tz TIMESTAMP either way (same contract as the batch reader
+    in sources/tables.py)."""
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set(
+            "spark.sql.parquet.inferTimestampNTZ.enabled", "false"
+        )
     except Exception:
         pass
+    probe = (
+        spark.read.option("pathGlobFilter", glob).parquet(dir_path).schema
+    )
+    ts_is_nanos = dict(
+        (f.name, f.dataType.simpleString()) for f in probe
+    ).get("ts") == "bigint"
     stream = (
-        spark.readStream.schema(EVENTS_DDL)
+        spark.readStream.schema(
+            EVENTS_DDL_NANOS if ts_is_nanos else EVENTS_DDL_TS
+        )
         .option("pathGlobFilter", glob)
         .parquet(dir_path)
     )
-    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_is_nanos:
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    return stream
 
 
 def windowed_event_counts(

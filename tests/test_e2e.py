@@ -40,7 +40,11 @@ def test_queries_oracle_keys_align(spark):
     assert set(oracles) <= set(qs)
     # every non-oracle query is intentionally rows-only
     rows_only = set(qs) - set(oracles)
-    assert rows_only == {"approx_distinct", "hll_sketch_union"}
+    assert rows_only == {
+        "approx_distinct",
+        "hll_sketch_union",
+        "heavy_hitters_cms",
+    }
 
 
 def test_streaming_available_now(spark, sf_dir):

@@ -199,6 +199,15 @@ def test_sorted_layout_tightens_rowgroup_stats(spark, sf_dir):
     lo = datetime.datetime(1996, 1, 1)
     hi = datetime.datetime(1996, 4, 1)
 
+    def naive(dt):
+        # TIMESTAMP_MICROS stats come back tz-aware; the source column
+        # may be date or naive timestamp depending on generator version
+        if hasattr(dt, "tzinfo") and dt.tzinfo is not None:
+            return dt.replace(tzinfo=None)
+        if not isinstance(dt, datetime.datetime):
+            return datetime.datetime(dt.year, dt.month, dt.day)
+        return dt
+
     def overlapping_row_groups(path):
         n_total = n_hit = 0
         for f in glob.glob(path + "/*.parquet"):
@@ -212,7 +221,7 @@ def test_sorted_layout_tightens_rowgroup_stats(spark, sf_dir):
                 )
                 st = col.statistics
                 n_total += 1
-                if st.min <= hi and st.max >= lo:
+                if naive(st.min) <= hi and naive(st.max) >= lo:
                     n_hit += 1
         return n_hit, n_total
 
@@ -329,3 +338,138 @@ def test_compact_table_with_sort_clusters_layout(spark, sf_dir):
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2, ranges
     assert spark.read.parquet(path).count() == total
+
+
+def test_zorder_layout_skips_on_both_dimensions(spark, sf_dir):
+    """Z-order clustering: interleaved-bit sort on TWO keys gives every
+    file a small hyper-rectangle of the key space, so selective
+    predicates on EITHER dimension skip most row groups — the layout a
+    single-key sort only provides for its one key."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from aproximacion_1_etl_spark.sources.layout import zorder_write
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    single = tempfile.mkdtemp(prefix="graft_z_single_")
+    zord = tempfile.mkdtemp(prefix="graft_z_zord_")
+    n_files = 16
+    (
+        li.repartitionByRange(n_files, "l_orderkey")
+        .sortWithinPartitions("l_orderkey")
+        .write.mode("overwrite")
+        .parquet(single)
+    )
+    zorder_write(li, zord, ["l_orderkey", "l_partkey"], n_files)
+
+    bounds = li.agg(
+        F.min("l_orderkey"), F.max("l_orderkey"),
+        F.min("l_partkey"), F.max("l_partkey"),
+    ).collect()[0]
+
+    def hit_fraction(path, column, lo, hi):
+        n_total = n_hit = 0
+        for f in glob.glob(path + "/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            for rg_i in range(md.num_row_groups):
+                rg = md.row_group(rg_i)
+                col = next(
+                    rg.column(i)
+                    for i in range(rg.num_columns)
+                    if rg.column(i).path_in_schema == column
+                )
+                st = col.statistics
+                n_total += 1
+                if st.min <= hi and st.max >= lo:
+                    n_hit += 1
+        return n_hit / n_total
+
+    # a ~6% slice of each key's range, offset to sit inside one Z-grid
+    # cell row (a slice starting exactly at the midpoint straddles the
+    # grid boundary and touches twice the cells)
+    def slice_of(lo, hi):
+        span = hi - lo
+        start = lo + span * 5 // 16
+        return start, start + max(1, span // 16)
+
+    ok_lo, ok_hi = slice_of(bounds[0], bounds[1])
+    pk_lo, pk_hi = slice_of(bounds[2], bounds[3])
+
+    # single-key sort: perfect on its own key, useless on the other
+    assert hit_fraction(single, "l_orderkey", ok_lo, ok_hi) <= 0.30
+    assert hit_fraction(single, "l_partkey", pk_lo, pk_hi) >= 0.95
+    # z-order: skips a large share of row groups on BOTH keys
+    assert hit_fraction(zord, "l_orderkey", ok_lo, ok_hi) <= 0.60
+    assert hit_fraction(zord, "l_partkey", pk_lo, pk_hi) <= 0.60
+
+    # layout change is semantically invisible
+    back = spark.read.parquet(zord)
+    assert back.count() == li.count()
+    pred = (F.col("l_partkey") >= pk_lo) & (F.col("l_partkey") <= pk_hi)
+    assert (
+        back.filter(pred).agg(F.sum("l_quantity")).collect()[0][0]
+        == li.filter(pred).agg(F.sum("l_quantity")).collect()[0][0]
+    )
+
+
+def test_versioned_snapshots_time_travel(spark, sf_dir):
+    """Snapshot tables: each publish is a full new version directory
+    committed by an atomic manifest flip; readers time-travel to any
+    retained version; vacuum drops old versions but never the current
+    one."""
+    from aproximacion_1_etl_spark.sources.versioned import (
+        current_version,
+        list_versions,
+        read_snapshot,
+        vacuum,
+        write_snapshot,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    path = tempfile.mkdtemp(prefix="graft_snap_") + "/orders_t"
+
+    early = o.filter(F.year("o_orderdate") <= 1995)
+    v0 = write_snapshot(early, path)
+    assert v0 == 0 and current_version(path) == 0
+
+    v1 = write_snapshot(o, path)
+    assert v1 == 1 and current_version(path) == 1
+
+    # current read = latest; time travel = the old frozen rowset
+    assert read_snapshot(spark, path).count() == o.count()
+    assert read_snapshot(spark, path, version=0).count() == early.count()
+
+    # third version, then vacuum to the last 2
+    v2 = write_snapshot(o.limit(10), path)
+    assert v2 == 2
+    removed = vacuum(path, keep_last=2)
+    assert removed == [0] and list_versions(path) == [1, 2]
+    assert read_snapshot(spark, path, version=1).count() == o.count()
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        read_snapshot(spark, path, version=0)
+
+
+def test_count_min_estimates_bound_true_counts(spark, sf_dir):
+    """Count-min sketch error contract: estimates are one-sided
+    (est >= true count) and within eps*N with the configured
+    confidence."""
+    from aproximacion_1_etl_spark.queries import q_heavy_hitters_cms
+
+    est = {
+        r["event_type"]: r["est_count"]
+        for r in q_heavy_hitters_cms(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    true = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    n_total = sum(true.values())
+    for t, c in true.items():
+        assert est[t] >= c, (t, est[t], c)
+        assert est[t] <= c + 0.001 * n_total + 1, (t, est[t], c)
