@@ -1850,4 +1850,55 @@ SELECT doc_id,
 FROM kept GROUP BY 1
 HAVING count(*) >= 2
 """,
+    "cogrouped_pandas_join": """
+WITH o AS (
+  SELECT o_custkey AS key,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+              AS DOUBLE) / 100.0 AS spend
+  FROM orders GROUP BY 1),
+e AS (
+  SELECT user_id AS key, CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1)
+SELECT coalesce(o.key, e.key) AS key,
+       coalesce(o.n_orders, 0) AS n_orders,
+       coalesce(e.n_events, 0) AS n_events,
+       coalesce(o.spend, 0.0) AS spend
+FROM o FULL OUTER JOIN e ON o.key = e.key
+""",
+    "arrow_map_batches": """
+WITH t AS (
+  SELECT lang, len(string_split(text, ' ')) AS n_tokens FROM documents)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(max(n_tokens) AS BIGINT) AS max_tokens
+FROM t GROUP BY 1
+""",
+    "xml_roundtrip": """
+SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+            AS BIGINT) AS total_cents,
+       min(o_orderkey) AS first_key
+FROM orders GROUP BY 1
+""",
+    "fuzzy_dedup_blocked": """
+SELECT a.c_nationkey AS nation,
+       CAST(count(*) AS BIGINT) AS n_fuzzy_pairs,
+       min(a.c_custkey) AS first_left
+FROM customer a JOIN customer b
+  ON a.c_nationkey = b.c_nationkey
+ AND substring(a.c_name, 1, 12) = substring(b.c_name, 1, 12)
+ AND a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 2
+GROUP BY 1
+""",
+    "robust_stats": """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       quantile_disc(value, 0.25) AS p25,
+       quantile_disc(value, 0.5)  AS p50,
+       quantile_disc(value, 0.9)  AS p90,
+       min(value) AS vmin, max(value) AS vmax
+FROM events GROUP BY event_type
+""",
 }

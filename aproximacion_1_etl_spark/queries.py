@@ -3508,6 +3508,196 @@ def q_c4_boilerplate_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cogrouped_pandas_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped applyInPandas (§2.8): orders and events grouped on the
+    same key arrive as PAIRED pandas frames per key — the Arrow surface
+    for custom per-key merge logic (asof merges, per-key reconciliation)
+    that neither side's groupBy can express alone. Money is summed as
+    integer cents inside the group so the Python-side sum is
+    order-independent."""
+    import pandas as pd
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("key"),
+        F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("key"), "event_id"
+    )
+
+    def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        key = (
+            left["key"].iloc[0] if len(left) else right["key"].iloc[0]
+        )
+        return pd.DataFrame(
+            {
+                "key": [key],
+                "n_orders": [len(left)],
+                "n_events": [len(right)],
+                "spend": [float(left["cents"].sum()) / 100.0],
+            }
+        )
+
+    n_parts = spark.sparkContext.defaultParallelism
+    out = (
+        o.repartition(n_parts, "key")
+        .groupBy("key")
+        .cogroup(ev.repartition(n_parts, "key").groupBy("key"))
+        .applyInPandas(
+            merge,
+            "key BIGINT, n_orders BIGINT, n_events BIGINT, spend DOUBLE",
+        )
+    )
+    return out
+
+
+def q_arrow_map_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow (§2.8): per-batch pyarrow compute without a pandas
+    conversion — the lowest-overhead Python hook (zero-copy Arrow
+    RecordBatches in and out). Computes per-doc token counts with
+    pyarrow.compute, then aggregates per lang JVM-side."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+
+    def count_tokens(batches):
+        for b in batches:
+            toks = pc.list_value_length(
+                pc.split_pattern(b.column("text"), " ")
+            )
+            yield pa.RecordBatch.from_arrays(
+                [b.column("doc_id"), b.column("lang"), toks],
+                names=["doc_id", "lang", "n_tokens"],
+            )
+
+    mapped = d.mapInArrow(
+        count_tokens, "doc_id BIGINT, lang STRING, n_tokens INT"
+    )
+    return mapped.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.max("n_tokens").cast("bigint").alias("max_tokens"),
+    )
+
+
+def q_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML source/sink (built into Spark 4): the third at-rest text
+    format beside JSON and CSV — write orders as row-tagged XML, read
+    back with an explicit schema, aggregate. Completes the
+    delimited/markup ingest matrix the reference's JSON-only extractor
+    lacked."""
+    o = load_table(spark, sf_dir, "orders")
+    path = tempfile.mkdtemp(prefix="graft_xml_")
+    o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    ).repartition(4).write.mode("overwrite").format("xml").option(
+        "rootTag", "orders"
+    ).option("rowTag", "order").save(path)
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "order")
+        .schema("o_orderkey BIGINT, o_orderstatus STRING, cents BIGINT")
+        .load(path)
+    )
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.sum("cents").alias("total_cents"),
+        F.min("o_orderkey").alias("first_key"),
+    )
+
+
+def q_fuzzy_dedup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy matching (§2.10 entity-dedup shape): candidate
+    pairs come only from equality blocks (nation + name prefix), then
+    edit distance confirms — the blocking keeps the pair space linear
+    instead of O(n²), which is the only way fuzzy dedup survives at
+    corpus scale. levenshtein is evaluated JVM-side on the blocked
+    pairs."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        F.substring("c_name", 1, 12).alias("blk"),
+    )
+    a, b = c.alias("a"), c.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+        & (F.col("a.blk") == F.col("b.blk"))
+        & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+    )
+    close_pairs = pairs.filter(
+        F.levenshtein(F.col("a.c_name"), F.col("b.c_name")) <= 2
+    )
+    return close_pairs.groupBy(F.col("a.c_nationkey").alias("nation")).agg(
+        F.count("*").alias("n_fuzzy_pairs"),
+        F.min(F.col("a.c_custkey")).alias("first_left"),
+    )
+
+
+def q_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order statistics family (§2.6): discrete percentiles
+    (percentile_disc picks an actual data value — deterministic, unlike
+    interpolating percentile_cont at engine boundaries is), median, and
+    extremes per event type."""
+    from aproximacion_1_etl_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               percentile_disc(0.25) WITHIN GROUP (ORDER BY value) AS p25,
+               percentile_disc(0.5)  WITHIN GROUP (ORDER BY value) AS p50,
+               percentile_disc(0.9)  WITHIN GROUP (ORDER BY value) AS p90,
+               min(value) AS vmin, max(value) AS vmax
+        FROM events GROUP BY event_type
+        """
+    )
+
+
+def q_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative PageRank (operators/graph.py) over the bipartite
+    customer->supplier graph induced by lineitems: 5 join+aggregate
+    rounds with per-iteration lineage cuts. Rows-only driver check
+    (iterative double sums are order-sensitive in the last ulp; the
+    numpy cross-check lives in tests/test_graph.py); ranks are rounded
+    for display stability."""
+    from aproximacion_1_etl_spark.operators.graph import pagerank
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    edges = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.lit(1000000) + F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    pr = pagerank(edges, iterations=5)
+    return (
+        pr.filter(F.col("node") >= 1000000)
+        .select(
+            (F.col("node") - 1000000).alias("supplier"),
+            _fround(F.col("rank") * 1e6, 2).alias("rank_ppm"),
+        )
+        .orderBy(F.col("rank_ppm").desc(), F.col("supplier"))
+        .limit(20)
+    )
+
+
 ALL_QUERIES = {
     "flagship_order_lifecycle": q_flagship_order_lifecycle,
     "work_table_build": q_work_table_build,
@@ -3657,4 +3847,10 @@ ALL_QUERIES = {
     "execute_immediate_param": q_execute_immediate_param,
     "auto_flatten": q_auto_flatten,
     "c4_boilerplate_filter": q_c4_boilerplate_filter,
+    "cogrouped_pandas_join": q_cogrouped_pandas_join,
+    "arrow_map_batches": q_arrow_map_batches,
+    "xml_roundtrip": q_xml_roundtrip,
+    "fuzzy_dedup_blocked": q_fuzzy_dedup_blocked,
+    "robust_stats": q_robust_stats,
+    "pagerank_suppliers": q_pagerank_suppliers,
 }

@@ -44,6 +44,7 @@ def test_queries_oracle_keys_align(spark):
         "approx_distinct",
         "hll_sketch_union",
         "heavy_hitters_cms",
+        "pagerank_suppliers",
     }
 
 
