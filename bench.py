@@ -59,10 +59,16 @@ HEADLINE = [
     "q19_disjunctive_revenue",
     "incremental_rollup",
     "tfidf_top_terms",
-    # Python-worker query LAST: applyInPandas spins up 32 Python workers
-    # and leaves GC pressure that inflates the next JVM-only query by
-    # ~3x (measured: dedup_minhash_lsh 6.96s after it vs 1.9s isolated).
+    # round-3-session additions (still pre-Python block): iterative
+    # graph loop and the C4 token-line cleaning pass
+    "pagerank_suppliers",
+    "c4_boilerplate_filter",
+    # Python-worker queries LAST: applyInPandas spins up 32 Python
+    # workers and leaves GC pressure that inflates the next JVM-only
+    # query by ~3x (measured: dedup_minhash_lsh 6.96s after it vs 1.9s
+    # isolated).
     "grouped_pandas_stats",
+    "cogrouped_pandas_join",
     # round-2 session-2 newcomer: the LLM-pipeline flagship composite
     "corpus_to_sequences",
 ]

@@ -137,3 +137,44 @@ def test_observe_collects_metrics_without_second_pass(spark, sf_dir):
     assert m["n_rows"] == sum(by_flag.values()) == li.count()
     assert m["null_qty"] == 0
     assert m["min_ship"] is not None
+
+
+def _plan_of(df):
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    return buf.getvalue()
+
+
+def test_sql_join_hints_steer_physical_strategy(spark, sf_dir):
+    """SQL join hints are the per-query override when Catalyst's
+    size-based choice is wrong (stale stats, exploding join output):
+    BROADCAST must force a broadcast join even when the threshold
+    forbids it, and MERGE must force sort-merge even when the side is
+    small enough to broadcast. The hint is advisory syntax but the
+    physical plan is the contract."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("h_orders")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "h_customer"
+    )
+    saved = _with_conf(
+        spark, {"spark.sql.autoBroadcastJoinThreshold": "-1"}
+    )
+    try:
+        q = """SELECT /*+ {hint}(c) */ c.c_mktsegment, count(*) AS n
+               FROM h_orders o JOIN h_customer c
+                 ON o.o_custkey = c.c_custkey
+               GROUP BY 1"""
+        plan_b = _plan_of(spark.sql(q.format(hint="BROADCAST")))
+        assert "BroadcastHashJoin" in plan_b, plan_b
+    finally:
+        _restore(spark, saved)
+    saved = _with_conf(
+        spark, {"spark.sql.autoBroadcastJoinThreshold": "1GB"}
+    )
+    try:
+        plan_m = _plan_of(spark.sql(q.format(hint="MERGE")))
+        assert "SortMergeJoin" in plan_m, plan_m
+        assert "BroadcastHashJoin" not in plan_m
+    finally:
+        _restore(spark, saved)

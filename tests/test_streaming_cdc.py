@@ -112,3 +112,59 @@ def test_available_now_checkpoint_resume_is_incremental(spark, sf_dir):
     # exactly-once: every source row present exactly once, f1 not re-read
     assert out.count() == o.count()
     assert out.select("o_orderkey").distinct().count() == o.count()
+
+
+def test_foreachbatch_publishes_versioned_snapshots(spark, sf_dir):
+    """foreachBatch + versioned snapshots: each micro-batch folds into
+    the running master and publishes as a NEW table version (atomic
+    manifest flip, sources/versioned.py) — readers never see a
+    half-merged table and can time-travel to any batch's state. This is
+    the streaming form of the reference's daily publish with history
+    retained instead of overwritten."""
+    from aproximacion_1_etl_spark.sources.versioned import (
+        current_version,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    src = tempfile.mkdtemp(prefix="cdc_snap_src_")
+    table = tempfile.mkdtemp(prefix="cdc_snap_tbl_") + "/master"
+    o.filter(F.col("o_orderkey") % 2 == 0).coalesce(1).write.parquet(
+        os.path.join(src, "f1")
+    )
+    o.filter(F.col("o_orderkey") % 2 == 1).coalesce(1).write.parquet(
+        os.path.join(src, "f2")
+    )
+
+    def publish(batch_df, batch_id):
+        s = batch_df.sparkSession
+        if current_version(table) is not None:
+            merged = merge_upsert(
+                read_snapshot(s, table), batch_df, keys=["o_orderkey"]
+            )
+        else:
+            merged = batch_df
+        write_snapshot(merged, table)
+
+    stream = (
+        spark.readStream.schema("o_orderkey BIGINT, o_orderstatus STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    q = (
+        stream.writeStream.foreachBatch(publish)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="ckpt_snap_")
+        )
+        .start()
+    )
+    q.awaitTermination()
+
+    assert current_version(table) == 1
+    # v0 = first half only; v1 = everything
+    assert read_snapshot(spark, table, version=0).count() < o.count()
+    assert read_snapshot(spark, table).count() == o.count()
