@@ -1901,4 +1901,24 @@ SELECT event_type,
        min(value) AS vmin, max(value) AS vmax
 FROM events GROUP BY event_type
 """,
+    "domain_mix_resample": """
+WITH c AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY 1),
+t AS (SELECT sum(n_lang) AS total, count(*) AS n_l FROM c),
+r AS (SELECT lang, n_lang,
+             least(1.0, (CAST(total AS DOUBLE) / n_l) / n_lang) AS rate
+      FROM c, t),
+rr AS (SELECT lang, n_lang, rate,
+              CASE WHEN rate >= 1.0 THEN 'g'
+                   ELSE printf('%04x',
+                        CAST(floor(rate * 65536.0 + 0.5) AS INT))
+              END AS thr
+       FROM r)
+SELECT d.lang,
+       CAST(max(rr.n_lang) AS BIGINT) AS n_before,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       floor(max(rr.rate) * 10000.0 + 0.5) / 10000.0 AS rate
+FROM documents d JOIN rr ON d.lang = rr.lang
+WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < rr.thr
+GROUP BY 1
+""",
 }

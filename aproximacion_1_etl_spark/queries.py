@@ -3698,6 +3698,55 @@ def q_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_domain_mix_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain mixing (§2.10): rebalance the corpus toward a uniform
+    per-language share by computing each language's keep-rate FROM the
+    observed counts (rate = target/count, capped at 1), then applying
+    it as a deterministic key-hash filter — the data-mixture step of
+    training-set construction, with rates derived in-plan (one tiny
+    aggregate broadcast back), not hand-configured. Stable across runs,
+    partitionings, and engines."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count("*").alias("n_lang"))
+    totals = counts.agg(
+        F.sum("n_lang").alias("total"), F.count("*").alias("n_l")
+    )
+    rates = counts.join(F.broadcast(totals)).select(
+        "lang",
+        "n_lang",
+        F.least(
+            F.lit(1.0),
+            (F.col("total").cast("double") / F.col("n_l"))
+            / F.col("n_lang"),
+        ).alias("rate"),
+    )
+    rates = rates.withColumn(
+        "thr",
+        F.when(F.col("rate") >= 1.0, F.lit("g")).otherwise(
+            F.lower(
+                F.lpad(
+                    F.hex(
+                        F.floor(F.col("rate") * 65536.0 + F.lit(0.5)).cast(
+                            "bigint"
+                        )
+                    ),
+                    4,
+                    "0",
+                )
+            )
+        ),
+    )
+    kept = d.join(F.broadcast(rates), "lang").filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+        < F.col("thr")
+    )
+    return kept.groupBy("lang").agg(
+        F.max("n_lang").cast("bigint").alias("n_before"),
+        F.count("*").alias("n_kept"),
+        _fround(F.max("rate"), 4).alias("rate"),
+    )
+
+
 ALL_QUERIES = {
     "flagship_order_lifecycle": q_flagship_order_lifecycle,
     "work_table_build": q_work_table_build,
@@ -3853,4 +3902,5 @@ ALL_QUERIES = {
     "fuzzy_dedup_blocked": q_fuzzy_dedup_blocked,
     "robust_stats": q_robust_stats,
     "pagerank_suppliers": q_pagerank_suppliers,
+    "domain_mix_resample": q_domain_mix_resample,
 }

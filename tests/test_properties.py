@@ -175,3 +175,51 @@ def test_merge_partial_rollup_equals_full(spark, rows, split_at):
     got = {r["k"]: (r["n"], r["sv"]) for r in merged.collect()}
     want = {r["k"]: (r["n"], r["sv"]) for r in partial(rows).collect()}
     assert got == want
+
+
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10_000),
+            st.integers(min_value=0, max_value=10_000),
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+    bits=st.integers(min_value=2, max_value=12),
+)
+@settings(**SETTINGS)
+def test_zvalue_matches_bit_interleave_reference(spark, pts, bits):
+    """zvalue (sources/layout.py) must equal the classic scale-then-
+    interleave computed in plain Python: ranks clamp into [0, 2^bits),
+    dimension d's bit i lands at output bit i*ndims+d, and the result
+    always fits the documented range."""
+    from aproximacion_1_etl_spark.sources.layout import zvalue
+
+    xs = [p[0] for p in pts]
+    ys = [p[1] for p in pts]
+    lo_x, hi_x = min(xs), max(xs)
+    lo_y, hi_y = min(ys), max(ys)
+    top = (1 << bits) - 1
+
+    def rank(v, lo, hi):
+        span = float(hi - lo) if hi > lo else 1.0
+        r = int((float(v) - lo) / span * top)
+        return min(max(r, 0), top)
+
+    def ref_z(x, y):
+        rx, ry = rank(x, lo_x, hi_x), rank(y, lo_y, hi_y)
+        z = 0
+        for i in range(bits):
+            z |= ((rx >> i) & 1) << (2 * i)
+            z |= ((ry >> i) & 1) << (2 * i + 1)
+        return z
+
+    df = spark.createDataFrame(pts, "x BIGINT, y BIGINT")
+    z = zvalue(
+        [(F.col("x"), lo_x, hi_x), (F.col("y"), lo_y, hi_y)], bits=bits
+    )
+    got = [r["z"] for r in df.select(z.alias("z")).collect()]
+    expect = [ref_z(x, y) for x, y in pts]
+    assert got == expect
+    assert all(0 <= g < (1 << (2 * bits)) for g in got)
