@@ -130,6 +130,7 @@ def flatten_struct(df: DataFrame, sep: str = "_") -> DataFrame:
     explode's job, operators/explode.py). Pure projection — no shuffle,
     fully prunable by Catalyst."""
     cols = []
+    names: list[str] = []
     again = False
     for f in df.schema.fields:
         if isinstance(f.dataType, StructType):
@@ -140,7 +141,19 @@ def flatten_struct(df: DataFrame, sep: str = "_") -> DataFrame:
                         f"{f.name}{sep}{sub.name}"
                     )
                 )
+                names.append(f"{f.name}{sep}{sub.name}")
         else:
             cols.append(F.col(f"`{f.name}`"))
+            names.append(f.name)
+    # A flattened name can collide with an existing column (top-level
+    # `a_b` plus struct `a.b`): fail loudly here, not with an ambiguous-
+    # column error at some downstream select.
+    dupes = sorted({n for n in names if names.count(n) > 1})
+    if dupes:
+        raise ValueError(
+            f"flatten_struct: flattened name(s) {dupes} collide with "
+            f"existing columns; rename the source columns or use a "
+            f"different sep than {sep!r}"
+        )
     out = df.select(cols)
     return flatten_struct(out, sep) if again else out

@@ -10,10 +10,13 @@ key both times.
 Scale posture: the edge list is the big table (100 TB-class) and is
 reused every iteration — cache it, and co-partition both shuffles on
 the same key so AQE reuses the exchange. Lineage grows linearly with
-iterations, so each iteration is cut with ``localCheckpoint`` —
-without it, plan size (and task serialization time) grows without
-bound and long loops eventually stack-overflow the optimizer. Driver
-holds only conf, never data.
+iterations, so iterations are cut with ``localCheckpoint`` — without
+it, plan size (and task serialization time) grows without bound and
+long loops eventually stack-overflow the optimizer. The node count
+enters the plan as a broadcast 1-row aggregate, never as a driver-side
+``.count()`` — the driver holds only conf, never data, and the whole
+setup fuses into the first checkpoint job instead of running 2-3
+separate driver-blocking jobs.
 """
 
 from __future__ import annotations
@@ -34,22 +37,46 @@ def pagerank(
     but distribute nothing; the per-iteration teleport term keeps the
     total finite without a driver-side normalization pass.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # the raw edge relation is scanned by nodes, e_deg AND non_receivers
+    # — cache it or the upstream plan (often a join+distinct) runs 3×
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).cache()
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
         .cache()
     )
-    n_nodes = nodes.count()
+    # |V| as an in-plan broadcast scalar: a 1-row aggregate cross-joined
+    # (broadcast) wherever 1/n or the teleport term is needed. No
+    # .count() on the driver => no extra blocking job, and the constant
+    # stays inside Catalyst's reach.
+    nsc = nodes.agg(F.count("*").alias("n_nodes"))
     out_deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
     # the edge relation with out-degree attached is loop-invariant:
     # compute once, cache, reuse each iteration
     e_deg = e.join(out_deg, "src").cache()
-    e_deg.count()
+    # Nodes with no inbound edge never receive contributions — their
+    # rank is the constant teleport term every iteration. That set is
+    # loop-invariant, so computing it once replaces the per-iteration
+    # nodes-left-join (one whole shuffle join removed from the loop:
+    # contribs' node set is exactly the distinct-dst set, so
+    # contribs ∪ non_receivers covers every node exactly once).
+    teleport = F.lit(1.0 - damping) / F.col("n_nodes")
+    non_receivers = (
+        nodes.join(
+            e.select(F.col("dst").alias("node")).distinct(),
+            "node",
+            "left_anti",
+        )
+        .crossJoin(F.broadcast(nsc))
+        .select("node", teleport.alias("rank"))
+        .cache()
+    )
 
-    ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
-    for _ in range(iterations):
+    ranks = nodes.crossJoin(F.broadcast(nsc)).select(
+        "node", (F.lit(1.0) / F.col("n_nodes")).alias("rank")
+    )
+    for i in range(iterations):
         contribs = (
             e_deg.join(ranks, e_deg["src"] == ranks["node"])
             .select(
@@ -60,14 +87,26 @@ def pagerank(
             .agg(F.sum("c").alias("received"))
         )
         ranks = (
-            nodes.join(contribs, "node", "left")
+            contribs.crossJoin(F.broadcast(nsc))
             .select(
                 "node",
-                (
-                    F.lit((1.0 - damping) / n_nodes)
-                    + F.lit(damping) * F.coalesce("received", F.lit(0.0))
-                ).alias("rank"),
+                (teleport + F.lit(damping) * F.col("received")).alias(
+                    "rank"
+                ),
             )
-            .localCheckpoint(eager=False)  # cut lineage each iteration
+            .unionByName(non_receivers)
         )
+        # Eager checkpoint every 2nd (and the last) iteration: lineage
+        # stays bounded at depth 2 and each checkpoint is its own
+        # measurable job, but the loop runs half as many jobs as a
+        # per-iteration checkpoint — per-job fixed overhead, not data
+        # volume, dominates an iteration at any SF.
+        if i % 2 == 1 or i == iterations - 1:
+            ranks = ranks.localCheckpoint(eager=True)
+    # loop-invariant caches are only needed during the iterations; the
+    # returned ranks are checkpointed, so free executor storage now
+    e.unpersist()
+    nodes.unpersist()
+    e_deg.unpersist()
+    non_receivers.unpersist()
     return ranks

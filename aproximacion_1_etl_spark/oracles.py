@@ -1910,7 +1910,8 @@ r AS (SELECT lang, n_lang,
 rr AS (SELECT lang, n_lang, rate,
               CASE WHEN rate >= 1.0 THEN 'g'
                    ELSE printf('%04x',
-                        CAST(floor(rate * 65536.0 + 0.5) AS INT))
+                        least(65535,
+                              CAST(floor(rate * 65536.0 + 0.5) AS INT)))
               END AS thr
        FROM r)
 SELECT d.lang,

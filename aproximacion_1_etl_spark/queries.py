@@ -3332,19 +3332,19 @@ def q_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     untouched — no read-modify-write of the whole table)."""
     o = load_table(spark, sf_dir, "orders")
     path = tempfile.mkdtemp(prefix="graft_dynover_")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     base = o.withColumn("order_year", F.year("o_orderdate"))
     base.repartition("order_year").write.mode("overwrite").partitionBy(
         "order_year"
     ).parquet(path)
-    # re-land ONLY 1997, with a 10% discount applied; dynamic mode
-    # replaces just that partition directory
+    # re-land ONLY 1997, with a 10% discount applied; the per-write
+    # option scopes dynamic mode to this writer (a session-level conf
+    # would silently change every later partitioned overwrite)
     patch = base.filter(F.col("order_year") == 1997).withColumn(
         "o_totalprice", F.col("o_totalprice") * 0.9
     )
-    patch.repartition("order_year").write.mode("overwrite").partitionBy(
-        "order_year"
-    ).parquet(path)
+    patch.repartition("order_year").write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("order_year").parquet(path)
     final = spark.read.parquet(path)
     return final.groupBy("order_year").agg(
         F.count("*").alias("n"),
@@ -3720,14 +3720,21 @@ def q_domain_mix_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_lang"),
         ).alias("rate"),
     )
+    # Clamp the scaled threshold to 65535: for rate in [~0.999992, 1.0)
+    # floor(rate*65536+0.5) = 65536, whose hex '10000' would be lpad-
+    # truncated to '1000' and silently keep only ~1/16 of rows. Values
+    # at the cap compare >= every 4-hex-digit prefix, i.e. keep-all.
     rates = rates.withColumn(
         "thr",
         F.when(F.col("rate") >= 1.0, F.lit("g")).otherwise(
             F.lower(
                 F.lpad(
                     F.hex(
-                        F.floor(F.col("rate") * 65536.0 + F.lit(0.5)).cast(
-                            "bigint"
+                        F.least(
+                            F.lit(65535),
+                            F.floor(
+                                F.col("rate") * 65536.0 + F.lit(0.5)
+                            ).cast("bigint"),
                         )
                     ),
                     4,

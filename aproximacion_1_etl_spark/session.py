@@ -50,6 +50,26 @@ def get_spark(
         ),
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        # Coalesce post-shuffle partitions by DATA VOLUME, not up to the
+        # default parallelism: partition count should follow bytes (the
+        # advisory size), so a 20 MB shuffle at sf0.1 runs 1-2 tasks and
+        # a 100 TB shuffle still runs ~400k. With the default
+        # parallelismFirst=true every tiny stage schedules 32 tasks and
+        # fixed per-task overhead dominates iterative loops (measured:
+        # pagerank 5.9s -> 3.6s at sf0.1). Genuinely CPU-bound Python
+        # stages keep their parallelism via explicit repartition(N)
+        # before the grouped map (operators/pandas_ops.py), which AQE
+        # does not coalesce.
+        "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16m",
+        # Let AQE re-plan (and volume-coalesce) CACHED plans too —
+        # default false pins every .cache() at the full
+        # shuffle-partition count, so iterative loops over cached
+        # relations (pagerank, connected components) schedule 32 map
+        # tasks per stage no matter how tiny the data is.
+        "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": (
+            "true"
+        ),
         "spark.sql.adaptive.skewJoin.enabled": "true",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         # Write timestamps as TIMESTAMP_MICROS, not the legacy INT96:

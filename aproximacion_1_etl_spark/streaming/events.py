@@ -44,12 +44,20 @@ def read_events_stream(spark: SparkSession, dir_path: str, glob: str = "*.parque
         )
     except Exception:
         pass
-    probe = (
-        spark.read.option("pathGlobFilter", glob).parquet(dir_path).schema
-    )
-    ts_is_nanos = dict(
-        (f.name, f.dataType.simpleString()) for f in probe
-    ).get("ts") == "bigint"
+    # An empty source dir is a normal state for a file-source stream
+    # (files arrive later); the batch probe can't infer a schema then,
+    # so fall back to the modern TIMESTAMP encoding.
+    try:
+        probe = (
+            spark.read.option("pathGlobFilter", glob)
+            .parquet(dir_path)
+            .schema
+        )
+        ts_is_nanos = dict(
+            (f.name, f.dataType.simpleString()) for f in probe
+        ).get("ts") == "bigint"
+    except Exception:
+        ts_is_nanos = False
     stream = (
         spark.readStream.schema(
             EVENTS_DDL_NANOS if ts_is_nanos else EVENTS_DDL_TS
