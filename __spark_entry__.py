@@ -35,7 +35,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL per query key; keys without an entry get
-    the driver's weaker rows-only check (approx_distinct — approximate
-    by design)."""
+    """DuckDB-equivalent SQL per query key. As of round 3 every key
+    has a value oracle: approximate-sketch queries hash the exact value
+    plus an in-plan error-bound boolean, and pagerank's decimal-cast
+    contribution sums make its ranks engine-portable."""
     return dict(ALL_ORACLES)

@@ -84,7 +84,16 @@ def pagerank(
                 (F.col("rank") / F.col("out_deg")).alias("c"),
             )
             .groupBy("node")
-            .agg(F.sum("c").alias("received"))
+            # decimal-cast sum: exact and order-independent, so ranks
+            # are bit-identical across partitionings AND engines — this
+            # is what lets a fixed-iteration run carry a value oracle
+            # (DuckDB computes the same decimal sums; double summation
+            # order would differ in the last ulp)
+            .agg(
+                F.sum(F.col("c").cast("decimal(38,20)"))
+                .cast("double")
+                .alias("received")
+            )
         )
         ranks = (
             contribs.crossJoin(F.broadcast(nsc))

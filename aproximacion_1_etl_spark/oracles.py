@@ -167,7 +167,79 @@ FROM r WHERE rank <= {k}
 """
 
 
+def _pagerank_sql(iterations: int = 5) -> str:
+    """Generated mirror of operators/graph.py::pagerank over the
+    customer->supplier bipartite graph (q_pagerank_suppliers): the
+    damped fixed-iteration recurrence unrolled into one CTE per
+    iteration. The contribution sums are decimal-cast in BOTH engines
+    (same convention as _dsum), so every iteration's ranks are
+    bit-identical regardless of partitioning/summation order — which is
+    what makes a value oracle possible for an iterative algorithm.
+    Literals mirror the Spark plan exactly: (1.0 - 0.85) so both
+    engines compute the same IEEE double for the teleport term."""
+    teleport = "(1.0 - 0.85) / nn.n"
+    parts = [
+        """
+WITH e AS (
+  SELECT DISTINCT o_custkey AS src, 1000000 + l_suppkey AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst AS node FROM e),
+nn AS (SELECT count(*) AS n FROM nodes),
+deg AS (SELECT src, count(*) AS out_deg FROM e GROUP BY 1),
+nr AS (SELECT node FROM nodes WHERE node NOT IN (SELECT dst FROM e)),
+it0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes, nn)"""
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f""",
+it{i} AS (
+  SELECT c.node,
+         {teleport} + 0.85 * CAST(c.received AS DOUBLE) AS rank
+  FROM (SELECT e.dst AS node,
+               sum(CAST(r.rank / deg.out_deg AS DECIMAL(38,20))) AS received
+        FROM e JOIN deg USING (src) JOIN it{i - 1} r ON r.node = e.src
+        GROUP BY 1) c, nn
+  UNION ALL
+  SELECT nr.node, {teleport} AS rank FROM nr, nn)"""
+        )
+    parts.append(
+        f"""
+SELECT node - 1000000 AS supplier,
+       floor((rank * 1000000.0) * 100.0 + 0.5) / 100.0 AS rank_ppm
+FROM it{iterations} WHERE node >= 1000000
+ORDER BY rank_ppm DESC, supplier LIMIT 20"""
+    )
+    return "".join(parts)
+
+
 ALL_ORACLES: dict[str, str] = {
+    "pagerank_suppliers": _pagerank_sql(),
+    # Approximate-sketch queries: the estimate is engine-specific, so
+    # the Spark side hashes the EXACT value plus a bound-check boolean;
+    # the oracle computes the same exact value and expects the bound to
+    # hold (TRUE). A sketch drifting out of tolerance fails the gate.
+    "approx_distinct": """
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+       TRUE AS est_ok
+FROM events GROUP BY 1
+""",
+    "hll_sketch_union": """
+WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+              FROM documents),
+per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(count(DISTINCT tok) AS BIGINT) AS n_exact
+        FROM toks GROUP BY 1)
+SELECT source, n_tokens, n_exact, TRUE AS est_ok FROM per
+UNION ALL
+SELECT 'ALL' AS source,
+       CAST((SELECT count(*) FROM toks) AS BIGINT) AS n_tokens,
+       CAST((SELECT count(DISTINCT tok) FROM toks) AS BIGINT) AS n_exact,
+       TRUE AS est_ok
+""",
+    "heavy_hitters_cms": """
+SELECT event_type, CAST(count(*) AS BIGINT) AS true_cnt, TRUE AS est_ok
+FROM events GROUP BY 1
+""",
     "flagship_order_lifecycle": _WORK_SQL
     + """
 SELECT o_orderstatus, latest_event_type, count(*) AS n_orders,

@@ -1340,11 +1340,24 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HLL) — rows-only check (approximate
-    results are engine-specific by design, so no value oracle)."""
+    """approx_count_distinct (HLL) with a value-checked error contract:
+    estimates themselves are engine-specific (DuckDB's HLL differs), so
+    the hashed output carries the EXACT distinct count plus a boolean
+    asserting the estimate landed within 3x the configured rsd (default
+    0.05 -> 15% bound; measured 6.7% at sf0.1). The oracle emits the
+    same exact counts and TRUE — a failed bound fails the driver gate,
+    not just a pytest."""
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("approx_users")
+        F.approx_count_distinct("user_id").alias("est"),
+        F.countDistinct("user_id").alias("n_exact"),
+    ).select(
+        "event_type",
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        (
+            F.abs(F.col("est") - F.col("n_exact"))
+            <= F.lit(0.15) * F.col("n_exact")
+        ).alias("est_ok"),
     )
 
 
@@ -2500,34 +2513,50 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.6 mergeable-sketch distinct counts (rows-only: estimates are
-    engine-specific): per-source HyperLogLog sketches over document
-    user-facing tokens, merged with hll_union_agg into a corpus-wide
-    estimate WITHOUT re-scanning — the map-side-combinable sketch
-    pattern that replaces count(DISTINCT) at 100 TB, where the exact
-    form needs a full shuffle of every distinct value. Accuracy vs
-    exact is pytest-gated (test_text_vector)."""
+    """§2.6 mergeable-sketch distinct counts with a value-checked error
+    contract: per-source HyperLogLog sketches over document tokens,
+    merged with hll_union_agg into a corpus-wide estimate WITHOUT
+    re-scanning — the map-side-combinable sketch pattern that replaces
+    count(DISTINCT) at 100 TB. Because estimates are engine-specific,
+    the hashed output carries the EXACT distinct counts (computed here
+    purely to make the accuracy claim driver-checkable; a production
+    run would emit only the estimate) plus a boolean asserting the
+    estimate is within 5% (lgConfigK=12 -> rsd ~1.6%)."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "source", F.explode(F.split(F.col("text"), " ")).alias("tok")
     )
+    est_ok = (
+        F.abs(F.col("est") - F.col("n_exact"))
+        <= F.greatest(F.lit(2.0), F.lit(0.05) * F.col("n_exact"))
+    ).alias("est_ok")
     per_source = toks.groupBy("source").agg(
         F.hll_sketch_agg("tok").alias("sk"),
         F.count("*").alias("n_tokens"),
+        F.countDistinct("tok").alias("n_exact"),
     )
-    return per_source.select(
+    per = per_source.select(
         "source",
         "n_tokens",
-        F.hll_sketch_estimate("sk").alias("approx_distinct_toks"),
-    ).unionByName(
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        F.hll_sketch_estimate("sk").alias("est"),
+    ).select("source", "n_tokens", "n_exact", est_ok)
+    all_row = (
         per_source.agg(
-            F.lit("ALL").alias("source"),
             F.sum("n_tokens").alias("n_tokens"),
-            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias(
-                "approx_distinct_toks"
-            ),
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
+        )
+        .crossJoin(
+            F.broadcast(toks.agg(F.countDistinct("tok").alias("n_exact")))
+        )
+        .select(
+            F.lit("ALL").alias("source"),
+            "n_tokens",
+            F.col("n_exact").cast("bigint").alias("n_exact"),
+            est_ok,
         )
     )
+    return per.unionByName(all_row)
 
 
 def q_gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3358,8 +3387,10 @@ def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     the JVM aggregate, then the driver queries the merged sketch for
     each candidate key — frequency estimation with fixed memory no
     matter the stream size. Estimates are >= true counts (one-sided
-    error), asserted in tests; rows-only driver check (DuckDB has no
-    CMS)."""
+    error) and within eps*N; both claims ride in the hashed output as a
+    boolean next to the exact counts (DuckDB has no CMS, so the oracle
+    emits the exact counts and TRUE — a broken bound now fails the
+    driver gate, not just the pytest)."""
     ev = load_table(spark, sf_dir, "events")
     sk = ev.agg(
         F.count_min_sketch(
@@ -3371,7 +3402,30 @@ def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         bytes(sk)
     )
     rows = [(t, int(cms.estimateCount(t))) for t in sorted(types)]
-    return spark.createDataFrame(rows, "event_type STRING, est_count BIGINT")
+    est_df = spark.createDataFrame(
+        rows, "event_type STRING, est_count BIGINT"
+    )
+    true_cnt = ev.groupBy("event_type").agg(
+        F.count("*").alias("true_cnt")
+    )
+    totals = true_cnt.agg(F.sum("true_cnt").alias("n_total"))
+    return (
+        true_cnt.join(F.broadcast(est_df), "event_type")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "event_type",
+            F.col("true_cnt").cast("bigint").alias("true_cnt"),
+            (
+                (F.col("est_count") >= F.col("true_cnt"))
+                & (
+                    F.col("est_count")
+                    <= F.col("true_cnt")
+                    + F.lit(0.001) * F.col("n_total")
+                    + F.lit(1)
+                )
+            ).alias("est_ok"),
+        )
+    )
 
 
 def q_approx_topk_types(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3668,10 +3722,11 @@ def q_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative PageRank (operators/graph.py) over the bipartite
     customer->supplier graph induced by lineitems: 5 join+aggregate
-    rounds with per-iteration lineage cuts. Rows-only driver check
-    (iterative double sums are order-sensitive in the last ulp; the
-    numpy cross-check lives in tests/test_graph.py); ranks are rounded
-    for display stability."""
+    rounds with lineage cuts every 2nd iteration. Value-oracled: the
+    contribution sums are decimal-cast (order-independent), so the
+    DuckDB oracle (oracles._pagerank_sql, the recurrence unrolled one
+    CTE per iteration) reproduces the ranks bit-exactly; the numpy
+    cross-check lives in tests/test_graph.py."""
     from aproximacion_1_etl_spark.operators.graph import pagerank
 
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")

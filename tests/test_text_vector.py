@@ -186,5 +186,7 @@ def test_hll_union_estimate_close_to_exact(spark, sf_dir):
         .collect()[0][0]
     )
     rows = {r["source"]: r for r in q_hll_sketch_union(spark, sf_dir).collect()}
-    est = rows["ALL"]["approx_distinct_toks"]
-    assert abs(est - exact) <= max(2, 0.05 * exact)
+    assert rows["ALL"]["n_exact"] == exact
+    # est_ok encodes |est - exact| <= max(2, 5%) computed in-plan
+    assert rows["ALL"]["est_ok"]
+    assert all(r["est_ok"] for r in rows.values())
