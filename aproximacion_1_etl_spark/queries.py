@@ -1516,9 +1516,9 @@ def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.10: embedding-cosine near-dup pairs, exact self-join form (the verification stage)."""
+    """§2.10: embedding near-dup pairs, high-recall verified form — exact cosine over union-of-4-table LSH candidates (no all-pairs join)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return embedding_near_dup(emb, threshold=0.4)
+    return embedding_near_dup(emb, threshold=0.4, tables=4)
 
 
 def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:

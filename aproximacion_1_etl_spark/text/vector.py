@@ -276,33 +276,31 @@ def embedding_near_dup(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    planes: int = 4,
+    tables: int = 4,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (vec_a < vec_b,
-    cos >= threshold).
+    cos >= threshold): the high-recall verified composition — sign-LSH
+    candidate generation over the union of ``tables`` hash tables,
+    then exact cosine on candidate pairs only.
 
-    Written as a self-join; at test scale Catalyst broadcasts one side.
-    At 100 TB, pre-filter candidates with ``ann_topk_lsh``'s bucketing
-    (same-bucket pairs only) — this exact form is the verification
-    stage, and the per-pair cosine is pure codegen.
+    This used to be an unbounded ``vec_a < vec_b`` self-join (O(n²)
+    pairs, a guaranteed scale-killer); every pair now has to share a
+    (table, bucket) first, the same LSH→exact-verify shape as text
+    ``near_dup_verified``. With 4 tables of 4 planes, a true near-dup
+    pair at cos≥0.95 collides in at least one table with p≈0.986
+    (miss = (1-(1-θ/π)^planes)^tables); doubling tables squares the
+    miss rate, so recall is tunable without touching the verify stage.
+    The DuckDB oracle is *generated* from the same hyperplane constants
+    (oracles._near_dup_lsh_sql), so the key stays fully value-checked.
     """
-    emb = _as_double(embeddings, vec_col)
-    # Pre-normalize once per vector so the per-pair work is ONE array
-    # fold (dot of unit vectors) instead of three (dot + both norms) —
-    # 3x less per-pair cost in the quadratic stage. Per-element division
-    # order matches the oracle exactly, keeping doubles bit-identical.
-    v = F.col(vec_col)
-    unit = F.transform(v, lambda x: x / F.sqrt(_dot(v, v)))
-    a = emb.select(F.col(id_col).alias("vec_a"), unit.alias("na"))
-    b = emb.select(F.col(id_col).alias("vec_b"), unit.alias("nb"))
-    return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .select(
-            "vec_a",
-            "vec_b",
-            _fround(_dot(F.col("na"), F.col("nb")), 6).alias("cos_sim"),
-        )
-        .filter(F.col("cos_sim") >= threshold)
-        .select("vec_a", "vec_b", _fround(F.col("cos_sim"), 4).alias("cos_sim"))
+    return embedding_near_dup_lsh(
+        embeddings,
+        threshold=threshold,
+        planes=planes,
+        tables=tables,
+        id_col=id_col,
+        vec_col=vec_col,
     )
 
 
