@@ -14,12 +14,12 @@ DataFrame of failed ids) rather than raised — at 100 TB a notification
 sink must not kill the job; the failure table feeds the metadata
 sidecar (S4) like the reference's ``fallos`` count (app.py:166-171).
 
-Delivery semantics: **at-least-once**. The send runs as an eager
-action inside this call (never lazily attached to the returned
-DataFrame), so one call = one delivery pass; but a Spark task that
-fails or is speculatively re-executed re-sends its partition, so the
-receiver must tolerate duplicates (idempotent endpoint or dedup on
-``id_col`` downstream).
+Delivery semantics: ``notify_each_partition`` is **at-least-once**
+(the send runs as an eager action inside this call, so one call = one
+delivery pass; but a failed/speculative task re-sends its partition).
+``notify_idempotent`` upgrades that to **exactly-once per committed
+ledger entry** via a delivery-ledger anti-join — re-runs and retried
+passes skip everything a prior pass committed.
 """
 
 from __future__ import annotations
@@ -84,3 +84,48 @@ def notify_each_partition(
     # this is not a data-scale collect.
     failures = df.rdd.mapPartitions(run_partition).collect()
     return df.sparkSession.createDataFrame(failures, schema)
+
+
+def notify_idempotent(
+    df: DataFrame,
+    id_col: str,
+    send_batch: Callable[[list[dict]], list[str]],
+    ledger_path: str,
+    batch_size: int = 100,
+    max_retries: int = 3,
+) -> DataFrame:
+    """Ledger-backed delivery: **exactly-once per committed ledger
+    entry**. Before sending, ``df`` is anti-joined against the delivery
+    ledger (a parquet table of already-delivered ids), so a retried or
+    re-run pass — the reference re-runs its whole daily chain on
+    failure (`Composer/DAG_cloudrun_dataflow_sp.py` retries) — cannot
+    double-send anything a previous pass committed. After the send,
+    delivered ids are appended to the ledger.
+
+    Semantics, precisely: the send itself is at-least-once WITHIN one
+    uncommitted pass (a speculative/failed Spark task may re-fire its
+    partition before the ledger append lands — no side-effecting sink
+    can do better without a transactional receiver), but every id whose
+    delivery was committed to the ledger is never sent again by any
+    later call. Pair with ``id_col`` as the receiver's idempotency key
+    to close the residual window. Returns the failure table (rows still
+    undelivered after retries); failed ids are NOT committed, so the
+    next pass retries exactly those.
+    """
+    spark = df.sparkSession
+    try:
+        ledger = spark.read.parquet(ledger_path).select(id_col)
+        to_send = df.join(ledger, id_col, "left_anti")
+    except Exception:  # first pass: no ledger yet
+        to_send = df
+    failures = notify_each_partition(
+        to_send, id_col, send_batch, batch_size, max_retries
+    )
+    # commit point: ids sent this pass (and not in the failure table)
+    # land in the ledger; the sends already happened eagerly above, so
+    # this re-evaluates only the pure anti-join plan, never the sink
+    delivered = to_send.select(id_col).join(
+        failures.select(id_col), id_col, "left_anti"
+    )
+    delivered.write.mode("append").parquet(ledger_path)
+    return failures

@@ -120,11 +120,11 @@ def compact_table(
     never cross-device copies), any stale backup from a prior failed
     run is cleared first, then ``path`` is swapped out and back in two
     renames. Readers that open the table in the instant between the
-    two renames see a missing path — callers needing stronger
-    guarantees should route readers through a catalog/manifest (or a
-    table format with snapshot isolation, e.g. Delta/Iceberg); a crash
-    between the renames leaves the data intact under
-    ``<path>._pre_compact`` for manual restore."""
+    two renames see a missing path — for tables whose readers need
+    snapshot isolation use ``versioned.compact_snapshot`` instead
+    (manifest flip: the path never goes missing and the old version
+    stays immutable); a crash between the renames here leaves the data
+    intact under ``<path>._pre_compact`` for manual restore."""
     import shutil
 
     df = spark.read.parquet(path)

@@ -94,6 +94,63 @@ def read_snapshot(
     return spark.read.parquet(os.path.join(path, f"v={v}"))
 
 
+def compact_snapshot(
+    spark: SparkSession,
+    path: str,
+    target_partitions: int,
+    sort_by: list[str] | None = None,
+) -> int:
+    """Atomic small-file compaction for snapshot tables: rewrite the
+    CURRENT committed version into ``target_partitions`` files (sorted/
+    clustered on ``sort_by`` if given) as the NEXT version, then flip
+    the manifest. Unlike the plain-directory ``tables.compact_table``
+    (which documents a two-rename window where the path is missing),
+    readers here are never disturbed: the table root always exists, a
+    reader that resolved v_n keeps reading v_n's immutable files, and
+    the flip is one atomic manifest replace — the engine-native
+    equivalent of the reference's atomic BigQuery DDL rewrites
+    (`Composer/DAG_cloudrun_dataflow_sp.py:280-318`). Returns the new
+    version."""
+    df = read_snapshot(spark, path)
+    if sort_by:
+        compacted = df.repartitionByRange(
+            target_partitions, *sort_by
+        ).sortWithinPartitions(*sort_by)
+    else:
+        compacted = df.coalesce(target_partitions)
+    return write_snapshot(compacted, path)
+
+
+def zorder_snapshot(
+    spark: SparkSession,
+    path: str,
+    cols: list[str],
+    n_files: int,
+    bits: int = 16,
+) -> int:
+    """Atomic Z-order rewrite for snapshot tables: cluster the current
+    committed version on the Z-curve of ``cols`` (layout.zvalue) into
+    the next version and flip the manifest — OPTIMIZE ZORDER BY with
+    snapshot isolation, same publish protocol as compact_snapshot.
+    Returns the new version."""
+    import pyspark.sql.functions as F
+
+    from aproximacion_1_etl_spark.sources.layout import zvalue
+
+    df = read_snapshot(spark, path)
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"_lo_{c}"), F.max(c).alias(f"_hi_{c}")]
+    b = df.agg(*aggs).collect()[0]
+    z = zvalue(
+        [(F.col(c), float(b[f"_lo_{c}"]), float(b[f"_hi_{c}"])) for c in cols],
+        bits=bits,
+    )
+    return write_snapshot(
+        df.repartitionByRange(n_files, z).sortWithinPartitions(z), path
+    )
+
+
 def vacuum(path: str, keep_last: int = 2) -> list[int]:
     """Drop all but the newest ``keep_last`` committed versions (and any
     orphaned uncommitted dirs newer than the manifest); returns removed

@@ -71,3 +71,67 @@ def test_notify_sends_once_even_if_result_reevaluated(spark, sf_dir):
     # every row delivered exactly once despite three downstream actions
     assert len(sent) == n_rows
     assert len(set(sent)) == n_rows
+
+
+def test_notify_idempotent_ledger_prevents_resend(spark, sf_dir):
+    """Delivery ledger: a retried/re-run pass (the reference's DAG
+    retries the whole chain) must not re-send ids a previous pass
+    committed — each id is delivered exactly once across passes, and
+    ids that FAILED are retried (they are not committed)."""
+    from aproximacion_1_etl_spark.sources.notify import notify_idempotent
+
+    outdir = tempfile.mkdtemp(prefix="notify_ledger_")
+    ledger = tempfile.mkdtemp(prefix="notify_ledger_t_") + "/ledger"
+    faildir = tempfile.mkdtemp(prefix="notify_ledger_f_")
+    # ids divisible by 97 fail on the FIRST pass only (flag file keyed
+    # by pass number is written by the driver between passes)
+    flag = os.path.join(faildir, "pass2")
+
+    def send_batch(rows):
+        import os as _os
+
+        second = _os.path.exists(flag)
+        bad = [] if second else [
+            str(r["o_orderkey"]) for r in rows if r["o_orderkey"] % 97 == 0
+        ]
+        with open(_os.path.join(outdir, f"{_os.getpid()}.log"), "a") as f:
+            for r in rows:
+                if str(r["o_orderkey"]) not in bad:
+                    f.write(f"{r['o_orderkey']}\n")
+        return bad
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    n_bad = o.filter(F.col("o_orderkey") % 97 == 0).count()
+
+    failed1 = notify_idempotent(
+        o, "o_orderkey", send_batch, ledger, batch_size=50, max_retries=2
+    )
+    assert failed1.count() == n_bad
+
+    # pass 2 = the retried run: endpoint healthy now
+    open(flag, "w").close()
+    failed2 = notify_idempotent(
+        o, "o_orderkey", send_batch, ledger, batch_size=50, max_retries=2
+    )
+    assert failed2.count() == 0
+
+    # every id delivered exactly ONCE across both passes
+    sent = []
+    for path in glob.glob(os.path.join(outdir, "*.log")):
+        with open(path) as f:
+            sent.extend(int(x) for x in f.read().split())
+    assert len(sent) == o.count()
+    assert len(set(sent)) == o.count()
+
+    # a third pass sends nothing at all
+    failed3 = notify_idempotent(
+        o, "o_orderkey", send_batch, ledger, batch_size=50, max_retries=2
+    )
+    assert failed3.count() == 0
+    sent3 = []
+    for path in glob.glob(os.path.join(outdir, "*.log")):
+        with open(path) as f:
+            sent3.extend(int(x) for x in f.read().split())
+    assert len(sent3) == len(sent)

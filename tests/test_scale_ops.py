@@ -454,6 +454,54 @@ def test_versioned_snapshots_time_travel(spark, sf_dir):
         read_snapshot(spark, path, version=0)
 
 
+def test_compact_snapshot_never_disturbs_readers(spark, sf_dir):
+    """Atomic compaction/z-order for snapshot tables: a reader that
+    opened the table BEFORE the rewrite keeps reading its version's
+    immutable files afterwards (the manifest flip is the only commit
+    point, the table root never goes missing) — the engine-native
+    equivalent of the reference's atomic BigQuery DDL rewrites."""
+    import glob as _glob
+
+    from aproximacion_1_etl_spark.sources.versioned import (
+        compact_snapshot,
+        current_version,
+        read_snapshot,
+        zorder_snapshot,
+    )
+    from aproximacion_1_etl_spark.sources.versioned import write_snapshot
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    path = tempfile.mkdtemp(prefix="graft_snapc_") + "/orders_c"
+    write_snapshot(o.repartition(16), path)
+    assert len(_glob.glob(f"{path}/v=0/*.parquet")) == 16
+
+    # "concurrent" reader: resolves the manifest (v0) before compaction
+    reader_before = read_snapshot(spark, path)
+    n = o.count()
+
+    v1 = compact_snapshot(spark, path, target_partitions=2)
+    assert v1 == 1 and current_version(path) == 1
+    assert len(_glob.glob(f"{path}/v=1/*.parquet")) == 2
+    # the pre-compaction reader still sees its full, unmoved rowset
+    assert reader_before.count() == n
+    # and v0's files are untouched on disk
+    assert len(_glob.glob(f"{path}/v=0/*.parquet")) == 16
+    assert read_snapshot(spark, path).count() == n
+
+    # z-order rewrite publishes the same way
+    reader_v1 = read_snapshot(spark, path)
+    v2 = zorder_snapshot(
+        spark, path, cols=["o_custkey", "o_totalprice"], n_files=2
+    )
+    assert v2 == 2 and current_version(path) == 2
+    assert reader_v1.count() == n
+    assert read_snapshot(spark, path).count() == n
+    # sorted layout: each z-ordered file's custkey range is a subset
+    assert read_snapshot(spark, path, version=1).count() == n
+
+
 def test_count_min_estimates_bound_true_counts(spark, sf_dir):
     """Count-min sketch error contract: estimates are one-sided
     (est >= true count) and within eps*N with the configured
