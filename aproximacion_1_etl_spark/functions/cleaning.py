@@ -29,14 +29,25 @@ STRICT_TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
 # Fallback chain standing in for dateutil.parser.parse (app.py:17-35).
 # Documented, bounded set — SURVEY.md §7 chose explicit formats over
 # emulating dateutil exactly.
+# Ordered most-specific-first (fraction before bare seconds, offset
+# variants before naive) so coalesce picks the tightest match. Mirrors
+# the breadth of the reference's dateutil.parser (app.py:17-35):
+# ISO 'T' and space separators, micro/milli fractions, date-only,
+# slashed and day-first forms, and zone-offset suffixes ('XXX' matches
+# '+03:00' and 'Z'; offset strings normalize to the session timezone).
 LENIENT_TS_FMTS = (
+    "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX",
     "yyyy-MM-dd'T'HH:mm:ss.SSSSSS",
+    "yyyy-MM-dd'T'HH:mm:ss.SSSXXX",
+    "yyyy-MM-dd'T'HH:mm:ss.SSS",
+    "yyyy-MM-dd'T'HH:mm:ssXXX",
     "yyyy-MM-dd'T'HH:mm:ss",
     "yyyy-MM-dd HH:mm:ss.SSSSSS",
     "yyyy-MM-dd HH:mm:ss",
     "yyyy-MM-dd",
     "yyyy/MM/dd HH:mm:ss",
     "dd-MM-yyyy HH:mm:ss",
+    "dd/MM/yyyy",
 )
 
 

@@ -346,7 +346,10 @@ FROM events
 """,
     "p8_lenient_dates": """
 SELECT o_orderkey,
-       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS parsed_date
+       strftime(CASE WHEN o_orderkey % 4 = 2
+                     THEN CAST(o_orderdate AS TIMESTAMP) - INTERVAL 3 HOUR
+                     ELSE CAST(o_orderdate AS TIMESTAMP) END,
+                '%Y-%m-%d %H:%M:%S') AS parsed_date
 FROM orders
 """,
     "p12_json_props": """

@@ -302,12 +302,26 @@ def q_p7_try_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_p8_lenient_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P8: lenient multi-format parse via coalesce fallback chain."""
+    """P8: lenient multi-format parse via coalesce fallback chain, over
+    four encodings of the same date — slashed datetime, date-only,
+    offset-suffixed ISO (+03:00, which normalizes to the UTC session
+    tz, i.e. shifts the instant back 3h), and milli-fraction ISO."""
     orders = load_table(spark, sf_dir, "orders")
-    mixed = F.when(
-        F.col("o_orderkey") % 2 == 0,
-        F.date_format("o_orderdate", "yyyy/MM/dd HH:mm:ss"),
-    ).otherwise(F.date_format("o_orderdate", "yyyy-MM-dd"))
+    m = F.col("o_orderkey") % 4
+    mixed = (
+        F.when(m == 0, F.date_format("o_orderdate", "yyyy/MM/dd HH:mm:ss"))
+        .when(m == 1, F.date_format("o_orderdate", "yyyy-MM-dd"))
+        .when(
+            m == 2,
+            F.concat(
+                F.date_format("o_orderdate", "yyyy-MM-dd'T'HH:mm:ss"),
+                F.lit("+03:00"),
+            ),
+        )
+        .otherwise(
+            F.date_format("o_orderdate", "yyyy-MM-dd'T'HH:mm:ss.SSS")
+        )
+    )
     return orders.select(
         "o_orderkey", _ts_str(lenient_ts(mixed)).alias("parsed_date")
     )

@@ -523,3 +523,83 @@ def test_count_min_estimates_bound_true_counts(spark, sf_dir):
         # est_ok encodes the one-sided CMS contract (est >= true and
         # est <= true + eps*N + 1) computed next to the estimate
         assert out[t]["est_ok"], (t, out[t])
+
+
+def test_load_table_ts_encoding_matrix(spark):
+    """Driver-regen guard: the events ``ts`` column has already changed
+    at-rest encoding once between rounds (nanosecond int64 -> naive
+    microsecond). load_table must normalize ALL plausible parquet
+    encodings — ns-timestamp, naive us (NTZ), tz-aware us — to the same
+    session-tz TIMESTAMP instants, or a regen silently breaks every
+    events-derived key."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    instants = [
+        dt.datetime(2024, 1, 1, 12, 0, 0),
+        dt.datetime(2024, 3, 5, 23, 59, 59, 123456),
+    ]
+    cols = {
+        "event_id": pa.array([1, 2], pa.int64()),
+        "user_id": pa.array([10, 20], pa.int64()),
+        "event_type": pa.array(["click", "view"]),
+        "value": pa.array([1.5, 2.5], pa.float64()),
+        "props": pa.array(['{"k":1}', '{"k":2}']),
+    }
+    variants = {
+        "ns": pa.array(instants, pa.timestamp("ns")),
+        "us_ntz": pa.array(instants, pa.timestamp("us")),
+        "us_utc": pa.array(instants, pa.timestamp("us", tz="UTC")),
+    }
+    got = {}
+    for name, ts_arr in variants.items():
+        d = tempfile.mkdtemp(prefix=f"graft_enc_{name}_")
+        tbl = pa.table({**cols, "ts": ts_arr})
+        pq.write_table(
+            tbl, f"{d}/events.parquet", version="2.6",
+            coerce_timestamps=None,
+        )
+        df = load_table(spark, d, "events")
+        assert dict(df.dtypes)["ts"] == "timestamp", (
+            name, dict(df.dtypes)["ts"])
+        got[name] = [
+            r["ts"] for r in
+            df.orderBy("event_id").select("ts").collect()
+        ]
+    assert got["ns"] == got["us_ntz"] == got["us_utc"] == instants, got
+
+
+def test_text_ops_tolerate_punctuation_free_documents(spark):
+    """Driver-regen guard #2: the documents corpus dropped '. '
+    sentence separators in one regen. The text pipeline (profile,
+    chunking, sentence splitting, shingles) must stay well-defined on
+    punctuation-free single-token-run text."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tempfile.mkdtemp(prefix="graft_nopunct_")
+    texts = [
+        "alpha beta gamma delta epsilon zeta eta theta",
+        "one",
+        "lorem ipsum dolor sit amet consectetur",
+    ]
+    tbl = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(texts),
+        "lang": pa.array(["en", "en", "la"]),
+        "source": pa.array(["s0", "s0", "s1"]),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    })
+    pq.write_table(tbl, f"{d}/documents.parquet")
+    docs = load_table(spark, d, "documents")
+
+    from aproximacion_1_etl_spark.text.analysis import document_profile
+    from aproximacion_1_etl_spark.text.dedup import word_shingles
+
+    prof = document_profile(docs).collect()
+    assert len(prof) == 3
+    sh = word_shingles(docs, n=3, distinct=False).collect()
+    # only docs with >= 3 tokens shingle; short docs drop cleanly
+    assert {r["doc_id"] for r in sh} == {0, 2}
