@@ -72,8 +72,98 @@ def _sessionize_group(
     )
 
 
-def sessionize_stateful(events: DataFrame, gap_seconds: float = 7200.0) -> DataFrame:
-    """Wire the stateful sessionizer onto a streaming events frame."""
+def new_stateful_api_available() -> bool:
+    """True when Spark 4's ``transformWithStateInPandas`` can actually
+    run here: its Python-side state server speaks protobuf over a local
+    socket, so the ``protobuf`` package must be importable by workers.
+    This sandbox ships pyspark without it (SURVEY.md §8 note), so the
+    engine feature-checks and falls back to ``applyInPandasWithState``
+    — the semantics are identical for this operator; only the state API
+    generation differs."""
+    try:
+        import google.protobuf  # noqa: F401
+        from pyspark.sql.streaming.stateful_processor import (  # noqa: F401
+            StatefulProcessor,
+        )
+        return True
+    except Exception:
+        return False
+
+
+def _sessionize_tws(events: DataFrame, gap_seconds: float) -> DataFrame:
+    """``transformWithStateInPandas`` port of the sessionizer (the
+    successor API: named state variables on a handle instead of one
+    implicit tuple; same per-key Arrow-batch flow). Only reachable when
+    ``new_stateful_api_available()`` — imports stay inside so the
+    module loads without protobuf."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class SessionProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("sess", _STATE_DDL)
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._state.exists():
+                last_sec, n_sessions, n_events = self._state.get()
+            else:
+                last_sec, n_sessions, n_events = None, 0, 0
+            for pdf in rows:
+                secs = pdf["ts"].astype("int64").to_numpy() / 1e9
+                order = pdf.assign(_s=secs).sort_values(["_s", "event_id"])
+                for s in order["_s"].to_numpy():
+                    if last_sec is None or (s - last_sec) > gap_seconds:
+                        n_sessions += 1
+                    last_sec = float(s)
+                    n_events += 1
+            self._state.update((last_sec, n_sessions, n_events))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_sessions": [n_sessions],
+                    "n_events": [n_events],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        SessionProcessor(),
+        outputStructType=_OUT_DDL,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+def sessionize_stateful(
+    events: DataFrame,
+    gap_seconds: float = 7200.0,
+    api: str = "auto",
+) -> DataFrame:
+    """Wire the stateful sessionizer onto a streaming events frame.
+
+    ``api``: ``"auto"`` uses Spark 4's ``transformWithStateInPandas``
+    when its protobuf dependency is present and falls back to
+    ``applyInPandasWithState`` otherwise; ``"tws"`` / ``"legacy"``
+    force one path (tws raises if unavailable)."""
+    if api not in ("auto", "tws", "legacy"):
+        raise ValueError(f"unknown api {api!r}")
+    if api == "tws" and not new_stateful_api_available():
+        # fail at plan-build, not at stream start: the new API's state
+        # server needs protobuf in every Python worker
+        raise RuntimeError(
+            "transformWithStateInPandas requires the protobuf package, "
+            "which is not importable here; use api='auto' to fall back"
+        )
+    use_tws = (
+        api == "tws"
+        or (api == "auto" and new_stateful_api_available())
+    )
+    if use_tws:
+        return _sessionize_tws(events, gap_seconds)
 
     def fn(key, pdf_iter, state):
         return _sessionize_group(key, pdf_iter, state, gap_seconds)

@@ -168,3 +168,34 @@ def test_foreachbatch_publishes_versioned_snapshots(spark, sf_dir):
     # v0 = first half only; v1 = everything
     assert read_snapshot(spark, table, version=0).count() < o.count()
     assert read_snapshot(spark, table).count() == o.count()
+
+
+def test_stateful_api_dispatch(spark, sf_dir):
+    """transformWithStateInPandas port: auto-dispatch uses the new API
+    iff its protobuf dependency is importable, and the fallback keeps
+    the operator running either way. In this sandbox protobuf is absent
+    (SURVEY.md §8), so auto must resolve to the legacy API; on an
+    environment with protobuf the tws path runs the same semantics."""
+    import pytest
+
+    from aproximacion_1_etl_spark.streaming.stateful import (
+        new_stateful_api_available,
+        run_stateful_sessions,
+        sessionize_stateful,
+    )
+
+    out = run_stateful_sessions(spark, sf_dir, glob="events.parquet")
+    assert out.count() > 0  # fallback (or tws) produced results
+
+    with pytest.raises(ValueError):
+        sessionize_stateful(None, api="bogus")
+
+    if not new_stateful_api_available():
+        # forcing tws must fail loudly, not silently degrade
+        from aproximacion_1_etl_spark.streaming.events import (
+            read_events_stream,
+        )
+
+        ev = read_events_stream(spark, sf_dir, "events.parquet")
+        with pytest.raises(Exception):
+            sessionize_stateful(ev, api="tws")
