@@ -16,6 +16,9 @@ sorted by name). Engine-parity rules used throughout:
 
 from __future__ import annotations
 
+from aproximacion_1_etl_spark.text.analysis import (
+    BM25_QUERIES as _BM25_QUERIES,
+)
 from aproximacion_1_etl_spark.text.vector import _hyperplane
 
 # --- shared fragments ---------------------------------------------------
@@ -167,6 +170,56 @@ FROM r WHERE rank <= {k}
 """
 
 
+def _bm25_sql(
+    queries: dict[int, list[str]],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    """Generated mirror of text/analysis.py::bm25_topk. Floating-point
+    literals are emitted with repr() of the SAME Python arithmetic the
+    Spark plan bakes in (k1+1.0, 1.0-b), and the idf / length-norm
+    expressions are parenthesized operand-for-operand, so both engines
+    compute bit-identical doubles; the per-doc contribution sum is
+    decimal-cast in both."""
+    vals = ", ".join(
+        f"({qid}, '{t}')"
+        for qid, terms in sorted(queries.items())
+        for t in sorted(set(terms))
+    )
+    return f"""
+WITH q(query_id, term) AS (SELECT * FROM (VALUES {vals})),
+toks AS (SELECT doc_id, len(string_split(text, ' ')) AS dl,
+                unnest(string_split(text, ' ')) AS term
+         FROM documents),
+tf AS (SELECT doc_id, term, max(dl) AS dl, count(*) AS tf
+       FROM toks GROUP BY 1, 2),
+qtf AS (SELECT * FROM tf WHERE term IN (SELECT DISTINCT term FROM q)),
+df0 AS (SELECT term, count(*) AS df FROM qtf GROUP BY 1),
+st AS (SELECT count(*) AS n_docs,
+              avg(len(string_split(text, ' '))) AS avgdl
+       FROM documents),
+contrib AS (
+  SELECT q.query_id, qtf.doc_id,
+         ln(1.0 + (st.n_docs - df0.df + 0.5) / (df0.df + 0.5))
+         * (qtf.tf * {k1 + 1.0!r})
+         / (qtf.tf + {k1!r} * ({1.0 - b!r} + ({b!r} * qtf.dl) / st.avgdl))
+           AS c
+  FROM qtf JOIN q USING (term) JOIN df0 USING (term), st),
+score AS (SELECT query_id, doc_id,
+                 CAST(sum(CAST(c AS DECIMAL(38,18))) AS DOUBLE) AS s
+          FROM contrib GROUP BY 1, 2),
+r AS (SELECT query_id, doc_id, s,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY s DESC, doc_id ASC) AS rank
+      FROM score)
+SELECT CAST(query_id AS INT) AS query_id, doc_id,
+       floor(s * 10000.0 + 0.5) / 10000.0 AS score,
+       CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= {k}
+"""
+
+
 def _pagerank_sql(iterations: int = 5) -> str:
     """Generated mirror of operators/graph.py::pagerank over the
     customer->supplier bipartite graph (q_pagerank_suppliers): the
@@ -214,6 +267,40 @@ ORDER BY rank_ppm DESC, supplier LIMIT 20"""
 
 ALL_ORACLES: dict[str, str] = {
     "pagerank_suppliers": _pagerank_sql(),
+    "bm25_topk": _bm25_sql(_BM25_QUERIES),
+    # mirror of text/vector.py::semantic_dedup (threshold 0.4, 16
+    # cells): same dist2 rounding + lexicographic argmin as the
+    # ann_topk_ivf oracle, same rounded-cosine drop rule
+    "semantic_dedup": """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT vec_id AS cid, v AS cv, list_dot_product(v, v) AS cc
+         FROM e WHERE vec_id < 16),
+d AS (SELECT e.vec_id, e.v, c.cid,
+             floor((list_dot_product(e.v, e.v) + c.cc
+                    - 2.0 * list_dot_product(e.v, c.cv)) * 1000000.0 + 0.5)
+               / 1000000.0 AS d6
+      FROM e CROSS JOIN cent c),
+assign AS (SELECT vec_id,
+                  list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+                    AS nv,
+                  CAST(cid AS INT) AS cell
+           FROM (SELECT *, row_number() OVER (
+                     PARTITION BY vec_id ORDER BY d6 ASC, cid ASC) AS rn
+                 FROM d)
+           WHERE rn = 1),
+tot AS (SELECT cell, count(*) AS n_vectors FROM assign GROUP BY 1),
+drp AS (SELECT cell, count(*) AS n_dropped FROM (
+          SELECT DISTINCT b.cell, b.vec_id
+          FROM assign a JOIN assign b
+            ON a.cell = b.cell AND a.vec_id < b.vec_id
+          WHERE floor(list_dot_product(a.nv, b.nv) * 1000000.0 + 0.5)
+                  / 1000000.0 >= 0.4)
+        GROUP BY 1)
+SELECT t.cell, CAST(t.n_vectors AS BIGINT) AS n_vectors,
+       CAST(coalesce(d.n_dropped, 0) AS BIGINT) AS n_dropped,
+       CAST(t.n_vectors - coalesce(d.n_dropped, 0) AS BIGINT) AS n_kept
+FROM tot t LEFT JOIN drp d ON t.cell = d.cell
+""",
     # Approximate-sketch queries: the estimate is engine-specific, so
     # the Spark side hashes the EXACT value plus a bound-check boolean;
     # the oracle computes the same exact value and expects the bound to

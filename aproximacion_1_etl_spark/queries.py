@@ -3823,8 +3823,33 @@ def q_domain_mix_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10: SemDeDup-style semantic dedup — map-side IVF-cell
+    clustering bounds the pairwise stage; keep-lowest-id within cell at
+    cos>=0.4 (text/vector.py::semantic_dedup)."""
+    from aproximacion_1_etl_spark.text.vector import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, threshold=0.4, n_centroids=16)
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 retrieval: distributed BM25 top-10 per query-term set —
+    in-plan index statistics, query-filtered before scoring
+    (text/analysis.py::bm25_topk)."""
+    from aproximacion_1_etl_spark.text.analysis import (
+        BM25_QUERIES,
+        bm25_topk,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, BM25_QUERIES, k=10)
+
+
 ALL_QUERIES = {
     "flagship_order_lifecycle": q_flagship_order_lifecycle,
+    "bm25_topk": q_bm25_topk,
+    "semantic_dedup": q_semantic_dedup,
     "work_table_build": q_work_table_build,
     "m9_visit_columns": q_m9_visit_columns,
     "asof_latest_event": q_asof_latest_event,

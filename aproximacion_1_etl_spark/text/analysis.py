@@ -161,6 +161,101 @@ def tfidf_top_terms(
     )
 
 
+# The catalog's BM25 benchmark query sets (q_bm25_topk and its
+# generated oracle both derive from this single definition).
+BM25_QUERIES: dict[int, list[str]] = {
+    0: ["join", "hash", "scan"],
+    1: ["merge", "sort"],
+    2: ["customer", "order", "filter", "slow"],
+}
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: dict[int, list[str]],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Distributed BM25 retrieval scoring: top-``k`` documents per
+    query-term set. The index statistics (per-doc term frequencies,
+    per-term document frequencies, corpus size / average length) are
+    computed in-plan; no materialized inverted index is needed for
+    batch scoring, which is exactly the shape of a
+    retrieval-for-deduplication or RAG-corpus-construction pass.
+
+    Plan: ONE shuffle builds tf over (doc, term) — the doc length rides
+    the explode so it needs no second pass — then everything downstream
+    is filtered to the query terms first (a broadcast semi-join against
+    the tiny query relation), so df/score/rank operate on
+    |matching docs| rows, never the corpus. Corpus stats enter as an
+    in-plan broadcast 1-row aggregate. Score sums are decimal-cast
+    (order-independent) and idf/length normalization mirror the DuckDB
+    oracle operand-for-operand, so the key is fully value-checked.
+    """
+    from pyspark.sql import Window
+
+    spark = docs.sparkSession
+    qrows = [
+        (qid, t) for qid, terms in sorted(queries.items())
+        for t in sorted(set(terms))
+    ]
+    qdf = spark.createDataFrame(qrows, "query_id INT, term STRING")
+
+    splitc = F.split(F.col(text_col), " ")
+    toks = docs.select(
+        id_col, F.size(splitc).alias("dl"), F.explode(splitc).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(
+        F.max("dl").alias("dl"), F.count("*").alias("tf")
+    )
+    qterms = qdf.select("term").distinct()
+    qtf = tf.join(F.broadcast(qterms), "term")
+    df0 = qtf.groupBy("term").agg(F.count("*").alias("df"))
+    stats = docs.agg(
+        F.count("*").alias("n_docs"),
+        F.avg(F.size(splitc)).alias("avgdl"),
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    norm = F.lit(1.0 - b) + (F.lit(b) * F.col("dl")) / F.col("avgdl")
+    contrib = (
+        qtf.join(F.broadcast(qdf), "term")
+        .join(F.broadcast(df0), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            id_col,
+            (
+                idf
+                * (F.col("tf") * F.lit(k1 + 1.0))
+                / (F.col("tf") + F.lit(k1) * norm)
+            ).alias("c"),
+        )
+    )
+    score = contrib.groupBy("query_id", id_col).agg(
+        F.sum(F.col("c").cast("decimal(38,18)")).cast("double").alias("s")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("s").desc(), F.col(id_col).asc()
+    )
+    return (
+        score.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            id_col,
+            (F.floor(F.col("s") * 10000.0 + 0.5) / 10000.0).alias("score"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
 def document_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """All metrics in one scan — the per-document profile table."""
     t = F.col(text_col)

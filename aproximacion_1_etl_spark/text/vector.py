@@ -271,6 +271,88 @@ def ann_topk_ivf(
     )
 
 
+def semantic_dedup(
+    embeddings: DataFrame,
+    threshold: float = 0.92,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): coarse-
+    cluster every embedding to its nearest IVF centroid map-side (same
+    literal-codebook assignment as ann_topk_ivf — no shuffle, no join),
+    then WITHIN each cell drop any vector that has a lower-id neighbor
+    at cosine >= ``threshold``. Returns per-cell (n_vectors, n_dropped,
+    n_kept).
+
+    The clustering is what bounds the quadratic: pairwise cosine runs
+    per cell, never across the corpus. At 100 TB you grow
+    ``n_centroids`` with the corpus (a trained codebook —
+    train_ivf_centroids — instead of the first-N stand-in) so cell
+    populations stay roughly constant and the per-cell pair work stays
+    flat; assignment remains a single map-side pass either way. The
+    keep-lowest-id rule makes the survivor set deterministic and
+    engine-portable (DuckDB oracle mirrors cell assignment and the
+    rounded-cosine test operand-for-operand).
+    """
+    emb = _as_double(embeddings, vec_col)
+    cents = {
+        r[0]: [float(x) for x in r[1]]
+        for r in emb.filter(F.col(id_col) < n_centroids)
+        .select(id_col, vec_col)
+        .collect()
+    }
+    cdots = {cid: sum(x * x for x in v) for cid, v in cents.items()}
+    v = F.col(vec_col)
+    dist_structs = F.array(
+        *[
+            F.struct(
+                _fround(_dist2_to_lit(v, cents[cid], cdots[cid]), 6).alias(
+                    "d"
+                ),
+                F.lit(cid).alias("cid"),
+            )
+            for cid in sorted(cents)
+        ]
+    )
+    unit = F.transform(v, lambda x: x / F.sqrt(_dot(v, v)))
+    assigned = emb.select(
+        F.col(id_col),
+        unit.alias("nv"),
+        F.array_min(dist_structs).getField("cid").cast("int").alias("cell"),
+    )
+    totals = assigned.groupBy("cell").agg(
+        F.count("*").alias("n_vectors")
+    )
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    dropped = (
+        a.join(
+            b,
+            on=[
+                F.col("a.cell") == F.col("b.cell"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .filter(
+            _fround(_dot(F.col("a.nv"), F.col("b.nv")), 6)
+            >= F.lit(threshold)
+        )
+        .select(F.col("b.cell").alias("cell"), F.col(f"b.{id_col}"))
+        .distinct()
+        .groupBy("cell")
+        .agg(F.count("*").alias("n_dropped"))
+    )
+    return totals.join(dropped, "cell", "left").select(
+        "cell",
+        F.col("n_vectors").cast("bigint").alias("n_vectors"),
+        F.coalesce("n_dropped", F.lit(0)).cast("bigint").alias("n_dropped"),
+        (F.col("n_vectors") - F.coalesce("n_dropped", F.lit(0)))
+        .cast("bigint")
+        .alias("n_kept"),
+    )
+
+
 def embedding_near_dup(
     embeddings: DataFrame,
     threshold: float = 0.95,

@@ -190,3 +190,39 @@ def test_hll_union_estimate_close_to_exact(spark, sf_dir):
     # est_ok encodes |est - exact| <= max(2, 5%) computed in-plan
     assert rows["ALL"]["est_ok"]
     assert all(r["est_ok"] for r in rows.values())
+
+
+def test_bm25_scores_rank_matching_docs(spark, sf_dir):
+    """BM25: every returned doc contains at least one query term; ranks
+    are dense from 1 within each query; scores are non-increasing."""
+    from aproximacion_1_etl_spark.text.analysis import BM25_QUERIES, bm25_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = bm25_topk(docs, BM25_QUERIES, k=10).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    text_by_id = {
+        r["doc_id"]: r["text"] for r in docs.collect()
+    }
+    for qid, rows_ in by_q.items():
+        rows_.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows_] == list(range(1, len(rows_) + 1))
+        scores = [r["score"] for r in rows_]
+        assert scores == sorted(scores, reverse=True)
+        terms = set(BM25_QUERIES[qid])
+        for r in rows_:
+            assert terms & set(text_by_id[r["doc_id"]].split()), (qid, r)
+
+
+def test_semantic_dedup_partitions_corpus(spark, sf_dir):
+    """Semantic dedup: kept + dropped tile the corpus exactly, and at a
+    threshold where near-dups exist something actually drops."""
+    from aproximacion_1_etl_spark.text.vector import semantic_dedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = semantic_dedup(emb, threshold=0.4, n_centroids=16).collect()
+    assert sum(r["n_vectors"] for r in out) == emb.count()
+    for r in out:
+        assert r["n_kept"] + r["n_dropped"] == r["n_vectors"]
+    assert sum(r["n_dropped"] for r in out) > 0
