@@ -3833,6 +3833,16 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(emb, threshold=0.4, n_centroids=16)
 
 
+def q_lm_trigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 quality filter: per-doc mean log-prob under a corpus-
+    trained per-language char-trigram LM, model + scoring in one plan
+    (text/analysis.py::lm_trigram_score)."""
+    from aproximacion_1_etl_spark.text.analysis import lm_trigram_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    return lm_trigram_score(docs)
+
+
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.10 retrieval: distributed BM25 top-10 per query-term set —
     in-plan index statistics, query-filtered before scoring
@@ -3850,6 +3860,7 @@ ALL_QUERIES = {
     "flagship_order_lifecycle": q_flagship_order_lifecycle,
     "bm25_topk": q_bm25_topk,
     "semantic_dedup": q_semantic_dedup,
+    "lm_trigram_score": q_lm_trigram_score,
     "work_table_build": q_work_table_build,
     "m9_visit_columns": q_m9_visit_columns,
     "asof_latest_event": q_asof_latest_event,

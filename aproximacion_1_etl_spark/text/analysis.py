@@ -256,6 +256,77 @@ def bm25_topk(
     )
 
 
+def lm_trigram_score(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Perplexity-style quality scoring with a corpus-trained character
+    trigram LM — the classic cheap filter for training-data curation
+    (documents that score far below their language's typical log-prob
+    are boilerplate/garbage candidates).
+
+    Model and scoring in ONE plan, no separate training artifact:
+    per-language conditional probabilities p(c3 | c1c2) =
+    count(trigram) / count(prefix-bigram-starting-a-trigram), both read
+    from the same trigram-count relation (the prefix marginal is the
+    trigram table re-aggregated by its 2-char prefix — no second corpus
+    pass). Per-doc score = mean ln p over the doc's trigrams, decimal-
+    cast sum so the mean is order-independent and engine-portable.
+
+    Plan shape: char-trigram explode (fan-out ~|chars| per doc) ->
+    groupBy (lang, tri) model counts -> broadcast the model (bounded by
+    alphabet^3 per language, it IS the model) back onto per-doc
+    trigrams -> one keyed groupBy per doc. Two shuffles total; the
+    model broadcast replaces a corpus-sized join at any scale.
+    """
+    t = F.col(text_col)
+    tris = F.explode(
+        F.transform(
+            F.sequence(F.lit(1), F.length(t) - F.lit(2)),
+            lambda i: t.substr(i, F.lit(3)),
+        )
+    )
+    doc_tris = docs.select(
+        id_col, F.col(lang_col).alias("lang"), tris.alias("tri")
+    )
+    tri_counts = doc_tris.groupBy("lang", "tri").agg(
+        F.count("*").alias("c3")
+    )
+    bi_counts = (
+        tri_counts.groupBy("lang", F.substring("tri", 1, 2).alias("bi"))
+        .agg(F.sum("c3").alias("c2"))
+        .select(F.col("lang").alias("b_lang"), "bi", "c2")
+    )
+    model = tri_counts.join(
+        bi_counts,
+        (tri_counts["lang"] == bi_counts["b_lang"])
+        & (F.substring(tri_counts["tri"], 1, 2) == bi_counts["bi"]),
+    ).select(
+        "lang", "tri", F.log(F.col("c3") / F.col("c2")).alias("lp")
+    )
+    scored = doc_tris.join(F.broadcast(model), ["lang", "tri"])
+    return (
+        scored.groupBy(id_col, "lang")
+        .agg(
+            F.count("*").alias("n_tri"),
+            (
+                F.sum(F.col("lp").cast("decimal(38,18)")).cast("double")
+                / F.count("*")
+            ).alias("avg_lp"),
+        )
+        .select(
+            id_col,
+            "lang",
+            F.col("n_tri").cast("bigint").alias("n_tri"),
+            (F.floor(F.col("avg_lp") * 10000.0 + 0.5) / 10000.0).alias(
+                "avg_logp"
+            ),
+        )
+    )
+
+
 def document_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """All metrics in one scan — the per-document profile table."""
     t = F.col(text_col)

@@ -226,3 +226,20 @@ def test_semantic_dedup_partitions_corpus(spark, sf_dir):
     for r in out:
         assert r["n_kept"] + r["n_dropped"] == r["n_vectors"]
     assert sum(r["n_dropped"] for r in out) > 0
+
+
+def test_lm_trigram_score_flags_garbage(spark):
+    """Char-trigram LM quality score: documents made of corpus-typical
+    character sequences score strictly higher than a junk document, and
+    every score is a (negative) mean log-probability."""
+    from aproximacion_1_etl_spark.text.analysis import lm_trigram_score
+
+    typical = "the quick brown fox jumps over the lazy dog and runs home"
+    docs = spark.createDataFrame(
+        [(i, typical, "en") for i in range(8)]
+        + [(99, "zq xv jk qz wx vj kq zx", "en")],
+        "doc_id INT, text STRING, lang STRING",
+    )
+    out = {r["doc_id"]: r for r in lm_trigram_score(docs).collect()}
+    assert all(r["avg_logp"] <= 0.0 for r in out.values())
+    assert out[99]["avg_logp"] < out[0]["avg_logp"]
