@@ -73,10 +73,27 @@ def pagerank(
         .cache()
     )
 
+    # Fixed-point early stop: if NO node both sends and receives (the
+    # graph is pure-sources -> pure-sinks, e.g. any bipartite
+    # interaction graph), rank flow has depth 1 — every sender's rank
+    # is the constant teleport term from iteration 1 onward, so the
+    # whole vector reaches its EXACT fixed point at iteration 2 and
+    # further iterations are the identity. Detecting this costs one
+    # small semi-join probe; on deep/cyclic graphs it's a no-op tax and
+    # the full iteration count runs. Results are bit-identical to the
+    # un-shortened loop (same operands in every surviving iteration).
+    sender_receives = (
+        e.select(F.col("dst").alias("node"))
+        .join(e.select(F.col("src").alias("node")), "node", "left_semi")
+        .limit(1)
+        .count()
+    )
+    effective_iters = iterations if sender_receives else min(iterations, 2)
+
     ranks = nodes.crossJoin(F.broadcast(nsc)).select(
         "node", (F.lit(1.0) / F.col("n_nodes")).alias("rank")
     )
-    for i in range(iterations):
+    for i in range(effective_iters):
         contribs = (
             e_deg.join(ranks, e_deg["src"] == ranks["node"])
             .select(
@@ -110,7 +127,7 @@ def pagerank(
         # measurable job, but the loop runs half as many jobs as a
         # per-iteration checkpoint — per-job fixed overhead, not data
         # volume, dominates an iteration at any SF.
-        if i % 2 == 1 or i == iterations - 1:
+        if i % 2 == 1 or i == effective_iters - 1:
             ranks = ranks.localCheckpoint(eager=True)
     # loop-invariant caches are only needed during the iterations; the
     # returned ranks are checkpointed, so free executor storage now

@@ -50,3 +50,27 @@ def test_pagerank_matches_dense_reference(spark, sf_dir):
     # formulation, so the total is < 1 but identical across engines)
     assert abs(sum(got.values()) - sum(expect.values())) < 1e-9
     assert 0.0 < sum(got.values()) <= 1.0
+
+
+def test_pagerank_cyclic_graph_runs_full_iterations(spark):
+    """A graph with cycles (senders that also receive) must take the
+    full iteration count — the bipartite fixed-point shortcut only
+    fires when rank flow has depth 1 — and still match the dense
+    reference."""
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 2), (5, 0)]
+    edges_df = spark.createDataFrame(edges, "src BIGINT, dst BIGINT")
+    expect = _dense_pagerank(edges, iterations=5)
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(edges_df, iterations=5).collect()
+    }
+    assert set(got) == set(expect)
+    for node, r in expect.items():
+        assert abs(got[node] - r) < 1e-9, (node, got[node], r)
+    # ranks genuinely moved across iterations (cycle redistributes):
+    # iteration-2 ranks differ from iteration-5 ranks on this graph
+    two = {
+        r["node"]: r["rank"]
+        for r in pagerank(edges_df, iterations=2).collect()
+    }
+    assert any(abs(two[n] - got[n]) > 1e-12 for n in got)
