@@ -60,9 +60,13 @@ HEADLINE = [
     "incremental_rollup",
     "tfidf_top_terms",
     # round-3-session additions (still pre-Python block): iterative
-    # graph loop and the C4 token-line cleaning pass
+    # graph loop, the C4 token-line cleaning pass, and the r3 LLM-
+    # pipeline ops (BM25 retrieval, semantic dedup, trigram-LM scoring)
     "pagerank_suppliers",
     "c4_boilerplate_filter",
+    "bm25_topk",
+    "semantic_dedup",
+    "lm_trigram_score",
     # Python-worker queries LAST: applyInPandas spins up 32 Python
     # workers and leaves GC pressure that inflates the next JVM-only
     # query by ~3x (measured: dedup_minhash_lsh 6.96s after it vs 1.9s
