@@ -272,20 +272,23 @@ ALL_ORACLES: dict[str, str] = {
     # trigram model (prefix marginal re-aggregated from the trigram
     # counts), same decimal-cast mean
     "lm_trigram_score": """
-WITH dt AS (SELECT doc_id, lang, substr(text, i, 3) AS tri
-            FROM (SELECT doc_id, lang, text,
-                         unnest(generate_series(1, len(text) - 2)) AS i
-                  FROM documents)),
-c3 AS (SELECT lang, tri, count(*) AS c3 FROM dt GROUP BY 1, 2),
+WITH dtc AS (SELECT doc_id, lang, tri, count(*) AS cnt
+             FROM (SELECT doc_id, lang, substr(text, i, 3) AS tri
+                   FROM (SELECT doc_id, lang, text,
+                                unnest(generate_series(1, len(text) - 2))
+                                  AS i
+                         FROM documents))
+             GROUP BY 1, 2, 3),
+c3 AS (SELECT lang, tri, sum(cnt) AS c3 FROM dtc GROUP BY 1, 2),
 c2 AS (SELECT lang, substr(tri, 1, 2) AS bi, sum(c3) AS c2
        FROM c3 GROUP BY 1, 2),
 model AS (SELECT c3.lang, c3.tri, ln(c3.c3 / c2.c2) AS lp
           FROM c3 JOIN c2
             ON c3.lang = c2.lang AND substr(c3.tri, 1, 2) = c2.bi)
-SELECT dt.doc_id, dt.lang, CAST(count(*) AS BIGINT) AS n_tri,
-       floor((CAST(sum(CAST(m.lp AS DECIMAL(38,18))) AS DOUBLE)
-              / count(*)) * 10000.0 + 0.5) / 10000.0 AS avg_logp
-FROM dt JOIN model m ON dt.lang = m.lang AND dt.tri = m.tri
+SELECT dtc.doc_id, dtc.lang, CAST(sum(dtc.cnt) AS BIGINT) AS n_tri,
+       floor((CAST(sum(CAST(m.lp AS DECIMAL(38,18)) * dtc.cnt) AS DOUBLE)
+              / sum(dtc.cnt)) * 10000.0 + 0.5) / 10000.0 AS avg_logp
+FROM dtc JOIN model m ON dtc.lang = m.lang AND dtc.tri = m.tri
 GROUP BY 1, 2
 """,
     # mirror of text/vector.py::semantic_dedup (threshold 0.4, 16

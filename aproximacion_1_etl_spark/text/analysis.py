@@ -205,7 +205,12 @@ def bm25_topk(
     qdf = spark.createDataFrame(qrows, "query_id INT, term STRING")
 
     splitc = F.split(F.col(text_col), " ")
-    toks = docs.select(
+    # rebalance before the token fan-out (single-file local inputs scan
+    # as one partition; see lm_trigram_score for the rule)
+    spread = docs.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+    )
+    toks = spread.select(
         id_col, F.size(splitc).alias("dl"), F.explode(splitc).alias("term")
     )
     tf = toks.groupBy(id_col, "term").agg(
@@ -288,11 +293,28 @@ def lm_trigram_score(
             lambda i: t.substr(i, F.lit(3)),
         )
     )
-    doc_tris = docs.select(
-        id_col, F.col(lang_col).alias("lang"), tris.alias("tri")
+    # ONE corpus explode: per-doc trigram counts are the base relation
+    # for both the model (re-aggregated over docs) and the scoring join
+    # (each distinct (doc, tri) weighted by its count) — halves the
+    # fan-out work vs exploding once per branch, and the scoring join
+    # runs on distinct doc-trigrams, not raw instances.
+    # Rebalance BEFORE the trigram fan-out (same rule as the minhash
+    # shingle explode): a single-file local input scans as one
+    # partition, which would serialize the ~|chars|-per-doc explode on
+    # one core; the explicit spread costs one tiny shuffle of the raw
+    # docs and buys full-width CPU for the heavy stage.
+    spread = docs.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
     )
-    tri_counts = doc_tris.groupBy("lang", "tri").agg(
-        F.count("*").alias("c3")
+    doc_tri_counts = (
+        spread.select(
+            id_col, F.col(lang_col).alias("lang"), tris.alias("tri")
+        )
+        .groupBy(id_col, "lang", "tri")
+        .agg(F.count("*").alias("cnt"))
+    )
+    tri_counts = doc_tri_counts.groupBy("lang", "tri").agg(
+        F.sum("cnt").alias("c3")
     )
     bi_counts = (
         tri_counts.groupBy("lang", F.substring("tri", 1, 2).alias("bi"))
@@ -306,14 +328,19 @@ def lm_trigram_score(
     ).select(
         "lang", "tri", F.log(F.col("c3") / F.col("c2")).alias("lp")
     )
-    scored = doc_tris.join(F.broadcast(model), ["lang", "tri"])
+    scored = doc_tri_counts.join(F.broadcast(model), ["lang", "tri"])
+    # weighted mean in exact decimal arithmetic (decimal(lp) * cnt ==
+    # the sum of cnt copies of decimal(lp), so the instance mean is
+    # reproduced exactly and order-independently in both engines)
     return (
         scored.groupBy(id_col, "lang")
         .agg(
-            F.count("*").alias("n_tri"),
+            F.sum("cnt").alias("n_tri"),
             (
-                F.sum(F.col("lp").cast("decimal(38,18)")).cast("double")
-                / F.count("*")
+                F.sum(
+                    F.col("lp").cast("decimal(38,18)") * F.col("cnt")
+                ).cast("double")
+                / F.sum("cnt")
             ).alias("avg_lp"),
         )
         .select(

@@ -316,7 +316,13 @@ def semantic_dedup(
         ]
     )
     unit = F.transform(v, lambda x: x / F.sqrt(_dot(v, v)))
-    assigned = emb.select(
+    # rebalance before the per-row n_centroids-distance projection (a
+    # single-file local input scans as one partition and would run the
+    # whole assignment pass on one core)
+    spread = emb.repartition(
+        emb.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+    )
+    assigned = spread.select(
         F.col(id_col),
         unit.alias("nv"),
         F.array_min(dist_structs).getField("cid").cast("int").alias("cell"),
