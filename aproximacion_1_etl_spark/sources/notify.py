@@ -113,10 +113,19 @@ def notify_idempotent(
     next pass retries exactly those.
     """
     spark = df.sparkSession
-    try:
+    # "No ledger yet" must be decided by an explicit existence check,
+    # not by swallowing read errors: a corrupt ledger (crashed append)
+    # or transient IO failure silently treated as "first pass" would
+    # re-send every previously committed id, breaking the exactly-once
+    # guarantee without any signal. Unexpected read errors propagate.
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(ledger_path)
+    fs = jpath.getFileSystem(hconf)
+    if fs.exists(jpath):
         ledger = spark.read.parquet(ledger_path).select(id_col)
         to_send = df.join(ledger, id_col, "left_anti")
-    except Exception:  # first pass: no ledger yet
+    else:  # first pass: no ledger yet
         to_send = df
     failures = notify_each_partition(
         to_send, id_col, send_batch, batch_size, max_retries

@@ -142,10 +142,27 @@ def zorder_snapshot(
     for c in cols:
         aggs += [F.min(c).alias(f"_lo_{c}"), F.max(c).alias(f"_hi_{c}")]
     b = df.agg(*aggs).collect()[0]
-    z = zvalue(
-        [(F.col(c), float(b[f"_lo_{c}"]), float(b[f"_hi_{c}"])) for c in cols],
-        bits=bits,
-    )
+    bounds = []
+    for c in cols:
+        lo, hi = b[f"_lo_{c}"], b[f"_hi_{c}"]
+        if lo is None or hi is None:
+            # Empty current version or an all-NULL z-order column: there
+            # is nothing to cluster on — leave the table as-is instead
+            # of crashing with an opaque float(None) TypeError.
+            cur = current_version(path)
+            if cur is None:
+                raise ValueError(
+                    f"zorder_snapshot: no committed version at {path}"
+                )
+            return cur
+        try:
+            bounds.append((F.col(c), float(lo), float(hi)))
+        except (TypeError, ValueError) as e:
+            raise ValueError(
+                f"zorder_snapshot: column {c!r} has non-numeric bounds "
+                f"({lo!r}, {hi!r}); Z-ordering needs numeric columns"
+            ) from e
+    z = zvalue(bounds, bits=bits)
     return write_snapshot(
         df.repartitionByRange(n_files, z).sortWithinPartitions(z), path
     )

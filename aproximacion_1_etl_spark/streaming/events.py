@@ -46,8 +46,20 @@ def read_events_stream(spark: SparkSession, dir_path: str, glob: str = "*.parque
         pass
     # An empty source dir is a normal state for a file-source stream
     # (files arrive later); the batch probe can't infer a schema then,
-    # so fall back to the modern TIMESTAMP encoding.
-    try:
+    # so fall back to the modern TIMESTAMP encoding. But ONLY the
+    # empty-dir case may fall back: a non-empty dir whose probe fails
+    # (e.g. one corrupt footer) must raise, not silently default to a
+    # schema that would misread bigint-nanos files downstream.
+    import fnmatch
+    import os
+
+    local = dir_path.removeprefix("file://").removeprefix("file:")
+    has_files = os.path.isdir(local) and any(
+        fnmatch.fnmatch(name, glob)
+        for _, _, names in os.walk(local)
+        for name in names
+    )
+    if has_files:
         probe = (
             spark.read.option("pathGlobFilter", glob)
             .parquet(dir_path)
@@ -56,7 +68,7 @@ def read_events_stream(spark: SparkSession, dir_path: str, glob: str = "*.parque
         ts_is_nanos = dict(
             (f.name, f.dataType.simpleString()) for f in probe
         ).get("ts") == "bigint"
-    except Exception:
+    else:
         ts_is_nanos = False
     stream = (
         spark.readStream.schema(

@@ -219,7 +219,16 @@ def bm25_topk(
     qterms = qdf.select("term").distinct()
     qtf = tf.join(F.broadcast(qterms), "term")
     df0 = qtf.groupBy("term").agg(F.count("*").alias("df"))
-    stats = docs.agg(
+    # Corpus stats off the SAME rebalance exchange the tf branch reads —
+    # not a second scan of docs (at 100 TB that would re-read and
+    # re-tokenize the corpus for two scalars). ``spread`` has one row
+    # per doc, so a direct agg needs no per-doc groupBy, and AQE's
+    # stage reuse materializes the repartition exchange once and feeds
+    # all three consumers (tf, df0's tf, stats) from it: the executed
+    # plan shows ONE FileScan of documents + ReusedExchange markers.
+    # avg is computed as exact-int sum / exact count in one double
+    # division, bit-identical to the oracle's avg(len(string_split)).
+    stats = spread.agg(
         F.count("*").alias("n_docs"),
         F.avg(F.size(splitc)).alias("avgdl"),
     )
@@ -306,8 +315,15 @@ def lm_trigram_score(
     spread = docs.repartition(
         docs.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
     )
+    # Short-doc guard: for len(text) < 3, sequence(1, len-2) would be
+    # DESCENDING (e.g. [1, 0] for a 2-char doc) and emit bogus sub-3-char
+    # "trigrams" that pollute the model, while the oracle's
+    # generate_series(1, len-2) is simply empty. Drop such docs before
+    # the explode so both engines agree (same precedent as word_shingles
+    # filtering F.size(toks) >= n in dedup.py).
     doc_tri_counts = (
-        spread.select(
+        spread.filter(F.length(t) >= 3)
+        .select(
             id_col, F.col(lang_col).alias("lang"), tris.alias("tri")
         )
         .groupBy(id_col, "lang", "tri")

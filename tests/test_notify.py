@@ -135,3 +135,30 @@ def test_notify_idempotent_ledger_prevents_resend(spark, sf_dir):
         with open(path) as f:
             sent3.extend(int(x) for x in f.read().split())
     assert len(sent3) == len(sent)
+
+
+def test_notify_idempotent_corrupt_ledger_raises_not_resends(spark, sf_dir):
+    """A ledger that EXISTS but cannot be read (corrupt parquet from a
+    crashed append) must raise, never be treated as 'first pass': a
+    silent fallback would re-send every previously committed id."""
+    import pytest
+
+    from aproximacion_1_etl_spark.sources.notify import notify_idempotent
+
+    outdir = tempfile.mkdtemp(prefix="notify_corrupt_")
+    ledger = os.path.join(tempfile.mkdtemp(prefix="notify_corrupt_t_"), "ledger")
+    os.makedirs(ledger)
+    with open(os.path.join(ledger, "part-00000.parquet"), "wb") as f:
+        f.write(b"this is not a parquet file")
+
+    def send_batch(rows):
+        with open(os.path.join(outdir, f"{os.getpid()}.log"), "a") as f:
+            for r in rows:
+                f.write(f"{r['o_orderkey']}\n")
+        return []
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey").limit(100)
+    with pytest.raises(Exception):
+        notify_idempotent(o, "o_orderkey", send_batch, ledger, batch_size=50)
+    # nothing was sent: the error surfaced BEFORE any delivery fired
+    assert glob.glob(os.path.join(outdir, "*.log")) == []

@@ -603,3 +603,31 @@ def test_text_ops_tolerate_punctuation_free_documents(spark):
     sh = word_shingles(docs, n=3, distinct=False).collect()
     # only docs with >= 3 tokens shingle; short docs drop cleanly
     assert {r["doc_id"] for r in sh} == {0, 2}
+
+
+def test_zorder_snapshot_guards_null_bounds_and_nonnumeric(spark):
+    """zorder_snapshot on an all-NULL z-column is a no-op returning the
+    current version (nothing to cluster on), and a non-numeric z-column
+    raises a descriptive error — never an opaque float(None) TypeError."""
+    import pytest
+
+    from aproximacion_1_etl_spark.sources.versioned import (
+        current_version,
+        write_snapshot,
+        zorder_snapshot,
+    )
+
+    path = tempfile.mkdtemp(prefix="graft_znull_") + "/t"
+    df = spark.createDataFrame(
+        [(i, None, f"s{i}") for i in range(10)],
+        "k INT, v DOUBLE, name STRING",
+    )
+    v0 = write_snapshot(df, path)
+
+    # all-NULL column: no-op, version unchanged
+    assert zorder_snapshot(spark, path, cols=["k", "v"], n_files=2) == v0
+    assert current_version(path) == v0
+
+    # non-numeric column: descriptive ValueError
+    with pytest.raises(ValueError, match="non-numeric"):
+        zorder_snapshot(spark, path, cols=["name"], n_files=2)

@@ -199,3 +199,26 @@ def test_stateful_api_dispatch(spark, sf_dir):
         ev = read_events_stream(spark, sf_dir, "events.parquet")
         with pytest.raises(Exception):
             sessionize_stateful(ev, api="tws")
+
+
+def test_stream_schema_probe_distinguishes_empty_from_corrupt(spark):
+    """The ts-encoding probe may fall back to the TIMESTAMP schema ONLY
+    for a genuinely empty source dir; a non-empty dir whose probe fails
+    (corrupt footer) must raise — a silent default would misread
+    bigint-nanos files downstream."""
+    import os
+    import tempfile
+
+    import pytest
+
+    from aproximacion_1_etl_spark.streaming.events import read_events_stream
+
+    empty = tempfile.mkdtemp(prefix="probe_empty_")
+    stream = read_events_stream(spark, empty, "*.parquet")
+    assert stream.isStreaming  # empty dir: fell back, stream builds
+
+    corrupt = tempfile.mkdtemp(prefix="probe_corrupt_")
+    with open(os.path.join(corrupt, "events.parquet"), "wb") as f:
+        f.write(b"not a parquet footer")
+    with pytest.raises(Exception):
+        read_events_stream(spark, corrupt, "*.parquet")

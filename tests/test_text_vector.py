@@ -243,3 +243,22 @@ def test_lm_trigram_score_flags_garbage(spark):
     out = {r["doc_id"]: r for r in lm_trigram_score(docs).collect()}
     assert all(r["avg_logp"] <= 0.0 for r in out.values())
     assert out[99]["avg_logp"] < out[0]["avg_logp"]
+
+
+def test_lm_trigram_score_drops_short_docs(spark):
+    """Docs shorter than 3 chars have NO trigrams: they must vanish from
+    the output (matching generate_series semantics in the oracle) rather
+    than emit bogus sub-3-char 'trigrams' via a descending sequence()
+    that would pollute the per-language model counts."""
+    from aproximacion_1_etl_spark.text.analysis import lm_trigram_score
+
+    docs = spark.createDataFrame(
+        [(1, "abcabcabc", "en"), (2, "ab", "en"), (3, "", "en"),
+         (4, "x", "en"), (5, "abc", "en")],
+        "doc_id INT, text STRING, lang STRING",
+    )
+    out = {r["doc_id"]: r for r in lm_trigram_score(docs).collect()}
+    assert set(out) == {1, 5}
+    # model trained only on the surviving docs: 'abc' appears in both,
+    # so doc 5's single trigram has p = 8/8 -> avg_logp == 0
+    assert out[5]["n_tri"] == 1
