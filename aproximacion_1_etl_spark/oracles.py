@@ -265,6 +265,136 @@ ORDER BY rank_ppm DESC, supplier LIMIT 20"""
     return "".join(parts)
 
 
+def _ivf_cent_ctes(
+    iterations: int = 3,
+    dim: int = 64,
+    target_cell: int = 32,
+    min_c: int = 16,
+) -> str:
+    """Mirror of text/vector.py::train_ivf_centroids — Lloyd's k-means
+    unrolled one (assign, mean, coalesce) CTE trio per iteration, so the
+    trained codebook is recomputed IN-ENGINE and the downstream IVF
+    queries stay fully value-checked. Parity levers: codebook size is
+    exact integer arithmetic (greatest(min, (n + t-1) // t) ==
+    derive_n_centroids), assignment rounds the dot-product-identity
+    distance to 9 dp with a (d, cid) lexicographic tie-break, and the
+    per-dimension means are exact DECIMAL(38,18) sums divided in one
+    double division — order-independent in both engines, so the
+    recurrence is bit-reproducible. Empty cells keep their previous
+    centroid (coalesce), mirroring the Spark dict update."""
+    parts = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"nc AS (SELECT greatest({min_c}, (count(*) + {target_cell - 1})"
+        f" // {target_cell}) AS n FROM e)",
+        "cent0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1"
+        " AS INT) AS cid, v AS cv\n"
+        "          FROM e WHERE vec_id < (SELECT n FROM nc))",
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"""asg{i} AS (SELECT vec_id, v, cid FROM (
+    SELECT e.vec_id, e.v, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             floor((list_dot_product(e.v, e.v) + list_dot_product(c.cv, c.cv)
+                    - 2.0 * list_dot_product(e.v, c.cv)) * 1000000000.0 + 0.5)
+               / 1000000000.0 ASC, c.cid ASC) AS rn
+    FROM e CROSS JOIN cent{i - 1} c) WHERE rn = 1)"""
+        )
+        dims = ",\n    ".join(
+            f"CAST(sum(CAST(v[{d + 1}] AS DECIMAL(38,18))) AS DOUBLE)"
+            f" / count(*)"
+            for d in range(dim)
+        )
+        parts.append(
+            f"mean{i} AS (SELECT cid, [\n    {dims}] AS cv"
+            f" FROM asg{i} GROUP BY cid)"
+        )
+        parts.append(
+            f"cent{i} AS (SELECT p.cid, coalesce(m.cv, p.cv) AS cv\n"
+            f"            FROM cent{i - 1} p"
+            f" LEFT JOIN mean{i} m ON p.cid = m.cid)"
+        )
+    parts.append(
+        "cent AS (SELECT cid, cv, list_dot_product(cv, cv) AS cc"
+        f" FROM cent{iterations})"
+    )
+    return ",\n".join(parts)
+
+
+def _semantic_dedup_sql() -> str:
+    """Mirror of text/vector.py::semantic_dedup over the TRAINED
+    codebook (threshold 0.4): training recurrence from _ivf_cent_ctes,
+    then the same 6-dp dist2 + lexicographic argmin assignment and
+    rounded-cosine keep-lowest-id drop rule as before."""
+    return f"""
+WITH {_ivf_cent_ctes()},
+d AS (SELECT e.vec_id, e.v, c.cid,
+             floor((list_dot_product(e.v, e.v) + c.cc
+                    - 2.0 * list_dot_product(e.v, c.cv)) * 1000000.0 + 0.5)
+               / 1000000.0 AS d6
+      FROM e CROSS JOIN cent c),
+assign AS (SELECT vec_id,
+                  list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+                    AS nv,
+                  CAST(cid AS INT) AS cell
+           FROM (SELECT *, row_number() OVER (
+                     PARTITION BY vec_id ORDER BY d6 ASC, cid ASC) AS rn
+                 FROM d)
+           WHERE rn = 1),
+tot AS (SELECT cell, count(*) AS n_vectors FROM assign GROUP BY 1),
+drp AS (SELECT cell, count(*) AS n_dropped FROM (
+          SELECT DISTINCT b.cell, b.vec_id
+          FROM assign a JOIN assign b
+            ON a.cell = b.cell AND a.vec_id < b.vec_id
+          WHERE floor(list_dot_product(a.nv, b.nv) * 1000000.0 + 0.5)
+                  / 1000000.0 >= 0.4)
+        GROUP BY 1)
+SELECT t.cell, CAST(t.n_vectors AS BIGINT) AS n_vectors,
+       CAST(coalesce(d.n_dropped, 0) AS BIGINT) AS n_dropped,
+       CAST(t.n_vectors - coalesce(d.n_dropped, 0) AS BIGINT) AS n_kept
+FROM tot t LEFT JOIN drp d ON t.cell = d.cell
+"""
+
+
+def _ann_topk_ivf_sql() -> str:
+    """Mirror of text/vector.py::ann_topk_ivf over the TRAINED codebook:
+    training recurrence from _ivf_cent_ctes, then 6-dp assignment,
+    nprobe=4 nearest cells per query, exact cosine within probed
+    cells."""
+    return f"""
+WITH {_ivf_cent_ctes()},
+d AS (SELECT e.vec_id, e.v, c.cid,
+             floor((list_dot_product(e.v, e.v) + c.cc
+                    - 2.0 * list_dot_product(e.v, c.cv)) * 1000000.0 + 0.5)
+               / 1000000.0 AS d6
+      FROM e CROSS JOIN cent c),
+assign AS (SELECT vec_id, v, cid AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY d6 ASC, cid ASC) AS rn FROM d)
+  WHERE rn = 1),
+probes AS (SELECT vec_id AS query_id, v AS qv, cid AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY d6 ASC, cid ASC) AS rn
+    FROM d WHERE vec_id IN (0, 1, 2, 3, 4))
+  WHERE rn <= 4),
+cand AS (SELECT p.query_id, a.vec_id, p.qv, a.v
+         FROM assign a JOIN probes p
+           ON a.cell = p.cell AND a.vec_id != p.query_id),
+s AS (SELECT query_id, vec_id,
+             floor((list_dot_product(qv, v) /
+                    (sqrt(list_dot_product(qv, qv)) *
+                     sqrt(list_dot_product(v, v)))) * 1000000000.0 + 0.5)
+               / 1000000000.0 AS cos_sim
+      FROM cand),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, vec_id ASC) AS rank
+      FROM s)
+SELECT query_id, vec_id,
+       floor((cos_sim) * 10000.0 + 0.5) / 10000.0 AS cos_sim, rank
+FROM r WHERE rank <= 10
+"""
+
+
 ALL_ORACLES: dict[str, str] = {
     "pagerank_suppliers": _pagerank_sql(),
     "bm25_topk": _bm25_sql(_BM25_QUERIES),
@@ -291,39 +421,11 @@ SELECT dtc.doc_id, dtc.lang, CAST(sum(dtc.cnt) AS BIGINT) AS n_tri,
 FROM dtc JOIN model m ON dtc.lang = m.lang AND dtc.tri = m.tri
 GROUP BY 1, 2
 """,
-    # mirror of text/vector.py::semantic_dedup (threshold 0.4, 16
-    # cells): same dist2 rounding + lexicographic argmin as the
-    # ann_topk_ivf oracle, same rounded-cosine drop rule
-    "semantic_dedup": """
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-cent AS (SELECT vec_id AS cid, v AS cv, list_dot_product(v, v) AS cc
-         FROM e WHERE vec_id < 16),
-d AS (SELECT e.vec_id, e.v, c.cid,
-             floor((list_dot_product(e.v, e.v) + c.cc
-                    - 2.0 * list_dot_product(e.v, c.cv)) * 1000000.0 + 0.5)
-               / 1000000.0 AS d6
-      FROM e CROSS JOIN cent c),
-assign AS (SELECT vec_id,
-                  list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
-                    AS nv,
-                  CAST(cid AS INT) AS cell
-           FROM (SELECT *, row_number() OVER (
-                     PARTITION BY vec_id ORDER BY d6 ASC, cid ASC) AS rn
-                 FROM d)
-           WHERE rn = 1),
-tot AS (SELECT cell, count(*) AS n_vectors FROM assign GROUP BY 1),
-drp AS (SELECT cell, count(*) AS n_dropped FROM (
-          SELECT DISTINCT b.cell, b.vec_id
-          FROM assign a JOIN assign b
-            ON a.cell = b.cell AND a.vec_id < b.vec_id
-          WHERE floor(list_dot_product(a.nv, b.nv) * 1000000.0 + 0.5)
-                  / 1000000.0 >= 0.4)
-        GROUP BY 1)
-SELECT t.cell, CAST(t.n_vectors AS BIGINT) AS n_vectors,
-       CAST(coalesce(d.n_dropped, 0) AS BIGINT) AS n_dropped,
-       CAST(t.n_vectors - coalesce(d.n_dropped, 0) AS BIGINT) AS n_kept
-FROM tot t LEFT JOIN drp d ON t.cell = d.cell
-""",
+    # mirror of text/vector.py::semantic_dedup over the TRAINED IVF
+    # codebook (threshold 0.4): Lloyd's recurrence unrolled in-engine
+    # (_ivf_cent_ctes), then the same dist2 rounding + lexicographic
+    # argmin and rounded-cosine drop rule as ann_topk_ivf
+    "semantic_dedup": _semantic_dedup_sql(),
     # Approximate-sketch queries: the estimate is engine-specific, so
     # the Spark side hashes the EXACT value plus a bound-check boolean;
     # the oracle computes the same exact value and expects the bound to
@@ -582,40 +684,9 @@ SELECT strftime(o_orderdate, '%Y-%m-%d') AS ingest_date,
          AS fallos
 FROM orders WHERE o_orderdate >= '2001-06-01' GROUP BY 1
 """,
-    "ann_topk_ivf": """
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-cent AS (SELECT vec_id AS cid, v AS cv, list_dot_product(v, v) AS cc
-         FROM e WHERE vec_id < 16),
-d AS (SELECT e.vec_id, e.v, c.cid,
-             floor((list_dot_product(e.v, e.v) + c.cc
-                    - 2.0 * list_dot_product(e.v, c.cv)) * 1000000.0 + 0.5)
-               / 1000000.0 AS d6
-      FROM e CROSS JOIN cent c),
-assign AS (SELECT vec_id, v, cid AS cell FROM (
-    SELECT *, row_number() OVER (PARTITION BY vec_id
-                                 ORDER BY d6 ASC, cid ASC) AS rn FROM d)
-  WHERE rn = 1),
-probes AS (SELECT vec_id AS query_id, v AS qv, cid AS cell FROM (
-    SELECT *, row_number() OVER (PARTITION BY vec_id
-                                 ORDER BY d6 ASC, cid ASC) AS rn
-    FROM d WHERE vec_id IN (0, 1, 2, 3, 4))
-  WHERE rn <= 4),
-cand AS (SELECT p.query_id, a.vec_id, p.qv, a.v
-         FROM assign a JOIN probes p
-           ON a.cell = p.cell AND a.vec_id != p.query_id),
-s AS (SELECT query_id, vec_id,
-             floor((list_dot_product(qv, v) /
-                    (sqrt(list_dot_product(qv, qv)) *
-                     sqrt(list_dot_product(v, v)))) * 1000000000.0 + 0.5)
-               / 1000000000.0 AS cos_sim
-      FROM cand),
-r AS (SELECT *, row_number() OVER (PARTITION BY query_id
-                                   ORDER BY cos_sim DESC, vec_id ASC) AS rank
-      FROM s)
-SELECT query_id, vec_id,
-       floor((cos_sim) * 10000.0 + 0.5) / 10000.0 AS cos_sim, rank
-FROM r WHERE rank <= 10
-""",
+    # mirror of text/vector.py::ann_topk_ivf over the TRAINED codebook
+    # (training recurrence unrolled in-engine; see _ivf_cent_ctes)
+    "ann_topk_ivf": _ann_topk_ivf_sql(),
     "streaming_sliding_counts": """
 WITH b AS (SELECT min(ts) AS mn, max(ts) AS mx FROM events),
 wins AS (SELECT unnest(generate_series(date_trunc('day', mn) - INTERVAL 1 DAY,

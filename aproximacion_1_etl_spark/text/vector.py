@@ -174,12 +174,90 @@ def ann_topk_lsh(
     )
 
 
-def _dist2_to_lit(vec: Column, cvec: list[float], cdot: float) -> Column:
-    """Squared L2 distance to a literal centroid via the dot-product
-    identity |a-c|^2 = a.a + c.c - 2 a.c (three folds -> one, since
-    c.c is precomputed and a.a is shared across centroids)."""
-    c = F.array(*[F.lit(float(x)) for x in cvec])
-    return _dot(vec, vec) + F.lit(cdot) - 2.0 * _dot(vec, c)
+def _sql_double(x: float) -> str:
+    """Exact double literal for a generated SQL expression: repr() is
+    the shortest string that round-trips, and CAST(string AS DOUBLE)
+    parses to the identical IEEE double (then constant-folds)."""
+    return f"CAST('{float(x)!r}' AS DOUBLE)"
+
+
+def _sql_dot(a_sql: str, b_sql: str) -> str:
+    """SQL-text form of _dot (same left-to-right fold, same 0.0 seed)."""
+    return (
+        f"aggregate(zip_with({a_sql}, {b_sql}, (x, y) -> x * y), "
+        f"CAST('0.0' AS DOUBLE), (acc, x) -> acc + x)"
+    )
+
+
+def _dist_structs_sql(
+    cents: dict[int, list[float]],
+    cdots: dict[int, float],
+    vec_sql: str,
+    vv_sql: str,
+    ndp: int | None,
+) -> str:
+    """The codebook-distance expression array((d, cid), ...) as ONE
+    generated SQL string: the codebook is a single 2-D literal array
+    (plus parallel cdot / cid literal arrays) and the per-centroid
+    distance is ONE transform(sequence(...)) lambda indexing into it.
+
+    Two costs motivate this shape. Building the expression
+    column-by-column pays a py4j round trip per literal (n_centroids x
+    dim of them — seconds of driver time per plan at trained-codebook
+    sizes); one string parse is milliseconds. And emitting a separate
+    struct per centroid makes Catalyst analyze/codegen n_centroids
+    copies of the dot-product fold — a single shared lambda compiles
+    ~3x faster at 63 centroids and evaluates identically (the fold
+    arithmetic, and therefore every computed double, is unchanged —
+    verified bit-identical). ``vv_sql`` names a per-row precomputed
+    v.v column so the shared term isn't re-folded per centroid;
+    ``ndp`` rounds like _fround (None = unrounded)."""
+    sorted_cids = sorted(cents)
+    cents2d = "array(" + ",".join(
+        "array(" + ",".join(_sql_double(x) for x in cents[c]) + ")"
+        for c in sorted_cids
+    ) + ")"
+    cdarr = "array(" + ",".join(
+        _sql_double(cdots[c]) for c in sorted_cids
+    ) + ")"
+    cidarr = "array(" + ",".join(str(int(c)) for c in sorted_cids) + ")"
+    d = (
+        f"({vv_sql} + element_at({cdarr}, i+1) - CAST('2.0' AS DOUBLE) * "
+        f"{_sql_dot(vec_sql, f'element_at({cents2d}, i+1)')})"
+    )
+    if ndp is not None:
+        f = _sql_double(float(10**ndp))
+        d = f"(floor({d} * {f} + CAST('0.5' AS DOUBLE)) / {f})"
+    return (
+        f"transform(sequence(0, {len(sorted_cids) - 1}), i -> "
+        f"named_struct('d', {d}, 'cid', element_at({cidarr}, i+1)))"
+    )
+
+
+def derive_n_centroids(
+    n_rows: int, target_cell_size: int = 32, min_centroids: int = 16
+) -> int:
+    """Codebook size as a function of corpus size: ceil(n / target)
+    cells keep the expected per-cell population (and therefore the
+    per-cell quadratic work in semantic_dedup and the per-probe
+    candidate count in ann_topk_ivf) roughly CONSTANT as the corpus
+    grows — the invariant that makes IVF the 100 TB path. Exact
+    integer arithmetic so the oracle can reproduce it verbatim
+    (greatest(min, (count(*) + t - 1) // t))."""
+    return max(min_centroids, (n_rows + target_cell_size - 1) // target_cell_size)
+
+
+def _first_n_codebook(
+    emb: DataFrame, n_centroids: int, id_col: str, vec_col: str
+) -> dict[int, list[float]]:
+    """Deterministic first-N-vectors codebook stand-in (also k-means
+    init). Bounded collect: the codebook IS the model."""
+    return {
+        int(r[0]): [float(x) for x in r[1]]
+        for r in emb.filter(F.col(id_col) < n_centroids)
+        .select(id_col, vec_col)
+        .collect()
+    }
 
 
 def ann_topk_ivf(
@@ -190,67 +268,70 @@ def ann_topk_ivf(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: dict[int, list[float]] | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: coarse-quantize the corpus to its
     nearest centroid (inverted lists), probe only the ``nprobe`` cells
     nearest each query, exact cosine within probed cells.
 
-    Centroids here are the first ``n_centroids`` vectors (deterministic
-    stand-in for a k-means codebook — the operator shape is identical;
-    swap the codebook source without touching the plan). The codebook
-    is collected driver-side (bounded, it IS the model) and baked into
-    the plan as literals, so cell assignment is pure codegen: NO
-    shuffle, no join — each corpus row computes ``n_centroids``
-    distances map-side and takes the lexicographic argmin. At 100 TB
-    the corpus is scanned once; only probed-cell candidates reach the
-    (broadcast) query join and the top-k window.
+    ``centroids`` is the codebook (pass ``train_ivf_centroids(...)``
+    output — the catalog path does, sized by ``derive_n_centroids`` so
+    cells stay balanced as the corpus grows); when omitted, the first
+    ``n_centroids`` vectors serve as a deterministic stand-in (the plan
+    shape is identical either way). The codebook is driver-side
+    (bounded, it IS the model) and baked into the plan as literals, so
+    cell assignment is pure codegen: NO shuffle, no join — each corpus
+    row computes ``n_centroids`` distances map-side and takes the
+    lexicographic argmin. At 100 TB the corpus is scanned once; only
+    probed-cell candidates reach the (broadcast) query join and the
+    top-k window.
     """
     emb = _as_double(embeddings, vec_col)
-    cents = {
-        r[0]: [float(x) for x in r[1]]
-        for r in emb.filter(F.col(id_col) < n_centroids)
-        .select(id_col, vec_col)
-        .collect()
-    }
+    cents = centroids or _first_n_codebook(emb, n_centroids, id_col, vec_col)
     cdots = {cid: sum(x * x for x in v) for cid, v in cents.items()}
-
-    def dist_structs(vec: Column) -> Column:
-        return F.array(
-            *[
-                F.struct(
-                    _fround(_dist2_to_lit(vec, cents[cid], cdots[cid]), 6).alias(
-                        "d"
-                    ),
-                    F.lit(cid).alias("cid"),
-                )
-                for cid in sorted(cents)
-            ]
-        )
-
-    v = F.col(vec_col)
-    assigned = emb.select(
+    # rebalance before the per-row n_centroids-distance projection
+    # (single-file inputs scan as one partition; same rule as
+    # semantic_dedup / the minhash shingle explode)
+    spread = emb.repartition(
+        emb.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+    )
+    with_vv = spread.withColumn("_vv", F.expr(_sql_dot(vec_col, vec_col)))
+    dist_structs = F.expr(
+        _dist_structs_sql(cents, cdots, vec_col, "_vv", 6)
+    )
+    assigned = with_vv.select(
         id_col,
         vec_col,
-        F.array_min(dist_structs(v)).getField("cid").alias("cell"),
+        F.array_min(dist_structs).getField("cid").alias("cell"),
     )
     probes = (
-        emb.filter(F.col(id_col).isin(query_ids))
+        with_vv.filter(F.col(id_col).isin(query_ids))
         .select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("qvec"),
             F.explode(
-                F.slice(F.array_sort(dist_structs(v)), 1, nprobe)
+                F.slice(F.array_sort(dist_structs), 1, nprobe)
             ).alias("p"),
         )
         .select("query_id", "qvec", F.col("p.cid").alias("cell"))
     )
-    cand = assigned.join(
-        F.broadcast(probes),
-        on=[
-            assigned["cell"] == probes["cell"],
-            assigned[id_col] != probes["query_id"],
-        ],
-    ).select("query_id", id_col, vec_col, "qvec")
+    cand = (
+        assigned.join(
+            F.broadcast(probes),
+            on=[
+                assigned["cell"] == probes["cell"],
+                assigned[id_col] != probes["query_id"],
+            ],
+        )
+        .select("query_id", id_col, vec_col, "qvec")
+        # Each vector lives in exactly one cell and probed cells are
+        # distinct, so no duplicate (query, vec) pair is possible
+        # TODAY — but that invariant is a property of the argmin
+        # assignment, not of this join. The explicit pair-key dedup
+        # (same guard as the LSH path) keeps the result correct under
+        # any future codebook/probing change.
+        .dropDuplicates(["query_id", id_col])
+    )
     scored = cand.select(
         "query_id",
         id_col,
@@ -277,6 +358,7 @@ def semantic_dedup(
     n_centroids: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: dict[int, list[float]] | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023): coarse-
     cluster every embedding to its nearest IVF centroid map-side (same
@@ -286,34 +368,22 @@ def semantic_dedup(
     n_kept).
 
     The clustering is what bounds the quadratic: pairwise cosine runs
-    per cell, never across the corpus. At 100 TB you grow
-    ``n_centroids`` with the corpus (a trained codebook —
-    train_ivf_centroids — instead of the first-N stand-in) so cell
-    populations stay roughly constant and the per-cell pair work stays
-    flat; assignment remains a single map-side pass either way. The
-    keep-lowest-id rule makes the survivor set deterministic and
-    engine-portable (DuckDB oracle mirrors cell assignment and the
-    rounded-cosine test operand-for-operand).
+    per cell, never across the corpus. ``centroids`` takes the trained
+    codebook (the catalog path passes ``train_ivf_centroids`` output
+    sized by ``derive_n_centroids``), so cell populations stay roughly
+    constant as the corpus grows and the per-cell pair work stays flat;
+    with ``centroids`` omitted the first ``n_centroids`` vectors are a
+    deterministic stand-in. Assignment is a single map-side pass either
+    way. The keep-lowest-id rule makes the survivor set deterministic
+    and engine-portable (DuckDB oracle mirrors cell assignment — and
+    the training recurrence, when trained — operand-for-operand).
     """
     emb = _as_double(embeddings, vec_col)
-    cents = {
-        r[0]: [float(x) for x in r[1]]
-        for r in emb.filter(F.col(id_col) < n_centroids)
-        .select(id_col, vec_col)
-        .collect()
-    }
+    cents = centroids or _first_n_codebook(emb, n_centroids, id_col, vec_col)
     cdots = {cid: sum(x * x for x in v) for cid, v in cents.items()}
     v = F.col(vec_col)
-    dist_structs = F.array(
-        *[
-            F.struct(
-                _fround(_dist2_to_lit(v, cents[cid], cdots[cid]), 6).alias(
-                    "d"
-                ),
-                F.lit(cid).alias("cid"),
-            )
-            for cid in sorted(cents)
-        ]
+    dist_structs = F.expr(
+        _dist_structs_sql(cents, cdots, vec_col, "_vv", 6)
     )
     unit = F.transform(v, lambda x: x / F.sqrt(_dot(v, v)))
     # rebalance before the per-row n_centroids-distance projection (a
@@ -322,7 +392,9 @@ def semantic_dedup(
     spread = emb.repartition(
         emb.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
     )
-    assigned = spread.select(
+    assigned = spread.withColumn(
+        "_vv", F.expr(_sql_dot(vec_col, vec_col))
+    ).select(
         F.col(id_col),
         unit.alias("nv"),
         F.array_min(dist_structs).getField("cid").cast("int").alias("cell"),
@@ -484,15 +556,28 @@ def train_ivf_centroids(
     member vectors).
 
     Driver holds only the codebook (n_centroids x dim floats — it IS
-    the model); corpus never leaves executors. Deterministic: init =
-    first n_centroids vectors by id, ties in assignment break to the
-    lower cell id (array_min on (dist, cid) structs).
+    the model); corpus never leaves executors. Deterministic AND
+    engine-portable: init = first n_centroids vectors by id, ties in
+    assignment break to the lower cell id (array_min on (dist, cid)
+    structs), and the per-dimension means are exact decimal(38,18)
+    sums divided IN-ENGINE (one double division) — so the recurrence
+    is order-independent and the DuckDB oracle reproduces the trained
+    codebook bit-for-bit by unrolling the same iterations
+    (oracles._ivf_cent_ctes). An empty cell keeps its previous
+    centroid, mirrored by the oracle's coalesce.
 
     Iterative algorithms are inherently multi-job (one per iteration);
     this is the documented exception to "everything is one Catalyst
     plan" — each pass IS one plan, reusing the cached input.
     """
     emb = _as_double(embeddings, vec_col).select(id_col, vec_col)
+    # rebalance BEFORE caching: a single-file local input scans as one
+    # partition, which would serialize every assignment pass (the
+    # n_centroids x dim distance folds) on one core; the cache then
+    # holds the spread layout for all iterations.
+    emb = emb.repartition(
+        emb.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+    )
     emb.cache()
     try:
         cents = {
@@ -503,40 +588,32 @@ def train_ivf_centroids(
         cents = {i: v for i, (_, v) in enumerate(sorted(cents.items()))}
         for _ in range(iterations):
             cdots = {cid: sum(x * x for x in v) for cid, v in cents.items()}
-            dist_structs = F.array(
-                *[
-                    F.struct(
-                        _fround(
-                            _dist2_to_lit(
-                                F.col(vec_col), cents[cid], cdots[cid]
-                            ),
-                            9,
-                        ).alias("d"),
-                        F.lit(cid).alias("cid"),
-                    )
-                    for cid in sorted(cents)
-                ]
+            dist_structs = F.expr(
+                _dist_structs_sql(cents, cdots, vec_col, "_vv", 9)
             )
-            assigned = emb.select(
+            assigned = emb.withColumn(
+                "_vv", F.expr(_sql_dot(vec_col, vec_col))
+            ).select(
                 F.array_min(dist_structs).getField("cid").alias("cell"),
                 F.col(vec_col).alias("v"),
             )
             dim = len(next(iter(cents.values())))
+            # one generated expression for all per-dimension means (64
+            # py4j Column builds per iteration cost ~1s of driver time;
+            # one expr parse is free). Exact decimal sums + one double
+            # division per dim — order-independent, oracle-portable.
+            means = ", ".join(
+                f"CAST(sum(CAST(element_at(v, {d + 1}) AS DECIMAL(38,18)))"
+                f" AS DOUBLE) / count(*)"
+                for d in range(dim)
+            )
             new_rows = (
                 assigned.groupBy("cell")
-                .agg(
-                    F.count("*").alias("n"),
-                    *[
-                        F.sum(F.element_at(F.col("v"), d + 1)).alias(f"s{d}")
-                        for d in range(dim)
-                    ],
-                )
+                .agg(F.expr(f"array({means})").alias("ms"))
                 .collect()
             )
             for r in new_rows:
-                cents[int(r["cell"])] = [
-                    float(r[f"s{d}"]) / int(r["n"]) for d in range(dim)
-                ]
+                cents[int(r["cell"])] = [float(x) for x in r["ms"]]
         return cents
     finally:
         emb.unpersist()
@@ -551,18 +628,12 @@ def quantization_error(
     the k-means objective, one distributed pass."""
     emb = _as_double(embeddings, vec_col)
     cdots = {cid: sum(x * x for x in v) for cid, v in centroids.items()}
-    dist_structs = F.array(
-        *[
-            F.struct(
-                _dist2_to_lit(F.col(vec_col), centroids[cid], cdots[cid]).alias(
-                    "d"
-                ),
-                F.lit(cid).alias("cid"),
-            )
-            for cid in sorted(centroids)
-        ]
+    dist_structs = F.expr(
+        _dist_structs_sql(centroids, cdots, vec_col, "_vv", None)
     )
-    row = emb.select(
-        F.avg(F.array_min(dist_structs).getField("d")).alias("mse")
-    ).collect()[0]
+    row = (
+        emb.withColumn("_vv", F.expr(_sql_dot(vec_col, vec_col)))
+        .select(F.avg(F.array_min(dist_structs).getField("d")).alias("mse"))
+        .collect()[0]
+    )
     return float(row["mse"])

@@ -631,3 +631,46 @@ def test_zorder_snapshot_guards_null_bounds_and_nonnumeric(spark):
     # non-numeric column: descriptive ValueError
     with pytest.raises(ValueError, match="non-numeric"):
         zorder_snapshot(spark, path, cols=["name"], n_files=2)
+
+
+def test_embeddings_regen_invariants(spark, sf_dir):
+    """Driver-regen guard #3: the embeddings table is the last
+    regen-sensitive input family (ts encodings and document corpus
+    shape are guarded above). Every vector-path query assumes, via the
+    shared _as_double normalization: constant dimensionality, no NULL
+    vectors / NULL components, and vec_ids dense from 0 (the k-means
+    init takes vec_id < n_centroids; queries probe ids 0-4). A regen
+    that changes dim, introduces nulls, or re-keys ids must fail HERE
+    first, not as a corpus-wide oracle mismatch."""
+    import pyspark.sql.functions as F
+
+    from aproximacion_1_etl_spark.text.vector import _as_double
+
+    emb = _as_double(
+        load_table(spark, sf_dir, "embeddings"), "embedding"
+    )
+    stats = emb.agg(
+        F.count("*").alias("n"),
+        F.min("vec_id").alias("min_id"),
+        F.max("vec_id").alias("max_id"),
+        F.count_distinct("vec_id").alias("n_ids"),
+        F.min(F.size("embedding")).alias("min_dim"),
+        F.max(F.size("embedding")).alias("max_dim"),
+        F.sum(
+            F.when(
+                F.col("embedding").isNull()
+                | F.exists("embedding", lambda x: x.isNull()),
+                1,
+            ).otherwise(0)
+        ).alias("n_bad"),
+    ).collect()[0]
+    assert stats["n"] > 0
+    # dense ids from 0 (queries hardcode probe ids 0..4; kmeans init
+    # filters vec_id < n_centroids)
+    assert stats["min_id"] == 0
+    assert stats["max_id"] == stats["n"] - 1
+    assert stats["n_ids"] == stats["n"]
+    # constant dimensionality, matching the hyperplane/codebook dim
+    assert stats["min_dim"] == stats["max_dim"] == 64, stats
+    # no null vectors or components anywhere
+    assert stats["n_bad"] == 0

@@ -262,3 +262,50 @@ def test_lm_trigram_score_drops_short_docs(spark):
     # model trained only on the surviving docs: 'abc' appears in both,
     # so doc 5's single trigram has p = 8/8 -> avg_logp == 0
     assert out[5]["n_tri"] == 1
+
+
+def test_trained_codebook_bounds_cell_population_on_skew(spark):
+    """The 100 TB invariant behind semantic_dedup / ann_topk_ivf: with
+    a TRAINED codebook sized by derive_n_centroids, no cell holds a
+    runaway share of a SKEWED corpus — the failure mode of the first-N
+    stand-in (first-N vectors all from the dense region -> one hot cell
+    swallows everything else and the per-cell quadratic explodes)."""
+    import pyspark.sql.functions as F
+
+    from aproximacion_1_etl_spark.text.vector import (
+        _dist_structs_sql,
+        _sql_dot,
+        derive_n_centroids,
+        train_ivf_centroids,
+    )
+
+    # skewed synthetic corpus: 600 vectors in a tight cluster around
+    # one point, 40 spread far away on distinct axes
+    def vec(base, eps, dim=8):
+        return [base[d] + eps * (d + 1) for d in range(dim)]
+
+    dense = [(i, vec([5.0] * 8, 0.001 * (i % 7))) for i in range(600)]
+    sparse = [
+        (600 + i, [100.0 * (1 if d == i % 8 else 0) for d in range(8)])
+        for i in range(40)
+    ]
+    emb = spark.createDataFrame(
+        dense + sparse, "vec_id INT, embedding ARRAY<DOUBLE>"
+    )
+    n_c = derive_n_centroids(640)  # 20 cells
+    cents = train_ivf_centroids(emb, n_centroids=n_c, iterations=3)
+    cdots = {c: sum(x * x for x in v) for c, v in cents.items()}
+    assigned = emb.withColumn(
+        "_vv", F.expr(_sql_dot("embedding", "embedding"))
+    ).select(
+        F.array_min(
+            F.expr(_dist_structs_sql(cents, cdots, "embedding", "_vv", 6))
+        ).getField("cid").alias("cell")
+    )
+    pops = [r["n"] for r in assigned.groupBy("cell").agg(
+        F.count("*").alias("n")).collect()]
+    assert sum(pops) == 640
+    # trained codebook splits the dense blob across many cells: the
+    # hottest cell must stay well under the whole corpus (first-N
+    # stand-in puts ~600/640 in one cell here)
+    assert max(pops) < 0.4 * 640, sorted(pops, reverse=True)[:5]
