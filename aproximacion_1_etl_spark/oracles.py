@@ -1185,6 +1185,30 @@ SELECT doc_id,
          AS checksum
 FROM documents
 """,
+    # analytic mirror of queries.q_multimodal_decode: the image corpus
+    # is a pure function of doc_id (pixel (x,y,c) = (doc_id+x+y+c)%256
+    # in a (4+id%5) x (3+id%4) frame), so the DECODED statistics are
+    # computable in closed form — any header/stride/channel-order bug
+    # in the pure-Python PPM/BMP parser breaks value parity here
+    "multimodal_decode": """
+WITH p AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+           FROM documents),
+px AS (SELECT doc_id, w, h, x, unnest(generate_series(0, h - 1)) AS y
+       FROM (SELECT doc_id, w, h, unnest(generate_series(0, w - 1)) AS x
+             FROM p))
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'ppm' ELSE 'bmp' END AS fmt,
+       CAST(max(w) AS INT) AS width,
+       CAST(max(h) AS INT) AS height,
+       CAST(count(*) AS BIGINT) AS n_px,
+       floor((CAST(sum((doc_id + x + y + 0) % 256) AS DOUBLE) / count(*))
+             * 10000.0 + 0.5) / 10000.0 AS mean_r,
+       floor((CAST(sum((doc_id + x + y + 1) % 256) AS DOUBLE) / count(*))
+             * 10000.0 + 0.5) / 10000.0 AS mean_g,
+       floor((CAST(sum((doc_id + x + y + 2) % 256) AS DOUBLE) / count(*))
+             * 10000.0 + 0.5) / 10000.0 AS mean_b
+FROM px GROUP BY 1, 2
+""",
     "streaming_windowed_counts": """
 SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
        event_type, count(*) AS n_events,

@@ -1596,6 +1596,33 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 multimodal, REAL decode path: deterministic PPM/BMP image
+    corpus keyed off doc_id (text/multimodal.py::make_synthetic_images)
+    is parsed back by the pure-Python decoder (real_decode: header,
+    BMP 4-byte stride + bottom-up flip + BGR->RGB) and per-channel
+    pixel sums come back as exact integers; means are computed
+    engine-side so the oracle can verify the decoded statistics
+    analytically — a parse bug anywhere is a value mismatch."""
+    from aproximacion_1_etl_spark.text.multimodal import (
+        decode_image_features,
+        make_synthetic_images,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = decode_image_features(make_synthetic_images(docs))
+    return feats.select(
+        "doc_id",
+        "fmt",
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.col("n_px").cast("bigint").alias("n_px"),
+        _fround(F.col("sum_r") / F.col("n_px"), 4).alias("mean_r"),
+        _fround(F.col("sum_g") / F.col("n_px"), 4).alias("mean_g"),
+        _fround(F.col("sum_b") / F.col("n_px"), 4).alias("mean_b"),
+    )
+
+
 def q_streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.9: Structured Streaming tumbling-window agg, Trigger.AvailableNow
     (deterministic => oracle-checkable against the batch equivalent)."""
@@ -3977,6 +4004,7 @@ ALL_QUERIES = {
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
     "multimodal_features": q_multimodal_features,
+    "multimodal_decode": q_multimodal_decode,
     "streaming_windowed_counts": q_streaming_windowed_counts,
     "q6_forecast_revenue": q_q6_forecast_revenue,
     "q7_nation_volume": q_q7_nation_volume,

@@ -9,6 +9,15 @@ Each query is forced with a count() (no driver-side row materialization
 — we measure engine time, not collect transfer). A warmup run of the
 flagship query absorbs JVM/codegen startup so numbers reflect steady
 state.
+
+Adjudicability (round 4): per-query MIN-OF-3 with the run spread
+recorded next to it, plus a machine-load check — two earlier rounds saw
+>40% swings on unchanged plans that turned out to be ambient load, so a
+bare point estimate can't adjudicate small regressions. "queries" stays
+name -> min (cross-round comparable); "spread_pct" records
+(max-min)/min per query, and "load_flagged" is true when the 1-minute
+loadavg at start exceeds $SPARK_GRAFT_MAX_LOAD (default 4.0) — treat
+any per-query delta in a flagged run as unadjudicated noise.
 """
 
 from __future__ import annotations
@@ -20,11 +29,13 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from aproximacion_1_etl_spark.queries import ALL_QUERIES
+from aproximacion_1_etl_spark.queries import ALL_QUERIES, _trained_codebook
 from aproximacion_1_etl_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+MAX_LOAD = float(os.environ.get("SPARK_GRAFT_MAX_LOAD", "4.0"))
 
 # Headline set: the flagship chain + heavy representatives of each
 # operator family (joins/aggs, windows, explode, text dedup, vector).
@@ -67,6 +78,10 @@ HEADLINE = [
     "bm25_topk",
     "semantic_dedup",
     "lm_trigram_score",
+    # round-4: IVF ANN over the trained codebook (training itself is
+    # reported separately as ivf_codebook_train — it is a one-off
+    # model-build step, amortized across every consumer)
+    "ann_topk_ivf",
     # Python-worker queries LAST: applyInPandas spins up 32 Python
     # workers and leaves GC pressure that inflates the next JVM-only
     # query by ~3x (measured: dedup_minhash_lsh 6.96s after it vs 1.9s
@@ -86,6 +101,8 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    load_start = os.getloadavg()[0]
+
     # warmup (JVM + codegen + parquet footer caches), plus one
     # applyInPandas run to spawn the 32-process Python worker pool —
     # worker fork is a one-off deployment cost (~2s fresh, up to ~8s
@@ -94,17 +111,31 @@ def main() -> None:
     ALL_QUERIES["flagship_order_lifecycle"](spark, SF_DIR).count()
     ALL_QUERIES["grouped_pandas_stats"](spark, SF_DIR).count()
 
-    # min of 2 runs per query: the first run of a query pays one-off
+    # IVF codebook training, timed as its own line item: a one-off
+    # distributed model build (3 Lloyd passes) whose artifact both IVF
+    # queries consume — charging it to whichever query happens to run
+    # first would misstate both.
+    t0 = time.time()
+    _trained_codebook(spark, SF_DIR)
+    train_sec = round(time.time() - t0, 3)
+
+    # min of RUNS runs per query: the first run of a query pays one-off
     # codegen/compile cost (±30% noise on sub-second plans); the min is
-    # the steady-state engine time a warmed deployment sees.
+    # the steady-state engine time a warmed deployment sees. The spread
+    # (max-min)/min is recorded so a noisy run is visible as such.
     timings: dict[str, float] = {}
+    spread_pct: dict[str, float] = {}
     for name in HEADLINE:
-        best = float("inf")
-        for _ in range(2):
+        samples = []
+        for _ in range(max(1, RUNS)):
             t0 = time.time()
             ALL_QUERIES[name](spark, SF_DIR).count()
-            best = min(best, time.time() - t0)
+            samples.append(time.time() - t0)
+        best = min(samples)
         timings[name] = round(best, 3)
+        spread_pct[name] = round(100.0 * (max(samples) - best) / best, 1)
+
+    load_end = os.getloadavg()[0]
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     try:
@@ -136,6 +167,12 @@ def main() -> None:
                     sum(v for k, v in timings.items() if k in r1_keys), 3
                 ),
                 "n_queries": len(timings),
+                "runs_per_query": max(1, RUNS),
+                "spread_pct": spread_pct,
+                "ivf_codebook_train_sec": train_sec,
+                "loadavg_start": round(load_start, 2),
+                "loadavg_end": round(load_end, 2),
+                "load_flagged": bool(load_start > MAX_LOAD),
             }
         )
     )

@@ -309,3 +309,63 @@ def test_trained_codebook_bounds_cell_population_on_skew(spark):
     # hottest cell must stay well under the whole corpus (first-N
     # stand-in puts ~600/640 in one cell here)
     assert max(pops) < 0.4 * 640, sorted(pops, reverse=True)[:5]
+
+
+def test_real_decode_ppm_bmp_roundtrip_and_guards(spark):
+    """Pure-Python image decode: PPM and BMP round-trip bit-exactly
+    (incl. BMP 4-byte row stride, bottom-up flip, BGR order, and PPM
+    header comments); non-decodable formats keep the explicit
+    NotImplementedError boundary; corrupt payloads raise ValueError."""
+    import pytest
+
+    from aproximacion_1_etl_spark.text.multimodal import (
+        encode_bmp,
+        encode_ppm,
+        real_decode,
+    )
+
+    # w=5 -> 15-byte rows padded to 16: stride handling is exercised
+    w, h = 5, 3
+    rgb = bytes((x * 7 + y * 31 + c * 101) % 256
+                for y in range(h) for x in range(w) for c in range(3))
+    for enc, fmt in ((encode_ppm, "ppm"), (encode_bmp, "bmp")):
+        d = real_decode(enc(w, h, rgb), "image")
+        assert (d["format"], d["width"], d["height"]) == (fmt, w, h)
+        assert d["rgb"] == rgb, fmt
+
+    # PPM with comment lines in the header still parses
+    commented = b"P6\n# a comment\n5 3\n# another\n255\n" + rgb
+    assert real_decode(commented, "image")["rgb"] == rgb
+
+    with pytest.raises(NotImplementedError):
+        real_decode(b"\x89PNG\r\n\x1a\n....", "image")
+    with pytest.raises(ValueError):
+        real_decode(b"P6\n5 3\n255\n" + rgb[:10], "image")  # truncated
+    with pytest.raises(ValueError):
+        real_decode(encode_bmp(w, h, rgb)[:30], "image")  # truncated
+
+
+def test_decode_image_features_end_to_end(spark):
+    """The decoded-statistics pipeline (generate real PPM/BMP files ->
+    parse them back -> exact pixel sums) matches the closed form the
+    images were generated from, distributed over mapInPandas."""
+    import pyspark.sql.functions as F
+
+    from aproximacion_1_etl_spark.text.multimodal import (
+        decode_image_features,
+        make_synthetic_images,
+    )
+
+    docs = spark.range(0, 40).select(F.col("id").alias("doc_id"))
+    feats = {r["doc_id"]: r for r in decode_image_features(
+        make_synthetic_images(docs)).collect()}
+    assert len(feats) == 40
+    for doc_id in range(40):
+        w, h = 4 + doc_id % 5, 3 + doc_id % 4
+        r = feats[doc_id]
+        assert (r["fmt"], r["width"], r["height"]) == (
+            "ppm" if doc_id % 2 == 0 else "bmp", w, h)
+        for ci, col in enumerate(("sum_r", "sum_g", "sum_b")):
+            expect = sum((doc_id + x + y + ci) % 256
+                         for x in range(w) for y in range(h))
+            assert r[col] == expect, (doc_id, col)
