@@ -31,12 +31,27 @@ def pagerank(
     damping: float = 0.85,
     src: str = "src",
     dst: str = "dst",
+    detect_fixed_point: bool = False,
 ) -> DataFrame:
     """Fixed-iteration PageRank over an edge list; returns
     (node, rank). Dangling nodes (no out-edges) keep receiving rank
     but distribute nothing; the per-iteration teleport term keeps the
     total finite without a driver-side normalization pass.
-    """
+
+    ``detect_fixed_point=True`` adds a per-iteration bit-exact
+    convergence probe: when ranks_i == ranks_{i-1} for every node
+    (double equality — not a tolerance), every further iteration is
+    the identity (the update is a deterministic function of the rank
+    vector, and the decimal-cast sums make it partitioning-
+    independent), so stopping early is provably result-identical to
+    running all ``iterations``. The probe needs consecutive vectors
+    materialized, so it checkpoints EVERY iteration (vs every 2nd) and
+    runs one extra join job per iteration — a fixed per-iteration tax
+    (~0.5 s at sf0.1, see PERF.md) that only pays off when the loop is
+    long enough, or the graph converged enough, to skip iterations.
+    Default off: the catalog's fixed-iteration oracle runs the exact
+    advertised count; the structural depth-1 early stop below is free
+    and stays always-on."""
     # the raw edge relation is scanned by nodes, e_deg AND non_receivers
     # — cache it or the upstream plan (often a join+distinct) runs 3×
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).cache()
@@ -93,6 +108,7 @@ def pagerank(
     ranks = nodes.crossJoin(F.broadcast(nsc)).select(
         "node", (F.lit(1.0) / F.col("n_nodes")).alias("rank")
     )
+    prev = None
     for i in range(effective_iters):
         contribs = (
             e_deg.join(ranks, e_deg["src"] == ranks["node"])
@@ -126,8 +142,25 @@ def pagerank(
         # stays bounded at depth 2 and each checkpoint is its own
         # measurable job, but the loop runs half as many jobs as a
         # per-iteration checkpoint — per-job fixed overhead, not data
-        # volume, dominates an iteration at any SF.
-        if i % 2 == 1 or i == effective_iters - 1:
+        # volume, dominates an iteration at any SF. The convergence
+        # probe needs every iteration materialized, so it switches to
+        # per-iteration checkpoints (that cost is part of the probe
+        # tax, measured in PERF.md).
+        if detect_fixed_point:
+            ranks = ranks.localCheckpoint(eager=True)
+            if prev is not None:
+                changed = (
+                    ranks.alias("cur")
+                    .join(prev.alias("pv"), "node")
+                    .where(F.col("cur.rank") != F.col("pv.rank"))
+                    .limit(1)
+                    .count()
+                )
+                if changed == 0:
+                    break  # bit-exact fixed point: all further
+                    # iterations are the identity
+            prev = ranks
+        elif i % 2 == 1 or i == effective_iters - 1:
             ranks = ranks.localCheckpoint(eager=True)
     # loop-invariant caches are only needed during the iterations; the
     # returned ranks are checkpointed, so free executor storage now

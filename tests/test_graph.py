@@ -74,3 +74,38 @@ def test_pagerank_cyclic_graph_runs_full_iterations(spark):
         for r in pagerank(edges_df, iterations=2).collect()
     }
     assert any(abs(two[n] - got[n]) > 1e-12 for n in got)
+
+
+def test_pagerank_fixed_point_probe_is_exact_and_pays_on_converged_loops(spark):
+    """detect_fixed_point: per-iteration bit-exact equality probe. On a
+    graph whose rank vector settles (double arithmetic reaches a fixed
+    point) the loop stops early with a result IDENTICAL to the full
+    fixed-iteration run — equality on doubles, not a tolerance. The
+    sf0.1 measurement lives in PERF.md (probe ~neutral at 5 iters,
+    ~5x faster on a 30-iteration budget over a converged cycle)."""
+    cyc = [(i, (i + 1) % 50) for i in range(50)]
+    cyc_df = spark.createDataFrame(cyc, "src BIGINT, dst BIGINT")
+    full = {
+        r["node"]: r["rank"]
+        for r in pagerank(cyc_df, iterations=25).collect()
+    }
+    probed = {
+        r["node"]: r["rank"]
+        for r in pagerank(
+            cyc_df, iterations=25, detect_fixed_point=True
+        ).collect()
+    }
+    assert probed == full  # bit-exact, not approximate
+    # and the cyclic-reference case still matches the dense reference
+    # when probed (cycle from the test above, unconverged at 5 iters)
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 2), (5, 0)]
+    edges_df = spark.createDataFrame(edges, "src BIGINT, dst BIGINT")
+    expect = _dense_pagerank(edges, iterations=5)
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(
+            edges_df, iterations=5, detect_fixed_point=True
+        ).collect()
+    }
+    for node, r in expect.items():
+        assert abs(got[node] - r) < 1e-9, (node, got[node], r)
