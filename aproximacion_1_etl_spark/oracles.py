@@ -1209,6 +1209,68 @@ SELECT doc_id,
              * 10000.0 + 0.5) / 10000.0 AS mean_b
 FROM px GROUP BY 1, 2
 """,
+    # mirror of text/analysis.py::bpe_merge_pairs: pair counts over
+    # distinct words weighted by word frequency, same >=2-char filter,
+    # same (count desc, pair asc) tie-break
+    "bpe_merge_pairs": """
+WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+wc AS (SELECT word, count(*) AS cnt FROM w WHERE len(word) >= 2 GROUP BY 1),
+p AS (SELECT substr(word, i, 2) AS pair, cnt
+      FROM (SELECT word, cnt,
+                   unnest(generate_series(1, len(word) - 1)) AS i
+            FROM wc)),
+agg AS (SELECT pair, CAST(sum(cnt) AS BIGINT) AS n FROM p GROUP BY 1)
+SELECT pair, n, CAST(rank AS INT) AS rank
+FROM (SELECT *, row_number() OVER (ORDER BY n DESC, pair ASC) AS rank
+      FROM agg)
+WHERE rank <= 30
+""",
+    # mirror of text/vector.py::embedding_quantize_int8: same
+    # scale = max|x|/127, same floor(x/scale + 0.5) quantizer, exact
+    # decimal sums for the reconstruction error
+    "embedding_quantize_int8": """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+s AS (SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+      FROM e),
+q AS (SELECT vec_id, v, scale,
+             CASE WHEN scale = 0
+                  THEN list_transform(v, x -> CAST(0 AS BIGINT))
+                  ELSE list_transform(
+                         v, x -> CAST(floor(x / scale + 0.5) AS BIGINT))
+             END AS qv
+      FROM s),
+flat AS (SELECT vec_id, v[i] - qv[i] * scale AS err
+         FROM (SELECT vec_id, v, qv, scale,
+                      unnest(generate_series(1, len(v))) AS i
+               FROM q)),
+mse AS (SELECT vec_id,
+               CAST(sum(CAST(err * err AS DECIMAL(38,18))) AS DOUBLE)
+                 / count(*) AS mse
+        FROM flat GROUP BY 1),
+st AS (SELECT vec_id, scale,
+              CAST(list_sum(qv) AS BIGINT) AS q_sum,
+              CAST(len(list_filter(qv, x -> abs(x) >= 127)) AS BIGINT)
+                AS n_saturated
+       FROM q)
+SELECT st.vec_id,
+       floor(st.scale * 1000000000.0 + 0.5) / 1000000000.0 AS scale,
+       st.q_sum, st.n_saturated,
+       floor((m.mse * 1000000.0) * 1000000.0 + 0.5) / 1000000.0 AS mse_ppm
+FROM st JOIN mse m ON st.vec_id = m.vec_id
+""",
+    # mirror of queries.q_deletion_vector_read: the two delete
+    # predicates applied as plain filters (both run against the BASE
+    # version, matching delete_rows' read_snapshot semantics)
+    "deletion_vector_read": """
+SELECT o_orderstatus, count(*) AS n,
+       floor((CAST(sum(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE))
+             * 100.0 + 0.5) / 100.0 AS total
+FROM orders
+WHERE NOT (o_orderkey % 7 = 0)
+  AND NOT (o_orderstatus = 'F' AND o_orderkey % 5 = 0)
+GROUP BY 1
+""",
     "streaming_windowed_counts": """
 SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
        event_type, count(*) AS n_events,

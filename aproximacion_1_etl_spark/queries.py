@@ -3921,6 +3921,60 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, BM25_QUERIES, k=10)
 
 
+def q_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 tokenizer training: one BPE round — top adjacent char
+    pairs, counted over DISTINCT words weighted by frequency (the
+    Zipf trick that keeps the pair fan-out off the raw token stream;
+    text/analysis.py::bpe_merge_pairs)."""
+    from aproximacion_1_etl_spark.text.analysis import bpe_merge_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_merge_pairs(docs, k=30)
+
+
+def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 embedding compression: per-vector symmetric int8
+    quantization with audit stats (checksum, saturation, reconstruction
+    MSE) — the 4x memory cut for ANN candidate stages
+    (text/vector.py::embedding_quantize_int8)."""
+    from aproximacion_1_etl_spark.text.vector import embedding_quantize_int8
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_quantize_int8(emb)
+
+
+def q_deletion_vector_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level deletes WITHOUT data-file rewrite: two composing
+    delete_rows calls append keys to a per-version sidecar; the read
+    path anti-joins the (broadcast) deletion vector at scan time
+    (sources/versioned.py::delete_rows / read_snapshot_with_dv). At
+    100 TB a 0.1% delete stays kilobytes of intent instead of
+    terabytes of rewrite."""
+    from aproximacion_1_etl_spark.sources.versioned import (
+        delete_rows,
+        read_snapshot_with_dv,
+        write_snapshot,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = tempfile.mkdtemp(prefix="graft_dv_") + "/orders_dv"
+    write_snapshot(o, path)
+    delete_rows(spark, path, "o_orderkey", "o_orderkey % 7 = 0")
+    delete_rows(
+        spark, path, "o_orderkey", "o_orderstatus = 'F' AND o_orderkey % 5 = 0"
+    )
+    return (
+        read_snapshot_with_dv(spark, path)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            _dsum(F.col("o_totalprice")).alias("total"),
+        )
+    )
+
+
 ALL_QUERIES = {
     "flagship_order_lifecycle": q_flagship_order_lifecycle,
     "bm25_topk": q_bm25_topk,
@@ -4005,6 +4059,9 @@ ALL_QUERIES = {
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
     "multimodal_features": q_multimodal_features,
     "multimodal_decode": q_multimodal_decode,
+    "bpe_merge_pairs": q_bpe_merge_pairs,
+    "embedding_quantize_int8": q_embedding_quantize_int8,
+    "deletion_vector_read": q_deletion_vector_read,
     "streaming_windowed_counts": q_streaming_windowed_counts,
     "q6_forecast_revenue": q_q6_forecast_revenue,
     "q7_nation_volume": q_q7_nation_volume,

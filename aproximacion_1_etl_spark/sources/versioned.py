@@ -94,6 +94,62 @@ def read_snapshot(
     return spark.read.parquet(os.path.join(path, f"v={v}"))
 
 
+def delete_rows(
+    spark: SparkSession,
+    path: str,
+    key_col: str,
+    condition: str,
+) -> int:
+    """Row-level delete WITHOUT rewriting data files — the deletion-
+    vector idea from modern lakehouse formats, stripped to what the
+    engine needs. The keys matching ``condition`` (a SQL boolean over
+    the current version) are appended to a tiny sidecar table
+    (``<table>/_dv/v=<n>/``) keyed to the version they apply to;
+    ``read_snapshot_with_dv`` anti-joins them out at scan time.
+
+    Why it matters at 100 TB: a delete that touches 0.1% of rows
+    otherwise rewrites every affected file (terabytes of write
+    amplification for kilobytes of intent). The DV is the kilobytes.
+    Deletes accumulate (append mode) so repeated calls compose;
+    ``compact_snapshot`` naturally materializes them (it reads through
+    the DV path) and resets the next version's DV to empty. Returns
+    the number of newly deleted keys (driver sees one count, never the
+    data)."""
+    cur = current_version(path)
+    if cur is None:
+        raise FileNotFoundError(f"no committed version at {path}")
+    snap = read_snapshot(spark, path)
+    keys = snap.filter(condition).select(key_col)
+    dv_dir = os.path.join(path, "_dv", f"v={cur}")
+    n = keys.count()
+    if n:
+        keys.write.mode("append").parquet(dv_dir)
+    return n
+
+
+def read_snapshot_with_dv(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Read a snapshot version with its deletion vector applied: the
+    base files stream through an anti-join against the (tiny,
+    broadcastable) DV sidecar — no data file was rewritten to serve
+    the delete. Falls back to the plain read when no DV exists for the
+    version."""
+    cur = current_version(path)
+    if cur is None:
+        raise FileNotFoundError(f"no committed version at {path}")
+    v = cur if version is None else version
+    base = read_snapshot(spark, path, version=v)
+    dv_dir = os.path.join(path, "_dv", f"v={v}")
+    if not os.path.isdir(dv_dir):
+        return base
+    dv = spark.read.parquet(dv_dir)
+    key_col = dv.columns[0]
+    from pyspark.sql import functions as F
+
+    return base.join(F.broadcast(dv.distinct()), key_col, "left_anti")
+
+
 def compact_snapshot(
     spark: SparkSession,
     path: str,
@@ -109,9 +165,11 @@ def compact_snapshot(
     reader that resolved v_n keeps reading v_n's immutable files, and
     the flip is one atomic manifest replace — the engine-native
     equivalent of the reference's atomic BigQuery DDL rewrites
-    (`Composer/DAG_cloudrun_dataflow_sp.py:280-318`). Returns the new
+    (`Composer/DAG_cloudrun_dataflow_sp.py:280-318`). Reads through the
+    deletion vector, so compaction MATERIALIZES accumulated row-level
+    deletes (the new version carries no DV). Returns the new
     version."""
-    df = read_snapshot(spark, path)
+    df = read_snapshot_with_dv(spark, path)
     if sort_by:
         compacted = df.repartitionByRange(
             target_partitions, *sort_by

@@ -370,6 +370,61 @@ def lm_trigram_score(
     )
 
 
+def bpe_merge_pairs(
+    docs: DataFrame,
+    k: int = 30,
+    text_col: str = "text",
+) -> DataFrame:
+    """One round of BPE tokenizer training: the top-``k`` most frequent
+    adjacent character pairs across the corpus — the statistic a
+    byte-pair-encoding trainer computes to pick its next merge.
+
+    The scale trick is the classic one from BPE training: pair counts
+    are computed over DISTINCT words weighted by word frequency, never
+    over raw corpus positions. At 100 TB the distinct-word relation is
+    orders of magnitude smaller than the token stream (Zipf), so the
+    quadratic-ish pair fan-out (len-1 pairs per word) runs on the small
+    relation; the corpus-sized work is one tokenize+groupBy. Plan:
+    explode words -> word counts (shuffle 1, corpus-sized with map-side
+    combine) -> per-distinct-word pair explode (narrow) -> weighted
+    pair counts (shuffle 2, vocabulary-sized) -> global top-k window.
+    Deterministic tie-break (count desc, pair asc) keeps the result
+    engine-portable.
+    """
+    spread = docs.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, "doc_id"
+    )
+    words = spread.select(
+        F.explode(F.split(F.col(text_col), " ")).alias("word")
+    ).filter(F.length("word") >= 2)
+    wc = words.groupBy("word").agg(F.count("*").alias("cnt"))
+    pairs = wc.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("word") - 1),
+                lambda i: F.col("word").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+        "cnt",
+    )
+    from pyspark.sql import Window
+
+    agg = pairs.groupBy("pair").agg(F.sum("cnt").alias("n"))
+    # global ranking window: single-task by construction, but its input
+    # is the PAIR alphabet (bounded by charset^2, a few thousand rows at
+    # any corpus size), never the corpus
+    w = Window.orderBy(F.col("n").desc(), F.col("pair").asc())
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "pair",
+            F.col("n").cast("bigint").alias("n"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
 def document_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """All metrics in one scan — the per-document profile table."""
     t = F.col(text_col)

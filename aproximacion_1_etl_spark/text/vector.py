@@ -536,6 +536,77 @@ def embedding_near_dup_lsh(
     )
 
 
+def embedding_quantize_int8(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization — the standard 4x
+    memory cut for embedding stores and the ANN candidate stage
+    (search int8, re-rank survivors in float). Per vector:
+    scale = max|x| / 127, q_i = floor(x_i/scale + 0.5) (all zeros when
+    the vector is zero), plus audit stats: quantized checksum,
+    saturation count, and the reconstruction MSE.
+
+    Shape: one scan, one narrow projection per row (HOF folds, no
+    Python), one explode + keyed groupBy ONLY for the MSE (whose
+    per-element squared errors are decimal-cast before summing so the
+    sum is order-independent and engine-portable). At 100 TB the
+    explode is dim x rows but feeds a map-side-combined keyed agg —
+    the same fan-out class as tokenization.
+    """
+    emb = _as_double(embeddings, vec_col)
+    spread = emb.repartition(
+        emb.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+    )
+    v = F.col(vec_col)
+    scale = F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(127.0)
+    q = F.when(F.col("scale") == 0.0, F.transform(v, lambda x: F.lit(0).cast("bigint"))).otherwise(
+        F.transform(v, lambda x: F.floor(x / F.col("scale") + F.lit(0.5)))
+    )
+    qd = spread.select(id_col, vec_col, scale.alias("scale")).select(
+        id_col, vec_col, "scale", q.alias("q")
+    )
+    flat = qd.select(
+        id_col,
+        "scale",
+        F.posexplode(F.zip_with(v, F.col("q"), lambda x, qi: x - qi * F.col("scale"))),
+    ).select(
+        id_col,
+        "scale",
+        F.col("col").alias("err"),
+    )
+    mse = flat.groupBy(id_col).agg(
+        (
+            F.sum((F.col("err") * F.col("err")).cast("decimal(38,18)"))
+            .cast("double")
+            / F.count("*")
+        ).alias("mse")
+    )
+    stats = qd.select(
+        id_col,
+        "scale",
+        F.aggregate(
+            F.col("q"), F.lit(0).cast("bigint"), lambda acc, x: acc + x
+        ).alias("q_sum"),
+        F.aggregate(
+            F.col("q"),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc
+            + F.when(F.abs(x) >= 127, F.lit(1)).otherwise(F.lit(0)).cast(
+                "bigint"
+            ),
+        ).alias("n_saturated"),
+    )
+    return stats.join(mse, id_col).select(
+        id_col,
+        _fround(F.col("scale"), 9).alias("scale"),
+        F.col("q_sum").cast("bigint").alias("q_sum"),
+        F.col("n_saturated").cast("bigint").alias("n_saturated"),
+        _fround(F.col("mse") * 1e6, 6).alias("mse_ppm"),
+    )
+
+
 def train_ivf_centroids(
     embeddings: DataFrame,
     n_centroids: int = 16,

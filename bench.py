@@ -80,8 +80,11 @@ HEADLINE = [
     "lm_trigram_score",
     # round-4: IVF ANN over the trained codebook (training itself is
     # reported separately as ivf_codebook_train — it is a one-off
-    # model-build step, amortized across every consumer)
+    # model-build step, amortized across every consumer), BPE pair
+    # counting, and int8 embedding quantization
     "ann_topk_ivf",
+    "bpe_merge_pairs",
+    "embedding_quantize_int8",
     # Python-worker queries LAST: applyInPandas spins up 32 Python
     # workers and leaves GC pressure that inflates the next JVM-only
     # query by ~3x (measured: dedup_minhash_lsh 6.96s after it vs 1.9s

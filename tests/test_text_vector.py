@@ -369,3 +369,99 @@ def test_decode_image_features_end_to_end(spark):
             expect = sum((doc_id + x + y + ci) % 256
                          for x in range(w) for y in range(h))
             assert r[col] == expect, (doc_id, col)
+
+
+def test_bpe_merge_pairs_weights_distinct_words_by_frequency(spark):
+    """BPE pair counting: counted over distinct words x word frequency,
+    exactly equivalent to counting raw corpus positions (the scale
+    trick must not change the statistic)."""
+    from aproximacion_1_etl_spark.text.analysis import bpe_merge_pairs
+
+    docs = spark.createDataFrame(
+        [(0, "abab abab cd"), (1, "abab x cd cd")],
+        "doc_id BIGINT, text STRING",
+    )
+    out = {r["pair"]: (r["n"], r["rank"]) for r in
+           bpe_merge_pairs(docs, k=10).collect()}
+    # raw-position truth: 'abab' x3 -> ab:2/word, ba:1/word; 'cd' x3 ->
+    # cd:1/word; 'x' dropped (<2 chars)
+    assert out["ab"] == (6, 1)
+    assert out["ba"] == (3, 2) or out["cd"] == (3, 2)
+    assert out["ba"][0] == 3 and out["cd"][0] == 3
+    # deterministic tie-break: 'ba' < 'cd' lexicographically? no —
+    # count desc then pair ASC: 'ba' before 'cd'
+    assert out["ba"][1] == 2 and out["cd"][1] == 3
+
+
+def test_embedding_quantize_int8_stats(spark):
+    """int8 quantization: zero vectors quantize to all-zero stats, the
+    max-|x| element saturates by construction, and reconstruction error
+    is bounded by (scale/2)^2 per element."""
+    from aproximacion_1_etl_spark.text.vector import embedding_quantize_int8
+
+    vecs = [
+        (0, [0.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, -0.5, 0.25, 0.125]),
+        (2, [-2.0, 2.0, 1.0, -1.0]),
+    ]
+    emb = spark.createDataFrame(vecs, "vec_id INT, embedding ARRAY<DOUBLE>")
+    out = {r["vec_id"]: r for r in embedding_quantize_int8(emb).collect()}
+    assert out[0]["scale"] == 0.0
+    assert out[0]["q_sum"] == 0 and out[0]["n_saturated"] == 0
+    assert out[0]["mse_ppm"] == 0.0
+    for vid, v in [(1, vecs[1][1]), (2, vecs[2][1])]:
+        r = out[vid]
+        scale = max(abs(x) for x in v) / 127.0
+        assert abs(r["scale"] - scale) < 1e-9
+        q = [int((x / scale + 0.5) // 1) for x in v]
+        assert r["q_sum"] == sum(q), (vid, q)
+        assert r["n_saturated"] >= 1  # the max element hits +/-127
+        # mse bound: each |err| <= scale/2
+        assert r["mse_ppm"] / 1e6 <= (scale / 2) ** 2 + 1e-12
+
+
+def test_deletion_vector_read_and_compaction_materializes(spark, sf_dir):
+    """Deletion vectors: deletes apply at read time without touching
+    data files, compose across calls, respect time travel (the DV is
+    per-version), and compact_snapshot materializes them into the next
+    version (which starts with an empty DV)."""
+    import os
+    import tempfile
+
+    from aproximacion_1_etl_spark.sources.tables import load_table
+    from aproximacion_1_etl_spark.sources.versioned import (
+        compact_snapshot,
+        delete_rows,
+        read_snapshot,
+        read_snapshot_with_dv,
+        write_snapshot,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    n_total = o.count()
+    path = tempfile.mkdtemp(prefix="graft_dvtest_") + "/t"
+    v0 = write_snapshot(o, path)
+
+    n_del1 = delete_rows(spark, path, "o_orderkey", "o_orderkey % 10 = 0")
+    assert n_del1 == o.filter("o_orderkey % 10 = 0").count()
+    # base files untouched: plain read still sees everything
+    assert read_snapshot(spark, path).count() == n_total
+    assert read_snapshot_with_dv(spark, path).count() == n_total - n_del1
+
+    # second delete composes (overlap with the first is fine)
+    delete_rows(spark, path, "o_orderkey", "o_orderkey % 4 = 0")
+    survivors = o.filter(
+        "NOT (o_orderkey % 10 = 0) AND NOT (o_orderkey % 4 = 0)"
+    ).count()
+    assert read_snapshot_with_dv(spark, path).count() == survivors
+
+    # compaction reads through the DV: deletes are materialized, the
+    # new version has no DV dir, and time travel to v0 still honors
+    # v0's own deletion vector
+    v1 = compact_snapshot(spark, path, target_partitions=2)
+    assert read_snapshot(spark, path).count() == survivors
+    assert not os.path.isdir(os.path.join(path, "_dv", f"v={v1}"))
+    assert read_snapshot_with_dv(spark, path, version=v0).count() == survivors
+    assert read_snapshot_with_dv(spark, path).count() == survivors
