@@ -3943,6 +3943,27 @@ def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_quantize_int8(emb)
 
 
+def q_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 incremental dedup: the daily-batch shape — only the NEW
+    slice (doc_id % 4 = 0) is shingled/hashed, then banded-joined
+    against the persisted corpus signature store (here built in-plan
+    from the old slice; production appends each accepted batch's
+    signatures). Returns LSH collisions with the minhash Jaccard
+    estimate (text/dedup.py::incremental_minhash_dedup)."""
+    from aproximacion_1_etl_spark.text.dedup import (
+        incremental_minhash_dedup,
+        minhash_signatures,
+        word_shingles,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    new_batch = docs.filter(F.col("doc_id") % 4 == 0)
+    corpus_sigs = minhash_signatures(
+        word_shingles(docs.filter(F.col("doc_id") % 4 != 0), distinct=False)
+    )
+    return incremental_minhash_dedup(new_batch, corpus_sigs)
+
+
 def q_deletion_vector_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level deletes WITHOUT data-file rewrite: two composing
     delete_rows calls append keys to a per-version sidecar; the read
@@ -4062,6 +4083,7 @@ ALL_QUERIES = {
     "bpe_merge_pairs": q_bpe_merge_pairs,
     "embedding_quantize_int8": q_embedding_quantize_int8,
     "deletion_vector_read": q_deletion_vector_read,
+    "incremental_near_dup": q_incremental_near_dup,
     "streaming_windowed_counts": q_streaming_windowed_counts,
     "q6_forecast_revenue": q_q6_forecast_revenue,
     "q7_nation_volume": q_q7_nation_volume,

@@ -176,6 +176,86 @@ def minhash_candidate_pairs(
     )
 
 
+def incremental_minhash_dedup(
+    new_docs: DataFrame,
+    corpus_signatures: DataFrame,
+    bands: int = DEFAULT_BANDS,
+    min_matching_bands: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental near-dup: screen a NEW batch against the persisted
+    signature store of the existing corpus — the shape production dedup
+    actually runs (daily batch vs. an ever-growing corpus), where
+    re-shingling the whole corpus per batch would be a full-corpus scan
+    for every increment.
+
+    Only the new batch is shingled and hashed; the corpus side joins as
+    its (bands x 8-hex) signature table, banded exactly like
+    minhash_candidate_pairs. Returns one row per (new doc, corpus doc)
+    LSH collision with >= ``min_matching_bands`` matching bands plus
+    the minhash Jaccard estimate (matching/bands — the standard
+    unbiased estimator). The two id spaces may overlap (a re-ingested
+    doc collides with itself on every band — that is the exact-dup
+    signal); callers drop or route as policy dictates. Scale: shuffle
+    cost is O(|batch|) signatures + a (band, sig) equi-join against the
+    store; the store itself is maintained by appending each accepted
+    batch's signatures (minhash_signatures output is the store schema).
+    """
+    new_sigs = minhash_signatures(
+        word_shingles(new_docs, id_col=id_col, text_col=text_col,
+                      distinct=False),
+        bands=bands,
+        id_col=id_col,
+    )
+
+    def melt(sigs: DataFrame) -> DataFrame:
+        return sigs.select(
+            F.col(id_col),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.col(f"sig_{b}").alias("sig"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bs"),
+        ).select(id_col, "bs.band", "bs.sig")
+
+    a = melt(new_sigs).alias("a")
+    b = melt(corpus_signatures).alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.sig") == F.col("b.sig"),
+            ],
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_new"),
+            F.col(f"b.{id_col}").alias("doc_old"),
+        )
+        .agg(F.count("*").alias("matching_bands"))
+        .filter(F.col("matching_bands") >= min_matching_bands)
+        .select(
+            "doc_new",
+            "doc_old",
+            F.col("matching_bands").cast("bigint").alias("matching_bands"),
+            (
+                F.floor(
+                    (F.col("matching_bands") / F.lit(bands)) * 10000.0
+                    + 0.5
+                )
+                / 10000.0
+            ).alias("est_jaccard"),
+        )
+    )
+
+
 def repetition_profile(
     docs: DataFrame, n: int = 3, id_col: str = "doc_id"
 ) -> DataFrame:

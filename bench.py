@@ -85,6 +85,7 @@ HEADLINE = [
     "ann_topk_ivf",
     "bpe_merge_pairs",
     "embedding_quantize_int8",
+    "incremental_near_dup",
     # Python-worker queries LAST: applyInPandas spins up 32 Python
     # workers and leaves GC pressure that inflates the next JVM-only
     # query by ~3x (measured: dedup_minhash_lsh 6.96s after it vs 1.9s

@@ -465,3 +465,38 @@ def test_deletion_vector_read_and_compaction_materializes(spark, sf_dir):
     assert not os.path.isdir(os.path.join(path, "_dv", f"v={v1}"))
     assert read_snapshot_with_dv(spark, path, version=v0).count() == survivors
     assert read_snapshot_with_dv(spark, path).count() == survivors
+
+
+def test_incremental_minhash_dedup_screens_new_batch(spark):
+    """Incremental dedup: only the new batch is hashed; a re-ingested
+    doc collides with its corpus copy on every band (est_jaccard 1.0),
+    near-dups collide partially, unrelated docs don't surface."""
+    from aproximacion_1_etl_spark.text.dedup import (
+        incremental_minhash_dedup,
+        minhash_signatures,
+        word_shingles,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog and then runs "
+            "far away into the quiet green forest before nightfall")
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "completely different words about spark plans "
+                        "and shuffle exchanges in a distributed engine")],
+        "doc_id BIGINT, text STRING",
+    )
+    new = spark.createDataFrame(
+        [(100, base),                                   # exact re-ingest
+         (101, base.replace("lazy", "sleepy")),          # near-dup
+         (102, "nothing like anything in the corpus at all "
+               "just novel content with fresh tokens")],  # novel
+        "doc_id BIGINT, text STRING",
+    )
+    store = minhash_signatures(word_shingles(corpus, distinct=False))
+    out = {(r["doc_new"], r["doc_old"]): r
+           for r in incremental_minhash_dedup(new, store).collect()}
+    assert (100, 1) in out
+    assert out[(100, 1)]["matching_bands"] == 8
+    assert out[(100, 1)]["est_jaccard"] == 1.0
+    assert all(k[0] != 102 for k in out)  # novel doc never surfaces
+    if (101, 1) in out:  # near-dup: partial collision when it fires
+        assert out[(101, 1)]["matching_bands"] < 8
