@@ -321,6 +321,108 @@ def _ivf_cent_ctes(
     return ",\n".join(parts)
 
 
+def _pq_cent_ctes(
+    m: int = 8,
+    d_sub: int = 8,
+    iterations: int = 3,
+    n_centroids: int = 16,
+) -> str:
+    """Mirror of text/vector.py::train_pq_codebooks: the per-subspace
+    k-means recurrence unrolled like _ivf_cent_ctes, once per
+    subspace (same 9-dp rounded assignment, exact decimal means,
+    coalesce for empty cells) — all m codebooks recomputed in-engine
+    bit-for-bit."""
+    parts = ["e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"]
+    for s in range(m):
+        sl = f"list_slice(v, {s * d_sub + 1}, {s * d_sub + d_sub})"
+        parts.append(f"sub{s} AS (SELECT vec_id, {sl} AS sv FROM e)")
+        parts.append(
+            f"c{s}_0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id)"
+            f" - 1 AS INT) AS cid, sv AS cv FROM sub{s}"
+            f" WHERE vec_id < {n_centroids})"
+        )
+        for i in range(1, iterations + 1):
+            parts.append(
+                f"""a{s}_{i} AS (SELECT vec_id, sv, cid FROM (
+    SELECT t.vec_id, t.sv, c.cid,
+           row_number() OVER (PARTITION BY t.vec_id ORDER BY
+             floor((list_dot_product(t.sv, t.sv)
+                    + list_dot_product(c.cv, c.cv)
+                    - 2.0 * list_dot_product(t.sv, c.cv))
+                   * 1000000000.0 + 0.5) / 1000000000.0 ASC,
+             c.cid ASC) AS rn
+    FROM sub{s} t CROSS JOIN c{s}_{i - 1} c) WHERE rn = 1)"""
+            )
+            dims = ", ".join(
+                f"CAST(sum(CAST(sv[{d + 1}] AS DECIMAL(38,18)))"
+                f" AS DOUBLE) / count(*)"
+                for d in range(d_sub)
+            )
+            parts.append(
+                f"m{s}_{i} AS (SELECT cid, [{dims}] AS cv"
+                f" FROM a{s}_{i} GROUP BY cid)"
+            )
+            parts.append(
+                f"c{s}_{i} AS (SELECT p.cid, coalesce(mm.cv, p.cv) AS cv"
+                f" FROM c{s}_{i - 1} p"
+                f" LEFT JOIN m{s}_{i} mm ON p.cid = mm.cid)"
+            )
+        parts.append(
+            f"cent_s{s} AS (SELECT cid, cv FROM c{s}_{iterations})"
+        )
+    return ",\n".join(parts)
+
+
+def _ann_topk_pq_sql(
+    m: int = 8,
+    d_sub: int = 8,
+    k: int = 10,
+    query_ids: tuple = (0, 1, 2, 3, 4),
+) -> str:
+    """Mirror of text/vector.py::ann_topk_pq: in-engine PQ encode
+    (6-dp assignment per subspace) + the same 6-dp distance table +
+    exact-decimal ADC sum."""
+    d6 = (
+        "floor((list_dot_product({q}, {q}) + list_dot_product(c.cv, c.cv)"
+        " - 2.0 * list_dot_product({q}, c.cv)) * 1000000.0 + 0.5)"
+        " / 1000000.0"
+    )
+    code_branches = " UNION ALL ".join(
+        f"""SELECT vec_id, {s} AS s, cell FROM (
+  SELECT t.vec_id, c.cid AS cell,
+         row_number() OVER (PARTITION BY t.vec_id ORDER BY
+           {d6.format(q='t.sv')} ASC, c.cid ASC) AS rn
+  FROM sub{s} t CROSS JOIN cent_s{s} c) WHERE rn = 1"""
+        for s in range(m)
+    )
+    ids = ", ".join(str(i) for i in query_ids)
+    qdt_branches = " UNION ALL ".join(
+        f"""SELECT {s} AS s, t.vec_id AS query_id, c.cid,
+       {d6.format(q='t.sv')} AS d
+FROM (SELECT vec_id, sv FROM sub{s} WHERE vec_id IN ({ids})) t
+CROSS JOIN cent_s{s} c"""
+        for s in range(m)
+    )
+    return f"""
+WITH {_pq_cent_ctes(m=m, d_sub=d_sub)},
+codes AS ({code_branches}),
+qdt AS ({qdt_branches}),
+approx AS (
+  SELECT qdt.query_id, codes.vec_id,
+         CAST(sum(CAST(qdt.d AS DECIMAL(38,18))) AS DOUBLE) AS ad
+  FROM codes JOIN qdt ON codes.s = qdt.s AND codes.cell = qdt.cid
+  WHERE codes.vec_id != qdt.query_id
+  GROUP BY 1, 2),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY ad ASC, vec_id ASC) AS rank
+      FROM approx)
+SELECT CAST(query_id AS INT) AS query_id, vec_id,
+       floor(ad * 10000.0 + 0.5) / 10000.0 AS approx_dist,
+       CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= {k}
+"""
+
+
 def _semantic_dedup_sql() -> str:
     """Mirror of text/vector.py::semantic_dedup over the TRAINED
     codebook (threshold 0.4): training recurrence from _ivf_cent_ctes,
@@ -687,6 +789,9 @@ FROM orders WHERE o_orderdate >= '2001-06-01' GROUP BY 1
     # mirror of text/vector.py::ann_topk_ivf over the TRAINED codebook
     # (training recurrence unrolled in-engine; see _ivf_cent_ctes)
     "ann_topk_ivf": _ann_topk_ivf_sql(),
+    # mirror of text/vector.py::ann_topk_pq (PQ/ADC over per-subspace
+    # trained codebooks; see _pq_cent_ctes)
+    "ann_topk_pq": _ann_topk_pq_sql(),
     "streaming_sliding_counts": """
 WITH b AS (SELECT min(ts) AS mn, max(ts) AS mx FROM events),
 wins AS (SELECT unnest(generate_series(date_trunc('day', mn) - INTERVAL 1 DAY,

@@ -3943,6 +3943,40 @@ def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_quantize_int8(emb)
 
 
+_PQ_BOOKS_CACHE: dict[str, dict] = {}
+
+
+def _trained_pq_books(spark: SparkSession, sf_dir: str) -> dict:
+    """Train-once-per-corpus PQ codebooks (memoized per sf_dir — same
+    model-artifact reasoning as _trained_codebook)."""
+    books = _PQ_BOOKS_CACHE.get(sf_dir)
+    if books is None:
+        from aproximacion_1_etl_spark.text.vector import train_pq_codebooks
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        books = train_pq_codebooks(emb, m=8, n_centroids=16, iterations=3)
+        _PQ_BOOKS_CACHE[sf_dir] = books
+    return books
+
+
+def q_ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 ANN, product-quantization path: 8 trained sub-codebooks
+    (one distributed pass per Lloyd iteration trains all subspaces),
+    vectors encoded as 8 small ints, asymmetric-distance top-k scored
+    through per-query lookup tables baked into the plan — the corpus
+    scan touches codes, never float vectors
+    (text/vector.py::train_pq_codebooks / ann_topk_pq)."""
+    from aproximacion_1_etl_spark.text.vector import ann_topk_pq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann_topk_pq(
+        emb,
+        query_ids=[0, 1, 2, 3, 4],
+        books=_trained_pq_books(spark, sf_dir),
+        k=10,
+    )
+
+
 def q_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.10 incremental dedup: the daily-batch shape — only the NEW
     slice (doc_id % 4 = 0) is shingled/hashed, then banded-joined
@@ -4084,6 +4118,7 @@ ALL_QUERIES = {
     "embedding_quantize_int8": q_embedding_quantize_int8,
     "deletion_vector_read": q_deletion_vector_read,
     "incremental_near_dup": q_incremental_near_dup,
+    "ann_topk_pq": q_ann_topk_pq,
     "streaming_windowed_counts": q_streaming_windowed_counts,
     "q6_forecast_revenue": q_q6_forecast_revenue,
     "q7_nation_volume": q_q7_nation_volume,

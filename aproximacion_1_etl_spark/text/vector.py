@@ -690,6 +690,212 @@ def train_ivf_centroids(
         emb.unpersist()
 
 
+def _py_dot(a: list[float], b: list[float]) -> float:
+    """Left-to-right fold — bit-matches _sql_dot / DuckDB
+    list_dot_product so driver-computed distance tables agree with
+    in-engine ones."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + x * y
+    return acc
+
+
+def train_pq_codebooks(
+    embeddings: DataFrame,
+    m: int = 8,
+    n_centroids: int = 16,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict[int, dict[int, list[float]]]:
+    """Product-quantization codebooks: split each vector into ``m``
+    contiguous subspaces and k-means each subspace independently —
+    16 centroids per subspace encode a 64-dim float vector in 8 bytes
+    (16x smaller than float32), the compression that makes
+    billion-vector ANN candidate stages fit in memory.
+
+    ALL subspaces train in ONE distributed pass per iteration: the
+    per-row projection assigns a cell per subspace, an explode emits
+    (subspace, cell, sub-vector) and a single groupBy(subspace, cell)
+    recomputes every mean — m separate trainers would scan the corpus
+    m times for the same arithmetic. Same engine-portable recurrence
+    as train_ivf_centroids (9-dp rounded assignment, lexicographic
+    tie-break, exact decimal means, empty cells keep their centroid),
+    so the DuckDB oracle reproduces all m codebooks bit-for-bit
+    (oracles._pq_cent_ctes)."""
+    emb = _as_double(embeddings, vec_col).select(id_col, vec_col)
+    emb = emb.repartition(
+        emb.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+    )
+    emb.cache()
+    try:
+        dim_rows = emb.limit(1).collect()
+        dim = len(dim_rows[0][1]) if dim_rows else 0
+        d_sub = dim // m
+        init = {
+            int(r[0]): [float(x) for x in r[1]]
+            for r in emb.filter(F.col(id_col) < n_centroids).collect()
+        }
+        books: dict[int, dict[int, list[float]]] = {
+            s: {
+                i: v[s * d_sub : (s + 1) * d_sub]
+                for i, (_, v) in enumerate(sorted(init.items()))
+            }
+            for s in range(m)
+        }
+        for _ in range(iterations):
+            branches = []
+            for s in range(m):
+                sl = f"slice(`{vec_col}`, {s * d_sub + 1}, {d_sub})"
+                cdots = {
+                    cid: sum(x * x for x in v) for cid, v in books[s].items()
+                }
+                ds = _dist_structs_sql(
+                    books[s], cdots, sl, _sql_dot(sl, sl), 9
+                )
+                branches.append(
+                    f"named_struct('s', {s}, "
+                    f"'cell', array_min({ds}).cid, 'sub', {sl})"
+                )
+            assigned = emb.select(
+                F.explode(F.expr("array(" + ", ".join(branches) + ")")).alias(
+                    "e"
+                )
+            ).select("e.s", "e.cell", "e.sub")
+            means = ", ".join(
+                f"CAST(sum(CAST(element_at(sub, {d + 1}) AS DECIMAL(38,18)))"
+                f" AS DOUBLE) / count(*)"
+                for d in range(d_sub)
+            )
+            rows = (
+                assigned.groupBy("s", "cell")
+                .agg(F.expr(f"array({means})").alias("ms"))
+                .collect()
+            )
+            for r in rows:
+                books[int(r["s"])][int(r["cell"])] = [
+                    float(x) for x in r["ms"]
+                ]
+        return books
+    finally:
+        emb.unpersist()
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    books: dict[int, dict[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each vector as its per-subspace nearest-centroid ids —
+    one map-side projection (codebooks are plan literals), no shuffle.
+    Returns (id, code array<int>)."""
+    m = len(books)
+    d_sub = len(next(iter(books[0].values())))
+    emb = _as_double(embeddings, vec_col)
+    spread = emb.repartition(
+        emb.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+    )
+    parts = []
+    for s in range(m):
+        sl = f"slice(`{vec_col}`, {s * d_sub + 1}, {d_sub})"
+        cdots = {cid: sum(x * x for x in v) for cid, v in books[s].items()}
+        ds = _dist_structs_sql(books[s], cdots, sl, _sql_dot(sl, sl), 6)
+        parts.append(f"array_min({ds}).cid")
+    return spread.select(
+        id_col, F.expr("array(" + ", ".join(parts) + ")").alias("code")
+    )
+
+
+def ann_topk_pq(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    books: dict[int, dict[int, list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ asymmetric-distance (ADC) top-k: corpus rows are scored
+    through their 8-byte codes only — approx_dist(q, x) = sum over
+    subspaces of d2(q_sub, codebook[s][code_s]) — so the scan touches
+    codes, not vectors. The per-query distance table (m x n_centroids
+    doubles — it IS the query's lookup structure) is computed
+    driver-side with fold arithmetic bit-matching the engines and
+    baked into the plan; scoring is one map-side projection + explode
+    (per query) + the top-k window. No shuffle touches the corpus
+    until the (tiny) ranked result. Distance-table entries are rounded
+    to 6 dp and the ADC sum runs in exact decimal, so the result is
+    fully value-checked against the oracle's in-engine recomputation.
+    """
+    m = len(books)
+    d_sub = len(next(iter(books[0].values())))
+    emb = _as_double(embeddings, vec_col)
+    qrows = {
+        int(r[0]): [float(x) for x in r[1]]
+        for r in emb.filter(F.col(id_col).isin(query_ids))
+        .select(id_col, vec_col)
+        .collect()
+    }
+    f6 = 10.0**6
+    import math
+
+    def dtab(qv: list[float]) -> list[list[float]]:
+        out = []
+        for s in range(m):
+            qs = qv[s * d_sub : (s + 1) * d_sub]
+            qq = _py_dot(qs, qs)
+            row = []
+            for cid in sorted(books[s]):
+                cv = books[s][cid]
+                cc = _py_dot(cv, cv)
+                d = qq + cc - 2.0 * _py_dot(qs, cv)
+                row.append(math.floor(d * f6 + 0.5) / f6)
+            out.append(row)
+        return out
+
+    encoded = pq_encode(embeddings, books, id_col=id_col, vec_col=vec_col)
+    branches = []
+    for qid in sorted(qrows):
+        dt = dtab(qrows[qid])
+        dt2d = "array(" + ",".join(
+            "array(" + ",".join(_sql_double(x) for x in row) + ")"
+            for row in dt
+        ) + ")"
+        # lambda result is re-cast to the accumulator type (Spark's
+        # decimal addition promotes 38,18 -> 38,17); lossless here —
+        # entries carry 6 decimal digits, sums of 8 never need 18
+        adc = (
+            f"CAST(aggregate(sequence(0, {m - 1}), "
+            f"CAST('0' AS DECIMAL(38,18)), (acc, s) -> CAST(acc + "
+            f"CAST(element_at(element_at({dt2d}, s + 1), "
+            f"element_at(code, s + 1) + 1) AS DECIMAL(38,18)) "
+            f"AS DECIMAL(38,18))) AS DOUBLE)"
+        )
+        branches.append(
+            f"named_struct('query_id', {qid}, 'ad', {adc})"
+        )
+    scored = encoded.select(
+        id_col,
+        F.explode(F.expr("array(" + ", ".join(branches) + ")")).alias("qa"),
+    ).select(
+        F.col("qa.query_id").alias("query_id"), id_col,
+        F.col("qa.ad").alias("ad"),
+    ).filter(F.col(id_col) != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("ad").asc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            id_col,
+            _fround(F.col("ad"), 4).alias("approx_dist"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
 def quantization_error(
     embeddings: DataFrame,
     centroids: dict[int, list[float]],

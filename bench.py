@@ -29,7 +29,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from aproximacion_1_etl_spark.queries import ALL_QUERIES, _trained_codebook
+from aproximacion_1_etl_spark.queries import (
+    ALL_QUERIES,
+    _trained_codebook,
+    _trained_pq_books,
+)
 from aproximacion_1_etl_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -83,6 +87,7 @@ HEADLINE = [
     # model-build step, amortized across every consumer), BPE pair
     # counting, and int8 embedding quantization
     "ann_topk_ivf",
+    "ann_topk_pq",
     "bpe_merge_pairs",
     "embedding_quantize_int8",
     "incremental_near_dup",
@@ -122,6 +127,9 @@ def main() -> None:
     t0 = time.time()
     _trained_codebook(spark, SF_DIR)
     train_sec = round(time.time() - t0, 3)
+    t0 = time.time()
+    _trained_pq_books(spark, SF_DIR)
+    pq_train_sec = round(time.time() - t0, 3)
 
     # min of RUNS runs per query: the first run of a query pays one-off
     # codegen/compile cost (±30% noise on sub-second plans); the min is
@@ -174,6 +182,7 @@ def main() -> None:
                 "runs_per_query": max(1, RUNS),
                 "spread_pct": spread_pct,
                 "ivf_codebook_train_sec": train_sec,
+                "pq_codebook_train_sec": pq_train_sec,
                 "loadavg_start": round(load_start, 2),
                 "loadavg_end": round(load_end, 2),
                 "load_flagged": bool(load_start > MAX_LOAD),

@@ -500,3 +500,37 @@ def test_incremental_minhash_dedup_screens_new_batch(spark):
     assert all(k[0] != 102 for k in out)  # novel doc never surfaces
     if (101, 1) in out:  # near-dup: partial collision when it fires
         assert out[(101, 1)]["matching_bands"] < 8
+
+
+def test_pq_adc_ranks_true_neighbor_first_and_is_deterministic(spark):
+    """PQ/ADC: codes are m small ints; a near-identical vector ranks
+    first in asymmetric distance; training is deterministic."""
+    import random
+
+    from aproximacion_1_etl_spark.text.vector import (
+        ann_topk_pq,
+        pq_encode,
+        train_pq_codebooks,
+    )
+
+    random.seed(7)
+    dim, m = 16, 4
+    base = [[random.uniform(-1, 1) for _ in range(dim)] for _ in range(60)]
+    # vec 50 := tiny perturbation of vec 0 -> its ADC distance to query 0
+    # must be the smallest
+    base[50] = [x + 1e-4 for x in base[0]]
+    emb = spark.createDataFrame(
+        list(enumerate(base)), "vec_id BIGINT, embedding ARRAY<DOUBLE>"
+    )
+    books = train_pq_codebooks(emb, m=m, n_centroids=8, iterations=2)
+    again = train_pq_codebooks(emb, m=m, n_centroids=8, iterations=2)
+    assert books == again  # deterministic recurrence
+
+    codes = {r["vec_id"]: r["code"] for r in pq_encode(emb, books).collect()}
+    assert all(len(c) == m for c in codes.values())
+    assert all(0 <= x < 8 for c in codes.values() for x in c)
+    assert codes[50] == codes[0]  # near-identical vectors share a code
+
+    out = ann_topk_pq(emb, query_ids=[0], books=books, k=5).collect()
+    top = [r["vec_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert top[0] == 50, top
