@@ -185,7 +185,15 @@ def main() -> None:
                 "pq_codebook_train_sec": pq_train_sec,
                 "loadavg_start": round(load_start, 2),
                 "loadavg_end": round(load_end, 2),
-                "load_flagged": bool(load_start > MAX_LOAD),
+                # flag on either endpoint. The end threshold is higher
+                # because the bench itself drives 1-min loadavg to ~5
+                # on an idle 32-core box (measured); ambient load that
+                # ARRIVES mid-run (seen: 3.7 -> 12 in one run) clears
+                # 2.5x and contaminates the tail queries just as surely
+                # as a loaded start.
+                "load_flagged": bool(
+                    load_start > MAX_LOAD or load_end > 2.5 * MAX_LOAD
+                ),
             }
         )
     )
