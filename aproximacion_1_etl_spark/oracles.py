@@ -1179,6 +1179,26 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS matching_bands
 FROM sig a JOIN sig b ON a.b = b.b AND a.s = b.s AND a.doc_id < b.doc_id
 GROUP BY 1, 2 HAVING count(*) >= 2
 """,
+    # batch mirror of queries.q_streaming_incremental_dedup: wave 2
+    # (odd ids) screened against wave 1's (even ids) signature store —
+    # the stream is deterministic (mtime-pinned wave order), so its
+    # result equals this one-shot join
+    "streaming_incremental_dedup": "WITH "
+    + _SHINGLES_SQL
+    + """,
+sig AS (
+  SELECT doc_id, b,
+         min(substr(md5(CAST(b // 4 AS VARCHAR) || ':' || shingle),
+                    1 + 8 * (b % 4), 8)) AS s
+  FROM shingles, (SELECT unnest(generate_series(0, 7)) AS b)
+  GROUP BY 1, 2)
+SELECT a.doc_id AS doc_new, b.doc_id AS doc_old,
+       CAST(count(*) AS BIGINT) AS matching_bands,
+       floor((count(*) / 8.0) * 10000.0 + 0.5) / 10000.0 AS est_jaccard
+FROM sig a JOIN sig b ON a.b = b.b AND a.s = b.s
+WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+GROUP BY 1, 2 HAVING count(*) >= 2
+""",
     # mirror of text/dedup.py::incremental_minhash_dedup over the
     # same split (new = doc_id%4=0 vs corpus = rest): identical band
     # hashing, est_jaccard = matching/8 (exact in binary, so the 4-dp

@@ -2242,6 +2242,77 @@ def q_streaming_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame
     return spark.table(table)
 
 
+def q_streaming_incremental_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """§2.9 + §2.10: incremental near-dup AS A STREAM — documents
+    arrive in two waves (maxFilesPerTrigger=1 makes each wave its own
+    micro-batch); foreachBatch screens the incoming batch against the
+    persisted minhash signature store, appends collisions to the
+    result table, then appends the batch's own signatures to the
+    store. Exactly the production topology: the store outlives the
+    stream, each batch pays only its own shingling. Deterministic
+    (wave membership by doc_id parity, mtime-ordered file pickup), so
+    the result is value-checked against a batch oracle: every
+    odd-doc x even-doc LSH collision — wave 1 (even ids) seeds the
+    store, wave 2 (odd ids) screens against it."""
+    import os
+    import time as _time
+
+    from aproximacion_1_etl_spark.text.dedup import (
+        incremental_minhash_dedup,
+        minhash_signatures,
+        word_shingles,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    base = tempfile.mkdtemp(prefix="graft_sid_")
+    src = os.path.join(base, "src")
+    store = os.path.join(base, "store")
+    result = os.path.join(base, "result")
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(
+        os.path.join(src, "w1")
+    )
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(
+        os.path.join(src, "w2")
+    )
+    # file source picks up oldest-mtime first: pin the wave order
+    now = _time.time()
+    for d, ts in (("w1", now - 120), ("w2", now - 60)):
+        p = os.path.join(src, d)
+        for f in os.listdir(p):
+            os.utime(os.path.join(p, f), (ts, ts))
+
+    def handle_batch(batch, batch_id: int) -> None:
+        if os.path.isdir(store):
+            sigs = batch.sparkSession.read.parquet(store)
+            hits = incremental_minhash_dedup(batch, sigs)
+            hits.write.mode("append").parquet(result)
+        minhash_signatures(
+            word_shingles(batch, distinct=False)
+        ).write.mode("append").parquet(store)
+
+    q = (
+        spark.readStream.schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src, "*"))
+        .writeStream.foreachBatch(handle_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_sid_"))
+        .start()
+    )
+    q.awaitTermination()
+    if not os.path.isdir(result):
+        return spark.createDataFrame(
+            [],
+            "doc_new BIGINT, doc_old BIGINT, matching_bands BIGINT, "
+            "est_jaccard DOUBLE",
+        )
+    return spark.read.parquet(result)
+
+
 def q_session_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Built-in gap-session windows (F.session_window, 2 h gap) — the
     declarative form of the lag/cumsum sessionize query: one aggregation,
@@ -4119,6 +4190,7 @@ ALL_QUERIES = {
     "deletion_vector_read": q_deletion_vector_read,
     "incremental_near_dup": q_incremental_near_dup,
     "ann_topk_pq": q_ann_topk_pq,
+    "streaming_incremental_dedup": q_streaming_incremental_dedup,
     "streaming_windowed_counts": q_streaming_windowed_counts,
     "q6_forecast_revenue": q_q6_forecast_revenue,
     "q7_nation_volume": q_q7_nation_volume,

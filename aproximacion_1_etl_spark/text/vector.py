@@ -730,7 +730,15 @@ def train_pq_codebooks(
     emb.cache()
     try:
         dim_rows = emb.limit(1).collect()
-        dim = len(dim_rows[0][1]) if dim_rows else 0
+        if not dim_rows:
+            raise ValueError("train_pq_codebooks: embeddings table is empty")
+        dim = len(dim_rows[0][1])
+        if dim % m != 0:
+            # silently truncating the tail dims would quantize a
+            # DIFFERENT vector than the caller handed in
+            raise ValueError(
+                f"train_pq_codebooks: dim {dim} not divisible by m={m}"
+            )
         d_sub = dim // m
         init = {
             int(r[0]): [float(x) for x in r[1]]
