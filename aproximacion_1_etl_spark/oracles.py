@@ -326,13 +326,18 @@ def _pq_cent_ctes(
     d_sub: int = 8,
     iterations: int = 3,
     n_centroids: int = 16,
+    include_e: bool = True,
 ) -> str:
     """Mirror of text/vector.py::train_pq_codebooks: the per-subspace
     k-means recurrence unrolled like _ivf_cent_ctes, once per
     subspace (same 9-dp rounded assignment, exact decimal means,
     coalesce for empty cells) — all m codebooks recomputed in-engine
     bit-for-bit."""
-    parts = ["e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"]
+    parts = (
+        ["e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"]
+        if include_e
+        else []
+    )
     for s in range(m):
         sl = f"list_slice(v, {s * d_sub + 1}, {s * d_sub + d_sub})"
         parts.append(f"sub{s} AS (SELECT vec_id, {sl} AS sv FROM e)")
@@ -417,6 +422,78 @@ r AS (SELECT *, row_number() OVER (PARTITION BY query_id
                                    ORDER BY ad ASC, vec_id ASC) AS rank
       FROM approx)
 SELECT CAST(query_id AS INT) AS query_id, vec_id,
+       floor(ad * 10000.0 + 0.5) / 10000.0 AS approx_dist,
+       CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= {k}
+"""
+
+
+def _ann_topk_ivfpq_sql(
+    m: int = 8,
+    d_sub: int = 8,
+    k: int = 10,
+    nprobe: int = 4,
+    query_ids: tuple = (0, 1, 2, 3, 4),
+) -> str:
+    """Mirror of text/vector.py::ann_topk_ivfpq: the IVF coarse chain
+    (_ivf_cent_ctes) supplies cell assignment + probes; the PQ chains
+    (_pq_cent_ctes) supply codes + distance tables; ADC runs only
+    inside probed cells."""
+    d6 = (
+        "floor((list_dot_product({q}, {q}) + list_dot_product(c.cv, c.cv)"
+        " - 2.0 * list_dot_product({q}, c.cv)) * 1000000.0 + 0.5)"
+        " / 1000000.0"
+    )
+    ids = ", ".join(str(i) for i in query_ids)
+    code_branches = " UNION ALL ".join(
+        f"""SELECT vec_id, {s} AS s, cell FROM (
+  SELECT t.vec_id, c.cid AS cell,
+         row_number() OVER (PARTITION BY t.vec_id ORDER BY
+           {d6.format(q='t.sv')} ASC, c.cid ASC) AS rn
+  FROM sub{s} t CROSS JOIN cent_s{s} c) WHERE rn = 1"""
+        for s in range(m)
+    )
+    qdt_branches = " UNION ALL ".join(
+        f"""SELECT {s} AS s, t.vec_id AS query_id, c.cid,
+       {d6.format(q='t.sv')} AS d
+FROM (SELECT vec_id, sv FROM sub{s} WHERE vec_id IN ({ids})) t
+CROSS JOIN cent_s{s} c"""
+        for s in range(m)
+    )
+    return f"""
+WITH {_ivf_cent_ctes()},
+{_pq_cent_ctes(m=m, d_sub=d_sub, include_e=False)},
+cd AS (SELECT e.vec_id, e.v, c.cid,
+             floor((list_dot_product(e.v, e.v) + c.cc
+                    - 2.0 * list_dot_product(e.v, c.cv)) * 1000000.0 + 0.5)
+               / 1000000.0 AS d6
+      FROM e CROSS JOIN cent c),
+assign AS (SELECT vec_id, cid AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY d6 ASC, cid ASC) AS rn FROM cd)
+  WHERE rn = 1),
+probes AS (SELECT vec_id AS query_id, cid AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY d6 ASC, cid ASC) AS rn
+    FROM cd WHERE vec_id IN ({ids}))
+  WHERE rn <= {nprobe}),
+codes AS ({code_branches}),
+qdt AS ({qdt_branches}),
+cand AS (SELECT DISTINCT p.query_id, a.vec_id
+         FROM assign a JOIN probes p
+           ON a.cell = p.cell AND a.vec_id != p.query_id),
+approx AS (
+  SELECT cand.query_id, cand.vec_id,
+         CAST(sum(CAST(qdt.d AS DECIMAL(38,18))) AS DOUBLE) AS ad
+  FROM cand
+  JOIN codes ON codes.vec_id = cand.vec_id
+  JOIN qdt ON qdt.s = codes.s AND qdt.cid = codes.cell
+          AND qdt.query_id = cand.query_id
+  GROUP BY 1, 2),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY ad ASC, vec_id ASC) AS rank
+      FROM approx)
+SELECT query_id, vec_id,
        floor(ad * 10000.0 + 0.5) / 10000.0 AS approx_dist,
        CAST(rank AS BIGINT) AS rank
 FROM r WHERE rank <= {k}
@@ -792,6 +869,8 @@ FROM orders WHERE o_orderdate >= '2001-06-01' GROUP BY 1
     # mirror of text/vector.py::ann_topk_pq (PQ/ADC over per-subspace
     # trained codebooks; see _pq_cent_ctes)
     "ann_topk_pq": _ann_topk_pq_sql(),
+    # mirror of text/vector.py::ann_topk_ivfpq (coarse probe + ADC)
+    "ann_topk_ivfpq": _ann_topk_ivfpq_sql(),
     "streaming_sliding_counts": """
 WITH b AS (SELECT min(ts) AS mn, max(ts) AS mx FROM events),
 wins AS (SELECT unnest(generate_series(date_trunc('day', mn) - INTERVAL 1 DAY,

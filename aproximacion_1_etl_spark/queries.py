@@ -4048,6 +4048,25 @@ def q_ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 ANN, IVF-PQ composition: trained coarse codebook restricts
+    each query to nprobe cells; probed candidates are scored through
+    their PQ codes only (ADC). One corpus projection computes cell +
+    code; both model artifacts are the memoized trained codebooks
+    (text/vector.py::ann_topk_ivfpq)."""
+    from aproximacion_1_etl_spark.text.vector import ann_topk_ivfpq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann_topk_ivfpq(
+        emb,
+        query_ids=[0, 1, 2, 3, 4],
+        coarse=_trained_codebook(spark, sf_dir),
+        books=_trained_pq_books(spark, sf_dir),
+        k=10,
+        nprobe=4,
+    )
+
+
 def q_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.10 incremental dedup: the daily-batch shape — only the NEW
     slice (doc_id % 4 = 0) is shingled/hashed, then banded-joined
@@ -4190,6 +4209,7 @@ ALL_QUERIES = {
     "deletion_vector_read": q_deletion_vector_read,
     "incremental_near_dup": q_incremental_near_dup,
     "ann_topk_pq": q_ann_topk_pq,
+    "ann_topk_ivfpq": q_ann_topk_ivfpq,
     "streaming_incremental_dedup": q_streaming_incremental_dedup,
     "streaming_windowed_counts": q_streaming_windowed_counts,
     "q6_forecast_revenue": q_q6_forecast_revenue,

@@ -904,6 +904,131 @@ def ann_topk_pq(
     )
 
 
+def ann_topk_ivfpq(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    coarse: dict[int, list[float]],
+    books: dict[int, dict[int, list[float]]],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ composition — the standard billion-scale ANN layout:
+    the coarse (IVF) codebook restricts each query to its ``nprobe``
+    nearest cells, and within probed cells candidates are scored
+    through their PQ codes only (same ADC tables as ann_topk_pq).
+
+    ONE corpus projection computes both the coarse cell and the PQ
+    code per row (map-side, both codebooks are plan literals); the
+    probe join is broadcast; ADC lookups index a 3-D literal
+    (query x subspace x centroid) via array_position on the query id.
+    Nothing corpus-sized shuffles before the top-k window. Fully
+    value-checked: the oracle recomputes both codebooks in-engine and
+    repeats the probe + ADC join."""
+    m = len(books)
+    d_sub = len(next(iter(books[0].values())))
+    emb = _as_double(embeddings, vec_col)
+    spread = emb.repartition(
+        emb.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+    )
+    with_vv = spread.withColumn("_vv", F.expr(_sql_dot(vec_col, vec_col)))
+    cdots_c = {cid: sum(x * x for x in v) for cid, v in coarse.items()}
+    coarse_structs = _dist_structs_sql(
+        coarse, cdots_c, vec_col, "_vv", 6
+    )
+    code_parts = []
+    for s in range(m):
+        sl = f"slice(`{vec_col}`, {s * d_sub + 1}, {d_sub})"
+        cd = {cid: sum(x * x for x in v) for cid, v in books[s].items()}
+        ds = _dist_structs_sql(books[s], cd, sl, _sql_dot(sl, sl), 6)
+        code_parts.append(f"array_min({ds}).cid")
+    assigned = with_vv.select(
+        id_col,
+        F.expr(f"array_min({coarse_structs}).cid").alias("cell"),
+        F.expr("array(" + ", ".join(code_parts) + ")").alias("code"),
+    )
+    probes = (
+        with_vv.filter(F.col(id_col).isin(query_ids))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.explode(
+                F.slice(
+                    F.array_sort(F.expr(coarse_structs)), 1, nprobe
+                )
+            ).alias("p"),
+        )
+        .select("query_id", F.col("p.cid").alias("cell"))
+    )
+    qrows = {
+        int(r[0]): [float(x) for x in r[1]]
+        for r in emb.filter(F.col(id_col).isin(query_ids))
+        .select(id_col, vec_col)
+        .collect()
+    }
+    import math
+
+    f6 = 10.0**6
+    sorted_qids = sorted(qrows)
+    dt3d_rows = []
+    for qid in sorted_qids:
+        qv = qrows[qid]
+        rows = []
+        for s in range(m):
+            qs = qv[s * d_sub : (s + 1) * d_sub]
+            qq = _py_dot(qs, qs)
+            row = []
+            for cid in sorted(books[s]):
+                cv = books[s][cid]
+                d = qq + _py_dot(cv, cv) - 2.0 * _py_dot(qs, cv)
+                row.append(math.floor(d * f6 + 0.5) / f6)
+            rows.append(row)
+        dt3d_rows.append(rows)
+    dt3d = "array(" + ",".join(
+        "array(" + ",".join(
+            "array(" + ",".join(_sql_double(x) for x in row) + ")"
+            for row in rows
+        ) + ")"
+        for rows in dt3d_rows
+    ) + ")"
+    qid_arr = "array(" + ",".join(
+        f"CAST({q} AS BIGINT)" for q in sorted_qids
+    ) + ")"
+    adc = (
+        f"CAST(aggregate(sequence(0, {m - 1}), "
+        f"CAST('0' AS DECIMAL(38,18)), (acc, s) -> CAST(acc + "
+        f"CAST(element_at(element_at(element_at({dt3d}, "
+        f"CAST(array_position({qid_arr}, query_id) AS INT)), s + 1), "
+        f"element_at(code, s + 1) + 1) AS DECIMAL(38,18)) "
+        f"AS DECIMAL(38,18))) AS DOUBLE)"
+    )
+    cand = assigned.join(
+        F.broadcast(probes),
+        on=[
+            assigned["cell"] == probes["cell"],
+            assigned[id_col] != probes["query_id"],
+        ],
+    ).select("query_id", id_col, "code").dropDuplicates(
+        ["query_id", id_col]
+    )
+    scored = cand.select(
+        "query_id", id_col, F.expr(adc).alias("ad")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("ad").asc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            id_col,
+            _fround(F.col("ad"), 4).alias("approx_dist"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
 def quantization_error(
     embeddings: DataFrame,
     centroids: dict[int, list[float]],

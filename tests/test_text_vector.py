@@ -534,3 +534,33 @@ def test_pq_adc_ranks_true_neighbor_first_and_is_deterministic(spark):
     out = ann_topk_pq(emb, query_ids=[0], books=books, k=5).collect()
     top = [r["vec_id"] for r in sorted(out, key=lambda r: r["rank"])]
     assert top[0] == 50, top
+
+
+def test_ivfpq_probes_cells_and_ranks_neighbor_first(spark):
+    """IVF-PQ: the probe stage restricts candidates to nprobe coarse
+    cells and ADC still ranks a near-identical vector first; results
+    are a subset of the probed cells' members by construction."""
+    import random
+
+    from aproximacion_1_etl_spark.text.vector import (
+        ann_topk_ivfpq,
+        train_ivf_centroids,
+        train_pq_codebooks,
+    )
+
+    random.seed(11)
+    dim, m = 16, 4
+    base = [[random.uniform(-1, 1) for _ in range(dim)] for _ in range(80)]
+    base[70] = [x + 1e-4 for x in base[0]]
+    emb = spark.createDataFrame(
+        list(enumerate(base)), "vec_id BIGINT, embedding ARRAY<DOUBLE>"
+    )
+    coarse = train_ivf_centroids(emb, n_centroids=8, iterations=2)
+    books = train_pq_codebooks(emb, m=m, n_centroids=8, iterations=2)
+    out = ann_topk_ivfpq(
+        emb, query_ids=[0], coarse=coarse, books=books, k=5, nprobe=3
+    ).collect()
+    assert out, "probe stage returned no candidates"
+    top = [r["vec_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert top[0] == 70, top
+    assert all(r["query_id"] == 0 and r["vec_id"] != 0 for r in out)
