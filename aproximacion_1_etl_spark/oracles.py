@@ -574,6 +574,188 @@ FROM r WHERE rank <= 10
 """
 
 
+def _ann_brute_sql(query_ids: str = "0, 1, 2, 3, 4", k: int = 10) -> str:
+    """Generated mirror of text/vector.py::ann_topk_bruteforce."""
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id IN ({query_ids})),
+s AS (SELECT qid AS query_id, e.vec_id,
+             floor((list_dot_product(qv, v) /
+                   (sqrt(list_dot_product(qv, qv)) *
+                    sqrt(list_dot_product(v, v)))) * 1000000000.0 + 0.5) / 1000000000.0 AS cos_sim
+      FROM e CROSS JOIN q WHERE e.vec_id != qid),
+r AS (SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS rank
+      FROM s)
+SELECT query_id, vec_id, floor((cos_sim) * 10000.0 + 0.5) / 10000.0 AS cos_sim, rank
+FROM r WHERE rank <= {k}
+"""
+
+
+def _rrf_sql(k: int = 10, depth: int = 20, rrf_k: int = 60) -> str:
+    """Generated mirror of q_hybrid_rrf_retrieval: the _bm25_sql and
+    _ann_brute_sql mirrors as nested CTEs, fused with the same
+    1/(rrf_k + rank) two-term double sum the Spark plan computes
+    (one division of exact integers per system + one IEEE addition,
+    bit-identical on both engines)."""
+    ids = ", ".join(str(q) for q in sorted(_BM25_QUERIES))
+    return f"""
+WITH lex AS ({_bm25_sql(_BM25_QUERIES, k=depth)}),
+sem AS ({_ann_brute_sql(ids, k=depth)}),
+f AS (
+  SELECT coalesce(l.query_id, s.query_id) AS query_id,
+         coalesce(l.doc_id, s.vec_id) AS doc_id,
+         l.rank AS lex_rank, s.rank AS sem_rank
+  FROM lex l FULL OUTER JOIN sem s
+    ON l.query_id = s.query_id AND l.doc_id = s.vec_id),
+sc AS (
+  SELECT query_id, doc_id,
+         coalesce(CAST(1.0 AS DOUBLE) / ({rrf_k} + lex_rank), CAST(0.0 AS DOUBLE))
+       + coalesce(CAST(1.0 AS DOUBLE) / ({rrf_k} + sem_rank), CAST(0.0 AS DOUBLE)) AS s,
+         lex_rank, sem_rank
+  FROM f),
+r AS (SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY s DESC, doc_id ASC) AS rank
+      FROM sc)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(doc_id AS BIGINT) AS doc_id,
+       floor(s * 1000000.0 + 0.5) / 1000000.0 AS rrf_score,
+       CAST(lex_rank AS BIGINT) AS lex_rank,
+       CAST(sem_rank AS BIGINT) AS sem_rank,
+       CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= {k}
+"""
+
+
+def _ann_recall_sql(k: int = 10) -> str:
+    """Generated mirror of text/vector.py::ann_recall_at_k: the exact
+    and LSH mirrors intersected per query."""
+    return f"""
+WITH exact AS ({_ann_brute_sql(k=k)}),
+approx AS ({_lsh_sql(k=k)}),
+hits AS (SELECT e.query_id, count(*) AS n_hit
+         FROM exact e JOIN approx a
+           ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+         GROUP BY 1),
+pq AS (SELECT query_id, count(*) AS n_exact FROM exact GROUP BY 1)
+SELECT pq.query_id,
+       CAST(n_exact AS BIGINT) AS n_exact,
+       CAST(coalesce(n_hit, 0) AS BIGINT) AS n_hit,
+       CAST(coalesce(n_hit, 0) AS DOUBLE) / {k} AS recall
+FROM pq LEFT JOIN hits ON pq.query_id = hits.query_id
+"""
+
+
+# MinHash-LSH candidate pairs closed under transitivity (shared by the
+# dup_clusters and cluster_safe_split oracles): recursive reachability
+# mirror of text/dedup.py::dedup_clusters' min-label propagation.
+_CLUSTER_CTES = """
+sig AS (
+  SELECT doc_id, b,
+         min(substr(md5(CAST(b // 4 AS VARCHAR) || ':' || shingle),
+                    1 + 8 * (b % 4), 8)) AS s
+  FROM shingles, (SELECT unnest(generate_series(0, 7)) AS b)
+  GROUP BY 1, 2),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sig a JOIN sig b ON a.b = b.b AND a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING count(*) >= 2),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM cand
+  UNION ALL
+  SELECT doc_b, doc_a FROM cand),
+reach(id, r) AS (
+  SELECT src, src FROM edges GROUP BY 1, 2
+  UNION
+  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.id)
+"""
+
+
+def _cluster_split_sql(fractions: dict[str, float]) -> str:
+    """Generated mirror of text/dedup.py::cluster_safe_split: the
+    dup_clusters reachability CTEs, then the same md5-prefix range
+    assignment functions/sampling.py::split_column bakes into the
+    Spark plan (thresholds derived from the SAME cumulative-fraction
+    arithmetic)."""
+    from aproximacion_1_etl_spark.functions.sampling import rate_threshold
+
+    key = "CAST(coalesce(cl.cluster_id, d.doc_id) AS VARCHAR)"
+    names = list(fractions)
+    cases, cum = [], 0.0
+    for name in names[:-1]:
+        cum += fractions[name]
+        cases.append(
+            f"WHEN substr(md5({key}), 1, 4) < '{rate_threshold(cum)}' "
+            f"THEN '{name}'"
+        )
+    case = "CASE " + " ".join(cases) + f" ELSE '{names[-1]}' END"
+    return (
+        "WITH RECURSIVE "
+        + _SHINGLES_SQL.strip()
+        + ","
+        + _CLUSTER_CTES
+        + f""",
+cl AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id)
+SELECT d.doc_id,
+       CAST(coalesce(cl.cluster_id, d.doc_id) AS BIGINT) AS group_key,
+       {case} AS split
+FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id
+"""
+    )
+
+
+def _bpe_train_sql(n_merges: int = 8) -> str:
+    """Generated mirror of text/analysis.py::bpe_train_merges: the
+    training loop unrolled into one CTE chain per round — pair counts
+    over the frequency-weighted distinct-word relation, deterministic
+    top-1, and the same greedy left-to-right merge fold (list_reduce
+    over singleton-wrapped symbols == F.aggregate from an empty
+    accumulator, verified element-for-element). Counts are exact
+    integer sums, so the whole training trajectory value-checks."""
+    parts = [
+        """
+WITH w0 AS (
+  SELECT list_transform(generate_series(1, len(word)),
+                        i -> substr(word, i, 1)) AS syms,
+         cnt
+  FROM (SELECT word, count(*) AS cnt
+        FROM (SELECT unnest(string_split(text, ' ')) AS word
+              FROM documents)
+        WHERE len(word) >= 2 GROUP BY 1))"""
+    ]
+    for i in range(1, n_merges + 1):
+        prev = f"w{i - 1}"
+        parts.append(f""",
+pc{i} AS (
+  SELECT syms[i] AS p1, syms[i+1] AS p2, sum(cnt) AS n
+  FROM (SELECT syms, cnt, unnest(generate_series(1, len(syms) - 1)) AS i
+        FROM {prev} WHERE len(syms) >= 2)
+  GROUP BY 1, 2),
+top{i} AS (
+  SELECT p1, p2, n FROM (
+    SELECT *, row_number() OVER (ORDER BY n DESC, p1 ASC, p2 ASC) AS rn
+    FROM pc{i}) WHERE rn = 1),
+w{i} AS (
+  SELECT list_reduce(list_transform(syms, s -> [s]),
+           (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = t.p1
+                                 AND x[1] = t.p2
+                            THEN list_append(
+                                   list_slice(acc, 1, len(acc) - 1),
+                                   t.p1 || t.p2)
+                            ELSE list_concat(acc, x) END) AS syms,
+         cnt
+  FROM {prev}, top{i} t WHERE len(syms) >= 2)""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT {i} AS step, p1, p2, n FROM top{i}"
+        for i in range(1, n_merges + 1)
+    )
+    parts.append(f"""
+SELECT CAST(step AS INT) AS step, p1, p2, CAST(n AS BIGINT) AS n
+FROM ({union})
+""")
+    return "".join(parts)
+
+
 ALL_ORACLES: dict[str, str] = {
     "pagerank_suppliers": _pagerank_sql(),
     "bm25_topk": _bm25_sql(_BM25_QUERIES),
@@ -1377,20 +1559,7 @@ FROM (
       AS en_h
   FROM documents)
 """,
-    "ann_cosine_topk": """
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id IN (0, 1, 2, 3, 4)),
-s AS (SELECT qid AS query_id, e.vec_id,
-             floor((list_dot_product(qv, v) /
-                   (sqrt(list_dot_product(qv, qv)) *
-                    sqrt(list_dot_product(v, v)))) * 1000000000.0 + 0.5) / 1000000000.0 AS cos_sim
-      FROM e CROSS JOIN q WHERE e.vec_id != qid),
-r AS (SELECT *, row_number() OVER (
-        PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS rank
-      FROM s)
-SELECT query_id, vec_id, floor((cos_sim) * 10000.0 + 0.5) / 10000.0 AS cos_sim, rank
-FROM r WHERE rank <= 10
-""",
+    "ann_cosine_topk": _ann_brute_sql(),
     "ann_topk_lsh": _lsh_sql(),
     "embedding_near_dup_lsh": _near_dup_lsh_sql(),
     # high-recall verified composition: same generated LSH mirror as
@@ -1940,25 +2109,9 @@ WHERE CAST(v AS DOUBLE) > t * 0.0001
 """,
     "dup_clusters": "WITH RECURSIVE "
     + _SHINGLES_SQL.strip()
-    + """,
-sig AS (
-  SELECT doc_id, b,
-         min(substr(md5(CAST(b // 4 AS VARCHAR) || ':' || shingle),
-                    1 + 8 * (b % 4), 8)) AS s
-  FROM shingles, (SELECT unnest(generate_series(0, 7)) AS b)
-  GROUP BY 1, 2),
-cand AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM sig a JOIN sig b ON a.b = b.b AND a.s = b.s AND a.doc_id < b.doc_id
-  GROUP BY 1, 2 HAVING count(*) >= 2),
-edges AS (
-  SELECT doc_a AS src, doc_b AS dst FROM cand
-  UNION ALL
-  SELECT doc_b, doc_a FROM cand),
-reach(id, r) AS (
-  SELECT src, src FROM edges GROUP BY 1, 2
-  UNION
-  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.id)
+    + ","
+    + _CLUSTER_CTES
+    + """
 SELECT id AS doc_id, min(r) AS cluster_id, (id = min(r)) AS keep
 FROM reach GROUP BY id
 """,
@@ -2481,4 +2634,10 @@ FROM documents d JOIN rr ON d.lang = rr.lang
 WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < rr.thr
 GROUP BY 1
 """,
+    "hybrid_rrf_retrieval": _rrf_sql(),
+    "cluster_safe_split": _cluster_split_sql(
+        {"train": 0.8, "val": 0.1, "test": 0.1}
+    ),
+    "ann_recall_at_k": _ann_recall_sql(),
+    "bpe_train_merges": _bpe_train_sql(8),
 }

@@ -4120,6 +4120,68 @@ def q_deletion_vector_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 hybrid retrieval: BM25 lexical top-20 and exact-cosine
+    semantic top-20 per query, fused by reciprocal-rank fusion
+    (text/analysis.py::rrf_fuse) into one top-10 — the standard RAG
+    corpus-construction retrieval stack. Query ids double as both the
+    BM25 term-set ids and the query vector ids (shared 0..n id space
+    of documents/embeddings)."""
+    from aproximacion_1_etl_spark.text.analysis import (
+        BM25_QUERIES,
+        bm25_topk,
+        rrf_fuse,
+    )
+    from aproximacion_1_etl_spark.text.vector import ann_topk_bruteforce
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    lex = bm25_topk(docs, BM25_QUERIES, k=20)
+    sem = ann_topk_bruteforce(
+        emb, query_ids=sorted(BM25_QUERIES), k=20, id_col="vec_id"
+    ).withColumnRenamed("vec_id", "doc_id")
+    return rrf_fuse(lex, sem, k=10, rrf_k=60)
+
+
+def q_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 leakage-safe split: near-dup clusters (MinHash-LSH
+    candidate pairs closed under transitivity) hash to ONE side of the
+    train/val/test split, so no near-copy of a training doc can leak
+    into eval (text/dedup.py::cluster_safe_split)."""
+    from aproximacion_1_etl_spark.text.dedup import cluster_safe_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(word_shingles(docs, distinct=False))
+    cands = minhash_candidate_pairs(sigs, min_matching_bands=2)
+    return cluster_safe_split(
+        docs, cands, {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+
+
+def q_ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 index-quality gate: per-query recall@10 of the LSH
+    approximate top-k vs the exact brute-force ground truth
+    (text/vector.py::ann_recall_at_k) — the continuous measurement
+    every approximate index needs."""
+    from aproximacion_1_etl_spark.text.vector import ann_recall_at_k
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann_recall_at_k(
+        emb, query_ids=[0, 1, 2, 3, 4], k=10, planes=4, tables=2, dim=64
+    )
+
+
+def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 tokenizer training: the full iterative BPE merge loop —
+    8 rounds of count-pairs / pick-top / greedy-merge over the
+    frequency-weighted distinct-word relation, returning the learned
+    merge table (text/analysis.py::bpe_train_merges)."""
+    from aproximacion_1_etl_spark.text.analysis import bpe_train_merges
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_train_merges(docs, n_merges=8)
+
+
 ALL_QUERIES = {
     "flagship_order_lifecycle": q_flagship_order_lifecycle,
     "bm25_topk": q_bm25_topk,
@@ -4287,4 +4349,8 @@ ALL_QUERIES = {
     "robust_stats": q_robust_stats,
     "pagerank_suppliers": q_pagerank_suppliers,
     "domain_mix_resample": q_domain_mix_resample,
+    "hybrid_rrf_retrieval": q_hybrid_rrf_retrieval,
+    "cluster_safe_split": q_cluster_safe_split,
+    "ann_recall_at_k": q_ann_recall_at_k,
+    "bpe_train_merges": q_bpe_train_merges,
 }

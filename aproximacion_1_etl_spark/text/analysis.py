@@ -270,6 +270,76 @@ def bm25_topk(
     )
 
 
+def rrf_fuse(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    k: int = 10,
+    rrf_k: int = 60,
+    id_col: str = "doc_id",
+    a_rank_name: str = "lex_rank",
+    b_rank_name: str = "sem_rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion of two ranked retrieval lists — the
+    standard hybrid-retrieval combiner (Cormack et al., SIGIR'09):
+    ``score(d) = sum over systems of 1 / (rrf_k + rank_system(d))``,
+    summed only over the systems that retrieved ``d``. Rank-based
+    fusion needs no score calibration between BM25 and cosine space,
+    which is why it is the default in RAG corpus construction.
+
+    Inputs are two DataFrames shaped (query_id, <id_col>, ..., rank) —
+    e.g. ``bm25_topk`` output and ``ann_topk_bruteforce`` output. Both
+    are top-``depth``-per-query relations: bounded by |queries| x depth
+    rows regardless of corpus size, so the fusion join, window, and
+    output never touch corpus-sized data — at 100 TB the expensive
+    work happened upstream in the retrievers; fusion is broadcast-scale
+    by construction.
+
+    Determinism: 1/(rrf_k + rank) is one double division of exact
+    integers, the two-term sum is a single IEEE addition — bit-identical
+    on any engine — and ties break on ascending id.
+    """
+    a = ranked_a.select(
+        F.col("query_id").cast("bigint").alias("query_id"),
+        F.col(id_col).cast("bigint").alias(id_col),
+        F.col("rank").cast("bigint").alias("rank_a"),
+    )
+    b = ranked_b.select(
+        F.col("query_id").cast("bigint").alias("query_id"),
+        F.col(id_col).cast("bigint").alias(id_col),
+        F.col("rank").cast("bigint").alias("rank_b"),
+    )
+    fused = a.join(b, ["query_id", id_col], "full_outer")
+    score = F.coalesce(
+        F.lit(1.0) / (F.lit(rrf_k) + F.col("rank_a")), F.lit(0.0)
+    ) + F.coalesce(F.lit(1.0) / (F.lit(rrf_k) + F.col("rank_b")), F.lit(0.0))
+    scored = fused.select(
+        "query_id",
+        id_col,
+        score.alias("s"),
+        F.col("rank_a").alias(a_rank_name),
+        F.col("rank_b").alias(b_rank_name),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("s").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            id_col,
+            (F.floor(F.col("s") * 1000000.0 + 0.5) / 1000000.0).alias(
+                "rrf_score"
+            ),
+            a_rank_name,
+            b_rank_name,
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
 def lm_trigram_score(
     docs: DataFrame,
     text_col: str = "text",
@@ -435,4 +505,101 @@ def document_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
         lang_id(t).alias("lang_pred"),
         quality_score(t).alias("quality"),
         fingerprint(t).alias("fingerprint"),
+    )
+
+
+def bpe_train_merges(
+    docs: DataFrame,
+    n_merges: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """Distributed BPE tokenizer TRAINING loop: ``n_merges`` rounds of
+    (count adjacent symbol pairs) -> (pick the most frequent pair) ->
+    (greedily merge it everywhere), returning the learned merge table —
+    the actual artifact a BPE tokenizer ships. ``bpe_merge_pairs`` is
+    one round of the statistic; this is the full trainer.
+
+    Scale shape (the SentencePiece/HF-trainer decomposition):
+    - Pair counts run over the DISTINCT-WORD relation weighted by word
+      frequency (Zipf: vocabulary-sized, not corpus-sized). The corpus
+      is tokenized ONCE; every training round after that touches only
+      the vocabulary.
+    - Each round is one vocabulary-sized shuffle (pair groupBy) plus a
+      top-1 TakeOrdered. The single collected row per round IS the
+      model (the merge rule) — driver-held merge tables are how every
+      production BPE trainer works; nothing corpus-sized ever collects.
+    - The merge applies as a greedy left-to-right fold
+      (``F.aggregate``) over each word's symbol array: narrow, no
+      shuffle. Words reduced to one symbol can never pair again and are
+      dropped from the working set, so the relation shrinks as training
+      proceeds.
+    - ``localCheckpoint`` truncates lineage each round — otherwise the
+      fold nests ``n_merges`` lambdas deep and Catalyst re-derives
+      every prior round per job (same rule as ``dedup_clusters``).
+
+    Determinism: counts are exact integer sums; rank ties break on
+    (count desc, p1 asc, p2 asc); the greedy fold is order-defined. The
+    DuckDB oracle unrolls the same rounds with ``list_reduce``, so the
+    whole training trajectory is value-checked.
+
+    Output: (step, p1, p2, n) — merge rule learned at each round.
+    """
+    spark = docs.sparkSession
+    spread = docs.repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    words = spread.select(
+        F.explode(F.split(F.col(text_col), " ")).alias("word")
+    ).filter(F.length("word") >= 2)
+    wc = words.groupBy("word").agg(F.count("*").alias("cnt"))
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("word")),
+        lambda i: F.col("word").substr(i, F.lit(1)),
+    )
+    cur = wc.select(chars.alias("syms"), "cnt").localCheckpoint()
+    merges: list[tuple[int, str, str, int]] = []
+    for step in range(1, n_merges + 1):
+        live = cur.filter(F.size("syms") >= 2)
+        prs = live.select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("syms") - 1),
+                    lambda i: F.struct(
+                        F.element_at(F.col("syms"), i).alias("p1"),
+                        F.element_at(F.col("syms"), i + 1).alias("p2"),
+                    ),
+                )
+            ).alias("pr"),
+            "cnt",
+        )
+        top = (
+            prs.groupBy("pr.p1", "pr.p2")
+            .agg(F.sum("cnt").alias("n"))
+            .orderBy(F.col("n").desc(), F.col("p1").asc(), F.col("p2").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        p1, p2, n = top[0]["p1"], top[0]["p2"], int(top[0]["n"])
+        merges.append((step, p1, p2, n))
+        fold = F.aggregate(
+            F.col("syms"),
+            F.array().cast("array<string>"),
+            lambda acc, s: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(p1))
+                & (s == F.lit(p2)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(p1 + p2))
+                ),
+            ).otherwise(F.concat(acc, F.array(s))),
+        )
+        cur = (
+            cur.filter(F.size("syms") >= 2)
+            .select(fold.alias("syms"), "cnt")
+            .localCheckpoint()
+        )
+    return spark.createDataFrame(
+        merges, "step INT, p1 STRING, p2 STRING, n BIGINT"
     )

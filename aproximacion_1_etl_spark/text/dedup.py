@@ -486,3 +486,45 @@ def dedup_clusters(
         F.col("label").alias("cluster_id"),
         (F.col("id") == F.col("label")).alias("keep"),
     )
+
+
+def cluster_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Leakage-safe train/validation split: assign every document a
+    split label such that NEAR-DUPLICATE documents always land on the
+    same side. A plain row-hash split leaks: a near-copy of a training
+    document in the held-out set inflates eval scores, which is exactly
+    the contamination the dedup pipeline exists to prevent. The fix is
+    to hash the duplicate-CLUSTER id, not the row id — every member of
+    a connected near-dup component shares one hash, hence one side.
+
+    ``pairs`` is any near-dup candidate-pair relation (e.g.
+    ``minhash_candidate_pairs`` output); components come from
+    ``dedup_clusters`` (iterative min-label propagation). Docs that
+    appear in no pair are their own singleton group (group key =
+    doc id). Split assignment is ``split_column``'s md5-prefix range
+    on the group key: pure per-row expression, no coordination, stable
+    across runs / engines / partitionings — at 100 TB the only
+    non-narrow steps are the component rounds themselves, and the
+    cluster relation (docs that HAVE a near-dup) is a small fraction
+    of the corpus, so the final left join broadcasts or AQE-sorts
+    cheaply.
+
+    Output: (doc_id, group_key, split).
+    """
+    from aproximacion_1_etl_spark.functions.sampling import split_column
+
+    clusters = dedup_clusters(pairs).select(
+        F.col("doc_id").alias(id_col), "cluster_id"
+    )
+    joined = docs.select(id_col).join(clusters, id_col, "left")
+    group_key = F.coalesce(F.col("cluster_id"), F.col(id_col))
+    return joined.select(
+        id_col,
+        group_key.cast("bigint").alias("group_key"),
+        split_column(group_key.cast("bigint"), fractions),
+    )

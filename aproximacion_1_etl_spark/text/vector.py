@@ -1047,3 +1047,66 @@ def quantization_error(
         .collect()[0]
     )
     return float(row["mse"])
+
+
+def ann_recall_at_k(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    planes: int = 4,
+    tables: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Retrieval-quality evaluation: per-query recall@k of the LSH
+    approximate top-k against the exact brute-force top-k ground truth
+    — "measure, don't guess" as an operator. Every approximate index
+    (LSH / IVF / PQ) trades recall for speed; a pipeline that deploys
+    one without continuously measuring that trade ships silent quality
+    regressions, so the evaluation join belongs in the engine next to
+    the indexes it audits.
+
+    recall@k(q) = |approx_topk(q) ∩ exact_topk(q)| / k. The exact side
+    is the expensive one (one corpus pass per query batch) — which is
+    fine, because this runs on a SAMPLE of queries as a quality gate,
+    not per lookup. Both sides are top-k-per-query relations, so the
+    intersection join and the per-query count are |queries| x k sized —
+    driver- and shuffle-trivial at any corpus size. The division is
+    exact (count <= k over a small integer), so the key value-checks.
+
+    Output: (query_id, n_exact, n_hit, recall).
+    """
+    exact = ann_topk_bruteforce(
+        embeddings, query_ids, k=k, id_col=id_col, vec_col=vec_col
+    )
+    approx = ann_topk_lsh(
+        embeddings,
+        query_ids,
+        k=k,
+        planes=planes,
+        tables=tables,
+        dim=dim,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    hits = exact.select("query_id", id_col).join(
+        approx.select("query_id", id_col), ["query_id", id_col], "left_semi"
+    )
+    per_q = (
+        exact.groupBy("query_id")
+        .agg(F.count("*").alias("n_exact"))
+        .join(
+            hits.groupBy("query_id").agg(F.count("*").alias("n_hit")),
+            "query_id",
+            "left",
+        )
+    )
+    return per_q.select(
+        "query_id",
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        F.coalesce(F.col("n_hit"), F.lit(0)).cast("bigint").alias("n_hit"),
+        (
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("double") / F.lit(k)
+        ).alias("recall"),
+    )

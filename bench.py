@@ -91,6 +91,13 @@ HEADLINE = [
     "bpe_merge_pairs",
     "embedding_quantize_int8",
     "incremental_near_dup",
+    # round-4 session-2: hybrid lexical+semantic retrieval (RRF), the
+    # iterative BPE trainer loop, leakage-safe cluster split
+    # (connected components + hash split), and the ANN recall gate
+    "hybrid_rrf_retrieval",
+    "bpe_train_merges",
+    "cluster_safe_split",
+    "ann_recall_at_k",
     # Python-worker queries LAST: applyInPandas spins up 32 Python
     # workers and leaves GC pressure that inflates the next JVM-only
     # query by ~3x (measured: dedup_minhash_lsh 6.96s after it vs 1.9s

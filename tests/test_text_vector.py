@@ -564,3 +564,90 @@ def test_ivfpq_probes_cells_and_ranks_neighbor_first(spark):
     top = [r["vec_id"] for r in sorted(out, key=lambda r: r["rank"])]
     assert top[0] == 70, top
     assert all(r["query_id"] == 0 and r["vec_id"] != 0 for r in out)
+
+
+def test_rrf_fuse_combines_both_systems_and_singletons(spark):
+    from aproximacion_1_etl_spark.text.analysis import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2)], "query_id INT, doc_id INT, rank INT"
+    )
+    sem = spark.createDataFrame(
+        [(1, 10, 1), (1, 12, 2)], "query_id INT, doc_id INT, rank INT"
+    )
+    out = {r["doc_id"]: r for r in rrf_fuse(lex, sem, k=10).collect()}
+    # doc 10 appears in both lists: two reciprocal contributions
+    both = 1.0 / 61 + 1.0 / 61
+    assert abs(out[10]["rrf_score"] - both) < 1e-6
+    assert out[10]["rank"] == 1 and out[10]["lex_rank"] == 1
+    assert out[10]["sem_rank"] == 1
+    # singletons carry one contribution and a NULL for the absent system
+    assert abs(out[11]["rrf_score"] - 1.0 / 62) < 1e-6
+    assert out[11]["sem_rank"] is None
+    assert out[12]["lex_rank"] is None
+    # deterministic tie-break between the two 1/62 singletons: lower id
+    assert out[11]["rank"] == 2 and out[12]["rank"] == 3
+
+
+def test_cluster_safe_split_keeps_near_dups_on_one_side(spark):
+    from aproximacion_1_etl_spark.text.dedup import cluster_safe_split
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(20)], "doc_id BIGINT"
+    )
+    # components {0,1,2} (chain: 0-1, 1-2) and {5,6}; rest singletons
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (5, 6)], "doc_a BIGINT, doc_b BIGINT"
+    )
+    out = cluster_safe_split(
+        docs, pairs, {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert len(by_id) == 20
+    # transitive closure: 0,1,2 share a group key and a side even
+    # though (0,2) was never a pair
+    assert {by_id[i]["group_key"] for i in (0, 1, 2)} == {0}
+    assert len({by_id[i]["split"] for i in (0, 1, 2)}) == 1
+    assert {by_id[i]["group_key"] for i in (5, 6)} == {5}
+    assert by_id[5]["split"] == by_id[6]["split"]
+    # singletons are their own group
+    assert by_id[9]["group_key"] == 9
+    assert set(r["split"] for r in out) <= {"train", "val", "test"}
+
+
+def test_ann_recall_perfect_when_lsh_probes_everything(spark, sf_dir):
+    from aproximacion_1_etl_spark.text.vector import ann_recall_at_k
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # planes=0 => every vector lands in bucket 0 of each table, so the
+    # LSH candidate set is the full corpus and recall must be exactly 1
+    out = ann_recall_at_k(
+        emb, query_ids=[0, 1, 2], k=5, planes=0, tables=1, dim=64
+    ).collect()
+    assert len(out) == 3
+    for r in out:
+        assert r["n_exact"] == 5 and r["n_hit"] == 5
+        assert r["recall"] == 1.0
+
+
+def test_bpe_train_merges_learns_greedy_merges(spark):
+    from aproximacion_1_etl_spark.text.analysis import bpe_train_merges
+
+    docs = spark.createDataFrame(
+        [(1, "abab abab cd"), (2, "abab cd cd"), (3, "aaaa")],
+        "doc_id BIGINT, text STRING",
+    )
+    out = bpe_train_merges(docs, n_merges=3).collect()
+    steps = {r["step"]: r for r in out}
+    # round 1 pair counts: ab:6? no — words: abab x3 (pairs ab,ba,ab),
+    # cd x3 (pair cd), aaaa x1 (aa,aa,aa)
+    # => (a,b): 6, (b,a): 3, (c,d): 3, (a,a): 3 -> top = (a,b)
+    assert (steps[1]["p1"], steps[1]["p2"], steps[1]["n"]) == ("a", "b", 6)
+    # after merging: abab -> [ab, ab], aaaa unchanged, cd -> [c, d]
+    # round 2: (ab,ab): 3, (c,d): 3, (a,a): 3 -> tie broken by p1 asc:
+    # (a,a) < (ab,ab) < (c,d)
+    assert (steps[2]["p1"], steps[2]["p2"], steps[2]["n"]) == ("a", "a", 3)
+    # greedy fold on aaaa: [aa, aa] (non-overlapping)
+    # round 3: (ab,ab): 3, (c,d): 3, (aa,aa): 1 -> (ab,ab) vs (c,d):
+    # p1 'ab' < 'c' so (ab,ab) wins
+    assert (steps[3]["p1"], steps[3]["p2"], steps[3]["n"]) == ("ab", "ab", 3)

@@ -34,6 +34,10 @@ SKIP = {
     "s4_metadata_sidecar",
     "s3_partitioned_pruned",
     "bucketed_join_rollup",
+    # driver-loop trainer: the returned DataFrame is the collected
+    # merge table (LocalTableScan) — the per-round pair-count plans are
+    # exercised/measured via tests and bench, not a single lazy plan
+    "bpe_train_merges",
 }
 
 
