@@ -139,3 +139,80 @@ def stratified_sample(
         )
         cond = branch if cond is None else cond | branch
     return df.filter(cond if cond is not None else F.lit(False))
+
+
+def deterministic_global_index(
+    df: DataFrame,
+    key_col: str,
+    bucket_chars: int = 2,
+    name: str = "global_idx",
+) -> DataFrame:
+    """Deterministic 0-based global row index in hash order — the
+    "shuffled corpus" every training run needs, WITHOUT the single-task
+    global window a naive ``row_number() OVER (ORDER BY ...)`` compiles
+    to. Two-phase distributed ranking:
+
+    1. bucket every row by an md5 prefix (16^``bucket_chars`` buckets)
+       and rank WITHIN each bucket — one shuffle, fully parallel;
+    2. compute per-bucket row counts (a bucket-count relation bounded
+       by the bucket space, e.g. 256 rows), turn them into cumulative
+       offsets with a window over that tiny relation, and broadcast
+       the offsets back.
+
+    global index = bucket offset + within-bucket rank − 1. Because the
+    bucket is a PREFIX of the full hash, (bucket, hash, key) ordering
+    equals (hash, key) ordering, so the result is identical to the
+    global sort — at any scale, with the global coordination confined
+    to a 256-row window. Deterministic: md5 of the key, ties broken by
+    key; stable across runs, engines, and partitionings.
+    """
+    from pyspark.sql import Window
+
+    h = F.md5(F.col(key_col).cast("string"))
+    tagged = df.withColumn("_h", h).withColumn(
+        "_bucket", F.substring(F.col("_h"), 1, bucket_chars)
+    )
+    counts = tagged.groupBy("_bucket").agg(F.count("*").alias("_n"))
+    wo = (
+        Window.orderBy("_bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "_bucket", F.coalesce(F.sum("_n").over(wo), F.lit(0)).alias("_off")
+    )
+    wb = Window.partitionBy("_bucket").orderBy(
+        F.col("_h").asc(), F.col(key_col).asc()
+    )
+    return (
+        tagged.join(F.broadcast(offsets), "_bucket")
+        .withColumn(
+            name,
+            (F.row_number().over(wb) - 1 + F.col("_off")).cast("bigint"),
+        )
+        .drop("_h", "_bucket", "_off")
+    )
+
+
+def pack_training_batches(
+    df: DataFrame,
+    key_col: str,
+    batch_size: int,
+    bucket_chars: int = 2,
+) -> DataFrame:
+    """Deterministic training-batch assignment: hash-shuffle the corpus
+    (``deterministic_global_index``) and cut it into fixed-size batches
+    — (batch_id, position) per row, every batch full except the last.
+    Reproducible data ordering is what makes training runs comparable;
+    doing it with a scalable global index instead of a driver-side
+    shuffle is what makes it work at corpus scale."""
+    idx = deterministic_global_index(
+        df, key_col, bucket_chars=bucket_chars
+    )
+    return idx.select(
+        *df.columns,
+        "global_idx",
+        F.expr(f"global_idx div {batch_size}")
+        .cast("bigint")
+        .alias("batch_id"),
+        (F.col("global_idx") % batch_size).cast("bigint").alias("position"),
+    )

@@ -756,6 +756,51 @@ FROM ({union})
     return "".join(parts)
 
 
+def _bpe_encode_sql(n_merges: int = 8) -> str:
+    """Generated mirror of text/analysis.py::bpe_encode composed with
+    its trainer: re-derives the same merge table (the training CTE
+    chain), then applies each rule to EVERY word of the corpus with the
+    same greedy fold, and rolls token budgets up per document. The
+    merge rules the Spark plan bakes in as literals are recomputed
+    in-engine here, so a drift anywhere in the train->apply pipeline
+    breaks value parity."""
+    train = _bpe_train_sql(n_merges)
+    ctes = train[: train.rindex("\nSELECT CAST(step AS INT)")]
+    parts = [
+        ctes,
+        """,
+e0 AS (
+  SELECT doc_id, len(word) AS wlen,
+         list_transform(generate_series(1, len(word)),
+                        i -> substr(word, i, 1)) AS syms
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        FROM documents)
+  WHERE len(word) >= 1)""",
+    ]
+    for i in range(1, n_merges + 1):
+        parts.append(f""",
+e{i} AS (
+  SELECT doc_id, wlen,
+         list_reduce(list_transform(syms, s -> [s]),
+           (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = t.p1
+                                 AND x[1] = t.p2
+                            THEN list_append(
+                                   list_slice(acc, 1, len(acc) - 1),
+                                   t.p1 || t.p2)
+                            ELSE list_concat(acc, x) END) AS syms
+  FROM e{i - 1}, top{i} t)""")
+    parts.append(f"""
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(wlen) AS BIGINT) AS n_chars,
+       CAST(sum(len(syms)) AS BIGINT) AS n_tokens,
+       floor(CAST(sum(wlen) AS DOUBLE) / sum(len(syms)) * 10000.0 + 0.5)
+         / 10000.0 AS compression
+FROM e{n_merges} GROUP BY 1
+""")
+    return "".join(parts)
+
+
 ALL_ORACLES: dict[str, str] = {
     "pagerank_suppliers": _pagerank_sql(),
     "bm25_topk": _bm25_sql(_BM25_QUERIES),
@@ -2640,4 +2685,21 @@ GROUP BY 1
     ),
     "ann_recall_at_k": _ann_recall_sql(),
     "bpe_train_merges": _bpe_train_sql(8),
+    "bpe_encode_corpus": _bpe_encode_sql(8),
+    # mirror of functions/sampling.py::pack_training_batches: a plain
+    # global sort window here — the Spark side's two-phase bucket
+    # ranking is provably identical because the bucket is a PREFIX of
+    # the ordering hash
+    "training_batch_pack": """
+WITH r AS (SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS h
+           FROM documents),
+i AS (SELECT doc_id, lang,
+             row_number() OVER (ORDER BY h ASC, doc_id ASC) - 1 AS gi
+      FROM r)
+SELECT doc_id, lang,
+       CAST(gi AS BIGINT) AS global_idx,
+       CAST(gi // 32 AS BIGINT) AS batch_id,
+       CAST(gi % 32 AS BIGINT) AS position
+FROM i
+""",
 }

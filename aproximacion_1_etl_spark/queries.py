@@ -4182,6 +4182,48 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train_merges(docs, n_merges=8)
 
 
+_BPE_MERGES_CACHE: dict[str, list[tuple[str, str]]] = {}
+
+
+def q_bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 tokenizer application: train the 8-rule BPE merge table
+    (memoized per corpus — the tokenizer is a model artifact trained
+    once and shipped to every consumer, same cost model as the IVF
+    codebook), bake it into the plan as literals, and tokenize the
+    corpus — per-doc token budgets for packing/context-length stages
+    (text/analysis.py::bpe_encode)."""
+    from aproximacion_1_etl_spark.text.analysis import (
+        bpe_encode,
+        bpe_train_merges,
+    )
+
+    merges = _BPE_MERGES_CACHE.get(sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    if merges is None:
+        merges = [
+            (r["p1"], r["p2"])
+            for r in bpe_train_merges(docs, n_merges=8).collect()
+        ]
+        _BPE_MERGES_CACHE[sf_dir] = merges
+    return bpe_encode(docs, merges)
+
+
+def q_training_batch_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 deterministic training-batch assignment: hash-order global
+    index via two-phase distributed ranking (within-bucket rank +
+    256-row offset window — NO single-task global sort window), cut
+    into fixed-size batches (functions/sampling.py::
+    pack_training_batches)."""
+    from aproximacion_1_etl_spark.functions.sampling import (
+        pack_training_batches,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_training_batches(
+        docs.select("doc_id", "lang"), "doc_id", batch_size=32
+    )
+
+
 ALL_QUERIES = {
     "flagship_order_lifecycle": q_flagship_order_lifecycle,
     "bm25_topk": q_bm25_topk,
@@ -4353,4 +4395,6 @@ ALL_QUERIES = {
     "cluster_safe_split": q_cluster_safe_split,
     "ann_recall_at_k": q_ann_recall_at_k,
     "bpe_train_merges": q_bpe_train_merges,
+    "bpe_encode_corpus": q_bpe_encode_corpus,
+    "training_batch_pack": q_training_batch_pack,
 }

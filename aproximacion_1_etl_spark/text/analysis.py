@@ -603,3 +603,79 @@ def bpe_train_merges(
     return spark.createDataFrame(
         merges, "step INT, p1 STRING, p2 STRING, n BIGINT"
     )
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a learned BPE merge table (``bpe_train_merges`` output) to
+    the corpus and report per-document token budgets — the consumer
+    side of tokenizer training, and the statistic every sequence-packing
+    / context-length-budgeting stage needs.
+
+    The merge rules are plan literals (the model rides the plan exactly
+    like the IVF codebook does), and application is the same greedy
+    left-to-right fold as training, chained once per rule — per-row
+    narrow expressions, embarrassingly parallel. The only shuffle is
+    the final per-doc rollup of the word explode; at 100 TB tokenizer
+    application adds ZERO exchanges beyond that one map-side-combined
+    groupBy.
+
+    Output: (doc_id, n_words, n_chars, n_tokens, compression) where
+    compression = chars per emitted token (floor-rounded to 4).
+    """
+    spread = docs.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, id_col
+    )
+    words = spread.select(
+        id_col, F.explode(F.split(F.col(text_col), " ")).alias("word")
+    ).filter(F.length("word") >= 1)
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("word")),
+        lambda i: F.col("word").substr(i, F.lit(1)),
+    )
+    def fold_rule(arr: Column, p1: str, p2: str) -> Column:
+        # built eagerly per rule (F.aggregate resolves the lambda at
+        # call time, so closing over the loop vars is safe)
+        return F.aggregate(
+            arr,
+            F.array().cast("array<string>"),
+            lambda acc, s: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(p1))
+                & (s == F.lit(p2)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(p1 + p2))
+                ),
+            ).otherwise(F.concat(acc, F.array(s))),
+        )
+
+    cur = chars
+    for p1, p2 in merges:
+        cur = fold_rule(cur, p1, p2)
+    enc = words.select(
+        id_col,
+        F.length("word").alias("wlen"),
+        F.size(cur).alias("n_syms"),
+    )
+    agg = enc.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_words"),
+        F.sum("wlen").cast("bigint").alias("n_chars"),
+        F.sum("n_syms").cast("bigint").alias("n_tokens"),
+    )
+    return agg.select(
+        id_col,
+        "n_words",
+        "n_chars",
+        "n_tokens",
+        (
+            F.floor(
+                F.col("n_chars").cast("double") / F.col("n_tokens") * 10000.0
+                + 0.5
+            )
+            / 10000.0
+        ).alias("compression"),
+    )

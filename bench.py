@@ -98,6 +98,11 @@ HEADLINE = [
     "bpe_train_merges",
     "cluster_safe_split",
     "ann_recall_at_k",
+    # tokenizer application (merge table memoized after the first run,
+    # so min-of-3 reports the encode pass, not re-training) and the
+    # two-phase global-index batch packer
+    "bpe_encode_corpus",
+    "training_batch_pack",
     # Python-worker queries LAST: applyInPandas spins up 32 Python
     # workers and leaves GC pressure that inflates the next JVM-only
     # query by ~3x (measured: dedup_minhash_lsh 6.96s after it vs 1.9s

@@ -94,3 +94,29 @@ def test_weighted_sample_biases_toward_heavy_rows(spark):
     assert heavy >= 45  # 1000x weight dominates the draw
     again = {r.k for r in weighted_sample_topk(df, "k", "w", k=50).collect()}
     assert again == {r.k for r in rows}
+
+
+def test_global_index_matches_global_sort_and_packs_batches(spark):
+    from aproximacion_1_etl_spark.functions.sampling import (
+        deterministic_global_index,
+        pack_training_batches,
+    )
+    import hashlib
+
+    n = 100
+    df = spark.createDataFrame([(i,) for i in range(n)], "k BIGINT")
+    rows = deterministic_global_index(df, "k").collect()
+    got = {r["k"]: r["global_idx"] for r in rows}
+    # reference: single global sort by (md5(k), k)
+    order = sorted(range(n), key=lambda k: (hashlib.md5(str(k).encode()).hexdigest(), k))
+    want = {k: i for i, k in enumerate(order)}
+    assert got == want
+    packed = pack_training_batches(df, "k", batch_size=8).collect()
+    sizes: dict[int, int] = {}
+    for r in packed:
+        sizes[r["batch_id"]] = sizes.get(r["batch_id"], 0) + 1
+        assert r["position"] == r["global_idx"] % 8
+        assert r["batch_id"] == r["global_idx"] // 8
+    # every batch full except the last (100 = 12*8 + 4)
+    assert sorted(sizes) == list(range(13))
+    assert all(sizes[b] == 8 for b in range(12)) and sizes[12] == 4

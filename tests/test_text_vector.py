@@ -651,3 +651,20 @@ def test_bpe_train_merges_learns_greedy_merges(spark):
     # round 3: (ab,ab): 3, (c,d): 3, (aa,aa): 1 -> (ab,ab) vs (c,d):
     # p1 'ab' < 'c' so (ab,ab) wins
     assert (steps[3]["p1"], steps[3]["p2"], steps[3]["n"]) == ("ab", "ab", 3)
+
+
+def test_bpe_encode_applies_merge_table(spark):
+    from aproximacion_1_etl_spark.text.analysis import bpe_encode
+
+    docs = spark.createDataFrame(
+        [(1, "abab cd x")], "doc_id BIGINT, text STRING"
+    )
+    # rule 1 merges chars a+b; rule 2 merges the resulting ab+ab
+    out = bpe_encode(docs, [("a", "b"), ("ab", "ab")]).collect()
+    assert len(out) == 1
+    r = out[0]
+    # abab -> [ab, ab] -> [abab] (1 token); cd -> [c, d]; x -> [x]
+    assert r["n_words"] == 3
+    assert r["n_chars"] == 7
+    assert r["n_tokens"] == 4
+    assert abs(r["compression"] - 1.75) < 1e-9
