@@ -199,3 +199,42 @@ def test_cluster_conf_sizing_math():
     # growing the cluster alone must not shrink per-partition size
     wider = cluster_conf(total_cores=16000, input_tb=100.0)
     assert int(wider["spark.sql.shuffle.partitions"]) >= parts
+
+
+def test_bpe_encode_single_exchange_and_batch_pack_broadcast(spark, sf_dir):
+    """Pin the new ops' scale shapes: tokenizer application must stay
+    one exchange (the per-doc rollup) no matter how many merge rules
+    ride the plan, and the batch packer's offset join must stay a
+    broadcast (a sort-merge join there would shuffle the corpus on a
+    256-row relation's key)."""
+    from aproximacion_1_etl_spark.functions.sampling import (
+        pack_training_batches,
+    )
+    from aproximacion_1_etl_spark.text.analysis import bpe_encode
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    enc = bpe_encode(docs, [("a", "b"), ("ab", "c"), ("t", "h")])
+    plan = _plan_of(enc)
+    # repartition + rollup: the merge folds themselves add no exchange
+    assert plan.count("Exchange") <= 2
+    packed = pack_training_batches(docs.select("doc_id"), "doc_id", 32)
+    plan = _plan_of(packed)
+    assert "BroadcastExchange" in plan
+
+
+def test_dedup_clusters_loop_partitions_track_graph_size(spark):
+    """The CC loop must size its relations to the materialized graph,
+    not defaultParallelism — a handful of edges may not fan out over
+    the whole cluster (task overhead dominated the loop before this)."""
+    from aproximacion_1_etl_spark.text.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a BIGINT, doc_b BIGINT"
+    )
+    out = dedup_clusters(pairs)
+    assert out.rdd.getNumPartitions() <= 4
+    got = {(r["doc_id"], r["cluster_id"], r["keep"]) for r in out.collect()}
+    assert got == {
+        (1, 1, True), (2, 1, False), (3, 1, False),
+        (10, 10, True), (11, 10, False),
+    }
