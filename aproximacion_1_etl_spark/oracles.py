@@ -788,7 +788,7 @@ e{i} AS (
                                    list_slice(acc, 1, len(acc) - 1),
                                    t.p1 || t.p2)
                             ELSE list_concat(acc, x) END) AS syms
-  FROM e{i - 1}, top{i} t)""")
+  FROM e{i - 1} LEFT JOIN top{i} t ON TRUE)""")
     parts.append(f"""
 SELECT doc_id,
        CAST(count(*) AS BIGINT) AS n_words,
