@@ -45,3 +45,61 @@ def column_profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
         (F.col("n_rows") - F.col("_nn")).cast("bigint").alias("n_nulls"),
         F.col("_nd").cast("bigint").alias("n_distinct"),
     )
+
+
+def corpus_fingerprint(
+    df: DataFrame,
+    key_col: str,
+    content_cols: list[str],
+    levels: tuple[int, ...] = (6, 3),
+) -> DataFrame:
+    """Order-insensitive Merkle-style corpus digest: one row
+    (n_rows, fingerprint) that changes iff any keyed row's content
+    changes. This is the reproducibility primitive of a training-data
+    platform — "is the corpus byte-identical to the one that trained
+    run X" answered without shipping the corpus.
+
+    Tree construction instead of one global sort: row hashes (sha256
+    over key + fields, \\x01-joined) roll up through hex-prefix levels
+    — group by the first ``levels[0]`` hex chars and digest each
+    bucket's SORTED hashes, then regroup those digests by the next
+    shorter prefix, and finally digest the root level. Every
+    ``collect_list`` is bounded: the leaf group is |corpus| / 16^l0
+    rows and inner groups hold at most 16^(l_i - l_{i+1}) child
+    digests, so no stage ever materializes more than a few thousand
+    64-char strings regardless of corpus size (the single-groupBy
+    alternative collects the entire corpus's hashes into one task).
+    Deterministic across engines/partitionings: hex sort order +
+    sha256 are engine-portable, and sorting INSIDE each digest makes
+    the result independent of arrival order.
+    """
+    h = F.sha2(
+        F.concat_ws(
+            "\x01",
+            F.col(key_col).cast("string"),
+            *[F.col(c).cast("string") for c in content_cols],
+        ),
+        256,
+    )
+    rows = df.select(h.alias("h"))
+    cur = rows.select(
+        F.substring("h", 1, levels[0]).alias("p"),
+        F.col("h").alias("d"),
+        F.lit(1).alias("n"),
+    )
+    for nxt in (*levels[1:], 0):
+        agg = cur.groupBy("p").agg(
+            F.sha2(
+                F.concat_ws("", F.array_sort(F.collect_list("d"))), 256
+            ).alias("d"),
+            F.sum("n").alias("n"),
+        )
+        cur = agg.select(
+            F.substring("p", 1, nxt).alias("p"), "d", "n"
+        )
+    return cur.groupBy("p").agg(
+        F.sum("n").cast("bigint").alias("n_rows"),
+        F.sha2(
+            F.concat_ws("", F.array_sort(F.collect_list("d"))), 256
+        ).alias("fingerprint"),
+    ).drop("p")

@@ -2702,4 +2702,24 @@ SELECT doc_id, lang,
        CAST(gi % 32 AS BIGINT) AS position
 FROM i
 """,
+    # mirror of functions/profile.py::corpus_fingerprint: same row
+    # hash (concat_ws skips NULLs in both engines), same hex-prefix
+    # tree (6 -> 3 -> root), digests sorted by VALUE inside each node
+    "corpus_fingerprint": """
+WITH r AS (
+  SELECT sha256(concat_ws(chr(1), CAST(doc_id AS VARCHAR), text, lang,
+                          source, CAST(n_chars AS VARCHAR))) AS h
+  FROM documents),
+a6 AS (SELECT substr(h, 1, 6) AS p,
+       sha256(string_agg(h, '' ORDER BY h)) AS d,
+       count(*) AS n
+       FROM r GROUP BY 1),
+a3 AS (SELECT substr(p, 1, 3) AS p,
+       sha256(string_agg(d, '' ORDER BY d)) AS d,
+       sum(n) AS n
+       FROM a6 GROUP BY 1)
+SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+       sha256(string_agg(d, '' ORDER BY d)) AS fingerprint
+FROM a3
+""",
 }

@@ -4224,6 +4224,21 @@ def q_training_batch_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 reproducibility primitive: order-insensitive Merkle-style
+    corpus digest — (n_rows, fingerprint) changes iff any keyed row
+    changes, built as bounded hex-prefix tree rollups (never one global
+    collect; functions/profile.py::corpus_fingerprint)."""
+    from aproximacion_1_etl_spark.functions.profile import (
+        corpus_fingerprint,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus_fingerprint(
+        docs, "doc_id", ["text", "lang", "source", "n_chars"]
+    )
+
+
 ALL_QUERIES = {
     "flagship_order_lifecycle": q_flagship_order_lifecycle,
     "bm25_topk": q_bm25_topk,
@@ -4397,4 +4412,5 @@ ALL_QUERIES = {
     "bpe_train_merges": q_bpe_train_merges,
     "bpe_encode_corpus": q_bpe_encode_corpus,
     "training_batch_pack": q_training_batch_pack,
+    "corpus_fingerprint": q_corpus_fingerprint,
 }

@@ -103,6 +103,7 @@ HEADLINE = [
     # two-phase global-index batch packer
     "bpe_encode_corpus",
     "training_batch_pack",
+    "corpus_fingerprint",
     # Python-worker queries LAST: applyInPandas spins up 32 Python
     # workers and leaves GC pressure that inflates the next JVM-only
     # query by ~3x (measured: dedup_minhash_lsh 6.96s after it vs 1.9s

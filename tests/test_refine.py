@@ -146,3 +146,26 @@ def test_merge_upsert_delete_semantics(spark):
     got = {r["k"]: r["s"] for r in
            merge_upsert_delete(master, changes, ["k"]).collect()}
     assert got == {1: "a", 2: "B", 4: "d"}  # 3 deleted
+
+
+def test_corpus_fingerprint_partition_invariant_and_sensitive(spark):
+    from aproximacion_1_etl_spark.functions.profile import (
+        corpus_fingerprint,
+    )
+
+    rows = [(i, f"text-{i}", "en") for i in range(200)]
+    df = spark.createDataFrame(rows, "id BIGINT, text STRING, lang STRING")
+    base = corpus_fingerprint(df, "id", ["text", "lang"]).collect()[0]
+    assert base["n_rows"] == 200
+    # invariant under partitioning / arrival order
+    shuffled = df.repartition(7, "text").sortWithinPartitions("lang")
+    again = corpus_fingerprint(shuffled, "id", ["text", "lang"]).collect()[0]
+    assert again["fingerprint"] == base["fingerprint"]
+    # one changed row flips the digest
+    mutated = spark.createDataFrame(
+        [(i, f"text-{i}" if i != 117 else "tampered", "en") for i in range(200)],
+        "id BIGINT, text STRING, lang STRING",
+    )
+    other = corpus_fingerprint(mutated, "id", ["text", "lang"]).collect()[0]
+    assert other["fingerprint"] != base["fingerprint"]
+    assert other["n_rows"] == 200
