@@ -223,3 +223,62 @@ def test_zvalue_matches_bit_interleave_reference(spark, pts, bits):
     expect = [ref_z(x, y) for x, y in pts]
     assert got == expect
     assert all(0 <= g < (1 << (2 * bits)) for g in got)
+
+
+@given(
+    lex=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 30)),
+        max_size=25, unique=True,
+    ),
+    sem=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 30)),
+        max_size=25, unique=True,
+    ),
+)
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_rrf_fuse_matches_naive(spark, lex, sem):
+    """rrf_fuse == the textbook reciprocal-rank-fusion computed in
+    plain Python: per (query, doc), sum 1/(60+rank) over the systems
+    that retrieved it, rank by (score desc, doc asc)."""
+    from aproximacion_1_etl_spark.text.analysis import rrf_fuse
+
+    def ranked(pairs):
+        # (query, doc) -> per-query rank in doc-id order (stand-in for
+        # any upstream scorer; only the rank values matter to fusion)
+        out = []
+        byq: dict[int, list[int]] = {}
+        for q, d in sorted(set(pairs)):
+            byq.setdefault(q, []).append(d)
+        for q, ds in byq.items():
+            out += [(q, d, i + 1) for i, d in enumerate(ds)]
+        return out
+
+    la, sb = ranked(lex), ranked(sem)
+    schema = "query_id INT, doc_id INT, rank INT"
+    if not la and not sb:
+        return
+    dfa = spark.createDataFrame(la or [(99, 99, 1)], schema)
+    dfb = spark.createDataFrame(sb or [(99, 99, 1)], schema)
+    got = {
+        (r["query_id"], r["doc_id"]): (r["rrf_score"], r["rank"])
+        for r in rrf_fuse(dfa, dfb, k=1000).collect()
+    }
+    scores: dict[tuple[int, int], float] = {}
+    for q, d, r in (la or [(99, 99, 1)]):
+        scores[(q, d)] = scores.get((q, d), 0.0) + 1.0 / (60 + r)
+    for q, d, r in (sb or [(99, 99, 1)]):
+        scores[(q, d)] = scores.get((q, d), 0.0) + 1.0 / (60 + r)
+    byq: dict[int, list] = {}
+    for (q, d), s in scores.items():
+        byq.setdefault(q, []).append((d, s))
+    want = {}
+    for q, ds in byq.items():
+        for i, (d, s) in enumerate(
+            sorted(ds, key=lambda t: (-t[1], t[0]))
+        ):
+            want[(q, d)] = (int(s * 1000000.0 + 0.5) / 1000000.0, i + 1)
+    assert set(got) == set(want)
+    for k in got:
+        assert got[k][1] == want[k][1], (k, got[k], want[k])
+        assert abs(got[k][0] - want[k][0]) < 1e-9
