@@ -103,3 +103,88 @@ def corpus_fingerprint(
             F.concat_ws("", F.array_sort(F.collect_list("d"))), 256
         ).alias("fingerprint"),
     ).drop("p")
+
+
+def fingerprint_level(
+    df: DataFrame,
+    key_col: str,
+    content_cols: list[str],
+    prefix_len: int = 6,
+) -> DataFrame:
+    """One level of the Merkle tree ``corpus_fingerprint`` builds:
+    (prefix, digest, n_rows) per hex-prefix bucket. Exposed separately
+    because bucket digests LOCALIZE change: comparing two corpora's
+    level relations pinpoints which 1/16^len slice of the key space
+    differs without touching matching buckets — the incremental
+    integrity check (sync only changed buckets) at any corpus size.
+
+    The bucket comes from the KEY hash (md5), not the content hash: an
+    edited row must stay in its bucket so the diff reads 'changed'
+    there, rather than relocating and producing an only_left/only_right
+    pair in two unrelated buckets."""
+    h = F.sha2(
+        F.concat_ws(
+            "\x01",
+            F.col(key_col).cast("string"),
+            *[F.col(c).cast("string") for c in content_cols],
+        ),
+        256,
+    )
+    kp = F.substring(F.md5(F.col(key_col).cast("string")), 1, prefix_len)
+    return (
+        df.select(kp.alias("prefix"), h.alias("h"))
+        .groupBy("prefix")
+        .agg(
+            F.sha2(
+                F.concat_ws("", F.array_sort(F.collect_list("h"))), 256
+            ).alias("digest"),
+            F.count("*").cast("bigint").alias("n_rows"),
+        )
+    )
+
+
+def fingerprint_diff(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    content_cols: list[str],
+    prefix_len: int = 6,
+) -> DataFrame:
+    """Which buckets differ between two corpus snapshots: full-outer
+    join of the two level relations on the hash prefix, keeping only
+    prefixes whose digests disagree (changed / only_left / only_right).
+    Matching buckets — the overwhelming majority between adjacent
+    snapshots — compare by ONE 64-char digest each, so the diff cost
+    is the two level builds plus a bucket-count-sized join, never a
+    row-by-row corpus comparison."""
+    la = fingerprint_level(left, key_col, content_cols, prefix_len)
+    rb = fingerprint_level(right, key_col, content_cols, prefix_len)
+    j = la.select(
+        "prefix",
+        F.col("digest").alias("d_l"),
+        F.col("n_rows").alias("n_left"),
+    ).join(
+        rb.select(
+            "prefix",
+            F.col("digest").alias("d_r"),
+            F.col("n_rows").alias("n_right"),
+        ),
+        "prefix",
+        "full_outer",
+    )
+    return (
+        j.filter(
+            F.col("d_l").isNull()
+            | F.col("d_r").isNull()
+            | (F.col("d_l") != F.col("d_r"))
+        )
+        .select(
+            "prefix",
+            F.when(F.col("d_l").isNull(), F.lit("only_right"))
+            .when(F.col("d_r").isNull(), F.lit("only_left"))
+            .otherwise(F.lit("changed"))
+            .alias("status"),
+            F.coalesce("n_left", F.lit(0)).cast("bigint").alias("n_left"),
+            F.coalesce("n_right", F.lit(0)).cast("bigint").alias("n_right"),
+        )
+    )

@@ -2722,4 +2722,35 @@ SELECT CAST(sum(n) AS BIGINT) AS n_rows,
        sha256(string_agg(d, '' ORDER BY d)) AS fingerprint
 FROM a3
 """,
+    # mirror of functions/profile.py::fingerprint_diff over the same
+    # deterministic mutation the Spark key applies
+    "fingerprint_diff": """
+WITH lt AS (SELECT doc_id, text, lang, source, n_chars FROM documents),
+rt AS (SELECT doc_id,
+              CASE WHEN doc_id = 117 THEN 'tampered' ELSE text END AS text,
+              lang, source, n_chars
+       FROM documents WHERE doc_id != 3),
+lh AS (SELECT substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS prefix,
+              sha256(concat_ws(chr(1), CAST(doc_id AS VARCHAR), text, lang,
+                               source, CAST(n_chars AS VARCHAR))) AS h
+       FROM lt),
+rh AS (SELECT substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS prefix,
+              sha256(concat_ws(chr(1), CAST(doc_id AS VARCHAR), text, lang,
+                               source, CAST(n_chars AS VARCHAR))) AS h
+       FROM rt),
+ll AS (SELECT prefix, sha256(string_agg(h, '' ORDER BY h)) AS d,
+              count(*) AS n
+       FROM lh GROUP BY 1),
+rl AS (SELECT prefix, sha256(string_agg(h, '' ORDER BY h)) AS d,
+              count(*) AS n
+       FROM rh GROUP BY 1)
+SELECT coalesce(ll.prefix, rl.prefix) AS prefix,
+       CASE WHEN ll.d IS NULL THEN 'only_right'
+            WHEN rl.d IS NULL THEN 'only_left'
+            ELSE 'changed' END AS status,
+       CAST(coalesce(ll.n, 0) AS BIGINT) AS n_left,
+       CAST(coalesce(rl.n, 0) AS BIGINT) AS n_right
+FROM ll FULL OUTER JOIN rl ON ll.prefix = rl.prefix
+WHERE ll.d IS NULL OR rl.d IS NULL OR ll.d != rl.d
+""",
 }

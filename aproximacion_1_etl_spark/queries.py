@@ -4239,6 +4239,32 @@ def q_corpus_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fingerprint_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 Merkle diff localization: compare the corpus against a
+    deterministically mutated snapshot (doc 117 edited, doc 3 dropped)
+    at the hex-prefix level — only disagreeing buckets surface, so two
+    adjacent 100 TB snapshots compare by bucket digests, never row by
+    row (functions/profile.py::fingerprint_diff)."""
+    from aproximacion_1_etl_spark.functions.profile import (
+        fingerprint_diff,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    mutated = docs.filter(F.col("doc_id") != 3).withColumn(
+        "text",
+        F.when(F.col("doc_id") == 117, F.lit("tampered")).otherwise(
+            F.col("text")
+        ),
+    )
+    return fingerprint_diff(
+        docs,
+        mutated,
+        "doc_id",
+        ["text", "lang", "source", "n_chars"],
+        prefix_len=2,
+    )
+
+
 ALL_QUERIES = {
     "flagship_order_lifecycle": q_flagship_order_lifecycle,
     "bm25_topk": q_bm25_topk,
@@ -4413,4 +4439,5 @@ ALL_QUERIES = {
     "bpe_encode_corpus": q_bpe_encode_corpus,
     "training_batch_pack": q_training_batch_pack,
     "corpus_fingerprint": q_corpus_fingerprint,
+    "fingerprint_diff": q_fingerprint_diff,
 }

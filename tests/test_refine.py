@@ -169,3 +169,29 @@ def test_corpus_fingerprint_partition_invariant_and_sensitive(spark):
     other = corpus_fingerprint(mutated, "id", ["text", "lang"]).collect()[0]
     assert other["fingerprint"] != base["fingerprint"]
     assert other["n_rows"] == 200
+
+
+def test_fingerprint_diff_localizes_changes(spark):
+    from aproximacion_1_etl_spark.functions.profile import (
+        fingerprint_diff,
+    )
+    import pyspark.sql.functions as F
+
+    left = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(50)], "id BIGINT, text STRING"
+    )
+    right = left.filter(F.col("id") != 7).withColumn(
+        "text",
+        F.when(F.col("id") == 11, F.lit("edited")).otherwise(F.col("text")),
+    )
+    out = fingerprint_diff(left, right, "id", ["text"], prefix_len=6)
+    rows = out.collect()
+    # key-prefix bucketing: the edited row STAYS in its bucket
+    # ('changed'), the dropped row's bucket reads only_left/changed —
+    # exactly two buckets surface, 48 rows never compared
+    assert len(rows) == 2
+    assert sum(r["n_left"] for r in rows) - sum(r["n_right"] for r in rows) == 1
+    statuses = {r["status"] for r in rows}
+    assert "changed" in statuses and statuses <= {"changed", "only_left"}
+    # identical corpora diff to zero rows
+    assert fingerprint_diff(left, left, "id", ["text"]).count() == 0
