@@ -146,6 +146,7 @@ def deterministic_global_index(
     key_col: str,
     bucket_chars: int = 2,
     name: str = "global_idx",
+    partition_cols: list[str] | None = None,
 ) -> DataFrame:
     """Deterministic 0-based global row index in hash order — the
     "shuffled corpus" every training run needs, WITHOUT the single-task
@@ -165,26 +166,37 @@ def deterministic_global_index(
     global sort — at any scale, with the global coordination confined
     to a 256-row window. Deterministic: md5 of the key, ties broken by
     key; stable across runs, engines, and partitionings.
+
+    With ``partition_cols`` the index restarts at 0 WITHIN each
+    partition-column group (e.g. one independent shuffled order per
+    length bucket): ranking windows and offsets are keyed by
+    (group, hash-bucket), so the offsets relation stays
+    |groups| x 16^bucket_chars rows — still broadcast-scale — and no
+    group ever ranks in a single task.
     """
     from pyspark.sql import Window
 
+    pcols = list(partition_cols or [])
     h = F.md5(F.col(key_col).cast("string"))
     tagged = df.withColumn("_h", h).withColumn(
         "_bucket", F.substring(F.col("_h"), 1, bucket_chars)
     )
-    counts = tagged.groupBy("_bucket").agg(F.count("*").alias("_n"))
+    counts = tagged.groupBy(*pcols, "_bucket").agg(F.count("*").alias("_n"))
     wo = (
-        Window.orderBy("_bucket")
+        Window.partitionBy(*pcols)
+        .orderBy("_bucket")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     offsets = counts.select(
-        "_bucket", F.coalesce(F.sum("_n").over(wo), F.lit(0)).alias("_off")
+        *pcols,
+        "_bucket",
+        F.coalesce(F.sum("_n").over(wo), F.lit(0)).alias("_off"),
     )
-    wb = Window.partitionBy("_bucket").orderBy(
+    wb = Window.partitionBy(*pcols, "_bucket").orderBy(
         F.col("_h").asc(), F.col(key_col).asc()
     )
     return (
-        tagged.join(F.broadcast(offsets), "_bucket")
+        tagged.join(F.broadcast(offsets), [*pcols, "_bucket"])
         .withColumn(
             name,
             (F.row_number().over(wb) - 1 + F.col("_off")).cast("bigint"),
@@ -215,4 +227,41 @@ def pack_training_batches(
         .cast("bigint")
         .alias("batch_id"),
         (F.col("global_idx") % batch_size).cast("bigint").alias("position"),
+    )
+
+
+def length_bucketed_batches(
+    df: DataFrame,
+    key_col: str,
+    size_col: str,
+    batch_size: int,
+    bucket_width: int = 64,
+) -> DataFrame:
+    """Length-bucketed training batches: group rows whose ``size_col``
+    (token count) falls in the same ``bucket_width``-wide band, then
+    cut each band into deterministic hash-ordered batches. Batching
+    similar-length sequences together is the standard padding-waste
+    reduction (a batch's cost is max-length x batch_size; mixing a
+    4k-token doc with 30 short ones pays 4k for all 31) — this wires
+    it to the same two-phase distributed index as
+    ``pack_training_batches``, partitioned per band, so no band ever
+    ranks in a single task.
+
+    Output: input columns + (len_bucket, batch_id, position); batch_id
+    restarts per band — every batch is homogeneous in band.
+    """
+    banded = df.withColumn(
+        "len_bucket",
+        F.expr(f"CAST({size_col} AS BIGINT) div {bucket_width}").cast(
+            "bigint"
+        ),
+    )
+    idx = deterministic_global_index(
+        banded, key_col, partition_cols=["len_bucket"], name="_idx"
+    )
+    return idx.select(
+        *df.columns,
+        "len_bucket",
+        F.expr(f"_idx div {batch_size}").cast("bigint").alias("batch_id"),
+        (F.col("_idx") % batch_size).cast("bigint").alias("position"),
     )

@@ -2753,4 +2753,25 @@ SELECT coalesce(ll.prefix, rl.prefix) AS prefix,
 FROM ll FULL OUTER JOIN rl ON ll.prefix = rl.prefix
 WHERE ll.d IS NULL OR rl.d IS NULL OR ll.d != rl.d
 """,
+    # mirror of functions/sampling.py::length_bucketed_batches: plain
+    # per-band sort window here; the Spark side's per-(band, hash-
+    # bucket) two-phase ranking is identical because the bucket is a
+    # prefix of the ordering hash
+    "length_bucketed_batches": """
+WITH d AS (SELECT doc_id,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+           FROM documents),
+b AS (SELECT doc_id, n_tokens,
+             CAST(n_tokens // 64 AS BIGINT) AS len_bucket,
+             md5(CAST(doc_id AS VARCHAR)) AS h
+      FROM d),
+i AS (SELECT doc_id, n_tokens, len_bucket,
+             row_number() OVER (PARTITION BY len_bucket
+                                ORDER BY h ASC, doc_id ASC) - 1 AS gi
+      FROM b)
+SELECT doc_id, n_tokens, len_bucket,
+       CAST(gi // 16 AS BIGINT) AS batch_id,
+       CAST(gi % 16 AS BIGINT) AS position
+FROM i
+""",
 }

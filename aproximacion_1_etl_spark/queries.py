@@ -4265,6 +4265,25 @@ def q_fingerprint_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_length_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 padding-efficient batching: band documents by token-count
+    (64-wide buckets), then cut each band into deterministic
+    hash-ordered batches via the per-band two-phase index — homogeneous
+    batch lengths without any single-task ranking
+    (functions/sampling.py::length_bucketed_batches)."""
+    from aproximacion_1_etl_spark.functions.sampling import (
+        length_bucketed_batches,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+    )
+    return length_bucketed_batches(
+        docs, "doc_id", "n_tokens", batch_size=16, bucket_width=64
+    )
+
+
 ALL_QUERIES = {
     "flagship_order_lifecycle": q_flagship_order_lifecycle,
     "bm25_topk": q_bm25_topk,
@@ -4440,4 +4459,5 @@ ALL_QUERIES = {
     "training_batch_pack": q_training_batch_pack,
     "corpus_fingerprint": q_corpus_fingerprint,
     "fingerprint_diff": q_fingerprint_diff,
+    "length_bucketed_batches": q_length_bucketed_batches,
 }

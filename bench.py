@@ -104,6 +104,7 @@ HEADLINE = [
     "bpe_encode_corpus",
     "training_batch_pack",
     "corpus_fingerprint",
+    "length_bucketed_batches",
     # Python-worker queries LAST: applyInPandas spins up 32 Python
     # workers and leaves GC pressure that inflates the next JVM-only
     # query by ~3x (measured: dedup_minhash_lsh 6.96s after it vs 1.9s

@@ -120,3 +120,33 @@ def test_global_index_matches_global_sort_and_packs_batches(spark):
     # every batch full except the last (100 = 12*8 + 4)
     assert sorted(sizes) == list(range(13))
     assert all(sizes[b] == 8 for b in range(12)) and sizes[12] == 4
+
+
+def test_length_bucketed_batches_are_band_homogeneous(spark):
+    from aproximacion_1_etl_spark.functions.sampling import (
+        length_bucketed_batches,
+    )
+
+    rows = [(i, (i * 37) % 300) for i in range(120)]
+    df = spark.createDataFrame(rows, "k BIGINT, n_tok BIGINT")
+    out = length_bucketed_batches(
+        df, "k", "n_tok", batch_size=8, bucket_width=64
+    ).collect()
+    assert len(out) == 120
+    by_batch: dict[tuple, list] = {}
+    for r in out:
+        assert r["len_bucket"] == r["n_tok"] // 64
+        by_batch.setdefault((r["len_bucket"], r["batch_id"]), []).append(r)
+    for (band, _), members in by_batch.items():
+        # every member of a batch sits in the same length band
+        assert all(m["n_tok"] // 64 == band for m in members)
+        assert sorted(m["position"] for m in members) == list(
+            range(len(members))
+        )
+        assert len(members) <= 8
+    # per band: every batch full except at most the last
+    for band in {r["len_bucket"] for r in out}:
+        sizes = [
+            len(v) for (b, _), v in sorted(by_batch.items()) if b == band
+        ]
+        assert all(s == 8 for s in sizes[:-1])
