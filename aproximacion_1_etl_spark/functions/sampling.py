@@ -172,7 +172,9 @@ def deterministic_global_index(
     length bucket): ranking windows and offsets are keyed by
     (group, hash-bucket), so the offsets relation stays
     |groups| x 16^bucket_chars rows — still broadcast-scale — and no
-    group ever ranks in a single task.
+    group ever ranks in a single task. Partition columns must be
+    NON-NULL: the offsets equi-join drops null group keys (coalesce a
+    sentinel in first if the group can be null).
     """
     from pyspark.sql import Window
 
