@@ -2774,4 +2774,18 @@ SELECT doc_id, n_tokens, len_bucket,
        CAST(gi % 16 AS BIGINT) AS position
 FROM i
 """,
+    # mirror of text/dedup.py::repeated_substrings (same gram length,
+    # same content-defined md5-prefix sample, per-doc distinct)
+    "repeated_substrings": """
+WITH g AS (
+  SELECT doc_id, md5(substr(text, i, 40)) AS h
+  FROM (SELECT doc_id, text,
+               unnest(generate_series(1, len(text) - 39)) AS i
+        FROM documents WHERE len(text) >= 40)),
+s AS (SELECT DISTINCT doc_id, h FROM g WHERE substr(h, 1, 1) < '4')
+SELECT h AS gram_hash,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS first_doc
+FROM s GROUP BY 1 HAVING count(*) >= 2
+""",
 }

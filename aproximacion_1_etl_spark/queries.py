@@ -4284,6 +4284,17 @@ def q_length_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_repeated_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 exact-substring dedup signal: content-defined sampled
+    40-char gram hashes grouped across the corpus — verbatim boilerplate
+    and templated spans surface even when whole-doc MinHash misses them
+    (text/dedup.py::repeated_substrings)."""
+    from aproximacion_1_etl_spark.text.dedup import repeated_substrings
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repeated_substrings(docs, gram_len=40, sample_prefix_lt="4")
+
+
 ALL_QUERIES = {
     "flagship_order_lifecycle": q_flagship_order_lifecycle,
     "bm25_topk": q_bm25_topk,
@@ -4460,4 +4471,5 @@ ALL_QUERIES = {
     "corpus_fingerprint": q_corpus_fingerprint,
     "fingerprint_diff": q_fingerprint_diff,
     "length_bucketed_batches": q_length_bucketed_batches,
+    "repeated_substrings": q_repeated_substrings,
 }

@@ -540,3 +540,61 @@ def cluster_safe_split(
         group_key.cast("bigint").alias("group_key"),
         split_column(group_key.cast("bigint"), fractions),
     )
+
+
+def repeated_substrings(
+    docs: DataFrame,
+    gram_len: int = 40,
+    sample_prefix_lt: str = "4",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document EXACT-substring repetition detection — the signal
+    behind suffix-array substring dedup ("Deduplicating Training Data
+    Makes Language Models Better": boilerplate, licenses, templated
+    spans repeat verbatim across documents even when whole-doc MinHash
+    says the docs differ). A distributed approximation of the suffix
+    array: hash every ``gram_len``-char window, keep a CONTENT-DEFINED
+    sample (md5 prefix below a threshold — identical substrings sample
+    identically in every document, unlike positional striding, so a
+    shared span either side samples the same grams), and group the
+    sampled gram hashes across the corpus.
+
+    Scale shape: window extraction + hashing + sampling + per-doc
+    dedup all happen INSIDE the per-row array expression — the explode
+    emits only the sampled distinct grams (rate = int(prefix)/16 per
+    hex char), so the single shuffle carries ~|corpus|/rate gram rows,
+    not |corpus| x gram_len bytes. Detection is probabilistic in span
+    length: a shared span covering m windows is missed with
+    (1-rate)^m.
+
+    Output: (gram_hash, n_docs, first_doc) for hashes seen in >=
+    ``min_docs`` documents.
+    """
+    t = F.col(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length(t) - F.lit(gram_len - 1)),
+        lambda i: F.md5(t.substr(i, F.lit(gram_len))),
+    )
+    sampled = F.array_distinct(
+        F.filter(
+            grams,
+            lambda h: F.substring(h, 1, len(sample_prefix_lt))
+            < F.lit(sample_prefix_lt),
+        )
+    )
+    spread = docs.filter(F.length(t) >= gram_len).repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, id_col
+    )
+    exploded = spread.select(
+        F.col(id_col), F.explode(sampled).alias("gram_hash")
+    )
+    return (
+        exploded.groupBy("gram_hash")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.min(id_col).cast("bigint").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )

@@ -105,6 +105,7 @@ HEADLINE = [
     "training_batch_pack",
     "corpus_fingerprint",
     "length_bucketed_batches",
+    "repeated_substrings",
     # Python-worker queries LAST: applyInPandas spins up 32 Python
     # workers and leaves GC pressure that inflates the next JVM-only
     # query by ~3x (measured: dedup_minhash_lsh 6.96s after it vs 1.9s

@@ -668,3 +668,29 @@ def test_bpe_encode_applies_merge_table(spark):
     assert r["n_chars"] == 7
     assert r["n_tokens"] == 4
     assert abs(r["compression"] - 1.75) < 1e-9
+
+
+def test_repeated_substrings_detects_shared_spans(spark):
+    from aproximacion_1_etl_spark.text.dedup import repeated_substrings
+
+    shared = "x" * 10 + "the quick brown fox jumps over the lazy dog " * 3
+    docs = spark.createDataFrame(
+        [
+            (1, "prefix one " + shared + " tail a"),
+            (2, "another beginning " + shared + " differing end"),
+            (3, "completely unrelated text with no overlap at all " * 4),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    out = repeated_substrings(docs, gram_len=40, sample_prefix_lt="8")
+    rows = out.collect()
+    # the shared span is long enough that content-defined sampling
+    # (rate 1/2) keeps at least one of its ~100 windows
+    assert len(rows) >= 1
+    for r in rows:
+        assert r["n_docs"] == 2 and r["first_doc"] == 1
+    # no cross-doc hash involves doc 3
+    solo = repeated_substrings(
+        docs.filter("doc_id != 2"), gram_len=40, sample_prefix_lt="8"
+    )
+    assert solo.count() == 0
