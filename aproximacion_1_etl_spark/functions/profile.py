@@ -105,6 +105,29 @@ def corpus_fingerprint(
     ).drop("p")
 
 
+def row_bucket_hashes(
+    df: DataFrame,
+    key_col: str,
+    content_cols: list[str],
+    prefix_len: int = 6,
+) -> DataFrame:
+    """(prefix, h) per row: the key-prefix bucket plus the content row
+    hash — the leaf relation both ``fingerprint_level`` and the
+    incremental (streaming) Merkle maintenance build on. Persist this
+    partitioned by ``prefix`` and a micro-batch can recompute exactly
+    the buckets it touched with a partition-pruned read."""
+    h = F.sha2(
+        F.concat_ws(
+            "\x01",
+            F.col(key_col).cast("string"),
+            *[F.col(c).cast("string") for c in content_cols],
+        ),
+        256,
+    )
+    kp = F.substring(F.md5(F.col(key_col).cast("string")), 1, prefix_len)
+    return df.select(kp.alias("prefix"), h.alias("h"))
+
+
 def fingerprint_level(
     df: DataFrame,
     key_col: str,
@@ -122,17 +145,8 @@ def fingerprint_level(
     edited row must stay in its bucket so the diff reads 'changed'
     there, rather than relocating and producing an only_left/only_right
     pair in two unrelated buckets."""
-    h = F.sha2(
-        F.concat_ws(
-            "\x01",
-            F.col(key_col).cast("string"),
-            *[F.col(c).cast("string") for c in content_cols],
-        ),
-        256,
-    )
-    kp = F.substring(F.md5(F.col(key_col).cast("string")), 1, prefix_len)
     return (
-        df.select(kp.alias("prefix"), h.alias("h"))
+        row_bucket_hashes(df, key_col, content_cols, prefix_len)
         .groupBy("prefix")
         .agg(
             F.sha2(

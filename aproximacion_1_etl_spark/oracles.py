@@ -2788,4 +2788,19 @@ SELECT h AS gram_hash,
        CAST(min(doc_id) AS BIGINT) AS first_doc
 FROM s GROUP BY 1 HAVING count(*) >= 2
 """,
+    # BATCH mirror of the streamed incremental Merkle maintenance: one
+    # digest pass over the whole corpus at the same prefix level — if
+    # the touched-bucket-only recompute path diverges from a full
+    # rebuild in any way, the digests cannot match
+    "streaming_fingerprint_maintenance": """
+WITH h AS (SELECT substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS prefix,
+                  sha256(concat_ws(chr(1), CAST(doc_id AS VARCHAR), text,
+                                   lang, source,
+                                   CAST(n_chars AS VARCHAR))) AS h
+           FROM documents)
+SELECT prefix,
+       sha256(string_agg(h, '' ORDER BY h)) AS digest,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM h GROUP BY 1
+""",
 }

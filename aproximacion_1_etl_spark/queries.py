@@ -4295,6 +4295,93 @@ def q_repeated_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repeated_substrings(docs, gram_len=40, sample_prefix_lt="4")
 
 
+def q_streaming_fingerprint_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """§2.9 + §2.10: incremental Merkle maintenance AS A STREAM — the
+    corpus arrives in two waves; foreachBatch appends the batch's
+    (bucket, row-hash) rows to a prefix-partitioned store, recomputes
+    digests ONLY for the buckets the batch touched (partition-pruned
+    read; the store key is 'p'+prefix so partition type inference can
+    never coerce hex dirs to ints), and publishes them latest-wins to a
+    level log. Unchanged buckets are never re-read — per-batch cost is
+    |batch| + |touched buckets|, the incremental-integrity topology at
+    any corpus size. The final level relation is value-checked against
+    the BATCH oracle (one digest pass over the whole corpus): any
+    divergence in the maintenance path breaks hash parity."""
+    import os
+    import time as _time
+
+    from pyspark.sql import Window
+
+    from aproximacion_1_etl_spark.functions.profile import (
+        row_bucket_hashes,
+    )
+
+    cols = ["text", "lang", "source", "n_chars"]
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", *cols)
+    base = tempfile.mkdtemp(prefix="graft_sfm_")
+    src = os.path.join(base, "src")
+    rows_store = os.path.join(base, "rows")
+    level_log = os.path.join(base, "level")
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(
+        os.path.join(src, "w1")
+    )
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(
+        os.path.join(src, "w2")
+    )
+    now = _time.time()
+    for d, ts in (("w1", now - 120), ("w2", now - 60)):
+        pdir = os.path.join(src, d)
+        for f in os.listdir(pdir):
+            os.utime(os.path.join(pdir, f), (ts, ts))
+
+    def handle_batch(batch, batch_id: int) -> None:
+        bh = row_bucket_hashes(batch, "doc_id", cols, prefix_len=2).select(
+            F.concat(F.lit("p"), F.col("prefix")).alias("pfx"), "h"
+        )
+        bh.write.mode("append").partitionBy("pfx").parquet(rows_store)
+        touched = [
+            r["pfx"] for r in bh.select("pfx").distinct().collect()
+        ]
+        pruned = (
+            batch.sparkSession.read.parquet(rows_store)
+            .filter(F.col("pfx").isin(touched))
+        )
+        digests = pruned.groupBy("pfx").agg(
+            F.sha2(
+                F.concat_ws("", F.array_sort(F.collect_list("h"))), 256
+            ).alias("digest"),
+            F.count("*").cast("bigint").alias("n_rows"),
+        )
+        digests.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(level_log)
+
+    q = (
+        spark.readStream.schema(
+            "doc_id BIGINT, text STRING, lang STRING, source STRING, "
+            "n_chars BIGINT"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src, "*"))
+        .writeStream.foreachBatch(handle_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_sfm_"))
+        .start()
+    )
+    q.awaitTermination()
+    log = spark.read.parquet(level_log)
+    w = Window.partitionBy("pfx").orderBy(F.col("batch_id").desc())
+    return (
+        log.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.substring("pfx", 2, 2).alias("prefix"), "digest", "n_rows"
+        )
+    )
+
+
 ALL_QUERIES = {
     "flagship_order_lifecycle": q_flagship_order_lifecycle,
     "bm25_topk": q_bm25_topk,
@@ -4472,4 +4559,5 @@ ALL_QUERIES = {
     "fingerprint_diff": q_fingerprint_diff,
     "length_bucketed_batches": q_length_bucketed_batches,
     "repeated_substrings": q_repeated_substrings,
+    "streaming_fingerprint_maintenance": q_streaming_fingerprint_maintenance,
 }
