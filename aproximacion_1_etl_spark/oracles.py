@@ -2803,4 +2803,47 @@ SELECT prefix,
        CAST(count(*) AS BIGINT) AS n_rows
 FROM h GROUP BY 1
 """,
+    # sqrt is IEEE-correctly-rounded in both engines, so the alpha=0.5
+    # temperature rates are bit-identical (pow would not guarantee it)
+    "temperature_mix_resample": """
+WITH c AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY 1),
+t AS (SELECT sum(n_lang) AS total,
+             sum(sqrt(CAST(n_lang AS DOUBLE))) AS sum_sqrt
+      FROM c),
+r AS (SELECT lang, n_lang,
+             least(1.0, (sqrt(CAST(n_lang AS DOUBLE)) / sum_sqrt
+                         * CAST(total AS DOUBLE)) / n_lang) AS rate
+      FROM c, t),
+rr AS (SELECT lang, n_lang, rate,
+              CASE WHEN rate >= 1.0 THEN 'g'
+                   ELSE printf('%04x',
+                        least(65535,
+                              CAST(floor(rate * 65536.0 + 0.5) AS INT)))
+              END AS thr
+       FROM r)
+SELECT d.lang,
+       CAST(max(rr.n_lang) AS BIGINT) AS n_before,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       floor(max(rr.rate) * 10000.0 + 0.5) / 10000.0 AS rate
+FROM documents d JOIN rr ON d.lang = rr.lang
+WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < rr.thr
+GROUP BY 1
+""",
+    # banded exact-cosine mirror of q_hard_negative_mining
+    "hard_negative_mining": """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id IN (0, 1, 2, 3, 4)),
+s AS (SELECT qid AS query_id, e.vec_id,
+             floor((list_dot_product(qv, v) /
+                   (sqrt(list_dot_product(qv, qv)) *
+                    sqrt(list_dot_product(v, v)))) * 1000000000.0 + 0.5) / 1000000000.0 AS cos_sim
+      FROM e CROSS JOIN q WHERE e.vec_id != qid),
+f AS (SELECT * FROM s WHERE cos_sim >= 0.10 AND cos_sim < 0.95),
+r AS (SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS rank
+      FROM f)
+SELECT query_id, vec_id,
+       floor((cos_sim) * 10000.0 + 0.5) / 10000.0 AS cos_sim, rank
+FROM r WHERE rank <= 10
+""",
 }

@@ -4382,6 +4382,114 @@ def q_streaming_fingerprint_maintenance(
     )
 
 
+def q_temperature_mix_resample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """§2.10 temperature-based mixture sampling (the mT5/XLM-R α-
+    sampling rule): language l's target share ∝ p_l^α with α=0.5 —
+    upweights low-resource languages without flattening to uniform.
+    Keep-rates derive in-plan from observed counts; α=0.5 is computed
+    with sqrt, which IEEE 754 requires to be correctly rounded, so the
+    rate arithmetic is bit-identical across engines (general α uses
+    pow; 0.5 is the bit-exactness-guaranteed case). Same clamped
+    md5-threshold filter as domain_mix_resample."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count("*").alias("n_lang"))
+    totals = counts.agg(
+        F.sum("n_lang").alias("total"),
+        F.sum(F.sqrt(F.col("n_lang").cast("double"))).alias("sum_sqrt"),
+    )
+    rates = counts.join(F.broadcast(totals)).select(
+        "lang",
+        "n_lang",
+        F.least(
+            F.lit(1.0),
+            (
+                F.sqrt(F.col("n_lang").cast("double"))
+                / F.col("sum_sqrt")
+                * F.col("total").cast("double")
+            )
+            / F.col("n_lang"),
+        ).alias("rate"),
+    )
+    rates = rates.withColumn(
+        "thr",
+        F.when(F.col("rate") >= 1.0, F.lit("g")).otherwise(
+            F.lower(
+                F.lpad(
+                    F.hex(
+                        F.least(
+                            F.lit(65535),
+                            F.floor(
+                                F.col("rate") * 65536.0 + F.lit(0.5)
+                            ).cast("bigint"),
+                        )
+                    ),
+                    4,
+                    "0",
+                )
+            )
+        ),
+    )
+    kept = d.join(F.broadcast(rates), "lang").filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+        < F.col("thr")
+    )
+    return kept.groupBy("lang").agg(
+        F.max("n_lang").cast("bigint").alias("n_before"),
+        F.count("*").alias("n_kept"),
+        _fround(F.max("rate"), 4).alias("rate"),
+    )
+
+
+def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 contrastive-training data: per query vector, the top-k
+    HIGH-similarity non-duplicate neighbors — cosine in [0.10, 0.95):
+    the 0.95 cap excludes near-duplicates (false negatives that would
+    poison the contrastive loss), the floor drops trivially unrelated
+    vectors. Same broadcast nested-loop shape as exact ANN; the band
+    filter is a narrow predicate on the scored relation."""
+    from aproximacion_1_etl_spark.text.vector import (
+        _as_double,
+        _fround as _vr,
+        cosine_sim,
+    )
+    from pyspark.sql import Window
+
+    emb = _as_double(
+        load_table(spark, sf_dir, "embeddings"), "embedding"
+    )
+    qids = [0, 1, 2, 3, 4]
+    queries = emb.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    pairs = emb.join(
+        F.broadcast(queries), F.col("vec_id") != F.col("query_id")
+    )
+    scored = pairs.select(
+        "query_id",
+        "vec_id",
+        _vr(cosine_sim(F.col("qvec"), F.col("embedding")), 9).alias(
+            "cos_sim"
+        ),
+    ).filter(
+        (F.col("cos_sim") >= 0.10) & (F.col("cos_sim") < 0.95)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "query_id",
+            "vec_id",
+            _vr(F.col("cos_sim"), 4).alias("cos_sim"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
 ALL_QUERIES = {
     "flagship_order_lifecycle": q_flagship_order_lifecycle,
     "bm25_topk": q_bm25_topk,
@@ -4560,4 +4668,6 @@ ALL_QUERIES = {
     "length_bucketed_batches": q_length_bucketed_batches,
     "repeated_substrings": q_repeated_substrings,
     "streaming_fingerprint_maintenance": q_streaming_fingerprint_maintenance,
+    "temperature_mix_resample": q_temperature_mix_resample,
+    "hard_negative_mining": q_hard_negative_mining,
 }

@@ -106,6 +106,8 @@ HEADLINE = [
     "corpus_fingerprint",
     "length_bucketed_batches",
     "repeated_substrings",
+    "temperature_mix_resample",
+    "hard_negative_mining",
     # Python-worker queries LAST: applyInPandas spins up 32 Python
     # workers and leaves GC pressure that inflates the next JVM-only
     # query by ~3x (measured: dedup_minhash_lsh 6.96s after it vs 1.9s

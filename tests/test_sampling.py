@@ -150,3 +150,27 @@ def test_length_bucketed_batches_are_band_homogeneous(spark):
             len(v) for (b, _), v in sorted(by_batch.items()) if b == band
         ]
         assert all(s == 8 for s in sizes[:-1])
+
+
+def test_temperature_mix_upweights_low_resource(spark, sf_dir):
+    from aproximacion_1_etl_spark.queries import (
+        q_domain_mix_resample,
+        q_temperature_mix_resample,
+    )
+
+    temp = {
+        r["lang"]: r for r in q_temperature_mix_resample(spark, sf_dir).collect()
+    }
+    unif = {
+        r["lang"]: r for r in q_domain_mix_resample(spark, sf_dir).collect()
+    }
+    assert set(temp) == set(unif)
+    big = max(temp, key=lambda l: temp[l]["n_before"])
+    small = min(temp, key=lambda l: temp[l]["n_before"])
+    if temp[big]["n_before"] > temp[small]["n_before"]:
+        # alpha=0.5 keeps MORE of the dominant language than uniform
+        # flattening does (it interpolates between natural and uniform)
+        assert temp[big]["rate"] >= unif[big]["rate"]
+        # and still downweights it relative to its natural share
+        assert temp[big]["rate"] < 1.0
+        assert temp[small]["rate"] >= temp[big]["rate"]

@@ -694,3 +694,31 @@ def test_repeated_substrings_detects_shared_spans(spark):
         docs.filter("doc_id != 2"), gram_len=40, sample_prefix_lt="8"
     )
     assert solo.count() == 0
+
+
+def test_hard_negative_mining_excludes_near_duplicates(spark):
+    from aproximacion_1_etl_spark.queries import q_hard_negative_mining
+    import os
+    import tempfile
+
+    # corpus: query 0; vec 1 is a near-copy (cos ~1), vecs 2.. are
+    # rotated/related — the miner must skip the near-dup entirely
+    base = [1.0, 0.0, 0.0, 0.0]
+    rows = [
+        (0, base, 0),
+        (1, [0.999, 0.001, 0.0, 0.0], 0),
+        (2, [0.8, 0.6, 0.0, 0.0], 0),
+        (3, [0.5, 0.5, 0.70710678, 0.0], 0),
+        (4, [0.0, 1.0, 0.0, 0.0], 0),
+        (5, [-1.0, 0.0, 0.0, 0.0], 0),
+    ]
+    d = tempfile.mkdtemp(prefix="graft_hnm_")
+    spark.createDataFrame(
+        rows, "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT"
+    ).write.mode("overwrite").parquet(os.path.join(d, "embeddings.parquet"))
+    out = q_hard_negative_mining(spark, d)
+    got = {r["vec_id"]: r for r in out.filter("query_id = 0").collect()}
+    assert 1 not in got          # near-dup excluded by the 0.95 cap
+    assert 4 not in got and 5 not in got  # below the 0.10 floor
+    assert set(got) == {2, 3}
+    assert got[2]["rank"] == 1 and got[2]["cos_sim"] > got[3]["cos_sim"]
