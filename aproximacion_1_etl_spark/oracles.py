@@ -801,6 +801,67 @@ FROM e{n_merges} GROUP BY 1
     return "".join(parts)
 
 
+def _funnel_sql() -> str:
+    """Generated mirror of queries.q_corpus_funnel: the language-hit
+    subquery is generated from the SAME LANG_MARKERS constant the Spark
+    lang_id() bakes in, and the quality expression is copied operand-
+    for-operand from the text_profile mirror (incl. the floor-round
+    before the 0.5 comparison)."""
+    from aproximacion_1_etl_spark.text.analysis import LANG_MARKERS
+
+    hits = []
+    for lang, words in LANG_MARKERS.items():
+        terms = " +\n     ".join(
+            "CASE WHEN contains(' ' || lower(text) || ' ', ' "
+            + w
+            + " ') THEN 1 ELSE 0 END"
+            for w in words
+        )
+        hits.append(f"({terms}) AS {lang}_h")
+    hits_sql = ",\n    ".join(hits)
+    quality = """floor((0.25 * (CASE WHEN length(text) BETWEEN 100 AND 20000
+                     THEN 1.0 ELSE 0.0 END)
+      + 0.25 * (1.0 - len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) * 1.0
+                 / greatest(length(text), 1))
+      + 0.25 * (len(regexp_extract_all(text, '[A-Za-z]')) * 1.0
+                 / greatest(length(text), 1))
+      + 0.25 * (CASE WHEN length(text) * 1.0 /
+                       greatest(len(regexp_split_to_array(trim(text),
+                                                          '\\s+')), 1)
+                       BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.0 END))
+        * 10000.0 + 0.5) / 10000.0"""
+    return f"""
+WITH base AS (
+  SELECT doc_id, text,
+    {hits_sql}
+  FROM documents),
+fl AS (
+  SELECT (length(text) >= 100) AS len_ok,
+         (regexp_matches(text, '[\\x{{4e00}}-\\x{{9fff}}]')
+          OR greatest(es_h, de_h, fr_h, en_h) >= 1) AS lang_ok,
+         ({quality} >= 0.5) AS quality_ok,
+         (row_number() OVER (
+            PARTITION BY sha256(trim(regexp_replace(lower(text),
+                                                    '\\s+', ' ', 'g')))
+            ORDER BY doc_id) = 1) AS first_of_content
+  FROM base),
+a AS (
+  SELECT count(*) AS raw,
+         sum(CASE WHEN len_ok THEN 1 ELSE 0 END) AS s1,
+         sum(CASE WHEN len_ok AND lang_ok THEN 1 ELSE 0 END) AS s2,
+         sum(CASE WHEN len_ok AND lang_ok AND quality_ok
+                  THEN 1 ELSE 0 END) AS s3,
+         sum(CASE WHEN len_ok AND lang_ok AND quality_ok
+                       AND first_of_content THEN 1 ELSE 0 END) AS s4
+  FROM fl)
+SELECT 'raw' AS stage, CAST(raw AS BIGINT) AS n_docs FROM a
+UNION ALL SELECT 'length_band', CAST(s1 AS BIGINT) FROM a
+UNION ALL SELECT 'known_lang', CAST(s2 AS BIGINT) FROM a
+UNION ALL SELECT 'quality_floor', CAST(s3 AS BIGINT) FROM a
+UNION ALL SELECT 'content_unique', CAST(s4 AS BIGINT) FROM a
+"""
+
+
 ALL_ORACLES: dict[str, str] = {
     "pagerank_suppliers": _pagerank_sql(),
     "bm25_topk": _bm25_sql(_BM25_QUERIES),
@@ -2846,4 +2907,17 @@ SELECT query_id, vec_id,
        floor((cos_sim) * 10000.0 + 0.5) / 10000.0 AS cos_sim, rank
 FROM r WHERE rank <= 10
 """,
+    "doc_novelty": "WITH "
+    + _SHINGLES_SQL.strip()
+    + """,
+dfc AS (SELECT shingle, count(*) AS df FROM shingles GROUP BY 1)
+SELECT s.doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN dfc.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_unique,
+       floor(CAST(sum(CASE WHEN dfc.df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) * 10000.0 + 0.5) / 10000.0 AS novelty
+FROM shingles s JOIN dfc USING (shingle) GROUP BY 1
+""",
+    "corpus_funnel": _funnel_sql(),
 }

@@ -4490,6 +4490,92 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 curation metric: per-doc novelty = fraction of its
+    distinct word-3-grams that occur in NO other document. Novel-
+    content selection is the inverse of dedup: sampling high-novelty
+    docs raises corpus diversity per token. Shape: one shingle
+    explode, a df count per shingle (shuffle on the high-cardinality
+    shingle key), and a join back — the same key distribution as the
+    MinHash pipeline, so skew behavior is identical."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = word_shingles(docs, n=3, distinct=True)
+    df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    joined = sh.join(df_counts, "shingle")
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_grams"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_unique"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_unique",
+            _fround(
+                F.col("n_unique").cast("double") / F.col("n_grams"), 4
+            ).alias("novelty"),
+        )
+    )
+
+
+def q_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 pipeline observability: how many documents survive each
+    cleaning stage, as cumulative conjunctions computed in ONE scan —
+    raw -> length band -> known language -> quality floor -> exact-
+    content unique. The funnel is the report every corpus-construction
+    run ships next to its output; stage predicates reuse the exact
+    expressions of the cleaning operators so the counts cannot drift
+    from the real pipeline."""
+    from pyspark.sql import Window
+
+    from aproximacion_1_etl_spark.text.analysis import (
+        lang_id,
+        quality_score,
+    )
+    from aproximacion_1_etl_spark.text.dedup import normalized
+
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    w = Window.partitionBy(F.sha2(normalized(t), 256)).orderBy("doc_id")
+    flags = d.select(
+        (F.length(t) >= 100).alias("len_ok"),
+        (lang_id(t) != "und").alias("lang_ok"),
+        (quality_score(t) >= 0.5).alias("quality_ok"),
+        (F.row_number().over(w) == 1).alias("first_of_content"),
+    )
+    agg = flags.agg(
+        F.count("*").alias("raw"),
+        F.sum(F.when(F.col("len_ok"), 1).otherwise(0)).alias("s1"),
+        F.sum(
+            F.when(F.col("len_ok") & F.col("lang_ok"), 1).otherwise(0)
+        ).alias("s2"),
+        F.sum(
+            F.when(
+                F.col("len_ok") & F.col("lang_ok") & F.col("quality_ok"), 1
+            ).otherwise(0)
+        ).alias("s3"),
+        F.sum(
+            F.when(
+                F.col("len_ok")
+                & F.col("lang_ok")
+                & F.col("quality_ok")
+                & F.col("first_of_content"),
+                1,
+            ).otherwise(0)
+        ).alias("s4"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(5, 'raw', raw, 'length_band', s1, 'known_lang', s2, "
+            "'quality_floor', s3, 'content_unique', s4) "
+            "AS (stage, n_docs)"
+        )
+    ).select("stage", F.col("n_docs").cast("bigint").alias("n_docs"))
+
+
 ALL_QUERIES = {
     "flagship_order_lifecycle": q_flagship_order_lifecycle,
     "bm25_topk": q_bm25_topk,
@@ -4670,4 +4756,6 @@ ALL_QUERIES = {
     "streaming_fingerprint_maintenance": q_streaming_fingerprint_maintenance,
     "temperature_mix_resample": q_temperature_mix_resample,
     "hard_negative_mining": q_hard_negative_mining,
+    "doc_novelty": q_doc_novelty,
+    "corpus_funnel": q_corpus_funnel,
 }

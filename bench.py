@@ -108,6 +108,8 @@ HEADLINE = [
     "repeated_substrings",
     "temperature_mix_resample",
     "hard_negative_mining",
+    "doc_novelty",
+    "corpus_funnel",
     # Python-worker queries LAST: applyInPandas spins up 32 Python
     # workers and leaves GC pressure that inflates the next JVM-only
     # query by ~3x (measured: dedup_minhash_lsh 6.96s after it vs 1.9s

@@ -722,3 +722,37 @@ def test_hard_negative_mining_excludes_near_duplicates(spark):
     assert 4 not in got and 5 not in got  # below the 0.10 floor
     assert set(got) == {2, 3}
     assert got[2]["rank"] == 1 and got[2]["cos_sim"] > got[3]["cos_sim"]
+
+
+def test_doc_novelty_counts_unique_shingles(spark, sf_dir, tmp_path):
+    from aproximacion_1_etl_spark.queries import q_doc_novelty
+    import os
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),          # shingles: "a b c", "b c d"
+            (2, "a b c x"),          # shingles: "a b c", "b c x"
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    d = str(tmp_path)
+    docs.write.mode("overwrite").parquet(
+        os.path.join(d, "documents.parquet")
+    )
+    out = {r["doc_id"]: r for r in q_doc_novelty(spark, d).collect()}
+    # "a b c" is shared (df=2); the second shingle of each doc is unique
+    for i in (1, 2):
+        assert out[i]["n_grams"] == 2
+        assert out[i]["n_unique"] == 1
+        assert abs(out[i]["novelty"] - 0.5) < 1e-9
+
+
+def test_corpus_funnel_is_monotone(spark, sf_dir):
+    from aproximacion_1_etl_spark.queries import q_corpus_funnel
+
+    rows = {r["stage"]: r["n_docs"] for r in q_corpus_funnel(spark, sf_dir).collect()}
+    order = ["raw", "length_band", "known_lang", "quality_floor", "content_unique"]
+    assert list(rows) == order or set(rows) == set(order)
+    vals = [rows[s] for s in order]
+    assert vals[0] > 0
+    assert all(a >= b for a, b in zip(vals, vals[1:]))
