@@ -2920,4 +2920,25 @@ SELECT s.doc_id,
 FROM shingles s JOIN dfc USING (shingle) GROUP BY 1
 """,
     "corpus_funnel": _funnel_sql(),
+    # mirror of text/dedup.py::winnowed_fingerprints (same gram length,
+    # same window minima; list_slice end is INCLUSIVE in DuckDB, hence
+    # j + 7 for the 8-wide window)
+    "winnowed_duplicates": """
+WITH g AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, len(text) - 29),
+                        i -> md5(substr(text, i, 30))) AS ha
+  FROM documents WHERE len(text) >= 37),
+w AS (
+  SELECT doc_id,
+         unnest(list_distinct(
+           list_transform(generate_series(1, len(ha) - 7),
+                          j -> list_min(list_slice(ha, j, j + 7)))))
+           AS fingerprint
+  FROM g)
+SELECT fingerprint,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS first_doc
+FROM w GROUP BY 1 HAVING count(*) >= 2
+""",
 }

@@ -4576,6 +4576,17 @@ def q_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("stage", F.col("n_docs").cast("bigint").alias("n_docs"))
 
 
+def q_winnowed_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 winnowing (MOSS) fingerprint dedup: sliding-window minima
+    over gram hashes — GUARANTEED detection of any verbatim span >=
+    gram_len + window - 1 chars, vs the probabilistic mod-p sampling
+    of repeated_substrings (text/dedup.py::winnowed_fingerprints)."""
+    from aproximacion_1_etl_spark.text.dedup import winnowed_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents")
+    return winnowed_fingerprints(docs, gram_len=30, window=8)
+
+
 ALL_QUERIES = {
     "flagship_order_lifecycle": q_flagship_order_lifecycle,
     "bm25_topk": q_bm25_topk,
@@ -4758,4 +4769,5 @@ ALL_QUERIES = {
     "hard_negative_mining": q_hard_negative_mining,
     "doc_novelty": q_doc_novelty,
     "corpus_funnel": q_corpus_funnel,
+    "winnowed_duplicates": q_winnowed_duplicates,
 }

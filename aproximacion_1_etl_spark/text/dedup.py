@@ -598,3 +598,59 @@ def repeated_substrings(
         )
         .filter(F.col("n_docs") >= min_docs)
     )
+
+
+def winnowed_fingerprints(
+    docs: DataFrame,
+    gram_len: int = 30,
+    window: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm): from every window of ``window``
+    consecutive gram hashes keep the MINIMUM, then group the selected
+    fingerprints corpus-wide. Unlike the mod-p sampling in
+    ``repeated_substrings`` (probabilistic detection), winnowing
+    carries the paper's guarantee: any substring shared verbatim by
+    two documents with length >= gram_len + window - 1 ALWAYS yields
+    at least one common selected fingerprint, because the minimum of
+    a fully-shared hash window is position-independent.
+
+    All selection happens inside per-row array expressions (hash
+    array -> sliding min -> distinct) — the explode emits ~n/window
+    fingerprints per doc and the single shuffle groups them.
+    Deterministic and engine-portable (md5 order == lexicographic).
+
+    Output: (fingerprint, n_docs, first_doc) for fingerprints shared
+    by >= ``min_docs`` docs.
+    """
+    t = F.col(text_col)
+    spread = docs.filter(
+        F.length(t) >= gram_len + window - 1
+    ).repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, id_col
+    )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length(t) - F.lit(gram_len - 1)),
+        lambda i: F.md5(t.substr(i, F.lit(gram_len))),
+    )
+    with_arr = spread.select(F.col(id_col), grams.alias("ha"))
+    winnowed = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("ha") - F.lit(window - 1)),
+            lambda j: F.array_min(F.slice(F.col("ha"), j, F.lit(window))),
+        )
+    )
+    exploded = with_arr.select(
+        F.col(id_col), F.explode(winnowed).alias("fingerprint")
+    )
+    return (
+        exploded.groupBy("fingerprint")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.min(id_col).cast("bigint").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )

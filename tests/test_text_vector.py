@@ -756,3 +756,29 @@ def test_corpus_funnel_is_monotone(spark, sf_dir):
     vals = [rows[s] for s in order]
     assert vals[0] > 0
     assert all(a >= b for a, b in zip(vals, vals[1:]))
+
+
+def test_winnowing_guarantees_shared_span_detection(spark):
+    from aproximacion_1_etl_spark.text.dedup import winnowed_fingerprints
+
+    # shared span of exactly gram_len + window - 1 = 37 chars: the
+    # winnowing guarantee says detection is certain, not probabilistic
+    span = "0123456789abcdefghijklmnopqrstuvwxyz!"  # 37 chars
+    docs = spark.createDataFrame(
+        [
+            (1, "AAA " + span + " BBB"),
+            (2, "CCCCC " + span + " DDDDD"),
+            (3, "totally different content here with nothing shared.."),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    out = winnowed_fingerprints(docs, gram_len=30, window=8).collect()
+    assert len(out) >= 1
+    assert all(r["n_docs"] == 2 and r["first_doc"] == 1 for r in out)
+    # no shared span -> no shared fingerprint
+    assert (
+        winnowed_fingerprints(
+            docs.filter("doc_id != 1"), gram_len=30, window=8
+        ).count()
+        == 0
+    )
