@@ -110,6 +110,7 @@ HEADLINE = [
     "hard_negative_mining",
     "doc_novelty",
     "corpus_funnel",
+    "winnowed_duplicates",
     # Python-worker queries LAST: applyInPandas spins up 32 Python
     # workers and leaves GC pressure that inflates the next JVM-only
     # query by ~3x (measured: dedup_minhash_lsh 6.96s after it vs 1.9s
