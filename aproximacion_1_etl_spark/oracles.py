@@ -2941,4 +2941,25 @@ SELECT fingerprint,
        CAST(min(doc_id) AS BIGINT) AS first_doc
 FROM w GROUP BY 1 HAVING count(*) >= 2
 """,
+    # mirror of q_domain_blocklist_filter: same label-boundary suffix
+    # chain, same sorted-first-match rule
+    "domain_blocklist_filter": """
+WITH d AS (
+  SELECT doc_id, source || '.example.com' AS host FROM documents),
+sx AS (
+  SELECT doc_id, host,
+         list_sort(list_intersect(
+           list_transform(
+             generate_series(0, len(string_split(host, '.')) - 1),
+             i -> array_to_string(
+                    list_slice(string_split(host, '.'), i + 1,
+                               len(string_split(host, '.'))), '.')),
+           ['bad.example.org', 'src3.example.com', 'src7.example.com']))
+           AS matched
+  FROM d)
+SELECT doc_id, host,
+       (len(matched) > 0) AS blocked,
+       CASE WHEN len(matched) > 0 THEN matched[1] END AS matched_rule
+FROM sx
+""",
 }

@@ -4587,6 +4587,41 @@ def q_winnowed_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnowed_fingerprints(docs, gram_len=30, window=8)
 
 
+BLOCKLIST_DOMAINS = ["src3.example.com", "src7.example.com", "bad.example.org"]
+
+
+def q_domain_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 URL/domain filtering (the C4/RefinedWeb source-blocklist
+    stage): a host matches a rule iff the rule equals the host or any
+    label-boundary SUFFIX of it ("example.com" blocks every
+    subdomain) — string contains/endswith would false-positive on
+    "notexample.com". The suffix chain is built per-row
+    (split -> transform -> slice) and matched against the blocklist as
+    PLAN LITERALS via array_intersect: fully narrow, zero shuffles,
+    composes with the scan. For blocklists too large to inline,
+    explode the same suffix chain and broadcast-join the rule table —
+    identical semantics, one broadcast."""
+    d = load_table(spark, sf_dir, "documents")
+    host = F.concat(F.col("source"), F.lit(".example.com"))
+    parts = F.split(host, "\\.")
+    suffixes = F.transform(
+        F.sequence(F.lit(0), F.size(parts) - 1),
+        lambda i: F.concat_ws(
+            ".", F.slice(parts, i + 1, F.size(parts) - i)
+        ),
+    )
+    rules = F.array(*[F.lit(r) for r in sorted(BLOCKLIST_DOMAINS)])
+    matched = F.array_sort(F.array_intersect(suffixes, rules))
+    return d.select(
+        "doc_id",
+        host.alias("host"),
+        (F.size(matched) > 0).alias("blocked"),
+        F.when(
+            F.size(matched) > 0, F.element_at(matched, 1)
+        ).alias("matched_rule"),
+    )
+
+
 ALL_QUERIES = {
     "flagship_order_lifecycle": q_flagship_order_lifecycle,
     "bm25_topk": q_bm25_topk,
@@ -4770,4 +4805,5 @@ ALL_QUERIES = {
     "doc_novelty": q_doc_novelty,
     "corpus_funnel": q_corpus_funnel,
     "winnowed_duplicates": q_winnowed_duplicates,
+    "domain_blocklist_filter": q_domain_blocklist_filter,
 }

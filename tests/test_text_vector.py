@@ -782,3 +782,16 @@ def test_winnowing_guarantees_shared_span_detection(spark):
         ).count()
         == 0
     )
+
+
+def test_domain_blocklist_suffix_semantics(spark, sf_dir):
+    from aproximacion_1_etl_spark.queries import q_domain_blocklist_filter
+
+    out = q_domain_blocklist_filter(spark, sf_dir).collect()
+    for r in out:
+        if r["host"] in ("src3.example.com", "src7.example.com"):
+            assert r["blocked"] and r["matched_rule"] == r["host"]
+        else:
+            # "example.com" is NOT a rule, so no other host may match;
+            # in particular suffix matching must not hit "bad.example.org"
+            assert not r["blocked"] and r["matched_rule"] is None
