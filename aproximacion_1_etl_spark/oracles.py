@@ -2962,4 +2962,29 @@ SELECT doc_id, host,
        CASE WHEN len(matched) > 0 THEN matched[1] END AS matched_rule
 FROM sx
 """,
+    # mirror of q_embedding_dim_stats: decimal sums -> one double
+    # division; sqrt correctly rounded in both engines
+    "embedding_dim_stats": """
+WITH ex AS (
+  SELECT generate_subscripts(embedding, 1) AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings),
+a AS (
+  SELECT dim, count(*) AS n,
+         sum(CAST(v AS DECIMAL(38,18))) AS s1,
+         sum(CAST(v * v AS DECIMAL(38,18))) AS s2,
+         min(v) AS vmin, max(v) AS vmax
+  FROM ex GROUP BY 1)
+SELECT CAST(dim AS INT) AS dim,
+       CAST(n AS BIGINT) AS n,
+       floor((CAST(s1 AS DOUBLE) / n) * 1000000.0 + 0.5) / 1000000.0
+         AS mean,
+       floor(sqrt(greatest(CAST(s2 AS DOUBLE) / n
+                           - (CAST(s1 AS DOUBLE) / n)
+                             * (CAST(s1 AS DOUBLE) / n), 0.0))
+             * 1000000.0 + 0.5) / 1000000.0 AS std,
+       floor((vmin) * 1000000.0 + 0.5) / 1000000.0 AS vmin,
+       floor((vmax) * 1000000.0 + 0.5) / 1000000.0 AS vmax
+FROM a
+""",
 }

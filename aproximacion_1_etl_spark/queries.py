@@ -4622,6 +4622,37 @@ def q_domain_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 embedding normalization prep: per-DIMENSION corpus stats
+    (mean/std/min/max) — what centering, whitening, and quantizer
+    calibration consume. posexplode fans each vector into (dim, value)
+    rows (x dim cost, the honest way to aggregate across vectors);
+    sums are decimal-cast so mean and variance are order-independent,
+    and std = sqrt(E[x^2] - mean^2) stays bit-identical cross-engine
+    (sqrt is IEEE-correctly-rounded)."""
+    from aproximacion_1_etl_spark.text.vector import _as_double
+
+    e = _as_double(load_table(spark, sf_dir, "embeddings"), "embedding")
+    ex = e.select(F.posexplode("embedding").alias("pos", "v"))
+    agg = ex.groupBy((F.col("pos") + 1).alias("dim")).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("v").cast("decimal(38,18)")).alias("s1"),
+        F.sum((F.col("v") * F.col("v")).cast("decimal(38,18)")).alias("s2"),
+        F.min("v").alias("vmin"),
+        F.max("v").alias("vmax"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n")
+    var = F.col("s2").cast("double") / F.col("n") - mean * mean
+    return agg.select(
+        F.col("dim").cast("int").alias("dim"),
+        "n",
+        _fround(mean, 6).alias("mean"),
+        _fround(F.sqrt(F.greatest(var, F.lit(0.0))), 6).alias("std"),
+        _fround(F.col("vmin"), 6).alias("vmin"),
+        _fround(F.col("vmax"), 6).alias("vmax"),
+    )
+
+
 ALL_QUERIES = {
     "flagship_order_lifecycle": q_flagship_order_lifecycle,
     "bm25_topk": q_bm25_topk,
@@ -4806,4 +4837,5 @@ ALL_QUERIES = {
     "corpus_funnel": q_corpus_funnel,
     "winnowed_duplicates": q_winnowed_duplicates,
     "domain_blocklist_filter": q_domain_blocklist_filter,
+    "embedding_dim_stats": q_embedding_dim_stats,
 }

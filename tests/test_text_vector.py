@@ -795,3 +795,24 @@ def test_domain_blocklist_suffix_semantics(spark, sf_dir):
             # "example.com" is NOT a rule, so no other host may match;
             # in particular suffix matching must not hit "bad.example.org"
             assert not r["blocked"] and r["matched_rule"] is None
+
+
+def test_embedding_dim_stats_match_numpy(spark, sf_dir):
+    import math
+
+    import numpy as np
+
+    from aproximacion_1_etl_spark.queries import q_embedding_dim_stats
+
+    out = {r["dim"]: r for r in q_embedding_dim_stats(spark, sf_dir).collect()}
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    mat = np.array([r["embedding"] for r in emb], dtype=np.float64)
+    assert set(out) == set(range(1, mat.shape[1] + 1))
+    for d in (1, 7, 64):
+        col = mat[:, d - 1]
+        r = out[d]
+        assert r["n"] == len(col)
+        assert math.isclose(r["mean"], col.mean(), abs_tol=2e-6)
+        assert math.isclose(r["std"], col.std(), abs_tol=2e-6)
+        assert math.isclose(r["vmin"], col.min(), abs_tol=2e-6)
+        assert math.isclose(r["vmax"], col.max(), abs_tol=2e-6)
