@@ -557,6 +557,21 @@ def bpe_train_merges(
         lambda i: F.col("word").substr(i, F.lit(1)),
     )
     cur = wc.select(chars.alias("syms"), "cnt").localCheckpoint()
+    # Size the training loop's partitioning to the VOCABULARY, not the
+    # cluster (same rule as dedup_clusters): the distinct-word relation
+    # is Zipf-small, and per-round task scheduling dominates when a few
+    # thousand words spread over defaultParallelism partitions. The
+    # count is ~free (cur was just checkpointed), coalesce is narrow,
+    # and at real vocab sizes n//50k returns full parallelism.
+    n_vocab = cur.count()
+    parts = max(
+        2,
+        min(
+            docs.sparkSession.sparkContext.defaultParallelism,
+            n_vocab // 50_000 + 1,
+        ),
+    )
+    cur = cur.coalesce(parts)
     merges: list[tuple[int, str, str, int]] = []
     for step in range(1, n_merges + 1):
         live = cur.filter(F.size("syms") >= 2)
@@ -598,6 +613,7 @@ def bpe_train_merges(
         cur = (
             cur.filter(F.size("syms") >= 2)
             .select(fold.alias("syms"), "cnt")
+            .coalesce(parts)
             .localCheckpoint()
         )
     return spark.createDataFrame(
