@@ -2987,4 +2987,18 @@ SELECT CAST(dim AS INT) AS dim,
        floor((vmax) * 1000000.0 + 0.5) / 1000000.0 AS vmax
 FROM a
 """,
+    "vocab_growth": "WITH "
+    + _SHINGLES_SQL.strip()
+    + """,
+f AS (SELECT shingle, min(doc_id) AS first_doc FROM shingles GROUP BY 1),
+pd AS (SELECT first_doc AS doc_id, count(*) AS new_grams
+       FROM f GROUP BY 1)
+SELECT d.doc_id,
+       CAST(coalesce(pd.new_grams, 0) AS BIGINT) AS new_grams,
+       CAST(sum(coalesce(pd.new_grams, 0)) OVER (
+              ORDER BY d.doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cum_vocab
+FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+""",
 }

@@ -4653,6 +4653,56 @@ def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 corpus statistics: vocabulary growth (Heaps-law) curve —
+    per document (in doc_id order), how many word-3-grams are NEW and
+    the cumulative distinct vocabulary so far. The curve's flattening
+    is the classic "more of the same" saturation signal corpus
+    curation watches. Shape: each gram's first-occurrence doc via one
+    groupBy min, counts per first-doc, and a running sum over the
+    per-doc relation (corpus-sized rows only in the first two keyed
+    aggregations; the window runs over |docs| rows)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = word_shingles(docs, n=3, distinct=True)
+    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = first.groupBy(F.col("first_doc").alias("doc_id")).agg(
+        F.count("*").cast("bigint").alias("new_grams")
+    )
+    spine = docs.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("new_grams", F.lit(0)).cast("bigint").alias("new_grams"),
+    )
+    # Two-phase running sum (same pattern as deterministic_global_index):
+    # a bare ORDER BY doc_id window is one task over the whole corpus.
+    # Bucket by doc_id ranges — order-aligned with doc_id, so
+    # bucket-offset + in-bucket running sum == the global prefix sum —
+    # and the offsets window runs over |docs|/65536 rows (re-apply the
+    # same split once more if even that is too large).
+    bucketed = spine.withColumn("b", F.expr("doc_id div 65536"))
+    wb = Window.partitionBy("b").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    inb = bucketed.withColumn("run_in_b", F.sum("new_grams").over(wb))
+    wo = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    off = (
+        bucketed.groupBy("b")
+        .agg(F.sum("new_grams").alias("nb"))
+        .select("b", F.coalesce(F.sum("nb").over(wo), F.lit(0)).alias("off"))
+    )
+    return (
+        inb.join(F.broadcast(off), "b")
+        .select(
+            "doc_id",
+            "new_grams",
+            (F.col("run_in_b") + F.col("off")).cast("bigint").alias(
+                "cum_vocab"
+            ),
+        )
+    )
+
+
 ALL_QUERIES = {
     "flagship_order_lifecycle": q_flagship_order_lifecycle,
     "bm25_topk": q_bm25_topk,
@@ -4838,4 +4888,5 @@ ALL_QUERIES = {
     "winnowed_duplicates": q_winnowed_duplicates,
     "domain_blocklist_filter": q_domain_blocklist_filter,
     "embedding_dim_stats": q_embedding_dim_stats,
+    "vocab_growth": q_vocab_growth,
 }

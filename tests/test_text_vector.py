@@ -816,3 +816,23 @@ def test_embedding_dim_stats_match_numpy(spark, sf_dir):
         assert math.isclose(r["std"], col.std(), abs_tol=2e-6)
         assert math.isclose(r["vmin"], col.min(), abs_tol=2e-6)
         assert math.isclose(r["vmax"], col.max(), abs_tol=2e-6)
+
+
+def test_vocab_growth_curve_properties(spark, sf_dir):
+    from aproximacion_1_etl_spark.queries import q_vocab_growth
+
+    rows = sorted(
+        q_vocab_growth(spark, sf_dir).collect(), key=lambda r: r["doc_id"]
+    )
+    assert rows, "empty curve"
+    # cum_vocab is the prefix sum of new_grams (two-phase == global)
+    run = 0
+    for r in rows:
+        run += r["new_grams"]
+        assert r["cum_vocab"] == run
+    # final point equals the corpus-wide distinct shingle count
+    from aproximacion_1_etl_spark.text.dedup import word_shingles
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    total = word_shingles(docs, n=3, distinct=True).select("shingle").distinct().count()
+    assert rows[-1]["cum_vocab"] == total
