@@ -282,3 +282,72 @@ def test_rrf_fuse_matches_naive(spark, lex, sem):
     for k in got:
         assert got[k][1] == want[k][1], (k, got[k], want[k])
         assert abs(got[k][0] - want[k][0]) < 1e-9
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 14), st.integers(0, 14)).filter(
+            lambda e: e[0] != e[1]
+        ),
+        min_size=1, max_size=12,
+    ),
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_dedup_clusters_matches_union_find(spark, edges):
+    """Iterative min-label propagation == textbook union-find on any
+    random pair graph (chains, cliques, forests)."""
+    from aproximacion_1_etl_spark.text.dedup import dedup_clusters
+
+    pairs = [(min(a, b), max(a, b)) for a, b in edges]
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in parent}
+    df = spark.createDataFrame(pairs, "doc_a BIGINT, doc_b BIGINT")
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["keep"])
+        for r in dedup_clusters(df).collect()
+    }
+    assert set(got) == set(want)
+    for x, root in want.items():
+        assert got[x] == (root, x == root)
+
+
+@given(
+    word=st.text(alphabet="abc", min_size=2, max_size=12),
+    p1=st.text(alphabet="abc", min_size=1, max_size=2),
+    p2=st.text(alphabet="abc", min_size=1, max_size=2),
+)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_bpe_fold_matches_python_greedy(spark, word, p1, p2):
+    """The F.aggregate greedy merge fold == a plain-Python greedy
+    left-to-right merge for any word and rule (incl. overlapping
+    occurrences like rule (a,a) on 'aaa')."""
+    from aproximacion_1_etl_spark.text.analysis import bpe_encode
+
+    def py_merge(syms, a, b):
+        out = []
+        for s in syms:
+            if out and out[-1] == a and s == b:
+                out[-1] = a + b
+            else:
+                out.append(s)
+        return out
+
+    ref = py_merge(list(word), p1, p2)
+    docs = spark.createDataFrame([(1, word)], "doc_id BIGINT, text STRING")
+    got = bpe_encode(docs, [(p1, p2)]).collect()[0]
+    assert got["n_tokens"] == len(ref)
+    assert got["n_chars"] == len(word)
