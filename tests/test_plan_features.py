@@ -238,3 +238,28 @@ def test_dedup_clusters_loop_partitions_track_graph_size(spark):
         (1, 1, True), (2, 1, False), (3, 1, False),
         (10, 10, True), (11, 10, False),
     }
+
+
+def test_results_invariant_under_shuffle_partitioning(spark, sf_dir):
+    """The engine-portability contract: hash-keyed operators return
+    identical VALUES at any shuffle width. Runs three representative
+    keys (Merkle digest, batch packer, RRF fusion) at
+    shuffle.partitions=5 and =32 and compares full result sets."""
+    from aproximacion_1_etl_spark.queries import ALL_QUERIES
+
+    keys = ["corpus_fingerprint", "training_batch_pack",
+            "hybrid_rrf_retrieval"]
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    results = {}
+    try:
+        for parts in ("5", "32"):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            for k in keys:
+                rows = ALL_QUERIES[k](spark, sf_dir).collect()
+                results.setdefault(k, []).append(
+                    sorted(tuple(r) for r in rows)
+                )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
+    for k, (a, b) in results.items():
+        assert a == b, f"{k} changed under repartitioning"
