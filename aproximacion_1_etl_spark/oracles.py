@@ -862,6 +862,41 @@ UNION ALL SELECT 'content_unique', CAST(s4 AS BIGINT) FROM a
 """
 
 
+def _kmeans_profile_sql() -> str:
+    """Mirror of q_kmeans_cluster_profile: the in-engine training
+    recurrence (_ivf_cent_ctes), the same 6-dp argmin assignment, then
+    decimal-mean distance and deterministic dominant label per cell."""
+    return f"""
+WITH {_ivf_cent_ctes()},
+d AS (SELECT e.vec_id, c.cid,
+             floor((list_dot_product(e.v, e.v) + c.cc
+                    - 2.0 * list_dot_product(e.v, c.cv)) * 1000000.0 + 0.5)
+               / 1000000.0 AS d6
+      FROM e CROSS JOIN cent c),
+assign AS (SELECT vec_id, cid AS cell, d6 FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY d6 ASC, cid ASC) AS rn FROM d)
+  WHERE rn = 1),
+al AS (SELECT a.vec_id, a.cell, a.d6, em.label
+       FROM assign a JOIN embeddings em ON a.vec_id = em.vec_id),
+st AS (SELECT cell, count(*) AS n,
+              CAST(sum(CAST(d6 AS DECIMAL(38,18))) AS DOUBLE) / count(*)
+                AS md
+       FROM al GROUP BY 1),
+lb AS (SELECT cell, label AS top_label, n_l AS top_label_n FROM (
+    SELECT cell, label, count(*) AS n_l,
+           row_number() OVER (PARTITION BY cell
+                              ORDER BY count(*) DESC, label ASC) AS rn
+    FROM al GROUP BY 1, 2) WHERE rn = 1)
+SELECT CAST(st.cell AS INT) AS cell,
+       CAST(st.n AS BIGINT) AS n,
+       floor(st.md * 1000000.0 + 0.5) / 1000000.0 AS mean_dist,
+       lb.top_label,
+       CAST(lb.top_label_n AS BIGINT) AS top_label_n
+FROM st JOIN lb ON st.cell = lb.cell
+"""
+
+
 ALL_ORACLES: dict[str, str] = {
     "pagerank_suppliers": _pagerank_sql(),
     "bm25_topk": _bm25_sql(_BM25_QUERIES),
@@ -3001,4 +3036,5 @@ SELECT d.doc_id,
             AS BIGINT) AS cum_vocab
 FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
 """,
+    "kmeans_cluster_profile": _kmeans_profile_sql(),
 }

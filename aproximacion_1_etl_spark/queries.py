@@ -4703,6 +4703,72 @@ def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 clustering-quality report over the TRAINED IVF codebook:
+    per cell — population, mean (6-dp) quantization distance, dominant
+    label with its count. The go/no-go stats for every IVF/SemDeDup
+    consumer: ballooning cells or rising mean distance mean the
+    codebook no longer fits the corpus. Assignment is the same
+    map-side codebook-literal argmin as ann_topk_ivf (no shuffle);
+    the two keyed aggregations run over |corpus| and |cells x labels|
+    rows. Mean distance sums in decimal so the report value-checks
+    against the in-engine training recurrence oracle."""
+    from pyspark.sql import Window
+
+    from aproximacion_1_etl_spark.text.vector import (
+        _as_double,
+        _dist_structs_sql,
+        _sql_dot,
+    )
+
+    emb = _as_double(load_table(spark, sf_dir, "embeddings"), "embedding")
+    cents = _trained_codebook(spark, sf_dir)
+    cdots = {cid: sum(x * x for x in v) for cid, v in cents.items()}
+    spread = emb.repartition(
+        emb.sparkSession.sparkContext.defaultParallelism, "vec_id"
+    )
+    with_vv = spread.withColumn(
+        "_vv", F.expr(_sql_dot("embedding", "embedding"))
+    )
+    m = F.array_min(
+        F.expr(_dist_structs_sql(cents, cdots, "embedding", "_vv", 6))
+    )
+    assigned = with_vv.select(
+        "vec_id",
+        "label",
+        m.getField("cid").alias("cell"),
+        m.getField("d").alias("d6"),
+    )
+    stats = assigned.groupBy("cell").agg(
+        F.count("*").cast("bigint").alias("n"),
+        (
+            F.sum(F.col("d6").cast("decimal(38,18)")).cast("double")
+            / F.count("*")
+        ).alias("md"),
+    )
+    wl = Window.partitionBy("cell").orderBy(
+        F.col("n_l").desc(), F.col("label").asc()
+    )
+    lbl = (
+        assigned.groupBy("cell", "label")
+        .agg(F.count("*").alias("n_l"))
+        .withColumn("rn", F.row_number().over(wl))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cell",
+            F.col("label").alias("top_label"),
+            F.col("n_l").cast("bigint").alias("top_label_n"),
+        )
+    )
+    return stats.join(lbl, "cell").select(
+        F.col("cell").cast("int").alias("cell"),
+        "n",
+        _fround(F.col("md"), 6).alias("mean_dist"),
+        "top_label",
+        "top_label_n",
+    )
+
+
 ALL_QUERIES = {
     "flagship_order_lifecycle": q_flagship_order_lifecycle,
     "bm25_topk": q_bm25_topk,
@@ -4889,4 +4955,5 @@ ALL_QUERIES = {
     "domain_blocklist_filter": q_domain_blocklist_filter,
     "embedding_dim_stats": q_embedding_dim_stats,
     "vocab_growth": q_vocab_growth,
+    "kmeans_cluster_profile": q_kmeans_cluster_profile,
 }

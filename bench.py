@@ -114,6 +114,7 @@ HEADLINE = [
     "domain_blocklist_filter",
     "embedding_dim_stats",
     "vocab_growth",
+    "kmeans_cluster_profile",
     # Python-worker queries LAST: applyInPandas spins up 32 Python
     # workers and leaves GC pressure that inflates the next JVM-only
     # query by ~3x (measured: dedup_minhash_lsh 6.96s after it vs 1.9s

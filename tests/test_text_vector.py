@@ -836,3 +836,16 @@ def test_vocab_growth_curve_properties(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     total = word_shingles(docs, n=3, distinct=True).select("shingle").distinct().count()
     assert rows[-1]["cum_vocab"] == total
+
+
+def test_kmeans_cluster_profile_partitions_corpus(spark, sf_dir):
+    from aproximacion_1_etl_spark.queries import q_kmeans_cluster_profile
+
+    rows = q_kmeans_cluster_profile(spark, sf_dir).collect()
+    total = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    # assignment is a partition: every vector in exactly one cell
+    assert sum(r["n"] for r in rows) == total
+    assert len({r["cell"] for r in rows}) == len(rows)
+    for r in rows:
+        assert 0 < r["top_label_n"] <= r["n"]
+        assert r["mean_dist"] >= 0.0
