@@ -897,6 +897,53 @@ FROM st JOIN lb ON st.cell = lb.cell
 """
 
 
+def _lsh_multiprobe_sql(
+    query_ids: str = "0, 1, 2, 3, 4",
+    k: int = 10,
+    planes: int = 4,
+    tables: int = 1,
+    dim: int = 64,
+) -> str:
+    """Generated mirror of text/vector.py::ann_topk_lsh_multiprobe —
+    the _lsh_sql bucketing plus the query-side 1-bit-flip probe set
+    (xor against {0, 1, 2, 4, ...})."""
+    per_table = []
+    for t in range(tables):
+        terms = " + ".join(
+            f"CASE WHEN list_dot_product(v, {_plane_literal(t, p, dim)}) >= 0 "
+            f"THEN {2**p} ELSE 0 END"
+            for p in range(planes)
+        )
+        per_table.append(
+            f"SELECT vec_id, v, {t} AS tbl, ({terms}) AS bucket FROM e"
+        )
+    buckets = " UNION ALL ".join(per_table)
+    flips = ", ".join(["0"] + [str(2**p) for p in range(planes)])
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+bk AS ({buckets}),
+q AS (SELECT vec_id AS qid, v AS qv, tbl,
+             xor(bucket, f.flip) AS bucket
+      FROM bk, (SELECT unnest([{flips}]) AS flip) f
+      WHERE vec_id IN ({query_ids})),
+cand AS (SELECT DISTINCT q.qid, b.vec_id
+         FROM bk b JOIN q ON b.tbl = q.tbl AND b.bucket = q.bucket
+         WHERE b.vec_id != q.qid),
+s AS (SELECT c.qid AS query_id, c.vec_id,
+             floor((list_dot_product(qe.v, ce.v) /
+                   (sqrt(list_dot_product(qe.v, qe.v)) *
+                    sqrt(list_dot_product(ce.v, ce.v)))) * 1000000000.0 + 0.5) / 1000000000.0 AS cos_sim
+      FROM cand c
+      JOIN e ce ON c.vec_id = ce.vec_id
+      JOIN e qe ON c.qid = qe.vec_id),
+r AS (SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS rank
+      FROM s)
+SELECT query_id, vec_id, floor((cos_sim) * 10000.0 + 0.5) / 10000.0 AS cos_sim, rank
+FROM r WHERE rank <= {k}
+"""
+
+
 ALL_ORACLES: dict[str, str] = {
     "pagerank_suppliers": _pagerank_sql(),
     "bm25_topk": _bm25_sql(_BM25_QUERIES),
@@ -3037,4 +3084,5 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
 """,
     "kmeans_cluster_profile": _kmeans_profile_sql(),
+    "ann_topk_multiprobe": _lsh_multiprobe_sql(),
 }

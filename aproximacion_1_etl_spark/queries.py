@@ -4769,6 +4769,21 @@ def q_kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_topk_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 multi-probe LSH (Lv et al.): probe the 1-bit-flip neighbor
+    buckets of each query — table-count recall at single-table corpus
+    cost; the fan-out is query-side only
+    (text/vector.py::ann_topk_lsh_multiprobe)."""
+    from aproximacion_1_etl_spark.text.vector import (
+        ann_topk_lsh_multiprobe,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann_topk_lsh_multiprobe(
+        emb, query_ids=[0, 1, 2, 3, 4], k=10, planes=4, tables=1, dim=64
+    )
+
+
 ALL_QUERIES = {
     "flagship_order_lifecycle": q_flagship_order_lifecycle,
     "bm25_topk": q_bm25_topk,
@@ -4956,4 +4971,5 @@ ALL_QUERIES = {
     "embedding_dim_stats": q_embedding_dim_stats,
     "vocab_growth": q_vocab_growth,
     "kmeans_cluster_profile": q_kmeans_cluster_profile,
+    "ann_topk_multiprobe": q_ann_topk_multiprobe,
 }

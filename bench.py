@@ -115,6 +115,7 @@ HEADLINE = [
     "embedding_dim_stats",
     "vocab_growth",
     "kmeans_cluster_profile",
+    "ann_topk_multiprobe",
     # Python-worker queries LAST: applyInPandas spins up 32 Python
     # workers and leaves GC pressure that inflates the next JVM-only
     # query by ~3x (measured: dedup_minhash_lsh 6.96s after it vs 1.9s

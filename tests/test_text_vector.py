@@ -849,3 +849,33 @@ def test_kmeans_cluster_profile_partitions_corpus(spark, sf_dir):
     for r in rows:
         assert 0 < r["top_label_n"] <= r["n"]
         assert r["mean_dist"] >= 0.0
+
+
+def test_multiprobe_recall_dominates_single_probe(spark, sf_dir):
+    from aproximacion_1_etl_spark.text.vector import (
+        ann_topk_bruteforce,
+        ann_topk_lsh,
+        ann_topk_lsh_multiprobe,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qids, k = [0, 1, 2, 3, 4], 10
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in ann_topk_bruteforce(emb, qids, k=k).collect()
+    }
+    single = {
+        (r["query_id"], r["vec_id"])
+        for r in ann_topk_lsh(emb, qids, k=k, planes=4, tables=1, dim=64).collect()
+    }
+    multi = {
+        (r["query_id"], r["vec_id"])
+        for r in ann_topk_lsh_multiprobe(
+            emb, qids, k=k, planes=4, tables=1, dim=64
+        ).collect()
+    }
+    r_single = len(single & exact) / len(exact)
+    r_multi = len(multi & exact) / len(exact)
+    # probing 1-bit-flip neighbors strictly widens the candidate set,
+    # so recall can only stay equal or improve
+    assert r_multi >= r_single
