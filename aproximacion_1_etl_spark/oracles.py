@@ -801,12 +801,26 @@ FROM e{n_merges} GROUP BY 1
     return "".join(parts)
 
 
-def _funnel_sql() -> str:
-    """Generated mirror of queries.q_corpus_funnel: the language-hit
-    subquery is generated from the SAME LANG_MARKERS constant the Spark
-    lang_id() bakes in, and the quality expression is copied operand-
-    for-operand from the text_profile mirror (incl. the floor-round
-    before the 0.5 comparison)."""
+# quality_score mirror, shared by the funnel and outlier oracles
+# (copied operand-for-operand from the text_profile mirror, incl. the
+# floor-round that precedes any threshold comparison)
+_QUALITY_SQL = """floor((0.25 * (CASE WHEN length(text) BETWEEN 100 AND 20000
+                     THEN 1.0 ELSE 0.0 END)
+      + 0.25 * (1.0 - len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) * 1.0
+                 / greatest(length(text), 1))
+      + 0.25 * (len(regexp_extract_all(text, '[A-Za-z]')) * 1.0
+                 / greatest(length(text), 1))
+      + 0.25 * (CASE WHEN length(text) * 1.0 /
+                       greatest(len(regexp_split_to_array(trim(text),
+                                                          '\\s+')), 1)
+                       BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.0 END))
+        * 10000.0 + 0.5) / 10000.0"""
+
+
+def _lang_hits_sql() -> str:
+    """Language-marker hit columns generated from the SAME LANG_MARKERS
+    constant the Spark lang_id() bakes in (shared by the funnel and
+    confusion-matrix oracles)."""
     from aproximacion_1_etl_spark.text.analysis import LANG_MARKERS
 
     hits = []
@@ -818,18 +832,66 @@ def _funnel_sql() -> str:
             for w in words
         )
         hits.append(f"({terms}) AS {lang}_h")
-    hits_sql = ",\n    ".join(hits)
-    quality = """floor((0.25 * (CASE WHEN length(text) BETWEEN 100 AND 20000
-                     THEN 1.0 ELSE 0.0 END)
-      + 0.25 * (1.0 - len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) * 1.0
-                 / greatest(length(text), 1))
-      + 0.25 * (len(regexp_extract_all(text, '[A-Za-z]')) * 1.0
-                 / greatest(length(text), 1))
-      + 0.25 * (CASE WHEN length(text) * 1.0 /
-                       greatest(len(regexp_split_to_array(trim(text),
-                                                          '\\s+')), 1)
-                       BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.0 END))
-        * 10000.0 + 0.5) / 10000.0"""
+    return ",\n    ".join(hits)
+
+
+# the lang_id() CASE mirror over the *_h hit columns
+_LANG_PRED_SQL = """CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+       WHEN greatest(es_h, de_h, fr_h, en_h) >= 1
+            AND es_h = greatest(es_h, de_h, fr_h, en_h) THEN 'es'
+       WHEN greatest(es_h, de_h, fr_h, en_h) >= 1
+            AND de_h = greatest(es_h, de_h, fr_h, en_h) THEN 'de'
+       WHEN greatest(es_h, de_h, fr_h, en_h) >= 1
+            AND fr_h = greatest(es_h, de_h, fr_h, en_h) THEN 'fr'
+       WHEN greatest(es_h, de_h, fr_h, en_h) >= 1
+            AND en_h = greatest(es_h, de_h, fr_h, en_h) THEN 'en'
+       ELSE 'und' END"""
+
+
+def _lang_confusion_sql() -> str:
+    """Generated mirror of queries.q_lang_confusion."""
+    return f"""
+WITH base AS (
+  SELECT lang, text,
+    {_lang_hits_sql()}
+  FROM documents),
+p AS (SELECT lang AS true_lang,
+             {_LANG_PRED_SQL} AS pred_lang
+      FROM base),
+cm AS (SELECT true_lang, pred_lang, count(*) AS n FROM p GROUP BY 1, 2),
+t AS (SELECT true_lang, sum(n) AS n_true FROM cm GROUP BY 1)
+SELECT cm.true_lang, cm.pred_lang, CAST(cm.n AS BIGINT) AS n,
+       floor(CAST(cm.n AS DOUBLE) / t.n_true * 10000.0 + 0.5) / 10000.0
+         AS frac_of_true
+FROM cm JOIN t ON cm.true_lang = t.true_lang
+"""
+
+
+def _quality_outliers_sql() -> str:
+    """Generated mirror of queries.q_quality_outliers (quantile_disc ==
+    percentile_disc for exact engine parity)."""
+    return f"""
+WITH d AS (SELECT doc_id, source, {_QUALITY_SQL} AS q FROM documents),
+med AS (SELECT source, quantile_disc(q, 0.5) AS med FROM d GROUP BY 1),
+dev AS (SELECT doc_id, d.source, q, med, abs(q - med) AS adev
+        FROM d JOIN med ON d.source = med.source),
+mad AS (SELECT source, quantile_disc(adev, 0.5) AS mad
+        FROM dev GROUP BY 1)
+SELECT doc_id, dev.source,
+       floor(q * 10000.0 + 0.5) / 10000.0 AS q,
+       floor(med * 10000.0 + 0.5) / 10000.0 AS source_median,
+       floor(adev * 10000.0 + 0.5) / 10000.0 AS abs_dev
+FROM dev JOIN mad ON dev.source = mad.source
+WHERE adev > 3.0 * greatest(mad, 0.0001)
+"""
+
+
+def _funnel_sql() -> str:
+    """Generated mirror of queries.q_corpus_funnel (shares
+    _lang_hits_sql and _QUALITY_SQL with the confusion/outlier
+    oracles)."""
+    hits_sql = _lang_hits_sql()
+    quality = _QUALITY_SQL
     return f"""
 WITH base AS (
   SELECT doc_id, text,
@@ -3085,4 +3147,6 @@ FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
 """,
     "kmeans_cluster_profile": _kmeans_profile_sql(),
     "ann_topk_multiprobe": _lsh_multiprobe_sql(),
+    "lang_confusion": _lang_confusion_sql(),
+    "quality_outliers": _quality_outliers_sql(),
 }

@@ -4784,6 +4784,68 @@ def q_ann_topk_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 classifier evaluation artifact: confusion matrix of the
+    heuristic language-ID against the labeled ``lang`` column, with
+    per-true-language recall — the calibration report any quality
+    gate built on lang_id needs before filtering by it. One scan, one
+    keyed aggregation."""
+    from aproximacion_1_etl_spark.text.analysis import lang_id
+
+    d = load_table(spark, sf_dir, "documents")
+    cm = d.groupBy(
+        F.col("lang").alias("true_lang"),
+        lang_id(F.col("text")).alias("pred_lang"),
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    tot = cm.groupBy("true_lang").agg(F.sum("n").alias("n_true"))
+    return cm.join(tot, "true_lang").select(
+        "true_lang",
+        "pred_lang",
+        "n",
+        _fround(
+            F.col("n").cast("double") / F.col("n_true"), 4
+        ).alias("frac_of_true"),
+    )
+
+
+def q_quality_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 robust per-source outlier flagging: docs whose quality
+    score sits more than 3 MAD-equivalents from their SOURCE's median
+    — median/MAD instead of mean/std so a burst of junk cannot mask
+    itself by inflating the std. Exact discrete percentiles
+    (percentile_disc) keep both engines bit-identical; the per-source
+    stats relation is tiny and broadcasts back."""
+    from aproximacion_1_etl_spark.text.analysis import quality_score
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", quality_score(F.col("text")).alias("q")
+    )
+    med = d.groupBy("source").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY q)").alias(
+            "med"
+        )
+    )
+    dev = d.join(F.broadcast(med), "source").select(
+        "doc_id", "source", "q", "med",
+        F.abs(F.col("q") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("source").agg(
+        F.expr(
+            "percentile_disc(0.5) WITHIN GROUP (ORDER BY adev)"
+        ).alias("mad")
+    )
+    out = dev.join(F.broadcast(mad), "source").filter(
+        F.col("adev") > 3.0 * F.greatest(F.col("mad"), F.lit(0.0001))
+    )
+    return out.select(
+        "doc_id",
+        "source",
+        _fround(F.col("q"), 4).alias("q"),
+        _fround(F.col("med"), 4).alias("source_median"),
+        _fround(F.col("adev"), 4).alias("abs_dev"),
+    )
+
+
 ALL_QUERIES = {
     "flagship_order_lifecycle": q_flagship_order_lifecycle,
     "bm25_topk": q_bm25_topk,
@@ -4972,4 +5034,6 @@ ALL_QUERIES = {
     "vocab_growth": q_vocab_growth,
     "kmeans_cluster_profile": q_kmeans_cluster_profile,
     "ann_topk_multiprobe": q_ann_topk_multiprobe,
+    "lang_confusion": q_lang_confusion,
+    "quality_outliers": q_quality_outliers,
 }

@@ -879,3 +879,25 @@ def test_multiprobe_recall_dominates_single_probe(spark, sf_dir):
     # probing 1-bit-flip neighbors strictly widens the candidate set,
     # so recall can only stay equal or improve
     assert r_multi >= r_single
+
+
+def test_lang_confusion_is_a_partition_with_recall_fractions(spark, sf_dir):
+    from aproximacion_1_etl_spark.queries import q_lang_confusion
+
+    rows = q_lang_confusion(spark, sf_dir).collect()
+    total = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(r["n"] for r in rows) == total
+    by_true: dict[str, float] = {}
+    for r in rows:
+        by_true[r["true_lang"]] = by_true.get(r["true_lang"], 0.0) + r["frac_of_true"]
+    for lang, s in by_true.items():
+        assert abs(s - 1.0) < 0.001, (lang, s)
+
+
+def test_quality_outliers_are_far_from_source_median(spark, sf_dir):
+    from aproximacion_1_etl_spark.queries import q_quality_outliers
+
+    rows = q_quality_outliers(spark, sf_dir).collect()
+    for r in rows:
+        assert r["abs_dev"] > 0.0
+        assert abs(abs(r["q"] - r["source_median"]) - r["abs_dev"]) < 0.0002
