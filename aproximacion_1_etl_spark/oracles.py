@@ -3149,4 +3149,34 @@ FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
     "ann_topk_multiprobe": _lsh_multiprobe_sql(),
     "lang_confusion": _lang_confusion_sql(),
     "quality_outliers": _quality_outliers_sql(),
+    # 2^-k decay with INTEGER k is exact in IEEE doubles, so the decay
+    # factors (and the decimal-cast weighted sum) are bit-identical
+    "decayed_user_value": """
+WITH t AS (SELECT max(ts) AS t0 FROM events),
+aged AS (SELECT user_id, value,
+                CAST(datediff('day', CAST(ts AS DATE), CAST(t0 AS DATE))
+                     // 7 AS INT) AS wk
+         FROM events, t)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       floor(CAST(sum(CAST(value * pow(0.5, wk) AS DECIMAL(38,18)))
+                  AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+         AS decayed_value
+FROM aged GROUP BY 1
+""",
+    "event_bigrams": """
+WITH p AS (
+  SELECT user_id,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type,
+         event_type AS next_type
+  FROM events),
+cm AS (SELECT prev_type, next_type, count(*) AS n
+       FROM p WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+t AS (SELECT prev_type, sum(n) AS n_prev FROM cm GROUP BY 1)
+SELECT cm.prev_type, cm.next_type, CAST(cm.n AS BIGINT) AS n,
+       floor(CAST(cm.n AS DOUBLE) / t.n_prev * 10000.0 + 0.5) / 10000.0
+         AS p_next_given_prev
+FROM cm JOIN t ON cm.prev_type = t.prev_type
+""",
 }

@@ -4846,6 +4846,67 @@ def q_quality_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decayed_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 recency-weighted feature engineering: per-user engagement
+    = sum(value x 2^-(age_weeks)) with a 1-week half-life — the
+    standard decay feature for freshness-aware sampling/ranking. Age
+    quantizes to whole weeks so the decay factor is an exact power of
+    two (bit-identical in any engine — pow/exp of arbitrary doubles
+    carries no cross-engine rounding guarantee, 0.5^k of an integer k
+    does); the weighted sum is decimal-cast. Reference anchor = the
+    corpus max timestamp, computed in-plan as a broadcast scalar."""
+    ev = load_table(spark, sf_dir, "events")
+    anchor = ev.agg(F.max("ts").alias("t0"))
+    aged = ev.crossJoin(F.broadcast(anchor)).select(
+        "user_id",
+        "value",
+        F.expr("datediff(t0, ts) div 7").cast("int").alias("wk"),
+    )
+    term = F.col("value") * F.pow(F.lit(0.5), F.col("wk"))
+    return (
+        aged.groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(term.cast("decimal(38,18)")).alias("s"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            _fround(F.col("s").cast("double"), 6).alias("decayed_value"),
+        )
+    )
+
+
+def q_event_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 behavioral pattern mining: corpus-wide counts of
+    consecutive event-type transitions (per-user ts order) with their
+    conditional probability P(next | prev) — the first-order Markov
+    model of user flows. One window pass for the lag, two keyed
+    aggregations; the transition matrix is |types|^2-bounded."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            "user_id",
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.col("event_type").alias("next_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+    )
+    cm = pairs.groupBy("prev_type", "next_type").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    tot = cm.groupBy("prev_type").agg(F.sum("n").alias("n_prev"))
+    return cm.join(tot, "prev_type").select(
+        "prev_type",
+        "next_type",
+        "n",
+        _fround(F.col("n").cast("double") / F.col("n_prev"), 4).alias(
+            "p_next_given_prev"
+        ),
+    )
+
+
 ALL_QUERIES = {
     "flagship_order_lifecycle": q_flagship_order_lifecycle,
     "bm25_topk": q_bm25_topk,
@@ -5036,4 +5097,6 @@ ALL_QUERIES = {
     "ann_topk_multiprobe": q_ann_topk_multiprobe,
     "lang_confusion": q_lang_confusion,
     "quality_outliers": q_quality_outliers,
+    "decayed_user_value": q_decayed_user_value,
+    "event_bigrams": q_event_bigrams,
 }

@@ -195,3 +195,41 @@ def test_fingerprint_diff_localizes_changes(spark):
     assert "changed" in statuses and statuses <= {"changed", "only_left"}
     # identical corpora diff to zero rows
     assert fingerprint_diff(left, left, "id", ["text"]).count() == 0
+
+
+def test_decayed_value_halves_per_week(spark, tmp_path):
+    import os
+
+    from aproximacion_1_etl_spark.queries import q_decayed_user_value
+
+    rows = [
+        (1, "2026-01-29 00:00:00", 1, "a", 8.0, "{}"),   # anchor week
+        (2, "2026-01-22 00:00:00", 1, "a", 8.0, "{}"),   # 1 week old
+        (3, "2026-01-08 00:00:00", 1, "a", 8.0, "{}"),   # 3 weeks old
+        (4, "2026-01-29 00:00:00", 2, "a", 3.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id BIGINT, ts STRING, user_id BIGINT, event_type STRING, "
+        "value DOUBLE, props STRING",
+    ).withColumn("ts", __import__("pyspark.sql.functions", fromlist=["F"]).to_timestamp("ts"))
+    d = str(tmp_path)
+    df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    out = {r["user_id"]: r for r in q_decayed_user_value(spark, d).collect()}
+    # 8 + 8/2 + 8/8 = 13.0 exactly (powers of two)
+    assert out[1]["decayed_value"] == 13.0
+    assert out[2]["decayed_value"] == 3.0
+
+
+def test_event_bigrams_probabilities_sum_to_one(spark, sf_dir):
+    from aproximacion_1_etl_spark.queries import q_event_bigrams
+
+    rows = q_event_bigrams(spark, sf_dir).collect()
+    by_prev: dict[str, float] = {}
+    for r in rows:
+        assert 0.0 < r["p_next_given_prev"] <= 1.0
+        by_prev[r["prev_type"]] = (
+            by_prev.get(r["prev_type"], 0.0) + r["p_next_given_prev"]
+        )
+    for prev, s in by_prev.items():
+        assert abs(s - 1.0) < 0.001, (prev, s)
