@@ -93,3 +93,29 @@ def grouped_stats_pandas(
         .groupBy(key)
         .applyInPandas(stats, schema=out_schema)
     )
+
+
+def ce_key_udf():
+    """Cross-encoder stand-in scorer for the retrieve->rerank pipeline
+    (queries.q_rerank_crossencoder): a deterministic md5 over
+    (query_id, doc_id, first 16 chars of text), returned as the 8-hex
+    ordering key. Arrow-batched like a real model would be — swap the
+    body for tokenizer+forward pass and the batch shape, join, and
+    ranking around it are already proven. Deterministic so the whole
+    pipeline stays value-checked against the SQL oracle."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def ce_key(
+        qid: pd.Series, did: pd.Series, text: pd.Series
+    ) -> pd.Series:
+        import hashlib
+
+        return pd.Series(
+            hashlib.md5(
+                f"{q}:{d}:{(t or '')[:16]}".encode()
+            ).hexdigest()[:8]
+            for q, d, t in zip(qid, did, text)
+        )
+
+    return ce_key

@@ -1006,6 +1006,27 @@ FROM r WHERE rank <= {k}
 """
 
 
+def _rerank_sql() -> str:
+    """Generated mirror of q_rerank_crossencoder: the _rrf_sql mirror
+    as a CTE, joined to text, re-scored by the same md5 stand-in the
+    pandas UDF computes (identical input string construction), ranked
+    by (key desc, doc asc)."""
+    return f"""
+WITH fused AS ({_rrf_sql()}),
+j AS (SELECT f.query_id, f.doc_id,
+             substr(md5(CAST(f.query_id AS VARCHAR) || ':' ||
+                        CAST(f.doc_id AS VARCHAR) || ':' ||
+                        substr(coalesce(d.text, ''), 1, 16)), 1, 8)
+               AS ce_key
+      FROM fused f LEFT JOIN documents d ON f.doc_id = d.doc_id)
+SELECT query_id, doc_id, ce_key,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY ce_key DESC, doc_id ASC)
+            AS BIGINT) AS rank
+FROM j
+"""
+
+
 ALL_ORACLES: dict[str, str] = {
     "pagerank_suppliers": _pagerank_sql(),
     "bm25_topk": _bm25_sql(_BM25_QUERIES),
@@ -3179,4 +3200,5 @@ SELECT cm.prev_type, cm.next_type, CAST(cm.n AS BIGINT) AS n,
          AS p_next_given_prev
 FROM cm JOIN t ON cm.prev_type = t.prev_type
 """,
+    "rerank_crossencoder": _rerank_sql(),
 }

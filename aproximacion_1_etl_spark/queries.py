@@ -4907,6 +4907,50 @@ def q_event_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rerank_crossencoder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 + §2.10 retrieve -> rerank: the hybrid RRF top-10 per query
+    is joined back to document text and re-scored by an Arrow-batched
+    pandas UDF standing in for a cross-encoder — the two-stage ranking
+    stack every production RAG system runs (cheap recall stage, then
+    an expensive pairwise model over k rows per query, NEVER the
+    corpus). The stand-in model is a deterministic md5 over
+    (query_id, doc_id, text prefix), so the full pipeline — retrieval,
+    join, Arrow round-trip, rerank window — is value-checked
+    end-to-end; swap the UDF body for a real model and the plumbing
+    (batch shape, join, ranking) is already proven."""
+    from aproximacion_1_etl_spark.operators.pandas_ops import ce_key_udf
+    from aproximacion_1_etl_spark.text.analysis import (
+        BM25_QUERIES,
+        bm25_topk,
+        rrf_fuse,
+    )
+    from aproximacion_1_etl_spark.text.vector import ann_topk_bruteforce
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    lex = bm25_topk(docs, BM25_QUERIES, k=20)
+    sem = ann_topk_bruteforce(
+        emb, query_ids=sorted(BM25_QUERIES), k=20, id_col="vec_id"
+    ).withColumnRenamed("vec_id", "doc_id")
+    fused = rrf_fuse(lex, sem, k=10, rrf_k=60)
+    ce_key = ce_key_udf()
+    joined = fused.join(
+        docs.select("doc_id", "text"), "doc_id", "left"
+    ).select(
+        "query_id",
+        "doc_id",
+        ce_key(F.col("query_id"), F.col("doc_id"), F.col("text")).alias(
+            "ce_key"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("ce_key").desc(), F.col("doc_id").asc()
+    )
+    return joined.withColumn(
+        "rank", F.row_number().over(w).cast("bigint")
+    )
+
+
 ALL_QUERIES = {
     "flagship_order_lifecycle": q_flagship_order_lifecycle,
     "bm25_topk": q_bm25_topk,
@@ -5099,4 +5143,5 @@ ALL_QUERIES = {
     "quality_outliers": q_quality_outliers,
     "decayed_user_value": q_decayed_user_value,
     "event_bigrams": q_event_bigrams,
+    "rerank_crossencoder": q_rerank_crossencoder,
 }

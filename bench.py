@@ -126,6 +126,7 @@ HEADLINE = [
     # isolated).
     "grouped_pandas_stats",
     "cogrouped_pandas_join",
+    "rerank_crossencoder",
     # round-2 session-2 newcomer: the LLM-pipeline flagship composite
     "corpus_to_sequences",
 ]

@@ -901,3 +901,31 @@ def test_quality_outliers_are_far_from_source_median(spark, sf_dir):
     for r in rows:
         assert r["abs_dev"] > 0.0
         assert abs(abs(r["q"] - r["source_median"]) - r["abs_dev"]) < 0.0002
+
+
+def test_rerank_preserves_candidates_and_is_deterministic(spark, sf_dir):
+    from aproximacion_1_etl_spark.queries import (
+        q_hybrid_rrf_retrieval,
+        q_rerank_crossencoder,
+    )
+
+    fused = {
+        (r["query_id"], r["doc_id"])
+        for r in q_hybrid_rrf_retrieval(spark, sf_dir).collect()
+    }
+    rr = q_rerank_crossencoder(spark, sf_dir).collect()
+    # rerank permutes the retrieval candidates, never adds or drops
+    assert {(r["query_id"], r["doc_id"]) for r in rr} == fused
+    by_q: dict[int, list] = {}
+    for r in rr:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rows in by_q.items():
+        assert sorted(r["rank"] for r in rows) == list(
+            range(1, len(rows) + 1)
+        )
+        ordered = sorted(rows, key=lambda r: r["rank"])
+        keys = [r["ce_key"] for r in ordered]
+        assert keys == sorted(keys, reverse=True)
+    # deterministic across runs
+    again = q_rerank_crossencoder(spark, sf_dir).collect()
+    assert sorted(map(tuple, rr)) == sorted(map(tuple, again))
