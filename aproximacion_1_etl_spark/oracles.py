@@ -3201,4 +3201,26 @@ SELECT cm.prev_type, cm.next_type, CAST(cm.n AS BIGINT) AS n,
 FROM cm JOIN t ON cm.prev_type = t.prev_type
 """,
     "rerank_crossencoder": _rerank_sql(),
+    "type_cooccurrence": """
+WITH b AS (SELECT user_id, list_sort(list_distinct(list(event_type)))
+                    AS types
+           FROM events GROUP BY 1),
+nu AS (SELECT count(*) AS n_users FROM b),
+pr AS (SELECT user_id, a.t AS type_a, c.t AS type_b
+       FROM b, unnest(types) AS a(t), unnest(types) AS c(t)
+       WHERE a.t < c.t),
+pc AS (SELECT type_a, type_b, count(*) AS n_both FROM pr GROUP BY 1, 2),
+s AS (SELECT t, count(*) AS n_t FROM (
+        SELECT user_id, unnest(types) AS t FROM b) GROUP BY 1)
+SELECT pc.type_a, pc.type_b, CAST(pc.n_both AS BIGINT) AS n_both,
+       floor(CAST(pc.n_both AS DOUBLE) / nu.n_users * 10000.0 + 0.5)
+         / 10000.0 AS support,
+       floor(((CAST(pc.n_both AS DOUBLE) / nu.n_users)
+              / ((CAST(sa.n_t AS DOUBLE) / nu.n_users)
+                 * (CAST(sb.n_t AS DOUBLE) / nu.n_users)))
+             * 10000.0 + 0.5) / 10000.0 AS lift
+FROM pc
+JOIN s sa ON pc.type_a = sa.t
+JOIN s sb ON pc.type_b = sb.t, nu
+""",
 }

@@ -4951,6 +4951,70 @@ def q_rerank_crossencoder(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_type_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 association mining (market-basket over user baskets):
+    unordered event-type pairs co-occurring within a user's history,
+    with support and lift = P(a,b) / (P(a) P(b)). The basket relation
+    is per-user DISTINCT types (bounded by |types| per user, built
+    with one keyed agg); pairs come from a per-row array-combination
+    expression — no self-join of the event table. Counts are exact;
+    lift is two double divisions of exact integers, floor-rounded to 4,
+    so the key value-checks."""
+    ev = load_table(spark, sf_dir, "events")
+    baskets = ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_set("event_type")).alias("types")
+    )
+    n_users = baskets.agg(F.count("*").alias("n_users"))
+    pairs = baskets.select(
+        "user_id",
+        F.explode(
+            F.filter(
+                F.flatten(
+                    F.transform(
+                        F.col("types"),
+                        lambda a: F.transform(
+                            F.col("types"),
+                            lambda b: F.struct(
+                                a.alias("type_a"), b.alias("type_b")
+                            ),
+                        ),
+                    )
+                ),
+                lambda st: st["type_a"] < st["type_b"],
+            )
+        ).alias("pr"),
+    ).select("user_id", "pr.type_a", "pr.type_b")
+    pc = pairs.groupBy("type_a", "type_b").agg(
+        F.count("*").cast("bigint").alias("n_both")
+    )
+    single = baskets.select(
+        "user_id", F.explode("types").alias("t")
+    ).groupBy("t").agg(F.count("*").alias("n_t"))
+    sa = single.select(F.col("t").alias("type_a"), F.col("n_t").alias("n_a"))
+    sb = single.select(F.col("t").alias("type_b"), F.col("n_t").alias("n_b"))
+    return (
+        pc.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .crossJoin(F.broadcast(n_users))
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            _fround(
+                F.col("n_both").cast("double") / F.col("n_users"), 4
+            ).alias("support"),
+            _fround(
+                (F.col("n_both").cast("double") / F.col("n_users"))
+                / (
+                    (F.col("n_a").cast("double") / F.col("n_users"))
+                    * (F.col("n_b").cast("double") / F.col("n_users"))
+                ),
+                4,
+            ).alias("lift"),
+        )
+    )
+
+
 ALL_QUERIES = {
     "flagship_order_lifecycle": q_flagship_order_lifecycle,
     "bm25_topk": q_bm25_topk,
@@ -5144,4 +5208,5 @@ ALL_QUERIES = {
     "decayed_user_value": q_decayed_user_value,
     "event_bigrams": q_event_bigrams,
     "rerank_crossencoder": q_rerank_crossencoder,
+    "type_cooccurrence": q_type_cooccurrence,
 }

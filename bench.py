@@ -120,6 +120,7 @@ HEADLINE = [
     "quality_outliers",
     "decayed_user_value",
     "event_bigrams",
+    "type_cooccurrence",
     # Python-worker queries LAST: applyInPandas spins up 32 Python
     # workers and leaves GC pressure that inflates the next JVM-only
     # query by ~3x (measured: dedup_minhash_lsh 6.96s after it vs 1.9s

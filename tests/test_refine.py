@@ -233,3 +233,35 @@ def test_event_bigrams_probabilities_sum_to_one(spark, sf_dir):
         )
     for prev, s in by_prev.items():
         assert abs(s - 1.0) < 0.001, (prev, s)
+
+
+def test_type_cooccurrence_support_and_lift(spark, tmp_path):
+    import os
+
+    from aproximacion_1_etl_spark.queries import q_type_cooccurrence
+
+    # 4 users: a+b together twice, a alone once, b alone once
+    rows = []
+    eid = 0
+    for uid, types in ((1, "ab"), (2, "ab"), (3, "a"), (4, "b")):
+        for t in types:
+            eid += 1
+            rows.append((eid, "2026-01-01 00:00:00", uid, t, 1.0, "{}"))
+    df = spark.createDataFrame(
+        rows,
+        "event_id BIGINT, ts STRING, user_id BIGINT, event_type STRING, "
+        "value DOUBLE, props STRING",
+    )
+    import pyspark.sql.functions as F
+
+    d = str(tmp_path)
+    df.withColumn("ts", F.to_timestamp("ts")).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(d, "events.parquet"))
+    out = q_type_cooccurrence(spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["type_a"], r["type_b"], r["n_both"]) == ("a", "b", 2)
+    assert r["support"] == 0.5
+    # lift = 0.5 / (0.75 * 0.75) = 0.8889
+    assert abs(r["lift"] - 0.8889) < 1e-9
