@@ -3223,4 +3223,26 @@ FROM pc
 JOIN s sa ON pc.type_a = sa.t
 JOIN s sb ON pc.type_b = sb.t, nu
 """,
+    "dedup_rate_by_source": "WITH RECURSIVE "
+    + _SHINGLES_SQL.strip()
+    + ","
+    + _CLUSTER_CTES
+    + """,
+cl AS (SELECT id AS doc_id FROM reach GROUP BY id
+       HAVING id != min(r)),
+ex AS (SELECT doc_id, source,
+              count(*) OVER (
+                PARTITION BY sha256(trim(regexp_replace(lower(text),
+                                                        '\\s+', ' ', 'g')))
+              ) > 1 AS is_exact_dup
+       FROM documents)
+SELECT ex.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN ex.is_exact_dup THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_exact_dup,
+       CAST(sum(CASE WHEN cl.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_near_dup_dropped
+FROM ex LEFT JOIN cl ON ex.doc_id = cl.doc_id
+GROUP BY 1
+""",
 }

@@ -5015,6 +5015,47 @@ def q_type_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 dedup observability: per source — document count, docs
+    that are exact-content duplicates (normalized-hash group size > 1),
+    and docs swept into a near-dup cluster as non-keepers. The
+    per-source attribution is what turns a dedup pass into an
+    actionable report (which feed is flooding the corpus with copies).
+    Reuses the exact operators' expressions and the MinHash-LSH
+    cluster pipeline, so the report cannot drift from the real dedup
+    decisions."""
+    from pyspark.sql import Window
+
+    from aproximacion_1_etl_spark.text.dedup import normalized
+
+    d = load_table(spark, sf_dir, "documents")
+    wch = Window.partitionBy(F.sha2(normalized(F.col("text")), 256))
+    flags = d.select(
+        "doc_id",
+        "source",
+        (F.count("*").over(wch) > 1).alias("is_exact_dup"),
+    )
+    sigs = minhash_signatures(word_shingles(d, distinct=False))
+    cands = minhash_candidate_pairs(sigs, min_matching_bands=2)
+    dropped = dedup_clusters(cands).filter(~F.col("keep")).select(
+        "doc_id", F.lit(True).alias("is_near_dup_drop")
+    )
+    joined = flags.join(F.broadcast(dropped), "doc_id", "left")
+    return joined.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("is_exact_dup"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_exact_dup"),
+        F.sum(
+            F.when(F.coalesce("is_near_dup_drop", F.lit(False)), 1).otherwise(
+                0
+            )
+        )
+        .cast("bigint")
+        .alias("n_near_dup_dropped"),
+    )
+
+
 ALL_QUERIES = {
     "flagship_order_lifecycle": q_flagship_order_lifecycle,
     "bm25_topk": q_bm25_topk,
@@ -5209,4 +5250,5 @@ ALL_QUERIES = {
     "event_bigrams": q_event_bigrams,
     "rerank_crossencoder": q_rerank_crossencoder,
     "type_cooccurrence": q_type_cooccurrence,
+    "dedup_rate_by_source": q_dedup_rate_by_source,
 }

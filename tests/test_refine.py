@@ -265,3 +265,14 @@ def test_type_cooccurrence_support_and_lift(spark, tmp_path):
     assert r["support"] == 0.5
     # lift = 0.5 / (0.75 * 0.75) = 0.8889
     assert abs(r["lift"] - 0.8889) < 1e-9
+
+
+def test_dedup_rate_by_source_counts_are_consistent(spark, sf_dir):
+    from aproximacion_1_etl_spark.queries import q_dedup_rate_by_source
+
+    rows = q_dedup_rate_by_source(spark, sf_dir).collect()
+    total = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(r["n_docs"] for r in rows) == total
+    for r in rows:
+        assert 0 <= r["n_exact_dup"] <= r["n_docs"]
+        assert 0 <= r["n_near_dup_dropped"] <= r["n_docs"]
