@@ -1027,6 +1027,66 @@ FROM j
 """
 
 
+def _corpus_release_sql(fractions: dict[str, float]) -> str:
+    """Generated mirror of queries.q_corpus_release: the funnel-stage
+    predicates (shared _lang_hits_sql / _QUALITY_SQL), exact-dedup
+    keep-first window, the recursive cluster CTEs REBASED onto the
+    clean survivor set (shingle fragment retargeted from documents to
+    clean), the same md5-threshold split ranges, and the per-split
+    manifest aggregation."""
+    from aproximacion_1_etl_spark.functions.sampling import rate_threshold
+
+    key = "CAST(coalesce(cl.cluster_id, c.doc_id) AS VARCHAR)"
+    names = list(fractions)
+    cases, cum = [], 0.0
+    for name in names[:-1]:
+        cum += fractions[name]
+        cases.append(
+            f"WHEN substr(md5({key}), 1, 4) < '{rate_threshold(cum)}' "
+            f"THEN '{name}'"
+        )
+    case = "CASE " + " ".join(cases) + f" ELSE '{names[-1]}' END"
+    shingles_clean = _SHINGLES_SQL.strip().replace(
+        "FROM documents", "FROM clean"
+    )
+    return (
+        f"""WITH RECURSIVE base AS (
+  SELECT doc_id, text, n_chars,
+    {_lang_hits_sql()}
+  FROM documents),
+fl AS (
+  SELECT doc_id, text, n_chars,
+         (length(text) >= 100) AS len_ok,
+         (regexp_matches(text, '[\\x{{4e00}}-\\x{{9fff}}]')
+          OR greatest(es_h, de_h, fr_h, en_h) >= 1) AS lang_ok,
+         ({_QUALITY_SQL} >= 0.5) AS quality_ok,
+         (row_number() OVER (
+            PARTITION BY sha256(trim(regexp_replace(lower(text),
+                                                    '\\s+', ' ', 'g')))
+            ORDER BY doc_id) = 1) AS first_of_content
+  FROM base),
+clean AS (
+  SELECT doc_id, text, n_chars FROM fl
+  WHERE len_ok AND lang_ok AND quality_ok AND first_of_content),
+"""
+        + shingles_clean
+        + ","
+        + _CLUSTER_CTES
+        + f""",
+cl AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+sp AS (
+  SELECT c.doc_id, c.text, c.n_chars, {case} AS split
+  FROM clean c LEFT JOIN cl ON c.doc_id = cl.doc_id)
+SELECT split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT)
+         AS n_tokens,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars
+FROM sp GROUP BY 1
+"""
+    )
+
+
 ALL_ORACLES: dict[str, str] = {
     "pagerank_suppliers": _pagerank_sql(),
     "bm25_topk": _bm25_sql(_BM25_QUERIES),
@@ -3245,4 +3305,7 @@ SELECT ex.source,
 FROM ex LEFT JOIN cl ON ex.doc_id = cl.doc_id
 GROUP BY 1
 """,
+    "corpus_release": _corpus_release_sql(
+        {"train": 0.8, "val": 0.1, "test": 0.1}
+    ),
 }

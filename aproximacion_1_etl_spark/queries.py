@@ -5056,6 +5056,58 @@ def q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 capstone composite — the corpus RELEASE job end-to-end in
+    one plan: quality gate (length band, known language, quality
+    floor), exact-content dedup (keep first), leakage-safe
+    cluster-aware train/val/test split over the survivors, and the
+    per-split manifest (docs / whitespace tokens / chars) a training
+    run consumes. Every stage reuses the production operator
+    expressions, so the release manifest value-checks against the
+    composed oracle end-to-end."""
+    from pyspark.sql import Window
+
+    from aproximacion_1_etl_spark.text.analysis import (
+        lang_id,
+        quality_score,
+        token_count,
+    )
+    from aproximacion_1_etl_spark.text.dedup import (
+        cluster_safe_split,
+        normalized,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    wch = Window.partitionBy(F.sha2(normalized(t), 256)).orderBy("doc_id")
+    clean = (
+        d.withColumn("rn", F.row_number().over(wch))
+        .filter(
+            (F.length(t) >= 100)
+            & (lang_id(t) != "und")
+            & (quality_score(t) >= 0.5)
+            & (F.col("rn") == 1)
+        )
+        .drop("rn")
+    )
+    sigs = minhash_signatures(word_shingles(clean, distinct=False))
+    cands = minhash_candidate_pairs(sigs, min_matching_bands=2)
+    split = cluster_safe_split(
+        clean, cands, {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).select("doc_id", "split")
+    return (
+        clean.join(split, "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(token_count(t).cast("bigint"))
+            .cast("bigint")
+            .alias("n_tokens"),
+            F.sum("n_chars").cast("bigint").alias("n_chars"),
+        )
+    )
+
+
 ALL_QUERIES = {
     "flagship_order_lifecycle": q_flagship_order_lifecycle,
     "bm25_topk": q_bm25_topk,
@@ -5251,4 +5303,5 @@ ALL_QUERIES = {
     "rerank_crossencoder": q_rerank_crossencoder,
     "type_cooccurrence": q_type_cooccurrence,
     "dedup_rate_by_source": q_dedup_rate_by_source,
+    "corpus_release": q_corpus_release,
 }

@@ -122,6 +122,7 @@ HEADLINE = [
     "event_bigrams",
     "type_cooccurrence",
     "dedup_rate_by_source",
+    "corpus_release",
     # Python-worker queries LAST: applyInPandas spins up 32 Python
     # workers and leaves GC pressure that inflates the next JVM-only
     # query by ~3x (measured: dedup_minhash_lsh 6.96s after it vs 1.9s

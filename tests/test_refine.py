@@ -276,3 +276,24 @@ def test_dedup_rate_by_source_counts_are_consistent(spark, sf_dir):
     for r in rows:
         assert 0 <= r["n_exact_dup"] <= r["n_docs"]
         assert 0 <= r["n_near_dup_dropped"] <= r["n_docs"]
+
+
+def test_corpus_release_manifest_consistency(spark, sf_dir):
+    from aproximacion_1_etl_spark.queries import (
+        q_corpus_funnel,
+        q_corpus_release,
+    )
+
+    rel = {r["split"]: r for r in q_corpus_release(spark, sf_dir).collect()}
+    assert set(rel) <= {"train", "val", "test"}
+    # total released docs == the funnel's final survivor count
+    funnel = {
+        r["stage"]: r["n_docs"] for r in q_corpus_funnel(spark, sf_dir).collect()
+    }
+    assert sum(r["n_docs"] for r in rel.values()) == funnel["content_unique"]
+    for r in rel.values():
+        assert r["n_tokens"] > 0 and r["n_chars"] > 0
+    # the split is leak-aware but still roughly proportioned
+    if "train" in rel:
+        total = sum(r["n_docs"] for r in rel.values())
+        assert rel["train"]["n_docs"] / total > 0.5
