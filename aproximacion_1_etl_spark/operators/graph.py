@@ -169,3 +169,127 @@ def pagerank(
     e_deg.unpersist()
     non_receivers.unpersist()
     return ranks
+
+
+def count_triangles(
+    edges: DataFrame, src: str = "a", dst: str = "b"
+) -> DataFrame:
+    """Per-node triangle counts via the degree-ordered node-iterator
+    (the canonical distributed triangle algorithm: Suri & Vassilvitskii
+    "Counting triangles and the curse of the last reducer", WWW'11).
+
+    Input: undirected edge list, one row per edge, any orientation,
+    no self-loops required to be pre-removed. Output: (node,
+    n_triangles) for every node in >= 1 triangle.
+
+    Why degree ordering matters at 100 TB: wedges (2-paths) are
+    enumerated at their LOWEST-degree endpoint, so per-pivot work is
+    bounded by out-degree^2 where every out-degree is <= O(sqrt(m)) —
+    a hub of degree d contributes d^2 wedges under value ordering but
+    only ~m under degree ordering. The total-order tiebreak
+    (degree, node) keeps the orientation acyclic and deterministic.
+
+    Plan: canonicalize + distinct (1 shuffle), degree aggregate
+    (1 shuffle, |V| rows), orient via two degree joins (|V|-sized
+    relation; broadcast when small, shuffle-join otherwise — Spark's
+    AQE picks), wedge self-join on the pivot, then one join against
+    oriented edges closes the wedge. The triangle set is orientation-
+    independent, so a plain a<b formulation (what the DuckDB oracle
+    runs) yields identical counts.
+    """
+    dp = edges.sparkSession.sparkContext.defaultParallelism
+    a, b = F.col(src), F.col(dst)
+    # explicit repartition before distinct: AQE's byte-based
+    # coalescing (parallelismFirst=false) would shrink this small-
+    # byte but CPU-heavy relation to 1-3 tasks; a user repartition is
+    # preserved, keeping the wedge stages at full width
+    canon = (
+        edges.filter(a != b)
+        .select(
+            F.least(a, b).alias("u"), F.greatest(a, b).alias("v")
+        )
+        .repartition(dp, "u", "v")
+        .distinct()
+    )
+    # The DAG fans out from canon (degree branch x2, orientation) and
+    # from oriented (adjacency x2, edge probe): without a cut Spark
+    # re-derives the edge-building self-join once per branch (~9
+    # recomputations measured, 24 s at sf0.1 -> 6 s with the cuts).
+    # Eager localCheckpoint is the same bounded-lineage device
+    # pagerank uses: |E|-sized, executor-resident, no driver data.
+    canon = canon.localCheckpoint()
+    deg = (
+        canon.select(F.col("u").alias("n"))
+        .unionAll(canon.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("deg"))
+    )
+    du = deg.select(
+        F.col("n").alias("u"), F.col("deg").alias("deg_u")
+    )
+    dv = deg.select(
+        F.col("n").alias("v"), F.col("deg").alias("deg_v")
+    )
+    oriented = (
+        canon.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(
+                (F.col("deg_u") < F.col("deg_v"))
+                | (
+                    (F.col("deg_u") == F.col("deg_v"))
+                    & (F.col("u") < F.col("v"))
+                ),
+                F.struct(F.col("u").alias("s"), F.col("v").alias("t")),
+            )
+            .otherwise(
+                F.struct(F.col("v").alias("s"), F.col("u").alias("t"))
+            )
+            .alias("e")
+        )
+        .select("e.s", "e.t")
+    ).localCheckpoint()
+    # Edge-iterator with adjacency arrays: ship each node's
+    # out-neighbor list to its edges and intersect MAP-SIDE. A first
+    # cut self-joined oriented edges on the pivot and shuffled the
+    # wedge relation itself — 41M rows at sf0.1 (dense co-order
+    # graph), ~45 s; here wedge enumeration happens inside
+    # array_intersect over co-partitioned |E|-sized relations and
+    # nothing wedge-sized is ever exchanged. An edge whose head has
+    # no out-neighbors closes no triangle, so the inner join drops
+    # exactly the rows that contribute nothing.
+    adj = oriented.groupBy("s").agg(
+        F.collect_list("t").alias("nbrs")
+    ).localCheckpoint()
+    adj_s = adj.select("s", F.col("nbrs").alias("nbrs_s"))
+    adj_t = adj.select(
+        F.col("s").alias("t"), F.col("nbrs").alias("nbrs_t")
+    )
+    closed = (
+        oriented.repartition(dp, F.col("s"))
+        .join(adj_s, "s")
+        .repartition(dp, F.col("t"))
+        .join(adj_t, "t")
+        .select(
+            "s",
+            "t",
+            F.array_intersect("nbrs_s", "nbrs_t").alias("c"),
+        )
+        .filter(F.size("c") > 0)
+    )
+    # triangle (s, t, c): s and t participate once per common
+    # neighbor, each common neighbor once
+    per_node = (
+        closed.select(F.col("s").alias("node"), F.size("c").alias("k"))
+        .unionAll(
+            closed.select(F.col("t").alias("node"), F.size("c").alias("k"))
+        )
+        .unionAll(
+            closed.select(
+                F.explode("c").alias("node"), F.lit(1).alias("k")
+            )
+        )
+    )
+    return per_node.groupBy("node").agg(
+        F.sum("k").cast("bigint").alias("n_triangles")
+    )

@@ -1087,6 +1087,115 @@ FROM sp GROUP BY 1
     )
 
 
+def _pca_power_sql(dim: int = 64, iterations: int = 64) -> str:
+    """Unrolled power-iteration replay of text/vector.pca_top_component:
+    decimal-summed Gram, then per-iteration matvec + IEEE normalize
+    with the same 9-dp snap, so both engines walk the identical
+    recurrence (summation-order differences vanish at each snap)."""
+    ctes = [
+        f"""g AS MATERIALIZED (
+  SELECT s.i, s.j, CAST(sum(CAST(s.p AS DECIMAL(38,18))) AS DOUBLE) AS g
+  FROM (SELECT CAST(a.i AS INT) AS i, CAST(b.j AS INT) AS j,
+               CAST(embedding[a.i + 1] AS DOUBLE)
+               * CAST(embedding[b.j + 1] AS DOUBLE) AS p
+        FROM embeddings, range({dim}) a(i), range({dim}) b(j)) s
+  GROUP BY 1, 2)""",
+        f"v0 AS (SELECT CAST(t.i AS INT) AS j, CAST(0.125 AS DOUBLE) AS v"
+        f" FROM range({dim}) t(i))",
+    ]
+    prev = "v0"
+    for k in range(1, iterations + 1):
+        ctes.append(
+            f"w{k} AS MATERIALIZED (SELECT g.i AS j, sum(g.g * {prev}.v) AS w"
+            f" FROM g JOIN {prev} ON g.j = {prev}.j GROUP BY 1)"
+        )
+        ctes.append(f"n{k} AS MATERIALIZED (SELECT sqrt(sum(w * w)) AS nrm FROM w{k})")
+        ctes.append(
+            f"v{k} AS MATERIALIZED (SELECT j, floor(w / nrm * 1000000000.0 + 0.5)"
+            f" / 1000000000.0 AS v FROM w{k}, n{k})"
+        )
+        prev = f"v{k}"
+    ctes.append(
+        f"wf AS MATERIALIZED (SELECT g.i AS j, sum(g.g * {prev}.v) AS w"
+        f" FROM g JOIN {prev} ON g.j = {prev}.j GROUP BY 1)"
+    )
+    ctes.append(
+        f"eig AS (SELECT sum({prev}.v * wf.w) AS ev"
+        f" FROM {prev} JOIN wf ON {prev}.j = wf.j)"
+    )
+    ctes.append("tr AS (SELECT sum(g) AS t FROM g WHERE i = j)")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT CAST({prev}.j + 1 AS INT) AS dim,
+       floor({prev}.v * 1000000.0 + 0.5) / 1000000.0 AS loading,
+       floor(eig.ev * 10000.0 + 0.5) / 10000.0 AS eigenvalue,
+       floor(eig.ev / tr.t * 1000000.0 + 0.5) / 1000000.0 AS var_share
+FROM {prev}, eig, tr
+"""
+    )
+
+
+def _ols_event_sql() -> str:
+    """Mirror of q_ols_event_model: identical det3 expression
+    structure so the Cramer solve is bit-for-bit IEEE-equal."""
+    det = (
+        "(nd*(shhd*sddd - shdd*shdd) - shd_*(shd_*sddd - shdd*sdd_)"
+        " + sdd_*(shd_*shdd - shhd*sdd_))"
+    )
+    det0 = (
+        "(syd*(shhd*sddd - shdd*shdd) - shd_*(shyd*sddd - shdd*sdyd)"
+        " + sdd_*(shyd*shdd - shhd*sdyd))"
+    )
+    det1 = (
+        "(nd*(shyd*sddd - shdd*sdyd) - syd*(shd_*sddd - shdd*sdd_)"
+        " + sdd_*(shd_*sdyd - shyd*sdd_))"
+    )
+    det2 = (
+        "(nd*(shhd*sdyd - shyd*shdd) - shd_*(shd_*sdyd - shyd*sdd_)"
+        " + syd*(shd_*shdd - shhd*sdd_))"
+    )
+    return f"""
+WITH f AS (
+  SELECT value AS y, hour(ts) AS h,
+         ((datediff('day', DATE '1970-01-05', CAST(ts AS DATE)) % 7) + 7)
+           % 7 AS d
+  FROM events),
+a AS (
+  SELECT count(*) AS n, sum(h) AS sh, sum(d) AS sd,
+         sum(h * h) AS shh, sum(d * d) AS sdd, sum(h * d) AS shd,
+         sum(CAST(y AS DECIMAL(38,18))) AS sy,
+         sum(CAST(y * h AS DECIMAL(38,18))) AS shy,
+         sum(CAST(y * d AS DECIMAL(38,18))) AS sdy,
+         sum(CAST(y * y AS DECIMAL(38,18))) AS syy
+  FROM f),
+m AS (
+  SELECT CAST(n AS BIGINT) AS n,
+         CAST(n AS DOUBLE) AS nd, CAST(sh AS DOUBLE) AS shd_,
+         CAST(sd AS DOUBLE) AS sdd_, CAST(shh AS DOUBLE) AS shhd,
+         CAST(sdd AS DOUBLE) AS sddd, CAST(shd AS DOUBLE) AS shdd,
+         CAST(sy AS DOUBLE) AS syd, CAST(shy AS DOUBLE) AS shyd,
+         CAST(sdy AS DOUBLE) AS sdyd, CAST(syy AS DOUBLE) AS syyd
+  FROM a),
+s AS (
+  SELECT n, syd, shyd, sdyd, syyd, nd,
+         {det0} / {det} AS w0,
+         {det1} / {det} AS w1,
+         {det2} / {det} AS w2
+  FROM m)
+SELECT n,
+       floor(w0 * 1000000.0 + 0.5) / 1000000.0 AS w_intercept,
+       floor(w1 * 1000000.0 + 0.5) / 1000000.0 AS w_hour,
+       floor(w2 * 1000000.0 + 0.5) / 1000000.0 AS w_dow,
+       floor((1.0 - (syyd - w0*syd - w1*shyd - w2*sdyd)
+              / (syyd - syd*syd/nd)) * 1000000.0 + 0.5) / 1000000.0 AS r2,
+       floor(sqrt((syyd - w0*syd - w1*shyd - w2*sdyd) / nd)
+             * 10000.0 + 0.5) / 10000.0 AS rmse
+FROM s
+"""
+
+
 ALL_ORACLES: dict[str, str] = {
     "pagerank_suppliers": _pagerank_sql(),
     "bm25_topk": _bm25_sql(_BM25_QUERIES),
@@ -3308,4 +3417,132 @@ GROUP BY 1
     "corpus_release": _corpus_release_sql(
         {"train": 0.8, "val": 0.1, "test": 0.1}
     ),
+    "embedding_pca_power": _pca_power_sql(),
+    "ols_event_model": _ols_event_sql(),
+    "k_anonymity": """
+WITH qi AS (
+  SELECT c_mktsegment AS seg, CAST(c_nationkey AS VARCHAR) AS nat
+  FROM customer),
+c AS (
+  SELECT seg, nat, count(*) OVER (PARTITION BY seg, nat) AS grp_n
+  FROM qi),
+m AS (
+  SELECT CASE WHEN grp_n >= 10 THEN seg ELSE '*' END AS segment,
+         CASE WHEN grp_n >= 10 THEN nat ELSE '*' END AS nation
+  FROM c)
+SELECT segment, nation, CAST(count(*) AS BIGINT) AS n_rows
+FROM m GROUP BY 1, 2
+""",
+    "record_linkage": """
+WITH c AS (
+  SELECT c_custkey, c_nationkey AS nk, c_acctbal,
+         CAST(regexp_extract(c_name, '([0-9]+)', 1) AS BIGINT) AS cnum
+  FROM customer),
+s AS (
+  SELECT s_suppkey, s_nationkey AS nk, s_acctbal,
+         CAST(regexp_extract(s_name, '([0-9]+)', 1) AS BIGINT) AS snum
+  FROM supplier),
+p AS (
+  SELECT c.c_custkey, s.s_suppkey,
+         CAST(
+           CASE WHEN abs(c.c_acctbal - s.s_acctbal) < 500
+                THEN 2.5 ELSE -0.5 END
+         + CASE WHEN c.cnum % 10 = s.snum % 10 THEN 1.5 ELSE -0.3 END
+         + CASE WHEN c.cnum % 7 = s.snum % 7 THEN 1.0 ELSE -0.2 END
+         AS DOUBLE) AS score
+  FROM c JOIN s ON c.nk = s.nk),
+f AS (
+  SELECT p.*, row_number() OVER (
+           PARTITION BY c_custkey ORDER BY score DESC, s_suppkey) AS rn
+  FROM p WHERE score >= 3.0)
+SELECT c_custkey, s_suppkey, floor(score * 10.0 + 0.5) / 10.0 AS score
+FROM f WHERE rn = 1
+""",
+    "token_budget_plan": """
+WITH per AS (
+  SELECT source,
+         CAST(sum(len(regexp_split_to_array(trim(text), '\\s+')))
+              AS BIGINT) AS tokens
+  FROM documents GROUP BY 1),
+tot AS (
+  SELECT sum(tokens) AS total,
+         CAST(sum(CAST(sqrt(CAST(tokens AS DOUBLE)) AS DECIMAL(38,18)))
+              AS DOUBLE) AS sum_sqrt
+  FROM per),
+st AS (
+  SELECT source, tokens, (total - (total % 2)) AS b2,
+         sqrt(CAST(tokens AS DOUBLE)) AS sq, sum_sqrt
+  FROM per, tot),
+f1 AS (
+  SELECT source, tokens, b2,
+         least(CAST(tokens AS DOUBLE), sq / sum_sqrt * (b2 / 2)) AS alloc1
+  FROM st),
+f1h AS (SELECT f1.*, CAST(tokens AS DOUBLE) - alloc1 AS headroom FROM f1),
+t2 AS (
+  SELECT CAST(sum(CAST(alloc1 AS DECIMAL(38,18))) AS DOUBLE) AS sum_a1,
+         CAST(sum(CAST(headroom AS DECIMAL(38,18))) AS DOUBLE) AS sum_hr
+  FROM f1h),
+fin AS (
+  SELECT source, tokens,
+         least(CAST(tokens AS DOUBLE),
+               alloc1 + (b2 / 2 - sum_a1) * headroom / sum_hr) AS alloc2
+  FROM f1h, t2)
+SELECT source, tokens,
+       CAST(floor(floor(alloc2 * 1000000.0 + 0.5) / 1000000.0) AS BIGINT)
+         AS alloc_tokens,
+       floor(CAST(floor(floor(alloc2 * 1000000.0 + 0.5) / 1000000.0)
+                  AS DOUBLE) / CAST(tokens AS DOUBLE)
+             * 1000000.0 + 0.5) / 1000000.0 AS epochs
+FROM fin
+""",
+    "triangle_cooccurrence": """
+WITH e AS (
+  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+  FROM lineitem l1
+  JOIN lineitem l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey),
+t AS (
+  SELECT e1.a AS u, e1.b AS v, e2.b AS w
+  FROM e e1
+  JOIN e e2 ON e1.b = e2.a
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+nodes AS (
+  SELECT unnest([u, v, w]) AS node FROM t),
+c AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+  FROM nodes GROUP BY 1),
+r AS (
+  SELECT node, n_triangles,
+         row_number() OVER (ORDER BY n_triangles DESC, node) AS rank
+  FROM c)
+SELECT node AS l_partkey, n_triangles, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 20
+""",
+    "quantile_normalize_scores": f"""
+WITH sc AS (
+  SELECT doc_id, source, {_QUALITY_SQL} AS score FROM documents),
+g AS (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score, doc_id) AS grank
+  FROM sc),
+gn AS (SELECT count(*) AS n_g FROM sc),
+s AS (
+  SELECT doc_id, source, score,
+         row_number() OVER (
+           PARTITION BY source ORDER BY score, doc_id) AS rs,
+         count(*) OVER (PARTITION BY source) AS ns
+  FROM sc),
+t AS (
+  SELECT s.doc_id, s.source, s.score,
+         CAST(floor(
+           (CASE WHEN s.ns = 1 THEN 0.5
+                 ELSE CAST(s.rs - 1 AS DOUBLE) / CAST(s.ns - 1 AS DOUBLE)
+            END) * CAST(gn.n_g - 1 AS DOUBLE) + 0.5
+         ) AS BIGINT) + 1 AS ti
+  FROM s, gn)
+SELECT t.doc_id, t.source,
+       floor(t.score * 10000.0 + 0.5) / 10000.0 AS score,
+       floor(g.score * 10000.0 + 0.5) / 10000.0 AS norm_score
+FROM t JOIN g ON g.grank = t.ti
+""",
 }

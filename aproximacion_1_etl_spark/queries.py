@@ -5108,6 +5108,423 @@ def q_corpus_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 embedding whitening prep: top principal component via
+    distributed Gram accumulation + driver power iteration
+    (text/vector.py::pca_top_component). One corpus pass, O(dim^2)
+    exchange, bounded dim x dim collect (the Gram IS the model)."""
+    from aproximacion_1_etl_spark.text.vector import pca_top_component
+
+    return pca_top_component(load_table(spark, sf_dir, "embeddings"))
+
+
+def q_ols_event_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 distributed closed-form OLS: fit value ~ 1 + hour + dow
+    over events via normal equations — X'X and X'y accumulate in ONE
+    aggregation (map-side combine; integer feature moments are exact,
+    the y-moments are order-independent decimal sums), then Cramer's
+    rule solves the 3x3 system IN-PLAN on the single aggregated row
+    (no collect, no driver arithmetic). The same spelled-out
+    determinant expressions run in DuckDB, so weights, R^2 and RMSE
+    are engine-identical IEEE double arithmetic. The pattern is the
+    scalable skeleton for any fixed-width linear model at 100 TB: one
+    shuffle of a handful of scalars, whatever the row count.
+
+    dow is computed as days-since-Monday-epoch mod 7 (1970-01-05), the
+    only dow definition both engines spell identically."""
+    ev = load_table(spark, sf_dir, "events")
+    feat = ev.select(
+        F.col("value").alias("y"),
+        F.hour("ts").cast("bigint").alias("h"),
+        F.pmod(
+            F.datediff(F.col("ts").cast("date"), F.lit("1970-01-05")), F.lit(7)
+        )
+        .cast("bigint")
+        .alias("d"),
+    )
+    agg = feat.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("h").alias("sh"),
+        F.sum("d").alias("sd"),
+        F.sum(F.col("h") * F.col("h")).alias("shh"),
+        F.sum(F.col("d") * F.col("d")).alias("sdd"),
+        F.sum(F.col("h") * F.col("d")).alias("shd"),
+        F.sum(F.col("y").cast("decimal(38,18)")).alias("sy"),
+        F.sum((F.col("y") * F.col("h")).cast("decimal(38,18)")).alias("shy"),
+        F.sum((F.col("y") * F.col("d")).cast("decimal(38,18)")).alias("sdy"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,18)")).alias("syy"),
+    )
+    # identical det3 structure in the oracle: a*(e*i - f*h)
+    # - b*(d*i - f*g) + c*(d*h - e*g)
+    expr = """
+      CAST(n AS DOUBLE) AS nd, CAST(sh AS DOUBLE) AS shd_,
+      CAST(sd AS DOUBLE) AS sdd_, CAST(shh AS DOUBLE) AS shhd,
+      CAST(sdd AS DOUBLE) AS sddd, CAST(shd AS DOUBLE) AS shdd,
+      CAST(sy AS DOUBLE) AS syd, CAST(shy AS DOUBLE) AS shyd,
+      CAST(sdy AS DOUBLE) AS sdyd, CAST(syy AS DOUBLE) AS syyd
+    """
+    m = agg.selectExpr("n", *[e.strip() for e in expr.strip().split(",")])
+    det = (
+        "(nd*(shhd*sddd - shdd*shdd) - shd_*(shd_*sddd - shdd*sdd_)"
+        " + sdd_*(shd_*shdd - shhd*sdd_))"
+    )
+    det0 = (
+        "(syd*(shhd*sddd - shdd*shdd) - shd_*(shyd*sddd - shdd*sdyd)"
+        " + sdd_*(shyd*shdd - shhd*sdyd))"
+    )
+    det1 = (
+        "(nd*(shyd*sddd - shdd*sdyd) - syd*(shd_*sddd - shdd*sdd_)"
+        " + sdd_*(shd_*sdyd - shyd*sdd_))"
+    )
+    det2 = (
+        "(nd*(shhd*sdyd - shyd*shdd) - shd_*(shd_*sdyd - shyd*sdd_)"
+        " + syd*(shd_*shdd - shhd*sdd_))"
+    )
+    sol = m.selectExpr(
+        "n",
+        "syd",
+        "shyd",
+        "sdyd",
+        "syyd",
+        "nd",
+        f"{det0} / {det} AS w0",
+        f"{det1} / {det} AS w1",
+        f"{det2} / {det} AS w2",
+    )
+    # Spark SQL parses a bare 1000000.0 literal as DECIMAL, and
+    # bigint-from-floor / decimal yields DECIMAL output — cast the
+    # scale factors explicitly so the schema stays DOUBLE like the
+    # oracle's.
+    d6 = "CAST(1000000 AS DOUBLE)"
+    d4 = "CAST(10000 AS DOUBLE)"
+    return sol.selectExpr(
+        "n",
+        f"floor(w0 * {d6} + 0.5) / {d6} AS w_intercept",
+        f"floor(w1 * {d6} + 0.5) / {d6} AS w_hour",
+        f"floor(w2 * {d6} + 0.5) / {d6} AS w_dow",
+        "floor((1.0 - (syyd - w0*syd - w1*shyd - w2*sdyd)"
+        f" / (syyd - syd*syd/nd)) * {d6} + 0.5) / {d6} AS r2",
+        "floor(sqrt((syyd - w0*syd - w1*shyd - w2*sdyd) / nd)"
+        f" * {d4} + 0.5) / {d4} AS rmse",
+    )
+
+
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 privacy gate for data release: k-anonymity suppression
+    over customer quasi-identifiers (segment, nation, account-balance
+    band). Any QI combination seen by fewer than k=10 rows has its
+    identifiers replaced by '*' and merged into the residual cell —
+    the release never exposes a group an attacker could narrow below
+    k. One window count + one keyed aggregation; both scale as plain
+    hash aggregations (the QI cardinality bounds the state, not the
+    row count)."""
+    cust = load_table(spark, sf_dir, "customer")
+    k = 10
+    qi = cust.select(
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_nationkey").cast("string").alias("nat"),
+    )
+    counted = qi.withColumn(
+        "grp_n", F.count("*").over(Window.partitionBy("seg", "nat"))
+    )
+    masked = counted.select(
+        F.when(F.col("grp_n") >= k, F.col("seg")).otherwise("*").alias(
+            "segment"
+        ),
+        F.when(F.col("grp_n") >= k, F.col("nat")).otherwise("*").alias(
+            "nation"
+        ),
+    )
+    return masked.groupBy("segment", "nation").agg(
+        F.count("*").cast("bigint").alias("n_rows")
+    )
+
+
+def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 entity resolution: Fellegi-Sunter-style scored record
+    linkage customer <-> supplier. Blocking on nationkey keeps the
+    candidate space at sum_n |C_n| x |S_n| instead of |C| x |S| (the
+    classic all-pairs killer); the supplier side is dimension-sized
+    and broadcast, so the block join is shuffle-free on the big side.
+    Field comparators (balance proximity, name-number congruences)
+    add exact-literal agreement/disagreement weights; top-1 match per
+    customer above threshold via a ranked window with a deterministic
+    tiebreak."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_nationkey").alias("nk"),
+        "c_acctbal",
+        F.regexp_extract("c_name", r"(\d+)", 1).cast("bigint").alias("cnum"),
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        F.col("s_nationkey").alias("nk"),
+        "s_acctbal",
+        F.regexp_extract("s_name", r"(\d+)", 1).cast("bigint").alias("snum"),
+    )
+    pairs = cust.join(F.broadcast(supp), "nk")
+    score = (
+        F.when(F.abs(F.col("c_acctbal") - F.col("s_acctbal")) < 500, F.lit(2.5))
+        .otherwise(F.lit(-0.5))
+        + F.when(F.col("cnum") % 10 == F.col("snum") % 10, F.lit(1.5))
+        .otherwise(F.lit(-0.3))
+        + F.when(F.col("cnum") % 7 == F.col("snum") % 7, F.lit(1.0))
+        .otherwise(F.lit(-0.2))
+    )
+    scored = pairs.select(
+        "c_custkey", "s_suppkey", score.alias("score")
+    ).filter(F.col("score") >= 3.0)
+    w = Window.partitionBy("c_custkey").orderBy(
+        F.col("score").desc(), F.col("s_suppkey").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "c_custkey",
+            "s_suppkey",
+            _fround(F.col("score"), 1).alias("score"),
+        )
+    )
+
+
+def q_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 mixture planning: allocate a total token budget (50% of
+    the corpus) across sources by sqrt-weighted shares with one
+    waterfill redistribution round — small sources are upweighted
+    (sqrt flattening), no source is asked for more tokens than it
+    has, and budget freed by capped sources flows to the others in
+    proportion to headroom. Complements domain_mix_resample /
+    temperature_mix_resample (which SAMPLE) by producing the PLAN
+    (per-source allocations + epoch factors) a run config consumes.
+
+    Shape: one corpus aggregation to |sources| rows, then scalar
+    arithmetic on broadcast 1-row aggregates of that tiny relation —
+    at 100 TB the only data-sized work is the first token count.
+    Allocations snap to 6 decimals before the final floor so the
+    cross-engine 1e-15 decimal-cast jitter can't flip an integer
+    boundary."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.sum(F.size(F.split(F.trim("text"), r"\s+")))
+        .cast("bigint")
+        .alias("tokens")
+    )
+    # All corpus-wide scalars come from WINDOWS over the tiny
+    # per-source relation, not crossJoin-of-aggregates: each
+    # crossJoin(agg(per)) re-derives `per` — and with it the corpus
+    # scan — once per reference (the first cut of this query scanned
+    # documents 4x / 7 exchanges; this shape scans once / 2). The
+    # unpartitioned window moves |sources| rows to one task — bounded
+    # by the source count, not the corpus.
+    w0 = Window.partitionBy()
+    staged = per.select(
+        "source",
+        "tokens",
+        (
+            F.sum("tokens").over(w0) - (F.sum("tokens").over(w0) % 2)
+        ).alias("b2"),
+        F.sqrt(F.col("tokens").cast("double")).alias("sq"),
+        F.sum(
+            F.sqrt(F.col("tokens").cast("double")).cast("decimal(38,18)")
+        )
+        .over(w0)
+        .cast("double")
+        .alias("sum_sqrt"),
+    )
+    first = staged.select(
+        "source",
+        "tokens",
+        "b2",
+        F.least(
+            F.col("tokens").cast("double"),
+            F.col("sq") / F.col("sum_sqrt") * (F.col("b2") / 2),
+        ).alias("alloc1"),
+    ).withColumn(
+        "headroom", F.col("tokens").cast("double") - F.col("alloc1")
+    )
+    redo = first.select(
+        "source",
+        "tokens",
+        "b2",
+        "alloc1",
+        "headroom",
+        F.sum(F.col("alloc1").cast("decimal(38,18)"))
+        .over(w0)
+        .cast("double")
+        .alias("sum_a1"),
+        F.sum(F.col("headroom").cast("decimal(38,18)"))
+        .over(w0)
+        .cast("double")
+        .alias("sum_hr"),
+    )
+    final = redo.select(
+        "source",
+        "tokens",
+        F.least(
+            F.col("tokens").cast("double"),
+            F.col("alloc1")
+            + (F.col("b2") / 2 - F.col("sum_a1"))
+            * F.col("headroom")
+            / F.col("sum_hr"),
+        ).alias("alloc2"),
+    )
+    return final.select(
+        "source",
+        "tokens",
+        F.floor(
+            F.floor(F.col("alloc2") * 1e6 + F.lit(0.5)) / F.lit(1e6)
+        )
+        .cast("bigint")
+        .alias("alloc_tokens"),
+        _fround(
+            F.floor(F.floor(F.col("alloc2") * 1e6 + F.lit(0.5)) / F.lit(1e6))
+            / F.col("tokens").cast("double"),
+            6,
+        ).alias("epochs"),
+    )
+
+
+def q_triangle_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 graph analytics: triangle participation counts over the
+    part co-order graph (parts are linked when they appear in the same
+    order), top-20 parts. Uses the degree-ordered node-iterator
+    (operators/graph.py::count_triangles) so wedge enumeration is
+    bounded at hubs; the DuckDB oracle runs the orientation-free a<b
+    formulation — identical counts, which is itself a check that the
+    degree-ordering optimization is semantics-preserving."""
+    from aproximacion_1_etl_spark.operators.graph import count_triangles
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    # Edges WITHOUT a fact-table self-join: group parts per order and
+    # emit the pairwise combinations map-side (order baskets are
+    # small, so the fan-out is bounded; one orderkey shuffle replaces
+    # the self-join's two). The explicit repartition keeps the basket
+    # aggregation wide under byte-based AQE coalescing.
+    per_order = (
+        li.repartition(
+            spark.sparkContext.defaultParallelism, F.col("l_orderkey")
+        )
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
+    )
+    edges = per_order.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ps"),
+                    lambda x, i: F.transform(
+                        F.slice(
+                            F.col("ps"), i + F.lit(2), F.size(F.col("ps"))
+                        ),
+                        lambda y: F.struct(x.alias("a"), y.alias("b")),
+                    ),
+                )
+            )
+        ).alias("e")
+    ).select("e.a", "e.b")
+    counts = count_triangles(edges)
+    w = Window.orderBy(F.col("n_triangles").desc(), F.col("node").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select(
+            F.col("node").alias("l_partkey"),
+            "n_triangles",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
+def q_quantile_normalize_scores(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """§2.10 cross-source score calibration: quantile normalization —
+    each document's within-source quantile is mapped to the GLOBAL
+    score at that quantile, so sources whose quality scorer runs hot
+    or cold become comparable before mixing/filtering (the tabular
+    cousin of batch-effect normalization).
+
+    The global ranking deliberately avoids the single-task global
+    window: scores bucket onto a fixed 1000-cell grid (map-side),
+    per-bucket counts prefix-sum on the |grid|-sized relation, and
+    each doc's global rank = bucket offset + within-bucket rank — the
+    vocab_growth two-phase pattern, so the only corpus-sized windows
+    are per-bucket/per-source partitions, never ORDER BY over
+    everything. The quantile lookup is an integer-index equi-join
+    back onto the ranked relation.
+
+    Ranks use the strict (score, doc_id) total order on both engines;
+    the q -> index arithmetic is the same IEEE expression, and a
+    single-doc source pins q = 0.5."""
+    from aproximacion_1_etl_spark.text.analysis import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    sc = docs.select(
+        "doc_id", "source", quality_score(F.col("text")).alias("score")
+    )
+    bucketed = sc.withColumn(
+        "bkt", F.floor(F.col("score") * 1000).cast("int")
+    )
+    bcounts = bucketed.groupBy("bkt").agg(F.count("*").alias("bn"))
+    boff = bcounts.select(
+        "bkt",
+        (
+            F.sum("bn").over(
+                Window.orderBy("bkt").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            )
+        ).alias("off"),
+    ).fillna({"off": 0})
+    wb = Window.partitionBy("bkt").orderBy("score", "doc_id")
+    ranked = (
+        bucketed.withColumn("rb", F.row_number().over(wb))
+        .join(boff, "bkt")
+        .select(
+            "doc_id",
+            "source",
+            "score",
+            (F.col("off") + F.col("rb")).alias("grank"),
+        )
+    )
+    n_total = sc.agg(F.count("*").alias("n_g"))
+    ws = Window.partitionBy("source").orderBy("score", "doc_id")
+    src_ranked = sc.select(
+        "doc_id",
+        "source",
+        "score",
+        F.row_number().over(ws).alias("rs"),
+        F.count("*").over(Window.partitionBy("source")).alias("ns"),
+    )
+    q = F.when(F.col("ns") == 1, F.lit(0.5)).otherwise(
+        (F.col("rs") - F.lit(1)).cast("double")
+        / (F.col("ns") - F.lit(1)).cast("double")
+    )
+    targeted = src_ranked.crossJoin(F.broadcast(n_total)).select(
+        "doc_id",
+        "source",
+        "score",
+        (
+            F.floor(q * (F.col("n_g") - F.lit(1)).cast("double") + F.lit(0.5))
+            + F.lit(1)
+        )
+        .cast("bigint")
+        .alias("ti"),
+    )
+    lookup = ranked.select(
+        F.col("grank").alias("ti"), F.col("score").alias("norm_score")
+    )
+    return targeted.join(lookup, "ti").select(
+        "doc_id",
+        "source",
+        _fround(F.col("score"), 4).alias("score"),
+        _fround(F.col("norm_score"), 4).alias("norm_score"),
+    )
+
+
 ALL_QUERIES = {
     "flagship_order_lifecycle": q_flagship_order_lifecycle,
     "bm25_topk": q_bm25_topk,
@@ -5304,4 +5721,11 @@ ALL_QUERIES = {
     "type_cooccurrence": q_type_cooccurrence,
     "dedup_rate_by_source": q_dedup_rate_by_source,
     "corpus_release": q_corpus_release,
+    "embedding_pca_power": q_embedding_pca_power,
+    "ols_event_model": q_ols_event_model,
+    "k_anonymity": q_k_anonymity,
+    "record_linkage": q_record_linkage,
+    "token_budget_plan": q_token_budget_plan,
+    "triangle_cooccurrence": q_triangle_cooccurrence,
+    "quantile_normalize_scores": q_quantile_normalize_scores,
 }

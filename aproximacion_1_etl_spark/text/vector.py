@@ -1196,3 +1196,89 @@ def ann_topk_lsh_multiprobe(
             F.col("rank").cast("bigint").alias("rank"),
         )
     )
+
+
+def pca_top_component(
+    embeddings: DataFrame,
+    iterations: int = 64,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top principal component of the embedding corpus by power
+    iteration over the Gram matrix — the first step of PCA whitening /
+    anisotropy removal ("all-but-the-top") that embedding pipelines
+    run before indexing.
+
+    Scale shape: the corpus-sized work is ONE pass — a nested
+    ``transform`` fans each vector into its dim^2 outer-product terms
+    (map-side, no join, no duplicated array carry) and a single
+    groupBy(i, j) reduces them with exact decimal sums (partial
+    aggregation collapses every partition to <= dim^2 rows before the
+    shuffle, so the exchange is O(dim^2), not O(N)). The driver then
+    holds only the dim x dim Gram matrix — like the IVF codebook, it
+    IS the model (bounded collect) — and runs the O(dim^2 x iters)
+    power iteration locally; the corpus is never touched again.
+
+    Deterministic and engine-portable (the ``train_ivf_centroids``
+    recipe): Gram entries are order-independent decimal sums; each
+    iterate is snapped to 9 decimals (``floor(x*1e9+0.5)/1e9``) after
+    the IEEE-exact normalize, so the recurrence stays in lockstep with
+    the DuckDB oracle's unrolled-CTE replay regardless of either
+    engine's summation order; the fixed all-0.125 start vector makes
+    the eigenvector sign reproducible.
+    """
+    import math
+
+    emb = _as_double(embeddings, vec_col)
+    # rebalance BEFORE the dim^2 fan-out (same rule as the minhash
+    # shingle and lm_trigram explodes): a single-file local input
+    # scans as one partition, serializing the outer-product stage on
+    # one core; the tiny shuffle of raw vectors buys full-width CPU.
+    emb = emb.repartition(
+        emb.sparkSession.sparkContext.defaultParallelism
+    )
+    # two chained posexplode generators stay inside whole-stage
+    # codegen (a nested higher-order transform builds 4096 structs per
+    # row interpreted — measured ~2x slower at sf0.1); the duplicated
+    # array carry between the generators never crosses a stage
+    # boundary, so nothing row-multiplied is shuffled.
+    pairs = (
+        emb.select(F.posexplode(vec_col).alias("i", "xi"), vec_col)
+        .select("i", "xi", F.posexplode(vec_col).alias("j", "xj"))
+        .select("i", "j", (F.col("xi") * F.col("xj")).alias("p"))
+    )
+    gram_rows = (
+        pairs.groupBy("i", "j")
+        .agg(F.sum(F.col("p").cast("decimal(38,18)")).alias("g"))
+        .collect()
+    )
+    dim = max(r["i"] for r in gram_rows) + 1
+    G = [[0.0] * dim for _ in range(dim)]
+    for r in gram_rows:
+        G[r["i"]][r["j"]] = float(r["g"])
+
+    def snap9(x: float) -> float:
+        return math.floor(x * 1e9 + 0.5) / 1e9
+
+    v = [0.125] * dim
+    for _ in range(iterations):
+        w = [sum(G[i][j] * v[j] for j in range(dim)) for i in range(dim)]
+        nrm = math.sqrt(sum(x * x for x in w))
+        v = [snap9(x / nrm) for x in w]
+    w = [sum(G[i][j] * v[j] for j in range(dim)) for i in range(dim)]
+    eig = sum(v[i] * w[i] for i in range(dim))
+    tr = sum(G[i][i] for i in range(dim))
+
+    def r6(x: float) -> float:
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    def r4(x: float) -> float:
+        return math.floor(x * 1e4 + 0.5) / 1e4
+
+    spark = embeddings.sparkSession
+    out = [
+        (int(i + 1), float(r6(v[i])), float(r4(eig)), float(r6(eig / tr)))
+        for i in range(dim)
+    ]
+    return spark.createDataFrame(
+        out, "dim int, loading double, eigenvalue double, var_share double"
+    )

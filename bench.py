@@ -123,6 +123,16 @@ HEADLINE = [
     "type_cooccurrence",
     "dedup_rate_by_source",
     "corpus_release",
+    # round-4 session-3: distributed Gram + power-iteration PCA,
+    # closed-form OLS via in-plan Cramer solve, privacy suppression,
+    # blocked record linkage, and the token-budget waterfill planner
+    "embedding_pca_power",
+    "ols_event_model",
+    "k_anonymity",
+    "record_linkage",
+    "token_budget_plan",
+    "triangle_cooccurrence",
+    "quantile_normalize_scores",
     # Python-worker queries LAST: applyInPandas spins up 32 Python
     # workers and leaves GC pressure that inflates the next JVM-only
     # query by ~3x (measured: dedup_minhash_lsh 6.96s after it vs 1.9s

@@ -1,0 +1,168 @@
+"""Semantic checks for the round-4 analytics operators (PCA power
+iteration, closed-form OLS, k-anonymity, record linkage, token budget
+planning) — the hash-parity gate proves Spark==DuckDB; these prove the
+answers mean what they claim (eigenpair residual, least-squares
+optimality, the k floor, match uniqueness, budget feasibility)."""
+
+import numpy as np
+import pyspark.sql.functions as F
+
+from aproximacion_1_etl_spark.queries import ALL_QUERIES
+from aproximacion_1_etl_spark.sources.tables import load_table
+from aproximacion_1_etl_spark.text.vector import pca_top_component
+
+
+def test_pca_matches_numpy_dominant_eigenpair(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = pca_top_component(emb).collect()
+    v = np.array(
+        [r["loading"] for r in sorted(out, key=lambda r: r["dim"])]
+    )
+    eig = out[0]["eigenvalue"]
+    X = np.array(
+        [
+            [float(x) for x in r["embedding"]]
+            for r in emb.orderBy("vec_id").collect()
+        ]
+    )
+    G = X.T @ X
+    evals, evecs = np.linalg.eigh(G)
+    top_val, top_vec = evals[-1], evecs[:, -1]
+    # rounded 12-iteration power iterate: close to the true eigenpair
+    assert abs(eig - top_val) / top_val < 0.01
+    assert abs(abs(np.dot(v, top_vec)) - 1.0) < 0.02
+    # unit norm survives the per-iteration snapping
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-3
+    # var_share is eig / trace
+    assert abs(out[0]["var_share"] - eig / np.trace(G)) < 1e-3
+
+
+def test_ols_matches_numpy_lstsq(spark, sf_dir):
+    row = ALL_QUERIES["ols_event_model"](spark, sf_dir).collect()[0]
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            F.col("value").alias("y"),
+            F.hour("ts").cast("double").alias("h"),
+            F.pmod(
+                F.datediff(F.col("ts").cast("date"), F.lit("1970-01-05")),
+                F.lit(7),
+            )
+            .cast("double")
+            .alias("d"),
+        )
+        .collect()
+    )
+    X = np.array([[1.0, r["h"], r["d"]] for r in ev])
+    y = np.array([r["y"] for r in ev])
+    w, *_ = np.linalg.lstsq(X, y, rcond=None)
+    assert abs(row["w_intercept"] - w[0]) < 1e-3
+    assert abs(row["w_hour"] - w[1]) < 1e-3
+    assert abs(row["w_dow"] - w[2]) < 1e-3
+    resid = y - X @ w
+    assert abs(row["rmse"] - np.sqrt(np.mean(resid**2))) < 1e-3
+    assert 0.0 <= row["r2"] <= 1.0 or abs(row["r2"]) < 1.0
+
+
+def test_k_anonymity_floor_holds(spark, sf_dir):
+    rows = ALL_QUERIES["k_anonymity"](spark, sf_dir).collect()
+    n_total = load_table(spark, sf_dir, "customer").count()
+    assert sum(r["n_rows"] for r in rows) == n_total
+    for r in rows:
+        if "*" not in (r["segment"], r["nation"]):
+            # every released (non-suppressed) cell satisfies the k floor
+            assert r["n_rows"] >= 10
+        else:
+            # suppression is all-or-nothing per row
+            assert (r["segment"], r["nation"]) == ("*", "*")
+
+
+def test_record_linkage_unique_best_match(spark, sf_dir):
+    rows = ALL_QUERIES["record_linkage"](spark, sf_dir).collect()
+    custs = [r["c_custkey"] for r in rows]
+    assert len(custs) == len(set(custs))  # top-1 per customer
+    assert all(r["score"] >= 3.0 for r in rows)
+    # matched pairs share a nation (the blocking key)
+    nat_c = {
+        r["c_custkey"]: r["c_nationkey"]
+        for r in load_table(spark, sf_dir, "customer").collect()
+    }
+    nat_s = {
+        r["s_suppkey"]: r["s_nationkey"]
+        for r in load_table(spark, sf_dir, "supplier").collect()
+    }
+    assert all(
+        nat_c[r["c_custkey"]] == nat_s[r["s_suppkey"]] for r in rows
+    )
+
+
+def test_token_budget_plan_feasible(spark, sf_dir):
+    rows = ALL_QUERIES["token_budget_plan"](spark, sf_dir).collect()
+    total = sum(r["tokens"] for r in rows)
+    budget = total // 2
+    assert all(0 <= r["alloc_tokens"] <= r["tokens"] for r in rows)
+    assert all(0.0 <= r["epochs"] <= 1.0 for r in rows)
+    got = sum(r["alloc_tokens"] for r in rows)
+    # waterfill lands within rounding slack of the budget, never above
+    assert got <= budget
+    assert budget - got <= len(rows)  # one floor per source
+    # sqrt flattening: smaller sources get a larger epoch fraction
+    by_tok = sorted(rows, key=lambda r: r["tokens"])
+    uncapped = [r for r in by_tok if r["alloc_tokens"] < r["tokens"]]
+    if len(uncapped) >= 2:
+        assert uncapped[0]["epochs"] >= uncapped[-1]["epochs"] - 1e-6
+
+
+def test_triangle_counts_match_bruteforce(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    orders = {}
+    for r in li.collect():
+        orders.setdefault(r["l_orderkey"], set()).add(r["l_partkey"])
+    edges = set()
+    for parts in orders.values():
+        ps = sorted(parts)
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                edges.add((ps[i], ps[j]))
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    counts = {}
+    for u, v in edges:
+        for w in adj[u] & adj[v]:
+            if u < w and v < w:  # count each triangle once, at (u,v,w)
+                for n in (u, v, w):
+                    counts[n] = counts.get(n, 0) + 1
+    expect = sorted(
+        counts.items(), key=lambda kv: (-kv[1], kv[0])
+    )[:20]
+    got = [
+        (r["l_partkey"], r["n_triangles"])
+        for r in ALL_QUERIES["triangle_cooccurrence"](
+            spark, sf_dir
+        ).orderBy("rank").collect()
+    ]
+    assert got == expect[: len(got)]
+
+
+def test_quantile_normalization_properties(spark, sf_dir):
+    rows = ALL_QUERIES["quantile_normalize_scores"](spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert len(rows) == n_docs
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    all_scores = sorted(r["score"] for r in rows)
+    lo, hi = all_scores[0], all_scores[-1]
+    for src, rs in by_src.items():
+        rs.sort(key=lambda r: (r["score"], r["doc_id"]))
+        # monotone: normalization preserves within-source order
+        norm = [r["norm_score"] for r in rs]
+        assert norm == sorted(norm)
+        if len(rs) > 1:
+            # endpoints map to the global extremes
+            assert abs(norm[0] - lo) < 1e-9
+            assert abs(norm[-1] - hi) < 1e-9
