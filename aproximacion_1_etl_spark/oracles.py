@@ -1196,6 +1196,71 @@ FROM s
 """
 
 
+def _logreg_sql(iterations: int = 12) -> str:
+    """Unrolled-CTE replay of operators/ml.logistic_regression_gd +
+    the scoring pass of q_logreg_label_model: per iteration one
+    decimal-summed gradient aggregate over the materialized feature
+    relation and a 9-dp-snapped weight update (lr = 2.0). MATERIALIZED
+    throughout — the weight CTE chain would otherwise inline
+    exponentially (each g{k} references f and w{k-1})."""
+    zexpr = (
+        "(0.0 + w.w0 * x0 + w.w1 * x1 + w.w2 * x2 + w.w3 * x3)"
+    )
+    ctes = [
+        """f AS MATERIALIZED (
+  SELECT CASE WHEN label < 5 THEN 1.0 ELSE 0.0 END AS y,
+         CAST(1.0 AS DOUBLE) AS x0,
+         CAST(embedding[1] AS DOUBLE) AS x1,
+         CAST(embedding[2] AS DOUBLE) AS x2,
+         CAST(embedding[3] AS DOUBLE) AS x3
+  FROM embeddings)""",
+        "w0i AS (SELECT CAST(0.0 AS DOUBLE) AS w0, CAST(0.0 AS DOUBLE)"
+        " AS w1, CAST(0.0 AS DOUBLE) AS w2, CAST(0.0 AS DOUBLE) AS w3)",
+    ]
+    prev = "w0i"
+    for k in range(1, iterations + 1):
+        gsum = ", ".join(
+            f"CAST(sum(CAST(((1.0 / (1.0 + exp(-{zexpr}))) - y) * x{j}"
+            f" AS DECIMAL(38,18))) AS DOUBLE) / count(*) AS g{j}"
+            for j in range(4)
+        )
+        ctes.append(
+            f"g{k} AS MATERIALIZED (SELECT {gsum} FROM f, {prev} w)"
+        )
+        wup = ", ".join(
+            f"floor((w.w{j} - 2.0 * g.g{j}) * 1e9 + 0.5) / 1e9 AS w{j}"
+            for j in range(4)
+        )
+        ctes.append(
+            f"w{k} AS MATERIALIZED (SELECT {wup} FROM {prev} w, g{k} g)"
+        )
+        prev = f"w{k}"
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+sc AS (
+  SELECT y, {zexpr} AS z FROM f, {prev} w),
+m AS (
+  SELECT count(*) AS n,
+         CAST(sum(CASE WHEN (z >= 0) = (y = 1.0) THEN 1 ELSE 0 END)
+              AS DOUBLE) / count(*) AS acc_raw,
+         CAST(sum(CAST(ln(1.0 + exp(-z)) + (1.0 - y) * z
+                       AS DECIMAL(38,18))) AS DOUBLE) / count(*)
+           AS ll_raw
+  FROM sc)
+SELECT CAST(n AS BIGINT) AS n,
+       floor(w.w0 * 1000000.0 + 0.5) / 1000000.0 AS w0,
+       floor(w.w1 * 1000000.0 + 0.5) / 1000000.0 AS w1,
+       floor(w.w2 * 1000000.0 + 0.5) / 1000000.0 AS w2,
+       floor(w.w3 * 1000000.0 + 0.5) / 1000000.0 AS w3,
+       floor(acc_raw * 10000.0 + 0.5) / 10000.0 AS accuracy,
+       floor(ll_raw * 10000.0 + 0.5) / 10000.0 AS logloss
+FROM m, {prev} w
+"""
+    )
+
+
 ALL_ORACLES: dict[str, str] = {
     "pagerank_suppliers": _pagerank_sql(),
     "bm25_topk": _bm25_sql(_BM25_QUERIES),
@@ -3544,5 +3609,82 @@ SELECT t.doc_id, t.source,
        floor(t.score * 10000.0 + 0.5) / 10000.0 AS score,
        floor(g.score * 10000.0 + 0.5) / 10000.0 AS norm_score
 FROM t JOIN g ON g.grank = t.ti
+""",
+    "logreg_label_model": _logreg_sql(),
+    "naive_bayes_lang": """
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, lang AS true_lang,
+         unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+  FROM documents),
+tk AS (SELECT * FROM toks WHERE length(tok) > 0),
+model AS MATERIALIZED (
+  SELECT true_lang AS l, tok, count(*) AS c FROM tk GROUP BY 1, 2),
+lang_tot AS (SELECT l, sum(c) AS t FROM model GROUP BY 1),
+vocab AS (SELECT count(DISTINCT tok) AS v FROM model),
+priors AS (SELECT lang AS l, count(*) AS nd FROM documents GROUP BY 1),
+n_docs AS (SELECT count(*) AS n_all FROM documents),
+lstats AS (
+  SELECT lt.l,
+         ln(CAST(p.nd AS DOUBLE) / n.n_all) AS lprior,
+         ln(CAST(lt.t + v.v AS DOUBLE)) AS ldenom
+  FROM lang_tot lt JOIN priors p ON p.l = lt.l, vocab v, n_docs n),
+ntok AS (
+  SELECT doc_id, true_lang, count(*) AS nt FROM tk GROUP BY 1, 2),
+ssum AS (
+  SELECT tk.doc_id, m.l,
+         CAST(sum(CAST(ln(CAST(m.c + 1 AS DOUBLE)) AS DECIMAL(38,18)))
+              AS DOUBLE) AS s
+  FROM tk JOIN model m ON m.tok = tk.tok
+  GROUP BY 1, 2),
+scored AS (
+  SELECT ntok.doc_id, ntok.true_lang, ls.l,
+         floor((ls.lprior - CAST(ntok.nt AS DOUBLE) * ls.ldenom
+                + coalesce(ss.s, 0.0)) * 1000000000.0 + 0.5)
+           / 1000000000.0 AS score
+  FROM ntok CROSS JOIN lstats ls
+  LEFT JOIN ssum ss ON ss.doc_id = ntok.doc_id AND ss.l = ls.l),
+pred AS (
+  SELECT true_lang, l AS pred_lang,
+         row_number() OVER (
+           PARTITION BY doc_id ORDER BY score DESC, l) AS rn
+  FROM scored)
+SELECT true_lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+FROM pred WHERE rn = 1 GROUP BY 1, 2
+""",
+    "chi2_feature_selection": """
+WITH dtok AS MATERIALIZED (
+  SELECT DISTINCT doc_id, lang AS l,
+         unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+  FROM documents),
+tk AS (SELECT * FROM dtok WHERE length(tok) > 0),
+a_df AS (SELECT l, tok, count(*) AS a FROM tk GROUP BY 1, 2),
+t_df AS (SELECT tok, sum(a) AS df_t FROM a_df GROUP BY 1),
+n_l AS (SELECT lang AS l, count(*) AS nl FROM documents GROUP BY 1),
+n_all AS (SELECT count(*) AS n_all FROM documents),
+cells AS (
+  SELECT a_df.l, a_df.tok,
+         CAST(a_df.a AS DOUBLE) AS ad,
+         CAST(t_df.df_t - a_df.a AS DOUBLE) AS bd,
+         CAST(n_l.nl - a_df.a AS DOUBLE) AS cd,
+         CAST(n_all.n_all - n_l.nl - t_df.df_t + a_df.a AS DOUBLE) AS dd,
+         CAST(n_all.n_all AS DOUBLE) AS nn,
+         CAST(a_df.a AS BIGINT) AS df_in_lang
+  FROM a_df
+  JOIN t_df ON t_df.tok = a_df.tok
+  JOIN n_l ON n_l.l = a_df.l, n_all
+  WHERE t_df.df_t >= 5),
+ranked AS (
+  SELECT l, tok, df_in_lang,
+         floor((nn * (ad * dd - bd * cd) * (ad * dd - bd * cd)
+                / ((ad + bd) * (cd + dd) * (ad + cd) * (bd + dd)))
+               * 10000.0 + 0.5) / 10000.0 AS chi2
+  FROM cells),
+topk AS (
+  SELECT l, tok, df_in_lang, chi2,
+         row_number() OVER (
+           PARTITION BY l ORDER BY chi2 DESC, tok) AS rn
+  FROM ranked)
+SELECT l AS lang, tok, df_in_lang, chi2, CAST(rn AS BIGINT) AS rank
+FROM topk WHERE rn <= 10
 """,
 }

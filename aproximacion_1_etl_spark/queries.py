@@ -5525,6 +5525,248 @@ def q_quantile_normalize_scores(
     )
 
 
+def q_logreg_label_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 iterative model fitting: full-batch gradient-descent
+    logistic regression (operators/ml.py::logistic_regression_gd)
+    predicting label < 5 from the first three embedding dimensions —
+    the general pattern for ANY differentiable fixed-width model: one
+    distributed aggregation per iteration, weights driver-held and
+    9-dp-snapped so the DuckDB oracle replays the identical recurrence
+    as unrolled CTEs. The final scoring pass emits weights, accuracy
+    (decided on z >= 0 — exact arithmetic, no exp at the boundary) and
+    logloss in ONE more aggregation."""
+    from aproximacion_1_etl_spark.operators.ml import (
+        logistic_regression_gd,
+    )
+    from aproximacion_1_etl_spark.text.vector import _as_double
+
+    emb = _as_double(load_table(spark, sf_dir, "embeddings"), "embedding")
+    feats = emb.select(
+        F.when(F.col("label") < 5, 1.0).otherwise(0.0).alias("y"),
+        F.element_at("embedding", 1).alias("x1"),
+        F.element_at("embedding", 2).alias("x2"),
+        F.element_at("embedding", 3).alias("x3"),
+    )
+    w = logistic_regression_gd(
+        feats, ["x1", "x2", "x3"], label_col="y", iterations=12, lr=2.0
+    )
+    z = (
+        F.lit(0.0)
+        + F.lit(w[0]) * F.lit(1.0)
+        + F.lit(w[1]) * F.col("x1")
+        + F.lit(w[2]) * F.col("x2")
+        + F.lit(w[3]) * F.col("x3")
+    )
+    correct = (
+        (z >= 0) == (F.col("y") == 1.0)
+    ).cast("int")
+    ll = F.log(F.lit(1.0) + F.exp(-z)) + (F.lit(1.0) - F.col("y")) * z
+    out = feats.select(
+        "y", correct.alias("correct_i"), ll.alias("ll_i")
+    ).agg(
+        F.count("*").cast("bigint").alias("n"),
+        (
+            F.sum(F.col("correct_i")).cast("double") / F.count("*")
+        ).alias("acc_raw"),
+        (
+            F.sum(F.col("ll_i").cast("decimal(38,18)")).cast("double")
+            / F.count("*")
+        ).alias("ll_raw"),
+    )
+    return out.select(
+        "n",
+        *[
+            _fround(F.lit(w[j]), 6).alias(f"w{j}")
+            for j in range(4)
+        ],
+        _fround(F.col("acc_raw"), 4).alias("accuracy"),
+        _fround(F.col("ll_raw"), 4).alias("logloss"),
+    )
+
+
+def q_naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 trained text classification: multinomial Naive Bayes over
+    whitespace tokens, trained AND applied in one logical plan
+    (resubstitution eval), emitting the confusion matrix — the trained
+    complement of the heuristic lang_confusion key.
+
+    score(d, l) = ln(prior_l) - |d| * ln(t_l + V)
+                + sum_{tok in d} ln(c_{l,tok} + 1)
+
+    The absent-token smoothing term ln(1) = 0 vanishes, so the
+    per-(doc, lang) sum needs ONLY the inner join of doc-token
+    instances with the present (lang, tok) counts — no dense
+    vocab x lang grid ever materializes; the doc x lang score grid
+    (|docs| x |langs|) comes from a broadcast join with the 5-row
+    language stats. Decimal-cast sums of per-instance ln values keep
+    scores order-independent; ranking rounds to 9 dp so sub-ulp ln()
+    differences between engines can't flip the argmax."""
+    docs = load_table(spark, sf_dir, "documents")
+    dp = spark.sparkContext.defaultParallelism
+    toks = (
+        docs.repartition(dp, F.col("doc_id"))
+        .select(
+            "doc_id",
+            F.col("lang").alias("true_lang"),
+            F.explode(
+                F.split(F.lower(F.trim("text")), r"\s+")
+            ).alias("tok"),
+        )
+        .filter(F.length("tok") > 0)
+    )
+    # ONE tokenization pass: model, per-doc token counts and the
+    # scoring join all read the materialized token relation — without
+    # the cut the explode replays once per branch (14 scans audited;
+    # re-tokenizing a 100 TB corpus three times is the bm25-class
+    # mistake this engine already fixed once).
+    toks = toks.localCheckpoint()
+    model = toks.groupBy(
+        F.col("true_lang").alias("l"), "tok"
+    ).agg(F.count("*").alias("c"))
+    lang_tot = model.groupBy("l").agg(F.sum("c").alias("t"))
+    vocab = model.select("tok").distinct().agg(
+        F.count("*").alias("v")
+    )
+    priors = docs.groupBy(F.col("lang").alias("l")).agg(
+        F.count("*").alias("nd")
+    )
+    n_docs = docs.agg(F.count("*").alias("n_all"))
+    lstats = (
+        lang_tot.join(priors, "l")
+        .crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "l",
+            (
+                F.log(F.col("nd").cast("double") / F.col("n_all"))
+            ).alias("lprior"),
+            F.log((F.col("t") + F.col("v")).cast("double")).alias(
+                "ldenom"
+            ),
+        )
+    )
+    ntok = toks.groupBy("doc_id", "true_lang").agg(
+        F.count("*").alias("nt")
+    )
+    ssum = (
+        toks.join(model, "tok")
+        .groupBy("doc_id", "l")
+        .agg(
+            F.sum(
+                F.log((F.col("c") + F.lit(1)).cast("double")).cast(
+                    "decimal(38,18)"
+                )
+            )
+            .cast("double")
+            .alias("s")
+        )
+    )
+    grid = ntok.crossJoin(F.broadcast(lstats))
+    scored = grid.join(ssum, ["doc_id", "l"], "left").select(
+        "doc_id",
+        "true_lang",
+        "l",
+        _fround(
+            F.col("lprior")
+            - F.col("nt").cast("double") * F.col("ldenom")
+            + F.coalesce(F.col("s"), F.lit(0.0)),
+            9,
+        ).alias("score"),
+    )
+    wd = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("l").asc()
+    )
+    pred = (
+        scored.withColumn("rn", F.row_number().over(wd))
+        .filter(F.col("rn") == 1)
+        .select("true_lang", F.col("l").alias("pred_lang"))
+    )
+    return pred.groupBy("true_lang", "pred_lang").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+
+
+def q_chi2_feature_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 feature selection: per-language top-10 tokens by
+    chi-square association between token document-frequency and
+    language — what a quality/domain classifier build selects features
+    with. All contingency cells are exact integer counts from two
+    keyed aggregations over the distinct doc-token relation; the chi2
+    formula is the same IEEE double expression on both engines. A
+    min-df floor (>= 5 docs) drops the long tail before ranking."""
+    docs = load_table(spark, sf_dir, "documents")
+    dp = spark.sparkContext.defaultParallelism
+    dtok = (
+        docs.repartition(dp, F.col("doc_id"))
+        .select(
+            "doc_id",
+            F.col("lang").alias("l"),
+            F.explode(
+                F.split(F.lower(F.trim("text")), r"\s+")
+            ).alias("tok"),
+        )
+        .filter(F.length("tok") > 0)
+        .distinct()
+    )
+    a_df = dtok.groupBy("l", "tok").agg(F.count("*").alias("a"))
+    t_df = a_df.groupBy("tok").agg(F.sum("a").alias("df_t"))
+    n_l = docs.groupBy(F.col("lang").alias("l")).agg(
+        F.count("*").alias("nl")
+    )
+    n_all = docs.agg(F.count("*").alias("n_all"))
+    cells = (
+        a_df.join(t_df, "tok")
+        .filter(F.col("df_t") >= 5)
+        .join(F.broadcast(n_l), "l")
+        .crossJoin(F.broadcast(n_all))
+        .select(
+            "l",
+            "tok",
+            F.col("a").cast("double").alias("ad"),
+            (F.col("df_t") - F.col("a")).cast("double").alias("bd"),
+            (F.col("nl") - F.col("a")).cast("double").alias("cd"),
+            (
+                F.col("n_all") - F.col("nl") - F.col("df_t") + F.col("a")
+            )
+            .cast("double")
+            .alias("dd"),
+            F.col("n_all").cast("double").alias("nn"),
+            F.col("a").cast("bigint").alias("df_in_lang"),
+        )
+    )
+    num = (
+        F.col("ad") * F.col("dd") - F.col("bd") * F.col("cd")
+    )
+    chi2 = (
+        F.col("nn")
+        * num
+        * num
+        / (
+            (F.col("ad") + F.col("bd"))
+            * (F.col("cd") + F.col("dd"))
+            * (F.col("ad") + F.col("cd"))
+            * (F.col("bd") + F.col("dd"))
+        )
+    )
+    ranked = cells.select(
+        "l", "tok", "df_in_lang", _fround(chi2, 4).alias("chi2")
+    )
+    wl = Window.partitionBy("l").orderBy(
+        F.col("chi2").desc(), F.col("tok").asc()
+    )
+    return (
+        ranked.withColumn("rn", F.row_number().over(wl))
+        .filter(F.col("rn") <= 10)
+        .select(
+            F.col("l").alias("lang"),
+            "tok",
+            "df_in_lang",
+            "chi2",
+            F.col("rn").cast("bigint").alias("rank"),
+        )
+    )
+
+
 ALL_QUERIES = {
     "flagship_order_lifecycle": q_flagship_order_lifecycle,
     "bm25_topk": q_bm25_topk,
@@ -5728,4 +5970,7 @@ ALL_QUERIES = {
     "token_budget_plan": q_token_budget_plan,
     "triangle_cooccurrence": q_triangle_cooccurrence,
     "quantile_normalize_scores": q_quantile_normalize_scores,
+    "logreg_label_model": q_logreg_label_model,
+    "naive_bayes_lang": q_naive_bayes_lang,
+    "chi2_feature_selection": q_chi2_feature_selection,
 }

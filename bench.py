@@ -133,6 +133,9 @@ HEADLINE = [
     "token_budget_plan",
     "triangle_cooccurrence",
     "quantile_normalize_scores",
+    "logreg_label_model",
+    "naive_bayes_lang",
+    "chi2_feature_selection",
     # Python-worker queries LAST: applyInPandas spins up 32 Python
     # workers and leaves GC pressure that inflates the next JVM-only
     # query by ~3x (measured: dedup_minhash_lsh 6.96s after it vs 1.9s

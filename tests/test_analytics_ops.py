@@ -166,3 +166,69 @@ def test_quantile_normalization_properties(spark, sf_dir):
             # endpoints map to the global extremes
             assert abs(norm[0] - lo) < 1e-9
             assert abs(norm[-1] - hi) < 1e-9
+
+
+def test_logreg_descends_loss_and_matches_numpy_direction(spark, sf_dir):
+    import math
+
+    from aproximacion_1_etl_spark.operators.ml import (
+        logistic_regression_gd,
+    )
+    from aproximacion_1_etl_spark.text.vector import _as_double
+
+    emb = _as_double(load_table(spark, sf_dir, "embeddings"), "embedding")
+    feats = emb.select(
+        F.when(F.col("label") < 5, 1.0).otherwise(0.0).alias("y"),
+        F.element_at("embedding", 1).alias("x1"),
+        F.element_at("embedding", 2).alias("x2"),
+        F.element_at("embedding", 3).alias("x3"),
+    )
+    w = logistic_regression_gd(feats, ["x1", "x2", "x3"], iterations=12)
+    rows = feats.collect()
+    X = np.array([[1.0, r["x1"], r["x2"], r["x3"]] for r in rows])
+    y = np.array([r["y"] for r in rows])
+
+    def loss(wv):
+        z = X @ wv
+        return float(np.mean(np.log1p(np.exp(-z)) + (1 - y) * z))
+
+    l0 = loss(np.zeros(4))
+    lw = loss(np.array(w))
+    assert lw <= l0 + 1e-12  # GD descended (or stayed) from the origin
+    # replaying the same recurrence in numpy lands on the same weights
+    wv = np.zeros(4)
+    for _ in range(12):
+        p = 1.0 / (1.0 + np.exp(-(X @ wv)))
+        g = ((p - y) @ X) / len(y)
+        wv = np.array(
+            [math.floor((a - 2.0 * b) * 1e9 + 0.5) / 1e9
+             for a, b in zip(wv, g)]
+        )
+    assert np.allclose(wv, np.array(w), atol=1e-8)
+
+
+def test_naive_bayes_beats_priors_and_rows_consistent(spark, sf_dir):
+    rows = ALL_QUERIES["naive_bayes_lang"](spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r["n"] for r in rows) == n_docs
+    correct = sum(r["n"] for r in rows if r["true_lang"] == r["pred_lang"])
+    langs = load_table(spark, sf_dir, "documents").groupBy("lang").count()
+    majority = max(r["count"] for r in langs.collect())
+    # a trained NB must beat the majority-class baseline on resubstitution
+    assert correct > majority
+
+
+def test_chi2_top_terms_are_language_markers(spark, sf_dir):
+    rows = ALL_QUERIES["chi2_feature_selection"](spark, sf_dir).collect()
+    by_lang = {}
+    for r in rows:
+        assert r["chi2"] >= 0.0
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rs in by_lang.items():
+        assert len(rs) <= 10
+        ranks = sorted(r["rank"] for r in rs)
+        assert ranks == list(range(1, len(rs) + 1))
+        # chi2 non-increasing in rank
+        srt = sorted(rs, key=lambda r: r["rank"])
+        vals = [r["chi2"] for r in srt]
+        assert vals == sorted(vals, reverse=True)
