@@ -3687,4 +3687,50 @@ topk AS (
 SELECT l AS lang, tok, df_in_lang, chi2, CAST(rn AS BIGINT) AS rank
 FROM topk WHERE rn <= 10
 """,
+    "item_similarity_topk": """
+WITH po AS (
+  SELECT l_orderkey, list_sort(list(DISTINCT l_partkey)) AS ps
+  FROM lineitem GROUP BY 1),
+ex AS (
+  SELECT l_orderkey, generate_subscripts(ps, 1) AS i,
+         unnest(ps) AS part
+  FROM po),
+pairs AS (
+  SELECT e1.part AS a, e2.part AS b
+  FROM ex e1 JOIN ex e2
+    ON e1.l_orderkey = e2.l_orderkey AND e1.i < e2.i),
+cab AS (SELECT a, b, count(*) AS c_ab FROM pairs GROUP BY 1, 2),
+item_n AS (
+  SELECT part AS p, count(*) AS c_p
+  FROM po, unnest(ps) AS u(part) GROUP BY 1),
+sym AS (
+  SELECT a, b, c_ab FROM cab
+  UNION ALL SELECT b AS a, a AS b, c_ab FROM cab),
+scored AS (
+  SELECT s.a, s.b, s.c_ab,
+         floor(CAST(s.c_ab AS DOUBLE)
+               / sqrt(CAST(ca.c_p AS DOUBLE) * CAST(cb.c_p AS DOUBLE))
+               * 10000.0 + 0.5) / 10000.0 AS cosine
+  FROM sym s
+  JOIN item_n ca ON ca.p = s.a
+  JOIN item_n cb ON cb.p = s.b
+  WHERE s.c_ab >= 2),
+topk AS (
+  SELECT a, b, c_ab, cosine,
+         row_number() OVER (PARTITION BY a ORDER BY cosine DESC, b) AS rn
+  FROM scored)
+SELECT a AS l_partkey, b AS rec_partkey,
+       CAST(c_ab AS BIGINT) AS n_coorders, cosine,
+       CAST(rn AS BIGINT) AS rank
+FROM topk WHERE rn <= 5
+""",
+    "l_diversity_audit": """
+SELECT CAST(c_nationkey AS INT) AS nation,
+       CAST(floor(c_acctbal / 2000) AS BIGINT) AS bal_band,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS distinct_segments,
+       CAST(CASE WHEN count(DISTINCT c_mktsegment) >= 3
+                 THEN 1 ELSE 0 END AS INT) AS is_diverse
+FROM customer GROUP BY 1, 2
+""",
 }

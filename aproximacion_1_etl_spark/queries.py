@@ -5767,6 +5767,107 @@ def q_chi2_feature_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_item_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 item-item collaborative filtering: top-5 co-order
+    neighbors per part by cosine over basket co-occurrence
+    (sim = c_ab / sqrt(c_a * c_b)) with a support floor — the classic
+    Amazon-style recommender build. Pairs are generated map-side from
+    per-order baskets (never a fact self-join, same shape as
+    triangle_cooccurrence); the pair relation is symmetrized by a
+    cheap union, so each part ranks all its neighbors. Item counts
+    are |parts|-sized and broadcast onto the pair relation."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    per_order = (
+        li.repartition(
+            spark.sparkContext.defaultParallelism, F.col("l_orderkey")
+        )
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
+    )
+    pairs = per_order.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ps"),
+                    lambda x, i: F.transform(
+                        F.slice(
+                            F.col("ps"), i + F.lit(2), F.size(F.col("ps"))
+                        ),
+                        lambda y: F.struct(x.alias("a"), y.alias("b")),
+                    ),
+                )
+            )
+        ).alias("e")
+    ).select("e.a", "e.b")
+    cab = pairs.groupBy("a", "b").agg(F.count("*").alias("c_ab"))
+    item_n = per_order.select(
+        F.explode("ps").alias("p")
+    ).groupBy("p").agg(F.count("*").alias("c_p"))
+    sym = cab.unionByName(
+        cab.select(
+            F.col("b").alias("a"), F.col("a").alias("b"), "c_ab"
+        )
+    )
+    ca = item_n.select(F.col("p").alias("a"), F.col("c_p").alias("c_a"))
+    cb = item_n.select(F.col("p").alias("b"), F.col("c_p").alias("c_b"))
+    scored = (
+        sym.filter(F.col("c_ab") >= 2)
+        .join(F.broadcast(ca), "a")
+        .join(F.broadcast(cb), "b")
+        .select(
+            "a",
+            "b",
+            "c_ab",
+            _fround(
+                F.col("c_ab").cast("double")
+                / F.sqrt(
+                    F.col("c_a").cast("double")
+                    * F.col("c_b").cast("double")
+                ),
+                4,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("a").orderBy(
+        F.col("cosine").desc(), F.col("b").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select(
+            F.col("a").alias("l_partkey"),
+            F.col("b").alias("rec_partkey"),
+            F.col("c_ab").cast("bigint").alias("n_coorders"),
+            "cosine",
+            F.col("rn").cast("bigint").alias("rank"),
+        )
+    )
+
+
+def q_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 privacy audit, companion to k_anonymity: l-diversity —
+    a QI group is safe only if its SENSITIVE attribute (market
+    segment) takes >= l = 3 distinct values; a group can satisfy k
+    while every member shares one segment, which k-anonymity alone
+    misses. One aggregation over (nation, balance band); output per
+    group with the violation flag."""
+    cust = load_table(spark, sf_dir, "customer")
+    qi = cust.select(
+        F.col("c_nationkey").cast("int").alias("nation"),
+        F.floor(F.col("c_acctbal") / 2000).cast("bigint").alias(
+            "bal_band"
+        ),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    return qi.groupBy("nation", "bal_band").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.countDistinct("seg").cast("bigint").alias("distinct_segments"),
+        (F.countDistinct("seg") >= 3).cast("int").alias("is_diverse"),
+    )
+
+
 ALL_QUERIES = {
     "flagship_order_lifecycle": q_flagship_order_lifecycle,
     "bm25_topk": q_bm25_topk,
@@ -5973,4 +6074,6 @@ ALL_QUERIES = {
     "logreg_label_model": q_logreg_label_model,
     "naive_bayes_lang": q_naive_bayes_lang,
     "chi2_feature_selection": q_chi2_feature_selection,
+    "item_similarity_topk": q_item_similarity_topk,
+    "l_diversity_audit": q_l_diversity_audit,
 }

@@ -136,6 +136,8 @@ HEADLINE = [
     "logreg_label_model",
     "naive_bayes_lang",
     "chi2_feature_selection",
+    "item_similarity_topk",
+    "l_diversity_audit",
     # Python-worker queries LAST: applyInPandas spins up 32 Python
     # workers and leaves GC pressure that inflates the next JVM-only
     # query by ~3x (measured: dedup_minhash_lsh 6.96s after it vs 1.9s

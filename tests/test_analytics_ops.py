@@ -232,3 +232,27 @@ def test_chi2_top_terms_are_language_markers(spark, sf_dir):
         srt = sorted(rs, key=lambda r: r["rank"])
         vals = [r["chi2"] for r in srt]
         assert vals == sorted(vals, reverse=True)
+
+
+def test_item_similarity_symmetric_and_bounded(spark, sf_dir):
+    rows = ALL_QUERIES["item_similarity_topk"](spark, sf_dir).collect()
+    sims = {}
+    for r in rows:
+        assert 0.0 < r["cosine"] <= 1.0
+        assert r["n_coorders"] >= 2
+        assert 1 <= r["rank"] <= 5
+        sims[(r["l_partkey"], r["rec_partkey"])] = r["cosine"]
+    # cosine is symmetric: when both directions survive top-5, equal
+    for (a, b), s in sims.items():
+        if (b, a) in sims:
+            assert abs(sims[(b, a)] - s) < 1e-12
+
+
+def test_l_diversity_flags_match_counts(spark, sf_dir):
+    rows = ALL_QUERIES["l_diversity_audit"](spark, sf_dir).collect()
+    n_total = load_table(spark, sf_dir, "customer").count()
+    assert sum(r["n_rows"] for r in rows) == n_total
+    for r in rows:
+        assert r["distinct_segments"] >= 1
+        assert r["is_diverse"] == (1 if r["distinct_segments"] >= 3 else 0)
+        assert r["distinct_segments"] <= r["n_rows"]
