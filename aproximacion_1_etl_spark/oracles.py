@@ -3733,4 +3733,69 @@ SELECT CAST(c_nationkey AS INT) AS nation,
                  THEN 1 ELSE 0 END AS INT) AS is_diverse
 FROM customer GROUP BY 1, 2
 """,
+    "attribution_last_touch": """
+WITH conv AS (
+  SELECT event_id, user_id, ts, value FROM events
+  WHERE event_type = 'purchase'),
+touch AS (
+  SELECT event_id, user_id, ts, event_type AS touch_type FROM events
+  WHERE event_type != 'purchase'),
+cand AS (
+  SELECT c.event_id AS conv_id, c.value, t.touch_type,
+         row_number() OVER (
+           PARTITION BY c.event_id
+           ORDER BY t.ts DESC, t.event_id DESC) AS rn
+  FROM conv c
+  JOIN touch t
+    ON t.user_id = c.user_id AND t.ts <= c.ts),
+best AS (SELECT conv_id, touch_type FROM cand WHERE rn = 1),
+attr AS (
+  SELECT coalesce(b.touch_type, '(direct)') AS touch_type, c.value
+  FROM conv c LEFT JOIN best b ON b.conv_id = c.event_id)
+SELECT touch_type,
+       CAST(count(*) AS BIGINT) AS n_conversions,
+       floor(CAST(sum(CAST(value AS DECIMAL(38,18))) AS DOUBLE)
+             * 100.0 + 0.5) / 100.0 AS attributed_value
+FROM attr GROUP BY 1
+""",
+    "cusum_drift": """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS x
+  FROM events GROUP BY 1, 2),
+mu AS (
+  SELECT event_type,
+         CAST(sum(CAST(x AS DECIMAL(38,18))) AS DOUBLE) / count(*) AS mu
+  FROM daily GROUP BY 1),
+devs AS (
+  SELECT d.event_type, d.day,
+         CAST(d.x AS DOUBLE) - m.mu AS dev, m.mu
+  FROM daily d JOIN mu m ON m.event_type = d.event_type),
+pre AS (
+  SELECT event_type, day, mu,
+         sum(dev) OVER (
+           PARTITION BY event_type ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prefix
+  FROM devs),
+run AS (
+  SELECT event_type, day, mu, prefix,
+         min(prefix) OVER (
+           PARTITION BY event_type ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS runmin
+  FROM pre),
+drifted AS (
+  SELECT event_type, day, mu,
+         floor((prefix - least(runmin, 0.0)) * 1000000.0 + 0.5)
+           / 1000000.0 AS drift
+  FROM run),
+ranked AS (
+  SELECT event_type, day, mu, drift,
+         row_number() OVER (
+           PARTITION BY event_type ORDER BY drift DESC, day) AS rn
+  FROM drifted)
+SELECT event_type,
+       strftime(day, '%Y-%m-%d') AS peak_day,
+       floor(drift * 10000.0 + 0.5) / 10000.0 AS max_drift,
+       floor(mu * 10000.0 + 0.5) / 10000.0 AS mean_daily
+FROM ranked WHERE rn = 1
+""",
 }

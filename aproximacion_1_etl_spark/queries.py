@@ -5868,6 +5868,128 @@ def q_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 marketing attribution: each purchase's value is credited
+    to the user's LAST non-purchase touch at or before the purchase —
+    classic last-touch conversion attribution, composed directly from
+    the engine's as-of join (operators/joins.py::asof_join — the
+    union-window merge: one shuffle on the user key, no range-join
+    blowup). Purchases with no prior touch land in the '(direct)'
+    bucket, so total conversion value is conserved. Value sums in
+    decimal, so the report is order-independent."""
+    from aproximacion_1_etl_spark.operators.joins import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    conversions = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    touches = ev.filter(F.col("event_type") != "purchase").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("event_type").alias("touch_type"),
+    )
+    joined = asof_join(
+        conversions,
+        touches,
+        left_key="user_id",
+        right_key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["touch_type"],
+        tiebreak="event_id",
+    )
+    return (
+        joined.select(
+            F.coalesce(F.col("asof_touch_type"), F.lit("(direct)")).alias(
+                "touch_type"
+            ),
+            "value",
+        )
+        .groupBy("touch_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_conversions"),
+            _fround(
+                F.sum(F.col("value").cast("decimal(38,18)")).cast(
+                    "double"
+                ),
+                2,
+            ).alias("attributed_value"),
+        )
+    )
+
+
+def q_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 change-point detection: per event type, the positive
+    CUSUM drift statistic over the daily-count series — how far the
+    cumulative deviation from the type's mean daily volume has risen
+    above its historical minimum (the standard sequential drift
+    detector for pipeline-volume monitoring).
+
+    Windows, not a fold: s_t = prefix_t - min(0, min_{j<=t} prefix_j)
+    where prefix is the running sum of (count - mean). Running sum and
+    running min are both ordered window aggregates, so the recursion
+    max(0, s+dev) never needs a per-row loop — the shape scales as two
+    per-type windows over the |types x days| relation. Drift rounds
+    to 6 dp before the argmax ranking so sub-ulp cross-engine window
+    summation differences can't flip the peak day."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count("*").alias("x"))
+    mu = daily.groupBy("event_type").agg(
+        (
+            F.sum(F.col("x").cast("decimal(38,18)")).cast("double")
+            / F.count("*")
+        ).alias("mu")
+    )
+    wo = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    devs = daily.join(F.broadcast(mu), "event_type").select(
+        "event_type",
+        "day",
+        (F.col("x").cast("double") - F.col("mu")).alias("dev"),
+        "mu",
+    )
+    pre = devs.select(
+        "event_type",
+        "day",
+        "mu",
+        F.sum("dev").over(wo).alias("prefix"),
+    )
+    run = pre.select(
+        "event_type",
+        "day",
+        "mu",
+        "prefix",
+        F.min("prefix").over(wo).alias("runmin"),
+    )
+    drifted = run.select(
+        "event_type",
+        "day",
+        "mu",
+        _fround(
+            F.col("prefix") - F.least(F.col("runmin"), F.lit(0.0)), 6
+        ).alias("drift"),
+    )
+    wr = Window.partitionBy("event_type").orderBy(
+        F.col("drift").desc(), F.col("day").asc()
+    )
+    return (
+        drifted.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("peak_day"),
+            _fround(F.col("drift"), 4).alias("max_drift"),
+            _fround(F.col("mu"), 4).alias("mean_daily"),
+        )
+    )
+
+
 ALL_QUERIES = {
     "flagship_order_lifecycle": q_flagship_order_lifecycle,
     "bm25_topk": q_bm25_topk,
@@ -6076,4 +6198,6 @@ ALL_QUERIES = {
     "chi2_feature_selection": q_chi2_feature_selection,
     "item_similarity_topk": q_item_similarity_topk,
     "l_diversity_audit": q_l_diversity_audit,
+    "attribution_last_touch": q_attribution_last_touch,
+    "cusum_drift": q_cusum_drift,
 }

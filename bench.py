@@ -138,6 +138,8 @@ HEADLINE = [
     "chi2_feature_selection",
     "item_similarity_topk",
     "l_diversity_audit",
+    "attribution_last_touch",
+    "cusum_drift",
     # Python-worker queries LAST: applyInPandas spins up 32 Python
     # workers and leaves GC pressure that inflates the next JVM-only
     # query by ~3x (measured: dedup_minhash_lsh 6.96s after it vs 1.9s

@@ -256,3 +256,45 @@ def test_l_diversity_flags_match_counts(spark, sf_dir):
         assert r["distinct_segments"] >= 1
         assert r["is_diverse"] == (1 if r["distinct_segments"] >= 3 else 0)
         assert r["distinct_segments"] <= r["n_rows"]
+
+
+def test_attribution_conserves_conversion_value(spark, sf_dir):
+    rows = ALL_QUERIES["attribution_last_touch"](spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    n_conv = purchases.count()
+    assert sum(r["n_conversions"] for r in rows) == n_conv
+    total = float(
+        purchases.agg(
+            F.sum(F.col("value").cast("decimal(38,18)")).cast("double")
+        ).collect()[0][0]
+    )
+    attributed = sum(r["attributed_value"] for r in rows)
+    # conserved up to one 2-dp rounding per bucket
+    assert abs(attributed - total) <= 0.01 * (len(rows) + 1)
+    assert all(r["touch_type"] != "purchase" for r in rows)
+
+
+def test_cusum_drift_matches_python_recursion(spark, sf_dir):
+    rows = ALL_QUERIES["cusum_drift"](spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).collect()
+    daily = {}
+    for r in ev:
+        daily.setdefault(r["event_type"], {})
+        daily[r["event_type"]][r["day"]] = (
+            daily[r["event_type"]].get(r["day"], 0) + 1
+        )
+    got = {r["event_type"]: r for r in rows}
+    for et, series in daily.items():
+        days = sorted(series)
+        mu = sum(series[d] for d in days) / len(days)
+        s, smax = 0.0, 0.0
+        for d in days:
+            s = max(0.0, s + (series[d] - mu))
+            smax = max(smax, s)
+        # the prefix-minus-runmin window identity equals the
+        # max(0, s + dev) recursion
+        assert abs(got[et]["max_drift"] - smax) < 1e-3
+        assert abs(got[et]["mean_daily"] - mu) < 1e-3
