@@ -1261,6 +1261,77 @@ FROM m, {prev} w
     )
 
 
+def _bootstrap_sql(B: int = 64) -> str:
+    """Mirror of q_bootstrap_ci_mean: identical Poisson(1) CDF hex
+    thresholds (same Python float arithmetic generates both sides),
+    md5 string comparisons, decimal replicate sums, nearest-rank CI."""
+    import math as _math
+
+    cdf, acc, k = [], 0.0, 0
+    while acc < 0.99999 and k < 8:
+        acc += _math.exp(-1.0) / _math.factorial(k)
+        cdf.append(min(acc, 1.0))
+        k += 1
+    th = [format(int(c * 2**32), "08x") for c in cdf]
+    cases = " ".join(
+        f"WHEN h < '{t}' THEN {i}" for i, t in enumerate(th)
+    )
+    lo_rk = max(1, _math.ceil(0.025 * B))
+    hi_rk = _math.ceil(0.975 * B)
+    return f"""
+WITH fan AS (
+  SELECT o.o_orderkey, o.o_totalprice, t.b,
+         substring(md5(concat_ws(':', o.o_orderkey, t.b)), 1, 8) AS h
+  FROM orders o, range({B}) t(b)),
+wtd AS (
+  SELECT b, o_totalprice,
+         CASE {cases} ELSE {len(th)} END AS w
+  FROM fan),
+reps AS (
+  SELECT b,
+         CAST(sum(CAST(w * o_totalprice AS DECIMAL(38,18))) AS DOUBLE)
+           / sum(w) AS mean_b
+  FROM wtd GROUP BY b),
+ranked AS (
+  SELECT mean_b,
+         row_number() OVER (ORDER BY mean_b, b) AS rk
+  FROM reps),
+point AS (
+  SELECT count(*) AS n,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(38,18))) AS DOUBLE)
+           / count(*) AS mean_raw
+  FROM orders)
+SELECT CAST(p.n AS BIGINT) AS n,
+       floor(p.mean_raw * 10000.0 + 0.5) / 10000.0 AS mean_value,
+       floor(lo.mean_b * 10000.0 + 0.5) / 10000.0 AS ci_lo,
+       floor(hi.mean_b * 10000.0 + 0.5) / 10000.0 AS ci_hi,
+       CAST({B} AS BIGINT) AS n_replicates
+FROM point p,
+     (SELECT mean_b FROM ranked WHERE rk = {lo_rk}) lo,
+     (SELECT mean_b FROM ranked WHERE rk = {hi_rk}) hi
+"""
+
+
+def _skew_family_sql(label: str, table: str, key: str) -> str:
+    return f"""
+SELECT '{label}' AS join_key,
+       CAST(sum(c) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(max(c) AS BIGINT) AS max_key_rows,
+       floor(CAST(max(c) AS DOUBLE)
+             / (CAST(sum(c) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+             * 100.0 + 0.5) / 100.0 AS skew_ratio,
+       floor(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE)
+             * 1000000.0 + 0.5) / 1000000.0 AS top_key_share,
+       CAST(CASE WHEN CAST(max(c) AS DOUBLE)
+                      / (CAST(sum(c) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+                      > 10.0
+                 THEN 1 ELSE 0 END AS INT) AS is_skewed
+FROM (SELECT {key}, count(*) AS c FROM {table} GROUP BY 1)
+"""
+
+
+
 ALL_ORACLES: dict[str, str] = {
     "pagerank_suppliers": _pagerank_sql(),
     "bm25_topk": _bm25_sql(_BM25_QUERIES),
@@ -3798,4 +3869,15 @@ SELECT event_type,
        floor(mu * 10000.0 + 0.5) / 10000.0 AS mean_daily
 FROM ranked WHERE rn = 1
 """,
+    "bootstrap_ci_mean": _bootstrap_sql(),
+    "join_skew_report": " UNION ALL ".join(
+        _skew_family_sql(lbl, t, k)
+        for lbl, t, k in [
+            ("orders.o_custkey", "orders", "o_custkey"),
+            ("lineitem.l_orderkey", "lineitem", "l_orderkey"),
+            ("lineitem.l_partkey", "lineitem", "l_partkey"),
+            ("lineitem.l_suppkey", "lineitem", "l_suppkey"),
+            ("events.user_id", "events", "user_id"),
+        ]
+    ),
 }

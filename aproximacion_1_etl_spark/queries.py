@@ -5990,6 +5990,160 @@ def q_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 distribution-free uncertainty at scale: a Poisson
+    bootstrap 95% CI for the mean order value. The classic resampling
+    bootstrap is undistributable (each replicate draws n rows WITH
+    replacement — a global shuffle per replicate); the Poisson
+    bootstrap replaces each row's replicate multiplicity with an
+    independent Poisson(1) weight, so ALL B replicates ride ONE
+    map-side fan-out (row x B) into a B-row aggregate — the standard
+    big-data bootstrap (Chamandy et al., "Estimating uncertainty for
+    massive data streams", Google 2012).
+
+    Determinism: the Poisson draw inverts the CDF on the first 8 hex
+    chars of md5(orderkey:replicate) compared against PRECOMPUTED hex
+    thresholds — pure string comparisons, the repo's
+    deterministic-sample trick, bit-identical on any engine. Replicate
+    means use decimal sums; the CI is nearest-rank over the B ordered
+    means with a replicate-id tiebreak."""
+    B = 64
+    # cumulative Poisson(1) CDF -> 8-hex-digit thresholds
+    import math as _math
+
+    cdf, acc, k = [], 0.0, 0
+    while acc < 0.99999 and k < 8:
+        acc += _math.exp(-1.0) / _math.factorial(k)
+        cdf.append(min(acc, 1.0))
+        k += 1
+    thresholds = [format(int(c * 2**32), "08x") for c in cdf]
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    dp = spark.sparkContext.defaultParallelism
+    fan = (
+        orders.repartition(dp, F.col("o_orderkey"))
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            F.explode(
+                F.array(*[F.lit(b) for b in range(B)])
+            ).alias("b"),
+        )
+        .withColumn(
+            "h",
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.col("o_orderkey"), F.col("b")
+                    )
+                ),
+                1,
+                8,
+            ),
+        )
+    )
+    w: F.Column = F.lit(len(thresholds))
+    for k_i in range(len(thresholds) - 1, -1, -1):
+        w = F.when(F.col("h") < thresholds[k_i], F.lit(k_i)).otherwise(w)
+    reps = (
+        fan.select("b", w.alias("w"), "o_totalprice")
+        .groupBy("b")
+        .agg(
+            F.sum(
+                (F.col("w") * F.col("o_totalprice")).cast(
+                    "decimal(38,18)"
+                )
+            )
+            .cast("double")
+            .alias("s"),
+            F.sum("w").alias("nw"),
+        )
+        .select("b", (F.col("s") / F.col("nw")).alias("mean_b"))
+    )
+    wr = Window.orderBy(F.col("mean_b").asc(), F.col("b").asc())
+    ranked = reps.select(
+        "mean_b", F.row_number().over(wr).alias("rk")
+    )
+    lo_rk = max(1, _math.ceil(0.025 * B))
+    hi_rk = _math.ceil(0.975 * B)
+    point = orders.agg(
+        F.count("*").cast("bigint").alias("n"),
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(38,18)")).cast(
+                "double"
+            )
+            / F.count("*")
+        ).alias("mean_raw"),
+    )
+    lo = ranked.filter(F.col("rk") == lo_rk).select(
+        F.col("mean_b").alias("lo_raw")
+    )
+    hi = ranked.filter(F.col("rk") == hi_rk).select(
+        F.col("mean_b").alias("hi_raw")
+    )
+    return (
+        point.crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .select(
+            "n",
+            _fround(F.col("mean_raw"), 4).alias("mean_value"),
+            _fround(F.col("lo_raw"), 4).alias("ci_lo"),
+            _fround(F.col("hi_raw"), 4).alias("ci_hi"),
+            F.lit(B).cast("bigint").alias("n_replicates"),
+        )
+    )
+
+
+def q_join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 skew diagnosis — measure BEFORE salting: for every
+    candidate join key in the schema, the key-frequency profile that
+    decides the join strategy (max key rows, skew ratio vs the mean
+    key, top-key share). Each family is one groupBy + one 1-row
+    aggregate; the report is |families| rows. The `is_skewed` flag
+    (ratio > 10) is what the salted-agg / replicated-join operators
+    key off at 100 TB."""
+    families = [
+        ("orders.o_custkey", "orders", "o_custkey"),
+        ("lineitem.l_orderkey", "lineitem", "l_orderkey"),
+        ("lineitem.l_partkey", "lineitem", "l_partkey"),
+        ("lineitem.l_suppkey", "lineitem", "l_suppkey"),
+        ("events.user_id", "events", "user_id"),
+    ]
+    out = None
+    for label, table, key in families:
+        t = load_table(spark, sf_dir, table)
+        per_key = t.groupBy(F.col(key)).agg(F.count("*").alias("c"))
+        stats = per_key.agg(
+            F.sum("c").cast("bigint").alias("n_rows"),
+            F.count("*").cast("bigint").alias("n_keys"),
+            F.max("c").cast("bigint").alias("max_key_rows"),
+        ).select(
+            F.lit(label).alias("join_key"),
+            "n_rows",
+            "n_keys",
+            "max_key_rows",
+            _fround(
+                F.col("max_key_rows").cast("double")
+                / (
+                    F.col("n_rows").cast("double")
+                    / F.col("n_keys").cast("double")
+                ),
+                2,
+            ).alias("skew_ratio"),
+            _fround(
+                F.col("max_key_rows").cast("double")
+                / F.col("n_rows").cast("double"),
+                6,
+            ).alias("top_key_share"),
+        )
+        stats = stats.withColumn(
+            "is_skewed", (F.col("skew_ratio") > 10.0).cast("int")
+        )
+        out = stats if out is None else out.unionByName(stats)
+    return out
+
+
 ALL_QUERIES = {
     "flagship_order_lifecycle": q_flagship_order_lifecycle,
     "bm25_topk": q_bm25_topk,
@@ -6200,4 +6354,6 @@ ALL_QUERIES = {
     "l_diversity_audit": q_l_diversity_audit,
     "attribution_last_touch": q_attribution_last_touch,
     "cusum_drift": q_cusum_drift,
+    "bootstrap_ci_mean": q_bootstrap_ci_mean,
+    "join_skew_report": q_join_skew_report,
 }

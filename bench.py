@@ -140,6 +140,8 @@ HEADLINE = [
     "l_diversity_audit",
     "attribution_last_touch",
     "cusum_drift",
+    "bootstrap_ci_mean",
+    "join_skew_report",
     # Python-worker queries LAST: applyInPandas spins up 32 Python
     # workers and leaves GC pressure that inflates the next JVM-only
     # query by ~3x (measured: dedup_minhash_lsh 6.96s after it vs 1.9s

@@ -298,3 +298,53 @@ def test_cusum_drift_matches_python_recursion(spark, sf_dir):
         # max(0, s + dev) recursion
         assert abs(got[et]["max_drift"] - smax) < 1e-3
         assert abs(got[et]["mean_daily"] - mu) < 1e-3
+
+
+def test_bootstrap_ci_brackets_mean_and_replays(spark, sf_dir):
+    import hashlib
+    import math
+
+    row = ALL_QUERIES["bootstrap_ci_mean"](spark, sf_dir).collect()[0]
+    assert row["ci_lo"] <= row["mean_value"] <= row["ci_hi"]
+    assert row["n_replicates"] == 64
+    # replay one replicate's Poisson weights in pure Python
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    ).collect()
+    cdf, acc, k = [], 0.0, 0
+    while acc < 0.99999 and k < 8:
+        acc += math.exp(-1.0) / math.factorial(k)
+        cdf.append(min(acc, 1.0))
+        k += 1
+    th = [format(int(c * 2**32), "08x") for c in cdf]
+
+    def w_of(key, b):
+        h = hashlib.md5(f"{key}:{b}".encode()).hexdigest()[:8]
+        for i, t in enumerate(th):
+            if h < t:
+                return i
+        return len(th)
+
+    ws = [w_of(r["o_orderkey"], 0) for r in orders]
+    mean_w = sum(ws) / len(ws)
+    assert abs(mean_w - 1.0) < 0.05  # Poisson(1) weights average ~1
+    # CI must be tighter than the full value range
+    vals = [r["o_totalprice"] for r in orders]
+    assert (row["ci_hi"] - row["ci_lo"]) < (max(vals) - min(vals)) / 10
+
+
+def test_join_skew_report_consistency(spark, sf_dir):
+    rows = {r["join_key"]: r for r in
+            ALL_QUERIES["join_skew_report"](spark, sf_dir).collect()}
+    assert set(rows) == {
+        "orders.o_custkey", "lineitem.l_orderkey", "lineitem.l_partkey",
+        "lineitem.l_suppkey", "events.user_id",
+    }
+    li = load_table(spark, sf_dir, "lineitem").count()
+    for key in ("lineitem.l_orderkey", "lineitem.l_partkey",
+                "lineitem.l_suppkey"):
+        r = rows[key]
+        assert r["n_rows"] == li
+        assert r["max_key_rows"] >= r["n_rows"] // r["n_keys"]
+        assert r["is_skewed"] == (1 if r["skew_ratio"] > 10.0 else 0)
+        assert 0.0 < r["top_key_share"] <= 1.0
