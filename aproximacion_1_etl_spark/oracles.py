@@ -3880,4 +3880,51 @@ FROM ranked WHERE rn = 1
             ("events.user_id", "events", "user_id"),
         ]
     ),
+    "streaming_cusum_monitor": """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS x
+  FROM events GROUP BY 1, 2),
+base AS (
+  SELECT event_type,
+         CAST(sum(CAST(x AS DECIMAL(38,18)))
+                FILTER (WHERE day < DATE '2024-01-16') AS DOUBLE)
+           / nullif(count(*) FILTER (WHERE day < DATE '2024-01-16'), 0)
+           AS mu_base,
+         CAST(sum(CAST(x AS DECIMAL(38,18))) AS DOUBLE) / count(*)
+           AS mu_all
+  FROM daily GROUP BY 1),
+mu AS (
+  SELECT event_type, coalesce(mu_base, mu_all) AS mu FROM base),
+devs AS (
+  SELECT d.event_type, d.day,
+         CAST(d.x AS DOUBLE) - m.mu AS dev, m.mu
+  FROM daily d JOIN mu m ON m.event_type = d.event_type),
+pre AS (
+  SELECT event_type, day, mu,
+         sum(dev) OVER (
+           PARTITION BY event_type ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prefix
+  FROM devs),
+run AS (
+  SELECT event_type, day, mu, prefix,
+         min(prefix) OVER (
+           PARTITION BY event_type ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS runmin
+  FROM pre),
+drifted AS (
+  SELECT event_type, day, mu,
+         floor((prefix - least(runmin, 0.0)) * 1000000.0 + 0.5)
+           / 1000000.0 AS drift
+  FROM run),
+ranked AS (
+  SELECT event_type, day, mu, drift,
+         row_number() OVER (
+           PARTITION BY event_type ORDER BY drift DESC, day) AS rn
+  FROM drifted)
+SELECT event_type,
+       strftime(day, '%Y-%m-%d') AS peak_day,
+       floor(drift * 10000.0 + 0.5) / 10000.0 AS max_drift,
+       floor(mu * 10000.0 + 0.5) / 10000.0 AS mean_daily
+FROM ranked WHERE rn = 1
+""",
 }

@@ -6144,6 +6144,197 @@ def q_join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_streaming_cusum_monitor(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """§2.9 + §2.10: the CUSUM drift detector AS A STREAM — the
+    events table arrives in two waves (first half of the month, then
+    the rest); foreachBatch maintains an O(|types|) accumulator state
+    (prefix end, running min, best drift + peak day, frozen baseline
+    mean) in a batch-id log, so per-batch cost is |batch| + |types|
+    regardless of history length — the production monitoring topology
+    (cusum_drift is the one-shot batch equivalent; this key proves
+    the same statistic maintains incrementally).
+
+    Semantics: the baseline mean is FROZEN from the type's first wave
+    (how production CUSUM references a historical window — a global
+    mean would change retroactively with every batch and force full
+    recompute). The CUSUM recursion continues across batches through
+    (prefix_end, runmin_end); because wave day-ranges are ordered and
+    disjoint, the accumulator is exactly the batch prefix/running-min
+    identity, and the final state value-checks against the one-pass
+    frozen-baseline oracle. Drift snaps to 6 dp at comparison like
+    the batch key."""
+    import os
+    import time as _time
+
+    split_day = "2024-01-16"
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type"
+    )
+    base = tempfile.mkdtemp(prefix="graft_scm_")
+    src = os.path.join(base, "src")
+    state_log = os.path.join(base, "state")
+    ev.filter(F.col("ts").cast("date") < split_day).coalesce(1).write.parquet(
+        os.path.join(src, "w1")
+    )
+    ev.filter(
+        F.col("ts").cast("date") >= split_day
+    ).coalesce(1).write.parquet(os.path.join(src, "w2"))
+    now = _time.time()
+    for d, ts in (("w1", now - 120), ("w2", now - 60)):
+        pdir = os.path.join(src, d)
+        for f in os.listdir(pdir):
+            os.utime(os.path.join(pdir, f), (ts, ts))
+
+    def handle_batch(batch, batch_id: int) -> None:
+        bspark = batch.sparkSession
+        daily = batch.groupBy(
+            "event_type", F.col("ts").cast("date").alias("day")
+        ).agg(F.count("*").alias("x"))
+        # explicit existence check, not a swallowed read error (the
+        # notify-ledger lesson): only a genuinely absent store means
+        # "first batch"; a corrupt store must raise
+        if os.path.isdir(state_log):
+            prior = (
+                bspark.read.parquet(state_log)
+                .withColumn(
+                    "_rn",
+                    F.row_number().over(
+                        Window.partitionBy("event_type").orderBy(
+                            F.col("batch_id").desc()
+                        )
+                    ),
+                )
+                .filter(F.col("_rn") == 1)
+                .drop("_rn", "batch_id")
+            )
+        else:
+            prior = None
+        if prior is not None:
+            daily = daily.join(
+                F.broadcast(prior), "event_type", "left"
+            )
+        else:
+            for c, t in (
+                ("mu", "double"),
+                ("prefix_end", "double"),
+                ("runmin_end", "double"),
+                ("best_drift", "double"),
+                ("best_day", "date"),
+            ):
+                daily = daily.withColumn(c, F.lit(None).cast(t))
+        # frozen baseline: first batch where the type appears
+        mu_new = daily.groupBy("event_type").agg(
+            (
+                F.sum(F.col("x").cast("decimal(38,18)")).cast("double")
+                / F.count("*")
+            ).alias("mu_batch")
+        )
+        daily = daily.join(F.broadcast(mu_new), "event_type").withColumn(
+            "mu_f", F.coalesce(F.col("mu"), F.col("mu_batch"))
+        )
+        wo = (
+            Window.partitionBy("event_type")
+            .orderBy("day")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        pre = daily.withColumn(
+            "prefix",
+            F.coalesce(F.col("prefix_end"), F.lit(0.0))
+            + F.sum(F.col("x").cast("double") - F.col("mu_f")).over(wo),
+        )
+        run = pre.withColumn(
+            "runmin",
+            F.least(
+                F.coalesce(
+                    F.col("runmin_end"), F.lit(float("inf"))
+                ),
+                F.min("prefix").over(wo),
+            ),
+        ).withColumn(
+            "drift",
+            _fround(
+                F.col("prefix")
+                - F.least(F.col("runmin"), F.lit(0.0)),
+                6,
+            ),
+        )
+        # fold stored best into the candidate set, then argmax
+        # (drift desc, day asc) per type
+        cand = run.select(
+            "event_type", F.col("day").alias("bday"),
+            F.col("drift").alias("bdrift"),
+        ).unionByName(
+            run.select(
+                "event_type",
+                F.col("best_day").alias("bday"),
+                F.col("best_drift").alias("bdrift"),
+            ).filter(F.col("bdrift").isNotNull()).distinct()
+        )
+        wb = Window.partitionBy("event_type").orderBy(
+            F.col("bdrift").desc(), F.col("bday").asc()
+        )
+        best = (
+            cand.withColumn("rn", F.row_number().over(wb))
+            .filter(F.col("rn") == 1)
+            .select(
+                "event_type",
+                F.col("bdrift").alias("best_drift"),
+                F.col("bday").alias("best_day"),
+            )
+        )
+        wlast = Window.partitionBy("event_type").orderBy(
+            F.col("day").desc()
+        )
+        ends = (
+            run.withColumn("rn", F.row_number().over(wlast))
+            .filter(F.col("rn") == 1)
+            .select(
+                "event_type",
+                F.col("mu_f").alias("mu"),
+                F.col("prefix").alias("prefix_end"),
+                F.col("runmin").alias("runmin_end"),
+            )
+        )
+        ends.join(best, "event_type").withColumn(
+            "batch_id", F.lit(batch_id)
+        ).write.mode("append").parquet(state_log)
+
+    q = (
+        spark.readStream.schema(
+            "event_id BIGINT, ts TIMESTAMP, event_type STRING"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src, "*"))
+        .writeStream.foreachBatch(handle_batch)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="ckpt_scm_")
+        )
+        .start()
+    )
+    q.awaitTermination()
+    final = (
+        spark.read.parquet(state_log)
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("event_type").orderBy(
+                    F.col("batch_id").desc()
+                )
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+    )
+    return final.select(
+        "event_type",
+        F.date_format("best_day", "yyyy-MM-dd").alias("peak_day"),
+        _fround(F.col("best_drift"), 4).alias("max_drift"),
+        _fround(F.col("mu"), 4).alias("mean_daily"),
+    )
+
+
 ALL_QUERIES = {
     "flagship_order_lifecycle": q_flagship_order_lifecycle,
     "bm25_topk": q_bm25_topk,
@@ -6356,4 +6547,5 @@ ALL_QUERIES = {
     "cusum_drift": q_cusum_drift,
     "bootstrap_ci_mean": q_bootstrap_ci_mean,
     "join_skew_report": q_join_skew_report,
+    "streaming_cusum_monitor": q_streaming_cusum_monitor,
 }

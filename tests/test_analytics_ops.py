@@ -348,3 +348,33 @@ def test_join_skew_report_consistency(spark, sf_dir):
         assert r["max_key_rows"] >= r["n_rows"] // r["n_keys"]
         assert r["is_skewed"] == (1 if r["skew_ratio"] > 10.0 else 0)
         assert 0.0 < r["top_key_share"] <= 1.0
+
+
+def test_streaming_cusum_matches_frozen_baseline_replay(spark, sf_dir):
+    rows = ALL_QUERIES["streaming_cusum_monitor"](spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).collect()
+    import datetime
+
+    split = datetime.date(2024, 1, 16)
+    daily = {}
+    for r in ev:
+        daily.setdefault(r["event_type"], {})
+        daily[r["event_type"]][r["day"]] = (
+            daily[r["event_type"]].get(r["day"], 0) + 1
+        )
+    got = {r["event_type"]: r for r in rows}
+    assert set(got) == set(daily)
+    for et, series in daily.items():
+        days = sorted(series)
+        base_days = [d for d in days if d < split] or days
+        mu = sum(series[d] for d in base_days) / len(base_days)
+        s, smax, peak = 0.0, float("-inf"), None
+        for d in days:
+            s = max(0.0, s + (series[d] - mu))
+            if s > smax + 1e-9:
+                smax, peak = s, d
+        assert abs(got[et]["max_drift"] - smax) < 1e-3
+        assert got[et]["peak_day"] == peak.strftime("%Y-%m-%d")
+        assert abs(got[et]["mean_daily"] - mu) < 1e-3
