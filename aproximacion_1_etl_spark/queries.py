@@ -5090,6 +5090,11 @@ def q_corpus_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("rn")
     )
+    # materialize the cleaned corpus once: the shingle/split branch
+    # and the final manifest join otherwise each replay the quality
+    # gate + content-hash dedup window (a real release job writes the
+    # cleaned corpus at this point anyway)
+    clean = clean.localCheckpoint()
     sigs = minhash_signatures(word_shingles(clean, distinct=False))
     cands = minhash_candidate_pairs(sigs, min_matching_bands=2)
     split = cluster_safe_split(

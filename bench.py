@@ -237,15 +237,16 @@ def main() -> None:
                 "pq_codebook_train_sec": pq_train_sec,
                 "loadavg_start": round(load_start, 2),
                 "loadavg_end": round(load_end, 2),
-                # flag on either endpoint. The end threshold is higher
-                # because the bench itself drives 1-min loadavg to ~5
-                # on an idle 32-core box (measured); ambient load that
-                # ARRIVES mid-run (seen: 3.7 -> 12 in one run) clears
-                # 2.5x and contaminates the tail queries just as surely
-                # as a loaded start.
-                "load_flagged": bool(
-                    load_start > MAX_LOAD or load_end > 2.5 * MAX_LOAD
-                ),
+                # Flag AMBIENT load only, i.e. the start reading. The
+                # end reading is reported for context but no longer
+                # flags: at 80+ headline keys the bench saturates 32
+                # cores for 1.5+ minutes and 1-min loadavg converges
+                # to the core count regardless of ambient conditions
+                # (measured: start 0.78 -> end 13.9 on an otherwise
+                # idle box) — an end-threshold would flag every
+                # sufficiently long clean run. Mid-run ambient arrival
+                # remains visible through per-query spread_pct.
+                "load_flagged": bool(load_start > MAX_LOAD),
             }
         )
     )
