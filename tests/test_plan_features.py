@@ -263,3 +263,47 @@ def test_results_invariant_under_shuffle_partitioning(spark, sf_dir):
         spark.conf.set("spark.sql.shuffle.partitions", saved)
     for k, (a, b) in results.items():
         assert a == b, f"{k} changed under repartitioning"
+
+
+def test_round4_analytics_invariant_under_shuffle_partitioning(
+    spark, sf_dir
+):
+    """Same contract for the round-4 analytics ops whose determinism
+    rests on decimal sums / snapped recurrences: PCA power iteration,
+    GD logistic regression, triangle counting, the Poisson bootstrap
+    and quantile normalization must return identical VALUES at any
+    shuffle width."""
+    from aproximacion_1_etl_spark.queries import ALL_QUERIES
+
+    keys = [
+        "embedding_pca_power",
+        "logreg_label_model",
+        "triangle_cooccurrence",
+        "bootstrap_ci_mean",
+        "quantile_normalize_scores",
+    ]
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    results = {}
+    try:
+        for parts in ("5", "32"):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            for k in keys:
+                rows = ALL_QUERIES[k](spark, sf_dir).collect()
+                results.setdefault(k, []).append(
+                    sorted(tuple(r) for r in rows)
+                )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
+    for k, (a, b) in results.items():
+        assert a == b, f"{k} changed under repartitioning"
+
+
+def test_record_linkage_broadcasts_dimension_side(spark, sf_dir):
+    """The blocked linkage join must broadcast the supplier (dim)
+    side — a shuffle join of the customer fact on nationkey would
+    be the 100 TB regression this pin guards against."""
+    from aproximacion_1_etl_spark.queries import ALL_QUERIES
+
+    df = ALL_QUERIES["record_linkage"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
