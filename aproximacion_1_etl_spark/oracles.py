@@ -3927,4 +3927,58 @@ SELECT event_type,
        floor(mu * 10000.0 + 0.5) / 10000.0 AS mean_daily
 FROM ranked WHERE rn = 1
 """,
+    "survival_km": """
+WITH su AS (
+  SELECT user_id, min(ts) AS signup_ts FROM events
+  WHERE event_type = 'signup' GROUP BY 1),
+fp AS (
+  SELECT su.user_id, su.signup_ts, min(e.ts) AS event_ts
+  FROM su
+  LEFT JOIN events e
+    ON e.user_id = su.user_id
+   AND e.event_type = 'purchase'
+   AND e.ts > su.signup_ts
+  GROUP BY 1, 2),
+hz AS (SELECT max(CAST(ts AS DATE)) AS hday FROM events),
+durations AS (
+  SELECT user_id,
+         CAST(CASE WHEN event_ts IS NOT NULL
+              THEN datediff('day', CAST(signup_ts AS DATE),
+                            CAST(event_ts AS DATE))
+              ELSE datediff('day', CAST(signup_ts AS DATE), hday)
+              END AS INT) AS t,
+         CASE WHEN event_ts IS NOT NULL THEN 1 ELSE 0 END AS is_event
+  FROM fp, hz),
+day_level AS (
+  SELECT t, CAST(sum(is_event) AS BIGINT) AS d,
+         CAST(sum(1 - is_event) AS BIGINT) AS c,
+         CAST(count(*) AS BIGINT) AS n_t
+  FROM durations GROUP BY 1),
+tot AS (SELECT count(*) AS n_total FROM durations),
+risk AS (
+  SELECT t, d, c,
+         CAST(n_total - coalesce(sum(n_t) OVER (
+           ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+           AND 1 PRECEDING), 0) AS BIGINT) AS at_risk
+  FROM day_level, tot),
+surv AS (
+  SELECT t, d, c, at_risk,
+         CASE WHEN max(CASE WHEN d = at_risk THEN 1 ELSE 0 END)
+                   OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) = 1
+              THEN 0.0
+              ELSE exp(sum(ln(
+                     CASE WHEN 1.0 - CAST(d AS DOUBLE)
+                               / CAST(at_risk AS DOUBLE) > 0
+                          THEN 1.0 - CAST(d AS DOUBLE)
+                               / CAST(at_risk AS DOUBLE)
+                          ELSE 1.0 END))
+                   OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW))
+         END AS s_raw
+  FROM risk)
+SELECT t AS day, at_risk AS n_at_risk, d AS n_events, c AS n_censored,
+       floor(s_raw * 1000000.0 + 0.5) / 1000000.0 AS survival
+FROM surv
+""",
 }

@@ -6340,6 +6340,119 @@ def q_streaming_cusum_monitor(
     )
 
 
+def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 survival analysis: Kaplan-Meier time-to-first-purchase
+    after first signup, with administrative right-censoring at corpus
+    end — the product-limit estimator product analytics and churn
+    models consume. Per-user durations reduce to a |days|-sized
+    day-level relation; at-risk counts and the survival curve are
+    ordered windows over it (cumulative product expressed as
+    exp(sum(ln(1 - d/n))) — a sum over an ordered frame, so both
+    engines accumulate in the same sequence; output rounds absorb
+    sub-ulp exp/ln differences). No corpus-sized window anywhere: the
+    heavy relations are the two per-user aggregates."""
+    ev = load_table(spark, sf_dir, "events")
+    su = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    pu = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    first_purchase = (
+        su.join(
+            pu,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_ts") > F.col("signup_ts")),
+            "left",
+        )
+        .groupBy("user_id", "signup_ts")
+        .agg(F.min("p_ts").alias("event_ts"))
+    )
+    horizon = ev.agg(F.max(F.col("ts").cast("date")).alias("hday"))
+    durations = first_purchase.crossJoin(F.broadcast(horizon)).select(
+        "user_id",
+        F.when(
+            F.col("event_ts").isNotNull(),
+            F.datediff(
+                F.col("event_ts").cast("date"),
+                F.col("signup_ts").cast("date"),
+            ),
+        )
+        .otherwise(
+            F.datediff(F.col("hday"), F.col("signup_ts").cast("date"))
+        )
+        .cast("int")
+        .alias("t"),
+        F.col("event_ts").isNotNull().cast("int").alias("is_event"),
+    )
+    day_level = durations.groupBy("t").agg(
+        F.sum("is_event").cast("bigint").alias("d"),
+        F.sum(F.lit(1) - F.col("is_event")).cast("bigint").alias("c"),
+        F.count("*").cast("bigint").alias("n_t"),
+    )
+    wcum = (
+        Window.orderBy("t").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+    )
+    wprev = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    total = durations.agg(F.count("*").alias("n_total"))
+    risk = day_level.crossJoin(F.broadcast(total)).select(
+        "t",
+        "d",
+        "c",
+        (
+            F.col("n_total")
+            - F.coalesce(F.sum("n_t").over(wprev), F.lit(0))
+        )
+        .cast("bigint")
+        .alias("at_risk"),
+    )
+    # d == at_risk makes the factor 0 and survival 0 from that day on;
+    # ln(0) raises in DuckDB (and yields -inf in Spark), so zero
+    # factors contribute ln(1) inside the sum and an explicit
+    # any-zero-so-far flag pins the curve to 0.0 — identical logic on
+    # both engines.
+    factor = (
+        F.lit(1.0)
+        - F.col("d").cast("double") / F.col("at_risk").cast("double")
+    )
+    surv = risk.select(
+        "t",
+        "d",
+        "c",
+        "at_risk",
+        F.when(
+            F.max((F.col("d") == F.col("at_risk")).cast("int")).over(
+                wcum
+            )
+            == 1,
+            F.lit(0.0),
+        )
+        .otherwise(
+            F.exp(
+                F.sum(
+                    F.log(
+                        F.when(factor > 0, factor).otherwise(F.lit(1.0))
+                    )
+                ).over(wcum)
+            )
+        )
+        .alias("s_raw"),
+    )
+    return surv.select(
+        F.col("t").alias("day"),
+        F.col("at_risk").alias("n_at_risk"),
+        F.col("d").alias("n_events"),
+        F.col("c").alias("n_censored"),
+        _fround(F.col("s_raw"), 6).alias("survival"),
+    )
+
+
 ALL_QUERIES = {
     "flagship_order_lifecycle": q_flagship_order_lifecycle,
     "bm25_topk": q_bm25_topk,
@@ -6553,4 +6666,5 @@ ALL_QUERIES = {
     "bootstrap_ci_mean": q_bootstrap_ci_mean,
     "join_skew_report": q_join_skew_report,
     "streaming_cusum_monitor": q_streaming_cusum_monitor,
+    "survival_km": q_survival_km,
 }

@@ -378,3 +378,28 @@ def test_streaming_cusum_matches_frozen_baseline_replay(spark, sf_dir):
         assert abs(got[et]["max_drift"] - smax) < 1e-3
         assert got[et]["peak_day"] == peak.strftime("%Y-%m-%d")
         assert abs(got[et]["mean_daily"] - mu) < 1e-3
+
+
+def test_survival_km_properties(spark, sf_dir):
+    rows = sorted(
+        ALL_QUERIES["survival_km"](spark, sf_dir).collect(),
+        key=lambda r: r["day"],
+    )
+    assert rows, "no cohort"
+    # monotone non-increasing survival in [0, 1]
+    prev = 1.0 + 1e-12
+    for r in rows:
+        assert 0.0 <= r["survival"] <= 1.0
+        assert r["survival"] <= prev + 1e-9
+        prev = r["survival"]
+        assert r["n_events"] + r["n_censored"] >= 1
+        assert r["n_at_risk"] >= r["n_events"] + r["n_censored"]
+    # at-risk accounting: each day consumes its events + censored
+    for a, b in zip(rows, rows[1:]):
+        assert b["n_at_risk"] == a["n_at_risk"] - a["n_events"] - a[
+            "n_censored"
+        ]
+    # cohort size = first at_risk; everyone exits exactly once
+    assert sum(r["n_events"] + r["n_censored"] for r in rows) == rows[0][
+        "n_at_risk"
+    ]
