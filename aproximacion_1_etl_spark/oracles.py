@@ -3981,4 +3981,54 @@ SELECT t AS day, at_risk AS n_at_risk, d AS n_events, c AS n_censored,
        floor(s_raw * 1000000.0 + 0.5) / 1000000.0 AS survival
 FROM surv
 """,
+    "sequence_pattern_match": """
+WITH seqs AS (
+  SELECT user_id,
+         string_agg(substring(event_type, 1, 1), ''
+                    ORDER BY ts, event_id) AS seq
+  FROM events GROUP BY 1),
+counts AS (
+  SELECT 'browse_to_buy' AS pattern,
+         len(regexp_extract_all(seq, 'v[vc]*p')) AS k FROM seqs
+  UNION ALL
+  SELECT 'error_recovery',
+         len(regexp_extract_all(seq, 'e[ev]*p')) FROM seqs
+  UNION ALL
+  SELECT 'signup_to_purchase',
+         len(regexp_extract_all(seq, 's[cev]*p')) FROM seqs)
+SELECT pattern,
+       CAST(sum(CASE WHEN k > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_users,
+       CAST(sum(k) AS BIGINT) AS n_matches
+FROM counts GROUP BY 1
+""",
+    "forget_user_cascade": """
+WITH ev AS (
+  SELECT count(*) AS n_before,
+         sum(CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 4)
+                       < '0800' THEN 1 ELSE 0 END) AS n_del
+  FROM events),
+o AS (
+  SELECT count(*) AS n_before,
+         sum(CASE WHEN substring(md5(CAST(o_custkey AS VARCHAR)), 1, 4)
+                       < '0800' THEN 1 ELSE 0 END) AS n_del
+  FROM orders),
+l AS (
+  SELECT count(*) AS n_before,
+         sum(CASE WHEN substring(md5(CAST(ord.o_custkey AS VARCHAR)),
+                                 1, 4) < '0800' THEN 1 ELSE 0 END)
+           AS n_del
+  FROM lineitem li JOIN orders ord ON ord.o_orderkey = li.l_orderkey)
+SELECT 'events' AS table_name, CAST(n_before AS BIGINT) AS n_before,
+       CAST(n_del AS BIGINT) AS n_deleted,
+       CAST(n_before - n_del AS BIGINT) AS n_after,
+       CAST(0 AS BIGINT) AS n_subject_still_visible
+FROM ev
+UNION ALL
+SELECT 'orders', CAST(n_before AS BIGINT), CAST(n_del AS BIGINT),
+       CAST(n_before - n_del AS BIGINT), CAST(0 AS BIGINT) FROM o
+UNION ALL
+SELECT 'lineitem', CAST(n_before AS BIGINT), CAST(n_del AS BIGINT),
+       CAST(n_before - n_del AS BIGINT), CAST(0 AS BIGINT) FROM l
+""",
 }

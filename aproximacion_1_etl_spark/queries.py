@@ -6453,6 +6453,140 @@ def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sequence_pattern_match(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """§2.10 sequential pattern detection (the MATCH_RECOGNIZE gap,
+    Spark-first): per-user event streams are folded into ordered
+    initial-letter strings (bounded by per-user activity — the state
+    is one char per event, never the rows themselves), and behavioral
+    patterns run as ordinary regexes over them: browse-to-buy
+    (view then purchase with only views/clicks between), error-then-
+    recovery, and signup-to-first-purchase. Per pattern: users
+    matched + total non-overlapping occurrences. Greedy leftmost
+    matching behaves identically in Java regex and RE2 for these
+    alternation-free patterns, so the key value-checks cross-engine.
+    One shuffle builds the sequences; each pattern is a map-side
+    regexp count over |users| rows."""
+    ev = load_table(spark, sf_dir, "events")
+    seqs = (
+        ev.select(
+            "user_id",
+            F.struct(
+                F.col("ts"), F.col("event_id"),
+                F.substring("event_type", 1, 1).alias("i"),
+            ).alias("s"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("s")),
+                    lambda x: x.getField("i"),
+                ),
+                "",
+            ).alias("seq")
+        )
+    )
+    patterns = [
+        ("browse_to_buy", "v[vc]*p"),
+        ("error_recovery", "e[ev]*p"),
+        ("signup_to_purchase", "s[cev]*p"),
+    ]
+    out = None
+    for name, pat in patterns:
+        hits = seqs.select(
+            F.size(
+                F.regexp_extract_all(F.col("seq"), F.lit(pat), F.lit(0))
+            ).alias("k")
+        )
+        agg = hits.agg(
+            F.sum((F.col("k") > 0).cast("int"))
+            .cast("bigint")
+            .alias("n_users"),
+            F.sum("k").cast("bigint").alias("n_matches"),
+        ).select(
+            F.lit(name).alias("pattern"), "n_users", "n_matches"
+        )
+        out = agg if out is None else out.unionByName(agg)
+    return out
+
+
+def q_forget_user_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 right-to-be-forgotten as a CASCADE over the versioned
+    store: a deterministic subject set (user/customer keys hashed into
+    the md5-prefix sampler's lowest band, ~3% of subjects — the same
+    portable selector the samplers use) is erased across the fact
+    tables — events by user_id, orders by custkey, lineitem through
+    the orders FK — as deletion-vector logical deletes (kilobytes of
+    intent, zero data-file rewrite at any scale; the erasure
+    physically materializes at the next compaction). The returned
+    audit manifest is what a DPO consumes: per table, rows before,
+    rows logically deleted, rows visible after, and a zero
+    still-visible count verified THROUGH the DV read path itself.
+
+    The FK cascade is the part plain row deletes get wrong: lineitem
+    carries no user key, so its subject rows are found by a
+    (broadcast) semi-join through the deleted orders."""
+    from aproximacion_1_etl_spark.functions.sampling import _hash_prefix
+    from aproximacion_1_etl_spark.sources.versioned import (
+        delete_rows,
+        read_snapshot_with_dv,
+        write_snapshot,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    subj = F.col("_subject_key")
+    band = _hash_prefix(subj) < "0800"  # lowest 1/32 of the hash space
+
+    base = tempfile.mkdtemp(prefix="graft_forget_")
+    # The FK cascade is resolved by DENORMALIZING the subject key onto
+    # lineitem before snapshotting (one orderkey join): a
+    # forget-capable lake must keep every fact row resolvable to its
+    # data subject, and with the key carried, all three tables share
+    # the identical band predicate — no per-key IN-lists, no collect,
+    # nothing subject-set-sized ever reaches the driver.
+    li_keyed = (
+        li.join(
+            orders.select("o_orderkey", "o_custkey"),
+            li["l_orderkey"] == F.col("o_orderkey"),
+        )
+        .withColumn(
+            "_row_id",
+            F.concat_ws("#", F.col("l_orderkey"), F.col("l_linenumber")),
+        )
+        .withColumn("_subject_key", F.col("o_custkey"))
+        .drop("o_orderkey", "o_custkey")
+    )
+    plan = [
+        ("events", ev.withColumn("_subject_key", F.col("user_id")),
+         "event_id"),
+        ("orders", orders.withColumn("_subject_key", F.col("o_custkey")),
+         "o_orderkey"),
+        ("lineitem", li_keyed, "_row_id"),
+    ]
+    band_sql = (
+        "substring(md5(cast(_subject_key as string)), 1, 4) < '0800'"
+    )
+    rows = []
+    for name, df, pk in plan:
+        path = f"{base}/{name}"
+        write_snapshot(df, path)
+        n_before = df.count()
+        n_del = delete_rows(spark, path, pk, band_sql)
+        after = read_snapshot_with_dv(spark, path)
+        n_after = after.count()
+        still = after.filter(band).count()
+        rows.append((name, n_before, n_del, n_after, still))
+    return spark.createDataFrame(
+        rows,
+        "table_name string, n_before bigint, n_deleted bigint, "
+        "n_after bigint, n_subject_still_visible bigint",
+    )
+
+
 ALL_QUERIES = {
     "flagship_order_lifecycle": q_flagship_order_lifecycle,
     "bm25_topk": q_bm25_topk,
@@ -6667,4 +6801,6 @@ ALL_QUERIES = {
     "join_skew_report": q_join_skew_report,
     "streaming_cusum_monitor": q_streaming_cusum_monitor,
     "survival_km": q_survival_km,
+    "sequence_pattern_match": q_sequence_pattern_match,
+    "forget_user_cascade": q_forget_user_cascade,
 }

@@ -403,3 +403,42 @@ def test_survival_km_properties(spark, sf_dir):
     assert sum(r["n_events"] + r["n_censored"] for r in rows) == rows[0][
         "n_at_risk"
     ]
+
+
+def test_sequence_patterns_bounded_by_users(spark, sf_dir):
+    rows = ALL_QUERIES["sequence_pattern_match"](spark, sf_dir).collect()
+    n_users = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id").distinct().count()
+    )
+    assert {r["pattern"] for r in rows} == {
+        "browse_to_buy", "error_recovery", "signup_to_purchase",
+    }
+    for r in rows:
+        assert 0 <= r["n_users"] <= n_users
+        assert r["n_matches"] >= r["n_users"]
+
+
+def test_forget_cascade_leaves_no_subject_visible(spark, sf_dir):
+    rows = {
+        r["table_name"]: r
+        for r in ALL_QUERIES["forget_user_cascade"](spark, sf_dir).collect()
+    }
+    assert set(rows) == {"events", "orders", "lineitem"}
+    # derive the expected deleted counts from the raw band directly
+    import hashlib
+
+    def in_band(key):
+        return hashlib.md5(str(key).encode()).hexdigest()[:4] < "0800"
+
+    ev_expected = sum(
+        1
+        for r in load_table(spark, sf_dir, "events").select(
+            "user_id"
+        ).collect()
+        if in_band(r["user_id"])
+    )
+    for name, r in rows.items():
+        assert r["n_subject_still_visible"] == 0
+        assert r["n_after"] == r["n_before"] - r["n_deleted"]
+    assert rows["events"]["n_deleted"] == ev_expected
