@@ -4031,4 +4031,70 @@ UNION ALL
 SELECT 'lineitem', CAST(n_before AS BIGINT), CAST(n_del AS BIGINT),
        CAST(n_before - n_del AS BIGINT), CAST(0 AS BIGINT) FROM l
 """,
+    "ab_test_report": """
+WITH pu AS (
+  SELECT user_id,
+         CAST(sum(CAST(value AS DECIMAL(38,18))) AS DOUBLE)
+           AS user_value,
+         CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 4)
+                   < '8000' THEN 'A' ELSE 'B' END AS arm
+  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+arms AS (
+  SELECT arm, count(*) AS n,
+         CAST(sum(CAST(user_value AS DECIMAL(38,18))) AS DOUBLE) AS s1,
+         CAST(sum(CAST(user_value * user_value AS DECIMAL(38,18)))
+              AS DOUBLE) AS s2
+  FROM pu GROUP BY 1),
+j AS (
+  SELECT a.n AS na, a.s1 AS sa, a.s2 AS qa,
+         b.n AS nb, b.s1 AS sb, b.s2 AS qb
+  FROM (SELECT * FROM arms WHERE arm = 'A') a,
+       (SELECT * FROM arms WHERE arm = 'B') b),
+m AS (
+  SELECT na, nb,
+         sa / na AS mean_a, sb / nb AS mean_b,
+         (qa / na - (sa / na) * (sa / na)) * (na / (na - 1.0)) AS va,
+         (qb / nb - (sb / nb) * (sb / nb)) * (nb / (nb - 1.0)) AS vb
+  FROM j)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       floor(mean_a * 10000.0 + 0.5) / 10000.0 AS mean_a,
+       floor(mean_b * 10000.0 + 0.5) / 10000.0 AS mean_b,
+       floor((mean_b - mean_a) * 10000.0 + 0.5) / 10000.0 AS lift,
+       floor((mean_a - mean_b) / sqrt(va / na + vb / nb)
+             * 10000.0 + 0.5) / 10000.0 AS welch_t
+FROM m
+""",
+    "psi_drift_report": f"""
+WITH scored AS (
+  SELECT source,
+         (substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '8000')
+           AS is_ref,
+         least(CAST(floor(({_QUALITY_SQL}) * 10) AS INT), 9) AS bkt
+  FROM documents),
+cells AS (
+  SELECT source, is_ref, bkt, count(*) AS c
+  FROM scored GROUP BY 1, 2, 3),
+tots AS (
+  SELECT source, is_ref, sum(c) AS n FROM cells GROUP BY 1, 2),
+grid AS (
+  SELECT s.source, b.b AS bkt, r.r AS is_ref
+  FROM (SELECT DISTINCT source FROM cells) s,
+       range(10) b(b), (VALUES (TRUE), (FALSE)) r(r)),
+dense AS (
+  SELECT g.source, g.is_ref, g.bkt,
+         greatest(CAST(coalesce(c.c, 0) AS DOUBLE)
+                  / CAST(t.n AS DOUBLE), 0.0001) AS p
+  FROM grid g
+  LEFT JOIN cells c
+    ON c.source = g.source AND c.is_ref = g.is_ref AND c.bkt = g.bkt
+  JOIN tots t ON t.source = g.source AND t.is_ref = g.is_ref)
+SELECT r.source,
+       floor(CAST(sum(CAST((c.p - r.p) * ln(c.p / r.p)
+                           AS DECIMAL(38,18))) AS DOUBLE)
+             * 1000000.0 + 0.5) / 1000000.0 AS psi
+FROM (SELECT * FROM dense WHERE is_ref) r
+JOIN (SELECT * FROM dense WHERE NOT is_ref) c
+  ON c.source = r.source AND c.bkt = r.bkt
+GROUP BY 1
+""",
 }

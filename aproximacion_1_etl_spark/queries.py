@@ -6587,6 +6587,159 @@ def q_forget_user_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ab_test_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 experimentation analytics: a hash-randomized A/B
+    readout — users split 50/50 by the md5-band assigner (the
+    engine's deterministic sampler, so assignment is stable across
+    runs and engines), per-arm purchase-value mean/variance from one
+    aggregation, and the Welch t-statistic computed from the
+    aggregated moments with identical IEEE expressions on both
+    engines. The whole report is two shuffles (per-user rollup,
+    per-arm rollup) at any scale."""
+    from aproximacion_1_etl_spark.functions.sampling import _hash_prefix
+
+    ev = load_table(spark, sf_dir, "events")
+    per_user = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.col("value").cast("decimal(38,18)"))
+            .cast("double")
+            .alias("user_value")
+        )
+        .withColumn(
+            "arm",
+            F.when(_hash_prefix(F.col("user_id")) < "8000", "A").otherwise(
+                "B"
+            ),
+        )
+    )
+    arms = per_user.groupBy("arm").agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum(F.col("user_value").cast("decimal(38,18)"))
+        .cast("double")
+        .alias("s1"),
+        F.sum(
+            (F.col("user_value") * F.col("user_value")).cast(
+                "decimal(38,18)"
+            )
+        )
+        .cast("double")
+        .alias("s2"),
+    )
+    a = arms.filter(F.col("arm") == "A").select(
+        F.col("n_users").alias("na"),
+        F.col("s1").alias("sa"),
+        F.col("s2").alias("qa"),
+    )
+    b = arms.filter(F.col("arm") == "B").select(
+        F.col("n_users").alias("nb"),
+        F.col("s1").alias("sb"),
+        F.col("s2").alias("qb"),
+    )
+    j = a.crossJoin(F.broadcast(b))
+    mean_a = F.col("sa") / F.col("na")
+    mean_b = F.col("sb") / F.col("nb")
+    var_a = (
+        F.col("qa") / F.col("na") - mean_a * mean_a
+    ) * (F.col("na") / (F.col("na") - F.lit(1)))
+    var_b = (
+        F.col("qb") / F.col("nb") - mean_b * mean_b
+    ) * (F.col("nb") / (F.col("nb") - F.lit(1)))
+    t = (mean_a - mean_b) / F.sqrt(
+        var_a / F.col("na") + var_b / F.col("nb")
+    )
+    return j.select(
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        _fround(mean_a, 4).alias("mean_a"),
+        _fround(mean_b, 4).alias("mean_b"),
+        _fround(mean_b - mean_a, 4).alias("lift"),
+        _fround(t, 4).alias("welch_t"),
+    )
+
+
+def q_psi_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 distribution-drift monitoring: Population Stability
+    Index of the quality-score distribution between two deterministic
+    corpus halves (md5 hash-band of doc_id — the sampler's portable
+    splitter; a naive doc_id parity is DEGENERATE here because
+    doc_id mod |sources| assigns each source a fixed parity), per
+    source — the reference-vs-current window stand-in. PSI =
+    sum_buckets (p - q) * ln(p / q) over a fixed 10-cell score grid
+    with epsilon-floored proportions — the standard model-monitoring
+    drift score, complementing cusum_drift's volume view with a
+    SHAPE view. One scan + two tiny keyed aggregations; the bucket
+    grid bounds all downstream state."""
+    from aproximacion_1_etl_spark.text.analysis import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    from aproximacion_1_etl_spark.functions.sampling import _hash_prefix
+
+    scored = docs.select(
+        "source",
+        (_hash_prefix(F.col("doc_id")) < "8000").alias("is_ref"),
+        F.least(
+            F.floor(quality_score(F.col("text")) * 10).cast("int"),
+            F.lit(9),
+        ).alias("bkt"),
+    )
+    cells = scored.groupBy("source", "is_ref", "bkt").agg(
+        F.count("*").alias("c")
+    )
+    tots = cells.groupBy("source", "is_ref").agg(
+        F.sum("c").alias("n")
+    )
+    # dense (source x side x bucket) grid so empty cells get the
+    # epsilon floor on BOTH sides
+    grid = (
+        cells.select("source").distinct()
+        .crossJoin(spark.range(10).select(F.col("id").cast("int").alias("bkt")))
+        .crossJoin(
+            spark.createDataFrame(
+                [(True,), (False,)], "is_ref boolean"
+            )
+        )
+    )
+    dense = (
+        grid.join(cells, ["source", "is_ref", "bkt"], "left")
+        .fillna({"c": 0})
+        .join(tots, ["source", "is_ref"])
+        .select(
+            "source",
+            "is_ref",
+            "bkt",
+            F.greatest(
+                F.col("c").cast("double") / F.col("n").cast("double"),
+                F.lit(1e-4),
+            ).alias("p"),
+        )
+    )
+    # ref/current as a conditional-aggregation pivot, NOT a self-join
+    # of dense with complementary filters — Spark's self-join lineage
+    # dedup collapses the two is_ref filters onto one attribute and
+    # returns the empty set (observed); one keyed aggregation is also
+    # simply the better plan.
+    paired = dense.groupBy("source", "bkt").agg(
+        F.max(F.when(F.col("is_ref"), F.col("p"))).alias("p_ref"),
+        F.max(F.when(~F.col("is_ref"), F.col("p"))).alias("p_cur"),
+    )
+    return (
+        paired.groupBy("source")
+        .agg(
+            F.sum(
+                (
+                    (F.col("p_cur") - F.col("p_ref"))
+                    * F.log(F.col("p_cur") / F.col("p_ref"))
+                ).cast("decimal(38,18)")
+            )
+            .cast("double")
+            .alias("psi_raw")
+        )
+        .select("source", _fround(F.col("psi_raw"), 6).alias("psi"))
+    )
+
+
 ALL_QUERIES = {
     "flagship_order_lifecycle": q_flagship_order_lifecycle,
     "bm25_topk": q_bm25_topk,
@@ -6803,4 +6956,6 @@ ALL_QUERIES = {
     "survival_km": q_survival_km,
     "sequence_pattern_match": q_sequence_pattern_match,
     "forget_user_cascade": q_forget_user_cascade,
+    "ab_test_report": q_ab_test_report,
+    "psi_drift_report": q_psi_drift_report,
 }

@@ -144,6 +144,8 @@ HEADLINE = [
     "join_skew_report",
     "survival_km",
     "sequence_pattern_match",
+    "ab_test_report",
+    "psi_drift_report",
     # Python-worker queries LAST: applyInPandas spins up 32 Python
     # workers and leaves GC pressure that inflates the next JVM-only
     # query by ~3x (measured: dedup_minhash_lsh 6.96s after it vs 1.9s

@@ -442,3 +442,40 @@ def test_forget_cascade_leaves_no_subject_visible(spark, sf_dir):
         assert r["n_subject_still_visible"] == 0
         assert r["n_after"] == r["n_before"] - r["n_deleted"]
     assert rows["events"]["n_deleted"] == ev_expected
+
+
+def test_ab_report_welch_t_matches_numpy(spark, sf_dir):
+    row = ALL_QUERIES["ab_test_report"](spark, sf_dir).collect()[0]
+    import hashlib
+
+    per_user = {}
+    for r in (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "value")
+        .collect()
+    ):
+        per_user[r["user_id"]] = per_user.get(r["user_id"], 0.0) + r["value"]
+    a = [v for u, v in per_user.items()
+         if hashlib.md5(str(u).encode()).hexdigest()[:4] < "8000"]
+    b = [v for u, v in per_user.items()
+         if hashlib.md5(str(u).encode()).hexdigest()[:4] >= "8000"]
+    assert row["n_a"] == len(a) and row["n_b"] == len(b)
+    ma, mb = np.mean(a), np.mean(b)
+    va, vb = np.var(a, ddof=1), np.var(b, ddof=1)
+    t = (ma - mb) / np.sqrt(va / len(a) + vb / len(b))
+    assert abs(row["mean_a"] - ma) < 1e-3
+    assert abs(row["mean_b"] - mb) < 1e-3
+    assert abs(row["welch_t"] - t) < 1e-3
+
+
+def test_psi_nonnegative_and_zero_on_identical(spark, sf_dir):
+    rows = ALL_QUERIES["psi_drift_report"](spark, sf_dir).collect()
+    n_sources = (
+        load_table(spark, sf_dir, "documents")
+        .select("source").distinct().count()
+    )
+    assert len(rows) == n_sources
+    for r in rows:
+        assert r["psi"] >= 0.0
+        assert r["psi"] == r["psi"]  # not NaN
