@@ -4097,4 +4097,30 @@ JOIN (SELECT * FROM dense WHERE NOT is_ref) c
   ON c.source = r.source AND c.bkt = r.bkt
 GROUP BY 1
 """,
+    "holt_forecast": """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS x
+  FROM events GROUP BY 1, 2),
+series AS (
+  SELECT event_type, list(CAST(x AS DOUBLE) ORDER BY day) AS xs
+  FROM daily GROUP BY 1),
+ok AS (SELECT * FROM series WHERE len(xs) >= 3),
+folded AS (
+  SELECT event_type, CAST(len(xs) AS BIGINT) AS n_days,
+         list_reduce(
+           list_prepend([xs[1], xs[2] - xs[1]],
+                        list_transform(xs[3:], x -> [x, 0.0])),
+           (acc, x) -> [
+             0.5 * x[1] + (1.0 - 0.5) * (acc[1] + acc[2]),
+             0.25 * ((0.5 * x[1] + (1.0 - 0.5) * (acc[1] + acc[2]))
+                     - acc[1]) + (1.0 - 0.25) * acc[2]
+           ]) AS st
+  FROM ok)
+SELECT event_type, n_days,
+       floor(CAST(st[1] AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS level,
+       floor(CAST(st[2] AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS trend,
+       floor((CAST(st[1] AS DOUBLE) + 7.0 * CAST(st[2] AS DOUBLE))
+             * 10000.0 + 0.5) / 10000.0 AS forecast_7d
+FROM folded
+""",
 }

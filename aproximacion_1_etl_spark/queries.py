@@ -6740,6 +6740,71 @@ def q_psi_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 grouped forecasting: Holt double exponential smoothing
+    (level + linear trend) per event type over the daily-count
+    series, with a 7-day-ahead forecast — the per-key volume
+    forecaster capacity planning runs over thousands of series at
+    once. The distributed work is the corpus -> daily rollup; each
+    type's 30-value series then folds IN-PLAN through a higher-order
+    `aggregate` with a (level, trend) struct accumulator — state per
+    group is |days| doubles, the same bounded-collect rule as the
+    per-user sequence strings, and no UDF appears anywhere.
+
+    Engine parity: the fold order is the sorted day order on both
+    engines (DuckDB replays it with list_reduce over the identical
+    list), the smoothing constants are exact binary fractions
+    (alpha = 0.5, beta = 0.25), and every update is the same IEEE
+    expression — so level/trend/forecast agree bit-for-bit before the
+    output rounding. Standard init: level = x1, trend = x2 - x1."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count("*").alias("x"))
+    series = daily.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "x"))),
+            lambda s: s.getField("x").cast("double"),
+        ).alias("xs")
+    ).filter(F.size("xs") >= 3)
+    xs = F.col("xs")
+    x1, x2 = F.element_at(xs, 1), F.element_at(xs, 2)
+    init = F.struct(x1.alias("l"), (x2 - x1).alias("t"))
+    rest = F.slice(xs, 3, F.greatest(F.size(xs) - 2, F.lit(0)))
+    a, b = F.lit(0.5), F.lit(0.25)
+
+    def step(acc, x):
+        lvl = a * x + (F.lit(1.0) - a) * (
+            acc.getField("l") + acc.getField("t")
+        )
+        trd = b * (
+            (
+                a * x
+                + (F.lit(1.0) - a)
+                * (acc.getField("l") + acc.getField("t"))
+            )
+            - acc.getField("l")
+        ) + (F.lit(1.0) - b) * acc.getField("t")
+        return F.struct(lvl.alias("l"), trd.alias("t"))
+
+    folded = series.select(
+        "event_type",
+        F.size(xs).cast("bigint").alias("n_days"),
+        F.aggregate(rest, init, step).alias("st"),
+    )
+    return folded.select(
+        "event_type",
+        "n_days",
+        _fround(F.col("st").getField("l"), 4).alias("level"),
+        _fround(F.col("st").getField("t"), 4).alias("trend"),
+        _fround(
+            F.col("st").getField("l")
+            + F.lit(7.0) * F.col("st").getField("t"),
+            4,
+        ).alias("forecast_7d"),
+    )
+
+
 ALL_QUERIES = {
     "flagship_order_lifecycle": q_flagship_order_lifecycle,
     "bm25_topk": q_bm25_topk,
@@ -6958,4 +7023,5 @@ ALL_QUERIES = {
     "forget_user_cascade": q_forget_user_cascade,
     "ab_test_report": q_ab_test_report,
     "psi_drift_report": q_psi_drift_report,
+    "holt_forecast": q_holt_forecast,
 }

@@ -146,6 +146,7 @@ HEADLINE = [
     "sequence_pattern_match",
     "ab_test_report",
     "psi_drift_report",
+    "holt_forecast",
     # Python-worker queries LAST: applyInPandas spins up 32 Python
     # workers and leaves GC pressure that inflates the next JVM-only
     # query by ~3x (measured: dedup_minhash_lsh 6.96s after it vs 1.9s

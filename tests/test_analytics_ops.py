@@ -479,3 +479,34 @@ def test_psi_nonnegative_and_zero_on_identical(spark, sf_dir):
     for r in rows:
         assert r["psi"] >= 0.0
         assert r["psi"] == r["psi"]  # not NaN
+
+
+def test_holt_forecast_matches_python_recursion(spark, sf_dir):
+    rows = {
+        r["event_type"]: r
+        for r in ALL_QUERIES["holt_forecast"](spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).collect()
+    daily = {}
+    for r in ev:
+        daily.setdefault(r["event_type"], {})
+        daily[r["event_type"]][r["day"]] = (
+            daily[r["event_type"]].get(r["day"], 0) + 1
+        )
+    for et, series in daily.items():
+        xs = [float(series[d]) for d in sorted(series)]
+        if len(xs) < 3:
+            assert et not in rows
+            continue
+        lvl, trd = xs[0], xs[1] - xs[0]
+        for x in xs[2:]:
+            nl = 0.5 * x + 0.5 * (lvl + trd)
+            trd = 0.25 * (nl - lvl) + 0.75 * trd
+            lvl = nl
+        r = rows[et]
+        assert r["n_days"] == len(xs)
+        assert abs(r["level"] - lvl) < 1e-3
+        assert abs(r["trend"] - trd) < 1e-3
+        assert abs(r["forecast_7d"] - (lvl + 7 * trd)) < 1e-3
