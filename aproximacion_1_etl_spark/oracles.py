@@ -1196,6 +1196,47 @@ FROM s
 """
 
 
+def _logreg_ctes(iterations: int = 12) -> tuple[str, str]:
+    """The shared feature + GD-weight CTE chain (f, w0i, g1..wN):
+    returns (ctes_sql, final_weight_cte_name). Used by the training
+    oracle and both model-evaluation oracles so all three replay the
+    identical recurrence."""
+    zexpr = (
+        "(0.0 + w.w0 * x0 + w.w1 * x1 + w.w2 * x2 + w.w3 * x3)"
+    )
+    ctes = [
+        """f AS MATERIALIZED (
+  SELECT vec_id,
+         CASE WHEN label < 5 THEN 1.0 ELSE 0.0 END AS y,
+         CAST(1.0 AS DOUBLE) AS x0,
+         CAST(embedding[1] AS DOUBLE) AS x1,
+         CAST(embedding[2] AS DOUBLE) AS x2,
+         CAST(embedding[3] AS DOUBLE) AS x3
+  FROM embeddings)""",
+        "w0i AS (SELECT CAST(0.0 AS DOUBLE) AS w0, CAST(0.0 AS DOUBLE)"
+        " AS w1, CAST(0.0 AS DOUBLE) AS w2, CAST(0.0 AS DOUBLE) AS w3)",
+    ]
+    prev = "w0i"
+    for k in range(1, iterations + 1):
+        gsum = ", ".join(
+            f"CAST(sum(CAST(((1.0 / (1.0 + exp(-{zexpr}))) - y) * x{j}"
+            f" AS DECIMAL(38,18))) AS DOUBLE) / count(*) AS g{j}"
+            for j in range(4)
+        )
+        ctes.append(
+            f"g{k} AS MATERIALIZED (SELECT {gsum} FROM f, {prev} w)"
+        )
+        wup = ", ".join(
+            f"floor((w.w{j} - 2.0 * g.g{j}) * 1e9 + 0.5) / 1e9 AS w{j}"
+            for j in range(4)
+        )
+        ctes.append(
+            f"w{k} AS MATERIALIZED (SELECT {wup} FROM {prev} w, g{k} g)"
+        )
+        prev = f"w{k}"
+    return ",\n".join(ctes), prev
+
+
 def _logreg_sql(iterations: int = 12) -> str:
     """Unrolled-CTE replay of operators/ml.logistic_regression_gd +
     the scoring pass of q_logreg_label_model: per iteration one
@@ -1330,6 +1371,71 @@ SELECT '{label}' AS join_key,
 FROM (SELECT {key}, count(*) AS c FROM {table} GROUP BY 1)
 """
 
+
+
+def _logreg_eval_scored_sql() -> tuple[str, str]:
+    """WITH-prefix producing `scored(vec_id, y, p)` from the shared
+    GD chain, p snapped to 9 dp exactly like queries._logreg_scored."""
+    ctes, wlast = _logreg_ctes()
+    zexpr = "(0.0 + w.w0 * x0 + w.w1 * x1 + w.w2 * x2 + w.w3 * x3)"
+    scored = (
+        f"scored AS (SELECT vec_id, y, floor((1.0 / (1.0 + exp(-{zexpr})))"
+        f" * 1000000000.0 + 0.5) / 1000000000.0 AS p FROM f, {wlast} w)"
+    )
+    return ctes, scored
+
+
+def _ece_sql() -> str:
+    ctes, scored = _logreg_eval_scored_sql()
+    return f"""
+WITH {ctes},
+{scored},
+ranked AS (
+  SELECT y, p, row_number() OVER (ORDER BY p, vec_id) AS r FROM scored),
+n_tot AS (SELECT count(*) AS n_all FROM scored),
+binned AS (
+  SELECT y, p, CAST(((r - 1) * 10) // n_all AS INT) AS bin
+  FROM ranked, n_tot),
+per_bin AS (
+  SELECT bin, CAST(count(*) AS BIGINT) AS n_b,
+         CAST(sum(CAST(p AS DECIMAL(38,18))) AS DOUBLE) AS sp,
+         CAST(sum(CAST(y AS DECIMAL(38,18))) AS DOUBLE) AS sy
+  FROM binned GROUP BY 1),
+tot AS (SELECT sum(n_b) AS n FROM per_bin)
+SELECT bin, n_b,
+       floor(sp / n_b * 10000.0 + 0.5) / 10000.0 AS confidence,
+       floor(sy / n_b * 10000.0 + 0.5) / 10000.0 AS accuracy,
+       floor(abs(sy / n_b - sp / n_b) * CAST(n_b AS DOUBLE)
+             / CAST(n AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+         AS ece_contrib
+FROM per_bin, tot
+"""
+
+
+def _auc_sql() -> str:
+    ctes, scored = _logreg_eval_scored_sql()
+    return f"""
+WITH {ctes},
+{scored},
+ranked AS (
+  SELECT y, p, row_number() OVER (ORDER BY p, vec_id) AS r
+  FROM scored),
+avg_ranked AS (
+  SELECT y,
+         CAST(min(r) OVER (PARTITION BY p)
+              + max(r) OVER (PARTITION BY p) AS DOUBLE) / 2.0 AS ar
+  FROM ranked),
+agg AS (
+  SELECT sum(CASE WHEN y = 1.0 THEN ar END) AS rs,
+         sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS np,
+         sum(CASE WHEN y = 0.0 THEN 1 ELSE 0 END) AS nn
+  FROM avg_ranked)
+SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+       floor((rs - CAST(np AS DOUBLE) * (CAST(np AS DOUBLE) + 1.0) / 2.0)
+             / (CAST(np AS DOUBLE) * CAST(nn AS DOUBLE))
+             * 1000000.0 + 0.5) / 1000000.0 AS auc
+FROM agg
+"""
 
 
 ALL_ORACLES: dict[str, str] = {
@@ -4097,6 +4203,8 @@ JOIN (SELECT * FROM dense WHERE NOT is_ref) c
   ON c.source = r.source AND c.bkt = r.bkt
 GROUP BY 1
 """,
+    "model_calibration_ece": _ece_sql(),
+    "model_auc": _auc_sql(),
     "holt_forecast": """
 WITH daily AS (
   SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS x

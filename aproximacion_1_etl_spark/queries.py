@@ -6805,6 +6805,184 @@ def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _logreg_scored(spark: SparkSession, sf_dir: str):
+    """Shared eval relation: the GD-trained model's probability and
+    label per embedding row (weights driver-held like the codebook;
+    p snapped to 9 dp so sub-ulp exp() differences can never cross a
+    bin or rank boundary)."""
+    from aproximacion_1_etl_spark.operators.ml import (
+        logistic_regression_gd,
+    )
+    from aproximacion_1_etl_spark.text.vector import _as_double
+
+    emb = _as_double(load_table(spark, sf_dir, "embeddings"), "embedding")
+    feats = emb.select(
+        "vec_id",
+        F.when(F.col("label") < 5, 1.0).otherwise(0.0).alias("y"),
+        F.element_at("embedding", 1).alias("x1"),
+        F.element_at("embedding", 2).alias("x2"),
+        F.element_at("embedding", 3).alias("x3"),
+    )
+    w = logistic_regression_gd(
+        feats.select("y", "x1", "x2", "x3"),
+        ["x1", "x2", "x3"],
+        iterations=12,
+        lr=2.0,
+    )
+    z = (
+        F.lit(0.0)
+        + F.lit(w[0]) * F.lit(1.0)
+        + F.lit(w[1]) * F.col("x1")
+        + F.lit(w[2]) * F.col("x2")
+        + F.lit(w[3]) * F.col("x3")
+    )
+    return feats.select(
+        "vec_id",
+        "y",
+        _fround(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 9).alias("p"),
+    )
+
+
+def q_model_calibration_ece(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """§2.10 model evaluation: reliability table + Expected
+    Calibration Error for the GD-trained classifier — EQUAL-MASS
+    deciles of the score (rank-based binning; fixed-width probability
+    bins degenerate to one cell when a weak model concentrates p near
+    0.5, observed), per-bin mean confidence vs empirical accuracy,
+    ECE = sum |acc - conf| * n_b / n. Ranks come from the bucketed
+    two-phase prefix sum — no single-task global window."""
+    scored = _logreg_scored(spark, sf_dir)
+    bucketed = scored.withColumn(
+        "bkt", F.least(F.floor(F.col("p") * 1000).cast("int"), F.lit(999))
+    )
+    boff = (
+        bucketed.groupBy("bkt")
+        .agg(F.count("*").alias("bn"))
+        .select(
+            "bkt",
+            F.coalesce(
+                F.sum("bn").over(
+                    Window.orderBy("bkt").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ).alias("off"),
+        )
+    )
+    wb = Window.partitionBy("bkt").orderBy("p", "vec_id")
+    ranked = (
+        bucketed.withColumn("rb", F.row_number().over(wb))
+        .join(boff, "bkt")
+        .select("y", "p", (F.col("off") + F.col("rb")).alias("r"))
+    )
+    n_tot = scored.agg(F.count("*").alias("n_all"))
+    binned = ranked.crossJoin(F.broadcast(n_tot)).select(
+        "y",
+        "p",
+        F.expr("CAST(((r - 1) * 10) div n_all AS INT)").alias("bin"),
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.count("*").cast("bigint").alias("n_b"),
+        F.sum(F.col("p").cast("decimal(38,18)"))
+        .cast("double")
+        .alias("sp"),
+        F.sum(F.col("y").cast("decimal(38,18)"))
+        .cast("double")
+        .alias("sy"),
+    )
+    tot = per_bin.agg(F.sum("n_b").alias("n"))
+    return (
+        per_bin.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "n_b",
+            _fround(F.col("sp") / F.col("n_b"), 4).alias("confidence"),
+            _fround(F.col("sy") / F.col("n_b"), 4).alias("accuracy"),
+            _fround(
+                F.abs(
+                    F.col("sy") / F.col("n_b") - F.col("sp") / F.col("n_b")
+                )
+                * F.col("n_b").cast("double")
+                / F.col("n").cast("double"),
+                6,
+            ).alias("ece_contrib"),
+        )
+    )
+
+
+def q_model_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 model evaluation: exact ROC-AUC for the GD-trained
+    classifier by the Mann-Whitney rank-sum identity
+    AUC = (sum of positive ranks - n_pos(n_pos+1)/2) / (n_pos*n_neg),
+    with AVERAGE ranks over score ties so the value is the true
+    trapezoidal ROC area. Global ranking uses the bucketed two-phase
+    prefix sum over the 9-dp-snapped scores (the vocab_growth /
+    quantile_normalize pattern) — no single-task global window; ties
+    resolve per score group via min/max rank windows, which are
+    |distinct scores|-partitioned."""
+    scored = _logreg_scored(spark, sf_dir)
+    bucketed = scored.withColumn(
+        "bkt", F.least(F.floor(F.col("p") * 1000).cast("int"), F.lit(999))
+    )
+    boff = (
+        bucketed.groupBy("bkt")
+        .agg(F.count("*").alias("bn"))
+        .select(
+            "bkt",
+            F.coalesce(
+                F.sum("bn").over(
+                    Window.orderBy("bkt").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ).alias("off"),
+        )
+    )
+    wb = Window.partitionBy("bkt").orderBy("p", "vec_id")
+    ranked = (
+        bucketed.withColumn("rb", F.row_number().over(wb))
+        .join(boff, "bkt")
+        .select(
+            "y", "p", (F.col("off") + F.col("rb")).alias("r")
+        )
+    )
+    # average rank per tied score group (p is 9-dp snapped, so ties
+    # are exact equalities)
+    wg = Window.partitionBy("p")
+    avg_ranked = ranked.select(
+        "y",
+        (
+            (F.min("r").over(wg) + F.max("r").over(wg)).cast("double")
+            / F.lit(2.0)
+        ).alias("ar"),
+    )
+    agg = avg_ranked.agg(
+        F.sum(F.when(F.col("y") == 1.0, F.col("ar"))).alias("rs"),
+        F.sum((F.col("y") == 1.0).cast("bigint")).alias("np"),
+        F.sum((F.col("y") == 0.0).cast("bigint")).alias("nn"),
+    )
+    return agg.select(
+        F.col("np").cast("bigint").alias("n_pos"),
+        F.col("nn").cast("bigint").alias("n_neg"),
+        _fround(
+            (
+                F.col("rs")
+                - F.col("np").cast("double")
+                * (F.col("np").cast("double") + F.lit(1.0))
+                / F.lit(2.0)
+            )
+            / (
+                F.col("np").cast("double") * F.col("nn").cast("double")
+            ),
+            6,
+        ).alias("auc"),
+    )
+
+
 ALL_QUERIES = {
     "flagship_order_lifecycle": q_flagship_order_lifecycle,
     "bm25_topk": q_bm25_topk,
@@ -7024,4 +7202,6 @@ ALL_QUERIES = {
     "ab_test_report": q_ab_test_report,
     "psi_drift_report": q_psi_drift_report,
     "holt_forecast": q_holt_forecast,
+    "model_calibration_ece": q_model_calibration_ece,
+    "model_auc": q_model_auc,
 }

@@ -147,6 +147,8 @@ HEADLINE = [
     "ab_test_report",
     "psi_drift_report",
     "holt_forecast",
+    "model_calibration_ece",
+    "model_auc",
     # Python-worker queries LAST: applyInPandas spins up 32 Python
     # workers and leaves GC pressure that inflates the next JVM-only
     # query by ~3x (measured: dedup_minhash_lsh 6.96s after it vs 1.9s

@@ -510,3 +510,40 @@ def test_holt_forecast_matches_python_recursion(spark, sf_dir):
         assert abs(r["level"] - lvl) < 1e-3
         assert abs(r["trend"] - trd) < 1e-3
         assert abs(r["forecast_7d"] - (lvl + 7 * trd)) < 1e-3
+
+
+def test_model_eval_auc_matches_sklearn_free_reference(spark, sf_dir):
+    auc_row = ALL_QUERIES["model_auc"](spark, sf_dir).collect()[0]
+    from aproximacion_1_etl_spark.queries import _logreg_scored
+
+    scored = _logreg_scored(spark, sf_dir).collect()
+    pairs = sorted((r["p"], r["vec_id"], r["y"]) for r in scored)
+    # Mann-Whitney with average ranks, pure Python
+    ranks = {}
+    i = 0
+    while i < len(pairs):
+        j = i
+        while j < len(pairs) and pairs[j][0] == pairs[i][0]:
+            j += 1
+        avg = (i + 1 + j) / 2.0  # ranks i+1 .. j
+        for k in range(i, j):
+            ranks[pairs[k][1]] = avg
+        i = j
+    pos = [r for r in scored if r["y"] == 1.0]
+    neg = [r for r in scored if r["y"] == 0.0]
+    rs = sum(ranks[r["vec_id"]] for r in pos)
+    auc = (rs - len(pos) * (len(pos) + 1) / 2.0) / (len(pos) * len(neg))
+    assert auc_row["n_pos"] == len(pos)
+    assert auc_row["n_neg"] == len(neg)
+    assert abs(auc_row["auc"] - auc) < 1e-5
+
+
+def test_model_ece_bins_partition_corpus(spark, sf_dir):
+    rows = ALL_QUERIES["model_calibration_ece"](spark, sf_dir).collect()
+    n = load_table(spark, sf_dir, "embeddings").count()
+    assert sum(r["n_b"] for r in rows) == n
+    assert len(rows) == 10  # equal-mass deciles all populated
+    for r in rows:
+        assert 0.0 <= r["confidence"] <= 1.0
+        assert 0.0 <= r["accuracy"] <= 1.0
+        assert r["ece_contrib"] >= 0.0
