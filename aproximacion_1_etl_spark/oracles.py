@@ -4231,4 +4231,102 @@ SELECT event_type, n_days,
              * 10000.0 + 0.5) / 10000.0 AS forecast_7d
 FROM folded
 """,
+    "conformal_interval": """
+WITH feat AS (
+  SELECT event_id, value AS y, hour(ts) AS h,
+         ((datediff('day', DATE '1970-01-05', CAST(ts AS DATE)) % 7) + 7)
+           % 7 AS d,
+         (substring(md5(CAST(event_id AS VARCHAR)), 1, 4) < '8000')
+           AS is_train
+  FROM events),
+a AS (
+  SELECT count(*) AS n, sum(h) AS sh, sum(d) AS sd,
+         sum(h * h) AS shh, sum(d * d) AS sdd, sum(h * d) AS shd,
+         sum(CAST(y AS DECIMAL(38,18))) AS sy,
+         sum(CAST(y * h AS DECIMAL(38,18))) AS shy,
+         sum(CAST(y * d AS DECIMAL(38,18))) AS sdy
+  FROM feat WHERE is_train),
+m AS (
+  SELECT CAST(n AS DOUBLE) AS nd, CAST(sh AS DOUBLE) AS shd_,
+         CAST(sd AS DOUBLE) AS sdd_, CAST(shh AS DOUBLE) AS shhd,
+         CAST(sdd AS DOUBLE) AS sddd, CAST(shd AS DOUBLE) AS shdd,
+         CAST(sy AS DOUBLE) AS syd, CAST(shy AS DOUBLE) AS shyd,
+         CAST(sdy AS DOUBLE) AS sdyd
+  FROM a),
+w AS (
+  SELECT
+    (syd*(shhd*sddd - shdd*shdd) - shd_*(shyd*sddd - shdd*sdyd)
+     + sdd_*(shyd*shdd - shhd*sdyd))
+    / (nd*(shhd*sddd - shdd*shdd) - shd_*(shd_*sddd - shdd*sdd_)
+       + sdd_*(shd_*shdd - shhd*sdd_)) AS w0,
+    (nd*(shyd*sddd - shdd*sdyd) - syd*(shd_*sddd - shdd*sdd_)
+     + sdd_*(shd_*sdyd - shyd*sdd_))
+    / (nd*(shhd*sddd - shdd*shdd) - shd_*(shd_*sddd - shdd*sdd_)
+       + sdd_*(shd_*shdd - shhd*sdd_)) AS w1,
+    (nd*(shhd*sdyd - shyd*shdd) - shd_*(shd_*sdyd - shyd*sdd_)
+     + syd*(shd_*shdd - shhd*sdd_))
+    / (nd*(shhd*sddd - shdd*shdd) - shd_*(shd_*sddd - shdd*sdd_)
+       + sdd_*(shd_*shdd - shhd*sdd_)) AS w2
+  FROM m),
+scored AS (
+  SELECT f.event_id, f.is_train,
+         floor(abs(f.y - (w.w0 + w.w1 * CAST(f.h AS DOUBLE)
+                          + w.w2 * CAST(f.d AS DOUBLE)))
+               * 1000000000.0 + 0.5) / 1000000000.0 AS ar
+  FROM feat f, w),
+cal AS (SELECT * FROM scored WHERE NOT is_train),
+ranked AS (
+  SELECT ar, row_number() OVER (ORDER BY ar, event_id) AS r FROM cal),
+nc AS (SELECT count(*) AS n_cal FROM cal),
+qh AS (
+  SELECT r.ar AS q_hat, nc.n_cal
+  FROM ranked r, nc
+  WHERE r.r = least(CAST(ceil(0.9 * CAST(nc.n_cal + 1 AS DOUBLE))
+                         AS BIGINT), nc.n_cal))
+SELECT CAST(count(*) AS BIGINT) AS n_train,
+       CAST(max(qh.n_cal) AS BIGINT) AS n_cal,
+       floor(max(qh.q_hat) * 10000.0 + 0.5) / 10000.0 AS q_hat,
+       floor(CAST(sum(CASE WHEN s.ar <= qh.q_hat THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*) * 10000.0 + 0.5) / 10000.0
+         AS coverage_train
+FROM scored s, qh WHERE s.is_train
+""",
+    "decision_stump": """
+WITH feat AS (
+  SELECT value AS y, CAST(hour(ts) AS INT) AS h FROM events),
+tot AS (
+  SELECT count(*) AS n,
+         CAST(sum(CAST(y AS DECIMAL(38,18))) AS DOUBLE) AS sd,
+         CAST(sum(CAST(y * y AS DECIMAL(38,18))) AS DOUBLE) AS qd
+  FROM feat),
+sides AS (
+  SELECT CAST(t.c AS INT) AS c,
+         CAST(sum(CASE WHEN f.h <= t.c THEN 1 ELSE 0 END) AS BIGINT)
+           AS nl,
+         CAST(sum(CASE WHEN f.h <= t.c
+                  THEN CAST(f.y AS DECIMAL(38,18))
+                  ELSE CAST(0.0 AS DECIMAL(38,18)) END) AS DOUBLE)
+           AS sl
+  FROM feat f, range(23) t(c) GROUP BY 1),
+scored AS (
+  SELECT tot.n, tot.sd, tot.qd, s.c, s.nl, s.sl,
+         floor((tot.qd - (s.sl * s.sl) / CAST(s.nl AS DOUBLE)
+                - ((tot.sd - s.sl) * (tot.sd - s.sl))
+                  / CAST(tot.n - s.nl AS DOUBLE))
+               * 1000000.0 + 0.5) / 1000000.0 AS sse
+  FROM sides s, tot
+  WHERE s.nl > 0 AND s.nl < tot.n),
+best AS (
+  SELECT *, row_number() OVER (ORDER BY sse, c) AS rn FROM scored)
+SELECT CAST(c AS INT) AS split_hour,
+       CAST(nl AS BIGINT) AS n_left,
+       CAST(n - nl AS BIGINT) AS n_right,
+       floor(sl / CAST(nl AS DOUBLE) * 10000.0 + 0.5) / 10000.0
+         AS mean_left,
+       floor((sd - sl) / CAST(n - nl AS DOUBLE) * 10000.0 + 0.5)
+         / 10000.0 AS mean_right,
+       floor(((qd - sd * sd / CAST(n AS DOUBLE)) - sse)
+             * 10000.0 + 0.5) / 10000.0 AS sse_reduction
+FROM best WHERE rn = 1
+""",
 }

@@ -6983,6 +6983,248 @@ def q_model_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 distribution-free predictive uncertainty: SPLIT-CONFORMAL
+    interval for the hour/dow OLS value model — fit on the md5-band
+    training half, take q_hat = the ceil(0.9 * (n_cal + 1))-th
+    smallest absolute calibration residual (the finite-sample-valid
+    conformal quantile, an exact order statistic, not an interpolated
+    percentile), and report empirical coverage of mean ± q_hat on the
+    training half. The order statistic comes from the bucketed
+    two-phase rank over |residual| — no single-task global sort.
+    Everything is one fit aggregation + two residual passes; the
+    weights never leave the plan."""
+    ev = load_table(spark, sf_dir, "events")
+    from aproximacion_1_etl_spark.functions.sampling import _hash_prefix
+
+    feat = ev.select(
+        "event_id",
+        F.col("value").alias("y"),
+        F.hour("ts").cast("bigint").alias("h"),
+        F.pmod(
+            F.datediff(F.col("ts").cast("date"), F.lit("1970-01-05")),
+            F.lit(7),
+        )
+        .cast("bigint")
+        .alias("d"),
+        (_hash_prefix(F.col("event_id")) < "8000").alias("is_train"),
+    )
+    tr = feat.filter(F.col("is_train"))
+    agg = tr.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("h").alias("sh"),
+        F.sum("d").alias("sd"),
+        F.sum(F.col("h") * F.col("h")).alias("shh"),
+        F.sum(F.col("d") * F.col("d")).alias("sdd"),
+        F.sum(F.col("h") * F.col("d")).alias("shd"),
+        F.sum(F.col("y").cast("decimal(38,18)")).alias("sy"),
+        F.sum((F.col("y") * F.col("h")).cast("decimal(38,18)")).alias("shy"),
+        F.sum((F.col("y") * F.col("d")).cast("decimal(38,18)")).alias("sdy"),
+    )
+    m = agg.selectExpr(
+        "CAST(n AS DOUBLE) AS nd",
+        "CAST(sh AS DOUBLE) AS shd_",
+        "CAST(sd AS DOUBLE) AS sdd_",
+        "CAST(shh AS DOUBLE) AS shhd",
+        "CAST(sdd AS DOUBLE) AS sddd",
+        "CAST(shd AS DOUBLE) AS shdd",
+        "CAST(sy AS DOUBLE) AS syd",
+        "CAST(shy AS DOUBLE) AS shyd",
+        "CAST(sdy AS DOUBLE) AS sdyd",
+    )
+    det = (
+        "(nd*(shhd*sddd - shdd*shdd) - shd_*(shd_*sddd - shdd*sdd_)"
+        " + sdd_*(shd_*shdd - shhd*sdd_))"
+    )
+    det0 = (
+        "(syd*(shhd*sddd - shdd*shdd) - shd_*(shyd*sddd - shdd*sdyd)"
+        " + sdd_*(shyd*shdd - shhd*sdyd))"
+    )
+    det1 = (
+        "(nd*(shyd*sddd - shdd*sdyd) - syd*(shd_*sddd - shdd*sdd_)"
+        " + sdd_*(shd_*sdyd - shyd*sdd_))"
+    )
+    det2 = (
+        "(nd*(shhd*sdyd - shyd*shdd) - shd_*(shd_*sdyd - shyd*sdd_)"
+        " + syd*(shd_*shdd - shhd*sdd_))"
+    )
+    w = m.selectExpr(
+        f"{det0} / {det} AS w0",
+        f"{det1} / {det} AS w1",
+        f"{det2} / {det} AS w2",
+    )
+    scored = feat.crossJoin(F.broadcast(w)).select(
+        "event_id",
+        "is_train",
+        _fround(
+            F.abs(
+                F.col("y")
+                - (
+                    F.col("w0")
+                    + F.col("w1") * F.col("h").cast("double")
+                    + F.col("w2") * F.col("d").cast("double")
+                )
+            ),
+            9,
+        ).alias("ar"),
+    )
+    cal = scored.filter(~F.col("is_train"))
+    # two-phase exact rank over |residual| (values < ~500, so a unit
+    # grid gives ~500 buckets)
+    bucketed = cal.withColumn("bkt", F.floor("ar").cast("int"))
+    boff = (
+        bucketed.groupBy("bkt")
+        .agg(F.count("*").alias("bn"))
+        .select(
+            "bkt",
+            F.coalesce(
+                F.sum("bn").over(
+                    Window.orderBy("bkt").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ).alias("off"),
+        )
+    )
+    wb = Window.partitionBy("bkt").orderBy("ar", "event_id")
+    ranked = (
+        bucketed.withColumn("rb", F.row_number().over(wb))
+        .join(boff, "bkt")
+        .select("ar", (F.col("off") + F.col("rb")).alias("r"))
+    )
+    ncal = cal.agg(F.count("*").alias("n_cal"))
+    qhat = (
+        ranked.crossJoin(F.broadcast(ncal))
+        .filter(
+            F.col("r")
+            == F.least(
+                F.ceil(F.lit(0.9) * (F.col("n_cal") + F.lit(1)).cast("double")),
+                F.col("n_cal").cast("bigint"),
+            )
+        )
+        .select(F.col("ar").alias("q_hat"), "n_cal")
+    )
+    cov = (
+        scored.filter(F.col("is_train"))
+        .crossJoin(F.broadcast(qhat))
+        .agg(
+            F.count("*").cast("bigint").alias("n_train"),
+            F.first("n_cal").cast("bigint").alias("n_cal"),
+            _fround(F.first("q_hat"), 4).alias("q_hat"),
+            _fround(
+                F.sum((F.col("ar") <= F.col("q_hat")).cast("int")).cast(
+                    "double"
+                )
+                / F.count("*"),
+                4,
+            ).alias("coverage_train"),
+        )
+    )
+    return cov
+
+
+def q_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 distributed tree learning, the base case: a depth-1
+    regression stump for value ~ hour. ALL 23 candidate splits are
+    evaluated in ONE aggregation pass — per candidate c, the
+    conditional left-count and left-sum (exact decimal) ride
+    generated `sum(when(h <= c, ...))` columns, so the corpus is
+    scanned once no matter how many candidates; per-split SSE then
+    unfolds from the sums algebraically (SSE = Q - sumL²/nL -
+    sumR²/nR needs only n/S/Q and the per-side sums) in a 23-row
+    projected explode, and the argmin is a min-ordered window with a
+    deterministic tiebreak. This is the exact structure every
+    histogram-based GBDT (LightGBM-style) uses per node — candidates
+    x features in one pass over the data.
+
+    SSE uses a decimal Q (sum of y²), so split scores are
+    order-independent; scores round to 6 dp before the argmin."""
+    ev = load_table(spark, sf_dir, "events")
+    feat = ev.select(
+        F.col("value").alias("y"), F.hour("ts").cast("int").alias("h")
+    )
+    cands = list(range(23))
+    aggs = [
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("y").cast("decimal(38,18)")).alias("s"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,18)")).alias("q"),
+    ]
+    for c in cands:
+        aggs.append(
+            F.sum(F.when(F.col("h") <= c, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"nl{c}")
+        )
+        aggs.append(
+            F.sum(
+                F.when(F.col("h") <= c, F.col("y"))
+                .otherwise(0.0)
+                .cast("decimal(38,18)")
+            ).alias(f"sl{c}")
+        )
+    one = feat.agg(*aggs)
+    splits = one.select(
+        F.col("n"),
+        F.col("s").cast("double").alias("sd"),
+        F.col("q").cast("double").alias("qd"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("c"),
+                        F.col(f"nl{c}").alias("nl"),
+                        F.col(f"sl{c}").cast("double").alias("sl"),
+                    )
+                    for c in cands
+                ]
+            )
+        ).alias("sp"),
+    ).select(
+        "n",
+        "sd",
+        "qd",
+        F.col("sp.c").alias("c"),
+        F.col("sp.nl").alias("nl"),
+        F.col("sp.sl").alias("sl"),
+    ).filter((F.col("nl") > 0) & (F.col("nl") < F.col("n")))
+    sse = (
+        F.col("qd")
+        - (F.col("sl") * F.col("sl")) / F.col("nl").cast("double")
+        - (
+            (F.col("sd") - F.col("sl"))
+            * (F.col("sd") - F.col("sl"))
+        )
+        / (F.col("n") - F.col("nl")).cast("double")
+    )
+    scored = splits.select(
+        "n", "sd", "qd", "c", "nl", "sl", _fround(sse, 6).alias("sse")
+    )
+    wmin = Window.orderBy(F.col("sse").asc(), F.col("c").asc())
+    best = (
+        scored.withColumn("rn", F.row_number().over(wmin))
+        .filter(F.col("rn") == 1)
+    )
+    return best.select(
+        F.col("c").cast("int").alias("split_hour"),
+        F.col("nl").cast("bigint").alias("n_left"),
+        (F.col("n") - F.col("nl")).cast("bigint").alias("n_right"),
+        _fround(F.col("sl") / F.col("nl").cast("double"), 4).alias(
+            "mean_left"
+        ),
+        _fround(
+            (F.col("sd") - F.col("sl"))
+            / (F.col("n") - F.col("nl")).cast("double"),
+            4,
+        ).alias("mean_right"),
+        _fround(
+            (F.col("qd") - F.col("sd") * F.col("sd") / F.col("n").cast("double"))
+            - F.col("sse"),
+            4,
+        ).alias("sse_reduction"),
+    )
+
+
 ALL_QUERIES = {
     "flagship_order_lifecycle": q_flagship_order_lifecycle,
     "bm25_topk": q_bm25_topk,
@@ -7204,4 +7446,6 @@ ALL_QUERIES = {
     "holt_forecast": q_holt_forecast,
     "model_calibration_ece": q_model_calibration_ece,
     "model_auc": q_model_auc,
+    "conformal_interval": q_conformal_interval,
+    "decision_stump": q_decision_stump,
 }

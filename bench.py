@@ -149,6 +149,8 @@ HEADLINE = [
     "holt_forecast",
     "model_calibration_ece",
     "model_auc",
+    "conformal_interval",
+    "decision_stump",
     # Python-worker queries LAST: applyInPandas spins up 32 Python
     # workers and leaves GC pressure that inflates the next JVM-only
     # query by ~3x (measured: dedup_minhash_lsh 6.96s after it vs 1.9s

@@ -547,3 +547,36 @@ def test_model_ece_bins_partition_corpus(spark, sf_dir):
         assert 0.0 <= r["confidence"] <= 1.0
         assert 0.0 <= r["accuracy"] <= 1.0
         assert r["ece_contrib"] >= 0.0
+
+
+def test_conformal_coverage_near_nominal(spark, sf_dir):
+    row = ALL_QUERIES["conformal_interval"](spark, sf_dir).collect()[0]
+    assert row["q_hat"] > 0
+    # finite-sample conformal guarantees >= 0.9 on exchangeable data;
+    # the train-side empirical check should sit near nominal
+    assert 0.80 <= row["coverage_train"] <= 1.0
+    n = load_table(spark, sf_dir, "events").count()
+    assert row["n_train"] + row["n_cal"] == n
+
+
+def test_decision_stump_matches_bruteforce(spark, sf_dir):
+    row = ALL_QUERIES["decision_stump"](spark, sf_dir).collect()[0]
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("value").alias("y"), F.hour("ts").alias("h")
+    ).collect()
+    ys = [(r["h"], r["y"]) for r in ev]
+    best = None
+    for c in range(23):
+        left = [y for h, y in ys if h <= c]
+        right = [y for h, y in ys if h > c]
+        if not left or not right:
+            continue
+        sse = (
+            sum(y * y for y in left) - sum(left) ** 2 / len(left)
+            + sum(y * y for y in right) - sum(right) ** 2 / len(right)
+        )
+        if best is None or sse < best[0] - 1e-9:
+            best = (sse, c, len(left))
+    assert row["split_hour"] == best[1]
+    assert row["n_left"] == best[2]
+    assert row["sse_reduction"] >= -1e-9
