@@ -90,3 +90,62 @@ def logistic_regression_gd(
         return w
     finally:
         feats.unpersist()
+
+
+def fit_stump(
+    df,
+    y_expr,
+    h_col: str = "h",
+    candidates: range = range(23),
+) -> dict:
+    """One-pass depth-1 regression split for ``y_expr ~ h_col``: every
+    candidate's left-count and left-sum ride generated conditional
+    aggregates (exact decimal sums), so the relation is scanned ONCE
+    per fitted node regardless of candidate count — the histogram-GBDT
+    per-node structure. The returned split (c, meanL, meanR, sse) is
+    driver-held model state (bounded: one struct per node); means and
+    the argmin score are snapped (9 dp / 6 dp) so a DuckDB replay of
+    the same sums picks the identical split."""
+    import pyspark.sql.functions as F
+
+    aggs = [
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(y_expr.cast("decimal(38,18)")).alias("s"),
+        F.sum((y_expr * y_expr).cast("decimal(38,18)")).alias("q"),
+    ]
+    for c in candidates:
+        cond = F.col(h_col) <= c
+        aggs.append(
+            F.sum(F.when(cond, 1).otherwise(0)).cast("bigint").alias(f"nl{c}")
+        )
+        aggs.append(
+            F.sum(
+                F.when(cond, y_expr).otherwise(0.0).cast("decimal(38,18)")
+            ).alias(f"sl{c}")
+        )
+    row = df.agg(*aggs).collect()[0]
+    n, s, q = int(row["n"]), float(row["s"]), float(row["q"])
+
+    def snap(x: float, p: float) -> float:
+        return math.floor(x * p + 0.5) / p
+
+    best = None
+    for c in candidates:
+        nl, sl = int(row[f"nl{c}"]), float(row[f"sl{c}"])
+        if nl == 0 or nl == n:
+            continue
+        sse = snap(
+            q - (sl * sl) / nl - ((s - sl) * (s - sl)) / (n - nl), 1e6
+        )
+        if best is None or sse < best["sse"]:
+            best = {
+                "c": c,
+                "nl": nl,
+                "sse": sse,
+                "mean_l": snap(sl / nl, 1e9),
+                "mean_r": snap((s - sl) / (n - nl), 1e9),
+            }
+    best["n"] = n
+    best["mean_all"] = snap(s / n, 1e9)
+    best["total_sse"] = snap(q - s * s / n, 1e6)
+    return best

@@ -1438,6 +1438,89 @@ FROM agg
 """
 
 
+def _gboost_sql(rounds: int = 3) -> str:
+    """Unrolled replay of q_gradient_boost_stumps: per round, the
+    conditional-sum split search over the current residuals, the
+    9-dp-snapped means / 6-dp-snapped scores, the lr=0.5 ensemble
+    update, and the reported train SSE — all MATERIALIZED so the CTE
+    chain cannot inline exponentially."""
+
+    def snap9(e: str) -> str:
+        return f"floor(({e}) * 1000000000.0 + 0.5) / 1000000000.0"
+
+    ctes = [
+        "feat AS MATERIALIZED (SELECT value AS y,"
+        " CAST(hour(ts) AS INT) AS h FROM events)",
+        "m0 AS MATERIALIZED (SELECT "
+        + snap9(
+            "CAST(sum(CAST(y AS DECIMAL(38,18))) AS DOUBLE) / count(*)"
+        )
+        + " AS f0 FROM feat)",
+    ]
+    model_tables = ["m0"]
+    pred = "m0.f0"
+    selects = []
+    for r in range(1, rounds + 1):
+        joins = ", ".join(model_tables)
+        resid = f"(y - ({pred}))"
+        ctes.append(
+            f"tot{r} AS MATERIALIZED (SELECT count(*) AS n, "
+            f"CAST(sum(CAST({resid} AS DECIMAL(38,18))) AS DOUBLE) AS s, "
+            f"CAST(sum(CAST({resid} * {resid} AS DECIMAL(38,18))) "
+            f"AS DOUBLE) AS q FROM feat, {joins})"
+        )
+        ctes.append(
+            f"sides{r} AS MATERIALIZED (SELECT CAST(t.c AS INT) AS c, "
+            f"CAST(sum(CASE WHEN h <= t.c THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS nl, "
+            f"CAST(sum(CASE WHEN h <= t.c THEN CAST({resid} AS "
+            f"DECIMAL(38,18)) ELSE CAST(0.0 AS DECIMAL(38,18)) END) "
+            f"AS DOUBLE) AS sl FROM feat, range(23) t(c), {joins} "
+            f"GROUP BY 1)"
+        )
+        ctes.append(
+            f"scored{r} AS MATERIALIZED (SELECT s.c, s.nl, s.sl, "
+            f"t.n, t.s AS sg, t.q, "
+            f"floor((t.q - (s.sl * s.sl) / CAST(s.nl AS DOUBLE) "
+            f"- ((t.s - s.sl) * (t.s - s.sl)) "
+            f"/ CAST(t.n - s.nl AS DOUBLE)) * 1000000.0 + 0.5) "
+            f"/ 1000000.0 AS sse FROM sides{r} s, tot{r} t "
+            f"WHERE s.nl > 0 AND s.nl < t.n)"
+        )
+        ml = snap9("sl / CAST(nl AS DOUBLE)")
+        mr = snap9("(sg - sl) / CAST(n - nl AS DOUBLE)")
+        ctes.append(
+            f"b{r} AS MATERIALIZED (SELECT c, {ml} AS ml, {mr} AS mr "
+            f"FROM (SELECT *, row_number() OVER (ORDER BY sse, c) AS rn"
+            f" FROM scored{r}) WHERE rn = 1)"
+        )
+        model_tables.append(f"b{r}")
+        pred = (
+            f"{pred} + 0.5 * (CASE WHEN h <= b{r}.c THEN b{r}.ml "
+            f"ELSE b{r}.mr END)"
+        )
+        joins_r = ", ".join(model_tables)
+        ctes.append(
+            f"sse{r} AS MATERIALIZED (SELECT "
+            f"CAST(sum(CAST((y - ({pred})) * (y - ({pred})) "
+            f"AS DECIMAL(38,18))) AS DOUBLE) AS v FROM feat, {joins_r})"
+        )
+        selects.append(
+            f"SELECT CAST({r} AS INT) AS round, "
+            f"CAST(b{r}.c AS INT) AS split_hour, "
+            f"floor(b{r}.ml * 10000.0 + 0.5) / 10000.0 AS mean_left, "
+            f"floor(b{r}.mr * 10000.0 + 0.5) / 10000.0 AS mean_right, "
+            f"floor(sse{r}.v * 100.0 + 0.5) / 100.0 AS train_sse "
+            f"FROM b{r}, sse{r}"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + "\n"
+        + "\nUNION ALL\n".join(selects)
+    )
+
+
 ALL_ORACLES: dict[str, str] = {
     "pagerank_suppliers": _pagerank_sql(),
     "bm25_topk": _bm25_sql(_BM25_QUERIES),
@@ -4291,6 +4374,7 @@ SELECT CAST(count(*) AS BIGINT) AS n_train,
          AS coverage_train
 FROM scored s, qh WHERE s.is_train
 """,
+    "gradient_boost_stumps": _gboost_sql(),
     "decision_stump": """
 WITH feat AS (
   SELECT value AS y, CAST(hour(ts) AS INT) AS h FROM events),

@@ -7225,6 +7225,78 @@ def q_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gradient_boost_stumps(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """§2.10 distributed gradient boosting (squared loss, 3 rounds,
+    lr = 0.5): each round fits a depth-1 stump to the CURRENT
+    residuals in one corpus pass (operators/ml.py::fit_stump — all
+    candidate splits as generated conditional sums) and one more pass
+    scores the updated ensemble's train SSE. The driver holds only
+    the stump list (it IS the model); residual expressions carry the
+    snapped split means as plan literals, so each pass is a plain
+    aggregation over the cached feature relation. The DuckDB oracle
+    unrolls the identical three rounds — 9-dp-snapped means and
+    6-dp-snapped split scores keep both engines choosing the same
+    splits. Monotone train-SSE across rounds is asserted in tests;
+    this is the LightGBM-style boosting loop reduced to its Spark-
+    native skeleton."""
+    import math as _math
+
+    from aproximacion_1_etl_spark.operators.ml import fit_stump
+
+    ev = load_table(spark, sf_dir, "events")
+    dp = spark.sparkContext.defaultParallelism
+    feat = ev.select(
+        F.col("value").alias("y"), F.hour("ts").cast("int").alias("h")
+    ).repartition(dp).cache()
+    try:
+        base_row = feat.agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("y").cast("decimal(38,18)")).alias("s"),
+        ).collect()[0]
+        f0 = (
+            _math.floor(
+                float(base_row["s"]) / int(base_row["n"]) * 1e9 + 0.5
+            )
+            / 1e9
+        )
+        lr = 0.5
+        pred = F.lit(f0)
+        rows = []
+        for rnd in (1, 2, 3):
+            resid = F.col("y") - pred
+            st = fit_stump(feat, resid, "h")
+            pred = pred + F.lit(lr) * F.when(
+                F.col("h") <= st["c"], F.lit(st["mean_l"])
+            ).otherwise(F.lit(st["mean_r"]))
+            sse_row = feat.agg(
+                F.sum(
+                    ((F.col("y") - pred) * (F.col("y") - pred)).cast(
+                        "decimal(38,18)"
+                    )
+                )
+                .cast("double")
+                .alias("sse")
+            ).collect()[0]
+            rows.append(
+                (
+                    rnd,
+                    int(st["c"]),
+                    _math.floor(st["mean_l"] * 1e4 + 0.5) / 1e4,
+                    _math.floor(st["mean_r"] * 1e4 + 0.5) / 1e4,
+                    _math.floor(float(sse_row["sse"]) * 1e2 + 0.5) / 1e2,
+                )
+            )
+        return spark.createDataFrame(
+            rows,
+            "round int, split_hour int, mean_left double, "
+            "mean_right double, train_sse double",
+        )
+    finally:
+        feat.unpersist()
+
+
 ALL_QUERIES = {
     "flagship_order_lifecycle": q_flagship_order_lifecycle,
     "bm25_topk": q_bm25_topk,
@@ -7448,4 +7520,5 @@ ALL_QUERIES = {
     "model_auc": q_model_auc,
     "conformal_interval": q_conformal_interval,
     "decision_stump": q_decision_stump,
+    "gradient_boost_stumps": q_gradient_boost_stumps,
 }

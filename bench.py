@@ -151,6 +151,7 @@ HEADLINE = [
     "model_auc",
     "conformal_interval",
     "decision_stump",
+    "gradient_boost_stumps",
     # Python-worker queries LAST: applyInPandas spins up 32 Python
     # workers and leaves GC pressure that inflates the next JVM-only
     # query by ~3x (measured: dedup_minhash_lsh 6.96s after it vs 1.9s

@@ -580,3 +580,16 @@ def test_decision_stump_matches_bruteforce(spark, sf_dir):
     assert row["split_hour"] == best[1]
     assert row["n_left"] == best[2]
     assert row["sse_reduction"] >= -1e-9
+
+
+def test_gradient_boost_monotone_sse(spark, sf_dir):
+    rows = sorted(
+        ALL_QUERIES["gradient_boost_stumps"](spark, sf_dir).collect(),
+        key=lambda r: r["round"],
+    )
+    assert [r["round"] for r in rows] == [1, 2, 3]
+    sses = [r["train_sse"] for r in rows]
+    # squared-loss boosting with lr in (0, 1] never increases train SSE
+    assert sses[0] >= sses[1] >= sses[2]
+    for r in rows:
+        assert 0 <= r["split_hour"] <= 22
