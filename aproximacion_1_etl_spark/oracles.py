@@ -4375,6 +4375,35 @@ SELECT CAST(count(*) AS BIGINT) AS n_train,
 FROM scored s, qh WHERE s.is_train
 """,
     "gradient_boost_stumps": _gboost_sql(),
+    "ks_drift_report": f"""
+WITH scored AS (
+  SELECT source, doc_id,
+         (substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '8000')
+           AS is_ref,
+         {_QUALITY_SQL} AS score
+  FROM documents),
+tot AS (
+  SELECT source,
+         sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS n_ref,
+         sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS n_cur
+  FROM scored GROUP BY 1),
+cum AS (
+  SELECT source,
+         sum(CASE WHEN is_ref THEN 1 ELSE 0 END) OVER (
+           PARTITION BY source ORDER BY score, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c_ref,
+         sum(CASE WHEN is_ref THEN 0 ELSE 1 END) OVER (
+           PARTITION BY source ORDER BY score, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c_cur
+  FROM scored),
+diffs AS (
+  SELECT c.source,
+         abs(CAST(c.c_ref AS DOUBLE) / CAST(t.n_ref AS DOUBLE)
+             - CAST(c.c_cur AS DOUBLE) / CAST(t.n_cur AS DOUBLE)) AS d
+  FROM cum c JOIN tot t ON t.source = c.source)
+SELECT source, floor(max(d) * 1000000.0 + 0.5) / 1000000.0 AS ks_stat
+FROM diffs GROUP BY 1
+""",
     "decision_stump": """
 WITH feat AS (
   SELECT value AS y, CAST(hour(ts) AS INT) AS h FROM events),

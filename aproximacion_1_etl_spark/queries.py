@@ -7297,6 +7297,52 @@ def q_gradient_boost_stumps(
         feat.unpersist()
 
 
+def q_ks_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 drift monitoring, exact flavor: per-source two-sample
+    Kolmogorov-Smirnov statistic between the same hash-band corpus
+    halves PSI uses — KS = sup |F_ref - F_cur|, computed exactly from
+    cumulative fractions over the per-source ordered score sequence
+    (one window partitioned by source; partitions are source-sized,
+    never the corpus). PSI sees binned shape drift, KS the exact
+    sup-norm — together they are the standard monitoring pair.
+    Fractions are exact rational counts cast to double with identical
+    expressions, and the statistic rounds to 6 dp."""
+    from aproximacion_1_etl_spark.functions.sampling import _hash_prefix
+    from aproximacion_1_etl_spark.text.analysis import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "source",
+        "doc_id",
+        (_hash_prefix(F.col("doc_id")) < "8000").alias("is_ref"),
+        quality_score(F.col("text")).alias("score"),
+    )
+    tot = scored.groupBy("source").agg(
+        F.sum(F.col("is_ref").cast("int")).alias("n_ref"),
+        F.sum((~F.col("is_ref")).cast("int")).alias("n_cur"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("score", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = scored.select(
+        "source",
+        F.sum(F.col("is_ref").cast("int")).over(w).alias("c_ref"),
+        F.sum((~F.col("is_ref")).cast("int")).over(w).alias("c_cur"),
+    )
+    diffs = cum.join(F.broadcast(tot), "source").select(
+        "source",
+        F.abs(
+            F.col("c_ref").cast("double") / F.col("n_ref").cast("double")
+            - F.col("c_cur").cast("double") / F.col("n_cur").cast("double")
+        ).alias("d"),
+    )
+    return diffs.groupBy("source").agg(
+        _fround(F.max("d"), 6).alias("ks_stat")
+    )
+
+
 ALL_QUERIES = {
     "flagship_order_lifecycle": q_flagship_order_lifecycle,
     "bm25_topk": q_bm25_topk,
@@ -7521,4 +7567,5 @@ ALL_QUERIES = {
     "conformal_interval": q_conformal_interval,
     "decision_stump": q_decision_stump,
     "gradient_boost_stumps": q_gradient_boost_stumps,
+    "ks_drift_report": q_ks_drift_report,
 }

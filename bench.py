@@ -152,6 +152,7 @@ HEADLINE = [
     "conformal_interval",
     "decision_stump",
     "gradient_boost_stumps",
+    "ks_drift_report",
     # Python-worker queries LAST: applyInPandas spins up 32 Python
     # workers and leaves GC pressure that inflates the next JVM-only
     # query by ~3x (measured: dedup_minhash_lsh 6.96s after it vs 1.9s

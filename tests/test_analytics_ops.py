@@ -593,3 +593,33 @@ def test_gradient_boost_monotone_sse(spark, sf_dir):
     assert sses[0] >= sses[1] >= sses[2]
     for r in rows:
         assert 0 <= r["split_hour"] <= 22
+
+
+def test_ks_matches_scipy_free_reference(spark, sf_dir):
+    import hashlib
+
+    rows = {r["source"]: r["ks_stat"] for r in
+            ALL_QUERIES["ks_drift_report"](spark, sf_dir).collect()}
+    from aproximacion_1_etl_spark.text.analysis import quality_score
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", quality_score(F.col("text")).alias("s")
+    ).collect()
+    by_src = {}
+    for r in docs:
+        is_ref = hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:4] < "8000"
+        by_src.setdefault(r["source"], []).append((r["s"], r["doc_id"], is_ref))
+    for src, vals in by_src.items():
+        vals.sort()
+        n_ref = sum(1 for v in vals if v[2])
+        n_cur = len(vals) - n_ref
+        c_ref = c_cur = 0
+        ks = 0.0
+        for s, _, is_ref in vals:
+            if is_ref:
+                c_ref += 1
+            else:
+                c_cur += 1
+            ks = max(ks, abs(c_ref / n_ref - c_cur / n_cur))
+        assert abs(rows[src] - ks) < 1e-5, src
+        assert 0.0 <= rows[src] <= 1.0
