@@ -1521,6 +1521,75 @@ def _gboost_sql(rounds: int = 3) -> str:
     )
 
 
+def _als_rank1_sql(iterations: int = 3) -> str:
+    """Unrolled replay of q_als_rank1's alternating closed-form
+    updates: per iteration a scalar v'v, the per-user factor as a
+    decimal-summed aggregate, and the 9-dp-snapped item update."""
+
+    def snap9(e: str) -> str:
+        return f"floor(({e}) * 1000000000.0 + 0.5) / 1000000000.0"
+
+    ctes = [
+        "ratings AS MATERIALIZED (SELECT user_id AS u, event_type AS t,"
+        " CAST(count(*) AS DOUBLE) AS r FROM events GROUP BY 1, 2)",
+        "v0 AS MATERIALIZED (SELECT t, CAST(1.0 AS DOUBLE) AS v"
+        " FROM (SELECT DISTINCT t FROM ratings))",
+    ]
+    prev = "v0"
+    for k in range(1, iterations + 1):
+        ctes.append(
+            f"vv{k} AS (SELECT sum(v * v) AS s FROM {prev})"
+        )
+        ctes.append(
+            f"u{k} AS MATERIALIZED (SELECT r.u, "
+            f"CAST(sum(CAST(r.r * v.v AS DECIMAL(38,18))) AS DOUBLE)"
+            f" / max(vv.s) AS uf "
+            f"FROM ratings r JOIN {prev} v ON v.t = r.t, vv{k} vv "
+            f"GROUP BY r.u)"
+        )
+        ctes.append(
+            f"num{k} AS (SELECT r.t, "
+            f"CAST(sum(CAST(r.r * u.uf AS DECIMAL(38,18))) AS DOUBLE)"
+            f" AS num FROM ratings r JOIN u{k} u ON u.u = r.u GROUP BY 1)"
+        )
+        ctes.append(
+            f"den{k} AS (SELECT CAST(sum(CAST(uf * uf AS "
+            f"DECIMAL(38,18))) AS DOUBLE) AS den FROM u{k})"
+        )
+        ctes.append(
+            f"v{k} AS MATERIALIZED (SELECT n.t, "
+            + snap9("n.num / d.den")
+            + f" AS v FROM num{k} n, den{k} d)"
+        )
+        prev = f"v{k}"
+    ctes.append(
+        f"vvf AS (SELECT sum(v * v) AS s FROM {prev})"
+    )
+    ctes.append(
+        "uf AS MATERIALIZED (SELECT r.u, "
+        "CAST(sum(CAST(r.r * v.v AS DECIMAL(38,18))) AS DOUBLE)"
+        f" / max(vv.s) AS uf FROM ratings r JOIN {prev} v ON v.t = r.t,"
+        " vvf vv GROUP BY r.u)"
+    )
+    ctes.append(
+        f"sse AS (SELECT count(*) AS n, "
+        f"CAST(sum(CAST((r.r - u.uf * v.v) * (r.r - u.uf * v.v) "
+        f"AS DECIMAL(38,18))) AS DOUBLE) AS sse "
+        f"FROM ratings r JOIN uf u ON u.u = r.u "
+        f"JOIN {prev} v ON v.t = r.t)"
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT v.t AS event_type,
+       floor(v.v * 10000.0 + 0.5) / 10000.0 AS v_factor,
+       floor(sqrt(sse.sse / sse.n) * 10000.0 + 0.5) / 10000.0 AS rmse
+FROM {prev} v, sse
+"""
+    )
+
+
 ALL_ORACLES: dict[str, str] = {
     "pagerank_suppliers": _pagerank_sql(),
     "bm25_topk": _bm25_sql(_BM25_QUERIES),
@@ -4375,6 +4444,7 @@ SELECT CAST(count(*) AS BIGINT) AS n_train,
 FROM scored s, qh WHERE s.is_train
 """,
     "gradient_boost_stumps": _gboost_sql(),
+    "als_rank1": _als_rank1_sql(),
     "ks_drift_report": f"""
 WITH scored AS (
   SELECT source, doc_id,

@@ -7353,6 +7353,111 @@ def q_ks_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_als_rank1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 matrix-factorization trainer, the ALS archetype at
+    rank 1: implicit user x event-type counts factorize as
+    r_ut ≈ u_u * v_t by alternating closed-form least squares. Per
+    iteration the USER factor never materializes on the driver — it
+    is a per-user aggregate expression over the ratings relation
+    (v is the tiny side and rides as plan literals, |types| floats,
+    snapped to 9 dp per iteration: it IS the model, the codebook
+    rule); the item update is one co-partitioned join + two
+    aggregations. 3 iterations, then one RMSE pass. The DuckDB oracle
+    unrolls the identical alternation — decimal sums everywhere keep
+    the recurrence engine-portable."""
+    import math as _math
+
+    ev = load_table(spark, sf_dir, "events")
+    dp = spark.sparkContext.defaultParallelism
+    ratings = (
+        ev.groupBy(
+            F.col("user_id").alias("u"), F.col("event_type").alias("t")
+        )
+        .agg(F.count("*").cast("double").alias("r"))
+        .repartition(dp, F.col("u"))
+        .cache()
+    )
+    try:
+        types = sorted(
+            r["t"] for r in ratings.select("t").distinct().collect()
+        )
+        v = {t: 1.0 for t in types}
+
+        def snap9(x: float) -> float:
+            return _math.floor(x * 1e9 + 0.5) / 1e9
+
+        def v_expr(vd):
+            expr = None
+            for t, val in vd.items():
+                c = F.when(F.col("t") == t, F.lit(val))
+                expr = c if expr is None else expr.when(
+                    F.col("t") == t, F.lit(val)
+                )
+            return expr.otherwise(F.lit(0.0))
+
+        for _ in range(3):
+            vv = sum(x * x for x in v.values())
+            u_rel = ratings.groupBy("u").agg(
+                (
+                    F.sum((F.col("r") * v_expr(v)).cast("decimal(38,18)"))
+                    .cast("double")
+                    / F.lit(vv)
+                ).alias("uf")
+            )
+            joined = ratings.join(u_rel, "u")
+            vt = joined.groupBy("t").agg(
+                F.sum((F.col("r") * F.col("uf")).cast("decimal(38,18)"))
+                .cast("double")
+                .alias("num")
+            )
+            uu = u_rel.agg(
+                F.sum((F.col("uf") * F.col("uf")).cast("decimal(38,18)"))
+                .cast("double")
+                .alias("den")
+            )
+            rows = vt.crossJoin(F.broadcast(uu)).select(
+                "t", (F.col("num") / F.col("den")).alias("vn")
+            ).collect()
+            v = {r["t"]: snap9(float(r["vn"])) for r in rows}
+        vv = sum(x * x for x in v.values())
+        u_rel = ratings.groupBy("u").agg(
+            (
+                F.sum((F.col("r") * v_expr(v)).cast("decimal(38,18)"))
+                .cast("double")
+                / F.lit(vv)
+            ).alias("uf")
+        )
+        sse_row = (
+            ratings.join(u_rel, "u")
+            .select(
+                (
+                    (F.col("r") - F.col("uf") * v_expr(v))
+                    * (F.col("r") - F.col("uf") * v_expr(v))
+                ).alias("e2"),
+            )
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("e2").cast("decimal(38,18)"))
+                .cast("double")
+                .alias("sse"),
+            )
+            .collect()[0]
+        )
+        rmse = _math.floor(
+            _math.sqrt(float(sse_row["sse"]) / int(sse_row["n"])) * 1e4
+            + 0.5
+        ) / 1e4
+        out = [
+            (t, _math.floor(v[t] * 1e4 + 0.5) / 1e4, rmse)
+            for t in types
+        ]
+        return spark.createDataFrame(
+            out, "event_type string, v_factor double, rmse double"
+        )
+    finally:
+        ratings.unpersist()
+
+
 ALL_QUERIES = {
     "flagship_order_lifecycle": q_flagship_order_lifecycle,
     "bm25_topk": q_bm25_topk,
@@ -7578,4 +7683,5 @@ ALL_QUERIES = {
     "decision_stump": q_decision_stump,
     "gradient_boost_stumps": q_gradient_boost_stumps,
     "ks_drift_report": q_ks_drift_report,
+    "als_rank1": q_als_rank1,
 }

@@ -623,3 +623,50 @@ def test_ks_matches_scipy_free_reference(spark, sf_dir):
             ks = max(ks, abs(c_ref / n_ref - c_cur / n_cur))
         assert abs(rows[src] - ks) < 1e-5, src
         assert 0.0 <= rows[src] <= 1.0
+
+
+def test_als_rank1_beats_naive_and_matches_numpy(spark, sf_dir):
+    rows = ALL_QUERIES["als_rank1"](spark, sf_dir).collect()
+    rmse = rows[0]["rmse"]
+    assert all(abs(r["rmse"] - rmse) < 1e-9 for r in rows)
+    ev = load_table(spark, sf_dir, "events").groupBy(
+        "user_id", "event_type"
+    ).count().collect()
+    import math
+
+    types = sorted({r["event_type"] for r in ev})
+    R = {}
+    for r in ev:
+        R[(r["user_id"], r["event_type"])] = float(r["count"])
+    v = {t: 1.0 for t in types}
+    snap = lambda x: math.floor(x * 1e9 + 0.5) / 1e9
+    for _ in range(3):
+        vv = sum(x * x for x in v.values())
+        users = {u for u, _ in R}
+        uf = {
+            u: sum(R.get((u, t), 0.0) * v[t] for t in types) / vv
+            for u in users
+        }
+        den = sum(x * x for x in uf.values())
+        v = {
+            t: snap(
+                sum(R.get((u, t), 0.0) * uf[u] for u in users) / den
+            )
+            for t in types
+        }
+    got = {r["event_type"]: r["v_factor"] for r in rows}
+    for t in types:
+        assert abs(got[t] - v[t]) < 1e-3, t
+    # the factorization fits better than predicting zero everywhere
+    vv = sum(x * x for x in v.values())
+    users = {u for u, _ in R}
+    uf = {
+        u: sum(R.get((u, t), 0.0) * v[t] for t in types) / vv
+        for u in users
+    }
+    sse = sum(
+        (r - uf[u] * v[t]) ** 2 for (u, t), r in R.items()
+    )
+    naive = sum(r * r for r in R.values())
+    assert sse < naive
+    assert abs(rmse - math.sqrt(sse / len(R))) < 1e-3
