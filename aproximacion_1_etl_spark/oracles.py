@@ -4445,6 +4445,30 @@ FROM scored s, qh WHERE s.is_train
 """,
     "gradient_boost_stumps": _gboost_sql(),
     "als_rank1": _als_rank1_sql(),
+    "markov_prediction_accuracy": """
+WITH p AS (
+  SELECT user_id,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type,
+         event_type AS next_type
+  FROM events),
+pairs AS (SELECT * FROM p WHERE prev_type IS NOT NULL),
+cm AS (
+  SELECT prev_type, next_type, count(*) AS n
+  FROM pairs GROUP BY 1, 2),
+model AS (
+  SELECT prev_type, next_type AS predicted_next
+  FROM (SELECT *, row_number() OVER (
+          PARTITION BY prev_type ORDER BY n DESC, next_type) AS rn
+        FROM cm) WHERE rn = 1)
+SELECT pr.prev_type, m.predicted_next,
+       CAST(count(*) AS BIGINT) AS n_transitions,
+       floor(CAST(sum(CASE WHEN pr.next_type = m.predicted_next
+                      THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+             * 10000.0 + 0.5) / 10000.0 AS accuracy
+FROM pairs pr JOIN model m ON m.prev_type = pr.prev_type
+GROUP BY 1, 2
+""",
     "ks_drift_report": f"""
 WITH scored AS (
   SELECT source, doc_id,

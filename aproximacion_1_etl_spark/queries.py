@@ -7458,6 +7458,52 @@ def q_als_rank1(spark: SparkSession, sf_dir: str) -> DataFrame:
         ratings.unpersist()
 
 
+def q_markov_prediction_accuracy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """§2.10 sequence-model evaluation: resubstitution accuracy of
+    the first-order Markov next-event predictor (argmax P(next|prev),
+    the event_bigrams model) — per previous state: the predicted next
+    type, transition count, and hit rate. One window pass builds
+    transitions, one |types|²-bounded aggregation builds the model,
+    and a broadcast join scores it; the argmax tiebreak
+    (count desc, type asc) is deterministic on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            "user_id",
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.col("event_type").alias("next_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+    )
+    cm = pairs.groupBy("prev_type", "next_type").agg(
+        F.count("*").alias("n")
+    )
+    wbest = Window.partitionBy("prev_type").orderBy(
+        F.col("n").desc(), F.col("next_type").asc()
+    )
+    model = (
+        cm.withColumn("rn", F.row_number().over(wbest))
+        .filter(F.col("rn") == 1)
+        .select("prev_type", F.col("next_type").alias("predicted_next"))
+    )
+    scored = pairs.join(F.broadcast(model), "prev_type")
+    return scored.groupBy("prev_type", "predicted_next").agg(
+        F.count("*").cast("bigint").alias("n_transitions"),
+        _fround(
+            F.sum(
+                (F.col("next_type") == F.col("predicted_next")).cast(
+                    "int"
+                )
+            ).cast("double")
+            / F.count("*"),
+            4,
+        ).alias("accuracy"),
+    )
+
+
 ALL_QUERIES = {
     "flagship_order_lifecycle": q_flagship_order_lifecycle,
     "bm25_topk": q_bm25_topk,
@@ -7684,4 +7730,5 @@ ALL_QUERIES = {
     "gradient_boost_stumps": q_gradient_boost_stumps,
     "ks_drift_report": q_ks_drift_report,
     "als_rank1": q_als_rank1,
+    "markov_prediction_accuracy": q_markov_prediction_accuracy,
 }

@@ -670,3 +670,18 @@ def test_als_rank1_beats_naive_and_matches_numpy(spark, sf_dir):
     naive = sum(r * r for r in R.values())
     assert sse < naive
     assert abs(rmse - math.sqrt(sse / len(R))) < 1e-3
+
+
+def test_markov_accuracy_bounded_by_marginals(spark, sf_dir):
+    rows = ALL_QUERIES["markov_prediction_accuracy"](
+        spark, sf_dir
+    ).collect()
+    assert rows
+    for r in rows:
+        # argmax accuracy per state is at least the uniform floor and
+        # equals the max conditional probability
+        assert 0.0 < r["accuracy"] <= 1.0
+        assert r["n_transitions"] > 0
+    # each previous state appears exactly once (one argmax prediction)
+    prevs = [r["prev_type"] for r in rows]
+    assert len(prevs) == len(set(prevs))
