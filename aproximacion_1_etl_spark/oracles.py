@@ -1590,6 +1590,51 @@ FROM {prev} v, sse
     )
 
 
+def _isotonic_sql() -> str:
+    """Replay of q_isotonic_calibration: the shared scored relation,
+    rank-decile table, and the minimax closed form
+    iso_i = max_{j<=i} min_{k>=i} wmean(j..k) from prefix sums."""
+    ctes, scored = _logreg_eval_scored_sql()
+    return f"""
+WITH {ctes},
+{scored},
+ranked AS (
+  SELECT y, p, row_number() OVER (ORDER BY p, vec_id) AS r FROM scored),
+n_tot AS (SELECT count(*) AS n_all FROM scored),
+deciles AS (
+  SELECT CAST(((r - 1) * 10) // n_all AS INT) AS bin,
+         CAST(count(*) AS BIGINT) AS n_b,
+         CAST(sum(CAST(p AS DECIMAL(38,18))) AS DOUBLE) AS sp,
+         CAST(sum(CAST(y AS DECIMAL(38,18))) AS DOUBLE) AS sy
+  FROM ranked, n_tot GROUP BY 1),
+pre AS (
+  SELECT bin, n_b, sp, sy,
+         sum(n_b) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS cn,
+         CAST(sum(CAST(sy AS DECIMAL(38,18))) OVER (
+           ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+           AND CURRENT ROW) AS DOUBLE) AS cy
+  FROM deciles),
+rng AS (
+  SELECT l.bin AS j, h.bin AS k,
+         (h.cy - (l.cy - l.sy))
+         / CAST(h.cn - (l.cn - l.n_b) AS DOUBLE) AS wmean
+  FROM pre l, pre h WHERE l.bin <= h.bin),
+inner_min AS (
+  SELECT d.bin, d.n_b, d.sp, d.sy, r.j, min(r.wmean) AS mn
+  FROM deciles d JOIN rng r ON r.j <= d.bin AND r.k >= d.bin
+  GROUP BY 1, 2, 3, 4, 5),
+iso AS (
+  SELECT bin, n_b, sp, sy, max(mn) AS iso_raw
+  FROM inner_min GROUP BY 1, 2, 3, 4)
+SELECT bin, n_b,
+       floor(sp / n_b * 10000.0 + 0.5) / 10000.0 AS confidence,
+       floor(sy / n_b * 10000.0 + 0.5) / 10000.0 AS accuracy,
+       floor(iso_raw * 10000.0 + 0.5) / 10000.0 AS calibrated
+FROM iso
+"""
+
+
 ALL_ORACLES: dict[str, str] = {
     "pagerank_suppliers": _pagerank_sql(),
     "bm25_topk": _bm25_sql(_BM25_QUERIES),
@@ -4445,6 +4490,69 @@ FROM scored s, qh WHERE s.is_train
 """,
     "gradient_boost_stumps": _gboost_sql(),
     "als_rank1": _als_rank1_sql(),
+    "isotonic_calibration": _isotonic_sql(),
+    "drift_fdr_control": f"""
+WITH scored AS (
+  SELECT source, doc_id,
+         (substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '8000')
+           AS is_ref,
+         {_QUALITY_SQL} AS score
+  FROM documents),
+tot AS (
+  SELECT source,
+         sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS n_ref,
+         sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS n_cur
+  FROM scored GROUP BY 1),
+cum AS (
+  SELECT source,
+         sum(CASE WHEN is_ref THEN 1 ELSE 0 END) OVER (
+           PARTITION BY source ORDER BY score, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c_ref,
+         sum(CASE WHEN is_ref THEN 0 ELSE 1 END) OVER (
+           PARTITION BY source ORDER BY score, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c_cur
+  FROM scored),
+ks AS (
+  SELECT c.source, t.n_ref, t.n_cur,
+         max(abs(CAST(c.c_ref AS DOUBLE) / CAST(t.n_ref AS DOUBLE)
+                 - CAST(c.c_cur AS DOUBLE) / CAST(t.n_cur AS DOUBLE)))
+           AS ks
+  FROM cum c JOIN tot t ON t.source = c.source
+  GROUP BY 1, 2, 3),
+lamd AS (
+  SELECT source, ks,
+         ks * sqrt(CAST(n_ref AS DOUBLE) * CAST(n_cur AS DOUBLE)
+                   / CAST(n_ref + n_cur AS DOUBLE)) AS lam
+  FROM ks),
+tested AS (
+  SELECT source,
+         floor(ks * 1000000.0 + 0.5) / 1000000.0 AS ks_stat,
+         least(greatest(floor((
+             2.0 * exp(-2.0 * lam * lam)
+             + -2.0 * exp(-8.0 * lam * lam)
+             + 2.0 * exp(-18.0 * lam * lam)
+             + -2.0 * exp(-32.0 * lam * lam)
+             + 2.0 * exp(-50.0 * lam * lam)
+           ) * 1000000000.0 + 0.5) / 1000000000.0, 0.0), 1.0) AS p9
+  FROM lamd),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY p9, source) AS rank
+  FROM tested),
+m AS (SELECT count(*) AS m FROM ranked),
+flagged AS (
+  SELECT r.*, m.m,
+         CASE WHEN r.p9 <= CAST(r.rank AS DOUBLE) * 0.1
+                           / CAST(m.m AS DOUBLE)
+              THEN r.rank ELSE 0 END AS qual
+  FROM ranked r, m),
+km AS (SELECT max(qual) AS kmax FROM flagged)
+SELECT f.source, f.ks_stat,
+       floor(f.p9 * 1000000.0 + 0.5) / 1000000.0 AS p_value,
+       CAST(f.rank AS BIGINT) AS rank,
+       CAST(CASE WHEN f.rank <= km.kmax THEN 1 ELSE 0 END AS INT)
+         AS drift_flagged
+FROM flagged f, km
+""",
     "markov_prediction_accuracy": """
 WITH p AS (
   SELECT user_id,

@@ -7504,6 +7504,219 @@ def q_markov_prediction_accuracy(
     )
 
 
+def q_isotonic_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """§2.10 probability calibration: isotonic (PAV) regression of
+    empirical accuracy on the model's score deciles — the standard
+    post-hoc calibrator. Instead of the sequential pool-adjacent-
+    violators loop, the fit uses the MINIMAX CLOSED FORM
+    iso_i = max_{j<=i} min_{k>=i} wmean(y, j..k), which is pure
+    relational algebra: weighted range means from prefix sums over
+    the 10-row decile table (a 55-row range relation), then a min/max
+    rollup — entirely in-plan, no driver arithmetic, no iteration.
+    The corpus-sized work is the decile build (shared two-phase
+    ranking); everything after is bounded by the bin grid. Calibrated
+    values are monotone non-decreasing by construction (asserted)."""
+    scored = _logreg_scored(spark, sf_dir)
+    bucketed = scored.withColumn(
+        "bkt", F.least(F.floor(F.col("p") * 1000).cast("int"), F.lit(999))
+    )
+    boff = (
+        bucketed.groupBy("bkt")
+        .agg(F.count("*").alias("bn"))
+        .select(
+            "bkt",
+            F.coalesce(
+                F.sum("bn").over(
+                    Window.orderBy("bkt").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ).alias("off"),
+        )
+    )
+    wb = Window.partitionBy("bkt").orderBy("p", "vec_id")
+    ranked = (
+        bucketed.withColumn("rb", F.row_number().over(wb))
+        .join(boff, "bkt")
+        .select("y", "p", (F.col("off") + F.col("rb")).alias("r"))
+    )
+    n_tot = scored.agg(F.count("*").alias("n_all"))
+    deciles = (
+        ranked.crossJoin(F.broadcast(n_tot))
+        .select(
+            "y",
+            "p",
+            F.expr("CAST(((r - 1) * 10) div n_all AS INT)").alias("bin"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count("*").cast("bigint").alias("n_b"),
+            F.sum(F.col("p").cast("decimal(38,18)"))
+            .cast("double")
+            .alias("sp"),
+            F.sum(F.col("y").cast("decimal(38,18)"))
+            .cast("double")
+            .alias("sy"),
+        )
+    )
+    # prefix sums over the ordered bins -> weighted range means
+    wcum = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    pre = deciles.select(
+        "bin",
+        "n_b",
+        "sp",
+        "sy",
+        F.sum("n_b").over(wcum).alias("cn"),
+        F.sum(F.col("sy").cast("decimal(38,18)"))
+        .over(wcum)
+        .cast("double")
+        .alias("cy"),
+    )
+    lo = pre.select(
+        F.col("bin").alias("j"),
+        (F.col("cn") - F.col("n_b")).alias("cn_lo"),
+        (
+            F.col("cy")
+            - F.col("sy")
+        ).alias("cy_lo"),
+    )
+    hi = pre.select(
+        F.col("bin").alias("k"),
+        F.col("cn").alias("cn_hi"),
+        F.col("cy").alias("cy_hi"),
+    )
+    ranges = lo.crossJoin(hi).filter(F.col("j") <= F.col("k")).select(
+        "j",
+        "k",
+        (
+            (F.col("cy_hi") - F.col("cy_lo"))
+            / (F.col("cn_hi") - F.col("cn_lo")).cast("double")
+        ).alias("wmean"),
+    )
+    bins = deciles.select("bin", "n_b", "sp", "sy")
+    cand = bins.crossJoin(ranges).filter(
+        (F.col("j") <= F.col("bin")) & (F.col("k") >= F.col("bin"))
+    )
+    inner = cand.groupBy("bin", "n_b", "sp", "sy", "j").agg(
+        F.min("wmean").alias("mn")
+    )
+    iso = inner.groupBy("bin", "n_b", "sp", "sy").agg(
+        F.max("mn").alias("iso_raw")
+    )
+    return iso.select(
+        "bin",
+        "n_b",
+        _fround(F.col("sp") / F.col("n_b"), 4).alias("confidence"),
+        _fround(F.col("sy") / F.col("n_b"), 4).alias("accuracy"),
+        _fround(F.col("iso_raw"), 4).alias("calibrated"),
+    )
+
+
+def q_drift_fdr_control(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 multiple-testing control for drift monitoring: per-source
+    KS statistics (the ks_drift_report computation) converted to
+    asymptotic two-sample p-values (Kolmogorov series, 5 terms —
+    deterministic exp arithmetic, 9-dp snapped before any compare)
+    and screened by Benjamini-Hochberg at FDR alpha = 0.1 — the
+    correct way to alarm on hundreds of per-source drift tests
+    without drowning in false positives. The BH step-up is two
+    windows over the |sources| relation: the p-ascending rank, and
+    the max qualifying rank broadcast back as the rejection frontier."""
+    from aproximacion_1_etl_spark.functions.sampling import _hash_prefix
+    from aproximacion_1_etl_spark.text.analysis import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "source",
+        "doc_id",
+        (_hash_prefix(F.col("doc_id")) < "8000").alias("is_ref"),
+        quality_score(F.col("text")).alias("score"),
+    )
+    tot = scored.groupBy("source").agg(
+        F.sum(F.col("is_ref").cast("int")).alias("n_ref"),
+        F.sum((~F.col("is_ref")).cast("int")).alias("n_cur"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("score", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = scored.select(
+        "source",
+        F.sum(F.col("is_ref").cast("int")).over(w).alias("c_ref"),
+        F.sum((~F.col("is_ref")).cast("int")).over(w).alias("c_cur"),
+    )
+    ks = (
+        cum.join(F.broadcast(tot), "source")
+        .select(
+            "source",
+            "n_ref",
+            "n_cur",
+            F.abs(
+                F.col("c_ref").cast("double")
+                / F.col("n_ref").cast("double")
+                - F.col("c_cur").cast("double")
+                / F.col("n_cur").cast("double")
+            ).alias("d"),
+        )
+        .groupBy("source", "n_ref", "n_cur")
+        .agg(F.max("d").alias("ks"))
+    )
+    lam = F.col("ks") * F.sqrt(
+        F.col("n_ref").cast("double")
+        * F.col("n_cur").cast("double")
+        / (F.col("n_ref") + F.col("n_cur")).cast("double")
+    )
+    series = None
+    for j in range(1, 6):
+        term = F.lit(float((-1) ** (j - 1)) * 2.0) * F.exp(
+            F.lit(-2.0 * j * j) * lam * lam
+        )
+        series = term if series is None else series + term
+    pval = F.least(
+        F.greatest(
+            F.floor(series * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9),
+            F.lit(0.0),
+        ),
+        F.lit(1.0),
+    )
+    tested = ks.select(
+        "source", _fround(F.col("ks"), 6).alias("ks_stat"),
+        pval.alias("p9"),
+    )
+    wr = Window.orderBy(F.col("p9").asc(), F.col("source").asc())
+    ranked = tested.withColumn("rank", F.row_number().over(wr))
+    m = ranked.agg(F.count("*").alias("m"))
+    flagged = ranked.crossJoin(F.broadcast(m)).withColumn(
+        "qual",
+        F.when(
+            F.col("p9")
+            <= F.col("rank").cast("double")
+            * F.lit(0.1)
+            / F.col("m").cast("double"),
+            F.col("rank"),
+        ).otherwise(F.lit(0)),
+    )
+    kmax = flagged.agg(F.max("qual").alias("kmax"))
+    return (
+        flagged.crossJoin(F.broadcast(kmax))
+        .select(
+            "source",
+            "ks_stat",
+            _fround(F.col("p9"), 6).alias("p_value"),
+            F.col("rank").cast("bigint").alias("rank"),
+            (F.col("rank") <= F.col("kmax")).cast("int").alias(
+                "drift_flagged"
+            ),
+        )
+    )
+
+
 ALL_QUERIES = {
     "flagship_order_lifecycle": q_flagship_order_lifecycle,
     "bm25_topk": q_bm25_topk,
@@ -7731,4 +7944,6 @@ ALL_QUERIES = {
     "ks_drift_report": q_ks_drift_report,
     "als_rank1": q_als_rank1,
     "markov_prediction_accuracy": q_markov_prediction_accuracy,
+    "isotonic_calibration": q_isotonic_calibration,
+    "drift_fdr_control": q_drift_fdr_control,
 }

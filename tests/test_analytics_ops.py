@@ -685,3 +685,60 @@ def test_markov_accuracy_bounded_by_marginals(spark, sf_dir):
     # each previous state appears exactly once (one argmax prediction)
     prevs = [r["prev_type"] for r in rows]
     assert len(prevs) == len(set(prevs))
+
+
+def test_isotonic_calibration_is_pav(spark, sf_dir):
+    rows = sorted(
+        ALL_QUERIES["isotonic_calibration"](spark, sf_dir).collect(),
+        key=lambda r: r["bin"],
+    )
+    cal = [r["calibrated"] for r in rows]
+    # monotone non-decreasing by construction
+    assert cal == sorted(cal)
+    # matches the sequential pool-adjacent-violators algorithm
+    ys = [(r["accuracy"], r["n_b"]) for r in rows]
+    blocks = []  # (sum, weight)
+    for acc, n in ys:
+        blocks.append([acc * n, n])
+        while len(blocks) > 1 and (
+            blocks[-2][0] / blocks[-2][1] > blocks[-1][0] / blocks[-1][1]
+        ):
+            s, w = blocks.pop()
+            blocks[-1][0] += s
+            blocks[-1][1] += w
+    pav = []
+    for s, w in blocks:
+        pav.extend([s / w] * round(w / rows[0]["n_b"]))
+    # block means agree with the closed form (accuracy values are
+    # 4-dp rounded inputs, so compare loosely)
+    i = 0
+    for s, w in blocks:
+        mean = s / w
+        n_bins = 0
+        acc_w = 0
+        while acc_w < w - 1e-6:
+            acc_w += rows[i + n_bins]["n_b"]
+            n_bins += 1
+        for k in range(n_bins):
+            assert abs(cal[i + k] - mean) < 5e-3
+        i += n_bins
+
+
+def test_fdr_control_respects_bh_frontier(spark, sf_dir):
+    rows = sorted(
+        ALL_QUERIES["drift_fdr_control"](spark, sf_dir).collect(),
+        key=lambda r: r["rank"],
+    )
+    m = len(rows)
+    ps = [r["p_value"] for r in rows]
+    assert ps == sorted(ps)
+    kmax = 0
+    for r in rows:
+        if r["p_value"] <= r["rank"] * 0.1 / m + 1e-12:
+            kmax = r["rank"]
+    for r in rows:
+        assert r["drift_flagged"] == (1 if r["rank"] <= kmax else 0)
+        assert 0.0 <= r["p_value"] <= 1.0
+    # the two halves are samples of the SAME distribution: BH at 0.1
+    # should flag nothing (null behavior)
+    assert sum(r["drift_flagged"] for r in rows) == 0
