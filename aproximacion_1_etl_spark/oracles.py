@@ -4553,6 +4553,45 @@ SELECT f.source, f.ks_stat,
          AS drift_flagged
 FROM flagged f, km
 """,
+    "score_correlation": f"""
+WITH xy AS (
+  SELECT {_QUALITY_SQL} AS x, CAST(n_chars AS DOUBLE) AS y
+  FROM documents),
+a AS (
+  SELECT count(*) AS n,
+         CAST(sum(CAST(x AS DECIMAL(38,18))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(y AS DECIMAL(38,18))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(y * y AS DECIMAL(38,18))) AS DOUBLE) AS syy,
+         CAST(sum(CAST(x * y AS DECIMAL(38,18))) AS DOUBLE) AS sxy
+  FROM xy)
+SELECT CAST(n AS BIGINT) AS n,
+       floor((sxy - sx * sy / CAST(n AS DOUBLE))
+             / sqrt((sxx - sx * sx / CAST(n AS DOUBLE))
+                    * (syy - sy * sy / CAST(n AS DOUBLE)))
+             * 1000000.0 + 0.5) / 1000000.0 AS pearson_r
+FROM a
+""",
+    "vocab_gini": """
+WITH toks AS (
+  SELECT lang,
+         unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+  FROM documents),
+tk AS (SELECT * FROM toks WHERE length(tok) > 0),
+counts AS (SELECT lang, tok, count(*) AS c FROM tk GROUP BY 1, 2),
+ranked AS (
+  SELECT lang, c,
+         row_number() OVER (PARTITION BY lang ORDER BY c, tok) AS i
+  FROM counts)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS vocab,
+       floor((2.0 * CAST(sum(CAST(i * c AS DECIMAL(38,18))) AS DOUBLE)
+              / (CAST(count(*) AS DOUBLE)
+                 * CAST(sum(CAST(c AS DECIMAL(38,18))) AS DOUBLE))
+              - CAST(count(*) + 1 AS DOUBLE) / CAST(count(*) AS DOUBLE))
+             * 1000000.0 + 0.5) / 1000000.0 AS gini
+FROM ranked GROUP BY 1
+""",
     "markov_prediction_accuracy": """
 WITH p AS (
   SELECT user_id,

@@ -7717,6 +7717,88 @@ def q_drift_fdr_control(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_score_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 filter-design analysis: Pearson correlation between the
+    two per-document quality signals the pipeline computes (the
+    rule-based quality score and length in characters) — redundant
+    filters waste compute and bias the corpus, so the correlation
+    matrix between candidate signals is what decides which filters to
+    keep. One aggregation of exact decimal moment sums; r from the
+    product-moment identity with identical IEEE arithmetic on both
+    engines."""
+    from aproximacion_1_etl_spark.text.analysis import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    xy = docs.select(
+        quality_score(F.col("text")).alias("x"),
+        F.col("n_chars").cast("double").alias("y"),
+    )
+    agg = xy.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("x").cast("decimal(38,18)")).cast("double").alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,18)")).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,18)"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,18)"))
+        .cast("double")
+        .alias("syy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,18)"))
+        .cast("double")
+        .alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    r = (F.col("sxy") - F.col("sx") * F.col("sy") / nd) / F.sqrt(
+        (F.col("sxx") - F.col("sx") * F.col("sx") / nd)
+        * (F.col("syy") - F.col("sy") * F.col("sy") / nd)
+    )
+    return agg.select("n", _fround(r, 6).alias("pearson_r"))
+
+
+def q_vocab_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 corpus-diversity metric: Gini coefficient of the token
+    frequency distribution per language — a high Gini means a few
+    tokens dominate (template/boilerplate-heavy text), a key
+    diversity signal next to entropy. Exact rank formula
+    G = 2 * sum(i * x_(i)) / (n * sum(x)) - (n + 1) / n over the
+    per-language count-ascending ranking (ordered per-lang windows,
+    partitions bounded by per-language vocabulary); sums in decimal."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang",
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("tok"),
+    ).filter(F.length("tok") > 0)
+    counts = toks.groupBy("lang", "tok").agg(F.count("*").alias("c"))
+    wl = Window.partitionBy("lang").orderBy(
+        F.col("c").asc(), F.col("tok").asc()
+    )
+    ranked = counts.withColumn("i", F.row_number().over(wl))
+    return (
+        ranked.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("vocab"),
+            F.sum(F.col("c").cast("decimal(38,18)"))
+            .cast("double")
+            .alias("total"),
+            F.sum((F.col("i") * F.col("c")).cast("decimal(38,18)"))
+            .cast("double")
+            .alias("ic"),
+        )
+        .select(
+            "lang",
+            "vocab",
+            _fround(
+                F.lit(2.0)
+                * F.col("ic")
+                / (F.col("vocab").cast("double") * F.col("total"))
+                - (F.col("vocab") + F.lit(1)).cast("double")
+                / F.col("vocab").cast("double"),
+                6,
+            ).alias("gini"),
+        )
+    )
+
+
 ALL_QUERIES = {
     "flagship_order_lifecycle": q_flagship_order_lifecycle,
     "bm25_topk": q_bm25_topk,
@@ -7946,4 +8028,6 @@ ALL_QUERIES = {
     "markov_prediction_accuracy": q_markov_prediction_accuracy,
     "isotonic_calibration": q_isotonic_calibration,
     "drift_fdr_control": q_drift_fdr_control,
+    "score_correlation": q_score_correlation,
+    "vocab_gini": q_vocab_gini,
 }

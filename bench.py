@@ -157,6 +157,8 @@ HEADLINE = [
     "markov_prediction_accuracy",
     "isotonic_calibration",
     "drift_fdr_control",
+    "score_correlation",
+    "vocab_gini",
     # Python-worker queries LAST: applyInPandas spins up 32 Python
     # workers and leaves GC pressure that inflates the next JVM-only
     # query by ~3x (measured: dedup_minhash_lsh 6.96s after it vs 1.9s

@@ -742,3 +742,44 @@ def test_fdr_control_respects_bh_frontier(spark, sf_dir):
     # the two halves are samples of the SAME distribution: BH at 0.1
     # should flag nothing (null behavior)
     assert sum(r["drift_flagged"] for r in rows) == 0
+
+
+def test_score_correlation_matches_numpy(spark, sf_dir):
+    row = ALL_QUERIES["score_correlation"](spark, sf_dir).collect()[0]
+    from aproximacion_1_etl_spark.text.analysis import quality_score
+
+    rows = load_table(spark, sf_dir, "documents").select(
+        quality_score(F.col("text")).alias("x"),
+        F.col("n_chars").cast("double").alias("y"),
+    ).collect()
+    x = np.array([r["x"] for r in rows])
+    y = np.array([r["y"] for r in rows])
+    r_np = np.corrcoef(x, y)[0, 1]
+    assert abs(row["pearson_r"] - r_np) < 1e-4
+    assert row["n"] == len(rows)
+
+
+def test_vocab_gini_bounds_and_reference(spark, sf_dir):
+    rows = ALL_QUERIES["vocab_gini"](spark, sf_dir).collect()
+    for r in rows:
+        assert 0.0 <= r["gini"] < 1.0
+        assert r["vocab"] > 0
+    # uniform counts would give gini ~0; verify one language against
+    # a pure-Python computation
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang", F.lower(F.trim("text")).alias("t")
+    ).collect()
+    counts = {}
+    for d in docs:
+        if d["lang"] != "en":
+            continue
+        for tok in d["t"].split():
+            counts[tok] = counts.get(tok, 0) + 1
+    xs = sorted(counts.values())
+    n = len(xs)
+    tot = sum(xs)
+    gini = 2 * sum((i + 1) * x for i, x in enumerate(xs)) / (n * tot) - (
+        n + 1
+    ) / n
+    got = {r["lang"]: r["gini"] for r in rows}["en"]
+    assert abs(got - gini) < 1e-4

@@ -281,6 +281,9 @@ def test_round4_analytics_invariant_under_shuffle_partitioning(
         "triangle_cooccurrence",
         "bootstrap_ci_mean",
         "quantile_normalize_scores",
+        "survival_km",
+        "als_rank1",
+        "model_auc",
     ]
     saved = spark.conf.get("spark.sql.shuffle.partitions")
     results = {}
