@@ -4592,6 +4592,28 @@ SELECT lang,
              * 1000000.0 + 0.5) / 1000000.0 AS gini
 FROM ranked GROUP BY 1
 """,
+    "benford_audit": """
+WITH digits AS (
+  SELECT CAST(floor(abs(o_totalprice)
+              / pow(10.0, floor(log10(abs(o_totalprice))))) AS INT)
+           AS d
+  FROM orders WHERE abs(o_totalprice) > 0),
+per AS (SELECT d, CAST(count(*) AS BIGINT) AS n FROM digits GROUP BY 1),
+tot AS (SELECT sum(n) AS n_all FROM per)
+SELECT d, n,
+       floor(CAST(n AS DOUBLE) / CAST(n_all AS DOUBLE)
+             * 1000000.0 + 0.5) / 1000000.0 AS observed_freq,
+       floor(log10(1.0 + 1.0 / CAST(d AS DOUBLE))
+             * 1000000.0 + 0.5) / 1000000.0 AS benford_freq,
+       floor((CAST(n AS DOUBLE) - CAST(n_all AS DOUBLE)
+              * log10(1.0 + 1.0 / CAST(d AS DOUBLE)))
+             * (CAST(n AS DOUBLE) - CAST(n_all AS DOUBLE)
+                * log10(1.0 + 1.0 / CAST(d AS DOUBLE)))
+             / (CAST(n_all AS DOUBLE)
+                * log10(1.0 + 1.0 / CAST(d AS DOUBLE)))
+             * 10000.0 + 0.5) / 10000.0 AS chi2_contrib
+FROM per, tot
+""",
     "markov_prediction_accuracy": """
 WITH p AS (
   SELECT user_id,

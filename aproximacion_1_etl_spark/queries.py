@@ -7799,6 +7799,50 @@ def q_vocab_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 fraud/DQ screening: Benford first-digit audit of order
+    totals — observed leading-digit frequencies vs the Benford
+    expectation log10(1 + 1/d), with each digit's chi-square
+    contribution. Synthetic or fabricated monetary data drifts from
+    Benford; the per-digit contributions localize WHERE. One
+    aggregation to a 9-row relation; the leading digit is extracted
+    arithmetically (digit of |x| shifted into [1, 10) by a log10
+    floor), identically on both engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    x = F.abs(F.col("o_totalprice"))
+    lead = F.floor(
+        x / F.pow(F.lit(10.0), F.floor(F.log10(x)))
+    ).cast("int")
+    digits = orders.filter(x > 0).select(lead.alias("d"))
+    per = digits.groupBy("d").agg(F.count("*").cast("bigint").alias("n"))
+    tot = per.agg(F.sum("n").alias("n_all"))
+    expected = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("d").cast("double"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "d",
+            "n",
+            _fround(
+                F.col("n").cast("double") / F.col("n_all").cast("double"),
+                6,
+            ).alias("observed_freq"),
+            _fround(expected, 6).alias("benford_freq"),
+            _fround(
+                (
+                    F.col("n").cast("double")
+                    - F.col("n_all").cast("double") * expected
+                )
+                * (
+                    F.col("n").cast("double")
+                    - F.col("n_all").cast("double") * expected
+                )
+                / (F.col("n_all").cast("double") * expected),
+                4,
+            ).alias("chi2_contrib"),
+        )
+    )
+
+
 ALL_QUERIES = {
     "flagship_order_lifecycle": q_flagship_order_lifecycle,
     "bm25_topk": q_bm25_topk,
@@ -8030,4 +8074,5 @@ ALL_QUERIES = {
     "drift_fdr_control": q_drift_fdr_control,
     "score_correlation": q_score_correlation,
     "vocab_gini": q_vocab_gini,
+    "benford_audit": q_benford_audit,
 }

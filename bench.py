@@ -159,6 +159,7 @@ HEADLINE = [
     "drift_fdr_control",
     "score_correlation",
     "vocab_gini",
+    "benford_audit",
     # Python-worker queries LAST: applyInPandas spins up 32 Python
     # workers and leaves GC pressure that inflates the next JVM-only
     # query by ~3x (measured: dedup_minhash_lsh 6.96s after it vs 1.9s

@@ -783,3 +783,31 @@ def test_vocab_gini_bounds_and_reference(spark, sf_dir):
     ) / n
     got = {r["lang"]: r["gini"] for r in rows}["en"]
     assert abs(got - gini) < 1e-4
+
+
+def test_benford_audit_consistency(spark, sf_dir):
+    import math
+
+    rows = {r["d"]: r for r in
+            ALL_QUERIES["benford_audit"](spark, sf_dir).collect()}
+    assert set(rows) <= set(range(1, 10))
+    n_all = sum(r["n"] for r in rows.values())
+    assert abs(sum(r["observed_freq"] for r in rows.values()) - 1.0) < 1e-3
+    for d, r in rows.items():
+        assert abs(r["benford_freq"] - math.log10(1 + 1 / d)) < 1e-6
+        assert r["chi2_contrib"] >= 0.0
+    # first digits replayed in pure Python
+    vals = [
+        r["o_totalprice"]
+        for r in load_table(spark, sf_dir, "orders").select(
+            "o_totalprice"
+        ).collect()
+    ]
+    counts = {}
+    for v in vals:
+        v = abs(v)
+        if v <= 0:
+            continue
+        d = int(v / (10 ** math.floor(math.log10(v))))
+        counts[d] = counts.get(d, 0) + 1
+    assert counts == {d: r["n"] for d, r in rows.items()}
