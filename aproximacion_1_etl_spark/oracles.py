@@ -4592,6 +4592,43 @@ SELECT lang,
              * 1000000.0 + 0.5) / 1000000.0 AS gini
 FROM ranked GROUP BY 1
 """,
+    "spearman_correlation": f"""
+WITH base AS (
+  SELECT doc_id, {_QUALITY_SQL} AS x, CAST(n_chars AS DOUBLE) AS y
+  FROM documents),
+rx0 AS (
+  SELECT doc_id, x, row_number() OVER (ORDER BY x, doc_id) AS r
+  FROM base),
+rx AS (
+  SELECT doc_id,
+         CAST(min(r) OVER (PARTITION BY x)
+              + max(r) OVER (PARTITION BY x) AS DOUBLE) / 2.0 AS rx
+  FROM rx0),
+ry0 AS (
+  SELECT doc_id, y, row_number() OVER (ORDER BY y, doc_id) AS r
+  FROM base),
+ry AS (
+  SELECT doc_id,
+         CAST(min(r) OVER (PARTITION BY y)
+              + max(r) OVER (PARTITION BY y) AS DOUBLE) / 2.0 AS ry
+  FROM ry0),
+pairs AS (
+  SELECT rx.rx, ry.ry FROM rx JOIN ry ON ry.doc_id = rx.doc_id),
+a AS (
+  SELECT count(*) AS n,
+         CAST(sum(CAST(rx AS DECIMAL(38,18))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(ry AS DECIMAL(38,18))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(rx * rx AS DECIMAL(38,18))) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(ry * ry AS DECIMAL(38,18))) AS DOUBLE) AS syy,
+         CAST(sum(CAST(rx * ry AS DECIMAL(38,18))) AS DOUBLE) AS sxy
+  FROM pairs)
+SELECT CAST(n AS BIGINT) AS n,
+       floor((sxy - sx * sy / CAST(n AS DOUBLE))
+             / sqrt((sxx - sx * sx / CAST(n AS DOUBLE))
+                    * (syy - sy * sy / CAST(n AS DOUBLE)))
+             * 1000000.0 + 0.5) / 1000000.0 AS spearman_rho
+FROM a
+""",
     "benford_audit": """
 WITH digits AS (
   SELECT CAST(floor(abs(o_totalprice)

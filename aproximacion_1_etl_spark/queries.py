@@ -7843,6 +7843,97 @@ def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_spearman_correlation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """§2.10 filter-design analysis, rank flavor: Spearman rho
+    between the quality score and document length — the robust
+    companion to score_correlation's Pearson r (monotone association,
+    immune to the length tail). Average ranks over ties for BOTH
+    variables via the model_auc pattern (bucketed two-phase global
+    rank + per-value min/max averaging), then one Pearson moment
+    aggregation over the rank pairs. No single-task global sort:
+    both rankings ride the 1000-cell grid prefix sums."""
+    from aproximacion_1_etl_spark.text.analysis import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        quality_score(F.col("text")).alias("x"),
+        F.col("n_chars").cast("double").alias("y"),
+    )
+
+    def avg_rank(df, col, out):
+        mx = df.agg(
+            F.max(F.col(col)).alias("mx"), F.min(F.col(col)).alias("mn")
+        )
+        b = df.crossJoin(F.broadcast(mx)).withColumn(
+            "bkt",
+            F.least(
+                F.floor(
+                    (F.col(col) - F.col("mn"))
+                    / (F.col("mx") - F.col("mn") + F.lit(1e-12))
+                    * 1000
+                ).cast("int"),
+                F.lit(999),
+            ),
+        )
+        boff = (
+            b.groupBy("bkt")
+            .agg(F.count("*").alias("bn"))
+            .select(
+                "bkt",
+                F.coalesce(
+                    F.sum("bn").over(
+                        Window.orderBy("bkt").rowsBetween(
+                            Window.unboundedPreceding, -1
+                        )
+                    ),
+                    F.lit(0),
+                ).alias("off"),
+            )
+        )
+        wb = Window.partitionBy("bkt").orderBy(col, "doc_id")
+        ranked = (
+            b.withColumn("rb", F.row_number().over(wb))
+            .join(boff, "bkt")
+            .withColumn("r", F.col("off") + F.col("rb"))
+        )
+        wg = Window.partitionBy(col)
+        return ranked.select(
+            "doc_id",
+            (
+                (F.min("r").over(wg) + F.max("r").over(wg)).cast(
+                    "double"
+                )
+                / F.lit(2.0)
+            ).alias(out),
+        )
+    rx = avg_rank(base, "x", "rx")
+    ry = avg_rank(base, "y", "ry")
+    pairs = rx.join(ry, "doc_id")
+    agg = pairs.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("rx").cast("decimal(38,18)")).cast("double").alias("sx"),
+        F.sum(F.col("ry").cast("decimal(38,18)")).cast("double").alias("sy"),
+        F.sum((F.col("rx") * F.col("rx")).cast("decimal(38,18)"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum((F.col("ry") * F.col("ry")).cast("decimal(38,18)"))
+        .cast("double")
+        .alias("syy"),
+        F.sum((F.col("rx") * F.col("ry")).cast("decimal(38,18)"))
+        .cast("double")
+        .alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    rho = (F.col("sxy") - F.col("sx") * F.col("sy") / nd) / F.sqrt(
+        (F.col("sxx") - F.col("sx") * F.col("sx") / nd)
+        * (F.col("syy") - F.col("sy") * F.col("sy") / nd)
+    )
+    return agg.select("n", _fround(rho, 6).alias("spearman_rho"))
+
+
 ALL_QUERIES = {
     "flagship_order_lifecycle": q_flagship_order_lifecycle,
     "bm25_topk": q_bm25_topk,
@@ -8075,4 +8166,5 @@ ALL_QUERIES = {
     "score_correlation": q_score_correlation,
     "vocab_gini": q_vocab_gini,
     "benford_audit": q_benford_audit,
+    "spearman_correlation": q_spearman_correlation,
 }

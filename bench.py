@@ -160,6 +160,7 @@ HEADLINE = [
     "score_correlation",
     "vocab_gini",
     "benford_audit",
+    "spearman_correlation",
     # Python-worker queries LAST: applyInPandas spins up 32 Python
     # workers and leaves GC pressure that inflates the next JVM-only
     # query by ~3x (measured: dedup_minhash_lsh 6.96s after it vs 1.9s

@@ -811,3 +811,39 @@ def test_benford_audit_consistency(spark, sf_dir):
         d = int(v / (10 ** math.floor(math.log10(v))))
         counts[d] = counts.get(d, 0) + 1
     assert counts == {d: r["n"] for d, r in rows.items()}
+
+
+def test_spearman_matches_scipy_free_reference(spark, sf_dir):
+    row = ALL_QUERIES["spearman_correlation"](spark, sf_dir).collect()[0]
+    from aproximacion_1_etl_spark.text.analysis import quality_score
+
+    rows = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        quality_score(F.col("text")).alias("x"),
+        F.col("n_chars").cast("double").alias("y"),
+    ).collect()
+
+    def avg_ranks(vals):
+        order = sorted(range(len(vals)), key=lambda i: (vals[i], i))
+        ranks = [0.0] * len(vals)
+        i = 0
+        while i < len(order):
+            j = i
+            while (
+                j < len(order) and vals[order[j]] == vals[order[i]]
+            ):
+                j += 1
+            avg = (i + 1 + j) / 2.0
+            for k in range(i, j):
+                ranks[order[k]] = avg
+            i = j
+        return ranks
+
+    # tiebreak by doc_id mirrors the query; avg over ties makes the
+    # per-index order irrelevant
+    xs = [r["x"] for r in rows]
+    ys = [r["y"] for r in rows]
+    rx, ry = avg_ranks(xs), avg_ranks(ys)
+    rho = np.corrcoef(rx, ry)[0, 1]
+    assert abs(row["spearman_rho"] - rho) < 1e-4
+    assert row["n"] == len(rows)
