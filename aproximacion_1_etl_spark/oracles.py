@@ -268,24 +268,25 @@ ORDER BY rank_ppm DESC, supplier LIMIT 20"""
 def _ivf_cent_ctes(
     iterations: int = 3,
     dim: int = 64,
-    target_cell: int = 32,
     min_c: int = 16,
 ) -> str:
     """Mirror of text/vector.py::train_ivf_centroids — Lloyd's k-means
     unrolled one (assign, mean, coalesce) CTE trio per iteration, so the
     trained codebook is recomputed IN-ENGINE and the downstream IVF
     queries stay fully value-checked. Parity levers: codebook size is
-    exact integer arithmetic (greatest(min, (n + t-1) // t) ==
-    derive_n_centroids), assignment rounds the dot-product-identity
-    distance to 9 dp with a (d, cid) lexicographic tie-break, and the
-    per-dimension means are exact DECIMAL(38,18) sums divided in one
-    double division — order-independent in both engines, so the
-    recurrence is bit-reproducible. Empty cells keep their previous
-    centroid (coalesce), mirroring the Spark dict update."""
+    greatest(min, ceiling(sqrt(count(*)))) == derive_n_centroids —
+    IEEE sqrt of an exact integer < 2^52 is correctly rounded, so the
+    SQL ceiling equals Python's isqrt(n-1)+1 for every practical n;
+    assignment rounds the dot-product-identity distance to 9 dp with a
+    (d, cid) lexicographic tie-break, and the per-dimension means are
+    exact DECIMAL(38,18) sums divided in one double division —
+    order-independent in both engines, so the recurrence is
+    bit-reproducible. Empty cells keep their previous centroid
+    (coalesce), mirroring the Spark dict update."""
     parts = [
         "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
-        f"nc AS (SELECT greatest({min_c}, (count(*) + {target_cell - 1})"
-        f" // {target_cell}) AS n FROM e)",
+        f"nc AS (SELECT greatest({min_c}, CAST(ceiling(sqrt(CAST(count(*)"
+        f" AS DOUBLE))) AS BIGINT)) AS n FROM e)",
         "cent0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1"
         " AS INT) AS cid, v AS cv\n"
         "          FROM e WHERE vec_id < (SELECT n FROM nc))",
@@ -500,19 +501,51 @@ FROM r WHERE rank <= {k}
 """
 
 
-def _semantic_dedup_sql() -> str:
+def _semantic_dedup_sql(
+    threshold: float = 0.4,
+    leaf_tables: int = 2,
+    target_cell: int = 32,
+    max_planes: int = 8,
+    dim: int = 64,
+) -> str:
     """Mirror of text/vector.py::semantic_dedup over the TRAINED
-    codebook (threshold 0.4): training recurrence from _ivf_cent_ctes,
-    then the same 6-dp dist2 + lexicographic argmin assignment and
-    rounded-cosine keep-lowest-id drop rule as before."""
+    codebook (threshold 0.4) WITH in-cell sign-LSH banding: training
+    recurrence from _ivf_cent_ctes, the same 6-dp dist2 +
+    lexicographic argmin assignment, then the derive_leaf_planes
+    integer CASE chain computed IN-SQL from count(*) (cell_pop <=
+    target << p — exact integer comparisons on both engines), the
+    identical md5-derived hyperplane literals as Spark's lsh_bucket
+    (each of max_planes sign terms masked by p < planes so the bucket
+    uses exactly the derived band count), and the rounded-cosine
+    keep-lowest-id drop rule over pairs sharing (table, cell,
+    bucket)."""
+    plane_cases = " ".join(
+        f"WHEN cp <= {target_cell << p} THEN {p}" for p in range(max_planes)
+    )
+    per_table = []
+    for t in range(leaf_tables):
+        terms = " + ".join(
+            f"CASE WHEN {p} < (SELECT p FROM nleaf) AND "
+            f"list_dot_product(v, {_plane_literal(t, p, dim)}) >= 0 "
+            f"THEN {2**p} ELSE 0 END"
+            for p in range(max_planes)
+        )
+        per_table.append(
+            f"SELECT vec_id, nv, cell, {t} AS tbl, ({terms}) AS bucket"
+            " FROM assign"
+        )
+    buckets = " UNION ALL ".join(per_table)
     return f"""
 WITH {_ivf_cent_ctes()},
+nleaf AS (SELECT CASE {plane_cases} ELSE {max_planes} END AS p FROM (
+            SELECT ((SELECT count(*) FROM e) + (SELECT n FROM nc) - 1)
+                     // (SELECT n FROM nc) AS cp)),
 d AS (SELECT e.vec_id, e.v, c.cid,
              floor((list_dot_product(e.v, e.v) + c.cc
                     - 2.0 * list_dot_product(e.v, c.cv)) * 1000000.0 + 0.5)
                / 1000000.0 AS d6
       FROM e CROSS JOIN cent c),
-assign AS (SELECT vec_id,
+assign AS (SELECT vec_id, v,
                   list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
                     AS nv,
                   CAST(cid AS INT) AS cell
@@ -520,13 +553,15 @@ assign AS (SELECT vec_id,
                      PARTITION BY vec_id ORDER BY d6 ASC, cid ASC) AS rn
                  FROM d)
            WHERE rn = 1),
+bk AS ({buckets}),
 tot AS (SELECT cell, count(*) AS n_vectors FROM assign GROUP BY 1),
 drp AS (SELECT cell, count(*) AS n_dropped FROM (
           SELECT DISTINCT b.cell, b.vec_id
-          FROM assign a JOIN assign b
-            ON a.cell = b.cell AND a.vec_id < b.vec_id
+          FROM bk a JOIN bk b
+            ON a.tbl = b.tbl AND a.cell = b.cell AND a.bucket = b.bucket
+           AND a.vec_id < b.vec_id
           WHERE floor(list_dot_product(a.nv, b.nv) * 1000000.0 + 0.5)
-                  / 1000000.0 >= 0.4)
+                  / 1000000.0 >= {threshold})
         GROUP BY 1)
 SELECT t.cell, CAST(t.n_vectors AS BIGINT) AS n_vectors,
        CAST(coalesce(d.n_dropped, 0) AS BIGINT) AS n_dropped,

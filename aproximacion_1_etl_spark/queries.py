@@ -12,6 +12,7 @@ Conventions that keep Spark<->DuckDB value-hashes stable (SURVEY.md §7):
 
 from __future__ import annotations
 
+import os
 import tempfile
 
 import pyspark.sql.functions as F
@@ -101,6 +102,26 @@ def _dsum(expr, scale: int = 2):
 
 def _ts_str(col) -> F.Column:
     return F.date_format(col, _fmt)
+
+
+def _artifact_key(sf_dir: str, table: str) -> tuple:
+    """Cache key for memoized model artifacts: (sf_dir, source-parquet
+    mtime) so a testdata regeneration inside one long-lived process
+    retrains instead of serving a stale model. A missing file keys on
+    -1 and lets the downstream read raise the real error."""
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    try:
+        if os.path.isdir(path):
+            mt = max(
+                (os.path.getmtime(os.path.join(path, f))
+                 for f in os.listdir(path)),
+                default=os.path.getmtime(path),
+            )
+        else:
+            mt = os.path.getmtime(path)
+    except OSError:
+        mt = -1.0
+    return (sf_dir, mt)
 
 
 # ---------------------------------------------------------------- core ETL
@@ -1513,18 +1534,20 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk_bruteforce(emb, query_ids=[0, 1, 2, 3, 4], k=10)
 
 
-_IVF_CODEBOOK_CACHE: dict[str, dict[int, list[float]]] = {}
+_IVF_CODEBOOK_CACHE: dict[tuple, dict[int, list[float]]] = {}
 
 
 def _trained_codebook(
     spark: SparkSession, sf_dir: str
 ) -> dict[int, list[float]]:
-    """Train-once-per-corpus IVF codebook (memoized per sf_dir): the
-    codebook is a model artifact — in production it is trained once and
-    shipped to every consumer, so the ann and semantic-dedup catalog
-    keys sharing one training run is the honest cost model, not a
-    bench trick. Deterministic, so the cache never changes a result."""
-    cb = _IVF_CODEBOOK_CACHE.get(sf_dir)
+    """Train-once-per-corpus IVF codebook (memoized on (sf_dir, parquet
+    mtime) so a regenerated corpus retrains): the codebook is a model
+    artifact — in production it is trained once and shipped to every
+    consumer, so the ann and semantic-dedup catalog keys sharing one
+    training run is the honest cost model, not a bench trick.
+    Deterministic, so the cache never changes a result."""
+    key = _artifact_key(sf_dir, "embeddings")
+    cb = _IVF_CODEBOOK_CACHE.get(key)
     if cb is None:
         from aproximacion_1_etl_spark.text.vector import (
             derive_n_centroids,
@@ -1535,7 +1558,7 @@ def _trained_codebook(
         cb = train_ivf_centroids(
             emb, n_centroids=derive_n_centroids(emb.count()), iterations=3
         )
-        _IVF_CODEBOOK_CACHE[sf_dir] = cb
+        _IVF_CODEBOOK_CACHE[key] = cb
     return cb
 
 
@@ -3957,15 +3980,26 @@ def q_domain_mix_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.10: SemDeDup-style semantic dedup over a TRAINED IVF codebook
-    (k-means, corpus-size-derived cell count — per-cell populations and
-    therefore the per-cell quadratic stay bounded at any scale);
-    keep-lowest-id within cell at cos>=0.4
-    (text/vector.py::semantic_dedup)."""
-    from aproximacion_1_etl_spark.text.vector import semantic_dedup
+    (k-means, sqrt(n) cells — codebook, plan literals, and per-row
+    assignment cost all grow sub-linearly) with in-cell sign-LSH
+    banding sized by derive_leaf_planes so the per-leaf pair work
+    stays bounded as cells grow; keep-lowest-id within (cell, band)
+    at cos>=0.4 (text/vector.py::semantic_dedup)."""
+    from aproximacion_1_etl_spark.text.vector import (
+        derive_leaf_planes,
+        derive_n_centroids,
+        semantic_dedup,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    nc = derive_n_centroids(n)
     return semantic_dedup(
-        emb, threshold=0.4, centroids=_trained_codebook(spark, sf_dir)
+        emb,
+        threshold=0.4,
+        centroids=_trained_codebook(spark, sf_dir),
+        leaf_planes=derive_leaf_planes(n, nc),
+        leaf_tables=2,
     )
 
 
@@ -4014,19 +4048,20 @@ def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_quantize_int8(emb)
 
 
-_PQ_BOOKS_CACHE: dict[str, dict] = {}
+_PQ_BOOKS_CACHE: dict[tuple, dict] = {}
 
 
 def _trained_pq_books(spark: SparkSession, sf_dir: str) -> dict:
-    """Train-once-per-corpus PQ codebooks (memoized per sf_dir — same
-    model-artifact reasoning as _trained_codebook)."""
-    books = _PQ_BOOKS_CACHE.get(sf_dir)
+    """Train-once-per-corpus PQ codebooks (memoized on (sf_dir, parquet
+    mtime) — same model-artifact reasoning as _trained_codebook)."""
+    key = _artifact_key(sf_dir, "embeddings")
+    books = _PQ_BOOKS_CACHE.get(key)
     if books is None:
         from aproximacion_1_etl_spark.text.vector import train_pq_codebooks
 
         emb = load_table(spark, sf_dir, "embeddings")
         books = train_pq_codebooks(emb, m=8, n_centroids=16, iterations=3)
-        _PQ_BOOKS_CACHE[sf_dir] = books
+        _PQ_BOOKS_CACHE[key] = books
     return books
 
 
@@ -4182,30 +4217,41 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train_merges(docs, n_merges=8)
 
 
-_BPE_MERGES_CACHE: dict[str, list[tuple[str, str]]] = {}
+_BPE_MERGES_CACHE: dict[tuple, list[tuple[str, str]]] = {}
 
 
-def q_bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.10 tokenizer application: train the 8-rule BPE merge table
-    (memoized per corpus — the tokenizer is a model artifact trained
-    once and shipped to every consumer, same cost model as the IVF
-    codebook), bake it into the plan as literals, and tokenize the
-    corpus — per-doc token budgets for packing/context-length stages
-    (text/analysis.py::bpe_encode)."""
-    from aproximacion_1_etl_spark.text.analysis import (
-        bpe_encode,
-        bpe_train_merges,
-    )
+def _trained_bpe_merges(
+    spark: SparkSession, sf_dir: str
+) -> list[tuple[str, str]]:
+    """Train-once-per-corpus BPE merge table (memoized on (sf_dir,
+    parquet mtime) — the tokenizer is a model artifact trained once and
+    shipped to every consumer, same cost model as the IVF codebook).
+    Exposed as a named builder so bench warmup can pre-build it with
+    its own line item instead of charging training to the first
+    encode-pass sample."""
+    from aproximacion_1_etl_spark.text.analysis import bpe_train_merges
 
-    merges = _BPE_MERGES_CACHE.get(sf_dir)
-    docs = load_table(spark, sf_dir, "documents")
+    key = _artifact_key(sf_dir, "documents")
+    merges = _BPE_MERGES_CACHE.get(key)
     if merges is None:
+        docs = load_table(spark, sf_dir, "documents")
         merges = [
             (r["p1"], r["p2"])
             for r in bpe_train_merges(docs, n_merges=8).collect()
         ]
-        _BPE_MERGES_CACHE[sf_dir] = merges
-    return bpe_encode(docs, merges)
+        _BPE_MERGES_CACHE[key] = merges
+    return merges
+
+
+def q_bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 tokenizer application: train the 8-rule BPE merge table
+    (memoized — see _trained_bpe_merges), bake it into the plan as
+    literals, and tokenize the corpus — per-doc token budgets for
+    packing/context-length stages (text/analysis.py::bpe_encode)."""
+    from aproximacion_1_etl_spark.text.analysis import bpe_encode
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_encode(docs, _trained_bpe_merges(spark, sf_dir))
 
 
 def q_training_batch_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6805,40 +6851,52 @@ def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_LOGREG_CACHE: dict[str, list[float]] = {}
+_LOGREG_CACHE: dict[tuple, list[float]] = {}
 
 
-def _logreg_scored(spark: SparkSession, sf_dir: str):
-    """Shared eval relation: the GD-trained model's probability and
-    label per embedding row (weights driver-held like the codebook;
-    p snapped to 9 dp so sub-ulp exp() differences can never cross a
-    bin or rank boundary). The weight vector is memoized per sf_dir —
-    a model artifact trained once and consumed by every eval key
-    (same cost model as the IVF codebook; training cost is carried by
-    the logreg_label_model key itself). Deterministic, so the cache
-    never changes a result."""
-    from aproximacion_1_etl_spark.operators.ml import (
-        logistic_regression_gd,
-    )
+def _logreg_feats(spark: SparkSession, sf_dir: str):
     from aproximacion_1_etl_spark.text.vector import _as_double
 
     emb = _as_double(load_table(spark, sf_dir, "embeddings"), "embedding")
-    feats = emb.select(
+    return emb.select(
         "vec_id",
         F.when(F.col("label") < 5, 1.0).otherwise(0.0).alias("y"),
         F.element_at("embedding", 1).alias("x1"),
         F.element_at("embedding", 2).alias("x2"),
         F.element_at("embedding", 3).alias("x3"),
     )
-    w = _LOGREG_CACHE.get(sf_dir)
+
+
+def _trained_logreg_weights(spark: SparkSession, sf_dir: str) -> list[float]:
+    """Train-once-per-corpus logreg weight vector (memoized on (sf_dir,
+    parquet mtime)). Named builder so bench warmup can pre-build it
+    with its own line item (same cost model as the IVF codebook;
+    training cost is carried by the logreg_label_model key itself)."""
+    from aproximacion_1_etl_spark.operators.ml import (
+        logistic_regression_gd,
+    )
+
+    key = _artifact_key(sf_dir, "embeddings")
+    w = _LOGREG_CACHE.get(key)
     if w is None:
         w = logistic_regression_gd(
-            feats.select("y", "x1", "x2", "x3"),
+            _logreg_feats(spark, sf_dir).select("y", "x1", "x2", "x3"),
             ["x1", "x2", "x3"],
             iterations=12,
             lr=2.0,
         )
-        _LOGREG_CACHE[sf_dir] = w
+        _LOGREG_CACHE[key] = w
+    return w
+
+
+def _logreg_scored(spark: SparkSession, sf_dir: str):
+    """Shared eval relation: the GD-trained model's probability and
+    label per embedding row (weights driver-held like the codebook;
+    p snapped to 9 dp so sub-ulp exp() differences can never cross a
+    bin or rank boundary). Deterministic, so the memo never changes a
+    result."""
+    feats = _logreg_feats(spark, sf_dir)
+    w = _trained_logreg_weights(spark, sf_dir)
     z = (
         F.lit(0.0)
         + F.lit(w[0]) * F.lit(1.0)

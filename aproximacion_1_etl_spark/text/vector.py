@@ -18,6 +18,8 @@ Determinism: hyperplane components come from md5 of (table, plane, dim)
 
 from __future__ import annotations
 
+import math
+
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
@@ -234,17 +236,50 @@ def _dist_structs_sql(
     )
 
 
-def derive_n_centroids(
-    n_rows: int, target_cell_size: int = 32, min_centroids: int = 16
+def derive_n_centroids(n_rows: int, min_centroids: int = 16) -> int:
+    """Codebook size as a function of corpus size: ceil(sqrt(n)) cells
+    — the standard IVF regime. The previous ceil(n/32) rule kept cell
+    populations constant but made the CODEBOOK itself O(n): the driver
+    holds it, every assignment plan bakes it as literals, and each
+    Lloyd pass costs O(n * n_centroids * dim) = O(n^2 * dim / 32) —
+    quadratic training, a scale-killer at 10^9 vectors. With sqrt(n)
+    cells the codebook (driver memory, plan-literal size, per-row
+    assignment cost) grows as sqrt(n) and each training pass is
+    O(n^1.5 * dim); expected cell population also grows as sqrt(n),
+    which the in-cell consumers bound separately (semantic_dedup bands
+    inside cells via derive_leaf_planes; ann_topk_ivf's probed-cell
+    scoring is the accepted IVF candidate regime, with PQ/ADC as the
+    compressed path).
+
+    Exact integer arithmetic (isqrt) so the oracle can reproduce it
+    verbatim: greatest(min, ceiling(sqrt(count(*)))) — IEEE sqrt of an
+    exact integer < 2^52 is correctly rounded, so the SQL ceiling
+    matches isqrt(n-1)+1 for every practical n."""
+    if n_rows <= 0:
+        return min_centroids
+    return max(min_centroids, math.isqrt(n_rows - 1) + 1)
+
+
+def derive_leaf_planes(
+    n_rows: int,
+    n_centroids: int,
+    target_cell_size: int = 32,
+    max_planes: int = 8,
 ) -> int:
-    """Codebook size as a function of corpus size: ceil(n / target)
-    cells keep the expected per-cell population (and therefore the
-    per-cell quadratic work in semantic_dedup and the per-probe
-    candidate count in ann_topk_ivf) roughly CONSTANT as the corpus
-    grows — the invariant that makes IVF the 100 TB path. Exact
-    integer arithmetic so the oracle can reproduce it verbatim
-    (greatest(min, (count(*) + t - 1) // t))."""
-    return max(min_centroids, (n_rows + target_cell_size - 1) // target_cell_size)
+    """In-cell LSH band count for semantic_dedup: the smallest p such
+    that the EXPECTED cell population ceil(n / n_centroids) divided by
+    2^p is <= target_cell_size (capped at max_planes). With sqrt(n)
+    coarse cells the expected population grows as sqrt(n); banding each
+    cell into 2^p sign-LSH buckets restores a bounded leaf population,
+    so the per-leaf quadratic pair work stays flat as the corpus grows
+    — target_cell_size survives as the leaf bound. Pure integer
+    arithmetic (compare cell_pop <= target << p), mirrored verbatim by
+    the oracle's CASE chain."""
+    cell_pop = (n_rows + n_centroids - 1) // n_centroids
+    p = 0
+    while p < max_planes and cell_pop > (target_cell_size << p):
+        p += 1
+    return p
 
 
 def _first_n_codebook(
@@ -359,6 +394,9 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: dict[int, list[float]] | None = None,
+    leaf_planes: int = 0,
+    leaf_tables: int = 2,
+    dim: int = 64,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023): coarse-
     cluster every embedding to its nearest IVF centroid map-side (same
@@ -377,6 +415,16 @@ def semantic_dedup(
     way. The keep-lowest-id rule makes the survivor set deterministic
     and engine-portable (DuckDB oracle mirrors cell assignment — and
     the training recurrence, when trained — operand-for-operand).
+
+    ``leaf_planes`` > 0 additionally bands each cell into 2^planes
+    sign-LSH buckets (``leaf_tables`` hash tables for recall — a pair
+    is compared if it shares (table, cell, bucket) in ANY table, same
+    shape as embedding_near_dup_lsh): with sqrt(n) coarse cells the
+    expected cell population grows as sqrt(n), and the in-cell banding
+    restores a bounded leaf population so the per-leaf pair work stays
+    flat at any corpus size (derive_leaf_planes computes the count
+    from the target leaf bound). leaf_planes=0 keeps plain same-cell
+    semantics — identical to the pre-banding operator.
     """
     emb = _as_double(embeddings, vec_col)
     cents = centroids or _first_n_codebook(emb, n_centroids, id_col, vec_col)
@@ -392,23 +440,49 @@ def semantic_dedup(
     spread = emb.repartition(
         emb.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
     )
+    bucket_cols = [
+        lsh_bucket(F.col(vec_col), t, leaf_planes, dim).alias(f"_bkt{t}")
+        for t in range(leaf_tables if leaf_planes > 0 else 0)
+    ]
     assigned = spread.withColumn(
         "_vv", F.expr(_sql_dot(vec_col, vec_col))
     ).select(
         F.col(id_col),
         unit.alias("nv"),
         F.array_min(dist_structs).getField("cid").cast("int").alias("cell"),
+        *bucket_cols,
     )
     totals = assigned.groupBy("cell").agg(
         F.count("*").alias("n_vectors")
     )
-    a = assigned.alias("a")
-    b = assigned.alias("b")
+    if leaf_planes > 0:
+        # in-cell banding: one row per (vector, table) with that
+        # table's bucket; a pair is a candidate iff it shares
+        # (table, cell, bucket) — the same LSH-candidate shape as
+        # embedding_near_dup_lsh, so the per-leaf pair count is
+        # bounded regardless of cell population. The pair-level
+        # distinct below collapses multi-table rediscoveries.
+        pairable = None
+        for t in range(leaf_tables):
+            part = assigned.select(
+                id_col,
+                "nv",
+                "cell",
+                F.lit(t).alias("tbl"),
+                F.col(f"_bkt{t}").alias("bucket"),
+            )
+            pairable = part if pairable is None else pairable.unionByName(part)
+        join_on = ["tbl", "cell", "bucket"]
+    else:
+        pairable = assigned.select(id_col, "nv", "cell")
+        join_on = ["cell"]
+    a = pairable.alias("a")
+    b = pairable.alias("b")
     dropped = (
         a.join(
             b,
             on=[
-                F.col("a.cell") == F.col("b.cell"),
+                *[F.col(f"a.{c}") == F.col(f"b.{c}") for c in join_on],
                 F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
             ],
         )

@@ -31,7 +31,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from aproximacion_1_etl_spark.queries import (
     ALL_QUERIES,
+    _trained_bpe_merges,
     _trained_codebook,
+    _trained_logreg_weights,
     _trained_pq_books,
 )
 from aproximacion_1_etl_spark.session import get_spark
@@ -191,16 +193,23 @@ def main() -> None:
     ALL_QUERIES["flagship_order_lifecycle"](spark, SF_DIR).count()
     ALL_QUERIES["grouped_pandas_stats"](spark, SF_DIR).count()
 
-    # IVF codebook training, timed as its own line item: a one-off
-    # distributed model build (3 Lloyd passes) whose artifact both IVF
-    # queries consume — charging it to whichever query happens to run
-    # first would misstate both.
-    t0 = time.time()
-    _trained_codebook(spark, SF_DIR)
-    train_sec = round(time.time() - t0, 3)
-    t0 = time.time()
-    _trained_pq_books(spark, SF_DIR)
-    pq_train_sec = round(time.time() - t0, 3)
+    # Model-artifact training, each timed as its own line item: one-off
+    # distributed model builds whose artifacts downstream queries
+    # consume — charging training to whichever query happens to run
+    # first would misstate both (and poison spread_pct as a noise
+    # signal: min-of-3 would record steady-state but max would carry
+    # first-run training, e.g. model_calibration_ece "spread" 512% in
+    # r4 was logreg training, not noise).
+    train_secs: dict[str, float] = {}
+    for label, builder in [
+        ("ivf_codebook_train_sec", _trained_codebook),
+        ("pq_codebook_train_sec", _trained_pq_books),
+        ("logreg_train_sec", _trained_logreg_weights),
+        ("bpe_merges_train_sec", _trained_bpe_merges),
+    ]:
+        t0 = time.time()
+        builder(spark, SF_DIR)
+        train_secs[label] = round(time.time() - t0, 3)
 
     # min of RUNS runs per query: the first run of a query pays one-off
     # codegen/compile cost (±30% noise on sub-second plans); the min is
@@ -238,35 +247,67 @@ def main() -> None:
         "dedup_minhash_lsh", "text_profile", "top_tokens_per_lang",
         "ann_cosine_topk", "embedding_near_dup_lsh", "grouped_pandas_stats",
     }
+    # Full per-query detail goes to BENCH_DETAIL.json (committed to the
+    # repo); stdout carries ONE COMPACT line. Rationale: the driver
+    # captures only the tail of stdout (~2 KB) — the r4 100-key line
+    # overflowed it and BENCH_r04.json came back "parsed": null, making
+    # the whole round's perf invisible. The compact line holds the
+    # adjudication essentials (totals, subset, load flag, 10 slowest);
+    # everything else lives in the detail file.
+    detail = {
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+        "r1_subset_wall": round(
+            sum(v for k, v in timings.items() if k in r1_keys), 3
+        ),
+        "n_queries": len(timings),
+        "runs_per_query": max(1, RUNS),
+        "spread_pct": spread_pct,
+        **train_secs,
+        "loadavg_start": round(load_start, 2),
+        "loadavg_end": round(load_end, 2),
+        # Flag AMBIENT load only, i.e. the start reading. The end
+        # reading is reported for context but no longer flags: at 80+
+        # headline keys the bench saturates 32 cores for 1.5+ minutes
+        # and 1-min loadavg converges to the core count regardless of
+        # ambient conditions (measured: start 0.78 -> end 13.9 on an
+        # otherwise idle box) — an end-threshold would flag every
+        # sufficiently long clean run. Mid-run ambient arrival remains
+        # visible through per-query spread_pct.
+        "load_flagged": bool(load_start > MAX_LOAD),
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:10]
+    )
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall",
-                "value": round(sum(timings.values()), 3),
+                "value": detail["value"],
                 "unit": "sec",
-                "queries": timings,
                 "sf": sf_val,
-                "r1_subset_wall": round(
-                    sum(v for k, v in timings.items() if k in r1_keys), 3
-                ),
-                "n_queries": len(timings),
-                "runs_per_query": max(1, RUNS),
-                "spread_pct": spread_pct,
-                "ivf_codebook_train_sec": train_sec,
-                "pq_codebook_train_sec": pq_train_sec,
-                "loadavg_start": round(load_start, 2),
-                "loadavg_end": round(load_end, 2),
-                # Flag AMBIENT load only, i.e. the start reading. The
-                # end reading is reported for context but no longer
-                # flags: at 80+ headline keys the bench saturates 32
-                # cores for 1.5+ minutes and 1-min loadavg converges
-                # to the core count regardless of ambient conditions
-                # (measured: start 0.78 -> end 13.9 on an otherwise
-                # idle box) — an end-threshold would flag every
-                # sufficiently long clean run. Mid-run ambient arrival
-                # remains visible through per-query spread_pct.
-                "load_flagged": bool(load_start > MAX_LOAD),
-            }
+                "r1_subset_wall": detail["r1_subset_wall"],
+                "n_queries": detail["n_queries"],
+                "loadavg_start": detail["loadavg_start"],
+                "load_flagged": detail["load_flagged"],
+                # spec-shaped but truncated to the 10 slowest keys so
+                # the one-line output stays inside the driver's ~2 KB
+                # tail capture; the full mapping is in the detail file
+                "queries": slowest,
+                "queries_truncated_to": 10,
+                "detail_file": "BENCH_DETAIL.json",
+            },
+            separators=(",", ":"),
         )
     )
 

@@ -292,7 +292,7 @@ def test_trained_codebook_bounds_cell_population_on_skew(spark):
     emb = spark.createDataFrame(
         dense + sparse, "vec_id INT, embedding ARRAY<DOUBLE>"
     )
-    n_c = derive_n_centroids(640)  # 20 cells
+    n_c = derive_n_centroids(640)  # 26 cells (sqrt regime)
     cents = train_ivf_centroids(emb, n_centroids=n_c, iterations=3)
     cdots = {c: sum(x * x for x in v) for c, v in cents.items()}
     assigned = emb.withColumn(
@@ -309,6 +309,70 @@ def test_trained_codebook_bounds_cell_population_on_skew(spark):
     # hottest cell must stay well under the whole corpus (first-N
     # stand-in puts ~600/640 in one cell here)
     assert max(pops) < 0.4 * 640, sorted(pops, reverse=True)[:5]
+
+
+def test_codebook_and_assignment_cost_grow_sublinearly():
+    """The r4 scale fix: codebook size — and with it driver memory,
+    plan-literal bytes, and the per-row assignment cost (one distance
+    fold per centroid) — must grow SUB-linearly in corpus size. The
+    old ceil(n/32) rule made all three O(n) and Lloyd training
+    O(n^2); the sqrt regime caps them at O(sqrt(n)), and
+    derive_leaf_planes restores the bounded per-leaf pair bound that
+    constant cell populations used to provide."""
+    import math
+
+    from aproximacion_1_etl_spark.text.vector import (
+        derive_leaf_planes,
+        derive_n_centroids,
+    )
+
+    # exact sqrt regime (isqrt ceil), floored at 16
+    assert derive_n_centroids(100) == 16
+    assert derive_n_centroids(1_000_000) == 1000
+    assert derive_n_centroids(10**9) == math.isqrt(10**9 - 1) + 1
+    # sub-linear: a 100x corpus costs ~10x centroids, never 100x
+    for n in (10**4, 10**6, 10**8):
+        assert derive_n_centroids(100 * n) <= 11 * derive_n_centroids(n)
+    # leaf bound: expected leaf population cell_pop / 2^planes stays
+    # within the target except at the explicit max_planes cap
+    for n in (10**4, 10**6, 10**9, 10**12):
+        nc = derive_n_centroids(n)
+        p = derive_leaf_planes(n, nc, target_cell_size=32, max_planes=8)
+        cell_pop = (n + nc - 1) // nc
+        assert 0 <= p <= 8
+        if p < 8:
+            assert cell_pop <= 32 << p
+        if p > 0:
+            assert cell_pop > 32 << (p - 1)
+
+
+def test_semantic_dedup_banding_matches_plain_when_vacuous(spark):
+    """leaf_planes=0 must be byte-identical to the pre-banding
+    operator, and with planes>0 the (cell, n_vectors) totals are
+    unchanged — banding only restricts which PAIRS are compared, so
+    n_dropped can only stay equal or shrink per cell."""
+    from aproximacion_1_etl_spark.text.vector import semantic_dedup
+
+    rows = [
+        (i, [1.0 if d == i % 4 else 0.1 * ((i * 7 + d) % 5) for d in range(8)])
+        for i in range(60)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id INT, embedding ARRAY<DOUBLE>")
+    plain = semantic_dedup(emb, threshold=0.8, n_centroids=4, dim=8)
+    banded = semantic_dedup(
+        emb, threshold=0.8, n_centroids=4, leaf_planes=2, leaf_tables=2, dim=8
+    )
+    p = {r["cell"]: r for r in plain.collect()}
+    b = {r["cell"]: r for r in banded.collect()}
+    assert set(p) == set(b)
+    for c in p:
+        assert p[c]["n_vectors"] == b[c]["n_vectors"]
+        assert b[c]["n_dropped"] <= p[c]["n_dropped"]
+    # planes=0 path is the identical operator (same plan family)
+    again = semantic_dedup(emb, threshold=0.8, n_centroids=4, dim=8)
+    assert sorted(map(tuple, again.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
 
 
 def test_real_decode_ppm_bmp_roundtrip_and_guards(spark):
