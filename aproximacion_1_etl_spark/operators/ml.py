@@ -145,6 +145,18 @@ def fit_stump(
                 "mean_l": snap(sl / nl, 1e9),
                 "mean_r": snap((s - sl) / (n - nl), 1e9),
             }
+    if best is None:
+        # every candidate split was degenerate (all rows on one side
+        # for all cut points — e.g. a single-valued feature column):
+        # return an explicit no-split sentinel instead of crashing on
+        # best["n"] below; callers see c=None and keep the root mean.
+        best = {
+            "c": None,
+            "nl": 0,
+            "sse": snap(q - s * s / n, 1e6),
+            "mean_l": snap(s / n, 1e9),
+            "mean_r": snap(s / n, 1e9),
+        }
     best["n"] = n
     best["mean_all"] = snap(s / n, 1e9)
     best["total_sse"] = snap(q - s * s / n, 1e6)

@@ -5262,8 +5262,8 @@ def q_ols_event_model(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.10 privacy gate for data release: k-anonymity suppression
-    over customer quasi-identifiers (segment, nation, account-balance
-    band). Any QI combination seen by fewer than k=10 rows has its
+    over customer quasi-identifiers (segment, nation). Any QI
+    combination seen by fewer than k=10 rows has its
     identifiers replaced by '*' and merged into the residual cell —
     the release never exposes a group an attacker could narrow below
     k. One window count + one keyed aggregation; both scale as plain
@@ -6216,7 +6216,7 @@ def q_streaming_cusum_monitor(
     identity, and the final state value-checks against the one-pass
     frozen-baseline oracle. Drift snaps to 6 dp at comparison like
     the batch key."""
-    import os
+    import shutil
     import time as _time
 
     split_day = "2024-01-16"
@@ -6224,19 +6224,9 @@ def q_streaming_cusum_monitor(
         "event_id", "ts", "event_type"
     )
     base = tempfile.mkdtemp(prefix="graft_scm_")
+    ckpt = tempfile.mkdtemp(prefix="ckpt_scm_")
     src = os.path.join(base, "src")
     state_log = os.path.join(base, "state")
-    ev.filter(F.col("ts").cast("date") < split_day).coalesce(1).write.parquet(
-        os.path.join(src, "w1")
-    )
-    ev.filter(
-        F.col("ts").cast("date") >= split_day
-    ).coalesce(1).write.parquet(os.path.join(src, "w2"))
-    now = _time.time()
-    for d, ts in (("w1", now - 120), ("w2", now - 60)):
-        pdir = os.path.join(src, d)
-        for f in os.listdir(pdir):
-            os.utime(os.path.join(pdir, f), (ts, ts))
 
     def handle_batch(batch, batch_id: int) -> None:
         bspark = batch.sparkSession
@@ -6352,38 +6342,58 @@ def q_streaming_cusum_monitor(
             "batch_id", F.lit(batch_id)
         ).write.mode("append").parquet(state_log)
 
-    q = (
-        spark.readStream.schema(
-            "event_id BIGINT, ts TIMESTAMP, event_type STRING"
+    try:
+        ev.filter(
+            F.col("ts").cast("date") < split_day
+        ).coalesce(1).write.parquet(os.path.join(src, "w1"))
+        ev.filter(
+            F.col("ts").cast("date") >= split_day
+        ).coalesce(1).write.parquet(os.path.join(src, "w2"))
+        # wave order: the file source processes files in modification-
+        # time order, so pin w1 strictly older than w2 (maxFilesPerTrigger
+        # keeps them in separate micro-batches)
+        now = _time.time()
+        for d, ts in (("w1", now - 120), ("w2", now - 60)):
+            pdir = os.path.join(src, d)
+            for f in os.listdir(pdir):
+                os.utime(os.path.join(pdir, f), (ts, ts))
+        q = (
+            spark.readStream.schema(
+                "event_id BIGINT, ts TIMESTAMP, event_type STRING"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(src, "*"))
+            .writeStream.foreachBatch(handle_batch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
         )
-        .option("maxFilesPerTrigger", 1)
-        .parquet(os.path.join(src, "*"))
-        .writeStream.foreachBatch(handle_batch)
-        .trigger(availableNow=True)
-        .option(
-            "checkpointLocation", tempfile.mkdtemp(prefix="ckpt_scm_")
+        q.awaitTermination()
+        final = (
+            spark.read.parquet(state_log)
+            .withColumn(
+                "_rn",
+                F.row_number().over(
+                    Window.partitionBy("event_type").orderBy(
+                        F.col("batch_id").desc()
+                    )
+                ),
+            )
+            .filter(F.col("_rn") == 1)
         )
-        .start()
-    )
-    q.awaitTermination()
-    final = (
-        spark.read.parquet(state_log)
-        .withColumn(
-            "_rn",
-            F.row_number().over(
-                Window.partitionBy("event_type").orderBy(
-                    F.col("batch_id").desc()
-                )
-            ),
+        sel = final.select(
+            "event_type",
+            F.date_format("best_day", "yyyy-MM-dd").alias("peak_day"),
+            _fround(F.col("best_drift"), 4).alias("max_drift"),
+            _fround(F.col("mu"), 4).alias("mean_daily"),
         )
-        .filter(F.col("_rn") == 1)
-    )
-    return final.select(
-        "event_type",
-        F.date_format("best_day", "yyyy-MM-dd").alias("peak_day"),
-        _fround(F.col("best_drift"), 4).alias("max_drift"),
-        _fround(F.col("mu"), 4).alias("mean_daily"),
-    )
+        # materialize the |types|-bounded final state so the temp dirs
+        # can be reclaimed here instead of leaking per invocation (the
+        # returned frame must not depend on the deleted state parquet)
+        return spark.createDataFrame(sel.collect(), sel.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
 
 
 def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7454,7 +7464,7 @@ def q_als_rank1(spark: SparkSession, sf_dir: str) -> DataFrame:
             return expr.otherwise(F.lit(0.0))
 
         for _ in range(3):
-            vv = sum(x * x for x in v.values())
+            vv = sum(v[t] * v[t] for t in sorted(v))
             u_rel = ratings.groupBy("u").agg(
                 (
                     F.sum((F.col("r") * v_expr(v)).cast("decimal(38,18)"))
@@ -7477,7 +7487,7 @@ def q_als_rank1(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "t", (F.col("num") / F.col("den")).alias("vn")
             ).collect()
             v = {r["t"]: snap9(float(r["vn"])) for r in rows}
-        vv = sum(x * x for x in v.values())
+        vv = sum(v[t] * v[t] for t in sorted(v))
         u_rel = ratings.groupBy("u").agg(
             (
                 F.sum((F.col("r") * v_expr(v)).cast("decimal(38,18)"))

@@ -1337,10 +1337,18 @@ def pca_top_component(
     for _ in range(iterations):
         w = [sum(G[i][j] * v[j] for j in range(dim)) for i in range(dim)]
         nrm = math.sqrt(sum(x * x for x in w))
+        if nrm == 0.0:
+            # zero Gram matrix (all-zero corpus): power iteration has
+            # no direction to find — short-circuit with zero loadings
+            # and zero eigenvalue instead of ZeroDivisionError.
+            v = [0.0] * dim
+            break
         v = [snap9(x / nrm) for x in w]
     w = [sum(G[i][j] * v[j] for j in range(dim)) for i in range(dim)]
     eig = sum(v[i] * w[i] for i in range(dim))
     tr = sum(G[i][i] for i in range(dim))
+    if tr == 0.0:
+        tr = 1.0  # var_share of a zero-variance corpus reports 0, not NaN
 
     def r6(x: float) -> float:
         return math.floor(x * 1e6 + 0.5) / 1e6
