@@ -269,6 +269,7 @@ def _ivf_cent_ctes(
     iterations: int = 3,
     dim: int = 64,
     min_c: int = 16,
+    where: str = "",
 ) -> str:
     """Mirror of text/vector.py::train_ivf_centroids — Lloyd's k-means
     unrolled one (assign, mean, coalesce) CTE trio per iteration, so the
@@ -283,8 +284,9 @@ def _ivf_cent_ctes(
     order-independent in both engines, so the recurrence is
     bit-reproducible. Empty cells keep their previous centroid
     (coalesce), mirroring the Spark dict update."""
+    wh = f" WHERE {where}" if where else ""
     parts = [
-        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings{wh})",
         f"nc AS (SELECT greatest({min_c}, CAST(ceiling(sqrt(CAST(count(*)"
         f" AS DOUBLE))) AS BIGINT)) AS n FROM e)",
         "cent0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1"
@@ -567,6 +569,48 @@ SELECT t.cell, CAST(t.n_vectors AS BIGINT) AS n_vectors,
        CAST(coalesce(d.n_dropped, 0) AS BIGINT) AS n_dropped,
        CAST(t.n_vectors - coalesce(d.n_dropped, 0) AS BIGINT) AS n_kept
 FROM tot t LEFT JOIN drp d ON t.cell = d.cell
+"""
+
+
+def _ivf_index_append_sql() -> str:
+    """Mirror of q_ivf_index_append: codebook trained on the
+    historical slice only (vec_id % 4 != 0 — the _ivf_cent_ctes
+    recurrence over the filtered corpus), then ONE 6-dp argmin
+    assignment relation over the full corpus split into baseline/new
+    counts, a full-outer merge, and the two exact-integer policy
+    flags (hot: n_total * n_cells > 2 * grand_total; retrain_due:
+    2 * total_new >= total_baseline)."""
+    return f"""
+WITH {_ivf_cent_ctes(where="vec_id % 4 != 0")},
+eall AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+d AS (SELECT eall.vec_id, c.cid,
+             floor((list_dot_product(eall.v, eall.v) + c.cc
+                    - 2.0 * list_dot_product(eall.v, c.cv)) * 1000000.0
+                   + 0.5) / 1000000.0 AS d6
+      FROM eall CROSS JOIN cent c),
+asg AS (SELECT vec_id, CAST(cid AS INT) AS cell FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY d6 ASC, cid ASC) AS rn
+          FROM d) WHERE rn = 1),
+base AS (SELECT cell, count(*) AS n_baseline FROM asg
+         WHERE vec_id % 4 != 0 GROUP BY 1),
+newc AS (SELECT cell, count(*) AS n_new FROM asg
+         WHERE vec_id % 4 = 0 GROUP BY 1),
+merged AS (SELECT coalesce(b.cell, n.cell) AS cell,
+                  coalesce(b.n_baseline, 0) AS n_baseline,
+                  coalesce(n.n_new, 0) AS n_new
+           FROM base b FULL OUTER JOIN newc n ON b.cell = n.cell),
+tot AS (SELECT sum(n_baseline) AS tb, sum(n_new) AS tn,
+               sum(n_baseline + n_new) AS ta FROM merged),
+k AS (SELECT count(*) AS n_cells FROM cent)
+SELECT cell,
+       CAST(n_baseline AS BIGINT) AS n_baseline,
+       CAST(n_new AS BIGINT) AS n_new,
+       CAST(n_baseline + n_new AS BIGINT) AS n_total,
+       ((n_baseline + n_new) * (SELECT n_cells FROM k))
+         > 2 * (SELECT ta FROM tot) AS hot,
+       (2 * (SELECT tn FROM tot)) >= (SELECT tb FROM tot) AS retrain_due
+FROM merged
 """
 
 
@@ -1962,6 +2006,9 @@ FROM orders WHERE o_orderdate >= '2001-06-01' GROUP BY 1
     # mirror of text/vector.py::ann_topk_ivf over the TRAINED codebook
     # (training recurrence unrolled in-engine; see _ivf_cent_ctes)
     "ann_topk_ivf": _ann_topk_ivf_sql(),
+    # incremental ANN index maintenance: historical-slice codebook,
+    # new-batch-only assignment, exact-integer skew/growth flags
+    "ivf_index_append": _ivf_index_append_sql(),
     # mirror of text/vector.py::ann_topk_pq (PQ/ADC over per-subspace
     # trained codebooks; see _pq_cent_ctes)
     "ann_topk_pq": _ann_topk_pq_sql(),

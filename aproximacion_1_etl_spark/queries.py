@@ -4123,6 +4123,60 @@ def q_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_minhash_dedup(new_batch, corpus_sigs)
 
 
+_APPEND_CODEBOOK_CACHE: dict[tuple, dict[int, list[float]]] = {}
+
+
+def _trained_append_codebook(
+    spark: SparkSession, sf_dir: str
+) -> dict[int, list[float]]:
+    """Codebook trained on the HISTORICAL slice only (vec_id % 4 != 0)
+    — 'yesterday's index', the artifact q_ivf_index_append appends
+    today's batch into. Memoized on (sf_dir, parquet mtime) like every
+    model artifact."""
+    from aproximacion_1_etl_spark.text.vector import (
+        derive_n_centroids,
+        train_ivf_centroids,
+    )
+
+    key = _artifact_key(sf_dir, "embeddings")
+    cb = _APPEND_CODEBOOK_CACHE.get(key)
+    if cb is None:
+        old = load_table(spark, sf_dir, "embeddings").filter(
+            F.col("vec_id") % 4 != 0
+        )
+        cb = train_ivf_centroids(
+            old, n_centroids=derive_n_centroids(old.count()), iterations=3
+        )
+        _APPEND_CODEBOOK_CACHE[key] = cb
+    return cb
+
+
+def q_ivf_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 incremental ANN index maintenance — the daily-batch shape
+    the reference's re-ingest loop implies (app.py:142-147 re-ingests
+    each day's data into standing tables): the codebook stays trained
+    on the historical corpus; ONLY the new batch (vec_id % 4 == 0) is
+    assigned (map-side literal-codebook argmin, the historical vectors
+    are never re-scanned), per-cell populations merge into the
+    persisted stats, and exact-integer flags report per-cell skew
+    (hot) and corpus growth (retrain_due) so the retrain policy is a
+    measured trigger, not a guess
+    (text/vector.py::ivf_index_append)."""
+    from aproximacion_1_etl_spark.text.vector import (
+        ivf_assign_cells,
+        ivf_index_append,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = _trained_append_codebook(spark, sf_dir)
+    baseline = (
+        ivf_assign_cells(emb.filter(F.col("vec_id") % 4 != 0), cb)
+        .groupBy("cell")
+        .agg(F.count("*").alias("n_baseline"))
+    )
+    return ivf_index_append(emb.filter(F.col("vec_id") % 4 == 0), cb, baseline)
+
+
 def q_deletion_vector_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level deletes WITHOUT data-file rewrite: two composing
     delete_rows calls append keys to a per-version sidecar; the read
@@ -8090,6 +8144,7 @@ ALL_QUERIES = {
     "embedding_quantize_int8": q_embedding_quantize_int8,
     "deletion_vector_read": q_deletion_vector_read,
     "incremental_near_dup": q_incremental_near_dup,
+    "ivf_index_append": q_ivf_index_append,
     "ann_topk_pq": q_ann_topk_pq,
     "ann_topk_ivfpq": q_ann_topk_ivfpq,
     "streaming_incremental_dedup": q_streaming_incremental_dedup,

@@ -764,6 +764,107 @@ def train_ivf_centroids(
         emb.unpersist()
 
 
+def ivf_assign_cells(
+    df: DataFrame,
+    centroids: dict[int, list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    decimals: int = 6,
+) -> DataFrame:
+    """Map-side cell assignment against a driver-held codebook: the
+    same literal-array argmin every IVF consumer uses (no shuffle, no
+    join — one distance fold per centroid per row), factored out so
+    index-maintenance operators share the exact expression (and so the
+    oracle mirrors ONE assignment semantic). Returns (id_col, cell)."""
+    emb = _as_double(df, vec_col)
+    cdots = {cid: sum(x * x for x in v) for cid, v in centroids.items()}
+    spread = emb.repartition(
+        emb.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+    )
+    dist_structs = F.expr(
+        _dist_structs_sql(centroids, cdots, vec_col, "_vv", decimals)
+    )
+    return spread.withColumn(
+        "_vv", F.expr(_sql_dot(vec_col, vec_col))
+    ).select(
+        F.col(id_col),
+        F.array_min(dist_structs).getField("cid").cast("int").alias("cell"),
+    )
+
+
+def ivf_index_append(
+    new_batch: DataFrame,
+    centroids: dict[int, list[float]],
+    baseline_counts: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Incremental IVF index maintenance — the daily-batch shape for
+    the ANN layer (mirrors incremental_minhash_dedup for the signature
+    store): assign ONLY the new batch to the EXISTING trained cells
+    (map-side literal-codebook argmin; the historical corpus is never
+    re-scanned), merge the per-cell additions into the persisted
+    per-cell population stats, and flag when the codebook no longer
+    fits the data.
+
+    ``baseline_counts`` is the index's persisted (cell, n_baseline)
+    stats relation (|cells|-sized — kilobytes at any corpus scale).
+    Output per cell: n_baseline, n_new, n_total, plus two exact-integer
+    flags the re-train policy consumes:
+
+    - ``hot`` — this cell's population exceeds 2x the mean cell
+      population after the append (n_total * n_cells > 2 * grand_total
+      — the skew signal: new data concentrating in few cells means the
+      centroids no longer tile the distribution);
+    - ``retrain_due`` — global flag, true when the appended rows grew
+      the indexed corpus by >= 50% (2 * total_new >= total_baseline —
+      the volume signal: sqrt(n) cells for the old n are too few).
+
+    Both comparisons are products of exact integers, so the report
+    value-checks bit-for-bit against the DuckDB oracle. Scale: one
+    scan of the new batch + a |cells|-sized outer join; per-batch cost
+    is O(|batch| * n_centroids * dim) map-side work regardless of
+    history length."""
+    n_cells = len(centroids)
+    new_counts = (
+        ivf_assign_cells(new_batch, centroids, id_col, vec_col)
+        .groupBy("cell")
+        .agg(F.count("*").alias("n_new"))
+    )
+    merged = (
+        baseline_counts.select(
+            F.col("cell").cast("int").alias("cell"),
+            F.col("n_baseline").cast("bigint").alias("n_baseline"),
+        )
+        .join(new_counts, "cell", "full_outer")
+        .select(
+            "cell",
+            F.coalesce("n_baseline", F.lit(0)).cast("bigint").alias(
+                "n_baseline"
+            ),
+            F.coalesce("n_new", F.lit(0)).cast("bigint").alias("n_new"),
+        )
+        .withColumn("n_total", (F.col("n_baseline") + F.col("n_new")))
+    )
+    totals = merged.agg(
+        F.sum("n_baseline").alias("tot_base"),
+        F.sum("n_new").alias("tot_new"),
+        F.sum("n_total").alias("tot_all"),
+    )
+    return merged.crossJoin(F.broadcast(totals)).select(
+        "cell",
+        "n_baseline",
+        "n_new",
+        F.col("n_total").cast("bigint").alias("n_total"),
+        (
+            F.col("n_total") * F.lit(n_cells) > F.lit(2) * F.col("tot_all")
+        ).alias("hot"),
+        (F.lit(2) * F.col("tot_new") >= F.col("tot_base")).alias(
+            "retrain_due"
+        ),
+    )
+
+
 def _py_dot(a: list[float], b: list[float]) -> float:
     """Left-to-right fold — bit-matches _sql_dot / DuckDB
     list_dot_product so driver-computed distance tables agree with

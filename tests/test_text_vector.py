@@ -375,6 +375,69 @@ def test_semantic_dedup_banding_matches_plain_when_vacuous(spark):
     )
 
 
+def test_ivf_index_append_flags_hot_cells_and_retrain(spark):
+    """Incremental index maintenance: a new batch that concentrates in
+    one cell flips that cell's hot flag; a batch that grows the corpus
+    >= 50% flips the global retrain_due flag; a small balanced batch
+    flips neither. The historical corpus is never re-assigned — only
+    baseline_counts joins in."""
+    import pyspark.sql.functions as F
+
+    from aproximacion_1_etl_spark.text.vector import ivf_index_append
+
+    # 4 well-separated centroids in 4-d
+    cents = {
+        0: [10.0, 0.0, 0.0, 0.0],
+        1: [0.0, 10.0, 0.0, 0.0],
+        2: [0.0, 0.0, 10.0, 0.0],
+        3: [0.0, 0.0, 0.0, 10.0],
+    }
+    baseline = spark.createDataFrame(
+        [(0, 25), (1, 25), (2, 25), (3, 25)], "cell INT, n_baseline INT"
+    )
+    # skewed, large batch: 60 vectors all nearest centroid 2
+    skewed = spark.createDataFrame(
+        [(1000 + i, [0.1, 0.1, 9.0 + 0.01 * i, 0.1]) for i in range(60)],
+        "vec_id INT, embedding ARRAY<DOUBLE>",
+    )
+    out = {
+        r["cell"]: r
+        for r in ivf_index_append(skewed, cents, baseline).collect()
+    }
+    assert out[2]["n_new"] == 60 and out[2]["n_total"] == 85
+    # 85 * 4 = 340 > 2 * 160 = 320 -> hot
+    assert out[2]["hot"] is True
+    assert all(not out[c]["hot"] for c in (0, 1, 3))
+    # growth 60 vs 100 baseline: 120 >= 100 -> retrain due (all rows)
+    assert all(out[c]["retrain_due"] for c in out)
+
+    # small balanced batch: 2 vectors per cell -> no flags
+    balanced = spark.createDataFrame(
+        [
+            (2000 + 2 * c + j, [10.0 if d == c else 0.1 for d in range(4)])
+            for c in range(4)
+            for j in (0, 1)
+        ],
+        "vec_id INT, embedding ARRAY<DOUBLE>",
+    )
+    out2 = {
+        r["cell"]: r
+        for r in ivf_index_append(balanced, cents, baseline).collect()
+    }
+    assert all(out2[c]["n_new"] == 2 for c in range(4))
+    assert not any(out2[c]["hot"] for c in out2)
+    assert not any(out2[c]["retrain_due"] for c in out2)
+    # a cell absent from the new batch still reports via the outer join
+    empty_cell = spark.createDataFrame(
+        [(3000, [10.0, 0.1, 0.1, 0.1])], "vec_id INT, embedding ARRAY<DOUBLE>"
+    )
+    out3 = {
+        r["cell"]: r
+        for r in ivf_index_append(empty_cell, cents, baseline).collect()
+    }
+    assert out3[3]["n_new"] == 0 and out3[3]["n_total"] == 25
+
+
 def test_real_decode_ppm_bmp_roundtrip_and_guards(spark):
     """Pure-Python image decode: PPM and BMP round-trip bit-exactly
     (incl. BMP 4-byte row stride, bottom-up flip, BGR order, and PPM
