@@ -4416,6 +4416,25 @@ UNION ALL
 SELECT 'lineitem', CAST(n_before AS BIGINT), CAST(n_del AS BIGINT),
        CAST(n_before - n_del AS BIGINT), CAST(0 AS BIGINT) FROM l
 """,
+    # RTBF under concurrent appends: registry = banded subjects seen
+    # before wave 3; visible = rows whose user never entered the
+    # registry (waves 1-2 erased via DV, wave 3 filtered on append).
+    # A banded user FIRST seen in wave 3 stays visible — the registry,
+    # not the hash band, is the erasure authority.
+    "streaming_forget_user": """
+WITH ev AS (SELECT event_id, ts, event_type, user_id FROM events),
+reg AS (SELECT DISTINCT user_id FROM ev
+        WHERE CAST(ts AS DATE) < DATE '2024-01-21'
+          AND substring(md5(CAST(user_id AS VARCHAR)), 1, 4) < '0800'),
+tagged AS (SELECT ev.*,
+                  CASE WHEN reg.user_id IS NULL THEN 0 ELSE 1 END AS fg
+           FROM ev LEFT JOIN reg ON ev.user_id = reg.user_id)
+SELECT event_type,
+       CAST(sum(1 - fg) AS BIGINT) AS n_visible,
+       CAST(sum(fg) AS BIGINT) AS n_forgotten,
+       CAST(0 AS BIGINT) AS n_registry_still_visible
+FROM tagged GROUP BY 1
+""",
     "ab_test_report": """
 WITH pu AS (
   SELECT user_id,

@@ -6681,20 +6681,156 @@ def q_forget_user_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         "substring(md5(cast(_subject_key as string)), 1, 4) < '0800'"
     )
     rows = []
-    for name, df, pk in plan:
-        path = f"{base}/{name}"
-        write_snapshot(df, path)
-        n_before = df.count()
-        n_del = delete_rows(spark, path, pk, band_sql)
-        after = read_snapshot_with_dv(spark, path)
-        n_after = after.count()
-        still = after.filter(band).count()
-        rows.append((name, n_before, n_del, n_after, still))
-    return spark.createDataFrame(
-        rows,
-        "table_name string, n_before bigint, n_deleted bigint, "
-        "n_after bigint, n_subject_still_visible bigint",
+    try:
+        for name, df, pk in plan:
+            path = f"{base}/{name}"
+            write_snapshot(df, path)
+            n_before = df.count()
+            n_del = delete_rows(spark, path, pk, band_sql)
+            after = read_snapshot_with_dv(spark, path)
+            n_after = after.count()
+            still = after.filter(band).count()
+            rows.append((name, n_before, n_del, n_after, still))
+        return spark.createDataFrame(
+            rows,
+            "table_name string, n_before bigint, n_deleted bigint, "
+            "n_after bigint, n_subject_still_visible bigint",
+        )
+    finally:
+        import shutil
+
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def q_streaming_forget_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 + §2.10 right-to-be-forgotten UNDER CONCURRENT APPENDS —
+    the compliance shape a 100 TB lake actually needs: erasure arrives
+    mid-stream, and both the history BEFORE it and every append AFTER
+    it must honor it.
+
+    Topology: the events table is a versioned snapshot store
+    (sources/versioned.py); waves 2 and 3 arrive as a file stream and
+    each foreachBatch publishes the next snapshot version (current
+    read THROUGH the deletion vector + the new batch — appends
+    materialize standing erasures). After wave 2 lands, the RTBF
+    request fires: every banded subject seen so far (md5-prefix band,
+    the engine's deterministic sampler) is written to a forget
+    registry, and delete_rows appends their rows to the current
+    version's DV — kilobytes of intent, no data-file rewrite. Wave 3
+    then appends with the registry anti-joined out, so a forgotten
+    subject's LATER events never surface either; a banded user first
+    seen in wave 3 never requested erasure and stays visible (the
+    registry, not the band, is the authority — erasure is a recorded
+    request, not a property of the hash).
+
+    Audit (per event_type, measured THROUGH the DV read path on the
+    final version): visible rows, forgotten rows, and
+    n_registry_still_visible which MUST be 0. Deterministic end
+    state, so the key value-checks against a DuckDB replay of the
+    registry/visibility spec."""
+    import shutil
+    import time as _time
+
+    from aproximacion_1_etl_spark.sources.versioned import (
+        delete_rows,
+        read_snapshot_with_dv,
+        write_snapshot,
     )
+
+    w2_start, w3_start = "2024-01-11", "2024-01-21"
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "user_id"
+    )
+    band_sql = "substring(md5(cast(user_id as string)), 1, 4) < '0800'"
+    base = tempfile.mkdtemp(prefix="graft_sfu_")
+    ckpt = tempfile.mkdtemp(prefix="ckpt_sfu_")
+    src = os.path.join(base, "src")
+    store = os.path.join(base, "store")
+    reg_dir = os.path.join(base, "registry")
+
+    def handle_batch(batch, batch_id: int) -> None:
+        bspark = batch.sparkSession
+        cur = read_snapshot_with_dv(bspark, store)
+        if os.path.isdir(reg_dir):
+            reg = bspark.read.parquet(reg_dir)
+            batch = batch.join(
+                F.broadcast(reg.distinct()), "user_id", "left_anti"
+            )
+        write_snapshot(cur.unionByName(batch), store)
+        if batch_id == 0:
+            # the RTBF request wave arrives after the first streamed
+            # append: record every banded subject seen SO FAR as the
+            # erasure authority, then logically delete their history
+            snap = read_snapshot_with_dv(bspark, store)
+            snap.filter(band_sql).select(
+                "user_id"
+            ).distinct().write.mode("overwrite").parquet(reg_dir)
+            delete_rows(bspark, store, "event_id", band_sql)
+
+    try:
+        write_snapshot(
+            ev.filter(F.col("ts").cast("date") < w2_start), store
+        )
+        ev.filter(
+            (F.col("ts").cast("date") >= w2_start)
+            & (F.col("ts").cast("date") < w3_start)
+        ).coalesce(1).write.parquet(os.path.join(src, "w2"))
+        ev.filter(
+            F.col("ts").cast("date") >= w3_start
+        ).coalesce(1).write.parquet(os.path.join(src, "w3"))
+        now = _time.time()
+        for d, ts in (("w2", now - 120), ("w3", now - 60)):
+            pdir = os.path.join(src, d)
+            for f in os.listdir(pdir):
+                os.utime(os.path.join(pdir, f), (ts, ts))
+        q = (
+            spark.readStream.schema(
+                "event_id BIGINT, ts TIMESTAMP, event_type STRING, "
+                "user_id BIGINT"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(src, "*"))
+            .writeStream.foreachBatch(handle_batch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+        final = read_snapshot_with_dv(spark, store)
+        reg = spark.read.parquet(reg_dir).distinct()
+        vis = (
+            final.join(F.broadcast(reg), "user_id", "left_semi")
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n_registry_still_visible"))
+        )
+        visible = final.groupBy("event_type").agg(
+            F.count("*").alias("n_visible")
+        )
+        forgotten = (
+            ev.join(F.broadcast(reg), "user_id", "left_semi")
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n_forgotten"))
+        )
+        sel = (
+            visible.join(forgotten, "event_type", "left")
+            .join(vis, "event_type", "left")
+            .select(
+                "event_type",
+                F.col("n_visible").cast("bigint").alias("n_visible"),
+                F.coalesce("n_forgotten", F.lit(0))
+                .cast("bigint")
+                .alias("n_forgotten"),
+                F.coalesce("n_registry_still_visible", F.lit(0))
+                .cast("bigint")
+                .alias("n_registry_still_visible"),
+            )
+        )
+        # |event_types|-bounded: materialize so the temp store can be
+        # reclaimed here instead of leaking per invocation
+        return spark.createDataFrame(sel.collect(), sel.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
 
 
 def q_ab_test_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8273,6 +8409,7 @@ ALL_QUERIES = {
     "survival_km": q_survival_km,
     "sequence_pattern_match": q_sequence_pattern_match,
     "forget_user_cascade": q_forget_user_cascade,
+    "streaming_forget_user": q_streaming_forget_user,
     "ab_test_report": q_ab_test_report,
     "psi_drift_report": q_psi_drift_report,
     "holt_forecast": q_holt_forecast,
