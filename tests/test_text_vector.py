@@ -438,6 +438,46 @@ def test_ivf_index_append_flags_hot_cells_and_retrain(spark):
     assert out3[3]["n_new"] == 0 and out3[3]["n_total"] == 25
 
 
+def test_artifact_cache_retrains_on_corpus_regen(spark, tmp_path):
+    """The memoized model artifacts key on (sf_dir, parquet mtime):
+    regenerating the corpus inside one long-lived process must retrain
+    instead of serving the stale model; an unchanged corpus must serve
+    the cached artifact (same object)."""
+    import os
+
+    from aproximacion_1_etl_spark.queries import _trained_codebook
+
+    sf = str(tmp_path)
+    path = os.path.join(sf, "embeddings.parquet")
+
+    def write(shift: float, stamp: float) -> None:
+        rows = [
+            (i, [float(i % 5) + shift, shift, 1.0, 0.0], i % 3)
+            for i in range(40)
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id INT, embedding ARRAY<DOUBLE>, label INT"
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(path)
+        # pin a deterministic mtime well apart from the next write
+        for f in os.listdir(path):
+            os.utime(os.path.join(path, f), (stamp, stamp))
+        os.utime(path, (stamp, stamp))
+
+    write(0.0, 1_000_000.0)
+    cb1 = _trained_codebook(spark, sf)
+    assert _trained_codebook(spark, sf) is cb1  # cache hit, same corpus
+    write(50.0, 2_000_000.0)  # regenerated corpus, new mtime
+    cb2 = _trained_codebook(spark, sf)
+    assert cb2 is not cb1
+    # and the retrained centroids actually reflect the shifted data
+    assert any(
+        abs(a - b) > 1.0
+        for va, vb in zip(cb1.values(), cb2.values())
+        for a, b in zip(va, vb)
+    )
+
+
 def test_real_decode_ppm_bmp_roundtrip_and_guards(spark):
     """Pure-Python image decode: PPM and BMP round-trip bit-exactly
     (incl. BMP 4-byte row stride, bottom-up flip, BGR order, and PPM
