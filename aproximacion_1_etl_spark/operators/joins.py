@@ -111,3 +111,95 @@ def range_join_rollup(
     return joined.groupBy(*[F.col(c) for c in left.columns]).agg(
         *[c.alias(n) for n, c in aggs.items()]
     )
+
+
+def build_bloom_bitmap(
+    keys: DataFrame,
+    key_col: str,
+    m_bits: int = 1 << 16,
+    k_hashes: int = 3,
+) -> list[int]:
+    """Distributed Bloom-filter build over a key relation: k xxhash64
+    probes per key, bit positions OR-folded into 64-bit words with ONE
+    groupBy(word_index) aggregation — the driver receives only the
+    m_bits/64-long bitmap (8 KB at the default m), never the keys.
+
+    m_bits must be a power of two (positions use a bitmask, keeping
+    the modulo exact for negative hash values). Deterministic:
+    xxhash64 is a fixed function of (value, seed), so the same key set
+    always yields the same bitmap."""
+    if m_bits & (m_bits - 1):
+        raise ValueError(f"m_bits must be a power of two, got {m_bits}")
+    pos = keys.select(
+        F.explode(
+            F.array(
+                *[
+                    (
+                        F.xxhash64(F.col(key_col), F.lit(h))
+                        .bitwiseAND(F.lit(m_bits - 1))
+                    ).alias(f"p{h}")
+                    for h in range(k_hashes)
+                ]
+            )
+        ).alias("pos")
+    )
+    words = (
+        pos.select(
+            (F.col("pos") / F.lit(64)).cast("long").alias("w"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))"
+            ).alias("bit"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("bit").alias("word"))
+        .collect()
+    )
+    bitmap = [0] * (m_bits // 64)
+    for r in words:
+        bitmap[int(r["w"])] = int(r["word"])
+    return bitmap
+
+
+def bloom_prune_join(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str,
+    how: str = "inner",
+    m_bits: int = 1 << 16,
+    k_hashes: int = 3,
+) -> DataFrame:
+    """Bloom-filter-pruned join: the 100 TB shuffle-reduction shape.
+    When the small side is too large to broadcast but still selective,
+    a plain shuffled join moves EVERY big-side row; this builds a
+    Bloom bitmap over the small side's keys (build_bloom_bitmap —
+    kilobytes on the driver), bakes it into the big side's scan as a
+    literal array, and drops non-matching rows MAP-SIDE before the
+    shuffle. The exact join then eliminates the Bloom's false
+    positives, so the result is row-identical to the plain join (the
+    filter is conservative: a present key tests positive in every
+    probe) — which is exactly why the operator stays fully
+    value-checkable against a plain-join oracle.
+
+    This is the explicit, plan-visible form of Spark's runtime row-
+    level filtering (spark.sql.optimizer.runtime.bloomFilter.*): here
+    the build is reusable across queries and the pruning is
+    guaranteed, not cost-based. Shuffle carries ~|matches| +
+    |big| * fpr rows instead of |big|; with m/n = 16 bits/key and k=3
+    the false-positive rate is under 1%."""
+    bitmap = build_bloom_bitmap(small, small_key, m_bits, k_hashes)
+    words_sql = "array(" + ",".join(
+        f"CAST({w} AS BIGINT)" for w in bitmap
+    ) + ")"
+    probes = []
+    for h in range(k_hashes):
+        p = f"(xxhash64({big_key}, {h}) & {m_bits - 1})"
+        probes.append(
+            f"((element_at({words_sql}, CAST({p} / 64 AS INT) + 1)"
+            f" & shiftleft(CAST(1 AS BIGINT), CAST({p} % 64 AS INT)))"
+            " != 0)"
+        )
+    pruned = big.filter(F.expr(" AND ".join(probes)))
+    return pruned.join(
+        small, pruned[big_key] == small[small_key], how
+    )

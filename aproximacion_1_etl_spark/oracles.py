@@ -4416,6 +4416,19 @@ UNION ALL
 SELECT 'lineitem', CAST(n_before AS BIGINT), CAST(n_del AS BIGINT),
        CAST(n_before - n_del AS BIGINT), CAST(0 AS BIGINT) FROM l
 """,
+    # Bloom-pruned join: the filter is conservative and the exact join
+    # removes false positives, so the oracle is simply the PLAIN join —
+    # row-identical by construction, which is the point of the check.
+    "bloom_prune_join": """
+SELECT substring(CAST(o.o_orderdate AS VARCHAR), 1, 7) AS order_month,
+       CAST(count(*) AS BIGINT) AS n_items,
+       floor((CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                            AS DECIMAL(30,8))) AS DOUBLE)) * 100.0 + 0.5)
+         / 100.0 AS revenue
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderpriority = '1-URGENT'
+GROUP BY 1
+""",
     # RTBF under concurrent appends: registry = banded subjects seen
     # before wave 3; visible = rows whose user never entered the
     # registry (waves 1-2 erased via DV, wave 3 filtered on append).

@@ -519,6 +519,34 @@ def q_range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 shuffle-reduction join: lineitem x urgent orders through a
+    Bloom bitmap built over the small side's keys (8 KB on the driver,
+    baked into the big scan as a literal word array) — non-matching
+    lineitem rows drop MAP-SIDE before the shuffle, and the exact join
+    removes the <1% false positives, so the result is row-identical to
+    the plain join the oracle runs. The explicit, guaranteed form of
+    Spark's cost-based runtime bloomFilter rewrite
+    (operators/joins.py::bloom_prune_join)."""
+    from aproximacion_1_etl_spark.operators.joins import bloom_prune_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    urgent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_orderkey", "o_orderdate")
+    joined = bloom_prune_join(li, urgent, "l_orderkey", "o_orderkey")
+    return joined.groupBy(
+        F.substring(F.col("o_orderdate").cast("string"), 1, 7).alias(
+            "order_month"
+        )
+    ).agg(
+        F.count("*").cast("bigint").alias("n_items"),
+        _dsum(
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+        ).alias("revenue"),
+    )
+
+
 def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIVOT: order counts by priority x status (explicit value list =>
     no extra distinct-scan job; stable column set)."""
@@ -8201,6 +8229,7 @@ ALL_QUERIES = {
     "m9_visit_columns": q_m9_visit_columns,
     "asof_latest_event": q_asof_latest_event,
     "range_join_events": q_range_join_events,
+    "bloom_prune_join": q_bloom_prune_join,
     "pivot_status": q_pivot_status,
     "grouping_sets": q_grouping_sets,
     "s8_union_schema_drift": q_s8_union_schema_drift,

@@ -92,3 +92,51 @@ def test_visit_columns_pivots_first_n(spark):
     assert rows[10]["visit_3_event_type"] == "c"
     assert rows[20]["visit_1_event_type"] == "z"
     assert rows[20]["visit_2_event_type"] is None
+
+
+def test_bloom_prune_join_is_conservative_and_prunes(spark):
+    """The Bloom pre-filter must never drop a true match (every present
+    key tests positive in all probes), must prune most non-matching
+    rows map-side, and the final join must be row-identical to the
+    plain join — false positives die in the exact join."""
+    import pyspark.sql.functions as F
+
+    from aproximacion_1_etl_spark.operators.joins import (
+        bloom_prune_join,
+        build_bloom_bitmap,
+    )
+
+    big = spark.createDataFrame(
+        [(i, f"p{i}") for i in range(2000)], ["k", "payload"]
+    )
+    small = spark.createDataFrame(
+        [(i * 100, i) for i in range(20)], ["sk", "dim"]
+    )
+    out = bloom_prune_join(big, small, "k", "sk").select(
+        "k", "payload", "dim"
+    )
+    plain = big.join(small, big["k"] == small["sk"]).select(
+        "k", "payload", "dim"
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+    # conservative: every true key passes the filter; effective: the
+    # map-side survivor count is far below |big| (20 matches + <1% fp)
+    bitmap = build_bloom_bitmap(small, "sk")
+    m = 64 * len(bitmap)
+    probes = " AND ".join(
+        f"((element_at(array({','.join(f'CAST({w} AS BIGINT)' for w in bitmap)}),"
+        f" CAST((xxhash64(k, {h}) & {m - 1}) / 64 AS INT) + 1)"
+        f" & shiftleft(CAST(1 AS BIGINT),"
+        f" CAST((xxhash64(k, {h}) & {m - 1}) % 64 AS INT))) != 0)"
+        for h in range(3)
+    )
+    survivors = big.filter(F.expr(probes)).count()
+    assert survivors >= 20
+    assert survivors < 200, survivors
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        build_bloom_bitmap(small, "sk", m_bits=1000)
