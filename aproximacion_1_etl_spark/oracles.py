@@ -2269,6 +2269,31 @@ FROM events a JOIN events b
  AND a.event_type = 'click' AND b.event_type = 'purchase'
  AND b.ts >= a.ts AND b.ts < a.ts + INTERVAL 24 HOURS
 """,
+    # left-outer flush rule: matched pairs always emit; an unmatched
+    # click emits only once the watermark passes the end of its join
+    # window (click_ts + 6h < min(max click, max purchase) - 1h) —
+    # clicks whose window is still open at stream end are withheld,
+    # exactly what the streaming state eviction does
+    "streaming_interval_join_outer": """
+WITH c AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+           FROM events WHERE event_type = 'click'),
+p AS (SELECT event_id AS purchase_id, user_id AS p_user_id,
+             ts AS purchase_ts
+      FROM events WHERE event_type = 'purchase'),
+wm AS (SELECT least((SELECT max(click_ts) FROM c),
+                    (SELECT max(purchase_ts) FROM p))
+              - INTERVAL 1 HOUR AS w),
+matched AS (SELECT c.click_id, p.purchase_id, c.user_id
+            FROM c JOIN p ON c.user_id = p.p_user_id
+             AND p.purchase_ts >= c.click_ts
+             AND p.purchase_ts < c.click_ts + INTERVAL 6 HOURS)
+SELECT click_id, purchase_id, user_id FROM matched
+UNION ALL
+SELECT c.click_id, CAST(NULL AS BIGINT) AS purchase_id, c.user_id
+FROM c
+WHERE c.click_id NOT IN (SELECT click_id FROM matched)
+  AND c.click_ts + INTERVAL 6 HOURS < (SELECT w FROM wm)
+""",
     "rolling_hash_fingerprint": """
 SELECT doc_id,
        list_reduce(
@@ -4428,6 +4453,31 @@ SELECT substring(CAST(o.o_orderdate AS VARCHAR), 1, 7) AS order_month,
 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 WHERE o.o_orderpriority = '1-URGENT'
 GROUP BY 1
+""",
+    # many-models: per-segment closed-form OLS from one moment
+    # aggregation; identical decimal sums + IEEE double algebra
+    "per_group_ols": """
+WITH d AS (
+  SELECT c.c_mktsegment AS segment, c.c_acctbal AS x,
+         o.o_totalprice AS y
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+m AS (
+  SELECT segment, CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(CAST(x AS DECIMAL(38,18))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(y AS DECIMAL(38,18))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(x * y AS DECIMAL(38,18))) AS DOUBLE) AS sxy,
+         CAST(sum(CAST(y * y AS DECIMAL(38,18))) AS DOUBLE) AS syy
+  FROM d GROUP BY 1)
+SELECT segment, CAST(n AS BIGINT) AS n,
+       floor(((n * sxy - sx * sy) / (n * sxx - sx * sx)) * 1000000.0
+             + 0.5) / 1000000.0 AS slope,
+       floor(((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+              / n) * 100.0 + 0.5) / 100.0 AS intercept,
+       floor(((n * sxy - sx * sy) * (n * sxy - sx * sy)
+              / ((n * sxx - sx * sx) * (n * syy - sy * sy)))
+             * 1000000.0 + 0.5) / 1000000.0 AS r2
+FROM m
 """,
     # RTBF under concurrent appends: registry = banded subjects seen
     # before wave 3; visible = rows whose user never entered the

@@ -547,6 +547,56 @@ def q_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_per_group_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 many-models training: one closed-form OLS fit PER customer
+    segment (y = order total ~ account balance) from a SINGLE
+    aggregation pass — the distributed pattern for training thousands
+    of small models at once (per-entity forecasters, per-domain
+    calibrators): no per-model job, no Python loop, the per-group
+    moment vector (n, Sx, Sy, Sxx, Sxy, Syy) is one map-side-combinable
+    groupBy and the normal-equation solve is closed-form column
+    algebra on the 5-row result. Decimal moment sums + identical IEEE
+    double algebra on both engines keep slope/intercept/r2
+    bit-checkable."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    d = o.join(
+        F.broadcast(
+            c.select("c_custkey", "c_mktsegment", "c_acctbal")
+        ),
+        o["o_custkey"] == F.col("c_custkey"),
+    ).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_acctbal").alias("x"),
+        F.col("o_totalprice").alias("y"),
+    )
+
+    def dsum(e):
+        return F.sum(e.cast("decimal(38,18)")).cast("double")
+
+    m = d.groupBy("segment").agg(
+        F.count("*").cast("double").alias("n"),
+        dsum(F.col("x")).alias("sx"),
+        dsum(F.col("y")).alias("sy"),
+        dsum(F.col("x") * F.col("x")).alias("sxx"),
+        dsum(F.col("x") * F.col("y")).alias("sxy"),
+        dsum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = cov / varx
+    return m.select(
+        "segment",
+        F.col("n").cast("bigint").alias("n"),
+        _fround(slope, 6).alias("slope"),
+        _fround((F.col("sy") - slope * F.col("sx")) / F.col("n"), 2).alias(
+            "intercept"
+        ),
+        _fround(cov * cov / (varx * vary), 6).alias("r2"),
+    )
+
+
 def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIVOT: order counts by priority x status (explicit value list =>
     no extra distinct-scan job; stable column set)."""
@@ -1211,16 +1261,89 @@ def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             < F.col("click_ts") + F.expr("INTERVAL 24 HOURS")
         ),
     ).select("click_id", "purchase_id", "user_id")
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(table)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_ij_"))
-        .start()
+    import shutil
+
+    ckpt = tempfile.mkdtemp(prefix="ckpt_ij_")
+    try:
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(table)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.table(table)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def q_streaming_interval_join_outer(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """§2.9 stream-stream LEFT OUTER interval join with watermark
+    state cleanup — the shape the inner join can't express: clicks
+    that never converted within 6 h still emit (purchase_id NULL),
+    but only once the watermark passes the end of their join window
+    (that's the state-eviction moment — unbounded retention would
+    otherwise be required to prove a non-match). Clicks whose window
+    is still open when the stream ends are correctly withheld: the
+    oracle mirrors the exact flush rule, matched pairs plus unmatched
+    clicks with click_ts + 6h < final watermark, where the final
+    watermark is min(max click_ts, max purchase_ts) - 1h — the
+    cross-stream minimum Spark maintains. State stays bounded by
+    watermark + interval at any stream length."""
+    import shutil
+    import uuid
+
+    from aproximacion_1_etl_spark.streaming.events import read_events_stream
+
+    table = f"stream_oj_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_oj_")
+    s1 = (
+        read_events_stream(spark, sf_dir, "events.parquet")
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
     )
-    q.awaitTermination()
-    return spark.table(table)
+    s2 = (
+        read_events_stream(spark, sf_dir, "events.parquet")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = s1.join(
+        s2,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            < F.col("click_ts") + F.expr("INTERVAL 6 HOURS")
+        ),
+        "left_outer",
+    ).select("click_id", "purchase_id", "user_id")
+    try:
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(table)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.table(table)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
 
 
 def q_rolling_hash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8230,6 +8353,7 @@ ALL_QUERIES = {
     "asof_latest_event": q_asof_latest_event,
     "range_join_events": q_range_join_events,
     "bloom_prune_join": q_bloom_prune_join,
+    "per_group_ols": q_per_group_ols,
     "pivot_status": q_pivot_status,
     "grouping_sets": q_grouping_sets,
     "s8_union_schema_drift": q_s8_union_schema_drift,
@@ -8283,6 +8407,7 @@ ALL_QUERIES = {
     "trailing_range_avg": q_trailing_range_avg,
     "ntile_quartiles": q_ntile_quartiles,
     "streaming_interval_join": q_streaming_interval_join,
+    "streaming_interval_join_outer": q_streaming_interval_join_outer,
     "csv_roundtrip": q_csv_roundtrip,
     "rolling_hash_fingerprint": q_rolling_hash_fingerprint,
     "sql_surface": q_sql_surface,
