@@ -93,6 +93,11 @@ HEADLINE = [
     "bpe_merge_pairs",
     "embedding_quantize_int8",
     "incremental_near_dup",
+    # round-5: incremental ANN index maintenance, Bloom-pruned join,
+    # per-group closed-form OLS
+    "ivf_index_append",
+    "bloom_prune_join",
+    "per_group_ols",
     # round-4 session-2: hybrid lexical+semantic retrieval (RRF), the
     # iterative BPE trainer loop, leakage-safe cluster split
     # (connected components + hash split), and the ANN recall gate

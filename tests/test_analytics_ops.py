@@ -847,3 +847,137 @@ def test_spearman_matches_scipy_free_reference(spark, sf_dir):
     rho = np.corrcoef(rx, ry)[0, 1]
     assert abs(row["spearman_rho"] - rho) < 1e-4
     assert row["n"] == len(rows)
+
+
+def test_per_group_ols_matches_numpy(spark, sf_dir):
+    """Per-segment closed-form OLS from the one-pass moment aggregation
+    must match an independent numpy least-squares fit per group."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from aproximacion_1_etl_spark.queries import q_per_group_ols
+    from aproximacion_1_etl_spark.sources.tables import load_table
+
+    got = {r["segment"]: r for r in q_per_group_ols(spark, sf_dir).collect()}
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    pdf = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .select(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("c_acctbal").alias("x"),
+            F.col("o_totalprice").alias("y"),
+        )
+        .toPandas()
+    )
+    for seg, g in pdf.groupby("seg"):
+        A = np.vstack([g["x"], np.ones(len(g))]).T
+        slope, intercept = np.linalg.lstsq(A, g["y"], rcond=None)[0]
+        r = got[seg]
+        assert r["n"] == len(g)
+        assert abs(r["slope"] - slope) < 1e-4, (seg, r["slope"], slope)
+        assert abs(r["intercept"] - intercept) < 1e-1
+        assert 0.0 <= r["r2"] <= 1.0
+
+
+def test_streaming_outer_interval_join_flush_rule(spark, sf_dir):
+    """The left-outer stream-stream join must emit every matched pair,
+    emit NULL rows only for clicks whose join window closed before the
+    final watermark, and withhold clicks whose window was still open
+    at stream end (state not yet evictable)."""
+    import pyspark.sql.functions as F
+
+    from aproximacion_1_etl_spark.queries import (
+        q_streaming_interval_join_outer,
+    )
+    from aproximacion_1_etl_spark.sources.tables import load_table
+
+    out = q_streaming_interval_join_outer(spark, sf_dir)
+    got = {(r["click_id"], r["purchase_id"]) for r in out.collect()}
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    matched = clicks.join(
+        pur,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            < F.col("click_ts") + F.expr("INTERVAL 6 HOURS")
+        ),
+    )
+    want_matched = {
+        (r["click_id"], r["purchase_id"]) for r in matched.collect()
+    }
+    assert want_matched <= got  # every matched pair emitted
+    wm = min(
+        clicks.agg(F.max("click_ts")).first()[0],
+        pur.agg(F.max("purchase_ts")).first()[0],
+    )
+    import datetime
+
+    threshold = wm - datetime.timedelta(hours=7)  # 1h delay + 6h window
+    nulls = {cid for cid, pid in got if pid is None}
+    matched_ids = {cid for cid, _ in want_matched}
+    for r in clicks.collect():
+        cid, cts = r["click_id"], r["click_ts"]
+        if cid in matched_ids:
+            continue
+        if cts < threshold:
+            assert cid in nulls, f"window-closed click {cid} not flushed"
+        else:
+            assert cid not in nulls, f"open-window click {cid} leaked"
+
+
+def test_streaming_forget_survives_concurrent_appends(spark, sf_dir):
+    """RTBF mid-stream: after the erase wave, no registry subject may
+    be visible through the DV read path — including their wave-3
+    events appended AFTER the request — and visibility partitions the
+    corpus (visible + forgotten = total per type)."""
+    import pyspark.sql.functions as F
+
+    from aproximacion_1_etl_spark.queries import q_streaming_forget_user
+    from aproximacion_1_etl_spark.sources.tables import load_table
+
+    rows = q_streaming_forget_user(spark, sf_dir).collect()
+    assert rows, "no event types reported"
+    totals = {
+        r["event_type"]: r["n"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    # expected registry = banded subjects seen before wave 3 (empty at
+    # tiny SFs is legitimate — then nothing may be forgotten either)
+    n_reg = (
+        load_table(spark, sf_dir, "events")
+        .filter(
+            (F.col("ts").cast("date") < "2024-01-21")
+            & (
+                F.substring(
+                    F.md5(F.col("user_id").cast("string")), 1, 4
+                )
+                < "0800"
+            )
+        )
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    if n_reg > 0:
+        assert any(r["n_forgotten"] > 0 for r in rows)
+    else:
+        assert all(r["n_forgotten"] == 0 for r in rows)
+    for r in rows:
+        assert r["n_registry_still_visible"] == 0, r
+        assert r["n_visible"] + r["n_forgotten"] == totals[r["event_type"]]
