@@ -1744,7 +1744,9 @@ GROUP BY 1, 2
     # codebook (threshold 0.4): Lloyd's recurrence unrolled in-engine
     # (_ivf_cent_ctes), then the same dist2 rounding + lexicographic
     # argmin and rounded-cosine drop rule as ann_topk_ivf
-    "semantic_dedup": _semantic_dedup_sql(),
+    # leaf target 8 so in-cell banding is ACTIVE at the oracle SF
+    # (mirrors q_semantic_dedup's derive_leaf_planes target)
+    "semantic_dedup": _semantic_dedup_sql(target_cell=8),
     # Approximate-sketch queries: the estimate is engine-specific, so
     # the Spark side hashes the EXACT value plus a bound-check boolean;
     # the oracle computes the same exact value and expects the bound to

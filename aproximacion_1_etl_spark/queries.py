@@ -4145,11 +4145,14 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     n = emb.count()
     nc = derive_n_centroids(n)
+    # leaf target 8 (not the default 32) so the banded path engages
+    # from the oracle SF upward — the code path the 100 TB posture
+    # depends on is the one the value gate exercises
     return semantic_dedup(
         emb,
         threshold=0.4,
         centroids=_trained_codebook(spark, sf_dir),
-        leaf_planes=derive_leaf_planes(n, nc),
+        leaf_planes=derive_leaf_planes(n, nc, target_cell_size=8),
         leaf_tables=2,
     )
 
