@@ -2296,6 +2296,36 @@ FROM c
 WHERE c.click_id NOT IN (SELECT click_id FROM matched)
   AND c.click_ts + INTERVAL 6 HOURS < (SELECT w FROM wm)
 """,
+    # native streaming session windows: gap sessionization replayed
+    # relationally (new session iff gap >= 2h — end-exclusive, an
+    # event exactly at the boundary opens a new session) + the
+    # watermark flush rule (only sessions whose end+gap the final
+    # watermark passed were emitted in append mode)
+    "streaming_session_window": """
+WITH l AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   IS NULL
+              OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   >= INTERVAL 2 HOURS
+              THEN 1 ELSE 0 END AS nf
+  FROM events),
+s AS (SELECT user_id, ts,
+             sum(nf) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+      FROM l),
+g AS (SELECT user_id, sid, min(ts) AS st, max(ts) AS en,
+             count(*) AS n
+      FROM s GROUP BY 1, 2)
+SELECT user_id,
+       strftime(st, '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(en + INTERVAL 2 HOURS, '%Y-%m-%d %H:%M:%S')
+         AS session_end,
+       CAST(n AS BIGINT) AS n_events
+FROM g
+WHERE en + INTERVAL 2 HOURS
+      < (SELECT max(ts) FROM events) - INTERVAL 1 HOUR
+""",
     "rolling_hash_fingerprint": """
 SELECT doc_id,
        list_reduce(
@@ -4455,6 +4485,32 @@ SELECT substring(CAST(o.o_orderdate AS VARCHAR), 1, 7) AS order_month,
 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 WHERE o.o_orderpriority = '1-URGENT'
 GROUP BY 1
+""",
+    # seasonality-aware anomaly: per-(type, weekday-slot) baseline,
+    # weekday by pure integer date arithmetic, identical z expressions
+    "seasonal_anomaly": """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS x
+  FROM events GROUP BY 1, 2),
+wk AS (SELECT *, (day - DATE '2024-01-01') % 7 AS wd FROM daily),
+base AS (
+  SELECT event_type, wd, CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(CAST(x AS DECIMAL(38,18))) AS DOUBLE) AS s,
+         CAST(sum(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS q
+  FROM wk GROUP BY 1, 2),
+j AS (SELECT w.event_type, w.day, w.x, b.n, b.s, b.q
+      FROM wk w JOIN base b
+        ON w.event_type = b.event_type AND w.wd = b.wd),
+z AS (SELECT event_type, day, x,
+             CASE WHEN (q / n - (s / n) * (s / n)) <= 0 THEN 0.0
+                  ELSE (x - s / n) / sqrt(q / n - (s / n) * (s / n))
+             END AS zv
+      FROM j)
+SELECT event_type, CAST(day AS VARCHAR) AS day,
+       CAST(x AS BIGINT) AS n_events,
+       floor(zv * 10000.0 + 0.5) / 10000.0 AS z,
+       abs(floor(zv * 10000.0 + 0.5) / 10000.0) > 2.0 AS is_anomaly
+FROM z
 """,
     # many-models: per-segment closed-form OLS from one moment
     # aggregation; identical decimal sums + IEEE double algebra

@@ -547,6 +547,46 @@ def q_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 seasonality-aware anomaly detection: each (type, day)
+    count is z-scored against the baseline of the SAME weekday slot —
+    the guard plain z-scoring lacks (a quiet Sunday is normal, the
+    same count on a Tuesday is an incident). Weekday index is pure
+    integer date arithmetic ((day - epoch) % 7 — no locale/engine
+    dayofweek convention in play); baseline moments are decimal sums
+    per (type, slot); z uses identical IEEE expressions on both
+    engines with a var<=0 guard. Everything after the daily rollup is
+    |types x days|-sized."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count("*").alias("x"))
+    wk = daily.withColumn(
+        "wd",
+        F.datediff(F.col("day"), F.lit("2024-01-01").cast("date")) % 7,
+    )
+    base = wk.groupBy("event_type", "wd").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(F.col("x").cast("decimal(38,18)")).cast("double").alias("s"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,18)"))
+        .cast("double")
+        .alias("q"),
+    )
+    j = wk.join(base, ["event_type", "wd"])
+    mean = F.col("s") / F.col("n")
+    var = F.col("q") / F.col("n") - mean * mean
+    z = F.when(var <= 0, F.lit(0.0)).otherwise(
+        (F.col("x") - mean) / F.sqrt(var)
+    )
+    return j.select(
+        "event_type",
+        F.col("day").cast("string").alias("day"),
+        F.col("x").cast("bigint").alias("n_events"),
+        _fround(z, 4).alias("z"),
+        (F.abs(_fround(z, 4)) > F.lit(2.0)).alias("is_anomaly"),
+    )
+
+
 def q_per_group_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.10 many-models training: one closed-form OLS fit PER customer
     segment (y = order total ~ account balance) from a SINGLE
@@ -1801,6 +1841,59 @@ def q_streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.9: Structured Streaming tumbling-window agg, Trigger.AvailableNow
     (deterministic => oracle-checkable against the batch equivalent)."""
     return run_available_now(spark, sf_dir, "1 day", glob="events.parquet")
+
+
+def q_streaming_session_window(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """§2.9 native session windows in Structured Streaming: per-user
+    gap-based sessions (2 h) via F.session_window — the engine merges
+    and extends session state incrementally, bounded by the watermark
+    (contrast q_sessionize, the batch lag+cumsum form of the same
+    semantics). Append mode emits a session only when the watermark
+    passes its end (last event + gap) — the state-eviction moment;
+    sessions still open at stream end are withheld. The oracle
+    replays gap sessionization relationally and applies the exact
+    flush rule (session_end + gap < max ts - 1 h), with the gap
+    boundary end-EXCLUSIVE (an event exactly gap seconds after the
+    last starts a new session), matching session_window's [start,
+    end) semantics."""
+    import shutil
+    import uuid
+
+    from aproximacion_1_etl_spark.streaming.events import read_events_stream
+
+    table = f"stream_sw_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_sw_")
+    s = (
+        read_events_stream(spark, sf_dir, "events.parquet")
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "2 hours"), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format(
+                "session_window.start", "yyyy-MM-dd HH:mm:ss"
+            ).alias("session_start"),
+            F.date_format(
+                "session_window.end", "yyyy-MM-dd HH:mm:ss"
+            ).alias("session_end"),
+            F.col("n_events").cast("bigint").alias("n_events"),
+        )
+    )
+    try:
+        q = (
+            s.writeStream.format("memory")
+            .queryName(table)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.table(table)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
 
 
 def q_streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8357,6 +8450,7 @@ ALL_QUERIES = {
     "range_join_events": q_range_join_events,
     "bloom_prune_join": q_bloom_prune_join,
     "per_group_ols": q_per_group_ols,
+    "seasonal_anomaly": q_seasonal_anomaly,
     "pivot_status": q_pivot_status,
     "grouping_sets": q_grouping_sets,
     "s8_union_schema_drift": q_s8_union_schema_drift,
@@ -8442,6 +8536,7 @@ ALL_QUERIES = {
     "ann_topk_ivfpq": q_ann_topk_ivfpq,
     "streaming_incremental_dedup": q_streaming_incremental_dedup,
     "streaming_windowed_counts": q_streaming_windowed_counts,
+    "streaming_session_window": q_streaming_session_window,
     "q6_forecast_revenue": q_q6_forecast_revenue,
     "q7_nation_volume": q_q7_nation_volume,
     "q10_returned_items": q_q10_returned_items,
