@@ -547,6 +547,53 @@ def q_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 column-level data profiling (the deequ/dbt-docs surface):
+    one row per orders column — null count, exact distinct count, and
+    min/max rendered as strings — computed in ONE fused aggregation
+    pass (every per-column statistic is a conditional aggregate over
+    the same scan; the row count is shared). The profile any
+    ingestion gate diffs run-over-run before accepting a batch. Exact
+    distincts keep the key value-checkable; at 100 TB swap in
+    approx_count_distinct per column (same plan shape, sketch merge
+    instead of exact distinct state)."""
+    o = load_table(spark, sf_dir, "orders")
+    cols = [
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    ]
+    aggs = [F.count("*").alias("_n")]
+    for c in cols:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"nn_{c}"),
+            F.countDistinct(c).cast("bigint").alias(f"nd_{c}"),
+            F.min(c).cast("string").alias(f"mn_{c}"),
+            F.max(c).cast("string").alias(f"mx_{c}"),
+        ]
+    wide = o.agg(*aggs)
+    stacked = ", ".join(
+        f"'{c}', nn_{c}, nd_{c}, mn_{c}, mx_{c}" for c in cols
+    )
+    return wide.selectExpr(
+        "_n",
+        f"stack({len(cols)}, {stacked}) AS "
+        "(column_name, n_null, n_distinct, min_str, max_str)",
+    ).select(
+        "column_name",
+        F.col("_n").cast("bigint").alias("n_rows"),
+        "n_null",
+        "n_distinct",
+        "min_str",
+        "max_str",
+    )
+
+
 def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.10 seasonality-aware anomaly detection: each (type, day)
     count is z-scored against the baseline of the SAME weekday slot —
@@ -8451,6 +8498,7 @@ ALL_QUERIES = {
     "bloom_prune_join": q_bloom_prune_join,
     "per_group_ols": q_per_group_ols,
     "seasonal_anomaly": q_seasonal_anomaly,
+    "table_profile": q_table_profile,
     "pivot_status": q_pivot_status,
     "grouping_sets": q_grouping_sets,
     "s8_union_schema_drift": q_s8_union_schema_drift,
