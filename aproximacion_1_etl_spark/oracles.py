@@ -2836,6 +2836,143 @@ UNION ALL
 SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
        CAST(count(DISTINCT o_orderpriority) AS BIGINT) FROM orders
 """,
+    "max_concurrency": """
+WITH iv AS (
+  SELECT event_type, ts AS s,
+         ts + (60 + event_id % 240) * INTERVAL 1 SECOND AS e
+  FROM events),
+d AS (
+  SELECT event_type, t, sum(delta) AS delta FROM (
+    SELECT event_type, s AS t, 1 AS delta FROM iv
+    UNION ALL SELECT event_type, e AS t, -1 AS delta FROM iv)
+  GROUP BY 1, 2),
+r AS (
+  SELECT event_type, t,
+         CAST(sum(delta) OVER (PARTITION BY event_type ORDER BY t
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS running
+  FROM d),
+p AS (SELECT event_type, max(running) AS peak FROM r GROUP BY 1),
+n AS (SELECT event_type, count(*) AS n_intervals FROM iv GROUP BY 1)
+SELECT r.event_type,
+       CAST(n.n_intervals AS BIGINT) AS n_intervals,
+       CAST(p.peak AS BIGINT) AS peak_concurrency,
+       strftime(min(r.t), '%Y-%m-%d %H:%M:%S') AS peak_at
+FROM r
+JOIN p ON r.event_type = p.event_type AND r.running = p.peak
+JOIN n ON n.event_type = r.event_type
+GROUP BY 1, 2, 3
+ORDER BY 1
+""",
+    "skyline_pareto": """
+WITH pairs AS (
+  SELECT p_brand, p_retailprice AS price, p_size AS size,
+         count(*) AS n_parts
+  FROM part GROUP BY 1, 2, 3)
+SELECT p_brand,
+       floor(price * 100.0 + 0.5) / 100.0 AS price,
+       CAST(size AS INT) AS size,
+       CAST(n_parts AS BIGINT) AS n_parts
+FROM pairs a
+WHERE NOT EXISTS (
+  SELECT 1 FROM pairs b
+  WHERE b.p_brand = a.p_brand
+    AND b.price <= a.price AND b.size >= a.size
+    AND (b.price < a.price OR b.size > a.size))
+""",
+    "interpolate_missing": """
+WITH known AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n_events,
+         CAST(sum(CAST(value AS DECIMAL(38,18))) AS DOUBLE) / count(*) AS mv
+  FROM events GROUP BY 1, 2),
+span AS (SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
+         FROM events),
+days AS (SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+           AS day FROM span),
+spine AS (SELECT t.event_type, d.day
+          FROM (SELECT DISTINCT event_type FROM known) t CROSS JOIN days d),
+g AS (
+  SELECT s.event_type, s.day, k.n_events, k.mv,
+         last_value(CASE WHEN k.n_events IS NOT NULL THEN s.day END
+                    IGNORE NULLS) OVER wp AS pd,
+         last_value(CASE WHEN k.n_events IS NOT NULL THEN k.mv END
+                    IGNORE NULLS) OVER wp AS pv,
+         first_value(CASE WHEN k.n_events IS NOT NULL THEN s.day END
+                     IGNORE NULLS) OVER wn AS nd,
+         first_value(CASE WHEN k.n_events IS NOT NULL THEN k.mv END
+                     IGNORE NULLS) OVER wn AS nv
+  FROM spine s LEFT JOIN known k
+    ON s.event_type = k.event_type AND s.day = k.day
+  WINDOW wp AS (PARTITION BY s.event_type ORDER BY s.day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wn AS (PARTITION BY s.event_type ORDER BY s.day
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+SELECT event_type,
+       strftime(day, '%Y-%m-%d') AS day,
+       CAST(coalesce(n_events, 0) AS BIGINT) AS n_events,
+       floor((CASE WHEN n_events IS NOT NULL THEN mv
+                   WHEN pd IS NULL THEN nv
+                   WHEN nd IS NULL THEN pv
+                   ELSE pv + (nv - pv)
+                        * (CAST(date_diff('day', pd, day) AS DOUBLE)
+                           / CAST(date_diff('day', pd, nd) AS DOUBLE))
+              END) * 10000.0 + 0.5) / 10000.0 AS mean_value,
+       n_events IS NULL AS is_interpolated
+FROM g
+""",
+    "join_cardinality_estimate": """
+WITH
+ol AS (
+  SELECT 'orders_lineitem' AS join_name,
+         (SELECT count(*) FROM orders) AS n_left,
+         (SELECT count(*) FROM lineitem) AS n_right,
+         (SELECT count(DISTINCT o_orderkey) FROM orders) AS ndv_left,
+         (SELECT count(DISTINCT l_orderkey) FROM lineitem) AS ndv_right,
+         (SELECT sum(cl * cr) FROM
+            (SELECT o_orderkey AS k, count(*) AS cl FROM orders GROUP BY 1) a
+            JOIN
+            (SELECT l_orderkey AS k, count(*) AS cr FROM lineitem GROUP BY 1) b
+            USING (k)) AS actual_rows),
+co AS (
+  SELECT 'customer_orders' AS join_name,
+         (SELECT count(*) FROM customer) AS n_left,
+         (SELECT count(*) FROM orders) AS n_right,
+         (SELECT count(DISTINCT c_custkey) FROM customer) AS ndv_left,
+         (SELECT count(DISTINCT o_custkey) FROM orders) AS ndv_right,
+         (SELECT sum(cl * cr) FROM
+            (SELECT c_custkey AS k, count(*) AS cl FROM customer GROUP BY 1) a
+            JOIN
+            (SELECT o_custkey AS k, count(*) AS cr FROM orders GROUP BY 1) b
+            USING (k)) AS actual_rows),
+cs AS (
+  SELECT 'customer_supplier_nation' AS join_name,
+         (SELECT count(*) FROM customer) AS n_left,
+         (SELECT count(*) FROM supplier) AS n_right,
+         (SELECT count(DISTINCT c_nationkey) FROM customer) AS ndv_left,
+         (SELECT count(DISTINCT s_nationkey) FROM supplier) AS ndv_right,
+         (SELECT sum(cl * cr) FROM
+            (SELECT c_nationkey AS k, count(*) AS cl
+             FROM customer GROUP BY 1) a
+            JOIN
+            (SELECT s_nationkey AS k, count(*) AS cr
+             FROM supplier GROUP BY 1) b
+            USING (k)) AS actual_rows),
+u AS (SELECT * FROM ol UNION ALL SELECT * FROM co UNION ALL SELECT * FROM cs)
+SELECT join_name,
+       CAST(n_left AS BIGINT) AS n_left,
+       CAST(n_right AS BIGINT) AS n_right,
+       CAST(ndv_left AS BIGINT) AS ndv_left,
+       CAST(ndv_right AS BIGINT) AS ndv_right,
+       CAST(floor(CAST(n_left AS DOUBLE) * CAST(n_right AS DOUBLE)
+                  / CAST(greatest(ndv_left, ndv_right) AS DOUBLE))
+         AS BIGINT) AS est_rows,
+       CAST(actual_rows AS BIGINT) AS actual_rows,
+       floor((CAST(floor(CAST(n_left AS DOUBLE) * CAST(n_right AS DOUBLE)
+                         / CAST(greatest(ndv_left, ndv_right) AS DOUBLE))
+                AS DOUBLE) - actual_rows)
+             / actual_rows * 100.0 * 100.0 + 0.5) / 100.0 AS err_pct
+FROM u
+""",
     "q4_late_ship_orders": """
 SELECT o_orderpriority, count(*) AS order_count
 FROM orders

@@ -8486,6 +8486,178 @@ def q_spearman_correlation(
     return agg.select("n", _fround(rho, 6).alias("spearman_rho"))
 
 
+def q_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 extension — peak-concurrency sweep line: how many events
+    were "open" at once per type, treating each event as an interval
+    [ts, ts + 60 + event_id % 240 seconds). Two-phase prefix sum
+    (operators/intervals.py): per-instant delta aggregation, day-bucket
+    intra-window, cross-bucket offsets on the tiny bucket summary — no
+    single-task global running sum at any width.
+    """
+    from aproximacion_1_etl_spark.operators.intervals import max_concurrency
+
+    ev = load_table(spark, sf_dir, "events")
+    end = F.expr(
+        "ts + make_dt_interval(0, 0, 0, CAST(60 + event_id % 240 AS DOUBLE))"
+    )
+    return max_concurrency(ev, "event_type", F.col("ts"), end).orderBy(
+        "event_type"
+    )
+
+
+def q_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 extension — per-brand Pareto frontier of parts trading off
+    price (minimize) against size (maximize). Bucket-pruned one-pass
+    skyline (operators/skyline.py) — dedup to distinct pairs, window
+    per (brand, price-bucket), cross-bucket prune on the bucket
+    summary; the oracle is the quadratic NOT EXISTS dominance test the
+    operator avoids.
+    """
+    from aproximacion_1_etl_spark.operators.skyline import pareto_frontier_2d
+
+    p = load_table(spark, sf_dir, "part")
+    front = pareto_frontier_2d(
+        p, minimize="p_retailprice", maximize="p_size", by=["p_brand"]
+    )
+    return front.select(
+        "p_brand",
+        _fround(F.col("p_retailprice"), 2).alias("price"),
+        F.col("p_size").cast("int").alias("size"),
+        F.col("n_rows").cast("bigint").alias("n_parts"),
+    )
+
+
+def q_interpolate_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 extension — linear interpolation of gaps in a per-type
+    daily mean-value series (gap_fill_daily carries the LAST value
+    forward; feature pipelines usually want the line between the
+    surrounding anchors instead). Spine = full calendar span; window
+    state per type is bounded by the span in DAYS (the daily aggregate
+    runs first), so the per-type window never sees raw events —
+    parallelism |types|, partition size |days|.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day = F.to_date("ts").alias("day")
+    known = ev.groupBy("event_type", day).agg(
+        F.count("*").alias("n_events"),
+        (
+            F.sum(F.col("value").cast("decimal(38,18)")).cast("double")
+            / F.count("*")
+        ).alias("mv"),
+    )
+    span = ev.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    days = span.select(F.explode(F.sequence("d0", "d1")).alias("day"))
+    types = known.select("event_type").distinct()
+    spine = types.crossJoin(F.broadcast(days))
+    g = spine.join(known, ["event_type", "day"], "left")
+
+    w_prev = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_next = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    has = F.col("n_events").isNotNull()
+    g = (
+        g.withColumn(
+            "pd", F.last(F.when(has, F.col("day")), True).over(w_prev)
+        )
+        .withColumn("pv", F.last(F.when(has, F.col("mv")), True).over(w_prev))
+        .withColumn(
+            "nd", F.first(F.when(has, F.col("day")), True).over(w_next)
+        )
+        .withColumn(
+            "nv", F.first(F.when(has, F.col("mv")), True).over(w_next)
+        )
+    )
+    ratio = F.datediff("day", "pd").cast("double") / F.datediff(
+        "nd", "pd"
+    ).cast("double")
+    interp = (
+        F.when(has, F.col("mv"))
+        .when(F.col("pd").isNull(), F.col("nv"))
+        .when(F.col("nd").isNull(), F.col("pv"))
+        .otherwise(F.col("pv") + (F.col("nv") - F.col("pv")) * ratio)
+    )
+    return g.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
+        _fround(interp, 4).alias("mean_value"),
+        F.col("n_events").isNull().alias("is_interpolated"),
+    )
+
+
+def q_join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planner-grade join-cardinality diagnostic: for each candidate
+    join, the textbook uniform-NDV estimate |R|x|S|/max(ndv_R, ndv_S)
+    next to the EXACT output size — computed without materializing the
+    join (sum of per-key count products, one aggregate per side + a
+    key-count join, so the "actual" costs two shuffled aggregates on
+    keys, never |R join S| rows). The FK joins estimate exactly; the
+    many-many nation join shows the uniformity error a real optimizer
+    carries into its plan choice — the number AQE's runtime stats are
+    there to correct.
+    """
+
+    def one(name, left, lk, right, rk):
+        ls = left.agg(
+            F.count("*").alias("n_left"),
+            F.count_distinct(F.col(lk)).alias("ndv_left"),
+        )
+        rs = right.agg(
+            F.count("*").alias("n_right"),
+            F.count_distinct(F.col(rk)).alias("ndv_right"),
+        )
+        cl = left.groupBy(F.col(lk).alias("k")).agg(F.count("*").alias("cl"))
+        cr = right.groupBy(F.col(rk).alias("k")).agg(F.count("*").alias("cr"))
+        actual = cl.join(cr, "k").agg(
+            F.sum(F.col("cl") * F.col("cr")).alias("actual_rows")
+        )
+        est = F.floor(
+            F.col("n_left").cast("double")
+            * F.col("n_right").cast("double")
+            / F.greatest("ndv_left", "ndv_right").cast("double")
+        ).cast("bigint")
+        return (
+            ls.crossJoin(F.broadcast(rs))
+            .crossJoin(F.broadcast(actual))
+            .select(
+                F.lit(name).alias("join_name"),
+                F.col("n_left").cast("bigint").alias("n_left"),
+                F.col("n_right").cast("bigint").alias("n_right"),
+                F.col("ndv_left").cast("bigint").alias("ndv_left"),
+                F.col("ndv_right").cast("bigint").alias("ndv_right"),
+                est.alias("est_rows"),
+                F.col("actual_rows").cast("bigint").alias("actual_rows"),
+                _fround(
+                    (est.cast("double") - F.col("actual_rows"))
+                    / F.col("actual_rows")
+                    * 100.0,
+                    2,
+                ).alias("err_pct"),
+            )
+        )
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        one("orders_lineitem", o, "o_orderkey", li, "l_orderkey")
+        .unionByName(one("customer_orders", c, "c_custkey", o, "o_custkey"))
+        .unionByName(
+            one("customer_supplier_nation", c, "c_nationkey", s, "s_nationkey")
+        )
+    )
+
+
 ALL_QUERIES = {
     "flagship_order_lifecycle": q_flagship_order_lifecycle,
     "bm25_topk": q_bm25_topk,
@@ -8599,6 +8771,10 @@ ALL_QUERIES = {
     "incremental_rollup": q_incremental_rollup,
     "m2_merge_evolution": q_m2_merge_evolution,
     "column_profile": q_column_profile,
+    "max_concurrency": q_max_concurrency,
+    "skyline_pareto": q_skyline_pareto,
+    "interpolate_missing": q_interpolate_missing,
+    "join_cardinality_estimate": q_join_cardinality_estimate,
     "tfidf_top_terms": q_tfidf_top_terms,
     "frame_sample": q_frame_sample,
     "repetition_profile": q_repetition_profile,
