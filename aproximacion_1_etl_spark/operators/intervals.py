@@ -18,8 +18,15 @@ standard two-phase prefix sum:
 2. an *intra-bucket* running sum windows over ``(key, day-bucket)``
    partitions, so parallelism is ``|keys| x |days|``;
 3. a *cross-bucket* offset comes from a window over the per-bucket
-   totals — a ``|keys| x |days|``-row relation, trivially small —
-   joined back (broadcast at scale).
+   totals — a ``|keys| x |days|``-row relation, small relative to the
+   boundary relation — joined back. The joins carry NO broadcast
+   hint on purpose: for low-cardinality keys (event types) AQE sees
+   the tiny build side at runtime and broadcasts anyway, while a
+   high-cardinality key (user_id over years of days) makes the
+   offsets relation too big for the driver, and a forced hint there
+   would OOM it. Letting AQE choose is the 100 TB-safe default; the
+   shuffle keys of both joins match the aggregate's keys so the
+   sort-merge fallback re-uses the existing partitioning.
 
 End instants are exclusive (``[start, end)``): an interval ending at
 ``t`` never overlaps one starting at ``t``, which the per-instant
@@ -72,7 +79,7 @@ def max_concurrency(
         key, "_b", F.coalesce(F.sum("bt").over(w_off), F.lit(0)).alias("off")
     )
 
-    running = intra.join(F.broadcast(offsets), [key, "_b"]).withColumn(
+    running = intra.join(offsets, [key, "_b"]).withColumn(
         "running", (F.col("off") + F.col("run_intra")).cast("bigint")
     )
     w_peak = Window.partitionBy(key)
@@ -86,7 +93,7 @@ def max_concurrency(
         )
     )
     counts = iv.groupBy(key).agg(F.count("*").alias("n_intervals"))
-    return peaks.join(F.broadcast(counts), key).select(
+    return peaks.join(counts, key).select(
         key,
         F.col("n_intervals").cast("bigint").alias("n_intervals"),
         F.col("peak_concurrency").cast("bigint").alias("peak_concurrency"),

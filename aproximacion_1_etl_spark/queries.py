@@ -104,6 +104,25 @@ def _ts_str(col) -> F.Column:
     return F.date_format(col, _fmt)
 
 
+def _reclaimed(df: DataFrame, *paths: str) -> DataFrame:
+    """Materialize a bounded result locally and reclaim the temp dirs
+    its plan reads from. Roundtrip/streaming keys write to mkdtemp and
+    would otherwise return a LAZY frame that still scans the dir,
+    pinning it forever (one leaked dir per invocation). Every caller's
+    result is small by construction (|days|-, |statuses|-,
+    |collision-pair|-bounded aggregates — never a fact relation), so
+    collecting it onto the driver is safe; the rebuilt local relation
+    has no file dependency, and rmtree in ``finally`` runs even when
+    the collect itself fails."""
+    import shutil
+
+    try:
+        return df.sparkSession.createDataFrame(df.collect(), df.schema)
+    finally:
+        for p in paths:
+            shutil.rmtree(p, ignore_errors=True)
+
+
 def _artifact_key(sf_dir: str, table: str) -> tuple:
     """Cache key for memoized model artifacts: (sf_dir, source-parquet
     mtime) so a testdata regeneration inside one long-lived process
@@ -406,10 +425,11 @@ def q_s3_s6_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         multiline=False,
     )
     clean, _corrupt = split_corrupt(back)
-    return clean.groupBy("ingest_date").agg(
+    out = clean.groupBy("ingest_date").agg(
         F.count("*").alias("n_orders"),
         _dsum(F.col("totalprice")).alias("day_total"),
     )
+    return _reclaimed(out, path)
 
 
 def q_s9_enrichment_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -776,9 +796,10 @@ def q_s4_metadata_sidecar(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     meta_path = os.path.join(path, "_metadata_out")
     meta.coalesce(1).write.mode("overwrite").json(meta_path)
-    return spark.read.schema(
+    out = spark.read.schema(
         "ingest_date STRING, total_ordenes BIGINT, fallos BIGINT"
     ).json(meta_path)
+    return _reclaimed(out, path)
 
 
 # ------------------------------------------------------- joins / aggregates
@@ -1109,12 +1130,13 @@ def q_s3_partitioned_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         "order_year"
     ).write.mode("overwrite").partitionBy("order_year").parquet(path)
     back = spark.read.parquet(path).filter(F.col("order_year") == 1997)
-    return back.groupBy(
+    out = back.groupBy(
         F.month("o_orderdate").cast("bigint").alias("order_month")
     ).agg(
         F.count("*").alias("n_orders"),
         _dsum(F.col("o_totalprice")).alias("month_total"),
     )
+    return _reclaimed(out, path)
 
 
 def q_streaming_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1502,11 +1524,12 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("header", True)
         .csv(path)
     )
-    return back.groupBy("o_orderstatus").agg(
+    out = back.groupBy("o_orderstatus").agg(
         F.count("*").alias("n"),
         _dsum(F.col("totalprice")).alias("total"),
         F.min("orderdate").alias("first_date"),
     )
+    return _reclaimed(out, path)
 
 
 def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1518,10 +1541,11 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "overwrite"
     ).orc(path)
     back = spark.read.orc(path).filter(F.col("l_returnflag") == "R")
-    return back.groupBy("l_returnflag").agg(
+    out = back.groupBy("l_returnflag").agg(
         F.count("*").alias("n"),
         F.round(F.sum("l_quantity"), 2).alias("qty"),
     )
+    return _reclaimed(out, path)
 
 
 def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1581,15 +1605,23 @@ def q_streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_type")
         .dropDuplicates(["user_id", "event_type"])
     )
+    import shutil
+
+    ckpt = tempfile.mkdtemp(prefix="ckpt_dd_")
     q = (
         stream.writeStream.format("memory")
         .queryName(table)
         .outputMode("append")
         .trigger(availableNow=True)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_dd_"))
+        .option("checkpointLocation", ckpt)
         .start()
     )
-    q.awaitTermination()
+    try:
+        q.awaitTermination()
+    finally:
+        # memory sink holds rows driver-side; the checkpoint is dead
+        # once the AvailableNow run terminates
+        shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(table)
 
 
@@ -2370,7 +2402,9 @@ def q_binary_file_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out_dir = tempfile.mkdtemp(prefix="binsrc_")
     write_doc_files(docs, out_dir)
-    return binary_ingest_manifest(read_binary_files(spark, out_dir))
+    return _reclaimed(
+        binary_ingest_manifest(read_binary_files(spark, out_dir)), out_dir
+    )
 
 
 def q_streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2544,15 +2578,21 @@ def q_streaming_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame
         .dropDuplicatesWithinWatermark(["user_id", "event_type"])
         .select("user_id", "event_type")
     )
+    import shutil
+
+    ckpt = tempfile.mkdtemp(prefix="ckpt_ddw_")
     q = (
         stream.writeStream.format("memory")
         .queryName(table)
         .outputMode("append")
         .trigger(availableNow=True)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_ddw_"))
+        .option("checkpointLocation", ckpt)
         .start()
     )
-    q.awaitTermination()
+    try:
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(table)
 
 
@@ -2608,23 +2648,28 @@ def q_streaming_incremental_dedup(
             word_shingles(batch, distinct=False)
         ).write.mode("append").parquet(store)
 
+    import shutil
+
+    ckpt = tempfile.mkdtemp(prefix="ckpt_sid_")
     q = (
         spark.readStream.schema("doc_id BIGINT, text STRING")
         .option("maxFilesPerTrigger", 1)
         .parquet(os.path.join(src, "*"))
         .writeStream.foreachBatch(handle_batch)
         .trigger(availableNow=True)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_sid_"))
+        .option("checkpointLocation", ckpt)
         .start()
     )
     q.awaitTermination()
     if not os.path.isdir(result):
+        shutil.rmtree(base, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
         return spark.createDataFrame(
             [],
             "doc_new BIGINT, doc_old BIGINT, matching_bands BIGINT, "
             "est_jaccard DOUBLE",
         )
-    return spark.read.parquet(result)
+    return _reclaimed(spark.read.parquet(result), base, ckpt)
 
 
 def q_session_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3713,11 +3758,12 @@ def q_log_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract("value", pat, 4).alias("event_type"),
         F.regexp_extract("value", pat, 5).cast("bigint").alias("cents"),
     )
-    return parsed.groupBy("event_type").agg(
+    out = parsed.groupBy("event_type").agg(
         F.count("*").alias("n"),
         F.sum("cents").alias("total_cents"),
         F.min("event_id").alias("first_event"),
     )
+    return _reclaimed(out, path)
 
 
 def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3835,10 +3881,11 @@ def q_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "partitionOverwriteMode", "dynamic"
     ).partitionBy("order_year").parquet(path)
     final = spark.read.parquet(path)
-    return final.groupBy("order_year").agg(
+    out = final.groupBy("order_year").agg(
         F.count("*").alias("n"),
         _dsum(F.col("o_totalprice")).alias("total"),
     )
+    return _reclaimed(out, path)
 
 
 def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4122,11 +4169,12 @@ def q_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .schema("o_orderkey BIGINT, o_orderstatus STRING, cents BIGINT")
         .load(path)
     )
-    return back.groupBy("o_orderstatus").agg(
+    out = back.groupBy("o_orderstatus").agg(
         F.count("*").alias("n"),
         F.sum("cents").alias("total_cents"),
         F.min("o_orderkey").alias("first_key"),
     )
+    return _reclaimed(out, path)
 
 
 def q_fuzzy_dedup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4487,13 +4535,14 @@ def q_deletion_vector_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
-    path = tempfile.mkdtemp(prefix="graft_dv_") + "/orders_dv"
+    base = tempfile.mkdtemp(prefix="graft_dv_")
+    path = base + "/orders_dv"
     write_snapshot(o, path)
     delete_rows(spark, path, "o_orderkey", "o_orderkey % 7 = 0")
     delete_rows(
         spark, path, "o_orderkey", "o_orderstatus = 'F' AND o_orderkey % 5 = 0"
     )
-    return (
+    out = (
         read_snapshot_with_dv(spark, path)
         .groupBy("o_orderstatus")
         .agg(
@@ -4501,6 +4550,7 @@ def q_deletion_vector_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             _dsum(F.col("o_totalprice")).alias("total"),
         )
     )
+    return _reclaimed(out, base)
 
 
 def q_hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4752,6 +4802,7 @@ def q_streaming_fingerprint_maintenance(
             "append"
         ).parquet(level_log)
 
+    ckpt = tempfile.mkdtemp(prefix="ckpt_sfm_")
     q = (
         spark.readStream.schema(
             "doc_id BIGINT, text STRING, lang STRING, source STRING, "
@@ -4761,19 +4812,20 @@ def q_streaming_fingerprint_maintenance(
         .parquet(os.path.join(src, "*"))
         .writeStream.foreachBatch(handle_batch)
         .trigger(availableNow=True)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_sfm_"))
+        .option("checkpointLocation", ckpt)
         .start()
     )
     q.awaitTermination()
     log = spark.read.parquet(level_log)
     w = Window.partitionBy("pfx").orderBy(F.col("batch_id").desc())
-    return (
+    out = (
         log.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select(
             F.substring("pfx", 2, 2).alias("prefix"), "digest", "n_rows"
         )
     )
+    return _reclaimed(out, base, ckpt)
 
 
 def q_temperature_mix_resample(

@@ -13,6 +13,7 @@ watermark bounds the window state store; the windowed agg shuffles on
 
 from __future__ import annotations
 
+import shutil
 import tempfile
 import uuid
 
@@ -160,15 +161,21 @@ def stream_static_enrich(
             / F.lit(100.0)
         ).alias("sum_value"),
     )
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
     q = (
         agg.writeStream.format("memory")
         .queryName(table)
         .outputMode("complete")
         .trigger(availableNow=True)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .option("checkpointLocation", ckpt)
         .start()
     )
-    q.awaitTermination()
+    try:
+        q.awaitTermination()
+    finally:
+        # memory sink holds rows driver-side; the checkpoint is dead
+        # once the AvailableNow run terminates
+        shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(table)
 
 
@@ -191,13 +198,17 @@ def run_available_now(
         read_events_stream(spark, source_dir, glob), window_duration,
         slide=slide,
     )
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
     q = (
         stream.writeStream.format("memory")
         .queryName(table)
         .outputMode("complete")
         .trigger(availableNow=True)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .option("checkpointLocation", ckpt)
         .start()
     )
-    q.awaitTermination()
+    try:
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(table)

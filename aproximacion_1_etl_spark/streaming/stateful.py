@@ -26,6 +26,7 @@ would put a watermark-sorted window upstream).
 
 from __future__ import annotations
 
+import shutil
 import tempfile
 import uuid
 from typing import Any, Iterable, Iterator
@@ -192,15 +193,19 @@ def run_stateful_sessions(
     stream = sessionize_stateful(
         read_events_stream(spark, source_dir, glob), gap_seconds
     )
+    ckpt = tempfile.mkdtemp(prefix="ckpt_state_")
     q = (
         stream.writeStream.format("memory")
         .queryName(table)
         .outputMode("update")
         .trigger(availableNow=True)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_state_"))
+        .option("checkpointLocation", ckpt)
         .start()
     )
-    q.awaitTermination()
+    try:
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
     return (
         spark.table(table)
         .groupBy("user_id")

@@ -31,6 +31,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from aproximacion_1_etl_spark.queries import (
     ALL_QUERIES,
+    _trained_append_codebook,
     _trained_bpe_merges,
     _trained_codebook,
     _trained_logreg_weights,
@@ -211,6 +212,7 @@ def main() -> None:
         ("pq_codebook_train_sec", _trained_pq_books),
         ("logreg_train_sec", _trained_logreg_weights),
         ("bpe_merges_train_sec", _trained_bpe_merges),
+        ("append_codebook_train_sec", _trained_append_codebook),
     ]:
         t0 = time.time()
         builder(spark, SF_DIR)

@@ -58,6 +58,36 @@ def test_max_concurrency_spans_day_buckets(spark):
     assert r["peak_at"] == "2024-01-02 00:30:00"
 
 
+def test_max_concurrency_high_cardinality_key_no_forced_broadcast(spark):
+    # 5k distinct user keys, two disjoint intervals each: the generic
+    # operator must stay correct AND carry no forced broadcast hint in
+    # its plan — the offsets/counts relations scale with |keys| (x
+    # |day-buckets|), so a hardcoded F.broadcast would OOM the driver
+    # on a high-cardinality key at 100x. Sizing is left to runtime
+    # statistics / AQE, which still broadcasts the genuinely-small case.
+    n_keys = 5000
+    df = (
+        spark.range(n_keys * 2)
+        .select(
+            F.format_string("u%05d", F.col("id") % n_keys).alias("k"),
+            F.timestamp_seconds(
+                F.lit(1704067200)
+                + (F.col("id") % n_keys) * 60
+                + (F.col("id") / n_keys).cast("long") * 10800
+            ).alias("s"),
+        )
+        .withColumn("e", F.col("s") + F.expr("INTERVAL 1 HOUR"))
+    )
+    out = max_concurrency(df, "k", F.col("s"), F.col("e"))
+    analyzed = out._jdf.queryExecution().analyzed().toString()
+    assert "broadcast" not in analyzed.lower()
+    got = out.collect()
+    assert len(got) == n_keys
+    # 1h intervals 3h apart never overlap -> peak is exactly 1 per key
+    assert all(r["n_intervals"] == 2 for r in got)
+    assert all(r["peak_concurrency"] == 1 for r in got)
+
+
 def test_pareto_frontier_matches_bruteforce(spark):
     import itertools
     import random
