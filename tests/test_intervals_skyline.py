@@ -121,6 +121,110 @@ def test_pareto_frontier_matches_bruteforce(spark):
         assert (g, p, s) in want
 
 
+def test_pareto_frontier_2d_ungrouped(spark):
+    # by=None path: one global frontier over the whole relation
+    df = spark.createDataFrame(
+        [(1.0, 10), (1.0, 5), (2.0, 20), (3.0, 15), (2.5, 20), (4.0, 21)],
+        "price double, size int",
+    )
+    got = {
+        (r["price"], r["size"])
+        for r in pareto_frontier_2d(df, "price", "size").collect()
+    }
+    assert got == {(1.0, 10), (2.0, 20), (4.0, 21)}
+
+
+def _kd_bruteforce(rows, k):
+    # rows: (group, c1..ck) where c1 minimized, rest maximized
+    out = set()
+    groups = {r[0] for r in rows}
+    for g in groups:
+        pts = {r[1:] for r in rows if r[0] == g}
+        for p in pts:
+            dominated = any(
+                q != p
+                and q[0] <= p[0]
+                and all(q[i] >= p[i] for i in range(1, k))
+                and (q[0] < p[0] or any(q[i] > p[i] for i in range(1, k)))
+                for q in pts
+            )
+            if not dominated:
+                out.add((g,) + p)
+    return out
+
+
+def test_pareto_kd_matches_bruteforce_both_paths(spark, monkeypatch):
+    import random
+
+    from aproximacion_1_etl_spark.operators import skyline as sk
+
+    rng = random.Random(13)
+    rows = [
+        (g, round(rng.uniform(1, 50), 1), rng.randint(1, 30), rng.randint(1, 9))
+        for g in ("g1", "g2")
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame(rows, "g string, price double, size int, w int")
+    want = _kd_bruteforce(rows, 3)
+
+    def run():
+        return {
+            (r["g"], r["price"], r["size"], r["w"])
+            for r in sk.pareto_frontier_kd(
+                df, minimize=["price"], maximize=["size", "w"], by=["g"]
+            ).collect()
+        }
+
+    # small groups take the single-cell fast path
+    assert run() == want
+    # force the grid path (cell prune + two-phase kernel) on the same
+    # data and require the identical frontier
+    monkeypatch.setattr(sk, "_CELL_TARGET", 16)
+    assert run() == want
+
+
+def test_pareto_kd_degenerate_dimension_reduces_to_2d(spark, monkeypatch):
+    import random
+
+    from aproximacion_1_etl_spark.operators import skyline as sk
+
+    rng = random.Random(99)
+    rows = [
+        ("g", round(rng.uniform(1, 50), 1), rng.randint(1, 30), 7)
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame(rows, "g string, price double, size int, w int")
+    monkeypatch.setattr(sk, "_CELL_TARGET", 16)  # exercise the grid
+    got3 = {
+        (r["g"], r["price"], r["size"])
+        for r in sk.pareto_frontier_kd(
+            df, minimize=["price"], maximize=["size", "w"], by=["g"]
+        ).collect()
+    }
+    got2 = {
+        (r["g"], r["price"], r["size"])
+        for r in pareto_frontier_2d(df, "price", "size", by=["g"]).collect()
+    }
+    # constant third dim: the 3-D frontier IS the 2-D frontier
+    assert got3 == got2
+
+
+def test_pareto_kd_ungrouped(spark):
+    from aproximacion_1_etl_spark.operators.skyline import pareto_frontier_kd
+
+    df = spark.createDataFrame(
+        [(1.0, 10, 1), (2.0, 20, 1), (2.0, 10, 9), (3.0, 20, 9), (1.5, 9, 1)],
+        "price double, size int, w int",
+    )
+    got = {
+        (r["price"], r["size"], r["w"])
+        for r in pareto_frontier_kd(
+            df, minimize=["price"], maximize=["size", "w"]
+        ).collect()
+    }
+    assert got == {(1.0, 10, 1), (2.0, 20, 1), (2.0, 10, 9), (3.0, 20, 9)}
+
+
 def test_pareto_frontier_degenerate_single_price(spark):
     df = spark.createDataFrame(
         [("x", 5.0, 1), ("x", 5.0, 9), ("x", 5.0, 9)],
