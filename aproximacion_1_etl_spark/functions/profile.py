@@ -105,6 +105,92 @@ def corpus_fingerprint(
     ).drop("p")
 
 
+def profile_state(df: DataFrame, cols: list[str]) -> DataFrame:
+    """One-row WIDE mergeable profile state: row count plus per-column
+    null count and TYPED min/max (never stringified — "10" < "9" as
+    strings, so string-rendered extrema don't merge; rendering happens
+    only at presentation time in ``profile_from_states``). This is the
+    deequ-style partial a daily batch persists: merging two states
+    (sum / sum / min / max) gives exactly the state a full rescan
+    would, so a standing table's profile updates per day at
+    O(batch + 1-row state), not O(history)."""
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("_n")]
+    for c in cols:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"_null_{c}"),
+            F.min(c).alias(f"_min_{c}"),
+            F.max(c).alias(f"_max_{c}"),
+        ]
+    return df.agg(*aggs)
+
+
+def distinct_state(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Distinct (column_name, value) pairs in ONE scan (stack, then
+    distinct) — the EXACT-distinct merge state. Cardinality composes
+    across batches by unioning states and re-distincting: state size
+    is O(|distinct values|), never O(history rows) — the same
+    state-outlives-the-batch shape as the incremental-dedup signature
+    store. At 100 TB swap this relation for per-column HLL sketches
+    (hll_sketch_agg / hll_union_agg): identical merge algebra,
+    constant-size state, approximate answer."""
+    stacked = ", ".join(f"'{c}', CAST({c} AS STRING)" for c in cols)
+    return (
+        df.selectExpr(
+            f"stack({len(cols)}, {stacked}) AS (column_name, value)"
+        )
+        .where(F.col("value").isNotNull())
+        .distinct()
+    )
+
+
+def merge_profile_states(states: list[DataFrame], cols: list[str]) -> DataFrame:
+    """Fold any number of wide profile states into one: counts add,
+    extrema min/max — the merge is associative and commutative, so
+    daily states can fold in any order (or tree-reduce)."""
+    allst = states[0]
+    for s in states[1:]:
+        allst = allst.unionByName(s)
+    aggs = [F.sum("_n").cast("bigint").alias("_n")]
+    for c in cols:
+        aggs += [
+            F.sum(f"_null_{c}").cast("bigint").alias(f"_null_{c}"),
+            F.min(f"_min_{c}").alias(f"_min_{c}"),
+            F.max(f"_max_{c}").alias(f"_max_{c}"),
+        ]
+    return allst.agg(*aggs)
+
+
+def profile_from_states(
+    moments: DataFrame, values: DataFrame, cols: list[str]
+) -> DataFrame:
+    """Render (column_name, n_rows, n_null, n_distinct, min_str,
+    max_str) from a wide moment state plus a distinct-value state —
+    the presentation step where typed extrema finally stringify."""
+    stacked = ", ".join(
+        f"'{c}', _null_{c}, CAST(_min_{c} AS STRING), "
+        f"CAST(_max_{c} AS STRING)"
+        for c in cols
+    )
+    long = moments.selectExpr(
+        "_n",
+        f"stack({len(cols)}, {stacked}) AS "
+        "(column_name, n_null, min_str, max_str)",
+    )
+    nd = values.groupBy("column_name").agg(
+        F.count("*").cast("bigint").alias("n_distinct")
+    )
+    return long.join(nd, "column_name", "left").select(
+        "column_name",
+        F.col("_n").alias("n_rows"),
+        "n_null",
+        F.coalesce("n_distinct", F.lit(0)).alias("n_distinct"),
+        "min_str",
+        "max_str",
+    )
+
+
 def row_bucket_hashes(
     df: DataFrame,
     key_col: str,

@@ -133,6 +133,52 @@ def test_column_profile_counts(spark):
     assert prof["b"]["n_distinct"] == 2
 
 
+def test_profile_state_merge_equals_full_recompute(spark):
+    """Mergeable profile algebra: folding three disjoint batch states
+    (out of order) must give exactly the profile a full rescan gives —
+    including null-bearing and all-null-in-one-batch columns and
+    string extrema that would break if merged after stringification
+    ("10" < "9")."""
+    from aproximacion_1_etl_spark.functions.profile import (
+        distinct_state,
+        merge_profile_states,
+        profile_from_states,
+        profile_state,
+    )
+
+    rows = [
+        (1, 9.0, "x"),
+        (2, 10.0, None),
+        (3, None, "y"),
+        (4, 100.0, "x"),
+        (5, 2.0, "z"),
+        (6, None, None),
+    ]
+    df = spark.createDataFrame(rows, "k INT, v DOUBLE, s STRING")
+    cols = ["k", "v", "s"]
+    batches = [
+        df.filter(F.col("k") % 3 == i) for i in (2, 0, 1)  # any order
+    ]
+    merged = profile_from_states(
+        merge_profile_states([profile_state(b, cols) for b in batches], cols),
+        distinct_state(batches[0], cols)
+        .unionByName(distinct_state(batches[1], cols))
+        .unionByName(distinct_state(batches[2], cols))
+        .distinct(),
+        cols,
+    )
+    full = profile_from_states(
+        profile_state(df, cols), distinct_state(df, cols), cols
+    )
+    got = {tuple(r) for r in merged.collect()}
+    want = {tuple(r) for r in full.collect()}
+    assert got == want
+    # numeric extrema merged on TYPED values: min 2.0, max 100.0 (a
+    # string merge would pick "10" as min and "9.0" as max)
+    v = {r[0]: r for r in merged.collect()}["v"]
+    assert v[4] == "2.0" and v[5] == "100.0"
+
+
 def test_merge_upsert_delete_semantics(spark):
     from aproximacion_1_etl_spark.operators.refine import merge_upsert_delete
 
