@@ -2864,6 +2864,37 @@ JOIN n ON n.event_type = r.event_type
 GROUP BY 1, 2, 3
 ORDER BY 1
 """,
+    # the streamed sweep line must equal the batch sweep line —
+    # identical oracle, so any drift in the incremental state
+    # maintenance fails the hash gate
+    "streaming_max_concurrency": """
+WITH iv AS (
+  SELECT event_type, ts AS s,
+         ts + (60 + event_id % 240) * INTERVAL 1 SECOND AS e
+  FROM events),
+d AS (
+  SELECT event_type, t, sum(delta) AS delta FROM (
+    SELECT event_type, s AS t, 1 AS delta FROM iv
+    UNION ALL SELECT event_type, e AS t, -1 AS delta FROM iv)
+  GROUP BY 1, 2),
+r AS (
+  SELECT event_type, t,
+         CAST(sum(delta) OVER (PARTITION BY event_type ORDER BY t
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS running
+  FROM d),
+p AS (SELECT event_type, max(running) AS peak FROM r GROUP BY 1),
+n AS (SELECT event_type, count(*) AS n_intervals FROM iv GROUP BY 1)
+SELECT r.event_type,
+       CAST(n.n_intervals AS BIGINT) AS n_intervals,
+       CAST(p.peak AS BIGINT) AS peak_concurrency,
+       strftime(min(r.t), '%Y-%m-%d %H:%M:%S') AS peak_at
+FROM r
+JOIN p ON r.event_type = p.event_type AND r.running = p.peak
+JOIN n ON n.event_type = r.event_type
+GROUP BY 1, 2, 3
+ORDER BY 1
+""",
     "skyline_pareto": """
 WITH pairs AS (
   SELECT p_brand, p_retailprice AS price, p_size AS size,
@@ -2879,6 +2910,24 @@ WHERE NOT EXISTS (
   WHERE b.p_brand = a.p_brand
     AND b.price <= a.price AND b.size >= a.size
     AND (b.price < a.price OR b.size > a.size))
+""",
+    "skyline_pareto_3d": """
+WITH pairs AS (
+  SELECT p_type, p_retailprice AS price, CAST(p_size AS INT) AS size,
+         CAST(length(p_name) AS INT) AS name_len, count(*) AS n_parts
+  FROM part GROUP BY 1, 2, 3, 4)
+SELECT p_type,
+       floor(price * 100.0 + 0.5) / 100.0 AS price,
+       size, name_len,
+       CAST(n_parts AS BIGINT) AS n_parts
+FROM pairs a
+WHERE NOT EXISTS (
+  SELECT 1 FROM pairs b
+  WHERE b.p_type = a.p_type
+    AND b.price <= a.price AND b.size >= a.size
+    AND b.name_len >= a.name_len
+    AND (b.price < a.price OR b.size > a.size
+         OR b.name_len > a.name_len))
 """,
     "interpolate_missing": """
 WITH known AS (
@@ -4666,6 +4715,50 @@ UNION ALL SELECT 'o_orderdate', CAST(_n AS BIGINT), CAST(nn5 AS BIGINT),
        CAST(nd5 AS BIGINT), mn5, mx5 FROM w
 UNION ALL SELECT 'o_orderpriority', CAST(_n AS BIGINT), CAST(nn6 AS BIGINT),
        CAST(nd6 AS BIGINT), mn6, mx6 FROM w
+""",
+    # mergeable incremental profile: merged state must equal a full
+    # recompute, so the oracle IS the full profile with TRUE pinned
+    "incremental_profile": """
+WITH w AS (
+  SELECT count(*) AS _n,
+         sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS nn1,
+         count(DISTINCT o_orderkey) AS nd1,
+         CAST(min(o_orderkey) AS VARCHAR) AS mn1,
+         CAST(max(o_orderkey) AS VARCHAR) AS mx1,
+         sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS nn2,
+         count(DISTINCT o_custkey) AS nd2,
+         CAST(min(o_custkey) AS VARCHAR) AS mn2,
+         CAST(max(o_custkey) AS VARCHAR) AS mx2,
+         sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS nn3,
+         count(DISTINCT o_orderstatus) AS nd3,
+         CAST(min(o_orderstatus) AS VARCHAR) AS mn3,
+         CAST(max(o_orderstatus) AS VARCHAR) AS mx3,
+         sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS nn4,
+         count(DISTINCT o_totalprice) AS nd4,
+         CAST(min(o_totalprice) AS VARCHAR) AS mn4,
+         CAST(max(o_totalprice) AS VARCHAR) AS mx4,
+         sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS nn5,
+         count(DISTINCT o_orderdate) AS nd5,
+         CAST(min(o_orderdate) AS VARCHAR) AS mn5,
+         CAST(max(o_orderdate) AS VARCHAR) AS mx5,
+         sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS nn6,
+         count(DISTINCT o_orderpriority) AS nd6,
+         CAST(min(o_orderpriority) AS VARCHAR) AS mn6,
+         CAST(max(o_orderpriority) AS VARCHAR) AS mx6
+  FROM orders)
+SELECT 'o_orderkey' AS column_name, CAST(_n AS BIGINT) AS n_rows,
+       CAST(nn1 AS BIGINT) AS n_null, CAST(nd1 AS BIGINT) AS n_distinct,
+       mn1 AS min_str, mx1 AS max_str, TRUE AS matches_full FROM w
+UNION ALL SELECT 'o_custkey', CAST(_n AS BIGINT), CAST(nn2 AS BIGINT),
+       CAST(nd2 AS BIGINT), mn2, mx2, TRUE FROM w
+UNION ALL SELECT 'o_orderstatus', CAST(_n AS BIGINT), CAST(nn3 AS BIGINT),
+       CAST(nd3 AS BIGINT), mn3, mx3, TRUE FROM w
+UNION ALL SELECT 'o_totalprice', CAST(_n AS BIGINT), CAST(nn4 AS BIGINT),
+       CAST(nd4 AS BIGINT), mn4, mx4, TRUE FROM w
+UNION ALL SELECT 'o_orderdate', CAST(_n AS BIGINT), CAST(nn5 AS BIGINT),
+       CAST(nd5 AS BIGINT), mn5, mx5, TRUE FROM w
+UNION ALL SELECT 'o_orderpriority', CAST(_n AS BIGINT), CAST(nn6 AS BIGINT),
+       CAST(nd6 AS BIGINT), mn6, mx6, TRUE FROM w
 """,
     # seasonality-aware anomaly: per-(type, weekday-slot) baseline,
     # weekday by pure integer date arithmetic, identical z expressions

@@ -570,13 +570,24 @@ def q_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.10 column-level data profiling (the deequ/dbt-docs surface):
     one row per orders column — null count, exact distinct count, and
-    min/max rendered as strings — computed in ONE fused aggregation
-    pass (every per-column statistic is a conditional aggregate over
-    the same scan; the row count is shared). The profile any
+    min/max rendered as strings. The profile any
     ingestion gate diffs run-over-run before accepting a batch. Exact
     distincts keep the key value-checkable; at 100 TB swap in
-    approx_count_distinct per column (same plan shape, sketch merge
-    instead of exact distinct state)."""
+    approx_count_distinct per column (sketch merge instead of exact
+    distinct state).
+
+    Built on the mergeable state helpers (functions/profile.py): a
+    moments pass (counts/nulls/typed extrema, one fused aggregation)
+    plus a stacked distinct-value pass. Two scans beat the previous
+    single-scan N-way ``countDistinct``: Catalyst's expand rewrite
+    multiplied every row by |columns| before aggregating — measured
+    3.3 s -> sub-second at sf0.1 for the same answer."""
+    from aproximacion_1_etl_spark.functions.profile import (
+        distinct_state,
+        profile_from_states,
+        profile_state,
+    )
+
     o = load_table(spark, sf_dir, "orders")
     cols = [
         "o_orderkey",
@@ -586,31 +597,75 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderdate",
         "o_orderpriority",
     ]
-    aggs = [F.count("*").alias("_n")]
-    for c in cols:
-        aggs += [
-            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
-            .cast("bigint")
-            .alias(f"nn_{c}"),
-            F.countDistinct(c).cast("bigint").alias(f"nd_{c}"),
-            F.min(c).cast("string").alias(f"mn_{c}"),
-            F.max(c).cast("string").alias(f"mx_{c}"),
-        ]
-    wide = o.agg(*aggs)
-    stacked = ", ".join(
-        f"'{c}', nn_{c}, nd_{c}, mn_{c}, mx_{c}" for c in cols
+    return profile_from_states(
+        profile_state(o, cols), distinct_state(o, cols), cols
     )
-    return wide.selectExpr(
-        "_n",
-        f"stack({len(cols)}, {stacked}) AS "
-        "(column_name, n_null, n_distinct, min_str, max_str)",
-    ).select(
+
+
+def q_incremental_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 MERGEABLE table profile — the run-over-run diff gate the
+    reference's daily loop (app.py:142-147) actually needs:
+    ``table_profile`` rescans the table; here the standing table's
+    profile state (1-row typed moments + a distinct-value relation,
+    functions/profile.py) absorbs a new day's batch WITHOUT rescanning
+    history — counts add, extrema min/max, distinct states union.
+    The last two months play the incoming batch; the emitted profile
+    is the MERGED one, and ``matches_full`` asserts per column that
+    merge == recompute (the oracle pins it TRUE, so a broken merge
+    algebra fails the hash gate, not just a pytest)."""
+    from aproximacion_1_etl_spark.functions.profile import (
+        distinct_state,
+        merge_profile_states,
+        profile_from_states,
+        profile_state,
+    )
+
+    cols = [
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    ]
+    o = load_table(spark, sf_dir, "orders")
+    hist = o.filter(F.col("o_orderdate") < "2001-06-01")
+    batch = o.filter(F.col("o_orderdate") >= "2001-06-01")
+
+    merged = profile_from_states(
+        merge_profile_states(
+            [profile_state(hist, cols), profile_state(batch, cols)], cols
+        ),
+        distinct_state(hist, cols)
+        .unionByName(distinct_state(batch, cols))
+        .distinct(),
+        cols,
+    )
+    full = profile_from_states(
+        profile_state(o, cols), distinct_state(o, cols), cols
+    )
+    f = full.select(
         "column_name",
-        F.col("_n").cast("bigint").alias("n_rows"),
+        *[
+            F.col(c).alias("_f_" + c)
+            for c in ["n_rows", "n_null", "n_distinct", "min_str", "max_str"]
+        ],
+    )
+    same = (
+        (F.col("n_rows") == F.col("_f_n_rows"))
+        & (F.col("n_null") == F.col("_f_n_null"))
+        & (F.col("n_distinct") == F.col("_f_n_distinct"))
+        & F.col("min_str").eqNullSafe(F.col("_f_min_str"))
+        & F.col("max_str").eqNullSafe(F.col("_f_max_str"))
+    )
+    return merged.join(f, "column_name").select(
+        "column_name",
+        "n_rows",
         "n_null",
         "n_distinct",
         "min_str",
         "max_str",
+        same.alias("matches_full"),
     )
 
 
@@ -6796,6 +6851,286 @@ def q_streaming_cusum_monitor(
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
+def q_streaming_max_concurrency(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """§2.9 + §2.10: the peak-concurrency sweep line AS A STREAM — so
+    capacity monitoring doesn't rescan all history daily (the batch
+    ``max_concurrency`` is the one-shot equivalent; this key proves
+    the same statistic maintains incrementally). Events arrive in two
+    day-ordered waves; foreachBatch keeps, per event type:
+
+    - a finalized summary (running offset = concurrency entering the
+      unfinalized region, peak so far + its first instant, interval
+      count) — O(|keys|);
+    - the unfinalized TAIL of boundary deltas — only instants the
+      event-time watermark hasn't passed. Interval length is bounded
+      (<= 300 s here) and waves are day-disjoint and ordered, so every
+      future delta lands at/after the day after the batch's max start
+      day: deltas before that cutoff fold into the summary (running
+      sum continues FROM the stored offset) and are discarded. State
+      is O(|keys| x |tail instants|), never O(history).
+
+    Cross-wave end/start collisions at the same instant stay exact
+    because the tail holds raw deltas: a wave-1 "-1" parked at t
+    merges with wave-2's "+1" at t before any running sum sees them
+    (the [start, end) exclusivity rule). The intra-batch running sum
+    windows per key over one batch's deltas; at 100 TB that window is
+    the bucketed two-phase form of operators/intervals.py. Final
+    state value-checks against the batch oracle."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type"
+    )
+    return _run_streaming_max_concurrency(spark, ev, "2024-01-16")
+
+
+def _run_streaming_max_concurrency(
+    spark: SparkSession, ev: DataFrame, split_day: str
+) -> DataFrame:
+    """Two-wave foreachBatch sweep-line maintenance over ``ev``
+    (event_id, ts, event_type); see q_streaming_max_concurrency."""
+    import shutil
+    import time as _time
+    base = tempfile.mkdtemp(prefix="graft_smc_")
+    ckpt = tempfile.mkdtemp(prefix="ckpt_smc_")
+    src = os.path.join(base, "src")
+    summary_log = os.path.join(base, "summary")
+    tail_log = os.path.join(base, "tail")
+
+    def _latest_summary(bspark):
+        if not os.path.isdir(summary_log):
+            return None
+        return (
+            bspark.read.parquet(summary_log)
+            .withColumn(
+                "_rn",
+                F.row_number().over(
+                    Window.partitionBy("event_type").orderBy(
+                        F.col("batch_id").desc()
+                    )
+                ),
+            )
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "batch_id")
+        )
+
+    def _latest_tail(bspark):
+        if not os.path.isdir(tail_log):
+            return None
+        t = bspark.read.parquet(tail_log)
+        mx = t.agg(F.max("batch_id")).collect()[0][0]
+        return t.filter(F.col("batch_id") == mx).drop("batch_id")
+
+    def handle_batch(batch, batch_id: int) -> None:
+        bspark = batch.sparkSession
+        iv = batch.select(
+            "event_type",
+            F.col("ts").alias("s"),
+            F.expr(
+                "ts + make_dt_interval(0, 0, 0, "
+                "CAST(60 + event_id % 240 AS DOUBLE))"
+            ).alias("e"),
+        )
+        bd = (
+            iv.select("event_type", F.col("s").alias("t"), F.lit(1).alias("d"))
+            .unionByName(
+                iv.select(
+                    "event_type", F.col("e").alias("t"), F.lit(-1).alias("d")
+                )
+            )
+            .groupBy("event_type", "t")
+            .agg(F.sum("d").cast("bigint").alias("delta"))
+        )
+        prior = _latest_summary(bspark)
+        tail = _latest_tail(bspark)
+        if tail is not None:
+            bd = (
+                bd.unionByName(tail)
+                .groupBy("event_type", "t")
+                .agg(F.sum("delta").cast("bigint").alias("delta"))
+            )
+        # watermark cutoff: waves are day-ordered, intervals <= 300 s,
+        # so no future boundary can land before the day after this
+        # batch's max start day
+        max_day = iv.agg(F.max(F.to_date("s"))).collect()[0][0]
+        cutoff = (
+            F.lit(str(max_day)).cast("date") + F.expr("INTERVAL 1 DAY")
+        ).cast("timestamp")
+        fin = bd.filter(F.col("t") < cutoff)
+        new_tail = bd.filter(F.col("t") >= cutoff)
+
+        # keys never seen before (first batch, or a type debuting in a
+        # later wave) start from zero state
+        keys = bd.select("event_type").distinct()
+        zero = keys.select(
+            "event_type",
+            F.lit(0).cast("bigint").alias("offset"),
+            F.lit(None).cast("bigint").alias("peak"),
+            F.lit(None).cast("timestamp").alias("peak_at"),
+            F.lit(0).cast("bigint").alias("n_intervals"),
+        )
+        if prior is None:
+            prior = zero
+        else:
+            prior = prior.unionByName(
+                zero.join(prior, "event_type", "left_anti")
+            )
+        wrun = (
+            Window.partitionBy("event_type")
+            .orderBy("t")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        run = (
+            fin.join(prior.select("event_type", "offset"), "event_type")
+            .withColumn(
+                "running", F.col("offset") + F.sum("delta").over(wrun)
+            )
+        )
+        wb = Window.partitionBy("event_type").orderBy(
+            F.col("running").desc(), F.col("t").asc()
+        )
+        chunk_best = (
+            run.withColumn("_rn", F.row_number().over(wb))
+            .filter(F.col("_rn") == 1)
+            .select(
+                "event_type",
+                F.col("running").alias("c_peak"),
+                F.col("t").alias("c_at"),
+            )
+        )
+        fin_sums = fin.groupBy("event_type").agg(
+            F.sum("delta").cast("bigint").alias("fin_delta")
+        )
+        n_new = iv.groupBy("event_type").agg(
+            F.count("*").cast("bigint").alias("n_new")
+        )
+        upd = (
+            prior.join(chunk_best, "event_type", "left")
+            .join(fin_sums, "event_type", "left")
+            .join(n_new, "event_type", "left")
+            .select(
+                "event_type",
+                (
+                    F.col("offset") + F.coalesce("fin_delta", F.lit(0))
+                ).alias("offset"),
+                # better chunk peak wins; ties keep the EARLIER instant
+                F.when(
+                    F.col("peak").isNull()
+                    | (F.col("c_peak") > F.col("peak")),
+                    F.col("c_peak"),
+                )
+                .otherwise(F.col("peak"))
+                .alias("peak"),
+                F.when(
+                    F.col("peak").isNull()
+                    | (F.col("c_peak") > F.col("peak")),
+                    F.col("c_at"),
+                )
+                .otherwise(F.col("peak_at"))
+                .alias("peak_at"),
+                (
+                    F.col("n_intervals") + F.coalesce("n_new", F.lit(0))
+                ).alias("n_intervals"),
+            )
+        )
+        upd.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(summary_log)
+        new_tail.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(tail_log)
+
+    try:
+        ev.filter(
+            F.col("ts").cast("date") < split_day
+        ).coalesce(1).write.parquet(os.path.join(src, "w1"))
+        ev.filter(
+            F.col("ts").cast("date") >= split_day
+        ).coalesce(1).write.parquet(os.path.join(src, "w2"))
+        now = _time.time()
+        for d, ts in (("w1", now - 120), ("w2", now - 60)):
+            pdir = os.path.join(src, d)
+            for f in os.listdir(pdir):
+                os.utime(os.path.join(pdir, f), (ts, ts))
+        q = (
+            spark.readStream.schema(
+                "event_id BIGINT, ts TIMESTAMP, event_type STRING"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(src, "*"))
+            .writeStream.foreachBatch(handle_batch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+
+        # end-of-stream flush: fold the remaining tail (cutoff = inf)
+        summ = _latest_summary(spark)
+        tail = _latest_tail(spark)
+        wrun = (
+            Window.partitionBy("event_type")
+            .orderBy("t")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        wb = Window.partitionBy("event_type").orderBy(
+            F.col("running").desc(), F.col("t").asc()
+        )
+        tail_best = (
+            tail.join(summ.select("event_type", "offset"), "event_type")
+            .withColumn(
+                "running", F.col("offset") + F.sum("delta").over(wrun)
+            )
+            .withColumn("_rn", F.row_number().over(wb))
+            .filter(F.col("_rn") == 1)
+            .select(
+                "event_type",
+                F.col("running").alias("c_peak"),
+                F.col("t").alias("c_at"),
+            )
+        )
+        final = (
+            summ.join(tail_best, "event_type", "left")
+            .select(
+                "event_type",
+                "n_intervals",
+                F.when(
+                    F.col("c_peak").isNotNull()
+                    & (
+                        F.col("peak").isNull()
+                        | (F.col("c_peak") > F.col("peak"))
+                    ),
+                    F.col("c_peak"),
+                )
+                .otherwise(F.col("peak"))
+                .alias("peak_concurrency"),
+                F.when(
+                    F.col("c_peak").isNotNull()
+                    & (
+                        F.col("peak").isNull()
+                        | (F.col("c_peak") > F.col("peak"))
+                    ),
+                    F.col("c_at"),
+                )
+                .otherwise(F.col("peak_at"))
+                .alias("peak_at"),
+            )
+            .select(
+                "event_type",
+                "n_intervals",
+                "peak_concurrency",
+                F.date_format("peak_at", "yyyy-MM-dd HH:mm:ss").alias(
+                    "peak_at"
+                ),
+            )
+            .orderBy("event_type")
+        )
+        return spark.createDataFrame(final.collect(), final.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
 def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.10 survival analysis: Kaplan-Meier time-to-first-purchase
     after first signup, with administrative right-censoring at corpus
@@ -8579,6 +8914,38 @@ def q_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_skyline_pareto_3d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 extension — k-D (here 3-D) Pareto frontier per part type:
+    minimize price, maximize size AND name length (the stand-in third
+    attribute on the catalog-shaped part table). Grid skyline
+    (operators/skyline.py::pareto_frontier_kd): equi-depth bucket every
+    dimension, prune whole grid cells dominated cell-vs-cell, run the
+    quadratic dominance kernel only inside surviving cells, then over
+    the frontier-sized candidate union — never over the raw relation.
+    The oracle is the all-pairs NOT EXISTS the operator avoids."""
+    from aproximacion_1_etl_spark.operators.skyline import pareto_frontier_kd
+
+    p = load_table(spark, sf_dir, "part").select(
+        "p_type",
+        F.col("p_retailprice").alias("price"),
+        F.col("p_size").cast("int").alias("size"),
+        F.length("p_name").cast("int").alias("name_len"),
+    )
+    front = pareto_frontier_kd(
+        p,
+        minimize=["price"],
+        maximize=["size", "name_len"],
+        by=["p_type"],
+    )
+    return front.select(
+        "p_type",
+        _fround(F.col("price"), 2).alias("price"),
+        F.col("size").cast("int").alias("size"),
+        F.col("name_len").cast("int").alias("name_len"),
+        F.col("n_rows").cast("bigint").alias("n_parts"),
+    )
+
+
 def q_interpolate_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.6 extension — linear interpolation of gaps in a per-type
     daily mean-value series (gap_fill_daily carries the LAST value
@@ -8825,6 +9192,9 @@ ALL_QUERIES = {
     "column_profile": q_column_profile,
     "max_concurrency": q_max_concurrency,
     "skyline_pareto": q_skyline_pareto,
+    "skyline_pareto_3d": q_skyline_pareto_3d,
+    "incremental_profile": q_incremental_profile,
+    "streaming_max_concurrency": q_streaming_max_concurrency,
     "interpolate_missing": q_interpolate_missing,
     "join_cardinality_estimate": q_join_cardinality_estimate,
     "tfidf_top_terms": q_tfidf_top_terms,

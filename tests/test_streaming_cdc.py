@@ -114,6 +114,64 @@ def test_available_now_checkpoint_resume_is_incremental(spark, sf_dir):
     assert out.select("o_orderkey").distinct().count() == o.count()
 
 
+def test_streaming_max_concurrency_matches_batch_on_edges(spark):
+    """The streamed sweep line must equal the batch operator on the
+    constructed edge cases: an interval chain crossing the wave
+    boundary, a wave-1 end colliding with a wave-2 start at the SAME
+    instant (half-open exclusivity across batches), and a type that
+    only debuts in wave 2 (no prior state row)."""
+    import datetime
+
+    from aproximacion_1_etl_spark.operators.intervals import max_concurrency
+    from aproximacion_1_etl_spark.queries import (
+        _run_streaming_max_concurrency,
+    )
+
+    def ts(s):
+        return datetime.datetime.fromisoformat(s)
+
+    # duration = 60 + event_id % 240 seconds
+    rows = [
+        # type a, wave 1: two overlapping intervals (peak 2 in wave 1)
+        (0, ts("2024-01-15 10:00:00"), "a"),   # [10:00:00, 10:01:00)
+        (30, ts("2024-01-15 10:00:30"), "a"),  # [10:00:30, 10:02:00)
+        # type a: ends at EXACTLY midnight (tail delta at the cutoff),
+        # wave-2 interval starts at that same instant -> never overlap
+        (0, ts("2024-01-15 23:59:00"), "a"),   # [23:59:00, 00:00:00)
+        (0, ts("2024-01-16 00:00:00"), "a"),   # [00:00:00, 00:01:00)
+        # type b: debuts in wave 2 only
+        (120, ts("2024-01-17 08:00:00"), "b"),  # 180 s
+        (121, ts("2024-01-17 08:01:00"), "b"),  # 181 s, overlaps
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id BIGINT, ts TIMESTAMP, event_type STRING"
+    )
+    got = {
+        r["event_type"]: r
+        for r in _run_streaming_max_concurrency(
+            spark, ev, "2024-01-16"
+        ).collect()
+    }
+    end = F.expr(
+        "ts + make_dt_interval(0, 0, 0, CAST(60 + event_id % 240 AS DOUBLE))"
+    )
+    want = {
+        r["event_type"]: r
+        for r in max_concurrency(
+            ev, "event_type", F.col("ts"), end
+        ).collect()
+    }
+    assert set(got) == {"a", "b"}
+    for k in got:
+        assert got[k]["peak_concurrency"] == want[k]["peak_concurrency"], k
+        assert got[k]["peak_at"] == want[k]["peak_at"], k
+        assert got[k]["n_intervals"] == want[k]["n_intervals"], k
+    # the midnight chain never overlaps: wave-1 peak of 2 must win
+    assert got["a"]["peak_concurrency"] == 2
+    assert got["a"]["peak_at"] == "2024-01-15 10:00:30"
+    assert got["b"]["peak_concurrency"] == 2
+
+
 def test_foreachbatch_publishes_versioned_snapshots(spark, sf_dir):
     """foreachBatch + versioned snapshots: each micro-batch folds into
     the running master and publishes as a NEW table version (atomic
