@@ -169,6 +169,17 @@ HEADLINE = [
     "vocab_gini",
     "benford_audit",
     "spearman_correlation",
+    # round-5 analytics keys (added to the measured set in r6): sweep-
+    # line concurrency, 2-D skyline, gap interpolation, planner-style
+    # cardinality estimation, one-pass profiler, weekday-slot anomaly
+    "max_concurrency",
+    "skyline_pareto",
+    "interpolate_missing",
+    "join_cardinality_estimate",
+    "table_profile",
+    "seasonal_anomaly",
+    # round-6: mergeable profile state (merge == recompute gate)
+    "incremental_profile",
     # Python-worker queries LAST: applyInPandas spins up 32 Python
     # workers and leaves GC pressure that inflates the next JVM-only
     # query by ~3x (measured: dedup_minhash_lsh 6.96s after it vs 1.9s
@@ -176,6 +187,8 @@ HEADLINE = [
     "grouped_pandas_stats",
     "cogrouped_pandas_join",
     "rerank_crossencoder",
+    # round-6: adaptive-grid k-D skyline (Arrow dominance kernel)
+    "skyline_pareto_3d",
     # round-2 session-2 newcomer: the LLM-pipeline flagship composite
     "corpus_to_sequences",
 ]

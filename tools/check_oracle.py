@@ -5,7 +5,10 @@ Runs every ``queries()`` entry at sf=0.01 and its DuckDB oracle, then
 compares row count, column names, and an order-insensitive value
 multiset (columns sorted by name). Usage:
 
-    python tools/check_oracle.py [query ...]   # default: all
+    python tools/check_oracle.py [query ...]          # default: all
+    python tools/check_oracle.py --json OUT.json ...  # also write a
+        committable per-key artifact so full-catalog pass claims are
+        auditable from the repo, not just session logs
 """
 
 from __future__ import annotations
@@ -55,7 +58,7 @@ def normalize(rows, cols):
     )
 
 
-def main(selected: list[str]) -> int:
+def main(selected: list[str], json_out: str | None = None) -> int:
     spark = get_spark("oracle-check", shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
@@ -67,6 +70,7 @@ def main(selected: list[str]) -> int:
     oracles = entrymod.oracle_sql()
     names = selected or list(qs)
     failures = []
+    record: dict[str, dict] = {}
     for name in names:
         t0 = time.time()
         try:
@@ -75,11 +79,17 @@ def main(selected: list[str]) -> int:
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             failures.append(name)
+            record[name] = {"pass": False, "mode": "error", "err": str(e)[:200]}
             print(f"FAIL  {name}: spark error: {e}")
             continue
         if name not in oracles:
             print(f"SKIP  {name}: rows-only ({len(srows)} rows, "
                   f"{time.time()-t0:.1f}s)")
+            record[name] = {
+                "pass": bool(srows),
+                "mode": "rows_only",
+                "rows": len(srows),
+            }
             if not srows:
                 failures.append(name)
             continue
@@ -106,12 +116,41 @@ def main(selected: list[str]) -> int:
                 status.append(f"values differ, first diffs: {diffs}")
         if status:
             failures.append(name)
+            record[name] = {
+                "pass": False,
+                "mode": "value_hash",
+                "detail": "; ".join(status)[:200],
+            }
             print(f"FAIL  {name}: {'; '.join(status)}")
         else:
+            record[name] = {
+                "pass": True,
+                "mode": "value_hash",
+                "rows": len(srows),
+                "secs": round(time.time() - t0, 1),
+            }
             print(f"OK    {name} ({len(srows)} rows, {time.time()-t0:.1f}s)")
     print(f"\n{len(names) - len(failures)}/{len(names)} passed")
+    if json_out:
+        import json
+
+        payload = {
+            "sf_dir": SF_DIR,
+            "n_pass": len(names) - len(failures),
+            "n_total": len(names),
+            "keys": record,
+        }
+        with open(json_out, "w") as f:
+            json.dump(payload, f, indent=1, sort_keys=True)
+        print(f"wrote {json_out}")
     return 1 if failures else 0
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1:]))
+    argv = sys.argv[1:]
+    out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        out = argv[i + 1]
+        argv = argv[:i] + argv[i + 2 :]
+    sys.exit(main(argv, out))
