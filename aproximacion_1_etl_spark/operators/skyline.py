@@ -182,11 +182,20 @@ def pareto_frontier_kd(
     maximize: list[str],
     by: list[str] | None = None,
     n_buckets: int = 8,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Per-group distinct criterion tuples on the k-D Pareto frontier
     (dominated = another tuple <= on every minimized column, >= on
     every maximized column, strict somewhere), with ``n_rows`` = input
-    rows carrying the tuple.
+    rows carrying the tuple (or the sum of ``weight_col`` when given —
+    the re-merge path of the incremental frontier, where inputs are
+    already (tuple, count) partials).
+
+    The frontier is MERGEABLE: frontier(A ∪ B) =
+    frontier(frontier(A) ∪ frontier(B)), because any point dominated
+    inside a batch is dominated by a batch-mate that itself survives
+    into the union. So daily frontiers fold into a standing frontier
+    at O(batch + |frontier|) — never a history rescan.
 
     Output: ``by + minimize + maximize + [n_rows]``. Exact and
     deterministic — the grid prunes work, never answers.
@@ -203,7 +212,10 @@ def pareto_frontier_kd(
     out_by = list(by or [])
     minimize, maximize = list(minimize), list(maximize)
     crits = minimize + maximize
-    pairs = df.groupBy(*out_by, *crits).agg(F.count("*").alias("n_rows"))
+    weight = (
+        F.sum(weight_col) if weight_col else F.count("*")
+    ).cast("bigint")
+    pairs = df.groupBy(*out_by, *crits).agg(weight.alias("n_rows"))
     # grouped-pandas stages need >= 1 grouping column; ungrouped runs
     # get a constant internal group (single global frontier)
     by = out_by or ["_g"]

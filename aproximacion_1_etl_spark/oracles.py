@@ -2011,6 +2011,8 @@ FROM orders WHERE o_orderdate >= '2001-06-01' GROUP BY 1
     # incremental ANN index maintenance: historical-slice codebook,
     # new-batch-only assignment, exact-integer skew/growth flags
     "ivf_index_append": _ivf_index_append_sql(),
+    # the streamed append must equal the one-shot batch append
+    "streaming_ivf_append": _ivf_index_append_sql(),
     # mirror of text/vector.py::ann_topk_pq (PQ/ADC over per-subspace
     # trained codebooks; see _pq_cent_ctes)
     "ann_topk_pq": _ann_topk_pq_sql(),
@@ -2912,6 +2914,25 @@ WHERE NOT EXISTS (
     AND (b.price < a.price OR b.size > a.size))
 """,
     "skyline_pareto_3d": """
+WITH pairs AS (
+  SELECT p_type, p_retailprice AS price, CAST(p_size AS INT) AS size,
+         CAST(length(p_name) AS INT) AS name_len, count(*) AS n_parts
+  FROM part GROUP BY 1, 2, 3, 4)
+SELECT p_type,
+       floor(price * 100.0 + 0.5) / 100.0 AS price,
+       size, name_len,
+       CAST(n_parts AS BIGINT) AS n_parts
+FROM pairs a
+WHERE NOT EXISTS (
+  SELECT 1 FROM pairs b
+  WHERE b.p_type = a.p_type
+    AND b.price <= a.price AND b.size >= a.size
+    AND b.name_len >= a.name_len
+    AND (b.price < a.price OR b.size > a.size
+         OR b.name_len > a.name_len))
+""",
+    # merged per-batch frontiers must equal the full-table frontier
+    "incremental_skyline": """
 WITH pairs AS (
   SELECT p_type, p_retailprice AS price, CAST(p_size AS INT) AS size,
          CAST(length(p_name) AS INT) AS name_len, count(*) AS n_parts

@@ -4574,6 +4574,120 @@ def q_ivf_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_index_append(emb.filter(F.col("vec_id") % 4 == 0), cb, baseline)
 
 
+def q_streaming_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 + §2.10: ANN index maintenance AS A STREAM — the streaming
+    sibling of ``ivf_index_append`` (same trio as batch/streaming
+    incremental dedup and the batch/streaming profile): the per-cell
+    stats store is seeded from the historical index once, then the new
+    corpus slice arrives in two waves; foreachBatch assigns ONLY its
+    wave to the existing codebook (map-side literal argmin — history
+    never rescanned) and appends per-cell increments to the store.
+    Per-batch cost is O(|wave| x cells x dim) + a |cells|-sized write;
+    state is the |cells|-sized stats relation. The final report (cell
+    populations + the exact-integer hot/retrain_due policy flags) must
+    equal the one-shot batch append — same oracle SQL."""
+    import shutil
+    import time as _time
+
+    from aproximacion_1_etl_spark.text.vector import ivf_assign_cells
+
+    cb = _trained_append_codebook(spark, sf_dir)
+    n_cells = len(cb)
+    emb = load_table(spark, sf_dir, "embeddings")
+    hist = emb.filter(F.col("vec_id") % 4 != 0)
+    new = emb.filter(F.col("vec_id") % 4 == 0)
+
+    base = tempfile.mkdtemp(prefix="graft_siv_")
+    ckpt = tempfile.mkdtemp(prefix="ckpt_siv_")
+    src = os.path.join(base, "src")
+    store = os.path.join(base, "stats")
+
+    def handle_batch(batch, batch_id: int) -> None:
+        inc = (
+            ivf_assign_cells(batch, cb)
+            .groupBy("cell")
+            .agg(F.count("*").cast("bigint").alias("n_new"))
+        )
+        inc.write.mode("append").parquet(store)
+
+    try:
+        # seed the persisted index stats from the historical slice
+        # (the one-time cost the standing index already paid)
+        baseline = (
+            ivf_assign_cells(hist, cb)
+            .groupBy("cell")
+            .agg(F.count("*").cast("bigint").alias("n_baseline"))
+        )
+        baseline.write.parquet(os.path.join(base, "baseline"))
+
+        new.filter(F.col("vec_id") % 8 == 0).coalesce(1).write.parquet(
+            os.path.join(src, "w1")
+        )
+        new.filter(F.col("vec_id") % 8 == 4).coalesce(1).write.parquet(
+            os.path.join(src, "w2")
+        )
+        now = _time.time()
+        for d, ts in (("w1", now - 120), ("w2", now - 60)):
+            pdir = os.path.join(src, d)
+            for f in os.listdir(pdir):
+                os.utime(os.path.join(pdir, f), (ts, ts))
+        q = (
+            spark.readStream.schema(
+                "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(src, "*"))
+            .writeStream.foreachBatch(handle_batch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+
+        new_counts = (
+            spark.read.parquet(store)
+            .groupBy("cell")
+            .agg(F.sum("n_new").cast("bigint").alias("n_new"))
+        )
+        merged = (
+            spark.read.parquet(os.path.join(base, "baseline"))
+            .join(new_counts, "cell", "full_outer")
+            .select(
+                F.col("cell").cast("int").alias("cell"),
+                F.coalesce("n_baseline", F.lit(0))
+                .cast("bigint")
+                .alias("n_baseline"),
+                F.coalesce("n_new", F.lit(0)).cast("bigint").alias("n_new"),
+            )
+            .withColumn("n_total", F.col("n_baseline") + F.col("n_new"))
+        )
+        totals = merged.agg(
+            F.sum("n_baseline").alias("tot_base"),
+            F.sum("n_new").alias("tot_new"),
+            F.sum("n_total").alias("tot_all"),
+        )
+        out = merged.crossJoin(F.broadcast(totals)).select(
+            "cell",
+            "n_baseline",
+            "n_new",
+            F.col("n_total").cast("bigint").alias("n_total"),
+            (
+                F.col("n_total") * F.lit(n_cells)
+                > F.lit(2) * F.col("tot_all")
+            ).alias("hot"),
+            (F.lit(2) * F.col("tot_new") >= F.col("tot_base")).alias(
+                "retrain_due"
+            ),
+        )
+        return _reclaimed(out, base, ckpt)
+    finally:
+        # _reclaimed removes on success; this covers mid-build failures
+        if os.path.isdir(base):
+            shutil.rmtree(base, ignore_errors=True)
+        if os.path.isdir(ckpt):
+            shutil.rmtree(ckpt, ignore_errors=True)
+
+
 def q_deletion_vector_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level deletes WITHOUT data-file rewrite: two composing
     delete_rows calls append keys to a per-version sidecar; the read
@@ -8946,6 +9060,56 @@ def q_skyline_pareto_3d(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incremental_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6/§2.10 extension — INCREMENTAL Pareto frontier: the skyline
+    is a mergeable state (frontier(A ∪ B) = frontier(frontier(A) ∪
+    frontier(B)) — a point dominated inside a batch is dominated by a
+    batch-mate that itself reaches the union), so a daily catalog drop
+    folds into the standing frontier at O(batch + |frontier|) with no
+    history rescan — the same state-outlives-the-batch shape as the
+    profile and dedup stores. Three deterministic part-table batches
+    each compute a local 3-D frontier; the merge re-frontiers the
+    union of partials with counts SUMMED per tuple (a tuple on the
+    final frontier survives every batch it appears in, so its partial
+    counts must add). The oracle is the all-pairs NOT EXISTS over the
+    FULL table — merged must equal recomputed."""
+    from aproximacion_1_etl_spark.operators.skyline import pareto_frontier_kd
+
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_type",
+        F.col("p_retailprice").alias("price"),
+        F.col("p_size").cast("int").alias("size"),
+        F.length("p_name").cast("int").alias("name_len"),
+    )
+    partials = [
+        pareto_frontier_kd(
+            p.filter(F.col("p_partkey") % 3 == i),
+            minimize=["price"],
+            maximize=["size", "name_len"],
+            by=["p_type"],
+        )
+        for i in range(3)
+    ]
+    u = partials[0]
+    for f in partials[1:]:
+        u = u.unionByName(f)
+    front = pareto_frontier_kd(
+        u,
+        minimize=["price"],
+        maximize=["size", "name_len"],
+        by=["p_type"],
+        weight_col="n_rows",
+    )
+    return front.select(
+        "p_type",
+        _fround(F.col("price"), 2).alias("price"),
+        F.col("size").cast("int").alias("size"),
+        F.col("name_len").cast("int").alias("name_len"),
+        F.col("n_rows").cast("bigint").alias("n_parts"),
+    )
+
+
 def q_interpolate_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.6 extension — linear interpolation of gaps in a per-type
     daily mean-value series (gap_fill_daily carries the LAST value
@@ -9171,6 +9335,7 @@ ALL_QUERIES = {
     "deletion_vector_read": q_deletion_vector_read,
     "incremental_near_dup": q_incremental_near_dup,
     "ivf_index_append": q_ivf_index_append,
+    "streaming_ivf_append": q_streaming_ivf_append,
     "ann_topk_pq": q_ann_topk_pq,
     "ann_topk_ivfpq": q_ann_topk_ivfpq,
     "streaming_incremental_dedup": q_streaming_incremental_dedup,
@@ -9193,6 +9358,7 @@ ALL_QUERIES = {
     "max_concurrency": q_max_concurrency,
     "skyline_pareto": q_skyline_pareto,
     "skyline_pareto_3d": q_skyline_pareto_3d,
+    "incremental_skyline": q_incremental_skyline,
     "incremental_profile": q_incremental_profile,
     "streaming_max_concurrency": q_streaming_max_concurrency,
     "interpolate_missing": q_interpolate_missing,

@@ -187,8 +187,10 @@ HEADLINE = [
     "grouped_pandas_stats",
     "cogrouped_pandas_join",
     "rerank_crossencoder",
-    # round-6: adaptive-grid k-D skyline (Arrow dominance kernel)
+    # round-6: adaptive-grid k-D skyline (Arrow dominance kernel) and
+    # its mergeable incremental form
     "skyline_pareto_3d",
+    "incremental_skyline",
     # round-2 session-2 newcomer: the LLM-pipeline flagship composite
     "corpus_to_sequences",
 ]

@@ -209,6 +209,45 @@ def test_pareto_kd_degenerate_dimension_reduces_to_2d(spark, monkeypatch):
     assert got3 == got2
 
 
+def test_pareto_kd_merge_identity_sums_counts(spark):
+    """frontier(A ∪ B) == frontier(frontier(A) ∪ frontier(B)), and a
+    tuple present in several batches carries the SUM of its partial
+    counts onto the merged frontier."""
+    import random
+
+    from aproximacion_1_etl_spark.operators.skyline import pareto_frontier_kd
+
+    rng = random.Random(41)
+    rows = [
+        ("g", round(rng.uniform(1, 30), 1), rng.randint(1, 20), rng.randint(1, 5))
+        for _ in range(240)
+    ]
+    # plant a strong tuple in EVERY batch (undominated: price below,
+    # size/w above the generated ranges) — row-level round-robin split
+    # puts 2 copies per batch, so the merged count must sum to 6
+    rows += [("g", 0.5, 25, 9)] * 6
+    schema = "g string, price double, size int, w int"
+    df = spark.createDataFrame(rows, schema)
+    args = dict(minimize=["price"], maximize=["size", "w"], by=["g"])
+
+    full = {
+        (r["price"], r["size"], r["w"]): r["n_rows"]
+        for r in pareto_frontier_kd(df, **args).collect()
+    }
+    batches = [
+        spark.createDataFrame(rows[i::3], schema) for i in range(3)
+    ]
+    u = pareto_frontier_kd(batches[0], **args)
+    for b in batches[1:]:
+        u = u.unionByName(pareto_frontier_kd(b, **args))
+    merged = {
+        (r["price"], r["size"], r["w"]): r["n_rows"]
+        for r in pareto_frontier_kd(u, weight_col="n_rows", **args).collect()
+    }
+    assert merged == full
+    assert merged[(0.5, 25, 9)] == 6
+
+
 def test_pareto_kd_ungrouped(spark):
     from aproximacion_1_etl_spark.operators.skyline import pareto_frontier_kd
 
