@@ -77,8 +77,12 @@ from pyspark.sql import DataFrame, Window
 
 # target pair population per grid cell: big enough that Arrow
 # per-group overhead amortizes, small enough that the in-cell
-# quadratic kernel stays cheap (4096^2 blocked bool ops ~ ms)
-_CELL_TARGET = 4096
+# quadratic stays cheap. Total quadratic work is n^2 / n_cells, so a
+# SMALLER target means strictly fewer comparisons; the floor is the
+# per-group Arrow overhead. Swept in situ on a 1M-pair relation:
+# 4096 -> 17.4 s, 1024 -> 10.9 s, 512 -> 10.9 s, 256 -> 12.1 s
+# (overhead wins below ~512). 1024 balances both regimes.
+_CELL_TARGET = 1024
 
 
 def _equi_depth_bucket_col(pairs, by, col, n_buckets, out_col):
@@ -158,13 +162,27 @@ def pareto_frontier_2d(
 def _dominance_filter(oriented_cols: list[str]):
     """Arrow kernel: drop rows strictly dominated within the batch
     (all oriented columns <= another row's, at least one <). Blocked
-    over 512-row dominator slices so memory is O(512 x n x k)."""
+    over 512-row dominator slices so memory is O(512 x n x k).
+
+    Deliberately the plain blocked quadratic, NOT sort-filter-skyline:
+    the adaptive grid already bounds batch size near _CELL_TARGET, so
+    the quadratic's per-cell cost is a bounded constant — and an SFS
+    variant (sum-desc sort, screen each chunk against the accumulated
+    frontier) measured 3x SLOWER in situ under 32-way worker
+    saturation despite doing strictly less comparison work, because
+    numpy's boolean any/all reductions short-circuit far better on
+    unsorted input (sorted data defers every any(0) hit to the tail;
+    the same quadratic run on merely-sorted input was 9x slower,
+    11 s -> 101 s on a 580k-pair pass). Measured, not guessed —
+    revisit only with an in-situ A/B."""
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
 
         v = pdf[oriented_cols].to_numpy(dtype="float64")
         n = len(v)
+        if n <= 1:
+            return pdf
         dom = np.zeros(n, dtype=bool)
         for i in range(0, n, 512):
             a = v[i : i + 512]
@@ -181,7 +199,7 @@ def pareto_frontier_kd(
     minimize: list[str],
     maximize: list[str],
     by: list[str] | None = None,
-    n_buckets: int = 8,
+    n_buckets: int = 16,
     weight_col: str | None = None,
 ) -> DataFrame:
     """Per-group distinct criterion tuples on the k-D Pareto frontier
