@@ -351,3 +351,95 @@ def test_bpe_fold_matches_python_greedy(spark, word, p1, p2):
     got = bpe_encode(docs, [(p1, p2)]).collect()[0]
     assert got["n_tokens"] == len(ref)
     assert got["n_chars"] == len(word)
+
+
+@given(
+    iv=st.lists(
+        st.tuples(
+            st.integers(0, 2),           # key id
+            st.integers(0, 200_000),     # start offset s
+            st.integers(1, 90_000),      # duration d  (end = s + d)
+        ),
+        min_size=1,
+        max_size=16,
+    ),
+)
+@settings(**SETTINGS)
+def test_max_concurrency_matches_naive_sweep(spark, iv):
+    """The two-phase bucketed sweep line == a naive per-instant sweep
+    for any interval schedule, including intervals spanning multiple
+    day buckets, duplicate instants, and [start, end) touching."""
+    import datetime
+
+    from aproximacion_1_etl_spark.operators.intervals import max_concurrency
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (
+            f"k{k}",
+            base + datetime.timedelta(seconds=s),
+            base + datetime.timedelta(seconds=s + d),
+        )
+        for k, s, d in iv
+    ]
+    df = spark.createDataFrame(rows, "k string, s timestamp, e timestamp")
+    got = {
+        r["k"]: (r["peak_concurrency"], r["peak_at"], r["n_intervals"])
+        for r in max_concurrency(df, "k", F.col("s"), F.col("e")).collect()
+    }
+    by_key: dict = {}
+    for k, s, e in rows:
+        by_key.setdefault(k, []).append((s, e))
+    for k, ivs in by_key.items():
+        bounds = sorted({t for s, e in ivs for t in (s, e)})
+        best, best_at = 0, None
+        for t in bounds:
+            c = sum(1 for s, e in ivs if s <= t < e)
+            if c > best:
+                best, best_at = c, t
+        assert got[k][0] == best, (k, ivs)
+        assert got[k][1] == best_at.strftime("%Y-%m-%d %H:%M:%S")
+        assert got[k][2] == len(ivs)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 5),                       # int col (nullable via <0 trick below)
+            st.one_of(st.none(), st.integers(-20, 20)),  # nullable val
+        ),
+        min_size=1,
+        max_size=14,
+    ),
+    n_splits=st.integers(2, 4),
+)
+@settings(**SETTINGS)
+def test_profile_merge_associative_any_split(spark, rows, n_splits):
+    """Profile-state merge == full recompute for ANY batch split,
+    including empty batches and all-null columns in some batch."""
+    from aproximacion_1_etl_spark.functions.profile import (
+        distinct_state,
+        merge_profile_states,
+        profile_from_states,
+        profile_state,
+    )
+
+    data = [(i, k, v) for i, (k, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "i INT, k INT, v INT")
+    cols = ["k", "v"]
+    batches = [df.filter(F.col("i") % n_splits == j) for j in range(n_splits)]
+    ds = None
+    for b in batches:
+        d = distinct_state(b, cols)
+        ds = d if ds is None else ds.unionByName(d)
+    merged = profile_from_states(
+        merge_profile_states([profile_state(b, cols) for b in batches], cols),
+        ds.distinct(),
+        cols,
+    )
+    full = profile_from_states(
+        profile_state(df, cols), distinct_state(df, cols), cols
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, full.collect())
+    )
