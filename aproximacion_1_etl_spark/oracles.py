@@ -4737,6 +4737,65 @@ UNION ALL SELECT 'o_orderdate', CAST(_n AS BIGINT), CAST(nn5 AS BIGINT),
 UNION ALL SELECT 'o_orderpriority', CAST(_n AS BIGINT), CAST(nn6 AS BIGINT),
        CAST(nd6 AS BIGINT), mn6, mx6 FROM w
 """,
+    # equi-width histogram: identical IEEE bucket arithmetic both sides
+    "numeric_histogram": """
+WITH b AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi
+           FROM orders),
+a AS (SELECT least(20, CAST(floor((o_totalprice - b.lo)
+                                  / ((b.hi - b.lo) / 20.0)) AS INT) + 1)
+               AS bucket, b.lo, b.hi
+      FROM orders, b)
+SELECT bucket,
+       floor((lo + (bucket - 1) * ((hi - lo) / 20.0)) * 10000.0 + 0.5)
+         / 10000.0 AS bucket_lo,
+       floor((lo + bucket * ((hi - lo) / 20.0)) * 10000.0 + 0.5)
+         / 10000.0 AS bucket_hi,
+       CAST(count(*) AS BIGINT) AS n
+FROM a GROUP BY 1, 2, 3 ORDER BY 1
+""",
+    # the streamed fold must equal the full recompute — same oracle
+    "streaming_profile": """
+WITH w AS (
+  SELECT count(*) AS _n,
+         sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS nn1,
+         count(DISTINCT o_orderkey) AS nd1,
+         CAST(min(o_orderkey) AS VARCHAR) AS mn1,
+         CAST(max(o_orderkey) AS VARCHAR) AS mx1,
+         sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS nn2,
+         count(DISTINCT o_custkey) AS nd2,
+         CAST(min(o_custkey) AS VARCHAR) AS mn2,
+         CAST(max(o_custkey) AS VARCHAR) AS mx2,
+         sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS nn3,
+         count(DISTINCT o_orderstatus) AS nd3,
+         CAST(min(o_orderstatus) AS VARCHAR) AS mn3,
+         CAST(max(o_orderstatus) AS VARCHAR) AS mx3,
+         sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS nn4,
+         count(DISTINCT o_totalprice) AS nd4,
+         CAST(min(o_totalprice) AS VARCHAR) AS mn4,
+         CAST(max(o_totalprice) AS VARCHAR) AS mx4,
+         sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS nn5,
+         count(DISTINCT o_orderdate) AS nd5,
+         CAST(min(o_orderdate) AS VARCHAR) AS mn5,
+         CAST(max(o_orderdate) AS VARCHAR) AS mx5,
+         sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS nn6,
+         count(DISTINCT o_orderpriority) AS nd6,
+         CAST(min(o_orderpriority) AS VARCHAR) AS mn6,
+         CAST(max(o_orderpriority) AS VARCHAR) AS mx6
+  FROM orders)
+SELECT 'o_orderkey' AS column_name, CAST(_n AS BIGINT) AS n_rows,
+       CAST(nn1 AS BIGINT) AS n_null, CAST(nd1 AS BIGINT) AS n_distinct,
+       mn1 AS min_str, mx1 AS max_str FROM w
+UNION ALL SELECT 'o_custkey', CAST(_n AS BIGINT), CAST(nn2 AS BIGINT),
+       CAST(nd2 AS BIGINT), mn2, mx2 FROM w
+UNION ALL SELECT 'o_orderstatus', CAST(_n AS BIGINT), CAST(nn3 AS BIGINT),
+       CAST(nd3 AS BIGINT), mn3, mx3 FROM w
+UNION ALL SELECT 'o_totalprice', CAST(_n AS BIGINT), CAST(nn4 AS BIGINT),
+       CAST(nd4 AS BIGINT), mn4, mx4 FROM w
+UNION ALL SELECT 'o_orderdate', CAST(_n AS BIGINT), CAST(nn5 AS BIGINT),
+       CAST(nd5 AS BIGINT), mn5, mx5 FROM w
+UNION ALL SELECT 'o_orderpriority', CAST(_n AS BIGINT), CAST(nn6 AS BIGINT),
+       CAST(nd6 AS BIGINT), mn6, mx6 FROM w
+""",
     # mergeable incremental profile: merged state must equal a full
     # recompute, so the oracle IS the full profile with TRUE pinned
     "incremental_profile": """

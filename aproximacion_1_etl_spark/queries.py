@@ -669,6 +669,144 @@ def q_incremental_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 + §2.10: the mergeable profile AS A STREAM — completes the
+    batch / incremental / streaming trio (table_profile /
+    incremental_profile / here), the same topology as the dedup
+    signature store and the IVF stats store: orders arrive in two
+    date-ordered waves; foreachBatch folds each wave's 1-row typed
+    moment state into the persisted state (counts add, extrema
+    min/max) and appends the wave's distinct-value pairs to the value
+    store. Per-batch cost is O(|batch| + state); no batch ever
+    rescans another. The final rendered profile must equal a full
+    recompute — the oracle is the full-table profile."""
+    import shutil
+    import time as _time
+
+    from aproximacion_1_etl_spark.functions.profile import (
+        distinct_state,
+        merge_profile_states,
+        profile_from_states,
+        profile_state,
+    )
+
+    cols = [
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    ]
+    o = load_table(spark, sf_dir, "orders").select(*cols)
+    base = tempfile.mkdtemp(prefix="graft_spf_")
+    ckpt = tempfile.mkdtemp(prefix="ckpt_spf_")
+    src = os.path.join(base, "src")
+    mom_log = os.path.join(base, "moments")
+    val_store = os.path.join(base, "values")
+
+    def handle_batch(batch, batch_id: int) -> None:
+        bspark = batch.sparkSession
+        mom = profile_state(batch, cols)
+        if os.path.isdir(mom_log):
+            prior = bspark.read.parquet(mom_log)
+            # fold: prior state + this wave's state -> one-row state
+            mom = merge_profile_states([prior, mom], cols)
+        mom.write.mode("overwrite").parquet(os.path.join(base, "_mom_next"))
+        # two-step swap: the fold READS mom_log, so write aside first
+        folded = bspark.read.parquet(os.path.join(base, "_mom_next"))
+        folded.write.mode("overwrite").parquet(mom_log)
+        distinct_state(batch, cols).write.mode("append").parquet(val_store)
+
+    try:
+        o.filter(F.col("o_orderdate") < "1998-01-01").coalesce(1).write.parquet(
+            os.path.join(src, "w1")
+        )
+        o.filter(
+            F.col("o_orderdate") >= "1998-01-01"
+        ).coalesce(1).write.parquet(os.path.join(src, "w2"))
+        now = _time.time()
+        for d, ts in (("w1", now - 120), ("w2", now - 60)):
+            pdir = os.path.join(src, d)
+            for f in os.listdir(pdir):
+                os.utime(os.path.join(pdir, f), (ts, ts))
+        schema = (
+            "o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, "
+            "o_totalprice DOUBLE, o_orderdate TIMESTAMP, "
+            "o_orderpriority STRING"
+        )
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(src, "*"))
+            .writeStream.foreachBatch(handle_batch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+        out = profile_from_states(
+            spark.read.parquet(mom_log),
+            spark.read.parquet(val_store).distinct(),
+            cols,
+        )
+        return _reclaimed(out, base, ckpt)
+    finally:
+        if os.path.isdir(base):
+            shutil.rmtree(base, ignore_errors=True)
+        if os.path.isdir(ckpt):
+            shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def q_numeric_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 profiling: equi-width numeric histogram of order totals —
+    20 buckets between the exact min/max, one aggregation for bounds
+    (broadcast back as two scalars) + one map-side bucket assignment +
+    one count aggregation. Bucket ids are pure IEEE arithmetic
+    (least(B, floor((x-lo)/w)+1)) so both engines bucket identically;
+    counts are mergeable (a daily batch's histogram adds into a
+    standing one bucket-wise, like every profile state here). At
+    100 TB this is the two-pass exact form; the one-pass approximate
+    form swaps the bounds pass for fixed domain knowledge."""
+    o = load_table(spark, sf_dir, "orders")
+    n_b = 20
+    bounds = o.agg(
+        F.min("o_totalprice").alias("_lo"), F.max("o_totalprice").alias("_hi")
+    )
+    w = (F.col("_hi") - F.col("_lo")) / F.lit(float(n_b))
+    bucketed = o.crossJoin(F.broadcast(bounds)).select(
+        F.least(
+            F.lit(n_b),
+            (F.floor((F.col("o_totalprice") - F.col("_lo")) / w) + 1).cast(
+                "int"
+            ),
+        ).alias("bucket"),
+        "_lo",
+        "_hi",
+    )
+    return (
+        bucketed.groupBy("bucket", "_lo", "_hi")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "bucket",
+            _fround(
+                F.col("_lo") + (F.col("bucket") - 1) * (
+                    (F.col("_hi") - F.col("_lo")) / F.lit(float(n_b))
+                ),
+                4,
+            ).alias("bucket_lo"),
+            _fround(
+                F.col("_lo") + F.col("bucket") * (
+                    (F.col("_hi") - F.col("_lo")) / F.lit(float(n_b))
+                ),
+                4,
+            ).alias("bucket_hi"),
+            F.col("n").cast("bigint").alias("n"),
+        )
+        .orderBy("bucket")
+    )
+
+
 def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.10 seasonality-aware anomaly detection: each (type, day)
     count is z-scored against the baseline of the SAME weekday slot —
@@ -9360,6 +9498,8 @@ ALL_QUERIES = {
     "skyline_pareto_3d": q_skyline_pareto_3d,
     "incremental_skyline": q_incremental_skyline,
     "incremental_profile": q_incremental_profile,
+    "streaming_profile": q_streaming_profile,
+    "numeric_histogram": q_numeric_histogram,
     "streaming_max_concurrency": q_streaming_max_concurrency,
     "interpolate_missing": q_interpolate_missing,
     "join_cardinality_estimate": q_join_cardinality_estimate,

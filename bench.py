@@ -178,8 +178,10 @@ HEADLINE = [
     "join_cardinality_estimate",
     "table_profile",
     "seasonal_anomaly",
-    # round-6: mergeable profile state (merge == recompute gate)
+    # round-6: mergeable profile state (merge == recompute gate) and
+    # the equi-width histogram
     "incremental_profile",
+    "numeric_histogram",
     # Python-worker queries LAST: applyInPandas spins up 32 Python
     # workers and leaves GC pressure that inflates the next JVM-only
     # query by ~3x (measured: dedup_minhash_lsh 6.96s after it vs 1.9s
