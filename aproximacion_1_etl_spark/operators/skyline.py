@@ -85,27 +85,33 @@ from pyspark.sql import DataFrame, Window
 _CELL_TARGET = 1024
 
 
-def _equi_depth_bucket_col(pairs, by, col, n_buckets, out_col):
-    """Attach monotone equi-depth bucket ids for ``col`` within each
-    group: boundaries are the (1/B .. (B-1)/B) approximate percentiles
-    of the group, bucket = 1 + #boundaries <= value. Returns the frame
-    with ``out_col`` added (internal boundary column dropped)."""
+def _equi_depth_bucket_cols(pairs, by, cols, n_buckets, out_cols):
+    """Attach monotone equi-depth bucket ids for each of ``cols``
+    within each group: boundaries are the (1/B .. (B-1)/B) approximate
+    percentiles of the group, bucket = 1 + #boundaries <= value. ONE
+    aggregate computes every column's boundaries and ONE join assigns
+    all ids (k separate rounds would be k shuffles). The monotone
+    invariant both skyline pruning proofs rely on lives here, once:
+    bucket(a) < bucket(b) implies a < b strictly, because some
+    boundary value separates them (boundary duplicates under extreme
+    skew merely merge buckets)."""
     fracs = [i / n_buckets for i in range(1, n_buckets)]
-    bnd = F.percentile_approx(col, fracs, 10000).alias("_bnd_" + out_col)
+    bnds = [
+        F.percentile_approx(c, fracs, 10000).alias("_bnd_" + o)
+        for c, o in zip(cols, out_cols)
+    ]
     if by:
-        bounds = pairs.groupBy(*by).agg(bnd)
-        pairs = pairs.join(bounds, by)
+        pairs = pairs.join(pairs.groupBy(*by).agg(*bnds), by)
     else:
-        pairs = pairs.crossJoin(pairs.agg(bnd))
-    return pairs.withColumn(
-        out_col,
-        (
-            F.size(
-                F.filter("_bnd_" + out_col, lambda b: F.col(col) >= b)
-            )
-            + 1
-        ).cast("int"),
-    ).drop("_bnd_" + out_col)
+        pairs = pairs.crossJoin(pairs.agg(*bnds))
+    for c, o in zip(cols, out_cols):
+        pairs = pairs.withColumn(
+            o,
+            (
+                F.size(F.filter("_bnd_" + o, lambda b: F.col(c) >= b)) + 1
+            ).cast("int"),
+        ).drop("_bnd_" + o)
+    return pairs
 
 
 def pareto_frontier_2d(
@@ -127,7 +133,7 @@ def pareto_frontier_2d(
     pairs = df.groupBy(*by, minimize, maximize).agg(
         F.count("*").alias("n_rows")
     )
-    pairs = _equi_depth_bucket_col(pairs, by, minimize, n_buckets, "_bk")
+    pairs = _equi_depth_bucket_cols(pairs, by, [minimize], n_buckets, ["_bk"])
 
     w_in = (
         Window.partitionBy(*by, "_bk")
@@ -219,7 +225,8 @@ def pareto_frontier_kd(
     deterministic — the grid prunes work, never answers.
 
     The grid granularity ADAPTS to the data: buckets per dimension =
-    ``(max group pair count / 4096) ^ (1/k)`` capped at ``n_buckets``
+    ``(max group pair count / _CELL_TARGET) ^ (1/k)`` capped at
+    ``n_buckets``
     (a fixed B would shatter small groups into thousands of near-empty
     cells whose per-group Arrow overhead dwarfs the dominance math,
     and under-bucket huge ones). Sizing costs one scalar aggregate —
@@ -251,6 +258,11 @@ def pareto_frontier_kd(
         bcols.append(f"_b{i}")
     kernel = _dominance_filter(ocols)
 
+    # lineage cut BEFORE the stats collect: the dedup aggregate feeds
+    # the sizing collect, the boundary aggregate, the boundary-join
+    # probe side, and (via the second cut below) every later branch —
+    # unchecked, the dominant scan+shuffle would run once per consumer
+    pairs = pairs.localCheckpoint(eager=False)
     n_max = (
         pairs.groupBy(*by)
         .agg(F.count("*").alias("_n"))
@@ -267,27 +279,11 @@ def pareto_frontier_kd(
         front = pairs.groupBy(*by).applyInPandas(kernel, pairs.schema)
         return front.select(*out_by, *crits, "n_rows")
 
-    # ONE aggregate computes every dimension's equi-depth boundaries,
-    # one join assigns all bucket ids (k separate boundary rounds
-    # would be k shuffles)
-    fracs = [i / n_eff for i in range(1, n_eff)]
-    bounds = pairs.groupBy(*by).agg(
-        *[
-            F.percentile_approx(o, fracs, 10000).alias("_bnd" + o)
-            for o in ocols
-        ]
-    )
-    pairs = pairs.join(bounds, by)
-    for o, b in zip(ocols, bcols):
-        pairs = pairs.withColumn(
-            b,
-            (
-                F.size(F.filter("_bnd" + o, lambda x: F.col(o) >= x)) + 1
-            ).cast("int"),
-        ).drop("_bnd" + o)
-    # lineage cut: the bucketed pair set feeds three branches (cell
-    # summary, cell prune, skyline input) — without it each branch
-    # re-runs the dedup + boundary join
+    # shared equi-depth bucketing (one aggregate, one join — see
+    # _equi_depth_bucket_cols for the monotonicity invariant)
+    pairs = _equi_depth_bucket_cols(pairs, by, ocols, n_eff, bcols)
+    # second cut: the bucketed pair set feeds three branches (cell
+    # summary, cell prune, skyline input)
     pairs = pairs.localCheckpoint(eager=False)
 
     # cell-level prune: cell A dies if some cell B sits >= 1 bucket

@@ -4782,40 +4782,19 @@ def q_streaming_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
 
+        from aproximacion_1_etl_spark.text.vector import (
+            ivf_merge_cell_stats,
+        )
+
         new_counts = (
             spark.read.parquet(store)
             .groupBy("cell")
             .agg(F.sum("n_new").cast("bigint").alias("n_new"))
         )
-        merged = (
-            spark.read.parquet(os.path.join(base, "baseline"))
-            .join(new_counts, "cell", "full_outer")
-            .select(
-                F.col("cell").cast("int").alias("cell"),
-                F.coalesce("n_baseline", F.lit(0))
-                .cast("bigint")
-                .alias("n_baseline"),
-                F.coalesce("n_new", F.lit(0)).cast("bigint").alias("n_new"),
-            )
-            .withColumn("n_total", F.col("n_baseline") + F.col("n_new"))
-        )
-        totals = merged.agg(
-            F.sum("n_baseline").alias("tot_base"),
-            F.sum("n_new").alias("tot_new"),
-            F.sum("n_total").alias("tot_all"),
-        )
-        out = merged.crossJoin(F.broadcast(totals)).select(
-            "cell",
-            "n_baseline",
-            "n_new",
-            F.col("n_total").cast("bigint").alias("n_total"),
-            (
-                F.col("n_total") * F.lit(n_cells)
-                > F.lit(2) * F.col("tot_all")
-            ).alias("hot"),
-            (F.lit(2) * F.col("tot_new") >= F.col("tot_base")).alias(
-                "retrain_due"
-            ),
+        out = ivf_merge_cell_stats(
+            spark.read.parquet(os.path.join(base, "baseline")),
+            new_counts,
+            n_cells,
         )
         return _reclaimed(out, base, ckpt)
     finally:
@@ -7169,8 +7148,17 @@ def _run_streaming_max_concurrency(
     def _latest_tail(bspark):
         if not os.path.isdir(tail_log):
             return None
+        # the authoritative "latest batch" comes from the SUMMARY log:
+        # a batch whose new tail is EMPTY writes zero tail rows, so
+        # max(batch_id) over the tail itself would resurrect an older
+        # batch's tail whose deltas were already folded into the
+        # summary (a double count)
+        mx = (
+            bspark.read.parquet(summary_log)
+            .agg(F.max("batch_id"))
+            .collect()[0][0]
+        )
         t = bspark.read.parquet(tail_log)
-        mx = t.agg(F.max("batch_id")).collect()[0][0]
         return t.filter(F.col("batch_id") == mx).drop("batch_id")
 
     def handle_batch(batch, batch_id: int) -> None:
@@ -7203,13 +7191,21 @@ def _run_streaming_max_concurrency(
             )
         # watermark cutoff: waves are day-ordered, intervals <= 300 s,
         # so no future boundary can land before the day after this
-        # batch's max start day
+        # batch's max start day. An EMPTY batch has no max day — the
+        # event-time watermark made no progress, so finalize nothing
+        # and carry the whole merged tail forward (a NULL cutoff would
+        # silently drop every parked delta: both t < NULL and
+        # t >= NULL are false).
         max_day = iv.agg(F.max(F.to_date("s"))).collect()[0][0]
-        cutoff = (
-            F.lit(str(max_day)).cast("date") + F.expr("INTERVAL 1 DAY")
-        ).cast("timestamp")
-        fin = bd.filter(F.col("t") < cutoff)
-        new_tail = bd.filter(F.col("t") >= cutoff)
+        if max_day is None:
+            fin = bd.filter(F.lit(False))
+            new_tail = bd
+        else:
+            cutoff = (
+                F.lit(str(max_day)).cast("date") + F.expr("INTERVAL 1 DAY")
+            ).cast("timestamp")
+            fin = bd.filter(F.col("t") < cutoff)
+            new_tail = bd.filter(F.col("t") >= cutoff)
 
         # keys never seen before (first batch, or a type debuting in a
         # later wave) start from zero state

@@ -825,12 +825,24 @@ def ivf_index_append(
     scan of the new batch + a |cells|-sized outer join; per-batch cost
     is O(|batch| * n_centroids * dim) map-side work regardless of
     history length."""
-    n_cells = len(centroids)
     new_counts = (
         ivf_assign_cells(new_batch, centroids, id_col, vec_col)
         .groupBy("cell")
         .agg(F.count("*").alias("n_new"))
     )
+    return ivf_merge_cell_stats(baseline_counts, new_counts, len(centroids))
+
+
+def ivf_merge_cell_stats(
+    baseline_counts: DataFrame, new_counts: DataFrame, n_cells: int
+) -> DataFrame:
+    """The merge + policy-flag step of incremental IVF maintenance,
+    shared by the batch (``ivf_index_append``) and streaming
+    (``q_streaming_ivf_append``) forms so the exact-integer hot /
+    retrain_due algebra lives in exactly one place: full-outer merge
+    of (cell, n_baseline) with (cell, n_new), totals, and the two
+    flags (hot: n_total * n_cells > 2 * grand_total; retrain_due:
+    2 * total_new >= total_baseline)."""
     merged = (
         baseline_counts.select(
             F.col("cell").cast("int").alias("cell"),

@@ -24,21 +24,19 @@ def sf_dir():
 
 @pytest.fixture(scope="session", autouse=True)
 def _reclaim_test_tempdirs():
-    """Sweep temp dirs the test session created (fixture parquet,
-    streaming checkpoints). Only dirs that appeared AFTER session start
-    and match our own prefixes are removed, so concurrent processes'
-    dirs are untouched."""
-    import glob
+    """Give the test session its OWN temp root and delete it at the
+    end. Every tempfile.mkdtemp in tests and in library code they call
+    (fixture parquet, streaming checkpoints, roundtrip keys) lands
+    under it, so cleanup is one rmtree that cannot touch another
+    process's dirs — a prefix-glob sweep of the shared /tmp could
+    delete a concurrently running bench/oracle process's live
+    checkpoint."""
     import shutil
     import tempfile
 
-    prefixes = ("graft_", "ckpt_", "inc_", "cdc_snap_", "binsrc_")
-    tmp = tempfile.gettempdir()
-    before = {
-        p for pre in prefixes for p in glob.glob(os.path.join(tmp, pre + "*"))
-    }
+    session_tmp = tempfile.mkdtemp(prefix="graft_test_session_")
+    prev = tempfile.tempdir
+    tempfile.tempdir = session_tmp
     yield
-    for pre in prefixes:
-        for p in glob.glob(os.path.join(tmp, pre + "*")):
-            if p not in before:
-                shutil.rmtree(p, ignore_errors=True)
+    tempfile.tempdir = prev
+    shutil.rmtree(session_tmp, ignore_errors=True)

@@ -172,6 +172,39 @@ def test_streaming_max_concurrency_matches_batch_on_edges(spark):
     assert got["b"]["peak_concurrency"] == 2
 
 
+def test_streaming_max_concurrency_empty_wave_keeps_tail(spark):
+    """A wave with zero rows must not advance the event-time cutoff:
+    a NULL cutoff would silently drop every parked tail delta (both
+    t < NULL and t >= NULL are false). All data lands in wave 1 (the
+    split day is after everything), wave 2 is an empty file — the
+    parked midnight deltas must still fold correctly at flush."""
+    import datetime
+
+    from aproximacion_1_etl_spark.operators.intervals import max_concurrency
+    from aproximacion_1_etl_spark.queries import (
+        _run_streaming_max_concurrency,
+    )
+
+    def ts(s):
+        return datetime.datetime.fromisoformat(s)
+
+    rows = [
+        (0, ts("2024-01-10 23:59:30"), "a"),   # ends 2024-01-11 00:00:30
+        (30, ts("2024-01-10 23:59:00"), "a"),  # ends 2024-01-11 00:00:30
+        (0, ts("2024-01-10 10:00:00"), "a"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id BIGINT, ts TIMESTAMP, event_type STRING"
+    )
+    got = _run_streaming_max_concurrency(spark, ev, "2024-02-01").collect()
+    end = F.expr(
+        "ts + make_dt_interval(0, 0, 0, CAST(60 + event_id % 240 AS DOUBLE))"
+    )
+    want = max_concurrency(ev, "event_type", F.col("ts"), end).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert got[0]["peak_concurrency"] == 2  # the two midnight-crossers
+
+
 def test_foreachbatch_publishes_versioned_snapshots(spark, sf_dir):
     """foreachBatch + versioned snapshots: each micro-batch folds into
     the running master and publishes as a NEW table version (atomic

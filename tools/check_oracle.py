@@ -151,6 +151,13 @@ if __name__ == "__main__":
     out = None
     if "--json" in argv:
         i = argv.index("--json")
+        if i + 1 >= len(argv) or argv[i + 1].startswith("-"):
+            sys.exit("--json requires an output path (e.g. --json out.json)")
         out = argv[i + 1]
+        if not out.endswith(".json"):
+            sys.exit(
+                f"--json path {out!r} must end in .json (guards against "
+                "a query name being consumed as the output path)"
+            )
         argv = argv[:i] + argv[i + 2 :]
     sys.exit(main(argv, out))
