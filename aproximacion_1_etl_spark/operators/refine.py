@@ -140,6 +140,79 @@ def merge_partial_rollup(
     )
 
 
+def maintain_join_view(
+    view: DataFrame,
+    fact_changes: DataFrame,
+    dim_current: DataFrame,
+    dim_changes: DataFrame,
+    fact_key: str,
+    join_key: str,
+    op_col: str = "op",
+) -> DataFrame:
+    """Incremental maintenance of a denormalized fact-JOIN-dim view
+    (classic delta-rule IVM, the join sibling of
+    ``merge_partial_rollup``): fold CDC deltas into a materialized
+    ``view`` = fact INNER JOIN dim ON fact.join_key = dim.join_key
+    WITHOUT re-joining history.
+
+    Inputs: ``view`` (one row per ``fact_key``: fact columns + dim
+    attribute columns), ``fact_changes`` (fact-schema rows + ``op_col``
+    of 'U' upsert / 'D' delete), ``dim_current`` (the dim AFTER its
+    changes were applied — what new fact rows must join against) and
+    ``dim_changes`` (only the changed dim rows, upserts). Delta rules:
+
+    1. rows of ``view`` whose ``fact_key`` appears in ``fact_changes``
+       are dropped (broadcast ANTI join — the delta is small, the view
+       is never shuffled);
+    2. surviving rows whose ``join_key`` appears in ``dim_changes``
+       take the NEW dim attribute values (broadcast LEFT join +
+       per-column overwrite — again map-side);
+    3. 'U' fact rows are joined against ``dim_current`` (small-side
+       shuffle or broadcast, |delta| not |view|) and unioned back.
+
+    Scale posture: the materialized view — the one input proportional
+    to history — is touched by exactly two BROADCAST joins and a
+    union: zero shuffles of the big side, cost O(|view|) map work +
+    O(|delta| join dim). Inner-join semantics throughout: a 'U' fact
+    whose join_key has no dim row drops out of the view. Dim deletes
+    are out of scope (re-materialize for those).
+
+    Replaces the reference's nightly full re-join of master x dims
+    (`Composer/DAG_cloudrun_dataflow_sp.py:137-192`) once the fact
+    table no longer fits a nightly rescan.
+    """
+    fact_cols = [c for c in fact_changes.columns if c != op_col]
+    dim_attrs = [c for c in dim_changes.columns if c != join_key]
+    if set(view.columns) != set(fact_cols) | set(dim_attrs):
+        raise ValueError(
+            "view schema must be fact columns + dim attribute columns; "
+            f"got {sorted(view.columns)}"
+        )
+    touched = fact_changes.select(fact_key)
+    kept = view.join(F.broadcast(touched), fact_key, "left_anti")
+
+    # dim propagation: overwrite dim attrs where the dim row changed
+    upd = dim_changes.select(
+        join_key, *[F.col(a).alias(f"_new_{a}") for a in dim_attrs]
+    )
+    kept = kept.join(F.broadcast(upd), join_key, "left")
+    for a in dim_attrs:
+        kept = kept.withColumn(
+            a, F.coalesce(F.col(f"_new_{a}"), F.col(a))
+        ).drop(f"_new_{a}")
+
+    # refreshed fact rows join the POST-change dim (inner: facts with
+    # no dim row vanish, matching the view's definition)
+    refreshed = (
+        fact_changes.filter(F.col(op_col) == "U")
+        .select(*fact_cols)
+        .join(dim_current, join_key, "inner")
+    )
+    return kept.select(*view.columns).unionByName(
+        refreshed.select(*view.columns)
+    )
+
+
 def latest_child_attrs(
     child: DataFrame,
     keys: list[str],

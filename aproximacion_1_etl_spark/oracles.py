@@ -2808,6 +2808,47 @@ SELECT l_partkey,
        floor((CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS DOUBLE)) * 100.0 + 0.5) / 100.0 AS revenue
 FROM lineitem GROUP BY 1
 """,
+    "ivm_join": """
+WITH facts AS (
+  SELECT o_orderkey, o_custkey, o_orderdate,
+         CASE WHEN o_orderdate < DATE '1998-06-01'
+                   AND o_orderkey % 89 = 0 AND o_orderkey % 97 <> 0
+              THEN o_totalprice + 1 ELSE o_totalprice END AS o_totalprice
+  FROM orders
+  WHERE NOT (o_orderdate < DATE '1998-06-01' AND o_orderkey % 97 = 0)
+)
+SELECT o_orderkey, o_custkey, o_orderdate,
+       floor(CAST(o_totalprice AS DOUBLE) * 100.0 + 0.5) / 100.0
+         AS o_totalprice,
+       c_name, c_mktsegment,
+       floor(CAST(c_acctbal AS DOUBLE) * 100.0 + 0.5) / 100.0
+         AS c_acctbal
+FROM facts JOIN customer ON o_custkey = c_custkey
+""",
+    "streaming_ivm_join": """
+WITH facts AS (
+  SELECT o_orderkey, o_custkey, o_orderdate,
+         CASE WHEN o_orderdate < DATE '1998-06-01'
+                   AND o_orderkey % 89 = 0 AND o_orderkey % 97 <> 0
+              THEN o_totalprice + 1 ELSE o_totalprice END AS o_totalprice
+  FROM orders
+  WHERE NOT (o_orderdate < DATE '1998-06-01' AND o_orderkey % 97 = 0)
+)
+SELECT o_orderkey, o_custkey, o_orderdate,
+       floor(CAST(o_totalprice AS DOUBLE) * 100.0 + 0.5) / 100.0
+         AS o_totalprice,
+       c_name, c_mktsegment,
+       floor(CAST(c_acctbal AS DOUBLE) * 100.0 + 0.5) / 100.0
+         AS c_acctbal
+FROM facts JOIN customer ON o_custkey = c_custkey
+""",
+    "zorder_pruned_scan": """
+SELECT l_orderkey, l_linenumber, l_partkey,
+       floor(CAST(l_quantity AS DOUBLE) * 100.0 + 0.5) / 100.0
+         AS l_quantity
+FROM lineitem
+WHERE l_orderkey <= 3000 AND l_partkey <= 500
+""",
     "m2_merge_evolution": """
 WITH master AS (
   SELECT o_orderkey, o_orderstatus, o_totalprice

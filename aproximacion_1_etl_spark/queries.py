@@ -1741,6 +1741,37 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _reclaimed(out, path)
 
 
+def q_zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout roundtrip (layout.zorder_write): lineitem
+    clustered on the interleaved-bit curve of (l_orderkey, l_partkey),
+    then scanned with a selective 2-D box predicate. The oracle filters
+    the raw table — equality proves the rewrite is content-preserving
+    and the predicate semantics survive the layout. The PRUNING payoff
+    (most row groups skipped on either dimension) is measured by
+    tests/test_scale_ops.py::test_zorder_layout_skips_on_both_dimensions;
+    at 100 TB this layout is what makes a 2-D point query touch MBs,
+    not the whole table."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_quantity"
+    )
+    from aproximacion_1_etl_spark.sources.layout import zorder_write
+
+    path = tempfile.mkdtemp(prefix="graft_zord_")
+    zorder_write(li, path, ["l_orderkey", "l_partkey"], n_files=16)
+    back = spark.read.parquet(path).filter(
+        (F.col("l_orderkey") <= 3000) & (F.col("l_partkey") <= 500)
+    )
+    out = back.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        _fround(F.col("l_quantity").cast("double"), 2).alias(
+            "l_quantity"
+        ),
+    )
+    return _reclaimed(out, path)
+
+
 def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.7 higher-order array functions: per-order sorted quantity
     array (deterministic collect), filtered/transformed/folded JVM-side
@@ -2467,6 +2498,80 @@ def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental JOIN-view maintenance (maintain_join_view): a
+    materialized orders-x-customer view is folded forward under fact
+    CDC (inserts past the cutoff, price updates on %89 keys, deletes
+    on %97 keys) and dim updates (%10 customers start STALE and are
+    corrected) — without re-joining history. The oracle recomputes the
+    final view from scratch; equality proves all three delta rules
+    (fact anti-drop, dim propagation, refresh re-join).
+
+    Scale: the view side moves through two broadcast joins and a
+    union only — zero shuffles of history (see
+    operators/refine.py::maintain_join_view)."""
+    from aproximacion_1_etl_spark.operators.refine import (
+        maintain_join_view,
+    )
+
+    cut = "1998-06-01"
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment", "c_acctbal"
+    )
+    changed_dim = F.col("c_custkey") % 10 == 0
+    dim_old = c.withColumn(
+        "c_mktsegment",
+        F.when(changed_dim, F.lit("STALE")).otherwise(
+            F.col("c_mktsegment")
+        ),
+    )
+    dim_changes = c.filter(changed_dim)
+
+    old_facts = o.filter(F.col("o_orderdate") < cut)
+    view = old_facts.join(
+        dim_old.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey"
+    )
+
+    inserts = o.filter(F.col("o_orderdate") >= cut).withColumn(
+        "op", F.lit("U")
+    )
+    updates = (
+        old_facts.filter(
+            (F.col("o_orderkey") % 89 == 0)
+            & (F.col("o_orderkey") % 97 != 0)
+        )
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1)
+        .withColumn("op", F.lit("U"))
+    )
+    deletes = old_facts.filter(F.col("o_orderkey") % 97 == 0).withColumn(
+        "op", F.lit("D")
+    )
+    fact_changes = inserts.unionByName(updates).unionByName(deletes)
+
+    out = maintain_join_view(
+        view,
+        fact_changes,
+        c.withColumnRenamed("c_custkey", "o_custkey"),
+        dim_changes.withColumnRenamed("c_custkey", "o_custkey"),
+        fact_key="o_orderkey",
+        join_key="o_custkey",
+    )
+    return out.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        _fround(F.col("o_totalprice").cast("double"), 2).alias(
+            "o_totalprice"
+        ),
+        "c_name",
+        "c_mktsegment",
+        _fround(F.col("c_acctbal").cast("double"), 2).alias("c_acctbal"),
+    )
+
+
 def q_m2_merge_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M2 + schema evolution (merge_upsert_evolve): the update batch
     carries a column the master never had (is_priority); the merged
@@ -2863,6 +2968,123 @@ def q_streaming_incremental_dedup(
             "est_jaccard DOUBLE",
         )
     return _reclaimed(spark.read.parquet(result), base, ckpt)
+
+
+def q_streaming_ivm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 + IVM: the join-view maintenance of ``ivm_join`` AS A
+    STREAM — fact CDC arrives in two waves (wave 1: inserts past the
+    cutoff + deletes of %97 history; wave 2: price corrections on %89
+    history), foreachBatch folds each wave into a VERSIONED snapshot
+    of the orders-x-customer view with maintain_join_view (the view
+    side moves through broadcast joins only), publishing each batch
+    atomically via write_snapshot. Deterministic wave pickup
+    (mtime-ordered, maxFilesPerTrigger=1), so the final snapshot is
+    value-checked against a from-scratch batch oracle. This is the
+    production topology for keeping a denormalized serving table
+    current under a CDC feed without nightly re-joins."""
+    import os
+    import shutil
+    import time as _time
+
+    from aproximacion_1_etl_spark.operators.refine import (
+        maintain_join_view,
+    )
+    from aproximacion_1_etl_spark.sources.versioned import (
+        read_snapshot,
+        write_snapshot,
+    )
+
+    cut = "1998-06-01"
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+        .withColumnRenamed("c_custkey", "o_custkey")
+    )
+    old_facts = o.filter(F.col("o_orderdate") < cut)
+
+    base = tempfile.mkdtemp(prefix="graft_sivm_")
+    src = os.path.join(base, "src")
+    vpath = os.path.join(base, "view")
+    write_snapshot(old_facts.join(dim, "o_custkey"), vpath)
+
+    wave1 = (
+        o.filter(F.col("o_orderdate") >= cut)
+        .withColumn("op", F.lit("U"))
+        .unionByName(
+            old_facts.filter(F.col("o_orderkey") % 97 == 0).withColumn(
+                "op", F.lit("D")
+            )
+        )
+    )
+    wave2 = (
+        old_facts.filter(
+            (F.col("o_orderkey") % 89 == 0)
+            & (F.col("o_orderkey") % 97 != 0)
+        )
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1)
+        .withColumn("op", F.lit("U"))
+    )
+    wave1.coalesce(1).write.parquet(os.path.join(src, "w1"))
+    wave2.coalesce(1).write.parquet(os.path.join(src, "w2"))
+    now = _time.time()
+    for d, ts in (("w1", now - 120), ("w2", now - 60)):
+        p = os.path.join(src, d)
+        for f in os.listdir(p):
+            os.utime(os.path.join(p, f), (ts, ts))
+
+    dim_schema = (
+        "o_custkey BIGINT, c_name STRING, "
+        "c_mktsegment STRING, c_acctbal DOUBLE"
+    )
+
+    def handle_batch(batch, batch_id: int) -> None:
+        bspark = batch.sparkSession
+        cur = read_snapshot(bspark, vpath)
+        dim_b = (
+            load_table(bspark, sf_dir, "customer")
+            .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+            .withColumnRenamed("c_custkey", "o_custkey")
+        )
+        no_dim_changes = bspark.createDataFrame([], dim_schema)
+        new = maintain_join_view(
+            cur,
+            batch,
+            dim_b,
+            no_dim_changes,
+            fact_key="o_orderkey",
+            join_key="o_custkey",
+        )
+        write_snapshot(new, vpath)
+
+    ckpt = tempfile.mkdtemp(prefix="ckpt_sivm_")
+    q = (
+        spark.readStream.schema(
+            "o_orderkey BIGINT, o_custkey BIGINT, "
+            "o_orderdate TIMESTAMP, o_totalprice DOUBLE, op STRING"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src, "*"))
+        .writeStream.foreachBatch(handle_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.awaitTermination()
+    out = read_snapshot(spark, vpath).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        _fround(F.col("o_totalprice").cast("double"), 2).alias(
+            "o_totalprice"
+        ),
+        "c_name",
+        "c_mktsegment",
+        _fround(F.col("c_acctbal").cast("double"), 2).alias("c_acctbal"),
+    )
+    return _reclaimed(out, base, ckpt)
 
 
 def q_session_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9487,6 +9709,9 @@ ALL_QUERIES = {
     "window_percent_rank": q_window_percent_rank,
     "window_ignore_nulls": q_window_ignore_nulls,
     "incremental_rollup": q_incremental_rollup,
+    "ivm_join": q_ivm_join,
+    "zorder_pruned_scan": q_zorder_pruned_scan,
+    "streaming_ivm_join": q_streaming_ivm_join,
     "m2_merge_evolution": q_m2_merge_evolution,
     "column_profile": q_column_profile,
     "max_concurrency": q_max_concurrency,

@@ -178,10 +178,13 @@ HEADLINE = [
     "join_cardinality_estimate",
     "table_profile",
     "seasonal_anomaly",
-    # round-6: mergeable profile state (merge == recompute gate) and
-    # the equi-width histogram
+    # round-6: mergeable profile state (merge == recompute gate), the
+    # equi-width histogram, delta-rule join-view maintenance, and the
+    # Z-order layout roundtrip
     "incremental_profile",
     "numeric_histogram",
+    "ivm_join",
+    "zorder_pruned_scan",
     # Python-worker queries LAST: applyInPandas spins up 32 Python
     # workers and leaves GC pressure that inflates the next JVM-only
     # query by ~3x (measured: dedup_minhash_lsh 6.96s after it vs 1.9s

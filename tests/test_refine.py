@@ -118,6 +118,65 @@ def test_merge_partial_rollup_equals_full_recompute(spark):
     assert got == want
 
 
+def test_maintain_join_view_delta_rules(spark):
+    """All three IVM delta rules on a micro-fixture: fact delete, fact
+    update of an existing key, fact insert, dim attribute propagation
+    to untouched view rows, a dim change for a key with no facts
+    (no-op), and an inserted fact whose join key has no dim row
+    (dropped — inner-join semantics)."""
+    from aproximacion_1_etl_spark.operators.refine import (
+        maintain_join_view,
+    )
+
+    # view = fact (f, d, v) JOIN dim (d, attr)
+    view = spark.createDataFrame(
+        [(1, 10, 1.0, "a"), (2, 10, 2.0, "a"), (3, 20, 3.0, "b")],
+        ["f", "d", "v", "attr"],
+    )
+    dim_current = spark.createDataFrame(
+        [(10, "A"), (20, "b"), (40, "zz")], ["d", "attr"]
+    )
+    dim_changes = spark.createDataFrame(
+        [(10, "A"), (40, "zz")], ["d", "attr"]  # 40: no facts -> no-op
+    )
+    fact_changes = spark.createDataFrame(
+        [
+            (1, 10, 1.5, "U"),   # update existing key
+            (3, 20, 3.0, "D"),   # delete
+            (4, 20, 4.0, "U"),   # insert
+            (5, 30, 5.0, "U"),   # insert, no dim row -> dropped
+            (9, 10, 9.0, "D"),   # delete of unknown key -> no-op
+        ],
+        ["f", "d", "v", "op"],
+    )
+    out = maintain_join_view(
+        view, fact_changes, dim_current, dim_changes, "f", "d"
+    )
+    got = {r["f"]: (r["d"], r["v"], r["attr"]) for r in out.collect()}
+    assert got == {
+        1: (10, 1.5, "A"),  # refreshed against new dim
+        2: (10, 2.0, "A"),  # untouched fact, dim attr propagated
+        4: (20, 4.0, "b"),  # insert
+    }
+
+
+def test_maintain_join_view_schema_mismatch_raises(spark):
+    from aproximacion_1_etl_spark.operators.refine import (
+        maintain_join_view,
+    )
+
+    view = spark.createDataFrame([(1, 10, "a")], ["f", "d", "attr"])
+    dim = spark.createDataFrame([(10, "a")], ["d", "attr"])
+    facts = spark.createDataFrame(
+        [(1, 10, 9.9, "U")], ["f", "d", "extra", "op"]
+    )
+    try:
+        maintain_join_view(view, facts, dim, dim, "f", "d")
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "view schema" in str(e)
+
+
 def test_column_profile_counts(spark):
     from aproximacion_1_etl_spark.functions.profile import column_profile
 
