@@ -122,6 +122,7 @@ def merge_partial_rollup(
     delta: DataFrame,
     keys: list[str],
     sum_cols: list[str],
+    count_col: str | None = None,
 ) -> DataFrame:
     """Incremental aggregate maintenance: fold a delta batch's partial
     rollup into an existing rollup WITHOUT rescanning history.
@@ -133,11 +134,26 @@ def merge_partial_rollup(
     (sum, count) pairs and derived at read time (averages are not
     re-aggregatable). This is what replaces the reference's daily
     full-recompute SP chain (DAG:323-362) once the corpus no longer
-    fits a nightly rescan."""
+    fits a nightly rescan.
+
+    RETRACTIONS (Z-set style): a CDC delete enters as a delta row with
+    NEGATED partials (count -1, sums negated); the sum-merge algebra
+    absorbs them. Pass ``count_col`` naming the row-count partial and
+    keys whose merged count reaches zero are DROPPED, keeping the
+    maintained rollup row-identical to a full recompute that never saw
+    the deleted facts (without the drop, a fully-retracted key would
+    linger as a zero row no recompute produces)."""
     merged = base.unionByName(delta, allowMissingColumns=False)
-    return merged.groupBy(*keys).agg(
+    out = merged.groupBy(*keys).agg(
         *[F.sum(c).alias(c) for c in sum_cols]
     )
+    if count_col is not None:
+        if count_col not in sum_cols:
+            raise ValueError(
+                f"count_col {count_col!r} must be one of sum_cols"
+            )
+        out = out.filter(F.col(count_col) != 0)
+    return out
 
 
 def maintain_join_view(

@@ -2808,6 +2808,15 @@ SELECT l_partkey,
        floor((CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS DOUBLE)) * 100.0 + 0.5) / 100.0 AS revenue
 FROM lineitem GROUP BY 1
 """,
+    "incremental_rollup_retract": """
+SELECT l_partkey,
+       count(*) AS n_items,
+       floor(CAST(sum(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE)
+             * 100.0 + 0.5) / 100.0 AS sum_qty
+FROM lineitem
+WHERE l_returnflag <> 'R'
+GROUP BY 1
+""",
     "ivm_join": """
 WITH facts AS (
   SELECT o_orderkey, o_custkey, o_orderdate,

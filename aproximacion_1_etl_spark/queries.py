@@ -2498,6 +2498,49 @@ def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incremental_rollup_retract(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Aggregate IVM under DELETES (Z-set retractions): the per-part
+    rollup over ALL lineitems, minus the returned ('R') facts entered
+    as negated partials — merged without rescanning the kept facts.
+    The oracle recomputes over the surviving facts only; equality
+    (including the disappearance of any fully-retracted key) proves
+    the retraction algebra in merge_partial_rollup(count_col=...)."""
+    from aproximacion_1_etl_spark.operators.refine import (
+        merge_partial_rollup,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("l_partkey").agg(
+            F.count("*").cast("bigint").alias("n_items"),
+            F.sum(F.col("l_quantity").cast("decimal(30,8)")).alias(
+                "sum_qty"
+            ),
+        )
+
+    base = partial(li)
+    retraction = partial(li.filter(F.col("l_returnflag") == "R")).select(
+        "l_partkey",
+        (-F.col("n_items")).alias("n_items"),
+        (-F.col("sum_qty")).alias("sum_qty"),
+    )
+    merged = merge_partial_rollup(
+        base,
+        retraction,
+        ["l_partkey"],
+        ["n_items", "sum_qty"],
+        count_col="n_items",
+    )
+    return merged.select(
+        "l_partkey",
+        F.col("n_items").cast("bigint").alias("n_items"),
+        _fround(F.col("sum_qty").cast("double"), 2).alias("sum_qty"),
+    )
+
+
 def q_ivm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental JOIN-view maintenance (maintain_join_view): a
     materialized orders-x-customer view is folded forward under fact
@@ -9710,6 +9753,7 @@ ALL_QUERIES = {
     "window_ignore_nulls": q_window_ignore_nulls,
     "incremental_rollup": q_incremental_rollup,
     "ivm_join": q_ivm_join,
+    "incremental_rollup_retract": q_incremental_rollup_retract,
     "zorder_pruned_scan": q_zorder_pruned_scan,
     "streaming_ivm_join": q_streaming_ivm_join,
     "m2_merge_evolution": q_m2_merge_evolution,

@@ -118,6 +118,49 @@ def test_merge_partial_rollup_equals_full_recompute(spark):
     assert got == want
 
 
+def test_merge_partial_rollup_retractions_equal_recompute(spark):
+    """Z-set retractions: deletes arrive as NEGATED partials; with
+    count_col given, a fully-retracted key ('c') disappears from the
+    maintained rollup exactly as it does from a full recompute, and a
+    partially-retracted key ('a') nets out to the recomputed values."""
+    from aproximacion_1_etl_spark.operators.refine import (
+        merge_partial_rollup,
+    )
+
+    rows = [(k, float(v)) for k in ("a", "b", "c") for v in range(1, 4)]
+    df = spark.createDataFrame(rows, "k STRING, v DOUBLE")
+
+    def partial(d):
+        return d.groupBy("k").agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("v").alias("sv"),
+        )
+
+    base = partial(df)
+    # delete a's v=1 row and ALL of c's rows
+    deleted = df.filter(
+        ((F.col("k") == "a") & (F.col("v") == 1.0)) | (F.col("k") == "c")
+    )
+    retraction = partial(deleted).select(
+        "k", (-F.col("n")).alias("n"), (-F.col("sv")).alias("sv")
+    )
+    merged = merge_partial_rollup(
+        base, retraction, ["k"], ["n", "sv"], count_col="n"
+    )
+    survivors = df.join(deleted, ["k", "v"], "left_anti")
+    want = {r["k"]: (r["n"], r["sv"]) for r in partial(survivors).collect()}
+    got = {r["k"]: (r["n"], r["sv"]) for r in merged.collect()}
+    assert got == want
+    assert "c" not in got
+
+    try:
+        merge_partial_rollup(base, retraction, ["k"], ["n", "sv"],
+                             count_col="missing")
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "count_col" in str(e)
+
+
 def test_maintain_join_view_delta_rules(spark):
     """All three IVM delta rules on a micro-fixture: fact delete, fact
     update of an existing key, fact insert, dim attribute propagation
