@@ -2817,6 +2817,22 @@ FROM lineitem
 WHERE l_returnflag <> 'R'
 GROUP BY 1
 """,
+    "ivm_join_rollup": """
+WITH facts AS (
+  SELECT o_orderkey, o_custkey,
+         CASE WHEN o_orderdate < DATE '1998-06-01'
+                   AND o_orderkey % 89 = 0 AND o_orderkey % 97 <> 0
+              THEN o_totalprice + 1 ELSE o_totalprice END AS o_totalprice
+  FROM orders
+  WHERE NOT (o_orderdate < DATE '1998-06-01' AND o_orderkey % 97 = 0)
+)
+SELECT c_mktsegment,
+       count(*) AS n_orders,
+       floor(CAST(sum(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE)
+             * 100.0 + 0.5) / 100.0 AS revenue
+FROM facts JOIN customer ON o_custkey = c_custkey
+GROUP BY 1
+""",
     "ivm_join": """
 WITH facts AS (
   SELECT o_orderkey, o_custkey, o_orderdate,

@@ -2615,6 +2615,89 @@ def q_ivm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivm_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate-over-join IVM — the two incremental primitives
+    COMPOSED: a per-segment revenue rollup over orders-x-customer is
+    maintained under the same fact CDC as ``ivm_join`` by (1) reading
+    the changed keys' BEFORE-IMAGES out of the denormalized join view
+    (broadcast inner join — map-side, no shuffle of the view) and
+    retracting them as negated partials, (2) adding the refreshed
+    facts' partials from a |delta|-sized re-join, (3) folding both
+    into the stored rollup with merge_partial_rollup(count_col=...).
+    No history re-aggregation anywhere; decimal partials keep the
+    retract/add algebra exact. A CDC feed that carries before-images
+    (the usual Debezium shape) makes even the view read unnecessary.
+    The oracle recomputes the rollup over the final fact set from
+    scratch."""
+    from aproximacion_1_etl_spark.operators.refine import (
+        merge_partial_rollup,
+    )
+
+    cut = "1998-06-01"
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_mktsegment")
+        .withColumnRenamed("c_custkey", "o_custkey")
+    )
+    old_facts = o.filter(F.col("o_orderdate") < cut)
+    view = old_facts.join(dim, "o_custkey")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("c_mktsegment").agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(30,8)")).alias(
+                "revenue"
+            ),
+        )
+
+    base = partial(view)
+
+    inserts = o.filter(F.col("o_orderdate") >= cut).withColumn(
+        "op", F.lit("U")
+    )
+    updates = (
+        old_facts.filter(
+            (F.col("o_orderkey") % 89 == 0)
+            & (F.col("o_orderkey") % 97 != 0)
+        )
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1)
+        .withColumn("op", F.lit("U"))
+    )
+    deletes = old_facts.filter(F.col("o_orderkey") % 97 == 0).withColumn(
+        "op", F.lit("D")
+    )
+    fact_changes = inserts.unionByName(updates).unionByName(deletes)
+
+    touched = fact_changes.select("o_orderkey")
+    before_images = view.join(F.broadcast(touched), "o_orderkey")
+    retraction = partial(before_images).select(
+        "c_mktsegment",
+        (-F.col("n_orders")).alias("n_orders"),
+        (-F.col("revenue")).alias("revenue"),
+    )
+    refreshed = (
+        fact_changes.filter(F.col("op") == "U")
+        .drop("op")
+        .join(dim, "o_custkey")
+    )
+    delta = retraction.unionByName(partial(refreshed))
+    merged = merge_partial_rollup(
+        base,
+        delta,
+        ["c_mktsegment"],
+        ["n_orders", "revenue"],
+        count_col="n_orders",
+    )
+    return merged.select(
+        "c_mktsegment",
+        F.col("n_orders").cast("bigint").alias("n_orders"),
+        _fround(F.col("revenue").cast("double"), 2).alias("revenue"),
+    )
+
+
 def q_m2_merge_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M2 + schema evolution (merge_upsert_evolve): the update batch
     carries a column the master never had (is_priority); the merged
@@ -9754,6 +9837,7 @@ ALL_QUERIES = {
     "incremental_rollup": q_incremental_rollup,
     "ivm_join": q_ivm_join,
     "incremental_rollup_retract": q_incremental_rollup_retract,
+    "ivm_join_rollup": q_ivm_join_rollup,
     "zorder_pruned_scan": q_zorder_pruned_scan,
     "streaming_ivm_join": q_streaming_ivm_join,
     "m2_merge_evolution": q_m2_merge_evolution,
