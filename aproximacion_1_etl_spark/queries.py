@@ -3167,6 +3167,20 @@ def q_streaming_ivm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def handle_batch(batch, batch_id: int) -> None:
+        # replay guard: a recovered stream re-delivers the in-flight
+        # micro-batch, and re-applying its deltas would double-apply
+        # (the anti-drop is idempotent, the refresh-union is not). The
+        # batch id travels INSIDE the snapshot commit (written to the
+        # version dir before the manifest flips), so "was this batch
+        # applied" and "which view state is current" commit atomically
+        # — a crash between data write and manifest flip leaves
+        # neither visible and the replay applies cleanly.
+        from aproximacion_1_etl_spark.sources.versioned import (
+            committed_metas,
+        )
+
+        if str(batch_id) in committed_metas(vpath):
+            return
         bspark = batch.sparkSession
         cur = read_snapshot(bspark, vpath)
         dim_b = (
@@ -3183,7 +3197,7 @@ def q_streaming_ivm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             fact_key="o_orderkey",
             join_key="o_custkey",
         )
-        write_snapshot(new, vpath)
+        write_snapshot(new, vpath, meta=str(batch_id))
 
     ckpt = tempfile.mkdtemp(prefix="ckpt_sivm_")
     q = (

@@ -59,11 +59,18 @@ def list_versions(path: str) -> list[int]:
     )
 
 
-def write_snapshot(df: DataFrame, path: str) -> int:
+def write_snapshot(df: DataFrame, path: str, meta: str | None = None) -> int:
     """Publish ``df`` as the next version of the table; returns the new
     version number. The version directory is fully written before the
     manifest flips, so a crash mid-write leaves the previous version
-    current and the partial directory orphaned (cleaned by vacuum)."""
+    current and the partial directory orphaned (cleaned by vacuum).
+
+    ``meta`` (e.g. a streaming batch id) is written INSIDE the version
+    directory before the manifest flips, so it commits atomically with
+    the data: a writer that crashed between data and manifest leaves
+    neither visible. ``snapshot_meta``/``committed_metas`` read it
+    back — the idempotent-replay primitive for foreachBatch publishers
+    (skip a batch whose id a committed version already carries)."""
     os.makedirs(path, exist_ok=True)
     cur = current_version(path)
     nxt = 0 if cur is None else cur + 1
@@ -73,11 +80,44 @@ def write_snapshot(df: DataFrame, path: str) -> int:
         nxt = max(nxt, existing[-1] + 1)
     vdir = os.path.join(path, f"v={nxt}")
     df.write.mode("overwrite").parquet(vdir)
+    if meta is not None:
+        with open(os.path.join(vdir, "_meta"), "w") as f:
+            f.write(meta)
     tmp = _manifest_path(path) + ".tmp"
     with open(tmp, "w") as f:
         f.write(str(nxt))
     os.replace(tmp, _manifest_path(path))  # atomic commit point
     return nxt
+
+
+def snapshot_meta(path: str, version: int | None = None) -> str | None:
+    """The ``meta`` string a version was published with (None if it
+    carried none). Defaults to the current committed version."""
+    cur = current_version(path)
+    if cur is None:
+        raise FileNotFoundError(f"no committed version at {path}")
+    v = cur if version is None else version
+    try:
+        with open(os.path.join(path, f"v={v}", "_meta")) as f:
+            return f.read()
+    except FileNotFoundError:
+        return None
+
+
+def committed_metas(path: str) -> set[str]:
+    """All meta strings carried by COMMITTED versions (orphaned dirs
+    excluded — their meta never became visible)."""
+    cur = current_version(path)
+    if cur is None:
+        return set()
+    out = set()
+    for v in list_versions(path):
+        if v > cur:
+            continue
+        m = snapshot_meta(path, v)
+        if m is not None:
+            out.add(m)
+    return out
 
 
 def read_snapshot(

@@ -415,6 +415,48 @@ def test_zorder_layout_skips_on_both_dimensions(spark, sf_dir):
     )
 
 
+def test_snapshot_meta_commits_atomically_with_data(spark):
+    """The foreachBatch replay-guard primitive: a batch id published
+    via write_snapshot(meta=...) is visible in committed_metas only
+    once the manifest flipped — an orphaned version dir (data + _meta
+    written, crash before the flip) contributes nothing, so a replayed
+    batch re-applies instead of being wrongly skipped. The _meta file
+    (underscore-prefixed) is invisible to the parquet reader."""
+    import os
+
+    from aproximacion_1_etl_spark.sources.versioned import (
+        committed_metas,
+        read_snapshot,
+        snapshot_meta,
+        write_snapshot,
+    )
+
+    df = spark.range(5).withColumnRenamed("id", "k")
+    path = tempfile.mkdtemp(prefix="graft_meta_") + "/t"
+    write_snapshot(df, path)                 # v0, no meta
+    write_snapshot(df.limit(3), path, meta="0")   # v1 = batch 0
+    assert snapshot_meta(path) == "0"
+    assert snapshot_meta(path, version=0) is None
+    assert committed_metas(path) == {"0"}
+    assert read_snapshot(spark, path).count() == 3  # _meta not scanned
+
+    # simulate a crash AFTER the version dir (data + _meta) is fully
+    # written but BEFORE the manifest flip: an orphan that must stay
+    # invisible
+    orphan = os.path.join(path, "v=2")
+    df.limit(1).write.parquet(orphan)
+    with open(os.path.join(orphan, "_meta"), "w") as f:
+        f.write("1")
+    assert committed_metas(path) == {"0"}
+    assert snapshot_meta(path) == "0"
+
+    # the replayed batch then publishes for real (write_snapshot skips
+    # the orphaned number) and its id becomes visible
+    v = write_snapshot(df.limit(2), path, meta="1")
+    assert v == 3
+    assert committed_metas(path) == {"0", "1"}
+
+
 def test_versioned_snapshots_time_travel(spark, sf_dir):
     """Snapshot tables: each publish is a full new version directory
     committed by an atomic manifest flip; readers time-travel to any
