@@ -164,6 +164,7 @@ def maintain_join_view(
     fact_key: str,
     join_key: str,
     op_col: str = "op",
+    dim_op_col: str | None = None,
 ) -> DataFrame:
     """Incremental maintenance of a denormalized fact-JOIN-dim view
     (classic delta-rule IVM, the join sibling of
@@ -175,30 +176,36 @@ def maintain_join_view(
     attribute columns), ``fact_changes`` (fact-schema rows + ``op_col``
     of 'U' upsert / 'D' delete), ``dim_current`` (the dim AFTER its
     changes were applied — what new fact rows must join against) and
-    ``dim_changes`` (only the changed dim rows, upserts). Delta rules:
+    ``dim_changes`` (only the changed dim rows; upserts, plus deletes
+    when ``dim_op_col`` names a 'U'/'D' column in it). Delta rules:
 
     1. rows of ``view`` whose ``fact_key`` appears in ``fact_changes``
        are dropped (broadcast ANTI join — the delta is small, the view
        is never shuffled);
-    2. surviving rows whose ``join_key`` appears in ``dim_changes``
+    2. dim DELETES drop every surviving view row carrying the deleted
+       ``join_key`` (broadcast ANTI join — inner-join semantics: no
+       dim row, no view row);
+    3. surviving rows whose ``join_key`` appears in the dim upserts
        take the NEW dim attribute values (broadcast LEFT join +
        per-column overwrite — again map-side);
-    3. 'U' fact rows are joined against ``dim_current`` (small-side
-       shuffle or broadcast, |delta| not |view|) and unioned back.
+    4. 'U' fact rows are joined against ``dim_current`` (small-side
+       shuffle or broadcast, |delta| not |view|) and unioned back —
+       ``dim_current`` must already exclude deleted dim keys.
 
     Scale posture: the materialized view — the one input proportional
-    to history — is touched by exactly two BROADCAST joins and a
-    union: zero shuffles of the big side, cost O(|view|) map work +
-    O(|delta| join dim). Inner-join semantics throughout: a 'U' fact
-    whose join_key has no dim row drops out of the view. Dim deletes
-    are out of scope (re-materialize for those).
+    to history — is touched only by BROADCAST joins and a union: zero
+    shuffles of the big side, cost O(|view|) map work + O(|delta|
+    join dim). Inner-join semantics throughout: a 'U' fact whose
+    join_key has no dim row drops out of the view.
 
     Replaces the reference's nightly full re-join of master x dims
     (`Composer/DAG_cloudrun_dataflow_sp.py:137-192`) once the fact
     table no longer fits a nightly rescan.
     """
     fact_cols = [c for c in fact_changes.columns if c != op_col]
-    dim_attrs = [c for c in dim_changes.columns if c != join_key]
+    dim_attrs = [
+        c for c in dim_changes.columns if c not in (join_key, dim_op_col)
+    ]
     if set(view.columns) != set(fact_cols) | set(dim_attrs):
         raise ValueError(
             "view schema must be fact columns + dim attribute columns; "
@@ -206,6 +213,13 @@ def maintain_join_view(
         )
     touched = fact_changes.select(fact_key)
     kept = view.join(F.broadcast(touched), fact_key, "left_anti")
+
+    if dim_op_col is not None:
+        dim_deleted = dim_changes.filter(
+            F.col(dim_op_col) == "D"
+        ).select(join_key)
+        kept = kept.join(F.broadcast(dim_deleted), join_key, "left_anti")
+        dim_changes = dim_changes.filter(F.col(dim_op_col) != "D")
 
     # dim propagation: overwrite dim attrs where the dim row changed
     upd = dim_changes.select(

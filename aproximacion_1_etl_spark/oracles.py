@@ -2849,6 +2849,7 @@ SELECT o_orderkey, o_custkey, o_orderdate,
        floor(CAST(c_acctbal AS DOUBLE) * 100.0 + 0.5) / 100.0
          AS c_acctbal
 FROM facts JOIN customer ON o_custkey = c_custkey
+WHERE c_custkey % 100 <> 7
 """,
     "streaming_ivm_join": """
 WITH facts AS (

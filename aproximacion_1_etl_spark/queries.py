@@ -2545,13 +2545,15 @@ def q_ivm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental JOIN-view maintenance (maintain_join_view): a
     materialized orders-x-customer view is folded forward under fact
     CDC (inserts past the cutoff, price updates on %89 keys, deletes
-    on %97 keys) and dim updates (%10 customers start STALE and are
-    corrected) — without re-joining history. The oracle recomputes the
-    final view from scratch; equality proves all three delta rules
-    (fact anti-drop, dim propagation, refresh re-join).
+    on %97 keys) and dim CDC (%10 customers start STALE and are
+    corrected; %100==7 customers are DELETED — their view rows drop
+    under inner-join semantics) — without re-joining history. The
+    oracle recomputes the final view from scratch; equality proves all
+    four delta rules (fact anti-drop, dim-delete anti-drop, dim
+    propagation, refresh re-join).
 
-    Scale: the view side moves through two broadcast joins and a
-    union only — zero shuffles of history (see
+    Scale: the view side moves through broadcast joins and a union
+    only — zero shuffles of history (see
     operators/refine.py::maintain_join_view)."""
     from aproximacion_1_etl_spark.operators.refine import (
         maintain_join_view,
@@ -2565,13 +2567,19 @@ def q_ivm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", "c_name", "c_mktsegment", "c_acctbal"
     )
     changed_dim = F.col("c_custkey") % 10 == 0
+    deleted_dim = F.col("c_custkey") % 100 == 7
     dim_old = c.withColumn(
         "c_mktsegment",
         F.when(changed_dim, F.lit("STALE")).otherwise(
             F.col("c_mktsegment")
         ),
     )
-    dim_changes = c.filter(changed_dim)
+    dim_changes = (
+        c.filter(changed_dim & ~deleted_dim)
+        .withColumn("dop", F.lit("U"))
+        .unionByName(c.filter(deleted_dim).withColumn("dop", F.lit("D")))
+    )
+    dim_current = c.filter(~deleted_dim)
 
     old_facts = o.filter(F.col("o_orderdate") < cut)
     view = old_facts.join(
@@ -2597,10 +2605,11 @@ def q_ivm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = maintain_join_view(
         view,
         fact_changes,
-        c.withColumnRenamed("c_custkey", "o_custkey"),
+        dim_current.withColumnRenamed("c_custkey", "o_custkey"),
         dim_changes.withColumnRenamed("c_custkey", "o_custkey"),
         fact_key="o_orderkey",
         join_key="o_custkey",
+        dim_op_col="dop",
     )
     return out.select(
         "o_orderkey",

@@ -203,6 +203,42 @@ def test_maintain_join_view_delta_rules(spark):
     }
 
 
+def test_maintain_join_view_dim_deletes(spark):
+    """Dim-side deletes (dim_op_col): deleting dim key 10 drops every
+    surviving view row that carries it (inner-join semantics), while a
+    dim upsert in the same batch still propagates, and a refreshed
+    fact pointing at the deleted key vanishes because dim_current no
+    longer has it."""
+    from aproximacion_1_etl_spark.operators.refine import (
+        maintain_join_view,
+    )
+
+    view = spark.createDataFrame(
+        [(1, 10, 1.0, "a"), (2, 20, 2.0, "b"), (3, 30, 3.0, "c")],
+        ["f", "d", "v", "attr"],
+    )
+    # dim 10 deleted; dim 20 renamed
+    dim_current = spark.createDataFrame(
+        [(20, "B"), (30, "c")], ["d", "attr"]
+    )
+    dim_changes = spark.createDataFrame(
+        [(10, None, "D"), (20, "B", "U")],
+        "d BIGINT, attr STRING, op STRING",
+    )
+    fact_changes = spark.createDataFrame(
+        [(4, 10, 4.0, "U")], ["f", "d", "v", "op"]  # points at deleted dim
+    )
+    out = maintain_join_view(
+        view, fact_changes, dim_current, dim_changes, "f", "d",
+        dim_op_col="op",
+    )
+    got = {r["f"]: (r["d"], r["v"], r["attr"]) for r in out.collect()}
+    assert got == {
+        2: (20, 2.0, "B"),  # upsert propagated
+        3: (30, 3.0, "c"),  # untouched
+    }  # row 1 dropped with dim 10; fact 4 never joins
+
+
 def test_maintain_join_view_schema_mismatch_raises(spark):
     from aproximacion_1_etl_spark.operators.refine import (
         maintain_join_view,
