@@ -156,6 +156,34 @@ def merge_partial_rollup(
     return out
 
 
+def _propagate_dim_attrs(
+    kept: DataFrame,
+    dim_upserts: DataFrame,
+    join_key: str,
+    dim_attrs: list[str],
+) -> DataFrame:
+    """Overwrite ``dim_attrs`` on ``kept`` rows whose ``join_key``
+    appears in ``dim_upserts`` (broadcast LEFT join — map-side). Match
+    detection uses an explicit hit flag, NOT coalesce — an upsert that
+    legitimately NULLs an attribute must propagate (a coalesce would
+    silently keep the stale non-null value and diverge from a full
+    recompute)."""
+    upd = dim_upserts.select(
+        join_key,
+        F.lit(True).alias("_dim_hit"),
+        *[F.col(a).alias(f"_new_{a}") for a in dim_attrs],
+    )
+    kept = kept.join(F.broadcast(upd), join_key, "left")
+    for a in dim_attrs:
+        kept = kept.withColumn(
+            a,
+            F.when(F.col("_dim_hit"), F.col(f"_new_{a}")).otherwise(
+                F.col(a)
+            ),
+        ).drop(f"_new_{a}")
+    return kept.drop("_dim_hit")
+
+
 def maintain_join_view(
     view: DataFrame,
     fact_changes: DataFrame,
@@ -195,8 +223,20 @@ def maintain_join_view(
     Scale posture: the materialized view — the one input proportional
     to history — is touched only by BROADCAST joins and a union: zero
     shuffles of the big side, cost O(|view|) map work + O(|delta|
-    join dim). Inner-join semantics throughout: a 'U' fact whose
-    join_key has no dim row drops out of the view.
+    join dim).
+
+    PRECONDITION: each changes batch carries at most ONE row per key
+    (fact_changes per ``fact_key``, dim_changes per ``join_key``) —
+    the usual CDC compaction; a raw multi-event feed must be reduced
+    to final images first (``dedup_latest`` on the event order).
+    Duplicate keys would multiply view rows through the joins below.
+
+    Inner-join semantics throughout: a 'U' fact whose join_key has no
+    dim row drops out of the view — and is NOT resurrected if that
+    dim key arrives later (this function keeps no memory of dropped
+    facts). When early-arriving facts are possible, use
+    ``maintain_join_view_full``, which carries them in an explicit
+    orphan relation and promotes them when their dim key appears.
 
     Replaces the reference's nightly full re-join of master x dims
     (`Composer/DAG_cloudrun_dataflow_sp.py:137-192`) once the fact
@@ -221,15 +261,7 @@ def maintain_join_view(
         kept = kept.join(F.broadcast(dim_deleted), join_key, "left_anti")
         dim_changes = dim_changes.filter(F.col(dim_op_col) != "D")
 
-    # dim propagation: overwrite dim attrs where the dim row changed
-    upd = dim_changes.select(
-        join_key, *[F.col(a).alias(f"_new_{a}") for a in dim_attrs]
-    )
-    kept = kept.join(F.broadcast(upd), join_key, "left")
-    for a in dim_attrs:
-        kept = kept.withColumn(
-            a, F.coalesce(F.col(f"_new_{a}"), F.col(a))
-        ).drop(f"_new_{a}")
+    kept = _propagate_dim_attrs(kept, dim_changes, join_key, dim_attrs)
 
     # refreshed fact rows join the POST-change dim (inner: facts with
     # no dim row vanish, matching the view's definition)
@@ -241,6 +273,105 @@ def maintain_join_view(
     return kept.select(*view.columns).unionByName(
         refreshed.select(*view.columns)
     )
+
+
+def maintain_join_view_full(
+    view: DataFrame,
+    orphans: DataFrame,
+    fact_changes: DataFrame,
+    dim_current: DataFrame,
+    dim_changes: DataFrame,
+    fact_key: str,
+    join_key: str,
+    op_col: str = "op",
+    dim_op_col: str | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """``maintain_join_view`` with FULL recompute equality under
+    out-of-order CDC: live facts whose ``join_key`` currently has no
+    dim row are carried in an explicit ``orphans`` relation (fact
+    columns only) instead of being forgotten, and are PROMOTED into
+    the view the moment their dim key arrives. Returns the pair
+    ``(view', orphans')``; the two key sets partition the live facts,
+    so ``view'`` always equals ``facts INNER JOIN dim`` recomputed
+    from scratch — including after a dim key is deleted (its view
+    rows demote to orphans) and later re-inserted (they promote
+    back).
+
+    Same one-row-per-key-per-batch precondition and broadcast
+    posture as ``maintain_join_view``: view and orphans are touched
+    by broadcast joins and unions only; every join's build side is a
+    CDC delta. The orphan relation is bounded by the out-of-order
+    window (facts referencing never-to-arrive dims should be expired
+    by the caller's retention policy)."""
+    fact_cols = [c for c in fact_changes.columns if c != op_col]
+    dim_attrs = [
+        c for c in dim_changes.columns if c not in (join_key, dim_op_col)
+    ]
+    if set(view.columns) != set(fact_cols) | set(dim_attrs):
+        raise ValueError(
+            "view schema must be fact columns + dim attribute columns; "
+            f"got {sorted(view.columns)}"
+        )
+    if set(orphans.columns) != set(fact_cols):
+        raise ValueError(
+            f"orphans schema must be fact columns; got "
+            f"{sorted(orphans.columns)}"
+        )
+    touched = fact_changes.select(fact_key)
+    kept_view = view.join(F.broadcast(touched), fact_key, "left_anti")
+    kept_orph = orphans.join(F.broadcast(touched), fact_key, "left_anti")
+
+    if dim_op_col is not None:
+        dim_deleted = dim_changes.filter(
+            F.col(dim_op_col) == "D"
+        ).select(join_key)
+        # inner-join semantics, but the FACTS still exist: demote the
+        # deleted dim's view rows to orphans so a re-inserted dim key
+        # restores them
+        demoted = kept_view.join(
+            F.broadcast(dim_deleted), join_key, "inner"
+        ).select(*fact_cols)
+        kept_view = kept_view.join(
+            F.broadcast(dim_deleted), join_key, "left_anti"
+        )
+        dim_upserts = dim_changes.filter(F.col(dim_op_col) != "D")
+    else:
+        demoted = orphans.limit(0)
+        dim_upserts = dim_changes
+
+    kept_view = _propagate_dim_attrs(
+        kept_view, dim_upserts, join_key, dim_attrs
+    )
+
+    # orphan promotion: the arrived dim row supplies the attributes
+    promoted = kept_orph.join(
+        F.broadcast(dim_upserts.select(join_key, *dim_attrs)),
+        join_key,
+        "inner",
+    )
+    kept_orph = kept_orph.join(
+        F.broadcast(dim_upserts.select(join_key)), join_key, "left_anti"
+    )
+
+    refreshed = fact_changes.filter(F.col(op_col) == "U").select(
+        *fact_cols
+    )
+    matched = refreshed.join(dim_current, join_key, "inner")
+    unmatched = refreshed.join(
+        dim_current.select(join_key), join_key, "left_anti"
+    )
+
+    view_out = (
+        kept_view.select(*view.columns)
+        .unionByName(promoted.select(*view.columns))
+        .unionByName(matched.select(*view.columns))
+    )
+    orph_out = (
+        kept_orph.select(*orphans.columns)
+        .unionByName(demoted.select(*orphans.columns))
+        .unionByName(unmatched.select(*orphans.columns))
+    )
+    return view_out, orph_out
 
 
 def latest_child_attrs(

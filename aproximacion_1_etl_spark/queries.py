@@ -2498,6 +2498,34 @@ def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _orders_cdc(
+    o: DataFrame, cut: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The shared orders CDC fixture for the IVM keys (ivm_join,
+    ivm_join_rollup, streaming_ivm_join — their oracle SQL encodes the
+    same scheme): facts dated >= ``cut`` are INSERTS, pre-cut facts
+    with orderkey %89 (and not %97) are price-bump UPDATES, pre-cut
+    %97 facts are DELETES. One definition so query and oracle cannot
+    drift independently per key. Returns (inserts, updates, deletes),
+    each carrying op='U'/'D'."""
+    old_facts = o.filter(F.col("o_orderdate") < cut)
+    inserts = o.filter(F.col("o_orderdate") >= cut).withColumn(
+        "op", F.lit("U")
+    )
+    updates = (
+        old_facts.filter(
+            (F.col("o_orderkey") % 89 == 0)
+            & (F.col("o_orderkey") % 97 != 0)
+        )
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1)
+        .withColumn("op", F.lit("U"))
+    )
+    deletes = old_facts.filter(F.col("o_orderkey") % 97 == 0).withColumn(
+        "op", F.lit("D")
+    )
+    return inserts, updates, deletes
+
+
 def q_incremental_rollup_retract(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -2586,20 +2614,7 @@ def q_ivm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         dim_old.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey"
     )
 
-    inserts = o.filter(F.col("o_orderdate") >= cut).withColumn(
-        "op", F.lit("U")
-    )
-    updates = (
-        old_facts.filter(
-            (F.col("o_orderkey") % 89 == 0)
-            & (F.col("o_orderkey") % 97 != 0)
-        )
-        .withColumn("o_totalprice", F.col("o_totalprice") + 1)
-        .withColumn("op", F.lit("U"))
-    )
-    deletes = old_facts.filter(F.col("o_orderkey") % 97 == 0).withColumn(
-        "op", F.lit("D")
-    )
+    inserts, updates, deletes = _orders_cdc(o, cut)
     fact_changes = inserts.unionByName(updates).unionByName(deletes)
 
     out = maintain_join_view(
@@ -2612,6 +2627,66 @@ def q_ivm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         dim_op_col="dop",
     )
     return out.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        _fround(F.col("o_totalprice").cast("double"), 2).alias(
+            "o_totalprice"
+        ),
+        "c_name",
+        "c_mktsegment",
+        _fround(F.col("c_acctbal").cast("double"), 2).alias("c_acctbal"),
+    )
+
+
+def q_ivm_join_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-view IVM under OUT-OF-ORDER CDC (maintain_join_view_full):
+    the initial dim is missing two customer cohorts (%100==3 "late",
+    %100==13 "never"), so their orders start as ORPHANS instead of
+    view rows. One maintenance batch delivers the late cohort's dim
+    rows plus the standard fact CDC; the late cohort's facts PROMOTE
+    into the view, the never cohort's stay orphaned (excluded from the
+    view the oracle recomputes). Proves early-arriving facts are not
+    lost — the failure mode of plain inner-join maintenance."""
+    from aproximacion_1_etl_spark.operators.refine import (
+        maintain_join_view_full,
+    )
+
+    cut = "1998-06-01"
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+        .withColumnRenamed("c_custkey", "o_custkey")
+    )
+    late = F.col("o_custkey") % 100 == 3
+    never = F.col("o_custkey") % 100 == 13
+    dim_old = c.filter(~late & ~never)
+    dim_current = c.filter(~never)
+    dim_changes = c.filter(late).withColumn("dop", F.lit("U"))
+
+    old_facts = o.filter(F.col("o_orderdate") < cut)
+    view = old_facts.join(dim_old, "o_custkey")
+    orphans = old_facts.join(
+        dim_old.select("o_custkey"), "o_custkey", "left_anti"
+    )
+
+    inserts, updates, deletes = _orders_cdc(o, cut)
+    fact_changes = inserts.unionByName(updates).unionByName(deletes)
+
+    view_out, _orphans_out = maintain_join_view_full(
+        view,
+        orphans,
+        fact_changes,
+        dim_current,
+        dim_changes,
+        fact_key="o_orderkey",
+        join_key="o_custkey",
+        dim_op_col="dop",
+    )
+    return view_out.select(
         "o_orderkey",
         "o_custkey",
         "o_orderdate",
@@ -2664,23 +2739,15 @@ def q_ivm_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base = partial(view)
 
-    inserts = o.filter(F.col("o_orderdate") >= cut).withColumn(
-        "op", F.lit("U")
-    )
-    updates = (
-        old_facts.filter(
-            (F.col("o_orderkey") % 89 == 0)
-            & (F.col("o_orderkey") % 97 != 0)
-        )
-        .withColumn("o_totalprice", F.col("o_totalprice") + 1)
-        .withColumn("op", F.lit("U"))
-    )
-    deletes = old_facts.filter(F.col("o_orderkey") % 97 == 0).withColumn(
-        "op", F.lit("D")
-    )
+    inserts, updates, deletes = _orders_cdc(o, cut)
     fact_changes = inserts.unionByName(updates).unionByName(deletes)
 
-    touched = fact_changes.select("o_orderkey")
+    # before-images exist only for UPDATES and DELETES — inserts by
+    # construction have no view row, and including their keys would
+    # size the broadcast by CDC insert volume for zero matches
+    touched = updates.select("o_orderkey").unionByName(
+        deletes.select("o_orderkey")
+    )
     before_images = view.join(F.broadcast(touched), "o_orderkey")
     retraction = partial(before_images).select(
         "c_mktsegment",
@@ -3145,23 +3212,9 @@ def q_streaming_ivm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     vpath = os.path.join(base, "view")
     write_snapshot(old_facts.join(dim, "o_custkey"), vpath)
 
-    wave1 = (
-        o.filter(F.col("o_orderdate") >= cut)
-        .withColumn("op", F.lit("U"))
-        .unionByName(
-            old_facts.filter(F.col("o_orderkey") % 97 == 0).withColumn(
-                "op", F.lit("D")
-            )
-        )
-    )
-    wave2 = (
-        old_facts.filter(
-            (F.col("o_orderkey") % 89 == 0)
-            & (F.col("o_orderkey") % 97 != 0)
-        )
-        .withColumn("o_totalprice", F.col("o_totalprice") + 1)
-        .withColumn("op", F.lit("U"))
-    )
+    inserts, updates, deletes = _orders_cdc(o, cut)
+    wave1 = inserts.unionByName(deletes)
+    wave2 = updates
     wave1.coalesce(1).write.parquet(os.path.join(src, "w1"))
     wave2.coalesce(1).write.parquet(os.path.join(src, "w2"))
     now = _time.time()
@@ -9861,6 +9914,7 @@ ALL_QUERIES = {
     "ivm_join": q_ivm_join,
     "incremental_rollup_retract": q_incremental_rollup_retract,
     "ivm_join_rollup": q_ivm_join_rollup,
+    "ivm_join_orphans": q_ivm_join_orphans,
     "zorder_pruned_scan": q_zorder_pruned_scan,
     "streaming_ivm_join": q_streaming_ivm_join,
     "m2_merge_evolution": q_m2_merge_evolution,

@@ -80,6 +80,13 @@ def write_snapshot(df: DataFrame, path: str, meta: str | None = None) -> int:
         nxt = max(nxt, existing[-1] + 1)
     vdir = os.path.join(path, f"v={nxt}")
     df.write.mode("overwrite").parquet(vdir)
+    # _parent records the version this publish supersedes — the commit
+    # LINEAGE. "Committed" cannot be decided by version number alone:
+    # an orphan keeps its number forever, and a later commit's number
+    # passing it must not make it look committed. Walking _parent from
+    # the current manifest yields exactly the committed chain.
+    with open(os.path.join(vdir, "_parent"), "w") as f:
+        f.write(str(-1 if cur is None else cur))
     if meta is not None:
         with open(os.path.join(vdir, "_meta"), "w") as f:
             f.write(meta)
@@ -104,16 +111,35 @@ def snapshot_meta(path: str, version: int | None = None) -> str | None:
         return None
 
 
-def committed_metas(path: str) -> set[str]:
-    """All meta strings carried by COMMITTED versions (orphaned dirs
-    excluded — their meta never became visible)."""
+def committed_versions(path: str) -> list[int]:
+    """The committed chain, oldest first: walk ``_parent`` links from
+    the current manifest version. Orphaned dirs are never on the chain
+    (nothing committed points at them — a publish racing with their
+    crashed writer records the same parent they did, not them). The
+    walk stops at a vacuumed (missing) ancestor; pre-lineage versions
+    (no ``_parent`` file) terminate the walk after themselves."""
     cur = current_version(path)
     if cur is None:
-        return set()
+        return []
+    chain = []
+    v = cur
+    while v >= 0 and os.path.isdir(os.path.join(path, f"v={v}")):
+        chain.append(v)
+        try:
+            with open(os.path.join(path, f"v={v}", "_parent")) as f:
+                v = int(f.read().strip())
+        except FileNotFoundError:
+            break
+    return chain[::-1]
+
+
+def committed_metas(path: str) -> set[str]:
+    """All meta strings carried by COMMITTED versions (orphaned dirs
+    excluded — their meta never became visible). Vacuumed versions'
+    metas are forgotten: a replay-guard caller must retain at least
+    its replay horizon (vacuum keep_last)."""
     out = set()
-    for v in list_versions(path):
-        if v > cur:
-            continue
+    for v in committed_versions(path):
         m = snapshot_meta(path, v)
         if m is not None:
             out.add(m)

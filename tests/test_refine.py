@@ -239,6 +239,90 @@ def test_maintain_join_view_dim_deletes(spark):
     }  # row 1 dropped with dim 10; fact 4 never joins
 
 
+def test_maintain_join_view_full_orphan_lifecycle(spark):
+    """Out-of-order CDC across three batches: an early-arriving fact
+    (dim key not yet present) parks as an orphan and is PROMOTED when
+    its dim arrives; a dim delete DEMOTES its view rows to orphans and
+    a re-insert restores them. After every batch the view equals the
+    from-scratch inner join of the live facts with the current dim."""
+    from aproximacion_1_etl_spark.operators.refine import (
+        maintain_join_view_full,
+    )
+
+    def snap(view, orph):
+        v = {r["f"]: (r["d"], r["v"], r["attr"]) for r in view.collect()}
+        o = {r["f"]: (r["d"], r["v"]) for r in orph.collect()}
+        return v, o
+
+    view = spark.createDataFrame(
+        [(1, 10, 1.0, "a")], ["f", "d", "v", "attr"]
+    )
+    orph = spark.createDataFrame([], "f BIGINT, d BIGINT, v DOUBLE")
+    dim = spark.createDataFrame([(10, "a")], ["d", "attr"])
+    no_dim_change = spark.createDataFrame([], "d BIGINT, attr STRING, dop STRING")
+
+    # batch 1: fact 5 arrives pointing at dim 30 (not yet present)
+    fc1 = spark.createDataFrame([(5, 30, 5.0, "U")], ["f", "d", "v", "op"])
+    view, orph = maintain_join_view_full(
+        view, orph, fc1, dim, no_dim_change, "f", "d", dim_op_col="dop"
+    )
+    v, o = snap(view, orph)
+    assert v == {1: (10, 1.0, "a")} and o == {5: (30, 5.0)}
+
+    # batch 2: dim 30 arrives -> fact 5 promotes with its attributes
+    dim = spark.createDataFrame([(10, "a"), (30, "z")], ["d", "attr"])
+    dc2 = spark.createDataFrame(
+        [(30, "z", "U")], "d BIGINT, attr STRING, dop STRING"
+    )
+    no_facts = spark.createDataFrame(
+        [], "f BIGINT, d BIGINT, v DOUBLE, op STRING"
+    )
+    view, orph = maintain_join_view_full(
+        view, orph, no_facts, dim, dc2, "f", "d", dim_op_col="dop"
+    )
+    v, o = snap(view, orph)
+    assert v == {1: (10, 1.0, "a"), 5: (30, 5.0, "z")} and o == {}
+
+    # batch 3: dim 10 deleted -> fact 1 demotes to orphan
+    dim = spark.createDataFrame([(30, "z")], ["d", "attr"])
+    dc3 = spark.createDataFrame(
+        [(10, None, "D")], "d BIGINT, attr STRING, dop STRING"
+    )
+    view, orph = maintain_join_view_full(
+        view, orph, no_facts, dim, dc3, "f", "d", dim_op_col="dop"
+    )
+    v, o = snap(view, orph)
+    assert v == {5: (30, 5.0, "z")} and o == {1: (10, 1.0)}
+
+    # batch 4: dim 10 re-inserted (new attr) -> fact 1 restores
+    dim = spark.createDataFrame([(10, "A2"), (30, "z")], ["d", "attr"])
+    dc4 = spark.createDataFrame(
+        [(10, "A2", "U")], "d BIGINT, attr STRING, dop STRING"
+    )
+    view, orph = maintain_join_view_full(
+        view, orph, no_facts, dim, dc4, "f", "d", dim_op_col="dop"
+    )
+    v, o = snap(view, orph)
+    assert v == {1: (10, 1.0, "A2"), 5: (30, 5.0, "z")} and o == {}
+
+
+def test_maintain_join_view_null_dim_update_propagates(spark):
+    """A dim upsert that NULLs an attribute must reach existing view
+    rows (hit-flag propagation, not coalesce)."""
+    from aproximacion_1_etl_spark.operators.refine import (
+        maintain_join_view,
+    )
+
+    view = spark.createDataFrame([(1, 10, 1.0, "a")], ["f", "d", "v", "attr"])
+    dim = spark.createDataFrame([(10, None)], "d BIGINT, attr STRING")
+    dc = spark.createDataFrame([(10, None)], "d BIGINT, attr STRING")
+    no_facts = spark.createDataFrame(
+        [], "f BIGINT, d BIGINT, v DOUBLE, op STRING"
+    )
+    out = maintain_join_view(view, no_facts, dim, dc, "f", "d").collect()
+    assert len(out) == 1 and out[0]["attr"] is None
+
+
 def test_maintain_join_view_schema_mismatch_raises(spark):
     from aproximacion_1_etl_spark.operators.refine import (
         maintain_join_view,

@@ -440,21 +440,25 @@ def test_snapshot_meta_commits_atomically_with_data(spark):
     assert committed_metas(path) == {"0"}
     assert read_snapshot(spark, path).count() == 3  # _meta not scanned
 
-    # simulate a crash AFTER the version dir (data + _meta) is fully
-    # written but BEFORE the manifest flip: an orphan that must stay
-    # invisible
+    # simulate a crash AFTER the version dir (data + _meta + _parent)
+    # is fully written but BEFORE the manifest flip: an orphan that
+    # must stay invisible
     orphan = os.path.join(path, "v=2")
     df.limit(1).write.parquet(orphan)
     with open(os.path.join(orphan, "_meta"), "w") as f:
+        f.write("crashed-batch")
+    with open(os.path.join(orphan, "_parent"), "w") as f:
         f.write("1")
     assert committed_metas(path) == {"0"}
     assert snapshot_meta(path) == "0"
 
-    # the replayed batch then publishes for real (write_snapshot skips
-    # the orphaned number) and its id becomes visible
+    # a later commit (v=3, skipping the orphaned number) must NOT make
+    # the orphan's meta visible — its version number is now below the
+    # current one, but it is not on the _parent commit chain
     v = write_snapshot(df.limit(2), path, meta="1")
     assert v == 3
     assert committed_metas(path) == {"0", "1"}
+    assert "crashed-batch" not in committed_metas(path)
 
 
 def test_versioned_snapshots_time_travel(spark, sf_dir):
