@@ -807,6 +807,93 @@ def q_numeric_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incremental_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 MERGEABLE quantile estimation: per-day equi-width
+    histogram partials (the daily batch state) merge bucket-wise, and
+    p50/p90/p99 are interpolated from the merged state — no global
+    sort, no history rescan, O(|bins|) state. The estimate's error is
+    bounded by the bucket geometry (the located rank and the true
+    quantile can straddle at most adjacent buckets): |est - exact| <=
+    2 bucket widths. Following the engine's approx-sketch convention
+    (approx_distinct, heavy_hitters_cms), the hashed output carries
+    the EXACT quantile (engine-computable on both sides) plus the
+    boolean bound check — estimates themselves are representation-
+    specific, the bound is the contract. The cumulative walk is a
+    window over |bins| rows (512) — bounded, single light task."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("value").cast("double").alias("value"),
+        F.to_date("ts").alias("d"),
+    )
+    n_b = 512
+    b = ev.agg(
+        F.min("value").alias("_lo"), F.max("value").alias("_hi")
+    ).collect()[0]
+    lo, hi = float(b["_lo"]), float(b["_hi"])
+    width = (hi - lo) / n_b if hi > lo else 1.0
+
+    # per-day partial histograms, then the bucket-wise state merge
+    part = ev.select(
+        "d",
+        F.least(
+            F.lit(n_b),
+            (F.floor((F.col("value") - F.lit(lo)) / F.lit(width)) + 1)
+            .cast("int"),
+        ).alias("bucket"),
+    ).groupBy("d", "bucket").agg(F.count("*").alias("n"))
+    merged = part.groupBy("bucket").agg(
+        F.sum("n").cast("bigint").alias("n")
+    )
+    w_cum = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = (
+        merged.withColumn("cum", F.sum("n").over(w_cum))
+        .withColumn("cum_before", F.col("cum") - F.col("n"))
+    )
+    qs = spark.createDataFrame(
+        [(0.5,), (0.9,), (0.99,)], "q DOUBLE"
+    )
+    total = ev.count()
+    # continuous rank r = p*(n-1)+1 over the merged counts; the one
+    # bucket with cum_before < r <= cum holds it
+    r = F.col("q") * F.lit(float(total - 1)) + F.lit(1.0)
+    located = (
+        cum.crossJoin(F.broadcast(qs))
+        .filter((F.col("cum_before") < r) & (r <= F.col("cum")))
+        .select(
+            "q",
+            (
+                F.lit(lo)
+                + (F.col("bucket") - 1) * F.lit(width)
+                + (r - F.col("cum_before"))
+                / F.col("n")
+                * F.lit(width)
+            ).alias("est"),
+        )
+    )
+    exact = ev.agg(
+        F.expr(
+            "percentile(value, array(0.5D, 0.9D, 0.99D))"
+        ).alias("ex")
+    ).select(
+        F.posexplode("ex").alias("pos", "exact_value")
+    ).select(
+        F.element_at(
+            F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)),
+            F.col("pos") + 1,
+        ).alias("q"),
+        "exact_value",
+    )
+    return located.join(exact, "q").select(
+        "q",
+        _fround(F.col("exact_value"), 4).alias("exact_value"),
+        (
+            F.abs(F.col("est") - F.col("exact_value"))
+            <= F.lit(2.0 * width + 1e-9)
+        ).alias("est_ok"),
+    )
+
+
 def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.10 seasonality-aware anomaly detection: each (type, day)
     count is z-scored against the baseline of the SAME weekday slot —
@@ -9915,6 +10002,7 @@ ALL_QUERIES = {
     "incremental_rollup_retract": q_incremental_rollup_retract,
     "ivm_join_rollup": q_ivm_join_rollup,
     "ivm_join_orphans": q_ivm_join_orphans,
+    "incremental_quantiles": q_incremental_quantiles,
     "zorder_pruned_scan": q_zorder_pruned_scan,
     "streaming_ivm_join": q_streaming_ivm_join,
     "m2_merge_evolution": q_m2_merge_evolution,

@@ -185,6 +185,8 @@ HEADLINE = [
     "numeric_histogram",
     "ivm_join",
     "zorder_pruned_scan",
+    "ivm_join_rollup",
+    "incremental_quantiles",
     # Python-worker queries LAST: applyInPandas spins up 32 Python
     # workers and leaves GC pressure that inflates the next JVM-only
     # query by ~3x (measured: dedup_minhash_lsh 6.96s after it vs 1.9s
