@@ -2834,6 +2834,23 @@ SELECT 0.99,
        TRUE
 FROM events
 """,
+    "streaming_quantiles": """
+SELECT 0.5 AS q,
+       floor(quantile_cont(value, 0.5) * 10000.0 + 0.5) / 10000.0
+         AS exact_value,
+       TRUE AS est_ok
+FROM events
+UNION ALL
+SELECT 0.9,
+       floor(quantile_cont(value, 0.9) * 10000.0 + 0.5) / 10000.0,
+       TRUE
+FROM events
+UNION ALL
+SELECT 0.99,
+       floor(quantile_cont(value, 0.99) * 10000.0 + 0.5) / 10000.0,
+       TRUE
+FROM events
+""",
     "ivm_join_orphans": """
 WITH facts AS (
   SELECT o_orderkey, o_custkey, o_orderdate,

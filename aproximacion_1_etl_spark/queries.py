@@ -807,6 +807,61 @@ def q_numeric_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _histogram_quantile_report(
+    cum: DataFrame,
+    exact_src: DataFrame,
+    lo: float,
+    width: float,
+    total: int,
+) -> DataFrame:
+    """Shared render step of the mergeable-quantile keys: interpolate
+    p50/p90/p99 from a cumulative histogram state (``cum``: bucket, n,
+    cum, cum_before) and emit (q, exact_value, est_ok) — exact from a
+    ``percentile`` reference aggregate over ``exact_src.value``,
+    est_ok = |est - exact| <= 2 bucket widths. One definition so the
+    batch and streaming forms cannot drift."""
+    spark = cum.sparkSession
+    qs = spark.createDataFrame([(0.5,), (0.9,), (0.99,)], "q DOUBLE")
+    # continuous rank r = p*(n-1)+1 over the merged counts; the one
+    # bucket with cum_before < r <= cum holds it
+    r = F.col("q") * F.lit(float(total - 1)) + F.lit(1.0)
+    located = (
+        cum.crossJoin(F.broadcast(qs))
+        .filter((F.col("cum_before") < r) & (r <= F.col("cum")))
+        .select(
+            "q",
+            (
+                F.lit(lo)
+                + (F.col("bucket") - 1) * F.lit(width)
+                + (r - F.col("cum_before")) / F.col("n") * F.lit(width)
+            ).alias("est"),
+        )
+    )
+    exact = (
+        exact_src.agg(
+            F.expr("percentile(value, array(0.5D, 0.9D, 0.99D))").alias(
+                "ex"
+            )
+        )
+        .select(F.posexplode("ex").alias("pos", "exact_value"))
+        .select(
+            F.element_at(
+                F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)),
+                F.col("pos") + 1,
+            ).alias("q"),
+            "exact_value",
+        )
+    )
+    return located.join(exact, "q").select(
+        "q",
+        _fround(F.col("exact_value"), 4).alias("exact_value"),
+        (
+            F.abs(F.col("est") - F.col("exact_value"))
+            <= F.lit(2.0 * width + 1e-9)
+        ).alias("est_ok"),
+    )
+
+
 def q_incremental_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.10 MERGEABLE quantile estimation: per-day equi-width
     histogram partials (the daily batch state) merge bucket-wise, and
@@ -850,48 +905,103 @@ def q_incremental_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         merged.withColumn("cum", F.sum("n").over(w_cum))
         .withColumn("cum_before", F.col("cum") - F.col("n"))
     )
-    qs = spark.createDataFrame(
-        [(0.5,), (0.9,), (0.99,)], "q DOUBLE"
-    )
     total = ev.count()
-    # continuous rank r = p*(n-1)+1 over the merged counts; the one
-    # bucket with cum_before < r <= cum holds it
-    r = F.col("q") * F.lit(float(total - 1)) + F.lit(1.0)
-    located = (
-        cum.crossJoin(F.broadcast(qs))
-        .filter((F.col("cum_before") < r) & (r <= F.col("cum")))
-        .select(
-            "q",
-            (
-                F.lit(lo)
-                + (F.col("bucket") - 1) * F.lit(width)
-                + (r - F.col("cum_before"))
-                / F.col("n")
-                * F.lit(width)
-            ).alias("est"),
+    return _histogram_quantile_report(cum, ev, lo, width, total)
+
+
+def q_streaming_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 + §2.10: mergeable quantiles AS A STREAM — completes the
+    batch / incremental / streaming trio for the quantile state (the
+    profile-store topology): events arrive in two date-ordered waves;
+    foreachBatch buckets ONLY its own wave against the standing bucket
+    geometry (fixed lo/width — domain knowledge in production, one
+    bounds pass here) and folds the counts into the persisted
+    histogram state. Per-batch cost O(|batch| + |bins|); the final
+    p50/p90/p99 render from the folded state must satisfy the same
+    2-bucket-width bound against the exact full-data quantiles — the
+    oracle is identical to incremental_quantiles by construction."""
+    import shutil
+    import time as _time
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("value").cast("double").alias("value"),
+        F.col("ts"),
+    )
+    n_b = 512
+    b = ev.agg(
+        F.min("value").alias("_lo"), F.max("value").alias("_hi")
+    ).collect()[0]
+    lo, hi = float(b["_lo"]), float(b["_hi"])
+    width = (hi - lo) / n_b if hi > lo else 1.0
+
+    base = tempfile.mkdtemp(prefix="graft_sq_")
+    ckpt = tempfile.mkdtemp(prefix="ckpt_sq_")
+    src = os.path.join(base, "src")
+    hist_log = os.path.join(base, "hist")
+
+    def handle_batch(batch, batch_id: int) -> None:
+        bspark = batch.sparkSession
+        part = batch.select(
+            F.least(
+                F.lit(n_b),
+                (
+                    F.floor(
+                        (F.col("value") - F.lit(lo)) / F.lit(width)
+                    )
+                    + 1
+                ).cast("int"),
+            ).alias("bucket")
+        ).groupBy("bucket").agg(F.count("*").cast("bigint").alias("n"))
+        if os.path.isdir(hist_log):
+            prior = bspark.read.parquet(hist_log)
+            part = (
+                prior.unionByName(part)
+                .groupBy("bucket")
+                .agg(F.sum("n").cast("bigint").alias("n"))
+            )
+        nxt = os.path.join(base, "_hist_next")
+        part.write.mode("overwrite").parquet(nxt)
+        bspark.read.parquet(nxt).write.mode("overwrite").parquet(hist_log)
+
+    try:
+        cut = "1998-01-01"
+        ev.filter(F.col("ts") < cut).coalesce(1).write.parquet(
+            os.path.join(src, "w1")
         )
-    )
-    exact = ev.agg(
-        F.expr(
-            "percentile(value, array(0.5D, 0.9D, 0.99D))"
-        ).alias("ex")
-    ).select(
-        F.posexplode("ex").alias("pos", "exact_value")
-    ).select(
-        F.element_at(
-            F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)),
-            F.col("pos") + 1,
-        ).alias("q"),
-        "exact_value",
-    )
-    return located.join(exact, "q").select(
-        "q",
-        _fround(F.col("exact_value"), 4).alias("exact_value"),
-        (
-            F.abs(F.col("est") - F.col("exact_value"))
-            <= F.lit(2.0 * width + 1e-9)
-        ).alias("est_ok"),
-    )
+        ev.filter(F.col("ts") >= cut).coalesce(1).write.parquet(
+            os.path.join(src, "w2")
+        )
+        now = _time.time()
+        for d, ts in (("w1", now - 120), ("w2", now - 60)):
+            pdir = os.path.join(src, d)
+            for f in os.listdir(pdir):
+                os.utime(os.path.join(pdir, f), (ts, ts))
+        q = (
+            spark.readStream.schema("value DOUBLE, ts TIMESTAMP")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(src, "*"))
+            .writeStream.foreachBatch(handle_batch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+
+        merged = spark.read.parquet(hist_log)
+        w_cum = Window.orderBy("bucket").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        cum = merged.withColumn(
+            "cum", F.sum("n").over(w_cum)
+        ).withColumn("cum_before", F.col("cum") - F.col("n"))
+        total = ev.count()
+        out = _histogram_quantile_report(cum, ev, lo, width, total)
+        return _reclaimed(out, base, ckpt)
+    finally:
+        if os.path.isdir(base):
+            shutil.rmtree(base, ignore_errors=True)
+        if os.path.isdir(ckpt):
+            shutil.rmtree(ckpt, ignore_errors=True)
 
 
 def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -10003,6 +10113,7 @@ ALL_QUERIES = {
     "ivm_join_rollup": q_ivm_join_rollup,
     "ivm_join_orphans": q_ivm_join_orphans,
     "incremental_quantiles": q_incremental_quantiles,
+    "streaming_quantiles": q_streaming_quantiles,
     "zorder_pruned_scan": q_zorder_pruned_scan,
     "streaming_ivm_join": q_streaming_ivm_join,
     "m2_merge_evolution": q_m2_merge_evolution,
