@@ -2903,6 +2903,23 @@ SELECT o_orderkey, o_custkey, o_orderdate,
 FROM facts JOIN customer ON o_custkey = c_custkey
 WHERE c_custkey % 100 <> 7
 """,
+    "cdf_join_maintenance": """
+WITH facts AS (
+  SELECT o_orderkey, o_custkey, o_orderdate,
+         CASE WHEN o_orderdate < DATE '1998-06-01'
+                   AND o_orderkey % 89 = 0 AND o_orderkey % 97 <> 0
+              THEN o_totalprice + 1 ELSE o_totalprice END AS o_totalprice
+  FROM orders
+  WHERE NOT (o_orderdate < DATE '1998-06-01' AND o_orderkey % 97 = 0)
+)
+SELECT o_orderkey, o_custkey, o_orderdate,
+       floor(CAST(o_totalprice AS DOUBLE) * 100.0 + 0.5) / 100.0
+         AS o_totalprice,
+       c_name, c_mktsegment,
+       floor(CAST(c_acctbal AS DOUBLE) * 100.0 + 0.5) / 100.0
+         AS c_acctbal
+FROM facts JOIN customer ON o_custkey = c_custkey
+""",
     "streaming_ivm_join": """
 WITH facts AS (
   SELECT o_orderkey, o_custkey, o_orderdate,

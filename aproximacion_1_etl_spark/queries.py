@@ -2896,6 +2896,86 @@ def q_ivm_join_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdf_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The change-capture -> incremental-apply LOOP closed: two
+    committed versions of a facts snapshot (pre/post the standard CDC
+    scheme) are DIFFED into a change feed (snapshot_change_feed — 'D'
+    old images, 'U' after-images, |changes|-sized), and that derived
+    feed drives maintain_join_view against the customer dim. The
+    maintained view must equal the new version joined from scratch —
+    proving a consumer needs no producer-side CDC instrumentation:
+    the version-pair diff IS the feed (the Delta CDF surface,
+    derived)."""
+    import shutil
+
+    from aproximacion_1_etl_spark.operators.refine import (
+        maintain_join_view,
+    )
+    from aproximacion_1_etl_spark.sources.versioned import (
+        snapshot_change_feed,
+        write_snapshot,
+    )
+
+    cut = "1998-06-01"
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+        .withColumnRenamed("c_custkey", "o_custkey")
+    )
+    old_facts = o.filter(F.col("o_orderdate") < cut)
+    inserts, updates, deletes = _orders_cdc(o, cut)
+    changed_keys = updates.select("o_orderkey").unionByName(
+        deletes.select("o_orderkey")
+    )
+    final_facts = (
+        old_facts.join(changed_keys, "o_orderkey", "left_anti")
+        .unionByName(updates.drop("op"))
+        .unionByName(inserts.drop("op"))
+    )
+
+    base = tempfile.mkdtemp(prefix="graft_cdf_")
+    path = os.path.join(base, "facts")
+    try:
+        v0 = write_snapshot(old_facts, path)
+        v1 = write_snapshot(final_facts, path)
+        feed = snapshot_change_feed(
+            spark, path, v0, v1, ["o_orderkey"]
+        )
+        view = old_facts.join(dim, "o_custkey")
+        no_dim_changes = spark.createDataFrame(
+            [],
+            "o_custkey BIGINT, c_name STRING, c_mktsegment STRING, "
+            "c_acctbal DOUBLE",
+        )
+        out = maintain_join_view(
+            view,
+            feed,
+            dim,
+            no_dim_changes,
+            fact_key="o_orderkey",
+            join_key="o_custkey",
+        ).select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderdate",
+            _fround(F.col("o_totalprice").cast("double"), 2).alias(
+                "o_totalprice"
+            ),
+            "c_name",
+            "c_mktsegment",
+            _fround(F.col("c_acctbal").cast("double"), 2).alias(
+                "c_acctbal"
+            ),
+        )
+        return _reclaimed(out, base)
+    finally:
+        if os.path.isdir(base):
+            shutil.rmtree(base, ignore_errors=True)
+
+
 def q_ivm_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregate-over-join IVM — the two incremental primitives
     COMPOSED: a per-segment revenue rollup over orders-x-customer is
@@ -10114,6 +10194,7 @@ ALL_QUERIES = {
     "ivm_join_orphans": q_ivm_join_orphans,
     "incremental_quantiles": q_incremental_quantiles,
     "streaming_quantiles": q_streaming_quantiles,
+    "cdf_join_maintenance": q_cdf_join_maintenance,
     "zorder_pruned_scan": q_zorder_pruned_scan,
     "streaming_ivm_join": q_streaming_ivm_join,
     "m2_merge_evolution": q_m2_merge_evolution,

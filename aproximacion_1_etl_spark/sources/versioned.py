@@ -29,6 +29,7 @@ from __future__ import annotations
 import os
 import shutil
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 _MANIFEST = "_VERSION"
@@ -290,6 +291,57 @@ def zorder_snapshot(
     return write_snapshot(
         df.repartitionByRange(n_files, z).sortWithinPartitions(z), path
     )
+
+
+def snapshot_change_feed(
+    spark: SparkSession,
+    path: str,
+    v_old: int,
+    v_new: int,
+    key_cols: list[str],
+) -> DataFrame:
+    """Change-data-feed between two committed versions of a snapshot
+    table (the table-format CDF surface, derived rather than stored):
+    one co-partitioned full-outer join on the key comparing the
+    non-key columns as a struct — 'D' rows carry the old image of
+    keys that vanished, 'U' rows the after-image of keys that
+    appeared or changed. Unchanged keys emit nothing, so the feed is
+    |changes|-sized and plugs straight into maintain_join_view /
+    merge-based consumers.
+
+    At 100 TB: the struct compare shuffles both versions once on the
+    key; a deployment doing this nightly should persist a row-hash
+    column at write time (the table_diff pattern) so the shuffle
+    carries (key, hash) only and after-images are fetched for the
+    changed minority."""
+    old = read_snapshot(spark, path, v_old)
+    new = read_snapshot(spark, path, v_new)
+    if set(old.columns) != set(new.columns):
+        raise ValueError(
+            "change feed requires identical schemas; got "
+            f"{sorted(old.columns)} vs {sorted(new.columns)}"
+        )
+    val_cols = [c for c in new.columns if c not in key_cols]
+    o = old.select(*key_cols, F.struct(*val_cols).alias("_img_old"))
+    n = new.select(*key_cols, F.struct(*val_cols).alias("_img_new"))
+    j = o.join(n, key_cols, "full_outer")
+    deleted = (
+        j.filter(F.col("_img_new").isNull())
+        .select(*key_cols, F.col("_img_old.*"))
+        .withColumn("op", F.lit("D"))
+    )
+    upserted = (
+        # eqNullSafe, not != : a NULL field inside either image must
+        # compare as a definite (in)equality, and a missing old image
+        # (new key) must read as "changed"
+        j.filter(
+            F.col("_img_new").isNotNull()
+            & ~F.col("_img_old").eqNullSafe(F.col("_img_new"))
+        )
+        .select(*key_cols, F.col("_img_new.*"))
+        .withColumn("op", F.lit("U"))
+    )
+    return deleted.unionByName(upserted)
 
 
 def vacuum(path: str, keep_last: int = 2) -> list[int]:

@@ -415,6 +415,37 @@ def test_zorder_layout_skips_on_both_dimensions(spark, sf_dir):
     )
 
 
+def test_snapshot_change_feed_classifies_changes(spark):
+    """CDF between two versions: unchanged keys emit nothing; added
+    and value-changed keys emit 'U' after-images (including a change
+    TO NULL — eqNullSafe, a plain != would miss it); vanished keys
+    emit 'D' old images."""
+    from aproximacion_1_etl_spark.sources.versioned import (
+        snapshot_change_feed,
+        write_snapshot,
+    )
+
+    path = tempfile.mkdtemp(prefix="graft_cdf_t_") + "/t"
+    v0_df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0), (4, "d", 4.0)],
+        "k BIGINT, s STRING, v DOUBLE",
+    )
+    v1_df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "B", 2.0), (4, None, 4.0), (5, "e", 5.0)],
+        "k BIGINT, s STRING, v DOUBLE",
+    )
+    v0 = write_snapshot(v0_df, path)
+    v1 = write_snapshot(v1_df, path)
+    feed = snapshot_change_feed(spark, path, v0, v1, ["k"])
+    got = {r["k"]: (r["op"], r["s"], r["v"]) for r in feed.collect()}
+    assert got == {
+        2: ("U", "B", 2.0),    # changed
+        3: ("D", "c", 3.0),    # deleted (old image)
+        4: ("U", None, 4.0),   # changed TO NULL
+        5: ("U", "e", 5.0),    # added
+    }  # k=1 unchanged -> absent
+
+
 def test_snapshot_meta_commits_atomically_with_data(spark):
     """The foreachBatch replay-guard primitive: a batch id published
     via write_snapshot(meta=...) is visible in committed_metas only
