@@ -443,3 +443,119 @@ def test_profile_merge_associative_any_split(spark, rows, n_splits):
     assert sorted(map(tuple, merged.collect())) == sorted(
         map(tuple, full.collect())
     )
+
+
+@given(
+    facts=st.dictionaries(
+        keys, st.tuples(st.integers(0, 4), vals), max_size=10
+    ),
+    dims=st.dictionaries(st.integers(0, 4), vals, max_size=5),
+    batches=st.lists(
+        st.tuples(
+            # fact CDC: key -> (op, dim_key, value)
+            st.dictionaries(
+                keys,
+                st.tuples(
+                    st.sampled_from(["U", "D"]),
+                    st.integers(0, 4),
+                    vals,
+                ),
+                max_size=5,
+            ),
+            # dim CDC: dim_key -> (op, attr)
+            st.dictionaries(
+                st.integers(0, 4),
+                st.tuples(st.sampled_from(["U", "D"]), vals),
+                max_size=3,
+            ),
+        ),
+        max_size=3,
+    ),
+)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_maintain_join_view_full_equals_recompute(
+    spark, facts, dims, batches
+):
+    """Multi-batch IVM vs a naive Python recompute: after EVERY batch
+    of random fact CDC (upserts/deletes) and dim CDC (upserts/deletes)
+    the maintained (view, orphans) pair must equal (live facts INNER
+    JOIN dim, live facts with no dim row) — the delta rules can never
+    drift from the definition, whatever the interleaving."""
+    from aproximacion_1_etl_spark.operators.refine import (
+        maintain_join_view_full,
+    )
+
+    def fact_df(d):
+        rows = [(f, dk, float(v)) for f, (dk, v) in d.items()]
+        return spark.createDataFrame(
+            rows or [(None, None, None)], "f BIGINT, d BIGINT, v DOUBLE"
+        ).filter(F.col("f").isNotNull())
+
+    def dim_df(d):
+        rows = [(k, float(a)) for k, a in d.items()]
+        return spark.createDataFrame(
+            rows or [(None, None)], "d BIGINT, attr DOUBLE"
+        ).filter(F.col("d").isNotNull())
+
+    live_facts = dict(facts)
+    live_dims = dict(dims)
+    view = fact_df(live_facts).join(dim_df(live_dims), "d")
+    orphans = fact_df(
+        {f: t for f, t in live_facts.items() if t[0] not in live_dims}
+    )
+    view = view.select("f", "d", "v", "attr")
+
+    for fc, dc in batches:
+        # python reference state transition
+        for dk, (op, a) in dc.items():
+            if op == "D":
+                live_dims.pop(dk, None)
+            else:
+                live_dims[dk] = a
+        for f, (op, dk, v) in fc.items():
+            if op == "D":
+                live_facts.pop(f, None)
+            else:
+                live_facts[f] = (dk, v)
+
+        fc_rows = [
+            (f, dk, float(v), op) for f, (op, dk, v) in fc.items()
+        ]
+        fc_df = spark.createDataFrame(
+            fc_rows or [(None, None, None, None)],
+            "f BIGINT, d BIGINT, v DOUBLE, op STRING",
+        ).filter(F.col("f").isNotNull())
+        dc_rows = [
+            (dk, None if op == "D" else float(a), op)
+            for dk, (op, a) in dc.items()
+        ]
+        dc_df = spark.createDataFrame(
+            dc_rows or [(None, None, None)],
+            "d BIGINT, attr DOUBLE, dop STRING",
+        ).filter(F.col("d").isNotNull())
+
+        view, orphans = maintain_join_view_full(
+            view, orphans, fc_df, dim_df(live_dims), dc_df,
+            "f", "d", dim_op_col="dop",
+        )
+        # localCheckpoint keeps the lineage from growing across batches
+        view = view.localCheckpoint(eager=True)
+        orphans = orphans.localCheckpoint(eager=True)
+
+        got_view = {
+            r["f"]: (r["d"], r["v"], r["attr"]) for r in view.collect()
+        }
+        got_orph = {r["f"]: (r["d"], r["v"]) for r in orphans.collect()}
+        want_view = {
+            f: (dk, float(v), float(live_dims[dk]))
+            for f, (dk, v) in live_facts.items()
+            if dk in live_dims
+        }
+        want_orph = {
+            f: (dk, float(v))
+            for f, (dk, v) in live_facts.items()
+            if dk not in live_dims
+        }
+        assert got_view == want_view
+        assert got_orph == want_orph
