@@ -123,6 +123,24 @@ def _reclaimed(df: DataFrame, *paths: str) -> DataFrame:
             shutil.rmtree(p, ignore_errors=True)
 
 
+def _reclaimed_dist(df: DataFrame, *paths: str) -> DataFrame:
+    """``_reclaimed`` for FACT-SIZED results: ``localCheckpoint(eager)``
+    materializes the partitions in the executors' block manager —
+    distributed, never on the driver — which cuts the plan's lineage to
+    the temp dirs so they can be reclaimed immediately. Keys whose
+    result is a maintained view / full relation (streaming_ivm_join,
+    cdf_join_maintenance) must use THIS one: collect()-and-rebuild
+    would pull the whole relation through the driver (an OOM at scale
+    and a double serialization at any size)."""
+    import shutil
+
+    try:
+        return df.localCheckpoint(eager=True)
+    finally:
+        for p in paths:
+            shutil.rmtree(p, ignore_errors=True)
+
+
 def _artifact_key(sf_dir: str, table: str) -> tuple:
     """Cache key for memoized model artifacts: (sf_dir, source-parquet
     mtime) so a testdata regeneration inside one long-lived process
@@ -807,6 +825,30 @@ def q_numeric_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hist_bucket(value, lo: float, width: float, n_b: int):
+    """THE bucket-assignment expression for the equi-width histogram
+    state: least(n_b, floor((v - lo)/width) + 1), pure IEEE arithmetic
+    so every engine (and every batch of a stream) buckets identically.
+    One definition shared by the batch, incremental, and streaming
+    quantile keys — the geometry cannot drift between them."""
+    return F.least(
+        F.lit(n_b),
+        (F.floor((value - F.lit(lo)) / F.lit(width)) + 1).cast("int"),
+    )
+
+
+def _cum_hist(merged: DataFrame) -> DataFrame:
+    """Cumulative walk over a merged (bucket, n) histogram state: adds
+    ``cum`` and ``cum_before``. A window over |bins| rows — bounded,
+    single light task."""
+    w_cum = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return merged.withColumn("cum", F.sum("n").over(w_cum)).withColumn(
+        "cum_before", F.col("cum") - F.col("n")
+    )
+
+
 def _histogram_quantile_report(
     cum: DataFrame,
     exact_src: DataFrame,
@@ -817,19 +859,55 @@ def _histogram_quantile_report(
     """Shared render step of the mergeable-quantile keys: interpolate
     p50/p90/p99 from a cumulative histogram state (``cum``: bucket, n,
     cum, cum_before) and emit (q, exact_value, est_ok) — exact from a
-    ``percentile`` reference aggregate over ``exact_src.value``,
-    est_ok = |est - exact| <= 2 bucket widths. One definition so the
-    batch and streaming forms cannot drift."""
+    ``percentile`` reference aggregate over ``exact_src.value``.
+
+    The bound behind est_ok is the one the bucket geometry actually
+    GUARANTEES: for rank r = q*(n-1)+1, the order statistics x_floor(r)
+    and x_ceil(r) land in buckets b1 <= b <= b2 where b is the located
+    bucket (cum_before < r <= cum), so the estimate satisfies
+    x_floor(r) - width <= est <= x_ceil(r) + width for ANY data
+    distribution. A naive |est - exact| <= k*width claim is false for
+    gapped/bimodal data (the interpolated exact can sit in an empty
+    region many buckets from both order statistics); this one is
+    provable, so the oracle's est_ok=TRUE is a theorem, not a fixture
+    property."""
+    import math
+
     spark = cum.sparkSession
-    qs = spark.createDataFrame([(0.5,), (0.9,), (0.99,)], "q DOUBLE")
+    qs = [0.5, 0.9, 0.99]
+    trios = []
+    for q in qs:
+        r = q * (total - 1) + 1.0
+        if total > 1:
+            p_lo = (math.floor(r) - 1.0) / (total - 1)
+            p_hi = (math.ceil(r) - 1.0) / (total - 1)
+        else:
+            p_lo = p_hi = 0.0
+        trios.append((q, p_lo, p_hi))
+    flat = [p for trio in trios for p in trio]
+    arr = ", ".join(f"{float(p)!r}D" for p in flat)
+    ex = exact_src.agg(
+        F.expr(f"percentile(value, array({arr}))").alias("ex")
+    ).first()["ex"]
+    exact = spark.createDataFrame(
+        [
+            (qs[i], float(ex[3 * i]), float(ex[3 * i + 1]),
+             float(ex[3 * i + 2]))
+            for i in range(len(qs))
+        ],
+        "q DOUBLE, exact_value DOUBLE, ex_lo DOUBLE, ex_hi DOUBLE",
+    )
     # continuous rank r = p*(n-1)+1 over the merged counts; the one
     # bucket with cum_before < r <= cum holds it
     r = F.col("q") * F.lit(float(total - 1)) + F.lit(1.0)
     located = (
-        cum.crossJoin(F.broadcast(qs))
+        cum.crossJoin(F.broadcast(exact))
         .filter((F.col("cum_before") < r) & (r <= F.col("cum")))
         .select(
             "q",
+            "exact_value",
+            "ex_lo",
+            "ex_hi",
             (
                 F.lit(lo)
                 + (F.col("bucket") - 1) * F.lit(width)
@@ -837,27 +915,13 @@ def _histogram_quantile_report(
             ).alias("est"),
         )
     )
-    exact = (
-        exact_src.agg(
-            F.expr("percentile(value, array(0.5D, 0.9D, 0.99D))").alias(
-                "ex"
-            )
-        )
-        .select(F.posexplode("ex").alias("pos", "exact_value"))
-        .select(
-            F.element_at(
-                F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)),
-                F.col("pos") + 1,
-            ).alias("q"),
-            "exact_value",
-        )
-    )
-    return located.join(exact, "q").select(
+    tol = F.lit(width + 1e-6)
+    return located.select(
         "q",
         _fround(F.col("exact_value"), 4).alias("exact_value"),
         (
-            F.abs(F.col("est") - F.col("exact_value"))
-            <= F.lit(2.0 * width + 1e-9)
+            (F.col("est") >= F.col("ex_lo") - tol)
+            & (F.col("est") <= F.col("ex_hi") + tol)
         ).alias("est_ok"),
     )
 
@@ -874,7 +938,10 @@ def q_incremental_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     the EXACT quantile (engine-computable on both sides) plus the
     boolean bound check — estimates themselves are representation-
     specific, the bound is the contract. The cumulative walk is a
-    window over |bins| rows (512) — bounded, single light task."""
+    window over |bins| rows (512) — bounded, single light task. The
+    O(|bins|) state is materialized once on the driver (it IS the
+    thing a daily loop would persist) and the grand total falls out of
+    it as sum(n) — no extra count() pass over the facts."""
     ev = load_table(spark, sf_dir, "events").select(
         F.col("value").cast("double").alias("value"),
         F.to_date("ts").alias("d"),
@@ -887,26 +954,22 @@ def q_incremental_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     width = (hi - lo) / n_b if hi > lo else 1.0
 
     # per-day partial histograms, then the bucket-wise state merge
-    part = ev.select(
-        "d",
-        F.least(
-            F.lit(n_b),
-            (F.floor((F.col("value") - F.lit(lo)) / F.lit(width)) + 1)
-            .cast("int"),
-        ).alias("bucket"),
-    ).groupBy("d", "bucket").agg(F.count("*").alias("n"))
-    merged = part.groupBy("bucket").agg(
-        F.sum("n").cast("bigint").alias("n")
+    part = (
+        ev.select("d", _hist_bucket(F.col("value"), lo, width, n_b)
+                  .alias("bucket"))
+        .groupBy("d", "bucket")
+        .agg(F.count("*").alias("n"))
     )
-    w_cum = Window.orderBy("bucket").rowsBetween(
-        Window.unboundedPreceding, 0
+    state = (
+        part.groupBy("bucket")
+        .agg(F.sum("n").cast("bigint").alias("n"))
+        .collect()
     )
-    cum = (
-        merged.withColumn("cum", F.sum("n").over(w_cum))
-        .withColumn("cum_before", F.col("cum") - F.col("n"))
+    total = sum(r["n"] for r in state)
+    merged = spark.createDataFrame(state, "bucket INT, n BIGINT")
+    return _histogram_quantile_report(
+        _cum_hist(merged), ev, lo, width, total
     )
-    total = ev.count()
-    return _histogram_quantile_report(cum, ev, lo, width, total)
 
 
 def q_streaming_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -918,10 +981,23 @@ def q_streaming_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds pass here) and folds the counts into the persisted
     histogram state. Per-batch cost O(|batch| + |bins|); the final
     p50/p90/p99 render from the folded state must satisfy the same
-    2-bucket-width bound against the exact full-data quantiles — the
-    oracle is identical to incremental_quantiles by construction."""
+    provable bucket-geometry bound against the exact full-data order
+    statistics — the oracle is identical to incremental_quantiles by
+    construction. The histogram state lives in a versioned snapshot
+    table (write_snapshot / committed_metas): the batch id travels
+    inside the commit, so a recovered stream that re-delivers the
+    in-flight micro-batch skips it instead of double-counting (the
+    count fold is NOT idempotent), and publish is one atomic manifest
+    flip — no torn two-step overwrite window."""
     import shutil
     import time as _time
+
+    from aproximacion_1_etl_spark.sources.versioned import (
+        committed_metas,
+        current_version,
+        read_snapshot,
+        write_snapshot,
+    )
 
     ev = load_table(spark, sf_dir, "events").select(
         F.col("value").cast("double").alias("value"),
@@ -940,28 +1016,25 @@ def q_streaming_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist_log = os.path.join(base, "hist")
 
     def handle_batch(batch, batch_id: int) -> None:
+        if str(batch_id) in committed_metas(hist_log):
+            return
         bspark = batch.sparkSession
-        part = batch.select(
-            F.least(
-                F.lit(n_b),
-                (
-                    F.floor(
-                        (F.col("value") - F.lit(lo)) / F.lit(width)
-                    )
-                    + 1
-                ).cast("int"),
-            ).alias("bucket")
-        ).groupBy("bucket").agg(F.count("*").cast("bigint").alias("n"))
-        if os.path.isdir(hist_log):
-            prior = bspark.read.parquet(hist_log)
+        part = (
+            batch.select(
+                _hist_bucket(F.col("value"), lo, width, n_b)
+                .alias("bucket")
+            )
+            .groupBy("bucket")
+            .agg(F.count("*").cast("bigint").alias("n"))
+        )
+        if current_version(hist_log) is not None:
+            prior = read_snapshot(bspark, hist_log)
             part = (
                 prior.unionByName(part)
                 .groupBy("bucket")
                 .agg(F.sum("n").cast("bigint").alias("n"))
             )
-        nxt = os.path.join(base, "_hist_next")
-        part.write.mode("overwrite").parquet(nxt)
-        bspark.read.parquet(nxt).write.mode("overwrite").parquet(hist_log)
+        write_snapshot(part, hist_log, meta=str(batch_id))
 
     try:
         cut = "1998-01-01"
@@ -987,15 +1060,14 @@ def q_streaming_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
 
-        merged = spark.read.parquet(hist_log)
-        w_cum = Window.orderBy("bucket").rowsBetween(
-            Window.unboundedPreceding, 0
+        # the folded state carries the exact total as sum(n) — no
+        # rescan of the source after the stream
+        state = read_snapshot(spark, hist_log).collect()
+        total = sum(r["n"] for r in state)
+        merged = spark.createDataFrame(state, "bucket INT, n BIGINT")
+        out = _histogram_quantile_report(
+            _cum_hist(merged), ev, lo, width, total
         )
-        cum = merged.withColumn(
-            "cum", F.sum("n").over(w_cum)
-        ).withColumn("cum_before", F.col("cum") - F.col("n"))
-        total = ev.count()
-        out = _histogram_quantile_report(cum, ev, lo, width, total)
         return _reclaimed(out, base, ckpt)
     finally:
         if os.path.isdir(base):
@@ -2970,7 +3042,7 @@ def q_cdf_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "c_acctbal"
             ),
         )
-        return _reclaimed(out, base)
+        return _reclaimed_dist(out, base)
     finally:
         if os.path.isdir(base):
             shutil.rmtree(base, ignore_errors=True)
@@ -3563,7 +3635,7 @@ def q_streaming_ivm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_mktsegment",
         _fround(F.col("c_acctbal").cast("double"), 2).alias("c_acctbal"),
     )
-    return _reclaimed(out, base, ckpt)
+    return _reclaimed_dist(out, base, ckpt)
 
 
 def q_session_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:

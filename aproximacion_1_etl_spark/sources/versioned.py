@@ -313,9 +313,16 @@ def snapshot_change_feed(
     key; a deployment doing this nightly should persist a row-hash
     column at write time (the table_diff pattern) so the shuffle
     carries (key, hash) only and after-images are fetched for the
-    changed minority."""
-    old = read_snapshot(spark, path, v_old)
-    new = read_snapshot(spark, path, v_new)
+    changed minority.
+
+    Reads through each version's deletion vector (read_snapshot_with_dv,
+    like compact_snapshot): the feed must describe the LOGICAL table a
+    reader sees, not the physical files — a row delete served by a DV
+    sidecar is a real 'D' to every downstream view, and a raw-file diff
+    would either miss it or emit phantom deletes for rows no reader of
+    v_old ever saw."""
+    old = read_snapshot_with_dv(spark, path, v_old)
+    new = read_snapshot_with_dv(spark, path, v_new)
     if set(old.columns) != set(new.columns):
         raise ValueError(
             "change feed requires identical schemas; got "

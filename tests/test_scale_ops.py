@@ -751,3 +751,66 @@ def test_embeddings_regen_invariants(spark, sf_dir):
     assert stats["min_dim"] == stats["max_dim"] == 64, stats
     # no null vectors or components anywhere
     assert stats["n_bad"] == 0
+
+
+def test_histogram_quantile_bound_holds_on_gapped_bimodal(spark):
+    """The est_ok bound must be a THEOREM of the bucket geometry, not a
+    property of the near-uniform fixture: for bimodal data with a huge
+    empty gap, the interpolated exact quantile sits in an empty region
+    far from the located bucket, so any |est - exact| <= k*width claim
+    is false — but the order-statistic bound (x_floor(r) - width <= est
+    <= x_ceil(r) + width) holds for ANY distribution. 500 values near
+    10.0 and 500 near 500.0: p50's rank straddles the gap."""
+    from aproximacion_1_etl_spark.queries import (
+        _cum_hist,
+        _hist_bucket,
+        _histogram_quantile_report,
+    )
+
+    vals = [10.0 + i * 1e-3 for i in range(500)] + [
+        500.0 + i * 1e-3 for i in range(500)
+    ]
+    ev = spark.createDataFrame([(v,) for v in vals], "value DOUBLE")
+    n_b = 512
+    lo, hi = min(vals), max(vals)
+    width = (hi - lo) / n_b
+    merged = (
+        ev.select(_hist_bucket(F.col("value"), lo, width, n_b)
+                  .alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    out = _histogram_quantile_report(
+        _cum_hist(merged), ev, lo, width, len(vals)
+    ).collect()
+    assert len(out) == 3
+    assert all(r["est_ok"] for r in out), out
+
+
+def test_snapshot_change_feed_reads_through_deletion_vector(spark):
+    """A row logically deleted via a DV sidecar (no file rewrite) must
+    surface as a 'D' in the derived change feed — the feed describes
+    the logical table, not the physical v-dir files."""
+    from aproximacion_1_etl_spark.sources.versioned import (
+        delete_rows,
+        snapshot_change_feed,
+        write_snapshot,
+    )
+
+    path = tempfile.mkdtemp(prefix="graft_cdfdv_t_") + "/t"
+    v0_df = spark.createDataFrame(
+        [(1, 1.0), (2, 2.0), (3, 3.0)], "k BIGINT, v DOUBLE"
+    )
+    v0 = write_snapshot(v0_df, path)
+    # v1: same physical rows for 1 and 3, row 2 updated; then DV-delete
+    # k=3 from v1 without rewriting its files
+    v1 = write_snapshot(
+        spark.createDataFrame(
+            [(1, 1.0), (2, 20.0), (3, 3.0)], "k BIGINT, v DOUBLE"
+        ),
+        path,
+    )
+    assert delete_rows(spark, path, "k", "k = 3") == 1
+    feed = snapshot_change_feed(spark, path, v0, v1, ["k"])
+    got = {r["k"]: r["op"] for r in feed.collect()}
+    assert got == {2: "U", 3: "D"}, got
