@@ -1769,6 +1769,43 @@ SELECT 'ALL' AS source,
        CAST((SELECT count(DISTINCT tok) FROM toks) AS BIGINT) AS n_exact,
        TRUE AS est_ok
 """,
+    "hll_sliding_distinct": """
+WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day, user_id FROM events),
+d AS (SELECT DISTINCT event_type, day FROM e)
+SELECT d.event_type,
+       strftime(d.day, '%Y-%m-%d') AS day,
+       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_exact,
+       TRUE AS est_ok
+FROM d JOIN e ON e.event_type = d.event_type
+             AND e.day BETWEEN d.day - 6 AND d.day
+GROUP BY d.event_type, d.day
+""",
+    "segment_overlap_sketch": """
+WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+seg AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM du GROUP BY 1),
+inter AS (SELECT x.event_type AS ta, y.event_type AS tb,
+                 CAST(count(*) AS BIGINT) AS ni
+          FROM du x JOIN du y
+            ON x.user_id = y.user_id AND x.event_type < y.event_type
+          GROUP BY 1, 2)
+SELECT i.ta AS type_a, i.tb AS type_b, a.n AS n_a, b.n AS n_b,
+       i.ni AS n_inter,
+       floor((CAST(i.ni AS DOUBLE) / (a.n + b.n - i.ni)) * 10000.0 + 0.5)
+         / 10000.0 AS jaccard,
+       TRUE AS est_ok
+FROM inter i
+JOIN seg a ON a.event_type = i.ta
+JOIN seg b ON b.event_type = i.tb
+""",
+    "merge_on_read": """
+SELECT c_custkey, c_name, c_nationkey,
+       floor((CASE WHEN c_nationkey = 5 AND c_custkey % 3 = 0 THEN -1.0
+                   WHEN c_nationkey = 5 THEN c_acctbal * 1.1
+                   ELSE c_acctbal END) * 100.0 + 0.5) / 100.0 AS c_acctbal
+FROM customer
+WHERE NOT (c_custkey % 97 = 0
+           AND NOT (c_nationkey = 5 AND c_custkey % 3 = 0))
+""",
     "heavy_hitters_cms": """
 SELECT event_type, CAST(count(*) AS BIGINT) AS true_cnt, TRUE AS est_ok
 FROM events GROUP BY 1

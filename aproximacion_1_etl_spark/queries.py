@@ -10148,6 +10148,191 @@ def q_join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hll_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 sliding-window distinct counts from MERGED DAILY SKETCH
+    PARTIALS: per-(event_type, day) HyperLogLog sketches over user_id,
+    then a 7-day trailing distinct-user estimate per day computed by
+    union-merging at most 7 of those sketches in a RANGE window —
+    never re-scanning raw events per window position. This is the 100
+    TB shape of "rolling 7-day active users": the persisted artifact
+    is |types|x|days| sketch rows (~4 KB each); each new day costs one
+    partial over that day's events plus a 7-sketch merge, where the
+    naive form re-scans a week of raw facts per day. Like
+    hll_sketch_union, the hashed output carries the EXACT trailing
+    distinct count (computed here only so the accuracy claim is
+    driver-checkable) plus a boolean asserting the sketch estimate is
+    within max(2, 5%) of it."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day"), "user_id"
+    )
+    daily = (
+        ev.groupBy("event_type", "day")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .withColumn(
+            "d_num", F.datediff("day", F.lit("1970-01-01").cast("date"))
+        )
+    )
+    w7 = Window.partitionBy("event_type").orderBy("d_num").rangeBetween(-6, 0)
+    est = daily.select(
+        "event_type",
+        "day",
+        F.hll_sketch_estimate(F.hll_union_agg("sk").over(w7)).alias("est"),
+    )
+    # exact side — verification only; a production run emits `est`
+    exact = (
+        daily.select("event_type", "day")
+        .alias("d")
+        .join(
+            ev.alias("e"),
+            (F.col("e.event_type") == F.col("d.event_type"))
+            & (
+                F.col("e.day").between(
+                    F.date_sub(F.col("d.day"), 6), F.col("d.day")
+                )
+            ),
+        )
+        .groupBy(
+            F.col("d.event_type").alias("event_type"),
+            F.col("d.day").alias("day"),
+        )
+        .agg(F.countDistinct("e.user_id").alias("n_exact"))
+    )
+    return est.join(exact, ["event_type", "day"]).select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        (
+            F.abs(F.col("est") - F.col("n_exact"))
+            <= F.greatest(F.lit(2.0), F.lit(0.05) * F.col("n_exact"))
+        ).alias("est_ok"),
+    )
+
+
+def q_segment_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 pairwise audience overlap between segments via
+    INCLUSION-EXCLUSION ON SKETCHES: one HLL sketch of user_id per
+    event_type segment, then |A∩B| ≈ est(A) + est(B) - est(A∪B) with
+    the union estimated by the binary ``hll_union`` of the two stored
+    sketches. The all-pairs overlap matrix costs a |segments|²
+    sketch-level join (tiny rows) — the raw facts are scanned ONCE to
+    build the sketches, where the naive form re-joins the fact table
+    per pair. The exact per-pair intersection/Jaccard (a distinct
+    self-join) is computed here only so the accuracy claim is
+    driver-checkable; est_ok asserts the sketch-derived intersection
+    is within max(3, 5% of the exact union) — the I-E error compounds
+    three estimates, each bounded by the union's cardinality."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    seg = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.countDistinct("user_id").alias("n_seg"),
+    )
+    pairs = (
+        seg.alias("a")
+        .join(
+            F.broadcast(seg.alias("b")),
+            F.col("a.event_type") < F.col("b.event_type"),
+        )
+        .select(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+            F.col("a.n_seg").cast("bigint").alias("n_a"),
+            F.col("b.n_seg").cast("bigint").alias("n_b"),
+            (
+                F.hll_sketch_estimate("a.sk")
+                + F.hll_sketch_estimate("b.sk")
+                - F.hll_sketch_estimate(F.hll_union("a.sk", "b.sk"))
+            ).alias("est_inter"),
+        )
+    )
+    du = ev.distinct()
+    inter = (
+        du.alias("x")
+        .join(
+            du.alias("y"),
+            (F.col("x.user_id") == F.col("y.user_id"))
+            & (F.col("x.event_type") < F.col("y.event_type")),
+        )
+        .groupBy(
+            F.col("x.event_type").alias("type_a"),
+            F.col("y.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_inter"))
+    )
+    n_union = F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    return pairs.join(inter, ["type_a", "type_b"]).select(
+        "type_a",
+        "type_b",
+        "n_a",
+        "n_b",
+        "n_inter",
+        _fround(F.col("n_inter") / n_union.cast("double"), 4).alias(
+            "jaccard"
+        ),
+        (
+            F.abs(F.col("est_inter") - F.col("n_inter"))
+            <= F.greatest(F.lit(3.0), F.lit(0.05) * n_union)
+        ).alias("est_ok"),
+    )
+
+
+def q_merge_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read scan over a snapshot table with accumulated delta
+    batches (sources/versioned.py::write_delta/read_merged): the
+    customer base version plus two delta sequences — seq 0 upserts a
+    segment's new balances, seq 1 both deletes a key slice AND
+    re-updates part of the seq-0 segment — read back as ONE logical
+    relation with highest-sequence-wins semantics, no base file
+    rewritten. The read plan never shuffles the base: winning delta
+    images resolve in a window over the tiny delta set, their keys
+    broadcast into a left-anti prune, after-images unioned on top —
+    read cost is base-scan + broadcast, independent of delta count.
+    The oracle replays the same precedence as CASE/WHERE over the raw
+    table."""
+    import shutil
+
+    from aproximacion_1_etl_spark.sources.versioned import (
+        read_merged,
+        write_delta,
+        write_snapshot,
+    )
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal"
+    )
+    base = tempfile.mkdtemp(prefix="graft_mor_")
+    path = os.path.join(base, "customer")
+    try:
+        write_snapshot(c, path)
+        # seq 0: balance bump for one nation segment
+        d0 = c.filter(F.col("c_nationkey") == 5).withColumn(
+            "c_acctbal", F.col("c_acctbal") * F.lit(1.1)
+        )
+        write_delta(d0, path)
+        # seq 1: delete a key slice (minus rows the same batch
+        # re-upserts — batches are key-unique), re-zero a sub-segment
+        reup = (F.col("c_nationkey") == 5) & (F.col("c_custkey") % 3 == 0)
+        dels = (
+            c.filter((F.col("c_custkey") % 97 == 0) & ~reup)
+            .withColumn("op", F.lit("D"))
+        )
+        ups = (
+            c.filter(reup)
+            .withColumn("c_acctbal", F.lit(-1.0))
+            .withColumn("op", F.lit("U"))
+        )
+        write_delta(dels.unionByName(ups), path, op_col="op")
+        out = read_merged(spark, path, ["c_custkey"]).select(
+            "c_custkey",
+            "c_name",
+            "c_nationkey",
+            _fround(F.col("c_acctbal"), 2).alias("c_acctbal"),
+        )
+        return _reclaimed_dist(out, base)
+    finally:
+        if os.path.isdir(base):
+            shutil.rmtree(base, ignore_errors=True)
+
+
 ALL_QUERIES = {
     "flagship_order_lifecycle": q_flagship_order_lifecycle,
     "bm25_topk": q_bm25_topk,
@@ -10306,6 +10491,9 @@ ALL_QUERIES = {
     "q11_part_value": q_q11_part_value,
     "dup_clusters": q_dup_clusters,
     "hll_sketch_union": q_hll_sketch_union,
+    "hll_sliding_distinct": q_hll_sliding_distinct,
+    "segment_overlap_sketch": q_segment_overlap_sketch,
+    "merge_on_read": q_merge_on_read,
     "gap_fill_daily": q_gap_fill_daily,
     "anomaly_zscore": q_anomaly_zscore,
     "haversine_nearest": q_haversine_nearest,

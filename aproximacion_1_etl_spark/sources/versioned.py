@@ -351,6 +351,125 @@ def snapshot_change_feed(
     return deleted.unionByName(upserted)
 
 
+def _delta_root(path: str, version: int) -> str:
+    return os.path.join(path, "_delta", f"v={version}")
+
+
+def committed_delta_seqs(path: str, version: int) -> list[int]:
+    """Committed delta sequence numbers for a base version, in apply
+    order. A seq dir without its ``_commit`` marker is an orphan from a
+    crashed writer and is never read (same crash-safety contract as the
+    snapshot manifest)."""
+    root = _delta_root(path, version)
+    if not os.path.isdir(root):
+        return []
+    return sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(root)
+        if d.startswith("seq=")
+        and d.split("=", 1)[1].isdigit()
+        and os.path.exists(os.path.join(root, d, "_commit"))
+    )
+
+
+def write_delta(df: DataFrame, path: str, op_col: str | None = None) -> int:
+    """MERGE-ON-READ delta append: land a keyed batch of row-level
+    changes against the CURRENT committed version without rewriting any
+    base file — the copy-on-write/merge-on-read tradeoff from modern
+    lakehouse formats, stripped to what the engine needs. ``df`` must
+    carry the base schema; ``op_col`` (values 'U' upsert / 'D' delete)
+    marks intent, default all-'U'. Each batch must be key-unique (one
+    row per key per batch); across batches the HIGHEST sequence number
+    wins at read time.
+
+    Why it matters at 100 TB: a trickle of small upserts otherwise
+    forces either terabyte-scale file rewrites per batch (copy-on-
+    write) or unbounded small-file growth in the base. Deltas are the
+    kilobytes of intent; ``read_merged`` applies them at scan time and
+    ``compact_deltas`` folds them into the next version when they
+    outgrow the broadcast threshold. Crash-safe: the seq dir is fully
+    written before its ``_commit`` marker lands; a crashed writer
+    leaves an ignored orphan. Returns the sequence number."""
+    cur = current_version(path)
+    if cur is None:
+        raise FileNotFoundError(f"no committed version at {path}")
+    if op_col is None:
+        out = df.withColumn("_op", F.lit("U"))
+    else:
+        out = df.withColumnRenamed(op_col, "_op")
+    root = _delta_root(path, cur)
+    existing = [
+        int(d.split("=", 1)[1])
+        for d in (os.listdir(root) if os.path.isdir(root) else [])
+        if d.startswith("seq=") and d.split("=", 1)[1].isdigit()
+    ]
+    seq = max(existing) + 1 if existing else 0
+    sdir = os.path.join(root, f"seq={seq}")
+    out.write.mode("overwrite").parquet(sdir)
+    with open(os.path.join(sdir, "_commit"), "w") as f:
+        f.write(str(seq))
+    return seq
+
+
+def read_merged(
+    spark: SparkSession,
+    path: str,
+    key_cols: list[str],
+    version: int | None = None,
+) -> DataFrame:
+    """Merge-on-read scan: the base version (through its deletion
+    vector) with all committed deltas applied, latest sequence winning
+    per key; keys whose winning op is 'D' vanish.
+
+    Scale shape: the base RELATION IS NEVER SHUFFLED — the winning
+    delta images are resolved by a window over the (small) delta set
+    only, their keys broadcast into a left-anti prune of the base, and
+    the 'U' after-images unioned on top. Read cost = base scan + one
+    broadcast anti-join, independent of how many delta batches
+    accumulated. When the delta set outgrows broadcast size, that is
+    the signal to ``compact_deltas`` — the same economics as Delta/
+    Iceberg minor compaction."""
+    cur = current_version(path)
+    if cur is None:
+        raise FileNotFoundError(f"no committed version at {path}")
+    v = cur if version is None else version
+    base = read_snapshot_with_dv(spark, path, v)
+    seqs = committed_delta_seqs(path, v)
+    if not seqs:
+        return base
+    parts = [
+        spark.read.parquet(os.path.join(_delta_root(path, v), f"seq={s}"))
+        .withColumn("_seq", F.lit(s))
+        for s in seqs
+    ]
+    deltas = parts[0]
+    for p in parts[1:]:
+        deltas = deltas.unionByName(p)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(F.col("_seq").desc())
+    latest = (
+        deltas.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+    )
+    survivors = base.join(
+        F.broadcast(latest.select(*key_cols)), key_cols, "left_anti"
+    )
+    upserts = latest.filter(F.col("_op") == "U").select(*base.columns)
+    return survivors.unionByName(upserts)
+
+
+def compact_deltas(
+    spark: SparkSession, path: str, key_cols: list[str]
+) -> int:
+    """Fold all accumulated deltas (and the base's deletion vector)
+    into the NEXT snapshot version — merge-on-read's minor compaction.
+    The new version starts with no deltas and no DV; readers of the old
+    version are undisturbed (same atomic-manifest publish as
+    compact_snapshot). Returns the new version."""
+    return write_snapshot(read_merged(spark, path, key_cols), path)
+
+
 def vacuum(path: str, keep_last: int = 2) -> list[int]:
     """Drop all but the newest ``keep_last`` committed versions (and any
     orphaned uncommitted dirs newer than the manifest); returns removed
@@ -359,14 +478,24 @@ def vacuum(path: str, keep_last: int = 2) -> list[int]:
     if cur is None:
         return []
     removed = []
+
+    def _rm(v: int) -> None:
+        # a version's DV and delta sidecars die with it — they are
+        # meaningless without the base files they patch
+        shutil.rmtree(os.path.join(path, f"v={v}"), ignore_errors=True)
+        shutil.rmtree(os.path.join(path, "_dv", f"v={v}"), ignore_errors=True)
+        shutil.rmtree(
+            os.path.join(path, "_delta", f"v={v}"), ignore_errors=True
+        )
+
     committed = [v for v in list_versions(path) if v <= cur]
     for v in committed[:-keep_last] if keep_last > 0 else committed[:-1]:
         if v == cur:
             continue
-        shutil.rmtree(os.path.join(path, f"v={v}"), ignore_errors=True)
+        _rm(v)
         removed.append(v)
     for v in list_versions(path):
         if v > cur:
-            shutil.rmtree(os.path.join(path, f"v={v}"), ignore_errors=True)
+            _rm(v)
             removed.append(v)
     return removed

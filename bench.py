@@ -187,6 +187,11 @@ HEADLINE = [
     "zorder_pruned_scan",
     "ivm_join_rollup",
     "incremental_quantiles",
+    # round-6 session-4: sketch-partial sliding distinct, sketch
+    # inclusion-exclusion segment overlap, merge-on-read scan
+    "hll_sliding_distinct",
+    "segment_overlap_sketch",
+    "merge_on_read",
     # Python-worker queries LAST: applyInPandas spins up 32 Python
     # workers and leaves GC pressure that inflates the next JVM-only
     # query by ~3x (measured: dedup_minhash_lsh 6.96s after it vs 1.9s

@@ -814,3 +814,105 @@ def test_snapshot_change_feed_reads_through_deletion_vector(spark):
     feed = snapshot_change_feed(spark, path, v0, v1, ["k"])
     got = {r["k"]: r["op"] for r in feed.collect()}
     assert got == {2: "U", 3: "D"}, got
+
+
+def test_merge_on_read_latest_seq_wins_and_delete_reinsert(spark):
+    """Cross-batch precedence: seq1 beats seq0 per key; a key deleted
+    in seq0 and re-upserted in seq1 is PRESENT with the seq1 image; a
+    key upserted in seq0 then deleted in seq1 is ABSENT; untouched base
+    rows pass through. An uncommitted (crashed-writer) seq dir is
+    invisible."""
+    import os
+    import shutil
+
+    from aproximacion_1_etl_spark.sources.versioned import (
+        read_merged,
+        write_delta,
+        write_snapshot,
+    )
+
+    base = tempfile.mkdtemp(prefix="graft_mor_t_")
+    path = os.path.join(base, "t")
+    try:
+        write_snapshot(
+            spark.createDataFrame(
+                [(1, 1.0), (2, 2.0), (3, 3.0), (4, 4.0)],
+                "k BIGINT, v DOUBLE",
+            ),
+            path,
+        )
+        # seq 0: delete k=2, upsert k=3 -> 30.0, insert new k=5
+        write_delta(
+            spark.createDataFrame(
+                [(2, 2.0, "D"), (3, 30.0, "U"), (5, 50.0, "U")],
+                "k BIGINT, v DOUBLE, op STRING",
+            ),
+            path,
+            op_col="op",
+        )
+        # seq 1: re-insert k=2 -> 22.0, delete k=3
+        write_delta(
+            spark.createDataFrame(
+                [(2, 22.0, "U"), (3, 3.0, "D")],
+                "k BIGINT, v DOUBLE, op STRING",
+            ),
+            path,
+            op_col="op",
+        )
+        # orphan seq dir without _commit marker must be ignored
+        orphan = os.path.join(path, "_delta", "v=0", "seq=9")
+        spark.createDataFrame(
+            [(1, 999.0, "U")], "k BIGINT, v DOUBLE, op STRING"
+        ).withColumnRenamed("op", "_op").write.parquet(orphan)
+        got = {r["k"]: r["v"] for r in read_merged(spark, path, ["k"]).collect()}
+        assert got == {1: 1.0, 2: 22.0, 4: 4.0, 5: 50.0}, got
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_merge_on_read_compaction_equivalence_and_dv_interplay(spark):
+    """compact_deltas folds deltas + the base DV into the next version:
+    the compacted snapshot equals the pre-compaction merged read, the
+    new version carries no deltas, and a DV-deleted base row stays gone
+    unless a delta re-upserts it. Vacuum reaps the old version's delta
+    and DV sidecars with it."""
+    import os
+    import shutil
+
+    from aproximacion_1_etl_spark.sources.versioned import (
+        committed_delta_seqs,
+        compact_deltas,
+        delete_rows,
+        read_merged,
+        read_snapshot,
+        vacuum,
+        write_delta,
+        write_snapshot,
+    )
+
+    base = tempfile.mkdtemp(prefix="graft_mor_t2_")
+    path = os.path.join(base, "t")
+    try:
+        write_snapshot(
+            spark.createDataFrame(
+                [(1, 1.0), (2, 2.0), (3, 3.0)], "k BIGINT, v DOUBLE"
+            ),
+            path,
+        )
+        # DV-delete k=1 and k=2 from the base; delta re-upserts k=2
+        assert delete_rows(spark, path, "k", "k IN (1, 2)") == 2
+        write_delta(
+            spark.createDataFrame([(2, 20.0)], "k BIGINT, v DOUBLE"), path
+        )
+        before = rows(read_merged(spark, path, ["k"]))
+        assert before == [(2, 20.0), (3, 3.0)], before
+        v1 = compact_deltas(spark, path, ["k"])
+        after = rows(read_snapshot(spark, path, v1))
+        assert after == before, (before, after)
+        assert committed_delta_seqs(path, v1) == []
+        removed = vacuum(path, keep_last=1)
+        assert removed == [0], removed
+        assert not os.path.isdir(os.path.join(path, "_delta", "v=0"))
+        assert not os.path.isdir(os.path.join(path, "_dv", "v=0"))
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
