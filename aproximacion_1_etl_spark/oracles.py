@@ -1806,6 +1806,51 @@ FROM customer
 WHERE NOT (c_custkey % 97 = 0
            AND NOT (c_nationkey = 5 AND c_custkey % 3 = 0))
 """,
+    "gated_publish": """
+WITH bad AS (SELECT CAST(count(*) AS BIGINT) AS n
+             FROM orders WHERE o_orderkey % 50 = 0)
+SELECT 'attempt_bad' AS attempt, 'key_present' AS rule,
+       CAST(0 AS BIGINT) AS n_violations, FALSE AS published,
+       CAST(0 AS INT) AS version_after
+UNION ALL
+SELECT 'attempt_bad', 'no_synthetic_keys', (SELECT n FROM bad),
+       FALSE, CAST(0 AS INT)
+UNION ALL
+SELECT 'attempt_bad', 'positive_price', CAST(0 AS BIGINT),
+       FALSE, CAST(0 AS INT)
+UNION ALL
+SELECT 'attempt_clean', 'key_present', CAST(0 AS BIGINT),
+       TRUE, CAST(0 AS INT)
+UNION ALL
+SELECT 'attempt_clean', 'no_synthetic_keys', CAST(0 AS BIGINT),
+       TRUE, CAST(0 AS INT)
+UNION ALL
+SELECT 'attempt_clean', 'positive_price', CAST(0 AS BIGINT),
+       TRUE, CAST(0 AS INT)
+""",
+    "snapshot_schema_evolution": """
+SELECT CAST(0 AS INT) AS version, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_null_segment,
+       CAST(0 AS BIGINT) AS n_segments
+FROM customer
+UNION ALL
+SELECT CAST(1 AS INT), CAST(count(*) AS BIGINT), CAST(0 AS BIGINT),
+       CAST(count(DISTINCT c_mktsegment) AS BIGINT)
+FROM customer
+""",
+    "snapshot_blame": """
+WITH fv AS (
+  SELECT o_orderkey, o_totalprice,
+         CASE WHEN o_orderdate < DATE '1997-01-01' THEN 0
+              WHEN o_orderdate < DATE '1999-01-01' THEN 1
+              ELSE 2 END AS first_version
+  FROM orders)
+SELECT CAST(first_version AS INT) AS first_version,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       floor((CAST(sum(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE))
+             * 100.0 + 0.5) / 100.0 AS value_introduced
+FROM fv GROUP BY 1
+""",
     "heavy_hitters_cms": """
 SELECT event_type, CAST(count(*) AS BIGINT) AS true_cnt, TRUE AS est_ok
 FROM events GROUP BY 1

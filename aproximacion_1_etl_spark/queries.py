@@ -10333,6 +10333,168 @@ def q_merge_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             shutil.rmtree(base, ignore_errors=True)
 
 
+def q_gated_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectation-gated snapshot publish (sources/versioned.py::
+    write_snapshot_gated): a batch with a known defect (orderkeys
+    divisible by 50 flagged as synthetic 'bad' rows) is offered under
+    three named expectations evaluated in ONE aggregation pass; the
+    violated rule blocks the manifest flip, so NOTHING becomes visible
+    and the table stays at its last good version — then the cleaned
+    batch passes and commits. Emits the audit trail a daily loop
+    would log: per-rule violation counts for both attempts plus the
+    committed-version outcome. The reference's loop
+    (`app.py:142-147`) diffs runs only AFTER bad data is live; the
+    gate moves the check before the commit point."""
+    import shutil
+
+    from aproximacion_1_etl_spark.sources.versioned import (
+        current_version,
+        write_snapshot_gated,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    rules = {
+        "positive_price": "o_totalprice > 0",
+        "key_present": "o_orderkey IS NOT NULL",
+        "no_synthetic_keys": "o_orderkey % 50 != 0",
+    }
+    base = tempfile.mkdtemp(prefix="graft_gate_")
+    path = os.path.join(base, "orders")
+    try:
+        v_bad, viol_bad = write_snapshot_gated(o, path, rules)
+        cleaned = o.filter(F.col("o_orderkey") % 50 != 0)
+        v_ok, viol_ok = write_snapshot_gated(cleaned, path, rules)
+        after = current_version(path)
+        rows = [
+            ("attempt_bad", name, viol_bad[name], v_bad is not None)
+            for name in sorted(rules)
+        ] + [
+            ("attempt_clean", name, viol_ok[name], v_ok is not None)
+            for name in sorted(rules)
+        ]
+        out = spark.createDataFrame(
+            [
+                (a, r, int(n), bool(p), int(after if after is not None else -1))
+                for a, r, n, p in rows
+            ],
+            "attempt STRING, rule STRING, n_violations BIGINT, "
+            "published BOOLEAN, version_after INT",
+        )
+        return out
+    finally:
+        if os.path.isdir(base):
+            shutil.rmtree(base, ignore_errors=True)
+
+
+def q_snapshot_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across snapshot versions (sources/
+    versioned.py::read_history): v0 of the customer table lacks
+    c_mktsegment, v1 adds it; the full-history scan aligns columns BY
+    NAME so v0 rows read the new column as NULL — no backfill rewrite
+    of the old version. Emits the per-version audit (row count, nulls
+    in the evolved column, distinct segments) a migration review
+    needs. One scan per version, no shuffle in the union; the
+    audit aggregate is |versions x segments|-sized."""
+    import shutil
+
+    from aproximacion_1_etl_spark.sources.versioned import (
+        read_history,
+        write_snapshot,
+    )
+
+    c = load_table(spark, sf_dir, "customer")
+    base = tempfile.mkdtemp(prefix="graft_evo_")
+    path = os.path.join(base, "customer")
+    try:
+        write_snapshot(
+            c.select("c_custkey", "c_name", "c_acctbal"), path
+        )
+        write_snapshot(
+            c.select("c_custkey", "c_name", "c_acctbal", "c_mktsegment"),
+            path,
+        )
+        hist = read_history(spark, path)
+        out = (
+            hist.groupBy("_v")
+            .agg(
+                F.count("*").cast("bigint").alias("n_rows"),
+                F.sum(
+                    F.when(F.col("c_mktsegment").isNull(), 1).otherwise(0)
+                )
+                .cast("bigint")
+                .alias("n_null_segment"),
+                F.countDistinct("c_mktsegment")
+                .cast("bigint")
+                .alias("n_segments"),
+            )
+            .select(
+                F.col("_v").cast("int").alias("version"),
+                "n_rows",
+                "n_null_segment",
+                "n_segments",
+            )
+        )
+        # bounded: |versions| rows — safe to materialize for reclaim
+        return _reclaimed(out, base)
+    finally:
+        if os.path.isdir(base):
+            shutil.rmtree(base, ignore_errors=True)
+
+
+def q_snapshot_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Version blame over the committed chain: orders land in three
+    cumulative snapshot versions (pre-1997, pre-1999, all), and for
+    every key the FIRST version containing it is derived from the
+    full-history scan with one min(_v) aggregate — per-row provenance
+    with zero producer-side instrumentation. Emits the per-version
+    introduction profile (keys introduced, their value sum). At long
+    retention a deployment stores _v at write time; deriving it costs
+    one scan per version, which is exactly what the docstring of
+    read_history prescribes bounding via time travel."""
+    import shutil
+
+    from aproximacion_1_etl_spark.sources.versioned import (
+        read_history,
+        write_snapshot,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    base = tempfile.mkdtemp(prefix="graft_blame_")
+    path = os.path.join(base, "orders")
+    try:
+        write_snapshot(o.filter(F.col("o_orderdate") < "1997-01-01"), path)
+        write_snapshot(o.filter(F.col("o_orderdate") < "1999-01-01"), path)
+        write_snapshot(o, path)
+        first = (
+            read_history(spark, path)
+            .groupBy("o_orderkey")
+            .agg(
+                F.min("_v").alias("first_version"),
+                F.first("o_totalprice").alias("o_totalprice"),
+            )
+        )
+        out = (
+            first.groupBy("first_version")
+            .agg(
+                F.count("*").cast("bigint").alias("n_keys"),
+                _dsum(F.col("o_totalprice")).alias("value_introduced"),
+            )
+            .select(
+                F.col("first_version").cast("int").alias("first_version"),
+                "n_keys",
+                "value_introduced",
+            )
+        )
+        return _reclaimed(out, base)
+    finally:
+        if os.path.isdir(base):
+            shutil.rmtree(base, ignore_errors=True)
+
+
 ALL_QUERIES = {
     "flagship_order_lifecycle": q_flagship_order_lifecycle,
     "bm25_topk": q_bm25_topk,
@@ -10494,6 +10656,9 @@ ALL_QUERIES = {
     "hll_sliding_distinct": q_hll_sliding_distinct,
     "segment_overlap_sketch": q_segment_overlap_sketch,
     "merge_on_read": q_merge_on_read,
+    "gated_publish": q_gated_publish,
+    "snapshot_schema_evolution": q_snapshot_schema_evolution,
+    "snapshot_blame": q_snapshot_blame,
     "gap_fill_daily": q_gap_fill_daily,
     "anomaly_zscore": q_anomaly_zscore,
     "haversine_nearest": q_haversine_nearest,

@@ -470,6 +470,66 @@ def compact_deltas(
     return write_snapshot(read_merged(spark, path, key_cols), path)
 
 
+def write_snapshot_gated(
+    df: DataFrame,
+    path: str,
+    expectations: dict[str, str],
+    meta: str | None = None,
+) -> tuple[int | None, dict[str, int]]:
+    """Expectation-gated publish: evaluate every named SQL boolean over
+    ``df`` in ONE aggregation pass (sum of violation indicators — no
+    per-rule scan), and only if ALL hold does the snapshot commit. On
+    any violation NOTHING becomes visible: the manifest never flips, so
+    readers keep the last good version — the write-audit-publish
+    pattern the reference's daily loop needs but cannot get from
+    in-place table mutation (`app.py:142-147` diffs runs AFTER the bad
+    data is already live). Returns (version-or-None, per-rule violation
+    counts)."""
+    aggs = [
+        F.sum(
+            F.when(~F.expr(cond), F.lit(1)).otherwise(F.lit(0))
+        ).alias(name)
+        for name, cond in expectations.items()
+    ]
+    row = df.agg(*aggs).collect()[0]
+    viol = {name: int(row[name] or 0) for name in expectations}
+    if any(v > 0 for v in viol.values()):
+        return None, viol
+    return write_snapshot(df, path, meta), viol
+
+
+def read_history(
+    spark: SparkSession, path: str, through_dv: bool = True
+) -> DataFrame:
+    """Full-history scan: every COMMITTED version (orphans never
+    appear), union-aligned BY NAME with schema evolution — a column
+    absent in an older version reads as NULL — plus a ``_v`` column
+    naming each row's version. Reads through each version's deletion
+    vector by default, so rows DV-deleted from a version are absent
+    from that version's slice, exactly as a time-traveling reader of
+    it would see.
+
+    Scale shape: one scan per retained version, no shuffle — the union
+    is a physical concatenation. Blame/auditing queries (first version
+    containing a key, column drift across versions) reduce on top with
+    ordinary aggregates; a deployment with long retention should
+    restrict to a version range via time-travel reads instead of
+    scanning the full chain."""
+    chain = committed_versions(path)
+    if not chain:
+        raise FileNotFoundError(f"no committed version at {path}")
+    out = None
+    for v in chain:
+        reader = read_snapshot_with_dv if through_dv else read_snapshot
+        df = reader(spark, path, v).withColumn("_v", F.lit(v))
+        out = (
+            df
+            if out is None
+            else out.unionByName(df, allowMissingColumns=True)
+        )
+    return out
+
+
 def vacuum(path: str, keep_last: int = 2) -> list[int]:
     """Drop all but the newest ``keep_last`` committed versions (and any
     orphaned uncommitted dirs newer than the manifest); returns removed

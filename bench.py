@@ -192,6 +192,8 @@ HEADLINE = [
     "hll_sliding_distinct",
     "segment_overlap_sketch",
     "merge_on_read",
+    "gated_publish",
+    "snapshot_blame",
     # Python-worker queries LAST: applyInPandas spins up 32 Python
     # workers and leaves GC pressure that inflates the next JVM-only
     # query by ~3x (measured: dedup_minhash_lsh 6.96s after it vs 1.9s

@@ -916,3 +916,55 @@ def test_merge_on_read_compaction_equivalence_and_dv_interplay(spark):
         assert not os.path.isdir(os.path.join(path, "_dv", "v=0"))
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_gated_publish_blocks_manifest_and_history_reads_evolved(spark):
+    """A violated expectation must leave the manifest untouched (readers
+    keep the last good version); a passing publish commits. read_history
+    then aligns evolved schemas by name (old version's missing column
+    reads NULL) and respects each version's deletion vector."""
+    import os
+    import shutil
+
+    from aproximacion_1_etl_spark.sources.versioned import (
+        current_version,
+        delete_rows,
+        read_history,
+        write_snapshot,
+        write_snapshot_gated,
+    )
+
+    base = tempfile.mkdtemp(prefix="graft_gate_t_")
+    path = os.path.join(base, "t")
+    try:
+        v0 = write_snapshot(
+            spark.createDataFrame([(1, 1.0), (2, 2.0)], "k BIGINT, v DOUBLE"),
+            path,
+        )
+        bad = spark.createDataFrame(
+            [(3, -1.0), (4, 4.0)], "k BIGINT, v DOUBLE"
+        )
+        v_bad, viol = write_snapshot_gated(
+            bad, path, {"v_nonneg": "v >= 0", "k_present": "k IS NOT NULL"}
+        )
+        assert v_bad is None and viol == {"v_nonneg": 1, "k_present": 0}
+        assert current_version(path) == v0
+        # DV-delete k=1 from v0, then a passing gated publish with an
+        # extra column
+        assert delete_rows(spark, path, "k", "k = 1") == 1
+        good = spark.createDataFrame(
+            [(3, 3.0, "x")], "k BIGINT, v DOUBLE, tag STRING"
+        )
+        v1, viol2 = write_snapshot_gated(
+            good, path, {"v_nonneg": "v >= 0"}
+        )
+        assert v1 == v0 + 1 and viol2 == {"v_nonneg": 0}
+        hist = rows(
+            read_history(spark, path).select("_v", "k", "v", "tag")
+        )
+        assert hist == [
+            (v0, 2, 2.0, None),
+            (v1, 3, 3.0, "x"),
+        ], hist
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
