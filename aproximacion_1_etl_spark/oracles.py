@@ -5537,3 +5537,12 @@ SELECT CAST(c AS INT) AS split_hour,
 FROM best WHERE rn = 1
 """,
 }
+
+# Streaming maintenance keys whose final render is DEFINED to equal an
+# existing batch key's oracle (the stream folds state; the oracle is the
+# from-scratch batch equivalent) — aliased, not duplicated, so the two
+# can never drift.
+ALL_ORACLES["streaming_merge_on_read"] = ALL_ORACLES["merge_on_read"]
+ALL_ORACLES["streaming_hll_maintenance"] = ALL_ORACLES[
+    "hll_sliding_distinct"
+]

@@ -1037,7 +1037,9 @@ def q_streaming_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_snapshot(part, hist_log, meta=str(batch_id))
 
     try:
-        cut = "1998-01-01"
+        # events are 2024-dated; mid-month cut makes BOTH waves carry
+        # rows so the second batch folds into a non-trivial prior state
+        cut = "2024-01-16"
         ev.filter(F.col("ts") < cut).coalesce(1).write.parquet(
             os.path.join(src, "w1")
         )
@@ -10495,6 +10497,246 @@ def q_snapshot_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
             shutil.rmtree(base, ignore_errors=True)
 
 
+def q_streaming_merge_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 + §2.1: the merge-on-read table MAINTAINED BY A STREAM —
+    CDC micro-batches land as delta appends (write_delta) against the
+    customer base snapshot, never rewriting a base file; the final
+    merged read must equal the batch merge_on_read key's oracle
+    exactly. Replay-idempotent: each micro-batch travels with its
+    batch id as delta meta (committed_delta_metas), so a recovered
+    stream that re-delivers the in-flight batch skips it — delta
+    append is NOT idempotent by itself (a duplicate batch would raise
+    the winning sequence with identical content today, but a
+    non-deterministic producer would double-apply). Per-batch cost =
+    the delta write alone (kilobytes); the base relation is only ever
+    scanned at read time."""
+    import shutil
+    import time as _time
+
+    from aproximacion_1_etl_spark.sources.versioned import (
+        committed_delta_metas,
+        current_version,
+        read_merged,
+        write_delta,
+        write_snapshot,
+    )
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        F.col("c_nationkey").cast("int").alias("c_nationkey"),
+        "c_acctbal",
+    )
+    base = tempfile.mkdtemp(prefix="graft_smor_")
+    ckpt = tempfile.mkdtemp(prefix="ckpt_smor_")
+    src = os.path.join(base, "cdc")
+    path = os.path.join(base, "customer")
+
+    def handle_batch(batch, batch_id: int) -> None:
+        v = current_version(path)
+        if v is not None and str(batch_id) in committed_delta_metas(
+            path, v
+        ):
+            return
+        write_delta(batch, path, op_col="op", meta=str(batch_id))
+
+    try:
+        write_snapshot(c, path)
+        # wave 1: nation-5 balance bump; wave 2: key-slice deletes +
+        # re-zero of a sub-segment (same CDC scheme as merge_on_read)
+        w1 = c.filter(F.col("c_nationkey") == 5).select(
+            "c_custkey",
+            "c_name",
+            "c_nationkey",
+            (F.col("c_acctbal") * F.lit(1.1)).alias("c_acctbal"),
+            F.lit("U").alias("op"),
+        )
+        reup = (F.col("c_nationkey") == 5) & (F.col("c_custkey") % 3 == 0)
+        w2 = (
+            c.filter((F.col("c_custkey") % 97 == 0) & ~reup)
+            .select(
+                "c_custkey",
+                "c_name",
+                "c_nationkey",
+                "c_acctbal",
+                F.lit("D").alias("op"),
+            )
+            .unionByName(
+                c.filter(reup).select(
+                    "c_custkey",
+                    "c_name",
+                    "c_nationkey",
+                    F.lit(-1.0).alias("c_acctbal"),
+                    F.lit("U").alias("op"),
+                )
+            )
+        )
+        w1.coalesce(1).write.parquet(os.path.join(src, "w1"))
+        w2.coalesce(1).write.parquet(os.path.join(src, "w2"))
+        now = _time.time()
+        for d, ts in (("w1", now - 120), ("w2", now - 60)):
+            pdir = os.path.join(src, d)
+            for f in os.listdir(pdir):
+                os.utime(os.path.join(pdir, f), (ts, ts))
+        q = (
+            spark.readStream.schema(
+                "c_custkey BIGINT, c_name STRING, c_nationkey INT, "
+                "c_acctbal DOUBLE, op STRING"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(src, "*"))
+            .writeStream.foreachBatch(handle_batch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+        out = read_merged(spark, path, ["c_custkey"]).select(
+            "c_custkey",
+            "c_name",
+            "c_nationkey",
+            _fround(F.col("c_acctbal"), 2).alias("c_acctbal"),
+        )
+        return _reclaimed_dist(out, base, ckpt)
+    finally:
+        if os.path.isdir(base):
+            shutil.rmtree(base, ignore_errors=True)
+        if os.path.isdir(ckpt):
+            shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def q_streaming_hll_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 + §2.6: the daily-sketch table MAINTAINED BY A STREAM —
+    each micro-batch folds its own per-(type, day) HLL partials into
+    the persisted sketch state with hll_union_agg (sketches are
+    binary, parquet-stored, mergeable across batches: the wave cut is
+    mid-DAY, so one day's sketch is genuinely assembled from two
+    batches' partials). The final 7-day trailing distinct render from
+    the folded state meets the same max(2, 5%) bound against exact as
+    hll_sliding_distinct — identical oracle by construction.
+    Replay-idempotent via commit-carried batch ids (sketch fold, like
+    the count fold, is NOT idempotent... union of the same sketch IS,
+    but a recovered stream may re-deliver a RESHAPED batch; the guard
+    makes the question moot). Per-batch cost O(|batch| + |state|);
+    the raw facts are never rescanned."""
+    import shutil
+    import time as _time
+
+    from aproximacion_1_etl_spark.sources.versioned import (
+        committed_metas,
+        current_version,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.col("ts"), "user_id"
+    )
+    base = tempfile.mkdtemp(prefix="graft_shll_")
+    ckpt = tempfile.mkdtemp(prefix="ckpt_shll_")
+    src = os.path.join(base, "src")
+    state_log = os.path.join(base, "state")
+
+    def handle_batch(batch, batch_id: int) -> None:
+        if str(batch_id) in committed_metas(state_log):
+            return
+        bspark = batch.sparkSession
+        part = batch.groupBy(
+            "event_type", F.to_date("ts").alias("day")
+        ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+        if current_version(state_log) is not None:
+            prior = read_snapshot(bspark, state_log)
+            part = (
+                prior.unionByName(part)
+                .groupBy("event_type", "day")
+                .agg(F.hll_union_agg("sk").alias("sk"))
+            )
+        write_snapshot(part, state_log, meta=str(batch_id))
+
+    try:
+        # mid-DAY cut: day 16's sketch must merge across two batches
+        cut = "2024-01-16 12:00:00"
+        ev.filter(F.col("ts") < cut).coalesce(1).write.parquet(
+            os.path.join(src, "w1")
+        )
+        ev.filter(F.col("ts") >= cut).coalesce(1).write.parquet(
+            os.path.join(src, "w2")
+        )
+        now = _time.time()
+        for d, ts in (("w1", now - 120), ("w2", now - 60)):
+            pdir = os.path.join(src, d)
+            for f in os.listdir(pdir):
+                os.utime(os.path.join(pdir, f), (ts, ts))
+        q = (
+            spark.readStream.schema(
+                "event_type STRING, ts TIMESTAMP, user_id BIGINT"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(src, "*"))
+            .writeStream.foreachBatch(handle_batch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+
+        daily = (
+            read_snapshot(spark, state_log)
+            .withColumn(
+                "d_num",
+                F.datediff("day", F.lit("1970-01-01").cast("date")),
+            )
+        )
+        w7 = (
+            Window.partitionBy("event_type")
+            .orderBy("d_num")
+            .rangeBetween(-6, 0)
+        )
+        est = daily.select(
+            "event_type",
+            "day",
+            F.hll_sketch_estimate(F.hll_union_agg("sk").over(w7)).alias(
+                "est"
+            ),
+        )
+        evd = ev.select(
+            "event_type", F.to_date("ts").alias("day"), "user_id"
+        )
+        exact = (
+            daily.select("event_type", "day")
+            .alias("d")
+            .join(
+                evd.alias("e"),
+                (F.col("e.event_type") == F.col("d.event_type"))
+                & (
+                    F.col("e.day").between(
+                        F.date_sub(F.col("d.day"), 6), F.col("d.day")
+                    )
+                ),
+            )
+            .groupBy(
+                F.col("d.event_type").alias("event_type"),
+                F.col("d.day").alias("day"),
+            )
+            .agg(F.countDistinct("e.user_id").alias("n_exact"))
+        )
+        out = est.join(exact, ["event_type", "day"]).select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("n_exact").cast("bigint").alias("n_exact"),
+            (
+                F.abs(F.col("est") - F.col("n_exact"))
+                <= F.greatest(F.lit(2.0), F.lit(0.05) * F.col("n_exact"))
+            ).alias("est_ok"),
+        )
+        return _reclaimed(out, base, ckpt)
+    finally:
+        if os.path.isdir(base):
+            shutil.rmtree(base, ignore_errors=True)
+        if os.path.isdir(ckpt):
+            shutil.rmtree(ckpt, ignore_errors=True)
+
+
 ALL_QUERIES = {
     "flagship_order_lifecycle": q_flagship_order_lifecycle,
     "bm25_topk": q_bm25_topk,
@@ -10659,6 +10901,8 @@ ALL_QUERIES = {
     "gated_publish": q_gated_publish,
     "snapshot_schema_evolution": q_snapshot_schema_evolution,
     "snapshot_blame": q_snapshot_blame,
+    "streaming_merge_on_read": q_streaming_merge_on_read,
+    "streaming_hll_maintenance": q_streaming_hll_maintenance,
     "gap_fill_daily": q_gap_fill_daily,
     "anomaly_zscore": q_anomaly_zscore,
     "haversine_nearest": q_haversine_nearest,

@@ -372,7 +372,28 @@ def committed_delta_seqs(path: str, version: int) -> list[int]:
     )
 
 
-def write_delta(df: DataFrame, path: str, op_col: str | None = None) -> int:
+def committed_delta_metas(path: str, version: int) -> set[str]:
+    """Meta strings carried by committed delta batches of a base
+    version — the replay guard for streaming delta producers (skip a
+    micro-batch whose id an already-committed delta carries), the
+    delta-level twin of ``committed_metas``."""
+    out = set()
+    root = _delta_root(path, version)
+    for s in committed_delta_seqs(path, version):
+        try:
+            with open(os.path.join(root, f"seq={s}", "_meta")) as f:
+                out.add(f.read())
+        except FileNotFoundError:
+            pass
+    return out
+
+
+def write_delta(
+    df: DataFrame,
+    path: str,
+    op_col: str | None = None,
+    meta: str | None = None,
+) -> int:
     """MERGE-ON-READ delta append: land a keyed batch of row-level
     changes against the CURRENT committed version without rewriting any
     base file — the copy-on-write/merge-on-read tradeoff from modern
@@ -406,6 +427,11 @@ def write_delta(df: DataFrame, path: str, op_col: str | None = None) -> int:
     seq = max(existing) + 1 if existing else 0
     sdir = os.path.join(root, f"seq={seq}")
     out.write.mode("overwrite").parquet(sdir)
+    # _meta lands BEFORE _commit so it becomes visible atomically with
+    # the batch (same protocol as write_snapshot's meta)
+    if meta is not None:
+        with open(os.path.join(sdir, "_meta"), "w") as f:
+            f.write(meta)
     with open(os.path.join(sdir, "_commit"), "w") as f:
         f.write(str(seq))
     return seq

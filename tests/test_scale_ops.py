@@ -968,3 +968,33 @@ def test_gated_publish_blocks_manifest_and_history_reads_evolved(spark):
         ], hist
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_write_delta_meta_replay_guard(spark):
+    """A delta batch replayed with an already-committed meta id must be
+    skippable via committed_delta_metas — and metas are scoped to the
+    base version (compaction starts a fresh delta space with no
+    inherited metas)."""
+    import os
+    import shutil
+
+    from aproximacion_1_etl_spark.sources.versioned import (
+        committed_delta_metas,
+        compact_deltas,
+        write_delta,
+        write_snapshot,
+    )
+
+    base = tempfile.mkdtemp(prefix="graft_dmeta_t_")
+    path = os.path.join(base, "t")
+    try:
+        write_snapshot(
+            spark.createDataFrame([(1, 1.0)], "k BIGINT, v DOUBLE"), path
+        )
+        d = spark.createDataFrame([(2, 2.0)], "k BIGINT, v DOUBLE")
+        write_delta(d, path, meta="batch-7")
+        assert committed_delta_metas(path, 0) == {"batch-7"}
+        v1 = compact_deltas(spark, path, ["k"])
+        assert committed_delta_metas(path, v1) == set()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
