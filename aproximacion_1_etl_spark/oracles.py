@@ -1851,6 +1851,63 @@ SELECT CAST(first_version AS INT) AS first_version,
              * 100.0 + 0.5) / 100.0 AS value_introduced
 FROM fv GROUP BY 1
 """,
+    "cdf_to_scd2": """
+WITH base AS (SELECT o_orderkey AS k, o_totalprice AS p, o_orderdate AS d
+              FROM orders),
+lat AS (
+  SELECT k, 0 AS v, p FROM base WHERE d < DATE '1997-01-01'
+  UNION ALL
+  SELECT k, 1, CASE WHEN k % 7 = 0 THEN p * 1.05 ELSE p END
+  FROM base WHERE d < DATE '1999-01-01'
+  UNION ALL
+  SELECT k, 2, CASE WHEN k % 11 = 0 THEN p * 0.9
+                    WHEN k % 7 = 0 THEN p * 1.05 ELSE p END
+  FROM base),
+ch AS (SELECT *, lag(p) OVER (PARTITION BY k ORDER BY v) AS prev
+       FROM lat),
+kept AS (SELECT k, v, p FROM ch WHERE prev IS NULL OR prev <> p),
+iv AS (SELECT k, v AS valid_from,
+              lead(v) OVER (PARTITION BY k ORDER BY v) AS valid_to, p
+       FROM kept)
+SELECT k AS o_orderkey, CAST(valid_from AS INT) AS valid_from,
+       CAST(coalesce(valid_to, -1) AS INT) AS valid_to,
+       floor(p * 100.0 + 0.5) / 100.0 AS o_totalprice,
+       valid_to IS NULL AS is_current
+FROM iv
+""",
+    "fd_profile": """
+WITH pairs AS (
+  SELECT 'orders.o_orderkey' AS antecedent, 'orders.o_custkey' AS consequent,
+         a, ndv
+  FROM (SELECT o_orderkey AS a, count(DISTINCT o_custkey) AS ndv
+        FROM orders GROUP BY 1)
+  UNION ALL
+  SELECT 'orders.o_custkey', 'orders.o_orderpriority', a, ndv
+  FROM (SELECT o_custkey AS a, count(DISTINCT o_orderpriority) AS ndv
+        FROM orders GROUP BY 1)
+  UNION ALL
+  SELECT 'orders.o_orderdate', 'orders.o_orderstatus',
+         CAST(a AS BIGINT), ndv
+  FROM (SELECT epoch(o_orderdate) AS a,
+               count(DISTINCT o_orderstatus) AS ndv
+        FROM orders GROUP BY 1)
+  UNION ALL
+  SELECT 'customer.c_custkey', 'customer.c_nationkey', a, ndv
+  FROM (SELECT c_custkey AS a, count(DISTINCT c_nationkey) AS ndv
+        FROM customer GROUP BY 1)
+  UNION ALL
+  SELECT 'customer.c_nationkey', 'customer.c_mktsegment',
+         CAST(a AS BIGINT), ndv
+  FROM (SELECT c_nationkey AS a, count(DISTINCT c_mktsegment) AS ndv
+        FROM customer GROUP BY 1))
+SELECT antecedent, consequent,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(count(*) FILTER (WHERE ndv > 1) AS BIGINT)
+         AS n_violating_groups,
+       CAST(sum(ndv - 1) AS BIGINT) AS n_surplus_images,
+       count(*) FILTER (WHERE ndv > 1) = 0 AS fd_holds
+FROM pairs GROUP BY 1, 2
+""",
     "heavy_hitters_cms": """
 SELECT event_type, CAST(count(*) AS BIGINT) AS true_cnt, TRUE AS est_ok
 FROM events GROUP BY 1

@@ -10737,6 +10737,125 @@ def q_streaming_hll_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             shutil.rmtree(ckpt, ignore_errors=True)
 
 
+def q_cdf_to_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD TYPE-2 DERIVED FROM VERSION HISTORY (sources/versioned.py::
+    history_to_scd2): orders land in three cumulative snapshot
+    versions with price revisions between them (5% bump for %7 keys at
+    v1, 10% cut for %11 keys at v2); the full-history scan + two
+    windows reconstruct each key's validity intervals
+    [valid_from, valid_to) in version numbers with the open current
+    interval flagged — the instrumented SCD2 builder's output for
+    tables that only ever kept snapshots. The oracle replays the
+    version lattice as CASE arithmetic and the same change-point
+    windows."""
+    import shutil
+
+    from aproximacion_1_etl_spark.sources.versioned import (
+        history_to_scd2,
+        read_history,
+        write_snapshot,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    k = F.col("o_orderkey")
+    base = tempfile.mkdtemp(prefix="graft_scd2v_")
+    path = os.path.join(base, "orders")
+    try:
+        write_snapshot(
+            o.filter(F.col("o_orderdate") < "1997-01-01").drop(
+                "o_orderdate"
+            ),
+            path,
+        )
+        write_snapshot(
+            o.filter(F.col("o_orderdate") < "1999-01-01")
+            .withColumn(
+                "o_totalprice",
+                F.when(k % 7 == 0, F.col("o_totalprice") * 1.05).otherwise(
+                    F.col("o_totalprice")
+                ),
+            )
+            .drop("o_orderdate"),
+            path,
+        )
+        write_snapshot(
+            o.withColumn(
+                "o_totalprice",
+                F.when(k % 11 == 0, F.col("o_totalprice") * 0.9)
+                .when(k % 7 == 0, F.col("o_totalprice") * 1.05)
+                .otherwise(F.col("o_totalprice")),
+            ).drop("o_orderdate"),
+            path,
+        )
+        scd2 = history_to_scd2(
+            read_history(spark, path), ["o_orderkey"], ["o_totalprice"]
+        )
+        out = scd2.select(
+            "o_orderkey",
+            F.col("valid_from").cast("int").alias("valid_from"),
+            F.coalesce(F.col("valid_to"), F.lit(-1))
+            .cast("int")
+            .alias("valid_to"),
+            _fround(F.col("o_totalprice"), 2).alias("o_totalprice"),
+            "is_current",
+        )
+        return _reclaimed_dist(out, base)
+    finally:
+        if os.path.isdir(base):
+            shutil.rmtree(base, ignore_errors=True)
+
+
+def q_fd_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency discovery (§2.10 profiling depth): for
+    each candidate pair A -> B, one keyed aggregation counts the
+    A-groups whose B is not unique and the total surplus images —
+    FD holds iff no group carries two distinct consequents. The DQ
+    check behind merge-key and natural-key validation
+    (`Composer/DAG_cloudrun_dataflow_sp.py` trusts its SP merge keys
+    blindly; this measures them first). One groupBy per pair (each
+    map-side combinable); nothing is joined."""
+    checks = [
+        ("orders", "o_orderkey", "o_custkey"),
+        ("orders", "o_custkey", "o_orderpriority"),
+        ("orders", "o_orderdate", "o_orderstatus"),
+        ("customer", "c_custkey", "c_nationkey"),
+        ("customer", "c_nationkey", "c_mktsegment"),
+    ]
+    outs = []
+    for tbl, a, b in checks:
+        df = load_table(spark, sf_dir, tbl)
+        g = (
+            df.groupBy(a)
+            .agg(F.countDistinct(b).alias("ndv"))
+            .agg(
+                F.count("*").alias("n_groups"),
+                F.sum(F.when(F.col("ndv") > 1, 1).otherwise(0)).alias(
+                    "n_violating_groups"
+                ),
+                F.sum(F.col("ndv") - 1).alias("n_surplus_images"),
+            )
+            .select(
+                F.lit(f"{tbl}.{a}").alias("antecedent"),
+                F.lit(f"{tbl}.{b}").alias("consequent"),
+                F.col("n_groups").cast("bigint").alias("n_groups"),
+                F.col("n_violating_groups")
+                .cast("bigint")
+                .alias("n_violating_groups"),
+                F.col("n_surplus_images")
+                .cast("bigint")
+                .alias("n_surplus_images"),
+                (F.col("n_violating_groups") == 0).alias("fd_holds"),
+            )
+        )
+        outs.append(g)
+    out = outs[0]
+    for g in outs[1:]:
+        out = out.unionByName(g)
+    return out
+
+
 ALL_QUERIES = {
     "flagship_order_lifecycle": q_flagship_order_lifecycle,
     "bm25_topk": q_bm25_topk,
@@ -10903,6 +11022,8 @@ ALL_QUERIES = {
     "snapshot_blame": q_snapshot_blame,
     "streaming_merge_on_read": q_streaming_merge_on_read,
     "streaming_hll_maintenance": q_streaming_hll_maintenance,
+    "cdf_to_scd2": q_cdf_to_scd2,
+    "fd_profile": q_fd_profile,
     "gap_fill_daily": q_gap_fill_daily,
     "anomaly_zscore": q_anomaly_zscore,
     "haversine_nearest": q_haversine_nearest,

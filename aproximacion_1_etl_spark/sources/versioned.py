@@ -556,6 +556,42 @@ def read_history(
     return out
 
 
+def history_to_scd2(
+    hist: DataFrame, key_cols: list[str], val_cols: list[str]
+) -> DataFrame:
+    """Derive an SCD TYPE-2 dimension from a version-history scan
+    (``read_history`` output carrying ``_v``): per key, consecutive
+    versions with an unchanged value image collapse into one validity
+    interval [valid_from, valid_to) in version numbers; the open
+    current interval has valid_to NULL. Zero producer-side
+    instrumentation — the committed chain IS the history; this is the
+    consumer-side twin of the instrumented scd2 builder
+    (operators/refine.py) for tables that only kept snapshots.
+
+    Scale shape: two windows over the key partition (lag to detect
+    change points, lead over the kept change rows for interval ends) —
+    one shuffle on the key, no self-join, state proportional to
+    |keys| x |versions| input rows which the first filter immediately
+    collapses to |change points|."""
+    from pyspark.sql import Window
+
+    img = F.struct(*val_cols)
+    w = Window.partitionBy(*key_cols).orderBy("_v")
+    ch = (
+        hist.withColumn("_prev", F.lag(img).over(w))
+        .filter(
+            F.col("_prev").isNull() | ~F.col("_prev").eqNullSafe(img)
+        )
+        .drop("_prev")
+    )
+    return (
+        ch.withColumn("valid_from", F.col("_v"))
+        .withColumn("valid_to", F.lead("_v").over(w))
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .drop("_v")
+    )
+
+
 def vacuum(path: str, keep_last: int = 2) -> list[int]:
     """Drop all but the newest ``keep_last`` committed versions (and any
     orphaned uncommitted dirs newer than the manifest); returns removed

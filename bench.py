@@ -195,6 +195,8 @@ HEADLINE = [
     "gated_publish",
     "snapshot_blame",
     "streaming_merge_on_read",
+    "cdf_to_scd2",
+    "fd_profile",
     # Python-worker queries LAST: applyInPandas spins up 32 Python
     # workers and leaves GC pressure that inflates the next JVM-only
     # query by ~3x (measured: dedup_minhash_lsh 6.96s after it vs 1.9s

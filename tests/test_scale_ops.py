@@ -998,3 +998,32 @@ def test_write_delta_meta_replay_guard(spark):
         assert committed_delta_metas(path, v1) == set()
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_history_to_scd2_oscillation_and_late_keys(spark):
+    """A value that oscillates A->B->A must yield THREE intervals (the
+    return to A is a new change point, not a merge with the first);
+    a key first appearing at v2 opens its interval there; an unchanged
+    key collapses to one open interval."""
+    from aproximacion_1_etl_spark.sources.versioned import history_to_scd2
+
+    hist = spark.createDataFrame(
+        [
+            (1, 10.0, 0), (1, 20.0, 1), (1, 10.0, 2),  # oscillates
+            (2, 5.0, 0), (2, 5.0, 1), (2, 5.0, 2),      # unchanged
+            (3, 7.0, 2),                                  # late arrival
+        ],
+        "k BIGINT, v DOUBLE, _v INT",
+    )
+    out = rows(
+        history_to_scd2(hist, ["k"], ["v"]).select(
+            "k", "valid_from", "valid_to", "v", "is_current"
+        )
+    )
+    assert out == [
+        (1, 0, 1, 10.0, False),
+        (1, 1, 2, 20.0, False),
+        (1, 2, None, 10.0, True),
+        (2, 0, None, 5.0, True),
+        (3, 2, None, 7.0, True),
+    ], out
