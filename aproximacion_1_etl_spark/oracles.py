@@ -1908,6 +1908,43 @@ SELECT antecedent, consequent,
        count(*) FILTER (WHERE ndv > 1) = 0 AS fd_holds
 FROM pairs GROUP BY 1, 2
 """,
+    "multi_window_features": """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(value AS DECIMAL(30,8))) AS sv
+  FROM events GROUP BY 1, 2)
+SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+       n AS n_1d,
+       CAST(sum(n) OVER w7 AS BIGINT) AS n_7d,
+       CAST(sum(n) OVER w28 AS BIGINT) AS n_28d,
+       floor(CAST(sum(sv) OVER w7 AS DOUBLE) * 100.0 + 0.5) / 100.0
+         AS v_7d,
+       floor(CAST(sum(sv) OVER w28 AS DOUBLE) * 100.0 + 0.5) / 100.0
+         AS v_28d
+FROM daily
+WINDOW w7 AS (PARTITION BY user_id ORDER BY day
+              RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW),
+       w28 AS (PARTITION BY user_id ORDER BY day
+               RANGE BETWEEN INTERVAL 27 DAY PRECEDING AND CURRENT ROW)
+""",
+    "dq_observe": """
+SELECT 'n_rows' AS metric, CAST(count(*) AS DOUBLE) AS value FROM orders
+UNION ALL
+SELECT 'n_nonpositive_price',
+       CAST(count(*) FILTER (WHERE o_totalprice <= 0) AS DOUBLE)
+FROM orders
+UNION ALL
+SELECT 'n_bad_status',
+       CAST(count(*) FILTER (WHERE o_orderstatus NOT IN ('O','F','P'))
+            AS DOUBLE)
+FROM orders
+UNION ALL
+SELECT 'sum_price',
+       floor(CAST(sum(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE)
+             * 100.0 + 0.5) / 100.0
+FROM orders
+""",
     "heavy_hitters_cms": """
 SELECT event_type, CAST(count(*) AS BIGINT) AS true_cnt, TRUE AS est_ok
 FROM events GROUP BY 1

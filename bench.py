@@ -197,6 +197,8 @@ HEADLINE = [
     "streaming_merge_on_read",
     "cdf_to_scd2",
     "fd_profile",
+    "multi_window_features",
+    "dq_observe",
     # Python-worker queries LAST: applyInPandas spins up 32 Python
     # workers and leaves GC pressure that inflates the next JVM-only
     # query by ~3x (measured: dedup_minhash_lsh 6.96s after it vs 1.9s
