@@ -10150,42 +10150,30 @@ def q_join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_hll_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.6 sliding-window distinct counts from MERGED DAILY SKETCH
-    PARTIALS: per-(event_type, day) HyperLogLog sketches over user_id,
-    then a 7-day trailing distinct-user estimate per day computed by
-    union-merging at most 7 of those sketches in a RANGE window —
-    never re-scanning raw events per window position. This is the 100
-    TB shape of "rolling 7-day active users": the persisted artifact
-    is |types|x|days| sketch rows (~4 KB each); each new day costs one
-    partial over that day's events plus a 7-sketch merge, where the
-    naive form re-scans a week of raw facts per day. Like
-    hll_sketch_union, the hashed output carries the EXACT trailing
-    distinct count (computed here only so the accuracy claim is
-    driver-checkable) plus a boolean asserting the sketch estimate is
-    within max(2, 5%) of it."""
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_type", F.to_date("ts").alias("day"), "user_id"
-    )
-    daily = (
-        ev.groupBy("event_type", "day")
-        .agg(F.hll_sketch_agg("user_id").alias("sk"))
-        .withColumn(
-            "d_num", F.datediff("day", F.lit("1970-01-01").cast("date"))
-        )
+def _hll_trailing_report(daily: DataFrame, ev_day: DataFrame) -> DataFrame:
+    """THE trailing-7-day render shared by the batch and streaming
+    daily-sketch keys (their oracles are aliased to the same SQL, so
+    the Spark sides must be one definition too — the _hist_bucket
+    principle): ``daily`` is the sketch state (event_type, day, sk),
+    ``ev_day`` the raw (event_type, day, user_id) facts used ONLY for
+    the driver-checkable exact side. Estimate = hll_union_agg over a
+    RANGE window of <= 7 sketch rows; est_ok asserts the estimate is
+    within max(2, 5%) of exact."""
+    d = daily.withColumn(
+        "d_num", F.datediff("day", F.lit("1970-01-01").cast("date"))
     )
     w7 = Window.partitionBy("event_type").orderBy("d_num").rangeBetween(-6, 0)
-    est = daily.select(
+    est = d.select(
         "event_type",
         "day",
         F.hll_sketch_estimate(F.hll_union_agg("sk").over(w7)).alias("est"),
     )
     # exact side — verification only; a production run emits `est`
     exact = (
-        daily.select("event_type", "day")
+        d.select("event_type", "day")
         .alias("d")
         .join(
-            ev.alias("e"),
+            ev_day.alias("e"),
             (F.col("e.event_type") == F.col("d.event_type"))
             & (
                 F.col("e.day").between(
@@ -10208,6 +10196,29 @@ def q_hll_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.greatest(F.lit(2.0), F.lit(0.05) * F.col("n_exact"))
         ).alias("est_ok"),
     )
+
+
+def q_hll_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 sliding-window distinct counts from MERGED DAILY SKETCH
+    PARTIALS: per-(event_type, day) HyperLogLog sketches over user_id,
+    then a 7-day trailing distinct-user estimate per day computed by
+    union-merging at most 7 of those sketches in a RANGE window —
+    never re-scanning raw events per window position. This is the 100
+    TB shape of "rolling 7-day active users": the persisted artifact
+    is |types|x|days| sketch rows (~4 KB each); each new day costs one
+    partial over that day's events plus a 7-sketch merge, where the
+    naive form re-scans a week of raw facts per day. Like
+    hll_sketch_union, the hashed output carries the EXACT trailing
+    distinct count (computed here only so the accuracy claim is
+    driver-checkable) plus a boolean asserting the sketch estimate is
+    within max(2, 5%) of it."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day"), "user_id"
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    return _hll_trailing_report(daily, ev)
 
 
 def q_segment_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -10277,6 +10288,44 @@ def q_segment_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _customer_cdc_waves(c: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """THE two customer CDC delta batches shared by merge_on_read and
+    streaming_merge_on_read (whose oracle is aliased to the same SQL —
+    the constants below are hard-coded there, so exactly one Spark-side
+    definition may exist): wave 1 bumps nation-5 balances 10%; wave 2
+    deletes the %97 key slice (minus rows it re-upserts — batches are
+    key-unique) and re-zeroes the nation-5 %3 sub-segment. Both carry
+    an ``op`` column ('U'/'D')."""
+    w1 = c.filter(F.col("c_nationkey") == 5).select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        (F.col("c_acctbal") * F.lit(1.1)).alias("c_acctbal"),
+        F.lit("U").alias("op"),
+    )
+    reup = (F.col("c_nationkey") == 5) & (F.col("c_custkey") % 3 == 0)
+    w2 = (
+        c.filter((F.col("c_custkey") % 97 == 0) & ~reup)
+        .select(
+            "c_custkey",
+            "c_name",
+            "c_nationkey",
+            "c_acctbal",
+            F.lit("D").alias("op"),
+        )
+        .unionByName(
+            c.filter(reup).select(
+                "c_custkey",
+                "c_name",
+                "c_nationkey",
+                F.lit(-1.0).alias("c_acctbal"),
+                F.lit("U").alias("op"),
+            )
+        )
+    )
+    return w1, w2
+
+
 def q_merge_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merge-on-read scan over a snapshot table with accumulated delta
     batches (sources/versioned.py::write_delta/read_merged): the
@@ -10305,24 +10354,9 @@ def q_merge_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(base, "customer")
     try:
         write_snapshot(c, path)
-        # seq 0: balance bump for one nation segment
-        d0 = c.filter(F.col("c_nationkey") == 5).withColumn(
-            "c_acctbal", F.col("c_acctbal") * F.lit(1.1)
-        )
-        write_delta(d0, path)
-        # seq 1: delete a key slice (minus rows the same batch
-        # re-upserts — batches are key-unique), re-zero a sub-segment
-        reup = (F.col("c_nationkey") == 5) & (F.col("c_custkey") % 3 == 0)
-        dels = (
-            c.filter((F.col("c_custkey") % 97 == 0) & ~reup)
-            .withColumn("op", F.lit("D"))
-        )
-        ups = (
-            c.filter(reup)
-            .withColumn("c_acctbal", F.lit(-1.0))
-            .withColumn("op", F.lit("U"))
-        )
-        write_delta(dels.unionByName(ups), path, op_col="op")
+        w1, w2 = _customer_cdc_waves(c)
+        write_delta(w1, path, op_col="op")
+        write_delta(w2, path, op_col="op")
         out = read_merged(spark, path, ["c_custkey"]).select(
             "c_custkey",
             "c_name",
@@ -10476,7 +10510,10 @@ def q_snapshot_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("o_orderkey")
             .agg(
                 F.min("_v").alias("first_version"),
-                F.first("o_totalprice").alias("o_totalprice"),
+                # the image AT the first version (min_by _v), not an
+                # arbitrary version's — identical across versions in
+                # this fixture, but the contract is "value introduced"
+                F.min_by("o_totalprice", "_v").alias("o_totalprice"),
             )
         )
         out = (
@@ -10542,35 +10579,7 @@ def q_streaming_merge_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     try:
         write_snapshot(c, path)
-        # wave 1: nation-5 balance bump; wave 2: key-slice deletes +
-        # re-zero of a sub-segment (same CDC scheme as merge_on_read)
-        w1 = c.filter(F.col("c_nationkey") == 5).select(
-            "c_custkey",
-            "c_name",
-            "c_nationkey",
-            (F.col("c_acctbal") * F.lit(1.1)).alias("c_acctbal"),
-            F.lit("U").alias("op"),
-        )
-        reup = (F.col("c_nationkey") == 5) & (F.col("c_custkey") % 3 == 0)
-        w2 = (
-            c.filter((F.col("c_custkey") % 97 == 0) & ~reup)
-            .select(
-                "c_custkey",
-                "c_name",
-                "c_nationkey",
-                "c_acctbal",
-                F.lit("D").alias("op"),
-            )
-            .unionByName(
-                c.filter(reup).select(
-                    "c_custkey",
-                    "c_name",
-                    "c_nationkey",
-                    F.lit(-1.0).alias("c_acctbal"),
-                    F.lit("U").alias("op"),
-                )
-            )
-        )
+        w1, w2 = _customer_cdc_waves(c)
         w1.coalesce(1).write.parquet(os.path.join(src, "w1"))
         w2.coalesce(1).write.parquet(os.path.join(src, "w2"))
         now = _time.time()
@@ -10680,55 +10689,11 @@ def q_streaming_hll_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
 
-        daily = (
-            read_snapshot(spark, state_log)
-            .withColumn(
-                "d_num",
-                F.datediff("day", F.lit("1970-01-01").cast("date")),
-            )
-        )
-        w7 = (
-            Window.partitionBy("event_type")
-            .orderBy("d_num")
-            .rangeBetween(-6, 0)
-        )
-        est = daily.select(
-            "event_type",
-            "day",
-            F.hll_sketch_estimate(F.hll_union_agg("sk").over(w7)).alias(
-                "est"
-            ),
-        )
+        daily = read_snapshot(spark, state_log)
         evd = ev.select(
             "event_type", F.to_date("ts").alias("day"), "user_id"
         )
-        exact = (
-            daily.select("event_type", "day")
-            .alias("d")
-            .join(
-                evd.alias("e"),
-                (F.col("e.event_type") == F.col("d.event_type"))
-                & (
-                    F.col("e.day").between(
-                        F.date_sub(F.col("d.day"), 6), F.col("d.day")
-                    )
-                ),
-            )
-            .groupBy(
-                F.col("d.event_type").alias("event_type"),
-                F.col("d.day").alias("day"),
-            )
-            .agg(F.countDistinct("e.user_id").alias("n_exact"))
-        )
-        out = est.join(exact, ["event_type", "day"]).select(
-            "event_type",
-            F.date_format("day", "yyyy-MM-dd").alias("day"),
-            F.col("n_exact").cast("bigint").alias("n_exact"),
-            (
-                F.abs(F.col("est") - F.col("n_exact"))
-                <= F.greatest(F.lit(2.0), F.lit(0.05) * F.col("n_exact"))
-            ).alias("est_ok"),
-        )
+        out = _hll_trailing_report(daily, evd)
         return _reclaimed(out, base, ckpt)
     finally:
         if os.path.isdir(base):

@@ -72,6 +72,16 @@ def write_snapshot(df: DataFrame, path: str, meta: str | None = None) -> int:
     neither visible. ``snapshot_meta``/``committed_metas`` read it
     back — the idempotent-replay primitive for foreachBatch publishers
     (skip a batch whose id a committed version already carries)."""
+    cur, nxt, vdir = _land_version(df, path)
+    _commit_version(path, cur, nxt, vdir, meta)
+    return nxt
+
+
+def _land_version(df: DataFrame, path: str) -> tuple[int | None, int, str]:
+    """Write ``df`` fully into the NEXT version directory WITHOUT
+    flipping the manifest: the landed dir is invisible (an orphan)
+    until ``_commit_version`` publishes it. Returns
+    (current_version, next_version, version_dir)."""
     os.makedirs(path, exist_ok=True)
     cur = current_version(path)
     nxt = 0 if cur is None else cur + 1
@@ -81,6 +91,18 @@ def write_snapshot(df: DataFrame, path: str, meta: str | None = None) -> int:
         nxt = max(nxt, existing[-1] + 1)
     vdir = os.path.join(path, f"v={nxt}")
     df.write.mode("overwrite").parquet(vdir)
+    return cur, nxt, vdir
+
+
+def _commit_version(
+    path: str,
+    cur: int | None,
+    nxt: int,
+    vdir: str,
+    meta: str | None = None,
+) -> None:
+    """Publish a landed version dir: lineage + meta land inside it,
+    then the manifest flips atomically."""
     # _parent records the version this publish supersedes — the commit
     # LINEAGE. "Committed" cannot be decided by version number alone:
     # an orphan keeps its number forever, and a later commit's number
@@ -95,7 +117,6 @@ def write_snapshot(df: DataFrame, path: str, meta: str | None = None) -> int:
     with open(tmp, "w") as f:
         f.write(str(nxt))
     os.replace(tmp, _manifest_path(path))  # atomic commit point
-    return nxt
 
 
 def snapshot_meta(path: str, version: int | None = None) -> str | None:
@@ -502,26 +523,41 @@ def write_snapshot_gated(
     expectations: dict[str, str],
     meta: str | None = None,
 ) -> tuple[int | None, dict[str, int]]:
-    """Expectation-gated publish: evaluate every named SQL boolean over
-    ``df`` in ONE aggregation pass (sum of violation indicators — no
-    per-rule scan), and only if ALL hold does the snapshot commit. On
-    any violation NOTHING becomes visible: the manifest never flips, so
-    readers keep the last good version — the write-audit-publish
+    """WRITE-audit-publish: land ``df`` into the next (invisible)
+    version directory, audit THE WRITTEN BYTES with every named SQL
+    expectation in ONE aggregation pass, and flip the manifest only if
+    all hold — on any violation the landed dir is removed and readers
+    keep the last good version. Auditing the landed files (not a
+    second evaluation of ``df``) matters twice: a non-deterministic
+    plan (sampling, timestamps) cannot pass the gate with rows it
+    never publishes, and the data is written exactly once — the
     pattern the reference's daily loop needs but cannot get from
     in-place table mutation (`app.py:142-147` diffs runs AFTER the bad
-    data is already live). Returns (version-or-None, per-rule violation
-    counts)."""
+    data is already live).
+
+    Expectations use SQL-CHECK-STRICT semantics: a row where the
+    condition evaluates to NULL counts as a VIOLATION (a DQ gate that
+    waves NULLs through is a trap — 'v >= 0' must not pass v NULL).
+    Returns (version-or-None, per-rule violation counts)."""
+    import shutil as _shutil
+
+    cur, nxt, vdir = _land_version(df, path)
+    landed = df.sparkSession.read.parquet(vdir)
     aggs = [
         F.sum(
-            F.when(~F.expr(cond), F.lit(1)).otherwise(F.lit(0))
+            F.when(F.expr(cond), F.lit(0)).otherwise(F.lit(1))
         ).alias(name)
         for name, cond in expectations.items()
     ]
-    row = df.agg(*aggs).collect()[0]
+    row = landed.agg(*aggs).collect()[0]
     viol = {name: int(row[name] or 0) for name in expectations}
     if any(v > 0 for v in viol.values()):
+        # never committed — safe to reclaim immediately rather than
+        # leaving an orphan for vacuum
+        _shutil.rmtree(vdir, ignore_errors=True)
         return None, viol
-    return write_snapshot(df, path, meta), viol
+    _commit_version(path, cur, nxt, vdir, meta)
+    return nxt, viol
 
 
 def read_history(
@@ -563,22 +599,58 @@ def history_to_scd2(
     (``read_history`` output carrying ``_v``): per key, consecutive
     versions with an unchanged value image collapse into one validity
     interval [valid_from, valid_to) in version numbers; the open
-    current interval has valid_to NULL. Zero producer-side
-    instrumentation — the committed chain IS the history; this is the
-    consumer-side twin of the instrumented scd2 builder
-    (operators/refine.py) for tables that only kept snapshots.
+    current interval has valid_to NULL. A key ABSENT from a later
+    version closes its interval at the first version it vanished from
+    (and is NOT current) — deletions are first-class: an internal
+    tombstone row is synthesized at each gap start, so a key that
+    vanishes and later reappears with the SAME image still gets two
+    separate intervals instead of being silently merged across the
+    gap. Zero producer-side instrumentation — the committed chain IS
+    the history; the consumer-side twin of the instrumented scd2
+    builder (operators/refine.py) for tables that only kept snapshots.
 
-    Scale shape: two windows over the key partition (lag to detect
-    change points, lead over the kept change rows for interval ends) —
-    one shuffle on the key, no self-join, state proportional to
-    |keys| x |versions| input rows which the first filter immediately
-    collapses to |change points|."""
+    Scale shape: one shuffle on the key serves both windows (gap
+    detection + change points + interval ends); the version chain is a
+    |versions|-row broadcast; no self-join. The change-point filter
+    collapses |keys| x |versions| rows to |change points| before the
+    interval window."""
     from pyspark.sql import Window
 
-    img = F.struct(*val_cols)
-    w = Window.partitionBy(*key_cols).orderBy("_v")
+    # next version in the committed chain, as a tiny broadcast lookup
+    wv = Window.orderBy("_v")
+    vnext = (
+        hist.select("_v")
+        .distinct()
+        .withColumn("_v_next", F.lead("_v").over(wv))
+    )
+    wk = Window.partitionBy(*key_cols).orderBy("_v")
+    h = (
+        hist.join(F.broadcast(vnext), "_v")
+        .withColumn("_nxt_key", F.lead("_v").over(wk))
+    )
+    # tombstone at each gap start: the chain has a next version but
+    # this key's next row (if any) is beyond it
+    tomb = h.filter(
+        F.col("_v_next").isNotNull()
+        & (
+            F.col("_nxt_key").isNull()
+            | (F.col("_nxt_key") > F.col("_v_next"))
+        )
+    ).select(
+        *key_cols,
+        F.col("_v_next").alias("_v"),
+        *[
+            F.lit(None).cast(hist.schema[c].dataType).alias(c)
+            for c in val_cols
+        ],
+        F.lit(True).alias("_absent"),
+    )
+    rows = hist.select(
+        *key_cols, "_v", *val_cols, F.lit(False).alias("_absent")
+    ).unionByName(tomb)
+    img = F.struct("_absent", *val_cols)
     ch = (
-        hist.withColumn("_prev", F.lag(img).over(w))
+        rows.withColumn("_prev", F.lag(img).over(wk))
         .filter(
             F.col("_prev").isNull() | ~F.col("_prev").eqNullSafe(img)
         )
@@ -586,9 +658,10 @@ def history_to_scd2(
     )
     return (
         ch.withColumn("valid_from", F.col("_v"))
-        .withColumn("valid_to", F.lead("_v").over(w))
+        .withColumn("valid_to", F.lead("_v").over(wk))
         .withColumn("is_current", F.col("valid_to").isNull())
-        .drop("_v")
+        .filter(~F.col("_absent"))
+        .drop("_v", "_absent")
     )
 
 

@@ -1027,3 +1027,59 @@ def test_history_to_scd2_oscillation_and_late_keys(spark):
         (2, 0, None, 5.0, True),
         (3, 2, None, 7.0, True),
     ], out
+
+
+def test_history_to_scd2_closes_intervals_of_vanished_keys(spark):
+    """A key absent from a later version must close its interval at the
+    vanish version (NOT is_current); a key that vanishes and reappears
+    with the SAME image gets two intervals, never a silent merge
+    across the gap."""
+    from aproximacion_1_etl_spark.sources.versioned import history_to_scd2
+
+    hist = spark.createDataFrame(
+        [
+            (10, 1.0, 0), (10, 1.0, 2),          # gap at v1, same image
+            (11, 2.0, 0), (11, 2.0, 1),           # vanishes at v2
+            (12, 3.0, 0), (12, 3.0, 1), (12, 3.0, 2),  # stable
+        ],
+        "k BIGINT, v DOUBLE, _v INT",
+    )
+    out = rows(
+        history_to_scd2(hist, ["k"], ["v"]).select(
+            "k", "valid_from", "valid_to", "v", "is_current"
+        )
+    )
+    assert out == [
+        (10, 0, 1, 1.0, False),
+        (10, 2, None, 1.0, True),
+        (11, 0, 2, 2.0, False),
+        (12, 0, None, 3.0, True),
+    ], out
+
+
+def test_write_snapshot_gated_null_condition_is_violation(spark):
+    """CHECK-strict semantics: a row where the expectation evaluates to
+    NULL must count as a violation and block the publish."""
+    import os
+    import shutil
+
+    from aproximacion_1_etl_spark.sources.versioned import (
+        current_version,
+        write_snapshot_gated,
+    )
+
+    base = tempfile.mkdtemp(prefix="graft_gnull_t_")
+    path = os.path.join(base, "t")
+    try:
+        df = spark.createDataFrame(
+            [(1, 1.0), (2, None)], "k BIGINT, v DOUBLE"
+        )
+        v, viol = write_snapshot_gated(df, path, {"v_nonneg": "v >= 0"})
+        assert v is None and viol == {"v_nonneg": 1}, (v, viol)
+        assert current_version(path) is None
+        # the blocked landing is reclaimed, not left as an orphan
+        assert not any(
+            d.startswith("v=") for d in os.listdir(path)
+        ), os.listdir(path)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
