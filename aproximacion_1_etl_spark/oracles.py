@@ -1945,6 +1945,49 @@ SELECT 'sum_price',
              * 100.0 + 0.5) / 100.0
 FROM orders
 """,
+    "prefix_filter_join": """
+WITH toks AS (
+  SELECT DISTINCT doc_id, lang, source, tok
+  FROM (SELECT doc_id, lang, source,
+               unnest(string_split(lower(text), ' ')) AS tok
+        FROM documents)
+  WHERE tok <> ''),
+sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1),
+inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS ni
+          FROM toks a JOIN toks b
+            ON a.tok = b.tok AND a.lang = b.lang
+           AND a.source = b.source AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT da AS doc_a, db AS doc_b,
+       floor(CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) * 10000.0 + 0.5)
+         / 10000.0 AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = da
+JOIN sizes sb ON sb.doc_id = db
+WHERE CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) >= 0.9
+""",
+    "attribution_time_decay": """
+WITH touches AS (SELECT user_id, ts, event_type FROM events
+                 WHERE event_type IN ('click', 'view')),
+buys AS (SELECT user_id, ts AS p_ts, event_id AS p_id FROM events
+         WHERE event_type = 'purchase'),
+j AS (SELECT t.event_type, b.p_id,
+             1.0 / (1.0 + CAST(floor(
+               (floor(epoch(b.p_ts)) - floor(epoch(t.ts))) / 86400.0)
+               AS INT)) AS w
+      FROM touches t JOIN buys b
+        ON t.user_id = b.user_id AND t.ts < b.p_ts
+       AND t.ts >= b.p_ts - INTERVAL 7 DAY),
+c AS (SELECT event_type, p_id, w,
+             CAST(sum(CAST(w AS DECIMAL(30,15)))
+                  OVER (PARTITION BY p_id) AS DOUBLE) AS tot
+      FROM j)
+SELECT event_type,
+       floor(CAST(sum(CAST(w / tot AS DECIMAL(30,15))) AS DOUBLE)
+             * 10000.0 + 0.5) / 10000.0 AS total_credit,
+       CAST(count(DISTINCT p_id) AS BIGINT) AS n_purchases
+FROM c GROUP BY 1
+""",
     "heavy_hitters_cms": """
 SELECT event_type, CAST(count(*) AS BIGINT) AS true_cnt, TRUE AS est_ok
 FROM events GROUP BY 1

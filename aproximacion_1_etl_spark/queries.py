@@ -10899,6 +10899,161 @@ def q_dq_observe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("metric", _fround(F.col("value"), 2).alias("value"))
 
 
+def q_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard-threshold set-similarity self-join via PREFIX
+    FILTERING (the PPJoin family's core idea) — the deterministic
+    complement to MinHash-LSH: candidates come only from docs sharing
+    a token in their RARITY-ORDERED PREFIX (first n - ceil(t*n) + 1
+    tokens, rarest first), which provably loses NO pair with Jaccard
+    >= t (two sets overlapping that much must collide inside either
+    prefix), then the exact intersection verifies. LSH trades recall
+    for speed; this trades nothing and still never goes O(n²): the
+    candidate join runs over prefix tokens only WITHIN a (lang,
+    source) block — the realistic intra-source near-dup sweep
+    (cross-source discovery is dedup_minhash_lsh's job), which also
+    caps any one token bucket at its block's population — and rarity
+    ordering makes prefix tokens the LOW-frequency ones, so bucket
+    sizes stay small where frequency-blind blocking would explode on
+    stopwords. Tokens sort by per-doc (global_freq, token) with no
+    global rank table materialized; this synthetic corpus is
+    template-generated (docs share most vocabulary), the WORST case
+    for similarity joins — the measured key demonstrates the pruning
+    holds even there."""
+    t = 0.9
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "text"
+    )
+    toks = (
+        docs.select(
+            "doc_id",
+            "lang",
+            "source",
+            F.explode(F.split(F.lower("text"), " ")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+    freq = toks.groupBy("tok").agg(F.count("*").alias("n"))
+    per_doc = (
+        toks.join(freq, "tok")
+        .groupBy("doc_id", "lang", "source")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("n", "tok"))
+            ).alias("arr")
+        )
+        .withColumn("n_tok", F.size("arr"))
+        .withColumn(
+            "p",
+            F.col("n_tok") - F.ceil(F.lit(t) * F.col("n_tok")) + 1,
+        )
+        .withColumn(
+            "toks",
+            F.transform(F.col("arr"), lambda x: x["tok"]),
+        )
+    )
+    prefix = per_doc.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_tok",
+        "toks",
+        F.explode(F.slice("arr", 1, F.col("p"))).alias("pt"),
+    ).select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_tok",
+        "toks",
+        F.col("pt.tok").alias("tok"),
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_tok").alias("na"),
+            F.col("b.n_tok").alias("nb"),
+            F.col("a.toks").alias("ta"),
+            F.col("b.toks").alias("tb"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    ni = F.size(F.array_intersect("ta", "tb"))
+    jac = ni / (F.col("na") + F.col("nb") - ni).cast("double")
+    return (
+        cand.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= t)
+        .select(
+            "doc_a",
+            "doc_b",
+            _fround(F.col("jaccard"), 4).alias("jaccard"),
+        )
+    )
+
+
+def q_attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch TIME-DECAY attribution (completes the attribution
+    family next to last-touch): every click/view touch in the 7 days
+    before a purchase earns harmonic decay credit 1/(1 + age_days),
+    normalized so each purchase distributes exactly 1.0 across its
+    touches; per channel the credits sum. The touch-to-purchase range
+    join carries only (user, ts, type) and is bounded per user by the
+    7-day window — the skew ceiling is one user's weekly event volume,
+    not the table. Harmonic (not exponential) decay is deliberate:
+    every weight is ONE IEEE division of exact integers, so both
+    engines compute bit-identical weights (libm pow is not correctly
+    rounded), and every cross-row sum crosses engines as decimal —
+    order-independent."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type", "event_id"
+    )
+    touches = ev.filter(F.col("event_type").isin("click", "view"))
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("p_id"),
+    )
+    age_days = F.floor(
+        (
+            F.unix_timestamp("p_ts") - F.unix_timestamp("ts")
+        ).cast("double")
+        / F.lit(86400.0)
+    ).cast("int")
+    joined = touches.join(
+        buys,
+        (touches["user_id"] == buys["user_id"])
+        & (F.col("ts") < F.col("p_ts"))
+        & (F.col("ts") >= F.col("p_ts") - F.expr("INTERVAL 7 DAYS")),
+    ).select(
+        "event_type",
+        "p_id",
+        (F.lit(1.0) / (F.lit(1.0) + age_days)).alias("w"),
+    )
+    w_tot = Window.partitionBy("p_id")
+    credited = joined.withColumn(
+        "credit",
+        F.col("w")
+        / F.sum(F.col("w").cast("decimal(30,15)"))
+        .over(w_tot)
+        .cast("double"),
+    )
+    return credited.groupBy("event_type").agg(
+        _fround(
+            F.sum(F.col("credit").cast("decimal(30,15)")).cast("double"),
+            4,
+        ).alias("total_credit"),
+        F.countDistinct("p_id").cast("bigint").alias("n_purchases"),
+    )
+
+
 ALL_QUERIES = {
     "flagship_order_lifecycle": q_flagship_order_lifecycle,
     "bm25_topk": q_bm25_topk,
@@ -11069,6 +11224,8 @@ ALL_QUERIES = {
     "fd_profile": q_fd_profile,
     "multi_window_features": q_multi_window_features,
     "dq_observe": q_dq_observe,
+    "prefix_filter_join": q_prefix_filter_join,
+    "attribution_time_decay": q_attribution_time_decay,
     "gap_fill_daily": q_gap_fill_daily,
     "anomaly_zscore": q_anomaly_zscore,
     "haversine_nearest": q_haversine_nearest,

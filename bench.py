@@ -199,6 +199,8 @@ HEADLINE = [
     "fd_profile",
     "multi_window_features",
     "dq_observe",
+    "prefix_filter_join",
+    "attribution_time_decay",
     # Python-worker queries LAST: applyInPandas spins up 32 Python
     # workers and leaves GC pressure that inflates the next JVM-only
     # query by ~3x (measured: dedup_minhash_lsh 6.96s after it vs 1.9s
