@@ -10919,10 +10919,18 @@ def q_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     template-generated (docs share most vocabulary), the WORST case
     for similarity joins — the measured key demonstrates the pruning
     holds even there."""
-    t = 0.9
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "source", "text"
     )
+    return prefix_filter_pairs(docs, t=0.9)
+
+
+def prefix_filter_pairs(docs: DataFrame, t: float) -> DataFrame:
+    """The prefix-filtering pipeline behind q_prefix_filter_join,
+    exposed for property testing: docs (doc_id, lang, source, text) ->
+    all intra-(lang, source) pairs with token-set Jaccard >= t, found
+    via rarity-ordered prefix candidates and exact verification —
+    guaranteed complete (no false negatives)."""
     toks = (
         docs.select(
             "doc_id",

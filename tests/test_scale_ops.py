@@ -1083,3 +1083,52 @@ def test_write_snapshot_gated_null_condition_is_violation(spark):
         ), os.listdir(path)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_prefix_filter_join_complete_vs_brute_force(spark):
+    """The prefix-filter theorem (no false negatives at threshold t)
+    checked against a brute-force all-pairs Jaccard on seeded random
+    token sets — including heavy-overlap and disjoint docs, and a
+    threshold (0.7) different from the catalog key's."""
+    import itertools
+    import random
+
+    from aproximacion_1_etl_spark.queries import prefix_filter_pairs
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(60)]
+    docs = []
+    for i in range(40):
+        n = rng.randint(3, 12)
+        words = rng.sample(vocab, n)
+        docs.append((i, "en", f"s{i % 2}", " ".join(words)))
+    # seeded near-dups with guaranteed matches: a 10-token base plus a
+    # drop-one edit (J = 9/10) and an add-one edit (J = 10/11), both
+    # same-source; plus a cross-source copy that must NOT match
+    base_words = [f"w{i}" for i in range(10)]
+    docs.append((100, "en", "s0", " ".join(base_words)))
+    docs.append((101, "en", "s0", " ".join(base_words[:-1])))
+    docs.append((102, "en", "s0", " ".join(base_words + ["w99"])))
+    docs.append((103, "en", "s1", " ".join(base_words)))
+    t = 0.7
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in prefix_filter_pairs(
+            spark.createDataFrame(
+                docs, "doc_id BIGINT, lang STRING, source STRING, text STRING"
+            ),
+            t,
+        ).collect()
+    }
+    sets = {d[0]: (d[2], set(d[3].split())) for d in docs}
+    want = set()
+    for a, b in itertools.combinations(sorted(sets), 2):
+        sa, ta = sets[a]
+        sb, tb = sets[b]
+        if sa != sb:
+            continue
+        j = len(ta & tb) / len(ta | tb)
+        if j >= t:
+            want.add((a, b))
+    assert want, "fixture must contain true matches"
+    assert got == want, (got ^ want)
