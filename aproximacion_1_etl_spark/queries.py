@@ -870,32 +870,43 @@ def _histogram_quantile_report(
     gapped/bimodal data (the interpolated exact can sit in an empty
     region many buckets from both order statistics); this one is
     provable, so the oracle's est_ok=TRUE is a theorem, not a fixture
-    property."""
+    property.
+
+    The exact side stays LAZY: the nine percentile fractions depend
+    only on ``total`` (a driver scalar the caller already holds from
+    its state), so the reference aggregate rides the final action as a
+    1-row crossJoin — no eager .first() and no extra scan of
+    ``exact_src`` (measured: an eager exact side doubled the key)."""
     import math
 
     spark = cum.sparkSession
     qs = [0.5, 0.9, 0.99]
-    trios = []
+    fracs = []
     for q in qs:
         r = q * (total - 1) + 1.0
         if total > 1:
-            p_lo = (math.floor(r) - 1.0) / (total - 1)
-            p_hi = (math.ceil(r) - 1.0) / (total - 1)
+            fracs += [
+                (math.floor(r) - 1.0) / (total - 1),
+                (math.ceil(r) - 1.0) / (total - 1),
+            ]
         else:
-            p_lo = p_hi = 0.0
-        trios.append((q, p_lo, p_hi))
-    flat = [p for trio in trios for p in trio]
-    arr = ", ".join(f"{float(p)!r}D" for p in flat)
-    ex = exact_src.agg(
+            fracs += [0.0, 0.0]
+    arr = ", ".join(
+        f"{float(p)!r}D" for p in (qs[0], fracs[0], fracs[1],
+                                   qs[1], fracs[2], fracs[3],
+                                   qs[2], fracs[4], fracs[5])
+    )
+    ex_agg = exact_src.agg(
         F.expr(f"percentile(value, array({arr}))").alias("ex")
-    ).first()["ex"]
-    exact = spark.createDataFrame(
-        [
-            (qs[i], float(ex[3 * i]), float(ex[3 * i + 1]),
-             float(ex[3 * i + 2]))
-            for i in range(len(qs))
-        ],
-        "q DOUBLE, exact_value DOUBLE, ex_lo DOUBLE, ex_hi DOUBLE",
+    )
+    qpos = spark.createDataFrame(
+        [(q, i) for i, q in enumerate(qs)], "q DOUBLE, i INT"
+    )
+    exact = ex_agg.crossJoin(F.broadcast(qpos)).select(
+        "q",
+        F.element_at("ex", F.col("i") * 3 + 1).alias("exact_value"),
+        F.element_at("ex", F.col("i") * 3 + 2).alias("ex_lo"),
+        F.element_at("ex", F.col("i") * 3 + 3).alias("ex_hi"),
     )
     # continuous rank r = p*(n-1)+1 over the merged counts; the one
     # bucket with cum_before < r <= cum holds it
