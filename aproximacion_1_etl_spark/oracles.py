@@ -1988,6 +1988,37 @@ SELECT event_type,
        CAST(count(DISTINCT p_id) AS BIGINT) AS n_purchases
 FROM c GROUP BY 1
 """,
+    "hll_rollup": """
+WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day, user_id
+           FROM events)
+SELECT 'by_type' AS level, event_type, 'ALL' AS day,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+       TRUE AS est_ok
+FROM e GROUP BY event_type
+UNION ALL
+SELECT 'by_day', 'ALL', strftime(day, '%Y-%m-%d'),
+       CAST(count(DISTINCT user_id) AS BIGINT), TRUE
+FROM e GROUP BY day
+UNION ALL
+SELECT 'grand', 'ALL', 'ALL',
+       CAST(count(DISTINCT user_id) AS BIGINT), TRUE
+FROM e
+""",
+    "new_users_daily": """
+WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+            FROM events),
+days AS (SELECT DISTINCT day FROM du)
+SELECT strftime(d.day, '%Y-%m-%d') AS day,
+       CAST(count(DISTINCT u.user_id) AS BIGINT) AS n_new_exact,
+       TRUE AS est_ok
+FROM days d
+JOIN du u ON u.day = d.day
+WHERE NOT EXISTS (
+  SELECT 1 FROM du p
+  WHERE p.user_id = u.user_id
+    AND p.day BETWEEN d.day - 7 AND d.day - 1)
+GROUP BY d.day
+""",
     "heavy_hitters_cms": """
 SELECT event_type, CAST(count(*) AS BIGINT) AS true_cnt, TRUE AS est_ok
 FROM events GROUP BY 1

@@ -11073,6 +11073,160 @@ def q_attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch RE-AGGREGABILITY along a dimension hierarchy: ONE
+    per-(type, day) HLL sketch table serves every rollup level — per
+    type (days merged), per day (types merged), and grand total — by
+    hll_union_agg alone, never returning to the raw facts. This is
+    what makes sketch tables the 100 TB answer to count(DISTINCT)
+    cubes: a |types|x|days| sketch relation replaces a fact scan per
+    grouping set. The exact sides (one GROUPING SETS pass, computed
+    only for the driver-checkable bound) mirror DuckDB's; est_ok is
+    the hll_sketch_union contract (within max(2, 5%))."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day"), "user_id"
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    by_type = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    ).select(
+        F.lit("by_type").alias("level"),
+        "event_type",
+        F.lit("ALL").alias("day"),
+        "est",
+    )
+    by_day = daily.groupBy("day").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    ).select(
+        F.lit("by_day").alias("level"),
+        F.lit("ALL").alias("event_type"),
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "est",
+    )
+    grand = daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    ).select(
+        F.lit("grand").alias("level"),
+        F.lit("ALL").alias("event_type"),
+        F.lit("ALL").alias("day"),
+        "est",
+    )
+    ests = by_type.unionByName(by_day).unionByName(grand)
+    # one CUBE pass for all exact levels (verification only);
+    # grouping_id (not NULL-sniffing) names the level robustly
+    exact = (
+        ev.cube("event_type", "day")
+        .agg(
+            F.countDistinct("user_id").alias("n_exact"),
+            F.grouping_id().alias("_gid"),
+        )
+        .filter(F.col("_gid") > 0)
+        .select(
+            F.when(F.col("_gid") == 1, F.lit("by_type"))
+            .when(F.col("_gid") == 2, F.lit("by_day"))
+            .otherwise(F.lit("grand"))
+            .alias("level"),
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce(
+                F.date_format("day", "yyyy-MM-dd"), F.lit("ALL")
+            ).alias("day"),
+            "n_exact",
+        )
+    )
+    return ests.join(exact, ["level", "event_type", "day"]).select(
+        "level",
+        "event_type",
+        "day",
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        (
+            F.abs(F.col("est") - F.col("n_exact"))
+            <= F.greatest(F.lit(2.0), F.lit(0.05) * F.col("n_exact"))
+        ).alias("est_ok"),
+    )
+
+
+def q_new_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting from SKETCH DIFFERENCES: users active today
+    but silent over the prior 7 days, estimated as est(window incl
+    today) - est(window excl today) over the SAME daily sketch table
+    hll_sliding_distinct maintains — new-user counting without an
+    anti-join against a week of raw facts. Set-difference via
+    inclusion-exclusion compounds two estimates, so est_ok uses a
+    window-size-relative bound (max(3, 5% of the exact 8-day window));
+    the exact side (anti-join) exists only to make that claim
+    driver-checkable."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    daily = ev.groupBy("day").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    ).withColumn(
+        "d_num", F.datediff("day", F.lit("1970-01-01").cast("date"))
+    )
+    base = Window.orderBy("d_num")
+    w_incl = base.rangeBetween(-7, 0)
+    w_excl = base.rangeBetween(-7, -1)
+    est = daily.select(
+        "day",
+        F.hll_sketch_estimate(F.hll_union_agg("sk").over(w_incl)).alias(
+            "est_incl"
+        ),
+        # first day has an empty exclusive window: no sketch to merge,
+        # so the estimate is 0 new = everything — guard with coalesce
+        F.coalesce(
+            F.hll_sketch_estimate(
+                F.hll_union_agg("sk").over(w_excl)
+            ),
+            F.lit(0).cast("bigint"),
+        ).alias("est_excl"),
+    ).withColumn("est_new", F.col("est_incl") - F.col("est_excl"))
+    du = ev.distinct()
+    prior = (
+        du.alias("d")
+        .join(
+            du.alias("p"),
+            (F.col("p.user_id") == F.col("d.user_id"))
+            & (
+                F.col("p.day").between(
+                    F.date_sub(F.col("d.day"), 7),
+                    F.date_sub(F.col("d.day"), 1),
+                )
+            ),
+            "left_anti",
+        )
+        .groupBy(F.col("d.day").alias("day"))
+        .agg(F.countDistinct("d.user_id").alias("n_new_exact"))
+    )
+    window_exact = (
+        du.alias("d2")
+        .select("day")
+        .distinct()
+        .alias("dd")
+        .join(
+            du.alias("e"),
+            F.col("e.day").between(
+                F.date_sub(F.col("dd.day"), 7), F.col("dd.day")
+            ),
+        )
+        .groupBy(F.col("dd.day").alias("day"))
+        .agg(F.countDistinct("e.user_id").alias("n_window"))
+    )
+    return (
+        est.join(prior, "day")
+        .join(window_exact, "day")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("n_new_exact").cast("bigint").alias("n_new_exact"),
+            (
+                F.abs(F.col("est_new") - F.col("n_new_exact"))
+                <= F.greatest(F.lit(3.0), F.lit(0.05) * F.col("n_window"))
+            ).alias("est_ok"),
+        )
+    )
+
+
 ALL_QUERIES = {
     "flagship_order_lifecycle": q_flagship_order_lifecycle,
     "bm25_topk": q_bm25_topk,
@@ -11245,6 +11399,8 @@ ALL_QUERIES = {
     "dq_observe": q_dq_observe,
     "prefix_filter_join": q_prefix_filter_join,
     "attribution_time_decay": q_attribution_time_decay,
+    "hll_rollup": q_hll_rollup,
+    "new_users_daily": q_new_users_daily,
     "gap_fill_daily": q_gap_fill_daily,
     "anomaly_zscore": q_anomaly_zscore,
     "haversine_nearest": q_haversine_nearest,

@@ -201,6 +201,8 @@ HEADLINE = [
     "dq_observe",
     "prefix_filter_join",
     "attribution_time_decay",
+    "hll_rollup",
+    "new_users_daily",
     # Python-worker queries LAST: applyInPandas spins up 32 Python
     # workers and leaves GC pressure that inflates the next JVM-only
     # query by ~3x (measured: dedup_minhash_lsh 6.96s after it vs 1.9s
