@@ -1988,6 +1988,54 @@ SELECT event_type,
        CAST(count(DISTINCT p_id) AS BIGINT) AS n_purchases
 FROM c GROUP BY 1
 """,
+    "ref_integrity": """
+SELECT 'orders.o_custkey' AS fk, 'customer.c_custkey' AS parent,
+       (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_child,
+       (SELECT CAST(count(*) AS BIGINT) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey))
+         AS n_orphans,
+       (SELECT count(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey)) = 0
+         AS fk_holds
+UNION ALL
+SELECT 'lineitem.l_orderkey', 'orders.o_orderkey',
+       (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+       (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey)),
+       (SELECT count(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey)) = 0
+UNION ALL
+SELECT 'lineitem.l_partkey', 'part.p_partkey',
+       (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+       (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM part p
+                          WHERE p.p_partkey = l.l_partkey)),
+       (SELECT count(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM part p
+                          WHERE p.p_partkey = l.l_partkey)) = 0
+UNION ALL
+SELECT 'lineitem.l_suppkey', 'supplier.s_suppkey',
+       (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+       (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                          WHERE s.s_suppkey = l.l_suppkey)),
+       (SELECT count(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                          WHERE s.s_suppkey = l.l_suppkey)) = 0
+UNION ALL
+SELECT 'events.user_id', 'customer.c_custkey',
+       (SELECT CAST(count(*) AS BIGINT) FROM events),
+       (SELECT CAST(count(*) AS BIGINT) FROM events e
+        WHERE NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = e.user_id)),
+       (SELECT count(*) FROM events e
+        WHERE NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = e.user_id)) = 0
+""",
     "hll_rollup": """
 WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day, user_id
            FROM events)
@@ -5713,4 +5761,7 @@ FROM best WHERE rn = 1
 ALL_ORACLES["streaming_merge_on_read"] = ALL_ORACLES["merge_on_read"]
 ALL_ORACLES["streaming_hll_maintenance"] = ALL_ORACLES[
     "hll_sliding_distinct"
+]
+ALL_ORACLES["streaming_cms_maintenance"] = ALL_ORACLES[
+    "heavy_hitters_cms"
 ]

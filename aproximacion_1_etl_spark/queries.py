@@ -11227,6 +11227,192 @@ def q_new_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def fk_report(
+    checks: list[tuple[str, str, DataFrame, str, DataFrame, str]],
+) -> DataFrame:
+    """Referential-integrity audit over (label_fk, label_pk, child,
+    fk_col, parent, pk_col) checks: per check one left-anti join of
+    the child against the parent's (broadcastable) key set counts the
+    orphans — the FK validation a MERGE chain needs BEFORE it trusts
+    its keys (the reference's SPs join on them blindly). At 100 TB a
+    huge parent's key set rides a Bloom filter first (the
+    bloom_prune_join machinery) and the anti-join confirms; here every
+    parent key set broadcasts."""
+    outs = []
+    for fk_label, pk_label, child, fk, parent, pk in checks:
+        keys = parent.select(F.col(pk).alias(fk)).distinct()
+        stats = (
+            child.select(fk)
+            .join(F.broadcast(keys), fk, "left_anti")
+            .agg(F.count("*").alias("n_orphans"))
+            .crossJoin(
+                F.broadcast(child.agg(F.count("*").alias("n_child")))
+            )
+            .select(
+                F.lit(fk_label).alias("fk"),
+                F.lit(pk_label).alias("parent"),
+                F.col("n_child").cast("bigint").alias("n_child"),
+                F.col("n_orphans").cast("bigint").alias("n_orphans"),
+                (F.col("n_orphans") == 0).alias("fk_holds"),
+            )
+        )
+        outs.append(stats)
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def q_ref_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 foreign-key audit across the star schema (fk_report):
+    every MERGE/join key the work-table chain relies on, validated
+    with one anti-join each before anything trusts it."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    c = load_table(spark, sf_dir, "customer")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    ev = load_table(spark, sf_dir, "events")
+    return fk_report(
+        [
+            ("orders.o_custkey", "customer.c_custkey", o, "o_custkey", c, "c_custkey"),
+            ("lineitem.l_orderkey", "orders.o_orderkey", li, "l_orderkey", o, "o_orderkey"),
+            ("lineitem.l_partkey", "part.p_partkey", li, "l_partkey", p, "p_partkey"),
+            ("lineitem.l_suppkey", "supplier.s_suppkey", li, "l_suppkey", s, "s_suppkey"),
+            ("events.user_id", "customer.c_custkey", ev, "user_id", c, "c_custkey"),
+        ]
+    )
+
+
+def q_streaming_cms_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 + §2.6: the count-min sketch MAINTAINED BY A STREAM —
+    completes the mergeable-state trilogy (histogram counts,
+    HLL sketches, CMS): each micro-batch aggregates its own CMS with
+    Spark's count_min_sketch (same eps/confidence/seed, so merges are
+    valid) and folds it into the persisted single-row binary state via
+    the JVM sketch's mergeInPlace — fixed O(depth x width) state no
+    matter the stream length. Replay-idempotent via commit-carried
+    batch ids (a CMS fold double-counts on replay). The final
+    estimates must satisfy the one-sided CMS contract against exact
+    counts — the same oracle as heavy_hitters_cms by construction."""
+    import shutil
+    import time as _time
+
+    from aproximacion_1_etl_spark.sources.versioned import (
+        committed_metas,
+        current_version,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts")
+    base = tempfile.mkdtemp(prefix="graft_scms_")
+    ckpt = tempfile.mkdtemp(prefix="ckpt_scms_")
+    src = os.path.join(base, "src")
+    state_log = os.path.join(base, "state")
+    EPS, CONF, SEED = 0.001, 0.99, 42
+
+    def _read_cms(bspark, blob):
+        return (
+            bspark._jvm.org.apache.spark.util.sketch.CountMinSketch
+            .readFrom(bytes(blob))
+        )
+
+    def _to_bytes(bspark, cms):
+        baos = bspark._jvm.java.io.ByteArrayOutputStream()
+        cms.writeTo(baos)
+        return bytearray(baos.toByteArray())
+
+    def handle_batch(batch, batch_id: int) -> None:
+        if str(batch_id) in committed_metas(state_log):
+            return
+        bspark = batch.sparkSession
+        row = batch.agg(
+            F.count_min_sketch(
+                F.col("event_type"), F.lit(EPS), F.lit(CONF), F.lit(SEED)
+            ).alias("s")
+        ).collect()[0]
+        if row["s"] is None:  # empty batch: state unchanged
+            return
+        cms = _read_cms(bspark, row["s"])
+        if current_version(state_log) is not None:
+            prior = _read_cms(
+                bspark,
+                read_snapshot(bspark, state_log).collect()[0]["sk"],
+            )
+            cms = prior.mergeInPlace(cms)
+        write_snapshot(
+            bspark.createDataFrame(
+                [(_to_bytes(bspark, cms),)], "sk BINARY"
+            ),
+            state_log,
+            meta=str(batch_id),
+        )
+
+    try:
+        cut = "2024-01-16"
+        ev.filter(F.col("ts") < cut).coalesce(1).write.parquet(
+            os.path.join(src, "w1")
+        )
+        ev.filter(F.col("ts") >= cut).coalesce(1).write.parquet(
+            os.path.join(src, "w2")
+        )
+        now = _time.time()
+        for d, ts in (("w1", now - 120), ("w2", now - 60)):
+            pdir = os.path.join(src, d)
+            for f in os.listdir(pdir):
+                os.utime(os.path.join(pdir, f), (ts, ts))
+        q = (
+            spark.readStream.schema("event_type STRING, ts TIMESTAMP")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(src, "*"))
+            .writeStream.foreachBatch(handle_batch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+
+        merged = _read_cms(
+            spark, read_snapshot(spark, state_log).collect()[0]["sk"]
+        )
+        types = [
+            r["event_type"]
+            for r in ev.select("event_type").distinct().collect()
+        ]
+        est_df = spark.createDataFrame(
+            [(t, int(merged.estimateCount(t))) for t in sorted(types)],
+            "event_type STRING, est_count BIGINT",
+        )
+        true_cnt = ev.groupBy("event_type").agg(
+            F.count("*").alias("true_cnt")
+        )
+        totals = true_cnt.agg(F.sum("true_cnt").alias("n_total"))
+        out = (
+            true_cnt.join(F.broadcast(est_df), "event_type")
+            .crossJoin(F.broadcast(totals))
+            .select(
+                "event_type",
+                F.col("true_cnt").cast("bigint").alias("true_cnt"),
+                (
+                    (F.col("est_count") >= F.col("true_cnt"))
+                    & (
+                        F.col("est_count")
+                        <= F.col("true_cnt")
+                        + F.lit(EPS) * F.col("n_total")
+                        + F.lit(1)
+                    )
+                ).alias("est_ok"),
+            )
+        )
+        return _reclaimed(out, base, ckpt)
+    finally:
+        if os.path.isdir(base):
+            shutil.rmtree(base, ignore_errors=True)
+        if os.path.isdir(ckpt):
+            shutil.rmtree(ckpt, ignore_errors=True)
+
+
 ALL_QUERIES = {
     "flagship_order_lifecycle": q_flagship_order_lifecycle,
     "bm25_topk": q_bm25_topk,
@@ -11401,6 +11587,8 @@ ALL_QUERIES = {
     "attribution_time_decay": q_attribution_time_decay,
     "hll_rollup": q_hll_rollup,
     "new_users_daily": q_new_users_daily,
+    "ref_integrity": q_ref_integrity,
+    "streaming_cms_maintenance": q_streaming_cms_maintenance,
     "gap_fill_daily": q_gap_fill_daily,
     "anomaly_zscore": q_anomaly_zscore,
     "haversine_nearest": q_haversine_nearest,

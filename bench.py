@@ -203,6 +203,8 @@ HEADLINE = [
     "attribution_time_decay",
     "hll_rollup",
     "new_users_daily",
+    "ref_integrity",
+    "streaming_cms_maintenance",
     # Python-worker queries LAST: applyInPandas spins up 32 Python
     # workers and leaves GC pressure that inflates the next JVM-only
     # query by ~3x (measured: dedup_minhash_lsh 6.96s after it vs 1.9s

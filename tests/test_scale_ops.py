@@ -1132,3 +1132,27 @@ def test_prefix_filter_join_complete_vs_brute_force(spark):
             want.add((a, b))
     assert want, "fixture must contain true matches"
     assert got == want, (got ^ want)
+
+
+def test_fk_report_counts_orphans(spark):
+    """The anti-join must count child rows whose key is missing from
+    the parent (NULL fks are orphans too — a NULL never equals a key)
+    and report fk_holds=False exactly for violated checks."""
+    from aproximacion_1_etl_spark.queries import fk_report
+
+    parent = spark.createDataFrame([(1,), (2,)], "pk BIGINT")
+    child = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 2), (4, 9), (5, None)],
+        "id BIGINT, fk BIGINT",
+    )
+    out = {
+        r["fk"]: (r["n_child"], r["n_orphans"], r["fk_holds"])
+        for r in fk_report(
+            [
+                ("child.fk", "parent.pk", child, "fk", parent, "pk"),
+                ("parent.pk", "parent.pk", parent, "pk", parent, "pk"),
+            ]
+        ).collect()
+    }
+    assert out["child.fk"] == (5, 2, False), out
+    assert out["parent.pk"] == (2, 0, True), out
