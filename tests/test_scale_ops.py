@@ -1156,3 +1156,82 @@ def test_fk_report_counts_orphans(spark):
     }
     assert out["child.fk"] == (5, 2, False), out
     assert out["parent.pk"] == (2, 0, True), out
+
+
+def test_read_merged_pins_deltas_to_requested_version(spark):
+    """Time-traveling read_merged(version=v) must apply only v's
+    deltas: after compaction creates v1, the old version's merged view
+    is still reproducible, and gated-publish metas ride the snapshot
+    commit protocol."""
+    import os
+    import shutil
+
+    from aproximacion_1_etl_spark.sources.versioned import (
+        committed_metas,
+        compact_deltas,
+        read_merged,
+        write_delta,
+        write_snapshot,
+        write_snapshot_gated,
+    )
+
+    base = tempfile.mkdtemp(prefix="graft_morpin_t_")
+    path = os.path.join(base, "t")
+    try:
+        write_snapshot(
+            spark.createDataFrame([(1, 1.0)], "k BIGINT, v DOUBLE"), path
+        )
+        write_delta(
+            spark.createDataFrame([(2, 2.0)], "k BIGINT, v DOUBLE"), path
+        )
+        v1 = compact_deltas(spark, path, ["k"])
+        # new delta against v1 only
+        write_delta(
+            spark.createDataFrame([(3, 3.0)], "k BIGINT, v DOUBLE"), path
+        )
+        assert rows(read_merged(spark, path, ["k"], version=0)) == [
+            (1, 1.0),
+            (2, 2.0),
+        ]
+        assert rows(read_merged(spark, path, ["k"], version=v1)) == [
+            (1, 1.0),
+            (2, 2.0),
+            (3, 3.0),
+        ]
+        # gated publish carries meta atomically with the commit
+        v2, viol = write_snapshot_gated(
+            spark.createDataFrame([(9, 9.0)], "k BIGINT, v DOUBLE"),
+            path,
+            {"ok": "v > 0"},
+            meta="batch-42",
+        )
+        assert v2 == v1 + 1 and viol == {"ok": 0}
+        assert "batch-42" in committed_metas(path)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_hll_trailing_report_bound_on_skewed_days(spark):
+    """The trailing-7-day sketch bound must hold on adversarial day
+    skew: one day with many users, surrounding days with one user —
+    windows straddling the spike mix very different sketch sizes."""
+    from aproximacion_1_etl_spark.queries import _hll_trailing_report
+
+    rows_in = []
+    for d in range(1, 21):
+        day = f"2024-02-{d:02d}"
+        if d == 10:
+            rows_in += [("a", day, u) for u in range(500)]
+        else:
+            rows_in += [("a", day, d)]
+    ev = spark.createDataFrame(
+        rows_in, "event_type STRING, day STRING, user_id BIGINT"
+    ).select("event_type", F.col("day").cast("date").alias("day"), "user_id")
+    daily = ev.groupBy("event_type", "day").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    out = _hll_trailing_report(daily, ev).collect()
+    assert len(out) == 20
+    assert all(r["est_ok"] for r in out), [
+        (r["day"], r["n_exact"]) for r in out if not r["est_ok"]
+    ]
