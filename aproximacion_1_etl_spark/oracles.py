@@ -2036,6 +2036,21 @@ SELECT 'events.user_id', 'customer.c_custkey',
         WHERE NOT EXISTS (SELECT 1 FROM customer c
                           WHERE c.c_custkey = e.user_id)) = 0
 """,
+    "grouped_quantiles": """
+SELECT event_type, 0.5 AS q,
+       floor(quantile_cont(value, 0.5) * 10000.0 + 0.5) / 10000.0
+         AS exact_value,
+       TRUE AS est_ok
+FROM events GROUP BY event_type
+UNION ALL
+SELECT event_type, 0.9,
+       floor(quantile_cont(value, 0.9) * 10000.0 + 0.5) / 10000.0, TRUE
+FROM events GROUP BY event_type
+UNION ALL
+SELECT event_type, 0.99,
+       floor(quantile_cont(value, 0.99) * 10000.0 + 0.5) / 10000.0, TRUE
+FROM events GROUP BY event_type
+""",
     "hll_rollup": """
 WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day, user_id
            FROM events)

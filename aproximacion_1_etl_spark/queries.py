@@ -11413,6 +11413,159 @@ def q_streaming_cms_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             shutil.rmtree(ckpt, ignore_errors=True)
 
 
+def q_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-GROUP mergeable quantiles (the SLA-report shape: p50/p90/p99
+    latency per event_type) from per-(group, bucket) histogram state —
+    the grouped form of incremental_quantiles: one partial aggregation
+    buckets every row against its GROUP's geometry (per-group lo/width
+    from one bounds pass, broadcast back), the state is
+    |groups|x|bins| rows, and every group's quantiles interpolate from
+    it with one cumulative window partitioned by group — no global or
+    per-group sort of the facts, no per-group job. The oracle carries
+    the exact per-group percentiles plus the same provable
+    order-statistic bound; tolerances ride per-row since width varies
+    by group."""
+    import math
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.col("value").cast("double").alias("value")
+    )
+    n_b = 256
+    bounds = ev.groupBy("event_type").agg(
+        F.min("value").alias("_lo"),
+        F.max("value").alias("_hi"),
+        F.count("*").alias("_n"),
+    ).withColumn(
+        "_w",
+        F.when(
+            F.col("_hi") > F.col("_lo"),
+            (F.col("_hi") - F.col("_lo")) / F.lit(float(n_b)),
+        ).otherwise(F.lit(1.0)),
+    )
+    bucketed = ev.join(F.broadcast(bounds), "event_type").select(
+        "event_type",
+        F.least(
+            F.lit(n_b),
+            (
+                F.floor((F.col("value") - F.col("_lo")) / F.col("_w"))
+                + 1
+            ).cast("int"),
+        ).alias("bucket"),
+    )
+    state = bucketed.groupBy("event_type", "bucket").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = state.withColumn("cum", F.sum("n").over(w_cum)).withColumn(
+        "cum_before", F.col("cum") - F.col("n")
+    )
+    qs = spark.createDataFrame(
+        [(0.5,), (0.9,), (0.99,)], "q DOUBLE"
+    )
+    located = (
+        cum.join(F.broadcast(bounds), "event_type")
+        .crossJoin(F.broadcast(qs))
+        .withColumn(
+            "_r", F.col("q") * (F.col("_n") - 1).cast("double") + 1.0
+        )
+        .filter(
+            (F.col("cum_before") < F.col("_r"))
+            & (F.col("_r") <= F.col("cum"))
+        )
+        .select(
+            "event_type",
+            "q",
+            "_n",
+            "_w",
+            (
+                F.col("_lo")
+                + (F.col("bucket") - 1) * F.col("_w")
+                + (F.col("_r") - F.col("cum_before"))
+                / F.col("n")
+                * F.col("_w")
+            ).alias("est"),
+        )
+    )
+    # exact side (VERIFICATION ONLY — production serves `est` from the
+    # state): interpolated per-group percentiles for the report, and
+    # the x_floor(r)/x_ceil(r) ORDER STATISTICS for the bound — the
+    # provable one (est within one width of both); a bound against the
+    # interpolated exact would be false for gapped data (see
+    # _histogram_quantile_report). Fractions vary per group (n
+    # differs), so the order statistics come from a rank lookup, which
+    # sorts facts per group on this verification path only.
+    ex = ev.groupBy("event_type").agg(
+        F.expr(
+            "percentile(value, array(0.5D, 0.9D, 0.99D))"
+        ).alias("ex")
+    )
+    qpos = spark.createDataFrame(
+        [(0.5, 1), (0.9, 2), (0.99, 3)], "q DOUBLE, i INT"
+    )
+    exact = ex.crossJoin(F.broadcast(qpos)).select(
+        "event_type", "q", F.element_at("ex", F.col("i")).alias("exact_value")
+    )
+    w_rank = Window.partitionBy("event_type").orderBy("value")
+    ranked = ev.withColumn("rn", F.row_number().over(w_rank))
+    targets = (
+        bounds.select("event_type", "_n")
+        .crossJoin(F.broadcast(qs))
+        .withColumn(
+            "_r", F.col("q") * (F.col("_n") - 1).cast("double") + 1.0
+        )
+        .select(
+            "event_type",
+            "q",
+            F.floor("_r").cast("int").alias("rn_lo"),
+            F.ceil("_r").cast("int").alias("rn_hi"),
+        )
+    )
+    os_stats = (
+        ranked.alias("r")
+        .join(
+            F.broadcast(targets.alias("t")),
+            (F.col("r.event_type") == F.col("t.event_type"))
+            & (
+                (F.col("r.rn") == F.col("t.rn_lo"))
+                | (F.col("r.rn") == F.col("t.rn_hi"))
+            ),
+        )
+        .groupBy(
+            F.col("t.event_type").alias("event_type"),
+            F.col("t.q").alias("q"),
+        )
+        .agg(
+            F.min(
+                F.when(
+                    F.col("r.rn") == F.col("t.rn_lo"), F.col("r.value")
+                )
+            ).alias("x_lo"),
+            F.max(
+                F.when(
+                    F.col("r.rn") == F.col("t.rn_hi"), F.col("r.value")
+                )
+            ).alias("x_hi"),
+        )
+    )
+    joined = located.join(exact, ["event_type", "q"]).join(
+        os_stats, ["event_type", "q"]
+    )
+    tol = F.col("_w") + F.lit(1e-6)
+    return joined.select(
+        "event_type",
+        "q",
+        _fround(F.col("exact_value"), 4).alias("exact_value"),
+        (
+            (F.col("est") >= F.col("x_lo") - tol)
+            & (F.col("est") <= F.col("x_hi") + tol)
+        ).alias("est_ok"),
+    )
+
+
 ALL_QUERIES = {
     "flagship_order_lifecycle": q_flagship_order_lifecycle,
     "bm25_topk": q_bm25_topk,
@@ -11589,6 +11742,7 @@ ALL_QUERIES = {
     "new_users_daily": q_new_users_daily,
     "ref_integrity": q_ref_integrity,
     "streaming_cms_maintenance": q_streaming_cms_maintenance,
+    "grouped_quantiles": q_grouped_quantiles,
     "gap_fill_daily": q_gap_fill_daily,
     "anomaly_zscore": q_anomaly_zscore,
     "haversine_nearest": q_haversine_nearest,

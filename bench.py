@@ -205,6 +205,7 @@ HEADLINE = [
     "new_users_daily",
     "ref_integrity",
     "streaming_cms_maintenance",
+    "grouped_quantiles",
     # Python-worker queries LAST: applyInPandas spins up 32 Python
     # workers and leaves GC pressure that inflates the next JVM-only
     # query by ~3x (measured: dedup_minhash_lsh 6.96s after it vs 1.9s

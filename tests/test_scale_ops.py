@@ -1235,3 +1235,18 @@ def test_hll_trailing_report_bound_on_skewed_days(spark):
     assert all(r["est_ok"] for r in out), [
         (r["day"], r["n_exact"]) for r in out if not r["est_ok"]
     ]
+
+
+def test_grouped_quantiles_all_groups_within_bound(spark, sf_dir):
+    """End-to-end per-group bound check for the catalog key: every
+    (event_type, q) row satisfies the order-statistic bound. (The
+    adversarial gapped-distribution case for the shared bucket
+    geometry is pinned by
+    test_histogram_quantile_bound_holds_on_gapped_bimodal.)"""
+    from aproximacion_1_etl_spark.queries import q_grouped_quantiles
+
+    out = q_grouped_quantiles(spark, sf_dir).collect()
+    assert len(out) == 15  # 5 types x 3 quantiles
+    assert all(r["est_ok"] for r in out), [
+        (r["event_type"], r["q"]) for r in out if not r["est_ok"]
+    ]
