@@ -891,10 +891,12 @@ def _histogram_quantile_report(
             ]
         else:
             fracs += [0.0, 0.0]
+    # one source of truth for the (q, frac_lo, frac_hi) interleave —
+    # the element_at stride below (i*3 + 1..3) indexes this layout
     arr = ", ".join(
-        f"{float(p)!r}D" for p in (qs[0], fracs[0], fracs[1],
-                                   qs[1], fracs[2], fracs[3],
-                                   qs[2], fracs[4], fracs[5])
+        f"{float(p)!r}D"
+        for i, q in enumerate(qs)
+        for p in (q, fracs[2 * i], fracs[2 * i + 1])
     )
     ex_agg = exact_src.agg(
         F.expr(f"percentile(value, array({arr}))").alias("ex")
@@ -11114,15 +11116,18 @@ def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "est",
     )
     ests = by_type.unionByName(by_day).unionByName(grand)
-    # one CUBE pass for all exact levels (verification only);
-    # grouping_id (not NULL-sniffing) names the level robustly
+    # one GROUPING SETS pass for exactly the three needed exact levels
+    # (verification only) — a cube would Expand every row 4x and the
+    # finest (event_type, day) cells would be filtered straight back
+    # out; grouping_id (not NULL-sniffing) names the level robustly
     exact = (
-        ev.cube("event_type", "day")
+        ev.groupingSets(
+            [["event_type"], ["day"], []], "event_type", "day"
+        )
         .agg(
             F.countDistinct("user_id").alias("n_exact"),
             F.grouping_id().alias("_gid"),
         )
-        .filter(F.col("_gid") > 0)
         .select(
             F.when(F.col("_gid") == 1, F.lit("by_type"))
             .when(F.col("_gid") == 2, F.lit("by_day"))
@@ -11231,32 +11236,64 @@ def fk_report(
     checks: list[tuple[str, str, DataFrame, str, DataFrame, str]],
 ) -> DataFrame:
     """Referential-integrity audit over (label_fk, label_pk, child,
-    fk_col, parent, pk_col) checks: per check one left-anti join of
-    the child against the parent's (broadcastable) key set counts the
-    orphans — the FK validation a MERGE chain needs BEFORE it trusts
-    its keys (the reference's SPs join on them blindly). At 100 TB a
-    huge parent's key set rides a Bloom filter first (the
-    bloom_prune_join machinery) and the anti-join confirms; here every
-    parent key set broadcasts."""
+    fk_col, parent, pk_col) checks — each child table is scanned ONCE
+    for ALL of its checks: its FK columns are left-joined against the
+    parents' (broadcastable, distinct) key sets with per-check hit
+    indicators, and one aggregation counts rows plus per-check
+    missing-indicator orphans; a ``stack`` unpivots the single-row
+    result into one report row per check. A NULL fk never matches its
+    key set, so it counts as an orphan — identical to the anti-join /
+    NOT EXISTS semantics. This is the FK validation a MERGE chain
+    needs BEFORE it trusts its keys (the reference's SPs join on them
+    blindly); at 100 TB the fact table is the dominant cost and is
+    read exactly once per audit (a huge parent's key set would ride a
+    Bloom filter first — the bloom_prune_join machinery)."""
+    by_child: dict[int, tuple[DataFrame, list]] = {}
+    order = []
+    for chk in checks:
+        k = id(chk[2])
+        if k not in by_child:
+            by_child[k] = (chk[2], [])
+            order.append(k)
+        by_child[k][1].append(chk)
     outs = []
-    for fk_label, pk_label, child, fk, parent, pk in checks:
-        keys = parent.select(F.col(pk).alias(fk)).distinct()
-        stats = (
-            child.select(fk)
-            .join(F.broadcast(keys), fk, "left_anti")
-            .agg(F.count("*").alias("n_orphans"))
-            .crossJoin(
-                F.broadcast(child.agg(F.count("*").alias("n_child")))
+    for k in order:
+        child, chks = by_child[k]
+        fks = list(dict.fromkeys(c[3] for c in chks))
+        df = child.select(*fks)
+        aggs = [F.count("*").cast("bigint").alias("n_child")]
+        for i, (_fk_l, _pk_l, _c, fk, parent, pk) in enumerate(chks):
+            ind = f"_hit_{i}"
+            keys = (
+                parent.select(F.col(pk).alias(fk))
+                .distinct()
+                .withColumn(ind, F.lit(1))
             )
-            .select(
-                F.lit(fk_label).alias("fk"),
-                F.lit(pk_label).alias("parent"),
-                F.col("n_child").cast("bigint").alias("n_child"),
-                F.col("n_orphans").cast("bigint").alias("n_orphans"),
+            df = df.join(F.broadcast(keys), fk, "left")
+            aggs.append(
+                F.count(F.when(F.col(ind).isNull(), 1))
+                .cast("bigint")
+                .alias(f"_orph_{i}")
+            )
+        stacked = ", ".join(
+            f"'{fk_l}', '{pk_l}', _orph_{i}"
+            for i, (fk_l, pk_l, *_rest) in enumerate(chks)
+        )
+        outs.append(
+            df.agg(*aggs).select(
+                F.expr(
+                    f"stack({len(chks)}, {stacked})"
+                    " AS (fk, parent, n_orphans)"
+                ),
+                "n_child",
+            ).select(
+                "fk",
+                "parent",
+                "n_child",
+                "n_orphans",
                 (F.col("n_orphans") == 0).alias("fk_holds"),
             )
         )
-        outs.append(stats)
     out = outs[0]
     for o in outs[1:]:
         out = out.unionByName(o)
@@ -11427,8 +11464,15 @@ def q_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     by group."""
     import math
 
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_type", F.col("value").cast("double").alias("value")
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", F.col("value").cast("double").alias("value"))
+        # NULL values would otherwise corrupt the state: count(*) counts
+        # them while percentile()/the rank lookup skip them, and the
+        # (group, NULL)-bucket row sorts first under the cumulative
+        # window, inflating cum_before for every real bucket. Dropping
+        # them up front matches DuckDB's quantile_cont NULL semantics.
+        .filter(F.col("value").isNotNull())
     )
     n_b = 256
     bounds = ev.groupBy("event_type").agg(
