@@ -5767,6 +5767,221 @@ SELECT CAST(c AS INT) AS split_hour,
              * 10000.0 + 0.5) / 10000.0 AS sse_reduction
 FROM best WHERE rn = 1
 """,
+    # Market-basket rules: the oracle takes the naive road the engine
+    # avoids (distinct-item self-join per order) — identical pair
+    # counts, both directions, exact integer ratios.
+    "basket_rules": """
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+item_n AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_item
+           FROM items GROUP BY 1),
+pairs AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+pair_n AS (
+  SELECT p1, p2, CAST(count(*) AS BIGINT) AS n_pair
+  FROM pairs GROUP BY 1, 2 HAVING count(*) >= 3),
+nb AS (SELECT CAST(count(DISTINCT l_orderkey) AS DOUBLE) AS _nb
+       FROM items),
+rules AS (
+  SELECT p1 AS antecedent, p2 AS consequent, n_pair FROM pair_n
+  UNION ALL
+  SELECT p2, p1, n_pair FROM pair_n)
+SELECT r.antecedent, r.consequent, r.n_pair, a.n_item AS n_ante,
+       floor(CAST(r.n_pair AS DOUBLE) / a.n_item * 1000000.0 + 0.5)
+         / 1000000.0 AS confidence,
+       floor(CAST(r.n_pair AS DOUBLE) * nb._nb
+             / (a.n_item * c.n_item) * 1000000.0 + 0.5)
+         / 1000000.0 AS lift
+FROM rules r
+JOIN item_n a ON r.antecedent = a.l_partkey
+JOIN item_n c ON r.consequent = c.l_partkey
+CROSS JOIN nb
+""",
+    # Leave-one-out target encoding: closed-form per-category stats of
+    # the row-level (S - y_i)/(n - 1) encodings from one moment pass —
+    # the oracle replays the identical algebra.
+    "target_encode_loo": """
+WITH d AS (
+  SELECT c.c_mktsegment AS segment, o.o_totalprice AS y
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+g AS (
+  SELECT segment, CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS s,
+         CAST(sum(CAST(y * y AS DECIMAL(38,12))) AS DOUBLE) AS q,
+         min(y) AS y_min, max(y) AS y_max
+  FROM d GROUP BY 1),
+pr AS (
+  SELECT CAST(sum(CAST(y AS DECIMAL(38,12))) AS DOUBLE) / count(*)
+           AS _prior
+  FROM d)
+SELECT segment, CAST(n AS BIGINT) AS n,
+       floor((s + 20.0 * _prior) / (n + 20.0) * 10000.0 + 0.5)
+         / 10000.0 AS enc_smoothed,
+       floor((s - y_max) / (n - 1) * 10000.0 + 0.5) / 10000.0
+         AS loo_min,
+       floor((s - y_min) / (n - 1) * 10000.0 + 0.5) / 10000.0
+         AS loo_max,
+       floor(((n - 2) * s * s + q) / (((n - 1) * (n - 1)) * n)
+             * 10000.0 + 0.5) / 10000.0 AS loo_sq_mean
+FROM g CROSS JOIN pr
+""",
+    # WOE / IV screening: ntile over the identical total order is
+    # deterministic in both engines; +0.5 Laplace cells keep empty
+    # bins finite; ln at 6 dp (log2-family precedent: bigram_pmi).
+    "woe_iv_binning": """
+WITH lab AS (
+  SELECT o_custkey,
+         max(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+           AS pos
+  FROM orders GROUP BY 1),
+t AS (
+  SELECT c.c_custkey, c.c_acctbal, COALESCE(lab.pos, 0) AS pos
+  FROM customer c LEFT JOIN lab ON c.c_custkey = lab.o_custkey),
+b AS (
+  SELECT c_acctbal, pos,
+         ntile(10) OVER (ORDER BY c_acctbal, c_custkey) AS bin
+  FROM t),
+g AS (
+  SELECT bin, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(pos) AS BIGINT) AS n_pos,
+         CAST(sum(1 - pos) AS BIGINT) AS n_neg,
+         floor(min(c_acctbal) * 100.0 + 0.5) / 100.0 AS bin_lo,
+         floor(max(c_acctbal) * 100.0 + 0.5) / 100.0 AS bin_hi
+  FROM b GROUP BY 1),
+tot AS (
+  SELECT CAST(sum(pos) AS DOUBLE) AS _pt,
+         CAST(sum(1 - pos) AS DOUBLE) AS _nt
+  FROM t)
+SELECT bin, n, n_pos, n_neg, bin_lo, bin_hi,
+       floor(ln(((n_pos + 0.5) / _pt) / ((n_neg + 0.5) / _nt))
+             * 1000000.0 + 0.5) / 1000000.0 AS woe,
+       floor((n_pos / _pt - n_neg / _nt)
+             * ln(((n_pos + 0.5) / _pt) / ((n_neg + 0.5) / _nt))
+             * 1000000.0 + 0.5) / 1000000.0 AS iv_contrib
+FROM g CROSS JOIN tot
+""",
+    # Compaction planner: same deterministic manifest, same
+    # (bytes DESC, file) running-sum bin assignment — integer math.
+    "compaction_plan": """
+WITH manifest AS (
+  SELECT CAST(ts AS DATE) AS day, user_id % 20 AS file_id,
+         CAST(128 + sum(length(event_type) + 24) AS BIGINT) AS bytes
+  FROM events GROUP BY 1, 2),
+planned AS (
+  SELECT day, file_id, bytes,
+         COALESCE(sum(bytes) OVER (
+             PARTITION BY day ORDER BY bytes DESC, file_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_before
+  FROM manifest)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       CAST(floor(cum_before / 4096.0) AS INT) AS bin,
+       CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(bytes) AS BIGINT) AS bytes_total,
+       count(*) > 1 AS is_merge
+FROM planned GROUP BY 1, 2
+""",
+    # k-fold CV OLS: per-(segment, fold) decimal moments sum exactly
+    # to segment totals; train = total - fold; held-out SSE unfolds
+    # from the fold's own moments. Identical double algebra.
+    "kfold_cv_ols": """
+WITH d AS (
+  SELECT c.c_mktsegment AS segment,
+         CAST(o.o_orderkey % 5 AS INT) AS fold,
+         c.c_acctbal AS x, o.o_totalprice AS y
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+fm AS (
+  SELECT segment, fold,
+         CAST(count(*) AS DECIMAL(38,12)) AS n,
+         sum(CAST(x AS DECIMAL(38,12))) AS sx,
+         sum(CAST(y AS DECIMAL(38,12))) AS sy,
+         sum(CAST(x * x AS DECIMAL(38,12))) AS sxx,
+         sum(CAST(x * y AS DECIMAL(38,12))) AS sxy,
+         sum(CAST(y * y AS DECIMAL(38,12))) AS syy
+  FROM d GROUP BY 1, 2),
+tot AS (
+  SELECT segment, sum(n) AS t_n, sum(sx) AS t_sx, sum(sy) AS t_sy,
+         sum(sxx) AS t_sxx, sum(sxy) AS t_sxy, sum(syy) AS t_syy
+  FROM fm GROUP BY 1),
+pf AS (
+  SELECT fm.segment, CAST(tot.t_n AS DOUBLE) AS n_tot,
+         ((CAST(t_n - n AS DOUBLE) * CAST(t_sxy - sxy AS DOUBLE)
+           - CAST(t_sx - sx AS DOUBLE) * CAST(t_sy - sy AS DOUBLE))
+          / (CAST(t_n - n AS DOUBLE) * CAST(t_sxx - sxx AS DOUBLE)
+             - CAST(t_sx - sx AS DOUBLE) * CAST(t_sx - sx AS DOUBLE)))
+           AS _slope,
+         CAST(t_sy - sy AS DOUBLE) AS tr_sy,
+         CAST(t_sx - sx AS DOUBLE) AS tr_sx,
+         CAST(t_n - n AS DOUBLE) AS tr_n,
+         CAST(n AS DOUBLE) AS f_n, CAST(sx AS DOUBLE) AS f_sx,
+         CAST(sy AS DOUBLE) AS f_sy, CAST(sxx AS DOUBLE) AS f_sxx,
+         CAST(sxy AS DOUBLE) AS f_sxy, CAST(syy AS DOUBLE) AS f_syy
+  FROM fm JOIN tot ON fm.segment = tot.segment),
+scored AS (
+  SELECT segment, n_tot, _slope,
+         (tr_sy - _slope * tr_sx) / tr_n AS _icept,
+         f_n, f_sx, f_sy, f_sxx, f_sxy, f_syy
+  FROM pf),
+sse AS (
+  SELECT segment, n_tot, _slope,
+         (f_syy - 2 * _icept * f_sy - 2 * _slope * f_sxy
+          + 2 * _icept * _slope * f_sx + _icept * _icept * f_n
+          + _slope * _slope * f_sxx) AS _sse
+  FROM scored)
+SELECT segment, CAST(max(n_tot) AS BIGINT) AS n,
+       floor(sqrt(CAST(sum(CAST(_sse AS DECIMAL(38,6))) AS DOUBLE)
+                  / max(n_tot)) * 10000.0 + 0.5) / 10000.0 AS cv_rmse,
+       floor(min(_slope) * 1000000.0 + 0.5) / 1000000.0 AS slope_lo,
+       floor(max(_slope) * 1000000.0 + 0.5) / 1000000.0 AS slope_hi
+FROM sse GROUP BY 1
+""",
+    # Zipf fit: identical tokenization, identical (n DESC, tok) rank
+    # order, decimal-cast ln sums -> order-independent 100-term OLS.
+    "zipf_fit": """
+WITH toks AS (
+  SELECT lang,
+         unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+  FROM documents),
+counts AS (
+  SELECT lang, tok, CAST(count(*) AS BIGINT) AS n
+  FROM toks GROUP BY 1, 2),
+ranked AS (
+  SELECT lang, n,
+         row_number() OVER (PARTITION BY lang ORDER BY n DESC, tok)
+           AS rank
+  FROM counts),
+g AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_types,
+         CAST(sum(CASE WHEN rank <= 100 THEN 1 ELSE 0 END) AS DOUBLE)
+           AS m,
+         CAST(sum(CASE WHEN rank <= 100
+                  THEN CAST(ln(CAST(rank AS DOUBLE)) AS DECIMAL(38,18))
+                  END) AS DOUBLE) AS sx,
+         CAST(sum(CASE WHEN rank <= 100
+                  THEN CAST(ln(CAST(n AS DOUBLE)) AS DECIMAL(38,18))
+                  END) AS DOUBLE) AS sy,
+         CAST(sum(CASE WHEN rank <= 100
+                  THEN CAST(ln(CAST(rank AS DOUBLE))
+                            * ln(CAST(rank AS DOUBLE))
+                            AS DECIMAL(38,18)) END) AS DOUBLE) AS sxx,
+         CAST(sum(CASE WHEN rank <= 100
+                  THEN CAST(ln(CAST(rank AS DOUBLE))
+                            * ln(CAST(n AS DOUBLE))
+                            AS DECIMAL(38,18)) END) AS DOUBLE) AS sxy,
+         CAST(sum(CASE WHEN rank <= 100
+                  THEN CAST(ln(CAST(n AS DOUBLE))
+                            * ln(CAST(n AS DOUBLE))
+                            AS DECIMAL(38,18)) END) AS DOUBLE) AS syy
+  FROM ranked GROUP BY 1)
+SELECT lang, n_types,
+       floor((m * sxy - sx * sy) / (m * sxx - sx * sx)
+             * 10000.0 + 0.5) / 10000.0 AS zipf_slope,
+       floor((m * sxy - sx * sy) * (m * sxy - sx * sy)
+             / ((m * sxx - sx * sx) * (m * syy - sy * sy))
+             * 10000.0 + 0.5) / 10000.0 AS r2
+FROM g
+""",
 }
 
 # Streaming maintenance keys whose final render is DEFINED to equal an

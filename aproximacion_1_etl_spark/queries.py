@@ -11610,6 +11610,425 @@ def q_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 market-basket association rules (support / confidence /
+    lift) over order baskets — the Apriori shape that scales: items
+    below pair support are pruned FIRST (an infrequent item can appear
+    in no frequent pair), baskets are collected as sorted arrays, and
+    candidate pairs are generated WITHIN each row by a higher-order
+    transform (map-side, zero join) before one pair-count aggregation.
+    The naive basket self-join shuffles |items-per-order|^2 rows per
+    order; this plan shuffles each basket once. Confidence and lift
+    are exact integer ratios — engine-identical doubles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    min_sup = 3
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    item_n = items.groupBy("l_partkey").agg(
+        F.count("*").cast("bigint").alias("n_item")
+    )
+    freq = item_n.filter(F.col("n_item") >= min_sup)
+    baskets = (
+        items.join(F.broadcast(freq.select("l_partkey")), "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("its"))
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(its, (x, i) ->"
+                " transform(slice(its, i + 2, size(its)),"
+                " y -> struct(x AS p1, y AS p2))))"
+            )
+        ).alias("pr")
+    ).select(F.col("pr.p1").alias("p1"), F.col("pr.p2").alias("p2"))
+    pair_n = (
+        pairs.groupBy("p1", "p2")
+        .agg(F.count("*").cast("bigint").alias("n_pair"))
+        .filter(F.col("n_pair") >= min_sup)
+    )
+    # basket universe for support: |distinct transactions| — an order
+    # whose items were ALL pruned still counts, so this must come from
+    # the pre-prune relation (the orders table is NOT 1:1 with it:
+    # childless orders exist). One extra orderkey-keyed partial-count
+    # aggregate of the deduped pairs; its result is a single row.
+    n_baskets = items.select("l_orderkey").distinct().agg(
+        F.count("*").cast("double").alias("_nb")
+    )
+    # both rule directions from each unordered frequent pair
+    rules = pair_n.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("p1").alias("ante"),
+                    F.col("p2").alias("cons"),
+                    F.col("n_pair"),
+                ),
+                F.struct(
+                    F.col("p2").alias("ante"),
+                    F.col("p1").alias("cons"),
+                    F.col("n_pair"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.ante", "r.cons", "r.n_pair")
+    out = (
+        rules.join(
+            F.broadcast(
+                item_n.select(
+                    F.col("l_partkey").alias("ante"),
+                    F.col("n_item").alias("n_ante"),
+                )
+            ),
+            "ante",
+        )
+        .join(
+            F.broadcast(
+                item_n.select(
+                    F.col("l_partkey").alias("cons"),
+                    F.col("n_item").alias("n_cons"),
+                )
+            ),
+            "cons",
+        )
+        .crossJoin(F.broadcast(n_baskets))
+    )
+    return out.select(
+        F.col("ante").alias("antecedent"),
+        F.col("cons").alias("consequent"),
+        "n_pair",
+        "n_ante",
+        _fround(
+            F.col("n_pair").cast("double") / F.col("n_ante"), 6
+        ).alias("confidence"),
+        _fround(
+            F.col("n_pair").cast("double")
+            * F.col("_nb")
+            / (F.col("n_ante") * F.col("n_cons")),
+            6,
+        ).alias("lift"),
+    )
+
+
+def q_target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 categorical target encoding for feature pipelines:
+    per-category smoothed mean encoding plus the LEAVE-ONE-OUT family
+    rendered in closed form from one moment pass — per row i the LOO
+    encoding is (S - y_i)/(n - 1), so the per-category min / max /
+    mean-square of ALL row-level encodings follow from (n, S, Q=sum y²,
+    min y, max y) with no per-row second pass and no self-join. This is
+    the leakage-safe encoder a 100 TB training pipeline needs: the fact
+    table is scanned once, the encoder table is |categories|-sized.
+    Decimal moment sums keep every number engine-identical."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    d = o.join(
+        F.broadcast(c.select("c_custkey", "c_mktsegment")),
+        o["o_custkey"] == F.col("c_custkey"),
+    ).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("o_totalprice").alias("y"),
+    )
+
+    def dsum(e):
+        return F.sum(e.cast("decimal(38,12)")).cast("double")
+
+    g = d.groupBy("segment").agg(
+        F.count("*").cast("double").alias("n"),
+        dsum(F.col("y")).alias("s"),
+        dsum(F.col("y") * F.col("y")).alias("q"),
+        F.min("y").alias("y_min"),
+        F.max("y").alias("y_max"),
+    )
+    prior = d.agg(
+        (dsum(F.col("y")) / F.count("*")).alias("_prior")
+    )
+    m = F.lit(20.0)
+    loo_den = (F.col("n") - 1) * (F.col("n") - 1)
+    return g.crossJoin(F.broadcast(prior)).select(
+        "segment",
+        F.col("n").cast("bigint").alias("n"),
+        _fround(
+            (F.col("s") + m * F.col("_prior")) / (F.col("n") + m), 4
+        ).alias("enc_smoothed"),
+        _fround(
+            (F.col("s") - F.col("y_max")) / (F.col("n") - 1), 4
+        ).alias("loo_min"),
+        _fround(
+            (F.col("s") - F.col("y_min")) / (F.col("n") - 1), 4
+        ).alias("loo_max"),
+        _fround(
+            ((F.col("n") - 2) * F.col("s") * F.col("s") + F.col("q"))
+            / (loo_den * F.col("n")),
+            4,
+        ).alias("loo_sq_mean"),
+    )
+
+
+def q_woe_iv_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 weight-of-evidence / information-value feature screening:
+    equi-depth bin a numeric feature (ntile over a TOTAL order —
+    deterministic in any engine), cross each bin with a binary target
+    (customer ever placed an URGENT order), and score WOE =
+    ln(odds_bin / odds_global) with +0.5 Laplace cells so empty bins
+    stay finite. The credit-scoring screen, but distributed: one
+    |customers|-sized window for the binning, one |bins|-row report.
+    At 100 TB the ntile window would ride the two-phase bucketed rank
+    (grouped_quantiles machinery); at dimension-table scale the plain
+    window is the right plan."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    lab = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max(
+                (F.col("o_orderpriority") == "1-URGENT").cast("int")
+            ).alias("pos")
+        )
+    )
+    t = c.join(
+        lab, c["c_custkey"] == lab["o_custkey"], "left"
+    ).select(
+        "c_custkey",
+        "c_acctbal",
+        F.coalesce(F.col("pos"), F.lit(0)).alias("pos"),
+    )
+    n_bins = 10
+    binned = t.withColumn(
+        "bin",
+        F.ntile(n_bins).over(
+            Window.orderBy(F.col("c_acctbal"), F.col("c_custkey"))
+        ),
+    )
+    g = binned.groupBy("bin").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("pos").cast("bigint").alias("n_pos"),
+        F.sum(1 - F.col("pos")).cast("bigint").alias("n_neg"),
+        _fround(F.min("c_acctbal"), 2).alias("bin_lo"),
+        _fround(F.max("c_acctbal"), 2).alias("bin_hi"),
+    )
+    tot = t.agg(
+        F.sum("pos").cast("double").alias("_pt"),
+        F.sum(1 - F.col("pos")).cast("double").alias("_nt"),
+    )
+    pr = (F.col("n_pos") + 0.5) / F.col("_pt")
+    nr = (F.col("n_neg") + 0.5) / F.col("_nt")
+    woe = F.log(pr / nr)
+    return g.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n",
+        "n_pos",
+        "n_neg",
+        "bin_lo",
+        "bin_hi",
+        _fround(woe, 6).alias("woe"),
+        _fround(
+            (
+                F.col("n_pos") / F.col("_pt")
+                - F.col("n_neg") / F.col("_nt")
+            )
+            * woe,
+            6,
+        ).alias("iv_contrib"),
+    )
+
+
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.1+§2.10 small-file compaction planner — the lakehouse
+    maintenance pass the day-partitioned JSON sink (S3) eventually
+    needs: given a per-partition file manifest (path, bytes), assign
+    files to target-sized output bins with ONE window pass per
+    partition — bin = floor(running-bytes-before / target) over a
+    deterministic (bytes DESC, file) order — instead of a sequential
+    first-fit loop that cannot distribute. Bins overshoot the target by
+    at most one file, every partition plans independently in parallel,
+    and the plan is |files|-sized metadata, never data. The manifest
+    here is derived deterministically from the events table (day x
+    user-shard pseudo-files) so the oracle can replay it."""
+    ev = load_table(spark, sf_dir, "events")
+    target = 4096
+    manifest = (
+        ev.groupBy(
+            F.to_date("ts").alias("day"),
+            F.pmod(F.col("user_id"), F.lit(20)).alias("file_id"),
+        )
+        .agg(
+            (
+                F.lit(128)
+                + F.sum(F.length("event_type") + F.lit(24))
+            )
+            .cast("bigint")
+            .alias("bytes")
+        )
+    )
+    w = Window.partitionBy("day").orderBy(
+        F.col("bytes").desc(), F.col("file_id")
+    )
+    planned = manifest.withColumn(
+        "cum_before",
+        F.coalesce(
+            F.sum("bytes").over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).withColumn(
+        "bin", F.floor(F.col("cum_before") / F.lit(target)).cast("int")
+    )
+    return (
+        planned.groupBy(
+            F.date_format("day", "yyyy-MM-dd").alias("day"), "bin"
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_files"),
+            F.sum("bytes").cast("bigint").alias("bytes_total"),
+        )
+        .withColumn("is_merge", F.col("n_files") > 1)
+    )
+
+
+def q_kfold_cv_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 k-fold cross-validated many-models OLS — the evaluation
+    loop that normally forces k re-trainings collapses into ONE moment
+    pass: per-(segment, fold) moment vectors sum EXACTLY (decimal) to
+    the segment totals, each fold's train model is the closed-form fit
+    on (total - fold) moments, and the held-out SSE unfolds
+    algebraically from the fold's own moments (Qy - 2a·Sy - 2b·Sxy +
+    2ab·Sx + a²n + b²Sxx). k models x |segments| segments evaluated
+    with zero extra scans — extends per_group_ols (queries.py:1134)
+    from fit to honest out-of-fold error."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    k = 5
+    d = o.join(
+        F.broadcast(
+            c.select("c_custkey", "c_mktsegment", "c_acctbal")
+        ),
+        o["o_custkey"] == F.col("c_custkey"),
+    ).select(
+        F.col("c_mktsegment").alias("segment"),
+        (F.col("o_orderkey") % k).cast("int").alias("fold"),
+        F.col("c_acctbal").alias("x"),
+        F.col("o_totalprice").alias("y"),
+    )
+
+    def dsum(e):
+        return F.sum(e.cast("decimal(38,12)"))
+
+    fm = d.groupBy("segment", "fold").agg(
+        F.count("*").cast("decimal(38,12)").alias("n"),
+        dsum(F.col("x")).alias("sx"),
+        dsum(F.col("y")).alias("sy"),
+        dsum(F.col("x") * F.col("x")).alias("sxx"),
+        dsum(F.col("x") * F.col("y")).alias("sxy"),
+        dsum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    tot = fm.groupBy("segment").agg(
+        *[
+            F.sum(col).alias("t_" + col)
+            for col in ("n", "sx", "sy", "sxx", "sxy", "syy")
+        ]
+    )
+    j = fm.join(tot, "segment")
+    tr = {
+        col: (F.col("t_" + col) - F.col(col)).cast("double")
+        for col in ("n", "sx", "sy", "sxx", "sxy", "syy")
+    }
+    slope = (
+        tr["n"] * tr["sxy"] - tr["sx"] * tr["sy"]
+    ) / (tr["n"] * tr["sxx"] - tr["sx"] * tr["sx"])
+    icept = (tr["sy"] - slope * tr["sx"]) / tr["n"]
+    fold_d = {
+        col: F.col(col).cast("double")
+        for col in ("n", "sx", "sy", "sxx", "sxy", "syy")
+    }
+    sse = (
+        fold_d["syy"]
+        - 2 * icept * fold_d["sy"]
+        - 2 * slope * fold_d["sxy"]
+        + 2 * icept * slope * fold_d["sx"]
+        + icept * icept * fold_d["n"]
+        + slope * slope * fold_d["sxx"]
+    )
+    per_fold = j.select(
+        "segment",
+        F.col("t_n").cast("double").alias("n_tot"),
+        slope.alias("_slope"),
+        sse.alias("_sse"),
+    )
+    return per_fold.groupBy("segment").agg(
+        F.max("n_tot").cast("bigint").alias("n"),
+        _fround(
+            F.sqrt(
+                F.sum(F.expr("CAST(_sse AS DECIMAL(38,6))")).cast(
+                    "double"
+                )
+                / F.max("n_tot")
+            ),
+            4,
+        ).alias("cv_rmse"),
+        _fround(F.min("_slope"), 6).alias("slope_lo"),
+        _fround(F.max("_slope"), 6).alias("slope_hi"),
+    )
+
+
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 corpus-statistics screening: per-language Zipf-law fit —
+    OLS of ln(frequency) on ln(rank) over the top-100 token ranks plus
+    the full type count. Complements vocab_growth (Heaps) and
+    vocab_gini: the slope (~-1 for natural text) is the standard
+    generated-vs-natural screen for LLM corpus intake. One token
+    explode, one count aggregation, one |types|-per-lang window for
+    ranks, decimal-cast ln sums so the 100-term OLS is
+    order-independent and engine-identical."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang",
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+        ).alias("tok"),
+    )
+    counts = toks.groupBy("lang", "tok").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    ranked = counts.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("lang").orderBy(
+                F.col("n").desc(), F.col("tok")
+            )
+        ),
+    )
+    top = 100
+    x = F.log(F.col("rank").cast("double"))
+    y = F.log(F.col("n").cast("double"))
+
+    def dsum(e):
+        return F.sum(
+            F.when(F.col("rank") <= top, e).cast("decimal(38,18)")
+        ).cast("double")
+
+    g = ranked.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_types"),
+        F.sum((F.col("rank") <= top).cast("int"))
+        .cast("double")
+        .alias("m"),
+        dsum(x).alias("sx"),
+        dsum(y).alias("sy"),
+        dsum(x * x).alias("sxx"),
+        dsum(x * y).alias("sxy"),
+        dsum(y * y).alias("syy"),
+    )
+    cov = F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx = F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = F.col("m") * F.col("syy") - F.col("sy") * F.col("sy")
+    return g.select(
+        "lang",
+        "n_types",
+        _fround(cov / varx, 4).alias("zipf_slope"),
+        _fround(cov * cov / (varx * vary), 4).alias("r2"),
+    )
+
+
 ALL_QUERIES = {
     "flagship_order_lifecycle": q_flagship_order_lifecycle,
     "bm25_topk": q_bm25_topk,
@@ -11890,4 +12309,10 @@ ALL_QUERIES = {
     "vocab_gini": q_vocab_gini,
     "benford_audit": q_benford_audit,
     "spearman_correlation": q_spearman_correlation,
+    "basket_rules": q_basket_rules,
+    "target_encode_loo": q_target_encode_loo,
+    "woe_iv_binning": q_woe_iv_binning,
+    "compaction_plan": q_compaction_plan,
+    "kfold_cv_ols": q_kfold_cv_ols,
+    "zipf_fit": q_zipf_fit,
 }

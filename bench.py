@@ -206,6 +206,15 @@ HEADLINE = [
     "ref_integrity",
     "streaming_cms_maintenance",
     "grouped_quantiles",
+    # round-6 session-6: feature-engineering batch — Apriori basket
+    # rules, closed-form LOO target encoding, WOE/IV screen, the
+    # compaction planner, k-fold CV OLS, and the Zipf corpus screen
+    "basket_rules",
+    "target_encode_loo",
+    "woe_iv_binning",
+    "compaction_plan",
+    "kfold_cv_ols",
+    "zipf_fit",
     # Python-worker queries LAST: applyInPandas spins up 32 Python
     # workers and leaves GC pressure that inflates the next JVM-only
     # query by ~3x (measured: dedup_minhash_lsh 6.96s after it vs 1.9s

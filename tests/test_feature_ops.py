@@ -1,0 +1,210 @@
+"""Feature-engineering / curation-math operators added in round 6:
+market-basket rules, leave-one-out target encoding, WOE/IV binning,
+the compaction planner, k-fold CV OLS, and the Zipf fit. Each test
+checks the distributed closed form against an independent brute-force
+reference (numpy / pandas / pure python) at sf0.001."""
+
+import pyspark.sql.functions as F
+
+from aproximacion_1_etl_spark.queries import (
+    q_basket_rules,
+    q_compaction_plan,
+    q_kfold_cv_ols,
+    q_target_encode_loo,
+    q_woe_iv_binning,
+    q_zipf_fit,
+)
+from aproximacion_1_etl_spark.sources.tables import load_table
+
+
+def test_basket_rules_match_bruteforce_pair_counts(spark, sf_dir):
+    """The map-side within-basket pair generation must produce exactly
+    the pair counts of the naive per-order self-join, and confidence /
+    lift must be the exact integer ratios."""
+    from collections import Counter
+    from itertools import combinations
+
+    rows = q_basket_rules(spark, sf_dir).collect()
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = {}
+    for r in li.select("l_orderkey", "l_partkey").distinct().collect():
+        baskets.setdefault(r["l_orderkey"], set()).add(r["l_partkey"])
+    pair_n = Counter()
+    item_n = Counter()
+    for its in baskets.values():
+        for p in its:
+            item_n[p] += 1
+        for a, b in combinations(sorted(its), 2):
+            pair_n[(a, b)] += 1
+    nb = len(baskets)
+    expect = {}
+    for (a, b), n in pair_n.items():
+        if n >= 3:
+            expect[(a, b)] = n
+            expect[(b, a)] = n
+    got = {(r["antecedent"], r["consequent"]): r for r in rows}
+    assert set(got) == set(expect)
+    for (a, b), r in got.items():
+        assert r["n_pair"] == expect[(a, b)]
+        assert r["n_ante"] == item_n[a]
+        assert abs(r["confidence"] - expect[(a, b)] / item_n[a]) < 1e-5
+        lift = expect[(a, b)] * nb / (item_n[a] * item_n[b])
+        assert abs(r["lift"] - lift) < 1e-5
+
+
+def test_target_encode_loo_matches_per_row_bruteforce(spark, sf_dir):
+    """The closed-form LOO stats (min / max / mean-square of the
+    row-level (S - y_i)/(n - 1) encodings) must equal the literal
+    per-row computation."""
+    import numpy as np
+
+    got = {
+        r["segment"]: r for r in q_target_encode_loo(spark, sf_dir).collect()
+    }
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    pdf = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .select(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_totalprice").alias("y"),
+        )
+        .toPandas()
+    )
+    prior = pdf["y"].mean()
+    for seg, g in pdf.groupby("seg"):
+        y = g["y"].to_numpy()
+        n, s = len(y), y.sum()
+        loo = (s - y) / (n - 1)
+        r = got[seg]
+        assert r["n"] == n
+        assert abs(r["enc_smoothed"] - (s + 20 * prior) / (n + 20)) < 1e-2
+        assert abs(r["loo_min"] - loo.min()) < 1e-2
+        assert abs(r["loo_max"] - loo.max()) < 1e-2
+        assert abs(r["loo_sq_mean"] - np.mean(loo**2)) < 1e-1
+
+
+def test_woe_iv_bins_partition_and_sign(spark, sf_dir):
+    """Equi-depth bins must partition the customer table (sizes within
+    1 of each other — the ntile guarantee), counts must reconcile, and
+    each WOE sign must agree with the bin's odds vs global odds."""
+    import math
+
+    rows = sorted(
+        q_woe_iv_binning(spark, sf_dir).collect(), key=lambda r: r["bin"]
+    )
+    c = load_table(spark, sf_dir, "customer")
+    n_cust = c.count()
+    assert sum(r["n"] for r in rows) == n_cust
+    sizes = [r["n"] for r in rows]
+    assert max(sizes) - min(sizes) <= 1
+    pt = sum(r["n_pos"] for r in rows)
+    nt = sum(r["n_neg"] for r in rows)
+    # bins are ordered by the feature: bin_lo must be nondecreasing
+    los = [r["bin_lo"] for r in rows]
+    assert los == sorted(los)
+    for r in rows:
+        woe_ref = math.log(
+            ((r["n_pos"] + 0.5) / pt) / ((r["n_neg"] + 0.5) / nt)
+        )
+        assert abs(r["woe"] - woe_ref) < 1e-5
+        assert r["n_pos"] + r["n_neg"] == r["n"]
+
+
+def test_compaction_plan_conserves_bytes_and_packs(spark, sf_dir):
+    """The plan must conserve total bytes per day, number bins
+    contiguously from 0, and close every bin except the last at or
+    above the target (the floor(cum/target) guarantee: a new bin opens
+    only once the running total has crossed the boundary)."""
+    rows = q_compaction_plan(spark, sf_dir).collect()
+    target = 4096
+    by_day = {}
+    for r in rows:
+        by_day.setdefault(r["day"], []).append(r)
+    ev = load_table(spark, sf_dir, "events")
+    manifest = (
+        ev.groupBy(
+            F.to_date("ts").alias("day"),
+            F.pmod(F.col("user_id"), F.lit(20)).alias("file_id"),
+        )
+        .agg(
+            (F.lit(128) + F.sum(F.length("event_type") + F.lit(24)))
+            .cast("bigint")
+            .alias("bytes")
+        )
+        .groupBy(F.date_format("day", "yyyy-MM-dd").alias("day"))
+        .agg(F.sum("bytes").alias("total"), F.count("*").alias("nf"))
+    )
+    truth = {r["day"]: r for r in manifest.collect()}
+    assert set(by_day) == set(truth)
+    for day, bins in by_day.items():
+        bins.sort(key=lambda r: r["bin"])
+        assert [b["bin"] for b in bins] == list(range(len(bins)))
+        assert sum(b["bytes_total"] for b in bins) == truth[day]["total"]
+        assert sum(b["n_files"] for b in bins) == truth[day]["nf"]
+        # every bin but the last must have reached the target
+        for b in bins[:-1]:
+            assert b["bytes_total"] >= target - 0  # closed at/above
+
+
+def test_kfold_cv_ols_matches_numpy_folds(spark, sf_dir):
+    """Each fold's train-on-complement model and held-out SSE must
+    match a literal numpy k-fold loop; cv_rmse aggregates them."""
+    import numpy as np
+
+    got = {r["segment"]: r for r in q_kfold_cv_ols(spark, sf_dir).collect()}
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    pdf = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .select(
+            F.col("c_mktsegment").alias("seg"),
+            (F.col("o_orderkey") % 5).alias("fold"),
+            F.col("c_acctbal").alias("x"),
+            F.col("o_totalprice").alias("y"),
+        )
+        .toPandas()
+    )
+    for seg, g in pdf.groupby("seg"):
+        sse_total, slopes = 0.0, []
+        for f in sorted(g["fold"].unique()):
+            tr, te = g[g["fold"] != f], g[g["fold"] == f]
+            A = np.vstack([tr["x"], np.ones(len(tr))]).T
+            slope, icept = np.linalg.lstsq(A, tr["y"], rcond=None)[0]
+            slopes.append(slope)
+            pred = slope * te["x"] + icept
+            sse_total += float(((te["y"] - pred) ** 2).sum())
+        r = got[seg]
+        assert r["n"] == len(g)
+        rmse = float(np.sqrt(sse_total / len(g)))
+        assert abs(r["cv_rmse"] - rmse) / max(rmse, 1) < 1e-3
+        assert abs(r["slope_lo"] - min(slopes)) < 1e-3
+        assert abs(r["slope_hi"] - max(slopes)) < 1e-3
+
+
+def test_zipf_fit_matches_numpy_loglog_ols(spark, sf_dir):
+    """The decimal-cast distributed OLS over the top-100 log-log rank
+    curve must match numpy's polyfit on an independently built
+    rank-frequency table, and r2 must be a valid coefficient."""
+    import re
+    from collections import Counter
+
+    import numpy as np
+
+    got = {r["lang"]: r for r in q_zipf_fit(spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents").collect()
+    by_lang = {}
+    for d in docs:
+        cnt = by_lang.setdefault(d["lang"], Counter())
+        cnt.update(re.findall(r"[a-z]+", d["text"].lower()))
+    for lang, cnt in by_lang.items():
+        ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        top = ranked[:100]
+        x = np.log(np.arange(1, len(top) + 1))
+        y = np.log(np.array([n for _, n in top], dtype=float))
+        slope = np.polyfit(x, y, 1)[0]
+        r = got[lang]
+        assert r["n_types"] == len(cnt)
+        assert abs(r["zipf_slope"] - slope) < 1e-3
+        assert r["zipf_slope"] < 0  # frequency decays with rank
+        assert 0.0 <= r["r2"] <= 1.0
