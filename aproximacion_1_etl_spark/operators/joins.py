@@ -34,15 +34,25 @@ def asof_join(
     right_ts: str,
     value_cols: list[str],
     tiebreak: str,
+    direction: str = "backward",
+    tolerance_seconds: int | None = None,
 ) -> DataFrame:
     """For each ``left`` row, attach the ``value_cols`` of the ``right``
     row with the greatest ``right_ts`` <= ``left_ts`` for the same key
-    (ties broken by the greatest ``tiebreak``). Left rows with no prior
-    right row get NULLs.
+    (``direction="backward"``, the default) or the smallest
+    ``right_ts`` >= ``left_ts`` (``direction="forward"``); ties at
+    equal ``right_ts`` break by the greatest ``tiebreak`` either way.
+    With ``tolerance_seconds``, a match farther than the tolerance from
+    the left timestamp is NULLed out (pandas ``merge_asof`` parity) —
+    applied AFTER the merge, so it costs a projection, not a join.
+    Left rows with no qualifying right row get NULLs.
 
     Returns all ``left`` columns plus ``asof_<col>`` for each value col
-    and ``asof_ts``.
+    and ``asof_ts``. Plan shape is direction-independent: one union,
+    one shuffle on the key, one ordered window — never a range join.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction}")
     r = right.select(
         F.col(right_key).alias("_k"),
         F.col(right_ts).alias("_ts"),
@@ -60,9 +70,12 @@ def asof_join(
         *[F.col(c).alias(f"_l_{c}") for c in left.columns],
     )
     u = r.unionByName(l)
+    ts_order = (
+        F.col("_ts").asc() if direction == "backward" else F.col("_ts").desc()
+    )
     w = (
         Window.partitionBy("_k")
-        .orderBy(F.col("_ts").asc(), F.col("_side").asc(), F.col("_tb").asc())
+        .orderBy(ts_order, F.col("_side").asc(), F.col("_tb").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = u.select(
@@ -76,7 +89,27 @@ def asof_join(
             F.when(F.col("_side") == 0, F.col("_ts")), ignorenulls=True
         ).over(w).alias("asof_ts"),
     )
-    return carried.filter(F.col("_side") == 1).drop("_side")
+    out = carried.filter(F.col("_side") == 1).drop("_side")
+    if tolerance_seconds is not None:
+        ok = (
+            F.col("asof_ts").isNotNull()
+            & (
+                F.abs(
+                    F.unix_timestamp(F.col(left_ts).cast("timestamp"))
+                    - F.unix_timestamp(F.col("asof_ts"))
+                )
+                <= F.lit(int(tolerance_seconds))
+            )
+        )
+        out = out.select(
+            *[c for c in left.columns],
+            *[
+                F.when(ok, F.col(f"asof_{c}")).alias(f"asof_{c}")
+                for c in value_cols
+            ],
+            F.when(ok, F.col("asof_ts")).alias("asof_ts"),
+        )
+    return out
 
 
 def range_join_rollup(

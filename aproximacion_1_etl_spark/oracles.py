@@ -5982,6 +5982,203 @@ SELECT lang, n_types,
              * 10000.0 + 0.5) / 10000.0 AS r2
 FROM g
 """,
+    # Forward as-of with tolerance: the oracle takes the naive
+    # correlated route (all following purchases, rank, filter) the
+    # engine's union-window plan avoids. Tolerance mirrors the
+    # engine's floor-to-seconds arithmetic on BOTH endpoints.
+    "asof_forward_tolerance": """
+WITH c AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+p AS (
+  SELECT event_id AS p_id, user_id, ts AS p_ts, value
+  FROM events WHERE event_type = 'purchase'),
+cand AS (
+  SELECT c.event_id, p.p_id, p.p_ts, p.value,
+         row_number() OVER (
+           PARTITION BY c.event_id
+           ORDER BY p.p_ts ASC, p.p_id DESC) AS rn
+  FROM c JOIN p ON p.user_id = c.user_id AND p.p_ts >= c.ts),
+best AS (SELECT * FROM cand WHERE rn = 1),
+tol AS (
+  SELECT c.event_id, c.user_id, c.ts, b.p_id, b.p_ts, b.value,
+         (b.p_ts IS NOT NULL AND
+          CAST(floor(epoch(b.p_ts)) AS BIGINT)
+          - CAST(floor(epoch(c.ts)) AS BIGINT) <= 172800) AS ok
+  FROM c LEFT JOIN best b ON c.event_id = b.event_id)
+SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       CASE WHEN ok THEN p_id END AS purchase_id,
+       CASE WHEN ok THEN floor(value * 100.0 + 0.5) / 100.0 END
+         AS purchase_value,
+       CASE WHEN ok THEN strftime(p_ts, '%Y-%m-%d %H:%M:%S') END
+         AS purchase_ts
+FROM tol
+""",
+    # Position-based attribution: identical window rank / count per
+    # purchase, identical exact-literal weights, decimal credit sums.
+    "attribution_position": """
+WITH ev AS (SELECT user_id, ts, event_type, event_id FROM events),
+touches AS (SELECT * FROM ev WHERE event_type IN ('click', 'view')),
+buys AS (SELECT user_id, ts AS p_ts, event_id AS p_id FROM ev
+         WHERE event_type = 'purchase'),
+joined AS (
+  SELECT t.event_type, b.p_id, t.ts, t.event_id
+  FROM touches t JOIN buys b
+    ON t.user_id = b.user_id AND t.ts < b.p_ts
+   AND t.ts >= b.p_ts - INTERVAL 7 DAY),
+pos AS (
+  SELECT event_type, p_id,
+         row_number() OVER (PARTITION BY p_id
+                            ORDER BY ts, event_id) AS rk,
+         count(*) OVER (PARTITION BY p_id) AS n
+  FROM joined),
+credited AS (
+  SELECT event_type, p_id,
+         CASE WHEN n = 1 THEN 1.0
+              WHEN n = 2 THEN 0.5
+              WHEN rk = 1 THEN 0.4
+              WHEN rk = n THEN 0.4
+              ELSE 0.2 / (n - 2) END AS credit
+  FROM pos)
+SELECT event_type,
+       floor(CAST(sum(CAST(credit AS DECIMAL(30,15))) AS DOUBLE)
+             * 10000.0 + 0.5) / 10000.0 AS total_credit,
+       CAST(count(DISTINCT p_id) AS BIGINT) AS n_purchases
+FROM credited GROUP BY 1
+""",
+    # Ridge path CV: same fold moments, same RELATIVE penalty grid
+    # (lambda = alpha * centered train Sxx), same centered closed form
+    # and held-out SSE algebra; best pick by (cv_rmse, alpha).
+    "ridge_path_cv": """
+WITH d AS (
+  SELECT c.c_mktsegment AS segment,
+         CAST(o.o_orderkey % 5 AS INT) AS fold,
+         c.c_acctbal AS x, o.o_totalprice AS y
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+fm AS (
+  SELECT segment, fold,
+         CAST(count(*) AS DECIMAL(38,12)) AS n,
+         sum(CAST(x AS DECIMAL(38,12))) AS sx,
+         sum(CAST(y AS DECIMAL(38,12))) AS sy,
+         sum(CAST(x * x AS DECIMAL(38,12))) AS sxx,
+         sum(CAST(x * y AS DECIMAL(38,12))) AS sxy,
+         sum(CAST(y * y AS DECIMAL(38,12))) AS syy
+  FROM d GROUP BY 1, 2),
+tot AS (
+  SELECT segment, sum(n) AS t_n, sum(sx) AS t_sx, sum(sy) AS t_sy,
+         sum(sxx) AS t_sxx, sum(sxy) AS t_sxy, sum(syy) AS t_syy
+  FROM fm GROUP BY 1),
+grid AS (SELECT unnest([0.0, 0.25, 1.0, 4.0]) AS alpha),
+j AS (
+  SELECT fm.segment, grid.alpha,
+         CAST(t_n - n AS DOUBLE) AS tr_n,
+         CAST(t_sx - sx AS DOUBLE) AS tr_sx,
+         CAST(t_sy - sy AS DOUBLE) AS tr_sy,
+         CAST(t_sxx - sxx AS DOUBLE) AS tr_sxx,
+         CAST(t_sxy - sxy AS DOUBLE) AS tr_sxy,
+         CAST(t_n AS DOUBLE) AS n_tot,
+         CAST(n AS DOUBLE) AS f_n, CAST(sx AS DOUBLE) AS f_sx,
+         CAST(sy AS DOUBLE) AS f_sy, CAST(sxx AS DOUBLE) AS f_sxx,
+         CAST(sxy AS DOUBLE) AS f_sxy, CAST(syy AS DOUBLE) AS f_syy
+  FROM fm JOIN tot ON fm.segment = tot.segment CROSS JOIN grid),
+modeled AS (
+  SELECT segment, alpha, n_tot,
+         ((tr_sxy - tr_sx * tr_sy / tr_n)
+          / ((tr_sxx - tr_sx * tr_sx / tr_n) * (1.0 + alpha)))
+           AS _slope,
+         tr_sy, tr_sx, tr_n,
+         f_n, f_sx, f_sy, f_sxx, f_sxy, f_syy
+  FROM j),
+sse AS (
+  SELECT segment, alpha, n_tot,
+         (f_syy
+          - 2 * ((tr_sy - _slope * tr_sx) / tr_n) * f_sy
+          - 2 * _slope * f_sxy
+          + 2 * ((tr_sy - _slope * tr_sx) / tr_n) * _slope * f_sx
+          + ((tr_sy - _slope * tr_sx) / tr_n)
+            * ((tr_sy - _slope * tr_sx) / tr_n) * f_n
+          + _slope * _slope * f_sxx) AS _sse
+  FROM modeled),
+per_alpha AS (
+  SELECT segment, alpha,
+         floor(sqrt(CAST(sum(CAST(_sse AS DECIMAL(38,6))) AS DOUBLE)
+                    / max(n_tot)) * 10000.0 + 0.5) / 10000.0
+           AS cv_rmse
+  FROM sse GROUP BY 1, 2)
+SELECT segment, alpha, cv_rmse,
+       row_number() OVER (PARTITION BY segment
+                          ORDER BY cv_rmse, alpha) = 1 AS is_best
+FROM per_alpha
+""",
+    # Purged temporal CV: same literal fold spec, same embargo
+    # arithmetic (floor-to-seconds on both endpoints).
+    "purged_time_split": """
+WITH folds(fold, f_start, f_end) AS (
+  VALUES ('f1', TIMESTAMP '2024-01-08', TIMESTAMP '2024-01-15'),
+         ('f2', TIMESTAMP '2024-01-15', TIMESTAMP '2024-01-22'),
+         ('f3', TIMESTAMP '2024-01-22', TIMESTAMP '2024-01-29')),
+g AS (
+  SELECT f.fold,
+         count(CASE WHEN e.ts < f.f_start - INTERVAL 2 DAY THEN 1 END)
+           AS n_train,
+         count(CASE WHEN e.ts >= f.f_start AND e.ts < f.f_end THEN 1
+               END) AS n_test,
+         max(CASE WHEN e.ts < f.f_start - INTERVAL 2 DAY THEN e.ts
+             END) AS mtr,
+         min(CASE WHEN e.ts >= f.f_start AND e.ts < f.f_end THEN e.ts
+             END) AS mte
+  FROM folds f CROSS JOIN events e GROUP BY 1)
+SELECT fold, CAST(n_train AS BIGINT) AS n_train,
+       CAST(n_test AS BIGINT) AS n_test,
+       strftime(mtr, '%Y-%m-%d %H:%M:%S') AS max_train_ts,
+       strftime(mte, '%Y-%m-%d %H:%M:%S') AS min_test_ts,
+       CAST(floor(epoch(mte)) AS BIGINT)
+       - CAST(floor(epoch(mtr)) AS BIGINT) >= 172800 AS gap_ok
+FROM g
+""",
+    # Change-point: same daily decimal moments, same cumulative
+    # prefix algebra, same (sse, day) argmin.
+    "changepoint_detect": """
+WITH ev AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, value FROM events
+  WHERE value IS NOT NULL),
+daily AS (
+  SELECT event_type, day,
+         CAST(count(*) AS DECIMAL(38,12)) AS n,
+         sum(CAST(value AS DECIMAL(38,12))) AS s,
+         sum(CAST(value * value AS DECIMAL(38,12))) AS q
+  FROM ev GROUP BY 1, 2),
+cum AS (
+  SELECT event_type, day,
+         CAST(sum(n) OVER w AS DOUBLE) AS cn,
+         CAST(sum(s) OVER w AS DOUBLE) AS cs,
+         CAST(sum(q) OVER w AS DOUBLE) AS cq,
+         CAST(sum(n) OVER wt AS DOUBLE) AS tn,
+         CAST(sum(s) OVER wt AS DOUBLE) AS ts_,
+         CAST(sum(q) OVER wt AS DOUBLE) AS tq
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wt AS (PARTITION BY event_type)),
+scored AS (
+  SELECT event_type, day, cn, cs, tn, ts_,
+         (cq - cs * cs / cn)
+         + ((tq - cq) - (ts_ - cs) * (ts_ - cs) / (tn - cn)) AS _sse,
+         tq - ts_ * ts_ / tn AS _base
+  FROM cum WHERE cn < tn),
+best AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY _sse, day) AS rn
+  FROM scored)
+SELECT event_type, strftime(day, '%Y-%m-%d') AS split_day,
+       CAST(cn AS BIGINT) AS n_before,
+       CAST(tn - cn AS BIGINT) AS n_after,
+       floor(cs / cn * 10000.0 + 0.5) / 10000.0 AS mean_before,
+       floor((ts_ - cs) / (tn - cn) * 10000.0 + 0.5) / 10000.0
+         AS mean_after,
+       floor((_base - _sse) * 10000.0 + 0.5) / 10000.0
+         AS sse_reduction
+FROM best WHERE rn = 1
+""",
 }
 
 # Streaming maintenance keys whose final render is DEFINED to equal an

@@ -12029,6 +12029,328 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 FORWARD as-of join with tolerance (pandas merge_asof
+    parity, completing the as-of family): each click annotated with the
+    user's NEXT purchase, NULLed when it falls outside a 2-day
+    tolerance. Same union + single-key-shuffle window plan as the
+    backward join — direction only flips the window order, tolerance
+    is a post-merge projection — so there is still no range-join
+    explosion and the skew ceiling is one user's event volume."""
+    from aproximacion_1_etl_spark.operators.joins import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("p_id"),
+        F.col("value").alias("p_value"),
+    )
+    out = asof_join(
+        clicks,
+        buys,
+        left_key="user_id",
+        right_key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["p_id", "p_value"],
+        tiebreak="p_id",
+        direction="forward",
+        tolerance_seconds=172800,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        _ts_str("ts").alias("ts"),
+        F.col("asof_p_id").alias("purchase_id"),
+        _fround(F.col("asof_p_value"), 2).alias("purchase_value"),
+        _ts_str("asof_ts").alias("purchase_ts"),
+    )
+
+
+def q_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 POSITION-BASED (U-shaped) multi-touch attribution —
+    completes the family next to last-touch and time-decay: within each
+    purchase's 7-day touch window the first and last touches earn 0.4
+    each and the middles share 0.2 (1 touch -> 1.0, 2 -> 0.5/0.5).
+    Position comes from ONE window over the per-purchase touch sets the
+    range join already produced; every weight is exact binary literals
+    and one IEEE division, credits cross engines as decimal sums."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type", "event_id"
+    )
+    touches = ev.filter(F.col("event_type").isin("click", "view"))
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("p_id"),
+    )
+    joined = touches.join(
+        buys,
+        (touches["user_id"] == buys["user_id"])
+        & (F.col("ts") < F.col("p_ts"))
+        & (F.col("ts") >= F.col("p_ts") - F.expr("INTERVAL 7 DAYS")),
+    ).select("event_type", "p_id", "ts", "event_id")
+    w = Window.partitionBy("p_id").orderBy("ts", "event_id")
+    w_all = Window.partitionBy("p_id")
+    pos = (
+        joined.withColumn("rk", F.row_number().over(w))
+        .withColumn("n", F.count("*").over(w_all))
+    )
+    credit = (
+        F.when(F.col("n") == 1, F.lit(1.0))
+        .when(F.col("n") == 2, F.lit(0.5))
+        .when(F.col("rk") == 1, F.lit(0.4))
+        .when(F.col("rk") == F.col("n"), F.lit(0.4))
+        .otherwise(F.lit(0.2) / (F.col("n") - 2))
+    )
+    return pos.groupBy("event_type").agg(
+        _fround(
+            F.sum(credit.cast("decimal(30,15)")).cast("double"), 4
+        ).alias("total_credit"),
+        F.countDistinct("p_id").cast("bigint").alias("n_purchases"),
+    )
+
+
+def q_ridge_path_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 hyperparameter tuning at scale: the ridge regularization
+    path per segment, cross-validated, from the SAME single moment
+    pass as kfold_cv_ols — the penalty grid is RELATIVE
+    (lambda = alpha * centered train Sxx, alpha in {0, .25, 1, 4}, all
+    exact binary), so the sweep is scale-free and each (segment, fold,
+    alpha) model is closed-form column algebra on the |segments|x|k|
+    moment relation exploded by 4. k x |grid| x |segments| honest
+    out-of-fold errors, zero extra scans, deterministic best-alpha
+    pick."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    k = 5
+    d = o.join(
+        F.broadcast(
+            c.select("c_custkey", "c_mktsegment", "c_acctbal")
+        ),
+        o["o_custkey"] == F.col("c_custkey"),
+    ).select(
+        F.col("c_mktsegment").alias("segment"),
+        (F.col("o_orderkey") % k).cast("int").alias("fold"),
+        F.col("c_acctbal").alias("x"),
+        F.col("o_totalprice").alias("y"),
+    )
+
+    def dsum(e):
+        return F.sum(e.cast("decimal(38,12)"))
+
+    fm = d.groupBy("segment", "fold").agg(
+        F.count("*").cast("decimal(38,12)").alias("n"),
+        dsum(F.col("x")).alias("sx"),
+        dsum(F.col("y")).alias("sy"),
+        dsum(F.col("x") * F.col("x")).alias("sxx"),
+        dsum(F.col("x") * F.col("y")).alias("sxy"),
+        dsum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    tot = fm.groupBy("segment").agg(
+        *[
+            F.sum(col).alias("t_" + col)
+            for col in ("n", "sx", "sy", "sxx", "sxy", "syy")
+        ]
+    )
+    j = fm.join(tot, "segment").select(
+        "segment",
+        *[
+            (F.col("t_" + col) - F.col(col))
+            .cast("double")
+            .alias("tr_" + col)
+            for col in ("n", "sx", "sy", "sxx", "sxy")
+        ],
+        F.col("t_n").cast("double").alias("n_tot"),
+        *[
+            F.col(col).cast("double").alias("f_" + col)
+            for col in ("n", "sx", "sy", "sxx", "sxy", "syy")
+        ],
+        F.explode(
+            F.array(
+                F.lit(0.0), F.lit(0.25), F.lit(1.0), F.lit(4.0)
+            )
+        ).alias("alpha"),
+    )
+    sxx_c = F.col("tr_sxx") - F.col("tr_sx") * F.col("tr_sx") / F.col(
+        "tr_n"
+    )
+    sxy_c = F.col("tr_sxy") - F.col("tr_sx") * F.col("tr_sy") / F.col(
+        "tr_n"
+    )
+    slope = sxy_c / (sxx_c * (F.lit(1.0) + F.col("alpha")))
+    icept = (F.col("tr_sy") - slope * F.col("tr_sx")) / F.col("tr_n")
+    sse = (
+        F.col("f_syy")
+        - 2 * icept * F.col("f_sy")
+        - 2 * slope * F.col("f_sxy")
+        + 2 * icept * slope * F.col("f_sx")
+        + icept * icept * F.col("f_n")
+        + slope * slope * F.col("f_sxx")
+    )
+    per_alpha = (
+        j.select(
+            "segment", "alpha", F.col("n_tot"), sse.alias("_sse")
+        )
+        .groupBy("segment", "alpha")
+        .agg(
+            _fround(
+                F.sqrt(
+                    F.sum(F.expr("CAST(_sse AS DECIMAL(38,6))")).cast(
+                        "double"
+                    )
+                    / F.max("n_tot")
+                ),
+                4,
+            ).alias("cv_rmse")
+        )
+    )
+    w_best = Window.partitionBy("segment").orderBy(
+        F.col("cv_rmse").asc(), F.col("alpha").asc()
+    )
+    return per_alpha.select(
+        "segment",
+        "alpha",
+        "cv_rmse",
+        (F.row_number().over(w_best) == 1).alias("is_best"),
+    )
+
+
+def q_purged_time_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 leakage-safe TEMPORAL cross-validation folds with an
+    embargo gap (the forecasting twin of cluster_safe_split): three
+    rolling-origin test weeks, train strictly before test-start minus a
+    2-day embargo so label-adjacent rows can't leak across the
+    boundary. One conditional-aggregation pass over the facts (the
+    fk_report single-scan shape) renders all folds; gap_ok re-verifies
+    the embargo from the data itself, not the spec."""
+    ev = load_table(spark, sf_dir, "events").select("ts")
+    folds = [
+        ("f1", "2024-01-08", "2024-01-15"),
+        ("f2", "2024-01-15", "2024-01-22"),
+        ("f3", "2024-01-22", "2024-01-29"),
+    ]
+    embargo = F.expr("INTERVAL 2 DAYS")
+    aggs = []
+    for name, start, end in folds:
+        s, e = F.lit(start).cast("timestamp"), F.lit(end).cast("timestamp")
+        in_tr = F.col("ts") < s - embargo
+        in_te = (F.col("ts") >= s) & (F.col("ts") < e)
+        aggs += [
+            F.count(F.when(in_tr, 1)).cast("bigint").alias(f"_ntr_{name}"),
+            F.count(F.when(in_te, 1)).cast("bigint").alias(f"_nte_{name}"),
+            F.max(F.when(in_tr, F.col("ts"))).alias(f"_mtr_{name}"),
+            F.min(F.when(in_te, F.col("ts"))).alias(f"_mte_{name}"),
+        ]
+    one = ev.agg(*aggs)
+    stacked = ", ".join(
+        f"'{name}', _ntr_{name}, _nte_{name}, _mtr_{name}, _mte_{name}"
+        for name, _s, _e in folds
+    )
+    out = one.select(
+        F.expr(
+            f"stack({len(folds)}, {stacked})"
+            " AS (fold, n_train, n_test, max_train_ts, min_test_ts)"
+        )
+    )
+    gap = F.unix_timestamp("min_test_ts") - F.unix_timestamp(
+        "max_train_ts"
+    )
+    return out.select(
+        "fold",
+        "n_train",
+        "n_test",
+        _ts_str("max_train_ts").alias("max_train_ts"),
+        _ts_str("min_test_ts").alias("min_test_ts"),
+        (gap >= F.lit(172800)).alias("gap_ok"),
+    )
+
+
+def q_changepoint_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 change-point detection per series (binary-segmentation
+    step 1, the time-axis sibling of decision_stump): the SSE-optimal
+    day split of each event_type's value series found from ONE daily
+    moment aggregation — cumulative decimal (n, S, Q) prefixes per
+    type give every candidate split's left/right SSE in closed form,
+    argmin by window rank with earliest-day tiebreak. |types|x|days|
+    state; the fact table is scanned once; no per-candidate job."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            F.col("value").cast("double").alias("value"),
+        )
+        .filter(F.col("value").isNotNull())
+    )
+
+    def dsum(e):
+        return F.sum(e.cast("decimal(38,12)"))
+
+    daily = ev.groupBy("event_type", "day").agg(
+        F.count("*").cast("decimal(38,12)").alias("n"),
+        dsum(F.col("value")).alias("s"),
+        dsum(F.col("value") * F.col("value")).alias("q"),
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_tot = Window.partitionBy("event_type")
+    cum = daily.select(
+        "event_type",
+        "day",
+        F.sum("n").over(w_cum).cast("double").alias("cn"),
+        F.sum("s").over(w_cum).cast("double").alias("cs"),
+        F.sum("q").over(w_cum).cast("double").alias("cq"),
+        F.sum("n").over(w_tot).cast("double").alias("tn"),
+        F.sum("s").over(w_tot).cast("double").alias("ts_"),
+        F.sum("q").over(w_tot).cast("double").alias("tq"),
+    ).filter(F.col("cn") < F.col("tn"))
+    sse_l = F.col("cq") - F.col("cs") * F.col("cs") / F.col("cn")
+    sse_r = (F.col("tq") - F.col("cq")) - (
+        F.col("ts_") - F.col("cs")
+    ) * (F.col("ts_") - F.col("cs")) / (F.col("tn") - F.col("cn"))
+    baseline = F.col("tq") - F.col("ts_") * F.col("ts_") / F.col("tn")
+    scored = cum.select(
+        "event_type",
+        "day",
+        "cn",
+        "cs",
+        "tn",
+        "ts_",
+        (sse_l + sse_r).alias("_sse"),
+        baseline.alias("_base"),
+    )
+    w_best = Window.partitionBy("event_type").orderBy(
+        F.col("_sse").asc(), F.col("day").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w_best))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("split_day"),
+            F.col("cn").cast("bigint").alias("n_before"),
+            (F.col("tn") - F.col("cn")).cast("bigint").alias("n_after"),
+            _fround(F.col("cs") / F.col("cn"), 4).alias("mean_before"),
+            _fround(
+                (F.col("ts_") - F.col("cs"))
+                / (F.col("tn") - F.col("cn")),
+                4,
+            ).alias("mean_after"),
+            _fround(F.col("_base") - F.col("_sse"), 4).alias(
+                "sse_reduction"
+            ),
+        )
+    )
+
+
 ALL_QUERIES = {
     "flagship_order_lifecycle": q_flagship_order_lifecycle,
     "bm25_topk": q_bm25_topk,
@@ -12315,4 +12637,9 @@ ALL_QUERIES = {
     "compaction_plan": q_compaction_plan,
     "kfold_cv_ols": q_kfold_cv_ols,
     "zipf_fit": q_zipf_fit,
+    "asof_forward_tolerance": q_asof_forward_tolerance,
+    "attribution_position": q_attribution_position,
+    "ridge_path_cv": q_ridge_path_cv,
+    "purged_time_split": q_purged_time_split,
+    "changepoint_detect": q_changepoint_detect,
 }

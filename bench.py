@@ -215,6 +215,11 @@ HEADLINE = [
     "compaction_plan",
     "kfold_cv_ols",
     "zipf_fit",
+    "asof_forward_tolerance",
+    "attribution_position",
+    "ridge_path_cv",
+    "purged_time_split",
+    "changepoint_detect",
     # Python-worker queries LAST: applyInPandas spins up 32 Python
     # workers and leaves GC pressure that inflates the next JVM-only
     # query by ~3x (measured: dedup_minhash_lsh 6.96s after it vs 1.9s

@@ -7,9 +7,13 @@ reference (numpy / pandas / pure python) at sf0.001."""
 import pyspark.sql.functions as F
 
 from aproximacion_1_etl_spark.queries import (
+    q_attribution_position,
     q_basket_rules,
+    q_changepoint_detect,
     q_compaction_plan,
     q_kfold_cv_ols,
+    q_purged_time_split,
+    q_ridge_path_cv,
     q_target_encode_loo,
     q_woe_iv_binning,
     q_zipf_fit,
@@ -208,3 +212,173 @@ def test_zipf_fit_matches_numpy_loglog_ols(spark, sf_dir):
         assert abs(r["zipf_slope"] - slope) < 1e-3
         assert r["zipf_slope"] < 0  # frequency decays with rank
         assert 0.0 <= r["r2"] <= 1.0
+
+
+def test_asof_join_forward_direction_and_tolerance(spark):
+    """Forward as-of must pick the EARLIEST right row at/after the
+    left timestamp (greatest tiebreak on ties), and the tolerance must
+    NULL matches beyond it without dropping left rows."""
+    from aproximacion_1_etl_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "u", "2024-01-10 00:00:00"), (2, "u", "2024-01-20 00:00:00")],
+        "id INT, k STRING, ts STRING",
+    )
+    right = spark.createDataFrame(
+        [
+            ("u", "2024-01-09 00:00:00", 1, "before"),
+            ("u", "2024-01-11 00:00:00", 2, "next"),
+            ("u", "2024-01-11 00:00:00", 3, "next_tie"),
+            ("u", "2024-01-15 00:00:00", 4, "later"),
+        ],
+        "k STRING, ts STRING, tb INT, v STRING",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = asof_join(
+        left.withColumn("ts", F.col("ts").cast("timestamp")),
+        right,
+        left_key="k",
+        right_key="k",
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["v"],
+        tiebreak="tb",
+        direction="forward",
+        tolerance_seconds=3 * 86400,
+    )
+    rows = {r["id"]: r for r in out.collect()}
+    assert len(rows) == 2
+    # id=1: next at 01-11 (1 day away, inside tolerance); tie -> tb=3
+    assert rows[1]["asof_v"] == "next_tie"
+    # id=2: no right row at/after 01-20 -> NULL
+    assert rows[2]["asof_v"] is None and rows[2]["asof_ts"] is None
+    # shrink tolerance to 12h: id=1's match is now too far -> NULL
+    out2 = asof_join(
+        left.withColumn("ts", F.col("ts").cast("timestamp")),
+        right,
+        left_key="k",
+        right_key="k",
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["v"],
+        tiebreak="tb",
+        direction="forward",
+        tolerance_seconds=43200,
+    )
+    rows2 = {r["id"]: r for r in out2.collect()}
+    assert rows2[1]["asof_v"] is None
+
+
+def test_attribution_position_conserves_credit(spark, sf_dir):
+    """Every purchase with >=1 touch must distribute exactly 1.0 of
+    credit; total credit across channels equals the attributed
+    purchase count; the U-shape holds on a brute-forced example."""
+    rows = q_attribution_position(spark, sf_dir).collect()
+    total = sum(r["total_credit"] for r in rows)
+    ev = load_table(spark, sf_dir, "events")
+    touches = ev.filter(F.col("event_type").isin("click", "view")).collect()
+    buys = ev.filter(F.col("event_type") == "purchase").collect()
+    attributed = 0
+    for b in buys:
+        n = sum(
+            1
+            for t in touches
+            if t["user_id"] == b["user_id"]
+            and t["ts"] < b["ts"]
+            and (b["ts"] - t["ts"]).total_seconds() <= 7 * 86400
+        )
+        if n:
+            attributed += 1
+    assert abs(total - attributed) < 1e-2
+
+
+def test_ridge_path_alpha_zero_matches_ols_and_best_unique(spark, sf_dir):
+    """The alpha=0 path point must equal the unregularized k-fold CV
+    RMSE computed by a numpy loop (centered closed form == lstsq), and
+    each segment must flag exactly one best alpha."""
+    import numpy as np
+
+    rows = q_ridge_path_cv(spark, sf_dir).collect()
+    by_seg = {}
+    for r in rows:
+        by_seg.setdefault(r["segment"], []).append(r)
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    pdf = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .select(
+            F.col("c_mktsegment").alias("seg"),
+            (F.col("o_orderkey") % 5).alias("fold"),
+            F.col("c_acctbal").alias("x"),
+            F.col("o_totalprice").alias("y"),
+        )
+        .toPandas()
+    )
+    for seg, rs in by_seg.items():
+        assert sum(1 for r in rs if r["is_best"]) == 1
+        assert len(rs) == 4
+        g = pdf[pdf["seg"] == seg]
+        sse_total = 0.0
+        for f in sorted(g["fold"].unique()):
+            tr, te = g[g["fold"] != f], g[g["fold"] == f]
+            A = np.vstack([tr["x"], np.ones(len(tr))]).T
+            slope, icept = np.linalg.lstsq(A, tr["y"], rcond=None)[0]
+            pred = slope * te["x"] + icept
+            sse_total += float(((te["y"] - pred) ** 2).sum())
+        rmse = float(np.sqrt(sse_total / len(g)))
+        a0 = [r for r in rs if r["alpha"] == 0.0][0]
+        assert abs(a0["cv_rmse"] - rmse) / max(rmse, 1) < 1e-3
+
+
+def test_purged_time_split_counts_and_embargo(spark, sf_dir):
+    """Fold counts must match a literal recount and the train/test gap
+    must respect the 2-day embargo in the data itself."""
+    from datetime import datetime
+
+    rows = {r["fold"]: r for r in q_purged_time_split(spark, sf_dir).collect()}
+    ev = [r["ts"] for r in load_table(spark, sf_dir, "events").select("ts").collect()]
+    folds = {
+        "f1": (datetime(2024, 1, 8), datetime(2024, 1, 15)),
+        "f2": (datetime(2024, 1, 15), datetime(2024, 1, 22)),
+        "f3": (datetime(2024, 1, 22), datetime(2024, 1, 29)),
+    }
+    for name, (s, e) in folds.items():
+        from datetime import timedelta
+
+        cutoff = s - timedelta(days=2)
+        n_tr = sum(1 for t in ev if t < cutoff)
+        n_te = sum(1 for t in ev if s <= t < e)
+        r = rows[name]
+        assert r["n_train"] == n_tr
+        assert r["n_test"] == n_te
+        assert r["gap_ok"] is True
+
+
+def test_changepoint_matches_bruteforce_split(spark, sf_dir):
+    """The closed-form prefix-sum argmin must find the same day (and
+    SSE reduction) as a literal per-candidate pandas loop."""
+    import numpy as np
+
+    got = {r["event_type"]: r for r in q_changepoint_detect(spark, sf_dir).collect()}
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", F.to_date("ts").alias("day"), "value")
+        .toPandas()
+    )
+    for et, g in ev.groupby("event_type"):
+        g = g.sort_values("day")
+        days = sorted(g["day"].unique())
+        v = g["value"].to_numpy()
+        base = float(((v - v.mean()) ** 2).sum())
+        best = None
+        for d in days[:-1]:
+            lm = g["day"] <= d
+            lv, rv = g.loc[lm, "value"].to_numpy(), g.loc[~lm, "value"].to_numpy()
+            sse = float(((lv - lv.mean()) ** 2).sum()) + float(
+                ((rv - rv.mean()) ** 2).sum()
+            )
+            if best is None or sse < best[1] - 1e-9:
+                best = (d, sse)
+        r = got[et]
+        assert str(r["split_day"]) == best[0].strftime("%Y-%m-%d")
+        assert abs(r["sse_reduction"] - (base - best[1])) < 1e-2
