@@ -6179,6 +6179,95 @@ SELECT event_type, strftime(day, '%Y-%m-%d') AS split_day,
          AS sse_reduction
 FROM best WHERE rn = 1
 """,
+    # Adamic-Adar: the oracle takes the naive edge self-join road the
+    # engine's per-part array iterator avoids — identical wedge set,
+    # identical 1/ln(deg) weights (decimal-summed), identical
+    # (score DESC, s1, s2) top-50 cut.
+    "adamic_adar_linkpred": """
+WITH e AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+deg AS (SELECT l_partkey, count(*) AS d FROM e GROUP BY 1),
+wedge AS (
+  SELECT a.l_suppkey AS s1, b.l_suppkey AS s2, deg.d
+  FROM e a
+  JOIN e b ON a.l_partkey = b.l_partkey
+          AND a.l_suppkey < b.l_suppkey
+  JOIN deg ON deg.l_partkey = a.l_partkey),
+scored AS (
+  SELECT s1, s2, CAST(count(*) AS BIGINT) AS common_parts,
+         CAST(sum(CAST(1.0 / ln(CAST(d AS DOUBLE))
+                       AS DECIMAL(30,15))) AS DOUBLE) AS _aa
+  FROM wedge GROUP BY 1, 2),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY _aa DESC, s1, s2) AS rn
+  FROM scored)
+SELECT s1, s2, common_parts,
+       floor(_aa * 10000.0 + 0.5) / 10000.0 AS aa_score,
+       CAST(rn AS INT) AS rank
+FROM ranked WHERE rn <= 50
+""",
+    # Daily-mean ACF: identical daily state, identical lag joins on
+    # (type, day + lag), identical decimal Pearson moments.
+    "acf_daily": """
+WITH ev AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, value FROM events
+  WHERE value IS NOT NULL),
+daily AS (
+  SELECT event_type, day,
+         CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE)
+           / count(*) AS m
+  FROM ev GROUP BY 1, 2),
+lags AS (SELECT unnest([1, 2, 7]) AS lag),
+pairs AS (
+  SELECT a.event_type, lags.lag, a.m AS x, b.m AS y
+  FROM daily a CROSS JOIN lags
+  JOIN daily b ON b.event_type = a.event_type
+              AND b.day = a.day + CAST(lags.lag AS INT)),
+g AS (
+  SELECT event_type, lag, CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(x * y AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+         CAST(sum(CAST(y * y AS DECIMAL(38,12))) AS DOUBLE) AS syy
+  FROM pairs GROUP BY 1, 2)
+SELECT event_type, CAST(lag AS INT) AS lag,
+       CAST(n AS BIGINT) AS n_pairs,
+       floor((n * sxy - sx * sy)
+             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+             * 10000.0 + 0.5) / 10000.0 AS acf
+FROM g
+""",
+    # Revenue concentration: identical customer-grain decimal revenue,
+    # identical (r DESC, custkey) rank, EXACT-decimal 80% boundary.
+    "revenue_concentration": """
+WITH rev AS (
+  SELECT c.c_mktsegment, o.o_custkey AS c_custkey,
+         sum(CAST(o.o_totalprice AS DECIMAL(38,12))) AS r
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT c_mktsegment, r,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY r DESC, c_custkey) AS rk,
+         count(*) OVER (PARTITION BY c_mktsegment) AS n_cust,
+         sum(r) OVER (PARTITION BY c_mktsegment) AS tot,
+         sum(r) OVER (PARTITION BY c_mktsegment
+                      ORDER BY r DESC, c_custkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS cum
+  FROM rev)
+SELECT c_mktsegment AS segment,
+       CAST(max(n_cust) AS BIGINT) AS n_customers,
+       floor(CAST(max(tot) AS DOUBLE) * 100.0 + 0.5) / 100.0
+         AS total_revenue,
+       floor(CAST(sum(CASE WHEN rk <= ceil(n_cust / 10.0) THEN r END)
+                  AS DOUBLE)
+             / CAST(max(tot) AS DOUBLE) * 10000.0 + 0.5) / 10000.0
+         AS top_decile_share,
+       CAST(min(CASE WHEN cum * 5 >= tot * 4 THEN rk END) AS BIGINT)
+         AS n_for_80pct
+FROM ranked GROUP BY 1
+""",
 }
 
 # Streaming maintenance keys whose final render is DEFINED to equal an
@@ -6192,3 +6281,4 @@ ALL_ORACLES["streaming_hll_maintenance"] = ALL_ORACLES[
 ALL_ORACLES["streaming_cms_maintenance"] = ALL_ORACLES[
     "heavy_hitters_cms"
 ]
+ALL_ORACLES["streaming_changepoint"] = ALL_ORACLES["changepoint_detect"]

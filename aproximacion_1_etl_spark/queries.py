@@ -12270,6 +12270,32 @@ def q_purged_time_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _changepoint_daily(ev: DataFrame) -> DataFrame:
+    """Per-(event_type, day) decimal moment partials (n, S, Q) — the
+    MERGEABLE state of the change-point detector: partials from any
+    batch split sum key-wise (decimal, exact) to the full state, the
+    same algebra the profile / histogram / quantile states use."""
+
+    def dsum(e):
+        return F.sum(e.cast("decimal(38,12)"))
+
+    return ev.groupBy("event_type", "day").agg(
+        F.count("*").cast("decimal(38,12)").alias("n"),
+        dsum(F.col("value")).alias("s"),
+        dsum(F.col("value") * F.col("value")).alias("q"),
+    )
+
+
+def _merge_changepoint_states(parts: DataFrame) -> DataFrame:
+    """Fold stacked daily partials into one state row per (type, day):
+    decimal sums are exact, so merged == recomputed-from-scratch."""
+    return parts.groupBy("event_type", "day").agg(
+        F.sum("n").cast("decimal(38,12)").alias("n"),
+        F.sum("s").cast("decimal(38,12)").alias("s"),
+        F.sum("q").cast("decimal(38,12)").alias("q"),
+    )
+
+
 def q_changepoint_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.10 change-point detection per series (binary-segmentation
     step 1, the time-axis sibling of decision_stump): the SSE-optimal
@@ -12287,15 +12313,14 @@ def q_changepoint_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("value").isNotNull())
     )
+    return _changepoint_render(_changepoint_daily(ev))
 
-    def dsum(e):
-        return F.sum(e.cast("decimal(38,12)"))
 
-    daily = ev.groupBy("event_type", "day").agg(
-        F.count("*").cast("decimal(38,12)").alias("n"),
-        dsum(F.col("value")).alias("s"),
-        dsum(F.col("value") * F.col("value")).alias("q"),
-    )
+def _changepoint_render(daily: DataFrame) -> DataFrame:
+    """Score every candidate split from cumulative prefixes of the
+    (type, day) moment state and pick the per-type SSE argmin —
+    shared verbatim by the batch key and the streaming maintenance
+    twin so the two renders can never drift."""
     w_cum = (
         Window.partitionBy("event_type")
         .orderBy("day")
@@ -12348,6 +12373,260 @@ def q_changepoint_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "sse_reduction"
             ),
         )
+    )
+
+
+def q_streaming_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 + §2.10: change-point detection MAINTAINED BY A STREAM —
+    events arrive in two date-ordered waves; foreachBatch aggregates
+    ONLY its own wave to daily (n, S, Q) partials and folds them
+    key-wise into the persisted |types|x|days| state (decimal sums —
+    exact, so merged == recomputed). The final render is the SAME
+    helper the batch key uses (_changepoint_render), so capacity
+    monitoring never rescans history and the oracle is
+    changepoint_detect's SQL by construction."""
+    import shutil
+    import time as _time
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            "ts",
+            "event_type",
+            F.col("value").cast("double").alias("value"),
+        )
+        .filter(F.col("value").isNotNull())
+    )
+    base = tempfile.mkdtemp(prefix="graft_scp_")
+    ckpt = tempfile.mkdtemp(prefix="ckpt_scp_")
+    src = os.path.join(base, "src")
+    state_log = os.path.join(base, "state")
+
+    def handle_batch(batch, batch_id: int) -> None:
+        bspark = batch.sparkSession
+        part = _changepoint_daily(
+            batch.select(
+                "event_type", F.to_date("ts").alias("day"), "value"
+            )
+        )
+        if os.path.isdir(state_log):
+            prior = bspark.read.parquet(state_log)
+            part = _merge_changepoint_states(prior.unionByName(part))
+        part.write.mode("overwrite").parquet(
+            os.path.join(base, "_state_next")
+        )
+        bspark.read.parquet(
+            os.path.join(base, "_state_next")
+        ).write.mode("overwrite").parquet(state_log)
+
+    try:
+        ev.filter(F.col("ts") < "2024-01-16").coalesce(1).write.parquet(
+            os.path.join(src, "w1")
+        )
+        ev.filter(F.col("ts") >= "2024-01-16").coalesce(1).write.parquet(
+            os.path.join(src, "w2")
+        )
+        now = _time.time()
+        for d, ts in (("w1", now - 120), ("w2", now - 60)):
+            pdir = os.path.join(src, d)
+            for f in os.listdir(pdir):
+                os.utime(os.path.join(pdir, f), (ts, ts))
+        schema = (
+            "event_id BIGINT, ts TIMESTAMP, event_type STRING, "
+            "value DOUBLE"
+        )
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(src, "*"))
+            .writeStream.foreachBatch(handle_batch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+        out = _changepoint_render(spark.read.parquet(state_log))
+        return _reclaimed(out, base, ckpt)
+    finally:
+        if os.path.isdir(base):
+            shutil.rmtree(base, ignore_errors=True)
+        if os.path.isdir(ckpt):
+            shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def q_adamic_adar_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 graph link prediction (completes the graph family next to
+    pagerank / triangles / components): Adamic-Adar scores for
+    supplier pairs over the bipartite part—supplier graph — common
+    neighbors weighted 1/ln(deg(part)), so rare shared parts count
+    more. Wedges are generated per part from its sorted supplier array
+    (the triangle iterator's map-side pattern — no pair self-join);
+    only parts with >=2 suppliers contribute, so ln(deg) >= ln 2 and
+    the weight is finite. Wedge volume is sum(deg²); at 100 TB the
+    degree cap / frequent-prune lever (basket_rules) bounds it. Output
+    is the top-50 pairs — the rank window runs over the
+    |supplier-pairs| aggregate, never the wedges."""
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select("l_partkey", "l_suppkey").distinct()
+    parts = edges.groupBy("l_partkey").agg(
+        F.sort_array(F.collect_set("l_suppkey")).alias("ss")
+    ).filter(F.size("ss") >= 2)
+    wedges = parts.select(
+        (F.lit(1.0) / F.log(F.size("ss").cast("double"))).alias("w"),
+        F.explode(
+            F.expr(
+                "flatten(transform(ss, (x, i) ->"
+                " transform(slice(ss, i + 2, size(ss)),"
+                " y -> struct(x AS s1, y AS s2))))"
+            )
+        ).alias("pr"),
+    ).select(F.col("pr.s1").alias("s1"), F.col("pr.s2").alias("s2"), "w")
+    scored = wedges.groupBy("s1", "s2").agg(
+        F.count("*").cast("bigint").alias("common_parts"),
+        F.sum(F.col("w").cast("decimal(30,15)"))
+        .cast("double")
+        .alias("_aa"),
+    )
+    w_rank = Window.orderBy(
+        F.col("_aa").desc(), F.col("s1").asc(), F.col("s2").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") <= 50)
+        .select(
+            "s1",
+            "s2",
+            "common_parts",
+            _fround(F.col("_aa"), 4).alias("aa_score"),
+            F.col("rn").cast("int").alias("rank"),
+        )
+    )
+
+
+def q_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 time-series autocorrelation per series: ACF of the daily
+    mean value at lags 1, 2, 7 per event_type — the
+    seasonality/persistence screen beside holt_forecast and
+    seasonal_anomaly. The fact table collapses to the |types|x|days|
+    daily-mean state ONCE; each lag is a self-join of that tiny state
+    on (type, day+lag) plus one Pearson moment aggregation — lag count
+    scales the state joins, never the fact scan. Decimal cross-row
+    sums keep every correlation engine-identical."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            F.col("value").cast("double").alias("value"),
+        )
+        .filter(F.col("value").isNotNull())
+    )
+
+    def dsum(e):
+        return F.sum(e.cast("decimal(38,12)")).cast("double")
+
+    daily = ev.groupBy("event_type", "day").agg(
+        (dsum(F.col("value")) / F.count("*")).alias("m")
+    )
+    lags = spark.range(1).select(
+        F.explode(F.array(F.lit(1), F.lit(2), F.lit(7))).alias("lag")
+    )
+    a = daily.alias("a").crossJoin(F.broadcast(lags))
+    pairs = a.join(
+        daily.alias("b"),
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (
+            F.col("b.day")
+            == F.expr("date_add(a.day, CAST(lag AS INT))")
+        ),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        "lag",
+        F.col("a.m").alias("x"),
+        F.col("b.m").alias("y"),
+    )
+    g = pairs.groupBy("event_type", "lag").agg(
+        F.count("*").cast("double").alias("n"),
+        dsum(F.col("x")).alias("sx"),
+        dsum(F.col("y")).alias("sy"),
+        dsum(F.col("x") * F.col("x")).alias("sxx"),
+        dsum(F.col("x") * F.col("y")).alias("sxy"),
+        dsum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return g.select(
+        "event_type",
+        F.col("lag").cast("int").alias("lag"),
+        F.col("n").cast("bigint").alias("n_pairs"),
+        _fround(cov / F.sqrt(vx * vy), 4).alias("acf"),
+    )
+
+
+def q_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 concentration analysis (the Lorenz/80-20 report): per
+    market segment, how concentrated is revenue across customers —
+    top-decile revenue share and the minimum number of customers
+    covering 80% of segment revenue. One fact aggregation to customer
+    grain, one per-segment rank window over the |customers| aggregate
+    (two-phase bucketed rank at fact scale — grouped_quantiles
+    machinery), cumulative decimal sums; the 80% cut compares
+    5*cum >= 4*total in EXACT decimal so the boundary can't flap
+    between engines."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    rev = (
+        o.join(
+            F.broadcast(c.select("c_custkey", "c_mktsegment")),
+            o["o_custkey"] == F.col("c_custkey"),
+        )
+        .groupBy("c_mktsegment", "c_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(38,12)")).alias(
+                "r"
+            )
+        )
+    )
+    w_rank = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("r").desc(), F.col("c_custkey").asc()
+    )
+    w_seg = Window.partitionBy("c_mktsegment")
+    ranked = rev.select(
+        "c_mktsegment",
+        "r",
+        F.row_number().over(w_rank).alias("rk"),
+        F.count("*").over(w_seg).alias("n_cust"),
+        F.sum("r").over(w_seg).alias("tot"),
+        F.sum("r")
+        .over(
+            w_rank.rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .alias("cum"),
+    )
+    return ranked.groupBy(
+        F.col("c_mktsegment").alias("segment")
+    ).agg(
+        F.max("n_cust").cast("bigint").alias("n_customers"),
+        _fround(F.max("tot").cast("double"), 2).alias("total_revenue"),
+        _fround(
+            F.sum(
+                F.when(
+                    F.col("rk") <= F.ceil(F.col("n_cust") / 10),
+                    F.col("r"),
+                )
+            ).cast("double")
+            / F.max("tot").cast("double"),
+            4,
+        ).alias("top_decile_share"),
+        F.min(
+            F.when(
+                F.col("cum") * 5 >= F.col("tot") * 4, F.col("rk")
+            )
+        )
+        .cast("bigint")
+        .alias("n_for_80pct"),
     )
 
 
@@ -12642,4 +12921,8 @@ ALL_QUERIES = {
     "ridge_path_cv": q_ridge_path_cv,
     "purged_time_split": q_purged_time_split,
     "changepoint_detect": q_changepoint_detect,
+    "streaming_changepoint": q_streaming_changepoint,
+    "adamic_adar_linkpred": q_adamic_adar_linkpred,
+    "acf_daily": q_acf_daily,
+    "revenue_concentration": q_revenue_concentration,
 }

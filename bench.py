@@ -220,6 +220,9 @@ HEADLINE = [
     "ridge_path_cv",
     "purged_time_split",
     "changepoint_detect",
+    "adamic_adar_linkpred",
+    "acf_daily",
+    "revenue_concentration",
     # Python-worker queries LAST: applyInPandas spins up 32 Python
     # workers and leaves GC pressure that inflates the next JVM-only
     # query by ~3x (measured: dedup_minhash_lsh 6.96s after it vs 1.9s

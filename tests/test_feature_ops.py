@@ -382,3 +382,129 @@ def test_changepoint_matches_bruteforce_split(spark, sf_dir):
         r = got[et]
         assert str(r["split_day"]) == best[0].strftime("%Y-%m-%d")
         assert abs(r["sse_reduction"] - (base - best[1])) < 1e-2
+
+
+def test_streaming_changepoint_equals_batch(spark, sf_dir):
+    """The stream-maintained daily moment state must render the exact
+    same change-points as the batch operator."""
+    from aproximacion_1_etl_spark.queries import q_streaming_changepoint
+
+    batch = sorted(
+        map(tuple, q_changepoint_detect(spark, sf_dir).collect())
+    )
+    stream = sorted(
+        map(tuple, q_streaming_changepoint(spark, sf_dir).collect())
+    )
+    assert batch == stream
+
+
+def test_adamic_adar_matches_bruteforce(spark, sf_dir):
+    """The per-part wedge iterator must reproduce a literal
+    common-neighbor loop: same pairs, same counts, same AA scores,
+    same top-50 ordering."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+    from itertools import combinations
+
+    from aproximacion_1_etl_spark.queries import q_adamic_adar_linkpred
+
+    rows = q_adamic_adar_linkpred(spark, sf_dir).collect()
+    li = load_table(spark, sf_dir, "lineitem")
+    by_part = {}
+    for r in li.select("l_partkey", "l_suppkey").distinct().collect():
+        by_part.setdefault(r["l_partkey"], set()).add(r["l_suppkey"])
+    aa, common = {}, {}
+    q15 = Decimal("1e-15")
+    for ss in by_part.values():
+        if len(ss) < 2:
+            continue
+        # mirror the engine's decimal(30,15) weight quantization so
+        # near-tie pair ordering is reproduced exactly
+        w = Decimal(1.0 / math.log(len(ss))).quantize(
+            q15, rounding=ROUND_HALF_UP
+        )
+        for a, b in combinations(sorted(ss), 2):
+            aa[(a, b)] = aa.get((a, b), Decimal(0)) + w
+            common[(a, b)] = common.get((a, b), 0) + 1
+    aa = {k: float(v) for k, v in aa.items()}
+    ordered = sorted(aa.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+    assert len(rows) == min(50, len(aa))
+    got = sorted(rows, key=lambda r: r["rank"])
+    for r, ((a, b), score) in zip(got, ordered):
+        assert (r["s1"], r["s2"]) == (a, b)
+        assert r["common_parts"] == common[(a, b)]
+        assert abs(r["aa_score"] - score) < 1e-3
+
+
+def test_acf_daily_matches_numpy(spark, sf_dir):
+    """Each (type, lag) autocorrelation must equal numpy's Pearson
+    correlation over the same lagged daily-mean pairs."""
+    import numpy as np
+
+    from aproximacion_1_etl_spark.queries import q_acf_daily
+
+    got = {
+        (r["event_type"], r["lag"]): r
+        for r in q_acf_daily(spark, sf_dir).collect()
+    }
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", F.to_date("ts").alias("day"), "value")
+        .toPandas()
+    )
+    daily = (
+        ev.groupby(["event_type", "day"])["value"].mean().reset_index()
+    )
+    for (et, lag), r in got.items():
+        g = daily[daily["event_type"] == et].set_index("day")["value"]
+        xs, ys = [], []
+        for day, x in g.items():
+            import datetime
+
+            nxt = day + datetime.timedelta(days=lag)
+            if nxt in g.index:
+                xs.append(x)
+                ys.append(g[nxt])
+        assert r["n_pairs"] == len(xs)
+        ref = float(np.corrcoef(xs, ys)[0, 1])
+        assert abs(r["acf"] - ref) < 1e-3
+
+
+def test_revenue_concentration_matches_bruteforce(spark, sf_dir):
+    """Top-decile share and the 80% customer count must match a
+    literal sorted-cumulative-sum computation."""
+    import math
+
+    from aproximacion_1_etl_spark.queries import q_revenue_concentration
+
+    got = {
+        r["segment"]: r
+        for r in q_revenue_concentration(spark, sf_dir).collect()
+    }
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    pdf = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment", "c_custkey")
+        .agg(F.sum("o_totalprice").alias("r"))
+        .toPandas()
+    )
+    for seg, g in pdf.groupby("c_mktsegment"):
+        rs = sorted(
+            zip(g["r"], g["c_custkey"]), key=lambda t: (-t[0], t[1])
+        )
+        vals = [r for r, _ in rs]
+        tot = sum(vals)
+        n = len(vals)
+        r = got[seg]
+        assert r["n_customers"] == n
+        k = math.ceil(n / 10)
+        assert abs(r["top_decile_share"] - sum(vals[:k]) / tot) < 1e-3
+        cum, n80 = 0.0, None
+        for i, v in enumerate(vals, 1):
+            cum += v
+            if cum >= 0.8 * tot:
+                n80 = i
+                break
+        assert r["n_for_80pct"] == n80
