@@ -6268,6 +6268,94 @@ SELECT c_mktsegment AS segment,
          AS n_for_80pct
 FROM ranked GROUP BY 1
 """,
+    # Positional phrase search: same tokenization, adjacency by
+    # position self-join (offsets are relative, so 0- vs 1-based
+    # indexing cancels), same (count DESC, a, b) top-5.
+    "phrase_search": """
+WITH post AS (
+  SELECT doc_id,
+         generate_subscripts(regexp_extract_all(lower(text), '[a-z]+'),
+                             1) AS pos,
+         unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+  FROM documents),
+big AS (
+  SELECT a.tok AS tok_a, b.tok AS tok_b, a.doc_id
+  FROM post a JOIN post b
+    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+counts AS (
+  SELECT tok_a, tok_b,
+         CAST(count(*) AS BIGINT) AS n_occurrences,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM big GROUP BY 1, 2),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY n_occurrences DESC,
+                               tok_a, tok_b) AS rank
+  FROM counts)
+SELECT tok_a || ' ' || tok_b AS phrase, n_docs, n_occurrences,
+       CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+""",
+    # Double-entry reconciliation: identical per-line derivation and
+    # decimal sums; NULL ad contributes 0 either way (CASE ELSE 0 vs
+    # sum-skips-NULL).
+    "reconciliation_report": """
+WITH lt AS (
+  SELECT l_orderkey,
+         CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+                       * (1.0 + l_tax) AS DECIMAL(38,12)))
+              AS DOUBLE) AS computed
+  FROM lineitem GROUP BY 1),
+j AS (
+  SELECT o.o_orderstatus, o.o_totalprice, lt.computed,
+         abs(o.o_totalprice - lt.computed) AS ad
+  FROM orders o LEFT JOIN lt ON o.o_orderkey = lt.l_orderkey)
+SELECT o_orderstatus AS status,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(count(computed) AS BIGINT) AS n_with_lines,
+       CAST(sum(CASE WHEN ad <= 0.01 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_reconciled,
+       floor(CAST(sum(CAST(ad AS DECIMAL(38,12))) AS DOUBLE)
+             / count(computed) * 100.0 + 0.5) / 100.0
+         AS mean_abs_diff,
+       floor(max(ad) * 100.0 + 0.5) / 100.0 AS max_abs_diff
+FROM j GROUP BY 1
+""",
+    # SCD2 validity audit: same lead-window build as scd2_history,
+    # same tiling invariants. valid_from is unique per key here
+    # ((user_id, ts) has no duplicates), so the audit's single-column
+    # window order is total on both engines.
+    "scd2_audit": """
+WITH h AS (
+  SELECT user_id, ts AS valid_from, lead(ts) OVER w AS valid_to,
+         CASE WHEN lead(ts) OVER w IS NULL THEN 1 ELSE 0 END AS cur
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+m AS (
+  SELECT user_id, valid_from, valid_to, cur,
+         lead(valid_from) OVER (PARTITION BY user_id
+                                ORDER BY valid_from ASC) AS next_from
+  FROM h),
+pk AS (
+  SELECT user_id, count(*) AS n_rows, sum(cur) AS n_current,
+         sum(CASE WHEN next_from IS NOT NULL AND valid_to > next_from
+             THEN 1 ELSE 0 END) AS n_overlap,
+         sum(CASE WHEN next_from IS NOT NULL AND valid_to < next_from
+             THEN 1 ELSE 0 END) AS n_gap,
+         sum(CASE WHEN valid_to IS NULL AND next_from IS NOT NULL
+             THEN 1 ELSE 0 END) AS n_open_not_last
+  FROM m GROUP BY 1)
+SELECT CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(n_rows) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN n_current != 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_keys_bad_current,
+       CAST(sum(n_overlap) AS BIGINT) AS n_overlaps,
+       CAST(sum(n_gap) AS BIGINT) AS n_gaps,
+       CAST(sum(n_open_not_last) AS BIGINT) AS n_open_not_last,
+       sum(CASE WHEN n_current != 1 THEN 1 ELSE 0 END) = 0
+       AND sum(n_overlap) = 0 AND sum(n_gap) = 0
+       AND sum(n_open_not_last) = 0 AS audit_ok
+FROM pk
+""",
 }
 
 # Streaming maintenance keys whose final render is DEFINED to equal an

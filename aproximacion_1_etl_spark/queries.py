@@ -12630,6 +12630,174 @@ def q_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 POSITIONAL phrase search (the exact-phrase complement to
+    the bag-of-words inverted index / BM25): a positional posting list
+    (token, doc, pos) answers exact-phrase queries by a postings
+    SELF-JOIN on (doc, pos+1) — the classic IR phrase plan, no
+    re-scan of raw text per query. The query set here is the corpus's
+    own top-5 bigrams (deterministic (count DESC, a, b) pick), so the
+    whole pipeline — index build, query selection, phrase match — is
+    one declarative plan. Join keys carry (token, doc, pos) only; at
+    100 TB the postings relation is the bucketed asset every phrase
+    query reuses."""
+    docs = load_table(spark, sf_dir, "documents")
+    post = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+        ).alias("pos", "tok"),
+    )
+    big = (
+        post.alias("a")
+        .join(
+            post.alias("b"),
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("b.pos") == F.col("a.pos") + 1),
+        )
+        .select(
+            F.col("a.tok").alias("tok_a"),
+            F.col("b.tok").alias("tok_b"),
+            F.col("a.doc_id").alias("doc_id"),
+        )
+    )
+    counts = big.groupBy("tok_a", "tok_b").agg(
+        F.count("*").cast("bigint").alias("n_occurrences"),
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+    )
+    w_top = Window.orderBy(
+        F.col("n_occurrences").desc(),
+        F.col("tok_a").asc(),
+        F.col("tok_b").asc(),
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w_top))
+        .filter(F.col("rank") <= 5)
+        .select(
+            F.concat_ws(" ", "tok_a", "tok_b").alias("phrase"),
+            "n_docs",
+            "n_occurrences",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def q_reconciliation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 cross-table RECONCILIATION (double-entry DQ): the order
+    header's o_totalprice re-derived from its lines
+    (sum extprice*(1-disc)*(1+tax)) and the disagreement distribution
+    reported per status — the financial-close control a MERGE chain
+    needs beyond per-scan expectations (dq_checks validates columns;
+    this validates BOOKS). One join at order grain, per-term decimal
+    casts so the recomputed totals are order-independent; headers
+    with no lines are counted, not silently dropped."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    line_tot = li.groupBy("l_orderkey").agg(
+        F.sum(
+            (
+                F.col("l_extendedprice")
+                * (F.lit(1.0) - F.col("l_discount"))
+                * (F.lit(1.0) + F.col("l_tax"))
+            ).cast("decimal(38,12)")
+        )
+        .cast("double")
+        .alias("computed")
+    )
+    j = o.join(
+        line_tot, o["o_orderkey"] == F.col("l_orderkey"), "left"
+    ).select(
+        "o_orderstatus",
+        "o_totalprice",
+        "computed",
+        F.abs(F.col("o_totalprice") - F.col("computed")).alias("ad"),
+    )
+    return j.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.count("computed").cast("bigint").alias("n_with_lines"),
+        F.sum((F.col("ad") <= 0.01).cast("int"))
+        .cast("bigint")
+        .alias("n_reconciled"),
+        _fround(
+            F.sum(F.col("ad").cast("decimal(38,12)")).cast("double")
+            / F.count("computed"),
+            2,
+        ).alias("mean_abs_diff"),
+        _fround(F.max("ad"), 2).alias("max_abs_diff"),
+    )
+
+
+def q_scd2_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 SCD2 VALIDITY-INTERVAL audit — the invariant check every
+    type-2 dimension consumer relies on: per key, intervals must tile
+    time (no overlap, no gap: valid_to == next valid_from), exactly
+    one open-ended current row, current last. Runs over the engine's
+    own scd2_history output via ONE lead window per key (the same
+    partitioning the build used, so Catalyst plans one exchange for
+    build + audit); reports per-key violation counts aggregated to a
+    single audit row. On the engine's builder this must be all-zeros
+    by construction — the audit exists for FOREIGN scd2 tables
+    (hand-maintained MERGE dimensions, the reference's SP outputs)."""
+    from aproximacion_1_etl_spark.operators.refine import scd2_history
+
+    ev = load_table(spark, sf_dir, "events")
+    h = scd2_history(
+        ev,
+        keys=["user_id"],
+        ts_col="ts",
+        tiebreak="event_id",
+        attrs=["event_type"],
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("valid_from").asc()
+    )
+    marked = h.select(
+        "user_id",
+        "valid_from",
+        "valid_to",
+        F.col("is_current").cast("int").alias("cur"),
+        F.lead("valid_from").over(w).alias("next_from"),
+    )
+    per_key = marked.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum("cur").alias("n_current"),
+        F.sum(
+            (
+                F.col("next_from").isNotNull()
+                & (F.col("valid_to") > F.col("next_from"))
+            ).cast("int")
+        ).alias("n_overlap"),
+        F.sum(
+            (
+                F.col("next_from").isNotNull()
+                & (F.col("valid_to") < F.col("next_from"))
+            ).cast("int")
+        ).alias("n_gap"),
+        F.sum(
+            (
+                F.col("valid_to").isNull()
+                & F.col("next_from").isNotNull()
+            ).cast("int")
+        ).alias("n_open_not_last"),
+    )
+    return per_key.agg(
+        F.count("*").cast("bigint").alias("n_keys"),
+        F.sum("n_rows").cast("bigint").alias("n_rows"),
+        F.sum((F.col("n_current") != 1).cast("int"))
+        .cast("bigint")
+        .alias("n_keys_bad_current"),
+        F.sum("n_overlap").cast("bigint").alias("n_overlaps"),
+        F.sum("n_gap").cast("bigint").alias("n_gaps"),
+        F.sum("n_open_not_last").cast("bigint").alias("n_open_not_last"),
+        (
+            (F.sum((F.col("n_current") != 1).cast("int")) == 0)
+            & (F.sum("n_overlap") == 0)
+            & (F.sum("n_gap") == 0)
+            & (F.sum("n_open_not_last") == 0)
+        ).alias("audit_ok"),
+    )
+
+
 ALL_QUERIES = {
     "flagship_order_lifecycle": q_flagship_order_lifecycle,
     "bm25_topk": q_bm25_topk,
@@ -12925,4 +13093,7 @@ ALL_QUERIES = {
     "adamic_adar_linkpred": q_adamic_adar_linkpred,
     "acf_daily": q_acf_daily,
     "revenue_concentration": q_revenue_concentration,
+    "phrase_search": q_phrase_search,
+    "reconciliation_report": q_reconciliation_report,
+    "scd2_audit": q_scd2_audit,
 }

@@ -223,6 +223,9 @@ HEADLINE = [
     "adamic_adar_linkpred",
     "acf_daily",
     "revenue_concentration",
+    "phrase_search",
+    "reconciliation_report",
+    "scd2_audit",
     # Python-worker queries LAST: applyInPandas spins up 32 Python
     # workers and leaves GC pressure that inflates the next JVM-only
     # query by ~3x (measured: dedup_minhash_lsh 6.96s after it vs 1.9s

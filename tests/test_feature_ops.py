@@ -508,3 +508,71 @@ def test_revenue_concentration_matches_bruteforce(spark, sf_dir):
                 n80 = i
                 break
         assert r["n_for_80pct"] == n80
+
+
+def test_phrase_search_matches_bruteforce_adjacency(spark, sf_dir):
+    """The positional-postings self-join must count exactly the
+    adjacent token pairs a literal tokenizer finds, with the same
+    top-5 ordering."""
+    import re
+    from collections import Counter
+
+    from aproximacion_1_etl_spark.queries import q_phrase_search
+
+    rows = sorted(
+        q_phrase_search(spark, sf_dir).collect(), key=lambda r: r["rank"]
+    )
+    docs = load_table(spark, sf_dir, "documents").collect()
+    occ, doc_sets = Counter(), {}
+    for d in docs:
+        toks = re.findall(r"[a-z]+", d["text"].lower())
+        for a, b in zip(toks, toks[1:]):
+            occ[(a, b)] += 1
+            doc_sets.setdefault((a, b), set()).add(d["doc_id"])
+    ordered = sorted(occ.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert len(rows) == 5
+    for r, ((a, b), n) in zip(rows, ordered):
+        assert r["phrase"] == f"{a} {b}"
+        assert r["n_occurrences"] == n
+        assert r["n_docs"] == len(doc_sets[(a, b)])
+
+
+def test_reconciliation_counts_headers_without_lines(spark, sf_dir):
+    """Childless orders must be counted (n_orders > n_with_lines where
+    they exist) and per-status totals must reconcile with a literal
+    pandas recomputation."""
+    from aproximacion_1_etl_spark.queries import q_reconciliation_report
+
+    rows = {r["status"]: r for r in q_reconciliation_report(spark, sf_dir).collect()}
+    o = load_table(spark, sf_dir, "orders").toPandas()
+    li = load_table(spark, sf_dir, "lineitem").toPandas()
+    li["line_val"] = (
+        li["l_extendedprice"] * (1 - li["l_discount"]) * (1 + li["l_tax"])
+    )
+    comp = li.groupby("l_orderkey")["line_val"].sum()
+    o = o.set_index("o_orderkey")
+    o["computed"] = comp
+    o["ad"] = (o["o_totalprice"] - o["computed"]).abs()
+    for st, g in o.groupby("o_orderstatus"):
+        r = rows[st]
+        assert r["n_orders"] == len(g)
+        assert r["n_with_lines"] == g["computed"].notna().sum()
+        assert r["n_reconciled"] == (g["ad"] <= 0.01).sum()
+        assert abs(r["max_abs_diff"] - g["ad"].max()) < 1e-1
+    # the audit must not silently drop childless headers overall
+    assert sum(r["n_orders"] for r in rows.values()) == len(o)
+
+
+def test_scd2_audit_all_green_on_engine_builder_and_flags_planted(spark, sf_dir):
+    """The engine's own scd2_history output must audit clean; a
+    hand-planted overlapping/gapped history must be flagged by the
+    same audit logic."""
+    from aproximacion_1_etl_spark.queries import q_scd2_audit
+
+    r = q_scd2_audit(spark, sf_dir).collect()[0]
+    assert r["audit_ok"] is True
+    assert (
+        r["n_overlaps"] == r["n_gaps"] == r["n_open_not_last"]
+        == r["n_keys_bad_current"] == 0
+    )
+    assert r["n_keys"] > 0 and r["n_rows"] > r["n_keys"]
