@@ -6356,6 +6356,97 @@ SELECT CAST(count(*) AS BIGINT) AS n_keys,
        AND sum(n_open_not_last) = 0 AS audit_ok
 FROM pk
 """,
+    # Ratio-to-parent hierarchy report: same leaf decimal aggregate,
+    # same parent/grand window sums, one IEEE division per share.
+    "share_of_parent": """
+WITH dim AS (
+  SELECT s_suppkey, n_name AS nation, r_name AS region
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey),
+leaf AS (
+  SELECT region, nation,
+         sum(CAST(l_extendedprice * (1.0 - l_discount)
+                  AS DECIMAL(38,12))) AS rev
+  FROM lineitem JOIN dim ON l_suppkey = s_suppkey
+  GROUP BY 1, 2)
+SELECT region, nation,
+       floor(CAST(rev AS DOUBLE) * 100.0 + 0.5) / 100.0 AS revenue,
+       floor(CAST(rev AS DOUBLE)
+             / CAST(sum(rev) OVER (PARTITION BY region) AS DOUBLE)
+             * 1000000.0 + 0.5) / 1000000.0 AS share_of_region,
+       floor(CAST(rev AS DOUBLE)
+             / CAST(sum(rev) OVER () AS DOUBLE)
+             * 1000000.0 + 0.5) / 1000000.0 AS share_of_total
+FROM leaf
+""",
+    # Drill-across: each fact aggregated separately to the conformed
+    # segment grain, merged by FULL OUTER ... USING (coalesced key).
+    "drill_across": """
+WITH seg AS (SELECT c_custkey, c_mktsegment AS segment FROM customer),
+fo AS (
+  SELECT segment, CAST(count(*) AS BIGINT) AS n_orders,
+         floor(CAST(sum(CAST(o_totalprice AS DECIMAL(30,8)))
+                    AS DOUBLE) * 100.0 + 0.5) / 100.0
+           AS order_revenue
+  FROM orders JOIN seg ON o_custkey = c_custkey GROUP BY 1),
+fe AS (
+  SELECT segment, CAST(count(*) AS BIGINT) AS n_events,
+         floor(CAST(sum(CAST(COALESCE(value, 0.0) AS DECIMAL(30,8)))
+                    AS DOUBLE) * 100.0 + 0.5) / 100.0
+           AS event_value
+  FROM events JOIN seg ON user_id = c_custkey GROUP BY 1)
+SELECT segment,
+       COALESCE(n_orders, 0) AS n_orders,
+       COALESCE(order_revenue, 0.0) AS order_revenue,
+       COALESCE(n_events, 0) AS n_events,
+       COALESCE(event_value, 0.0) AS event_value,
+       floor(COALESCE(order_revenue, 0.0)
+             / nullif(CAST(COALESCE(n_events, 0) AS DOUBLE), 0.0)
+             * 100.0 + 0.5) / 100.0 AS revenue_per_event
+FROM fo FULL OUTER JOIN fe USING (segment)
+""",
+    # Largest-remainder apportionment: identical quotas (one division
+    # off exact decimal revenue), identical (frac DESC, segment) rank.
+    "budget_apportion": """
+WITH rev AS (
+  SELECT c_mktsegment AS segment,
+         sum(CAST(o_totalprice AS DECIMAL(38,12))) AS rev
+  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1),
+based AS (
+  SELECT segment,
+         CAST(rev AS DOUBLE) / CAST(sum(rev) OVER () AS DOUBLE)
+           * 10000.0 AS quota
+  FROM rev),
+b2 AS (
+  SELECT segment, quota, CAST(floor(quota) AS BIGINT) AS base,
+         quota - floor(quota) AS frac
+  FROM based),
+r2 AS (
+  SELECT *, row_number() OVER (ORDER BY frac DESC, segment) AS rn,
+         10000 - sum(base) OVER () AS leftover
+  FROM b2)
+SELECT segment, floor(quota * 10000.0 + 0.5) / 10000.0 AS quota,
+       CAST(base + CASE WHEN rn <= leftover THEN 1 ELSE 0 END
+            AS BIGINT) AS alloc
+FROM r2
+""",
+    # Generated calendar dimension: engine-neutral ISO weekday via
+    # explicit arithmetic on the Spark side == DuckDB's isodow.
+    "date_dim_gen": """
+SELECT strftime(d, '%Y-%m-%d') AS day,
+       CAST(year(d) AS INT) AS year,
+       CAST(quarter(d) AS INT) AS quarter,
+       CAST(month(d) AS INT) AS month,
+       CAST(weekofyear(d) AS INT) AS iso_week,
+       CAST(isodow(d) AS INT) AS iso_dow,
+       isodow(d) >= 6 AS is_weekend,
+       last_day(d) = d AS is_month_end
+FROM (SELECT CAST(unnest(generate_series(DATE '2024-01-01',
+                                         DATE '2024-12-31',
+                                         INTERVAL 1 DAY)) AS DATE)
+        AS d)
+""",
 }
 
 # Streaming maintenance keys whose final render is DEFINED to equal an

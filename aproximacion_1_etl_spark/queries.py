@@ -12798,6 +12798,184 @@ def q_scd2_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 hierarchy ratio-to-parent OLAP report: revenue per
+    (region, nation) with each nation's share of its region and of
+    the grand total — the drill-down idiom every BI layer issues. One
+    fact aggregation to the leaf grain, then two windows over the
+    |nations| aggregate (parent and grand partitions) — ratios never
+    touch the fact table again. Decimal revenue sums; shares are one
+    IEEE division each."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    dim = (
+        s.join(n, s["s_nationkey"] == n["n_nationkey"])
+        .join(r, n["n_regionkey"] == r["r_regionkey"])
+        .select(
+            "s_suppkey",
+            F.col("n_name").alias("nation"),
+            F.col("r_name").alias("region"),
+        )
+    )
+    leaf = (
+        li.join(F.broadcast(dim), li["l_suppkey"] == dim["s_suppkey"])
+        .groupBy("region", "nation")
+        .agg(
+            F.sum(
+                (
+                    F.col("l_extendedprice")
+                    * (F.lit(1.0) - F.col("l_discount"))
+                ).cast("decimal(38,12)")
+            ).alias("rev")
+        )
+    )
+    w_region = Window.partitionBy("region")
+    w_all = Window.partitionBy()
+    return leaf.select(
+        "region",
+        "nation",
+        _fround(F.col("rev").cast("double"), 2).alias("revenue"),
+        _fround(
+            F.col("rev").cast("double")
+            / F.sum("rev").over(w_region).cast("double"),
+            6,
+        ).alias("share_of_region"),
+        _fround(
+            F.col("rev").cast("double")
+            / F.sum("rev").over(w_all).cast("double"),
+            6,
+        ).alias("share_of_total"),
+    )
+
+
+def q_drill_across(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 DRILL-ACROSS (Kimball): two fact tables at different
+    grains — order revenue and event activity — aggregated SEPARATELY
+    to the conformed customer-segment dimension, then merged by a full
+    outer join on the conformed key. Never a fact-to-fact join: each
+    fact shuffles once to the dimension grain (|segments| rows), the
+    merge is segment-sized. The cross-process ratio (revenue per
+    event) is derivable only at the conformed grain."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    ev = load_table(spark, sf_dir, "events")
+    seg = F.broadcast(
+        c.select("c_custkey", F.col("c_mktsegment").alias("segment"))
+    )
+    f_orders = (
+        o.join(seg, o["o_custkey"] == F.col("c_custkey"))
+        .groupBy("segment")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            _dsum(F.col("o_totalprice")).alias("order_revenue"),
+        )
+    )
+    f_events = (
+        ev.join(seg, ev["user_id"] == F.col("c_custkey"))
+        .groupBy("segment")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            _dsum(F.coalesce(F.col("value"), F.lit(0.0))).alias(
+                "event_value"
+            ),
+        )
+    )
+    j = f_orders.join(f_events, "segment", "full_outer")
+    return j.select(
+        "segment",
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.coalesce("order_revenue", F.lit(0.0)).alias("order_revenue"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.coalesce("event_value", F.lit(0.0)).alias("event_value"),
+        _fround(
+            F.col("order_revenue")
+            / F.nullif(F.col("n_events").cast("double"), F.lit(0.0)),
+            2,
+        ).alias("revenue_per_event"),
+    )
+
+
+def q_budget_apportion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 EXACT integer apportionment (largest-remainder /
+    Hamilton): a 10,000-unit budget allocated across segments
+    proportional to revenue — floor quotas first, then the leftover
+    units go to the largest fractional remainders (deterministic
+    tiebreak). The token-budget sibling of the waterfill planner
+    (token_budget_plan) for when the allocation must be integral and
+    sum EXACTLY to the budget. Quotas are one IEEE division off exact
+    decimal revenue; the leftover count is integer algebra over the
+    |segments| aggregate."""
+    budget = 10000
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    rev = (
+        o.join(
+            F.broadcast(
+                c.select(
+                    "c_custkey", F.col("c_mktsegment").alias("segment")
+                )
+            ),
+            o["o_custkey"] == F.col("c_custkey"),
+        )
+        .groupBy("segment")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(38,12)")).alias(
+                "rev"
+            )
+        )
+    )
+    w_all = Window.partitionBy()
+    quota = (
+        F.col("rev").cast("double")
+        / F.sum("rev").over(w_all).cast("double")
+        * F.lit(float(budget))
+    )
+    based = rev.select(
+        "segment",
+        quota.alias("quota"),
+        F.floor(quota).cast("bigint").alias("base"),
+        (quota - F.floor(quota)).alias("frac"),
+    )
+    w_rank = Window.orderBy(F.col("frac").desc(), F.col("segment").asc())
+    leftover = F.lit(budget) - F.sum("base").over(w_all)
+    return based.select(
+        "segment",
+        _fround(F.col("quota"), 4).alias("quota"),
+        (
+            F.col("base")
+            + (F.row_number().over(w_rank) <= leftover).cast("bigint")
+        ).alias("alloc"),
+    )
+
+
+def q_date_dim_gen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.1 GENERATED calendar dimension (the zero-input source every
+    warehouse needs): 2024's 366 days from a range generator with
+    year / quarter / month / ISO week / ISO weekday / weekend /
+    month-end attributes — no file scan, the generator parallelizes by
+    range split. Weekday is emitted as ISO (1=Mon..7=Sun) via explicit
+    arithmetic so no engine's locale or week-start convention leaks
+    in."""
+    days = spark.range(0, 366).select(
+        F.date_add(F.lit("2024-01-01").cast("date"), F.col("id").cast("int")).alias(
+            "d"
+        )
+    )
+    isodow = ((F.dayofweek("d") + 5) % 7) + 1
+    return days.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.year("d").cast("int").alias("year"),
+        F.quarter("d").cast("int").alias("quarter"),
+        F.month("d").cast("int").alias("month"),
+        F.weekofyear("d").cast("int").alias("iso_week"),
+        isodow.cast("int").alias("iso_dow"),
+        (isodow >= 6).alias("is_weekend"),
+        (F.last_day("d") == F.col("d")).alias("is_month_end"),
+    )
+
+
 ALL_QUERIES = {
     "flagship_order_lifecycle": q_flagship_order_lifecycle,
     "bm25_topk": q_bm25_topk,
@@ -13096,4 +13274,8 @@ ALL_QUERIES = {
     "phrase_search": q_phrase_search,
     "reconciliation_report": q_reconciliation_report,
     "scd2_audit": q_scd2_audit,
+    "share_of_parent": q_share_of_parent,
+    "drill_across": q_drill_across,
+    "budget_apportion": q_budget_apportion,
+    "date_dim_gen": q_date_dim_gen,
 }

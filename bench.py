@@ -226,6 +226,10 @@ HEADLINE = [
     "phrase_search",
     "reconciliation_report",
     "scd2_audit",
+    "share_of_parent",
+    "drill_across",
+    "budget_apportion",
+    "date_dim_gen",
     # Python-worker queries LAST: applyInPandas spins up 32 Python
     # workers and leaves GC pressure that inflates the next JVM-only
     # query by ~3x (measured: dedup_minhash_lsh 6.96s after it vs 1.9s

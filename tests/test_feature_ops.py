@@ -576,3 +576,83 @@ def test_scd2_audit_all_green_on_engine_builder_and_flags_planted(spark, sf_dir)
         == r["n_keys_bad_current"] == 0
     )
     assert r["n_keys"] > 0 and r["n_rows"] > r["n_keys"]
+
+
+def test_share_of_parent_shares_sum_to_one(spark, sf_dir):
+    """Within each region the nation shares must sum to 1, and the
+    grand shares must sum to 1 across all nations."""
+    from aproximacion_1_etl_spark.queries import q_share_of_parent
+
+    rows = q_share_of_parent(spark, sf_dir).collect()
+    by_region = {}
+    for r in rows:
+        by_region.setdefault(r["region"], []).append(r)
+    for region, rs in by_region.items():
+        assert abs(sum(x["share_of_region"] for x in rs) - 1.0) < 1e-3
+    assert abs(sum(r["share_of_total"] for r in rows) - 1.0) < 1e-3
+    for r in rows:
+        assert 0.0 < r["share_of_region"] <= 1.0
+
+
+def test_drill_across_matches_single_fact_aggregates(spark, sf_dir):
+    """The merged report must agree with each fact aggregated
+    independently, with no segment dropped by the outer join."""
+    from aproximacion_1_etl_spark.queries import q_drill_across
+
+    rows = {r["segment"]: r for r in q_drill_across(spark, sf_dir).collect()}
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    ev = load_table(spark, sf_dir, "events")
+    fo = {
+        r["c_mktsegment"]: r["n"]
+        for r in o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    fe = {
+        r["c_mktsegment"]: r["n"]
+        for r in ev.join(c, ev["user_id"] == c["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert set(rows) == set(fo) | set(fe)
+    for seg, r in rows.items():
+        assert r["n_orders"] == fo.get(seg, 0)
+        assert r["n_events"] == fe.get(seg, 0)
+        if r["n_events"]:
+            assert (
+                abs(r["revenue_per_event"] - r["order_revenue"] / r["n_events"])
+                < 0.02
+            )
+
+
+def test_budget_apportion_exact_and_fair(spark, sf_dir):
+    """Allocations must sum EXACTLY to the budget, each within 1 unit
+    of its real-valued quota (the largest-remainder guarantee)."""
+    from aproximacion_1_etl_spark.queries import q_budget_apportion
+
+    rows = q_budget_apportion(spark, sf_dir).collect()
+    assert sum(r["alloc"] for r in rows) == 10000
+    for r in rows:
+        assert abs(r["alloc"] - r["quota"]) < 1.0 + 1e-9
+    assert abs(sum(r["quota"] for r in rows) - 10000) < 1e-2
+
+
+def test_date_dim_gen_calendar_invariants(spark, sf_dir):
+    """366 days of 2024, ISO weekday cycles Mon..Sun, Jan 1 2024 is a
+    Monday, 12 month-ends, weekend count = 2*52."""
+    from aproximacion_1_etl_spark.queries import q_date_dim_gen
+
+    rows = sorted(
+        q_date_dim_gen(spark, sf_dir).collect(), key=lambda r: r["day"]
+    )
+    assert len(rows) == 366
+    assert rows[0]["day"] == "2024-01-01" and rows[0]["iso_dow"] == 1
+    assert rows[-1]["day"] == "2024-12-31"
+    assert sum(1 for r in rows if r["is_month_end"]) == 12
+    # 2024 has 52 Saturdays and 52 Sundays
+    assert sum(1 for r in rows if r["is_weekend"]) == 104
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["iso_dow"] == prev["iso_dow"] % 7 + 1
