@@ -6447,6 +6447,223 @@ FROM (SELECT CAST(unnest(generate_series(DATE '2024-01-01',
                                          INTERVAL 1 DAY)) AS DATE)
         AS d)
 """,
+    # Weighted quantiles: decimal cumulative weights, cross-multiplied
+    # rational thresholds — the crossing row is engine-exact.
+    "weighted_quantiles": """
+WITH t AS (
+  SELECT l_returnflag AS flag, l_extendedprice AS v,
+         sum(CAST(l_quantity AS DECIMAL(38,12)))
+           OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cw,
+         sum(CAST(l_quantity AS DECIMAL(38,12)))
+           OVER (PARTITION BY l_returnflag) AS tw
+  FROM lineitem)
+SELECT flag, CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(max(tw) AS BIGINT) AS total_qty,
+       floor(min(CASE WHEN cw * 2 >= tw * 1 THEN v END)
+             * 100.0 + 0.5) / 100.0 AS wp50,
+       floor(min(CASE WHEN cw * 10 >= tw * 9 THEN v END)
+             * 100.0 + 0.5) / 100.0 AS wp90
+FROM t GROUP BY flag
+""",
+    # Theil-Sen: pairwise slopes of the decimal-exact daily aggregate,
+    # exact two-middle median under a total (slope, d1, d2) order.
+    "theilsen_trend": """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(sum(CAST(value AS DECIMAL(38,18))) AS DOUBLE) AS rev
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+pairs AS (
+  SELECT a.event_type, a.day AS d1, b.day AS d2,
+         (b.rev - a.rev)
+           / CAST(date_diff('day', a.day, b.day) AS DOUBLE) AS slope
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.day < b.day),
+ranked AS (
+  SELECT event_type, slope,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY slope, d1, d2) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS m
+  FROM pairs),
+med AS (
+  SELECT event_type, sum(slope) / count(*) AS sen,
+         CAST(max(m) AS BIGINT) AS n_pairs
+  FROM ranked
+  WHERE rn = floor((m + 1) / 2) OR rn = floor(m / 2) + 1
+  GROUP BY 1),
+nd AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+  FROM daily GROUP BY 1)
+SELECT med.event_type, nd.n_days, med.n_pairs,
+       floor(med.sen * 10000.0 + 0.5) / 10000.0 AS sen_slope
+FROM med JOIN nd USING (event_type)
+""",
+    # Mann-Whitney U: per-VALUE rank aggregation (no per-row ranks),
+    # everything through 2U exact integers; z is the only IEEE step.
+    "mann_whitney_ab": """
+WITH pu AS (
+  SELECT user_id, sum(CAST(value AS DECIMAL(38,18))) AS uv,
+         CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 4)
+                   < '8000' THEN 'A' ELSE 'B' END AS arm
+  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+vals AS (
+  SELECT uv, CAST(count(*) AS DECIMAL(38,0)) AS t,
+         CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END)
+              AS DECIMAL(38,0)) AS ta
+  FROM pu GROUP BY 1),
+ranked AS (
+  SELECT t, ta,
+         CAST(COALESCE(sum(t) OVER (ORDER BY uv
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+              0) AS DECIMAL(38,0)) AS cb
+  FROM vals),
+agg AS (
+  SELECT CAST(sum(t) AS DECIMAL(38,0)) AS n,
+         CAST(sum(ta) AS DECIMAL(38,0)) AS na,
+         CAST(sum(ta * (2 * cb + t + 1)) AS DECIMAL(38,0)) AS ra2,
+         CAST(sum(t * t * t - t) AS DECIMAL(38,0)) AS tie3
+  FROM ranked),
+m AS (
+  SELECT CAST(na AS BIGINT) AS n_a, CAST(n - na AS BIGINT) AS n_b,
+         CAST(ra2 - na * (na + 1) AS DOUBLE) AS u2,
+         CAST(n AS DOUBLE) AS nd, CAST(na AS DOUBLE) AS nad,
+         CAST(n - na AS DOUBLE) AS nbd, CAST(tie3 AS DOUBLE) AS tied
+  FROM agg),
+sig AS (
+  SELECT *, (nad * nbd / 12.0)
+            * ((nd + 1) - tied / (nd * (nd - 1.0))) AS sigma2
+  FROM m)
+SELECT n_a, n_b, u2 / 2.0 AS u_a,
+       floor((u2 - nad * nbd) / (2.0 * sqrt(sigma2))
+             * 10000.0 + 0.5) / 10000.0 AS z,
+       floor((1.0 - u2 / (nad * nbd)) * 10000.0 + 0.5) / 10000.0
+         AS rank_biserial
+FROM sig
+""",
+    # Difference-in-differences: 4-cell conditional aggregation,
+    # decimal moments, identical scalar algebra on both engines.
+    "diff_in_diff": """
+WITH d AS (
+  SELECT CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 4)
+                   < '8000' THEN 1 ELSE 0 END AS treat,
+         CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END
+           AS post,
+         value AS y
+  FROM events
+  WHERE event_type = 'purchase' AND value IS NOT NULL),
+g AS (
+  SELECT
+    CAST(sum(CASE WHEN treat = 0 AND post = 0
+                  THEN CAST(1 AS DECIMAL(38,18)) END) AS DOUBLE)
+      AS n_c0,
+    CAST(sum(CASE WHEN treat = 0 AND post = 0
+                  THEN CAST(y AS DECIMAL(38,18)) END) AS DOUBLE)
+      AS s_c0,
+    CAST(sum(CASE WHEN treat = 0 AND post = 0
+                  THEN CAST(y * y AS DECIMAL(38,18)) END) AS DOUBLE)
+      AS q_c0,
+    CAST(sum(CASE WHEN treat = 0 AND post = 1
+                  THEN CAST(1 AS DECIMAL(38,18)) END) AS DOUBLE)
+      AS n_c1,
+    CAST(sum(CASE WHEN treat = 0 AND post = 1
+                  THEN CAST(y AS DECIMAL(38,18)) END) AS DOUBLE)
+      AS s_c1,
+    CAST(sum(CASE WHEN treat = 0 AND post = 1
+                  THEN CAST(y * y AS DECIMAL(38,18)) END) AS DOUBLE)
+      AS q_c1,
+    CAST(sum(CASE WHEN treat = 1 AND post = 0
+                  THEN CAST(1 AS DECIMAL(38,18)) END) AS DOUBLE)
+      AS n_t0,
+    CAST(sum(CASE WHEN treat = 1 AND post = 0
+                  THEN CAST(y AS DECIMAL(38,18)) END) AS DOUBLE)
+      AS s_t0,
+    CAST(sum(CASE WHEN treat = 1 AND post = 0
+                  THEN CAST(y * y AS DECIMAL(38,18)) END) AS DOUBLE)
+      AS q_t0,
+    CAST(sum(CASE WHEN treat = 1 AND post = 1
+                  THEN CAST(1 AS DECIMAL(38,18)) END) AS DOUBLE)
+      AS n_t1,
+    CAST(sum(CASE WHEN treat = 1 AND post = 1
+                  THEN CAST(y AS DECIMAL(38,18)) END) AS DOUBLE)
+      AS s_t1,
+    CAST(sum(CASE WHEN treat = 1 AND post = 1
+                  THEN CAST(y * y AS DECIMAL(38,18)) END) AS DOUBLE)
+      AS q_t1
+  FROM d),
+mm AS (
+  SELECT *,
+         s_c0 / n_c0 AS m_c0, s_c1 / n_c1 AS m_c1,
+         s_t0 / n_t0 AS m_t0, s_t1 / n_t1 AS m_t1
+  FROM g),
+vv AS (
+  SELECT *,
+         (q_c0 / n_c0 - m_c0 * m_c0) * (n_c0 / (n_c0 - 1.0)) AS v_c0,
+         (q_c1 / n_c1 - m_c1 * m_c1) * (n_c1 / (n_c1 - 1.0)) AS v_c1,
+         (q_t0 / n_t0 - m_t0 * m_t0) * (n_t0 / (n_t0 - 1.0)) AS v_t0,
+         (q_t1 / n_t1 - m_t1 * m_t1) * (n_t1 / (n_t1 - 1.0)) AS v_t1,
+         (m_t1 - m_t0) - (m_c1 - m_c0) AS did_raw
+  FROM mm),
+fin AS (
+  SELECT *,
+         sqrt(((0 + v_c0 / n_c0) + v_c1 / n_c1) + v_t0 / n_t0
+              + v_t1 / n_t1) AS se_raw
+  FROM vv)
+SELECT CAST(n_c0 AS BIGINT) AS n_c0, CAST(n_c1 AS BIGINT) AS n_c1,
+       CAST(n_t0 AS BIGINT) AS n_t0, CAST(n_t1 AS BIGINT) AS n_t1,
+       floor(m_c0 * 10000.0 + 0.5) / 10000.0 AS mean_c0,
+       floor(m_c1 * 10000.0 + 0.5) / 10000.0 AS mean_c1,
+       floor(m_t0 * 10000.0 + 0.5) / 10000.0 AS mean_t0,
+       floor(m_t1 * 10000.0 + 0.5) / 10000.0 AS mean_t1,
+       floor(did_raw * 10000.0 + 0.5) / 10000.0 AS did,
+       floor(se_raw * 10000.0 + 0.5) / 10000.0 AS se,
+       floor(did_raw / se_raw * 10000.0 + 0.5) / 10000.0 AS t_stat
+FROM fin
+""",
+    # EWMA control chart: exact power-of-two weights via << (never
+    # libm pow); EWMA is one division of exact integers.
+    "ewma_control_chart": """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2),
+idx AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY day) AS i
+  FROM daily),
+pairs AS (
+  SELECT a.event_type, a.day, a.x,
+         CAST(b.x * (CAST(1 AS BIGINT)
+                     << CAST(15 - (a.i - 1 - b.i) AS INT))
+              AS DECIMAL(38,0)) AS term,
+         CAST((CAST(1 AS BIGINT)
+               << CAST(15 - (a.i - 1 - b.i) AS INT))
+              AS DECIMAL(38,0)) AS wt
+  FROM idx a JOIN idx b ON a.event_type = b.event_type
+  WHERE b.i >= a.i - 16 AND b.i <= a.i - 1),
+ew AS (
+  SELECT event_type, day, x, sum(term) AS s, sum(wt) AS den
+  FROM pairs GROUP BY 1, 2, 3),
+mo AS (
+  SELECT event_type, CAST(count(*) AS DOUBLE) AS nn,
+         CAST(sum(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(x * x AS DECIMAL(38,0))) AS DOUBLE) AS qx
+  FROM daily GROUP BY 1),
+sd AS (
+  SELECT event_type,
+         sqrt((qx / nn - (sx / nn) * (sx / nn))
+              * (nn / (nn - 1.0))) AS sigma
+  FROM mo)
+SELECT d.event_type, strftime(d.day, '%Y-%m-%d') AS day, d.x,
+       floor(CAST(e.s AS DOUBLE) / CAST(e.den AS DOUBLE)
+             * 10000.0 + 0.5) / 10000.0 AS ewma_prior,
+       COALESCE(abs(CAST(d.x AS DOUBLE)
+                    - CAST(e.s AS DOUBLE) / CAST(e.den AS DOUBLE))
+                > 3.0 * sd.sigma, FALSE) AS alarm
+FROM daily d
+LEFT JOIN ew e ON d.event_type = e.event_type AND d.day = e.day
+JOIN sd ON d.event_type = sd.event_type
+""",
 }
 
 # Streaming maintenance keys whose final render is DEFINED to equal an

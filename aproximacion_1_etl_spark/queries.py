@@ -11275,8 +11275,11 @@ def fk_report(
                 .cast("bigint")
                 .alias(f"_orph_{i}")
             )
+        def _q(s: str) -> str:  # SQL string literal, quote-safe
+            return "'" + s.replace("'", "''") + "'"
+
         stacked = ", ".join(
-            f"'{fk_l}', '{pk_l}', _orph_{i}"
+            f"{_q(fk_l)}, {_q(pk_l)}, _orph_{i}"
             for i, (fk_l, pk_l, *_rest) in enumerate(chks)
         )
         outs.append(
@@ -11886,19 +11889,20 @@ def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_kfold_cv_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.10 k-fold cross-validated many-models OLS — the evaluation
-    loop that normally forces k re-trainings collapses into ONE moment
-    pass: per-(segment, fold) moment vectors sum EXACTLY (decimal) to
-    the segment totals, each fold's train model is the closed-form fit
-    on (total - fold) moments, and the held-out SSE unfolds
-    algebraically from the fold's own moments (Qy - 2a·Sy - 2b·Sxy +
-    2ab·Sx + a²n + b²Sxx). k models x |segments| segments evaluated
-    with zero extra scans — extends per_group_ols (queries.py:1134)
-    from fit to honest out-of-fold error."""
+_CV_MOMS = ("n", "sx", "sy", "sxx", "sxy", "syy")
+
+
+def _cv_fold_moments(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
+    """Shared (segment, fold) moment relation for the k-fold CV family
+    (kfold_cv_ols, ridge_path_cv) — ONE decimal moment pass over the
+    orders⨝customer fact, segment totals, train = total - fold.
+    Columns: segment, fold, n_tot, tr_<m> (train moments, double) and
+    f_<m> (held-out fold moments, double) for m in n/sx/sy/sxx/sxy/syy.
+    Both consumers derive their closed-form models from THIS relation
+    so the fold hashing / decimal scale / moment algebra can't drift
+    between them."""
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
-    k = 5
     d = o.join(
         F.broadcast(
             c.select("c_custkey", "c_mktsegment", "c_acctbal")
@@ -11923,37 +11927,62 @@ def q_kfold_cv_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum(F.col("y") * F.col("y")).alias("syy"),
     )
     tot = fm.groupBy("segment").agg(
+        *[F.sum(col).alias("t_" + col) for col in _CV_MOMS]
+    )
+    return fm.join(tot, "segment").select(
+        "segment",
+        "fold",
+        F.col("t_n").cast("double").alias("n_tot"),
         *[
-            F.sum(col).alias("t_" + col)
-            for col in ("n", "sx", "sy", "sxx", "sxy", "syy")
-        ]
+            (F.col("t_" + col) - F.col(col))
+            .cast("double")
+            .alias("tr_" + col)
+            for col in _CV_MOMS
+        ],
+        *[
+            F.col(col).cast("double").alias("f_" + col)
+            for col in _CV_MOMS
+        ],
     )
-    j = fm.join(tot, "segment")
-    tr = {
-        col: (F.col("t_" + col) - F.col(col)).cast("double")
-        for col in ("n", "sx", "sy", "sxx", "sxy", "syy")
-    }
+
+
+def _oof_sse(icept, slope):
+    """Held-out SSE unfolded from the fold's own moments (f_*):
+    Qy - 2a·Sy - 2b·Sxy + 2ab·Sx + a²n + b²Sxx."""
+    return (
+        F.col("f_syy")
+        - 2 * icept * F.col("f_sy")
+        - 2 * slope * F.col("f_sxy")
+        + 2 * icept * slope * F.col("f_sx")
+        + icept * icept * F.col("f_n")
+        + slope * slope * F.col("f_sxx")
+    )
+
+
+def q_kfold_cv_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 k-fold cross-validated many-models OLS — the evaluation
+    loop that normally forces k re-trainings collapses into ONE moment
+    pass (_cv_fold_moments): per-(segment, fold) moment vectors sum
+    EXACTLY (decimal) to the segment totals, each fold's train model is
+    the closed-form fit on (total - fold) moments, and the held-out SSE
+    unfolds algebraically from the fold's own moments (_oof_sse).
+    k models x |segments| segments evaluated with zero extra scans —
+    extends per_group_ols (queries.py:1134) from fit to honest
+    out-of-fold error."""
+    j = _cv_fold_moments(spark, sf_dir, k=5)
     slope = (
-        tr["n"] * tr["sxy"] - tr["sx"] * tr["sy"]
-    ) / (tr["n"] * tr["sxx"] - tr["sx"] * tr["sx"])
-    icept = (tr["sy"] - slope * tr["sx"]) / tr["n"]
-    fold_d = {
-        col: F.col(col).cast("double")
-        for col in ("n", "sx", "sy", "sxx", "sxy", "syy")
-    }
-    sse = (
-        fold_d["syy"]
-        - 2 * icept * fold_d["sy"]
-        - 2 * slope * fold_d["sxy"]
-        + 2 * icept * slope * fold_d["sx"]
-        + icept * icept * fold_d["n"]
-        + slope * slope * fold_d["sxx"]
+        F.col("tr_n") * F.col("tr_sxy")
+        - F.col("tr_sx") * F.col("tr_sy")
+    ) / (
+        F.col("tr_n") * F.col("tr_sxx")
+        - F.col("tr_sx") * F.col("tr_sx")
     )
+    icept = (F.col("tr_sy") - slope * F.col("tr_sx")) / F.col("tr_n")
     per_fold = j.select(
         "segment",
-        F.col("t_n").cast("double").alias("n_tot"),
+        "n_tot",
         slope.alias("_slope"),
-        sse.alias("_sse"),
+        _oof_sse(icept, slope).alias("_sse"),
     )
     return per_fold.groupBy("segment").agg(
         F.max("n_tot").cast("bigint").alias("n"),
@@ -12118,58 +12147,16 @@ def q_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ridge_path_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.10 hyperparameter tuning at scale: the ridge regularization
     path per segment, cross-validated, from the SAME single moment
-    pass as kfold_cv_ols — the penalty grid is RELATIVE
-    (lambda = alpha * centered train Sxx, alpha in {0, .25, 1, 4}, all
-    exact binary), so the sweep is scale-free and each (segment, fold,
-    alpha) model is closed-form column algebra on the |segments|x|k|
-    moment relation exploded by 4. k x |grid| x |segments| honest
-    out-of-fold errors, zero extra scans, deterministic best-alpha
-    pick."""
-    o = load_table(spark, sf_dir, "orders")
-    c = load_table(spark, sf_dir, "customer")
-    k = 5
-    d = o.join(
-        F.broadcast(
-            c.select("c_custkey", "c_mktsegment", "c_acctbal")
-        ),
-        o["o_custkey"] == F.col("c_custkey"),
-    ).select(
-        F.col("c_mktsegment").alias("segment"),
-        (F.col("o_orderkey") % k).cast("int").alias("fold"),
-        F.col("c_acctbal").alias("x"),
-        F.col("o_totalprice").alias("y"),
-    )
-
-    def dsum(e):
-        return F.sum(e.cast("decimal(38,12)"))
-
-    fm = d.groupBy("segment", "fold").agg(
-        F.count("*").cast("decimal(38,12)").alias("n"),
-        dsum(F.col("x")).alias("sx"),
-        dsum(F.col("y")).alias("sy"),
-        dsum(F.col("x") * F.col("x")).alias("sxx"),
-        dsum(F.col("x") * F.col("y")).alias("sxy"),
-        dsum(F.col("y") * F.col("y")).alias("syy"),
-    )
-    tot = fm.groupBy("segment").agg(
-        *[
-            F.sum(col).alias("t_" + col)
-            for col in ("n", "sx", "sy", "sxx", "sxy", "syy")
-        ]
-    )
-    j = fm.join(tot, "segment").select(
-        "segment",
-        *[
-            (F.col("t_" + col) - F.col(col))
-            .cast("double")
-            .alias("tr_" + col)
-            for col in ("n", "sx", "sy", "sxx", "sxy")
-        ],
-        F.col("t_n").cast("double").alias("n_tot"),
-        *[
-            F.col(col).cast("double").alias("f_" + col)
-            for col in ("n", "sx", "sy", "sxx", "sxy", "syy")
-        ],
+    pass as kfold_cv_ols (_cv_fold_moments — shared, so the fold
+    hashing and decimal algebra cannot drift) — the penalty grid is
+    RELATIVE (lambda = alpha * centered train Sxx, alpha in
+    {0, .25, 1, 4}, all exact binary), so the sweep is scale-free and
+    each (segment, fold, alpha) model is closed-form column algebra on
+    the |segments|x|k| moment relation exploded by 4. k x |grid| x
+    |segments| honest out-of-fold errors, zero extra scans,
+    deterministic best-alpha pick."""
+    j = _cv_fold_moments(spark, sf_dir, k=5).select(
+        "*",
         F.explode(
             F.array(
                 F.lit(0.0), F.lit(0.25), F.lit(1.0), F.lit(4.0)
@@ -12184,17 +12171,12 @@ def q_ridge_path_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     slope = sxy_c / (sxx_c * (F.lit(1.0) + F.col("alpha")))
     icept = (F.col("tr_sy") - slope * F.col("tr_sx")) / F.col("tr_n")
-    sse = (
-        F.col("f_syy")
-        - 2 * icept * F.col("f_sy")
-        - 2 * slope * F.col("f_sxy")
-        + 2 * icept * slope * F.col("f_sx")
-        + icept * icept * F.col("f_n")
-        + slope * slope * F.col("f_sxx")
-    )
     per_alpha = (
         j.select(
-            "segment", "alpha", F.col("n_tot"), sse.alias("_sse")
+            "segment",
+            "alpha",
+            F.col("n_tot"),
+            _oof_sse(icept, slope).alias("_sse"),
         )
         .groupBy("segment", "alpha")
         .agg(
@@ -12384,9 +12366,19 @@ def q_streaming_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact, so merged == recomputed). The final render is the SAME
     helper the batch key uses (_changepoint_render), so capacity
     monitoring never rescans history and the oracle is
-    changepoint_detect's SQL by construction."""
+    changepoint_detect's SQL by construction. State lives in a
+    versioned snapshot table whose meta carries the batch id, so a
+    replayed micro-batch (crash between state write and checkpoint
+    commit) is a no-op instead of double-counting the moments."""
     import shutil
     import time as _time
+
+    from aproximacion_1_etl_spark.sources.versioned import (
+        committed_metas,
+        current_version,
+        read_snapshot,
+        write_snapshot,
+    )
 
     ev = (
         load_table(spark, sf_dir, "events")
@@ -12404,21 +12396,18 @@ def q_streaming_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     state_log = os.path.join(base, "state")
 
     def handle_batch(batch, batch_id: int) -> None:
+        if str(batch_id) in committed_metas(state_log):
+            return
         bspark = batch.sparkSession
         part = _changepoint_daily(
             batch.select(
                 "event_type", F.to_date("ts").alias("day"), "value"
             )
         )
-        if os.path.isdir(state_log):
-            prior = bspark.read.parquet(state_log)
+        if current_version(state_log) is not None:
+            prior = read_snapshot(bspark, state_log)
             part = _merge_changepoint_states(prior.unionByName(part))
-        part.write.mode("overwrite").parquet(
-            os.path.join(base, "_state_next")
-        )
-        bspark.read.parquet(
-            os.path.join(base, "_state_next")
-        ).write.mode("overwrite").parquet(state_log)
+        write_snapshot(part, state_log, meta=str(batch_id))
 
     try:
         ev.filter(F.col("ts") < "2024-01-16").coalesce(1).write.parquet(
@@ -12446,7 +12435,7 @@ def q_streaming_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-        out = _changepoint_render(spark.read.parquet(state_log))
+        out = _changepoint_render(read_snapshot(spark, state_log))
         return _reclaimed(out, base, ckpt)
     finally:
         if os.path.isdir(base):
@@ -12748,17 +12737,23 @@ def q_scd2_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         tiebreak="event_id",
         attrs=["event_type"],
     )
-    w = Window.partitionBy("user_id").orderBy(
-        F.col("valid_from").asc()
-    )
-    marked = h.select(
-        "user_id",
+    return scd2_audit(h, key="user_id")
+
+
+def scd2_audit(history: DataFrame, key: str) -> DataFrame:
+    """Audit any SCD2 history table (columns: <key>, valid_from,
+    valid_to, is_current) for interval-tiling violations — the
+    reusable core of q_scd2_audit, callable on foreign hand-maintained
+    dimensions."""
+    w = Window.partitionBy(key).orderBy(F.col("valid_from").asc())
+    marked = history.select(
+        key,
         "valid_from",
         "valid_to",
         F.col("is_current").cast("int").alias("cur"),
         F.lead("valid_from").over(w).alias("next_from"),
     )
-    per_key = marked.groupBy("user_id").agg(
+    per_key = marked.groupBy(key).agg(
         F.count("*").cast("bigint").alias("n_rows"),
         F.sum("cur").alias("n_current"),
         F.sum(
@@ -12883,15 +12878,17 @@ def q_drill_across(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     j = f_orders.join(f_events, "segment", "full_outer")
+    # coalesce BEFORE the ratio so a segment present in only one fact
+    # yields 0-valued measures on both engine and oracle sides
+    rev0 = F.coalesce("order_revenue", F.lit(0.0))
     return j.select(
         "segment",
         F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
-        F.coalesce("order_revenue", F.lit(0.0)).alias("order_revenue"),
+        rev0.alias("order_revenue"),
         F.coalesce("n_events", F.lit(0)).alias("n_events"),
         F.coalesce("event_value", F.lit(0.0)).alias("event_value"),
         _fround(
-            F.col("order_revenue")
-            / F.nullif(F.col("n_events").cast("double"), F.lit(0.0)),
+            rev0 / F.nullif(F.col("n_events").cast("double"), F.lit(0.0)),
             2,
         ).alias("revenue_per_event"),
     )
@@ -12973,6 +12970,355 @@ def q_date_dim_gen(spark: SparkSession, sf_dir: str) -> DataFrame:
         isodow.cast("int").alias("iso_dow"),
         (isodow >= 6).alias("is_weekend"),
         (F.last_day("d") == F.col("d")).alias("is_month_end"),
+    )
+
+
+def q_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 WEIGHTED quantiles per group — the quantity-weighted price
+    percentiles per return flag ("the median price a UNIT actually
+    sold at", not the median line), completing the quantile family
+    next to grouped_quantiles (unweighted) and incremental_quantiles.
+    One cumulative-weight window per group over the facts ordered by
+    value; the lower weighted q-quantile is the smallest value whose
+    cumulative weight reaches q*W. Weights stay decimal end to end and
+    the threshold test is cross-multiplied by q's exact rational form
+    (cw*den >= tw*num), so the crossing row — hence the result — is
+    engine-identical with zero float rank math. Tie-order inside equal
+    values cannot change the answer (the selected value is the run's
+    value wherever the crossing lands). Same shuffle count as any
+    per-group window; no global sort."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("v"),
+        F.col("l_quantity").cast("decimal(38,12)").alias("w"),
+    )
+    wc = (
+        Window.partitionBy("flag")
+        .orderBy(F.col("v").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = li.select(
+        "flag",
+        "v",
+        F.sum("w").over(wc).alias("cw"),
+        F.sum("w").over(Window.partitionBy("flag")).alias("tw"),
+    )
+
+    def wq(num: int, den: int):
+        return F.min(
+            F.when(
+                F.col("cw") * F.lit(den) >= F.col("tw") * F.lit(num),
+                F.col("v"),
+            )
+        )
+
+    return cum.groupBy("flag").agg(
+        F.count("*").cast("bigint").alias("n_lines"),
+        F.max("tw").cast("bigint").alias("total_qty"),
+        _fround(wq(1, 2), 2).alias("wp50"),
+        _fround(wq(9, 10), 2).alias("wp90"),
+    )
+
+
+def q_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 Theil-Sen robust trend per event type — the median of all
+    pairwise slopes of the DAILY revenue series, insensitive to ~29%
+    of days being outliers where the OLS fit (ols_event_model) is not.
+    The quadratic pair set is generated from the |types|x|days| daily
+    AGGREGATE (~465 pairs/type for a month of days), never the raw
+    facts, so the cost at any SF is one scan plus a tiny self-join.
+    Daily sums are decimal-exact; each slope is one IEEE division; the
+    median is the exact mean of the two middle order statistics under
+    a fully deterministic (slope, d1, d2) order."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("value").isNotNull())
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(F.col("value").cast("decimal(38,18)"))
+            .cast("double")
+            .alias("rev")
+        )
+    )
+    a = daily.select(
+        "event_type",
+        F.col("day").alias("d1"),
+        F.col("rev").alias("v1"),
+    )
+    b = daily.select(
+        "event_type",
+        F.col("day").alias("d2"),
+        F.col("rev").alias("v2"),
+    )
+    pairs = (
+        a.join(b, "event_type")
+        .filter(F.col("d1") < F.col("d2"))
+        .select(
+            "event_type",
+            "d1",
+            "d2",
+            (
+                (F.col("v2") - F.col("v1"))
+                / F.datediff("d2", "d1").cast("double")
+            ).alias("slope"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("slope", "d1", "d2")
+    ranked = pairs.select(
+        "event_type",
+        "slope",
+        F.row_number().over(w).alias("rn"),
+        F.count("*")
+        .over(Window.partitionBy("event_type"))
+        .alias("m"),
+    )
+    med = (
+        ranked.filter(
+            (F.col("rn") == F.floor((F.col("m") + 1) / 2))
+            | (F.col("rn") == F.floor(F.col("m") / 2) + 1)
+        )
+        .groupBy("event_type")
+        .agg(
+            (F.sum("slope") / F.count("*")).alias("_sen"),
+            F.max("m").cast("bigint").alias("n_pairs"),
+        )
+    )
+    nd = daily.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_days")
+    )
+    return med.join(nd, "event_type").select(
+        "event_type",
+        "n_days",
+        "n_pairs",
+        _fround(F.col("_sen"), 4).alias("sen_slope"),
+    )
+
+
+def q_mann_whitney_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 nonparametric A/B readout: Mann-Whitney U with tie
+    correction — the rank-sum complement of ab_test_report's Welch t
+    for skewed per-user value distributions (same md5-band arms).
+    SCALE-CORRECT RANKING: no global row_number over users — per-user
+    values aggregate to per-VALUE counts, one cumulative window over
+    the |distinct values| aggregate assigns exact average ranks, and
+    every quantity through 2U stays an exact integer (ranks are
+    integers-plus-halves, carried doubled): the tie-corrected normal z
+    is the only IEEE step. Per-user values are grouped as decimals so
+    value equality is engine-exact. At 100x the |distinct values|
+    window is the lever — it rides the same two-phase prefix-sum
+    rewrite max_concurrency uses."""
+    from aproximacion_1_etl_spark.functions.sampling import _hash_prefix
+
+    ev = load_table(spark, sf_dir, "events")
+    per_user = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.col("value").cast("decimal(38,18)")).alias("uv")
+        )
+        .withColumn(
+            "arm",
+            F.when(
+                _hash_prefix(F.col("user_id")) < "8000", "A"
+            ).otherwise("B"),
+        )
+    )
+    vals = per_user.groupBy("uv").agg(
+        F.count("*").cast("decimal(38,0)").alias("t"),
+        F.sum(F.when(F.col("arm") == "A", 1).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("ta"),
+    )
+    w_cum = Window.orderBy("uv").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ranked = vals.select(
+        "t",
+        "ta",
+        F.coalesce(F.sum("t").over(w_cum), F.lit(0))
+        .cast("decimal(38,0)")
+        .alias("cb"),
+    )
+    # doubled average rank: 2*rank = 2*cum_before + t + 1 (integer)
+    r2 = 2 * F.col("cb") + F.col("t") + 1
+    agg = ranked.agg(
+        F.sum("t").cast("decimal(38,0)").alias("n"),
+        F.sum("ta").cast("decimal(38,0)").alias("na"),
+        F.sum(F.col("ta") * r2).cast("decimal(38,0)").alias("ra2"),
+        F.sum(
+            F.col("t") * F.col("t") * F.col("t") - F.col("t")
+        ).cast("decimal(38,0)").alias("tie3"),
+    )
+    n = F.col("n").cast("double")
+    na = F.col("na").cast("double")
+    nb = (F.col("n") - F.col("na")).cast("double")
+    # 2*U_A = sum(2*rank_A) - nA*(nA+1)  (exact integer)
+    u2 = (
+        F.col("ra2") - F.col("na") * (F.col("na") + 1)
+    ).cast("double")
+    mu2 = na * nb  # 2*mu = nA*nB
+    sigma2 = (
+        na * nb / F.lit(12.0)
+    ) * (
+        (n + 1)
+        - F.col("tie3").cast("double") / (n * (n - F.lit(1.0)))
+    )
+    z = (u2 - mu2) / (F.lit(2.0) * F.sqrt(sigma2))
+    return agg.select(
+        F.col("na").cast("bigint").alias("n_a"),
+        (F.col("n") - F.col("na")).cast("bigint").alias("n_b"),
+        (u2 / F.lit(2.0)).alias("u_a"),
+        _fround(z, 4).alias("z"),
+        _fround(F.lit(1.0) - u2 / (na * nb), 4).alias(
+            "rank_biserial"
+        ),
+    )
+
+
+def q_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 difference-in-differences estimator — the panel-causal
+    workhorse next to ab_test_report: treatment arm = the engine's
+    deterministic md5 hash band of user_id, period = pre/post a
+    mid-series cutover, outcome = purchase value. ONE
+    conditional-aggregation pass over the facts renders all four
+    (arm x period) cells' decimal-exact moments; the DiD point
+    estimate and its pooled SE are scalar algebra on the single
+    4-cell row. (Hash-randomized arms mean the true effect is 0 —
+    the key exercises the estimator on null data.)"""
+    from aproximacion_1_etl_spark.functions.sampling import _hash_prefix
+
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.filter(
+        (F.col("event_type") == "purchase")
+        & F.col("value").isNotNull()
+    ).select(
+        F.when(_hash_prefix(F.col("user_id")) < "8000", 1)
+        .otherwise(0)
+        .alias("treat"),
+        (F.col("ts") >= F.lit("2024-01-16")).cast("int").alias("post"),
+        F.col("value").alias("y"),
+    )
+
+    def cell(tr: int, po: int, e):
+        return F.sum(
+            F.when(
+                (F.col("treat") == tr) & (F.col("post") == po), e
+            ).cast("decimal(38,18)")
+        ).cast("double")
+
+    aggs = []
+    for tr in (0, 1):
+        for po in (0, 1):
+            sfx = f"{'t' if tr else 'c'}{po}"
+            aggs += [
+                cell(tr, po, F.lit(1)).alias("n_" + sfx),
+                cell(tr, po, F.col("y")).alias("s_" + sfx),
+                cell(tr, po, F.col("y") * F.col("y")).alias(
+                    "q_" + sfx
+                ),
+            ]
+    g = d.agg(*aggs)
+    m = {
+        sfx: F.col("s_" + sfx) / F.col("n_" + sfx)
+        for sfx in ("c0", "c1", "t0", "t1")
+    }
+    var = {
+        sfx: (
+            F.col("q_" + sfx) / F.col("n_" + sfx) - m[sfx] * m[sfx]
+        )
+        * (F.col("n_" + sfx) / (F.col("n_" + sfx) - F.lit(1.0)))
+        for sfx in ("c0", "c1", "t0", "t1")
+    }
+    did = (m["t1"] - m["t0"]) - (m["c1"] - m["c0"])
+    se = F.sqrt(
+        sum(var[sfx] / F.col("n_" + sfx) for sfx in var)
+    )
+    out = g.select(
+        *[
+            F.col("n_" + sfx).cast("bigint").alias("n_" + sfx)
+            for sfx in ("c0", "c1", "t0", "t1")
+        ],
+        *[
+            _fround(m[sfx], 4).alias("mean_" + sfx)
+            for sfx in ("c0", "c1", "t0", "t1")
+        ],
+        _fround(did, 4).alias("did"),
+        _fround(se, 4).alias("se"),
+        _fround(did / se, 4).alias("t_stat"),
+    )
+    return out
+
+
+def q_ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 EWMA control chart over daily event volume per type —
+    cusum_drift's EWMA sibling for drift that drifts back. The
+    trailing-16-day exponentially weighted mean uses EXACT rational
+    weights 2^(15-k) built with shiftleft — never libm pow, which is
+    not correctly rounded across engines — so the weighted sum and its
+    normalizer are exact integers < 2^53 and the EWMA is ONE
+    correctly-rounded IEEE division, engine-identical. The window
+    pairs come from a bounded 16-wide self-join on the row-indexed
+    |types|x|days| daily aggregate (gap-proof), never the raw facts.
+    A day alarms when its count deviates from the PRIOR window's EWMA
+    by more than 3 global-series sigma (moments-exact)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count("*").cast("bigint").alias("x"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    idx = daily.withColumn("i", F.row_number().over(w))
+    cur = idx.select("event_type", "day", "x", "i")
+    pri = idx.select(
+        "event_type",
+        F.col("i").alias("j"),
+        F.col("x").alias("xj"),
+    )
+    pairs = cur.join(pri, "event_type").filter(
+        (F.col("j") >= F.col("i") - 16) & (F.col("j") <= F.col("i") - 1)
+    )
+    wt = F.expr(
+        "shiftleft(CAST(1 AS BIGINT), 15 - CAST(i - 1 - j AS INT))"
+    )
+    ew = pairs.groupBy("event_type", "day", "x").agg(
+        F.sum((F.col("xj") * wt).cast("decimal(38,0)")).alias("s"),
+        F.sum(wt.cast("decimal(38,0)")).alias("den"),
+    )
+    sd_src = daily.groupBy("event_type").agg(
+        F.count("*").cast("double").alias("nn"),
+        F.sum(F.col("x").cast("decimal(38,0)"))
+        .cast("double")
+        .alias("sx"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("qx"),
+    )
+    sd = sd_src.select(
+        "event_type",
+        F.sqrt(
+            (
+                F.col("qx") / F.col("nn")
+                - (F.col("sx") / F.col("nn"))
+                * (F.col("sx") / F.col("nn"))
+            )
+            * (F.col("nn") / (F.col("nn") - F.lit(1.0)))
+        ).alias("sigma"),
+    )
+    ewma = F.col("s").cast("double") / F.col("den").cast("double")
+    joined = (
+        daily.join(ew.select("event_type", "day", "s", "den"),
+                   ["event_type", "day"], "left")
+        .join(F.broadcast(sd), "event_type")
+    )
+    return joined.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "x",
+        _fround(ewma, 4).alias("ewma_prior"),
+        F.coalesce(
+            F.abs(F.col("x").cast("double") - ewma)
+            > F.lit(3.0) * F.col("sigma"),
+            F.lit(False),
+        ).alias("alarm"),
     )
 
 
@@ -13278,4 +13624,9 @@ ALL_QUERIES = {
     "drill_across": q_drill_across,
     "budget_apportion": q_budget_apportion,
     "date_dim_gen": q_date_dim_gen,
+    "weighted_quantiles": q_weighted_quantiles,
+    "theilsen_trend": q_theilsen_trend,
+    "mann_whitney_ab": q_mann_whitney_ab,
+    "diff_in_diff": q_diff_in_diff,
+    "ewma_control_chart": q_ewma_control_chart,
 }

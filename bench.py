@@ -230,6 +230,11 @@ HEADLINE = [
     "drill_across",
     "budget_apportion",
     "date_dim_gen",
+    "weighted_quantiles",
+    "theilsen_trend",
+    "mann_whitney_ab",
+    "diff_in_diff",
+    "ewma_control_chart",
     # Python-worker queries LAST: applyInPandas spins up 32 Python
     # workers and leaves GC pressure that inflates the next JVM-only
     # query by ~3x (measured: dedup_minhash_lsh 6.96s after it vs 1.9s

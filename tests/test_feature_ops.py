@@ -567,7 +567,7 @@ def test_scd2_audit_all_green_on_engine_builder_and_flags_planted(spark, sf_dir)
     """The engine's own scd2_history output must audit clean; a
     hand-planted overlapping/gapped history must be flagged by the
     same audit logic."""
-    from aproximacion_1_etl_spark.queries import q_scd2_audit
+    from aproximacion_1_etl_spark.queries import q_scd2_audit, scd2_audit
 
     r = q_scd2_audit(spark, sf_dir).collect()[0]
     assert r["audit_ok"] is True
@@ -576,6 +576,31 @@ def test_scd2_audit_all_green_on_engine_builder_and_flags_planted(spark, sf_dir)
         == r["n_keys_bad_current"] == 0
     )
     assert r["n_keys"] > 0 and r["n_rows"] > r["n_keys"]
+
+    # hand-planted violations: key 1 overlaps, key 2 gaps, key 3 has a
+    # mid-sequence open row (and therefore two current rows)
+    import datetime as dt
+
+    def t(day):
+        return dt.datetime(2024, 1, day)
+
+    bad = spark.createDataFrame(
+        [
+            (1, t(1), t(5), False),
+            (1, t(3), None, True),  # starts before prior closed: overlap
+            (2, t(1), t(2), False),
+            (2, t(4), None, True),  # valid_to < next_from: gap
+            (3, t(1), None, True),  # open but not last
+            (3, t(2), None, True),  # second current row
+        ],
+        "k INT, valid_from TIMESTAMP, valid_to TIMESTAMP, is_current BOOLEAN",
+    )
+    b = scd2_audit(bad, key="k").collect()[0]
+    assert b["audit_ok"] is False
+    assert b["n_overlaps"] == 1
+    assert b["n_gaps"] == 1
+    assert b["n_open_not_last"] == 1
+    assert b["n_keys_bad_current"] == 1  # only key 3 has n_current != 1
 
 
 def test_share_of_parent_shares_sum_to_one(spark, sf_dir):
@@ -656,3 +681,209 @@ def test_date_dim_gen_calendar_invariants(spark, sf_dir):
     assert sum(1 for r in rows if r["is_weekend"]) == 104
     for prev, cur in zip(rows, rows[1:]):
         assert cur["iso_dow"] == prev["iso_dow"] % 7 + 1
+
+
+def test_weighted_quantiles_match_bruteforce(spark, sf_dir):
+    """The windowed crossing-row selection must equal the naive
+    python weighted-quantile (sort, accumulate, first value whose
+    cumulative weight reaches q*W), per group."""
+    from aproximacion_1_etl_spark.queries import q_weighted_quantiles
+
+    rows = {r["flag"]: r for r in q_weighted_quantiles(spark, sf_dir).collect()}
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_quantity"
+    ).collect()
+    from collections import defaultdict
+    from fractions import Fraction
+
+    groups = defaultdict(list)
+    for r in li:
+        groups[r["l_returnflag"]].append(
+            (r["l_extendedprice"], Fraction(r["l_quantity"]))
+        )
+    for flag, items in groups.items():
+        items.sort()
+        total = sum(w for _, w in items)
+        for qn, qd, col in ((1, 2, "wp50"), (9, 10, "wp90")):
+            cw = Fraction(0)
+            expect = None
+            for v, w in items:
+                cw += w
+                if cw * qd >= total * qn:
+                    expect = v
+                    break
+            got = rows[flag][col]
+            assert abs(got - expect) < 0.02, (flag, col, got, expect)
+        assert rows[flag]["n_lines"] == len(items)
+        assert rows[flag]["total_qty"] == int(total)
+
+
+def test_theilsen_matches_bruteforce_and_resists_outlier(spark, sf_dir):
+    """Slope must equal the naive median-of-pairwise-slopes; and on a
+    planted series with one wild outlier day, Theil-Sen must stay near
+    the true slope where the OLS slope is dragged away."""
+    import statistics
+
+    from aproximacion_1_etl_spark.queries import q_theilsen_trend
+
+    rows = {r["event_type"]: r for r in q_theilsen_trend(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("value").isNotNull())
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.sum("value").alias("rev"))
+        .collect()
+    )
+    from collections import defaultdict
+
+    series = defaultdict(list)
+    for r in daily:
+        series[r["event_type"]].append((r["day"], r["rev"]))
+    for et, pts in series.items():
+        pts.sort()
+        slopes = sorted(
+            (v2 - v1) / (d2 - d1).days
+            for i, (d1, v1) in enumerate(pts)
+            for d2, v2 in pts[i + 1:]
+        )
+        expect = statistics.median(slopes)
+        r = rows[et]
+        assert r["n_days"] == len(pts)
+        assert r["n_pairs"] == len(slopes)
+        assert abs(r["sen_slope"] - expect) < 0.01, (et, r["sen_slope"], expect)
+    # outlier resistance on a planted y = 2x series with one wild day
+    ys = [2.0 * i for i in range(20)]
+    ys[10] = 1e6
+    slopes = sorted(
+        (ys[j] - ys[i]) / (j - i)
+        for i in range(20)
+        for j in range(i + 1, 20)
+    )
+    assert abs(statistics.median(slopes) - 2.0) < 0.5
+    # OLS on the same data is dragged far away
+    n = 20.0
+    sx, sy = sum(range(20)), sum(ys)
+    sxx = sum(i * i for i in range(20))
+    sxy = sum(i * y for i, y in enumerate(ys))
+    ols = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert abs(ols - 2.0) > 100
+
+
+def test_mann_whitney_matches_scipy_formula(spark, sf_dir):
+    """U, the tie-corrected z, and the rank-biserial effect must match
+    a direct python computation with scipy-style average ranks."""
+    from aproximacion_1_etl_spark.functions.sampling import _hash_prefix
+    from aproximacion_1_etl_spark.queries import q_mann_whitney_ab
+
+    r = q_mann_whitney_ab(spark, sf_dir).collect()[0]
+    ev = load_table(spark, sf_dir, "events")
+    pu = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.sum("value").alias("uv"))
+        .withColumn(
+            "arm",
+            F.when(_hash_prefix(F.col("user_id")) < "8000", "A").otherwise("B"),
+        )
+        .collect()
+    )
+    pairs = sorted((p["uv"], p["arm"]) for p in pu)
+    n = len(pairs)
+    # average ranks with ties
+    ranks = {}
+    i = 0
+    while i < n:
+        j = i
+        while j < n and pairs[j][0] == pairs[i][0]:
+            j += 1
+        avg = (i + 1 + j) / 2.0
+        for k2 in range(i, j):
+            ranks[k2] = avg
+        i = j
+    ra = sum(ranks[i] for i in range(n) if pairs[i][1] == "A")
+    na = sum(1 for _, a in pairs if a == "A")
+    nb = n - na
+    u_a = ra - na * (na + 1) / 2.0
+    assert abs(r["u_a"] - u_a) < 1e-6
+    assert r["n_a"] == na and r["n_b"] == nb
+    # tie correction
+    from collections import Counter
+
+    tie3 = sum(t**3 - t for t in Counter(v for v, _ in pairs).values())
+    import math
+
+    sigma2 = (na * nb / 12.0) * ((n + 1) - tie3 / (n * (n - 1.0)))
+    z = (u_a - na * nb / 2.0) / math.sqrt(sigma2)
+    assert abs(r["z"] - z) < 1e-3
+    assert abs(r["rank_biserial"] - (1.0 - 2.0 * u_a / (na * nb))) < 1e-3
+
+
+def test_diff_in_diff_cells_and_estimate(spark, sf_dir):
+    """Cell counts/means must equal independent filters, and the DiD
+    point estimate must be the textbook double difference."""
+    from aproximacion_1_etl_spark.functions.sampling import _hash_prefix
+    from aproximacion_1_etl_spark.queries import q_diff_in_diff
+
+    r = q_diff_in_diff(spark, sf_dir).collect()[0]
+    ev = load_table(spark, sf_dir, "events")
+    d = (
+        ev.filter((F.col("event_type") == "purchase") & F.col("value").isNotNull())
+        .select(
+            F.when(_hash_prefix(F.col("user_id")) < "8000", 1).otherwise(0).alias("treat"),
+            (F.col("ts") >= F.lit("2024-01-16")).cast("int").alias("post"),
+            "value",
+        )
+        .collect()
+    )
+    import statistics
+
+    cells = {}
+    for tr in (0, 1):
+        for po in (0, 1):
+            vs = [x["value"] for x in d if x["treat"] == tr and x["post"] == po]
+            cells[(tr, po)] = vs
+            sfx = f"{'t' if tr else 'c'}{po}"
+            assert r["n_" + sfx] == len(vs)
+            assert abs(r["mean_" + sfx] - statistics.fmean(vs)) < 1e-3
+    did = (
+        statistics.fmean(cells[(1, 1)]) - statistics.fmean(cells[(1, 0)])
+    ) - (statistics.fmean(cells[(0, 1)]) - statistics.fmean(cells[(0, 0)]))
+    assert abs(r["did"] - did) < 1e-3
+    assert r["se"] > 0
+    assert abs(r["t_stat"] - did / (r["se"] or 1)) < 0.05
+
+
+def test_ewma_weights_and_alarm_logic(spark, sf_dir):
+    """The EWMA must equal the exact rational weighted mean of the
+    prior <=16 days (weights 2^15..2^0, nearest day heaviest), the
+    first day must have no EWMA, and alarm must be |x - ewma| > 3sd."""
+    import statistics
+
+    from aproximacion_1_etl_spark.queries import q_ewma_control_chart
+
+    out = q_ewma_control_chart(spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).count().collect()
+    from collections import defaultdict
+
+    series = defaultdict(list)
+    for r in daily:
+        series[r["event_type"]].append((r["day"], r["count"]))
+    got = {(r["event_type"], r["day"]): r for r in out}
+    for et, pts in series.items():
+        pts.sort()
+        xs = [x for _, x in pts]
+        sd = statistics.stdev(xs)
+        for i, (day, x) in enumerate(pts):
+            g = got[(et, day.strftime("%Y-%m-%d"))]
+            assert g["x"] == x
+            if i == 0:
+                assert g["ewma_prior"] is None
+                assert g["alarm"] is False
+                continue
+            lo = max(0, i - 16)
+            window = xs[lo:i]
+            wts = [2 ** (15 - (i - 1 - j)) for j in range(lo, i)]
+            expect = sum(w * v for w, v in zip(wts, window)) / sum(wts)
+            assert abs(g["ewma_prior"] - expect) < 1e-3, (et, day)
+            assert g["alarm"] == (abs(x - expect) > 3 * sd), (et, day)
