@@ -6664,6 +6664,184 @@ FROM daily d
 LEFT JOIN ew e ON d.event_type = e.event_type AND d.day = e.day
 JOIN sd ON d.event_type = sd.event_type
 """,
+    # Grid-kNN oracle is the BRUTE-FORCE radius-nearest join the
+    # engine's 3x3 cell neighborhood must reproduce exactly (the grid
+    # is candidate-complete by the coverage proof in the docstring).
+    "geo_grid_knn": """
+WITH cust AS (
+  SELECT c_custkey,
+         -55.0 + CAST(c_custkey % 110 AS DOUBLE) AS c_lat,
+         -180.0 + CAST((c_custkey * 7) % 360 AS DOUBLE) AS c_lon
+  FROM customer WHERE c_custkey % 10 = 0),
+supp AS (
+  SELECT s_suppkey,
+         -55.0 + CAST(s_suppkey % 110 AS DOUBLE) AS s_lat,
+         -180.0 + CAST((s_suppkey * 11) % 360 AS DOUBLE) AS s_lon
+  FROM supplier),
+cand AS (
+  SELECT c_custkey, s_suppkey,
+         floor(12742.0 * asin(sqrt(
+             sin(radians(s_lat - c_lat) / 2)
+               * sin(radians(s_lat - c_lat) / 2)
+             + cos(radians(c_lat)) * cos(radians(s_lat))
+               * sin(radians(s_lon - c_lon) / 2)
+               * sin(radians(s_lon - c_lon) / 2)))
+           * 10.0 + 0.5) / 10.0 AS dist_km
+  FROM cust, supp),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY c_custkey
+                               ORDER BY dist_km, s_suppkey) AS rn
+  FROM cand WHERE dist_km <= 500.0)
+SELECT c_custkey, s_suppkey, dist_km FROM r WHERE rn = 1
+""",
+    # Price-volume-mix: per-period decimal brand aggregates, identical
+    # scalar decomposition algebra.
+    "price_volume_mix": """
+WITH facts AS (
+  SELECT p.p_brand, year(l.l_shipdate) AS yr, l.l_quantity,
+         l.l_extendedprice * (1.0 - l.l_discount) AS net
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+y0 AS (
+  SELECT p_brand,
+         CAST(sum(CAST(l_quantity AS DECIMAL(38,12))) AS DOUBLE) AS q0,
+         CAST(sum(CAST(net AS DECIMAL(38,12))) AS DOUBLE) AS r0
+  FROM facts WHERE yr = 1996 GROUP BY 1),
+y1 AS (
+  SELECT p_brand,
+         CAST(sum(CAST(l_quantity AS DECIMAL(38,12))) AS DOUBLE) AS q1,
+         CAST(sum(CAST(net AS DECIMAL(38,12))) AS DOUBLE) AS r1
+  FROM facts WHERE yr = 1997 GROUP BY 1)
+SELECT p_brand,
+       floor(r0 * 100.0 + 0.5) / 100.0 AS rev_1996,
+       floor(r1 * 100.0 + 0.5) / 100.0 AS rev_1997,
+       floor((r1 / q1 - r0 / q0) * q0 * 100.0 + 0.5) / 100.0
+         AS price_effect,
+       floor((r0 / q0) * (q1 - q0) * 100.0 + 0.5) / 100.0
+         AS volume_effect,
+       floor((r1 / q1 - r0 / q0) * (q1 - q0) * 100.0 + 0.5) / 100.0
+         AS mix_effect
+FROM y0 JOIN y1 USING (p_brand)
+""",
+    # STL-lite: decimal daily sums, 7-full-window trend, decimal-cast
+    # seasonal means, engine-neutral ISO weekday.
+    "stl_decompose_lite": """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         sum(CAST(value AS DECIMAL(38,12))) AS rev_d
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+t AS (
+  SELECT event_type, day, CAST(rev_d AS DOUBLE) AS x,
+         CASE WHEN count(*) OVER w7 = 7
+              THEN CAST(sum(rev_d) OVER w7 AS DOUBLE) / 7.0 END
+           AS trend,
+         CAST(isodow(day) AS INT) AS dow
+  FROM daily
+  WINDOW w7 AS (PARTITION BY event_type ORDER BY day
+                ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+d AS (SELECT *, x - trend AS detrended FROM t),
+s AS (
+  SELECT *,
+         CAST(sum(CAST(detrended AS DECIMAL(38,12)))
+                OVER (PARTITION BY event_type, dow) AS DOUBLE)
+           / CAST(count(detrended)
+                OVER (PARTITION BY event_type, dow) AS DOUBLE)
+           AS seasonal
+  FROM d)
+SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+       floor(x * 100.0 + 0.5) / 100.0 AS revenue,
+       floor(trend * 100.0 + 0.5) / 100.0 AS trend,
+       floor(seasonal * 100.0 + 0.5) / 100.0 AS seasonal,
+       floor((x - trend - seasonal) * 100.0 + 0.5) / 100.0 AS residual
+FROM s
+""",
+    # Conversion-lag percentiles: the forward-asof NULL-outside-
+    # tolerance convention (asof_forward_tolerance's oracle), then the
+    # exact crossing-row quantile on integer-second lag counts.
+    "funnel_conversion_time": """
+WITH c AS (
+  SELECT event_id, user_id, ts FROM events
+  WHERE event_type = 'click'),
+p AS (
+  SELECT event_id AS p_id, user_id, ts AS p_ts FROM events
+  WHERE event_type = 'purchase'),
+cand AS (
+  SELECT c.event_id, c.ts, p.p_ts,
+         row_number() OVER (PARTITION BY c.event_id
+                            ORDER BY p.p_ts ASC, p.p_id DESC) AS rn
+  FROM c JOIN p ON p.user_id = c.user_id AND p.p_ts >= c.ts),
+best AS (SELECT event_id, ts, p_ts FROM cand WHERE rn = 1),
+lagged AS (
+  SELECT c.event_id,
+         CASE WHEN b.p_ts IS NOT NULL
+                   AND CAST(floor(epoch(b.p_ts)) AS BIGINT)
+                       - CAST(floor(epoch(c.ts)) AS BIGINT) <= 604800
+              THEN CAST(floor(epoch(b.p_ts)) AS BIGINT)
+                   - CAST(floor(epoch(c.ts)) AS BIGINT) END AS lag_s
+  FROM c LEFT JOIN best b ON c.event_id = b.event_id),
+vals AS (
+  SELECT lag_s, CAST(count(*) AS BIGINT) AS cnt
+  FROM lagged WHERE lag_s IS NOT NULL GROUP BY 1),
+cum AS (
+  SELECT lag_s,
+         sum(cnt) OVER (ORDER BY lag_s ROWS BETWEEN UNBOUNDED
+                        PRECEDING AND CURRENT ROW) AS cw,
+         sum(cnt) OVER () AS tw
+  FROM vals),
+st AS (
+  SELECT CAST(max(tw) AS BIGINT) AS n_converted,
+         CAST(min(CASE WHEN cw * 2 >= tw * 1 THEN lag_s END)
+              AS BIGINT) AS p50_lag_s,
+         CAST(min(CASE WHEN cw * 10 >= tw * 9 THEN lag_s END)
+              AS BIGINT) AS p90_lag_s
+  FROM cum),
+nc AS (SELECT CAST(count(*) AS BIGINT) AS n_clicks FROM c)
+SELECT n_clicks, n_converted,
+       floor(CAST(n_converted AS DOUBLE) / CAST(n_clicks AS DOUBLE)
+             * 10000.0 + 0.5) / 10000.0 AS conversion_rate,
+       p50_lag_s, p90_lag_s
+FROM st, nc
+""",
+    # Survivorship: struct-max/min rules rendered as deterministic
+    # rank windows (identical total orders).
+    "survivorship_golden": """
+WITH c AS (
+  SELECT c_custkey, c_name, c_mktsegment, c_acctbal,
+         CAST(c_nationkey AS BIGINT) * 50
+           + CAST(regexp_extract(c_name, '(\\d+)', 1) AS BIGINT) % 50
+           AS cluster_id
+  FROM customer),
+base AS (
+  SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_records,
+         max(c_acctbal) AS acctbal_max
+  FROM c GROUP BY 1),
+nm AS (
+  SELECT cluster_id, c_name AS name_golden FROM (
+    SELECT cluster_id, c_name,
+           row_number() OVER (PARTITION BY cluster_id
+             ORDER BY length(c_name) DESC, c_name DESC) AS rn
+    FROM c) WHERE rn = 1),
+ph AS (
+  SELECT cluster_id,
+         floor(c_acctbal * 100.0 + 0.5) / 100.0 AS acctbal_primary
+  FROM (
+    SELECT cluster_id, c_acctbal,
+           row_number() OVER (PARTITION BY cluster_id
+             ORDER BY c_custkey ASC) AS rn
+    FROM c) WHERE rn = 1),
+sm AS (
+  SELECT cluster_id, c_mktsegment AS segment_mode FROM (
+    SELECT cluster_id, c_mktsegment,
+           row_number() OVER (PARTITION BY cluster_id
+             ORDER BY cnt DESC, c_mktsegment DESC) AS rn
+    FROM (SELECT cluster_id, c_mktsegment, count(*) AS cnt
+          FROM c GROUP BY 1, 2)) WHERE rn = 1)
+SELECT base.cluster_id, n_records, name_golden, acctbal_primary,
+       segment_mode,
+       floor(acctbal_max * 100.0 + 0.5) / 100.0 AS acctbal_max
+FROM base
+JOIN nm USING (cluster_id) JOIN ph USING (cluster_id)
+JOIN sm USING (cluster_id)
+""",
 }
 
 # Streaming maintenance keys whose final render is DEFINED to equal an

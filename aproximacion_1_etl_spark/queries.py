@@ -13322,6 +13322,334 @@ def q_ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_geo_grid_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 LARGE x LARGE bounded-radius nearest-neighbor geo join —
+    the scale path haversine_nearest (25-row broadcast dim) doesn't
+    need: both sides here are fact-sized, so candidates come from a
+    lat/lon GRID equi-join instead of a cross join. Coverage proof for
+    R=500 km over |lat| <= 56: dlat <= 500/111.19 = 4.50 deg < 5-deg
+    lat cells; dlon <= 500/(111.19*cos(56 deg)) = 8.04... bounded by
+    the data's |lat| <= 55: 7.84 deg < 8-deg lon cells — so any
+    within-radius pair differs by <= 1 cell per axis, and expanding
+    the supplier side by its 3x3 cell neighborhood (explode, lon
+    wrapped mod 45) makes the equi-join candidate-complete. Distance
+    ranks on the 0.1-km-rounded value with a key tiebreak so libm
+    sin/cos ulp differences can't flip the winner (the
+    haversine_nearest convention)."""
+    R = 500.0
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") % 10 == 0)
+        .select(
+            "c_custkey",
+            (F.lit(-55.0) + (F.col("c_custkey") % 110).cast("double")).alias(
+                "c_lat"
+            ),
+            (
+                F.lit(-180.0) + ((F.col("c_custkey") * 7) % 360).cast("double")
+            ).alias("c_lon"),
+        )
+        .withColumn(
+            "gl_lat", F.floor((F.col("c_lat") + 90.0) / 5.0).cast("int")
+        )
+        .withColumn(
+            "gl_lon", F.floor((F.col("c_lon") + 180.0) / 8.0).cast("int")
+        )
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .select(
+            "s_suppkey",
+            (F.lit(-55.0) + (F.col("s_suppkey") % 110).cast("double")).alias(
+                "s_lat"
+            ),
+            (
+                F.lit(-180.0)
+                + ((F.col("s_suppkey") * 11) % 360).cast("double")
+            ).alias("s_lon"),
+        )
+        .withColumn(
+            "sl_lat", F.floor((F.col("s_lat") + 90.0) / 5.0).cast("int")
+        )
+        .withColumn(
+            "sl_lon", F.floor((F.col("s_lon") + 180.0) / 8.0).cast("int")
+        )
+    )
+    offs = spark.range(9).select(
+        (F.col("id") % 3 - 1).cast("int").alias("dlat"),
+        (F.floor(F.col("id") / 3) - 1).cast("int").alias("dlon"),
+    )
+    s9 = supp.crossJoin(F.broadcast(offs)).select(
+        "s_suppkey",
+        "s_lat",
+        "s_lon",
+        (F.col("sl_lat") + F.col("dlat")).alias("gl_lat"),
+        F.pmod(F.col("sl_lon") + F.col("dlon"), F.lit(45)).alias("gl_lon"),
+    )
+    cand = cust.join(s9, ["gl_lat", "gl_lon"])
+    sdlat = F.sin(F.radians(F.col("s_lat") - F.col("c_lat")) / 2)
+    sdlon = F.sin(F.radians(F.col("s_lon") - F.col("c_lon")) / 2)
+    a = (
+        sdlat * sdlat
+        + F.cos(F.radians("c_lat")) * F.cos(F.radians("s_lat")) * sdlon * sdlon
+    )
+    dist = _fround(F.lit(12742.0) * F.asin(F.sqrt(a)), 1)
+    scored = cand.select(
+        "c_custkey", "s_suppkey", dist.alias("dist_km")
+    ).filter(F.col("dist_km") <= F.lit(R))
+    w = Window.partitionBy("c_custkey").orderBy(
+        F.col("dist_km").asc(), F.col("s_suppkey").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("c_custkey", "s_suppkey", "dist_km")
+    )
+
+
+def q_price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 PRICE-VOLUME-MIX waterfall (the FP&A bridge report): the
+    year-over-year revenue change per brand decomposed into price
+    effect (p1-p0)*q0, volume effect p0*(q1-q0), and the cross/mix
+    term (p1-p0)*(q1-q0) — the three sum exactly (in IEEE, identically
+    on both engines) to p1*q1 - p0*q0. Each period aggregates the
+    facts ONCE to the brand grain (decimal revenue/quantity sums);
+    average prices and effects are scalar algebra on the
+    |brands|-sized merge. Brands must trade in both periods (inner
+    merge) — a one-sided brand has no decomposition."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    facts = li.join(
+        F.broadcast(p.select("p_partkey", "p_brand")),
+        li["l_partkey"] == F.col("p_partkey"),
+    ).select(
+        "p_brand",
+        F.year("l_shipdate").alias("yr"),
+        "l_quantity",
+        (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias(
+            "net"
+        ),
+    )
+
+    def per_year(yr: int, sfx: str) -> DataFrame:
+        return (
+            facts.filter(F.col("yr") == yr)
+            .groupBy("p_brand")
+            .agg(
+                F.sum(F.col("l_quantity").cast("decimal(38,12)"))
+                .cast("double")
+                .alias("q" + sfx),
+                F.sum(F.col("net").cast("decimal(38,12)"))
+                .cast("double")
+                .alias("r" + sfx),
+            )
+        )
+
+    j = per_year(1996, "0").join(per_year(1997, "1"), "p_brand")
+    p0 = F.col("r0") / F.col("q0")
+    p1 = F.col("r1") / F.col("q1")
+    return j.select(
+        "p_brand",
+        _fround(F.col("r0"), 2).alias("rev_1996"),
+        _fround(F.col("r1"), 2).alias("rev_1997"),
+        _fround((p1 - p0) * F.col("q0"), 2).alias("price_effect"),
+        _fround(p0 * (F.col("q1") - F.col("q0")), 2).alias("volume_effect"),
+        _fround(
+            (p1 - p0) * (F.col("q1") - F.col("q0")), 2
+        ).alias("mix_effect"),
+    )
+
+
+def q_stl_decompose_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 seasonal-trend decomposition (STL-lite) of the daily
+    revenue series per event type: trend = centered 7-day moving
+    average (null until the window is full), weekday seasonal = mean
+    detrended value per ISO weekday slot, residual = the rest. The
+    facts collapse once to the |types|x|days| daily aggregate; every
+    window after that runs on the aggregate. The trend average sums
+    DECIMAL daily values (exact) with ONE division; seasonal means
+    decimal-cast the detrended doubles so cross-row addition order
+    can't leak engine differences. ISO weekday via explicit
+    arithmetic (the date_dim_gen convention)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("value").isNotNull())
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(F.col("value").cast("decimal(38,12)")).alias("rev_d")
+        )
+    )
+    w7 = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-3, 3)
+    )
+    with_trend = daily.select(
+        "event_type",
+        "day",
+        F.col("rev_d").cast("double").alias("x"),
+        F.when(
+            F.count("*").over(w7) == 7,
+            F.sum("rev_d").over(w7).cast("double") / F.lit(7.0),
+        ).alias("trend"),
+        (((F.dayofweek("day") + 5) % 7) + 1).cast("int").alias("dow"),
+    )
+    det = with_trend.withColumn(
+        "detrended", F.col("x") - F.col("trend")
+    )
+    w_dow = Window.partitionBy("event_type", "dow")
+    seasonal = (
+        F.sum(F.col("detrended").cast("decimal(38,12)"))
+        .over(w_dow)
+        .cast("double")
+        / F.count("detrended").over(w_dow).cast("double")
+    )
+    out = det.withColumn("seasonal", seasonal)
+    return out.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        _fround(F.col("x"), 2).alias("revenue"),
+        _fround(F.col("trend"), 2).alias("trend"),
+        _fround(F.col("seasonal"), 2).alias("seasonal"),
+        _fround(
+            F.col("x") - F.col("trend") - F.col("seasonal"), 2
+        ).alias("residual"),
+    )
+
+
+def q_funnel_conversion_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 conversion-LAG percentiles: how long after a click does
+    the purchase come — the timing view the step-count funnel
+    (event_funnel) lacks. Each click gets its next purchase within a
+    7-day tolerance from the SAME forward as-of join
+    asof_forward_tolerance uses; the lag is exact integer seconds, so
+    the p50/p90 selection runs the weighted_quantiles crossing-row
+    trick (cum*den >= tot*num on bigint counts — zero float rank
+    math) over the per-LAG-value aggregate, whose size is BOUNDED by
+    the tolerance window (<= 604800 rows at any SF)."""
+    from aproximacion_1_etl_spark.operators.joins import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("p_id")
+    )
+    j = asof_join(
+        clicks,
+        buys,
+        left_key="user_id",
+        right_key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["p_id"],
+        tiebreak="p_id",
+        direction="forward",
+        tolerance_seconds=604800,
+    )
+    n_clicks = j.agg(F.count("*").cast("bigint").alias("nc"))
+    lags = (
+        j.filter(F.col("asof_p_id").isNotNull())
+        .select(
+            (
+                F.unix_timestamp("asof_ts") - F.unix_timestamp("ts")
+            ).alias("lag_s")
+        )
+        .groupBy("lag_s")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    w_cum = Window.orderBy("lag_s").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = lags.select(
+        "lag_s",
+        F.sum("c").over(w_cum).alias("cw"),
+        F.sum("c").over(Window.partitionBy()).alias("tw"),
+    )
+
+    def lq(num: int, den: int):
+        return F.min(
+            F.when(
+                F.col("cw") * F.lit(den) >= F.col("tw") * F.lit(num),
+                F.col("lag_s"),
+            )
+        )
+
+    stats = cum.agg(
+        F.max("tw").cast("bigint").alias("n_converted"),
+        lq(1, 2).cast("bigint").alias("p50_lag_s"),
+        lq(9, 10).cast("bigint").alias("p90_lag_s"),
+    )
+    return stats.crossJoin(F.broadcast(n_clicks)).select(
+        F.col("nc").alias("n_clicks"),
+        "n_converted",
+        _fround(
+            F.col("n_converted").cast("double")
+            / F.col("nc").cast("double"),
+            4,
+        ).alias("conversion_rate"),
+        "p50_lag_s",
+        "p90_lag_s",
+    )
+
+
+def q_survivorship_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.4 MDM SURVIVORSHIP (golden-record merge) — what happens
+    AFTER record_linkage says two records are the same entity:
+    per-attribute merge rules produce one golden row per cluster.
+    Rules exercised: longest-then-lexicographic-last name (struct-max,
+    one agg), source-precedence balance (lowest record key wins,
+    struct-min), numeric max balance, and MODE segment (a second
+    (cluster, value) aggregation, struct-max on (count, value) with a
+    deterministic tie). Two keyed aggregations total — no window over
+    the facts, no per-cluster job; every rule is an exact integer /
+    string comparison so the golden row is engine-identical."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        "c_mktsegment",
+        "c_acctbal",
+        (
+            F.col("c_nationkey").cast("bigint") * 50
+            + F.regexp_extract("c_name", r"(\d+)", 1).cast("bigint") % 50
+        ).alias("cluster_id"),
+    )
+    base = c.groupBy("cluster_id").agg(
+        F.count("*").cast("bigint").alias("n_records"),
+        F.max(
+            F.struct(
+                F.length("c_name").alias("l"), F.col("c_name").alias("v")
+            )
+        )["v"].alias("name_golden"),
+        F.min(
+            F.struct(
+                F.col("c_custkey").alias("k"),
+                F.col("c_acctbal").alias("v"),
+            )
+        )["v"].alias("acctbal_primary"),
+        F.max("c_acctbal").alias("acctbal_max"),
+    )
+    seg_counts = c.groupBy("cluster_id", "c_mktsegment").agg(
+        F.count("*").alias("cnt")
+    )
+    seg_mode = seg_counts.groupBy("cluster_id").agg(
+        F.max(
+            F.struct(
+                F.col("cnt").alias("c"), F.col("c_mktsegment").alias("v")
+            )
+        )["v"].alias("segment_mode")
+    )
+    return base.join(seg_mode, "cluster_id").select(
+        "cluster_id",
+        "n_records",
+        "name_golden",
+        _fround(F.col("acctbal_primary"), 2).alias("acctbal_primary"),
+        "segment_mode",
+        _fround(F.col("acctbal_max"), 2).alias("acctbal_max"),
+    )
+
+
 ALL_QUERIES = {
     "flagship_order_lifecycle": q_flagship_order_lifecycle,
     "bm25_topk": q_bm25_topk,
@@ -13629,4 +13957,9 @@ ALL_QUERIES = {
     "mann_whitney_ab": q_mann_whitney_ab,
     "diff_in_diff": q_diff_in_diff,
     "ewma_control_chart": q_ewma_control_chart,
+    "geo_grid_knn": q_geo_grid_knn,
+    "price_volume_mix": q_price_volume_mix,
+    "stl_decompose_lite": q_stl_decompose_lite,
+    "funnel_conversion_time": q_funnel_conversion_time,
+    "survivorship_golden": q_survivorship_golden,
 }

@@ -235,6 +235,11 @@ HEADLINE = [
     "mann_whitney_ab",
     "diff_in_diff",
     "ewma_control_chart",
+    "geo_grid_knn",
+    "price_volume_mix",
+    "stl_decompose_lite",
+    "funnel_conversion_time",
+    "survivorship_golden",
     # Python-worker queries LAST: applyInPandas spins up 32 Python
     # workers and leaves GC pressure that inflates the next JVM-only
     # query by ~3x (measured: dedup_minhash_lsh 6.96s after it vs 1.9s

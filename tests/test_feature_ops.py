@@ -887,3 +887,180 @@ def test_ewma_weights_and_alarm_logic(spark, sf_dir):
             expect = sum(w * v for w, v in zip(wts, window)) / sum(wts)
             assert abs(g["ewma_prior"] - expect) < 1e-3, (et, day)
             assert g["alarm"] == (abs(x - expect) > 3 * sd), (et, day)
+
+
+def test_geo_grid_knn_matches_bruteforce(spark, sf_dir):
+    """The 3x3 cell-neighborhood candidate set must reproduce the
+    brute-force radius-nearest join exactly (grid completeness)."""
+    import math
+
+    from aproximacion_1_etl_spark.queries import q_geo_grid_knn
+
+    got = {
+        r["c_custkey"]: (r["s_suppkey"], r["dist_km"])
+        for r in q_geo_grid_knn(spark, sf_dir).collect()
+    }
+    cust = [
+        (k, -55.0 + k % 110, -180.0 + (k * 7) % 360)
+        for k in [
+            r["c_custkey"]
+            for r in load_table(spark, sf_dir, "customer")
+            .where(F.col("c_custkey") % 10 == 0)
+            .select("c_custkey")
+            .collect()
+        ]
+    ]
+    supp = [
+        (k, -55.0 + k % 110, -180.0 + (k * 11) % 360)
+        for k in [
+            r["s_suppkey"]
+            for r in load_table(spark, sf_dir, "supplier")
+            .select("s_suppkey")
+            .collect()
+        ]
+    ]
+
+    def hav(la1, lo1, la2, lo2):
+        sdlat = math.sin(math.radians(la2 - la1) / 2)
+        sdlon = math.sin(math.radians(lo2 - lo1) / 2)
+        a = sdlat * sdlat + math.cos(math.radians(la1)) * math.cos(
+            math.radians(la2)
+        ) * sdlon * sdlon
+        return math.floor(12742.0 * math.asin(math.sqrt(a)) * 10 + 0.5) / 10
+
+    expect = {}
+    for ck, cla, clo in cust:
+        best = None
+        for sk, sla, slo in supp:
+            d = hav(cla, clo, sla, slo)
+            if d <= 500.0 and (best is None or (d, sk) < best):
+                best = (d, sk)
+        if best is not None:
+            expect[ck] = (best[1], best[0])
+    assert got == expect
+    assert len(got) > 0
+
+
+def test_price_volume_mix_effects_bridge_the_revenue_delta(spark, sf_dir):
+    """price + volume + mix must equal rev_1997 - rev_1996 (the
+    waterfall identity), and each brand must trade in both years."""
+    from aproximacion_1_etl_spark.queries import q_price_volume_mix
+
+    rows = q_price_volume_mix(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        delta = r["rev_1997"] - r["rev_1996"]
+        bridge = r["price_effect"] + r["volume_effect"] + r["mix_effect"]
+        assert abs(bridge - delta) < 0.05, (r["p_brand"], bridge, delta)
+        assert r["rev_1996"] > 0 and r["rev_1997"] > 0
+
+
+def test_stl_decompose_identity_and_residual_centering(spark, sf_dir):
+    """revenue must equal trend + seasonal + residual wherever the
+    trend window is full; trend must be null on the 3-day edges; and
+    the residual must average ~0 within each (type, weekday) slot."""
+    from collections import defaultdict
+
+    from aproximacion_1_etl_spark.queries import q_stl_decompose_lite
+
+    rows = q_stl_decompose_lite(spark, sf_dir).collect()
+    by_type = defaultdict(list)
+    for r in rows:
+        by_type[r["event_type"]].append(r)
+    for et, rs in by_type.items():
+        rs.sort(key=lambda r: r["day"])
+        for i, r in enumerate(rs):
+            if i < 3 or i >= len(rs) - 3:
+                assert r["trend"] is None
+                assert r["residual"] is None
+            else:
+                assert r["trend"] is not None
+                assert (
+                    abs(r["revenue"] - (r["trend"] + r["seasonal"] + r["residual"]))
+                    < 0.05
+                )
+        slot = defaultdict(list)
+        import datetime as dt
+
+        for r in rs:
+            if r["residual"] is not None:
+                d = dt.date.fromisoformat(r["day"])
+                slot[d.isoweekday()].append(r["residual"])
+        for dow, res in slot.items():
+            assert abs(sum(res) / len(res)) < 0.05, (et, dow)
+
+
+def test_funnel_conversion_time_matches_bruteforce(spark, sf_dir):
+    """Lag percentiles must equal the python crossing-row quantile on
+    the per-click next-purchase lags within tolerance."""
+    from aproximacion_1_etl_spark.queries import q_funnel_conversion_time
+
+    r = q_funnel_conversion_time(spark, sf_dir).collect()[0]
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    ).collect()
+    clicks = [e for e in ev if e["event_type"] == "click"]
+    buys = sorted(
+        (e for e in ev if e["event_type"] == "purchase"),
+        key=lambda e: (e["ts"], -e["event_id"]),
+    )
+    lags = []
+    for c in clicks:
+        nxt = min(
+            (b["ts"] for b in buys if b["user_id"] == c["user_id"] and b["ts"] >= c["ts"]),
+            default=None,
+        )
+        if nxt is not None:
+            lag = int(nxt.timestamp()) - int(c["ts"].timestamp())
+            if lag <= 604800:
+                lags.append(lag)
+    lags.sort()
+    n = len(lags)
+    assert r["n_clicks"] == len(clicks)
+    assert r["n_converted"] == n
+
+    def cross(num, den):
+        cum = 0
+        for i, v in enumerate(lags):
+            cum += 1
+            if cum * den >= n * num:
+                return v
+
+    assert r["p50_lag_s"] == cross(1, 2)
+    assert r["p90_lag_s"] == cross(9, 10)
+    assert abs(r["conversion_rate"] - n / len(clicks)) < 1e-3
+
+
+def test_survivorship_rules_match_bruteforce(spark, sf_dir):
+    """Each golden attribute must follow its merge rule exactly:
+    longest-then-lexicographic-last name, lowest-key balance, mode
+    segment with the count-then-value tiebreak, max balance."""
+    import re
+    from collections import Counter, defaultdict
+
+    from aproximacion_1_etl_spark.queries import q_survivorship_golden
+
+    got = {r["cluster_id"]: r for r in q_survivorship_golden(spark, sf_dir).collect()}
+    rows = load_table(spark, sf_dir, "customer").collect()
+    clusters = defaultdict(list)
+    for r in rows:
+        num = int(re.search(r"(\d+)", r["c_name"]).group(1))
+        cid = r["c_nationkey"] * 50 + num % 50
+        clusters[cid].append(r)
+    assert set(got) == set(clusters)
+    for cid, recs in clusters.items():
+        g = got[cid]
+        assert g["n_records"] == len(recs)
+        assert g["name_golden"] == max(
+            (len(r["c_name"]), r["c_name"]) for r in recs
+        )[1]
+        assert (
+            abs(
+                g["acctbal_primary"]
+                - min((r["c_custkey"], r["c_acctbal"]) for r in recs)[1]
+            )
+            < 0.01
+        )
+        cnt = Counter(r["c_mktsegment"] for r in recs)
+        assert g["segment_mode"] == max((c, s) for s, c in cnt.items())[1]
+        assert abs(g["acctbal_max"] - max(r["c_acctbal"] for r in recs)) < 0.01
