@@ -6842,6 +6842,117 @@ FROM base
 JOIN nm USING (cluster_id) JOIN ph USING (cluster_id)
 JOIN sm USING (cluster_id)
 """,
+    # RFM: ntile quintiles under TOTAL orders (key tiebreak) so bucket
+    # boundaries are engine-identical; standard first-buckets-bigger
+    # ntile semantics on both engines.
+    "rfm_segmentation": """
+WITH pc AS (
+  SELECT o_custkey, max(o_orderdate) AS last_order,
+         CAST(count(*) AS BIGINT) AS freq,
+         sum(CAST(o_totalprice AS DECIMAL(38,12))) AS mon
+  FROM orders GROUP BY 1),
+an AS (SELECT max(o_orderdate) AS anchor FROM orders),
+rfm AS (
+  SELECT o_custkey,
+         CAST(date_diff('day', last_order, anchor) AS INT) AS recency_d,
+         freq, mon
+  FROM pc, an),
+sc AS (
+  SELECT *,
+         CAST(ntile(5) OVER (ORDER BY recency_d DESC, o_custkey ASC)
+              AS INT) AS r_score,
+         CAST(ntile(5) OVER (ORDER BY freq ASC, o_custkey ASC)
+              AS INT) AS f_score,
+         CAST(ntile(5) OVER (ORDER BY mon ASC, o_custkey ASC)
+              AS INT) AS m_score
+  FROM rfm),
+lab AS (
+  SELECT *,
+         CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4
+                THEN 'champion'
+              WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk'
+              WHEN r_score <= 2 AND f_score <= 2 THEN 'hibernating'
+              WHEN r_score >= 4 AND f_score <= 2 THEN 'new'
+              ELSE 'regular' END AS segment
+  FROM sc)
+SELECT segment, CAST(count(*) AS BIGINT) AS n_customers,
+       floor(CAST(sum(mon) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+             * 100.0 + 0.5) / 100.0 AS avg_monetary,
+       floor(CAST(sum(CAST(recency_d AS DECIMAL(38,0))) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) * 100.0 + 0.5) / 100.0
+         AS avg_recency_d
+FROM lab GROUP BY 1
+""",
+    # Gains/lift: decile ntile under a total order; exact integer
+    # counts, cumulative window over 10 rows.
+    "gains_lift_table": """
+WITH resp AS (
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE o_orderdate >= DATE '1998-01-01'),
+sc AS (
+  SELECT c.c_custkey, c.c_acctbal,
+         CASE WHEN r.o_custkey IS NOT NULL THEN 1 ELSE 0 END AS label
+  FROM customer c LEFT JOIN resp r ON c.c_custkey = r.o_custkey),
+dec AS (
+  SELECT label,
+         CAST(ntile(10) OVER (ORDER BY c_acctbal DESC, c_custkey ASC)
+              AS INT) AS decile
+  FROM sc),
+pd AS (
+  SELECT decile, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(label) AS BIGINT) AS n_resp
+  FROM dec GROUP BY 1)
+SELECT decile, n, n_resp,
+       floor(CAST(n_resp AS DOUBLE) / CAST(n AS DOUBLE)
+             * 10000.0 + 0.5) / 10000.0 AS resp_rate,
+       floor(CAST(sum(n_resp) OVER (ORDER BY decile ROWS BETWEEN
+                     UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / CAST(sum(n_resp) OVER () AS DOUBLE)
+             * 10000.0 + 0.5) / 10000.0 AS cum_gain,
+       floor((CAST(n_resp AS DOUBLE) / CAST(n AS DOUBLE))
+             / (CAST(sum(n_resp) OVER () AS DOUBLE)
+                / CAST(sum(n) OVER () AS DOUBLE))
+             * 10000.0 + 0.5) / 10000.0 AS lift
+FROM pd
+""",
+    # Backfill planner: generated date spine x type dim, exact lower
+    # median threshold via integer cross-multiplication.
+    "backfill_plan": """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2),
+span AS (SELECT date_trunc('month', min(day)) AS lo,
+                last_day(max(day)) AS hi FROM daily),
+spine AS (
+  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+           AS day
+  FROM span),
+grid AS (
+  SELECT t.event_type, s.day
+  FROM (SELECT DISTINCT event_type FROM daily) t, spine s),
+med AS (
+  SELECT event_type,
+         min(CASE WHEN rk * 2 >= nd THEN n END) AS median_n
+  FROM (SELECT event_type, n,
+               count(*) OVER (PARTITION BY event_type ORDER BY n, day
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND
+                              CURRENT ROW) AS rk,
+               count(*) OVER (PARTITION BY event_type) AS nd
+        FROM daily)
+  GROUP BY 1),
+audit AS (
+  SELECT g.event_type, g.day, d.n, m.median_n,
+         CASE WHEN d.n IS NULL THEN 'missing'
+              WHEN d.n * 4 < m.median_n * 3 THEN 'low_volume' END
+           AS issue
+  FROM grid g
+  LEFT JOIN daily d ON g.event_type = d.event_type AND g.day = d.day
+  JOIN med m ON g.event_type = m.event_type)
+SELECT event_type, strftime(day, '%Y-%m-%d') AS day, issue,
+       CAST(COALESCE(n, 0) AS BIGINT) AS observed_n, median_n
+FROM audit WHERE issue IS NOT NULL
+""",
 }
 
 # Streaming maintenance keys whose final render is DEFINED to equal an
@@ -6856,3 +6967,4 @@ ALL_ORACLES["streaming_cms_maintenance"] = ALL_ORACLES[
     "heavy_hitters_cms"
 ]
 ALL_ORACLES["streaming_changepoint"] = ALL_ORACLES["changepoint_detect"]
+ALL_ORACLES["streaming_ewma_monitor"] = ALL_ORACLES["ewma_control_chart"]

@@ -13265,6 +13265,13 @@ def q_ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy(
         "event_type", F.to_date("ts").alias("day")
     ).agg(F.count("*").cast("bigint").alias("x"))
+    return _ewma_chart(daily)
+
+
+def _ewma_chart(daily: DataFrame) -> DataFrame:
+    """Render the EWMA control chart from a (event_type, day, x) daily
+    relation — shared by the batch key and its streaming-maintenance
+    sibling so the chart math cannot drift between them."""
     w = Window.partitionBy("event_type").orderBy("day")
     idx = daily.withColumn("i", F.row_number().over(w))
     cur = idx.select("event_type", "day", "x", "i")
@@ -13650,6 +13657,301 @@ def q_survivorship_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 RFM SEGMENTATION (the canonical marketing cut): per
+    customer recency (days from last order to the corpus anchor),
+    frequency (orders) and monetary (decimal spend), quintile-scored
+    by three ntile windows with a key tiebreak so bucket boundaries
+    are a TOTAL order (engine-identical), then CASE-labelled into the
+    classic segments and reported at segment grain. One fact
+    aggregation to customer grain; scores are windows over that
+    aggregate; the anchor rides a 1-row broadcast (no eager
+    collect)."""
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").cast("bigint").alias("freq"),
+        F.sum(F.col("o_totalprice").cast("decimal(38,12)")).alias("mon"),
+    )
+    anchor = o.agg(F.max("o_orderdate").alias("anchor"))
+    rfm = per_cust.crossJoin(F.broadcast(anchor)).select(
+        "o_custkey",
+        F.datediff("anchor", "last_order").cast("int").alias("recency_d"),
+        "freq",
+        "mon",
+    )
+
+    def score(order_cols) -> F.Column:
+        return F.ntile(5).over(Window.orderBy(*order_cols)).cast("int")
+
+    scored = rfm.select(
+        "o_custkey",
+        "recency_d",
+        "freq",
+        "mon",
+        # stale first -> ntile 1; most recent lands in bucket 5
+        score([F.col("recency_d").desc(), F.col("o_custkey").asc()]).alias(
+            "r_score"
+        ),
+        score([F.col("freq").asc(), F.col("o_custkey").asc()]).alias(
+            "f_score"
+        ),
+        score([F.col("mon").asc(), F.col("o_custkey").asc()]).alias(
+            "m_score"
+        ),
+    )
+    seg = (
+        F.when(
+            (F.col("r_score") >= 4)
+            & (F.col("f_score") >= 4)
+            & (F.col("m_score") >= 4),
+            "champion",
+        )
+        .when((F.col("r_score") <= 2) & (F.col("f_score") >= 4), "at_risk")
+        .when(
+            (F.col("r_score") <= 2) & (F.col("f_score") <= 2), "hibernating"
+        )
+        .when((F.col("r_score") >= 4) & (F.col("f_score") <= 2), "new")
+        .otherwise("regular")
+    )
+    return (
+        scored.withColumn("segment", seg)
+        .groupBy("segment")
+        .agg(
+            F.count("*").cast("bigint").alias("n_customers"),
+            _fround(
+                F.sum("mon").cast("double")
+                / F.count("*").cast("double"),
+                2,
+            ).alias("avg_monetary"),
+            _fround(
+                F.sum(F.col("recency_d").cast("decimal(38,0)"))
+                .cast("double")
+                / F.count("*").cast("double"),
+                2,
+            ).alias("avg_recency_d"),
+        )
+    )
+
+
+def q_gains_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 GAINS/LIFT table (the campaign-targeting evaluation next
+    to model_auc / calibration_ece): customers ranked by a score
+    (account balance as the deterministic model stand-in) into deciles
+    via ntile with a key tiebreak, labelled by late-period purchase
+    activity; per decile the response rate, cumulative gain (share of
+    all responders captured so far) and lift vs the base rate. The
+    label join is a fact semi-join aggregated to customer grain; every
+    ratio is exact-integer division rendered identically on both
+    engines; the cumulative window runs over 10 rows."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    resp = (
+        o.filter(F.col("o_orderdate") >= F.lit("1998-01-01"))
+        .select("o_custkey")
+        .distinct()
+        .withColumn("label", F.lit(1))
+    )
+    scored = c.select("c_custkey", "c_acctbal").join(
+        resp, c["c_custkey"] == resp["o_custkey"], "left"
+    ).select(
+        "c_custkey",
+        "c_acctbal",
+        F.coalesce("label", F.lit(0)).alias("label"),
+    )
+    dec = scored.select(
+        "label",
+        F.ntile(10)
+        .over(
+            Window.orderBy(
+                F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+            )
+        )
+        .cast("int")
+        .alias("decile"),
+    )
+    per_dec = dec.groupBy("decile").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("label").cast("bigint").alias("n_resp"),
+    )
+    w_cum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    return per_dec.select(
+        "decile",
+        "n",
+        "n_resp",
+        _fround(
+            F.col("n_resp").cast("double") / F.col("n").cast("double"), 4
+        ).alias("resp_rate"),
+        _fround(
+            F.sum("n_resp").over(w_cum).cast("double")
+            / F.sum("n_resp").over(w_all).cast("double"),
+            4,
+        ).alias("cum_gain"),
+        _fround(
+            (F.col("n_resp").cast("double") / F.col("n").cast("double"))
+            / (
+                F.sum("n_resp").over(w_all).cast("double")
+                / F.sum("n").over(w_all).cast("double")
+            ),
+            4,
+        ).alias("lift"),
+    )
+
+
+def q_backfill_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.1/§2.10 BACKFILL planner (the ops operator the reference's
+    daily loop needs when a day fails silently): the expected
+    (type, day) grid is the CALENDAR-month date spine the data claims
+    to cover (month-start of the min day to month-end of the max day —
+    a partial final day of ingest shows up as 'missing') crossed with
+    the type dim; days MISSING from the facts and days whose volume
+    collapsed below three quarters of the type's median daily volume
+    (exact lower median via the crossing-row rank — integer
+    cross-multiplication, no float thresholds) become plan rows. The
+    spine is generated (sequence), the grid is |types|x|days|, and
+    the facts aggregate once — the audit never rescans history per
+    type."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    span = daily.agg(
+        F.trunc(F.min("day"), "month").alias("lo"),
+        F.last_day(F.max("day")).alias("hi"),
+    )
+    spine = span.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("day")
+    )
+    grid = daily.select("event_type").distinct().crossJoin(
+        F.broadcast(spine)
+    )
+    # exact lower median of daily volume per type: smallest n whose
+    # rank reaches half the day count (cross-multiplied integers)
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("n", "day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    med = (
+        daily.select(
+            "event_type",
+            "n",
+            F.count("*").over(w_cum).alias("rk"),
+            F.count("*")
+            .over(Window.partitionBy("event_type"))
+            .alias("nd"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("rk") * 2 >= F.col("nd"), F.col("n")
+                )
+            ).alias("median_n")
+        )
+    )
+    audit = (
+        grid.join(daily, ["event_type", "day"], "left")
+        .join(F.broadcast(med), "event_type")
+        .withColumn(
+            "issue",
+            F.when(F.col("n").isNull(), "missing").when(
+                F.col("n") * 4 < F.col("median_n") * 3, "low_volume"
+            ),
+        )
+        .filter(F.col("issue").isNotNull())
+    )
+    return audit.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "issue",
+        F.coalesce("n", F.lit(0)).cast("bigint").alias("observed_n"),
+        "median_n",
+    )
+
+
+def q_streaming_ewma_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 + §2.10 EWMA control chart MAINTAINED BY A STREAM: events
+    arrive in two date-ordered waves cut mid-day; foreachBatch
+    aggregates ONLY its own wave to (type, day, n) partial counts and
+    folds them ADDITIVELY into the persisted |types|x|days| state
+    (counts merge by sum — exact), guarded by the batch-id-in-meta
+    replay check so crash-replay cannot double-count. The final
+    render is the SAME _ewma_chart helper the batch key uses, so
+    capacity monitoring never rescans raw history and the oracle is
+    ewma_control_chart's SQL by construction."""
+    import shutil
+    import time as _time
+
+    from aproximacion_1_etl_spark.sources.versioned import (
+        committed_metas,
+        current_version,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type"
+    )
+    base = tempfile.mkdtemp(prefix="graft_sewma_")
+    ckpt = tempfile.mkdtemp(prefix="ckpt_sewma_")
+    src = os.path.join(base, "src")
+    state_log = os.path.join(base, "state")
+
+    def handle_batch(batch, batch_id: int) -> None:
+        if str(batch_id) in committed_metas(state_log):
+            return
+        bspark = batch.sparkSession
+        part = batch.groupBy(
+            "event_type", F.to_date("ts").alias("day")
+        ).agg(F.count("*").cast("bigint").alias("x"))
+        if current_version(state_log) is not None:
+            prior = read_snapshot(bspark, state_log)
+            part = (
+                prior.unionByName(part)
+                .groupBy("event_type", "day")
+                .agg(F.sum("x").cast("bigint").alias("x"))
+            )
+        write_snapshot(part, state_log, meta=str(batch_id))
+
+    try:
+        # mid-DAY cut: day 16's count must merge across two batches
+        cut = "2024-01-16 12:00:00"
+        ev.filter(F.col("ts") < cut).coalesce(1).write.parquet(
+            os.path.join(src, "w1")
+        )
+        ev.filter(F.col("ts") >= cut).coalesce(1).write.parquet(
+            os.path.join(src, "w2")
+        )
+        now = _time.time()
+        for d, ts in (("w1", now - 120), ("w2", now - 60)):
+            pdir = os.path.join(src, d)
+            for f in os.listdir(pdir):
+                os.utime(os.path.join(pdir, f), (ts, ts))
+        q = (
+            spark.readStream.schema(
+                "event_id BIGINT, ts TIMESTAMP, event_type STRING"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(src, "*"))
+            .writeStream.foreachBatch(handle_batch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+        out = _ewma_chart(read_snapshot(spark, state_log))
+        return _reclaimed(out, base, ckpt)
+    finally:
+        if os.path.isdir(base):
+            shutil.rmtree(base, ignore_errors=True)
+        if os.path.isdir(ckpt):
+            shutil.rmtree(ckpt, ignore_errors=True)
+
+
 ALL_QUERIES = {
     "flagship_order_lifecycle": q_flagship_order_lifecycle,
     "bm25_topk": q_bm25_topk,
@@ -13962,4 +14264,8 @@ ALL_QUERIES = {
     "stl_decompose_lite": q_stl_decompose_lite,
     "funnel_conversion_time": q_funnel_conversion_time,
     "survivorship_golden": q_survivorship_golden,
+    "rfm_segmentation": q_rfm_segmentation,
+    "gains_lift_table": q_gains_lift_table,
+    "backfill_plan": q_backfill_plan,
+    "streaming_ewma_monitor": q_streaming_ewma_monitor,
 }

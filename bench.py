@@ -240,6 +240,9 @@ HEADLINE = [
     "stl_decompose_lite",
     "funnel_conversion_time",
     "survivorship_golden",
+    "rfm_segmentation",
+    "gains_lift_table",
+    "backfill_plan",
     # Python-worker queries LAST: applyInPandas spins up 32 Python
     # workers and leaves GC pressure that inflates the next JVM-only
     # query by ~3x (measured: dedup_minhash_lsh 6.96s after it vs 1.9s

@@ -1064,3 +1064,158 @@ def test_survivorship_rules_match_bruteforce(spark, sf_dir):
         cnt = Counter(r["c_mktsegment"] for r in recs)
         assert g["segment_mode"] == max((c, s) for s, c in cnt.items())[1]
         assert abs(g["acctbal_max"] - max(r["c_acctbal"] for r in recs)) < 0.01
+
+
+def test_rfm_segmentation_matches_bruteforce_ntile(spark, sf_dir):
+    """Segment counts must equal a python re-derivation of the three
+    ntile quintiles (standard first-buckets-bigger semantics) and the
+    CASE labelling."""
+    from collections import Counter, defaultdict
+
+    from aproximacion_1_etl_spark.queries import q_rfm_segmentation
+
+    got = {r["segment"]: r for r in q_rfm_segmentation(spark, sf_dir).collect()}
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    ).collect()
+    per = defaultdict(lambda: [None, 0, 0.0])
+    anchor = max(r["o_orderdate"] for r in o)
+    for r in o:
+        p = per[r["o_custkey"]]
+        p[0] = r["o_orderdate"] if p[0] is None else max(p[0], r["o_orderdate"])
+        p[1] += 1
+        p[2] += r["o_totalprice"]
+
+    def ntile5(keys_sorted):
+        n = len(keys_sorted)
+        base, extra = divmod(n, 5)
+        out = {}
+        i = 0
+        for b in range(1, 6):
+            size = base + (1 if b <= extra else 0)
+            for k in keys_sorted[i : i + size]:
+                out[k] = b
+            i += size
+        return out
+
+    ks = list(per)
+    r_s = ntile5(sorted(ks, key=lambda k: (-(anchor - per[k][0]).days, k)))
+    f_s = ntile5(sorted(ks, key=lambda k: (per[k][1], k)))
+    m_s = ntile5(sorted(ks, key=lambda k: (per[k][2], k)))
+    seg_n = Counter()
+    for k in ks:
+        r, f, m = r_s[k], f_s[k], m_s[k]
+        if r >= 4 and f >= 4 and m >= 4:
+            s = "champion"
+        elif r <= 2 and f >= 4:
+            s = "at_risk"
+        elif r <= 2 and f <= 2:
+            s = "hibernating"
+        elif r >= 4 and f <= 2:
+            s = "new"
+        else:
+            s = "regular"
+        seg_n[s] += 1
+    assert {s: g["n_customers"] for s, g in got.items()} == dict(seg_n)
+    assert sum(seg_n.values()) == len(ks)
+
+
+def test_gains_lift_table_invariants(spark, sf_dir):
+    """Ten deciles, near-equal sizes, monotone cumulative gain ending
+    at 1.0, and lift == resp_rate / base_rate."""
+    from aproximacion_1_etl_spark.queries import q_gains_lift_table
+
+    rows = sorted(
+        q_gains_lift_table(spark, sf_dir).collect(), key=lambda r: r["decile"]
+    )
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    sizes = [r["n"] for r in rows]
+    assert max(sizes) - min(sizes) <= 1
+    total_resp = sum(r["n_resp"] for r in rows)
+    assert total_resp > 0
+    cum = 0
+    base = total_resp / sum(sizes)
+    prev = 0.0
+    for r in rows:
+        cum += r["n_resp"]
+        assert abs(r["cum_gain"] - cum / total_resp) < 1e-3
+        assert r["cum_gain"] >= prev
+        prev = r["cum_gain"]
+        assert abs(r["lift"] - (r["n_resp"] / r["n"]) / base) < 1e-3
+    assert abs(rows[-1]["cum_gain"] - 1.0) < 1e-9
+
+
+def test_backfill_plan_completeness_and_thresholds(spark, sf_dir):
+    """Every calendar-month day absent from the facts must appear as
+    'missing' (observed 0); every low_volume row must satisfy the
+    exact 3/4-median threshold; no healthy day may appear."""
+    import datetime as dt
+    from collections import defaultdict
+
+    from aproximacion_1_etl_spark.queries import q_backfill_plan
+
+    plan = q_backfill_plan(spark, sf_dir).collect()
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .count()
+        .collect()
+    )
+    counts = {(r["event_type"], r["day"]): r["count"] for r in daily}
+    types = sorted({k[0] for k in counts})
+    days = sorted({k[1] for k in counts})
+    lo = days[0].replace(day=1)
+    nxt = (days[-1].replace(day=28) + dt.timedelta(days=4)).replace(day=1)
+    hi = nxt - dt.timedelta(days=1)
+    spine = [
+        lo + dt.timedelta(days=i) for i in range((hi - lo).days + 1)
+    ]
+    med = {}
+    by_type = defaultdict(list)
+    for (t, _), n in counts.items():
+        by_type[t].append(n)
+    for t, ns in by_type.items():
+        ns.sort()
+        # exact lower median: first n whose rank*2 >= count
+        for i, n in enumerate(ns, 1):
+            if i * 2 >= len(ns):
+                med[t] = n
+                break
+    expect = {}
+    for t in types:
+        for d in spine:
+            n = counts.get((t, d))
+            if n is None:
+                expect[(t, d.isoformat())] = ("missing", 0)
+            elif n * 4 < med[t] * 3:
+                expect[(t, d.isoformat())] = ("low_volume", n)
+    got = {
+        (r["event_type"], r["day"]): (r["issue"], r["observed_n"])
+        for r in plan
+    }
+    assert got == expect
+    assert len(got) > 0  # the gate is non-degenerate by construction
+
+
+def test_streaming_ewma_monitor_equals_batch_chart(spark, sf_dir):
+    """The stream-maintained chart must be row-identical to the batch
+    operator (same render helper, counts folded across waves)."""
+    from aproximacion_1_etl_spark.queries import (
+        q_ewma_control_chart,
+        q_streaming_ewma_monitor,
+    )
+
+    batch = {
+        (r["event_type"], r["day"]): r
+        for r in q_ewma_control_chart(spark, sf_dir).collect()
+    }
+    stream = {
+        (r["event_type"], r["day"]): r
+        for r in q_streaming_ewma_monitor(spark, sf_dir).collect()
+    }
+    assert set(batch) == set(stream)
+    for k, b in batch.items():
+        s = stream[k]
+        assert s["x"] == b["x"]
+        assert s["ewma_prior"] == b["ewma_prior"]
+        assert s["alarm"] == b["alarm"]
