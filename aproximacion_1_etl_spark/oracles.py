@@ -6953,6 +6953,99 @@ SELECT event_type, strftime(day, '%Y-%m-%d') AS day, issue,
        CAST(COALESCE(n, 0) AS BIGINT) AS observed_n, median_n
 FROM audit WHERE issue IS NOT NULL
 """,
+    # BFS: bounded-depth recursion; min(d) per node == the engine's
+    # frontier labels by BFS order.
+    "bfs_hop_distance": """
+WITH RECURSIVE op AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey <> b.l_partkey),
+bfs(pk, d) AS (
+  SELECT p_partkey, 0 FROM part WHERE p_brand = 'Brand#11'
+  UNION
+  SELECT e.dst, bfs.d + 1 FROM bfs JOIN edges e ON e.src = bfs.pk
+  WHERE bfs.d < 3)
+SELECT CAST(pk AS BIGINT) AS p_partkey, CAST(min(d) AS INT) AS dist
+FROM bfs GROUP BY 1
+""",
+    # Tokenizer fertility: the SAME generated train->encode SQL as
+    # bpe_encode_corpus, aggregated per language.
+    "bpe_fertility_stats": f"""
+SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(enc.n_words) AS BIGINT) AS total_words,
+       CAST(sum(enc.n_tokens) AS BIGINT) AS total_tokens,
+       floor(CAST(sum(enc.n_tokens) AS DOUBLE)
+             / CAST(sum(enc.n_words) AS DOUBLE) * 10000.0 + 0.5)
+         / 10000.0 AS fertility,
+       floor(CAST(sum(enc.n_chars) AS DOUBLE)
+             / CAST(sum(enc.n_tokens) AS DOUBLE) * 10000.0 + 0.5)
+         / 10000.0 AS chars_per_token
+FROM ({_bpe_encode_sql(8)}) enc
+JOIN documents d USING (doc_id)
+GROUP BY 1
+""",
+    # Padding-waste report over the same per-doc token budgets.
+    "padding_efficiency_report": f"""
+WITH b AS (
+  SELECT CAST(CASE WHEN n_tokens <= 64 THEN 64
+                   WHEN n_tokens <= 128 THEN 128
+                   WHEN n_tokens <= 256 THEN 256
+                   WHEN n_tokens <= 512 THEN 512
+                   ELSE 1024 END AS INT) AS bucket_cap,
+         least(n_tokens, 1024) AS kept,
+         CAST(CASE WHEN n_tokens <= 64 THEN 64
+                   WHEN n_tokens <= 128 THEN 128
+                   WHEN n_tokens <= 256 THEN 256
+                   WHEN n_tokens <= 512 THEN 512
+                   ELSE 1024 END
+              - least(n_tokens, 1024) AS BIGINT) AS pad
+  FROM ({_bpe_encode_sql(8)}) enc)
+SELECT bucket_cap, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(kept) AS BIGINT) AS total_tokens,
+       CAST(sum(pad) AS BIGINT) AS total_padding,
+       floor(CAST(sum(kept) AS DOUBLE)
+             / CAST(sum(kept) + sum(pad) AS DOUBLE)
+             * 10000.0 + 0.5) / 10000.0 AS efficiency
+FROM b GROUP BY 1
+""",
+    # Cycle-time stages: unpivoted integer day lags, crossing-row
+    # percentiles on the per-(stage, lag) aggregate.
+    "cycle_time_stages": """
+WITH per_order AS (
+  SELECT l_orderkey, min(l_shipdate) AS first_ship,
+         max(l_shipdate) AS last_ship
+  FROM lineitem GROUP BY 1),
+j AS (
+  SELECT p.*, o.o_orderdate
+  FROM per_order p JOIN orders o ON p.l_orderkey = o.o_orderkey),
+lagged AS (
+  SELECT 'order_to_first_ship' AS stage,
+         date_diff('day', o_orderdate, first_ship) AS lag_d FROM j
+  UNION ALL
+  SELECT 'order_to_last_ship',
+         date_diff('day', o_orderdate, last_ship) FROM j
+  UNION ALL
+  SELECT 'ship_spread',
+         date_diff('day', first_ship, last_ship) FROM j),
+counts AS (
+  SELECT stage, lag_d, CAST(count(*) AS BIGINT) AS c
+  FROM lagged GROUP BY 1, 2),
+cum AS (
+  SELECT stage, lag_d,
+         sum(c) OVER (PARTITION BY stage ORDER BY lag_d
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND
+                      CURRENT ROW) AS cw,
+         sum(c) OVER (PARTITION BY stage) AS tw
+  FROM counts)
+SELECT stage, CAST(max(tw) AS BIGINT) AS n_orders,
+       CAST(min(CASE WHEN cw * 2 >= tw * 1 THEN lag_d END) AS INT)
+         AS p50_days,
+       CAST(min(CASE WHEN cw * 10 >= tw * 9 THEN lag_d END) AS INT)
+         AS p90_days
+FROM cum GROUP BY 1
+""",
 }
 
 # Streaming maintenance keys whose final render is DEFINED to equal an

@@ -13952,6 +13952,184 @@ def q_streaming_ewma_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
             shutil.rmtree(ckpt, ignore_errors=True)
 
 
+def q_bfs_hop_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 graph BFS hop distance (completes the graph family next
+    to pagerank / triangles / components / Adamic-Adar): minimum hops
+    from a seed part set (one brand) over the co-order graph (parts
+    appearing in the same order). Three frontier expansions, each ONE
+    join against the distinct edge list + an anti-join against the
+    labeled set, with an eager lineage cut per round so the plan never
+    re-derives prior frontiers — the pagerank loop shape. Edge volume
+    is sum(basket²) (the basket_rules bound); the frontier join is the
+    only per-round shuffle. BFS order guarantees min-distance labels,
+    matching the oracle's min(d) over the bounded-depth recursion."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src")
+    )
+    b = op.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst")
+    )
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    seeds = (
+        p.filter(F.col("p_brand") == "Brand#11")
+        .select(F.col("p_partkey").alias("pk"))
+        .withColumn("dist", F.lit(0))
+    )
+    state = seeds.localCheckpoint(eager=True)
+    frontier = state
+    for k in range(1, 4):
+        nxt = (
+            frontier.join(edges, frontier["pk"] == edges["src"])
+            .select(F.col("dst").alias("pk"))
+            .distinct()
+        )
+        new = nxt.join(state, "pk", "left_anti").withColumn(
+            "dist", F.lit(k)
+        )
+        new = new.localCheckpoint(eager=True)
+        state = state.unionByName(new).localCheckpoint(eager=True)
+        frontier = new
+    return state.select(
+        F.col("pk").cast("bigint").alias("p_partkey"),
+        F.col("dist").cast("int").alias("dist"),
+    )
+
+
+def q_bpe_fertility_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 tokenizer-quality report: per-language FERTILITY
+    (tokens per word) and compression (chars per token) of the trained
+    BPE tokenizer — the standard multi-lingual tokenizer-evaluation
+    cut (a language with high fertility pays more context budget per
+    word). Aggregates the SAME bpe_encode per-doc budgets the packing
+    stages consume (one extra |docs| join + one aggregation); every
+    total is an exact integer sum, each ratio one IEEE division."""
+    from aproximacion_1_etl_spark.text.analysis import bpe_encode
+
+    docs = load_table(spark, sf_dir, "documents")
+    enc = bpe_encode(docs, _trained_bpe_merges(spark, sf_dir))
+    j = enc.join(docs.select("doc_id", "lang"), "doc_id")
+    return j.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_words").cast("bigint").alias("total_words"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        _fround(
+            F.sum("n_tokens").cast("double")
+            / F.sum("n_words").cast("double"),
+            4,
+        ).alias("fertility"),
+        _fround(
+            F.sum("n_chars").cast("double")
+            / F.sum("n_tokens").cast("double"),
+            4,
+        ).alias("chars_per_token"),
+    )
+
+
+def q_padding_efficiency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 context-budget WASTE report: documents assigned to the
+    smallest power-of-two token bucket (64..1024, oversize truncated
+    to the cap) and per bucket the padding a fixed-length batch would
+    burn — the training-cost readout that justifies length-bucketed
+    batching (length_bucketed_batches) over naive max-length padding.
+    Same bpe_encode budgets; all totals exact integers; efficiency is
+    one division."""
+    from aproximacion_1_etl_spark.text.analysis import bpe_encode
+
+    docs = load_table(spark, sf_dir, "documents")
+    enc = bpe_encode(docs, _trained_bpe_merges(spark, sf_dir)).select(
+        "doc_id", "n_tokens"
+    )
+    cap = (
+        F.when(F.col("n_tokens") <= 64, 64)
+        .when(F.col("n_tokens") <= 128, 128)
+        .when(F.col("n_tokens") <= 256, 256)
+        .when(F.col("n_tokens") <= 512, 512)
+        .otherwise(1024)
+    )
+    kept = F.least(F.col("n_tokens"), F.lit(1024))
+    bucketed = enc.select(
+        cap.cast("int").alias("bucket_cap"),
+        kept.alias("kept"),
+        (cap - kept).cast("bigint").alias("pad"),
+    )
+    return bucketed.groupBy("bucket_cap").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("kept").cast("bigint").alias("total_tokens"),
+        F.sum("pad").cast("bigint").alias("total_padding"),
+        _fround(
+            F.sum("kept").cast("double")
+            / (F.sum("kept") + F.sum("pad")).cast("double"),
+            4,
+        ).alias("efficiency"),
+    )
+
+
+def q_cycle_time_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 fulfilment CYCLE-TIME decomposition: p50/p90 of each
+    per-order stage (order to first ship, order to last ship, and the
+    within-order ship spread) from ONE scan — the facts aggregate once
+    to order grain, a stack() unpivot emits (stage, lag-days) rows,
+    lags are exact integer day differences, and the per-stage
+    percentiles use the crossing-row selection on the per-(stage, lag)
+    count aggregate (cum*den >= tot*num integer cross-multiplication —
+    no float rank math, no per-stage job)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.min("l_shipdate").alias("first_ship"),
+        F.max("l_shipdate").alias("last_ship"),
+    )
+    j = per_order.join(
+        o.select("o_orderkey", "o_orderdate"),
+        per_order["l_orderkey"] == F.col("o_orderkey"),
+    )
+    lagged = j.select(
+        F.expr(
+            "stack(3,"
+            " 'order_to_first_ship', datediff(first_ship, o_orderdate),"
+            " 'order_to_last_ship', datediff(last_ship, o_orderdate),"
+            " 'ship_spread', datediff(last_ship, first_ship)"
+            ") AS (stage, lag_d)"
+        )
+    )
+    counts = lagged.groupBy("stage", "lag_d").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    w_cum = (
+        Window.partitionBy("stage")
+        .orderBy("lag_d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = counts.select(
+        "stage",
+        "lag_d",
+        F.sum("c").over(w_cum).alias("cw"),
+        F.sum("c").over(Window.partitionBy("stage")).alias("tw"),
+    )
+
+    def sq(num: int, den: int):
+        return F.min(
+            F.when(
+                F.col("cw") * F.lit(den) >= F.col("tw") * F.lit(num),
+                F.col("lag_d"),
+            )
+        )
+
+    return cum.groupBy("stage").agg(
+        F.max("tw").cast("bigint").alias("n_orders"),
+        sq(1, 2).cast("int").alias("p50_days"),
+        sq(9, 10).cast("int").alias("p90_days"),
+    )
+
+
 ALL_QUERIES = {
     "flagship_order_lifecycle": q_flagship_order_lifecycle,
     "bm25_topk": q_bm25_topk,
@@ -14268,4 +14446,8 @@ ALL_QUERIES = {
     "gains_lift_table": q_gains_lift_table,
     "backfill_plan": q_backfill_plan,
     "streaming_ewma_monitor": q_streaming_ewma_monitor,
+    "bfs_hop_distance": q_bfs_hop_distance,
+    "bpe_fertility_stats": q_bpe_fertility_stats,
+    "padding_efficiency_report": q_padding_efficiency_report,
+    "cycle_time_stages": q_cycle_time_stages,
 }

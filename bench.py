@@ -243,6 +243,10 @@ HEADLINE = [
     "rfm_segmentation",
     "gains_lift_table",
     "backfill_plan",
+    "bfs_hop_distance",
+    "bpe_fertility_stats",
+    "padding_efficiency_report",
+    "cycle_time_stages",
     # Python-worker queries LAST: applyInPandas spins up 32 Python
     # workers and leaves GC pressure that inflates the next JVM-only
     # query by ~3x (measured: dedup_minhash_lsh 6.96s after it vs 1.9s

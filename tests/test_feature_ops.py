@@ -1219,3 +1219,149 @@ def test_streaming_ewma_monitor_equals_batch_chart(spark, sf_dir):
         assert s["x"] == b["x"]
         assert s["ewma_prior"] == b["ewma_prior"]
         assert s["alarm"] == b["alarm"]
+
+
+def test_bfs_hop_distance_matches_python_bfs(spark, sf_dir):
+    """Distances must equal a python BFS over the same co-order edges,
+    seeds at 0, capped at 3 hops; unreachable parts absent."""
+    from collections import defaultdict, deque
+
+    from aproximacion_1_etl_spark.queries import q_bfs_hop_distance
+
+    got = {
+        r["p_partkey"]: r["dist"]
+        for r in q_bfs_hop_distance(spark, sf_dir).collect()
+    }
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct().collect()
+    orders = defaultdict(set)
+    for r in li:
+        orders[r["l_orderkey"]].add(r["l_partkey"])
+    adj = defaultdict(set)
+    for parts in orders.values():
+        for a in parts:
+            for b in parts:
+                if a != b:
+                    adj[a].add(b)
+    seeds = [
+        r["p_partkey"]
+        for r in load_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#11")
+        .select("p_partkey")
+        .collect()
+    ]
+    dist = {s: 0 for s in seeds}
+    q = deque(seeds)
+    while q:
+        u = q.popleft()
+        if dist[u] >= 3:
+            continue
+        for v in adj[u]:
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                q.append(v)
+    assert got == dist
+    assert len(set(got.values())) >= 2  # a non-degenerate frontier
+
+
+def test_bpe_fertility_consistent_with_encode(spark, sf_dir):
+    """Per-language totals must equal the per-doc encode output
+    aggregated in python, and fertility >= 1 is impossible to violate
+    (a merge can only shrink a word's token count to >= 1... actually
+    fertility is tokens/words >= 1 since each word emits >= 1 token)."""
+    from collections import defaultdict
+
+    from aproximacion_1_etl_spark.queries import (
+        q_bpe_encode_corpus,
+        q_bpe_fertility_stats,
+    )
+
+    enc = q_bpe_encode_corpus(spark, sf_dir).collect()
+    langs = {
+        r["doc_id"]: r["lang"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang")
+        .collect()
+    }
+    agg = defaultdict(lambda: [0, 0, 0, 0])
+    for r in enc:
+        a = agg[langs[r["doc_id"]]]
+        a[0] += 1
+        a[1] += r["n_words"]
+        a[2] += r["n_tokens"]
+        a[3] += r["n_chars"]
+    got = {r["lang"]: r for r in q_bpe_fertility_stats(spark, sf_dir).collect()}
+    assert set(got) == set(agg)
+    for lang, (nd, w, t, ch) in agg.items():
+        g = got[lang]
+        assert g["n_docs"] == nd
+        assert g["total_words"] == w
+        assert g["total_tokens"] == t
+        assert abs(g["fertility"] - t / w) < 1e-3
+        assert g["fertility"] >= 1.0
+        assert abs(g["chars_per_token"] - ch / t) < 1e-3
+
+
+def test_padding_efficiency_conservation(spark, sf_dir):
+    """Buckets must partition the corpus, kept+padding must equal
+    n_docs * cap per bucket, and efficiency must be kept/(kept+pad)."""
+    from aproximacion_1_etl_spark.queries import (
+        q_bpe_encode_corpus,
+        q_padding_efficiency_report,
+    )
+
+    rows = q_padding_efficiency_report(spark, sf_dir).collect()
+    enc = q_bpe_encode_corpus(spark, sf_dir).collect()
+    assert sum(r["n_docs"] for r in rows) == len(enc)
+    for r in rows:
+        assert r["total_tokens"] + r["total_padding"] == r["n_docs"] * r["bucket_cap"]
+        assert (
+            abs(
+                r["efficiency"]
+                - r["total_tokens"] / (r["total_tokens"] + r["total_padding"])
+            )
+            < 1e-3
+        )
+
+
+def test_cycle_time_stages_match_bruteforce(spark, sf_dir):
+    """Each stage's percentiles must equal the python crossing-row
+    quantile over the per-order day lags."""
+    from collections import defaultdict
+
+    from aproximacion_1_etl_spark.queries import q_cycle_time_stages
+
+    got = {r["stage"]: r for r in q_cycle_time_stages(spark, sf_dir).collect()}
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    ).collect()
+    o = {
+        r["o_orderkey"]: r["o_orderdate"]
+        for r in load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderdate")
+        .collect()
+    }
+    ships = defaultdict(list)
+    for r in li:
+        ships[r["l_orderkey"]].append(r["l_shipdate"])
+    lags = defaultdict(list)
+    for ok, ds in ships.items():
+        lags["order_to_first_ship"].append((min(ds) - o[ok]).days)
+        lags["order_to_last_ship"].append((max(ds) - o[ok]).days)
+        lags["ship_spread"].append((max(ds) - min(ds)).days)
+
+    def cross(vals, num, den):
+        vals = sorted(vals)
+        n = len(vals)
+        cum = 0
+        for v in vals:
+            cum += 1
+            if cum * den >= n * num:
+                return v
+
+    for stage, vs in lags.items():
+        g = got[stage]
+        assert g["n_orders"] == len(vs)
+        assert g["p50_days"] == cross(vs, 1, 2)
+        assert g["p90_days"] == cross(vs, 9, 10)
