@@ -7046,6 +7046,123 @@ SELECT stage, CAST(max(tw) AS BIGINT) AS n_orders,
          AS p90_days
 FROM cum GROUP BY 1
 """,
+    # Per-class P/R/F1 over the SAME generated lang-id confusion.
+    "classifier_prf_report": f"""
+WITH base AS (
+  SELECT lang, text,
+    {_lang_hits_sql()}
+  FROM documents),
+p AS (SELECT lang AS true_lang, {_LANG_PRED_SQL} AS pred_lang
+      FROM base),
+cm AS (SELECT true_lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+       FROM p GROUP BY 1, 2),
+pt AS (SELECT true_lang AS lang, CAST(sum(n) AS BIGINT) AS n_true,
+              CAST(sum(CASE WHEN pred_lang = true_lang THEN n END)
+                   AS BIGINT) AS tp_t
+       FROM cm GROUP BY 1),
+pp AS (SELECT pred_lang AS lang, CAST(sum(n) AS BIGINT) AS n_pred
+       FROM cm GROUP BY 1),
+jj AS (
+  SELECT pt.lang, COALESCE(tp_t, 0) AS tp,
+         CAST(COALESCE(n_pred, 0) - COALESCE(tp_t, 0) AS BIGINT)
+           AS fp,
+         CAST(n_true - COALESCE(tp_t, 0) AS BIGINT) AS fn
+  FROM pt LEFT JOIN pp ON pt.lang = pp.lang),
+r AS (
+  SELECT *,
+         CAST(tp AS DOUBLE)
+           / nullif(CAST(tp + fp AS DOUBLE), 0.0) AS prec,
+         CAST(tp AS DOUBLE)
+           / nullif(CAST(tp + fn AS DOUBLE), 0.0) AS rec
+  FROM jj)
+SELECT lang, tp, fp, fn,
+       floor(prec * 10000.0 + 0.5) / 10000.0 AS "precision",
+       floor(rec * 10000.0 + 0.5) / 10000.0 AS recall,
+       floor(2.0 * prec * rec / nullif(prec + rec, 0.0)
+             * 10000.0 + 0.5) / 10000.0 AS f1
+FROM r
+""",
+    # Empirical-Bayes shrinkage: identical method-of-moments prior and
+    # shrinkage algebra.
+    "eb_shrunk_rates": """
+WITH dim AS (
+  SELECT c_custkey, c_mktsegment AS segment, n_name AS nation
+  FROM customer JOIN nation ON c_nationkey = n_nationkey),
+cells AS (
+  SELECT segment, nation, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS x
+  FROM events e JOIN dim d ON e.user_id = d.c_custkey
+  GROUP BY 1, 2),
+rated AS (
+  SELECT *, CAST(x AS DOUBLE) / CAST(n AS DOUBLE) AS p FROM cells),
+mom AS (
+  SELECT CAST(count(*) AS DOUBLE) AS k,
+         CAST(sum(CAST(p AS DECIMAL(38,18))) AS DOUBLE) AS s,
+         CAST(sum(CAST(p * p AS DECIMAL(38,18))) AS DOUBLE) AS q
+  FROM rated),
+mm AS (SELECT k, q, s / k AS m FROM mom),
+vv AS (SELECT *, (q / k - m * m) * (k / (k - 1.0)) AS v FROM mm),
+cc AS (SELECT *, greatest(m * (1.0 - m) / v - 1.0, 1.0) AS com
+       FROM vv),
+pri AS (SELECT m * com AS alpha, (1.0 - m) * com AS beta FROM cc)
+SELECT segment, nation, n, x,
+       floor(p * 1000000.0 + 0.5) / 1000000.0 AS raw_rate,
+       floor((CAST(x AS DOUBLE) + alpha)
+             / (CAST(n AS DOUBLE) + alpha + beta)
+             * 1000000.0 + 0.5) / 1000000.0 AS shrunk_rate
+FROM rated, pri
+""",
+    # Top-N + OTHER: rank window over the brand aggregate, relabel,
+    # re-aggregate; decimal revenue end to end.
+    "topn_with_other": """
+WITH brands AS (
+  SELECT p_brand,
+         sum(CAST(l_extendedprice * (1.0 - l_discount)
+                  AS DECIMAL(38,12))) AS rev
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY 1),
+lab AS (
+  SELECT CASE WHEN row_number()
+                   OVER (ORDER BY rev DESC, p_brand ASC) <= 5
+              THEN p_brand ELSE 'OTHER' END AS brand, rev
+  FROM brands),
+rolled AS (
+  SELECT brand, sum(rev) AS rev, CAST(count(*) AS BIGINT) AS n_brands
+  FROM lab GROUP BY 1)
+SELECT brand, n_brands,
+       floor(CAST(rev AS DOUBLE) * 100.0 + 0.5) / 100.0 AS revenue,
+       floor(CAST(rev AS DOUBLE) / CAST(sum(rev) OVER () AS DOUBLE)
+             * 1000000.0 + 0.5) / 1000000.0 AS share
+FROM rolled
+""",
+    # Vocabulary overlap: the oracle joins the distinct (source, token)
+    # relation pairwise; the engine generates pairs map-side from each
+    # token's sorted source set — same multiset by construction.
+    "source_vocab_overlap": """
+WITH toks AS (
+  SELECT DISTINCT source,
+         unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+  FROM documents),
+sizes AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS vocab
+  FROM toks GROUP BY 1),
+pairs AS (
+  SELECT a.source AS src_a, b.source AS src_b
+  FROM toks a JOIN toks b
+    ON a.tok = b.tok AND a.source < b.source),
+inter AS (
+  SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_common
+  FROM pairs GROUP BY 1, 2)
+SELECT src_a, src_b, n_common,
+       CAST(sa.vocab + sb.vocab - n_common AS BIGINT) AS n_union,
+       floor(CAST(n_common AS DOUBLE)
+             / CAST(sa.vocab + sb.vocab - n_common AS DOUBLE)
+             * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+FROM inter
+JOIN sizes sa ON src_a = sa.source
+JOIN sizes sb ON src_b = sb.source
+""",
 }
 
 # Streaming maintenance keys whose final render is DEFINED to equal an

@@ -14130,6 +14130,236 @@ def q_cycle_time_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_classifier_prf_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 classifier evaluation: per-class PRECISION / RECALL / F1
+    of the heuristic language-ID against the labeled lang column — the
+    summary sheet on top of lang_confusion's raw matrix. tp/fp/fn come
+    from three conditional sums over the |langs|² confusion aggregate
+    (one scan, one keyed aggregation, then |cells|-sized algebra);
+    ratios are nullif-guarded single divisions, identical on both
+    engines."""
+    from aproximacion_1_etl_spark.text.analysis import lang_id
+
+    d = load_table(spark, sf_dir, "documents")
+    cm = d.groupBy(
+        F.col("lang").alias("true_lang"),
+        lang_id(F.col("text")).alias("pred_lang"),
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    per_true = cm.groupBy(F.col("true_lang").alias("lang")).agg(
+        F.sum("n").cast("bigint").alias("n_true"),
+        F.sum(
+            F.when(F.col("pred_lang") == F.col("true_lang"), F.col("n"))
+        )
+        .cast("bigint")
+        .alias("tp_t"),
+    )
+    per_pred = cm.groupBy(F.col("pred_lang").alias("lang")).agg(
+        F.sum("n").cast("bigint").alias("n_pred")
+    )
+    j = per_true.join(per_pred, "lang", "left").select(
+        "lang",
+        F.coalesce("tp_t", F.lit(0)).alias("tp"),
+        (F.coalesce("n_pred", F.lit(0)) - F.coalesce("tp_t", F.lit(0)))
+        .cast("bigint")
+        .alias("fp"),
+        (F.col("n_true") - F.coalesce("tp_t", F.lit(0)))
+        .cast("bigint")
+        .alias("fn"),
+    )
+    prec = F.col("tp").cast("double") / F.nullif(
+        (F.col("tp") + F.col("fp")).cast("double"), F.lit(0.0)
+    )
+    rec = F.col("tp").cast("double") / F.nullif(
+        (F.col("tp") + F.col("fn")).cast("double"), F.lit(0.0)
+    )
+    return j.select(
+        "lang",
+        "tp",
+        "fp",
+        "fn",
+        _fround(prec, 4).alias("precision"),
+        _fround(rec, 4).alias("recall"),
+        _fround(
+            F.lit(2.0) * prec * rec / F.nullif(prec + rec, F.lit(0.0)),
+            4,
+        ).alias("f1"),
+    )
+
+
+def q_eb_shrunk_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 EMPIRICAL-BAYES rate shrinkage (the small-cell fix every
+    ratio dashboard needs): per-(segment, nation) purchase share with
+    beta-binomial shrinkage toward the population — method-of-moments
+    alpha/beta from the cell-rate mean/variance (decimal-cast sums so
+    the moments are order-independent), then shrunk = (x + a)/(n +
+    a + b). A sparse cell collapses to the prior, a dense one keeps
+    its own rate — all closed form, one fact aggregation + one
+    |cells| pass + a 1-row broadcast; no sampling, no iteration."""
+    ev = load_table(spark, sf_dir, "events")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    dim = F.broadcast(
+        c.join(n, c["c_nationkey"] == n["n_nationkey"]).select(
+            "c_custkey",
+            F.col("c_mktsegment").alias("segment"),
+            F.col("n_name").alias("nation"),
+        )
+    )
+    cells = (
+        ev.join(dim, ev["user_id"] == F.col("c_custkey"))
+        .groupBy("segment", "nation")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(
+                (F.col("event_type") == "purchase").cast("int")
+            )
+            .cast("bigint")
+            .alias("x"),
+        )
+    )
+    rate = F.col("x").cast("double") / F.col("n").cast("double")
+    rated = cells.withColumn("p", rate)
+    mom = rated.agg(
+        F.count("*").cast("double").alias("k"),
+        F.sum(F.col("p").cast("decimal(38,18)"))
+        .cast("double")
+        .alias("s"),
+        F.sum((F.col("p") * F.col("p")).cast("decimal(38,18)"))
+        .cast("double")
+        .alias("q"),
+    )
+    m = F.col("s") / F.col("k")
+    v = (F.col("q") / F.col("k") - m * m) * (
+        F.col("k") / (F.col("k") - F.lit(1.0))
+    )
+    common = F.greatest(
+        m * (F.lit(1.0) - m) / v - F.lit(1.0), F.lit(1.0)
+    )
+    pri = mom.select(
+        (m * common).alias("alpha"),
+        ((F.lit(1.0) - m) * common).alias("beta"),
+    )
+    out = rated.crossJoin(F.broadcast(pri))
+    shrunk = (F.col("x").cast("double") + F.col("alpha")) / (
+        F.col("n").cast("double") + F.col("alpha") + F.col("beta")
+    )
+    return out.select(
+        "segment",
+        "nation",
+        "n",
+        "x",
+        _fround(F.col("p"), 6).alias("raw_rate"),
+        _fround(shrunk, 6).alias("shrunk_rate"),
+    )
+
+
+def q_topn_with_other(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 TOP-N + OTHER rollup (the BI idiom behind every pie
+    chart): top-5 brands by decimal-exact net revenue, everything else
+    collapsed into one 'OTHER' row, with exact shares. One fact
+    aggregation to brand grain, one rank window over the |brands|
+    aggregate, one re-aggregation of the relabeled rows — facts
+    scanned once."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    brands = (
+        li.join(
+            F.broadcast(p.select("p_partkey", "p_brand")),
+            li["l_partkey"] == F.col("p_partkey"),
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.sum(
+                (
+                    F.col("l_extendedprice")
+                    * (F.lit(1.0) - F.col("l_discount"))
+                ).cast("decimal(38,12)")
+            ).alias("rev")
+        )
+    )
+    w = Window.orderBy(F.col("rev").desc(), F.col("p_brand").asc())
+    labeled = brands.withColumn(
+        "grp",
+        F.when(F.row_number().over(w) <= 5, F.col("p_brand")).otherwise(
+            "OTHER"
+        ),
+    )
+    rolled = labeled.groupBy("grp").agg(
+        F.sum("rev").alias("rev"),
+        F.count("*").cast("bigint").alias("n_brands"),
+    )
+    return rolled.select(
+        F.col("grp").alias("brand"),
+        "n_brands",
+        _fround(F.col("rev").cast("double"), 2).alias("revenue"),
+        _fround(
+            F.col("rev").cast("double")
+            / F.sum(F.col("rev"))
+            .over(Window.partitionBy())
+            .cast("double"),
+            6,
+        ).alias("share"),
+    )
+
+
+def q_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 cross-SOURCE vocabulary overlap: pairwise Jaccard of the
+    per-source token vocabularies — the corpus-mixing diagnostic
+    (two sources with near-identical vocabularies add less diversity
+    than their row counts suggest). The token explode aggregates to
+    (token, sorted source set) ONCE; pairs are generated map-side from
+    each token's source array (the basket-pair iterator — bounded by
+    |sources|²/2 per token, never a vocab self-join); |A∪B| =
+    |A|+|B|-|A∩B| from exact integer vocab sizes."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+        ).alias("tok"),
+    ).distinct()
+    sizes = toks.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("vocab")
+    )
+    tok_srcs = toks.groupBy("tok").agg(
+        F.sort_array(F.collect_set("source")).alias("ss")
+    ).filter(F.size("ss") >= 2)
+    pairs = tok_srcs.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ss, (x, i) ->"
+                " transform(slice(ss, i + 2, size(ss)),"
+                " y -> struct(x AS a, y AS b))))"
+            )
+        ).alias("pr")
+    ).select(F.col("pr.a").alias("src_a"), F.col("pr.b").alias("src_b"))
+    inter = pairs.groupBy("src_a", "src_b").agg(
+        F.count("*").cast("bigint").alias("n_common")
+    )
+    sa = sizes.select(
+        F.col("source").alias("src_a"), F.col("vocab").alias("va")
+    )
+    sb = sizes.select(
+        F.col("source").alias("src_b"), F.col("vocab").alias("vb")
+    )
+    j = inter.join(F.broadcast(sa), "src_a").join(
+        F.broadcast(sb), "src_b"
+    )
+    return j.select(
+        "src_a",
+        "src_b",
+        "n_common",
+        (F.col("va") + F.col("vb") - F.col("n_common")).alias("n_union"),
+        _fround(
+            F.col("n_common").cast("double")
+            / (
+                F.col("va") + F.col("vb") - F.col("n_common")
+            ).cast("double"),
+            6,
+        ).alias("jaccard"),
+    )
+
+
 ALL_QUERIES = {
     "flagship_order_lifecycle": q_flagship_order_lifecycle,
     "bm25_topk": q_bm25_topk,
@@ -14450,4 +14680,8 @@ ALL_QUERIES = {
     "bpe_fertility_stats": q_bpe_fertility_stats,
     "padding_efficiency_report": q_padding_efficiency_report,
     "cycle_time_stages": q_cycle_time_stages,
+    "classifier_prf_report": q_classifier_prf_report,
+    "eb_shrunk_rates": q_eb_shrunk_rates,
+    "topn_with_other": q_topn_with_other,
+    "source_vocab_overlap": q_source_vocab_overlap,
 }

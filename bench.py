@@ -247,6 +247,10 @@ HEADLINE = [
     "bpe_fertility_stats",
     "padding_efficiency_report",
     "cycle_time_stages",
+    "classifier_prf_report",
+    "eb_shrunk_rates",
+    "topn_with_other",
+    "source_vocab_overlap",
     # Python-worker queries LAST: applyInPandas spins up 32 Python
     # workers and leaves GC pressure that inflates the next JVM-only
     # query by ~3x (measured: dedup_minhash_lsh 6.96s after it vs 1.9s

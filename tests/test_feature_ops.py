@@ -1365,3 +1365,111 @@ def test_cycle_time_stages_match_bruteforce(spark, sf_dir):
         assert g["n_orders"] == len(vs)
         assert g["p50_days"] == cross(vs, 1, 2)
         assert g["p90_days"] == cross(vs, 9, 10)
+
+
+def test_classifier_prf_consistent_with_confusion(spark, sf_dir):
+    """tp/fp/fn must re-derive from the confusion matrix, and P/R/F1
+    must be the textbook ratios."""
+    from aproximacion_1_etl_spark.queries import (
+        q_classifier_prf_report,
+        q_lang_confusion,
+    )
+
+    cm = q_lang_confusion(spark, sf_dir).collect()
+    got = {r["lang"]: r for r in q_classifier_prf_report(spark, sf_dir).collect()}
+    langs = {r["true_lang"] for r in cm}
+    assert set(got) == langs
+    for lang in langs:
+        tp = sum(r["n"] for r in cm if r["true_lang"] == lang and r["pred_lang"] == lang)
+        fp = sum(r["n"] for r in cm if r["true_lang"] != lang and r["pred_lang"] == lang)
+        fn = sum(r["n"] for r in cm if r["true_lang"] == lang and r["pred_lang"] != lang)
+        g = got[lang]
+        assert (g["tp"], g["fp"], g["fn"]) == (tp, fp, fn)
+        if tp + fp:
+            assert abs(g["precision"] - tp / (tp + fp)) < 1e-3
+        if tp + fn:
+            assert abs(g["recall"] - tp / (tp + fn)) < 1e-3
+        if g["precision"] and g["recall"]:
+            p, r_ = tp / (tp + fp), tp / (tp + fn)
+            assert abs(g["f1"] - 2 * p * r_ / (p + r_)) < 1e-3
+
+
+def test_eb_shrinkage_pulls_small_cells_toward_prior(spark, sf_dir):
+    """Shrunk rates must sit between the raw rate and the prior mean,
+    and smaller cells must move proportionally more."""
+    from aproximacion_1_etl_spark.queries import q_eb_shrunk_rates
+
+    rows = q_eb_shrunk_rates(spark, sf_dir).collect()
+    assert len(rows) > 1
+    m = sum(r["raw_rate"] for r in rows) / len(rows)
+    for r in rows:
+        lo, hi = sorted((r["raw_rate"], m))
+        assert lo - 1e-6 <= r["shrunk_rate"] <= hi + 1e-6, r
+    # the relative pull |shrunk-raw|/|prior-raw| must shrink as n grows
+    moved = [
+        (r["n"], abs(r["shrunk_rate"] - r["raw_rate"]) / abs(m - r["raw_rate"]))
+        for r in rows
+        if abs(m - r["raw_rate"]) > 1e-6
+    ]
+    big = max(moved)[0]
+    small = min(moved)[0]
+    if big != small:
+        pull_small = max(p for n, p in moved if n == small)
+        pull_big = min(p for n, p in moved if n == big)
+        assert pull_small >= pull_big
+
+
+def test_topn_with_other_partitions_revenue(spark, sf_dir):
+    """Exactly 5 named brands + OTHER; shares sum to 1; OTHER holds
+    all remaining brands; revenue conserves the brand total."""
+    from aproximacion_1_etl_spark.queries import q_topn_with_other
+
+    rows = q_topn_with_other(spark, sf_dir).collect()
+    named = [r for r in rows if r["brand"] != "OTHER"]
+    other = [r for r in rows if r["brand"] == "OTHER"]
+    assert len(named) == 5 and len(other) == 1
+    assert all(r["n_brands"] == 1 for r in named)
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-3
+    assert min(r["revenue"] for r in named) > 0
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    total = (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .agg(
+            F.sum(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+            ).alias("t")
+        )
+        .collect()[0]["t"]
+    )
+    assert abs(sum(r["revenue"] for r in rows) - total) < 1.0
+
+
+def test_source_vocab_overlap_matches_python_sets(spark, sf_dir):
+    """Jaccard per source pair must equal python set arithmetic over
+    the same tokenization."""
+    import re
+    from collections import defaultdict
+
+    from aproximacion_1_etl_spark.queries import q_source_vocab_overlap
+
+    got = {
+        (r["src_a"], r["src_b"]): r
+        for r in q_source_vocab_overlap(spark, sf_dir).collect()
+    }
+    docs = load_table(spark, sf_dir, "documents").select("source", "text").collect()
+    vocab = defaultdict(set)
+    for r in docs:
+        vocab[r["source"]].update(re.findall(r"[a-z]+", r["text"].lower()))
+    srcs = sorted(vocab)
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1 :]:
+            inter = len(vocab[a] & vocab[b])
+            if inter == 0:
+                assert (a, b) not in got
+                continue
+            g = got[(a, b)]
+            union = len(vocab[a] | vocab[b])
+            assert g["n_common"] == inter
+            assert g["n_union"] == union
+            assert abs(g["jaccard"] - inter / union) < 1e-3
