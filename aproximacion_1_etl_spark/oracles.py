@@ -6491,13 +6491,13 @@ med AS (
          CAST(max(m) AS BIGINT) AS n_pairs
   FROM ranked
   WHERE rn = floor((m + 1) / 2) OR rn = floor(m / 2) + 1
-  GROUP BY 1),
-nd AS (
-  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
-  FROM daily GROUP BY 1)
-SELECT med.event_type, nd.n_days, med.n_pairs,
-       floor(med.sen * 10000.0 + 0.5) / 10000.0 AS sen_slope
-FROM med JOIN nd USING (event_type)
+  GROUP BY 1)
+SELECT event_type,
+       CAST(floor((1.0 + sqrt(1.0 + 8.0 * CAST(n_pairs AS DOUBLE)))
+                  / 2.0) AS BIGINT) AS n_days,
+       n_pairs,
+       floor(sen * 10000.0 + 0.5) / 10000.0 AS sen_slope
+FROM med
 """,
     # Mann-Whitney U: per-VALUE rank aggregation (no per-row ranks),
     # everything through 2U exact integers; z is the only IEEE step.
@@ -7162,6 +7162,61 @@ SELECT src_a, src_b, n_common,
 FROM inter
 JOIN sizes sa ON src_a = sa.source
 JOIN sizes sb ON src_b = sb.source
+""",
+    # SCD type-6: lead interval close + whole-partition current
+    # overlay under one total (ts, event_id) order.
+    "scd6_view": """
+SELECT user_id, event_type,
+       last_value(event_type) OVER (PARTITION BY user_id
+           ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         AS event_type_current,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+       strftime(lead(ts) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id),
+                '%Y-%m-%d %H:%M:%S') AS valid_to,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         IS NULL AS is_current
+FROM events
+""",
+    # Winsorized moments: crossing-row exact p05/p95 cuts, decimal
+    # moments of the clamped column.
+    "winsorized_stats": """
+WITH ev AS (
+  SELECT event_type, CAST(value AS DOUBLE) AS v FROM events
+  WHERE value IS NOT NULL),
+counts AS (
+  SELECT event_type, v, CAST(count(*) AS BIGINT) AS c
+  FROM ev GROUP BY 1, 2),
+cum AS (
+  SELECT event_type, v,
+         sum(c) OVER (PARTITION BY event_type ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND
+                      CURRENT ROW) AS cw,
+         sum(c) OVER (PARTITION BY event_type) AS tw
+  FROM counts),
+cuts AS (
+  SELECT event_type,
+         min(CASE WHEN cw * 20 >= tw * 1 THEN v END) AS lo_cut,
+         min(CASE WHEN cw * 20 >= tw * 19 THEN v END) AS hi_cut
+  FROM cum GROUP BY 1),
+clamped AS (
+  SELECT ev.event_type, lo_cut, hi_cut,
+         least(greatest(v, lo_cut), hi_cut) AS cv
+  FROM ev JOIN cuts ON ev.event_type = cuts.event_type),
+g AS (
+  SELECT event_type, lo_cut, hi_cut,
+         CAST(count(*) AS DOUBLE) AS nn,
+         CAST(sum(CAST(cv AS DECIMAL(38,18))) AS DOUBLE) AS s,
+         CAST(sum(CAST(cv * cv AS DECIMAL(38,18))) AS DOUBLE) AS q
+  FROM clamped GROUP BY 1, 2, 3)
+SELECT event_type, CAST(nn AS BIGINT) AS n,
+       floor(lo_cut * 10000.0 + 0.5) / 10000.0 AS lo_cut,
+       floor(hi_cut * 10000.0 + 0.5) / 10000.0 AS hi_cut,
+       floor(s / nn * 10000.0 + 0.5) / 10000.0 AS wins_mean,
+       floor(sqrt((q / nn - (s / nn) * (s / nn)) * (nn / (nn - 1.0)))
+             * 10000.0 + 0.5) / 10000.0 AS wins_std
+FROM g
 """,
 }
 

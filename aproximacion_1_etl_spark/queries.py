@@ -13083,12 +13083,22 @@ def q_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("m").cast("bigint").alias("n_pairs"),
         )
     )
-    nd = daily.groupBy("event_type").agg(
-        F.count("*").cast("bigint").alias("n_days")
-    )
-    return med.join(nd, "event_type").select(
+    # n_pairs = C(n_days, 2) exactly, so n_days recovers algebraically
+    # (sqrt of a perfect square is correctly rounded — exact): no
+    # second scan of the daily aggregate, no extra join.
+    return med.select(
         "event_type",
-        "n_days",
+        F.floor(
+            (
+                F.lit(1.0)
+                + F.sqrt(
+                    F.lit(1.0) + F.lit(8.0) * F.col("n_pairs").cast("double")
+                )
+            )
+            / F.lit(2.0)
+        )
+        .cast("bigint")
+        .alias("n_days"),
         "n_pairs",
         _fround(F.col("_sen"), 4).alias("sen_slope"),
     )
@@ -14360,6 +14370,98 @@ def q_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scd6_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.4 SCD TYPE-6 (hybrid) dimension view: every type-2 validity
+    interval ALSO carries the key's CURRENT attribute (the type-1
+    overlay), so point-in-time joins and current-state filters hit one
+    relation — the '1+2+3' hybrid Kimball catalogs. Both windows (the
+    lead that closes intervals and the whole-partition last that
+    overlays the current value) share the key partitioning and one
+    total (ts, tiebreak) order, so Catalyst plans a single exchange
+    for the whole view."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    w_full = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return ev.select(
+        "user_id",
+        "event_type",
+        F.last("event_type").over(w_full).alias("event_type_current"),
+        _ts_str("ts").alias("valid_from"),
+        _ts_str(F.lead("ts").over(w)).alias("valid_to"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+    )
+
+
+def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 WINSORIZED moments per series (the robust-mean complement
+    of robust_stats' median/MAD): values clamped at the exact
+    empirical p05/p95 — both cut points selected by the crossing-row
+    rule on the per-(type, value) count aggregate (cum*20 >= tot*k
+    integer cross-multiplication, so the cut can't flap between
+    engines) — then decimal-exact mean/std of the clamped column. Two
+    passes over the facts (cuts, then clamp+moments), the cut relation
+    broadcasts back; no sort of the facts."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", F.col("value").cast("double").alias("v"))
+        .filter(F.col("v").isNotNull())
+    )
+    counts = ev.groupBy("event_type", "v").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = counts.select(
+        "event_type",
+        "v",
+        F.sum("c").over(w_cum).alias("cw"),
+        F.sum("c").over(Window.partitionBy("event_type")).alias("tw"),
+    )
+    cuts = cum.groupBy("event_type").agg(
+        F.min(
+            F.when(F.col("cw") * 20 >= F.col("tw") * 1, F.col("v"))
+        ).alias("lo_cut"),
+        F.min(
+            F.when(F.col("cw") * 20 >= F.col("tw") * 19, F.col("v"))
+        ).alias("hi_cut"),
+    )
+    clamped = ev.join(F.broadcast(cuts), "event_type").select(
+        "event_type",
+        "lo_cut",
+        "hi_cut",
+        F.least(F.greatest(F.col("v"), F.col("lo_cut")), F.col("hi_cut")).alias(
+            "cv"
+        ),
+    )
+    g = clamped.groupBy("event_type", "lo_cut", "hi_cut").agg(
+        F.count("*").cast("double").alias("nn"),
+        F.sum(F.col("cv").cast("decimal(38,18)")).cast("double").alias("s"),
+        F.sum((F.col("cv") * F.col("cv")).cast("decimal(38,18)"))
+        .cast("double")
+        .alias("q"),
+    )
+    mean = F.col("s") / F.col("nn")
+    std = F.sqrt(
+        (F.col("q") / F.col("nn") - mean * mean)
+        * (F.col("nn") / (F.col("nn") - F.lit(1.0)))
+    )
+    return g.select(
+        "event_type",
+        F.col("nn").cast("bigint").alias("n"),
+        _fround(F.col("lo_cut"), 4).alias("lo_cut"),
+        _fround(F.col("hi_cut"), 4).alias("hi_cut"),
+        _fround(mean, 4).alias("wins_mean"),
+        _fround(std, 4).alias("wins_std"),
+    )
+
+
 ALL_QUERIES = {
     "flagship_order_lifecycle": q_flagship_order_lifecycle,
     "bm25_topk": q_bm25_topk,
@@ -14684,4 +14786,6 @@ ALL_QUERIES = {
     "eb_shrunk_rates": q_eb_shrunk_rates,
     "topn_with_other": q_topn_with_other,
     "source_vocab_overlap": q_source_vocab_overlap,
+    "scd6_view": q_scd6_view,
+    "winsorized_stats": q_winsorized_stats,
 }

@@ -251,6 +251,8 @@ HEADLINE = [
     "eb_shrunk_rates",
     "topn_with_other",
     "source_vocab_overlap",
+    "scd6_view",
+    "winsorized_stats",
     # Python-worker queries LAST: applyInPandas spins up 32 Python
     # workers and leaves GC pressure that inflates the next JVM-only
     # query by ~3x (measured: dedup_minhash_lsh 6.96s after it vs 1.9s

@@ -1473,3 +1473,70 @@ def test_source_vocab_overlap_matches_python_sets(spark, sf_dir):
             assert g["n_common"] == inter
             assert g["n_union"] == union
             assert abs(g["jaccard"] - inter / union) < 1e-3
+
+
+def test_scd6_view_overlay_and_tiling(spark, sf_dir):
+    """Every row of a key must carry the SAME current attribute (the
+    key's last event type), intervals must tile (scd2_audit-clean),
+    and exactly one row per key is current."""
+    from collections import defaultdict
+
+    from aproximacion_1_etl_spark.queries import q_scd6_view
+
+    rows = q_scd6_view(spark, sf_dir).collect()
+    by_key = defaultdict(list)
+    for r in rows:
+        by_key[r["user_id"]].append(r)
+    for uid, rs in by_key.items():
+        rs.sort(key=lambda r: r["valid_from"])
+        cur = [r for r in rs if r["is_current"]]
+        assert len(cur) == 1
+        assert cur[0]["valid_to"] is None
+        # type-1 overlay: constant per key, equal to the last type
+        assert {r["event_type_current"] for r in rs} == {
+            cur[0]["event_type"]
+        }
+        for a, b in zip(rs, rs[1:]):
+            assert a["valid_to"] == b["valid_from"]
+
+
+def test_winsorized_stats_match_numpy(spark, sf_dir):
+    """Cuts must be the crossing-row p05/p95 and the moments must
+    equal numpy over the clamped values."""
+    from collections import defaultdict
+
+    import numpy as np
+
+    from aproximacion_1_etl_spark.queries import q_winsorized_stats
+
+    got = {r["event_type"]: r for r in q_winsorized_stats(spark, sf_dir).collect()}
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "value")
+        .filter(F.col("value").isNotNull())
+        .collect()
+    )
+    series = defaultdict(list)
+    for r in ev:
+        series[r["event_type"]].append(float(r["value"]))
+    for et, vs in series.items():
+        vs.sort()
+        n = len(vs)
+
+        def cross(num, den):
+            cum = 0
+            for v in vs:
+                cum += 1
+                if cum * den >= n * num:
+                    return v
+
+        lo, hi = cross(1, 20), cross(19, 20)
+        g = got[et]
+        assert abs(g["lo_cut"] - lo) < 1e-3
+        assert abs(g["hi_cut"] - hi) < 1e-3
+        cl = np.clip(vs, lo, hi)
+        assert g["n"] == n
+        assert abs(g["wins_mean"] - cl.mean()) < 1e-3
+        assert abs(g["wins_std"] - cl.std(ddof=1)) < 1e-3
+        # winsorized std must not exceed the raw std
+        assert g["wins_std"] <= np.std(vs, ddof=1) + 1e-9

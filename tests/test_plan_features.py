@@ -310,3 +310,36 @@ def test_record_linkage_broadcasts_dimension_side(spark, sf_dir):
     df = ALL_QUERIES["record_linkage"](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
+
+
+def test_r6_session_plan_contracts(spark, sf_dir):
+    """Exchange-count contracts for this session's operators: a
+    regression that doubles the shuffles of a key plan should fail
+    loudly here, not in a bench diff. Counts come from the physical
+    plan string (Exchange nodes, excluding reused ones)."""
+    from aproximacion_1_etl_spark import queries as Q
+
+    def exchanges(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return sum(
+            1
+            for ln in plan.splitlines()
+            if "Exchange" in ln and "ReusedExchange" not in ln
+        )
+
+    # upper bounds, not exact: AQE may merge but must not explode
+    contracts = {
+        "weighted_quantiles": 3,
+        "theilsen_trend": 6,
+        "diff_in_diff": 2,
+        "price_volume_mix": 6,
+        "topn_with_other": 4,
+        "cycle_time_stages": 5,
+        "gains_lift_table": 6,
+        "survivorship_golden": 6,
+        "drill_across": 4,
+    }
+    for key, bound in contracts.items():
+        df = Q.ALL_QUERIES[key](spark, sf_dir)
+        got = exchanges(df)
+        assert got <= bound, (key, got, bound)
