@@ -12973,6 +12973,22 @@ def q_date_dim_gen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _crossing_pick(value_col: str, num: int, den: int) -> F.Column:
+    """Exact order-statistic selection: the smallest value whose
+    cumulative count/weight (column ``cw``) reaches num/den of the
+    total (column ``tw``) — integer cross-multiplication, never float
+    rank math. The ONE Spark-side form every quantile-cut key
+    (weighted_quantiles, funnel_conversion_time, cycle_time_stages,
+    winsorized_stats, backfill_plan's median) shares with its DuckDB
+    oracle, so the crossing rule cannot drift per key."""
+    return F.min(
+        F.when(
+            F.col("cw") * F.lit(den) >= F.col("tw") * F.lit(num),
+            F.col(value_col),
+        )
+    )
+
+
 def q_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.6 WEIGHTED quantiles per group — the quantity-weighted price
     percentiles per return flag ("the median price a UNIT actually
@@ -13004,19 +13020,11 @@ def q_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("w").over(Window.partitionBy("flag")).alias("tw"),
     )
 
-    def wq(num: int, den: int):
-        return F.min(
-            F.when(
-                F.col("cw") * F.lit(den) >= F.col("tw") * F.lit(num),
-                F.col("v"),
-            )
-        )
-
     return cum.groupBy("flag").agg(
         F.count("*").cast("bigint").alias("n_lines"),
         F.max("tw").cast("bigint").alias("total_qty"),
-        _fround(wq(1, 2), 2).alias("wp50"),
-        _fround(wq(9, 10), 2).alias("wp90"),
+        _fround(_crossing_pick("v", 1, 2), 2).alias("wp50"),
+        _fround(_crossing_pick("v", 9, 10), 2).alias("wp90"),
     )
 
 
@@ -13565,7 +13573,9 @@ def q_funnel_conversion_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         direction="forward",
         tolerance_seconds=604800,
     )
-    n_clicks = j.agg(F.count("*").cast("bigint").alias("nc"))
+    # count the left relation directly — asof_join is left-preserving,
+    # and this avoids re-running the union+window asof plan for a count
+    n_clicks = clicks.agg(F.count("*").cast("bigint").alias("nc"))
     lags = (
         j.filter(F.col("asof_p_id").isNotNull())
         .select(
@@ -13585,18 +13595,10 @@ def q_funnel_conversion_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").over(Window.partitionBy()).alias("tw"),
     )
 
-    def lq(num: int, den: int):
-        return F.min(
-            F.when(
-                F.col("cw") * F.lit(den) >= F.col("tw") * F.lit(num),
-                F.col("lag_s"),
-            )
-        )
-
     stats = cum.agg(
         F.max("tw").cast("bigint").alias("n_converted"),
-        lq(1, 2).cast("bigint").alias("p50_lag_s"),
-        lq(9, 10).cast("bigint").alias("p90_lag_s"),
+        _crossing_pick("lag_s", 1, 2).cast("bigint").alias("p50_lag_s"),
+        _crossing_pick("lag_s", 9, 10).cast("bigint").alias("p90_lag_s"),
     )
     return stats.crossJoin(F.broadcast(n_clicks)).select(
         F.col("nc").alias("n_clicks"),
@@ -13849,19 +13851,13 @@ def q_backfill_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         daily.select(
             "event_type",
             "n",
-            F.count("*").over(w_cum).alias("rk"),
+            F.count("*").over(w_cum).alias("cw"),
             F.count("*")
             .over(Window.partitionBy("event_type"))
-            .alias("nd"),
+            .alias("tw"),
         )
         .groupBy("event_type")
-        .agg(
-            F.min(
-                F.when(
-                    F.col("rk") * 2 >= F.col("nd"), F.col("n")
-                )
-            ).alias("median_n")
-        )
+        .agg(_crossing_pick("n", 1, 2).alias("median_n"))
     )
     audit = (
         grid.join(daily, ["event_type", "day"], "left")
@@ -14125,18 +14121,10 @@ def q_cycle_time_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").over(Window.partitionBy("stage")).alias("tw"),
     )
 
-    def sq(num: int, den: int):
-        return F.min(
-            F.when(
-                F.col("cw") * F.lit(den) >= F.col("tw") * F.lit(num),
-                F.col("lag_d"),
-            )
-        )
-
     return cum.groupBy("stage").agg(
         F.max("tw").cast("bigint").alias("n_orders"),
-        sq(1, 2).cast("int").alias("p50_days"),
-        sq(9, 10).cast("int").alias("p90_days"),
+        _crossing_pick("lag_d", 1, 2).cast("int").alias("p50_days"),
+        _crossing_pick("lag_d", 9, 10).cast("int").alias("p90_days"),
     )
 
 
@@ -14425,12 +14413,8 @@ def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").over(Window.partitionBy("event_type")).alias("tw"),
     )
     cuts = cum.groupBy("event_type").agg(
-        F.min(
-            F.when(F.col("cw") * 20 >= F.col("tw") * 1, F.col("v"))
-        ).alias("lo_cut"),
-        F.min(
-            F.when(F.col("cw") * 20 >= F.col("tw") * 19, F.col("v"))
-        ).alias("hi_cut"),
+        _crossing_pick("v", 1, 20).alias("lo_cut"),
+        _crossing_pick("v", 19, 20).alias("hi_cut"),
     )
     clamped = ev.join(F.broadcast(cuts), "event_type").select(
         "event_type",

@@ -1078,13 +1078,20 @@ def test_rfm_segmentation_matches_bruteforce_ntile(spark, sf_dir):
     o = load_table(spark, sf_dir, "orders").select(
         "o_custkey", "o_orderdate", "o_totalprice"
     ).collect()
-    per = defaultdict(lambda: [None, 0, 0.0])
+    from decimal import ROUND_HALF_UP, Decimal
+
+    twelve = Decimal("1e-12")
+    per = defaultdict(lambda: [None, 0, Decimal(0)])
     anchor = max(r["o_orderdate"] for r in o)
     for r in o:
         p = per[r["o_custkey"]]
         p[0] = r["o_orderdate"] if p[0] is None else max(p[0], r["o_orderdate"])
         p[1] += 1
-        p[2] += r["o_totalprice"]
+        # mirror the engine's decimal(38,12) cast-then-sum exactly so
+        # near-tie customers sort identically in the monetary quintile
+        p[2] += Decimal(r["o_totalprice"]).quantize(
+            twelve, rounding=ROUND_HALF_UP
+        )
 
     def ntile5(keys_sorted):
         n = len(keys_sorted)
@@ -1267,9 +1274,8 @@ def test_bfs_hop_distance_matches_python_bfs(spark, sf_dir):
 
 def test_bpe_fertility_consistent_with_encode(spark, sf_dir):
     """Per-language totals must equal the per-doc encode output
-    aggregated in python, and fertility >= 1 is impossible to violate
-    (a merge can only shrink a word's token count to >= 1... actually
-    fertility is tokens/words >= 1 since each word emits >= 1 token)."""
+    aggregated in python; fertility >= 1 always holds because every
+    word emits at least one token."""
     from collections import defaultdict
 
     from aproximacion_1_etl_spark.queries import (
@@ -1488,7 +1494,9 @@ def test_scd6_view_overlay_and_tiling(spark, sf_dir):
     for r in rows:
         by_key[r["user_id"]].append(r)
     for uid, rs in by_key.items():
-        rs.sort(key=lambda r: r["valid_from"])
+        # secondary key keeps the chain order when two events share a
+        # timestamp (the view itself tie-breaks on event_id)
+        rs.sort(key=lambda r: (r["valid_from"], r["valid_to"] or "9999"))
         cur = [r for r in rs if r["is_current"]]
         assert len(cur) == 1
         assert cur[0]["valid_to"] is None
