@@ -13289,7 +13289,12 @@ def q_ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ewma_chart(daily: DataFrame) -> DataFrame:
     """Render the EWMA control chart from a (event_type, day, x) daily
     relation — shared by the batch key and its streaming-maintenance
-    sibling so the chart math cannot drift between them."""
+    sibling so the chart math cannot drift between them. The daily
+    aggregate is materialized once (it feeds the self-join twice plus
+    the sigma branch — without the cut the batch key re-aggregates the
+    facts three times; the relation is |types|x|days|, trivially
+    small)."""
+    daily = daily.localCheckpoint(eager=True)
     w = Window.partitionBy("event_type").orderBy("day")
     idx = daily.withColumn("i", F.row_number().over(w))
     cur = idx.select("event_type", "day", "x", "i")
@@ -13685,7 +13690,10 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("freq"),
         F.sum(F.col("o_totalprice").cast("decimal(38,12)")).alias("mon"),
     )
-    anchor = o.agg(F.max("o_orderdate").alias("anchor"))
+    # one fact scan: the customer rollup feeds both the anchor (its
+    # max last_order IS the corpus max order date) and the scores
+    per_cust = per_cust.localCheckpoint(eager=True)
+    anchor = per_cust.agg(F.max("last_order").alias("anchor"))
     rfm = per_cust.crossJoin(F.broadcast(anchor)).select(
         "o_custkey",
         F.datediff("anchor", "last_order").cast("int").alias("recency_d"),
@@ -13830,6 +13838,9 @@ def q_backfill_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy(
         "event_type", F.to_date("ts").alias("day")
     ).agg(F.count("*").cast("bigint").alias("n"))
+    # |types|x|days| aggregate feeds span, the type dim, the median
+    # and the audit join — materialize once instead of 4 fact scans
+    daily = daily.localCheckpoint(eager=True)
     span = daily.agg(
         F.trunc(F.min("day"), "month").alias("lo"),
         F.last_day(F.max("day")).alias("hi"),
@@ -14143,6 +14154,8 @@ def q_classifier_prf_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lang").alias("true_lang"),
         lang_id(F.col("text")).alias("pred_lang"),
     ).agg(F.count("*").cast("bigint").alias("n"))
+    # the |langs|² matrix feeds two rollups — one lang-id scan, not two
+    cm = cm.localCheckpoint(eager=True)
     per_true = cm.groupBy(F.col("true_lang").alias("lang")).agg(
         F.sum("n").cast("bigint").alias("n_true"),
         F.sum(
@@ -14316,6 +14329,9 @@ def q_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
         ).alias("tok"),
     ).distinct()
+    # the distinct (source, token) relation feeds both the vocab sizes
+    # and the per-token source sets — one explode+distinct, not two
+    toks = toks.localCheckpoint(eager=True)
     sizes = toks.groupBy("source").agg(
         F.count("*").cast("bigint").alias("vocab")
     )
