@@ -7218,6 +7218,85 @@ SELECT event_type, CAST(nn AS BIGINT) AS n,
              * 10000.0 + 0.5) / 10000.0 AS wins_std
 FROM g
 """,
+    # Frequent triples: the oracle is the 3-way self-join the engine's
+    # map-side iterator avoids; same frequent-item prune, same total
+    # order on the top-20.
+    "frequent_triples": """
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+fi AS (
+  SELECT l_partkey FROM op GROUP BY 1 HAVING count(*) >= 3),
+fb AS (
+  SELECT op.l_orderkey, op.l_partkey
+  FROM op JOIN fi ON op.l_partkey = fi.l_partkey),
+tr AS (
+  SELECT a.l_partkey AS a, b.l_partkey AS b, c.l_partkey AS c
+  FROM fb a JOIN fb b ON a.l_orderkey = b.l_orderkey
+            AND a.l_partkey < b.l_partkey
+       JOIN fb c ON b.l_orderkey = c.l_orderkey
+            AND b.l_partkey < c.l_partkey),
+counts AS (
+  SELECT a, b, c, CAST(count(*) AS BIGINT) AS support
+  FROM tr GROUP BY 1, 2, 3),
+top AS (
+  SELECT *, row_number() OVER (ORDER BY support DESC, a, b, c)
+              AS rank
+  FROM counts)
+SELECT a, b, c, support, CAST(rank AS INT) AS rank
+FROM top WHERE rank <= 20
+""",
+    # Sequential A/B: cumulative daily Welch-z path vs the
+    # c/sqrt(t/T) boundary — identical moment and boundary algebra.
+    "ab_sequential_monitor": """
+WITH d AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 4)
+                   < '8000' THEN 'A' ELSE 'B' END AS arm,
+         value AS y
+  FROM events
+  WHERE event_type = 'purchase' AND value IS NOT NULL),
+daily AS (
+  SELECT day, arm, CAST(count(*) AS DECIMAL(38,6)) AS n,
+         sum(CAST(y AS DECIMAL(38,12))) AS s,
+         sum(CAST(y * y AS DECIMAL(38,12))) AS q
+  FROM d GROUP BY 1, 2),
+cum AS (
+  SELECT day, arm,
+         CAST(sum(n) OVER w AS DOUBLE) AS cn,
+         CAST(sum(s) OVER w AS DOUBLE) AS cs,
+         CAST(sum(q) OVER w AS DOUBLE) AS cq
+  FROM daily
+  WINDOW w AS (PARTITION BY arm ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+paired AS (
+  SELECT day,
+         max(CASE WHEN arm = 'A' THEN cn END) AS na,
+         max(CASE WHEN arm = 'A' THEN cs END) AS sa,
+         max(CASE WHEN arm = 'A' THEN cq END) AS qa,
+         max(CASE WHEN arm = 'B' THEN cn END) AS nb,
+         max(CASE WHEN arm = 'B' THEN cs END) AS sb,
+         max(CASE WHEN arm = 'B' THEN cq END) AS qb
+  FROM cum GROUP BY 1
+  HAVING max(CASE WHEN arm = 'A' THEN cn END) > 1
+     AND max(CASE WHEN arm = 'B' THEN cn END) > 1),
+zz AS (
+  SELECT day, na, nb,
+         (sa / na - sb / nb)
+           / sqrt(((qa / na - (sa / na) * (sa / na))
+                   * (na / (na - 1.0))) / na
+                  + ((qb / nb - (sb / nb) * (sb / nb))
+                     * (nb / (nb - 1.0))) / nb) AS z,
+         row_number() OVER (ORDER BY day) AS t,
+         count(*) OVER () AS big_t
+  FROM paired)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       floor(z * 10000.0 + 0.5) / 10000.0 AS z,
+       floor(2.5 / sqrt(CAST(t AS DOUBLE) / CAST(big_t AS DOUBLE))
+             * 10000.0 + 0.5) / 10000.0 AS boundary,
+       abs(z) > 2.5 / sqrt(CAST(t AS DOUBLE) / CAST(big_t AS DOUBLE))
+         AS crossed
+FROM zz
+""",
 }
 
 # Streaming maintenance keys whose final render is DEFINED to equal an

@@ -12477,12 +12477,17 @@ def q_adamic_adar_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("_aa"),
     )
+    # distributed top-k (TakeOrderedAndProject) instead of a global
+    # rank window — the |supplier-pairs| aggregate never single-task
+    # sorts; row_number assigns rank on the 50-row survivor set only
+    top = scored.orderBy(
+        F.col("_aa").desc(), F.col("s1").asc(), F.col("s2").asc()
+    ).limit(50)
     w_rank = Window.orderBy(
         F.col("_aa").desc(), F.col("s1").asc(), F.col("s2").asc()
     )
     return (
-        scored.withColumn("rn", F.row_number().over(w_rank))
-        .filter(F.col("rn") <= 50)
+        top.withColumn("rn", F.row_number().over(w_rank))
         .select(
             "s1",
             "s2",
@@ -12654,14 +12659,20 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_occurrences"),
         F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
     )
+    # distributed top-k before the rank window: the |bigrams|
+    # aggregate is TakeOrdered'd to 5 rows, never single-task sorted
+    top5 = counts.orderBy(
+        F.col("n_occurrences").desc(),
+        F.col("tok_a").asc(),
+        F.col("tok_b").asc(),
+    ).limit(5)
     w_top = Window.orderBy(
         F.col("n_occurrences").desc(),
         F.col("tok_a").asc(),
         F.col("tok_b").asc(),
     )
     return (
-        counts.withColumn("rank", F.row_number().over(w_top))
-        .filter(F.col("rank") <= 5)
+        top5.withColumn("rank", F.row_number().over(w_top))
         .select(
             F.concat_ws(" ", "tok_a", "tok_b").alias("phrase"),
             "n_docs",
@@ -13994,6 +14005,10 @@ def q_bfs_hop_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("src") != F.col("dst"))
         .select("src", "dst")
         .distinct()
+        # the edge list feeds all three frontier rounds — materialize
+        # once instead of re-running the per-order self-join per round
+        # (measured 12.2 s -> edge build was 3x of the key's cost)
+        .localCheckpoint(eager=True)
     )
     seeds = (
         p.filter(F.col("p_brand") == "Brand#11")
@@ -14462,6 +14477,145 @@ def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 frequent ITEM TRIPLES (the Apriori step past
+    basket_rules' pairs): 3-item co-occurrence counts from map-side
+    combination generation over each order's sorted item array —
+    never a 3-way basket self-join. The frequent-ITEM prune (>= 3
+    orders) runs first, so triple volume is sum(m'³) over PRUNED
+    basket sizes — the Apriori antimonotonicity lever that keeps the
+    explode bounded at 100 TB. Top-20 by exact support via
+    distributed TakeOrdered under a total (support, a, b, c) order."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    freq_items = (
+        op.groupBy("l_partkey")
+        .agg(F.count("*").alias("nf"))
+        .filter(F.col("nf") >= 3)
+        .select("l_partkey")
+    )
+    baskets = (
+        op.join(freq_items, "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("its"))
+        .filter(F.size("its") >= 3)
+    )
+    triples = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(its, (x, i) ->"
+                " flatten(transform(slice(its, i + 2, size(its)),"
+                " (y, j) -> transform(slice(its, i + j + 3,"
+                " size(its)), z -> struct(x AS a, y AS b,"
+                " z AS c))))))"
+            )
+        ).alias("t")
+    ).select(
+        F.col("t.a").alias("a"),
+        F.col("t.b").alias("b"),
+        F.col("t.c").alias("c"),
+    )
+    counts = triples.groupBy("a", "b", "c").agg(
+        F.count("*").cast("bigint").alias("support")
+    )
+    top = counts.orderBy(
+        F.col("support").desc(),
+        F.col("a").asc(),
+        F.col("b").asc(),
+        F.col("c").asc(),
+    ).limit(20)
+    w = Window.orderBy(
+        F.col("support").desc(),
+        F.col("a").asc(),
+        F.col("b").asc(),
+        F.col("c").asc(),
+    )
+    return top.select(
+        "a",
+        "b",
+        "c",
+        "support",
+        F.row_number().over(w).cast("int").alias("rank"),
+    )
+
+
+def q_ab_sequential_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 SEQUENTIAL A/B monitoring: the daily Welch-z path of the
+    running experiment against an O'Brien-Fleming-style spending
+    boundary (c / sqrt(t/T), c = 2.5 exact literal) — the
+    peeking-safe readout ab_test_report's single terminal test lacks.
+    Facts aggregate ONCE to |days|x|arms| daily moment partials
+    (decimal); cumulative windows over that aggregate produce every
+    day's moments; z and the boundary are scalar IEEE algebra. One
+    fact exchange + windows on the tiny aggregate."""
+    from aproximacion_1_etl_spark.functions.sampling import _hash_prefix
+
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    ).select(
+        F.to_date("ts").alias("day"),
+        F.when(_hash_prefix(F.col("user_id")) < "8000", "A")
+        .otherwise("B")
+        .alias("arm"),
+        F.col("value").alias("y"),
+    )
+    daily = d.groupBy("day", "arm").agg(
+        F.count("*").cast("decimal(38,6)").alias("n"),
+        F.sum(F.col("y").cast("decimal(38,12)")).alias("s"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,12)")).alias(
+            "q"
+        ),
+    )
+    w_cum = (
+        Window.partitionBy("arm")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = daily.select(
+        "day",
+        "arm",
+        F.sum("n").over(w_cum).cast("double").alias("cn"),
+        F.sum("s").over(w_cum).cast("double").alias("cs"),
+        F.sum("q").over(w_cum).cast("double").alias("cq"),
+    )
+    paired = cum.groupBy("day").agg(
+        F.max(F.when(F.col("arm") == "A", F.col("cn"))).alias("na"),
+        F.max(F.when(F.col("arm") == "A", F.col("cs"))).alias("sa"),
+        F.max(F.when(F.col("arm") == "A", F.col("cq"))).alias("qa"),
+        F.max(F.when(F.col("arm") == "B", F.col("cn"))).alias("nb"),
+        F.max(F.when(F.col("arm") == "B", F.col("cs"))).alias("sb"),
+        F.max(F.when(F.col("arm") == "B", F.col("cq"))).alias("qb"),
+    ).filter(
+        (F.col("na") > 1) & (F.col("nb") > 1)
+    )
+    t_idx = Window.orderBy("day")
+    total = Window.partitionBy()
+    ma = F.col("na")
+    mean_a = F.col("sa") / ma
+    mean_b = F.col("sb") / F.col("nb")
+    var_a = (F.col("qa") / ma - mean_a * mean_a) * (
+        ma / (ma - F.lit(1.0))
+    )
+    var_b = (
+        F.col("qb") / F.col("nb") - mean_b * mean_b
+    ) * (F.col("nb") / (F.col("nb") - F.lit(1.0)))
+    z = (mean_a - mean_b) / F.sqrt(
+        var_a / ma + var_b / F.col("nb")
+    )
+    t = F.row_number().over(t_idx).cast("double")
+    big_t = F.count("*").over(total).cast("double")
+    boundary = F.lit(2.5) / F.sqrt(t / big_t)
+    return paired.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        _fround(z, 4).alias("z"),
+        _fround(boundary, 4).alias("boundary"),
+        (F.abs(z) > boundary).alias("crossed"),
+    )
+
+
 ALL_QUERIES = {
     "flagship_order_lifecycle": q_flagship_order_lifecycle,
     "bm25_topk": q_bm25_topk,
@@ -14788,4 +14942,6 @@ ALL_QUERIES = {
     "source_vocab_overlap": q_source_vocab_overlap,
     "scd6_view": q_scd6_view,
     "winsorized_stats": q_winsorized_stats,
+    "frequent_triples": q_frequent_triples,
+    "ab_sequential_monitor": q_ab_sequential_monitor,
 }

@@ -253,6 +253,8 @@ HEADLINE = [
     "source_vocab_overlap",
     "scd6_view",
     "winsorized_stats",
+    "frequent_triples",
+    "ab_sequential_monitor",
     # Python-worker queries LAST: applyInPandas spins up 32 Python
     # workers and leaves GC pressure that inflates the next JVM-only
     # query by ~3x (measured: dedup_minhash_lsh 6.96s after it vs 1.9s

@@ -1548,3 +1548,86 @@ def test_winsorized_stats_match_numpy(spark, sf_dir):
         assert abs(g["wins_std"] - cl.std(ddof=1)) < 1e-3
         # winsorized std must not exceed the raw std
         assert g["wins_std"] <= np.std(vs, ddof=1) + 1e-9
+
+
+def test_frequent_triples_match_bruteforce(spark, sf_dir):
+    """Triple supports must equal the naive per-order combination
+    count after the same frequent-item prune, and ranks must follow
+    the (support desc, a, b, c) total order."""
+    from collections import Counter, defaultdict
+    from itertools import combinations
+
+    from aproximacion_1_etl_spark.queries import q_frequent_triples
+
+    rows = q_frequent_triples(spark, sf_dir).collect()
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct().collect()
+    baskets = defaultdict(set)
+    item_n = Counter()
+    for r in li:
+        baskets[r["l_orderkey"]].add(r["l_partkey"])
+        item_n[r["l_partkey"]] += 1
+    freq = {p for p, n in item_n.items() if n >= 3}
+    tri = Counter()
+    for its in baskets.values():
+        pruned = sorted(i for i in its if i in freq)
+        for t in combinations(pruned, 3):
+            tri[t] += 1
+    expect = sorted(
+        ((n, a, b, c) for (a, b, c), n in tri.items()),
+        key=lambda x: (-x[0], x[1], x[2], x[3]),
+    )[:20]
+    got = sorted(rows, key=lambda r: r["rank"])
+    assert len(got) == min(20, len(expect))
+    for r, (n, a, b, c) in zip(got, expect):
+        assert (r["a"], r["b"], r["c"], r["support"]) == (a, b, c, n)
+
+
+def test_ab_sequential_monitor_path_properties(spark, sf_dir):
+    """One row per day with both arms populated, cumulative n
+    monotone, the final day's z equal to the event-level terminal
+    Welch z, and the boundary decreasing in t."""
+    from aproximacion_1_etl_spark.queries import q_ab_sequential_monitor
+
+    rows = sorted(
+        q_ab_sequential_monitor(spark, sf_dir).collect(),
+        key=lambda r: r["day"],
+    )
+    assert len(rows) > 5
+    for a, b in zip(rows, rows[1:]):
+        assert b["n_a"] >= a["n_a"] and b["n_b"] >= a["n_b"]
+        assert b["boundary"] <= a["boundary"] + 1e-9
+    # terminal z against an independent event-level computation
+    import math
+
+    from aproximacion_1_etl_spark.functions.sampling import _hash_prefix
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter((F.col("event_type") == "purchase") & F.col("value").isNotNull())
+        .select(
+            F.when(_hash_prefix(F.col("user_id")) < "8000", "A")
+            .otherwise("B")
+            .alias("arm"),
+            "value",
+        )
+        .collect()
+    )
+    va = [r["value"] for r in ev if r["arm"] == "A"]
+    vb = [r["value"] for r in ev if r["arm"] == "B"]
+
+    def stats(v):
+        n = len(v)
+        m = sum(v) / n
+        var = sum((x - m) ** 2 for x in v) / (n - 1)
+        return n, m, var
+
+    na, ma, vva = stats(va)
+    nb, mb, vvb = stats(vb)
+    z = (ma - mb) / math.sqrt(vva / na + vvb / nb)
+    last = rows[-1]
+    assert last["n_a"] == na and last["n_b"] == nb
+    assert abs(last["z"] - z) < 1e-2
+    # final boundary is the constant c (t == T)
+    assert abs(last["boundary"] - 2.5) < 1e-9
