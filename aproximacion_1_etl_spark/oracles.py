@@ -7297,6 +7297,110 @@ SELECT strftime(day, '%Y-%m-%d') AS day,
          AS crossed
 FROM zz
 """,
+    # CUPED: identical per-user partials, theta moments, adjusted
+    # metric, and Welch algebra on raw vs adjusted.
+    "cuped_adjusted_ab": """
+WITH pu AS (
+  SELECT user_id,
+         CAST(COALESCE(sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                  THEN CAST(value AS DECIMAL(38,12)) END), 0)
+              AS DOUBLE) AS x,
+         CAST(COALESCE(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                  THEN CAST(value AS DECIMAL(38,12)) END), 0)
+              AS DOUBLE) AS y,
+         CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 4)
+                   < '8000' THEN 'A' ELSE 'B' END AS arm
+  FROM events
+  WHERE event_type = 'purchase' AND value IS NOT NULL
+  GROUP BY user_id),
+mom AS (
+  SELECT CAST(count(*) AS DOUBLE) AS k,
+         CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(x * y AS DECIMAL(38,12))) AS DOUBLE) AS sxy
+  FROM pu),
+pri AS (
+  SELECT (sxy / k - (sx / k) * (sy / k))
+           / (sxx / k - (sx / k) * (sx / k)) AS theta,
+         sx / k AS mean_x
+  FROM mom),
+adj AS (
+  SELECT arm, y, y - theta * (x - mean_x) AS y_adj, theta
+  FROM pu, pri),
+arms AS (
+  SELECT arm, CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS s1,
+         CAST(sum(CAST(y * y AS DECIMAL(38,12))) AS DOUBLE) AS q1,
+         CAST(sum(CAST(y_adj AS DECIMAL(38,12))) AS DOUBLE) AS s2,
+         CAST(sum(CAST(y_adj * y_adj AS DECIMAL(38,12))) AS DOUBLE)
+           AS q2,
+         max(theta) AS theta
+  FROM adj GROUP BY arm),
+j AS (
+  SELECT a.n AS na, a.s1 AS sa1, a.q1 AS qa1, a.s2 AS sa2,
+         a.q2 AS qa2, a.theta,
+         b.n AS nb, b.s1 AS sb1, b.q1 AS qb1, b.s2 AS sb2,
+         b.q2 AS qb2
+  FROM (SELECT * FROM arms WHERE arm = 'A') a,
+       (SELECT * FROM arms WHERE arm = 'B') b),
+w AS (
+  SELECT *,
+         (qa1 / na - (sa1 / na) * (sa1 / na)) * (na / (na - 1.0))
+           AS va1,
+         (qb1 / nb - (sb1 / nb) * (sb1 / nb)) * (nb / (nb - 1.0))
+           AS vb1,
+         (qa2 / na - (sa2 / na) * (sa2 / na)) * (na / (na - 1.0))
+           AS va2,
+         (qb2 / nb - (sb2 / nb) * (sb2 / nb)) * (nb / (nb - 1.0))
+           AS vb2
+  FROM j)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       floor(theta * 1000000.0 + 0.5) / 1000000.0 AS theta,
+       floor((sa1 / na - sb1 / nb) / sqrt(va1 / na + vb1 / nb)
+             * 10000.0 + 0.5) / 10000.0 AS z_raw,
+       floor((sa2 / na - sb2 / nb) / sqrt(va2 / na + vb2 / nb)
+             * 10000.0 + 0.5) / 10000.0 AS z_cuped,
+       floor((1.0 - (va2 + vb2) / (va1 + vb1)) * 10000.0 + 0.5)
+         / 10000.0 AS var_reduction
+FROM w
+""",
+    # Sample-size planner: identical per-user variance and the
+    # in-engine (1.96 + 0.84)² literal on both sides.
+    "ab_sample_size_plan": """
+WITH pu AS (
+  SELECT user_id,
+         CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE) AS y
+  FROM events
+  WHERE event_type = 'purchase' AND value IS NOT NULL
+  GROUP BY 1),
+mom AS (
+  SELECT CAST(count(*) AS DOUBLE) AS k,
+         CAST(sum(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS s,
+         CAST(sum(CAST(y * y AS DECIMAL(38,12))) AS DOUBLE) AS q
+  FROM pu),
+base AS (
+  SELECT k AS n_users, s / k AS mean_y,
+         (q / k - (s / k) * (s / k)) * (k / (k - 1.0)) AS var_y
+  FROM mom),
+grid AS (
+  SELECT n_users, mean_y, var_y,
+         unnest([0.01, 0.02, 0.05, 0.1]) AS mde_frac
+  FROM base),
+calc AS (
+  SELECT *, mde_frac * mean_y AS delta,
+         ceil(2.0 * var_y * ((1.96 + 0.84) * (1.96 + 0.84))
+              / ((mde_frac * mean_y) * (mde_frac * mean_y)))
+           AS n_req
+  FROM grid)
+SELECT floor(mde_frac * 100.0 + 0.5) / 100.0 AS mde_frac,
+       floor(delta * 10000.0 + 0.5) / 10000.0 AS delta,
+       CAST(n_req AS BIGINT) AS n_required_per_arm,
+       CAST(n_users / 2.0 AS BIGINT) AS n_have_per_arm,
+       n_users / 2.0 >= CAST(CAST(n_req AS BIGINT) AS DOUBLE)
+         AS powered
+FROM calc
+""",
 }
 
 # Streaming maintenance keys whose final render is DEFINED to equal an

@@ -14616,6 +14616,192 @@ def q_ab_sequential_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cuped_adjusted_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 CUPED variance reduction (the industry-standard
+    experiment-sensitivity fix): each user's post-period purchase
+    value Y adjusted by their PRE-period value X — Y' = Y - theta*(X -
+    mean X), theta = cov(X,Y)/var(X) — then the Welch z on raw vs
+    adjusted metric side by side, plus the achieved variance
+    reduction. Everything is closed-form moment algebra: one scan to
+    per-user (x, y) decimal partials, one single-row moment pass for
+    theta (1-row broadcast), one per-arm rollup. Hash-randomized arms
+    mean the true effect is 0; CUPED's job here is the variance
+    column."""
+    from aproximacion_1_etl_spark.functions.sampling import _hash_prefix
+
+    ev = load_table(spark, sf_dir, "events")
+    cut = "2024-01-16"
+    per_user = (
+        ev.filter(
+            (F.col("event_type") == "purchase")
+            & F.col("value").isNotNull()
+        )
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("ts") < cut, F.col("value")).cast(
+                    "decimal(38,12)"
+                )
+            ).alias("_x"),
+            F.sum(
+                F.when(F.col("ts") >= cut, F.col("value")).cast(
+                    "decimal(38,12)"
+                )
+            ).alias("_y"),
+        )
+        .select(
+            "user_id",
+            F.coalesce(F.col("_x"), F.lit(0)).cast("double").alias("x"),
+            F.coalesce(F.col("_y"), F.lit(0)).cast("double").alias("y"),
+            F.when(
+                _hash_prefix(F.col("user_id")) < "8000", "A"
+            ).otherwise("B").alias("arm"),
+        )
+    )
+
+    def dsum(e):
+        return F.sum(e.cast("decimal(38,12)")).cast("double")
+
+    mom = per_user.agg(
+        F.count("*").cast("double").alias("k"),
+        dsum(F.col("x")).alias("sx"),
+        dsum(F.col("y")).alias("sy"),
+        dsum(F.col("x") * F.col("x")).alias("sxx"),
+        dsum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    mx = F.col("sx") / F.col("k")
+    theta = (
+        F.col("sxy") / F.col("k") - mx * (F.col("sy") / F.col("k"))
+    ) / (F.col("sxx") / F.col("k") - mx * mx)
+    pri = mom.select(theta.alias("theta"), mx.alias("mean_x"))
+    adj = per_user.crossJoin(F.broadcast(pri)).select(
+        "arm",
+        "y",
+        (
+            F.col("y")
+            - F.col("theta") * (F.col("x") - F.col("mean_x"))
+        ).alias("y_adj"),
+        F.col("theta"),
+    )
+    arms = adj.groupBy("arm").agg(
+        F.count("*").cast("double").alias("n"),
+        dsum(F.col("y")).alias("s1"),
+        dsum(F.col("y") * F.col("y")).alias("q1"),
+        dsum(F.col("y_adj")).alias("s2"),
+        dsum(F.col("y_adj") * F.col("y_adj")).alias("q2"),
+        F.max("theta").alias("theta"),
+    )
+    a = arms.filter(F.col("arm") == "A").select(
+        F.col("n").alias("na"),
+        F.col("s1").alias("sa1"),
+        F.col("q1").alias("qa1"),
+        F.col("s2").alias("sa2"),
+        F.col("q2").alias("qa2"),
+        "theta",
+    )
+    b = arms.filter(F.col("arm") == "B").select(
+        F.col("n").alias("nb"),
+        F.col("s1").alias("sb1"),
+        F.col("q1").alias("qb1"),
+        F.col("s2").alias("sb2"),
+        F.col("q2").alias("qb2"),
+    )
+    j = a.crossJoin(F.broadcast(b))
+
+    def welch(sa, qa, sb, qb):
+        ma = F.col(sa) / F.col("na")
+        mb = F.col(sb) / F.col("nb")
+        va = (F.col(qa) / F.col("na") - ma * ma) * (
+            F.col("na") / (F.col("na") - F.lit(1.0))
+        )
+        vb = (F.col(qb) / F.col("nb") - mb * mb) * (
+            F.col("nb") / (F.col("nb") - F.lit(1.0))
+        )
+        z = (ma - mb) / F.sqrt(va / F.col("na") + vb / F.col("nb"))
+        return z, va, vb
+
+    z_raw, va1, vb1 = welch("sa1", "qa1", "sb1", "qb1")
+    z_cuped, va2, vb2 = welch("sa2", "qa2", "sb2", "qb2")
+    return j.select(
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        _fround(F.col("theta"), 6).alias("theta"),
+        _fround(z_raw, 4).alias("z_raw"),
+        _fround(z_cuped, 4).alias("z_cuped"),
+        _fround(F.lit(1.0) - (va2 + vb2) / (va1 + vb1), 4).alias(
+            "var_reduction"
+        ),
+    )
+
+
+def q_ab_sample_size_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 experiment SAMPLE-SIZE planner: required users per arm to
+    detect a {1,2,5,10}% lift of the current per-user purchase-value
+    mean at alpha=.05 / power=.80 — n = 2*sigma²*(1.96+0.84)²/delta²,
+    the normal-approximation formula with exact z literals (no erf
+    needed). Variance comes from ONE per-user moment pass; the MDE
+    grid is an exploded literal array, so the whole plan is a
+    |grid|-row projection off a 1-row aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = (
+        ev.filter(
+            (F.col("event_type") == "purchase")
+            & F.col("value").isNotNull()
+        )
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.col("value").cast("decimal(38,12)"))
+            .cast("double")
+            .alias("y")
+        )
+    )
+    mom = per_user.agg(
+        F.count("*").cast("double").alias("k"),
+        F.sum(F.col("y").cast("decimal(38,12)"))
+        .cast("double")
+        .alias("s"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("q"),
+    )
+    m = F.col("s") / F.col("k")
+    var = (F.col("q") / F.col("k") - m * m) * (
+        F.col("k") / (F.col("k") - F.lit(1.0))
+    )
+    base = mom.select(
+        F.col("k").alias("n_users"), m.alias("mean_y"), var.alias("var_y")
+    )
+    grid = base.select(
+        "n_users",
+        "mean_y",
+        "var_y",
+        F.explode(
+            F.array(
+                F.lit(0.01), F.lit(0.02), F.lit(0.05), F.lit(0.1)
+            )
+        ).alias("mde_frac"),
+    )
+    delta = F.col("mde_frac") * F.col("mean_y")
+    # built in-engine on BOTH sides (not a Python-computed literal) so
+    # the double is bit-identical across engines
+    z2 = (F.lit(1.96) + F.lit(0.84)) * (F.lit(1.96) + F.lit(0.84))
+    n_req = F.ceil(
+        F.lit(2.0) * F.col("var_y") * z2 / (delta * delta)
+    ).cast("bigint")
+    return grid.select(
+        _fround(F.col("mde_frac"), 2).alias("mde_frac"),
+        _fround(delta, 4).alias("delta"),
+        n_req.alias("n_required_per_arm"),
+        (F.col("n_users") / F.lit(2.0)).cast("bigint").alias(
+            "n_have_per_arm"
+        ),
+        (
+            F.col("n_users") / F.lit(2.0)
+            >= n_req.cast("double")
+        ).alias("powered"),
+    )
+
+
 ALL_QUERIES = {
     "flagship_order_lifecycle": q_flagship_order_lifecycle,
     "bm25_topk": q_bm25_topk,
@@ -14944,4 +15130,6 @@ ALL_QUERIES = {
     "winsorized_stats": q_winsorized_stats,
     "frequent_triples": q_frequent_triples,
     "ab_sequential_monitor": q_ab_sequential_monitor,
+    "cuped_adjusted_ab": q_cuped_adjusted_ab,
+    "ab_sample_size_plan": q_ab_sample_size_plan,
 }

@@ -255,6 +255,8 @@ HEADLINE = [
     "winsorized_stats",
     "frequent_triples",
     "ab_sequential_monitor",
+    "cuped_adjusted_ab",
+    "ab_sample_size_plan",
     # Python-worker queries LAST: applyInPandas spins up 32 Python
     # workers and leaves GC pressure that inflates the next JVM-only
     # query by ~3x (measured: dedup_minhash_lsh 6.96s after it vs 1.9s
