@@ -559,3 +559,104 @@ def test_maintain_join_view_full_equals_recompute(
         }
         assert got_view == want_view
         assert got_orph == want_orph
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),  # group
+            st.integers(min_value=-50, max_value=50),  # value
+            st.integers(min_value=1, max_value=9),  # weight
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+    q=st.sampled_from([(1, 2), (9, 10), (1, 20), (19, 20), (1, 4)]),
+)
+@settings(**SETTINGS)
+def test_crossing_pick_matches_naive_weighted_quantile(spark, rows, q):
+    """_crossing_pick must select exactly the naive weighted lower
+    quantile (smallest value whose cumulative weight reaches
+    num/den of the total) for arbitrary groups, ties, and weights."""
+    from collections import defaultdict
+    from fractions import Fraction
+
+    from pyspark.sql import Window
+
+    from aproximacion_1_etl_spark.queries import _crossing_pick
+
+    num, den = q
+    df = spark.createDataFrame(rows, "g INT, v INT, w INT")
+    wc = (
+        Window.partitionBy("g")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = df.select(
+        "g",
+        "v",
+        F.sum("w").over(wc).alias("cw"),
+        F.sum("w").over(Window.partitionBy("g")).alias("tw"),
+    )
+    got = {
+        r["g"]: r["pick"]
+        for r in cum.groupBy("g")
+        .agg(_crossing_pick("v", num, den).alias("pick"))
+        .collect()
+    }
+    groups = defaultdict(list)
+    for g, v, w in rows:
+        groups[g].append((v, Fraction(w)))
+    for g, items in groups.items():
+        items.sort()
+        total = sum(w for _, w in items)
+        cumw = Fraction(0)
+        expect = None
+        for v, w in items:
+            cumw += w
+            if cumw * den >= total * num:
+                expect = v
+                break
+        assert got[g] == expect, (g, got[g], expect)
+
+
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(min_value=-55, max_value=54),  # lat a
+            st.integers(min_value=-180, max_value=179),  # lon a
+            st.integers(min_value=-55, max_value=54),  # lat b
+            st.integers(min_value=-180, max_value=179),  # lon b
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(**SETTINGS)
+def test_geo_grid_neighborhood_is_candidate_complete(spark, pts):
+    """The 3x3 cell-neighborhood coverage proof, property-tested: any
+    pair within 500 km must land in the same or an adjacent (5-deg
+    lat, 8-deg lon mod 45) cell — so the grid equi-join can never
+    miss a within-radius candidate."""
+    import math
+
+    def cells(lat, lon):
+        return (
+            math.floor((lat + 90) / 5.0),
+            math.floor((lon + 180) / 8.0),
+        )
+
+    def hav_km(la1, lo1, la2, lo2):
+        sdlat = math.sin(math.radians(la2 - la1) / 2)
+        sdlon = math.sin(math.radians(lo2 - lo1) / 2)
+        a = sdlat * sdlat + math.cos(math.radians(la1)) * math.cos(
+            math.radians(la2)
+        ) * sdlon * sdlon
+        return 12742.0 * math.asin(math.sqrt(a))
+
+    for la1, lo1, la2, lo2 in pts:
+        if hav_km(la1, lo1, la2, lo2) <= 500.0:
+            c1, c2 = cells(la1, lo1), cells(la2, lo2)
+            assert abs(c1[0] - c2[0]) <= 1
+            dlon = abs(c1[1] - c2[1])
+            assert min(dlon, 45 - dlon) <= 1
