@@ -171,6 +171,179 @@ def pagerank(
     return ranks
 
 
+def adamic_adar_scores(
+    edges: DataFrame,
+    node: str,
+    nbr: str,
+    max_degree: int | None = None,
+) -> DataFrame:
+    """Adamic-Adar link-prediction scores over a bipartite pivot—nbr
+    graph: for every unordered nbr pair sharing >= 1 pivot, the sum of
+    1/ln(deg(pivot)) over shared pivots (rare shared pivots count
+    more). Wedges are generated map-side per pivot from its sorted
+    neighbor array (the triangle iterator's pattern — no pair
+    self-join); pivots with < 2 neighbors contribute nothing, so
+    ln(deg) >= ln 2 and every weight is finite.
+
+    ``max_degree`` is the frequent-prune lever that bounds wedge
+    volume at scale: a pivot with degree d emits d(d-1)/2 wedges, so
+    total volume is sum(deg²) and ONE hot pivot on a skewed 100×
+    graph goes quadratic. Pivots with degree > max_degree are dropped
+    ENTIRELY (their per-wedge weight 1/ln(d) is the smallest in the
+    graph, so they carry the least signal per unit of work); survivors
+    keep their exact uncapped weights. `graph_degree_cap_report` in
+    the catalog quantifies what a given cap drops.
+
+    Output: (s1, s2, common_nbrs, aa_score) with s1 < s2, aa_score an
+    exact decimal-summed double — deterministic across partitionings.
+    """
+    lists = (
+        edges.select(node, nbr)
+        .distinct()
+        .groupBy(node)
+        .agg(F.sort_array(F.collect_set(nbr)).alias("ss"))
+        .filter(F.size("ss") >= 2)
+    )
+    if max_degree is not None:
+        lists = lists.filter(F.size("ss") <= max_degree)
+    wedges = lists.select(
+        (F.lit(1.0) / F.log(F.size("ss").cast("double"))).alias("w"),
+        F.explode(
+            F.expr(
+                "flatten(transform(ss, (x, i) ->"
+                " transform(slice(ss, i + 2, size(ss)),"
+                " y -> struct(x AS s1, y AS s2))))"
+            )
+        ).alias("pr"),
+    ).select(F.col("pr.s1").alias("s1"), F.col("pr.s2").alias("s2"), "w")
+    return wedges.groupBy("s1", "s2").agg(
+        F.count("*").cast("bigint").alias("common_nbrs"),
+        F.sum(F.col("w").cast("decimal(30,15)"))
+        .cast("double")
+        .alias("aa_score"),
+    )
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "pk",
+) -> DataFrame:
+    """Minimum hop distance from a seed set over a directed edge list,
+    bounded at ``max_hops`` expansions. ``seeds`` carries one column
+    (``node``); output is (node, dist) for every node within reach.
+
+    Per round: ONE join of the frontier against the edge list + one
+    anti-join against the labeled set, with an eager lineage cut so
+    the plan never re-derives prior frontiers (the pagerank loop
+    shape). BFS order guarantees min-distance labels. The caller
+    bounds edge volume BEFORE this loop (see the max_basket lever on
+    the co-order edge build) — the frontier join is the only per-round
+    shuffle. Stops early when a frontier empties: every later round
+    would be a no-op on an empty side."""
+    e = edges.select(
+        F.col(src).alias("_src"), F.col(dst).alias("_dst")
+    ).localCheckpoint(eager=True)
+    state = (
+        seeds.select(F.col(node).alias("pk"))
+        .withColumn("dist", F.lit(0))
+        .localCheckpoint(eager=True)
+    )
+    frontier = state
+    for k in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier["pk"] == e["_src"])
+            .select(F.col("_dst").alias("pk"))
+            .distinct()
+        )
+        new = nxt.join(state, "pk", "left_anti").withColumn(
+            "dist", F.lit(k)
+        )
+        new = new.localCheckpoint(eager=True)
+        if new.limit(1).count() == 0:
+            break
+        state = state.unionByName(new).localCheckpoint(eager=True)
+        frontier = new
+    return state
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over an undirected edge list: (node,
+    component) where component = the MINIMUM node id reachable from
+    the node — the canonical label both engines can agree on exactly.
+
+    Alternating min-label propagation with POINTER JUMPING: each round
+    (a) relabels every node to the min of its own and its neighbors'
+    labels (one join + one aggregate — at the propagate fixpoint both
+    endpoints of every edge hold equal labels, so labels = per-
+    component minima), then (b) shortcuts comp <- comp(comp) (one
+    |V|-sized self-join), which halves the remaining pointer distance
+    to the component minimum. Propagation alone needs diameter rounds;
+    with the shortcut the round count drops to ~log2(diameter) — the
+    device that makes a 100 TB graph loop converge in single-digit
+    rounds instead of hundreds. Every round ends in an eager lineage
+    cut + a bit-exact changed-probe (limit(1).count()), so iteration
+    stops the first round nothing moves — provably at the fixpoint,
+    since the update is a deterministic monotone function of the
+    label vector. Generalizes the LSH-pair components inside
+    dup_clusters (text/dedup.py) to any edge relation.
+
+    Isolated nodes (no edges) are the caller's concern: only nodes
+    appearing in ``edges`` are labeled."""
+    e = (
+        edges.filter(F.col(src) != F.col(dst))
+        .select(
+            F.least(src, dst).alias("u"), F.greatest(src, dst).alias("v")
+        )
+        .distinct()
+    )
+    b = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)
+    labels = (
+        b.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        nb = b.join(labels, b["v"] == labels["node"]).select(
+            F.col("u").alias("node"), F.col("comp")
+        )
+        new = (
+            labels.unionByName(nb)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+        )
+        jump = new.select(
+            F.col("node").alias("_jn"), F.col("comp").alias("_jc")
+        )
+        new = (
+            new.join(jump, new["comp"] == jump["_jn"])
+            .select("node", F.col("_jc").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels
+
+
 def count_triangles(
     edges: DataFrame, src: str = "a", dst: str = "b"
 ) -> DataFrame:

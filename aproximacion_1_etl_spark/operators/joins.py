@@ -35,7 +35,7 @@ def asof_join(
     value_cols: list[str],
     tiebreak: str,
     direction: str = "backward",
-    tolerance_seconds: int | None = None,
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
     """For each ``left`` row, attach the ``value_cols`` of the ``right``
     row with the greatest ``right_ts`` <= ``left_ts`` for the same key
@@ -91,14 +91,17 @@ def asof_join(
     )
     out = carried.filter(F.col("_side") == 1).drop("_side")
     if tolerance_seconds is not None:
+        # cast("double") keeps fractional epoch seconds; unix_timestamp
+        # truncates to whole seconds, which would let a 2.9 s gap pass a
+        # 2 s tolerance (pandas merge_asof compares at full precision)
         ok = (
             F.col("asof_ts").isNotNull()
             & (
                 F.abs(
-                    F.unix_timestamp(F.col(left_ts).cast("timestamp"))
-                    - F.unix_timestamp(F.col("asof_ts"))
+                    F.col(left_ts).cast("timestamp").cast("double")
+                    - F.col("asof_ts").cast("double")
                 )
-                <= F.lit(int(tolerance_seconds))
+                <= F.lit(float(tolerance_seconds))
             )
         )
         out = out.select(

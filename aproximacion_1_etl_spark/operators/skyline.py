@@ -185,7 +185,13 @@ def _dominance_filter(oriented_cols: list[str]):
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
 
-        v = pdf[oriented_cols].to_numpy(dtype="float64")
+        # pure-integer batches compare on int64 (exact beyond 2^53);
+        # any float/nullable column upcasts the whole matrix to
+        # float64, where NaN (null criterion) neither dominates nor is
+        # dominated — comparisons with NaN are False on both sides
+        v = pdf[oriented_cols].to_numpy()
+        if v.dtype.kind not in "iu":
+            v = pdf[oriented_cols].to_numpy(dtype="float64")
         n = len(v)
         if n <= 1:
             return pdf
@@ -247,13 +253,21 @@ def pareto_frontier_kd(
     if not out_by:
         pairs = pairs.withColumn("_g", F.lit(1))
 
-    # orient every criterion as maximize
+    # orient every criterion as maximize; integral criteria stay on
+    # bigint so dominance is exact past 2^53 (a double cast would
+    # collapse distinct large ints to equal values — a strict
+    # dominance could be missed or two distinct tuples both survive)
+    _integral = {"tinyint", "smallint", "int", "bigint"}
+    pair_dtypes = dict(pairs.dtypes)
     ocols, bcols = [], []
     for i, c in enumerate(crits):
-        sign = -1.0 if c in minimize else 1.0
-        pairs = pairs.withColumn(
-            f"_o{i}", F.col(c).cast("double") * F.lit(sign)
-        )
+        if pair_dtypes.get(c) in _integral:
+            sign_i = -1 if c in minimize else 1
+            oc = F.col(c).cast("bigint") * F.lit(sign_i)
+        else:
+            sign = -1.0 if c in minimize else 1.0
+            oc = F.col(c).cast("double") * F.lit(sign)
+        pairs = pairs.withColumn(f"_o{i}", oc)
         ocols.append(f"_o{i}")
         bcols.append(f"_b{i}")
     kernel = _dominance_filter(ocols)

@@ -6183,6 +6183,8 @@ FROM best WHERE rn = 1
     # engine's per-part array iterator avoids — identical wedge set,
     # identical 1/ln(deg) weights (decimal-summed), identical
     # (score DESC, s1, s2) top-50 cut.
+    # max_degree=256 frequent-prune mirrored from the Spark side:
+    # parts with more than 256 distinct suppliers emit no wedges.
     "adamic_adar_linkpred": """
 WITH e AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
 deg AS (SELECT l_partkey, count(*) AS d FROM e GROUP BY 1),
@@ -6191,7 +6193,8 @@ wedge AS (
   FROM e a
   JOIN e b ON a.l_partkey = b.l_partkey
           AND a.l_suppkey < b.l_suppkey
-  JOIN deg ON deg.l_partkey = a.l_partkey),
+  JOIN deg ON deg.l_partkey = a.l_partkey
+  WHERE deg.d <= 256),
 scored AS (
   SELECT s1, s2, CAST(count(*) AS BIGINT) AS common_parts,
          CAST(sum(CAST(1.0 / ln(CAST(d AS DOUBLE))
@@ -6955,9 +6958,14 @@ FROM audit WHERE issue IS NOT NULL
 """,
     # BFS: bounded-depth recursion; min(d) per node == the engine's
     # frontier labels by BFS order.
+    # max_basket=64 mirrored from the Spark side: orders with more
+    # than 64 distinct parts emit no co-order edges.
     "bfs_hop_distance": """
-WITH RECURSIVE op AS (
+WITH RECURSIVE op0 AS (
   SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+op AS (
+  SELECT * FROM op0 WHERE l_orderkey IN (
+    SELECT l_orderkey FROM op0 GROUP BY 1 HAVING count(*) <= 64)),
 edges AS (
   SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
   FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
@@ -6969,6 +6977,62 @@ bfs(pk, d) AS (
   WHERE bfs.d < 3)
 SELECT CAST(pk AS BIGINT) AS p_partkey, CAST(min(d) AS INT) AS dist
 FROM bfs GROUP BY 1
+""",
+    # Connected components of the strong co-order graph: the oracle is
+    # the FULL min-label transitive closure (recursive CTE; UNION
+    # dedups, so recursion halts at the reachable-pair fixpoint) — it
+    # checks the iterative Spark loop actually converged, not merely
+    # produced plausible labels. Same max_basket=64 + min_orders=2
+    # edge build.
+    "graph_components": """
+WITH RECURSIVE op0 AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+op AS (
+  SELECT * FROM op0 WHERE l_orderkey IN (
+    SELECT l_orderkey FROM op0 GROUP BY 1 HAVING count(*) <= 64)),
+e AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey <> b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2),
+reach(node, lbl) AS (
+  SELECT u, u FROM e
+  UNION
+  SELECT e.u, reach.lbl FROM reach JOIN e ON e.v = reach.node)
+SELECT CAST(node AS BIGINT) AS p_partkey,
+       CAST(min(lbl) AS BIGINT) AS component
+FROM reach GROUP BY 1
+""",
+    # Wedge-volume cap ladder: identical degree histograms, identical
+    # exact-integer wedge arithmetic (d(d-1) is even; // 2).
+    "graph_degree_cap_report": """
+WITH ps AS (
+  SELECT 'part_supplier' AS graph, d FROM (
+    SELECT l_partkey, count(*) AS d
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+    GROUP BY 1)),
+bk AS (
+  SELECT 'co_order' AS graph, d FROM (
+    SELECT l_orderkey, count(*) AS d
+    FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+    GROUP BY 1)),
+hist AS (
+  SELECT graph, d, count(*) AS n
+  FROM (SELECT * FROM ps UNION ALL SELECT * FROM bk) GROUP BY 1, 2),
+caps AS (SELECT unnest([8, 16, 32, 64, 128, 256]) AS cap)
+SELECT graph, CAST(cap AS INT) AS cap,
+       CAST(sum(n) AS BIGINT) AS pivots_total,
+       CAST(sum(CASE WHEN d > cap THEN n ELSE 0 END) AS BIGINT)
+         AS pivots_dropped,
+       CAST(sum(n * (d * (d - 1) // 2)) AS BIGINT) AS wedges_total,
+       CAST(sum(CASE WHEN d <= cap THEN n * (d * (d - 1) // 2)
+                     ELSE 0 END) AS BIGINT) AS wedges_kept,
+       floor(CAST(sum(CASE WHEN d <= cap THEN n * (d * (d - 1) // 2)
+                           ELSE 0 END) AS DOUBLE)
+             / CAST(sum(n * (d * (d - 1) // 2)) AS DOUBLE)
+             * 10000.0 + 0.5) / 10000.0 AS kept_frac
+FROM hist CROSS JOIN caps
+GROUP BY 1, 2
 """,
     # Tokenizer fertility: the SAME generated train->encode SQL as
     # bpe_encode_corpus, aggregated per language.

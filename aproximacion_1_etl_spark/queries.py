@@ -12450,32 +12450,27 @@ def q_adamic_adar_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier pairs over the bipartite part—supplier graph — common
     neighbors weighted 1/ln(deg(part)), so rare shared parts count
     more. Wedges are generated per part from its sorted supplier array
-    (the triangle iterator's map-side pattern — no pair self-join);
-    only parts with >=2 suppliers contribute, so ln(deg) >= ln 2 and
-    the weight is finite. Wedge volume is sum(deg²); at 100 TB the
-    degree cap / frequent-prune lever (basket_rules) bounds it. Output
-    is the top-50 pairs — the rank window runs over the
+    (operators/graph.py::adamic_adar_scores — the triangle iterator's
+    map-side pattern, no pair self-join); only parts with >=2
+    suppliers contribute, so ln(deg) >= ln 2 and the weight is finite.
+    Wedge volume is sum(deg²): the WIRED max_degree=256 frequent-prune
+    drops hyper-degree parts entirely (inactive at tested SFs — max
+    part degree is 52 at sf0.1 — but it bounds one hot part's
+    quadratic wedge blowup on a skewed 100× graph; the oracle mirrors
+    the cap, and graph_degree_cap_report quantifies the cap ladder).
+    Output is the top-50 pairs — the rank window runs over the
     |supplier-pairs| aggregate, never the wedges."""
+    from aproximacion_1_etl_spark.operators.graph import adamic_adar_scores
+
     li = load_table(spark, sf_dir, "lineitem")
-    edges = li.select("l_partkey", "l_suppkey").distinct()
-    parts = edges.groupBy("l_partkey").agg(
-        F.sort_array(F.collect_set("l_suppkey")).alias("ss")
-    ).filter(F.size("ss") >= 2)
-    wedges = parts.select(
-        (F.lit(1.0) / F.log(F.size("ss").cast("double"))).alias("w"),
-        F.explode(
-            F.expr(
-                "flatten(transform(ss, (x, i) ->"
-                " transform(slice(ss, i + 2, size(ss)),"
-                " y -> struct(x AS s1, y AS s2))))"
-            )
-        ).alias("pr"),
-    ).select(F.col("pr.s1").alias("s1"), F.col("pr.s2").alias("s2"), "w")
-    scored = wedges.groupBy("s1", "s2").agg(
-        F.count("*").cast("bigint").alias("common_parts"),
-        F.sum(F.col("w").cast("decimal(30,15)"))
-        .cast("double")
-        .alias("_aa"),
+    edges = li.select("l_partkey", "l_suppkey")
+    scored = adamic_adar_scores(
+        edges, "l_partkey", "l_suppkey", max_degree=256
+    ).select(
+        "s1",
+        "s2",
+        F.col("common_nbrs").alias("common_parts"),
+        F.col("aa_score").alias("_aa"),
     )
     # distributed top-k (TakeOrderedAndProject) instead of a global
     # rank window — the |supplier-pairs| aggregate never single-task
@@ -13980,6 +13975,47 @@ def q_streaming_ewma_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
             shutil.rmtree(ckpt, ignore_errors=True)
 
 
+def _co_order_edges(
+    li: DataFrame,
+    max_basket: int | None = None,
+    min_orders: int = 1,
+) -> DataFrame:
+    """Directed co-order edge list over parts (both orientations):
+    (src, dst) when the two parts share >= ``min_orders`` distinct
+    orders. ``max_basket`` is the wedge-volume lever shared by the
+    graph family: an order with b distinct parts emits b(b-1) directed
+    edges, so total volume is sum(basket²) and one hot order goes
+    quadratic at a skewed 100× — orders beyond the cap are dropped
+    BEFORE the self-join (where the blowup would happen), not after.
+    The materialized edge list is eagerly checkpointed: every consumer
+    (BFS rounds, component rounds) reuses it instead of re-running the
+    per-order self-join (measured 12.2 s -> 6.0 s on bfs_hop_distance
+    when the build ran per-round)."""
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    if max_basket is not None:
+        small = (
+            op.groupBy("l_orderkey")
+            .agg(F.count("*").alias("_b"))
+            .filter(F.col("_b") <= max_basket)
+            .select("l_orderkey")
+        )
+        op = op.join(small, "l_orderkey", "left_semi")
+    a = op.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src")
+    )
+    b = op.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst")
+    )
+    pairs = a.join(b, "ok").filter(F.col("src") != F.col("dst"))
+    if min_orders > 1:
+        edges = pairs.groupBy("src", "dst").agg(
+            F.count("*").alias("_w")
+        ).filter(F.col("_w") >= min_orders).select("src", "dst")
+    else:
+        edges = pairs.select("src", "dst").distinct()
+    return edges.localCheckpoint(eager=True)
+
+
 def q_bfs_hop_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.10 graph BFS hop distance (completes the graph family next
     to pagerank / triangles / components / Adamic-Adar): minimum hops
@@ -13987,51 +14023,131 @@ def q_bfs_hop_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     appearing in the same order). Three frontier expansions, each ONE
     join against the distinct edge list + an anti-join against the
     labeled set, with an eager lineage cut per round so the plan never
-    re-derives prior frontiers — the pagerank loop shape. Edge volume
-    is sum(basket²) (the basket_rules bound); the frontier join is the
-    only per-round shuffle. BFS order guarantees min-distance labels,
-    matching the oracle's min(d) over the bounded-depth recursion."""
+    re-derives prior frontiers — the pagerank loop shape
+    (operators/graph.py::bfs_hops). Edge volume is sum(basket²): the
+    WIRED max_basket=64 lever drops orders with more distinct parts
+    than the cap from edge generation before the self-join (inactive
+    at tested SFs — max basket is 17 at sf0.1 — but ONE hot order on a
+    skewed 100× graph otherwise emits a quadratic clique; the oracle
+    mirrors the cap, and graph_degree_cap_report quantifies the
+    ladder). BFS order guarantees min-distance labels, matching the
+    oracle's min(d) over the bounded-depth recursion."""
+    from aproximacion_1_etl_spark.operators.graph import bfs_hops
+
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    a = op.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src")
+    edges = _co_order_edges(li, max_basket=64)
+    seeds = p.filter(F.col("p_brand") == "Brand#11").select(
+        F.col("p_partkey").alias("pk")
     )
-    b = op.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst")
-    )
-    edges = (
-        a.join(b, "ok")
-        .filter(F.col("src") != F.col("dst"))
-        .select("src", "dst")
-        .distinct()
-        # the edge list feeds all three frontier rounds — materialize
-        # once instead of re-running the per-order self-join per round
-        # (measured 12.2 s -> edge build was 3x of the key's cost)
-        .localCheckpoint(eager=True)
-    )
-    seeds = (
-        p.filter(F.col("p_brand") == "Brand#11")
-        .select(F.col("p_partkey").alias("pk"))
-        .withColumn("dist", F.lit(0))
-    )
-    state = seeds.localCheckpoint(eager=True)
-    frontier = state
-    for k in range(1, 4):
-        nxt = (
-            frontier.join(edges, frontier["pk"] == edges["src"])
-            .select(F.col("dst").alias("pk"))
-            .distinct()
-        )
-        new = nxt.join(state, "pk", "left_anti").withColumn(
-            "dist", F.lit(k)
-        )
-        new = new.localCheckpoint(eager=True)
-        state = state.unionByName(new).localCheckpoint(eager=True)
-        frontier = new
+    state = bfs_hops(edges, seeds, max_hops=3)
     return state.select(
         F.col("pk").cast("bigint").alias("p_partkey"),
         F.col("dist").cast("int").alias("dist"),
+    )
+
+
+def q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 named connected components (generalizes the LSH-pair CC
+    inside dup_clusters to any edge relation —
+    operators/graph.py::connected_components): components of the
+    STRONG co-order graph (parts sharing >= 2 distinct orders, so an
+    edge means repeated association, not one-off co-purchase), each
+    node labeled with the minimum part key reachable from it.
+
+    Plan: the shared _co_order_edges build (max_basket=64 wedge lever)
+    feeds alternating min-label propagation with pointer jumping —
+    per round ONE join + one aggregate + one |V| shortcut self-join,
+    eager lineage cut, bit-exact changed probe; rounds ~ log2(graph
+    diameter) instead of diameter. The oracle is the full min-label
+    transitive closure (recursive CTE), so convergence — not just
+    plausible labels — is what's value-checked."""
+    from aproximacion_1_etl_spark.operators.graph import (
+        connected_components,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = _co_order_edges(li, max_basket=64, min_orders=2)
+    labels = connected_components(edges, "src", "dst", max_iterations=20)
+    return labels.select(
+        F.col("node").cast("bigint").alias("p_partkey"),
+        F.col("comp").cast("bigint").alias("component"),
+    )
+
+
+def q_graph_degree_cap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 wedge-volume capacity report — the sizing companion to
+    the graph family's frequent-prune levers (adamic_adar max_degree,
+    _co_order_edges max_basket): for each graph (part—supplier pivot
+    degrees; co-order basket sizes) and each cap on the 8..256 ladder,
+    how many pivots the cap drops and what fraction of the quadratic
+    wedge volume sum(d(d-1)/2) survives. This is the report an
+    operator reads to CHOOSE the cap before a 100× run — the levers
+    themselves are wired into the query plans.
+
+    Plan shape: each graph collapses to its |distinct degrees|-sized
+    histogram first (one aggregate per graph over an already-distinct
+    projection); the cap ladder cross-joins the tiny histogram
+    (broadcast, <= ~50 rows x 6 caps) and the report reduces that.
+    Wedge counts are exact integers (d(d-1) is even; DIV 2)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ps_deg = (
+        li.select("l_partkey", "l_suppkey")
+        .distinct()
+        .groupBy("l_partkey")
+        .agg(F.count("*").alias("d"))
+        .select(F.lit("part_supplier").alias("graph"), "d")
+    )
+    basket = (
+        li.select("l_orderkey", "l_partkey")
+        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.count("*").alias("d"))
+        .select(F.lit("co_order").alias("graph"), "d")
+    )
+    hist = (
+        ps_deg.unionByName(basket)
+        .groupBy("graph", "d")
+        .agg(F.count("*").alias("n"))
+    )
+    caps = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(c) for c in (8, 16, 32, 64, 128, 256)])
+        ).alias("cap")
+    )
+    wedges = F.expr("d * (d - 1) DIV 2")
+    j = hist.crossJoin(F.broadcast(caps))
+    kept = F.when(F.col("d") <= F.col("cap"), F.col("n") * wedges).otherwise(
+        F.lit(0)
+    )
+    return (
+        j.groupBy("graph", "cap")
+        .agg(
+            F.sum("n").cast("bigint").alias("pivots_total"),
+            F.sum(
+                F.when(F.col("d") > F.col("cap"), F.col("n")).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("bigint")
+            .alias("pivots_dropped"),
+            F.sum(F.col("n") * wedges).cast("bigint").alias("wedges_total"),
+            F.sum(kept).cast("bigint").alias("wedges_kept"),
+            _fround(
+                F.sum(kept).cast("double")
+                / F.sum(F.col("n") * wedges).cast("double"),
+                4,
+            ).alias("kept_frac"),
+        )
+        .select(
+            "graph",
+            F.col("cap").cast("int").alias("cap"),
+            "pivots_total",
+            "pivots_dropped",
+            "wedges_total",
+            "wedges_kept",
+            "kept_frac",
+        )
     )
 
 
@@ -15119,6 +15235,8 @@ ALL_QUERIES = {
     "backfill_plan": q_backfill_plan,
     "streaming_ewma_monitor": q_streaming_ewma_monitor,
     "bfs_hop_distance": q_bfs_hop_distance,
+    "graph_components": q_graph_components,
+    "graph_degree_cap_report": q_graph_degree_cap_report,
     "bpe_fertility_stats": q_bpe_fertility_stats,
     "padding_efficiency_report": q_padding_efficiency_report,
     "cycle_time_stages": q_cycle_time_stages,

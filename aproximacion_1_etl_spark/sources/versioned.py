@@ -538,9 +538,14 @@ def write_snapshot_gated(
     Expectations use SQL-CHECK-STRICT semantics: a row where the
     condition evaluates to NULL counts as a VIOLATION (a DQ gate that
     waves NULLs through is a trap — 'v >= 0' must not pass v NULL).
-    Returns (version-or-None, per-rule violation counts)."""
+    Returns (version-or-None, per-rule violation counts). An empty
+    expectations dict means an ungated publish — commit directly
+    (zero-expression agg would raise after landing, orphaning the
+    dir)."""
     import shutil as _shutil
 
+    if not expectations:
+        return write_snapshot(df, path, meta), {}
     cur, nxt, vdir = _land_version(df, path)
     landed = df.sparkSession.read.parquet(vdir)
     aggs = [
@@ -593,7 +598,10 @@ def read_history(
 
 
 def history_to_scd2(
-    hist: DataFrame, key_cols: list[str], val_cols: list[str]
+    hist: DataFrame,
+    key_cols: list[str],
+    val_cols: list[str],
+    versions: list[int] | None = None,
 ) -> DataFrame:
     """Derive an SCD TYPE-2 dimension from a version-history scan
     (``read_history`` output carrying ``_v``): per key, consecutive
@@ -609,6 +617,13 @@ def history_to_scd2(
     the history; the consumer-side twin of the instrumented scd2
     builder (operators/refine.py) for tables that only kept snapshots.
 
+    ``versions`` is the COMMITTED chain (``committed_versions(path)``).
+    Pass it whenever the chain may contain a version with zero
+    surviving rows: derived-from-rows (the ``None`` fallback) cannot
+    see an all-deleted version, so keys absent from it would get no
+    tombstone there and their intervals would silently span it —
+    contradicting what a time-travel reader of that version observes.
+
     Scale shape: one shuffle on the key serves both windows (gap
     detection + change points + interval ends); the version chain is a
     |versions|-row broadcast; no self-join. The change-point filter
@@ -618,11 +633,17 @@ def history_to_scd2(
 
     # next version in the committed chain, as a tiny broadcast lookup
     wv = Window.orderBy("_v")
-    vnext = (
-        hist.select("_v")
-        .distinct()
-        .withColumn("_v_next", F.lead("_v").over(wv))
-    )
+    if versions is not None:
+        spark = hist.sparkSession
+        vnext = spark.createDataFrame(
+            [(int(v),) for v in sorted(versions)], "_v bigint"
+        ).withColumn("_v_next", F.lead("_v").over(wv))
+    else:
+        vnext = (
+            hist.select("_v")
+            .distinct()
+            .withColumn("_v_next", F.lead("_v").over(wv))
+        )
     wk = Window.partitionBy(*key_cols).orderBy("_v")
     h = (
         hist.join(F.broadcast(vnext), "_v")

@@ -31,8 +31,25 @@ def _reclaim_test_tempdirs():
     process's dirs — a prefix-glob sweep of the shared /tmp could
     delete a concurrently running bench/oracle process's live
     checkpoint."""
+    import glob
     import shutil
     import tempfile
+    import time
+
+    # crash-robust sweep: a killed pytest run never reaches the rmtree
+    # below, so reclaim STALE session roots from prior runs first. Age
+    # gate (>2h since last mtime) keeps this away from a concurrently
+    # running pytest's live dir; the prefix is unique to this fixture,
+    # so bench/oracle checkpoints are untouchable by construction.
+    now = time.time()
+    for d in glob.glob(
+        os.path.join(tempfile.gettempdir(), "graft_test_session_*")
+    ):
+        try:
+            if now - os.path.getmtime(d) > 2 * 3600:
+                shutil.rmtree(d, ignore_errors=True)
+        except OSError:
+            pass
 
     session_tmp = tempfile.mkdtemp(prefix="graft_test_session_")
     prev = tempfile.tempdir
