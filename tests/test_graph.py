@@ -109,3 +109,59 @@ def test_pagerank_fixed_point_probe_is_exact_and_pays_on_converged_loops(spark):
     }
     for node, r in expect.items():
         assert abs(got[node] - r) < 1e-9, (node, got[node], r)
+
+
+def test_adamic_adar_degree_cap_bounds_wedges_and_keeps_exact_weights(spark):
+    """A synthetic hot pivot (degree 100) is dropped entirely by the
+    frequent-prune cap while survivors keep exact uncapped weights —
+    wedge volume stays bounded by sum over kept pivots of d(d-1)/2."""
+    import math
+
+    from aproximacion_1_etl_spark.operators.graph import adamic_adar_scores
+
+    rows = []
+    # hot pivot 999: neighbors 0..99 -> 4950 wedges if uncapped
+    rows += [(999, n) for n in range(100)]
+    # two small pivots sharing the pair (1, 2)
+    rows += [(1, 1), (1, 2), (1, 3)]          # degree 3
+    rows += [(2, 1), (2, 2)]                  # degree 2
+    edges = spark.createDataFrame(rows, "piv bigint, nb bigint")
+
+    capped = adamic_adar_scores(edges, "piv", "nb", max_degree=10)
+    got = {(r["s1"], r["s2"]): r for r in capped.collect()}
+    # bounded wedge volume: only the two small pivots emit wedges
+    assert len(got) == 3  # C(3,2) from pivot 1; pivot 2's pair coincides
+    assert set(got) == {(1, 2), (1, 3), (2, 3)}
+    # the shared pair counts BOTH small pivots, with exact 1/ln(d)
+    pair = got[(1, 2)]
+    assert pair["common_nbrs"] == 2
+    expected = 1.0 / math.log(3.0) + 1.0 / math.log(2.0)
+    assert abs(pair["aa_score"] - expected) < 1e-12
+    # uncapped, the hot pivot contributes C(100,2)=4950 wedges; the
+    # small pivots' pairs all fall inside 0..99, so the distinct pair
+    # count is exactly 4950 — the quadratic blowup the cap prevents
+    uncapped = adamic_adar_scores(edges, "piv", "nb", max_degree=None)
+    assert uncapped.count() == 4950
+
+
+def test_connected_components_converges_and_labels_min(spark):
+    """Chain + ring + isolated pair: every node gets the component's
+    minimum id, matching a union-find reference, within the iteration
+    bound (pointer jumping -> ~log2(diameter) rounds)."""
+    from aproximacion_1_etl_spark.operators.graph import connected_components
+
+    edges = []
+    edges += [(i, i + 1) for i in range(10, 25)]       # chain, min 10, diam 15
+    edges += [(100 + i, 100 + (i + 1) % 8) for i in range(8)]  # ring, min 100
+    edges += [(500, 501)]                               # pair
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {
+        r["node"]: r["comp"]
+        for r in connected_components(df, max_iterations=10).collect()
+    }
+    for n in range(10, 26):
+        assert got[n] == 10
+    for n in range(100, 108):
+        assert got[n] == 100
+    assert got[500] == 500 and got[501] == 500
+    assert len(got) == 16 + 8 + 2

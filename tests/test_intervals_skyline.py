@@ -317,3 +317,21 @@ def test_join_estimate_exact_on_fk_join(spark, sf_dir):
     )
     assert cs["actual_rows"] > 0
     assert cs["err_pct"] is not None
+
+
+def test_pareto_kd_int64_dominance_exact_past_2_53(spark):
+    """Two bigint tuples that collapse to EQUAL doubles (2^53 vs
+    2^53+1) must still dominate exactly on the integer dtype: the
+    strictly-better tuple survives alone."""
+    from aproximacion_1_etl_spark.operators.skyline import pareto_frontier_kd
+
+    big = 2**53
+    df = spark.createDataFrame(
+        [(big, 10), (big + 1, 10)], "cost bigint, gain bigint"
+    )
+    # minimize cost, maximize gain: (big, 10) strictly dominates
+    # (big+1, 10); under float64 both collapse to the same cost and
+    # both would survive
+    got = pareto_frontier_kd(df, minimize=["cost"], maximize=["gain"]).collect()
+    assert len(got) == 1
+    assert got[0]["cost"] == big and got[0]["gain"] == 10

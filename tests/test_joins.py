@@ -140,3 +140,31 @@ def test_bloom_prune_join_is_conservative_and_prunes(spark):
 
     with pytest.raises(ValueError):
         build_bloom_bitmap(small, "sk", m_bits=1000)
+
+
+def test_asof_join_tolerance_subsecond_precision(spark):
+    """A match 2.9s away must NOT pass a 2s tolerance: the comparison
+    runs on fractional epoch seconds (merge_asof parity), not
+    whole-second truncation (which would round 2.9 down to 2)."""
+    from aproximacion_1_etl_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:10.000")], "k bigint, ts string"
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:07.100", 42.0)],
+        "k bigint, ts string, v double",
+    ).select(
+        "k", F.col("ts").cast("timestamp").alias("ts"), "v"
+    )
+    out = asof_join(
+        left, right, "k", "k", "ts", "ts", ["v"], tiebreak="v",
+        tolerance_seconds=2,
+    ).collect()
+    assert len(out) == 1 and out[0]["asof_v"] is None
+    # at 3s tolerance the same match passes
+    ok = asof_join(
+        left, right, "k", "k", "ts", "ts", ["v"], tiebreak="v",
+        tolerance_seconds=3,
+    ).collect()
+    assert ok[0]["asof_v"] == 42.0

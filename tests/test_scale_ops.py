@@ -1250,3 +1250,72 @@ def test_grouped_quantiles_all_groups_within_bound(spark, sf_dir):
     assert all(r["est_ok"] for r in out), [
         (r["event_type"], r["q"]) for r in out if not r["est_ok"]
     ]
+
+
+def test_history_to_scd2_explicit_versions_see_empty_version(spark):
+    """An all-deleted committed version is invisible to the rows-derived
+    chain but MUST tombstone every key when the committed chain is
+    passed explicitly — a time-travel reader of the empty version sees
+    no keys, so validity intervals must close there."""
+    import tempfile
+
+    from aproximacion_1_etl_spark.sources.versioned import (
+        committed_versions,
+        delete_rows,
+        history_to_scd2,
+        read_history,
+        write_snapshot,
+    )
+
+    path = tempfile.mkdtemp(prefix="graft_scd2_empty_")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    write_snapshot(df, path)  # v1: both keys
+    write_snapshot(df.limit(0), path)  # v2: entirely empty
+    write_snapshot(df, path)  # v3: both keys return
+    hist = read_history(spark, path)
+    chain = committed_versions(path)
+    assert len(chain) == 3
+
+    # rows-derived chain cannot see v2: one interval spans it
+    derived = history_to_scd2(hist, ["k"], ["v"])
+    spans = {
+        (r["k"], r["valid_from"], r["valid_to"])
+        for r in derived.collect()
+    }
+    assert all(vf == chain[0] and vt is None for _, vf, vt in spans)
+
+    # explicit chain: interval closes at v2, reopens at v3
+    exact = history_to_scd2(hist, ["k"], ["v"], versions=chain)
+    rows = sorted(
+        (r["k"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in exact.collect()
+    )
+    assert rows == [
+        (1, chain[0], chain[1], False),
+        (1, chain[2], None, True),
+        (2, chain[0], chain[1], False),
+        (2, chain[2], None, True),
+    ]
+
+
+def test_write_snapshot_gated_empty_expectations_publishes(spark):
+    """{} means an ungated publish: commits a version, zero violations,
+    no orphan dir left behind."""
+    import os
+    import tempfile
+
+    from aproximacion_1_etl_spark.sources.versioned import (
+        current_version,
+        read_snapshot,
+        write_snapshot_gated,
+    )
+
+    path = tempfile.mkdtemp(prefix="graft_gated_empty_")
+    df = spark.createDataFrame([(1, -5)], "k int, v int")
+    v, viol = write_snapshot_gated(df, path, {})
+    assert v is not None and viol == {}
+    assert current_version(path) == v
+    assert read_snapshot(spark, path).count() == 1
+    # no orphan (uncommitted) version dirs
+    dirs = {d for d in os.listdir(path) if d.startswith("v=")}
+    assert dirs == {f"v={v}"}
