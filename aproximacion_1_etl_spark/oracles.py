@@ -2935,6 +2935,41 @@ SELECT doc_id,
              * 10000.0 + 0.5) / 10000.0 AS mean_b
 FROM px GROUP BY 1, 2
 """,
+    # analytic mirror of queries.q_multimodal_audio: clip d's frame i
+    # is clamp(((d*31 + i*17) % 98304) - 49152, int16) over
+    # n = 50 + d%40 frames at 8000 + 100*(d%3) Hz — duration/RMS/
+    # zero-crossings/clipping computable in closed form (sqrt is
+    # IEEE-exact-rounded, so the engines agree bit-for-bit)
+    "multimodal_audio": """
+WITH p AS (SELECT doc_id, 50 + doc_id % 40 AS n,
+                  8000 + 100 * (doc_id % 3) AS rate
+           FROM documents),
+s AS (SELECT doc_id, n, rate, i,
+             greatest(-32768, least(32767,
+               ((doc_id * 31 + i * 17) % 98304) - 49152)) AS v
+      FROM (SELECT doc_id, n, rate,
+                   unnest(generate_series(0, n - 1)) AS i
+            FROM p)),
+w AS (SELECT *, lead(v) OVER (PARTITION BY doc_id ORDER BY i) AS nxt
+      FROM s),
+feat AS (
+  SELECT doc_id, max(n) AS n, max(rate) AS rate,
+         sum(v * v) AS sum_sq,
+         sum(CASE WHEN nxt IS NOT NULL AND v * nxt < 0
+                  THEN 1 ELSE 0 END) AS zc,
+         sum(CASE WHEN v >= 32767 OR v <= -32768
+                  THEN 1 ELSE 0 END) AS clip
+  FROM w GROUP BY 1)
+SELECT doc_id, CAST(rate AS INT) AS sample_rate,
+       CAST(n AS BIGINT) AS n_frames,
+       floor(n * 1000.0 / rate * 10000.0 + 0.5) / 10000.0 AS duration_ms,
+       floor(sqrt(CAST(sum_sq AS DOUBLE) / n) * 10000.0 + 0.5)
+         / 10000.0 AS rms,
+       CAST(zc AS BIGINT) AS n_zero_cross,
+       floor(CAST(clip AS DOUBLE) / n * 10000.0 + 0.5) / 10000.0
+         AS clip_frac
+FROM feat
+""",
     # mirror of text/analysis.py::bpe_merge_pairs: pair counts over
     # distinct words weighted by word frequency, same >=2-char filter,
     # same (count desc, pair asc) tie-break
@@ -4104,6 +4139,41 @@ WITH RECURSIVE anc AS (
   FROM nation n JOIN anc a ON n.n_nationkey - 5 = a.node
 )
 SELECT node, root, CAST(depth AS INT) AS depth FROM anc
+""",
+    # literal QUALIFY form (DuckDB has the keyword; Spark runs the
+    # canonical filter-on-window rewrite) — same decimal revenue, same
+    # (revenue desc, name) tiebreak
+    "qualify_window_filter": """
+SELECT n.n_name, s.s_name,
+       floor(CAST(r.revenue AS DOUBLE) * 100.0 + 0.5) / 100.0
+         AS revenue,
+       CAST(row_number() OVER (
+              PARTITION BY n.n_name
+              ORDER BY r.revenue DESC, s.s_name ASC) AS INT) AS rn
+FROM (
+  SELECT l_suppkey,
+         sum(CAST(l_extendedprice * (1 - l_discount)
+                  AS DECIMAL(38,6))) AS revenue
+  FROM lineitem GROUP BY 1) r
+JOIN supplier s ON s.s_suppkey = r.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+QUALIFY rn <= 2
+""",
+    # identical correlated scalar subquery (DuckDB decorrelates too)
+    "correlated_scalar_subquery": """
+SELECT p_partkey, p_brand,
+       floor(p_retailprice * 100.0 + 0.5) / 100.0 AS price,
+       floor((SELECT CAST(sum(CAST(p2.p_retailprice AS DECIMAL(38,6)))
+                          AS DOUBLE) / count(*)
+              FROM part p2 WHERE p2.p_brand = p.p_brand)
+             * 100.0 + 0.5) / 100.0 AS brand_avg_price,
+       CASE WHEN p_retailprice >
+                 (SELECT CAST(sum(CAST(p2.p_retailprice
+                                       AS DECIMAL(38,6)))
+                              AS DOUBLE) / count(*)
+                  FROM part p2 WHERE p2.p_brand = p.p_brand)
+            THEN 1 ELSE 0 END AS above_avg
+FROM part p
 """,
     "sentence_dedup": """
 WITH docs AS (SELECT * FROM documents WHERE doc_id < 200),

@@ -2424,6 +2424,43 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 multimodal, REAL audio decode path (the codec-free
+    extension next to multimodal_decode's PPM/BMP): deterministic mono
+    16-bit PCM WAV clips keyed off doc_id
+    (text/multimodal.py::make_synthetic_audio — every 4th clip carries
+    a LIST metadata chunk, so RIFF chunk-WALKING is on the oracle
+    path) are parsed back by the pure-Python RIFF/PCM decoder and
+    per-clip duration / RMS / zero-crossing / clipping-fraction come
+    back from exact integer statistics; the ratios are computed
+    engine-side so the analytic oracle value-checks the decode —
+    any header, chunk-size, padding, or sample-sign bug is a value
+    mismatch. Compressed WAV (format code != 1) raises — the same
+    explicit codec boundary as JPEG/PNG."""
+    from aproximacion_1_etl_spark.text.multimodal import (
+        decode_audio_features,
+        make_synthetic_audio,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = decode_audio_features(make_synthetic_audio(docs))
+    return feats.select(
+        "doc_id",
+        F.col("sample_rate").cast("int").alias("sample_rate"),
+        F.col("n_frames").cast("bigint").alias("n_frames"),
+        _fround(
+            F.col("n_frames") * F.lit(1000.0) / F.col("sample_rate"), 4
+        ).alias("duration_ms"),
+        _fround(
+            F.sqrt(F.col("sum_sq").cast("double") / F.col("n_frames")), 4
+        ).alias("rms"),
+        F.col("n_zero_cross").cast("bigint").alias("n_zero_cross"),
+        _fround(
+            F.col("n_clipped").cast("double") / F.col("n_frames"), 4
+        ).alias("clip_frac"),
+    )
+
+
 def q_streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.9: Structured Streaming tumbling-window agg, Trigger.AvailableNow
     (deterministic => oracle-checkable against the batch equivalent)."""
@@ -4645,6 +4682,78 @@ def q_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
           SELECT c_name, c_acctbal FROM customer c
           WHERE c.c_nationkey = n.n_nationkey
           ORDER BY c_acctbal DESC, c_name ASC LIMIT 3) x
+        """
+    )
+
+
+def q_qualify_window_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALIFY-style windowed filter in ONE SQL block (the classic
+    decision-support shape the suite lacked): per-nation top-2
+    suppliers by exact decimal revenue. OSS Spark has no QUALIFY
+    keyword, so this is the canonical rewrite — the window in an
+    inline subquery, filtered one level up; the DuckDB oracle runs the
+    literal QUALIFY form, proving the rewrite IS that semantics.
+    Catalyst plans the filter-on-rank as a running TopK per partition
+    (WindowGroupLimit pushes rn <= 2 below the sort), so the window
+    never materializes full partitions — the form that survives a
+    1000-way nation skew at 100 TB."""
+    from aproximacion_1_etl_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n_name, s_name,
+               floor(CAST(revenue AS DOUBLE) * 100.0 + 0.5) / 100.0
+                 AS revenue,
+               CAST(rn AS INT) AS rn
+        FROM (
+          SELECT n.n_name, s.s_name, r.revenue,
+                 row_number() OVER (
+                   PARTITION BY n.n_name
+                   ORDER BY r.revenue DESC, s.s_name ASC) AS rn
+          FROM (
+            SELECT l_suppkey,
+                   sum(CAST(l_extendedprice * (1 - l_discount)
+                            AS DECIMAL(38,6))) AS revenue
+            FROM lineitem GROUP BY 1) r
+          JOIN supplier s ON s.s_suppkey = r.l_suppkey
+          JOIN nation n ON n.n_nationkey = s.s_nationkey)
+        WHERE rn <= 2
+        """
+    )
+
+
+def q_correlated_scalar_subquery(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Correlated scalar subquery in SELECT position (TPC-H q17's
+    inner shape, surfaced as its own key): each part priced against
+    its brand's average retail price, the average written as a
+    per-row correlated subquery. Catalyst DECORRELATES it into one
+    brand-grain aggregate + an equi-join — the SQL sugar costs one
+    shuffle on p_brand, never a per-row subquery execution (the plan
+    a naive engine would run |part| times). The subquery is written
+    ONCE and the derived flag computed a level up — repeating the
+    correlated expression would plan a second identical aggregate.
+    Decimal sum / count keeps the average engine-identical."""
+    from aproximacion_1_etl_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT p_partkey, p_brand,
+               floor(raw_price * 100.0 + 0.5) / 100.0 AS price,
+               floor(raw_avg * 100.0 + 0.5) / 100.0 AS brand_avg_price,
+               CASE WHEN raw_price > raw_avg THEN 1 ELSE 0 END
+                 AS above_avg
+        FROM (
+          SELECT p_partkey, p_brand, p_retailprice AS raw_price,
+                 (SELECT CAST(sum(CAST(p2.p_retailprice
+                                       AS DECIMAL(38,6)))
+                              AS DOUBLE) / count(*)
+                  FROM part p2
+                  WHERE p2.p_brand = p.p_brand) AS raw_avg
+          FROM part p)
         """
     )
 
@@ -15007,6 +15116,7 @@ ALL_QUERIES = {
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
     "multimodal_features": q_multimodal_features,
     "multimodal_decode": q_multimodal_decode,
+    "multimodal_audio": q_multimodal_audio,
     "bpe_merge_pairs": q_bpe_merge_pairs,
     "embedding_quantize_int8": q_embedding_quantize_int8,
     "deletion_vector_read": q_deletion_vector_read,
@@ -15113,6 +15223,8 @@ ALL_QUERIES = {
     "rest_datasource": q_rest_datasource,
     "lateral_topn": q_lateral_topn,
     "recursive_cte": q_recursive_cte,
+    "qualify_window_filter": q_qualify_window_filter,
+    "correlated_scalar_subquery": q_correlated_scalar_subquery,
     "sentence_dedup": q_sentence_dedup,
     "log_parse": q_log_parse,
     "url_canonicalize": q_url_canonicalize,

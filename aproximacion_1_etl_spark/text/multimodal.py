@@ -272,6 +272,177 @@ def make_synthetic_images(docs: DataFrame) -> DataFrame:
     )
 
 
+def encode_wav(
+    sample_rate: int,
+    samples: list[int],
+    bits: int = 16,
+    junk_chunk: bool = False,
+) -> bytes:
+    """Mono PCM WAV (RIFF): canonical header + ``fmt `` chunk + ``data``
+    chunk; 16-bit signed little-endian or 8-bit unsigned (the two
+    codec-free PCM layouts). ``junk_chunk`` inserts a LIST/INFO chunk
+    between fmt and data — real-world WAVs carry metadata chunks, so a
+    decoder must WALK chunks, not assume data at a fixed offset."""
+    import struct
+
+    if bits == 16:
+        body = b"".join(struct.pack("<h", s) for s in samples)
+    elif bits == 8:
+        body = bytes((s + 128) & 0xFF for s in samples)
+    else:
+        raise ValueError(f"bits={bits} unsupported (want 8|16)")
+    block_align = bits // 8
+    fmt = struct.pack(
+        "<4sIHHIIHH", b"fmt ", 16, 1, 1, sample_rate,
+        sample_rate * block_align, block_align, bits,
+    )
+    junk = b""
+    if junk_chunk:
+        info = b"INFOISFT" + struct.pack("<I", 6) + b"graft\x00"
+        junk = b"LIST" + struct.pack("<I", len(info)) + info
+    data = b"data" + struct.pack("<I", len(body)) + body
+    if len(body) % 2:
+        data += b"\x00"  # RIFF chunks are word-aligned
+    payload = b"WAVE" + fmt + junk + data
+    return b"RIFF" + struct.pack("<I", len(payload)) + payload
+
+
+def decode_wav(payload: bytes) -> dict:
+    """Parse a RIFF/WAVE payload to (sample_rate, channels, bits,
+    frames) by WALKING chunks (fmt anywhere before data; LIST/INFO and
+    other metadata chunks skipped via their declared sizes, odd sizes
+    word-padded). PCM only — a compressed format code (anything but 1)
+    raises NotImplementedError, the same explicit codec boundary as
+    JPEG/PNG in real_decode; truncation raises ValueError. Multi-
+    channel frames are returned interleaved-split: ``samples`` is a
+    per-channel list of lists."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt_seen, out = 12, False, {}
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        body_at = pos + 8
+        if cid == b"fmt ":
+            if size < 16 or body_at + 16 > len(payload):
+                raise ValueError("fmt chunk truncated")
+            code, ch, rate, _br, _ba, bits = struct.unpack_from(
+                "<HHIIHH", payload, body_at
+            )
+            if code != 1:
+                raise NotImplementedError(
+                    f"WAV format code {code} is compressed — decoding "
+                    "needs codec libraries not present here (PCM=1 is "
+                    "the pure-Python path)"
+                )
+            if bits not in (8, 16):
+                raise ValueError(f"PCM bits={bits} unsupported (want 8|16)")
+            fmt_seen, out = True, {
+                "sample_rate": rate, "channels": ch, "bits": bits,
+            }
+        elif cid == b"data":
+            if not fmt_seen:
+                raise ValueError("data chunk before fmt chunk")
+            raw = payload[body_at : body_at + size]
+            if len(raw) != size:
+                raise ValueError("data chunk truncated")
+            ch, bits = out["channels"], out["bits"]
+            if bits == 16:
+                vals = list(
+                    struct.unpack(f"<{len(raw) // 2}h", raw[: len(raw) & ~1])
+                )
+            else:
+                vals = [b - 128 for b in raw]
+            out["n_frames"] = len(vals) // ch
+            out["samples"] = [vals[c::ch] for c in range(ch)]
+            return out
+        pos = body_at + size + (size & 1)
+    raise ValueError("no data chunk found")
+
+
+def make_synthetic_audio(docs: DataFrame) -> DataFrame:
+    """Deterministic mono 16-bit PCM clips keyed off doc_id: frame i of
+    clip d is clamp(((d*31 + i*17) % 98304) - 49152, int16) — a full-
+    range pseudo-signal whose pre-clamp range deliberately overshoots
+    int16 so ~1/3 of samples CLIP (the clipping-fraction feature has
+    signal), with n = 50 + d%40 frames at 8000 + 100*(d%3) Hz. Every
+    clip is a pure function of doc_id, so the DECODED statistics have
+    a closed-form SQL mirror — any header/chunk-walk/sample-decode bug
+    is a value mismatch. Every 4th clip carries a LIST metadata chunk
+    so chunk-walking is exercised ON the oracle path. Same narrow
+    Arrow-batched generation shape as make_synthetic_images."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "media_type": [], "payload": []
+            }
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = 50 + d % 40
+                rate = 8000 + 100 * (d % 3)
+                samples = [
+                    max(-32768, min(32767, ((d * 31 + i * 17) % 98304) - 49152))
+                    for i in range(n)
+                ]
+                out["doc_id"].append(d)
+                out["media_type"].append("audio/wav")
+                out["payload"].append(
+                    encode_wav(rate, samples, junk_chunk=(d % 4 == 0))
+                )
+            yield pd.DataFrame(out)
+
+    spread = docs.select("doc_id").repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, F.col("doc_id")
+    )
+    return spread.mapInPandas(
+        gen, schema="doc_id BIGINT, media_type STRING, payload BINARY"
+    )
+
+
+AUDIO_SCHEMA = (
+    "doc_id BIGINT, sample_rate INT, n_frames BIGINT, "
+    "sum_sq BIGINT, n_zero_cross BIGINT, n_clipped BIGINT"
+)
+
+
+def decode_audio_features(media: DataFrame) -> DataFrame:
+    """REAL audio decode feature extraction: parse each WAV payload
+    with decode_wav and emit exact integer statistics of channel 0 —
+    sum of squared samples (RMS numerator), strict sign-change count
+    (s[i]*s[i+1] < 0), full-scale sample count (32767 / -32768).
+    Ratios (duration, RMS, clip fraction) are computed engine-side
+    from these integers, so the result is value-checkable against the
+    analytic oracle. Arrow-batched narrow map — no shuffle."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                k: [] for k in (
+                    "doc_id", "sample_rate", "n_frames",
+                    "sum_sq", "n_zero_cross", "n_clipped",
+                )
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                d = decode_wav(bytes(payload))
+                s = d["samples"][0]
+                out["doc_id"].append(int(doc_id))
+                out["sample_rate"].append(d["sample_rate"])
+                out["n_frames"].append(d["n_frames"])
+                out["sum_sq"].append(sum(v * v for v in s))
+                out["n_zero_cross"].append(
+                    sum(1 for a, b in zip(s, s[1:]) if a * b < 0)
+                )
+                out["n_clipped"].append(
+                    sum(1 for v in s if v >= 32767 or v <= -32768)
+                )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(extract, schema=AUDIO_SCHEMA)
+
+
 def frame_sample(media: DataFrame, every_nth: int = 10) -> DataFrame:
     """Frame-sampling plumbing for video payloads: emit one row per
     sampled 'frame' (fixed-size byte slice standing in for a decoded

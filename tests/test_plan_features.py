@@ -343,3 +343,35 @@ def test_r6_session_plan_contracts(spark, sf_dir):
         df = Q.ALL_QUERIES[key](spark, sf_dir)
         got = exchanges(df)
         assert got <= bound, (key, got, bound)
+
+
+def test_r7_session_plan_contracts(spark, sf_dir):
+    """Round-7 plan contracts: the QUALIFY rewrite must plan the
+    filter-on-rank as WindowGroupLimit (running TopK below the sort);
+    the correlated scalar subquery must DECORRELATE to exactly one
+    aggregate pair (writing it twice planned four); the cap-ladder
+    report stays within its histogram-then-broadcast shuffle budget."""
+    from aproximacion_1_etl_spark import queries as Q
+
+    def plan_of(key):
+        df = Q.ALL_QUERIES[key](spark, sf_dir)
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    def exchanges(plan):
+        return sum(
+            1
+            for ln in plan.splitlines()
+            if "Exchange" in ln and "ReusedExchange" not in ln
+        )
+
+    qual = plan_of("qualify_window_filter")
+    assert "WindowGroupLimit" in qual
+    assert exchanges(qual) <= 4
+
+    corr = plan_of("correlated_scalar_subquery")
+    assert corr.count("HashAggregate") <= 2  # one partial+final pair
+    assert exchanges(corr) <= 2
+
+    # 2 distinct + 2 degree aggs + hist agg + final agg + the caps
+    # BroadcastExchange = 7
+    assert exchanges(plan_of("graph_degree_cap_report")) <= 7

@@ -1096,3 +1096,72 @@ def test_rerank_preserves_candidates_and_is_deterministic(spark, sf_dir):
     # deterministic across runs
     again = q_rerank_crossencoder(spark, sf_dir).collect()
     assert sorted(map(tuple, rr)) == sorted(map(tuple, again))
+
+
+def test_wav_roundtrip_chunk_walk_and_binaryfile_ingest(spark):
+    """encode_wav -> decode_wav is the identity (16-bit with a LIST
+    metadata chunk to force chunk-walking, 8-bit unsigned, odd-length
+    word padding), and real .wav FILES ingested via
+    spark.read.format('binaryFile') decode to the same features."""
+    import os
+    import tempfile
+
+    from aproximacion_1_etl_spark.text.multimodal import (
+        decode_audio_features,
+        decode_wav,
+        encode_wav,
+    )
+
+    s16 = [0, 100, -32768, 32767, -5, 7]
+    d = decode_wav(encode_wav(8000, s16, junk_chunk=True))
+    assert (d["sample_rate"], d["channels"], d["bits"]) == (8000, 1, 16)
+    assert d["samples"][0] == s16
+
+    s8 = [-128, 0, 127, 5, -1]  # odd byte count -> word padding
+    d8 = decode_wav(encode_wav(11025, s8, bits=8))
+    assert d8["bits"] == 8 and d8["samples"][0] == s8
+
+    tmp = tempfile.mkdtemp(prefix="graft_wav_")
+    for i, samples in enumerate([s16, [1000, -1000, 1000, -1000]]):
+        with open(os.path.join(tmp, f"clip_{i}.wav"), "wb") as fh:
+            fh.write(encode_wav(16000, samples, junk_chunk=(i == 0)))
+    media = (
+        spark.read.format("binaryFile")
+        .load(tmp + "/*.wav")
+        .select(
+            F.regexp_extract(F.col("path"), r"clip_(\d+)", 1)
+            .cast("bigint")
+            .alias("doc_id"),
+            F.col("content").alias("payload"),
+        )
+    )
+    got = {
+        r["doc_id"]: r for r in decode_audio_features(media).collect()
+    }
+    assert got[0]["n_frames"] == 6 and got[0]["n_clipped"] == 2
+    assert got[1]["n_zero_cross"] == 3
+    assert got[1]["sum_sq"] == 4 * 1000 * 1000
+
+
+def test_wav_decode_guards(spark):
+    """Compressed format codes hit the explicit NotImplementedError
+    codec boundary; truncation and non-RIFF payloads raise ValueError."""
+    import struct
+
+    import pytest
+
+    from aproximacion_1_etl_spark.text.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    good = encode_wav(8000, [1, 2, 3])
+    # flip the PCM format code (offset: RIFF(12) + 'fmt '+size(8) = 20)
+    compressed = bytearray(good)
+    struct.pack_into("<H", compressed, 20, 85)  # MP3 format code
+    with pytest.raises(NotImplementedError):
+        decode_wav(bytes(compressed))
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFF\x00\x00\x00\x00JUNK")
+    with pytest.raises(ValueError):
+        decode_wav(good[:-3])  # truncated data chunk
