@@ -15,6 +15,11 @@ custom-Python surface itself, oracle-checked against DuckDB).
 
 from __future__ import annotations
 
+# Iterator must live in MODULE globals: with postponed annotations the
+# pandas_udf signature is a string, and Spark resolves
+# 'Iterator[pd.Series]' against this namespace (same reason pd is here)
+from collections.abc import Iterator
+
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -119,3 +124,72 @@ def ce_key_udf():
         )
 
     return ce_key
+
+
+def price_bucket_iter_udf(breaks: list[float]):
+    """Iterator-of-Series scalar pandas UDF (the §2.8 form this module
+    lacked): assigns each price the index of its bucket via binary
+    search over ``breaks``. The iterator form exists for exactly this
+    shape — per-WORKER one-off setup (here building the search table;
+    in production loading a model/tokenizer) runs ONCE per executor
+    Python worker and is then reused across every Arrow batch that
+    worker sees, instead of once per batch as a plain pandas_udf
+    closure would. Deterministic integer output keeps it
+    value-checkable (the oracle is a CASE ladder)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("int")
+    def bucket(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        import bisect
+
+        table = sorted(breaks)  # one-off per-worker setup
+        for prices in batches:
+            yield prices.map(
+                lambda p: bisect.bisect_right(table, float(p))
+            ).astype("int32")
+
+    return bucket
+
+
+def grouped_balance_stats_arrow(
+    df: DataFrame, key: str, balance_col: str
+) -> DataFrame:
+    """Grouped map via ``applyInArrow`` (Spark 4's Arrow-native grouped
+    surface, §2.8): per-group balance statistics computed directly on
+    pyarrow arrays — no pandas materialization at all, the cheapest
+    Python grouped path (one Arrow table in, one out, zero pandas
+    boxing). All outputs are exact integers: balances become cents via
+    floor(x*100 + 0.5) BEFORE summation, so the result is
+    addition-order-independent and value-checkable even though Arrow
+    sees group rows in arbitrary post-shuffle order."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def stats(tbl: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.floor(
+                pc.add(pc.multiply(tbl[balance_col], pa.scalar(100.0)), 0.5)
+            ),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                key: pa.array([tbl[key][0].as_py()], pa.int64()),
+                "n_rows": pa.array([tbl.num_rows], pa.int64()),
+                "sum_cents": pa.array(
+                    [pc.sum(cents).as_py()], pa.int64()
+                ),
+                "min_cents": pa.array(
+                    [pc.min(cents).as_py()], pa.int64()
+                ),
+                "max_cents": pa.array(
+                    [pc.max(cents).as_py()], pa.int64()
+                ),
+            }
+        )
+
+    out_schema = (
+        f"{key} bigint, n_rows bigint, sum_cents bigint, "
+        "min_cents bigint, max_cents bigint"
+    )
+    return df.groupBy(key).applyInArrow(stats, schema=out_schema)

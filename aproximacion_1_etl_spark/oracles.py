@@ -4175,6 +4175,54 @@ SELECT p_partkey, p_brand,
             THEN 1 ELSE 0 END AS above_avg
 FROM part p
 """,
+    # DuckDB's native UNPIVOT syntax over the identical wide aggregate
+    "sql_unpivot": """
+WITH wide AS (
+  SELECT n.n_name,
+         CAST(count(*) AS DOUBLE) AS n_customers,
+         CAST(sum(CAST(c.c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
+           AS total_balance,
+         CAST(max(c.c_acctbal) AS DOUBLE) AS max_balance
+  FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+  GROUP BY 1)
+SELECT n_name, metric, floor(val * 100.0 + 0.5) / 100.0 AS value
+FROM (UNPIVOT wide
+      ON n_customers, total_balance, max_balance
+      INTO NAME metric VALUE val)
+""",
+    # bucket = #breakpoints <= price (bisect_right), as a CASE ladder
+    "pandas_iter_udf": """
+WITH b AS (
+  SELECT CAST((o_totalprice >= 50000.0)::INT
+              + (o_totalprice >= 100000.0)::INT
+              + (o_totalprice >= 200000.0)::INT
+              + (o_totalprice >= 400000.0)::INT AS INT) AS bucket,
+         o_totalprice AS p
+  FROM orders)
+SELECT bucket, CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(floor(p * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_cents
+FROM b GROUP BY 1
+""",
+    # exact integer cents per nation — order-independent sums
+    "grouped_arrow_stats": """
+WITH c AS (SELECT c_nationkey,
+                  CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT)
+                    AS cents
+           FROM customer)
+SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(cents) AS BIGINT) AS sum_cents,
+       CAST(min(cents) AS BIGINT) AS min_cents,
+       CAST(max(cents) AS BIGINT) AS max_cents
+FROM c GROUP BY 1
+""",
+    # the dedup of a verbatim replay is batch DISTINCT == the table
+    "streaming_dedup_watermark": """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_value_cents
+FROM events GROUP BY 1
+""",
     "sentence_dedup": """
 WITH docs AS (SELECT * FROM documents WHERE doc_id < 200),
 sents AS (

@@ -4758,6 +4758,151 @@ def q_correlated_scalar_subquery(
     )
 
 
+def q_sql_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL UNPIVOT clause (the wide->long inverse of pivot_status,
+    §2.6/§2.7 surface): per-nation customer metrics computed ONCE in
+    wide form, then unpivoted to (nation, metric, value) rows — the
+    report-friendly long grain. UNPIVOT is a zero-shuffle projection
+    (each wide row explodes to |metrics| rows map-side); the only
+    exchange is the metric aggregate itself. Values are decimal-exact
+    before the final rounding; both engines run their native UNPIVOT
+    syntax."""
+    from aproximacion_1_etl_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n_name, metric,
+               floor(val * 100.0 + 0.5) / 100.0 AS value
+        FROM (
+          SELECT n.n_name,
+                 CAST(count(*) AS DOUBLE) AS n_customers,
+                 CAST(sum(CAST(c.c_acctbal AS DECIMAL(38,6)))
+                      AS DOUBLE) AS total_balance,
+                 CAST(max(c.c_acctbal) AS DOUBLE) AS max_balance
+          FROM customer c
+          JOIN nation n ON n.n_nationkey = c.c_nationkey
+          GROUP BY 1)
+        UNPIVOT (val FOR metric IN (
+          n_customers, total_balance, max_balance))
+        """
+    )
+
+
+def q_pandas_iter_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterator-of-Series scalar pandas UDF (§2.8 — the remaining UDF
+    form): order totals bucketed by binary search over fixed
+    breakpoints, where the iterator form runs the one-off setup (the
+    sorted search table; in production a model/tokenizer load) ONCE
+    per executor Python worker instead of once per batch. The UDF is
+    a narrow map; the only shuffle is the bucket rollup after it.
+    Integer bucket ids keep it value-checked (oracle: a CASE ladder
+    counting breakpoints <= price)."""
+    from aproximacion_1_etl_spark.operators.pandas_ops import (
+        price_bucket_iter_udf,
+    )
+
+    bucket = price_bucket_iter_udf([50000.0, 100000.0, 200000.0, 400000.0])
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select(bucket(F.col("o_totalprice")).alias("bucket"),
+                 F.col("o_totalprice").alias("p"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum(
+                F.floor(F.col("p") * 100.0 + F.lit(0.5)).cast("bigint")
+            ).cast("bigint").alias("sum_cents"),
+        )
+        .select(F.col("bucket").cast("int").alias("bucket"),
+                "n_orders", "sum_cents")
+    )
+
+
+def q_grouped_arrow_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInArrow grouped map (§2.8 — Spark 4's Arrow-native grouped
+    surface, zero pandas boxing): per-nation customer balance stats
+    computed directly on pyarrow arrays. Balances become exact integer
+    CENTS before summation (floor(x*100+0.5) on each element), so the
+    per-group result is addition-order-independent — value-checkable
+    although Arrow sees group rows in arbitrary post-shuffle order.
+    One shuffle on the group key; the Python stage is
+    |group|-bounded."""
+    from aproximacion_1_etl_spark.operators.pandas_ops import (
+        grouped_balance_stats_arrow,
+    )
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey", "c_acctbal"
+    )
+    return grouped_balance_stats_arrow(c, "c_nationkey", "c_acctbal")
+
+
+def q_streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 native streaming dedup: dropDuplicatesWithinWatermark over
+    two arrival waves where wave 2 REPLAYS wave 1's events verbatim
+    (at-least-once upstream delivery, the case this operator exists
+    for) — the engine's state store admits each event_id once and the
+    parquet sink receives exactly the distinct events. The watermark
+    delay (365 d) exceeds the event span, so no dedup state expires
+    mid-run and the result equals batch DISTINCT — which is the
+    oracle. State is |distinct keys|-bounded and the sink is
+    append-only; contrast the foreachBatch signature-store dedup
+    (streaming_incremental_dedup), which owns its state explicitly."""
+    import shutil
+    import time as _time
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    base = tempfile.mkdtemp(prefix="graft_sdw_")
+    ckpt = tempfile.mkdtemp(prefix="ckpt_sdw_")
+    src = os.path.join(base, "src")
+    sink = os.path.join(base, "sink")
+    try:
+        ev.coalesce(1).write.parquet(os.path.join(src, "w1"))
+        ev.coalesce(1).write.parquet(os.path.join(src, "w2"))
+        now = _time.time()
+        for d, ts in (("w1", now - 120), ("w2", now - 60)):
+            pdir = os.path.join(src, d)
+            for f in os.listdir(pdir):
+                os.utime(os.path.join(pdir, f), (ts, ts))
+        schema = (
+            "event_id BIGINT, ts TIMESTAMP, event_type STRING, "
+            "value DOUBLE"
+        )
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(src, "*"))
+            .withWatermark("ts", "365 days")
+            .dropDuplicatesWithinWatermark(["event_id"])
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = (
+            spark.read.parquet(sink)
+            .groupBy("event_type")
+            .agg(
+                F.count("*").cast("bigint").alias("n_events"),
+                F.sum(
+                    F.floor(F.col("value") * 100.0 + F.lit(0.5))
+                    .cast("bigint")
+                ).cast("bigint").alias("sum_value_cents"),
+            )
+        )
+        return _reclaimed(out, base, ckpt)
+    finally:
+        if os.path.isdir(base):
+            shutil.rmtree(base, ignore_errors=True)
+        if os.path.isdir(ckpt):
+            shutil.rmtree(ckpt, ignore_errors=True)
+
+
 def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WITH RECURSIVE (Spark 4 SQL surface): ancestor chains over a
     derived hierarchy (nation n reports to n-5), returning each node's
@@ -15225,6 +15370,10 @@ ALL_QUERIES = {
     "recursive_cte": q_recursive_cte,
     "qualify_window_filter": q_qualify_window_filter,
     "correlated_scalar_subquery": q_correlated_scalar_subquery,
+    "sql_unpivot": q_sql_unpivot,
+    "pandas_iter_udf": q_pandas_iter_udf,
+    "grouped_arrow_stats": q_grouped_arrow_stats,
+    "streaming_dedup_watermark": q_streaming_dedup_watermark,
     "sentence_dedup": q_sentence_dedup,
     "log_parse": q_log_parse,
     "url_canonicalize": q_url_canonicalize,

@@ -263,6 +263,8 @@ HEADLINE = [
     "graph_degree_cap_report",
     "qualify_window_filter",
     "correlated_scalar_subquery",
+    "sql_unpivot",
+    "streaming_dedup_watermark",
     # Python-worker queries LAST: applyInPandas spins up 32 Python
     # workers and leaves GC pressure that inflates the next JVM-only
     # query by ~3x (measured: dedup_minhash_lsh 6.96s after it vs 1.9s
@@ -274,8 +276,11 @@ HEADLINE = [
     # its mergeable incremental form
     "skyline_pareto_3d",
     "incremental_skyline",
-    # round-7: pure-Python RIFF/PCM decode (mapInPandas)
+    # round-7: pure-Python RIFF/PCM decode (mapInPandas), the
+    # iterator-form pandas UDF, and the Arrow-native grouped map
     "multimodal_audio",
+    "pandas_iter_udf",
+    "grouped_arrow_stats",
     # round-2 session-2 newcomer: the LLM-pipeline flagship composite
     "corpus_to_sequences",
 ]
