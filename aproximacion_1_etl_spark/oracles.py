@@ -2830,6 +2830,29 @@ JOIN sz sa ON doc_a = sa.doc_id
 JOIN sz sb ON doc_b = sb.doc_id
 WHERE floor((i * 1.0 / (sa.sz + sb.sz - i)) * 1000000.0 + 0.5) / 1000000.0 >= 0.3
 """,
+    # directional containment |inner∩outer|/|inner| from one unordered
+    # intersection, both directions unioned — same shingle CTE
+    "containment_dedup": "WITH "
+    + _SHINGLES_SQL
+    + """,
+sz AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM shingles a JOIN shingles b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+directed AS (
+  SELECT doc_a AS doc_inner, doc_b AS doc_outer, i, sa.sz AS den
+  FROM inter JOIN sz sa ON doc_a = sa.doc_id
+  UNION ALL
+  SELECT doc_b AS doc_inner, doc_a AS doc_outer, i, sb.sz AS den
+  FROM inter JOIN sz sb ON doc_b = sb.doc_id)
+SELECT doc_inner, doc_outer,
+       floor(i * 1.0 / den * 1000000.0 + 0.5) / 1000000.0
+         AS containment
+FROM directed
+WHERE floor(i * 1.0 / den * 1000000.0 + 0.5) / 1000000.0 >= 0.9
+""",
     "text_profile": """
 SELECT doc_id,
   CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
@@ -4121,6 +4144,18 @@ SELECT '2024-01-0' || CAST(d AS VARCHAR) || '#p' || CAST(p AS VARCHAR)
 FROM (SELECT unnest(generate_series(1, 3)) AS d),
      (SELECT unnest(generate_series(1, 2)) AS p),
      (SELECT unnest(generate_series(0, 4)) AS i)
+""",
+    # streaming ingest of the same deterministic page arithmetic,
+    # aggregated per fetch day
+    "rest_stream_ingest": """
+SELECT '2024-01-0' || CAST(d AS VARCHAR) AS fetch_date,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(floor(CAST(p * 100 + i AS DOUBLE) * 100.0 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS sum_amount_cents
+FROM (SELECT unnest(generate_series(1, 3)) AS d),
+     (SELECT unnest(generate_series(1, 2)) AS p),
+     (SELECT unnest(generate_series(0, 4)) AS i)
+GROUP BY 1
 """,
     "lateral_topn": """
 SELECT n.n_name, x.c_name,

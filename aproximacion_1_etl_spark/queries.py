@@ -2292,6 +2292,23 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(sh, threshold=0.3)
 
 
+def q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 asymmetric CONTAINMENT detection (doc-in-doc — quoted
+    posts, mirrors with boilerplate): |inner ∩ outer| / |inner| >= 0.9
+    over 3-gram shingle sets (text/dedup.py::containment_pairs). The
+    directional ratio catches what Jaccard dilutes away when sizes
+    differ; the intersection is computed ONCE per unordered pair and
+    both directions derive map-side."""
+    from aproximacion_1_etl_spark.text.dedup import (
+        containment_pairs,
+        word_shingles,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = word_shingles(docs, n=3)
+    return containment_pairs(sh, threshold=0.9)
+
+
 def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.10: per-doc text analytics — token counts, BPE-ish tokens, language-ID, quality score, fingerprint."""
     docs = load_table(spark, sf_dir, "documents")
@@ -4756,6 +4773,79 @@ def q_correlated_scalar_subquery(
           FROM part p)
         """
     )
+
+
+def q_rest_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.1+§2.9 STREAMING REST ingestion (Spark 4 Python streaming
+    data source): the paginated extractor as a readStream — one fetch
+    day per microbatch, the day cursor living in the ENGINE's
+    checkpoint as the stream offset (rest_datasource.py::
+    RestOrdersStreamReader), deterministic replay via
+    readBetweenOffsets => exactly-once into the parquet sink. The
+    batch rest_orders source covers backfills; this is the daemon
+    form the reference's cron loop approximates. The stream idles on
+    an unchanged offset once the window is exhausted; the driver stops
+    it when the committed offset reaches the window end."""
+    import ast as _ast
+    import json as _json
+    import shutil
+    import time as _time
+
+    from aproximacion_1_etl_spark.sources.rest_datasource import register
+
+    register(spark)
+    sink = tempfile.mkdtemp(prefix="graft_rsi_")
+    ckpt = tempfile.mkdtemp(prefix="ckpt_rsi_")
+    try:
+        q = (
+            spark.readStream.format("rest_orders")
+            .option("start_date", "2024-01-01")
+            .option("n_days", 3)
+            .option("max_pages", 2)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        deadline = _time.time() + 120
+        while _time.time() < deadline:
+            p = q.lastProgress
+            if p and p.get("sources"):
+                eo = p["sources"][0].get("endOffset")
+                if eo:
+                    if isinstance(eo, str):
+                        # Python-source offsets surface in progress as
+                        # the dict's repr (single quotes), not JSON
+                        try:
+                            off = _json.loads(eo)
+                        except ValueError:
+                            off = _ast.literal_eval(eo)
+                    else:
+                        off = eo
+                    if int(off.get("day_index", 0)) >= 3:
+                        break  # progress reports AFTER batch commit
+            _time.sleep(0.2)
+        q.stop()
+        q.awaitTermination()
+        out = (
+            spark.read.parquet(sink)
+            .groupBy("fetch_date")
+            .agg(
+                F.count("*").cast("bigint").alias("n_rows"),
+                F.sum(
+                    F.floor(F.col("amount") * 100.0 + F.lit(0.5))
+                    .cast("bigint")
+                ).cast("bigint").alias("sum_amount_cents"),
+            )
+        )
+        return _reclaimed(out, sink, ckpt)
+    finally:
+        if os.path.isdir(sink):
+            shutil.rmtree(sink, ignore_errors=True)
+        if os.path.isdir(ckpt):
+            shutil.rmtree(ckpt, ignore_errors=True)
 
 
 def q_sql_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -15371,6 +15461,8 @@ ALL_QUERIES = {
     "qualify_window_filter": q_qualify_window_filter,
     "correlated_scalar_subquery": q_correlated_scalar_subquery,
     "sql_unpivot": q_sql_unpivot,
+    "containment_dedup": q_containment_dedup,
+    "rest_stream_ingest": q_rest_stream_ingest,
     "pandas_iter_udf": q_pandas_iter_udf,
     "grouped_arrow_stats": q_grouped_arrow_stats,
     "streaming_dedup_watermark": q_streaming_dedup_watermark,

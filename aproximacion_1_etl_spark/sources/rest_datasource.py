@@ -25,6 +25,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 
 MAX_RETRIES = 3
@@ -79,6 +80,58 @@ class RestOrdersReader(DataSourceReader):
             yield (r["order_id"], r["fetch_date"], r["page"], r["amount"])
 
 
+class RestOrdersStreamReader(SimpleDataSourceStreamReader):
+    """Streaming form of the extractor (Spark 4 Python streaming data
+    source): each microbatch ingests ONE fetch day's pages and the
+    OFFSET — {"day_index": n} — is owned by the engine's checkpoint,
+    so restart/recovery replays exactly the uncommitted days via
+    ``readBetweenOffsets`` (deterministic fetch => exactly-once into
+    the sink, the property the reference's run-diffing loop
+    `extract-app/app.py:142-147` approximates after the fact). Days
+    beyond the window return empty batches with an unchanged offset —
+    the stream idles rather than fabricating data; the caller stops it
+    once the committed offset reaches the window end."""
+
+    def __init__(self, options: dict):
+        self.start = date.fromisoformat(
+            options.get("start_date", "2024-01-01")
+        )
+        self.n_days = int(options.get("n_days", 3))
+        self.max_pages = int(options.get("max_pages", 2))
+
+    def initialOffset(self) -> dict:
+        return {"day_index": 0}
+
+    def _day_rows(self, day_index: int) -> Iterator[tuple]:
+        fd = (self.start + timedelta(days=day_index)).isoformat()
+        for page in range(1, self.max_pages + 1):
+            rows: list[dict] = []
+            for attempt in range(MAX_RETRIES):
+                try:
+                    rows = fetch_page(fd, page)
+                    break
+                except Exception:
+                    if attempt == MAX_RETRIES - 1:
+                        rows = []
+            for r in rows:
+                yield (
+                    r["order_id"], r["fetch_date"], r["page"], r["amount"]
+                )
+
+    def read(self, start: dict):
+        d = int(start["day_index"])
+        if d >= self.n_days:
+            return iter([]), start  # idle: window exhausted
+        # list-backed iterator, NOT a generator: the engine's prefetch
+        # cache copy.copy()s the iterator to serve planning and
+        # execution from one fetch, and generators are uncopyable
+        return iter(list(self._day_rows(d))), {"day_index": d + 1}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        for d in range(int(start["day_index"]), int(end["day_index"])):
+            yield from self._day_rows(d)
+
+
 class RestOrdersDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -89,6 +142,9 @@ class RestOrdersDataSource(DataSource):
 
     def reader(self, schema) -> DataSourceReader:
         return RestOrdersReader(self.options)
+
+    def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
+        return RestOrdersStreamReader(self.options)
 
 
 def register(spark) -> None:

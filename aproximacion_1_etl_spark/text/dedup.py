@@ -419,6 +419,85 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    shingles: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact n-gram CONTAINMENT — the asymmetric complement of Jaccard
+    near-dup: containment(inner in outer) = |inner ∩ outer| / |inner|,
+    which catches a document EMBEDDED in a larger one (quoted posts,
+    mirrored articles with added boilerplate, doc-in-doc scrapes) that
+    Jaccard misses because the size difference dilutes the union. One
+    unordered shingle-equijoin computes |A ∩ B| once; both DIRECTED
+    pairs are then emitted map-side with their own denominators — no
+    second join. Ratio is floor-rounded at 1e-6 (same convention as
+    ngram_jaccard_pairs) so the threshold cut is engine-identical.
+
+    At 100 TB: run over LSH candidates (minhash_candidate_pairs) or
+    rely on the shingle join's natural blocking (high-cardinality
+    keys); standalone worst case is quadratic on an all-identical
+    corpus, exactly like the exact-Jaccard stage it sits beside."""
+    sizes = shingles.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    inter = (
+        a.join(
+            b,
+            on=[
+                F.col("a.shingle") == F.col("b.shingle"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    both = (
+        inter.join(sa, F.col("doc_a") == F.col(f"sa.{id_col}"))
+        .join(sb, F.col("doc_b") == F.col(f"sb.{id_col}"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "inter",
+            F.col("sa.sz").alias("sz_a"),
+            F.col("sb.sz").alias("sz_b"),
+        )
+    )
+    directed = both.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("doc_a").alias("doc_inner"),
+                    F.col("doc_b").alias("doc_outer"),
+                    F.col("sz_a").alias("den"),
+                ),
+                F.struct(
+                    F.col("doc_b").alias("doc_inner"),
+                    F.col("doc_a").alias("doc_outer"),
+                    F.col("sz_b").alias("den"),
+                ),
+            )
+        ).alias("p"),
+        "inter",
+    )
+    ratio = (
+        F.floor(
+            F.col("inter") / F.col("p.den") * F.lit(1000000.0) + F.lit(0.5)
+        )
+        / F.lit(1000000.0)
+    )
+    return directed.select(
+        F.col("p.doc_inner").alias("doc_inner"),
+        F.col("p.doc_outer").alias("doc_outer"),
+        ratio.alias("containment"),
+    ).filter(F.col("containment") >= threshold)
+
+
 def dedup_clusters(
     pairs: DataFrame,
     a_col: str = "doc_a",

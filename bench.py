@@ -468,6 +468,13 @@ def main() -> None:
         "runs_per_query": max(1, RUNS),
         "segments": n_segments,
         "segment_size": seg_size,
+        # per-segment (start, end) 1-min loadavg: ambient arrival
+        # MID-run (the failure mode that inflated one segment 2x in
+        # r7 while the other three were clean) is adjudicable per
+        # segment, not just via the first segment's start reading
+        "segment_loads": [
+            [r["loadavg_start"], r["loadavg_end"]] for r in results
+        ],
         "spread_pct": spread_pct,
         **train_secs,
         "loadavg_start": round(load_start, 2),

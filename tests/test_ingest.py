@@ -132,3 +132,33 @@ def test_rest_datasource_plans_one_task_per_page(spark):
         f"2024-01-02#p2#r{i}" for i in range(5)
     }
     assert all(r.amount == 200.0 + int(r.order_id[-1]) for r in one)
+
+
+def test_rest_stream_reader_offsets_and_replay():
+    """The streaming REST reader's offset protocol (pure Python — no
+    Spark needed): read() advances one day per call, idles with an
+    UNCHANGED offset past the window, and readBetweenOffsets replays
+    exactly the rows of the committed range — the determinism
+    exactly-once recovery rests on."""
+    from aproximacion_1_etl_spark.sources.rest_datasource import (
+        RestOrdersStreamReader,
+    )
+
+    r = RestOrdersStreamReader(
+        {"start_date": "2024-01-01", "n_days": 2, "max_pages": 2}
+    )
+    off0 = r.initialOffset()
+    assert off0 == {"day_index": 0}
+    rows_d0, off1 = r.read(off0)
+    rows_d0 = list(rows_d0)
+    assert off1 == {"day_index": 1}
+    assert len(rows_d0) == 2 * 5  # pages x records
+    assert all(row[1] == "2024-01-01" for row in rows_d0)
+    rows_d1, off2 = r.read(off1)
+    rows_d1 = list(rows_d1)
+    assert off2 == {"day_index": 2}
+    # window exhausted: idle, offset unchanged, no rows
+    idle_rows, off3 = r.read(off2)
+    assert list(idle_rows) == [] and off3 == off2
+    # recovery replay equals the original committed batches
+    assert list(r.readBetweenOffsets(off0, off2)) == rows_d0 + rows_d1

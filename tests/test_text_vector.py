@@ -1165,3 +1165,34 @@ def test_wav_decode_guards(spark):
         decode_wav(b"RIFF\x00\x00\x00\x00JUNK")
     with pytest.raises(ValueError):
         decode_wav(good[:-3])  # truncated data chunk
+
+
+def test_containment_catches_doc_in_doc_that_jaccard_misses(spark):
+    """A short doc fully embedded in a 10x larger one: containment
+    (inner in outer) = 1.0 while Jaccard stays far below any near-dup
+    threshold — the asymmetric ratio is the point of the operator.
+    Direction matters: outer-in-inner stays below threshold."""
+    from aproximacion_1_etl_spark.text.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+        word_shingles,
+    )
+
+    inner = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(20))
+    outer = inner + " " + filler
+    docs = spark.createDataFrame(
+        [(1, inner), (2, outer), (3, "unrelated words only here now")],
+        "doc_id bigint, text string",
+    )
+    sh = word_shingles(docs, n=3)
+    cont = {
+        (r["doc_inner"], r["doc_outer"]): r["containment"]
+        for r in containment_pairs(sh, threshold=0.9).collect()
+    }
+    assert cont == {(1, 2): 1.0}
+    jac = ngram_jaccard_pairs(sh, threshold=0.3).collect()
+    assert all(
+        {r["doc_a"], r["doc_b"]} != {1, 2} or r["jaccard"] < 0.3
+        for r in jac
+    )
