@@ -7633,3 +7633,49 @@ ALL_ORACLES["streaming_cms_maintenance"] = ALL_ORACLES[
 ]
 ALL_ORACLES["streaming_changepoint"] = ALL_ORACLES["changepoint_detect"]
 ALL_ORACLES["streaming_ewma_monitor"] = ALL_ORACLES["ewma_control_chart"]
+
+# Geo keys: both sides consume the SAME generated integer-arithmetic
+# expressions (functions/geo.py) — bit interleave and unrolled
+# ray-cast edges are identical by construction.
+from aproximacion_1_etl_spark.functions.geo import (  # noqa: E402
+    diamond as _diamond,
+    morton_sql as _morton_sql,
+    point_in_polygon_sql as _pip_sql,
+)
+
+_GEO_PTS_SQL = """
+pts AS (
+  SELECT c_custkey,
+         CAST(-180 + (c_custkey * 7) % 360 AS BIGINT) AS px,
+         CAST(-55 + c_custkey % 110 AS BIGINT) AS py
+  FROM customer)
+"""
+
+ALL_ORACLES["morton_cells"] = f"""
+WITH {_GEO_PTS_SQL},
+q AS (SELECT px + 180 AS qx, py + 90 AS qy FROM pts),
+c AS (SELECT {_morton_sql("qx", "qy", 9)} AS code FROM q)
+SELECT CAST(code >> 6 AS BIGINT) AS cell6,
+       CAST(code >> 12 AS BIGINT) AS cell3,
+       CAST(count(*) AS BIGINT) AS n_points,
+       CAST(min(code) AS BIGINT) AS min_code,
+       CAST(max(code) AS BIGINT) AS max_code
+FROM c GROUP BY 1, 2
+"""
+
+ALL_ORACLES["point_in_polygon_join"] = "WITH " + _GEO_PTS_SQL + (
+    " SELECT * FROM ("
+    + " UNION ALL ".join(
+        f"""
+SELECT CAST({j} AS INT) AS polygon_id,
+       CAST(sum(CASE WHEN {_pip_sql("px", "py", _diamond(cx, cy, r))}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_points,
+       CAST(sum(CASE WHEN {_pip_sql("px", "py", _diamond(cx, cy, r))}
+                     THEN c_custkey ELSE 0 END) AS BIGINT) AS sum_keys
+FROM pts"""
+        for j, (cx, cy, r) in [
+            (j, (j * 60 - 90, j * 20 - 30, 20 + 10 * j)) for j in range(4)
+        ]
+    )
+    + ")"
+)

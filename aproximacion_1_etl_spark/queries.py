@@ -14360,6 +14360,105 @@ def _co_order_edges(
     return edges.localCheckpoint(eager=True)
 
 
+def _geo_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic INTEGER customer coordinates (same key-derived spread
+    as geo_grid_knn, kept integral so exact-arithmetic geometry is
+    engine-identical): px in [-180, 179], py in [-55, 54]."""
+    return load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (F.lit(-180) + (F.col("c_custkey") * 7) % 360).cast("bigint")
+        .alias("px"),
+        (F.lit(-55) + F.col("c_custkey") % 110).cast("bigint")
+        .alias("py"),
+    )
+
+
+def q_morton_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 Z-ORDER (Morton) spatial cells as a queryable id
+    (functions/geo.py::morton_sql — the same curve the zorder_snapshot
+    layout clusters by, surfaced for analytics): coordinates quantize
+    to 9-bit integers, bits interleave into an 18-bit cell code, and
+    the multi-level rollup is PREFIX arithmetic — the level-6 cell is
+    code >> 6, its level-3 parent code >> 12 — so a cell hierarchy
+    costs zero re-bucketing at any resolution. min/max of the full
+    code per cell demonstrate Z-locality (children are contiguous code
+    ranges — the property that turns spatial range queries into few
+    scan ranges at 100 TB). One aggregation; the bit math is a shared
+    generated expression, drift-proof between engines."""
+    from aproximacion_1_etl_spark.functions.geo import morton_sql
+
+    pts = _geo_points(spark, sf_dir).select(
+        "c_custkey",
+        (F.col("px") + 180).alias("qx"),  # 0..359 < 2^9
+        (F.col("py") + 90).alias("qy"),  # 35..144 < 2^9
+    )
+    code = F.expr(morton_sql("qx", "qy", bits=9))
+    return (
+        pts.select(code.alias("code"))
+        .groupBy(F.shiftright("code", 6).alias("cell6"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_points"),
+            F.min("code").cast("bigint").alias("min_code"),
+            F.max("code").cast("bigint").alias("max_code"),
+        )
+        .select(
+            F.col("cell6").cast("bigint").alias("cell6"),
+            F.shiftright("cell6", 6).cast("bigint").alias("cell3"),
+            "n_points",
+            "min_code",
+            "max_code",
+        )
+    )
+
+
+_PIP_POLYGONS = [
+    # convex diamonds spread over the synthetic coordinate range
+    (j, (j * 60 - 90, j * 20 - 30, 20 + 10 * j)) for j in range(4)
+]
+
+
+def q_point_in_polygon_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5/§2.10 POINT-IN-POLYGON enrichment join (the geofence /
+    zone-assignment shape): customers counted into 4 fixed polygon
+    zones by even-odd ray casting, unrolled per edge with the
+    DIVISION-FREE crossing test (functions/geo.py::
+    point_in_polygon_sql — cross-multiplied, dy-sign-aware, exact on
+    integer coordinates; the builder is shared with the oracle, so
+    both engines evaluate identical comparisons). The polygon side is
+    a HANDFUL of literals, so the whole join is ONE aggregation pass
+    over the points with |polygons| conditional sums — the broadcast-
+    dim geometry join shape; at real scale the per-polygon conditions
+    come from the same builder over the broadcast polygon table."""
+    from aproximacion_1_etl_spark.functions.geo import (
+        diamond,
+        point_in_polygon_sql,
+    )
+
+    pts = _geo_points(spark, sf_dir)
+    aggs, structs = [], []
+    for j, (cx, cy, r) in _PIP_POLYGONS:
+        cond = F.expr(point_in_polygon_sql("px", "py", diamond(cx, cy, r)))
+        aggs.append(
+            F.sum(cond.cast("int")).cast("bigint").alias(f"_n{j}")
+        )
+        aggs.append(
+            F.sum(F.when(cond, F.col("c_custkey")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias(f"_s{j}")
+        )
+        structs.append(
+            F.struct(
+                F.lit(j).cast("int").alias("polygon_id"),
+                F.col(f"_n{j}").alias("n_points"),
+                F.col(f"_s{j}").alias("sum_keys"),
+            )
+        )
+    wide = pts.agg(*aggs)
+    return wide.select(F.explode(F.array(*structs)).alias("r")).select(
+        "r.polygon_id", "r.n_points", "r.sum_keys"
+    )
+
+
 def q_bfs_hop_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.10 graph BFS hop distance (completes the graph family next
     to pagerank / triangles / components / Adamic-Adar): minimum hops
@@ -15463,6 +15562,8 @@ ALL_QUERIES = {
     "sql_unpivot": q_sql_unpivot,
     "containment_dedup": q_containment_dedup,
     "rest_stream_ingest": q_rest_stream_ingest,
+    "morton_cells": q_morton_cells,
+    "point_in_polygon_join": q_point_in_polygon_join,
     "pandas_iter_udf": q_pandas_iter_udf,
     "grouped_arrow_stats": q_grouped_arrow_stats,
     "streaming_dedup_watermark": q_streaming_dedup_watermark,

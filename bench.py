@@ -265,6 +265,9 @@ HEADLINE = [
     "correlated_scalar_subquery",
     "sql_unpivot",
     "streaming_dedup_watermark",
+    "morton_cells",
+    "point_in_polygon_join",
+    "containment_dedup",
     # Python-worker queries LAST: applyInPandas spins up 32 Python
     # workers and leaves GC pressure that inflates the next JVM-only
     # query by ~3x (measured: dedup_minhash_lsh 6.96s after it vs 1.9s

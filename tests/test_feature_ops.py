@@ -1728,3 +1728,61 @@ def test_ab_sample_size_plan_formula(spark, sf_dir):
         if prev is not None:
             assert r["n_required_per_arm"] < prev
         prev = r["n_required_per_arm"]
+
+
+def test_geo_builders_match_python_reference(spark):
+    """The shared generated geo expressions evaluate exactly like a
+    plain-Python reference: Morton interleave is a bijection on the
+    9-bit grid (decode recovers qx, qy), and the unrolled ray-cast
+    matches a textbook even-odd implementation on a dense integer
+    grid including on-edge and vertex-adjacent points."""
+    import pyspark.sql.functions as F
+
+    from aproximacion_1_etl_spark.functions.geo import (
+        diamond,
+        morton_sql,
+        point_in_polygon_sql,
+    )
+
+    pts = [(x, y) for x in range(-25, 26, 5) for y in range(-25, 26, 5)]
+    df = spark.createDataFrame(pts, "px bigint, py bigint")
+
+    # Morton: engine code == python interleave, and decode inverts it
+    got = (
+        df.select(
+            "px", "py",
+            F.expr(
+                morton_sql("(px + 25)", "(py + 25)", bits=6)
+            ).alias("code"),
+        ).collect()
+    )
+    for r in got:
+        qx, qy = r["px"] + 25, r["py"] + 25
+        expect = 0
+        for i in range(6):
+            expect |= ((qx >> i) & 1) << (2 * i)
+            expect |= ((qy >> i) & 1) << (2 * i + 1)
+        assert r["code"] == expect
+        dx = sum(((r["code"] >> (2 * i)) & 1) << i for i in range(6))
+        dy = sum(((r["code"] >> (2 * i + 1)) & 1) << i for i in range(6))
+        assert (dx, dy) == (qx, qy)
+
+    # ray cast vs textbook even-odd reference (same half-open rule)
+    verts = diamond(0, 0, 15)
+
+    def ref_pip(px, py):
+        inside = False
+        n = len(verts)
+        for i in range(n):
+            x1, y1 = verts[i]
+            x2, y2 = verts[(i + 1) % n]
+            if (y1 > py) != (y2 > py):
+                if px < (x2 - x1) * (py - y1) / (y2 - y1) + x1:
+                    inside = not inside
+        return inside
+
+    cond = point_in_polygon_sql("px", "py", verts)
+    got = df.select("px", "py", F.expr(cond).alias("inside")).collect()
+    assert any(r["inside"] for r in got) and not all(r["inside"] for r in got)
+    for r in got:
+        assert r["inside"] == ref_pip(r["px"], r["py"]), (r["px"], r["py"])
