@@ -231,6 +231,7 @@ def bfs_hops(
     src: str = "src",
     dst: str = "dst",
     node: str = "pk",
+    materialize_edges: bool = True,
 ) -> DataFrame:
     """Minimum hop distance from a seed set over a directed edge list,
     bounded at ``max_hops`` expansions. ``seeds`` carries one column
@@ -243,10 +244,16 @@ def bfs_hops(
     bounds edge volume BEFORE this loop (see the max_basket lever on
     the co-order edge build) — the frontier join is the only per-round
     shuffle. Stops early when a frontier empties: every later round
-    would be a no-op on an empty side."""
-    e = edges.select(
-        F.col(src).alias("_src"), F.col(dst).alias("_dst")
-    ).localCheckpoint(eager=True)
+    would be a no-op on an empty side.
+
+    ``materialize_edges=False`` skips the edge-list checkpoint for
+    callers that pass an ALREADY-materialized relation
+    (_co_order_edges eagerly checkpoints its output) — a second
+    checkpoint of a pure column-rename would re-materialize the full
+    edge relation and double its block-manager footprint."""
+    e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
+    if materialize_edges:
+        e = e.localCheckpoint(eager=True)
     state = (
         seeds.select(F.col(node).alias("pk"))
         .withColumn("dist", F.lit(0))

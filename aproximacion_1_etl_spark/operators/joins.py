@@ -91,17 +91,19 @@ def asof_join(
     )
     out = carried.filter(F.col("_side") == 1).drop("_side")
     if tolerance_seconds is not None:
-        # cast("double") keeps fractional epoch seconds; unix_timestamp
-        # truncates to whole seconds, which would let a 2.9 s gap pass a
-        # 2 s tolerance (pandas merge_asof compares at full precision)
+        # compare in exact integer MICROSECONDS (merge_asof parity):
+        # unix_timestamp truncates to whole seconds (a 2.9 s gap would
+        # pass a 2 s tolerance), and double epoch seconds carry ~5e-7 s
+        # representation error at modern epochs — enough to flip a
+        # match sitting exactly on the tolerance boundary
         ok = (
             F.col("asof_ts").isNotNull()
             & (
                 F.abs(
-                    F.col(left_ts).cast("timestamp").cast("double")
-                    - F.col("asof_ts").cast("double")
+                    F.unix_micros(F.col(left_ts).cast("timestamp"))
+                    - F.unix_micros(F.col("asof_ts"))
                 )
-                <= F.lit(float(tolerance_seconds))
+                <= F.lit(int(round(float(tolerance_seconds) * 1_000_000)))
             )
         )
         out = out.select(

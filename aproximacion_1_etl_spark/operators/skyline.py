@@ -191,7 +191,8 @@ def _dominance_filter(oriented_cols: list[str]):
         # dominated — comparisons with NaN are False on both sides
         v = pdf[oriented_cols].to_numpy()
         if v.dtype.kind not in "iu":
-            v = pdf[oriented_cols].to_numpy(dtype="float64")
+            # one conversion, not a second full to_numpy pass
+            v = v.astype("float64", copy=False)
         n = len(v)
         if n <= 1:
             return pdf

@@ -4809,26 +4809,38 @@ def q_rest_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(processingTime="0 seconds")
             .start()
         )
-        deadline = _time.time() + 120
-        while _time.time() < deadline:
-            p = q.lastProgress
-            if p and p.get("sources"):
-                eo = p["sources"][0].get("endOffset")
-                if eo:
+        # the stream MUST be stopped before the finally rmtree runs —
+        # an exception escaping the poll loop would otherwise leave a
+        # zombie query triggering against deleted dirs for the rest of
+        # the session, so the stop lives in its own finally
+        try:
+            deadline = _time.time() + 120
+            while _time.time() < deadline:
+                p = q.lastProgress
+                if p and p.get("sources"):
+                    eo = p["sources"][0].get("endOffset")
+                    off = None
                     if isinstance(eo, str):
                         # Python-source offsets surface in progress as
                         # the dict's repr (single quotes), not JSON
                         try:
                             off = _json.loads(eo)
                         except ValueError:
-                            off = _ast.literal_eval(eo)
-                    else:
+                            try:
+                                off = _ast.literal_eval(eo)
+                            except (ValueError, SyntaxError):
+                                off = None
+                    elif eo is not None:
                         off = eo
-                    if int(off.get("day_index", 0)) >= 3:
+                    if (
+                        isinstance(off, dict)
+                        and int(off.get("day_index", 0)) >= 3
+                    ):
                         break  # progress reports AFTER batch commit
-            _time.sleep(0.2)
-        q.stop()
-        q.awaitTermination()
+                _time.sleep(0.2)
+        finally:
+            q.stop()
+            q.awaitTermination()
         out = (
             spark.read.parquet(sink)
             .groupBy("fetch_date")
@@ -14483,7 +14495,9 @@ def q_bfs_hop_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = p.filter(F.col("p_brand") == "Brand#11").select(
         F.col("p_partkey").alias("pk")
     )
-    state = bfs_hops(edges, seeds, max_hops=3)
+    # edges already materialized by _co_order_edges — don't pay a
+    # second checkpoint of the same relation
+    state = bfs_hops(edges, seeds, max_hops=3, materialize_edges=False)
     return state.select(
         F.col("pk").cast("bigint").alias("p_partkey"),
         F.col("dist").cast("int").alias("dist"),

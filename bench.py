@@ -398,16 +398,22 @@ def main() -> None:
             ) as fh:
                 out_path = fh.name
             try:
+                # stderr captured so a failing segment carries its
+                # traceback instead of a bare exit code (Spark noise is
+                # tolerable in an error path; discarded on success)
                 proc = subprocess.run(
                     [sys.executable, os.path.abspath(__file__),
                      "--child", out_path, *seg],
                     stdout=subprocess.DEVNULL,
-                    stderr=subprocess.DEVNULL,
+                    stderr=subprocess.PIPE,
                 )
                 if proc.returncode != 0:
+                    tail = proc.stderr.decode(
+                        "utf-8", "replace"
+                    )[-2000:]
                     raise RuntimeError(
                         f"bench segment {i + 1}/{n_segments} failed "
-                        f"(exit {proc.returncode})"
+                        f"(exit {proc.returncode}); stderr tail:\n{tail}"
                     )
                 with open(out_path) as fh:
                     results.append(json.load(fh))
@@ -490,7 +496,7 @@ def main() -> None:
         # otherwise idle box) — an end-threshold would flag every
         # sufficiently long clean run. Mid-run ambient arrival remains
         # visible through per-query spread_pct.
-        "load_flagged": bool(load_start > MAX_LOAD),
+        "load_flagged": bool(load_flagged),
     }
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"

@@ -37,16 +37,27 @@ def _reclaim_test_tempdirs():
     import time
 
     # crash-robust sweep: a killed pytest run never reaches the rmtree
-    # below, so reclaim STALE session roots from prior runs first. Age
-    # gate (>2h since last mtime) keeps this away from a concurrently
-    # running pytest's live dir; the prefix is unique to this fixture,
-    # so bench/oracle checkpoints are untouchable by construction.
+    # below, so reclaim STALE session roots from prior runs first. The
+    # age gate reads the NEWEST mtime among the root and its direct
+    # children (mkdtemp children land in the root, so a live session
+    # keeps refreshing some child even when the root's own mtime is
+    # pinned at session start) and requires >6h — far past any real
+    # pytest run — before touching anything; the prefix is unique to
+    # this fixture, so bench/oracle checkpoints are untouchable by
+    # construction.
     now = time.time()
     for d in glob.glob(
         os.path.join(tempfile.gettempdir(), "graft_test_session_*")
     ):
         try:
-            if now - os.path.getmtime(d) > 2 * 3600:
+            newest = os.path.getmtime(d)
+            with os.scandir(d) as it:
+                for child in it:
+                    try:
+                        newest = max(newest, child.stat().st_mtime)
+                    except OSError:
+                        pass
+            if now - newest > 6 * 3600:
                 shutil.rmtree(d, ignore_errors=True)
         except OSError:
             pass
