@@ -375,3 +375,17 @@ def test_r7_session_plan_contracts(spark, sf_dir):
     # 2 distinct + 2 degree aggs + hist agg + final agg + the caps
     # BroadcastExchange = 7
     assert exchanges(plan_of("graph_degree_cap_report")) <= 7
+
+    # remaining r7 keys: upper bounds from the recorded plan audit
+    for key, bound in {
+        "sql_unpivot": 2,
+        "multimodal_audio": 2,
+        "pandas_iter_udf": 2,
+        "grouped_arrow_stats": 2,
+        "containment_dedup": 7,  # 4 shuffles + 3 size-lookup bcasts
+        "morton_cells": 2,
+        "point_in_polygon_join": 2,
+        "adamic_adar_linkpred": 3,
+    }.items():
+        got = exchanges(plan_of(key))
+        assert got <= bound, (key, got, bound)
