@@ -660,3 +660,125 @@ def test_geo_grid_neighborhood_is_candidate_complete(spark, pts):
             assert abs(c1[0] - c2[0]) <= 1
             dlon = abs(c1[1] - c2[1])
             assert min(dlon, 45 - dlon) <= 1
+
+
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=15),
+            st.integers(min_value=0, max_value=15),
+        ),
+        min_size=1,
+        max_size=24,
+    ),
+)
+@settings(**SETTINGS)
+def test_connected_components_match_union_find(spark, edges):
+    """connected_components labels every node with its component's
+    minimum id on arbitrary random graphs (self-loops, duplicate and
+    reversed edges included) — checked against a union-find
+    reference."""
+    from aproximacion_1_etl_spark.operators.graph import (
+        connected_components,
+    )
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    nodes = set()
+    for a, b in edges:
+        if a != b:
+            nodes |= {a, b}
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    expected = {n: find(n) for n in nodes}
+
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {
+        r["node"]: r["comp"]
+        for r in connected_components(df, max_iterations=12).collect()
+    }
+    assert got == expected
+
+
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=6),   # pivot
+            st.integers(min_value=0, max_value=9),   # neighbor
+        ),
+        max_size=30,
+    ),
+    cap=st.one_of(st.none(), st.integers(min_value=2, max_value=6)),
+)
+@settings(**SETTINGS)
+def test_adamic_adar_matches_bruteforce_under_any_cap(spark, edges, cap):
+    """adamic_adar_scores equals the brute-force definition — sum of
+    1/ln(deg(pivot)) over shared pivots, pivots above the cap dropped
+    entirely — for arbitrary bipartite graphs and any cap."""
+    import math
+    from collections import defaultdict
+    from itertools import combinations
+
+    from aproximacion_1_etl_spark.operators.graph import adamic_adar_scores
+
+    nbrs = defaultdict(set)
+    for p, n in edges:
+        nbrs[p].add(n)
+    expect: dict[tuple, list] = {}
+    for p, ns in nbrs.items():
+        if len(ns) < 2 or (cap is not None and len(ns) > cap):
+            continue
+        w = 1.0 / math.log(len(ns))
+        for a, b in combinations(sorted(ns), 2):
+            e = expect.setdefault((a, b), [0, 0.0])
+            e[0] += 1
+            e[1] += w
+
+    df = spark.createDataFrame(
+        edges or [(0, 0)], "piv bigint, nb bigint"
+    )
+    if not edges:
+        df = df.limit(0)
+    got = {
+        (r["s1"], r["s2"]): (r["common_nbrs"], r["aa_score"])
+        for r in adamic_adar_scores(df, "piv", "nb", max_degree=cap).collect()
+    }
+    assert set(got) == set(expect)
+    for k, (n, w) in expect.items():
+        assert got[k][0] == n
+        assert abs(got[k][1] - w) < 1e-9
+
+
+@given(
+    samples=st.lists(
+        st.integers(min_value=-32768, max_value=32767),
+        min_size=1,
+        max_size=40,
+    ),
+    rate=st.sampled_from([8000, 11025, 44100]),
+    bits=st.sampled_from([8, 16]),
+    junk=st.booleans(),
+)
+@settings(**SETTINGS)
+def test_wav_roundtrip_property(spark, samples, rate, bits, junk):
+    """encode_wav -> decode_wav is the identity for any sample vector,
+    rate, PCM width, metadata-chunk presence, and odd/even byte
+    lengths (word padding)."""
+    from aproximacion_1_etl_spark.text.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    if bits == 8:
+        samples = [max(-128, min(127, s)) for s in samples]
+    d = decode_wav(encode_wav(rate, samples, bits=bits, junk_chunk=junk))
+    assert d["sample_rate"] == rate
+    assert d["bits"] == bits
+    assert d["samples"][0] == samples
