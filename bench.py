@@ -397,20 +397,24 @@ def main() -> None:
                 delete=False,
             ) as fh:
                 out_path = fh.name
+            err_path = out_path + ".stderr"
             try:
-                # stderr captured so a failing segment carries its
-                # traceback instead of a bare exit code (Spark noise is
-                # tolerable in an error path; discarded on success)
-                proc = subprocess.run(
-                    [sys.executable, os.path.abspath(__file__),
-                     "--child", out_path, *seg],
-                    stdout=subprocess.DEVNULL,
-                    stderr=subprocess.PIPE,
-                )
+                # stderr captured TO A FILE so a failing segment
+                # carries its traceback instead of a bare exit code,
+                # without buffering minutes of Spark log noise in the
+                # parent's memory on every successful run
+                with open(err_path, "wb") as err_fh:
+                    proc = subprocess.run(
+                        [sys.executable, os.path.abspath(__file__),
+                         "--child", out_path, *seg],
+                        stdout=subprocess.DEVNULL,
+                        stderr=err_fh,
+                    )
                 if proc.returncode != 0:
-                    tail = proc.stderr.decode(
-                        "utf-8", "replace"
-                    )[-2000:]
+                    with open(err_path, "rb") as err_fh:
+                        err_fh.seek(0, os.SEEK_END)
+                        err_fh.seek(max(0, err_fh.tell() - 2000))
+                        tail = err_fh.read().decode("utf-8", "replace")
                     raise RuntimeError(
                         f"bench segment {i + 1}/{n_segments} failed "
                         f"(exit {proc.returncode}); stderr tail:\n{tail}"
@@ -418,8 +422,9 @@ def main() -> None:
                 with open(out_path) as fh:
                     results.append(json.load(fh))
             finally:
-                if os.path.exists(out_path):
-                    os.unlink(out_path)
+                for p in (out_path, err_path):
+                    if os.path.exists(p):
+                        os.unlink(p)
 
     timings = {k: v for r in results for k, v in r["timings"].items()}
     spread_pct = {

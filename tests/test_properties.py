@@ -741,11 +741,7 @@ def test_adamic_adar_matches_bruteforce_under_any_cap(spark, edges, cap):
             e[0] += 1
             e[1] += w
 
-    df = spark.createDataFrame(
-        edges or [(0, 0)], "piv bigint, nb bigint"
-    )
-    if not edges:
-        df = df.limit(0)
+    df = spark.createDataFrame(edges, "piv bigint, nb bigint")
     got = {
         (r["s1"], r["s2"]): (r["common_nbrs"], r["aa_score"])
         for r in adamic_adar_scores(df, "piv", "nb", max_degree=cap).collect()
