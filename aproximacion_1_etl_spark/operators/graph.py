@@ -244,7 +244,10 @@ def bfs_hops(
     bounds edge volume BEFORE this loop (see the max_basket lever on
     the co-order edge build) — the frontier join is the only per-round
     shuffle. Stops early when a frontier empties: every later round
-    would be a no-op on an empty side.
+    would be a no-op on an empty side. Unlike ``connected_components``
+    (where cap exhaustion is an error), hitting ``max_hops`` here is
+    the DEFINED semantics: the result is "min hop distance, truncated
+    at max_hops", and nodes farther away are intentionally absent.
 
     ``materialize_edges=False`` skips the edge-list checkpoint for
     callers that pass an ALREADY-materialized relation
@@ -304,7 +307,14 @@ def connected_components(
     dup_clusters (text/dedup.py) to any edge relation.
 
     Isolated nodes (no edges) are the caller's concern: only nodes
-    appearing in ``edges`` are labeled."""
+    appearing in ``edges`` are labeled.
+
+    Raises ``RuntimeError`` if ``max_iterations`` is exhausted before
+    the changed-probe hits zero: an unconverged label vector is WRONG
+    (some nodes still point at a non-minimum), and surfacing that as a
+    loud error here beats a downstream oracle mismatch. With pointer
+    jumping the round count is ~log2(diameter), so the default cap of
+    20 covers graphs with diameter up to ~2^20 edges-on-a-path."""
     e = (
         edges.filter(F.col(src) != F.col(dst))
         .select(
@@ -321,6 +331,7 @@ def connected_components(
         .withColumn("comp", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    converged = False
     for _ in range(max_iterations):
         nb = b.join(labels, b["v"] == labels["node"]).select(
             F.col("u").alias("node"), F.col("comp")
@@ -347,7 +358,15 @@ def connected_components(
         )
         labels = new
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            "connected_components: label propagation did not reach the "
+            f"fixpoint within max_iterations={max_iterations}; labels "
+            "would be unconverged (raise the cap — rounds needed is "
+            "~log2(graph diameter) with pointer jumping)"
+        )
     return labels
 
 

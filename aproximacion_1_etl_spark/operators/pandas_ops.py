@@ -130,11 +130,13 @@ def price_bucket_iter_udf(breaks: list[float]):
     """Iterator-of-Series scalar pandas UDF (the §2.8 form this module
     lacked): assigns each price the index of its bucket via binary
     search over ``breaks``. The iterator form exists for exactly this
-    shape — per-WORKER one-off setup (here building the search table;
-    in production loading a model/tokenizer) runs ONCE per executor
-    Python worker and is then reused across every Arrow batch that
-    worker sees, instead of once per batch as a plain pandas_udf
-    closure would. Deterministic integer output keeps it
+    shape — one-off setup (here building the search table; in
+    production loading a model/tokenizer) runs ONCE per TASK and is
+    amortized across all the Arrow batches that task streams through
+    the worker, instead of once per batch as a plain pandas_udf
+    closure would. (Spark re-enters the function per task the worker
+    executes — the reuse unit is the task's batch stream, not the
+    worker process lifetime.) Deterministic integer output keeps it
     value-checkable (the oracle is a CASE ladder)."""
     from pyspark.sql.functions import pandas_udf
 
@@ -142,7 +144,7 @@ def price_bucket_iter_udf(breaks: list[float]):
     def bucket(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
         import bisect
 
-        table = sorted(breaks)  # one-off per-worker setup
+        table = sorted(breaks)  # one-off per-task setup
         for prices in batches:
             yield prices.map(
                 lambda p: bisect.bisect_right(table, float(p))

@@ -4813,6 +4813,7 @@ def q_rest_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         # an exception escaping the poll loop would otherwise leave a
         # zombie query triggering against deleted dirs for the rest of
         # the session, so the stop lives in its own finally
+        window_done = False
         try:
             deadline = _time.time() + 120
             while _time.time() < deadline:
@@ -4836,11 +4837,20 @@ def q_rest_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                         isinstance(off, dict)
                         and int(off.get("day_index", 0)) >= 3
                     ):
+                        window_done = True
                         break  # progress reports AFTER batch commit
                 _time.sleep(0.2)
         finally:
             q.stop()
             q.awaitTermination()
+        if not window_done:
+            # aggregating a partial sink would surface much later as
+            # an opaque value mismatch — fail loudly at the source
+            raise TimeoutError(
+                "rest_stream_ingest: committed stream offset did not "
+                "reach day_index 3 within the 120 s poll deadline; "
+                "refusing to aggregate a partial sink"
+            )
         out = (
             spark.read.parquet(sink)
             .groupBy("fetch_date")

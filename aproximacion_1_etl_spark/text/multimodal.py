@@ -288,6 +288,14 @@ def encode_wav(
     if bits == 16:
         body = b"".join(struct.pack("<h", s) for s in samples)
     elif bits == 8:
+        # struct.pack would raise for 16-bit overflow; mirror that
+        # strictness here instead of silently wrapping via & 0xFF,
+        # which would break the encode->decode roundtrip identity
+        bad = [s for s in samples if not -128 <= s <= 127]
+        if bad:
+            raise ValueError(
+                f"bits=8 samples must be in [-128, 127]; got {bad[0]}"
+            )
         body = bytes((s + 128) & 0xFF for s in samples)
     else:
         raise ValueError(f"bits={bits} unsupported (want 8|16)")

@@ -22,33 +22,52 @@ def sf_dir():
     return SF_DIR
 
 
-@pytest.fixture(scope="session", autouse=True)
-def _reclaim_test_tempdirs():
-    """Give the test session its OWN temp root and delete it at the
-    end. Every tempfile.mkdtemp in tests and in library code they call
-    (fixture parquet, streaming checkpoints, roundtrip keys) lands
-    under it, so cleanup is one rmtree that cannot touch another
-    process's dirs — a prefix-glob sweep of the shared /tmp could
-    delete a concurrently running bench/oracle process's live
-    checkpoint."""
+def _owner_alive(root: str) -> bool:
+    """True when the session that created ``root`` still looks alive.
+
+    Ownership is a pid file written at root creation; liveness is
+    os.kill(pid, 0). A recycled pid can false-positive here — the 6h
+    mtime gate in the sweep still reclaims those eventually, and the
+    heartbeat thread keeps genuinely live roots' mtimes fresh so they
+    are never in the stale window at all."""
+    try:
+        with open(os.path.join(root, "OWNER.pid")) as fh:
+            pid = int(fh.read().strip())
+    except (OSError, ValueError):
+        return False
+    try:
+        os.kill(pid, 0)
+        return True
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True
+    except OSError:
+        return True
+
+
+def _sweep_stale_roots(skip: str | None = None) -> None:
+    """Reclaim graft_test_session_* roots left by crashed runs.
+
+    A root is reclaimable when its owner pid is dead (prompt path —
+    this is what a SIGKILLed pytest leaves behind) or, as the recycled-
+    pid backstop, when the newest mtime among the root and its direct
+    children is >6h old. Live sessions are protected twice over: their
+    pid is alive AND their heartbeat thread re-touches the root every
+    5 minutes, so a >6h test session confined to deeply nested files
+    (the depth-1-mtime hole) can no longer be reclaimed mid-run. A
+    60 s infancy grace covers the create-root/write-pidfile race."""
     import glob
     import shutil
     import tempfile
     import time
 
-    # crash-robust sweep: a killed pytest run never reaches the rmtree
-    # below, so reclaim STALE session roots from prior runs first. The
-    # age gate reads the NEWEST mtime among the root and its direct
-    # children (mkdtemp children land in the root, so a live session
-    # keeps refreshing some child even when the root's own mtime is
-    # pinned at session start) and requires >6h — far past any real
-    # pytest run — before touching anything; the prefix is unique to
-    # this fixture, so bench/oracle checkpoints are untouchable by
-    # construction.
     now = time.time()
     for d in glob.glob(
         os.path.join(tempfile.gettempdir(), "graft_test_session_*")
     ):
+        if skip is not None and os.path.abspath(d) == os.path.abspath(skip):
+            continue
         try:
             newest = os.path.getmtime(d)
             with os.scandir(d) as it:
@@ -57,14 +76,55 @@ def _reclaim_test_tempdirs():
                         newest = max(newest, child.stat().st_mtime)
                     except OSError:
                         pass
-            if now - newest > 6 * 3600:
+            if now - newest < 60:
+                continue  # infancy grace: pid file may not be written yet
+            if not _owner_alive(d) or now - newest > 6 * 3600:
                 shutil.rmtree(d, ignore_errors=True)
         except OSError:
             pass
 
+
+@pytest.fixture(scope="session", autouse=True)
+def _reclaim_test_tempdirs():
+    """Give the test session its OWN temp root and delete it at the
+    end. Every tempfile.mkdtemp in tests and in library code they call
+    (fixture parquet, streaming checkpoints, roundtrip keys) lands
+    under it, so cleanup is one rmtree that cannot touch another
+    process's dirs — a prefix-glob sweep of the shared /tmp could
+    delete a concurrently running bench/oracle process's live
+    checkpoint. Crash robustness: the root carries an OWNER.pid and a
+    5-minute heartbeat touch; stale roots (dead owner, or >6h silent)
+    are swept both at session START and at session END, so a root
+    orphaned by a hard-killed run is reclaimed by the next clean run
+    in the same round rather than six hours later."""
+    import shutil
+    import tempfile
+    import threading
+
+    _sweep_stale_roots()
+
     session_tmp = tempfile.mkdtemp(prefix="graft_test_session_")
+    with open(os.path.join(session_tmp, "OWNER.pid"), "w") as fh:
+        fh.write(str(os.getpid()))
+
+    stop = threading.Event()
+
+    def _heartbeat():
+        while not stop.wait(300):
+            try:
+                os.utime(session_tmp, None)
+            except OSError:
+                pass
+
+    hb = threading.Thread(
+        target=_heartbeat, name="graft-temp-heartbeat", daemon=True
+    )
+    hb.start()
+
     prev = tempfile.tempdir
     tempfile.tempdir = session_tmp
     yield
     tempfile.tempdir = prev
+    stop.set()
     shutil.rmtree(session_tmp, ignore_errors=True)
+    _sweep_stale_roots(skip=session_tmp)

@@ -165,3 +165,18 @@ def test_connected_components_converges_and_labels_min(spark):
         assert got[n] == 100
     assert got[500] == 500 and got[501] == 500
     assert len(got) == 16 + 8 + 2
+
+
+def test_connected_components_raises_when_cap_too_small(spark):
+    """Exhausting max_iterations without hitting the fixpoint raises
+    instead of silently returning unconverged labels — a 40-node chain
+    cannot converge in a single round even with pointer jumping."""
+    import pytest
+
+    from aproximacion_1_etl_spark.operators.graph import connected_components
+
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "src bigint, dst bigint"
+    )
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        connected_components(df, max_iterations=1)

@@ -1165,6 +1165,12 @@ def test_wav_decode_guards(spark):
         decode_wav(b"RIFF\x00\x00\x00\x00JUNK")
     with pytest.raises(ValueError):
         decode_wav(good[:-3])  # truncated data chunk
+    # 8-bit encode refuses out-of-range samples (struct-pack strictness
+    # for the byte path too) instead of silently wrapping mod 256
+    with pytest.raises(ValueError):
+        encode_wav(8000, [0, 200], bits=8)
+    with pytest.raises(ValueError):
+        encode_wav(8000, [-129], bits=8)
 
 
 def test_containment_catches_doc_in_doc_that_jaccard_misses(spark):
