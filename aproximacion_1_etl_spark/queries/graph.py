@@ -1,0 +1,552 @@
+"""Query catalog — graph domain (mechanically moved from queries.py)."""
+
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+from aproximacion_1_etl_spark.sources.tables import load_table
+from .common import *  # noqa: F401,F403
+
+
+
+def q_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative PageRank (operators/graph.py) over the bipartite
+    customer->supplier graph induced by lineitems: 5 join+aggregate
+    rounds with lineage cuts every 2nd iteration. Value-oracled: the
+    contribution sums are decimal-cast (order-independent), so the
+    DuckDB oracle (oracles._pagerank_sql, the recurrence unrolled one
+    CTE per iteration) reproduces the ranks bit-exactly; the numpy
+    cross-check lives in tests/test_graph.py."""
+    from aproximacion_1_etl_spark.operators.graph import pagerank
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    edges = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.lit(1000000) + F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    pr = pagerank(edges, iterations=5)
+    return (
+        pr.filter(F.col("node") >= 1000000)
+        .select(
+            (F.col("node") - 1000000).alias("supplier"),
+            _fround(F.col("rank") * 1e6, 2).alias("rank_ppm"),
+        )
+        .orderBy(F.col("rank_ppm").desc(), F.col("supplier"))
+        .limit(20)
+    )
+
+
+def q_event_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 behavioral pattern mining: corpus-wide counts of
+    consecutive event-type transitions (per-user ts order) with their
+    conditional probability P(next | prev) — the first-order Markov
+    model of user flows. One window pass for the lag, two keyed
+    aggregations; the transition matrix is |types|^2-bounded."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            "user_id",
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.col("event_type").alias("next_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+    )
+    cm = pairs.groupBy("prev_type", "next_type").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    tot = cm.groupBy("prev_type").agg(F.sum("n").alias("n_prev"))
+    return cm.join(tot, "prev_type").select(
+        "prev_type",
+        "next_type",
+        "n",
+        _fround(F.col("n").cast("double") / F.col("n_prev"), 4).alias(
+            "p_next_given_prev"
+        ),
+    )
+
+
+def q_type_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 association mining (market-basket over user baskets):
+    unordered event-type pairs co-occurring within a user's history,
+    with support and lift = P(a,b) / (P(a) P(b)). The basket relation
+    is per-user DISTINCT types (bounded by |types| per user, built
+    with one keyed agg); pairs come from a per-row array-combination
+    expression — no self-join of the event table. Counts are exact;
+    lift is two double divisions of exact integers, floor-rounded to 4,
+    so the key value-checks."""
+    ev = load_table(spark, sf_dir, "events")
+    baskets = ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_set("event_type")).alias("types")
+    )
+    n_users = baskets.agg(F.count("*").alias("n_users"))
+    pairs = baskets.select(
+        "user_id",
+        F.explode(
+            F.filter(
+                F.flatten(
+                    F.transform(
+                        F.col("types"),
+                        lambda a: F.transform(
+                            F.col("types"),
+                            lambda b: F.struct(
+                                a.alias("type_a"), b.alias("type_b")
+                            ),
+                        ),
+                    )
+                ),
+                lambda st: st["type_a"] < st["type_b"],
+            )
+        ).alias("pr"),
+    ).select("user_id", "pr.type_a", "pr.type_b")
+    pc = pairs.groupBy("type_a", "type_b").agg(
+        F.count("*").cast("bigint").alias("n_both")
+    )
+    single = baskets.select(
+        "user_id", F.explode("types").alias("t")
+    ).groupBy("t").agg(F.count("*").alias("n_t"))
+    sa = single.select(F.col("t").alias("type_a"), F.col("n_t").alias("n_a"))
+    sb = single.select(F.col("t").alias("type_b"), F.col("n_t").alias("n_b"))
+    return (
+        pc.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .crossJoin(F.broadcast(n_users))
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            _fround(
+                F.col("n_both").cast("double") / F.col("n_users"), 4
+            ).alias("support"),
+            _fround(
+                (F.col("n_both").cast("double") / F.col("n_users"))
+                / (
+                    (F.col("n_a").cast("double") / F.col("n_users"))
+                    * (F.col("n_b").cast("double") / F.col("n_users"))
+                ),
+                4,
+            ).alias("lift"),
+        )
+    )
+
+
+def q_triangle_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 graph analytics: triangle participation counts over the
+    part co-order graph (parts are linked when they appear in the same
+    order), top-20 parts. Uses the degree-ordered node-iterator
+    (operators/graph.py::count_triangles) so wedge enumeration is
+    bounded at hubs; the DuckDB oracle runs the orientation-free a<b
+    formulation — identical counts, which is itself a check that the
+    degree-ordering optimization is semantics-preserving."""
+    from aproximacion_1_etl_spark.operators.graph import count_triangles
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    # Edges WITHOUT a fact-table self-join: group parts per order and
+    # emit the pairwise combinations map-side (order baskets are
+    # small, so the fan-out is bounded; one orderkey shuffle replaces
+    # the self-join's two). The explicit repartition keeps the basket
+    # aggregation wide under byte-based AQE coalescing.
+    per_order = (
+        li.repartition(
+            spark.sparkContext.defaultParallelism, F.col("l_orderkey")
+        )
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
+    )
+    edges = per_order.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ps"),
+                    lambda x, i: F.transform(
+                        F.slice(
+                            F.col("ps"), i + F.lit(2), F.size(F.col("ps"))
+                        ),
+                        lambda y: F.struct(x.alias("a"), y.alias("b")),
+                    ),
+                )
+            )
+        ).alias("e")
+    ).select("e.a", "e.b")
+    counts = count_triangles(edges)
+    w = Window.orderBy(F.col("n_triangles").desc(), F.col("node").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select(
+            F.col("node").alias("l_partkey"),
+            "n_triangles",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
+def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 market-basket association rules (support / confidence /
+    lift) over order baskets — the Apriori shape that scales: items
+    below pair support are pruned FIRST (an infrequent item can appear
+    in no frequent pair), baskets are collected as sorted arrays, and
+    candidate pairs are generated WITHIN each row by a higher-order
+    transform (map-side, zero join) before one pair-count aggregation.
+    The naive basket self-join shuffles |items-per-order|^2 rows per
+    order; this plan shuffles each basket once. Confidence and lift
+    are exact integer ratios — engine-identical doubles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    min_sup = 3
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    item_n = items.groupBy("l_partkey").agg(
+        F.count("*").cast("bigint").alias("n_item")
+    )
+    freq = item_n.filter(F.col("n_item") >= min_sup)
+    baskets = (
+        items.join(F.broadcast(freq.select("l_partkey")), "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("its"))
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(its, (x, i) ->"
+                " transform(slice(its, i + 2, size(its)),"
+                " y -> struct(x AS p1, y AS p2))))"
+            )
+        ).alias("pr")
+    ).select(F.col("pr.p1").alias("p1"), F.col("pr.p2").alias("p2"))
+    pair_n = (
+        pairs.groupBy("p1", "p2")
+        .agg(F.count("*").cast("bigint").alias("n_pair"))
+        .filter(F.col("n_pair") >= min_sup)
+    )
+    # basket universe for support: |distinct transactions| — an order
+    # whose items were ALL pruned still counts, so this must come from
+    # the pre-prune relation (the orders table is NOT 1:1 with it:
+    # childless orders exist). One extra orderkey-keyed partial-count
+    # aggregate of the deduped pairs; its result is a single row.
+    n_baskets = items.select("l_orderkey").distinct().agg(
+        F.count("*").cast("double").alias("_nb")
+    )
+    # both rule directions from each unordered frequent pair
+    rules = pair_n.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("p1").alias("ante"),
+                    F.col("p2").alias("cons"),
+                    F.col("n_pair"),
+                ),
+                F.struct(
+                    F.col("p2").alias("ante"),
+                    F.col("p1").alias("cons"),
+                    F.col("n_pair"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.ante", "r.cons", "r.n_pair")
+    out = (
+        rules.join(
+            F.broadcast(
+                item_n.select(
+                    F.col("l_partkey").alias("ante"),
+                    F.col("n_item").alias("n_ante"),
+                )
+            ),
+            "ante",
+        )
+        .join(
+            F.broadcast(
+                item_n.select(
+                    F.col("l_partkey").alias("cons"),
+                    F.col("n_item").alias("n_cons"),
+                )
+            ),
+            "cons",
+        )
+        .crossJoin(F.broadcast(n_baskets))
+    )
+    return out.select(
+        F.col("ante").alias("antecedent"),
+        F.col("cons").alias("consequent"),
+        "n_pair",
+        "n_ante",
+        _fround(
+            F.col("n_pair").cast("double") / F.col("n_ante"), 6
+        ).alias("confidence"),
+        _fround(
+            F.col("n_pair").cast("double")
+            * F.col("_nb")
+            / (F.col("n_ante") * F.col("n_cons")),
+            6,
+        ).alias("lift"),
+    )
+
+
+def q_adamic_adar_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 graph link prediction (completes the graph family next to
+    pagerank / triangles / components): Adamic-Adar scores for
+    supplier pairs over the bipartite part—supplier graph — common
+    neighbors weighted 1/ln(deg(part)), so rare shared parts count
+    more. Wedges are generated per part from its sorted supplier array
+    (operators/graph.py::adamic_adar_scores — the triangle iterator's
+    map-side pattern, no pair self-join); only parts with >=2
+    suppliers contribute, so ln(deg) >= ln 2 and the weight is finite.
+    Wedge volume is sum(deg²): the WIRED max_degree=256 frequent-prune
+    drops hyper-degree parts entirely (inactive at tested SFs — max
+    part degree is 52 at sf0.1 — but it bounds one hot part's
+    quadratic wedge blowup on a skewed 100× graph; the oracle mirrors
+    the cap, and graph_degree_cap_report quantifies the cap ladder).
+    Output is the top-50 pairs — the rank window runs over the
+    |supplier-pairs| aggregate, never the wedges."""
+    from aproximacion_1_etl_spark.operators.graph import adamic_adar_scores
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select("l_partkey", "l_suppkey")
+    scored = adamic_adar_scores(
+        edges, "l_partkey", "l_suppkey", max_degree=256
+    ).select(
+        "s1",
+        "s2",
+        F.col("common_nbrs").alias("common_parts"),
+        F.col("aa_score").alias("_aa"),
+    )
+    # distributed top-k (TakeOrderedAndProject) instead of a global
+    # rank window — the |supplier-pairs| aggregate never single-task
+    # sorts; row_number assigns rank on the 50-row survivor set only
+    top = scored.orderBy(
+        F.col("_aa").desc(), F.col("s1").asc(), F.col("s2").asc()
+    ).limit(50)
+    w_rank = Window.orderBy(
+        F.col("_aa").desc(), F.col("s1").asc(), F.col("s2").asc()
+    )
+    return (
+        top.withColumn("rn", F.row_number().over(w_rank))
+        .select(
+            "s1",
+            "s2",
+            "common_parts",
+            _fround(F.col("_aa"), 4).alias("aa_score"),
+            F.col("rn").cast("int").alias("rank"),
+        )
+    )
+
+
+def q_bfs_hop_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 graph BFS hop distance (completes the graph family next
+    to pagerank / triangles / components / Adamic-Adar): minimum hops
+    from a seed part set (one brand) over the co-order graph (parts
+    appearing in the same order). Three frontier expansions, each ONE
+    join against the distinct edge list + an anti-join against the
+    labeled set, with an eager lineage cut per round so the plan never
+    re-derives prior frontiers — the pagerank loop shape
+    (operators/graph.py::bfs_hops). Edge volume is sum(basket²): the
+    WIRED max_basket=64 lever drops orders with more distinct parts
+    than the cap from edge generation before the self-join (inactive
+    at tested SFs — max basket is 17 at sf0.1 — but ONE hot order on a
+    skewed 100× graph otherwise emits a quadratic clique; the oracle
+    mirrors the cap, and graph_degree_cap_report quantifies the
+    ladder). BFS order guarantees min-distance labels, matching the
+    oracle's min(d) over the bounded-depth recursion."""
+    from aproximacion_1_etl_spark.operators.graph import bfs_hops
+
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    edges = _co_order_edges(li, max_basket=64)
+    seeds = p.filter(F.col("p_brand") == "Brand#11").select(
+        F.col("p_partkey").alias("pk")
+    )
+    # edges already materialized by _co_order_edges — don't pay a
+    # second checkpoint of the same relation
+    state = bfs_hops(edges, seeds, max_hops=3, materialize_edges=False)
+    return state.select(
+        F.col("pk").cast("bigint").alias("p_partkey"),
+        F.col("dist").cast("int").alias("dist"),
+    )
+
+
+def q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 named connected components (generalizes the LSH-pair CC
+    inside dup_clusters to any edge relation —
+    operators/graph.py::connected_components): components of the
+    STRONG co-order graph (parts sharing >= 2 distinct orders, so an
+    edge means repeated association, not one-off co-purchase), each
+    node labeled with the minimum part key reachable from it.
+
+    Plan: the shared _co_order_edges build (max_basket=64 wedge lever)
+    feeds alternating min-label propagation with pointer jumping —
+    per round ONE join + one aggregate + one |V| shortcut self-join,
+    eager lineage cut, bit-exact changed probe; rounds ~ log2(graph
+    diameter) instead of diameter. The oracle is the full min-label
+    transitive closure (recursive CTE), so convergence — not just
+    plausible labels — is what's value-checked."""
+    from aproximacion_1_etl_spark.operators.graph import (
+        connected_components,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = _co_order_edges(li, max_basket=64, min_orders=2)
+    labels = connected_components(edges, "src", "dst", max_iterations=20)
+    return labels.select(
+        F.col("node").cast("bigint").alias("p_partkey"),
+        F.col("comp").cast("bigint").alias("component"),
+    )
+
+
+def q_graph_degree_cap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 wedge-volume capacity report — the sizing companion to
+    the graph family's frequent-prune levers (adamic_adar max_degree,
+    _co_order_edges max_basket): for each graph (part—supplier pivot
+    degrees; co-order basket sizes) and each cap on the 8..256 ladder,
+    how many pivots the cap drops and what fraction of the quadratic
+    wedge volume sum(d(d-1)/2) survives. This is the report an
+    operator reads to CHOOSE the cap before a 100× run — the levers
+    themselves are wired into the query plans.
+
+    Plan shape: each graph collapses to its |distinct degrees|-sized
+    histogram first (one aggregate per graph over an already-distinct
+    projection); the cap ladder cross-joins the tiny histogram
+    (broadcast, <= ~50 rows x 6 caps) and the report reduces that.
+    Wedge counts are exact integers (d(d-1) is even; DIV 2)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ps_deg = (
+        li.select("l_partkey", "l_suppkey")
+        .distinct()
+        .groupBy("l_partkey")
+        .agg(F.count("*").alias("d"))
+        .select(F.lit("part_supplier").alias("graph"), "d")
+    )
+    basket = (
+        li.select("l_orderkey", "l_partkey")
+        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.count("*").alias("d"))
+        .select(F.lit("co_order").alias("graph"), "d")
+    )
+    hist = (
+        ps_deg.unionByName(basket)
+        .groupBy("graph", "d")
+        .agg(F.count("*").alias("n"))
+    )
+    caps = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(c) for c in (8, 16, 32, 64, 128, 256)])
+        ).alias("cap")
+    )
+    wedges = F.expr("d * (d - 1) DIV 2")
+    j = hist.crossJoin(F.broadcast(caps))
+    kept = F.when(F.col("d") <= F.col("cap"), F.col("n") * wedges).otherwise(
+        F.lit(0)
+    )
+    return (
+        j.groupBy("graph", "cap")
+        .agg(
+            F.sum("n").cast("bigint").alias("pivots_total"),
+            F.sum(
+                F.when(F.col("d") > F.col("cap"), F.col("n")).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("bigint")
+            .alias("pivots_dropped"),
+            F.sum(F.col("n") * wedges).cast("bigint").alias("wedges_total"),
+            F.sum(kept).cast("bigint").alias("wedges_kept"),
+            _fround(
+                F.sum(kept).cast("double")
+                / F.sum(F.col("n") * wedges).cast("double"),
+                4,
+            ).alias("kept_frac"),
+        )
+        .select(
+            "graph",
+            F.col("cap").cast("int").alias("cap"),
+            "pivots_total",
+            "pivots_dropped",
+            "wedges_total",
+            "wedges_kept",
+            "kept_frac",
+        )
+    )
+
+
+def q_frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 frequent ITEM TRIPLES (the Apriori step past
+    basket_rules' pairs): 3-item co-occurrence counts from map-side
+    combination generation over each order's sorted item array —
+    never a 3-way basket self-join. The frequent-ITEM prune (>= 3
+    orders) runs first, so triple volume is sum(m'³) over PRUNED
+    basket sizes — the Apriori antimonotonicity lever that keeps the
+    explode bounded at 100 TB. Top-20 by exact support via
+    distributed TakeOrdered under a total (support, a, b, c) order."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    freq_items = (
+        op.groupBy("l_partkey")
+        .agg(F.count("*").alias("nf"))
+        .filter(F.col("nf") >= 3)
+        .select("l_partkey")
+    )
+    baskets = (
+        op.join(freq_items, "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("its"))
+        .filter(F.size("its") >= 3)
+    )
+    triples = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(its, (x, i) ->"
+                " flatten(transform(slice(its, i + 2, size(its)),"
+                " (y, j) -> transform(slice(its, i + j + 3,"
+                " size(its)), z -> struct(x AS a, y AS b,"
+                " z AS c))))))"
+            )
+        ).alias("t")
+    ).select(
+        F.col("t.a").alias("a"),
+        F.col("t.b").alias("b"),
+        F.col("t.c").alias("c"),
+    )
+    counts = triples.groupBy("a", "b", "c").agg(
+        F.count("*").cast("bigint").alias("support")
+    )
+    top = counts.orderBy(
+        F.col("support").desc(),
+        F.col("a").asc(),
+        F.col("b").asc(),
+        F.col("c").asc(),
+    ).limit(20)
+    w = Window.orderBy(
+        F.col("support").desc(),
+        F.col("a").asc(),
+        F.col("b").asc(),
+        F.col("c").asc(),
+    )
+    return top.select(
+        "a",
+        "b",
+        "c",
+        "support",
+        F.row_number().over(w).cast("int").alias("rank"),
+    )
+
+
+__all__ = [
+    "q_pagerank_suppliers",
+    "q_event_bigrams",
+    "q_type_cooccurrence",
+    "q_triangle_cooccurrence",
+    "q_basket_rules",
+    "q_adamic_adar_linkpred",
+    "q_bfs_hop_distance",
+    "q_graph_components",
+    "q_graph_degree_cap_report",
+    "q_frequent_triples",
+]

@@ -1,0 +1,949 @@
+"""Query catalog — profile domain (mechanically moved from queries.py)."""
+
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+from aproximacion_1_etl_spark.sources.tables import load_table
+from .common import *  # noqa: F401,F403
+
+
+
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 column-level data profiling (the deequ/dbt-docs surface):
+    one row per orders column — null count, exact distinct count, and
+    min/max rendered as strings. The profile any
+    ingestion gate diffs run-over-run before accepting a batch. Exact
+    distincts keep the key value-checkable; at 100 TB swap in
+    approx_count_distinct per column (sketch merge instead of exact
+    distinct state).
+
+    Built on the mergeable state helpers (functions/profile.py): a
+    moments pass (counts/nulls/typed extrema, one fused aggregation)
+    plus a stacked distinct-value pass. Two scans beat the previous
+    single-scan N-way ``countDistinct``: Catalyst's expand rewrite
+    multiplied every row by |columns| before aggregating — measured
+    3.3 s -> sub-second at sf0.1 for the same answer."""
+    from aproximacion_1_etl_spark.functions.profile import (
+        distinct_state,
+        profile_from_states,
+        profile_state,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    cols = [
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    ]
+    return profile_from_states(
+        profile_state(o, cols), distinct_state(o, cols), cols
+    )
+
+
+def q_incremental_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 MERGEABLE table profile — the run-over-run diff gate the
+    reference's daily loop (app.py:142-147) actually needs:
+    ``table_profile`` rescans the table; here the standing table's
+    profile state (1-row typed moments + a distinct-value relation,
+    functions/profile.py) absorbs a new day's batch WITHOUT rescanning
+    history — counts add, extrema min/max, distinct states union.
+    The last two months play the incoming batch; the emitted profile
+    is the MERGED one, and ``matches_full`` asserts per column that
+    merge == recompute (the oracle pins it TRUE, so a broken merge
+    algebra fails the hash gate, not just a pytest)."""
+    from aproximacion_1_etl_spark.functions.profile import (
+        distinct_state,
+        merge_profile_states,
+        profile_from_states,
+        profile_state,
+    )
+
+    cols = [
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    ]
+    o = load_table(spark, sf_dir, "orders")
+    hist = o.filter(F.col("o_orderdate") < "2001-06-01")
+    batch = o.filter(F.col("o_orderdate") >= "2001-06-01")
+
+    merged = profile_from_states(
+        merge_profile_states(
+            [profile_state(hist, cols), profile_state(batch, cols)], cols
+        ),
+        distinct_state(hist, cols)
+        .unionByName(distinct_state(batch, cols))
+        .distinct(),
+        cols,
+    )
+    full = profile_from_states(
+        profile_state(o, cols), distinct_state(o, cols), cols
+    )
+    f = full.select(
+        "column_name",
+        *[
+            F.col(c).alias("_f_" + c)
+            for c in ["n_rows", "n_null", "n_distinct", "min_str", "max_str"]
+        ],
+    )
+    same = (
+        (F.col("n_rows") == F.col("_f_n_rows"))
+        & (F.col("n_null") == F.col("_f_n_null"))
+        & (F.col("n_distinct") == F.col("_f_n_distinct"))
+        & F.col("min_str").eqNullSafe(F.col("_f_min_str"))
+        & F.col("max_str").eqNullSafe(F.col("_f_max_str"))
+    )
+    return merged.join(f, "column_name").select(
+        "column_name",
+        "n_rows",
+        "n_null",
+        "n_distinct",
+        "min_str",
+        "max_str",
+        same.alias("matches_full"),
+    )
+
+
+def q_numeric_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 profiling: equi-width numeric histogram of order totals —
+    20 buckets between the exact min/max, one aggregation for bounds
+    (broadcast back as two scalars) + one map-side bucket assignment +
+    one count aggregation. Bucket ids are pure IEEE arithmetic
+    (least(B, floor((x-lo)/w)+1)) so both engines bucket identically;
+    counts are mergeable (a daily batch's histogram adds into a
+    standing one bucket-wise, like every profile state here). At
+    100 TB this is the two-pass exact form; the one-pass approximate
+    form swaps the bounds pass for fixed domain knowledge."""
+    o = load_table(spark, sf_dir, "orders")
+    n_b = 20
+    bounds = o.agg(
+        F.min("o_totalprice").alias("_lo"), F.max("o_totalprice").alias("_hi")
+    )
+    w = (F.col("_hi") - F.col("_lo")) / F.lit(float(n_b))
+    bucketed = o.crossJoin(F.broadcast(bounds)).select(
+        F.least(
+            F.lit(n_b),
+            (F.floor((F.col("o_totalprice") - F.col("_lo")) / w) + 1).cast(
+                "int"
+            ),
+        ).alias("bucket"),
+        "_lo",
+        "_hi",
+    )
+    return (
+        bucketed.groupBy("bucket", "_lo", "_hi")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "bucket",
+            _fround(
+                F.col("_lo") + (F.col("bucket") - 1) * (
+                    (F.col("_hi") - F.col("_lo")) / F.lit(float(n_b))
+                ),
+                4,
+            ).alias("bucket_lo"),
+            _fround(
+                F.col("_lo") + F.col("bucket") * (
+                    (F.col("_hi") - F.col("_lo")) / F.lit(float(n_b))
+                ),
+                4,
+            ).alias("bucket_hi"),
+            F.col("n").cast("bigint").alias("n"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def q_incremental_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 MERGEABLE quantile estimation: per-day equi-width
+    histogram partials (the daily batch state) merge bucket-wise, and
+    p50/p90/p99 are interpolated from the merged state — no global
+    sort, no history rescan, O(|bins|) state. The estimate's error is
+    bounded by the bucket geometry (the located rank and the true
+    quantile can straddle at most adjacent buckets): |est - exact| <=
+    2 bucket widths. Following the engine's approx-sketch convention
+    (approx_distinct, heavy_hitters_cms), the hashed output carries
+    the EXACT quantile (engine-computable on both sides) plus the
+    boolean bound check — estimates themselves are representation-
+    specific, the bound is the contract. The cumulative walk is a
+    window over |bins| rows (512) — bounded, single light task. The
+    O(|bins|) state is materialized once on the driver (it IS the
+    thing a daily loop would persist) and the grand total falls out of
+    it as sum(n) — no extra count() pass over the facts."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("value").cast("double").alias("value"),
+        F.to_date("ts").alias("d"),
+    )
+    n_b = 512
+    b = ev.agg(
+        F.min("value").alias("_lo"), F.max("value").alias("_hi")
+    ).collect()[0]
+    lo, hi = float(b["_lo"]), float(b["_hi"])
+    width = (hi - lo) / n_b if hi > lo else 1.0
+
+    # per-day partial histograms, then the bucket-wise state merge
+    part = (
+        ev.select("d", _hist_bucket(F.col("value"), lo, width, n_b)
+                  .alias("bucket"))
+        .groupBy("d", "bucket")
+        .agg(F.count("*").alias("n"))
+    )
+    state = (
+        part.groupBy("bucket")
+        .agg(F.sum("n").cast("bigint").alias("n"))
+        .collect()
+    )
+    total = sum(r["n"] for r in state)
+    merged = spark.createDataFrame(state, "bucket INT, n BIGINT")
+    return _histogram_quantile_report(
+        _cum_hist(merged), ev, lo, width, total
+    )
+
+
+def q_event_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (linear interpolation) per event_type — the
+    built-in JVM `percentile` aggregate; for 100 TB dashboards swap in
+    `approx_percentile` (t-digest, single-pass mergeable sketch)."""
+    ev = load_table(spark, sf_dir, "events")
+    q = F.percentile("value", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
+    return ev.groupBy("event_type").agg(
+        _fround(q[0], 4).alias("p50"),
+        _fround(q[1], 4).alias("p90"),
+        _fround(q[2], 4).alias("p99"),
+    )
+
+
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL) with a value-checked error contract:
+    estimates themselves are engine-specific (DuckDB's HLL differs), so
+    the hashed output carries the EXACT distinct count plus a boolean
+    asserting the estimate landed within 3x the configured rsd (default
+    0.05 -> 15% bound; measured 6.7% at sf0.1). The oracle emits the
+    same exact counts and TRUE — a failed bound fails the driver gate,
+    not just a pytest."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("est"),
+        F.countDistinct("user_id").alias("n_exact"),
+    ).select(
+        "event_type",
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        (
+            F.abs(F.col("est") - F.col("n_exact"))
+            <= F.lit(0.15) * F.col("n_exact")
+        ).alias("est_ok"),
+    )
+
+
+def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 extension: reproducible 5% key-hash sample (no shuffle in
+    the sample itself — narrow filter on an md5 prefix) rolled up per
+    lang. Stable across runs/engines/partitionings, unlike df.sample."""
+    from aproximacion_1_etl_spark.functions.sampling import (
+        deterministic_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return deterministic_sample(docs, "doc_id", 0.05).groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_sampled"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+    )
+
+
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 extension: leak-proof 80/10/10 train/val/test split by key
+    hash — the same doc lands in the same split every run."""
+    from aproximacion_1_etl_spark.functions.sampling import split_column
+
+    docs = load_table(spark, sf_dir, "documents")
+    labeled = docs.select(
+        "*",
+        split_column(
+            F.col("doc_id"), {"train": 0.8, "val": 0.1, "test": 0.1}
+        ),
+    )
+    return labeled.groupBy("split").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+    )
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 extension: per-stratum deterministic sampling (sampleBy
+    equivalent): downsample dominant 'en' to 20%, keep 50% of 'es';
+    other langs dropped. Narrow filter; no shuffle until the rollup."""
+    from aproximacion_1_etl_spark.functions.sampling import (
+        stratified_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        stratified_sample(
+            docs, "doc_id", "lang", {"en": 0.2, "es": 0.5}
+        )
+        .groupBy("lang")
+        .agg(F.count("*").cast("bigint").alias("n_sampled"))
+    )
+
+
+def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass column profiler over orders: nulls + exact distinct
+    per column in one aggregation job."""
+    from aproximacion_1_etl_spark.functions.profile import column_profile
+
+    o = load_table(spark, sf_dir, "orders")
+    return column_profile(
+        o, ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+    )
+
+
+def q_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 mergeable-sketch distinct counts with a value-checked error
+    contract: per-source HyperLogLog sketches over document tokens,
+    merged with hll_union_agg into a corpus-wide estimate WITHOUT
+    re-scanning — the map-side-combinable sketch pattern that replaces
+    count(DISTINCT) at 100 TB. Because estimates are engine-specific,
+    the hashed output carries the EXACT distinct counts (computed here
+    purely to make the accuracy claim driver-checkable; a production
+    run would emit only the estimate) plus a boolean asserting the
+    estimate is within 5% (lgConfigK=12 -> rsd ~1.6%)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    est_ok = (
+        F.abs(F.col("est") - F.col("n_exact"))
+        <= F.greatest(F.lit(2.0), F.lit(0.05) * F.col("n_exact"))
+    ).alias("est_ok")
+    per_source = toks.groupBy("source").agg(
+        F.hll_sketch_agg("tok").alias("sk"),
+        F.count("*").alias("n_tokens"),
+        F.countDistinct("tok").alias("n_exact"),
+    )
+    per = per_source.select(
+        "source",
+        "n_tokens",
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        F.hll_sketch_estimate("sk").alias("est"),
+    ).select("source", "n_tokens", "n_exact", est_ok)
+    all_row = (
+        per_source.agg(
+            F.sum("n_tokens").alias("n_tokens"),
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
+        )
+        .crossJoin(
+            F.broadcast(toks.agg(F.countDistinct("tok").alias("n_exact")))
+        )
+        .select(
+            F.lit("ALL").alias("source"),
+            "n_tokens",
+            F.col("n_exact").cast("bigint").alias("n_exact"),
+            est_ok,
+        )
+    )
+    return per.unionByName(all_row)
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 importance-weighted data mixing: A-ES weighted sampling
+    without replacement — top 25 documents per language, selection
+    probability proportional to length (functions/sampling.py::
+    weighted_sample_topk). Deterministic by key hash, so the oracle
+    reproduces the identical sample."""
+    from aproximacion_1_etl_spark.functions.sampling import (
+        weighted_sample_topk,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    picked = weighted_sample_topk(
+        docs, key_col="doc_id", weight_col="n_chars", k=25, strata_col="lang"
+    )
+    return picked.select(
+        "lang", "doc_id", _fround(F.col("sample_score"), 6).alias("score")
+    )
+
+
+def q_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order statistics family (§2.6): discrete percentiles
+    (percentile_disc picks an actual data value — deterministic, unlike
+    interpolating percentile_cont at engine boundaries is), median, and
+    extremes per event type."""
+    from aproximacion_1_etl_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               percentile_disc(0.25) WITHIN GROUP (ORDER BY value) AS p25,
+               percentile_disc(0.5)  WITHIN GROUP (ORDER BY value) AS p50,
+               percentile_disc(0.9)  WITHIN GROUP (ORDER BY value) AS p90,
+               min(value) AS vmin, max(value) AS vmax
+        FROM events GROUP BY event_type
+        """
+    )
+
+
+def q_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 extension — per-brand Pareto frontier of parts trading off
+    price (minimize) against size (maximize). Bucket-pruned one-pass
+    skyline (operators/skyline.py) — dedup to distinct pairs, window
+    per (brand, price-bucket), cross-bucket prune on the bucket
+    summary; the oracle is the quadratic NOT EXISTS dominance test the
+    operator avoids.
+    """
+    from aproximacion_1_etl_spark.operators.skyline import pareto_frontier_2d
+
+    p = load_table(spark, sf_dir, "part")
+    front = pareto_frontier_2d(
+        p, minimize="p_retailprice", maximize="p_size", by=["p_brand"]
+    )
+    return front.select(
+        "p_brand",
+        _fround(F.col("p_retailprice"), 2).alias("price"),
+        F.col("p_size").cast("int").alias("size"),
+        F.col("n_rows").cast("bigint").alias("n_parts"),
+    )
+
+
+def q_skyline_pareto_3d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 extension — k-D (here 3-D) Pareto frontier per part type:
+    minimize price, maximize size AND name length (the stand-in third
+    attribute on the catalog-shaped part table). Grid skyline
+    (operators/skyline.py::pareto_frontier_kd): equi-depth bucket every
+    dimension, prune whole grid cells dominated cell-vs-cell, run the
+    quadratic dominance kernel only inside surviving cells, then over
+    the frontier-sized candidate union — never over the raw relation.
+    The oracle is the all-pairs NOT EXISTS the operator avoids."""
+    from aproximacion_1_etl_spark.operators.skyline import pareto_frontier_kd
+
+    p = load_table(spark, sf_dir, "part").select(
+        "p_type",
+        F.col("p_retailprice").alias("price"),
+        F.col("p_size").cast("int").alias("size"),
+        F.length("p_name").cast("int").alias("name_len"),
+    )
+    front = pareto_frontier_kd(
+        p,
+        minimize=["price"],
+        maximize=["size", "name_len"],
+        by=["p_type"],
+    )
+    return front.select(
+        "p_type",
+        _fround(F.col("price"), 2).alias("price"),
+        F.col("size").cast("int").alias("size"),
+        F.col("name_len").cast("int").alias("name_len"),
+        F.col("n_rows").cast("bigint").alias("n_parts"),
+    )
+
+
+def q_incremental_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6/§2.10 extension — INCREMENTAL Pareto frontier: the skyline
+    is a mergeable state (frontier(A ∪ B) = frontier(frontier(A) ∪
+    frontier(B)) — a point dominated inside a batch is dominated by a
+    batch-mate that itself reaches the union), so a daily catalog drop
+    folds into the standing frontier at O(batch + |frontier|) with no
+    history rescan — the same state-outlives-the-batch shape as the
+    profile and dedup stores. Three deterministic part-table batches
+    each compute a local 3-D frontier; the merge re-frontiers the
+    union of partials with counts SUMMED per tuple (a tuple on the
+    final frontier survives every batch it appears in, so its partial
+    counts must add). The oracle is the all-pairs NOT EXISTS over the
+    FULL table — merged must equal recomputed."""
+    from aproximacion_1_etl_spark.operators.skyline import pareto_frontier_kd
+
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_type",
+        F.col("p_retailprice").alias("price"),
+        F.col("p_size").cast("int").alias("size"),
+        F.length("p_name").cast("int").alias("name_len"),
+    )
+    partials = [
+        pareto_frontier_kd(
+            p.filter(F.col("p_partkey") % 3 == i),
+            minimize=["price"],
+            maximize=["size", "name_len"],
+            by=["p_type"],
+        )
+        for i in range(3)
+    ]
+    u = partials[0]
+    for f in partials[1:]:
+        u = u.unionByName(f)
+    front = pareto_frontier_kd(
+        u,
+        minimize=["price"],
+        maximize=["size", "name_len"],
+        by=["p_type"],
+        weight_col="n_rows",
+    )
+    return front.select(
+        "p_type",
+        _fround(F.col("price"), 2).alias("price"),
+        F.col("size").cast("int").alias("size"),
+        F.col("name_len").cast("int").alias("name_len"),
+        F.col("n_rows").cast("bigint").alias("n_parts"),
+    )
+
+
+def q_hll_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 sliding-window distinct counts from MERGED DAILY SKETCH
+    PARTIALS: per-(event_type, day) HyperLogLog sketches over user_id,
+    then a 7-day trailing distinct-user estimate per day computed by
+    union-merging at most 7 of those sketches in a RANGE window —
+    never re-scanning raw events per window position. This is the 100
+    TB shape of "rolling 7-day active users": the persisted artifact
+    is |types|x|days| sketch rows (~4 KB each); each new day costs one
+    partial over that day's events plus a 7-sketch merge, where the
+    naive form re-scans a week of raw facts per day. Like
+    hll_sketch_union, the hashed output carries the EXACT trailing
+    distinct count (computed here only so the accuracy claim is
+    driver-checkable) plus a boolean asserting the sketch estimate is
+    within max(2, 5%) of it."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day"), "user_id"
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    return _hll_trailing_report(daily, ev)
+
+
+def q_segment_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 pairwise audience overlap between segments via
+    INCLUSION-EXCLUSION ON SKETCHES: one HLL sketch of user_id per
+    event_type segment, then |A∩B| ≈ est(A) + est(B) - est(A∪B) with
+    the union estimated by the binary ``hll_union`` of the two stored
+    sketches. The all-pairs overlap matrix costs a |segments|²
+    sketch-level join (tiny rows) — the raw facts are scanned ONCE to
+    build the sketches, where the naive form re-joins the fact table
+    per pair. The exact per-pair intersection/Jaccard (a distinct
+    self-join) is computed here only so the accuracy claim is
+    driver-checkable; est_ok asserts the sketch-derived intersection
+    is within max(3, 5% of the exact union) — the I-E error compounds
+    three estimates, each bounded by the union's cardinality."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    seg = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.countDistinct("user_id").alias("n_seg"),
+    )
+    pairs = (
+        seg.alias("a")
+        .join(
+            F.broadcast(seg.alias("b")),
+            F.col("a.event_type") < F.col("b.event_type"),
+        )
+        .select(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+            F.col("a.n_seg").cast("bigint").alias("n_a"),
+            F.col("b.n_seg").cast("bigint").alias("n_b"),
+            (
+                F.hll_sketch_estimate("a.sk")
+                + F.hll_sketch_estimate("b.sk")
+                - F.hll_sketch_estimate(F.hll_union("a.sk", "b.sk"))
+            ).alias("est_inter"),
+        )
+    )
+    du = ev.distinct()
+    inter = (
+        du.alias("x")
+        .join(
+            du.alias("y"),
+            (F.col("x.user_id") == F.col("y.user_id"))
+            & (F.col("x.event_type") < F.col("y.event_type")),
+        )
+        .groupBy(
+            F.col("x.event_type").alias("type_a"),
+            F.col("y.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_inter"))
+    )
+    n_union = F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    return pairs.join(inter, ["type_a", "type_b"]).select(
+        "type_a",
+        "type_b",
+        "n_a",
+        "n_b",
+        "n_inter",
+        _fround(F.col("n_inter") / n_union.cast("double"), 4).alias(
+            "jaccard"
+        ),
+        (
+            F.abs(F.col("est_inter") - F.col("n_inter"))
+            <= F.greatest(F.lit(3.0), F.lit(0.05) * n_union)
+        ).alias("est_ok"),
+    )
+
+
+def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch RE-AGGREGABILITY along a dimension hierarchy: ONE
+    per-(type, day) HLL sketch table serves every rollup level — per
+    type (days merged), per day (types merged), and grand total — by
+    hll_union_agg alone, never returning to the raw facts. This is
+    what makes sketch tables the 100 TB answer to count(DISTINCT)
+    cubes: a |types|x|days| sketch relation replaces a fact scan per
+    grouping set. The exact sides (one GROUPING SETS pass, computed
+    only for the driver-checkable bound) mirror DuckDB's; est_ok is
+    the hll_sketch_union contract (within max(2, 5%))."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day"), "user_id"
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    by_type = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    ).select(
+        F.lit("by_type").alias("level"),
+        "event_type",
+        F.lit("ALL").alias("day"),
+        "est",
+    )
+    by_day = daily.groupBy("day").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    ).select(
+        F.lit("by_day").alias("level"),
+        F.lit("ALL").alias("event_type"),
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "est",
+    )
+    grand = daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    ).select(
+        F.lit("grand").alias("level"),
+        F.lit("ALL").alias("event_type"),
+        F.lit("ALL").alias("day"),
+        "est",
+    )
+    ests = by_type.unionByName(by_day).unionByName(grand)
+    # one GROUPING SETS pass for exactly the three needed exact levels
+    # (verification only) — a cube would Expand every row 4x and the
+    # finest (event_type, day) cells would be filtered straight back
+    # out; grouping_id (not NULL-sniffing) names the level robustly
+    exact = (
+        ev.groupingSets(
+            [["event_type"], ["day"], []], "event_type", "day"
+        )
+        .agg(
+            F.countDistinct("user_id").alias("n_exact"),
+            F.grouping_id().alias("_gid"),
+        )
+        .select(
+            F.when(F.col("_gid") == 1, F.lit("by_type"))
+            .when(F.col("_gid") == 2, F.lit("by_day"))
+            .otherwise(F.lit("grand"))
+            .alias("level"),
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce(
+                F.date_format("day", "yyyy-MM-dd"), F.lit("ALL")
+            ).alias("day"),
+            "n_exact",
+        )
+    )
+    return ests.join(exact, ["level", "event_type", "day"]).select(
+        "level",
+        "event_type",
+        "day",
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        (
+            F.abs(F.col("est") - F.col("n_exact"))
+            <= F.greatest(F.lit(2.0), F.lit(0.05) * F.col("n_exact"))
+        ).alias("est_ok"),
+    )
+
+
+def q_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-GROUP mergeable quantiles (the SLA-report shape: p50/p90/p99
+    latency per event_type) from per-(group, bucket) histogram state —
+    the grouped form of incremental_quantiles: one partial aggregation
+    buckets every row against its GROUP's geometry (per-group lo/width
+    from one bounds pass, broadcast back), the state is
+    |groups|x|bins| rows, and every group's quantiles interpolate from
+    it with one cumulative window partitioned by group — no global or
+    per-group sort of the facts, no per-group job. The oracle carries
+    the exact per-group percentiles plus the same provable
+    order-statistic bound; tolerances ride per-row since width varies
+    by group."""
+    import math
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", F.col("value").cast("double").alias("value"))
+        # NULL values would otherwise corrupt the state: count(*) counts
+        # them while percentile()/the rank lookup skip them, and the
+        # (group, NULL)-bucket row sorts first under the cumulative
+        # window, inflating cum_before for every real bucket. Dropping
+        # them up front matches DuckDB's quantile_cont NULL semantics.
+        .filter(F.col("value").isNotNull())
+    )
+    n_b = 256
+    bounds = ev.groupBy("event_type").agg(
+        F.min("value").alias("_lo"),
+        F.max("value").alias("_hi"),
+        F.count("*").alias("_n"),
+    ).withColumn(
+        "_w",
+        F.when(
+            F.col("_hi") > F.col("_lo"),
+            (F.col("_hi") - F.col("_lo")) / F.lit(float(n_b)),
+        ).otherwise(F.lit(1.0)),
+    )
+    bucketed = ev.join(F.broadcast(bounds), "event_type").select(
+        "event_type",
+        F.least(
+            F.lit(n_b),
+            (
+                F.floor((F.col("value") - F.col("_lo")) / F.col("_w"))
+                + 1
+            ).cast("int"),
+        ).alias("bucket"),
+    )
+    state = bucketed.groupBy("event_type", "bucket").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = state.withColumn("cum", F.sum("n").over(w_cum)).withColumn(
+        "cum_before", F.col("cum") - F.col("n")
+    )
+    qs = spark.createDataFrame(
+        [(0.5,), (0.9,), (0.99,)], "q DOUBLE"
+    )
+    located = (
+        cum.join(F.broadcast(bounds), "event_type")
+        .crossJoin(F.broadcast(qs))
+        .withColumn(
+            "_r", F.col("q") * (F.col("_n") - 1).cast("double") + 1.0
+        )
+        .filter(
+            (F.col("cum_before") < F.col("_r"))
+            & (F.col("_r") <= F.col("cum"))
+        )
+        .select(
+            "event_type",
+            "q",
+            "_n",
+            "_w",
+            (
+                F.col("_lo")
+                + (F.col("bucket") - 1) * F.col("_w")
+                + (F.col("_r") - F.col("cum_before"))
+                / F.col("n")
+                * F.col("_w")
+            ).alias("est"),
+        )
+    )
+    # exact side (VERIFICATION ONLY — production serves `est` from the
+    # state): interpolated per-group percentiles for the report, and
+    # the x_floor(r)/x_ceil(r) ORDER STATISTICS for the bound — the
+    # provable one (est within one width of both); a bound against the
+    # interpolated exact would be false for gapped data (see
+    # _histogram_quantile_report). Fractions vary per group (n
+    # differs), so the order statistics come from a rank lookup, which
+    # sorts facts per group on this verification path only.
+    ex = ev.groupBy("event_type").agg(
+        F.expr(
+            "percentile(value, array(0.5D, 0.9D, 0.99D))"
+        ).alias("ex")
+    )
+    qpos = spark.createDataFrame(
+        [(0.5, 1), (0.9, 2), (0.99, 3)], "q DOUBLE, i INT"
+    )
+    exact = ex.crossJoin(F.broadcast(qpos)).select(
+        "event_type", "q", F.element_at("ex", F.col("i")).alias("exact_value")
+    )
+    w_rank = Window.partitionBy("event_type").orderBy("value")
+    ranked = ev.withColumn("rn", F.row_number().over(w_rank))
+    targets = (
+        bounds.select("event_type", "_n")
+        .crossJoin(F.broadcast(qs))
+        .withColumn(
+            "_r", F.col("q") * (F.col("_n") - 1).cast("double") + 1.0
+        )
+        .select(
+            "event_type",
+            "q",
+            F.floor("_r").cast("int").alias("rn_lo"),
+            F.ceil("_r").cast("int").alias("rn_hi"),
+        )
+    )
+    os_stats = (
+        ranked.alias("r")
+        .join(
+            F.broadcast(targets.alias("t")),
+            (F.col("r.event_type") == F.col("t.event_type"))
+            & (
+                (F.col("r.rn") == F.col("t.rn_lo"))
+                | (F.col("r.rn") == F.col("t.rn_hi"))
+            ),
+        )
+        .groupBy(
+            F.col("t.event_type").alias("event_type"),
+            F.col("t.q").alias("q"),
+        )
+        .agg(
+            F.min(
+                F.when(
+                    F.col("r.rn") == F.col("t.rn_lo"), F.col("r.value")
+                )
+            ).alias("x_lo"),
+            F.max(
+                F.when(
+                    F.col("r.rn") == F.col("t.rn_hi"), F.col("r.value")
+                )
+            ).alias("x_hi"),
+        )
+    )
+    joined = located.join(exact, ["event_type", "q"]).join(
+        os_stats, ["event_type", "q"]
+    )
+    tol = F.col("_w") + F.lit(1e-6)
+    return joined.select(
+        "event_type",
+        "q",
+        _fround(F.col("exact_value"), 4).alias("exact_value"),
+        (
+            (F.col("est") >= F.col("x_lo") - tol)
+            & (F.col("est") <= F.col("x_hi") + tol)
+        ).alias("est_ok"),
+    )
+
+
+def q_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 WEIGHTED quantiles per group — the quantity-weighted price
+    percentiles per return flag ("the median price a UNIT actually
+    sold at", not the median line), completing the quantile family
+    next to grouped_quantiles (unweighted) and incremental_quantiles.
+    One cumulative-weight window per group over the facts ordered by
+    value; the lower weighted q-quantile is the smallest value whose
+    cumulative weight reaches q*W. Weights stay decimal end to end and
+    the threshold test is cross-multiplied by q's exact rational form
+    (cw*den >= tw*num), so the crossing row — hence the result — is
+    engine-identical with zero float rank math. Tie-order inside equal
+    values cannot change the answer (the selected value is the run's
+    value wherever the crossing lands). Same shuffle count as any
+    per-group window; no global sort."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("v"),
+        F.col("l_quantity").cast("decimal(38,12)").alias("w"),
+    )
+    wc = (
+        Window.partitionBy("flag")
+        .orderBy(F.col("v").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = li.select(
+        "flag",
+        "v",
+        F.sum("w").over(wc).alias("cw"),
+        F.sum("w").over(Window.partitionBy("flag")).alias("tw"),
+    )
+
+    return cum.groupBy("flag").agg(
+        F.count("*").cast("bigint").alias("n_lines"),
+        F.max("tw").cast("bigint").alias("total_qty"),
+        _fround(_crossing_pick("v", 1, 2), 2).alias("wp50"),
+        _fround(_crossing_pick("v", 9, 10), 2).alias("wp90"),
+    )
+
+
+def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 WINSORIZED moments per series (the robust-mean complement
+    of robust_stats' median/MAD): values clamped at the exact
+    empirical p05/p95 — both cut points selected by the crossing-row
+    rule on the per-(type, value) count aggregate (cum*20 >= tot*k
+    integer cross-multiplication, so the cut can't flap between
+    engines) — then decimal-exact mean/std of the clamped column. Two
+    passes over the facts (cuts, then clamp+moments), the cut relation
+    broadcasts back; no sort of the facts."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", F.col("value").cast("double").alias("v"))
+        .filter(F.col("v").isNotNull())
+    )
+    counts = ev.groupBy("event_type", "v").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = counts.select(
+        "event_type",
+        "v",
+        F.sum("c").over(w_cum).alias("cw"),
+        F.sum("c").over(Window.partitionBy("event_type")).alias("tw"),
+    )
+    cuts = cum.groupBy("event_type").agg(
+        _crossing_pick("v", 1, 20).alias("lo_cut"),
+        _crossing_pick("v", 19, 20).alias("hi_cut"),
+    )
+    clamped = ev.join(F.broadcast(cuts), "event_type").select(
+        "event_type",
+        "lo_cut",
+        "hi_cut",
+        F.least(F.greatest(F.col("v"), F.col("lo_cut")), F.col("hi_cut")).alias(
+            "cv"
+        ),
+    )
+    g = clamped.groupBy("event_type", "lo_cut", "hi_cut").agg(
+        F.count("*").cast("double").alias("nn"),
+        F.sum(F.col("cv").cast("decimal(38,18)")).cast("double").alias("s"),
+        F.sum((F.col("cv") * F.col("cv")).cast("decimal(38,18)"))
+        .cast("double")
+        .alias("q"),
+    )
+    mean = F.col("s") / F.col("nn")
+    std = F.sqrt(
+        (F.col("q") / F.col("nn") - mean * mean)
+        * (F.col("nn") / (F.col("nn") - F.lit(1.0)))
+    )
+    return g.select(
+        "event_type",
+        F.col("nn").cast("bigint").alias("n"),
+        _fround(F.col("lo_cut"), 4).alias("lo_cut"),
+        _fround(F.col("hi_cut"), 4).alias("hi_cut"),
+        _fround(mean, 4).alias("wins_mean"),
+        _fround(std, 4).alias("wins_std"),
+    )
+
+
+__all__ = [
+    "q_table_profile",
+    "q_incremental_profile",
+    "q_numeric_histogram",
+    "q_incremental_quantiles",
+    "q_event_value_quantiles",
+    "q_approx_distinct",
+    "q_deterministic_sample",
+    "q_train_test_split",
+    "q_stratified_sample",
+    "q_column_profile",
+    "q_hll_sketch_union",
+    "q_weighted_sample",
+    "q_robust_stats",
+    "q_skyline_pareto",
+    "q_skyline_pareto_3d",
+    "q_incremental_skyline",
+    "q_hll_sliding_distinct",
+    "q_segment_overlap_sketch",
+    "q_hll_rollup",
+    "q_grouped_quantiles",
+    "q_weighted_quantiles",
+    "q_winsorized_stats",
+]

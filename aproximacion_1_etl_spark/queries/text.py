@@ -1,0 +1,1797 @@
+"""Query catalog — text domain (mechanically moved from queries.py)."""
+
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+from aproximacion_1_etl_spark.sources.tables import load_table
+from aproximacion_1_etl_spark.text.analysis import (
+    fingerprint,
+    lang_id,
+    quality_score,
+    regex_token_count,
+    token_count,
+)
+from aproximacion_1_etl_spark.text.dedup import (
+    dedup_clusters,
+    exact_dedup,
+    minhash_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    word_shingles,
+)
+from .common import *  # noqa: F401,F403
+
+
+
+def q_top_tokens_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token frequency: explode lowercase tokens, count per (lang,
+    token), keep the top 5 per language (rank window with count-desc /
+    token-asc tiebreak). The canonical corpus-stats shape: map-side
+    explode -> one partial-agged shuffle -> small per-group window."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), "\\s+")).alias(
+            "token"
+        ),
+    ).filter(F.col("token") != "")
+    counts = toks.groupBy("lang", "token").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("lang").orderBy(
+        F.col("n").desc(), F.col("token").asc()
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("lang", "token", "n", F.col("rank").cast("bigint").alias("rank"))
+    )
+
+
+def q_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 UDTF surface: a Python user-defined TABLE function (Spark
+    3.5+/4.x) splitting each document into numbered sentences via a
+    LATERAL join — the FlatMap-with-multiple-outputs shape of the
+    reference's Beam generators (`src/2_...py:73-110`) as a first-class
+    SQL table function."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sent_idx BIGINT, sentence STRING")
+    class SplitSentences:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for i, s in enumerate(text.split(". ")):
+                if s:
+                    yield i + 1, s
+
+    spark.udtf.register("split_sentences", SplitSentences)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "docs_for_udtf"
+    )
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.sent_idx, s.sentence
+        FROM docs_for_udtf d, LATERAL split_sentences(d.text) s
+        """
+    )
+
+
+def q_rolling_hash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling (polynomial) hash fingerprint per document: fold
+    acc = (acc*31 + codepoint) mod 1e9+7 over every character — exact
+    BIGINT arithmetic JVM-side via a higher-order aggregate (no UDF),
+    order-sensitive unlike the bag-of-tokens fingerprint in
+    text_profile."""
+    docs = load_table(spark, sf_dir, "documents")
+    chars = F.regexp_extract_all(F.col("text"), F.lit(r"[\s\S]"), 0)
+    rolled = F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * F.lit(31).cast("long") + F.ascii(ch))
+        % F.lit(1000000007).cast("long"),
+    )
+    return docs.select(
+        "doc_id",
+        rolled.alias("rolling_hash"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    )
+
+
+# ----------------------------------------------------------- north star
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10: exact dedup — one survivor per normalized-content sha256 hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup(docs)
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10: MinHash+LSH near-dup candidate pairs (shingle -> banded minhash -> bucket self-join)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = word_shingles(docs, n=3, distinct=False)
+    sigs = minhash_signatures(sh, bands=8)
+    return minhash_candidate_pairs(sigs, bands=8, min_matching_bands=2)
+
+
+def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 flagship composite: the end-to-end training-corpus
+    pipeline — quality-score every doc, gate at 0.5, keep one survivor
+    (min id) per normalized-content hash, assign a leak-proof 80/10/10
+    split by key hash, roll up per (split, lang).
+
+    Scale shape: one narrow scoring pass, one shuffle on the 256-bit
+    content hash (uniform), one final rollup — no driver-side state."""
+    from aproximacion_1_etl_spark.functions.sampling import split_column
+    from aproximacion_1_etl_spark.text.analysis import quality_score
+    from aproximacion_1_etl_spark.text.dedup import normalized
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        quality_score(F.col("text")).alias("quality"),
+        F.sha2(normalized(F.col("text")), 256).alias("content_hash"),
+    )
+    good = scored.filter(F.col("quality") >= 0.5)
+    w = Window.partitionBy("content_hash")
+    survivors = good.withColumn(
+        "keep_id", F.min("doc_id").over(w)
+    ).filter(F.col("doc_id") == F.col("keep_id"))
+    labeled = survivors.select(
+        "lang",
+        "quality",
+        split_column(
+            F.col("doc_id"), {"train": 0.8, "val": 0.1, "test": 0.1}
+        ),
+    )
+    return labeled.groupBy("split", "lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        _dsum(F.col("quality"), 4).alias("sum_quality"),
+    )
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10: SimHash 16-bit signatures per doc (near-dups differ in few bits)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash(docs, bits=16)
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10: exact 3-gram Jaccard similarity for docs sharing a shingle (LSH verification stage)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = word_shingles(docs, n=3)
+    return ngram_jaccard_pairs(sh, threshold=0.3)
+
+
+def q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 asymmetric CONTAINMENT detection (doc-in-doc — quoted
+    posts, mirrors with boilerplate): |inner ∩ outer| / |inner| >= 0.9
+    over 3-gram shingle sets (text/dedup.py::containment_pairs). The
+    directional ratio catches what Jaccard dilutes away when sizes
+    differ. Candidates come from the rarity-ordered PREFIX join
+    (provably complete for the rounded >= 0.9 rule), so a boilerplate
+    trigram shared by millions of docs fans out against only the few
+    docs rare enough to carry it in their prefix — the hot-shingle
+    defense the unblocked self-join lacked; each candidate is then
+    verified exactly on the docs' shingle arrays."""
+    from aproximacion_1_etl_spark.text.dedup import (
+        containment_pairs,
+        word_shingles,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = word_shingles(docs, n=3)
+    return containment_pairs(sh, threshold=0.9)
+
+
+def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10: per-doc text analytics — token counts, BPE-ish tokens, language-ID, quality score, fingerprint."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        token_count(t).cast("bigint").alias("n_tokens"),
+        regex_token_count(t).cast("bigint").alias("n_bpe_tokens"),
+        lang_id(t).alias("lang_pred"),
+        quality_score(t).alias("quality"),
+        fingerprint(t).alias("fingerprint"),
+    )
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language top-5 TF-IDF terms over the documents corpus."""
+    from aproximacion_1_etl_spark.text.analysis import tfidf_top_terms
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, top_k=5)
+
+
+def q_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 quality: intra-doc duplicate 3-gram ratio (Gopher-style
+    repetition filter signal) per document."""
+    from aproximacion_1_etl_spark.text.dedup import repetition_profile
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_profile(docs, n=3)
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10: benchmark decontamination — corpus docs sharing >= 3
+    distinct 5-grams with the held-out 'benchmark' slice (source =
+    src0), benchmark side broadcast."""
+    from aproximacion_1_etl_spark.text.dedup import decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("source") != "src0")
+    benchmark = docs.filter(F.col("source") == "src0")
+    return decontaminate(corpus, benchmark, n=5, min_shared=3)
+
+
+def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-length histogram: 100-char buckets with per-bucket counts
+    and char totals — the size-distribution profile a corpus curation
+    pass starts from."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(
+            F.floor(F.col("n_chars") / 100).cast("bigint").alias("bucket")
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.min("n_chars").cast("bigint").alias("min_chars"),
+            F.max("n_chars").cast("bigint").alias("max_chars"),
+        )
+    )
+
+
+def q_near_dup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 composite: the canonical two-stage near-dup pipeline at
+    scale — MinHash-LSH candidate generation (sub-quadratic) followed
+    by exact 3-gram Jaccard verification computed ONLY for candidate
+    pairs. The verify join fans each candidate pair out to its shingle
+    intersections; cost is |candidates| x avg-shingles, never
+    |docs|^2."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(word_shingles(docs, distinct=False))
+    cands = minhash_candidate_pairs(sigs, min_matching_bands=2)
+    sh = word_shingles(docs, distinct=True)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    sa = sh.select(F.col("doc_id").alias("a_id"), F.col("shingle").alias("a_sh"))
+    sb = sh.select(F.col("doc_id").alias("b_id"), F.col("shingle").alias("b_sh"))
+    inter = (
+        cands.join(sa, cands["doc_a"] == sa["a_id"])
+        .join(sb, (cands["doc_b"] == sb["b_id"]) & (F.col("a_sh") == F.col("b_sh")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    za = sizes.select(F.col("doc_id").alias("za_id"), F.col("sz").alias("sz_a"))
+    zb = sizes.select(F.col("doc_id").alias("zb_id"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(F.broadcast(za), inter["doc_a"] == za["za_id"])
+        .join(F.broadcast(zb), inter["doc_b"] == zb["zb_id"])
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.floor(
+                    F.col("n_inter")
+                    / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter"))
+                    * F.lit(1000000.0)
+                    + F.lit(0.5)
+                )
+                / F.lit(1000000.0)
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.6)
+        .select(
+            "doc_a",
+            "doc_b",
+            _fround(F.col("jaccard"), 4).alias("jaccard"),
+        )
+    )
+
+
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10: near-dup CLUSTER assignment — MinHash-LSH candidate pairs
+    (as in near_dup_verified) closed under transitivity via iterative
+    min-label connected components, yielding (doc_id, cluster_id, keep)
+    where exactly one doc per cluster is kept. This is the decision
+    step of corpus dedup: A~B and B~C collapse to one kept doc even
+    when A~C never met in any LSH bucket."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(word_shingles(docs, distinct=False))
+    cands = minhash_candidate_pairs(sigs, min_matching_bands=2)
+    return dedup_clusters(cands)
+
+
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build (posting lists) over the document corpus:
+    token -> document frequency + the first 10 posting doc_ids. The
+    exploded (token, doc) stream reduces map-side before the single
+    shuffle on token; posting arrays are bounded with slice so no
+    unbounded collect_set blows executor memory at 100 TB (cap BEFORE
+    materializing would use a windowed top-k at real scale)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
+            )
+        ).alias("token"),
+    ).where(F.length("token") >= 3)
+    # Cap postings BEFORE materializing the list (windowed top-10 per
+    # token) so no unbounded collect_set sits in executor memory; the
+    # window and the groupBy share the token key, so Catalyst plans ONE
+    # exchange for both (measured: 4.0s -> bounded at 10x dup-heavy
+    # data, see PERF.md scale-up experiment 2).
+    w = Window.partitionBy("token").orderBy("doc_id")
+    ranked = toks.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.groupBy("token")
+        .agg(
+            F.count("*").cast("bigint").alias("df"),
+            F.concat_ws(
+                ",",
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("rn") <= 10, F.col("doc_id"))
+                    )
+                ).cast("array<string>"),
+            ).alias("postings"),
+        )
+        .where(F.col("df") >= 50)
+    )
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-pipeline chunking: split each document into fixed-size
+    character windows with 25% overlap (stride 300, width 400). The
+    chunk grid is computed per-row with sequence() + posexplode — a
+    narrow fan-out, no shuffle at all; at 100 TB chunking composes
+    with the scan and any downstream repartition is the consumer's
+    choice."""
+    docs = load_table(spark, sf_dir, "documents")
+    width, stride = 400, 300
+    offsets = F.sequence(
+        F.lit(0),
+        F.greatest(
+            F.ceil((F.col("n_chars") - width) / F.lit(float(stride))), F.lit(0)
+        ).cast("int"),
+    )
+    piece = F.substring(F.col("text"), F.col("chunk_id") * stride + 1, width)
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            "text",
+            F.posexplode(offsets).alias("chunk_id", "_i"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "chunk_id",
+            (F.col("chunk_id") * stride).cast("bigint").alias("chunk_start"),
+            F.length(piece).cast("bigint").alias("chunk_len"),
+            F.md5(piece).alias("chunk_hash"),
+        )
+        .where(F.col("chunk_len") > 0)
+    )
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing: assign documents (ordered by doc_id
+    within language) to fixed token-budget bins by running-sum
+    division — the deterministic streaming-pack used to batch training
+    sequences. One window pass (running sum) + one reduce per bin;
+    both engines compute the identical assignment because the order
+    and arithmetic are exact integers."""
+    budget = 4096
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    binned = docs.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        (F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / budget)
+        .cast("bigint")
+        .alias("bin_id"),
+    )
+    return binned.groupBy("lang", "bin_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("bin_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy-based quality filter (§2.10): Shannon entropy of each
+    document's token distribution — low entropy flags repetitive /
+    boilerplate text (complements text/dedup.py::repetition_profile).
+    Two keyed reduces (token counts, then per-doc entropy terms), both
+    map-side combinable; entropy terms are decimal-cast before the sum
+    so the result is summation-order independent (oracle parity)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
+        ).alias("tok"),
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    totals = tf.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    p = F.col("c") / F.col("n")
+    term = (-p * F.log2(p)).cast("decimal(30,8)")
+    ent = (
+        tf.join(totals, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.max("n").alias("n_tokens"),
+            _fround(F.sum(term).cast("double"), 4).alias("entropy"),
+        )
+    )
+    return ent.select(
+        "doc_id", F.col("n_tokens").cast("bigint").alias("n_tokens"), "entropy"
+    ).where(F.col("entropy") < 4.5)
+
+
+def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation extraction: top-20 bigrams by pointwise mutual
+    information. Bigrams come from a lead() window over the exploded
+    token stream (one shuffle on doc_id); PMI is computed from exact
+    integer counts (c_ab * N / (c_a * c_b)) so both engines agree
+    bit-for-bit; final selection is a distributed top-k
+    (TakeOrderedAndProject), not a global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+        ).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    pairs = toks.select(
+        F.col("tok").alias("tok_a"), F.lead("tok").over(w).alias("tok_b")
+    ).where(F.col("tok_b").isNotNull())
+    c_ab = pairs.groupBy("tok_a", "tok_b").agg(F.count("*").alias("n_ab"))
+    uni = toks.groupBy("tok").agg(F.count("*").alias("n"))
+    tot = toks.agg(F.count("*").alias("n_total"))
+    pmi = F.log2(
+        F.col("n_ab") * F.col("n_total") / (F.col("n_a") * F.col("n_b"))
+    )
+    return (
+        c_ab.where(F.col("n_ab") >= 5)
+        .join(
+            F.broadcast(uni.select(F.col("tok").alias("tok_a"), F.col("n").alias("n_a"))),
+            "tok_a",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("tok").alias("tok_b"), F.col("n").alias("n_b"))),
+            "tok_b",
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "tok_a",
+            "tok_b",
+            F.col("n_ab").cast("bigint").alias("n_ab"),
+            _fround(pmi, 4).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), F.col("tok_a").asc(), F.col("tok_b").asc())
+        .limit(20)
+    )
+
+
+def q_corpus_to_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-sequence builder — the LLM-pipeline
+    flagship: quality gate -> overlapping chunking -> exact chunk-level
+    dedup (content hash) -> context-window packing, in ONE declarative
+    plan. Shuffle budget: dedup's hash shuffle + packing's per-lang
+    window + the final rollup; chunking itself is narrow. Every stage
+    is JVM-side (md5 / substring / running sum) — no Python in the
+    path, so the same plan scales to a 1000-executor corpus build."""
+    width, stride, budget = 400, 300, 4096
+    docs = load_table(spark, sf_dir, "documents").where(F.col("n_chars") >= 200)
+    offsets = F.sequence(
+        F.lit(0),
+        F.greatest(
+            F.ceil((F.col("n_chars") - width) / F.lit(float(stride))), F.lit(0)
+        ).cast("int"),
+    )
+    piece = F.substring(F.col("text"), F.col("chunk_id") * stride + 1, width)
+    chunks = (
+        docs.select(
+            "doc_id",
+            "lang",
+            "text",
+            F.posexplode(offsets).alias("chunk_id", "_i"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "chunk_id",
+            F.length(piece).cast("bigint").alias("chunk_len"),
+            F.md5(piece).alias("chunk_hash"),
+        )
+        .where(F.col("chunk_len") >= 50)
+    )
+    w_dedup = Window.partitionBy("chunk_hash").orderBy(
+        F.col("doc_id").asc(), F.col("chunk_id").asc()
+    )
+    uniq = (
+        chunks.withColumn("rn", F.row_number().over(w_dedup))
+        .where("rn = 1")
+        .drop("rn")
+    )
+    w_pack = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id", "chunk_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    binned = uniq.select(
+        "lang",
+        "doc_id",
+        "chunk_len",
+        (F.coalesce(F.sum("chunk_len").over(w_pack), F.lit(0)) / budget)
+        .cast("bigint")
+        .alias("bin_id"),
+    )
+    return binned.groupBy("lang", "bin_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum("chunk_len").alias("bin_chars"),
+        F.count_distinct("doc_id").alias("n_docs"),
+    )
+
+
+def q_sentence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide sentence-level dedup with document reconstruction
+    (C4/RefinedWeb-style boilerplate removal): split docs into
+    sentences, keep only each sentence's FIRST corpus occurrence
+    (hash + row_number, deterministic), then reassemble documents from
+    their surviving sentences in order. One shuffle on sentence hash +
+    one reduce back onto doc_id; reconstruction uses an order-preserving
+    array_sort over (pos, sentence) structs, not a window."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    sents = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), "\\. ")).alias("pos", "sent"),
+    ).where(F.length("sent") > 0)
+    w = Window.partitionBy(F.md5(F.col("sent"))).orderBy(
+        F.col("doc_id").asc(), F.col("pos").asc()
+    )
+    kept = sents.withColumn("rn", F.row_number().over(w)).where("rn = 1")
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.concat_ws(
+                ". ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("pos"), F.col("sent")))
+                    ),
+                    lambda s: s["sent"],
+                ),
+            ).alias("clean_text"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_kept").cast("bigint").alias("n_kept"),
+            F.md5(F.col("clean_text")).alias("clean_hash"),
+            F.length(F.col("clean_text")).cast("bigint").alias("clean_len"),
+        )
+    )
+
+
+def q_c4_boilerplate_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-level cleaning (§2.10): chunk each document into
+    10-token lines, drop ragged tails and lines where > 20% of tokens
+    are single characters (C4's short-token boilerplate heuristic),
+    then rebuild the document and drop docs left with < 2 lines. All
+    higher-order array functions — explode + slice + filter run inside
+    whole-stage codegen, no Python."""
+    line_w = 10
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.split(F.col("text"), " ").alias("toks")
+    )
+    chunks = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.floor((F.size("toks") - 1) / line_w).cast("int"),
+                ),
+                lambda i: F.slice(F.col("toks"), i * line_w + 1, line_w),
+            )
+        ).alias("pos", "line"),
+    )
+    kept = chunks.filter(
+        (F.size("line") == line_w)
+        & (
+            F.size(F.filter(F.col("line"), lambda t: F.length(t) <= 1))
+            <= int(line_w * 0.2)
+        )
+    )
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_lines_kept"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.flatten(
+                        F.transform(
+                            F.array_sort(
+                                F.collect_list(F.struct("pos", "line"))
+                            ),
+                            lambda s: s["line"],
+                        )
+                    ),
+                )
+            ).alias("clean_hash"),
+        )
+        .filter(F.col("n_lines_kept") >= 2)
+        .select(
+            "doc_id",
+            F.col("n_lines_kept").cast("bigint").alias("n_lines_kept"),
+            "clean_hash",
+        )
+    )
+
+
+def q_fuzzy_dedup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy matching (§2.10 entity-dedup shape): candidate
+    pairs come only from equality blocks (nation + name prefix), then
+    edit distance confirms — the blocking keeps the pair space linear
+    instead of O(n²), which is the only way fuzzy dedup survives at
+    corpus scale. levenshtein is evaluated JVM-side on the blocked
+    pairs."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        F.substring("c_name", 1, 12).alias("blk"),
+    )
+    a, b = c.alias("a"), c.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+        & (F.col("a.blk") == F.col("b.blk"))
+        & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+    )
+    close_pairs = pairs.filter(
+        F.levenshtein(F.col("a.c_name"), F.col("b.c_name")) <= 2
+    )
+    return close_pairs.groupBy(F.col("a.c_nationkey").alias("nation")).agg(
+        F.count("*").alias("n_fuzzy_pairs"),
+        F.min(F.col("a.c_custkey")).alias("first_left"),
+    )
+
+
+def q_domain_mix_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain mixing (§2.10): rebalance the corpus toward a uniform
+    per-language share by computing each language's keep-rate FROM the
+    observed counts (rate = target/count, capped at 1), then applying
+    it as a deterministic key-hash filter — the data-mixture step of
+    training-set construction, with rates derived in-plan (one tiny
+    aggregate broadcast back), not hand-configured. Stable across runs,
+    partitionings, and engines."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count("*").alias("n_lang"))
+    totals = counts.agg(
+        F.sum("n_lang").alias("total"), F.count("*").alias("n_l")
+    )
+    rates = counts.join(F.broadcast(totals)).select(
+        "lang",
+        "n_lang",
+        F.least(
+            F.lit(1.0),
+            (F.col("total").cast("double") / F.col("n_l"))
+            / F.col("n_lang"),
+        ).alias("rate"),
+    )
+    # Clamp the scaled threshold to 65535: for rate in [~0.999992, 1.0)
+    # floor(rate*65536+0.5) = 65536, whose hex '10000' would be lpad-
+    # truncated to '1000' and silently keep only ~1/16 of rows. Values
+    # at the cap compare >= every 4-hex-digit prefix, i.e. keep-all.
+    rates = rates.withColumn(
+        "thr",
+        F.when(F.col("rate") >= 1.0, F.lit("g")).otherwise(
+            F.lower(
+                F.lpad(
+                    F.hex(
+                        F.least(
+                            F.lit(65535),
+                            F.floor(
+                                F.col("rate") * 65536.0 + F.lit(0.5)
+                            ).cast("bigint"),
+                        )
+                    ),
+                    4,
+                    "0",
+                )
+            )
+        ),
+    )
+    kept = d.join(F.broadcast(rates), "lang").filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+        < F.col("thr")
+    )
+    return kept.groupBy("lang").agg(
+        F.max("n_lang").cast("bigint").alias("n_before"),
+        F.count("*").alias("n_kept"),
+        _fround(F.max("rate"), 4).alias("rate"),
+    )
+
+
+def q_lm_trigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 quality filter: per-doc mean log-prob under a corpus-
+    trained per-language char-trigram LM, model + scoring in one plan
+    (text/analysis.py::lm_trigram_score)."""
+    from aproximacion_1_etl_spark.text.analysis import lm_trigram_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    return lm_trigram_score(docs)
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 retrieval: distributed BM25 top-10 per query-term set —
+    in-plan index statistics, query-filtered before scoring
+    (text/analysis.py::bm25_topk)."""
+    from aproximacion_1_etl_spark.text.analysis import (
+        BM25_QUERIES,
+        bm25_topk,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, BM25_QUERIES, k=10)
+
+
+def q_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 tokenizer training: one BPE round — top adjacent char
+    pairs, counted over DISTINCT words weighted by frequency (the
+    Zipf trick that keeps the pair fan-out off the raw token stream;
+    text/analysis.py::bpe_merge_pairs)."""
+    from aproximacion_1_etl_spark.text.analysis import bpe_merge_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_merge_pairs(docs, k=30)
+
+
+def q_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 incremental dedup: the daily-batch shape — only the NEW
+    slice (doc_id % 4 = 0) is shingled/hashed, then banded-joined
+    against the persisted corpus signature store (here built in-plan
+    from the old slice; production appends each accepted batch's
+    signatures). Returns LSH collisions with the minhash Jaccard
+    estimate (text/dedup.py::incremental_minhash_dedup)."""
+    from aproximacion_1_etl_spark.text.dedup import (
+        incremental_minhash_dedup,
+        minhash_signatures,
+        word_shingles,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    new_batch = docs.filter(F.col("doc_id") % 4 == 0)
+    corpus_sigs = minhash_signatures(
+        word_shingles(docs.filter(F.col("doc_id") % 4 != 0), distinct=False)
+    )
+    return incremental_minhash_dedup(new_batch, corpus_sigs)
+
+
+def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 tokenizer training: the full iterative BPE merge loop —
+    8 rounds of count-pairs / pick-top / greedy-merge over the
+    frequency-weighted distinct-word relation, returning the learned
+    merge table (text/analysis.py::bpe_train_merges)."""
+    from aproximacion_1_etl_spark.text.analysis import bpe_train_merges
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_train_merges(docs, n_merges=8)
+
+
+def q_bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 tokenizer application: train the 8-rule BPE merge table
+    (memoized — see _trained_bpe_merges), bake it into the plan as
+    literals, and tokenize the corpus — per-doc token budgets for
+    packing/context-length stages (text/analysis.py::bpe_encode)."""
+    from aproximacion_1_etl_spark.text.analysis import bpe_encode
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_encode(docs, _trained_bpe_merges(spark, sf_dir))
+
+
+def q_training_batch_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 deterministic training-batch assignment: hash-order global
+    index via two-phase distributed ranking (within-bucket rank +
+    256-row offset window — NO single-task global sort window), cut
+    into fixed-size batches (functions/sampling.py::
+    pack_training_batches)."""
+    from aproximacion_1_etl_spark.functions.sampling import (
+        pack_training_batches,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_training_batches(
+        docs.select("doc_id", "lang"), "doc_id", batch_size=32
+    )
+
+
+def q_corpus_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 reproducibility primitive: order-insensitive Merkle-style
+    corpus digest — (n_rows, fingerprint) changes iff any keyed row
+    changes, built as bounded hex-prefix tree rollups (never one global
+    collect; functions/profile.py::corpus_fingerprint)."""
+    from aproximacion_1_etl_spark.functions.profile import (
+        corpus_fingerprint,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus_fingerprint(
+        docs, "doc_id", ["text", "lang", "source", "n_chars"]
+    )
+
+
+def q_fingerprint_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 Merkle diff localization: compare the corpus against a
+    deterministically mutated snapshot (doc 117 edited, doc 3 dropped)
+    at the hex-prefix level — only disagreeing buckets surface, so two
+    adjacent 100 TB snapshots compare by bucket digests, never row by
+    row (functions/profile.py::fingerprint_diff)."""
+    from aproximacion_1_etl_spark.functions.profile import (
+        fingerprint_diff,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    mutated = docs.filter(F.col("doc_id") != 3).withColumn(
+        "text",
+        F.when(F.col("doc_id") == 117, F.lit("tampered")).otherwise(
+            F.col("text")
+        ),
+    )
+    return fingerprint_diff(
+        docs,
+        mutated,
+        "doc_id",
+        ["text", "lang", "source", "n_chars"],
+        prefix_len=2,
+    )
+
+
+def q_length_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 padding-efficient batching: band documents by token-count
+    (64-wide buckets), then cut each band into deterministic
+    hash-ordered batches via the per-band two-phase index — homogeneous
+    batch lengths without any single-task ranking
+    (functions/sampling.py::length_bucketed_batches)."""
+    from aproximacion_1_etl_spark.functions.sampling import (
+        length_bucketed_batches,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+    )
+    return length_bucketed_batches(
+        docs, "doc_id", "n_tokens", batch_size=16, bucket_width=64
+    )
+
+
+def q_repeated_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 exact-substring dedup signal: content-defined sampled
+    40-char gram hashes grouped across the corpus — verbatim boilerplate
+    and templated spans surface even when whole-doc MinHash misses them
+    (text/dedup.py::repeated_substrings)."""
+    from aproximacion_1_etl_spark.text.dedup import repeated_substrings
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repeated_substrings(docs, gram_len=40, sample_prefix_lt="4")
+
+
+def q_temperature_mix_resample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """§2.10 temperature-based mixture sampling (the mT5/XLM-R α-
+    sampling rule): language l's target share ∝ p_l^α with α=0.5 —
+    upweights low-resource languages without flattening to uniform.
+    Keep-rates derive in-plan from observed counts; α=0.5 is computed
+    with sqrt, which IEEE 754 requires to be correctly rounded, so the
+    rate arithmetic is bit-identical across engines (general α uses
+    pow; 0.5 is the bit-exactness-guaranteed case). Same clamped
+    md5-threshold filter as domain_mix_resample."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count("*").alias("n_lang"))
+    totals = counts.agg(
+        F.sum("n_lang").alias("total"),
+        F.sum(F.sqrt(F.col("n_lang").cast("double"))).alias("sum_sqrt"),
+    )
+    rates = counts.join(F.broadcast(totals)).select(
+        "lang",
+        "n_lang",
+        F.least(
+            F.lit(1.0),
+            (
+                F.sqrt(F.col("n_lang").cast("double"))
+                / F.col("sum_sqrt")
+                * F.col("total").cast("double")
+            )
+            / F.col("n_lang"),
+        ).alias("rate"),
+    )
+    rates = rates.withColumn(
+        "thr",
+        F.when(F.col("rate") >= 1.0, F.lit("g")).otherwise(
+            F.lower(
+                F.lpad(
+                    F.hex(
+                        F.least(
+                            F.lit(65535),
+                            F.floor(
+                                F.col("rate") * 65536.0 + F.lit(0.5)
+                            ).cast("bigint"),
+                        )
+                    ),
+                    4,
+                    "0",
+                )
+            )
+        ),
+    )
+    kept = d.join(F.broadcast(rates), "lang").filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+        < F.col("thr")
+    )
+    return kept.groupBy("lang").agg(
+        F.max("n_lang").cast("bigint").alias("n_before"),
+        F.count("*").alias("n_kept"),
+        _fround(F.max("rate"), 4).alias("rate"),
+    )
+
+
+def q_doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 curation metric: per-doc novelty = fraction of its
+    distinct word-3-grams that occur in NO other document. Novel-
+    content selection is the inverse of dedup: sampling high-novelty
+    docs raises corpus diversity per token. Shape: one shingle
+    explode, a df count per shingle (shuffle on the high-cardinality
+    shingle key), and a join back — the same key distribution as the
+    MinHash pipeline, so skew behavior is identical."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = word_shingles(docs, n=3, distinct=True)
+    df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    joined = sh.join(df_counts, "shingle")
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_grams"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_unique"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_unique",
+            _fround(
+                F.col("n_unique").cast("double") / F.col("n_grams"), 4
+            ).alias("novelty"),
+        )
+    )
+
+
+def q_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 pipeline observability: how many documents survive each
+    cleaning stage, as cumulative conjunctions computed in ONE scan —
+    raw -> length band -> known language -> quality floor -> exact-
+    content unique. The funnel is the report every corpus-construction
+    run ships next to its output; stage predicates reuse the exact
+    expressions of the cleaning operators so the counts cannot drift
+    from the real pipeline."""
+    from pyspark.sql import Window
+
+    from aproximacion_1_etl_spark.text.analysis import (
+        lang_id,
+        quality_score,
+    )
+    from aproximacion_1_etl_spark.text.dedup import normalized
+
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    w = Window.partitionBy(F.sha2(normalized(t), 256)).orderBy("doc_id")
+    flags = d.select(
+        (F.length(t) >= 100).alias("len_ok"),
+        (lang_id(t) != "und").alias("lang_ok"),
+        (quality_score(t) >= 0.5).alias("quality_ok"),
+        (F.row_number().over(w) == 1).alias("first_of_content"),
+    )
+    agg = flags.agg(
+        F.count("*").alias("raw"),
+        F.sum(F.when(F.col("len_ok"), 1).otherwise(0)).alias("s1"),
+        F.sum(
+            F.when(F.col("len_ok") & F.col("lang_ok"), 1).otherwise(0)
+        ).alias("s2"),
+        F.sum(
+            F.when(
+                F.col("len_ok") & F.col("lang_ok") & F.col("quality_ok"), 1
+            ).otherwise(0)
+        ).alias("s3"),
+        F.sum(
+            F.when(
+                F.col("len_ok")
+                & F.col("lang_ok")
+                & F.col("quality_ok")
+                & F.col("first_of_content"),
+                1,
+            ).otherwise(0)
+        ).alias("s4"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(5, 'raw', raw, 'length_band', s1, 'known_lang', s2, "
+            "'quality_floor', s3, 'content_unique', s4) "
+            "AS (stage, n_docs)"
+        )
+    ).select("stage", F.col("n_docs").cast("bigint").alias("n_docs"))
+
+
+def q_winnowed_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 winnowing (MOSS) fingerprint dedup: sliding-window minima
+    over gram hashes — GUARANTEED detection of any verbatim span >=
+    gram_len + window - 1 chars, vs the probabilistic mod-p sampling
+    of repeated_substrings (text/dedup.py::winnowed_fingerprints)."""
+    from aproximacion_1_etl_spark.text.dedup import winnowed_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents")
+    return winnowed_fingerprints(docs, gram_len=30, window=8)
+
+
+def q_domain_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 URL/domain filtering (the C4/RefinedWeb source-blocklist
+    stage): a host matches a rule iff the rule equals the host or any
+    label-boundary SUFFIX of it ("example.com" blocks every
+    subdomain) — string contains/endswith would false-positive on
+    "notexample.com". The suffix chain is built per-row
+    (split -> transform -> slice) and matched against the blocklist as
+    PLAN LITERALS via array_intersect: fully narrow, zero shuffles,
+    composes with the scan. For blocklists too large to inline,
+    explode the same suffix chain and broadcast-join the rule table —
+    identical semantics, one broadcast."""
+    d = load_table(spark, sf_dir, "documents")
+    host = F.concat(F.col("source"), F.lit(".example.com"))
+    parts = F.split(host, "\\.")
+    suffixes = F.transform(
+        F.sequence(F.lit(0), F.size(parts) - 1),
+        lambda i: F.concat_ws(
+            ".", F.slice(parts, i + 1, F.size(parts) - i)
+        ),
+    )
+    rules = F.array(*[F.lit(r) for r in sorted(BLOCKLIST_DOMAINS)])
+    matched = F.array_sort(F.array_intersect(suffixes, rules))
+    return d.select(
+        "doc_id",
+        host.alias("host"),
+        (F.size(matched) > 0).alias("blocked"),
+        F.when(
+            F.size(matched) > 0, F.element_at(matched, 1)
+        ).alias("matched_rule"),
+    )
+
+
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 corpus statistics: vocabulary growth (Heaps-law) curve —
+    per document (in doc_id order), how many word-3-grams are NEW and
+    the cumulative distinct vocabulary so far. The curve's flattening
+    is the classic "more of the same" saturation signal corpus
+    curation watches. Shape: each gram's first-occurrence doc via one
+    groupBy min, counts per first-doc, and a running sum over the
+    per-doc relation (corpus-sized rows only in the first two keyed
+    aggregations; the window runs over |docs| rows)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = word_shingles(docs, n=3, distinct=True)
+    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = first.groupBy(F.col("first_doc").alias("doc_id")).agg(
+        F.count("*").cast("bigint").alias("new_grams")
+    )
+    spine = docs.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("new_grams", F.lit(0)).cast("bigint").alias("new_grams"),
+    )
+    # Two-phase running sum (same pattern as deterministic_global_index):
+    # a bare ORDER BY doc_id window is one task over the whole corpus.
+    # Bucket by doc_id ranges — order-aligned with doc_id, so
+    # bucket-offset + in-bucket running sum == the global prefix sum —
+    # and the offsets window runs over |docs|/65536 rows (re-apply the
+    # same split once more if even that is too large).
+    bucketed = spine.withColumn("b", F.expr("doc_id div 65536"))
+    wb = Window.partitionBy("b").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    inb = bucketed.withColumn("run_in_b", F.sum("new_grams").over(wb))
+    wo = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    off = (
+        bucketed.groupBy("b")
+        .agg(F.sum("new_grams").alias("nb"))
+        .select("b", F.coalesce(F.sum("nb").over(wo), F.lit(0)).alias("off"))
+    )
+    return (
+        inb.join(F.broadcast(off), "b")
+        .select(
+            "doc_id",
+            "new_grams",
+            (F.col("run_in_b") + F.col("off")).cast("bigint").alias(
+                "cum_vocab"
+            ),
+        )
+    )
+
+
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 classifier evaluation artifact: confusion matrix of the
+    heuristic language-ID against the labeled ``lang`` column, with
+    per-true-language recall — the calibration report any quality
+    gate built on lang_id needs before filtering by it. One scan, one
+    keyed aggregation."""
+    from aproximacion_1_etl_spark.text.analysis import lang_id
+
+    d = load_table(spark, sf_dir, "documents")
+    cm = d.groupBy(
+        F.col("lang").alias("true_lang"),
+        lang_id(F.col("text")).alias("pred_lang"),
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    tot = cm.groupBy("true_lang").agg(F.sum("n").alias("n_true"))
+    return cm.join(tot, "true_lang").select(
+        "true_lang",
+        "pred_lang",
+        "n",
+        _fround(
+            F.col("n").cast("double") / F.col("n_true"), 4
+        ).alias("frac_of_true"),
+    )
+
+
+def q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 dedup observability: per source — document count, docs
+    that are exact-content duplicates (normalized-hash group size > 1),
+    and docs swept into a near-dup cluster as non-keepers. The
+    per-source attribution is what turns a dedup pass into an
+    actionable report (which feed is flooding the corpus with copies).
+    Reuses the exact operators' expressions and the MinHash-LSH
+    cluster pipeline, so the report cannot drift from the real dedup
+    decisions."""
+    from pyspark.sql import Window
+
+    from aproximacion_1_etl_spark.text.dedup import normalized
+
+    d = load_table(spark, sf_dir, "documents")
+    wch = Window.partitionBy(F.sha2(normalized(F.col("text")), 256))
+    flags = d.select(
+        "doc_id",
+        "source",
+        (F.count("*").over(wch) > 1).alias("is_exact_dup"),
+    )
+    sigs = minhash_signatures(word_shingles(d, distinct=False))
+    cands = minhash_candidate_pairs(sigs, min_matching_bands=2)
+    dropped = dedup_clusters(cands).filter(~F.col("keep")).select(
+        "doc_id", F.lit(True).alias("is_near_dup_drop")
+    )
+    joined = flags.join(F.broadcast(dropped), "doc_id", "left")
+    return joined.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("is_exact_dup"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_exact_dup"),
+        F.sum(
+            F.when(F.coalesce("is_near_dup_drop", F.lit(False)), 1).otherwise(
+                0
+            )
+        )
+        .cast("bigint")
+        .alias("n_near_dup_dropped"),
+    )
+
+
+def q_corpus_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 capstone composite — the corpus RELEASE job end-to-end in
+    one plan: quality gate (length band, known language, quality
+    floor), exact-content dedup (keep first), leakage-safe
+    cluster-aware train/val/test split over the survivors, and the
+    per-split manifest (docs / whitespace tokens / chars) a training
+    run consumes. Every stage reuses the production operator
+    expressions, so the release manifest value-checks against the
+    composed oracle end-to-end."""
+    from pyspark.sql import Window
+
+    from aproximacion_1_etl_spark.text.analysis import (
+        lang_id,
+        quality_score,
+        token_count,
+    )
+    from aproximacion_1_etl_spark.text.dedup import (
+        cluster_safe_split,
+        normalized,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    wch = Window.partitionBy(F.sha2(normalized(t), 256)).orderBy("doc_id")
+    clean = (
+        d.withColumn("rn", F.row_number().over(wch))
+        .filter(
+            (F.length(t) >= 100)
+            & (lang_id(t) != "und")
+            & (quality_score(t) >= 0.5)
+            & (F.col("rn") == 1)
+        )
+        .drop("rn")
+    )
+    # materialize the cleaned corpus once: the shingle/split branch
+    # and the final manifest join otherwise each replay the quality
+    # gate + content-hash dedup window (a real release job writes the
+    # cleaned corpus at this point anyway)
+    clean = clean.localCheckpoint()
+    sigs = minhash_signatures(word_shingles(clean, distinct=False))
+    cands = minhash_candidate_pairs(sigs, min_matching_bands=2)
+    split = cluster_safe_split(
+        clean, cands, {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).select("doc_id", "split")
+    return (
+        clean.join(split, "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(token_count(t).cast("bigint"))
+            .cast("bigint")
+            .alias("n_tokens"),
+            F.sum("n_chars").cast("bigint").alias("n_chars"),
+        )
+    )
+
+
+def q_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 mixture planning: allocate a total token budget (50% of
+    the corpus) across sources by sqrt-weighted shares with one
+    waterfill redistribution round — small sources are upweighted
+    (sqrt flattening), no source is asked for more tokens than it
+    has, and budget freed by capped sources flows to the others in
+    proportion to headroom. Complements domain_mix_resample /
+    temperature_mix_resample (which SAMPLE) by producing the PLAN
+    (per-source allocations + epoch factors) a run config consumes.
+
+    Shape: one corpus aggregation to |sources| rows, then scalar
+    arithmetic on broadcast 1-row aggregates of that tiny relation —
+    at 100 TB the only data-sized work is the first token count.
+    Allocations snap to 6 decimals before the final floor so the
+    cross-engine 1e-15 decimal-cast jitter can't flip an integer
+    boundary."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.sum(F.size(F.split(F.trim("text"), r"\s+")))
+        .cast("bigint")
+        .alias("tokens")
+    )
+    # All corpus-wide scalars come from WINDOWS over the tiny
+    # per-source relation, not crossJoin-of-aggregates: each
+    # crossJoin(agg(per)) re-derives `per` — and with it the corpus
+    # scan — once per reference (the first cut of this query scanned
+    # documents 4x / 7 exchanges; this shape scans once / 2). The
+    # unpartitioned window moves |sources| rows to one task — bounded
+    # by the source count, not the corpus.
+    w0 = Window.partitionBy()
+    staged = per.select(
+        "source",
+        "tokens",
+        (
+            F.sum("tokens").over(w0) - (F.sum("tokens").over(w0) % 2)
+        ).alias("b2"),
+        F.sqrt(F.col("tokens").cast("double")).alias("sq"),
+        F.sum(
+            F.sqrt(F.col("tokens").cast("double")).cast("decimal(38,18)")
+        )
+        .over(w0)
+        .cast("double")
+        .alias("sum_sqrt"),
+    )
+    first = staged.select(
+        "source",
+        "tokens",
+        "b2",
+        F.least(
+            F.col("tokens").cast("double"),
+            F.col("sq") / F.col("sum_sqrt") * (F.col("b2") / 2),
+        ).alias("alloc1"),
+    ).withColumn(
+        "headroom", F.col("tokens").cast("double") - F.col("alloc1")
+    )
+    redo = first.select(
+        "source",
+        "tokens",
+        "b2",
+        "alloc1",
+        "headroom",
+        F.sum(F.col("alloc1").cast("decimal(38,18)"))
+        .over(w0)
+        .cast("double")
+        .alias("sum_a1"),
+        F.sum(F.col("headroom").cast("decimal(38,18)"))
+        .over(w0)
+        .cast("double")
+        .alias("sum_hr"),
+    )
+    final = redo.select(
+        "source",
+        "tokens",
+        F.least(
+            F.col("tokens").cast("double"),
+            F.col("alloc1")
+            + (F.col("b2") / 2 - F.col("sum_a1"))
+            * F.col("headroom")
+            / F.col("sum_hr"),
+        ).alias("alloc2"),
+    )
+    return final.select(
+        "source",
+        "tokens",
+        F.floor(
+            F.floor(F.col("alloc2") * 1e6 + F.lit(0.5)) / F.lit(1e6)
+        )
+        .cast("bigint")
+        .alias("alloc_tokens"),
+        _fround(
+            F.floor(F.floor(F.col("alloc2") * 1e6 + F.lit(0.5)) / F.lit(1e6))
+            / F.col("tokens").cast("double"),
+            6,
+        ).alias("epochs"),
+    )
+
+
+def q_naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 trained text classification: multinomial Naive Bayes over
+    whitespace tokens, trained AND applied in one logical plan
+    (resubstitution eval), emitting the confusion matrix — the trained
+    complement of the heuristic lang_confusion key.
+
+    score(d, l) = ln(prior_l) - |d| * ln(t_l + V)
+                + sum_{tok in d} ln(c_{l,tok} + 1)
+
+    The absent-token smoothing term ln(1) = 0 vanishes, so the
+    per-(doc, lang) sum needs ONLY the inner join of doc-token
+    instances with the present (lang, tok) counts — no dense
+    vocab x lang grid ever materializes; the doc x lang score grid
+    (|docs| x |langs|) comes from a broadcast join with the 5-row
+    language stats. Decimal-cast sums of per-instance ln values keep
+    scores order-independent; ranking rounds to 9 dp so sub-ulp ln()
+    differences between engines can't flip the argmax."""
+    docs = load_table(spark, sf_dir, "documents")
+    dp = spark.sparkContext.defaultParallelism
+    toks = (
+        docs.repartition(dp, F.col("doc_id"))
+        .select(
+            "doc_id",
+            F.col("lang").alias("true_lang"),
+            F.explode(
+                F.split(F.lower(F.trim("text")), r"\s+")
+            ).alias("tok"),
+        )
+        .filter(F.length("tok") > 0)
+    )
+    # ONE tokenization pass: model, per-doc token counts and the
+    # scoring join all read the materialized token relation — without
+    # the cut the explode replays once per branch (14 scans audited;
+    # re-tokenizing a 100 TB corpus three times is the bm25-class
+    # mistake this engine already fixed once).
+    toks = toks.localCheckpoint()
+    model = toks.groupBy(
+        F.col("true_lang").alias("l"), "tok"
+    ).agg(F.count("*").alias("c"))
+    lang_tot = model.groupBy("l").agg(F.sum("c").alias("t"))
+    vocab = model.select("tok").distinct().agg(
+        F.count("*").alias("v")
+    )
+    priors = docs.groupBy(F.col("lang").alias("l")).agg(
+        F.count("*").alias("nd")
+    )
+    n_docs = docs.agg(F.count("*").alias("n_all"))
+    lstats = (
+        lang_tot.join(priors, "l")
+        .crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "l",
+            (
+                F.log(F.col("nd").cast("double") / F.col("n_all"))
+            ).alias("lprior"),
+            F.log((F.col("t") + F.col("v")).cast("double")).alias(
+                "ldenom"
+            ),
+        )
+    )
+    ntok = toks.groupBy("doc_id", "true_lang").agg(
+        F.count("*").alias("nt")
+    )
+    ssum = (
+        toks.join(model, "tok")
+        .groupBy("doc_id", "l")
+        .agg(
+            F.sum(
+                F.log((F.col("c") + F.lit(1)).cast("double")).cast(
+                    "decimal(38,18)"
+                )
+            )
+            .cast("double")
+            .alias("s")
+        )
+    )
+    grid = ntok.crossJoin(F.broadcast(lstats))
+    scored = grid.join(ssum, ["doc_id", "l"], "left").select(
+        "doc_id",
+        "true_lang",
+        "l",
+        _fround(
+            F.col("lprior")
+            - F.col("nt").cast("double") * F.col("ldenom")
+            + F.coalesce(F.col("s"), F.lit(0.0)),
+            9,
+        ).alias("score"),
+    )
+    wd = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("l").asc()
+    )
+    pred = (
+        scored.withColumn("rn", F.row_number().over(wd))
+        .filter(F.col("rn") == 1)
+        .select("true_lang", F.col("l").alias("pred_lang"))
+    )
+    return pred.groupBy("true_lang", "pred_lang").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+
+
+def q_vocab_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 corpus-diversity metric: Gini coefficient of the token
+    frequency distribution per language — a high Gini means a few
+    tokens dominate (template/boilerplate-heavy text), a key
+    diversity signal next to entropy. Exact rank formula
+    G = 2 * sum(i * x_(i)) / (n * sum(x)) - (n + 1) / n over the
+    per-language count-ascending ranking (ordered per-lang windows,
+    partitions bounded by per-language vocabulary); sums in decimal."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang",
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("tok"),
+    ).filter(F.length("tok") > 0)
+    counts = toks.groupBy("lang", "tok").agg(F.count("*").alias("c"))
+    wl = Window.partitionBy("lang").orderBy(
+        F.col("c").asc(), F.col("tok").asc()
+    )
+    ranked = counts.withColumn("i", F.row_number().over(wl))
+    return (
+        ranked.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("vocab"),
+            F.sum(F.col("c").cast("decimal(38,18)"))
+            .cast("double")
+            .alias("total"),
+            F.sum((F.col("i") * F.col("c")).cast("decimal(38,18)"))
+            .cast("double")
+            .alias("ic"),
+        )
+        .select(
+            "lang",
+            "vocab",
+            _fround(
+                F.lit(2.0)
+                * F.col("ic")
+                / (F.col("vocab").cast("double") * F.col("total"))
+                - (F.col("vocab") + F.lit(1)).cast("double")
+                / F.col("vocab").cast("double"),
+                6,
+            ).alias("gini"),
+        )
+    )
+
+
+def q_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard-threshold set-similarity self-join via PREFIX
+    FILTERING (the PPJoin family's core idea) — the deterministic
+    complement to MinHash-LSH: candidates come only from docs sharing
+    a token in their RARITY-ORDERED PREFIX (first n - ceil(t*n) + 1
+    tokens, rarest first), which provably loses NO pair with Jaccard
+    >= t (two sets overlapping that much must collide inside either
+    prefix), then the exact intersection verifies. LSH trades recall
+    for speed; this trades nothing and still never goes O(n²): the
+    candidate join runs over prefix tokens only WITHIN a (lang,
+    source) block — the realistic intra-source near-dup sweep
+    (cross-source discovery is dedup_minhash_lsh's job), which also
+    caps any one token bucket at its block's population — and rarity
+    ordering makes prefix tokens the LOW-frequency ones, so bucket
+    sizes stay small where frequency-blind blocking would explode on
+    stopwords. Tokens sort by per-doc (global_freq, token) with no
+    global rank table materialized; this synthetic corpus is
+    template-generated (docs share most vocabulary), the WORST case
+    for similarity joins — the measured key demonstrates the pruning
+    holds even there."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "text"
+    )
+    return prefix_filter_pairs(docs, t=0.9)
+
+
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 corpus-statistics screening: per-language Zipf-law fit —
+    OLS of ln(frequency) on ln(rank) over the top-100 token ranks plus
+    the full type count. Complements vocab_growth (Heaps) and
+    vocab_gini: the slope (~-1 for natural text) is the standard
+    generated-vs-natural screen for LLM corpus intake. One token
+    explode, one count aggregation, one |types|-per-lang window for
+    ranks, decimal-cast ln sums so the 100-term OLS is
+    order-independent and engine-identical."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang",
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+        ).alias("tok"),
+    )
+    counts = toks.groupBy("lang", "tok").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    ranked = counts.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("lang").orderBy(
+                F.col("n").desc(), F.col("tok")
+            )
+        ),
+    )
+    top = 100
+    x = F.log(F.col("rank").cast("double"))
+    y = F.log(F.col("n").cast("double"))
+
+    def dsum(e):
+        return F.sum(
+            F.when(F.col("rank") <= top, e).cast("decimal(38,18)")
+        ).cast("double")
+
+    g = ranked.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_types"),
+        F.sum((F.col("rank") <= top).cast("int"))
+        .cast("double")
+        .alias("m"),
+        dsum(x).alias("sx"),
+        dsum(y).alias("sy"),
+        dsum(x * x).alias("sxx"),
+        dsum(x * y).alias("sxy"),
+        dsum(y * y).alias("syy"),
+    )
+    cov = F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx = F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = F.col("m") * F.col("syy") - F.col("sy") * F.col("sy")
+    return g.select(
+        "lang",
+        "n_types",
+        _fround(cov / varx, 4).alias("zipf_slope"),
+        _fround(cov * cov / (varx * vary), 4).alias("r2"),
+    )
+
+
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 POSITIONAL phrase search (the exact-phrase complement to
+    the bag-of-words inverted index / BM25): a positional posting list
+    (token, doc, pos) answers exact-phrase queries by a postings
+    SELF-JOIN on (doc, pos+1) — the classic IR phrase plan, no
+    re-scan of raw text per query. The query set here is the corpus's
+    own top-5 bigrams (deterministic (count DESC, a, b) pick), so the
+    whole pipeline — index build, query selection, phrase match — is
+    one declarative plan. Join keys carry (token, doc, pos) only; at
+    100 TB the postings relation is the bucketed asset every phrase
+    query reuses."""
+    docs = load_table(spark, sf_dir, "documents")
+    post = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+        ).alias("pos", "tok"),
+    )
+    big = (
+        post.alias("a")
+        .join(
+            post.alias("b"),
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("b.pos") == F.col("a.pos") + 1),
+        )
+        .select(
+            F.col("a.tok").alias("tok_a"),
+            F.col("b.tok").alias("tok_b"),
+            F.col("a.doc_id").alias("doc_id"),
+        )
+    )
+    counts = big.groupBy("tok_a", "tok_b").agg(
+        F.count("*").cast("bigint").alias("n_occurrences"),
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+    )
+    # distributed top-k before the rank window: the |bigrams|
+    # aggregate is TakeOrdered'd to 5 rows, never single-task sorted
+    top5 = counts.orderBy(
+        F.col("n_occurrences").desc(),
+        F.col("tok_a").asc(),
+        F.col("tok_b").asc(),
+    ).limit(5)
+    w_top = Window.orderBy(
+        F.col("n_occurrences").desc(),
+        F.col("tok_a").asc(),
+        F.col("tok_b").asc(),
+    )
+    return (
+        top5.withColumn("rank", F.row_number().over(w_top))
+        .select(
+            F.concat_ws(" ", "tok_a", "tok_b").alias("phrase"),
+            "n_docs",
+            "n_occurrences",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def q_bpe_fertility_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 tokenizer-quality report: per-language FERTILITY
+    (tokens per word) and compression (chars per token) of the trained
+    BPE tokenizer — the standard multi-lingual tokenizer-evaluation
+    cut (a language with high fertility pays more context budget per
+    word). Aggregates the SAME bpe_encode per-doc budgets the packing
+    stages consume (one extra |docs| join + one aggregation); every
+    total is an exact integer sum, each ratio one IEEE division."""
+    from aproximacion_1_etl_spark.text.analysis import bpe_encode
+
+    docs = load_table(spark, sf_dir, "documents")
+    enc = bpe_encode(docs, _trained_bpe_merges(spark, sf_dir))
+    j = enc.join(docs.select("doc_id", "lang"), "doc_id")
+    return j.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_words").cast("bigint").alias("total_words"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        _fround(
+            F.sum("n_tokens").cast("double")
+            / F.sum("n_words").cast("double"),
+            4,
+        ).alias("fertility"),
+        _fround(
+            F.sum("n_chars").cast("double")
+            / F.sum("n_tokens").cast("double"),
+            4,
+        ).alias("chars_per_token"),
+    )
+
+
+def q_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 cross-SOURCE vocabulary overlap: pairwise Jaccard of the
+    per-source token vocabularies — the corpus-mixing diagnostic
+    (two sources with near-identical vocabularies add less diversity
+    than their row counts suggest). The token explode aggregates to
+    (token, sorted source set) ONCE; pairs are generated map-side from
+    each token's source array (the basket-pair iterator — bounded by
+    |sources|²/2 per token, never a vocab self-join); |A∪B| =
+    |A|+|B|-|A∩B| from exact integer vocab sizes."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+        ).alias("tok"),
+    ).distinct()
+    # the distinct (source, token) relation feeds both the vocab sizes
+    # and the per-token source sets — one explode+distinct, not two
+    toks = toks.localCheckpoint(eager=True)
+    sizes = toks.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("vocab")
+    )
+    tok_srcs = toks.groupBy("tok").agg(
+        F.sort_array(F.collect_set("source")).alias("ss")
+    ).filter(F.size("ss") >= 2)
+    pairs = tok_srcs.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ss, (x, i) ->"
+                " transform(slice(ss, i + 2, size(ss)),"
+                " y -> struct(x AS a, y AS b))))"
+            )
+        ).alias("pr")
+    ).select(F.col("pr.a").alias("src_a"), F.col("pr.b").alias("src_b"))
+    inter = pairs.groupBy("src_a", "src_b").agg(
+        F.count("*").cast("bigint").alias("n_common")
+    )
+    sa = sizes.select(
+        F.col("source").alias("src_a"), F.col("vocab").alias("va")
+    )
+    sb = sizes.select(
+        F.col("source").alias("src_b"), F.col("vocab").alias("vb")
+    )
+    j = inter.join(F.broadcast(sa), "src_a").join(
+        F.broadcast(sb), "src_b"
+    )
+    return j.select(
+        "src_a",
+        "src_b",
+        "n_common",
+        (F.col("va") + F.col("vb") - F.col("n_common")).alias("n_union"),
+        _fround(
+            F.col("n_common").cast("double")
+            / (
+                F.col("va") + F.col("vb") - F.col("n_common")
+            ).cast("double"),
+            6,
+        ).alias("jaccard"),
+    )
+
+
+__all__ = [
+    "q_top_tokens_per_lang",
+    "q_udtf_sentences",
+    "q_rolling_hash_fingerprint",
+    "q_dedup_exact",
+    "q_dedup_minhash_lsh",
+    "q_corpus_clean",
+    "q_dedup_simhash",
+    "q_ngram_jaccard",
+    "q_containment_dedup",
+    "q_text_profile",
+    "q_tfidf_top_terms",
+    "q_repetition_profile",
+    "q_decontaminate",
+    "q_length_histogram",
+    "q_near_dup_verified",
+    "q_dup_clusters",
+    "q_inverted_index",
+    "q_chunk_documents",
+    "q_pack_sequences",
+    "q_token_entropy",
+    "q_bigram_pmi",
+    "q_corpus_to_sequences",
+    "q_sentence_dedup",
+    "q_c4_boilerplate_filter",
+    "q_fuzzy_dedup_blocked",
+    "q_domain_mix_resample",
+    "q_lm_trigram_score",
+    "q_bm25_topk",
+    "q_bpe_merge_pairs",
+    "q_incremental_near_dup",
+    "q_bpe_train_merges",
+    "q_bpe_encode_corpus",
+    "q_training_batch_pack",
+    "q_corpus_fingerprint",
+    "q_fingerprint_diff",
+    "q_length_bucketed_batches",
+    "q_repeated_substrings",
+    "q_temperature_mix_resample",
+    "q_doc_novelty",
+    "q_corpus_funnel",
+    "q_winnowed_duplicates",
+    "q_domain_blocklist_filter",
+    "q_vocab_growth",
+    "q_lang_confusion",
+    "q_dedup_rate_by_source",
+    "q_corpus_release",
+    "q_token_budget_plan",
+    "q_naive_bayes_lang",
+    "q_vocab_gini",
+    "q_prefix_filter_join",
+    "q_zipf_fit",
+    "q_phrase_search",
+    "q_bpe_fertility_stats",
+    "q_source_vocab_overlap",
+]
