@@ -419,25 +419,149 @@ def ngram_jaccard_pairs(
     )
 
 
+def _containment_prefix_docs(
+    shingles: DataFrame, threshold: float, id_col: str
+) -> DataFrame:
+    """Per-doc state for prefix-filtered containment: every doc's
+    shingle set sorted by GLOBAL rarity (doc-frequency asc, shingle
+    asc — a deterministic total order), its size, and its prefix
+    length ``p``.
+
+    ``p`` is the exact integer miss budget + 1 under the ROUNDED
+    accept rule. A directed pair (inner, outer) is accepted iff
+    floor(inter/sz*1e6 + 0.5) >= T6 (T6 = round(threshold*1e6)), which
+    mathematically requires inter/sz >= (T6 - 0.5)/1e6, i.e.
+    inter >= k_min = ceil((2*T6 - 1) * sz / 2e6) — computed in EXACT
+    integer arithmetic (no float ceil(t*sz), whose representation
+    error can under-size the prefix and silently drop true pairs). If
+    any qualifying outer missed all of the first p = sz - k_min + 1
+    rarest shingles of inner, it would have > sz - k_min misses, so
+    inter < k_min — contradiction. Hence joining on the prefix alone
+    is candidate-COMPLETE: zero false negatives by construction."""
+    t6 = int(round(threshold * 1_000_000))
+    dfreq = shingles.groupBy("shingle").agg(F.count("*").alias("dfreq"))
+    return (
+        shingles.join(dfreq, "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("dfreq", "shingle"))
+            ).alias("arr")
+        )
+        .withColumn("sz", F.size("arr"))
+        .withColumn(
+            "p",
+            F.greatest(
+                F.col("sz")
+                - F.expr(
+                    f"cast(({2 * t6 - 1}L * sz + 1999999L) div 2000000L"
+                    " as int)"
+                )
+                + F.lit(1),
+                F.lit(0),
+            ),
+        )
+        .withColumn(
+            "toks", F.transform(F.col("arr"), lambda x: x["shingle"])
+        )
+        .drop("arr")
+    )
+
+
+def containment_candidates(
+    shingles: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Directed candidate pairs (doc_inner, doc_outer) for containment
+    >= threshold, generated by the rarity-ordered PREFIX join: only
+    the ``p`` globally-rarest shingles of each prospective INNER doc
+    enter the join; the outer side joins with its full shingle set.
+
+    This is what bounds fan-out on boilerplate-heavy corpora: a hot
+    shingle shared by k docs contributes |prefix docs| x k candidate
+    rows, not k^2 — and a shingle is in a doc's prefix only when the
+    doc has almost nothing rarer, so |prefix docs| of a hot shingle is
+    tiny. The quadratic blowup the unblocked self-join suffers on
+    million-doc boilerplate trigrams collapses to near-linear, while
+    completeness is proven in _containment_prefix_docs."""
+    per_doc = _containment_prefix_docs(shingles, threshold, id_col)
+    prefix = per_doc.select(
+        F.col(id_col).alias("doc_inner"),
+        F.explode(F.slice("toks", F.lit(1), F.col("p"))).alias("shingle"),
+    )
+    outer = shingles.select(
+        F.col(id_col).alias("doc_outer"), "shingle"
+    )
+    return (
+        prefix.join(outer, "shingle")
+        .filter(F.col("doc_inner") != F.col("doc_outer"))
+        .select("doc_inner", "doc_outer")
+        .dropDuplicates(["doc_inner", "doc_outer"])
+    )
+
+
 def containment_pairs(
     shingles: DataFrame,
     threshold: float = 0.9,
     id_col: str = "doc_id",
+    prefix_filter: bool = True,
 ) -> DataFrame:
     """Exact n-gram CONTAINMENT — the asymmetric complement of Jaccard
     near-dup: containment(inner in outer) = |inner ∩ outer| / |inner|,
     which catches a document EMBEDDED in a larger one (quoted posts,
     mirrored articles with added boilerplate, doc-in-doc scrapes) that
-    Jaccard misses because the size difference dilutes the union. One
-    unordered shingle-equijoin computes |A ∩ B| once; both DIRECTED
-    pairs are then emitted map-side with their own denominators — no
-    second join. Ratio is floor-rounded at 1e-6 (same convention as
+    Jaccard misses because the size difference dilutes the union.
+    Ratio is floor-rounded at 1e-6 (same convention as
     ngram_jaccard_pairs) so the threshold cut is engine-identical.
 
-    At 100 TB: run over LSH candidates (minhash_candidate_pairs) or
-    rely on the shingle join's natural blocking (high-cardinality
-    keys); standalone worst case is quadratic on an all-identical
-    corpus, exactly like the exact-Jaccard stage it sits beside."""
+    ``prefix_filter=True`` (the default, and the 100-TB path) is the
+    PPJoin shape adapted to asymmetric containment: candidates come
+    from joining only each inner doc's ``p`` globally-rarest shingles
+    (containment_candidates — candidate-complete, proof in
+    _containment_prefix_docs), then each candidate is verified exactly
+    via array_intersect on the two docs' sorted shingle arrays. A
+    boilerplate trigram shared by millions of docs no longer drives a
+    k^2 self-join — it only fans out against the handful of docs rare
+    enough to carry it in their prefix. Same result set as the brute
+    path, by the completeness proof.
+
+    ``prefix_filter=False`` keeps the direct shingle-equijoin (one
+    unordered join computes |A ∩ B| once; both directed pairs emitted
+    map-side) — quadratic on hot shingles, retained as the
+    property-test reference the filtered path is compared against.
+
+    Both paths assume SET semantics: one row per (doc, shingle), the
+    word_shingles(distinct=True) default."""
+    if prefix_filter:
+        per_doc = _containment_prefix_docs(shingles, threshold, id_col)
+        cand = containment_candidates(shingles, threshold, id_col)
+        inner_side = per_doc.select(
+            F.col(id_col).alias("doc_inner"),
+            F.col("sz").alias("den"),
+            F.col("toks").alias("ti"),
+        )
+        outer_side = per_doc.select(
+            F.col(id_col).alias("doc_outer"),
+            F.col("toks").alias("to"),
+        )
+        inter = F.size(F.array_intersect("ti", "to"))
+        ratio = (
+            F.floor(
+                inter / F.col("den") * F.lit(1000000.0) + F.lit(0.5)
+            )
+            / F.lit(1000000.0)
+        )
+        return (
+            cand.join(inner_side, "doc_inner")
+            .join(outer_side, "doc_outer")
+            .select(
+                "doc_inner",
+                "doc_outer",
+                ratio.alias("containment"),
+            )
+            .filter(F.col("containment") >= threshold)
+        )
     sizes = shingles.groupBy(id_col).agg(F.count("*").alias("sz"))
     a = shingles.alias("a")
     b = shingles.alias("b")

@@ -778,3 +778,44 @@ def test_wav_roundtrip_property(spark, samples, rate, bits, junk):
     assert d["sample_rate"] == rate
     assert d["bits"] == bits
     assert d["samples"][0] == samples
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.integers(min_value=0, max_value=14),  # small shingle space
+            min_size=1,
+            max_size=10,
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+    threshold=st.sampled_from([0.9, 0.6, 1.0]),
+)
+@settings(**SETTINGS)
+def test_containment_prefix_filter_is_candidate_complete(
+    spark, docs, threshold
+):
+    """The rarity-prefix-filtered containment path returns EXACTLY the
+    same directed pair set as the brute shingle self-join, for any
+    corpus shape (hot shingles, identical docs, singletons) and
+    threshold — the zero-false-negative guarantee the 100-TB path
+    rests on (miss-budget proof in _containment_prefix_docs)."""
+    from aproximacion_1_etl_spark.text.dedup import containment_pairs
+
+    rows = [
+        (i, f"s{s}")
+        for i, doc in enumerate(docs)
+        for s in sorted(set(doc))  # set semantics, like word_shingles
+    ]
+    sh = spark.createDataFrame(rows, "doc_id BIGINT, shingle STRING")
+
+    def as_set(df):
+        return {
+            (r["doc_inner"], r["doc_outer"], r["containment"])
+            for r in df.collect()
+        }
+
+    fast = as_set(containment_pairs(sh, threshold, prefix_filter=True))
+    brute = as_set(containment_pairs(sh, threshold, prefix_filter=False))
+    assert fast == brute

@@ -1202,3 +1202,43 @@ def test_containment_catches_doc_in_doc_that_jaccard_misses(spark):
         {r["doc_a"], r["doc_b"]} != {1, 2} or r["jaccard"] < 0.3
         for r in jac
     )
+
+
+def test_containment_prefix_bounds_hot_shingle_fanout(spark):
+    """Planted boilerplate: ONE shingle shared by all N docs (each doc
+    otherwise unique). The unblocked self-join would generate
+    N*(N-1) = 3540 directed rows off that shingle alone; the rarity
+    prefix keeps the hot shingle out of every doc's prefix (each doc
+    has rarer shingles and a miss budget of 0 at t=0.9 for sz=6), so
+    the candidate relation is EMPTY — bounded fan-out with zero lost
+    pairs (no true containment exists here). A second corpus plants a
+    real doc-in-doc pair amid the same boilerplate and must still
+    surface it through the prefix path."""
+    from aproximacion_1_etl_spark.text.dedup import (
+        containment_candidates,
+        containment_pairs,
+    )
+
+    n = 60
+    rows = []
+    for d in range(n):
+        rows.append((d, "HOT"))
+        rows.extend((d, f"u{d}_{j}") for j in range(5))
+    sh = spark.createDataFrame(rows, "doc_id BIGINT, shingle STRING")
+    cands = containment_candidates(sh, threshold=0.9)
+    assert cands.count() == 0
+    assert containment_pairs(sh, threshold=0.9).count() == 0
+
+    # plant: doc 1000 = 5 shingles all inside doc 0's set (+ HOT)
+    planted = rows + [(1000, "HOT")] + [
+        (1000, f"u0_{j}") for j in range(5)
+    ]
+    sh2 = spark.createDataFrame(planted, "doc_id BIGINT, shingle STRING")
+    got = {
+        (r["doc_inner"], r["doc_outer"]): r["containment"]
+        for r in containment_pairs(sh2, threshold=0.9).collect()
+    }
+    assert got == {(1000, 0): 1.0, (0, 1000): 1.0}
+    # and the candidate relation stays tiny: only the planted twins
+    # reach the join through their (now shared-rarity) prefix shingles
+    assert containment_candidates(sh2, threshold=0.9).count() <= 4
