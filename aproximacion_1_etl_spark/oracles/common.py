@@ -1711,7 +1711,52 @@ pts AS (
 """
 
 
+def _kcore_sql(k: int = 3, rounds: int = 14) -> str:
+    """Generated mirror of operators/graph.py::kcore over the strong
+    co-order graph (q_graph_kcore): the min-degree peel unrolled into
+    one CTE per round — a_i keeps the nodes whose degree within the
+    a_{i-1}-induced subgraph is >= k, exactly the parallel sweep the
+    Spark loop runs. ``rounds`` must be >= the peel depth at the
+    oracle SF (measured 10 at sf0.01 for k=3; extra rounds are no-ops
+    at the fixpoint, so over-provisioning is harmless and 14 leaves
+    margin). Final projection = each survivor's degree WITHIN the
+    core, matching the operator's output.
+
+    Every CTE is MATERIALIZED: each round references the previous one
+    TWICE (both join sides), so inlining would expand the plan 2^rounds
+    times — materialization is what makes an unrolled iterative oracle
+    linear in rounds, exactly like the Spark loop's lineage cuts."""
+    ctes = ["""WITH op0 AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+op AS MATERIALIZED (
+  SELECT * FROM op0 WHERE l_orderkey IN (
+    SELECT l_orderkey FROM op0 GROUP BY 1 HAVING count(*) <= 64)),
+e AS MATERIALIZED (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey <> b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2),
+a0 AS MATERIALIZED (SELECT DISTINCT u AS node FROM e)"""]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"""a{i} AS MATERIALIZED (
+  SELECT e.u AS node FROM e
+  JOIN a{i - 1} x ON e.u = x.node
+  JOIN a{i - 1} y ON e.v = y.node
+  GROUP BY 1 HAVING count(*) >= {k})"""
+        )
+    return ",\n".join(ctes) + f"""
+SELECT CAST(e.u AS BIGINT) AS p_partkey,
+       CAST(count(*) AS BIGINT) AS core_degree
+FROM e
+JOIN a{rounds} x ON e.u = x.node
+JOIN a{rounds} y ON e.v = y.node
+GROUP BY 1"""
+
+
+
 __all__ = [
+    "_kcore_sql",
     "_WORK_SQL",
     "_SHINGLES_SQL",
     "_simhash_sql",

@@ -6,6 +6,7 @@ from .common import *  # noqa: F401,F403
 
 ORACLES: dict[str, str] = {
     "pagerank_suppliers": _pagerank_sql(),
+    "graph_kcore": _kcore_sql(k=3, rounds=14),
     "event_bigrams": """
 WITH p AS (
   SELECT user_id,

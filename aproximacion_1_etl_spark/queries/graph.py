@@ -400,6 +400,34 @@ def q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 k-core decomposition (k=3) of the STRONG co-order graph
+    (parts sharing >= 2 distinct orders) — the graph-curation peel
+    that strips low-engagement fringes and keeps the densely
+    co-purchased core, completing the graph family next to pagerank /
+    BFS / components / triangles / Adamic-Adar
+    (operators/graph.py::kcore). Output: every surviving part with
+    its degree WITHIN the core.
+
+    Plan: the shared _co_order_edges build (max_basket=64 wedge
+    lever) feeds the iterative min-degree peel — per round ONE
+    degree aggregate + two semi-joins restricting a monotonically
+    shrinking edge set, eager lineage cut, bit-exact no-doomed-nodes
+    probe; raises rather than returning a partial peel. The oracle
+    (oracles/common.py::_kcore_sql) unrolls the same parallel sweep
+    one CTE per round past the measured peel depth, so the FIXPOINT —
+    not just plausible membership — is what's value-checked."""
+    from aproximacion_1_etl_spark.operators.graph import kcore
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = _co_order_edges(li, max_basket=64, min_orders=2)
+    core = kcore(edges, k=3, max_rounds=30)
+    return core.select(
+        F.col("node").cast("bigint").alias("p_partkey"),
+        F.col("core_degree"),
+    )
+
+
 def q_graph_degree_cap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.10 wedge-volume capacity report — the sizing companion to
     the graph family's frequent-prune levers (adamic_adar max_degree,
@@ -547,6 +575,7 @@ __all__ = [
     "q_adamic_adar_linkpred",
     "q_bfs_hop_distance",
     "q_graph_components",
+    "q_graph_kcore",
     "q_graph_degree_cap_report",
     "q_frequent_triples",
 ]

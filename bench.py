@@ -44,6 +44,19 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 MAX_LOAD = float(os.environ.get("SPARK_GRAFT_MAX_LOAD", "4.0"))
 
+# Host-drift PROBES (round-8): three never-touched sub-second keys,
+# re-measured at the head of EVERY fresh-JVM segment. Their ratio to
+# the pinned baseline (tools/probe_baseline.json, captured on a clean
+# certified run) quantifies ambient host slowdown — the r7 cert had to
+# reconstruct exactly this evidence by hand from a 90-minutes-earlier
+# run. Probe times are reported separately and never counted in the
+# headline total.
+PROBES = ["pricing_summary", "dedup_exact", "q5_nation_revenue"]
+PROBE_BASELINE_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)),
+    "tools", "probe_baseline.json",
+)
+
 # Headline set: the flagship chain + heavy representatives of each
 # operator family (joins/aggs, windows, explode, text dedup, vector).
 HEADLINE = [
@@ -261,6 +274,8 @@ HEADLINE = [
     # wedge-volume cap ladder, and the two classic SQL shapes
     "graph_components",
     "graph_degree_cap_report",
+    # round-8: k-core min-degree peel (graph-curation pruning)
+    "graph_kcore",
     "qualify_window_filter",
     "correlated_scalar_subquery",
     "sql_unpivot",
@@ -340,6 +355,19 @@ def _run_segment(keys: list[str]) -> dict:
         builder(spark, SF_DIR)
         train_secs[label] = round(time.time() - t0, 3)
 
+    # drift probes FIRST (clean head-of-segment position, matching how
+    # their baseline was captured): min-of-RUNS on three untouched
+    # sub-second keys; the segment's probe/baseline ratio is the
+    # ambient-slowdown estimate for everything measured after them
+    probe_secs: dict[str, float] = {}
+    for name in PROBES:
+        samples = []
+        for _ in range(max(1, RUNS)):
+            t0 = time.time()
+            ALL_QUERIES[name](spark, SF_DIR).count()
+            samples.append(time.time() - t0)
+        probe_secs[name] = round(min(samples), 3)
+
     # min of RUNS runs per query: the first run of a query pays one-off
     # codegen/compile cost (±30% noise on sub-second plans); the min is
     # the steady-state engine time a warmed deployment sees. The spread
@@ -362,6 +390,7 @@ def _run_segment(keys: list[str]) -> dict:
         "timings": timings,
         "spread_pct": spread_pct,
         "train_secs": train_secs,
+        "probe_secs": probe_secs,
         "loadavg_start": round(load_start, 2),
         "loadavg_end": round(load_end, 2),
     }
@@ -377,6 +406,70 @@ def main() -> None:
         result = _run_segment(keys)
         with open(out_path, "w") as fh:
             json.dump(result, fh)
+        return
+
+    if sys.argv[1:2] == ["--isolated"]:
+        # position-bias audit (round-8): re-measure the N slowest keys
+        # of the last full run, each ALONE in its own fresh JVM, and
+        # commit the comparison — the committed in-suite numbers for
+        # deep-in-segment keys carry up to ~1.7x position bias (r7:
+        # adamic_adar 15.5 s at position 40 vs ~9 s at a segment
+        # head); this file is the ground truth for the top keys.
+        n_top = int(sys.argv[2]) if sys.argv[2:] else 10
+        detail_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "BENCH_DETAIL.json",
+        )
+        with open(detail_path) as fh:
+            suite = json.load(fh)
+        top = [
+            k for k, _ in sorted(
+                suite["queries"].items(), key=lambda kv: -kv[1]
+            )[:n_top]
+        ]
+        iso: dict[str, dict] = {}
+        for key in top:
+            with tempfile.NamedTemporaryFile(
+                mode="r", suffix=".json", prefix="graft_bench_iso_",
+                delete=False,
+            ) as fh:
+                out_path = fh.name
+            try:
+                proc = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__),
+                     "--child", out_path, key],
+                    stdout=subprocess.DEVNULL,
+                    stderr=subprocess.DEVNULL,
+                )
+                if proc.returncode != 0:
+                    raise RuntimeError(
+                        f"isolated bench for {key} failed "
+                        f"(exit {proc.returncode})"
+                    )
+                with open(out_path) as fh:
+                    r = json.load(fh)
+            finally:
+                if os.path.exists(out_path):
+                    os.unlink(out_path)
+            iso[key] = {
+                "isolated_sec": r["timings"][key],
+                "in_suite_sec": suite["queries"][key],
+                "suite_over_isolated": round(
+                    suite["queries"][key] / r["timings"][key], 3
+                ),
+                "probe_secs": r.get("probe_secs", {}),
+            }
+        iso_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "BENCH_ISOLATED.json",
+        )
+        with open(iso_path, "w") as fh:
+            json.dump(
+                {"sf": suite.get("sf"), "top": iso}, fh, indent=1,
+                sort_keys=True,
+            )
+            fh.write("\n")
+        print(json.dumps({"isolated": iso}, separators=(",", ":")))
         return
 
     if seg_size <= 0:
@@ -430,6 +523,34 @@ def main() -> None:
     spread_pct = {
         k: v for r in results for k, v in r["spread_pct"].items()
     }
+    # probe-normalized drift adjudication: per segment, the median
+    # probe/baseline ratio; >1 means the host ran that much slower
+    # than on the clean baseline run, uniformly visible on untouched
+    # keys (the r7 ambient pattern). The raw total stays the headline
+    # number; normalized_value is the like-for-like comparator.
+    segment_probes = [r.get("probe_secs", {}) for r in results]
+    probe_baseline = None
+    probe_ratio_per_segment = None
+    probe_ratio_median = None
+    if os.path.exists(PROBE_BASELINE_PATH):
+        with open(PROBE_BASELINE_PATH) as fh:
+            probe_baseline = json.load(fh)["probe_secs"]
+        def _median(xs):
+            s = sorted(xs)
+            n = len(s)
+            return (s[n // 2] + s[(n - 1) // 2]) / 2.0 if n else None
+        probe_ratio_per_segment = [
+            round(_median(
+                [p[k] / probe_baseline[k]
+                 for k in p if probe_baseline.get(k)]
+            ), 3)
+            for p in segment_probes
+            if p
+        ] or None
+        if probe_ratio_per_segment:
+            probe_ratio_median = round(
+                _median(probe_ratio_per_segment), 3
+            )
     # training repeats once per segment (fresh memo per JVM); report
     # the steady-state min — it is a separate line item either way
     train_secs = {
@@ -489,6 +610,17 @@ def main() -> None:
         "segment_loads": [
             [r["loadavg_start"], r["loadavg_end"]] for r in results
         ],
+        # head-of-segment probe times + their ratio to the pinned
+        # clean baseline (tools/probe_baseline.json): the automated
+        # form of the r7 hand-built drift adjudication
+        "segment_probes": segment_probes,
+        "probe_ratio_per_segment": probe_ratio_per_segment,
+        "probe_ratio_median": probe_ratio_median,
+        "normalized_value": (
+            round(sum(timings.values()) / probe_ratio_median, 3)
+            if probe_ratio_median
+            else None
+        ),
         "spread_pct": spread_pct,
         **train_secs,
         "loadavg_start": round(load_start, 2),
@@ -524,6 +656,7 @@ def main() -> None:
                 "n_queries": detail["n_queries"],
                 "loadavg_start": detail["loadavg_start"],
                 "load_flagged": detail["load_flagged"],
+                "probe_ratio_median": detail["probe_ratio_median"],
                 # spec-shaped but truncated to the 10 slowest keys so
                 # the one-line output stays inside the driver's ~2 KB
                 # tail capture; the full mapping is in the detail file

@@ -180,3 +180,32 @@ def test_connected_components_raises_when_cap_too_small(spark):
     )
     with pytest.raises(RuntimeError, match="fixpoint"):
         connected_components(df, max_iterations=1)
+
+
+def test_kcore_peels_fringe_and_raises_on_small_cap(spark):
+    """A 10-clique with a 12-node pendant chain: k=3 keeps exactly the
+    clique (every member at degree 9) and peels the whole chain. A
+    long chain at k=2 needs one sweep per endpoint pair, so a too-
+    small max_rounds raises instead of returning a partial peel."""
+    import pytest
+
+    from aproximacion_1_etl_spark.operators.graph import kcore
+
+    clique = [
+        (i, j) for i in range(10) for j in range(10) if i < j
+    ]
+    chain = [(9 + i, 9 + i + 1) for i in range(1, 12)]
+    df = spark.createDataFrame(
+        clique + chain, "src bigint, dst bigint"
+    )
+    got = {
+        r["node"]: r["core_degree"]
+        for r in kcore(df, k=3, max_rounds=20).collect()
+    }
+    assert got == {i: 9 for i in range(10)}
+
+    long_chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "src bigint, dst bigint"
+    )
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        kcore(long_chain, k=2, max_rounds=3)

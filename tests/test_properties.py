@@ -819,3 +819,45 @@ def test_containment_prefix_filter_is_candidate_complete(
     fast = as_set(containment_pairs(sh, threshold, prefix_filter=True))
     brute = as_set(containment_pairs(sh, threshold, prefix_filter=False))
     assert fast == brute
+
+
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=12),
+            st.integers(min_value=0, max_value=12),
+        ),
+        min_size=1,
+        max_size=24,
+    ),
+    k=st.sampled_from([2, 3]),
+)
+@settings(**SETTINGS)
+def test_kcore_matches_python_peel(spark, edges, k):
+    """kcore equals a reference Python peel on arbitrary random graphs
+    (self-loops, duplicate and reversed edges included): same survivor
+    set AND same within-core degrees. The peel below removes ALL
+    sub-k nodes per sweep — the same order-independent parallel rule
+    the distributed loop runs, and the rule under which the k-core is
+    the unique maximal fixpoint."""
+    from aproximacion_1_etl_spark.operators.graph import kcore
+
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    alive = set(adj)
+    while True:
+        doomed = {n for n in alive if len(adj[n] & alive) < k}
+        if not doomed:
+            break
+        alive -= doomed
+    expected = {n: len(adj[n] & alive) for n in alive}
+
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {
+        r["node"]: r["core_degree"]
+        for r in kcore(df, k=k, max_rounds=20).collect()
+    }
+    assert got == expected
