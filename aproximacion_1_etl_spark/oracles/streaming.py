@@ -62,6 +62,37 @@ FROM c
 WHERE c.click_id NOT IN (SELECT click_id FROM matched)
   AND c.click_ts + INTERVAL 6 HOURS < (SELECT w FROM wm)
 """,
+    "streaming_interval_join_full": """
+WITH c AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+           FROM events WHERE event_type = 'click'),
+p AS (SELECT event_id AS purchase_id, user_id AS p_user_id,
+             ts AS purchase_ts
+      FROM events WHERE event_type = 'purchase'),
+wm AS (SELECT least((SELECT max(click_ts) FROM c),
+                    (SELECT max(purchase_ts) FROM p))
+              - INTERVAL 1 HOUR AS w),
+matched AS (SELECT c.click_id, p.purchase_id, c.user_id
+            FROM c JOIN p ON c.user_id = p.p_user_id
+             AND p.purchase_ts >= c.click_ts
+             AND p.purchase_ts < c.click_ts + INTERVAL 6 HOURS)
+SELECT click_id, purchase_id, user_id FROM matched
+UNION ALL
+-- left flush: a click's window closes when the watermark passes
+-- click_ts + 6h (same rule as the left-outer form)
+SELECT c.click_id, CAST(NULL AS BIGINT) AS purchase_id, c.user_id
+FROM c
+WHERE c.click_id NOT IN (SELECT click_id FROM matched)
+  AND c.click_ts + INTERVAL 6 HOURS < (SELECT w FROM wm)
+UNION ALL
+-- right flush: a purchase only matches clicks with click_ts <=
+-- purchase_ts, and new clicks arrive at >= w, so it is provably
+-- unmatched once purchase_ts < w
+SELECT CAST(NULL AS BIGINT) AS click_id, p.purchase_id,
+       p.p_user_id AS user_id
+FROM p
+WHERE p.purchase_id NOT IN (SELECT purchase_id FROM matched)
+  AND p.purchase_ts < (SELECT w FROM wm)
+""",
     "streaming_session_window": """
 WITH l AS (
   SELECT user_id, ts,

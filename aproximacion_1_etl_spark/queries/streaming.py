@@ -354,6 +354,79 @@ def q_streaming_interval_join_outer(
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
+def q_streaming_interval_join_full(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """§2.9 stream-stream FULL OUTER interval join — both-side NULL
+    emission at watermark eviction, completing the outer-join matrix
+    next to the left form: clicks that never converted within 6 h
+    emit (purchase_id NULL) once the watermark passes the END of their
+    join window (click_ts + 6h < w), and purchases with no preceding
+    click in their window emit (click_id NULL) once the watermark
+    passes the point where no future click can match them — a
+    purchase joins clicks with click_ts <= purchase_ts, and new clicks
+    arrive at >= w, so its eviction moment is purchase_ts < w. The
+    oracle mirrors both flush rules against the same cross-stream
+    final watermark w = min(max click_ts, max purchase_ts) - 1h; rows
+    whose windows are still open when the stream ends are correctly
+    withheld on BOTH sides. user_id coalesces across sides so
+    purchase-only rows keep their user."""
+    import shutil
+    import uuid
+
+    from aproximacion_1_etl_spark.streaming.events import read_events_stream
+
+    table = f"stream_foj_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_foj_")
+    s1 = (
+        read_events_stream(spark, sf_dir, "events.parquet")
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    s2 = (
+        read_events_stream(spark, sf_dir, "events.parquet")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = s1.join(
+        s2,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            < F.col("click_ts") + F.expr("INTERVAL 6 HOURS")
+        ),
+        "full_outer",
+    ).select(
+        "click_id",
+        "purchase_id",
+        F.coalesce(F.col("user_id"), F.col("p_user_id")).alias("user_id"),
+    )
+    try:
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(table)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.table(table)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
 def q_streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.9: streaming dropDuplicates — the distinct (user_id,
     event_type) key set surviving a streamed dedup equals the batch
@@ -1874,6 +1947,7 @@ __all__ = [
     "q_streaming_stateful_sessions",
     "q_streaming_interval_join",
     "q_streaming_interval_join_outer",
+    "q_streaming_interval_join_full",
     "q_streaming_dedup_keys",
     "q_streaming_windowed_counts",
     "q_streaming_session_window",
