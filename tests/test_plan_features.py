@@ -382,10 +382,19 @@ def test_r7_session_plan_contracts(spark, sf_dir):
         "multimodal_audio": 2,
         "pandas_iter_udf": 2,
         "grouped_arrow_stats": 2,
-        "containment_dedup": 7,  # 4 shuffles + 3 size-lookup bcasts
+        # r8 PPJoin rewrite: the per-doc prefix state is built ONCE
+        # behind an eager checkpoint (3 consumers), so the final plan
+        # is just candidate-dedup + verify lookups: 2 shuffles + 3
+        # broadcasts (the unblocked self-join's 7 had no hot-shingle
+        # bound; the rewrite is cheaper AND fan-out-safe)
+        "containment_dedup": 6,
         "morton_cells": 2,
         "point_in_polygon_join": 2,
         "adamic_adar_linkpred": 3,
+        # r8: the k-core's final plan is one aggregate over the
+        # checkpointed core edges — the per-round degree agg + two
+        # semi-joins live behind the loop's lineage cuts
+        "graph_kcore": 2,
     }.items():
         got = exchanges(plan_of(key))
         assert got <= bound, (key, got, bound)
