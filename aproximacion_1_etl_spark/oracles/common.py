@@ -7,6 +7,7 @@ from __future__ import annotations
 from aproximacion_1_etl_spark.text.analysis import (
     BM25_QUERIES as _BM25_QUERIES,
 )
+from aproximacion_1_etl_spark.text.dedup import lsh_catch_probability_sql
 from aproximacion_1_etl_spark.text.vector import _hyperplane
 
 
@@ -1755,7 +1756,51 @@ GROUP BY 1"""
 
 
 
+def _lsh_band_plan_sql(ladder: list[tuple[int, int]]) -> str:
+    """Generated mirror of q_lsh_band_plan: the exact pair-Jaccard
+    histogram (same shingle/intersection CTEs as ngram_jaccard,
+    bucketed to 0.01) crossed with the banding ladder — each ladder
+    entry's S-curve comes from the SAME generated expression the Spark
+    plan consumes (text/dedup.py::lsh_catch_probability_sql), and the
+    expected counts are decimal-cast sums with the engine's standard
+    floor-rounding."""
+    jac = "floor((i * 1.0 / (sa.sz + sb.sz - i)) * 1000000.0 + 0.5) / 1000000.0"
+    head = f"""WITH {_SHINGLES_SQL.strip()},
+sz AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM shingles a JOIN shingles b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+j AS (
+  SELECT {jac} AS jac
+  FROM inter JOIN sz sa ON doc_a = sa.doc_id
+             JOIN sz sb ON doc_b = sb.doc_id
+  WHERE {jac} >= 0.1),
+hist AS (SELECT floor(jac * 100) / 100 AS s, count(*) AS n
+         FROM j GROUP BY 1)
+"""
+    parts = []
+    for b, r in ladder:
+        p = lsh_catch_probability_sql(b, r, "s")
+        parts.append(f"""SELECT CAST({b} AS INT) AS bands,
+       CAST({r} AS INT) AS rows_per_band,
+       floor((CAST(sum(CASE WHEN s >= 0.9
+                  THEN CAST({p} * n AS DECIMAL(38,15)) END) AS DOUBLE)
+              / sum(CASE WHEN s >= 0.9 THEN n END))
+             * 1000000.0 + 0.5) / 1000000.0 AS catch_ge90,
+       floor(CAST(sum(CASE WHEN s < 0.5
+                  THEN CAST({p} * n AS DECIMAL(38,15)) END) AS DOUBLE)
+             * 100.0 + 0.5) / 100.0 AS exp_cand_lt50,
+       floor(CAST(sum(CAST({p} * n AS DECIMAL(38,15))) AS DOUBLE)
+             * 100.0 + 0.5) / 100.0 AS exp_cand_total
+FROM hist""")
+    return head + "\nUNION ALL\n".join(parts)
+
+
+
 __all__ = [
+    "_lsh_band_plan_sql",
     "_kcore_sql",
     "_WORK_SQL",
     "_SHINGLES_SQL",

@@ -6,9 +6,13 @@ from __future__ import annotations
 from aproximacion_1_etl_spark.text.analysis import (
     BM25_QUERIES as _BM25_QUERIES,
 )
+from aproximacion_1_etl_spark.text.dedup import (
+    LSH_PLAN_LADDER as _LSH_PLAN_LADDER,
+)
 from .common import *  # noqa: F401,F403
 
 ORACLES: dict[str, str] = {
+    "lsh_band_plan": _lsh_band_plan_sql(_LSH_PLAN_LADDER),
     "bm25_topk": _bm25_sql(_BM25_QUERIES),
     "lm_trigram_score": """
 WITH dtc AS (SELECT doc_id, lang, tri, count(*) AS cnt

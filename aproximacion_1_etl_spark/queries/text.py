@@ -187,6 +187,76 @@ def q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return containment_pairs(sh, threshold=0.9)
 
 
+def q_lsh_band_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 LSH BANDING PLANNER — the sizing report for the MinHash
+    lever (companion to graph_degree_cap_report's cap ladder): for
+    each (bands, rows-per-band) candidate on the ladder, the expected
+    behavior of that banding ON THIS CORPUS's empirical similarity
+    distribution — expected recall among true near-dup pairs
+    (Jaccard >= 0.9), expected sub-threshold candidate load
+    (Jaccard < 0.5, the wasted verification work), and total expected
+    candidates. This is what an operator reads to pick bands x rows
+    before a 100-TB dedup run: more bands/fewer rows => higher recall
+    AND higher junk-candidate load; the right point depends on the
+    corpus's similarity histogram, not on the formula alone.
+
+    The S-curve p(s) = 1 - (1 - s^r)^b comes from ONE generated
+    expression (text/dedup.py::lsh_catch_probability_sql — repeated
+    multiplication, never libm pow) consumed verbatim by this plan and
+    the DuckDB oracle. The exact pair histogram is bucketed to 0.01
+    (<= ~90 rows, eagerly checkpointed — it feeds one aggregate per
+    ladder entry); expected counts are decimal-cast sums, so the
+    report is value-checked, not eyeballed. At 100 TB the histogram
+    itself would come from a pair SAMPLE; the ladder math is O(|hist|
+    x |ladder|) either way."""
+    from aproximacion_1_etl_spark.text.dedup import (
+        LSH_PLAN_LADDER,
+        lsh_catch_probability_sql,
+        ngram_jaccard_pairs,
+        word_shingles,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = word_shingles(docs, n=3)
+    pairs = ngram_jaccard_pairs(sh, threshold=0.1)
+    hist = (
+        pairs.select(
+            (F.floor(F.col("jaccard") * 100) / 100).alias("s")
+        )
+        .groupBy("s")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    outs = []
+    for b, r in LSH_PLAN_LADDER:
+        p = F.expr(lsh_catch_probability_sql(b, r, "s"))
+        pn = (p * F.col("n")).cast("decimal(38,15)")
+        agg = hist.agg(
+            _fround(
+                F.sum(F.when(F.col("s") >= 0.9, pn)).cast("double")
+                / F.sum(F.when(F.col("s") >= 0.9, F.col("n"))),
+                6,
+            ).alias("catch_ge90"),
+            _fround(
+                F.sum(F.when(F.col("s") < 0.5, pn)).cast("double"), 2
+            ).alias("exp_cand_lt50"),
+            _fround(F.sum(pn).cast("double"), 2).alias("exp_cand_total"),
+        )
+        outs.append(
+            agg.select(
+                F.lit(b).cast("int").alias("bands"),
+                F.lit(r).cast("int").alias("rows_per_band"),
+                "catch_ge90",
+                "exp_cand_lt50",
+                "exp_cand_total",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
 def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.10: per-doc text analytics — token counts, BPE-ish tokens, language-ID, quality score, fingerprint."""
     docs = load_table(spark, sf_dir, "documents")
@@ -1749,6 +1819,7 @@ __all__ = [
     "q_dedup_simhash",
     "q_ngram_jaccard",
     "q_containment_dedup",
+    "q_lsh_band_plan",
     "q_text_profile",
     "q_tfidf_top_terms",
     "q_repetition_profile",

@@ -32,6 +32,12 @@ from pyspark.sql import Column, DataFrame
 
 DEFAULT_BANDS = 8
 
+# (bands, rows-per-band) ladder for the LSH banding planner
+# (q_lsh_band_plan + its oracle share this single definition)
+LSH_PLAN_LADDER = [
+    (4, 2), (8, 2), (4, 4), (8, 4), (16, 4), (8, 8), (16, 8), (32, 8),
+]
+
 
 def normalized(text: Column) -> Column:
     """Canonical text form for exact dedup: lowercase, collapsed
@@ -873,3 +879,20 @@ def winnowed_fingerprints(
         )
         .filter(F.col("n_docs") >= min_docs)
     )
+
+
+def lsh_catch_probability_sql(bands: int, rows: int, col: str = "s") -> str:
+    """Generated S-curve expression for MinHash-LSH banding: the
+    probability that a pair with shingle-Jaccard ``col`` collides in
+    at least one of ``bands`` bands of ``rows`` rows each,
+    1 - (1 - s^rows)^bands — written as REPEATED MULTIPLICATION, never
+    pow(): libm pow is not correctly rounded and differs across
+    engines, while a fixed left-associated chain of IEEE multiplies is
+    bit-identical everywhere (the same device as the engine's other
+    shared generated-SQL builders, functions/geo.py). One definition
+    consumed verbatim by both the Spark plan (F.expr) and the DuckDB
+    oracle, so the curve cannot drift."""
+    sr = "(" + " * ".join([col] * rows) + ")"
+    q = f"(1.0 - {sr})"
+    qb = "(" + " * ".join([q] * bands) + ")"
+    return f"(1.0 - {qb})"

@@ -274,8 +274,10 @@ HEADLINE = [
     # wedge-volume cap ladder, and the two classic SQL shapes
     "graph_components",
     "graph_degree_cap_report",
-    # round-8: k-core min-degree peel (graph-curation pruning)
+    # round-8: k-core min-degree peel (graph-curation pruning) and
+    # the data-driven LSH banding planner
     "graph_kcore",
+    "lsh_band_plan",
     "qualify_window_filter",
     "correlated_scalar_subquery",
     "sql_unpivot",

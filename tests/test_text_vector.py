@@ -1242,3 +1242,44 @@ def test_containment_prefix_bounds_hot_shingle_fanout(spark):
     # and the candidate relation stays tiny: only the planted twins
     # reach the join through their (now shared-rarity) prefix shingles
     assert containment_candidates(sh2, threshold=0.9).count() <= 4
+
+
+def test_lsh_band_plan_scurve_and_report_shape(spark, sf_dir):
+    """The generated S-curve expression equals the closed form
+    1-(1-s^r)^b (repeated-multiply emulation) across the ladder and a
+    similarity grid, and the catalog report is monotone where theory
+    says it must be: more bands at fixed rows never lowers the catch
+    rate; more rows at fixed bands never raises it."""
+    import pyspark.sql.functions as F
+
+    from aproximacion_1_etl_spark.queries import ALL_QUERIES
+    from aproximacion_1_etl_spark.text.dedup import (
+        LSH_PLAN_LADDER,
+        lsh_catch_probability_sql,
+    )
+
+    grid = spark.createDataFrame(
+        [(i / 20.0,) for i in range(21)], "s double"
+    )
+    for b, r in LSH_PLAN_LADDER:
+        got = {
+            row["s"]: row["p"]
+            for row in grid.select(
+                "s", F.expr(lsh_catch_probability_sql(b, r, "s")).alias("p")
+            ).collect()
+        }
+        for s, p in got.items():
+            sr = 1.0
+            for _ in range(r):
+                sr *= s
+            q = 1.0 - sr
+            qb = 1.0
+            for _ in range(b):
+                qb *= q
+            assert p == 1.0 - qb, (b, r, s)
+
+    rows = ALL_QUERIES["lsh_band_plan"](spark, sf_dir).collect()
+    assert len(rows) == len(LSH_PLAN_LADDER)
+    catch = {(r["bands"], r["rows_per_band"]): r["catch_ge90"] for r in rows}
+    assert catch[(16, 4)] >= catch[(8, 4)] >= catch[(4, 4)]
+    assert catch[(8, 2)] >= catch[(8, 4)] >= catch[(8, 8)]
