@@ -537,29 +537,32 @@ def kcore(
     alive = e.unionByName(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).localCheckpoint(eager=True)
-    converged = False
-    for _ in range(max_rounds):
+    # probe-FIRST loop: max_rounds counts PEELS, so the cap equals the
+    # graph's peel depth exactly (a probe-last loop would need
+    # depth + 1 and raise spuriously on a cap set to the known depth)
+    peels = 0
+    while True:
         deg = (
             alive.groupBy("u")
             .agg(F.count("*").alias("d"))
             .localCheckpoint(eager=True)
         )
         if deg.filter(F.col("d") < k).limit(1).count() == 0:
-            converged = True
-            break
+            break  # fixpoint: nothing left to peel
+        if peels >= max_rounds:
+            raise RuntimeError(
+                f"kcore: peel did not reach the fixpoint within "
+                f"max_rounds={max_rounds} peels; a partial peel is "
+                "not a k-core (raise the cap — peels needed is the "
+                "degeneracy peel depth of the graph)"
+            )
         keep = deg.filter(F.col("d") >= k).select("u")
         alive = (
             alive.join(keep, "u", "left_semi")
             .join(keep.withColumnRenamed("u", "v"), "v", "left_semi")
             .localCheckpoint(eager=True)
         )
-    if not converged:
-        raise RuntimeError(
-            f"kcore: peel did not reach the fixpoint within "
-            f"max_rounds={max_rounds}; a partial peel is not a k-core "
-            "(raise the cap — rounds needed is the degeneracy peel "
-            "depth of the graph)"
-        )
+        peels += 1
     return alive.groupBy("u").agg(
         F.count("*").cast("bigint").alias("core_degree")
     ).select(F.col("u").alias("node"), "core_degree")

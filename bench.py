@@ -436,23 +436,33 @@ def main() -> None:
                 delete=False,
             ) as fh:
                 out_path = fh.name
+            err_path = out_path + ".stderr"
             try:
-                proc = subprocess.run(
-                    [sys.executable, os.path.abspath(__file__),
-                     "--child", out_path, key],
-                    stdout=subprocess.DEVNULL,
-                    stderr=subprocess.DEVNULL,
-                )
+                # stderr to a file (same diagnosability pattern as the
+                # segmented runner): a crashing child carries its
+                # traceback tail instead of a bare exit code
+                with open(err_path, "wb") as err_fh:
+                    proc = subprocess.run(
+                        [sys.executable, os.path.abspath(__file__),
+                         "--child", out_path, key],
+                        stdout=subprocess.DEVNULL,
+                        stderr=err_fh,
+                    )
                 if proc.returncode != 0:
+                    with open(err_path, "rb") as err_fh:
+                        err_fh.seek(0, os.SEEK_END)
+                        err_fh.seek(max(0, err_fh.tell() - 2000))
+                        tail = err_fh.read().decode("utf-8", "replace")
                     raise RuntimeError(
                         f"isolated bench for {key} failed "
-                        f"(exit {proc.returncode})"
+                        f"(exit {proc.returncode}); stderr tail:\n{tail}"
                     )
                 with open(out_path) as fh:
                     r = json.load(fh)
             finally:
-                if os.path.exists(out_path):
-                    os.unlink(out_path)
+                for p in (out_path, err_path):
+                    if os.path.exists(p):
+                        os.unlink(p)
             iso[key] = {
                 "isolated_sec": r["timings"][key],
                 "in_suite_sec": suite["queries"][key],
@@ -541,17 +551,24 @@ def main() -> None:
             s = sorted(xs)
             n = len(s)
             return (s[n // 2] + s[(n - 1) // 2]) / 2.0 if n else None
-        probe_ratio_per_segment = [
-            round(_median(
+        seg_medians = [
+            _median(
                 [p[k] / probe_baseline[k]
                  for k in p if probe_baseline.get(k)]
-            ), 3)
+            )
             for p in segment_probes
             if p
-        ] or None
+        ]
+        # a segment whose probe keys miss the baseline entirely (e.g.
+        # PROBES changed against an old pinned file) yields None —
+        # drop it rather than crash the aggregation of a finished run
+        seg_medians = [m for m in seg_medians if m is not None]
+        probe_ratio_per_segment = (
+            [round(m, 3) for m in seg_medians] or None
+        )
         if probe_ratio_per_segment:
             probe_ratio_median = round(
-                _median(probe_ratio_per_segment), 3
+                _median(seg_medians), 3
             )
     # training repeats once per segment (fresh memo per JVM); report
     # the steady-state min — it is a separate line item either way

@@ -61,11 +61,36 @@ def write_baseline() -> None:
     print(f"pinned probe baseline: {base}")
 
 
+def _median(xs):
+    s = sorted(xs)
+    n = len(s)
+    return (s[n // 2] + s[(n - 1) // 2]) / 2.0 if n else None
+
+
+def _probe_ratio(cur: dict) -> float:
+    """Ambient-slowdown divisor for the current run: recomputed here
+    from segment_probes + the baseline FILE (not the run's stored
+    probe_ratio_median), so a baseline pinned AFTER a run was measured
+    still normalizes that run. Falls back to the stored value, then to
+    1.0 (no normalization) when no baseline exists."""
+    if os.path.exists(BASELINE):
+        base = _load(BASELINE)["probe_secs"]
+        meds = [
+            _median([p[k] / base[k] for k in p if base.get(k)])
+            for p in cur.get("segment_probes", [])
+            if p
+        ]
+        meds = [m for m in meds if m is not None]
+        if meds:
+            return _median(meds)
+    return cur.get("probe_ratio_median") or 1.0
+
+
 def gate(ref_path: str, threshold: float) -> int:
     cur = _load(DETAIL)
     ref = _load(os.path.join(REPO, ref_path))
     ref_queries = ref.get("queries") or {}
-    ratio = cur.get("probe_ratio_median") or 1.0
+    ratio = _probe_ratio(cur)
     flagged = []
     rows = []
     for key, t in sorted(cur.get("queries", {}).items()):
