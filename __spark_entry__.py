@@ -5,8 +5,9 @@ each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
 order-insensitive value-hash → CORRECTNESS_r{N}.json).
 
-Implementations live in ``aproximacion_1_etl_spark/`` (queries.py /
-oracles.py); this file is the thin adapter the driver imports.
+Implementations live in ``aproximacion_1_etl_spark/`` (the queries/
+and oracles/ packages); this file is the thin adapter the driver
+imports.
 """
 
 from __future__ import annotations

@@ -37,6 +37,32 @@ def _load(path: str) -> dict:
         return json.load(fh)
 
 
+def _load_ref(spec: str) -> dict:
+    """Load a reference bench artifact. Accepts a plain JSON path, a
+    driver wrapper (BENCH_r{N}.json: {'parsed': {...}, 'tail': '...'}
+    — unwrapped automatically; note the driver's compact line truncates
+    'queries' to the 10 slowest), or '<commit>:<path>' git-show syntax
+    for a full per-key BENCH_DETAIL.json from a past cert commit."""
+    import subprocess
+
+    p = os.path.join(REPO, spec)
+    if os.path.exists(p):
+        d = _load(p)
+    elif ":" in spec:
+        out = subprocess.run(
+            ["git", "-C", REPO, "show", spec],
+            capture_output=True, text=True, check=True,
+        ).stdout
+        d = json.loads(out)
+    else:
+        raise SystemExit(f"reference {spec!r} not found")
+    if "queries" not in d and "parsed" in d and d["parsed"]:
+        d = d["parsed"]
+    if "queries" not in d and isinstance(d.get("tail"), str):
+        d = json.loads(d["tail"])
+    return d
+
+
 def write_baseline() -> None:
     detail = _load(DETAIL)
     probes = [p for p in detail.get("segment_probes", []) if p]
@@ -88,7 +114,7 @@ def _probe_ratio(cur: dict) -> float:
 
 def gate(ref_path: str, threshold: float) -> int:
     cur = _load(DETAIL)
-    ref = _load(os.path.join(REPO, ref_path))
+    ref = _load_ref(ref_path)
     ref_queries = ref.get("queries") or {}
     ratio = _probe_ratio(cur)
     flagged = []
