@@ -1763,9 +1763,17 @@ def _lsh_band_plan_sql(ladder: list[tuple[int, int]]) -> str:
     entry's S-curve comes from the SAME generated expression the Spark
     plan consumes (text/dedup.py::lsh_catch_probability_sql), and the
     expected counts are decimal-cast sums with the engine's standard
-    floor-rounding."""
+    floor-rounding. The doc relation is the deterministic 50% md5-
+    prefix sample ('8000' = 32768/65536), mirroring the Spark plan's
+    quadratic-bounding sample."""
     jac = "floor((i * 1.0 / (sa.sz + sb.sz - i)) * 1000000.0 + 0.5) / 1000000.0"
-    head = f"""WITH {_SHINGLES_SQL.strip()},
+    sampled_shingles = _SHINGLES_SQL.strip().replace(
+        "FROM documents WHERE",
+        "FROM documents WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)"
+        " < '8000' AND",
+        1,
+    )
+    head = f"""WITH {sampled_shingles},
 sz AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY 1),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i

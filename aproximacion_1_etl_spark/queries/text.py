@@ -206,9 +206,21 @@ def q_lsh_band_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     the DuckDB oracle. The exact pair histogram is bucketed to 0.01
     (<= ~90 rows, eagerly checkpointed — it feeds one aggregate per
     ladder entry); expected counts are decimal-cast sums, so the
-    report is value-checked, not eyeballed. At 100 TB the histogram
-    itself would come from a pair SAMPLE; the ladder math is O(|hist|
-    x |ladder|) either way."""
+    report is value-checked, not eyeballed.
+
+    Scale posture: the histogram is built on a DETERMINISTIC 50%
+    doc-hash sample (functions/sampling.py's md5-prefix device,
+    mirrored verbatim in the oracle), never the full corpus — the
+    pair join under the histogram is the quadratic-prone shape the
+    containment key had to prefix-filter away, and a planner only
+    needs the SHAPE of the similarity distribution: sampling docs at
+    rate q bounds pair volume by q^2 while every similarity stratum
+    stays represented (pair survival is similarity-independent). At
+    100 TB you lower the rate, not the design; the ladder math stays
+    O(|hist| x |ladder|)."""
+    from aproximacion_1_etl_spark.functions.sampling import (
+        deterministic_sample,
+    )
     from aproximacion_1_etl_spark.text.dedup import (
         LSH_PLAN_LADDER,
         lsh_catch_probability_sql,
@@ -216,7 +228,9 @@ def q_lsh_band_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         word_shingles,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = deterministic_sample(
+        load_table(spark, sf_dir, "documents"), "doc_id", 0.5
+    )
     sh = word_shingles(docs, n=3)
     pairs = ngram_jaccard_pairs(sh, threshold=0.1)
     hist = (
