@@ -1,0 +1,105 @@
+"""Harness-tool tests (no Spark): the probe-normalized perf gate, the
+pinned probe baseline, and the crash-robust test-temp-root sweep.
+These lock the round-8 adjudication machinery ON — the failure mode
+they guard is silent inertness (a missing baseline file makes every
+normalization a no-op without any error)."""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_probe_baseline_is_pinned_and_matches_probe_keys():
+    """tools/probe_baseline.json must exist and carry exactly the keys
+    bench.py probes — otherwise the drift normalization ships inert
+    (bench guards on file existence and perf_gate silently falls back
+    to ratio 1.0)."""
+    import bench
+
+    path = os.path.join(REPO, "tools", "probe_baseline.json")
+    assert os.path.exists(path), "probe baseline not pinned"
+    base = json.load(open(path))["probe_secs"]
+    assert set(base) == set(bench.PROBES)
+    assert all(v > 0 for v in base.values())
+
+
+def test_perf_gate_ratio_and_ref_unwrapping(tmp_path, monkeypatch):
+    """_probe_ratio computes the median of per-segment medians against
+    the baseline file, and _load_ref unwraps the driver's BENCH_r{N}
+    wrapper ({'parsed': ...} / {'tail': '<json>'}) down to a dict with
+    'queries'."""
+    from tools import perf_gate
+
+    base = {"probe_secs": {"a": 1.0, "b": 2.0}}
+    bpath = tmp_path / "probe_baseline.json"
+    bpath.write_text(json.dumps(base))
+    monkeypatch.setattr(perf_gate, "BASELINE", str(bpath))
+
+    cur = {
+        "segment_probes": [
+            {"a": 1.1, "b": 2.2},   # median ratio 1.1
+            {"a": 1.3, "b": 2.6},   # median ratio 1.3
+            {},                     # empty segment dropped
+            {"zz": 9.9},            # no baseline overlap -> dropped
+        ]
+    }
+    assert abs(perf_gate._probe_ratio(cur) - 1.2) < 1e-12
+
+    # no baseline file -> stored value, then 1.0
+    monkeypatch.setattr(perf_gate, "BASELINE", str(tmp_path / "nope.json"))
+    assert perf_gate._probe_ratio({"probe_ratio_median": 1.5}) == 1.5
+    assert perf_gate._probe_ratio({}) == 1.0
+
+    # driver-wrapper unwrapping: parsed dict wins, tail string parses
+    wrapped = tmp_path / "BENCH_rX.json"
+    wrapped.write_text(json.dumps({"parsed": {"queries": {"k": 1.0}}}))
+    monkeypatch.setattr(perf_gate, "REPO", str(tmp_path))
+    assert perf_gate._load_ref("BENCH_rX.json")["queries"] == {"k": 1.0}
+    wrapped.write_text(
+        json.dumps({"parsed": None, "tail": '{"queries": {"k": 2.0}}'})
+    )
+    assert perf_gate._load_ref("BENCH_rX.json")["queries"] == {"k": 2.0}
+
+
+def test_temp_root_sweep_reclaims_dead_owner_and_spares_live(tmp_path, monkeypatch):
+    """The graft_test_session sweep reclaims a root whose OWNER.pid is
+    dead (past the 60s infancy grace), spares a live-owner root, and
+    spares brand-new roots regardless of owner state."""
+    import tempfile
+    import time
+
+    import conftest
+
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+
+    dead = tmp_path / "graft_test_session_dead"
+    dead.mkdir()
+    (dead / "OWNER.pid").write_text("999999999")  # no such pid
+    live = tmp_path / "graft_test_session_live"
+    live.mkdir()
+    (live / "OWNER.pid").write_text(str(os.getpid()))
+    infant = tmp_path / "graft_test_session_new"
+    infant.mkdir()  # no pid file yet — inside the create/write race
+
+    old = time.time() - 300  # past the 60s grace, inside 6h
+    for d in (dead, live):
+        os.utime(d, (old, old))
+        os.utime(d / "OWNER.pid", (old, old))
+
+    conftest._sweep_stale_roots()
+    assert not dead.exists()
+    assert live.exists()
+    assert infant.exists()
+
+    # skip= protects the caller's own root even if its owner looks dead
+    own = tmp_path / "graft_test_session_own"
+    own.mkdir()
+    (own / "OWNER.pid").write_text("999999999")
+    os.utime(own, (old, old))
+    os.utime(own / "OWNER.pid", (old, old))
+    conftest._sweep_stale_roots(skip=str(own))
+    assert own.exists()
