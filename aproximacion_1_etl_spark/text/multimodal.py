@@ -374,7 +374,9 @@ def decode_wav(payload: bytes) -> dict:
     """Parse a RIFF/WAVE payload to (sample_rate, channels, bits,
     frames) via the shared chunk walk. Multi-channel frames are
     returned interleaved-split: ``samples`` is a per-channel list of
-    lists."""
+    lists. Trailing samples that do not fill a whole frame are dropped
+    (same rule as decode_wav_np's reshape, keeping the two paths
+    bit-exact on ragged multi-channel payloads too)."""
     import struct
 
     out, raw = _wav_meta_and_raw(payload)
@@ -387,6 +389,7 @@ def decode_wav(payload: bytes) -> dict:
     else:
         vals = [b - 128 for b in raw]
     out["n_frames"] = len(vals) // ch
+    vals = vals[: out["n_frames"] * ch]
     out["samples"] = [vals[c::ch] for c in range(ch)]
     return out
 

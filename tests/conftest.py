@@ -22,41 +22,49 @@ def sf_dir():
     return SF_DIR
 
 
-def _owner_alive(root: str) -> bool:
-    """True when the session that created ``root`` still looks alive.
+def _owner_state(root: str) -> str:
+    """'alive' | 'dead' | 'unknown' for the session that created
+    ``root``.
 
     Ownership is a pid file written at root creation; liveness is
-    os.kill(pid, 0). A recycled pid can false-positive here — the 6h
-    mtime gate in the sweep still reclaims those eventually, and the
-    heartbeat thread keeps genuinely live roots' mtimes fresh so they
-    are never in the stale window at all."""
+    os.kill(pid, 0). 'dead' (pid file present, pid gone) is the only
+    state eligible for the fast reclaim path — 'unknown' (no/unreadable
+    pid file, e.g. a run from a checkout predating the pid-file
+    convention) must fall back to the slow 6h mtime gate, otherwise a
+    live legacy run's temp root could be deleted mid-run after 60 s of
+    mtime quiet. A recycled pid can false-positive as 'alive' — the 6h
+    gate still reclaims those eventually, and the heartbeat thread
+    keeps genuinely live roots' mtimes fresh so they are never in the
+    stale window at all."""
     try:
         with open(os.path.join(root, "OWNER.pid")) as fh:
             pid = int(fh.read().strip())
     except (OSError, ValueError):
-        return False
+        return "unknown"
     try:
         os.kill(pid, 0)
-        return True
+        return "alive"
     except ProcessLookupError:
-        return False
+        return "dead"
     except PermissionError:
-        return True
+        return "alive"
     except OSError:
-        return True
+        return "alive"
 
 
 def _sweep_stale_roots(skip: str | None = None) -> None:
     """Reclaim graft_test_session_* roots left by crashed runs.
 
-    A root is reclaimable when its owner pid is dead (prompt path —
-    this is what a SIGKILLed pytest leaves behind) or, as the recycled-
-    pid backstop, when the newest mtime among the root and its direct
-    children is >6h old. Live sessions are protected twice over: their
-    pid is alive AND their heartbeat thread re-touches the root every
-    5 minutes, so a >6h test session confined to deeply nested files
-    (the depth-1-mtime hole) can no longer be reclaimed mid-run. A
-    60 s infancy grace covers the create-root/write-pidfile race."""
+    A root is reclaimable when its owner pid is KNOWN dead (prompt
+    path — this is what a SIGKILLed pytest leaves behind) or, as the
+    backstop for recycled pids AND for roots with no readable pid file
+    (runs from checkouts predating the convention), when the newest
+    mtime among the root and its direct children is >6h old. Live
+    sessions are protected twice over: their pid is alive AND their
+    heartbeat thread re-touches the root every 5 minutes, so a >6h
+    test session confined to deeply nested files (the depth-1-mtime
+    hole) can no longer be reclaimed mid-run. A 60 s infancy grace
+    covers the create-root/write-pidfile race."""
     import glob
     import shutil
     import tempfile
@@ -78,7 +86,7 @@ def _sweep_stale_roots(skip: str | None = None) -> None:
                         pass
             if now - newest < 60:
                 continue  # infancy grace: pid file may not be written yet
-            if not _owner_alive(d) or now - newest > 6 * 3600:
+            if _owner_state(d) == "dead" or now - newest > 6 * 3600:
                 shutil.rmtree(d, ignore_errors=True)
         except OSError:
             pass

@@ -1143,6 +1143,37 @@ def test_wav_roundtrip_chunk_walk_and_binaryfile_ingest(spark):
     assert got[1]["sum_sq"] == 4 * 1000 * 1000
 
 
+def test_wav_decode_paths_agree_on_ragged_multichannel():
+    """decode_wav and decode_wav_np are bit-exact twins even on a
+    STEREO payload whose data chunk carries a trailing partial frame
+    (odd sample count): both drop the ragged tail, so per-channel
+    samples, n_frames, and derived stats match."""
+    import struct
+
+    from aproximacion_1_etl_spark.text.multimodal import (
+        decode_wav,
+        decode_wav_np,
+    )
+
+    ch, bits, rate = 2, 16, 8000
+    vals = [10, -20, 30, -40, 50, -60, 70]  # 3 full frames + 1 ragged
+    raw = struct.pack(f"<{len(vals)}h", *vals)
+    fmt = b"fmt " + struct.pack(
+        "<IHHIIHH", 16, 1, ch, rate, rate * ch * 2, ch * 2, bits
+    )
+    data = b"data" + struct.pack("<I", len(raw)) + raw + b"\x00"
+    payload = b"RIFF" + struct.pack(
+        "<I", 4 + len(fmt) + len(data)
+    ) + b"WAVE" + fmt + data
+
+    d = decode_wav(payload)
+    meta, frames = decode_wav_np(payload)
+    assert d["n_frames"] == meta["n_frames"] == 3
+    assert frames.shape == (3, 2)
+    for c in range(ch):
+        assert d["samples"][c] == frames[:, c].tolist()
+
+
 def test_wav_decode_guards(spark):
     """Compressed format codes hit the explicit NotImplementedError
     codec boundary; truncation and non-RIFF payloads raise ValueError."""

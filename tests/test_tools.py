@@ -103,3 +103,16 @@ def test_temp_root_sweep_reclaims_dead_owner_and_spares_live(tmp_path, monkeypat
     os.utime(own / "OWNER.pid", (old, old))
     conftest._sweep_stale_roots(skip=str(own))
     assert own.exists()
+
+    # a root with NO pid file (legacy checkout / unreadable) is NOT on
+    # the fast path: it survives the 6h window even when quiet...
+    legacy = tmp_path / "graft_test_session_legacy"
+    legacy.mkdir()
+    os.utime(legacy, (old, old))
+    conftest._sweep_stale_roots()
+    assert legacy.exists()
+    # ...and is reclaimed only by the slow mtime gate
+    ancient = time.time() - 7 * 3600
+    os.utime(legacy, (ancient, ancient))
+    conftest._sweep_stale_roots()
+    assert not legacy.exists()
