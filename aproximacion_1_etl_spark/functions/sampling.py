@@ -57,6 +57,59 @@ def deterministic_sample(
     return df.filter(_hash_prefix(F.col(key_col)) < F.lit(rate_threshold(rate)))
 
 
+def size_derived_threshold(count: int, target_rows: int, max_rate: float = 0.5) -> str:
+    """Python twin of ``deterministic_sample_to_size``'s in-engine hex
+    threshold: the quantized rate min(max_rate, target_rows/count),
+    floored to 1/65536 granularity via exact integer division (never a
+    float intermediate), with a floor of 1/65536 so a huge corpus still
+    yields a non-empty sample. Used by tests to pin the engine
+    expression's value."""
+    if count <= 0:
+        raise ValueError(f"count must be positive, got {count}")
+    cap = int(max_rate * _SPACE)
+    v = max(1, min(cap, (target_rows * _SPACE) // count))
+    return format(v, f"0{_WIDTH}x")
+
+
+def deterministic_sample_to_size(
+    df: DataFrame, key_col: str, target_rows: int, max_rate: float = 0.5
+) -> DataFrame:
+    """Keep ~``target_rows`` rows chosen by key hash, whatever the
+    corpus size: the sampling RATE is derived in-engine as
+    min(``max_rate``, target_rows / count) and quantized to an md5-
+    prefix threshold — so a quadratic consumer (e.g. a pair-similarity
+    histogram) built on the sample costs O(target_rows²) at ANY corpus
+    scale, instead of growing with the corpus the way a fixed rate
+    does (rate q keeps pair volume at q²·n², still quadratic in n).
+
+    Stays lazy and distributed: the count is a one-column aggregate
+    whose 1-row result is broadcast back (no driver collect, no eager
+    job), and the sample filter itself is the same narrow per-row
+    md5-prefix comparison as ``deterministic_sample``. The threshold is
+    exact integer arithmetic — max(1, min(floor(max_rate·65536),
+    (target_rows·65536) div count)) rendered as 4 lowercase hex chars —
+    so an oracle on another engine mirrors it verbatim from its own
+    count."""
+    cap = int(max_rate * _SPACE)
+    thr = df.agg(F.count("*").alias("_c")).select(
+        F.format_string(
+            f"%0{_WIDTH}x",
+            F.greatest(
+                F.lit(1),
+                F.least(
+                    F.lit(cap),
+                    F.expr(f"({target_rows} * {_SPACE}) div _c"),
+                ),
+            ).cast("int"),
+        ).alias("_thr")
+    )
+    return (
+        df.crossJoin(F.broadcast(thr))
+        .filter(_hash_prefix(F.col(key_col)) < F.col("_thr"))
+        .drop("_thr")
+    )
+
+
 def split_column(
     key: Column, fractions: dict[str, float], name: str = "split"
 ) -> Column:

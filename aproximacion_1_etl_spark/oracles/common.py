@@ -1763,17 +1763,39 @@ def _lsh_band_plan_sql(ladder: list[tuple[int, int]]) -> str:
     entry's S-curve comes from the SAME generated expression the Spark
     plan consumes (text/dedup.py::lsh_catch_probability_sql), and the
     expected counts are decimal-cast sums with the engine's standard
-    floor-rounding. The doc relation is the deterministic 50% md5-
-    prefix sample ('8000' = 32768/65536), mirroring the Spark plan's
-    quadratic-bounding sample."""
+    floor-rounding. The doc relation is the deterministic SIZE-DERIVED
+    md5-prefix sample: the threshold hex is computed from DuckDB's own
+    corpus count with the exact integer arithmetic of
+    functions/sampling.py::deterministic_sample_to_size —
+    printf('%%04x', max(1, min(32768, (TARGET*65536) // count))) —
+    mirroring the Spark plan's quadratic-bounding sample at any
+    corpus scale."""
+    from aproximacion_1_etl_spark.text.dedup import (
+        LSH_PLAN_SAMPLE_TARGET,
+    )
+
     jac = "floor((i * 1.0 / (sa.sz + sb.sz - i)) * 1000000.0 + 0.5) / 1000000.0"
     sampled_shingles = _SHINGLES_SQL.strip().replace(
         "FROM documents WHERE",
         "FROM documents WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)"
-        " < '8000' AND",
+        " < (SELECT h FROM samp_thr) AND",
         1,
     )
-    head = f"""WITH {sampled_shingles},
+    if sampled_shingles == _SHINGLES_SQL.strip():
+        # the injection is textual: a reworded _SHINGLES_SQL must fail
+        # HERE with a clear message, not later as an opaque cert hash
+        # mismatch from an unsampled histogram
+        raise AssertionError(
+            "_lsh_band_plan_sql: sample-predicate injection anchor "
+            "'FROM documents WHERE' not found in _SHINGLES_SQL — the "
+            "CTE was reworded; update the injection anchor"
+        )
+    head = f"""WITH samp_thr AS MATERIALIZED (
+  SELECT printf('%04x',
+                GREATEST(1, LEAST(32768,
+                  ({LSH_PLAN_SAMPLE_TARGET} * 65536) // count(*)))) AS h
+  FROM documents),
+{sampled_shingles},
 sz AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY 1),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i

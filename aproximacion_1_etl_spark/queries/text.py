@@ -208,28 +208,36 @@ def q_lsh_band_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ladder entry); expected counts are decimal-cast sums, so the
     report is value-checked, not eyeballed.
 
-    Scale posture: the histogram is built on a DETERMINISTIC 50%
-    doc-hash sample (functions/sampling.py's md5-prefix device,
-    mirrored verbatim in the oracle), never the full corpus — the
-    pair join under the histogram is the quadratic-prone shape the
-    containment key had to prefix-filter away, and a planner only
-    needs the SHAPE of the similarity distribution: sampling docs at
-    rate q bounds pair volume by q^2 while every similarity stratum
-    stays represented (pair survival is similarity-independent). At
-    100 TB you lower the rate, not the design; the ladder math stays
-    O(|hist| x |ladder|)."""
+    Scale posture: the histogram is built on a DETERMINISTIC doc-hash
+    sample whose RATE IS DERIVED FROM CORPUS SIZE —
+    min(0.5, LSH_PLAN_SAMPLE_TARGET / count), quantized to an exact
+    md5-prefix threshold (functions/sampling.py::
+    deterministic_sample_to_size; the count aggregate's 1-row result
+    is broadcast back, no driver collect) — never the full corpus and
+    never a fixed rate: the pair join under the histogram is the
+    quadratic-prone shape the containment key had to prefix-filter
+    away, and a fixed rate q still leaves pair volume at q²·n²,
+    growing quadratically with the corpus. Deriving the rate from a
+    target sample SIZE pins the pair join at O(target²) at ANY corpus
+    scale, while every similarity stratum stays represented (pair
+    survival is similarity-independent). The DuckDB oracle mirrors the
+    threshold arithmetic verbatim from its own count; the ladder math
+    stays O(|hist| x |ladder|)."""
     from aproximacion_1_etl_spark.functions.sampling import (
-        deterministic_sample,
+        deterministic_sample_to_size,
     )
     from aproximacion_1_etl_spark.text.dedup import (
         LSH_PLAN_LADDER,
+        LSH_PLAN_SAMPLE_TARGET,
         lsh_catch_probability_sql,
         ngram_jaccard_pairs,
         word_shingles,
     )
 
-    docs = deterministic_sample(
-        load_table(spark, sf_dir, "documents"), "doc_id", 0.5
+    docs = deterministic_sample_to_size(
+        load_table(spark, sf_dir, "documents"),
+        "doc_id",
+        LSH_PLAN_SAMPLE_TARGET,
     )
     sh = word_shingles(docs, n=3)
     pairs = ngram_jaccard_pairs(sh, threshold=0.1)

@@ -38,6 +38,13 @@ LSH_PLAN_LADDER = [
     (4, 2), (8, 2), (4, 4), (8, 4), (16, 4), (8, 8), (16, 8), (32, 8),
 ]
 
+# Target SAMPLE SIZE (docs) for the planner's pair-Jaccard histogram:
+# the sampling rate is derived in-engine as min(0.5, TARGET/count), so
+# the histogram's pair join costs O(TARGET²) at any corpus scale — the
+# rate, not the design, is what shrinks as the corpus grows. Shared by
+# q_lsh_band_plan and its DuckDB oracle (one definition, no drift).
+LSH_PLAN_SAMPLE_TARGET = 1000
+
 
 def normalized(text: Column) -> Column:
     """Canonical text form for exact dedup: lowercase, collapsed

@@ -35,6 +35,60 @@ def test_sample_invariant_under_partitioning(spark):
     assert 350 < len(a) < 650
 
 
+def test_size_derived_threshold_shrinks_with_corpus():
+    """The derived rate is min(max_rate, target/count) in exact integer
+    arithmetic: capped at max_rate for small corpora, monotonically
+    non-increasing in corpus size, floored at 1/65536 so a huge corpus
+    still samples something."""
+    from aproximacion_1_etl_spark.functions.sampling import (
+        size_derived_threshold,
+    )
+
+    assert size_derived_threshold(500, 1000) == "8000"  # capped at 0.5
+    assert size_derived_threshold(2000, 1000) == "8000"  # exactly 0.5
+    assert size_derived_threshold(5000, 1000) == "3333"
+    assert size_derived_threshold(10**9, 1000) == "0001"  # floor
+    prev = None
+    for n in [100, 1000, 2500, 5000, 50000, 10**6, 10**10]:
+        h = size_derived_threshold(n, 1000)
+        if prev is not None:
+            assert h <= prev, n
+        prev = h
+    with pytest.raises(ValueError):
+        size_derived_threshold(0, 1000)
+
+
+def test_sample_to_size_matches_python_twin_and_shrinks(spark):
+    """deterministic_sample_to_size's in-engine threshold equals the
+    Python twin's on every corpus size, membership is exactly the
+    md5-prefix rule, and the kept count tracks the TARGET (not the
+    corpus) as the corpus grows — the property that keeps a pair join
+    built on the sample O(target²) at any scale."""
+    import hashlib
+
+    from aproximacion_1_etl_spark.functions.sampling import (
+        deterministic_sample_to_size,
+        size_derived_threshold,
+    )
+
+    target = 1000
+    for n in (800, 4000, 20000):
+        df = spark.range(0, n).withColumnRenamed("id", "k")
+        kept = {
+            r.k for r in deterministic_sample_to_size(
+                df, "k", target
+            ).collect()
+        }
+        thr = size_derived_threshold(n, target)
+        expect = {
+            k for k in range(n)
+            if hashlib.md5(str(k).encode()).hexdigest()[:4] < thr
+        }
+        assert kept == expect, n
+    # corpus grew 25x; the sample stayed pinned near the target
+    assert 400 <= len(kept) <= 1600
+
+
 def test_split_exhaustive_and_stable(spark):
     df = spark.range(0, 2000).withColumnRenamed("id", "k")
     labeled = df.select(

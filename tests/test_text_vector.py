@@ -1315,3 +1315,75 @@ def test_lsh_band_plan_scurve_and_report_shape(spark, sf_dir):
     if catch[(8, 4)] is not None:  # sampled histogram non-empty
         assert catch[(16, 4)] >= catch[(8, 4)] >= catch[(4, 4)]
         assert catch[(8, 2)] >= catch[(8, 4)] >= catch[(8, 8)]
+
+
+def test_lsh_band_plan_rate_derives_from_corpus_size(spark, tmp_path):
+    """Plant a corpus LARGE enough that the planner's derived sample
+    rate drops below the 0.5 cap (2500 docs, target 1000 → rate
+    0.4 = threshold '6666'): the sampled doc count tracks the target,
+    and the full key still value-matches the DuckDB oracle — i.e. the
+    oracle derives the SAME sub-cap threshold from its own count. This
+    is the scale lever: at 100× docs the rate is 100× lower and the
+    histogram's pair join stays O(target²)."""
+    import math
+    import os
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __spark_entry__ as entrymod
+    from aproximacion_1_etl_spark.functions.sampling import (
+        deterministic_sample_to_size,
+        size_derived_threshold,
+    )
+    from aproximacion_1_etl_spark.queries import ALL_QUERIES
+    from aproximacion_1_etl_spark.text.dedup import LSH_PLAN_SAMPLE_TARGET
+
+    n = 2500
+    words = ["alpha", "beta", "gamma", "delta", "epsilon",
+             "zeta", "eta", "theta", "iota", "kappa"]
+    texts = [
+        " ".join(words[(d + j) % 10] for j in range(5 + d % 3))
+        for d in range(n)
+    ]
+    d = str(tmp_path)
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array(texts),
+        }),
+        os.path.join(d, "documents.parquet"),
+    )
+
+    assert size_derived_threshold(n, LSH_PLAN_SAMPLE_TARGET) == "6666"
+    docs = spark.read.parquet(os.path.join(d, "documents.parquet"))
+    kept = deterministic_sample_to_size(
+        docs, "doc_id", LSH_PLAN_SAMPLE_TARGET
+    ).count()
+    assert 800 <= kept <= 1200  # ~target, NOT ~n/2
+
+    got = ALL_QUERIES["lsh_band_plan"](spark, d).collect()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"'{os.path.join(d, 'documents.parquet')}'"
+    )
+    want = con.execute(entrymod.oracle_sql()["lsh_band_plan"]).fetchall()
+
+    def _norm(rows):
+        out = []
+        for r in rows:
+            out.append(tuple(
+                None if v is None
+                else round(float(v), 9) if isinstance(v, float)
+                or (hasattr(v, "__float__") and not isinstance(v, int))
+                else v
+                for v in r
+            ))
+        return sorted(out, key=str)
+
+    assert _norm([tuple(r) for r in got]) == _norm(want)
+    assert not any(
+        isinstance(v, float) and math.isnan(v) for r in got for v in r
+    )
