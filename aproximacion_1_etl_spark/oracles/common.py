@@ -1756,6 +1756,52 @@ GROUP BY 1"""
 
 
 
+def _graph_stats_rebuild_sql() -> str:
+    """From-scratch rebuild of the maintained per-node
+    (degree, n_triangles) store over the capped part co-order graph —
+    ONE definition consumed by BOTH incremental_graph_stats and
+    streaming_graph_stats (the fold and the stream maintain the same
+    store, so their rebuild oracle must be literally identical; a
+    per-key copy is the silent-drift risk the engine's other twins
+    avoid the same way). Basket cap mirrors queries/graph.py::
+    _capped_order_parts (HAVING count(*) <= 64); triangle enumeration
+    is the orientation-free a<b<c triple join; rank ties break by
+    node."""
+    return """
+WITH op0 AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+op AS MATERIALIZED (
+  SELECT * FROM op0 WHERE l_orderkey IN (
+    SELECT l_orderkey FROM op0 GROUP BY 1 HAVING count(*) <= 64)),
+e AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey),
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+    SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+  GROUP BY 1),
+t AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e e1 JOIN e e2 ON e1.v = e2.u
+            JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+tri AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+  FROM (SELECT unnest([a, b, c]) AS node FROM t) GROUP BY 1),
+m AS (
+  SELECT d.node, d.degree,
+         CAST(coalesce(tri.n_triangles, 0) AS BIGINT) AS n_triangles
+  FROM deg d LEFT JOIN tri ON d.node = tri.node),
+r AS (
+  SELECT node, degree, n_triangles,
+         row_number() OVER (ORDER BY n_triangles DESC, node) AS rank
+  FROM m)
+SELECT CAST(node AS BIGINT) AS l_partkey, degree, n_triangles,
+       CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 20
+"""
+
+
 def _lsh_band_plan_sql(ladder: list[tuple[int, int]]) -> str:
     """Generated mirror of q_lsh_band_plan: the exact pair-Jaccard
     histogram (same shingle/intersection CTEs as ngram_jaccard,
@@ -1830,6 +1876,7 @@ FROM hist""")
 
 
 __all__ = [
+    "_graph_stats_rebuild_sql",
     "_lsh_band_plan_sql",
     "_kcore_sql",
     "_WORK_SQL",

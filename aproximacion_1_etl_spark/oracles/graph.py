@@ -6,6 +6,11 @@ from .common import *  # noqa: F401,F403
 
 ORACLES: dict[str, str] = {
     "pagerank_suppliers": _pagerank_sql(),
+    # From-scratch rebuild of the maintained (degree, n_triangles)
+    # store: hash equality against the Spark fold IS the proof that
+    # fold == rebuild. ONE builder shared verbatim with the streaming
+    # twin (oracles/common.py::_graph_stats_rebuild_sql).
+    "incremental_graph_stats": _graph_stats_rebuild_sql(),
     "graph_kcore": _kcore_sql(k=3, rounds=14),
     "event_bigrams": """
 WITH p AS (

@@ -6,6 +6,9 @@ from .common import *  # noqa: F401,F403
 
 ORACLES: dict[str, str] = {
     "streaming_ivf_append": _ivf_index_append_sql(),
+    # the streamed fold must equal the from-scratch rebuild — same SQL
+    # as the batch key (both maintain the identical full-graph store)
+    "streaming_graph_stats": _graph_stats_rebuild_sql(),
     "streaming_sliding_counts": """
 WITH b AS (SELECT min(ts) AS mn, max(ts) AS mx FROM events),
 wins AS (SELECT unnest(generate_series(date_trunc('day', mn) - INTERVAL 1 DAY,

@@ -1941,7 +1941,131 @@ def q_streaming_ewma_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
             shutil.rmtree(ckpt, ignore_errors=True)
 
 
+def q_streaming_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 + §2.10: graph-metric maintenance AS A STREAM — the
+    streaming sibling of ``incremental_graph_stats`` (same trio shape
+    as batch/streaming profile and IVF append): capped co-order fact
+    rows arrive in three date-ordered waves; foreachBatch builds the
+    wave's canonical edges, anti-joins them against the persisted EDGE
+    store to get the truly-new ones, folds degree + triangle deltas
+    into the persisted per-node stats store
+    (operators/graph.py::fold_graph_stats — history is touched only
+    through its adjacency arrays, never re-enumerated wedge-wise), and
+    appends the new edges. Wave 1 bootstraps the store with the
+    degree-ordered bulk build (count_triangles) — the production
+    split: bulk-build once, fold forever. Per-batch cost is
+    O(|Δ|·d̄ + |store|); the final store must equal a from-scratch
+    rebuild — the oracle IS that rebuild (same SQL as the batch key).
+    The two-step stats swap (write aside, read back, overwrite) is the
+    streaming_profile device: the fold READS the store it replaces;
+    new edges are eagerly checkpointed before the append for the same
+    reason."""
+    import shutil
+    import time as _time
+
+    from aproximacion_1_etl_spark.operators.graph import (
+        count_triangles,
+        fold_graph_stats,
+    )
+    from .graph import _canon_co_order_edges, _capped_order_parts
+
+    op = _capped_order_parts(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="graft_sgs_")
+    ckpt = tempfile.mkdtemp(prefix="ckpt_sgs_")
+    src = os.path.join(base, "src")
+    edge_store = os.path.join(base, "edges")
+    stats_store = os.path.join(base, "stats")
+    stats_next = os.path.join(base, "_stats_next")
+
+    def handle_batch(batch, batch_id: int) -> None:
+        bspark = batch.sparkSession
+        be = _canon_co_order_edges(batch).localCheckpoint(eager=True)
+        if os.path.isdir(edge_store):
+            prior = bspark.read.parquet(edge_store)
+            new = be.join(prior, ["u", "v"], "left_anti").localCheckpoint(
+                eager=True
+            )
+            folded = fold_graph_stats(
+                bspark.read.parquet(stats_store), prior, new
+            )
+        else:
+            new = be
+            deg = (
+                be.select(F.col("u").alias("node"))
+                .unionAll(be.select(F.col("v").alias("node")))
+                .groupBy("node")
+                .agg(F.count("*").cast("bigint").alias("degree"))
+            )
+            folded = deg.join(
+                count_triangles(be, "u", "v"), "node", "full_outer"
+            ).select(
+                "node",
+                F.coalesce(F.col("degree"), F.lit(0))
+                .cast("bigint")
+                .alias("degree"),
+                F.coalesce(F.col("n_triangles"), F.lit(0))
+                .cast("bigint")
+                .alias("n_triangles"),
+            )
+        folded.write.mode("overwrite").parquet(stats_next)
+        bspark.read.parquet(stats_next).write.mode("overwrite").parquet(
+            stats_store
+        )
+        new.write.mode("append").parquet(edge_store)
+
+    try:
+        waves = [
+            ("w1", F.col("o_orderdate") < "1998-01-01"),
+            (
+                "w2",
+                (F.col("o_orderdate") >= "1998-01-01")
+                & (F.col("o_orderdate") < "2001-01-01"),
+            ),
+            ("w3", F.col("o_orderdate") >= "2001-01-01"),
+        ]
+        now = _time.time()
+        for i, (d, cond) in enumerate(waves):
+            op.filter(cond).select(
+                "l_orderkey", "l_partkey"
+            ).coalesce(1).write.parquet(os.path.join(src, d))
+            ts = now - 60 * (len(waves) - i)
+            pdir = os.path.join(src, d)
+            for f in os.listdir(pdir):
+                os.utime(os.path.join(pdir, f), (ts, ts))
+        q = (
+            spark.readStream.schema("l_orderkey BIGINT, l_partkey BIGINT")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(src, "*"))
+            .writeStream.foreachBatch(handle_batch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+
+        stats = spark.read.parquet(stats_store)
+        top = stats.orderBy(
+            F.col("n_triangles").desc(), F.col("node").asc()
+        ).limit(20)
+        w = Window.orderBy(
+            F.col("n_triangles").desc(), F.col("node").asc()
+        )
+        out = top.withColumn("rank", F.row_number().over(w)).select(
+            F.col("node").alias("l_partkey"),
+            "degree",
+            "n_triangles",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+        return _reclaimed(out, base, ckpt)
+    finally:
+        if os.path.isdir(base):
+            shutil.rmtree(base, ignore_errors=True)
+        if os.path.isdir(ckpt):
+            shutil.rmtree(ckpt, ignore_errors=True)
+
+
 __all__ = [
+    "q_streaming_graph_stats",
     "q_streaming_profile",
     "q_streaming_quantiles",
     "q_streaming_stateful_sessions",

@@ -285,6 +285,8 @@ HEADLINE = [
     "correlated_scalar_subquery",
     "sql_unpivot",
     "streaming_dedup_watermark",
+    # round-9: maintained graph-stats store (bulk build + delta fold)
+    "incremental_graph_stats",
     "morton_cells",
     "point_in_polygon_join",
     "containment_dedup",

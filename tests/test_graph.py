@@ -209,3 +209,117 @@ def test_kcore_peels_fringe_and_raises_on_small_cap(spark):
     )
     with pytest.raises(RuntimeError, match="fixpoint"):
         kcore(long_chain, k=2, max_rounds=3)
+
+
+def _brute_triangles(edges):
+    """Per-node triangle counts by brute force over a canonical edge
+    set (python reference for the fold kernel)."""
+    from itertools import combinations
+
+    eset = set(edges)
+    nodes = sorted({x for e in edges for x in e})
+    counts = {}
+    for a, b, c in combinations(nodes, 3):
+        if (a, b) in eset and (a, c) in eset and (b, c) in eset:
+            for n in (a, b, c):
+                counts[n] = counts.get(n, 0) + 1
+    return counts
+
+
+def test_triangle_delta_fold_equals_rebuild_random_graphs(spark):
+    """fold(store(old), Δ) == rebuild(old ∪ Δ) across random graphs
+    and split points — including Δ triangles with 2 and 3 new edges
+    (the exactly-once dedup at the smallest new edge) and the
+    bootstrap case old = ∅ (delta == bulk census)."""
+    import random
+
+    from aproximacion_1_etl_spark.operators.graph import (
+        count_triangles,
+        fold_graph_stats,
+        triangle_delta,
+    )
+
+    rng = random.Random(11)
+    for trial in range(4):
+        n_nodes = rng.choice([8, 12, 16])
+        density = rng.choice([0.25, 0.4])
+        edges = sorted(
+            (a, b)
+            for a in range(n_nodes)
+            for b in range(a + 1, n_nodes)
+            if rng.random() < density
+        )
+        if len(edges) < 4:
+            continue
+        cut = rng.randrange(1, len(edges))
+        old, new = edges[:cut], edges[cut:]
+        eold = spark.createDataFrame(old, "u BIGINT, v BIGINT")
+        enew = spark.createDataFrame(new, "u BIGINT, v BIGINT")
+
+        full_tri = _brute_triangles(edges)
+        old_tri = _brute_triangles(old)
+        delta = {
+            r.node: r.delta_triangles
+            for r in triangle_delta(eold, enew).collect()
+        }
+        merged = {
+            n: old_tri.get(n, 0) + delta.get(n, 0)
+            for n in set(old_tri) | set(delta)
+        }
+        assert {n: v for n, v in merged.items() if v} == full_tri, (
+            trial, old, new,
+        )
+
+        # fold_graph_stats end-to-end vs degree+triangle rebuild
+        deg_old = {}
+        for u, v in old:
+            deg_old[u] = deg_old.get(u, 0) + 1
+            deg_old[v] = deg_old.get(v, 0) + 1
+        store = spark.createDataFrame(
+            [
+                (n, deg_old.get(n, 0), old_tri.get(n, 0))
+                for n in set(deg_old) | set(old_tri)
+            ],
+            "node BIGINT, degree BIGINT, n_triangles BIGINT",
+        )
+        folded = {
+            r.node: (r.degree, r.n_triangles)
+            for r in fold_graph_stats(store, eold, enew).collect()
+        }
+        deg_full = {}
+        for u, v in edges:
+            deg_full[u] = deg_full.get(u, 0) + 1
+            deg_full[v] = deg_full.get(v, 0) + 1
+        want = {
+            n: (deg_full.get(n, 0), full_tri.get(n, 0))
+            for n in set(deg_full) | set(full_tri)
+        }
+        assert folded == want, (trial, old, new)
+
+    # bootstrap: delta from empty == the bulk count_triangles census
+    tri_edges = [(0, 1), (0, 2), (1, 2), (1, 3), (2, 3), (0, 3)]
+    e = spark.createDataFrame(tri_edges, "u BIGINT, v BIGINT")
+    empty = spark.createDataFrame([], "u BIGINT, v BIGINT")
+    boot = {
+        r.node: r.delta_triangles
+        for r in triangle_delta(empty, e).collect()
+    }
+    bulk = {
+        r.node: r.n_triangles
+        for r in count_triangles(e, "u", "v").collect()
+    }
+    assert boot == bulk == _brute_triangles(tri_edges)
+
+
+def test_incremental_graph_stats_key_schema(spark, sf_dir):
+    """The catalog key emits the top-20 maintained rows with dense
+    ranks and non-negative counts (value equality vs the rebuild is
+    the oracle's job)."""
+    from aproximacion_1_etl_spark.queries import ALL_QUERIES
+
+    rows = ALL_QUERIES["incremental_graph_stats"](spark, sf_dir).collect()
+    assert len(rows) <= 20
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    tri = [r.n_triangles for r in rows]
+    assert tri == sorted(tri, reverse=True)
+    assert all(r.degree >= 2 for r in rows if r.n_triangles > 0)
