@@ -121,6 +121,36 @@ FROM g
 WHERE en + INTERVAL 2 HOURS
       < (SELECT max(ts) FROM events) - INTERVAL 1 HOUR
 """,
+    # TTL-windowed twin: a collision survives iff the OLD doc's event
+    # day (doc_id % 30) lies inside the NEW doc's wave watermark
+    # window (wmax − 15, wmax]; waves are 10-day blocks, the watermark
+    # is each wave's max PRESENT day, and only strictly-earlier waves
+    # are in the store when a wave screens (monotone eviction = the
+    # latest filter, so the batch mirror is per-wave exact).
+    "streaming_ttl_dedup": "WITH "
+    + _SHINGLES_SQL
+    + """,
+sig AS (
+  SELECT doc_id, b,
+         min(substr(md5(CAST(b // 4 AS VARCHAR) || ':' || shingle),
+                    1 + 8 * (b % 4), 8)) AS s
+  FROM shingles, (SELECT unnest(generate_series(0, 7)) AS b)
+  GROUP BY 1, 2),
+lab AS (
+  SELECT doc_id, CAST(doc_id % 30 AS BIGINT) AS day,
+         CAST((doc_id % 30) // 10 AS BIGINT) AS wave
+  FROM documents),
+wm AS (SELECT wave, max(day) AS wmax FROM lab GROUP BY 1)
+SELECT a.doc_id AS doc_new, b.doc_id AS doc_old,
+       CAST(count(*) AS BIGINT) AS matching_bands,
+       floor((count(*) / 8.0) * 10000.0 + 0.5) / 10000.0 AS est_jaccard
+FROM sig a JOIN sig b ON a.b = b.b AND a.s = b.s
+JOIN lab la ON la.doc_id = a.doc_id
+JOIN lab lb ON lb.doc_id = b.doc_id
+JOIN wm ON wm.wave = la.wave
+WHERE lb.wave < la.wave AND lb.day > wm.wmax - 15
+GROUP BY 1, 2 HAVING count(*) >= 2
+""",
     "streaming_incremental_dedup": "WITH "
     + _SHINGLES_SQL
     + """,

@@ -1941,6 +1941,99 @@ def q_streaming_ewma_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
             shutil.rmtree(ckpt, ignore_errors=True)
 
 
+def q_streaming_ttl_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 + §2.10: TTL-WINDOWED streaming near-dup — the
+    incremental MinHash signature store with an EVENT-TIME TTL
+    eviction policy: new documents dedup against only the trailing
+    15-day signature window, so state stays BOUNDED on an unbounded
+    feed (the production shape for contamination-fresh corpora — a
+    doc republished after the freshness horizon is, by policy, new).
+
+    Topology: documents carry a deterministic event day
+    (doc_id % 30 — synthetic, oracle-mirrorable) and arrive in three
+    10-day waves. foreachBatch (1) computes the batch watermark
+    W = max(event day), (2) EVICTS store signatures with
+    day <= W − TTL — physically, via the two-step swap, so the store
+    on disk is the bounded window, not an ever-growing log with a
+    read filter, (3) screens the batch against the surviving window
+    (text/dedup.py::incremental_minhash_dedup — only the batch is
+    shingled), and (4) appends the batch's own dated signatures.
+    Per-batch cost is O(|batch| + |window|), and |window| is bounded
+    by the TTL whatever the feed's age — the property the pytest
+    pins by asserting the store's day span never exceeds the TTL.
+    Eviction is monotone (watermarks only grow), so the cumulative
+    physical eviction equals the latest filter and the batch oracle
+    can mirror it per wave: a collision survives iff the old doc's
+    day is inside the new doc's wave watermark window."""
+    import shutil
+    import time as _time
+
+    from aproximacion_1_etl_spark.text.dedup import ttl_window_dedup_fold
+
+    ttl_days = 15
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        (F.col("doc_id") % 30).cast("bigint").alias("event_day"),
+    )
+    base = tempfile.mkdtemp(prefix="graft_std_")
+    ckpt = tempfile.mkdtemp(prefix="ckpt_std_")
+    src = os.path.join(base, "src")
+    store = os.path.join(base, "store")
+    store_next = os.path.join(base, "_store_next")
+    result = os.path.join(base, "result")
+
+    def handle_batch(batch, batch_id: int) -> None:
+        bspark = batch.sparkSession
+        prior = (
+            bspark.read.parquet(store) if os.path.isdir(store) else None
+        )
+        hits, next_store = ttl_window_dedup_fold(batch, prior, ttl_days)
+        if hits is not None:
+            hits.write.mode("append").parquet(result)
+        # two-step swap: next_store READS the store it replaces
+        next_store.write.mode("overwrite").parquet(store_next)
+        bspark.read.parquet(store_next).write.mode("overwrite").parquet(
+            store
+        )
+
+    try:
+        now = _time.time()
+        for i in range(3):
+            docs.filter(
+                (F.col("event_day") >= 10 * i)
+                & (F.col("event_day") < 10 * (i + 1))
+            ).coalesce(1).write.parquet(os.path.join(src, f"w{i + 1}"))
+            pdir = os.path.join(src, f"w{i + 1}")
+            ts = now - 60 * (3 - i)
+            for f in os.listdir(pdir):
+                os.utime(os.path.join(pdir, f), (ts, ts))
+        q = (
+            spark.readStream.schema(
+                "doc_id BIGINT, text STRING, event_day BIGINT"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(src, "*"))
+            .writeStream.foreachBatch(handle_batch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+        if not os.path.isdir(result):
+            return spark.createDataFrame(
+                [],
+                "doc_new BIGINT, doc_old BIGINT, matching_bands BIGINT, "
+                "est_jaccard DOUBLE",
+            )
+        return _reclaimed(spark.read.parquet(result), base, ckpt)
+    finally:
+        if os.path.isdir(base):
+            shutil.rmtree(base, ignore_errors=True)
+        if os.path.isdir(ckpt):
+            shutil.rmtree(ckpt, ignore_errors=True)
+
+
 def q_streaming_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.9 + §2.10: graph-metric maintenance AS A STREAM — the
     streaming sibling of ``incremental_graph_stats`` (same trio shape
@@ -2065,6 +2158,7 @@ def q_streaming_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 __all__ = [
+    "q_streaming_ttl_dedup",
     "q_streaming_graph_stats",
     "q_streaming_profile",
     "q_streaming_quantiles",

@@ -888,6 +888,54 @@ def winnowed_fingerprints(
     )
 
 
+def ttl_window_dedup_fold(
+    batch: DataFrame,
+    store: DataFrame | None,
+    ttl_days: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    day_col: str = "event_day",
+    bands: int = DEFAULT_BANDS,
+) -> tuple[DataFrame | None, DataFrame]:
+    """One fold step of the TTL-WINDOWED streaming near-dup store
+    (q_streaming_ttl_dedup's kernel, extracted so tests drive the
+    eviction policy directly): given a batch of dated documents and
+    the persisted dated signature store (None on bootstrap), returns
+    (hits, next_store) where
+
+    - the batch watermark is max(``day_col``) over the batch (one tiny
+      aggregate — the per-batch watermark probe every stateful stream
+      pays),
+    - store rows with day <= watermark − ttl_days are EVICTED before
+      anything else (the next_store is the bounded trailing window,
+      never an ever-growing log),
+    - ``hits`` is the batch screened against the surviving window
+      (incremental_minhash_dedup — only the batch is shingled;
+      None on bootstrap), and
+    - next_store = surviving window ∪ the batch's own dated
+      signatures.
+
+    Eviction is monotone (watermarks only grow across batches), so the
+    cumulative physical eviction equals the latest filter — what makes
+    the policy mirrorable by a per-wave batch oracle. State is bounded
+    by the TTL whatever the feed's age: |next_store| counts only docs
+    in (watermark − ttl, watermark]."""
+    wmark = batch.agg(F.max(day_col)).first()[0]
+    dated = minhash_signatures(
+        word_shingles(batch, id_col=id_col, text_col=text_col,
+                      distinct=False),
+        bands=bands,
+        id_col=id_col,
+    ).join(batch.select(id_col, day_col), id_col)
+    if store is None:
+        return None, dated
+    window = store.filter(F.col(day_col) > F.lit(wmark) - ttl_days)
+    hits = incremental_minhash_dedup(
+        batch, window, bands=bands, id_col=id_col, text_col=text_col
+    )
+    return hits, window.unionByName(dated)
+
+
 def lsh_catch_probability_sql(bands: int, rows: int, col: str = "s") -> str:
     """Generated S-curve expression for MinHash-LSH banding: the
     probability that a pair with shingle-Jaccard ``col`` collides in

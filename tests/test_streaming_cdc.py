@@ -313,3 +313,54 @@ def test_stream_schema_probe_distinguishes_empty_from_corrupt(spark):
         f.write(b"not a parquet footer")
     with pytest.raises(Exception):
         read_events_stream(spark, corrupt, "*.parquet")
+
+
+def test_ttl_window_fold_bounds_state_and_screens_window_only(spark):
+    """The TTL fold kernel (text/dedup.py::ttl_window_dedup_fold):
+    across waves of an aging feed, (1) the store's event-day span
+    never exceeds the TTL and old waves are physically evicted —
+    state stays bounded on an unbounded feed; (2) a new doc matches a
+    near-dup INSIDE the window but not an identical doc that aged out;
+    (3) bootstrap returns no hits and seeds the store."""
+    import pyspark.sql.functions as F
+
+    from aproximacion_1_etl_spark.text.dedup import ttl_window_dedup_fold
+
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    waves = [
+        # (doc_id, day): doc 1 is the ancient original; doc 11 a fresh
+        # near-dup inside wave 2's window; doc 21 screens in wave 3
+        # after doc 1 aged out but doc 11 is still inside the TTL
+        [(1, 0, text), (2, 1, "one two three four five six")],
+        [(11, 10, text), (12, 11, "unrelated words entirely here now")],
+        [(21, 22, text)],
+    ]
+    ttl = 15
+    store = None
+    hits_per_wave = []
+    spans = []
+    counts = []
+    for rows in waves:
+        batch = spark.createDataFrame(
+            [(d, t, day) for d, day, t in rows],
+            "doc_id BIGINT, text STRING, event_day BIGINT",
+        )
+        hits, store = ttl_window_dedup_fold(batch, store, ttl)
+        store = store.localCheckpoint(eager=True)
+        hits_per_wave.append(
+            [] if hits is None
+            else [(r.doc_new, r.doc_old) for r in hits.collect()]
+        )
+        days = [r.event_day for r in store.select("event_day").collect()]
+        spans.append(max(days) - min(days))
+        counts.append(store.count())
+
+    assert hits_per_wave[0] == []              # bootstrap: no store yet
+    assert hits_per_wave[1] == [(11, 1)]       # day 0 inside (10-15, 10]
+    assert hits_per_wave[2] == [(21, 11)]      # doc 1 (day 0) aged out
+    assert all(s < ttl for s in spans)
+    # wave 3's eviction dropped wave 1 entirely: store holds only
+    # wave 2 (2 docs) + wave 3 (1 doc)
+    assert counts[2] == 3
+    store_ids = {r.doc_id for r in store.select("doc_id").collect()}
+    assert store_ids == {11, 12, 21}
