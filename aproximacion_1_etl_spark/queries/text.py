@@ -475,6 +475,89 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semantic_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 SENTENCE-WINDOW SEMANTIC CHUNKING for RAG — completes the
+    chunk→embed→ANN→rerank pipeline next to q_chunk_documents (fixed
+    char windows) and q_pack_sequences (token-budget bins): chunk
+    boundaries respect BOTH a token budget AND sentence boundaries,
+    with per-chunk provenance (doc_id, sent_start, sent_end) so a
+    retrieval hit cites the exact sentence span, and OVERLAP
+    accounting (each chunk carries the previous chunk's last sentence
+    as leading context — the standard RAG continuity device).
+
+    Pure relational — running token sums + boundary snap, no UDF/UDTF:
+    sentences are maximal token runs ending at a terminator token
+    (the corpus is synthetic and punctuation-free, so the filler
+    tokens 'a'/'the' stand in for sentence terminators; with real
+    text the terminator predicate is punctuation and everything else
+    is unchanged); a sentence belongs to chunk
+    floor(preceding-tokens / budget), so no sentence is ever split
+    across chunks and a chunk overflows the budget by at most one
+    sentence — the snap semantics. Shape at 100 TB: one narrow
+    posexplode, two partition-by-doc windows, two per-doc aggregates —
+    chunking composes with the scan, nothing doc-crossing is
+    shuffled."""
+    budget = 25
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok"),
+    )
+    wprev = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sent = toks.select(
+        "doc_id",
+        (
+            1
+            + F.coalesce(
+                F.sum(
+                    F.when(F.col("tok").isin("a", "the"), 1).otherwise(0)
+                ).over(wprev),
+                F.lit(0),
+            )
+        ).cast("bigint").alias("sent_idx"),
+    )
+    sents = sent.groupBy("doc_id", "sent_idx").agg(
+        F.count("*").cast("bigint").alias("n_toks")
+    )
+    binned = sents.select(
+        "doc_id",
+        "sent_idx",
+        "n_toks",
+        F.expr(
+            f"coalesce(sum(n_toks) over (partition by doc_id "
+            f"order by sent_idx rows between unbounded preceding "
+            f"and 1 preceding), 0) div {budget}"
+        ).cast("bigint").alias("chunk_id"),
+    )
+    chunks = binned.groupBy("doc_id", "chunk_id").agg(
+        F.min("sent_idx").cast("bigint").alias("sent_start"),
+        F.max("sent_idx").cast("bigint").alias("sent_end"),
+        F.count("*").cast("bigint").alias("n_sents"),
+        F.sum("n_toks").cast("bigint").alias("chunk_tokens"),
+        F.max_by("n_toks", "sent_idx").alias("_last_toks"),
+    )
+    wchunk = Window.partitionBy("doc_id").orderBy("chunk_id")
+    return chunks.select(
+        "doc_id",
+        "chunk_id",
+        "sent_start",
+        "sent_end",
+        "n_sents",
+        "chunk_tokens",
+        F.coalesce(F.lag("_last_toks").over(wchunk), F.lit(0))
+        .cast("bigint")
+        .alias("overlap_tokens"),
+        (
+            F.col("chunk_tokens")
+            + F.coalesce(F.lag("_last_toks").over(wchunk), F.lit(0))
+        ).cast("bigint").alias("total_tokens"),
+    )
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-window packing: assign documents (ordered by doc_id
     within language) to fixed token-budget bins by running-sum
@@ -1851,6 +1934,7 @@ __all__ = [
     "q_dup_clusters",
     "q_inverted_index",
     "q_chunk_documents",
+    "q_semantic_chunking",
     "q_pack_sequences",
     "q_token_entropy",
     "q_bigram_pmi",

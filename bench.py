@@ -286,7 +286,9 @@ HEADLINE = [
     "sql_unpivot",
     "streaming_dedup_watermark",
     # round-9: maintained graph-stats store (bulk build + delta fold)
+    # and the sentence-window RAG chunker
     "incremental_graph_stats",
+    "semantic_chunking",
     "morton_cells",
     "point_in_polygon_join",
     "containment_dedup",

@@ -1387,3 +1387,49 @@ def test_lsh_band_plan_rate_derives_from_corpus_size(spark, tmp_path):
     assert not any(
         isinstance(v, float) and math.isnan(v) for r in got for v in r
     )
+
+
+def test_semantic_chunking_snaps_budget_to_sentence_boundaries(spark, sf_dir):
+    """Consistency of the sentence-window chunker with the engine's
+    other budget devices: chunk spans partition each doc's sentences
+    contiguously, per-doc chunk tokens sum to the pack_sequences token
+    measure (whitespace split), every chunk's id equals its preceding
+    token count div the budget (the boundary SNAP — no sentence ever
+    splits), and overlap is exactly the previous chunk's last-sentence
+    length."""
+    import pyspark.sql.functions as F
+
+    from aproximacion_1_etl_spark.queries import ALL_QUERIES
+
+    budget = 25
+    rows = ALL_QUERIES["semantic_chunking"](spark, sf_dir).collect()
+    docs = {
+        r.doc_id: r.n
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(
+            "doc_id", F.size(F.split("text", " ")).alias("n")
+        )
+        .collect()
+    }
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(docs)
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r.chunk_id)
+        assert chunks[0].sent_start == 1
+        assert chunks[0].overlap_tokens == 0
+        assert sum(c.chunk_tokens for c in chunks) == docs[doc_id]
+        cum = 0
+        for i, c in enumerate(chunks):
+            assert c.sent_end >= c.sent_start
+            assert c.n_sents == c.sent_end - c.sent_start + 1
+            if i > 0:
+                prev = chunks[i - 1]
+                assert c.sent_start == prev.sent_end + 1
+                assert c.overlap_tokens >= 1
+            # boundary snap: the chunk holds the sentences whose
+            # preceding-token offset lands in [id*budget, (id+1)*budget)
+            assert cum // budget == c.chunk_id
+            cum += c.chunk_tokens
+            assert c.total_tokens == c.chunk_tokens + c.overlap_tokens
