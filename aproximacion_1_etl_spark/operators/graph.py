@@ -371,7 +371,8 @@ def connected_components(
 
 
 def count_triangles(
-    edges: DataFrame, src: str = "a", dst: str = "b"
+    edges: DataFrame, src: str = "a", dst: str = "b",
+    canonical: bool = False,
 ) -> DataFrame:
     """Per-node triangle counts via the degree-ordered node-iterator
     (the canonical distributed triangle algorithm: Suri & Vassilvitskii
@@ -401,15 +402,23 @@ def count_triangles(
     # explicit repartition before distinct: AQE's byte-based
     # coalescing (parallelismFirst=false) would shrink this small-
     # byte but CPU-heavy relation to 1-3 tasks; a user repartition is
-    # preserved, keeping the wedge stages at full width
-    canon = (
-        edges.filter(a != b)
-        .select(
-            F.least(a, b).alias("u"), F.greatest(a, b).alias("v")
+    # preserved, keeping the wedge stages at full width.
+    # ``canonical=True`` skips the canonicalize+distinct shuffle for
+    # callers whose edge relation is ALREADY (u < v) distinct (e.g.
+    # the maintained-store bulk build) — one |E| shuffle saved.
+    if canonical:
+        canon = edges.select(a.alias("u"), b.alias("v")).repartition(
+            dp, "u", "v"
         )
-        .repartition(dp, "u", "v")
-        .distinct()
-    )
+    else:
+        canon = (
+            edges.filter(a != b)
+            .select(
+                F.least(a, b).alias("u"), F.greatest(a, b).alias("v")
+            )
+            .repartition(dp, "u", "v")
+            .distinct()
+        )
     # The DAG fans out from canon (degree branch x2, orientation) and
     # from oriented (adjacency x2, edge probe): without a cut Spark
     # re-derives the edge-building self-join once per branch (~9

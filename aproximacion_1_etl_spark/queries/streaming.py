@@ -2090,7 +2090,9 @@ def q_streaming_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .agg(F.count("*").cast("bigint").alias("degree"))
             )
             folded = deg.join(
-                count_triangles(be, "u", "v"), "node", "full_outer"
+                count_triangles(be, "u", "v", canonical=True),
+                "node",
+                "full_outer",
             ).select(
                 "node",
                 F.coalesce(F.col("degree"), F.lit(0))

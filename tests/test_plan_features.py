@@ -395,6 +395,14 @@ def test_r7_session_plan_contracts(spark, sf_dir):
         # checkpointed core edges — the per-round degree agg + two
         # semi-joins live behind the loop's lineage cuts
         "graph_kcore": 2,
+        # r9: sentence-window chunker — ONE doc_id shuffle reused by
+        # every window and aggregate (nothing doc-crossing moves)
+        "semantic_chunking": 1,
+        # r9: maintained graph stats — the edge relations live behind
+        # eager checkpoints; the visible plan is the full maintained-
+        # store pipeline (bulk census tail + Δ adjacency build +
+        # Δ-side joins + |V|-sized stat merges) planned as one DAG
+        "incremental_graph_stats": 30,
     }.items():
         got = exchanges(plan_of(key))
         assert got <= bound, (key, got, bound)
