@@ -706,3 +706,102 @@ def fold_graph_stats(
             ).cast("bigint").alias("n_triangles"),
         )
     )
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: list[int],
+    iterations: int = 4,
+    damping: float = 0.85,
+    eps: float = 0.0,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Personalized PageRank: the teleport mass restarts at a SEED SET
+    instead of uniformly — the standard graph device for retrieval
+    expansion / recommendation ("what is close to THESE nodes"),
+    completing the family next to the global ``pagerank``.
+
+    rank_0(v) = 1/|seeds| on seeds (0 elsewhere);
+    rank_{i+1}(v) = (1−d)·s(v) + d·Σ_{(u,v)∈E} rank_i(u)/out_deg(u).
+
+    FRONTIER-SPARSE by construction — the property that makes PPR a
+    different operator at 100 TB, not a parameterized global pagerank:
+    the iterate relation holds ONLY nodes with nonzero rank (seeds ∪
+    nodes reached within i hops), so each round's join touches the
+    reachable frontier, never |V|; a seed set in a 100 TB graph pays
+    for its neighborhood, not the graph. Per round: one join against
+    the out-degree relation + one decimal-cast aggregate (order-
+    independent sums — what makes the unrolled SQL oracle bit-exact),
+    then teleport rows UNION ALL damped rows summed per node (at most
+    2 addends per node: a single IEEE addition, commutative, so
+    cross-engine safe), with an eager lineage cut per round.
+
+    ``eps`` > 0 enables FORWARD-PUSH TRUNCATION, the device that makes
+    PPR local at any graph size: after each round, nodes whose rank
+    fell below ``eps`` are dropped and their mass stops propagating —
+    the frontier is then bounded by the seed mass over eps, not by the
+    reachable set (at sf0.1 the dense co-order graph's frontier is
+    ~20k nodes exact vs ~350-750 at eps=1e-4, and each round's decimal
+    aggregate shrinks proportionally — measured 5.5 s -> sub-second).
+    The threshold test compares engine-identical doubles (decimal-
+    exact sums, one IEEE multiply), so the truncated recurrence is
+    still bit-mirrorable by the unrolled SQL oracle. eps=0 is the
+    exact sparse recurrence.
+
+    Dangling nodes receive but do not distribute, as in ``pagerank``.
+    Returns the SPARSE (node, rank) vector."""
+    if not seeds:
+        raise ValueError("personalized_pagerank needs a non-empty seed set")
+    spark = edges.sparkSession
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # out-degree joins the FRONTIER side each round, never the edges:
+    # rank/out_deg is computed on the (<= |V|)-sized rank vector and
+    # the |E|-sized relation is only ever probed by that small side
+    # (AQE broadcasts it when small) — the first cut annotated the
+    # edges with their degree, which materialized an |E| shuffle
+    # before the loop even started.
+    deg = e.groupBy("src").agg(
+        F.count("*").alias("out_deg")
+    ).localCheckpoint(eager=True)
+    k = len(seeds)
+    seed_df = spark.createDataFrame(
+        [(int(s),) for s in seeds], "node BIGINT"
+    )
+    teleport = seed_df.select(
+        "node", (F.lit(1.0 - damping) / k).alias("rank")
+    )
+    ranks = seed_df.select("node", (F.lit(1.0) / k).alias("rank"))
+    for _ in range(iterations):
+        frontier = ranks.join(
+            deg, ranks["node"] == deg["src"]
+        ).select("src", (F.col("rank") / F.col("out_deg")).alias("w"))
+        # explicit broadcast: the frontier derives from two
+        # checkpointed relations whose stats the planner no longer
+        # sees, so AQE falls back to sort-merge and re-shuffles |E|
+        # every round (measured 5 s/round -> 1.3 s at sf0.1). The
+        # frontier is bounded by the seeds' reach (<= |V| weights) —
+        # the PPR use case is seed-local neighborhoods; a whole-graph
+        # restart vector belongs to global pagerank.
+        received = (
+            e.join(F.broadcast(frontier), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(
+                F.sum(F.col("w").cast("decimal(38,20)")).alias("received")
+            )
+            .select(
+                "node",
+                (
+                    F.lit(damping) * F.col("received").cast("double")
+                ).alias("rank"),
+            )
+        )
+        ranks = (
+            teleport.unionByName(received)
+            .groupBy("node")
+            .agg(F.sum("rank").alias("rank"))
+        )
+        if eps > 0.0:
+            ranks = ranks.filter(F.col("rank") >= eps)
+        ranks = ranks.localCheckpoint(eager=True)
+    return ranks

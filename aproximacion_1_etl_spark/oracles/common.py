@@ -1756,6 +1756,68 @@ GROUP BY 1"""
 
 
 
+def _ppr_sql(
+    seeds: list[int],
+    iterations: int = 4,
+    damping: float = 0.85,
+    eps: float = 0.0,
+) -> str:
+    """Generated mirror of operators/graph.py::personalized_pagerank
+    over the capped undirected part co-order graph
+    (q_personalized_pagerank): the seed-restart recurrence unrolled
+    one MATERIALIZED CTE per round, FRONTIER-SPARSE exactly like the
+    Spark loop (it_i holds only nodes with nonzero rank). The
+    contribution sums are decimal-cast in both engines; each node's
+    round value is teleport-row UNION ALL damped-received-row summed —
+    at most 2 addends, one commutative IEEE addition, so the unrolled
+    ranks are bit-identical. Teleport literal mirrors the Spark plan:
+    (1.0 - 0.85) evaluates to the same IEEE double both sides before
+    the in-engine division by |seeds|. ``eps`` > 0 mirrors the
+    operator's forward-push truncation as a HAVING on each round's
+    summed rank (same engine-identical double comparison)."""
+    k = len(seeds)
+    seed_list = ", ".join(str(s) for s in seeds)
+    tele = f"(1.0 - {damping}) / {k}"
+    having = f" HAVING sum(rank) >= {eps}" if eps > 0.0 else ""
+    parts = [
+        f"""WITH op0 AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+op AS MATERIALIZED (
+  SELECT * FROM op0 WHERE l_orderkey IN (
+    SELECT l_orderkey FROM op0 GROUP BY 1 HAVING count(*) <= 64)),
+e AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey <> b.l_partkey),
+deg AS MATERIALIZED (SELECT src, count(*) AS out_deg FROM e GROUP BY 1),
+seeds AS MATERIALIZED (SELECT unnest([{seed_list}]) AS node),
+it0 AS MATERIALIZED (SELECT node, 1.0 / {k} AS rank FROM seeds)"""
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f""",
+it{i} AS MATERIALIZED (
+  SELECT node, sum(rank) AS rank FROM (
+    SELECT node, {tele} AS rank FROM seeds
+    UNION ALL
+    SELECT c.node, {damping} * CAST(c.received AS DOUBLE) AS rank
+    FROM (SELECT e.dst AS node,
+                 sum(CAST(r.rank / deg.out_deg AS DECIMAL(38,20)))
+                   AS received
+          FROM e JOIN deg USING (src) JOIN it{i - 1} r ON r.node = e.src
+          GROUP BY 1) c
+  ) GROUP BY 1{having})"""
+        )
+    parts.append(
+        f"""
+SELECT CAST(node AS BIGINT) AS l_partkey,
+       floor((rank * 1000000.0) * 100.0 + 0.5) / 100.0 AS rank_ppm
+FROM it{iterations}
+ORDER BY rank_ppm DESC, l_partkey LIMIT 20"""
+    )
+    return "".join(parts)
+
+
 def _graph_stats_rebuild_sql() -> str:
     """From-scratch rebuild of the maintained per-node
     (degree, n_triangles) store over the capped part co-order graph —
@@ -1876,6 +1938,7 @@ FROM hist""")
 
 
 __all__ = [
+    "_ppr_sql",
     "_graph_stats_rebuild_sql",
     "_lsh_band_plan_sql",
     "_kcore_sql",

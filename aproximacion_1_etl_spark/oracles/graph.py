@@ -6,6 +6,7 @@ from .common import *  # noqa: F401,F403
 
 ORACLES: dict[str, str] = {
     "pagerank_suppliers": _pagerank_sql(),
+    "personalized_pagerank": _ppr_sql([1, 2, 3], iterations=4, eps=1e-4),
     # From-scratch rebuild of the maintained (degree, n_triangles)
     # store: hash equality against the Spark fold IS the proof that
     # fold == rebuild. ONE builder shared verbatim with the streaming

@@ -673,6 +673,44 @@ def _basket_edges(baskets: DataFrame) -> DataFrame:
     )
 
 
+def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 PERSONALIZED PAGERANK — retrieval expansion over the part
+    co-order graph: teleport mass restarts at a 3-part SEED BASKET
+    (parts 1/2/3), so the stationary mass ranks parts by closeness to
+    THAT basket, not by global centrality — the graph device behind
+    "related items" / query expansion. 4 rounds over the undirected
+    (both-orientation) capped co-order graph with FORWARD-PUSH
+    TRUNCATION at eps=1e-4 (operators/graph.py::personalized_pagerank):
+    the iterate relation holds only nodes whose rank still exceeds
+    eps, so the frontier is bounded by seed-mass/eps (~350-750 nodes
+    here vs the ~20k reachable set) — a seed set in a 100 TB graph
+    pays for its neighborhood, never |V|, and each round's decimal
+    aggregate shrinks with it. Decimal-cast contribution sums make the
+    ranks bit-identical across engines; the DuckDB oracle unrolls the
+    truncated recurrence one MATERIALIZED CTE per round with the same
+    HAVING threshold (oracles/common.py::_ppr_sql). Top-20 by
+    rank_ppm, ties by part."""
+    from aproximacion_1_etl_spark.operators.graph import (
+        personalized_pagerank,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    edges = _co_order_edges(li, max_basket=64)
+    pr = personalized_pagerank(
+        edges, seeds=[1, 2, 3], iterations=4, eps=1e-4
+    )
+    return (
+        pr.select(
+            F.col("node").cast("bigint").alias("l_partkey"),
+            _fround(F.col("rank") * 1e6, 2).alias("rank_ppm"),
+        )
+        .orderBy(F.col("rank_ppm").desc(), F.col("l_partkey"))
+        .limit(20)
+    )
+
+
 def q_incremental_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.10 INCREMENTAL GRAPH-METRIC MAINTENANCE — the graph member
     of the maintained-state family (ivf_index_append / incremental
@@ -740,6 +778,7 @@ def q_incremental_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 __all__ = [
     "q_pagerank_suppliers",
+    "q_personalized_pagerank",
     "q_incremental_graph_stats",
     "q_event_bigrams",
     "q_type_cooccurrence",

@@ -97,6 +97,7 @@ HEADLINE = [
     # graph loop, the C4 token-line cleaning pass, and the r3 LLM-
     # pipeline ops (BM25 retrieval, semantic dedup, trigram-LM scoring)
     "pagerank_suppliers",
+    "personalized_pagerank",
     "c4_boilerplate_filter",
     "bm25_topk",
     "semantic_dedup",

@@ -323,3 +323,52 @@ def test_incremental_graph_stats_key_schema(spark, sf_dir):
     tri = [r.n_triangles for r in rows]
     assert tri == sorted(tri, reverse=True)
     assert all(r.degree >= 2 for r in rows if r.n_triangles > 0)
+
+
+def test_personalized_pagerank_matches_dense_reference_and_stays_sparse(spark):
+    """PPR vs a dense numpy reference on a small cyclic graph (both
+    orientations), and the frontier property: nodes unreachable from
+    the seeds never enter the returned vector."""
+    from aproximacion_1_etl_spark.operators.graph import (
+        personalized_pagerank,
+    )
+
+    und = [(0, 1), (1, 2), (2, 3), (0, 3), (3, 4)]
+    edges = [(a, b) for a, b in und] + [(b, a) for a, b in und]
+    # a disconnected component the seeds can never reach
+    edges += [(100, 101), (101, 100)]
+    df = spark.createDataFrame(edges, "src BIGINT, dst BIGINT")
+    seeds, d, iters = [0, 2], 0.85, 4
+
+    got = {
+        r.node: r.rank
+        for r in personalized_pagerank(
+            df, seeds=seeds, iterations=iters
+        ).collect()
+    }
+    assert all(n < 100 for n in got), "unreachable component leaked in"
+
+    out_deg = {}
+    for a, _ in edges:
+        out_deg[a] = out_deg.get(a, 0) + 1
+    rank = {s: 1.0 / len(seeds) for s in seeds}
+    for _ in range(iters):
+        received = {}
+        for a, b in edges:
+            if a in rank:
+                received[b] = received.get(b, 0.0) + rank[a] / out_deg[a]
+        nxt = {}
+        for s in seeds:
+            nxt[s] = (1.0 - d) / len(seeds)
+        for n, v in received.items():
+            nxt[n] = nxt.get(n, 0.0) + d * v
+        rank = nxt
+    assert set(got) == set(rank)
+    for n, v in rank.items():
+        assert abs(got[n] - v) < 1e-12, n
+    # probability mass stays bounded (dangling/teleport leakage only
+    # ever removes mass, never adds)
+    assert sum(got.values()) <= 1.0 + 1e-12
+
+    with __import__("pytest").raises(ValueError):
+        personalized_pagerank(df, seeds=[], iterations=2)
