@@ -643,6 +643,63 @@ FROM r WHERE rank <= 10
 """
 
 
+def _ivf_nprobe_plan_sql(
+    ladder: tuple[int, ...] = (1, 2, 4, 8), k: int = 10
+) -> str:
+    """Mirror of text/vector.py::ivf_nprobe_plan: trained-codebook
+    recurrence (_ivf_cent_ctes) -> 6-dp cell assignment + per-query
+    probe order (the _ann_topk_ivf_sql devices), exact brute-force
+    truth (_ann_brute_sql, nested so its CTE names stay scoped), then
+    one aggregate per ladder entry over the (|Q|·k)-sized capture
+    relation and the (|Q|·max nprobe)-sized scan relation. Exact
+    integers until the two final one-division ratios, floor-rounded
+    6 dp — identical on both engines."""
+    pmax = max(ladder)
+    nq = 5
+    head = f"""WITH {_ivf_cent_ctes()},
+d AS (SELECT e.vec_id, e.v, c.cid,
+             floor((list_dot_product(e.v, e.v) + c.cc
+                    - 2.0 * list_dot_product(e.v, c.cv)) * 1000000.0 + 0.5)
+               / 1000000.0 AS d6
+      FROM e CROSS JOIN cent c),
+assign AS (SELECT vec_id, cid AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY d6 ASC, cid ASC) AS rn FROM d)
+  WHERE rn = 1),
+pop AS (SELECT cell, CAST(count(*) AS BIGINT) AS pop
+        FROM assign GROUP BY 1),
+tot AS (SELECT CAST(sum(pop) AS BIGINT) AS n_total FROM pop),
+probes AS (SELECT vec_id AS query_id, cid AS cell,
+                  CAST(rn AS BIGINT) AS probe_rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY d6 ASC, cid ASC) AS rn
+    FROM d WHERE vec_id IN (0, 1, 2, 3, 4))
+  WHERE rn <= {pmax}),
+truth AS ({_ann_brute_sql("0, 1, 2, 3, 4", k)}),
+cap AS (SELECT t.query_id, t.vec_id, min(p.probe_rank) AS captured_rank
+        FROM truth t JOIN assign a ON a.vec_id = t.vec_id
+        LEFT JOIN probes p ON p.query_id = t.query_id
+                          AND p.cell = a.cell
+        GROUP BY 1, 2),
+scan AS (SELECT p.query_id, p.probe_rank, pop.pop
+         FROM probes p JOIN pop USING (cell))
+"""
+    parts = []
+    for p in ladder:
+        parts.append(f"""SELECT CAST({p} AS INT) AS nprobe,
+       floor(((SELECT CAST(sum(CASE WHEN captured_rank <= {p}
+                      THEN 1 ELSE 0 END) AS BIGINT) FROM cap)
+              * 1.0 / {nq * k}) * 1000000.0 + 0.5) / 1000000.0
+         AS recall_at_k,
+       floor(((SELECT CAST(sum(pop) AS BIGINT) FROM scan
+               WHERE probe_rank <= {p})
+              * 1.0 / ({nq} * (SELECT n_total FROM tot)))
+             * 1000000.0 + 0.5) / 1000000.0 AS scan_frac,
+       (SELECT CAST(sum(pop) AS BIGINT) FROM scan
+        WHERE probe_rank <= {p}) AS scanned_rows""")
+    return head + "\nUNION ALL\n".join(parts)
+
+
 def _ann_brute_sql(query_ids: str = "0, 1, 2, 3, 4", k: int = 10) -> str:
     """Generated mirror of text/vector.py::ann_topk_bruteforce."""
     return f"""
@@ -1954,6 +2011,7 @@ __all__ = [
     "_pq_cent_ctes",
     "_ann_topk_pq_sql",
     "_ann_topk_ivfpq_sql",
+    "_ivf_nprobe_plan_sql",
     "_semantic_dedup_sql",
     "_ivf_index_append_sql",
     "_ann_topk_ivf_sql",

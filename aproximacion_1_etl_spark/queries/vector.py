@@ -241,6 +241,27 @@ def q_ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_nprobe_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 IVF nprobe-LADDER PLANNER — completes the planner family
+    (graph_degree_cap_report's cap ladder, lsh_band_plan's banding
+    ladder): for each nprobe in {1,2,4,8}, the measured cell recall@10
+    of the trained-codebook IVF index on this corpus's own exact
+    top-k, and the corpus fraction those probes scan — the
+    recall-vs-cost curve an operator reads to pick nprobe before a
+    100-TB ANN run (text/vector.py::ivf_nprobe_plan). Exact integers
+    until two final one-division ratios; oracle recomputes the
+    codebook in-engine (the _ivf_cent_ctes device) and mirrors every
+    rounding."""
+    from aproximacion_1_etl_spark.text.vector import ivf_nprobe_plan
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_nprobe_plan(
+        emb,
+        query_ids=[0, 1, 2, 3, 4],
+        centroids=_trained_codebook(spark, sf_dir),
+    )
+
+
 def q_ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.10 ANN, IVF-PQ composition: trained coarse codebook restricts
     each query to nprobe cells; probed candidates are scored through
@@ -795,6 +816,7 @@ __all__ = [
     "q_embedding_quantize_int8",
     "q_ann_topk_pq",
     "q_ann_topk_ivfpq",
+    "q_ivf_nprobe_plan",
     "q_ivf_index_append",
     "q_hybrid_rrf_retrieval",
     "q_ann_recall_at_k",

@@ -1477,3 +1477,110 @@ def pca_top_component(
     return spark.createDataFrame(
         out, "dim int, loading double, eigenvalue double, var_share double"
     )
+
+
+def ivf_nprobe_plan(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    centroids: dict[int, list[float]],
+    ladder: tuple[int, ...] = (1, 2, 4, 8),
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF nprobe-LADDER PLANNER — the sizing report for the probe
+    lever, completing the planner family next to the LSH banding
+    ladder and the degree-cap ladder: for each candidate ``nprobe``,
+    the MEASURED cell recall@k on this corpus (fraction of the exact
+    brute-force top-k whose cell is among the query's nprobe nearest)
+    and the scan cost it buys (fraction of the corpus the probed
+    cells contain). This is what an operator reads to pick nprobe
+    before a 100-TB ANN run: more probes => higher recall AND more
+    scanned rows; the right point depends on how the TRAINED codebook
+    carved this corpus, not on the formula alone.
+
+    Everything is exact integers until two final divisions (hits/(|Q|·k)
+    and scanned/(|Q|·N) — one double division each, engine-identical):
+    cell assignment is the 6-dp argmin over the literal codebook (the
+    ann_topk_ivf device — map-side, no shuffle), the probe order per
+    query is the same rounded distance sort, the brute-force truth is
+    the existing exact top-k, and per-ladder aggregates run over
+    (|Q|·k)- and (|Q|·nprobe_max)-sized checkpointed relations."""
+    emb = _as_double(embeddings, vec_col)
+    cdots = {cid: sum(x * x for x in v) for cid, v in centroids.items()}
+    nq = len(query_ids)
+    pmax = max(ladder)
+    spread = emb.repartition(
+        emb.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+    )
+    with_vv = spread.withColumn("_vv", F.expr(_sql_dot(vec_col, vec_col)))
+    dist_structs = F.expr(
+        _dist_structs_sql(centroids, cdots, vec_col, "_vv", 6)
+    )
+    assigned = with_vv.select(
+        id_col,
+        F.array_min(dist_structs).getField("cid").alias("cell"),
+    )
+    pop = (
+        assigned.groupBy("cell")
+        .agg(F.count("*").cast("bigint").alias("pop"))
+        .localCheckpoint(eager=True)
+    )
+    tot = pop.agg(F.sum("pop").cast("bigint").alias("n_total"))
+    probes = (
+        with_vv.filter(F.col(id_col).isin(query_ids))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.posexplode(
+                F.slice(F.array_sort(dist_structs), 1, pmax)
+            ).alias("_i", "p"),
+        )
+        .select(
+            "query_id",
+            (F.col("_i") + 1).alias("probe_rank"),
+            F.col("p.cid").alias("cell"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    truth = ann_topk_bruteforce(
+        emb, query_ids=query_ids, k=k, id_col=id_col, vec_col=vec_col
+    ).select("query_id", id_col)
+    capture = (
+        truth.join(assigned, id_col)
+        .join(probes, ["query_id", "cell"], "left")
+        .groupBy("query_id", id_col)
+        .agg(F.min("probe_rank").alias("captured_rank"))
+        .localCheckpoint(eager=True)
+    )
+    scan = probes.join(pop, "cell").localCheckpoint(eager=True)
+    outs = []
+    for p in ladder:
+        hits = capture.agg(
+            F.sum(
+                F.when(F.col("captured_rank") <= p, 1).otherwise(0)
+            ).cast("bigint").alias("hits")
+        )
+        scanned = scan.filter(F.col("probe_rank") <= p).agg(
+            F.sum("pop").cast("bigint").alias("scanned_rows")
+        )
+        outs.append(
+            hits.crossJoin(scanned)
+            .crossJoin(F.broadcast(tot))
+            .select(
+                F.lit(p).cast("int").alias("nprobe"),
+                _fround(
+                    F.col("hits") * F.lit(1.0) / F.lit(nq * k), 6
+                ).alias("recall_at_k"),
+                _fround(
+                    F.col("scanned_rows")
+                    * F.lit(1.0)
+                    / (F.lit(nq) * F.col("n_total")),
+                    6,
+                ).alias("scan_frac"),
+                "scanned_rows",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

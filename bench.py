@@ -107,6 +107,7 @@ HEADLINE = [
     # model-build step, amortized across every consumer), BPE pair
     # counting, and int8 embedding quantization
     "ann_topk_ivf",
+    "ivf_nprobe_plan",
     "ann_topk_pq",
     "bpe_merge_pairs",
     "embedding_quantize_int8",

@@ -1433,3 +1433,28 @@ def test_semantic_chunking_snaps_budget_to_sentence_boundaries(spark, sf_dir):
             assert cum // budget == c.chunk_id
             cum += c.chunk_tokens
             assert c.total_tokens == c.chunk_tokens + c.overlap_tokens
+
+
+def test_ivf_nprobe_plan_monotone_and_bounded(spark, sf_dir):
+    """The nprobe ladder report is monotone where theory says it must
+    be: probing more cells never lowers recall and never shrinks the
+    scanned fraction; recall stays in [0, 1], scan_frac in (0, 1], and
+    the scanned row counts are consistent with the fractions."""
+    from aproximacion_1_etl_spark.queries import ALL_QUERIES
+
+    rows = sorted(
+        ALL_QUERIES["ivf_nprobe_plan"](spark, sf_dir).collect(),
+        key=lambda r: r.nprobe,
+    )
+    assert [r.nprobe for r in rows] == [1, 2, 4, 8]
+    for a, b in zip(rows, rows[1:]):
+        assert b.recall_at_k >= a.recall_at_k
+        assert b.scan_frac >= a.scan_frac
+        assert b.scanned_rows >= a.scanned_rows
+    for r in rows:
+        assert 0.0 <= r.recall_at_k <= 1.0
+        assert 0.0 < r.scan_frac <= 1.0
+    # more probes must actually buy something on this corpus
+    assert rows[-1].recall_at_k > rows[0].recall_at_k or (
+        rows[0].recall_at_k == 1.0
+    )
