@@ -753,6 +753,50 @@ FROM r WHERE rank <= {k}
 """
 
 
+def _retrieval_eval_sql(depth: int = 10, truth_k: int = 5) -> str:
+    """Generated mirror of q_retrieval_eval_report: the _bm25_sql,
+    _rrf_sql, and _ann_brute_sql mirrors as nested CTEs (inner WITHs
+    stay scoped), judged against the exact-cosine top-``truth_k``
+    relevance set; per-system aggregates mirror retrieval_eval's exact
+    arithmetic — integer hit counts, one 1.0/first_rank division per
+    query summed as DECIMAL(38,20), one division per mean,
+    floor-rounded 6 dp."""
+    ids = ", ".join(str(q) for q in sorted(_BM25_QUERIES))
+    nq = len(_BM25_QUERIES)
+
+    def _agg(src: str, name: str) -> str:
+        return f"""SELECT '{name}' AS system,
+       floor((CAST(sum(CASE WHEN first_rank IS NOT NULL
+                  THEN CAST(1.0 / first_rank AS DECIMAL(38,20))
+                  ELSE CAST(0 AS DECIMAL(38,20)) END) AS DOUBLE) / {nq})
+             * 1000000.0 + 0.5) / 1000000.0 AS mrr,
+       floor((sum(coalesce(n_hits, 0)) * 1.0 / {nq * depth})
+             * 1000000.0 + 0.5) / 1000000.0 AS precision_at_k,
+       floor((sum(coalesce(n_hits, 0)) * 1.0 / {nq * truth_k})
+             * 1000000.0 + 0.5) / 1000000.0 AS recall_at_k
+FROM qs LEFT JOIN {src} USING (query_id)"""
+
+    return f"""
+WITH truth AS (SELECT query_id, vec_id AS doc_id
+               FROM ({_ann_brute_sql(ids, truth_k)})),
+lex AS ({_bm25_sql(_BM25_QUERIES, k=depth)}),
+hyb AS ({_rrf_sql(k=depth, depth=20)}),
+qs AS (SELECT unnest([{ids}]) AS query_id),
+lexq AS (SELECT l.query_id, count(*) AS n_hits,
+                min(l.rank) AS first_rank
+         FROM lex l JOIN truth t
+           ON t.query_id = l.query_id AND t.doc_id = l.doc_id
+         GROUP BY 1),
+hybq AS (SELECT h.query_id, count(*) AS n_hits,
+                min(h.rank) AS first_rank
+         FROM hyb h JOIN truth t
+           ON t.query_id = h.query_id AND t.doc_id = h.doc_id
+         GROUP BY 1)
+{_agg("lexq", "bm25")}
+UNION ALL
+{_agg("hybq", "hybrid_rrf")}"""
+
+
 def _ann_recall_sql(k: int = 10) -> str:
     """Generated mirror of text/vector.py::ann_recall_at_k: the exact
     and LSH mirrors intersected per query."""
@@ -2012,6 +2056,7 @@ __all__ = [
     "_ann_topk_pq_sql",
     "_ann_topk_ivfpq_sql",
     "_ivf_nprobe_plan_sql",
+    "_retrieval_eval_sql",
     "_semantic_dedup_sql",
     "_ivf_index_append_sql",
     "_ann_topk_ivf_sql",

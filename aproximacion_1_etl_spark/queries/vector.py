@@ -262,6 +262,49 @@ def q_ivf_nprobe_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_retrieval_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 RETRIEVAL-QUALITY EVAL — the measurement gate for the
+    retrieval stack (companion to ann_recall_at_k's index gate): MRR,
+    precision@10, and recall of the BM25 lexical ranking and the
+    hybrid RRF ranking, both judged against a semantic ground truth
+    (the exact-cosine top-5 per query — the standard proxy when human
+    labels are absent: how well does each cheaper system approximate
+    the exact semantic neighborhood?). One broadcast-sized join +
+    |Q|-row aggregate per system (text/analysis.py::retrieval_eval);
+    evaluation cost is independent of corpus size because only the
+    ranked lists are touched. Exact integer hit counts; one division
+    per mean; decimal-summed reciprocal ranks."""
+    from aproximacion_1_etl_spark.text.analysis import (
+        BM25_QUERIES,
+        bm25_topk,
+        retrieval_eval,
+        rrf_fuse,
+    )
+    from aproximacion_1_etl_spark.text.vector import ann_topk_bruteforce
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = sorted(BM25_QUERIES)
+    truth = ann_topk_bruteforce(emb, query_ids=qids, k=5).select(
+        "query_id", F.col("vec_id").alias("doc_id")
+    )
+    lex10 = bm25_topk(docs, BM25_QUERIES, k=10).select(
+        "query_id", "doc_id", "rank"
+    )
+    lex20 = bm25_topk(docs, BM25_QUERIES, k=20)
+    sem20 = ann_topk_bruteforce(
+        emb, query_ids=qids, k=20
+    ).withColumnRenamed("vec_id", "doc_id")
+    hyb10 = rrf_fuse(lex20, sem20, k=10).select(
+        "query_id", "doc_id", "rank"
+    )
+    return retrieval_eval(
+        lex10, truth, qids, "bm25", depth=10, truth_k=5
+    ).unionByName(
+        retrieval_eval(hyb10, truth, qids, "hybrid_rrf", depth=10, truth_k=5)
+    )
+
+
 def q_ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.10 ANN, IVF-PQ composition: trained coarse codebook restricts
     each query to nprobe cells; probed candidates are scored through
@@ -817,6 +860,7 @@ __all__ = [
     "q_ann_topk_pq",
     "q_ann_topk_ivfpq",
     "q_ivf_nprobe_plan",
+    "q_retrieval_eval_report",
     "q_ivf_index_append",
     "q_hybrid_rrf_retrieval",
     "q_ann_recall_at_k",

@@ -695,3 +695,63 @@ def bpe_encode(
             / 10000.0
         ).alias("compression"),
     )
+
+
+def retrieval_eval(
+    ranked: DataFrame,
+    truth: DataFrame,
+    query_ids: list[int],
+    system: str,
+    depth: int,
+    truth_k: int,
+) -> DataFrame:
+    """Ranking-quality metrics of one retrieval system against a
+    relevance set — the measurement gate every retrieval stack needs
+    next to ann_recall_at_k's index gate: MRR (mean reciprocal rank of
+    the first relevant hit; 0 for queries with none), precision@depth
+    (relevant retrieved / retrieved) and recall (relevant retrieved /
+    relevant). ``ranked`` is (query_id, doc_id, rank); ``truth`` is
+    (query_id, doc_id).
+
+    Exactness: hit counts are integers; each query contributes ONE
+    1/first_rank division (exact operands), summed as decimals
+    (order-independent — the engine's cross-row double-sum rule), and
+    the three means are one division each — all engine-identical.
+    Shape: one broadcast-sized join per system (both relations are
+    |Q|·depth at most), one |Q|-row aggregate — evaluation is free at
+    any corpus scale because it only ever touches the ranked lists."""
+    spark = ranked.sparkSession
+    nq = len(query_ids)
+    qs = spark.createDataFrame(
+        [(int(q),) for q in query_ids], "query_id BIGINT"
+    )
+    hits = ranked.join(truth, ["query_id", "doc_id"])
+    perq = hits.groupBy("query_id").agg(
+        F.count("*").alias("n_hits"), F.min("rank").alias("first_rank")
+    )
+    full = qs.join(perq, "query_id", "left")
+    agg = full.agg(
+        F.sum(
+            F.when(
+                F.col("first_rank").isNotNull(),
+                (F.lit(1.0) / F.col("first_rank")).cast("decimal(38,20)"),
+            ).otherwise(F.lit(0).cast("decimal(38,20)"))
+        ).alias("_mrr_sum"),
+        F.sum(F.coalesce(F.col("n_hits"), F.lit(0)))
+        .cast("bigint")
+        .alias("_tot_hits"),
+    )
+    def _fr6(c):
+        # portable floor-round (engines disagree on native round halves)
+        return F.floor(c * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+
+    return agg.select(
+        F.lit(system).alias("system"),
+        _fr6(F.col("_mrr_sum").cast("double") / nq).alias("mrr"),
+        _fr6(F.col("_tot_hits") * F.lit(1.0) / (nq * depth)).alias(
+            "precision_at_k"
+        ),
+        _fr6(F.col("_tot_hits") * F.lit(1.0) / (nq * truth_k)).alias(
+            "recall_at_k"
+        ),
+    )

@@ -121,6 +121,7 @@ HEADLINE = [
     # iterative BPE trainer loop, leakage-safe cluster split
     # (connected components + hash split), and the ANN recall gate
     "hybrid_rrf_retrieval",
+    "retrieval_eval_report",
     "bpe_train_merges",
     "cluster_safe_split",
     "ann_recall_at_k",

@@ -1458,3 +1458,31 @@ def test_ivf_nprobe_plan_monotone_and_bounded(spark, sf_dir):
     assert rows[-1].recall_at_k > rows[0].recall_at_k or (
         rows[0].recall_at_k == 1.0
     )
+
+
+def test_retrieval_eval_exact_on_planted_rankings(spark):
+    """retrieval_eval computes MRR / precision / recall exactly on a
+    hand-built ranking: query 0 hits truth at rank 2 (rr 0.5, 1 of 2
+    truths found), query 1 hits at rank 1 (rr 1.0, both truths found),
+    query 2 retrieves nothing relevant (rr 0)."""
+    from aproximacion_1_etl_spark.text.analysis import retrieval_eval
+
+    ranked = spark.createDataFrame(
+        [
+            (0, 100, 1), (0, 200, 2), (0, 300, 3),
+            (1, 201, 1), (1, 202, 2), (1, 999, 3),
+            (2, 900, 1), (2, 901, 2), (2, 902, 3),
+        ],
+        "query_id BIGINT, doc_id BIGINT, rank BIGINT",
+    )
+    truth = spark.createDataFrame(
+        [(0, 200), (0, 201), (1, 201), (1, 202), (2, 555), (2, 556)],
+        "query_id BIGINT, doc_id BIGINT",
+    )
+    r = retrieval_eval(
+        ranked, truth, [0, 1, 2], "toy", depth=3, truth_k=2
+    ).first()
+    assert r.system == "toy"
+    assert abs(r.mrr - (0.5 + 1.0 + 0.0) / 3) < 1e-6
+    assert abs(r.precision_at_k - 3 / 9) < 1e-6   # 1+2+0 hits over 3*3
+    assert abs(r.recall_at_k - 3 / 6) < 1e-6      # over 3*2 truths
