@@ -438,6 +438,43 @@ SELECT doc_id, chunk_id, sent_start, sent_end, n_sents, chunk_tokens,
             AS BIGINT) AS total_tokens
 FROM ch
 """,
+    # curriculum ordering: same exact crossing-rule quartile cuts,
+    # same md5 within-band order, same 4-row offset window
+    "curriculum_order": """
+WITH d AS (SELECT doc_id,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+           FROM documents),
+vc AS (SELECT n_tokens, count(*) AS n FROM d GROUP BY 1),
+cum AS (SELECT n_tokens,
+               sum(n) OVER (ORDER BY n_tokens) AS cw,
+               (SELECT count(*) FROM d) AS tw
+        FROM vc),
+cuts AS (SELECT
+  min(CASE WHEN cw * 4 >= tw * 1 THEN n_tokens END) AS c1,
+  min(CASE WHEN cw * 4 >= tw * 2 THEN n_tokens END) AS c2,
+  min(CASE WHEN cw * 4 >= tw * 3 THEN n_tokens END) AS c3
+  FROM cum),
+b AS (SELECT doc_id, n_tokens,
+             CAST(CASE WHEN n_tokens <= c1 THEN 1
+                       WHEN n_tokens <= c2 THEN 2
+                       WHEN n_tokens <= c3 THEN 3
+                       ELSE 4 END AS INT) AS band
+      FROM d, cuts),
+i AS (SELECT doc_id, n_tokens, band,
+             row_number() OVER (
+               PARTITION BY band
+               ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+             ) - 1 AS bi
+      FROM b),
+o2 AS (SELECT band,
+              coalesce(sum(n) OVER (ORDER BY band
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                0) AS off
+       FROM (SELECT band, count(*) AS n FROM b GROUP BY 1))
+SELECT i.doc_id, i.band, i.n_tokens,
+       CAST(o2.off + i.bi AS BIGINT) AS curriculum_idx
+FROM i JOIN o2 USING (band)
+""",
     "pack_sequences": """
 WITH d AS (
   SELECT doc_id, lang,

@@ -558,6 +558,73 @@ def q_semantic_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 CURRICULUM ORDERING — the training-data op that serves
+    documents easy→hard: docs are banded into difficulty quartiles by
+    token count (VALUE-based cuts from the shared exact crossing rule
+    _crossing_pick — never a global ntile, whose single-task rank
+    window is exactly what deterministic_global_index exists to
+    avoid), then hash-shuffled WITHIN each band (same md5 order as
+    every deterministic shuffle here), and assigned one global
+    curriculum index: band offset + within-band rank. The result is a
+    reproducible easy→hard ordering whose global coordination is a
+    4-row offsets relation — scale-independent. Completes the
+    training-order family next to pack_training_batches (flat hash
+    order) and length_bucketed_batches (padding-waste bands)."""
+    from aproximacion_1_etl_spark.functions.sampling import (
+        deterministic_global_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+    )
+    vc = docs.groupBy("n_tokens").agg(F.count("*").alias("n"))
+    wcum = Window.orderBy("n_tokens").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = vc.select(
+        "n_tokens", F.sum("n").over(wcum).alias("cw")
+    ).crossJoin(F.broadcast(docs.agg(F.count("*").alias("tw"))))
+    cuts = cum.agg(
+        _crossing_pick("n_tokens", 1, 4).alias("c1"),
+        _crossing_pick("n_tokens", 2, 4).alias("c2"),
+        _crossing_pick("n_tokens", 3, 4).alias("c3"),
+    )
+    banded = docs.crossJoin(F.broadcast(cuts)).select(
+        "doc_id",
+        "n_tokens",
+        F.when(F.col("n_tokens") <= F.col("c1"), 1)
+        .when(F.col("n_tokens") <= F.col("c2"), 2)
+        .when(F.col("n_tokens") <= F.col("c3"), 3)
+        .otherwise(4)
+        .cast("int")
+        .alias("band"),
+    )
+    idx = deterministic_global_index(
+        banded, "doc_id", partition_cols=["band"], name="_bi"
+    )
+    woff = Window.orderBy("band").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = (
+        banded.groupBy("band")
+        .agg(F.count("*").alias("_n"))
+        .select(
+            "band",
+            F.coalesce(F.sum("_n").over(woff), F.lit(0)).alias("_off"),
+        )
+    )
+    return idx.join(F.broadcast(offs), "band").select(
+        "doc_id",
+        "band",
+        "n_tokens",
+        (F.col("_off") + F.col("_bi")).cast("bigint").alias(
+            "curriculum_idx"
+        ),
+    )
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-window packing: assign documents (ordered by doc_id
     within language) to fixed token-budget bins by running-sum
@@ -1935,6 +2002,7 @@ __all__ = [
     "q_inverted_index",
     "q_chunk_documents",
     "q_semantic_chunking",
+    "q_curriculum_order",
     "q_pack_sequences",
     "q_token_entropy",
     "q_bigram_pmi",

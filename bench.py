@@ -132,6 +132,7 @@ HEADLINE = [
     "training_batch_pack",
     "corpus_fingerprint",
     "length_bucketed_batches",
+    "curriculum_order",
     "repeated_substrings",
     "temperature_mix_resample",
     "hard_negative_mining",

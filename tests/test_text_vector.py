@@ -1486,3 +1486,28 @@ def test_retrieval_eval_exact_on_planted_rankings(spark):
     assert abs(r.mrr - (0.5 + 1.0 + 0.0) / 3) < 1e-6
     assert abs(r.precision_at_k - 3 / 9) < 1e-6   # 1+2+0 hits over 3*3
     assert abs(r.recall_at_k - 3 / 6) < 1e-6      # over 3*2 truths
+
+
+def test_curriculum_order_is_banded_permutation(spark, sf_dir):
+    """curriculum_order emits a PERMUTATION 0..N-1 where every doc of
+    band b precedes every doc of band b+1 (easy -> hard), bands are
+    token-count-monotone, and the ordering is stable across runs."""
+    from aproximacion_1_etl_spark.queries import ALL_QUERIES
+
+    rows = ALL_QUERIES["curriculum_order"](spark, sf_dir).collect()
+    n = len(rows)
+    assert sorted(r.curriculum_idx for r in rows) == list(range(n))
+    by_band = {}
+    for r in rows:
+        by_band.setdefault(r.band, []).append(r)
+    bands = sorted(by_band)
+    assert bands == sorted(set(bands)) and bands[0] == 1
+    for a, b in zip(bands, bands[1:]):
+        assert max(r.curriculum_idx for r in by_band[a]) < min(
+            r.curriculum_idx for r in by_band[b]
+        )
+        assert max(r.n_tokens for r in by_band[a]) <= min(
+            r.n_tokens for r in by_band[b]
+        )
+    again = ALL_QUERIES["curriculum_order"](spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
