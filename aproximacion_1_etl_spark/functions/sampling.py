@@ -68,6 +68,11 @@ def size_derived_threshold(count: int, target_rows: int, max_rate: float = 0.5) 
         raise ValueError(f"count must be positive, got {count}")
     cap = int(max_rate * _SPACE)
     v = max(1, min(cap, (target_rows * _SPACE) // count))
+    if v >= _SPACE:
+        # rate 1.0: 'g' sorts after every hex prefix — a 5-char
+        # '10000' would NOT ('f...' > '10000' lexicographically),
+        # the same guard as rate_threshold
+        return "g"
     return format(v, f"0{_WIDTH}x")
 
 
@@ -91,17 +96,20 @@ def deterministic_sample_to_size(
     so an oracle on another engine mirrors it verbatim from its own
     count."""
     cap = int(max_rate * _SPACE)
+    v = F.greatest(
+        F.lit(1),
+        F.least(
+            F.lit(cap),
+            F.expr(f"({target_rows} * {_SPACE}) div _c"),
+        ),
+    ).cast("int")
+    # rate 1.0 ('g' guard): a 5-char '10000' would sort BEFORE 'f...'
+    # and silently keep ~6% instead of 100% — same rule as
+    # rate_threshold / size_derived_threshold
     thr = df.agg(F.count("*").alias("_c")).select(
-        F.format_string(
-            f"%0{_WIDTH}x",
-            F.greatest(
-                F.lit(1),
-                F.least(
-                    F.lit(cap),
-                    F.expr(f"({target_rows} * {_SPACE}) div _c"),
-                ),
-            ).cast("int"),
-        ).alias("_thr")
+        F.when(v >= _SPACE, F.lit("g"))
+        .otherwise(F.format_string(f"%0{_WIDTH}x", v))
+        .alias("_thr")
     )
     return (
         df.crossJoin(F.broadcast(thr))

@@ -673,6 +673,29 @@ def triangle_delta(
     )
 
 
+def bulk_graph_stats(edges: DataFrame) -> DataFrame:
+    """Bulk-build the maintained per-node (node, degree, n_triangles)
+    store from a canonical (u < v) DISTINCT edge relation — the ONE
+    store constructor both the batch key (simulating the persisted
+    store) and the streaming twin's bootstrap wave share, so the two
+    keys that must maintain the identical store cannot drift (they
+    already share one rebuild oracle for the same reason)."""
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("degree"))
+    )
+    tri = count_triangles(edges, "u", "v", canonical=True)
+    return deg.join(tri, "node", "full_outer").select(
+        "node",
+        F.coalesce(F.col("degree"), F.lit(0)).cast("bigint").alias("degree"),
+        F.coalesce(F.col("n_triangles"), F.lit(0))
+        .cast("bigint")
+        .alias("n_triangles"),
+    )
+
+
 def fold_graph_stats(
     stats: DataFrame, old_edges: DataFrame, new_edges: DataFrame
 ) -> DataFrame:
@@ -753,6 +776,10 @@ def personalized_pagerank(
     Returns the SPARSE (node, rank) vector."""
     if not seeds:
         raise ValueError("personalized_pagerank needs a non-empty seed set")
+    # seeds are a SET: a duplicated id would silently double its
+    # teleport mass (and inflate k), which is neither the documented
+    # contract nor a deliberate weighting
+    seeds = sorted({int(s) for s in seeds})
     spark = edges.sparkSession
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     # out-degree joins the FRONTIER side each round, never the edges:

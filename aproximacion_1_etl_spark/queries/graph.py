@@ -567,35 +567,19 @@ def q_frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _canon_co_order_edges(op: DataFrame) -> DataFrame:
-    """Canonical (u < v) DISTINCT co-order part edges from a
-    (l_orderkey, l_partkey) relation — the map-side pairwise basket
-    expansion of q_triangle_cooccurrence (one orderkey shuffle, no
-    fact self-join), canonicalized for the maintained-store fold."""
+    """Canonical (u < v) DISTINCT co-order part edges from a flat
+    (l_orderkey, l_partkey) relation: group into sorted baskets (one
+    orderkey shuffle, no fact self-join), then the shared
+    _basket_edges pairwise expansion — one definition of the pair
+    arithmetic for the flat-row (streaming) and basket (batch)
+    paths."""
     dp = op.sparkSession.sparkContext.defaultParallelism
     per_order = (
         op.repartition(dp, F.col("l_orderkey"))
         .groupBy("l_orderkey")
         .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
     )
-    return (
-        per_order.select(
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        F.col("ps"),
-                        lambda x, i: F.transform(
-                            F.slice(
-                                F.col("ps"), i + F.lit(2), F.size(F.col("ps"))
-                            ),
-                            lambda y: F.struct(x.alias("u"), y.alias("v")),
-                        ),
-                    )
-                )
-            ).alias("e")
-        )
-        .select("e.u", "e.v")
-        .distinct()
-    )
+    return _basket_edges(per_order)
 
 
 def _capped_order_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -711,6 +695,23 @@ def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _graph_stats_top20(stats: DataFrame) -> DataFrame:
+    """Shared emitter of the maintained-store report: top-20 nodes by
+    triangle count (ties by node), dense rank — one definition for
+    both twins so the tie-break cannot drift between them (they share
+    one rebuild oracle for the same reason)."""
+    top = stats.orderBy(
+        F.col("n_triangles").desc(), F.col("node").asc()
+    ).limit(20)
+    w = Window.orderBy(F.col("n_triangles").desc(), F.col("node").asc())
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        F.col("node").alias("l_partkey"),
+        "degree",
+        "n_triangles",
+        F.col("rank").cast("bigint").alias("rank"),
+    )
+
+
 def q_incremental_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.10 INCREMENTAL GRAPH-METRIC MAINTENANCE — the graph member
     of the maintained-state family (ivf_index_append / incremental
@@ -731,7 +732,7 @@ def q_incremental_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the proof that fold == rebuild. Output: top-20 nodes by maintained
     triangle count (rank ties broken by node)."""
     from aproximacion_1_etl_spark.operators.graph import (
-        count_triangles,
+        bulk_graph_stats,
         fold_graph_stats,
     )
 
@@ -747,33 +748,10 @@ def q_incremental_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         hist_edges, ["u", "v"], "left_anti"
     ).localCheckpoint(eager=True)
 
-    # the persisted store, as the bulk build would have left it
-    hist_deg = (
-        hist_edges.select(F.col("u").alias("node"))
-        .unionAll(hist_edges.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count("*").cast("bigint").alias("degree"))
-    )
-    hist_tri = count_triangles(hist_edges, "u", "v", canonical=True)
-    stats = hist_deg.join(hist_tri, "node", "full_outer").select(
-        "node",
-        F.coalesce(F.col("degree"), F.lit(0)).cast("bigint").alias("degree"),
-        F.coalesce(F.col("n_triangles"), F.lit(0))
-        .cast("bigint")
-        .alias("n_triangles"),
-    )
-
+    # the persisted store, as the shared bulk build would have left it
+    stats = bulk_graph_stats(hist_edges)
     folded = fold_graph_stats(stats, hist_edges, new_edges)
-    top = folded.orderBy(
-        F.col("n_triangles").desc(), F.col("node").asc()
-    ).limit(20)
-    w = Window.orderBy(F.col("n_triangles").desc(), F.col("node").asc())
-    return top.withColumn("rank", F.row_number().over(w)).select(
-        F.col("node").alias("l_partkey"),
-        "degree",
-        "n_triangles",
-        F.col("rank").cast("bigint").alias("rank"),
-    )
+    return _graph_stats_top20(folded)
 
 
 __all__ = [

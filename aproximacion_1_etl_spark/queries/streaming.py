@@ -2057,10 +2057,14 @@ def q_streaming_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     import time as _time
 
     from aproximacion_1_etl_spark.operators.graph import (
-        count_triangles,
+        bulk_graph_stats,
         fold_graph_stats,
     )
-    from .graph import _canon_co_order_edges, _capped_order_parts
+    from .graph import (
+        _canon_co_order_edges,
+        _capped_order_parts,
+        _graph_stats_top20,
+    )
 
     op = _capped_order_parts(spark, sf_dir)
     base = tempfile.mkdtemp(prefix="graft_sgs_")
@@ -2083,25 +2087,7 @@ def q_streaming_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         else:
             new = be
-            deg = (
-                be.select(F.col("u").alias("node"))
-                .unionAll(be.select(F.col("v").alias("node")))
-                .groupBy("node")
-                .agg(F.count("*").cast("bigint").alias("degree"))
-            )
-            folded = deg.join(
-                count_triangles(be, "u", "v", canonical=True),
-                "node",
-                "full_outer",
-            ).select(
-                "node",
-                F.coalesce(F.col("degree"), F.lit(0))
-                .cast("bigint")
-                .alias("degree"),
-                F.coalesce(F.col("n_triangles"), F.lit(0))
-                .cast("bigint")
-                .alias("n_triangles"),
-            )
+            folded = bulk_graph_stats(be)
         folded.write.mode("overwrite").parquet(stats_next)
         bspark.read.parquet(stats_next).write.mode("overwrite").parquet(
             stats_store
@@ -2138,19 +2124,7 @@ def q_streaming_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
 
-        stats = spark.read.parquet(stats_store)
-        top = stats.orderBy(
-            F.col("n_triangles").desc(), F.col("node").asc()
-        ).limit(20)
-        w = Window.orderBy(
-            F.col("n_triangles").desc(), F.col("node").asc()
-        )
-        out = top.withColumn("rank", F.row_number().over(w)).select(
-            F.col("node").alias("l_partkey"),
-            "degree",
-            "n_triangles",
-            F.col("rank").cast("bigint").alias("rank"),
-        )
+        out = _graph_stats_top20(spark.read.parquet(stats_store))
         return _reclaimed(out, base, ckpt)
     finally:
         if os.path.isdir(base):

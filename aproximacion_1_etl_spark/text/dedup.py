@@ -919,8 +919,25 @@ def ttl_window_dedup_fold(
     cumulative physical eviction equals the latest filter — what makes
     the policy mirrorable by a per-wave batch oracle. State is bounded
     by the TTL whatever the feed's age: |next_store| counts only docs
-    in (watermark − ttl, watermark]."""
+    in (watermark − ttl, watermark].
+
+    An EMPTY batch is a no-op: its watermark is NULL, and
+    day > NULL − ttl would evaluate NULL for every store row — i.e. a
+    single empty micro-batch would silently wipe the whole store —
+    so the store is returned unchanged instead (time does not advance
+    on an empty batch, matching watermark semantics)."""
     wmark = batch.agg(F.max(day_col)).first()[0]
+    if wmark is None:
+        if store is not None:
+            return None, store
+        # bootstrap on an empty batch: an empty store with the store
+        # schema (signatures + day), so the next fold composes
+        return None, minhash_signatures(
+            word_shingles(batch, id_col=id_col, text_col=text_col,
+                          distinct=False),
+            bands=bands,
+            id_col=id_col,
+        ).join(batch.select(id_col, day_col), id_col)
     dated = minhash_signatures(
         word_shingles(batch, id_col=id_col, text_col=text_col,
                       distinct=False),

@@ -228,3 +228,25 @@ def test_temperature_mix_upweights_low_resource(spark, sf_dir):
         # and still downweights it relative to its natural share
         assert temp[big]["rate"] < 1.0
         assert temp[small]["rate"] >= temp[big]["rate"]
+
+
+def test_sample_to_size_full_rate_keeps_everything():
+    """max_rate=1.0 on a corpus smaller than the target must keep 100%
+    of rows: the threshold is 'g' (sorts after every hex prefix), not
+    the 5-char '10000' that would silently keep ~6%."""
+    from aproximacion_1_etl_spark.functions.sampling import (
+        size_derived_threshold,
+    )
+
+    assert size_derived_threshold(100, 1000, max_rate=1.0) == "g"
+    assert size_derived_threshold(2000, 1000, max_rate=1.0) == "8000"
+
+
+def test_sample_to_size_engine_full_rate(spark):
+    from aproximacion_1_etl_spark.functions.sampling import (
+        deterministic_sample_to_size,
+    )
+
+    df = spark.range(0, 300).withColumnRenamed("id", "k")
+    kept = deterministic_sample_to_size(df, "k", 1000, max_rate=1.0)
+    assert kept.count() == 300

@@ -364,3 +364,31 @@ def test_ttl_window_fold_bounds_state_and_screens_window_only(spark):
     assert counts[2] == 3
     store_ids = {r.doc_id for r in store.select("doc_id").collect()}
     assert store_ids == {11, 12, 21}
+
+
+def test_ttl_window_fold_empty_batch_is_noop(spark):
+    """An empty micro-batch must NOT advance the watermark or evict
+    anything: its NULL max(day) once turned the eviction filter into
+    day > NULL and silently wiped the whole signature store."""
+    from aproximacion_1_etl_spark.text.dedup import ttl_window_dedup_fold
+
+    schema = "doc_id BIGINT, text STRING, event_day BIGINT"
+    seed = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon", 0)], schema
+    )
+    empty = spark.createDataFrame([], schema)
+
+    hits, store = ttl_window_dedup_fold(seed, None, ttl_days=5)
+    store = store.localCheckpoint(eager=True)
+    assert hits is None and store.count() > 0
+    before = store.count()
+
+    hits, store2 = ttl_window_dedup_fold(empty, store, ttl_days=5)
+    assert hits is None
+    assert store2.count() == before  # store unchanged, nothing evicted
+
+    # bootstrap on an empty batch composes: empty store, right schema
+    hits, store3 = ttl_window_dedup_fold(empty, None, ttl_days=5)
+    assert hits is None and store3.count() == 0
+    hits, store4 = ttl_window_dedup_fold(seed, store3, ttl_days=5)
+    assert store4.count() > 0

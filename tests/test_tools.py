@@ -111,17 +111,19 @@ def test_perf_gate_block_embeds_without_adjudication(tmp_path, monkeypatch):
 
 
 def test_perf_gate_baseline_drift_eval():
-    """_eval_baseline_drift: >10% drift EITHER way is stale, within
-    band holds, missing probe key (renamed) is stale."""
+    """_eval_baseline_drift returns one row per pinned probe with a
+    stale flag: >10% drift EITHER way is stale, within band holds,
+    missing probe key (renamed) is stale."""
     from tools.perf_gate import _eval_baseline_drift
 
     base = {"a": 1.0, "b": 1.0, "c": 1.0}
     fresh = {"a": 1.05, "b": 1.3, "c": 0.8}
-    stale = _eval_baseline_drift(base, fresh, 0.10)
-    assert [(s[0]) for s in stale] == ["b", "c"]
-    assert _eval_baseline_drift(base, fresh, 0.50) == []
+    rows = _eval_baseline_drift(base, fresh, 0.10)
+    assert [r[0] for r in rows] == ["a", "b", "c"]  # every key reported
+    assert [r[0] for r in rows if r[4]] == ["b", "c"]
+    assert not any(r[4] for r in _eval_baseline_drift(base, fresh, 0.50))
     missing = _eval_baseline_drift({"a": 1.0, "z": 1.0}, {"a": 1.0}, 0.10)
-    assert missing == [("z", 1.0, None, None)]
+    assert missing[1] == ("z", 1.0, None, None, True)
 
 
 def test_temp_root_sweep_reclaims_dead_owner_and_spares_live(tmp_path, monkeypatch):

@@ -178,19 +178,20 @@ def gate(ref_path: str, threshold: float) -> int:
 def _eval_baseline_drift(
     base: dict, fresh: dict, max_drift: float
 ) -> list[tuple]:
-    """(key, pinned, fresh, drift) for every probe whose fresh floor
-    moved more than ``max_drift`` in EITHER direction, or that the
-    fresh run did not measure (renamed probe = stale pin too)."""
-    stale = []
+    """(key, pinned, fresh, drift, stale) for EVERY pinned probe —
+    stale when the fresh floor moved more than ``max_drift`` in either
+    direction, or when the fresh run did not measure the key (renamed
+    probe = stale pin too). One row per key so the caller prints the
+    same numbers the verdict is computed from (one drift formula)."""
+    rows = []
     for k, b in sorted(base.items()):
         f = fresh.get(k)
         if f is None:
-            stale.append((k, b, None, None))
+            rows.append((k, b, None, None, True))
             continue
         drift = f / b - 1.0
-        if abs(drift) > max_drift:
-            stale.append((k, b, f, drift))
-    return stale
+        rows.append((k, b, f, drift, abs(drift) > max_drift))
+    return rows
 
 
 def check_baseline(max_drift: float = 0.10) -> int:
@@ -227,13 +228,13 @@ def check_baseline(max_drift: float = 0.10) -> int:
     finally:
         if os.path.exists(out_path):
             os.unlink(out_path)
-    stale = _eval_baseline_drift(base, fresh, max_drift)
-    for k, b, f, drift in (
-        (k, b, fresh.get(k), (fresh[k] / b - 1.0) if k in fresh else None)
-        for k, b in sorted(base.items())
-    ):
+    rows = _eval_baseline_drift(base, fresh, max_drift)
+    for k, b, f, drift, _stale in rows:
         if f is not None:
             print(f"{k}: pinned={b:.3f}s fresh={f:.3f}s drift={drift:+.1%}")
+        else:
+            print(f"{k}: pinned={b:.3f}s fresh=MISSING")
+    stale = [r for r in rows if r[4]]
     if stale:
         print(
             f"\nBASELINE STALE ({len(stale)} probe(s) moved "
