@@ -160,11 +160,45 @@ FROM r WHERE rank <= {k}
 """
 
 
+def _sentence_chunk_ctes(budget: int = 25) -> str:
+    """CTE chain text for the sentence->chunk assignment — sc_tok
+    (doc_id, pos, tok, sent_idx), sc_sents (doc_id, sent_idx, n_toks),
+    sc_bins (+chunk_id via the boundary snap). ONE definition for the
+    semantic_chunking oracle and the chunk-retrieval oracle, mirroring
+    queries/text.py::_sentence_tokens/_sentence_chunk_bins verbatim."""
+    return f"""sc_base AS (SELECT doc_id, string_split(text, ' ') AS t
+           FROM documents),
+sc_pos AS (
+  SELECT doc_id, unnest(generate_series(1, len(t))) AS pos, t
+  FROM sc_base),
+sc_tok0 AS (SELECT doc_id, pos, t[pos] AS tok FROM sc_pos),
+sc_tok AS (
+  SELECT doc_id, pos, tok,
+         1 + coalesce(sum(CASE WHEN tok IN ('a', 'the') THEN 1
+                          ELSE 0 END)
+             OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             0) AS sent_idx
+  FROM sc_tok0),
+sc_sents AS (
+  SELECT doc_id, CAST(sent_idx AS BIGINT) AS sent_idx,
+         CAST(count(*) AS BIGINT) AS n_toks
+  FROM sc_tok GROUP BY 1, 2),
+sc_bins AS (
+  SELECT doc_id, sent_idx, n_toks,
+         CAST(coalesce(sum(n_toks)
+             OVER (PARTITION BY doc_id ORDER BY sent_idx
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             0) // {budget} AS BIGINT) AS chunk_id
+  FROM sc_sents)"""
+
+
 def _bm25_sql(
     queries: dict[int, list[str]],
     k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
+    relation: str = "documents",
 ) -> str:
     """Generated mirror of text/analysis.py::bm25_topk. Floating-point
     literals are emitted with repr() of the SAME Python arithmetic the
@@ -181,14 +215,14 @@ def _bm25_sql(
 WITH q(query_id, term) AS (SELECT * FROM (VALUES {vals})),
 toks AS (SELECT doc_id, len(string_split(text, ' ')) AS dl,
                 unnest(string_split(text, ' ')) AS term
-         FROM documents),
+         FROM {relation}),
 tf AS (SELECT doc_id, term, max(dl) AS dl, count(*) AS tf
        FROM toks GROUP BY 1, 2),
 qtf AS (SELECT * FROM tf WHERE term IN (SELECT DISTINCT term FROM q)),
 df0 AS (SELECT term, count(*) AS df FROM qtf GROUP BY 1),
 st AS (SELECT count(*) AS n_docs,
               avg(len(string_split(text, ' '))) AS avgdl
-       FROM documents),
+       FROM {relation}),
 contrib AS (
   SELECT q.query_id, qtf.doc_id,
          ln(1.0 + (st.n_docs - df0.df + 0.5) / (df0.df + 0.5))
@@ -750,6 +784,35 @@ SELECT CAST(query_id AS BIGINT) AS query_id,
        CAST(sem_rank AS BIGINT) AS sem_rank,
        CAST(rank AS BIGINT) AS rank
 FROM r WHERE rank <= {k}
+"""
+
+
+def _chunk_retrieval_sql(budget: int = 25, k: int = 10) -> str:
+    """Generated mirror of q_chunk_retrieval_spans: the shared
+    sentence→chunk CTEs rebuild the chunk relation (texts via
+    string_agg ordered by token position — same token order as the
+    Spark side's array_sort on (pos, tok)), then the _bm25_sql mirror
+    runs over it (relation parameter; nested WITH stays scoped) and
+    hits join back to their sentence spans."""
+    return f"""
+WITH {_sentence_chunk_ctes(budget)},
+chmap AS (
+  SELECT t.doc_id, t.pos, t.tok, b.chunk_id
+  FROM sc_tok t JOIN sc_bins b
+    ON b.doc_id = t.doc_id AND b.sent_idx = t.sent_idx),
+chunk_rel AS (
+  SELECT CAST(doc_id * 100000 + chunk_id AS BIGINT) AS doc_id,
+         string_agg(tok, ' ' ORDER BY pos) AS text
+  FROM chmap GROUP BY doc_id, chunk_id),
+spans AS (
+  SELECT CAST(doc_id * 100000 + chunk_id AS BIGINT) AS ckey,
+         doc_id, chunk_id,
+         min(sent_idx) AS sent_start, max(sent_idx) AS sent_end
+  FROM sc_bins GROUP BY doc_id, chunk_id),
+ranked AS ({_bm25_sql(_BM25_QUERIES, k=k, relation="chunk_rel")})
+SELECT r.query_id, s.doc_id, s.chunk_id, s.sent_start, s.sent_end,
+       r.score, r.rank
+FROM ranked r JOIN spans s ON s.ckey = r.doc_id
 """
 
 
@@ -2057,6 +2120,8 @@ __all__ = [
     "_ann_topk_ivfpq_sql",
     "_ivf_nprobe_plan_sql",
     "_retrieval_eval_sql",
+    "_sentence_chunk_ctes",
+    "_chunk_retrieval_sql",
     "_semantic_dedup_sql",
     "_ivf_index_append_sql",
     "_ann_topk_ivf_sql",

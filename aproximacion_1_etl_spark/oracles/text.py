@@ -397,38 +397,17 @@ WHERE length(substr(text, chunk_id * 300 + 1, 400)) > 0
     # sentence-window chunking: identical token split, terminator
     # predicate, exclusive running sums, integer-div snap, and
     # last-sentence overlap lag as the Spark plan — all exact integers
-    "semantic_chunking": """
-WITH base AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-toks AS (
-  SELECT doc_id, unnest(generate_series(1, len(t))) AS pos, t
-  FROM base),
-tok2 AS (SELECT doc_id, pos, t[pos] AS tok FROM toks),
-s AS (
-  SELECT doc_id, pos,
-         1 + coalesce(sum(CASE WHEN tok IN ('a', 'the') THEN 1
-                          ELSE 0 END)
-             OVER (PARTITION BY doc_id ORDER BY pos
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-             0) AS sent_idx
-  FROM tok2),
-sents AS (
-  SELECT doc_id, CAST(sent_idx AS BIGINT) AS sent_idx,
-         CAST(count(*) AS BIGINT) AS n_toks
-  FROM s GROUP BY 1, 2),
-c AS (
-  SELECT doc_id, sent_idx, n_toks,
-         coalesce(sum(n_toks)
-             OVER (PARTITION BY doc_id ORDER BY sent_idx
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-             0) // 25 AS chunk_id
-  FROM sents),
+    "chunk_retrieval_spans": _chunk_retrieval_sql(25, 10),
+    "semantic_chunking": "WITH "
+    + _sentence_chunk_ctes(25)
+    + """,
 ch AS (
-  SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+  SELECT doc_id, chunk_id,
          min(sent_idx) AS sent_start, max(sent_idx) AS sent_end,
          CAST(count(*) AS BIGINT) AS n_sents,
          CAST(sum(n_toks) AS BIGINT) AS chunk_tokens,
          arg_max(n_toks, sent_idx) AS last_toks
-  FROM c GROUP BY 1, 2)
+  FROM sc_bins GROUP BY 1, 2)
 SELECT doc_id, chunk_id, sent_start, sent_end, n_sents, chunk_tokens,
        CAST(coalesce(lag(last_toks)
             OVER (PARTITION BY doc_id ORDER BY chunk_id), 0)

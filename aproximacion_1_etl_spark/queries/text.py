@@ -475,6 +475,58 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sentence_tokens(docs: DataFrame) -> DataFrame:
+    """(doc_id, pos, tok, sent_idx): every token tagged with its
+    1-based sentence index — sentences are maximal token runs ending
+    at a terminator token ('a'/'the' stand in for punctuation on this
+    synthetic corpus). ONE definition shared by the chunker and the
+    chunk-level retrieval key (and mirrored verbatim by their
+    oracles), so the boundary rule cannot drift."""
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok"),
+    )
+    wprev = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return toks.select(
+        "doc_id",
+        "pos",
+        "tok",
+        (
+            1
+            + F.coalesce(
+                F.sum(
+                    F.when(F.col("tok").isin("a", "the"), 1).otherwise(0)
+                ).over(wprev),
+                F.lit(0),
+            )
+        ).cast("bigint").alias("sent_idx"),
+    )
+
+
+def _sentence_chunk_bins(docs: DataFrame, budget: int) -> DataFrame:
+    """(doc_id, sent_idx, n_toks, chunk_id): sentences assigned to
+    chunks by the boundary SNAP — chunk floor(preceding-tokens div
+    budget); shared by q_semantic_chunking and the chunk-retrieval
+    key."""
+    sents = _sentence_tokens(docs).groupBy("doc_id", "sent_idx").agg(
+        F.count("*").cast("bigint").alias("n_toks")
+    )
+    return sents.select(
+        "doc_id",
+        "sent_idx",
+        "n_toks",
+        F.expr(
+            f"coalesce(sum(n_toks) over (partition by doc_id "
+            f"order by sent_idx rows between unbounded preceding "
+            f"and 1 preceding), 0) div {budget}"
+        ).cast("bigint").alias("chunk_id"),
+    )
+
+
 def q_semantic_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.10 SENTENCE-WINDOW SEMANTIC CHUNKING for RAG — completes the
     chunk→embed→ANN→rerank pipeline next to q_chunk_documents (fixed
@@ -499,40 +551,7 @@ def q_semantic_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffled."""
     budget = 25
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id",
-        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok"),
-    )
-    wprev = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    sent = toks.select(
-        "doc_id",
-        (
-            1
-            + F.coalesce(
-                F.sum(
-                    F.when(F.col("tok").isin("a", "the"), 1).otherwise(0)
-                ).over(wprev),
-                F.lit(0),
-            )
-        ).cast("bigint").alias("sent_idx"),
-    )
-    sents = sent.groupBy("doc_id", "sent_idx").agg(
-        F.count("*").cast("bigint").alias("n_toks")
-    )
-    binned = sents.select(
-        "doc_id",
-        "sent_idx",
-        "n_toks",
-        F.expr(
-            f"coalesce(sum(n_toks) over (partition by doc_id "
-            f"order by sent_idx rows between unbounded preceding "
-            f"and 1 preceding), 0) div {budget}"
-        ).cast("bigint").alias("chunk_id"),
-    )
+    binned = _sentence_chunk_bins(docs, budget)
     chunks = binned.groupBy("doc_id", "chunk_id").agg(
         F.min("sent_idx").cast("bigint").alias("sent_start"),
         F.max("sent_idx").cast("bigint").alias("sent_end"),
@@ -622,6 +641,78 @@ def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("_off") + F.col("_bi")).cast("bigint").alias(
             "curriculum_idx"
         ),
+    )
+
+
+def q_chunk_retrieval_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 CHUNK-LEVEL RETRIEVAL WITH SPAN PROVENANCE — the RAG
+    retrieval stage the sentence-window chunker exists for: BM25 runs
+    over the CHUNKS (reconstructed chunk texts from the shared
+    sentence→chunk assignment, _sentence_tokens/_sentence_chunk_bins —
+    one boundary definition with q_semantic_chunking), and every hit
+    carries (doc_id, chunk_id, sent_start, sent_end) so the retrieval
+    result cites the exact sentence span it came from. Corpus
+    statistics (avgdl, N, df) are chunk-level, as a chunk index's
+    should be. The chunk key doc_id·100000 + chunk_id keeps the BM25
+    ranker's tie-break deterministic and reversible (the snap rule
+    bounds chunks per doc by total_tokens/budget, far below 100000 at
+    any document length a tokenizer budget admits). Top-10 chunks per
+    query, rank ties by chunk key."""
+    from aproximacion_1_etl_spark.text.analysis import (
+        BM25_QUERIES,
+        bm25_topk,
+    )
+
+    budget = 25
+    docs = load_table(spark, sf_dir, "documents")
+    st = _sentence_tokens(docs)
+    bins = _sentence_chunk_bins(docs, budget)
+    tok_chunks = st.join(
+        bins.select("doc_id", "sent_idx", "chunk_id"),
+        ["doc_id", "sent_idx"],
+    )
+    chunk_texts = tok_chunks.groupBy("doc_id", "chunk_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda x: x["tok"],
+            ),
+        ).alias("text")
+    )
+    spans = bins.groupBy("doc_id", "chunk_id").agg(
+        F.min("sent_idx").cast("bigint").alias("sent_start"),
+        F.max("sent_idx").cast("bigint").alias("sent_end"),
+    )
+    chunks = (
+        chunk_texts.join(spans, ["doc_id", "chunk_id"])
+        .select(
+            (F.col("doc_id") * 100000 + F.col("chunk_id"))
+            .cast("bigint")
+            .alias("ckey"),
+            "doc_id",
+            "chunk_id",
+            "sent_start",
+            "sent_end",
+            "text",
+        )
+        .localCheckpoint(eager=True)
+    )
+    ranked = bm25_topk(
+        chunks.select(F.col("ckey").alias("doc_id"), "text"),
+        BM25_QUERIES,
+        k=10,
+    ).select(
+        "query_id", F.col("doc_id").alias("ckey"), "score", "rank"
+    )
+    return ranked.join(chunks.drop("text"), "ckey").select(
+        "query_id",
+        "doc_id",
+        "chunk_id",
+        "sent_start",
+        "sent_end",
+        "score",
+        F.col("rank").cast("bigint").alias("rank"),
     )
 
 
@@ -2003,6 +2094,7 @@ __all__ = [
     "q_chunk_documents",
     "q_semantic_chunking",
     "q_curriculum_order",
+    "q_chunk_retrieval_spans",
     "q_pack_sequences",
     "q_token_entropy",
     "q_bigram_pmi",

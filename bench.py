@@ -122,6 +122,7 @@ HEADLINE = [
     # (connected components + hash split), and the ANN recall gate
     "hybrid_rrf_retrieval",
     "retrieval_eval_report",
+    "chunk_retrieval_spans",
     "bpe_train_merges",
     "cluster_safe_split",
     "ann_recall_at_k",

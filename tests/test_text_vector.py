@@ -1511,3 +1511,26 @@ def test_curriculum_order_is_banded_permutation(spark, sf_dir):
         )
     again = ALL_QUERIES["curriculum_order"](spark, sf_dir).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_chunk_retrieval_spans_cite_real_sentence_spans(spark, sf_dir):
+    """Every retrieval hit's (doc_id, chunk_id, sent_start, sent_end)
+    must agree with the semantic_chunking report for the same chunk,
+    ranks are dense per query, and span bounds are sane."""
+    from aproximacion_1_etl_spark.queries import ALL_QUERIES
+
+    hits = ALL_QUERIES["chunk_retrieval_spans"](spark, sf_dir).collect()
+    assert hits
+    chunks = {
+        (r.doc_id, r.chunk_id): (r.sent_start, r.sent_end)
+        for r in ALL_QUERIES["semantic_chunking"](spark, sf_dir).collect()
+    }
+    by_q = {}
+    for h in hits:
+        assert chunks[(h.doc_id, h.chunk_id)] == (
+            h.sent_start, h.sent_end,
+        ), "cited span drifted from the chunker's"
+        assert 1 <= h.sent_start <= h.sent_end
+        by_q.setdefault(h.query_id, []).append(h.rank)
+    for q, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), q
