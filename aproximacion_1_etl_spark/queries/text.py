@@ -623,12 +623,25 @@ def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = deterministic_global_index(
         banded, "doc_id", partition_cols=["band"], name="_bi"
     )
+    # band offsets from the |distinct token counts|-sized vc relation
+    # (value-banded counts), NOT from re-scanning the corpus-sized
+    # banded relation — the offsets need only per-band totals
     woff = Window.orderBy("band").rowsBetween(
         Window.unboundedPreceding, -1
     )
     offs = (
-        banded.groupBy("band")
-        .agg(F.count("*").alias("_n"))
+        vc.crossJoin(F.broadcast(cuts))
+        .select(
+            F.when(F.col("n_tokens") <= F.col("c1"), 1)
+            .when(F.col("n_tokens") <= F.col("c2"), 2)
+            .when(F.col("n_tokens") <= F.col("c3"), 3)
+            .otherwise(4)
+            .cast("int")
+            .alias("band"),
+            "n",
+        )
+        .groupBy("band")
+        .agg(F.sum("n").alias("_n"))
         .select(
             "band",
             F.coalesce(F.sum("_n").over(woff), F.lit(0)).alias("_off"),

@@ -285,16 +285,22 @@ def q_retrieval_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
     qids = sorted(BM25_QUERIES)
-    truth = ann_topk_bruteforce(emb, query_ids=qids, k=5).select(
-        "query_id", F.col("vec_id").alias("doc_id")
+    # ONE bm25 pass and ONE brute pass at depth 20, checkpointed
+    # (tiny: |Q|·20 rows each); the depth-10 ranking and the top-5
+    # truth are rank FILTERS of those lists (identical by definition —
+    # the top-10 of a top-20 list IS the top-10), halving the plan
+    lex20 = bm25_topk(docs, BM25_QUERIES, k=20).localCheckpoint(
+        eager=True
     )
-    lex10 = bm25_topk(docs, BM25_QUERIES, k=10).select(
+    sem20 = (
+        ann_topk_bruteforce(emb, query_ids=qids, k=20)
+        .withColumnRenamed("vec_id", "doc_id")
+        .localCheckpoint(eager=True)
+    )
+    truth = sem20.filter(F.col("rank") <= 5).select("query_id", "doc_id")
+    lex10 = lex20.filter(F.col("rank") <= 10).select(
         "query_id", "doc_id", "rank"
     )
-    lex20 = bm25_topk(docs, BM25_QUERIES, k=20)
-    sem20 = ann_topk_bruteforce(
-        emb, query_ids=qids, k=20
-    ).withColumnRenamed("vec_id", "doc_id")
     hyb10 = rrf_fuse(lex20, sem20, k=10).select(
         "query_id", "doc_id", "rank"
     )

@@ -403,6 +403,22 @@ def test_r7_session_plan_contracts(spark, sf_dir):
         # store pipeline (bulk census tail + Δ adjacency build +
         # Δ-side joins + |V|-sized stat merges) planned as one DAG
         "incremental_graph_stats": 30,
+        # r9: PPR's loop lives behind per-round checkpoints — the
+        # final plan is the checkpointed rank vector + sort/limit
+        "personalized_pagerank": 1,
+        # r9: two-phase per-band index + tiny cut/offset windows; the
+        # corpus is scanned by vc and by the index build, never by
+        # the offsets (they derive from the value-count relation)
+        "curriculum_order": 23,
+        # r9: one bm25 pass + one brute pass (checkpointed |Q|·20
+        # lists); rankings and truth are rank FILTERS of those lists
+        "retrieval_eval_report": 14,
+        # r9: chunk rebuild (one doc_id window chain) + chunk-level
+        # bm25 over the checkpointed chunk relation
+        "chunk_retrieval_spans": 14,
+        # r9: map-side codebook assignment + per-ladder aggregates
+        # over two checkpointed micro-relations
+        "ivf_nprobe_plan": 20,
     }.items():
         got = exchanges(plan_of(key))
         assert got <= bound, (key, got, bound)
