@@ -30,6 +30,13 @@ from pyspark.sql import functions as F
 _WIDTH = 4
 _SPACE = 16**_WIDTH
 
+# Default ceiling on the size-derived sample rate: never keep more
+# than half the corpus even when target_rows exceeds it. Oracles
+# mirror the threshold arithmetic and MUST import this (and _SPACE)
+# instead of re-typing the literals, so an engine-side change cannot
+# silently desync the mirror.
+DEFAULT_MAX_RATE = 0.5
+
 
 def _hash_prefix(key: Column) -> Column:
     """First 4 hex chars of md5 of the key rendered as a string."""
@@ -57,7 +64,9 @@ def deterministic_sample(
     return df.filter(_hash_prefix(F.col(key_col)) < F.lit(rate_threshold(rate)))
 
 
-def size_derived_threshold(count: int, target_rows: int, max_rate: float = 0.5) -> str:
+def size_derived_threshold(
+    count: int, target_rows: int, max_rate: float = DEFAULT_MAX_RATE
+) -> str:
     """Python twin of ``deterministic_sample_to_size``'s in-engine hex
     threshold: the quantized rate min(max_rate, target_rows/count),
     floored to 1/65536 granularity via exact integer division (never a
@@ -77,7 +86,7 @@ def size_derived_threshold(count: int, target_rows: int, max_rate: float = 0.5) 
 
 
 def deterministic_sample_to_size(
-    df: DataFrame, key_col: str, target_rows: int, max_rate: float = 0.5
+    df: DataFrame, key_col: str, target_rows: int, max_rate: float = DEFAULT_MAX_RATE
 ) -> DataFrame:
     """Keep ~``target_rows`` rows chosen by key hash, whatever the
     corpus size: the sampling RATE is derived in-engine as

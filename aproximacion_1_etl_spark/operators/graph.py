@@ -24,6 +24,13 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
+# triangle_delta's membership joins broadcast the Δ-edge relation; the
+# documented contract is a daily-batch-sized Δ. Above this row bound
+# (≈160 MB of two-long rows — comfortably under Spark's 8 GB broadcast
+# ceiling but sized for driver memory headroom) the hint is dropped
+# and the join degrades to a shuffle instead of a broadcast OOM.
+TRIANGLE_DELTA_BROADCAST_MAX = 10_000_000
+
 
 def pagerank(
     edges: DataFrame,
@@ -611,8 +618,19 @@ def triangle_delta(
     At 100 TB: the store-side adjacency is one groupBy over the edge
     relation (bucketed by node in a real deployment, making the two
     Δ-side joins co-located), the Δ relation is broadcast twice, and
-    nothing wedge-sized is shuffled."""
+    nothing wedge-sized is shuffled. The broadcast is CONTRACT-
+    GUARDED: the documented contract is a daily-batch-sized Δ, and
+    the hint is applied only when |Δ| <= TRIANGLE_DELTA_BROADCAST_MAX
+    (counted once — the Δ relation is checkpointed by every caller,
+    so the count is one cheap aggregate); a caller folding a
+    history-sized "batch" degrades to a shuffle join instead of a
+    driver-side broadcast OOM."""
     dp = old_edges.sparkSession.sparkContext.defaultParallelism
+    # One tiny aggregate on the (checkpointed) Δ side decides whether
+    # the two membership joins may be broadcast; above the bound the
+    # plain join lets AQE pick sort-merge/shuffled-hash.
+    delta_fits = new_edges.count() <= TRIANGLE_DELTA_BROADCAST_MAX
+    hint = F.broadcast if delta_fits else (lambda d: d)
     full = old_edges.unionByName(new_edges)
     adj = (
         full.select(F.col("u").alias("n"), F.col("v").alias("m"))
@@ -655,8 +673,8 @@ def triangle_delta(
         .withColumn("e2v", F.greatest("u", "w"))
         .withColumn("e3u", F.least("v", "w"))
         .withColumn("e3v", F.greatest("v", "w"))
-        .join(F.broadcast(n2), ["e2u", "e2v"], "left")
-        .join(F.broadcast(n3), ["e3u", "e3v"], "left")
+        .join(hint(n2), ["e2u", "e2v"], "left")
+        .join(hint(n3), ["e3u", "e3v"], "left")
         .filter(
             (F.col("is_new2").isNull() | (side2 > this_edge))
             & (F.col("is_new3").isNull() | (side3 > this_edge))
@@ -770,7 +788,10 @@ def personalized_pagerank(
     The threshold test compares engine-identical doubles (decimal-
     exact sums, one IEEE multiply), so the truncated recurrence is
     still bit-mirrorable by the unrolled SQL oracle. eps=0 is the
-    exact sparse recurrence.
+    exact sparse recurrence — a SMALL-GRAPH/DEBUG mode: its frontier
+    grows toward the reachable set (~|V| on connected graphs), so the
+    frontier broadcast is forced only when eps > 0 (bounded by
+    seed-mass/eps); at eps=0 the join is left to AQE's runtime stats.
 
     Dangling nodes receive but do not distribute, as in ``pagerank``.
     Returns the SPARSE (node, rank) vector."""
@@ -803,15 +824,19 @@ def personalized_pagerank(
         frontier = ranks.join(
             deg, ranks["node"] == deg["src"]
         ).select("src", (F.col("rank") / F.col("out_deg")).alias("w"))
-        # explicit broadcast: the frontier derives from two
-        # checkpointed relations whose stats the planner no longer
-        # sees, so AQE falls back to sort-merge and re-shuffles |E|
-        # every round (measured 5 s/round -> 1.3 s at sf0.1). The
-        # frontier is bounded by the seeds' reach (<= |V| weights) —
-        # the PPR use case is seed-local neighborhoods; a whole-graph
-        # restart vector belongs to global pagerank.
+        # explicit broadcast ONLY under eps-truncation: there the
+        # frontier is provably bounded by seed-mass/eps, and the
+        # checkpointed lineage blinds AQE's stats so it would fall
+        # back to sort-merge and re-shuffle |E| every round (measured
+        # 5 s/round -> 1.3 s at sf0.1). At eps=0 the frontier grows
+        # toward the reachable set (~|V| on connected graphs), so a
+        # forced broadcast could blow the broadcast limit at the
+        # 100-TB scale this module targets — eps=0 is the exact
+        # small-graph/debug recurrence and takes the plain join
+        # (AQE still broadcasts it when runtime stats say it's small).
+        fr = F.broadcast(frontier) if eps > 0.0 else frontier
         received = (
-            e.join(F.broadcast(frontier), "src")
+            e.join(fr, "src")
             .groupBy(F.col("dst").alias("node"))
             .agg(
                 F.sum(F.col("w").cast("decimal(38,20)")).alias("received")

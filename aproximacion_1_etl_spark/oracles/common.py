@@ -1282,6 +1282,16 @@ def _corpus_release_sql(fractions: dict[str, float]) -> str:
     shingles_clean = _SHINGLES_SQL.strip().replace(
         "FROM documents", "FROM clean"
     )
+    if shingles_clean == _SHINGLES_SQL.strip():
+        # textual injection: a reworded _SHINGLES_SQL must fail HERE
+        # with a clear message, not later as an opaque cert hash
+        # mismatch from an unfiltered (all-documents) histogram —
+        # same fail-fast device as _lsh_band_plan_sql
+        raise AssertionError(
+            "_corpus_release_sql: rebase anchor 'FROM documents' not "
+            "found in _SHINGLES_SQL — the CTE was reworded; update "
+            "the injection anchor"
+        )
     return (
         f"""WITH RECURSIVE base AS (
   SELECT doc_id, text, n_chars,
@@ -2038,14 +2048,23 @@ def _lsh_band_plan_sql(ladder: list[tuple[int, int]]) -> str:
     floor-rounding. The doc relation is the deterministic SIZE-DERIVED
     md5-prefix sample: the threshold hex is computed from DuckDB's own
     corpus count with the exact integer arithmetic of
-    functions/sampling.py::deterministic_sample_to_size —
-    printf('%%04x', max(1, min(32768, (TARGET*65536) // count))) —
-    mirroring the Spark plan's quadratic-bounding sample at any
-    corpus scale."""
+    functions/sampling.py::deterministic_sample_to_size — the
+    cap/space literals IMPORTED from that module (DEFAULT_MAX_RATE,
+    _SPACE), the division guarded by GREATEST(count(*), 1) — mirroring
+    the Spark plan's quadratic-bounding sample at any corpus scale."""
+    from aproximacion_1_etl_spark.functions.sampling import (
+        _SPACE,
+        DEFAULT_MAX_RATE,
+    )
     from aproximacion_1_etl_spark.text.dedup import (
         LSH_PLAN_SAMPLE_TARGET,
     )
 
+    # Derived from the SAME constants the engine's
+    # deterministic_sample_to_size uses — never re-typed literals, so
+    # changing max_rate/_SPACE on the Spark side cannot silently
+    # desync this mirror (ADVICE r9 #1).
+    cap = int(DEFAULT_MAX_RATE * _SPACE)
     jac = "floor((i * 1.0 / (sa.sz + sb.sz - i)) * 1000000.0 + 0.5) / 1000000.0"
     sampled_shingles = _SHINGLES_SQL.strip().replace(
         "FROM documents WHERE",
@@ -2064,8 +2083,9 @@ def _lsh_band_plan_sql(ladder: list[tuple[int, int]]) -> str:
         )
     head = f"""WITH samp_thr AS MATERIALIZED (
   SELECT printf('%04x',
-                GREATEST(1, LEAST(32768,
-                  ({LSH_PLAN_SAMPLE_TARGET} * 65536) // count(*)))) AS h
+                GREATEST(1, LEAST({cap},
+                  ({LSH_PLAN_SAMPLE_TARGET} * {_SPACE})
+                    // GREATEST(count(*), 1)))) AS h
   FROM documents),
 {sampled_shingles},
 sz AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY 1),

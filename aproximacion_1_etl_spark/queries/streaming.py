@@ -1968,7 +1968,10 @@ def q_streaming_ttl_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import time as _time
 
-    from aproximacion_1_etl_spark.text.dedup import ttl_window_dedup_fold
+    from aproximacion_1_etl_spark.text.dedup import (
+        assert_watermark_monotone,
+        ttl_window_dedup_fold,
+    )
 
     ttl_days = 15
     docs = load_table(spark, sf_dir, "documents").select(
@@ -1988,6 +1991,10 @@ def q_streaming_ttl_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         prior = (
             bspark.read.parquet(store) if os.path.isdir(store) else None
         )
+        # out-of-order wave delivery (mtime ordering is an engine
+        # implementation detail) must fail loud, not silently drift
+        # the TTL eviction — see text/dedup.py::assert_watermark_monotone
+        assert_watermark_monotone(batch, prior)
         hits, next_store = ttl_window_dedup_fold(batch, prior, ttl_days)
         if hits is not None:
             hits.write.mode("append").parquet(result)

@@ -888,6 +888,32 @@ def winnowed_fingerprints(
     )
 
 
+def assert_watermark_monotone(
+    batch: DataFrame, store: DataFrame | None, day_col: str = "event_day"
+) -> None:
+    """Defensive monotonicity check for TTL-windowed folds
+    (ADVICE r9 #3): streaming wave order rides on FileStreamSource's
+    mtime ordering — an engine implementation detail; on a coarse-
+    timestamp filesystem or a tie, waves could arrive out of order,
+    and ``ttl_window_dedup_fold``'s eviction-equals-latest-filter
+    proof (and its per-wave batch oracle mirror) assumes watermarks
+    only grow. The store's max(``day_col``) IS the running watermark
+    (each fold appends the batch's own dated rows), so the check is
+    one tiny aggregate per side; an out-of-order delivery surfaces as
+    a loud RuntimeError instead of a silent store wipe-or-drift.
+    Empty batches (NULL watermark) pass — time does not advance."""
+    if store is None:
+        return
+    bw = batch.agg(F.max(day_col)).first()[0]
+    sw = store.agg(F.max(day_col)).first()[0]
+    if bw is not None and sw is not None and bw < sw:
+        raise RuntimeError(
+            f"ttl_window_dedup: batch watermark {bw} is below the "
+            f"stored watermark {sw} — out-of-order wave delivery; "
+            "TTL eviction would silently drift"
+        )
+
+
 def ttl_window_dedup_fold(
     batch: DataFrame,
     store: DataFrame | None,

@@ -397,7 +397,10 @@ def _run_segment(keys: list[str]) -> dict:
     spread_pct: dict[str, float] = {}
 
     def _spread(xs: list[float]) -> float:
-        return 100.0 * (max(xs) - min(xs)) / min(xs)
+        # clamp the denominator: one anomalous near-zero timer reading
+        # must record a degenerate spread, not ZeroDivisionError-abort
+        # an hours-long certification run (ADVICE r9 #4)
+        return 100.0 * (max(xs) - min(xs)) / max(min(xs), 1e-6)
 
     for name in keys:
         samples = []

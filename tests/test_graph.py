@@ -372,3 +372,65 @@ def test_personalized_pagerank_matches_dense_reference_and_stays_sparse(spark):
 
     with __import__("pytest").raises(ValueError):
         personalized_pagerank(df, seeds=[], iterations=2)
+
+
+def test_triangle_delta_oversized_batch_degrades_to_shuffle_join(
+    spark, monkeypatch
+):
+    """VERDICT r9 #3: the Δ-side membership joins are broadcast only
+    under the daily-batch-size contract. Above the bound the hint is
+    dropped (shuffle join), and the fold result is unchanged — the
+    guard degrades, never OOMs or errors."""
+    from aproximacion_1_etl_spark.operators import graph as g
+
+    edges = [(0, 1), (0, 2), (1, 2), (1, 3), (2, 3), (0, 3), (3, 4)]
+    eold = spark.createDataFrame(edges[:3], "u BIGINT, v BIGINT")
+    enew = spark.createDataFrame(edges[3:], "u BIGINT, v BIGINT")
+
+    want = {
+        r.node: r.delta_triangles
+        for r in g.triangle_delta(eold, enew).collect()
+    }
+    monkeypatch.setattr(g, "TRIANGLE_DELTA_BROADCAST_MAX", 0)
+    got_df = g.triangle_delta(eold, enew)
+    got = {r.node: r.delta_triangles for r in got_df.collect()}
+    assert got == want
+    # the forced hint is really gone from the un-executed logical plan
+    logical = got_df._jdf.queryExecution().logical().toString()
+    assert "broadcast" not in logical.lower()
+
+
+def test_personalized_pagerank_eps_zero_drops_forced_broadcast(
+    spark, monkeypatch
+):
+    """ADVICE r9 #2: the frontier broadcast is forced only when
+    eps > 0 bounds it (seed-mass/eps); at eps=0 (exact small-graph
+    mode) no broadcast hint may be placed — a connected 100-TB
+    graph's frontier reaches ~|V| and a forced broadcast would OOM.
+    The per-round checkpoint erases lineage, so the hint is observed
+    by spying on F.broadcast inside the module."""
+    from aproximacion_1_etl_spark.operators import graph as g
+
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3)]
+    df = spark.createDataFrame(edges, "src BIGINT, dst BIGINT")
+
+    calls = []
+    real_broadcast = g.F.broadcast
+
+    def spy(d):
+        calls.append(1)
+        return real_broadcast(d)
+
+    monkeypatch.setattr(g.F, "broadcast", spy)
+    exact = g.personalized_pagerank(df, seeds=[0], iterations=2, eps=0.0)
+    n_exact = len(calls)
+    trunc = g.personalized_pagerank(
+        df, seeds=[0], iterations=2, eps=1e-9
+    )
+    n_trunc = len(calls) - n_exact
+    assert n_exact == 0, "eps=0 must not force the frontier broadcast"
+    assert n_trunc == 2, "eps>0 forces one broadcast per round"
+    # and with a tiny eps the truncated run equals the exact one
+    a = {r.node: r.rank for r in exact.collect()}
+    b = {r.node: r.rank for r in trunc.collect()}
+    assert a == b

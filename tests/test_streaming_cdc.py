@@ -392,3 +392,37 @@ def test_ttl_window_fold_empty_batch_is_noop(spark):
     assert hits is None and store3.count() == 0
     hits, store4 = ttl_window_dedup_fold(seed, store3, ttl_days=5)
     assert store4.count() > 0
+
+
+def test_ttl_window_watermark_monotonicity_guard(spark):
+    """ADVICE r9 #3: wave order in the streaming key rides on mtime
+    ordering (an engine implementation detail) — an out-of-order
+    delivery must surface as a loud RuntimeError from
+    assert_watermark_monotone, not a silent store wipe-or-drift."""
+    import pytest
+
+    from aproximacion_1_etl_spark.text.dedup import (
+        assert_watermark_monotone,
+        ttl_window_dedup_fold,
+    )
+
+    schema = "doc_id BIGINT, text STRING, event_day BIGINT"
+    w1 = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon", 12)], schema
+    )
+    w0 = spark.createDataFrame(
+        [(2, "zeta eta theta iota kappa", 3)], schema
+    )
+    empty = spark.createDataFrame([], schema)
+
+    _, store = ttl_window_dedup_fold(w1, None, ttl_days=5)
+    store = store.localCheckpoint(eager=True)
+
+    # in-order and bootstrap pass silently
+    assert_watermark_monotone(w1, None)
+    assert_watermark_monotone(w1, store)
+    # empty batch: time does not advance, no error
+    assert_watermark_monotone(empty, store)
+    # out-of-order wave fails loud
+    with pytest.raises(RuntimeError, match="out-of-order"):
+        assert_watermark_monotone(w0, store)
