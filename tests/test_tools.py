@@ -177,3 +177,76 @@ def test_temp_root_sweep_reclaims_dead_owner_and_spares_live(tmp_path, monkeypat
     os.utime(legacy, (ancient, ancient))
     conftest._sweep_stale_roots()
     assert not legacy.exists()
+
+
+def test_perf_gate_adjudicate_verdict_rule():
+    """Round-10 self-confirming verdicts: 'regression' needs EVERY
+    isolated re-measure above threshold AND the best one outside the
+    committed history band — one noisy child reading (the r9 pattern:
+    bpe_merge_pairs convicted off one 1.037 s outlier against a
+    0.43-0.50 s four-artifact band) can no longer convict alone."""
+    from tools.perf_gate import adjudicate
+
+    ref, thr = 1.0, 1.3
+    # no measurement at all
+    assert adjudicate([], ref, thr, []) == "unadjudicated"
+    # any re-measure under threshold -> noise, whatever the band says
+    assert adjudicate([1.2], ref, thr, []) == "position_noise"
+    assert adjudicate([2.0, 1.1], ref, thr, []) == "position_noise"
+    # the exact r9 false-positive shape: in-suite flag, first child
+    # noisy-high, but history band covers the best re-measure
+    assert (
+        adjudicate([2.07, 1.45], ref, thr, [0.9, 1.4])
+        == "within_history_band"
+    )
+    # band tolerance: 10% above the band max still counts as in-band
+    assert (
+        adjudicate([1.54, 1.54], ref, thr, [1.0, 1.4])
+        == "within_history_band"
+    )
+    assert adjudicate([1.6, 1.6], ref, thr, [1.0, 1.4]) == "regression"
+    # both children agree and no history covers it: a real finding
+    assert adjudicate([2.0, 1.9], ref, thr, []) == "regression"
+    assert adjudicate([2.0, 1.9], ref, thr, [0.9, 1.1]) == "regression"
+
+
+def test_perf_gate_committed_history_reads_git_artifacts(tmp_path):
+    """committed_history reads per-key times from the last N commits
+    that touched BENCH_DETAIL.json in an arbitrary git repo — the
+    mechanical replacement for the judge's by-hand band analysis."""
+    import subprocess
+
+    from tools.perf_gate import committed_history
+
+    repo = tmp_path / "r"
+    repo.mkdir()
+
+    def git(*args):
+        subprocess.run(
+            ["git", "-C", str(repo), *args],
+            check=True, capture_output=True,
+            env={**os.environ,
+                 "GIT_AUTHOR_NAME": "t", "GIT_AUTHOR_EMAIL": "t@t",
+                 "GIT_COMMITTER_NAME": "t", "GIT_COMMITTER_EMAIL": "t@t"},
+        )
+
+    git("init", "-q")
+    for i, t in enumerate([0.5, 0.44, 0.43]):
+        (repo / "BENCH_DETAIL.json").write_text(
+            json.dumps({"queries": {"bpe": t, f"only_r{i}": 1.0}})
+        )
+        git("add", "BENCH_DETAIL.json")
+        git("commit", "-q", "-m", f"cert {i}")
+
+    hist = committed_history(["bpe", "only_r2", "absent"],
+                             n=4, repo=str(repo))
+    assert sorted(hist["bpe"]) == [0.43, 0.44, 0.5]
+    assert hist["only_r2"] == [1.0]
+    assert hist["absent"] == []
+    # n limits how far back the band reaches
+    hist2 = committed_history(["bpe"], n=1, repo=str(repo))
+    assert hist2["bpe"] == [0.43]
+    # a non-repo directory degrades to empty bands, never raises
+    assert committed_history(["bpe"], repo=str(tmp_path / "nope")) == {
+        "bpe": []
+    }
