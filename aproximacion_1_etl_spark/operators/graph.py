@@ -584,8 +584,30 @@ def kcore(
     ).select(F.col("u").alias("node"), "core_degree")
 
 
+def edge_adjacency(
+    edges: DataFrame, num_partitions: int | None = None
+) -> DataFrame:
+    """(node, nbrs) adjacency arrays of a canonical (u < v) edge
+    relation — both orientations, one groupBy (pre-partitioned on the
+    node when ``num_partitions`` is given). This IS the relation a
+    real deployment PERSISTS for the maintenance kernels: written
+    ``bucketBy(node)`` (sources/bucketed.py::write_bucketed), the
+    Δ-side probe joins in ``triangle_delta`` read it with ZERO
+    exchanges on the store side (plan contract pinned in
+    tests/test_plan_features.py::
+    test_bucketed_adjacency_store_joins_without_store_exchange)."""
+    both = edges.select(F.col("u").alias("n"), F.col("v").alias("m")).unionAll(
+        edges.select(F.col("v").alias("n"), F.col("u").alias("m"))
+    )
+    if num_partitions:
+        both = both.repartition(num_partitions, "n")
+    return both.groupBy("n").agg(F.collect_list("m").alias("nbrs"))
+
+
 def triangle_delta(
-    old_edges: DataFrame, new_edges: DataFrame
+    old_edges: DataFrame,
+    new_edges: DataFrame,
+    adjacency: DataFrame | None = None,
 ) -> DataFrame:
     """Per-node count of the NEW triangles created by appending
     ``new_edges`` to a graph that already contains ``old_edges`` — the
@@ -624,24 +646,26 @@ def triangle_delta(
     (counted once — the Δ relation is checkpointed by every caller,
     so the count is one cheap aggregate); a caller folding a
     history-sized "batch" degrades to a shuffle join instead of a
-    driver-side broadcast OOM."""
+    driver-side broadcast OOM.
+
+    ``adjacency`` (optional): the MAINTAINED (n, nbrs) adjacency store
+    over old ∪ new — in a real deployment persisted bucketBy(n)
+    (``edge_adjacency`` + sources/bucketed.py) so the two Δ-side probe
+    joins below read it shuffle-free; when omitted it is rebuilt from
+    the edges (one groupBy) and checkpointed."""
     dp = old_edges.sparkSession.sparkContext.defaultParallelism
     # One tiny aggregate on the (checkpointed) Δ side decides whether
     # the two membership joins may be broadcast; above the bound the
     # plain join lets AQE pick sort-merge/shuffled-hash.
     delta_fits = new_edges.count() <= TRIANGLE_DELTA_BROADCAST_MAX
     hint = F.broadcast if delta_fits else (lambda d: d)
-    full = old_edges.unionByName(new_edges)
-    adj = (
-        full.select(F.col("u").alias("n"), F.col("v").alias("m"))
-        .unionAll(
-            full.select(F.col("v").alias("n"), F.col("u").alias("m"))
+    if adjacency is not None:
+        adj = adjacency.select("n", "nbrs")
+    else:
+        full = old_edges.unionByName(new_edges)
+        adj = edge_adjacency(full, num_partitions=dp).localCheckpoint(
+            eager=True
         )
-        .repartition(dp, "n")
-        .groupBy("n")
-        .agg(F.collect_list("m").alias("nbrs"))
-        .localCheckpoint(eager=True)
-    )
     cand = (
         new_edges.join(
             adj.select(F.col("n").alias("u"), F.col("nbrs").alias("nbrs_u")),

@@ -731,33 +731,69 @@ def q_incremental_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the FROM-SCRATCH rebuild over the full graph — hash equality IS
     the proof that fold == rebuild. Output: top-20 nodes by maintained
     triangle count (rank ties broken by node)."""
-    from aproximacion_1_etl_spark.operators.graph import (
-        bulk_graph_stats,
-        fold_graph_stats,
-    )
+    from aproximacion_1_etl_spark.operators.graph import fold_graph_stats
 
-    baskets = _capped_order_baskets(spark, sf_dir)
     cut = "2001-01-01"
-    hist_edges = _basket_edges(
-        baskets.filter(F.col("o_orderdate") < cut)
-    ).localCheckpoint(eager=True)
+    hist_edges, stats = _persisted_graph_store(spark, sf_dir, cut)
     batch_edges = _basket_edges(
-        baskets.filter(F.col("o_orderdate") >= cut)
+        _capped_order_baskets(spark, sf_dir).filter(
+            F.col("o_orderdate") >= cut
+        )
     )
     new_edges = batch_edges.join(
         hist_edges, ["u", "v"], "left_anti"
     ).localCheckpoint(eager=True)
 
-    # the persisted store, as the shared bulk build would have left it
-    stats = bulk_graph_stats(hist_edges)
     folded = fold_graph_stats(stats, hist_edges, new_edges)
     return _graph_stats_top20(folded)
+
+
+_GRAPH_STORE_CACHE: dict[tuple, tuple[DataFrame, DataFrame]] = {}
+
+
+def _persisted_graph_store(
+    spark: SparkSession, sf_dir: str, cut: str = "2001-01-01"
+) -> tuple[DataFrame, DataFrame]:
+    """The SIMULATED persisted graph store — (historical edge
+    relation, per-node stats over it) as the shared bulk build would
+    have left them on disk. In production both are parquet reads (the
+    edge store bucketed by node); in this repo they are rebuilt from
+    the facts, memoized per (corpus, cut) like the codebook artifacts
+    (_trained_codebook) and eagerly checkpointed, so the bench can
+    time the store build as its own line item
+    (``graph_store_build_sec``) instead of charging ~3x the fold's
+    real per-batch cost to the maintenance key (VERDICT r9 #4).
+    Deterministic, so the cache never changes a result."""
+    # keyed on the application id too: unlike the driver-held codebook
+    # dicts, these are checkpointed DataFrames owned by ONE SparkSession
+    # — a restarted session must rebuild, not touch a dead RDD
+    key = (
+        _artifact_key(sf_dir, "orders"),
+        cut,
+        spark.sparkContext.applicationId,
+    )
+    cached = _GRAPH_STORE_CACHE.get(key)
+    if cached is None:
+        from aproximacion_1_etl_spark.operators.graph import (
+            bulk_graph_stats,
+        )
+
+        hist_edges = _basket_edges(
+            _capped_order_baskets(spark, sf_dir).filter(
+                F.col("o_orderdate") < cut
+            )
+        ).localCheckpoint(eager=True)
+        stats = bulk_graph_stats(hist_edges).localCheckpoint(eager=True)
+        cached = (hist_edges, stats)
+        _GRAPH_STORE_CACHE[key] = cached
+    return cached
 
 
 __all__ = [
     "q_pagerank_suppliers",
     "q_personalized_pagerank",
     "q_incremental_graph_stats",
+    "_persisted_graph_store",
     "q_event_bigrams",
     "q_type_cooccurrence",
     "q_triangle_cooccurrence",

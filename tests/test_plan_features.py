@@ -422,3 +422,77 @@ def test_r7_session_plan_contracts(spark, sf_dir):
     }.items():
         got = exchanges(plan_of(key))
         assert got <= bound, (key, got, bound)
+
+
+def test_bucketed_adjacency_store_joins_without_store_exchange(
+    spark, sf_dir
+):
+    """Round-10 proof of the 100-TB claim in PLANS.md: persist the
+    maintained adjacency store bucketBy(node) and the fold's two
+    Δ-side probe joins read it SHUFFLE-FREE — the store side of
+    triangle_delta's joins contributes zero Exchange operators (vs 2
+    for the same store as a plain table), and the fold result is
+    identical either way."""
+    from aproximacion_1_etl_spark.operators.graph import (
+        edge_adjacency,
+        triangle_delta,
+    )
+    from aproximacion_1_etl_spark.sources.bucketed import write_bucketed
+
+    edges = [(0, 1), (0, 2), (1, 2), (1, 3), (2, 3), (0, 3), (3, 4)]
+    eold = spark.createDataFrame(edges[:4], "u BIGINT, v BIGINT")
+    enew = spark.createDataFrame(edges[4:], "u BIGINT, v BIGINT")
+    adj = edge_adjacency(eold.unionByName(enew))
+
+    write_bucketed(adj, "t_adj_bucketed", "n", n_buckets=4)
+    # clear a leftover managed dir from a previous session (same
+    # LOCATION_ALREADY_EXISTS guard write_bucketed carries)
+    import os
+    import shutil
+
+    spark.sql("DROP TABLE IF EXISTS t_adj_plain")
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    leftover = os.path.join(warehouse, "t_adj_plain")
+    if os.path.isdir(leftover):
+        shutil.rmtree(leftover, ignore_errors=True)
+    adj.write.mode("overwrite").saveAsTable("t_adj_plain")
+
+    def exchanges(df):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain(mode="formatted")
+        return sum(
+            1
+            for ln in buf.getvalue().splitlines()
+            if "Exchange" in ln and "ReusedExchange" not in ln
+        )
+
+    saved = _with_conf(
+        spark,
+        {  # pin the 100-TB plan: neither side broadcastable
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.enabled": "false",
+        },
+    )
+    try:
+        bucketed = triangle_delta(
+            eold, enew, adjacency=spark.table("t_adj_bucketed")
+        )
+        plain = triangle_delta(
+            eold, enew, adjacency=spark.table("t_adj_plain")
+        )
+        n_bucketed, n_plain = exchanges(bucketed), exchanges(plain)
+    finally:
+        _restore(spark, saved)
+    # the two probe joins cost the plain store one Exchange each;
+    # the bucketed store contributes none
+    assert n_plain - n_bucketed == 2, (n_bucketed, n_plain)
+
+    want = {
+        r.node: r.delta_triangles
+        for r in triangle_delta(eold, enew).collect()
+    }
+    got = {r.node: r.delta_triangles for r in bucketed.collect()}
+    assert got == want
