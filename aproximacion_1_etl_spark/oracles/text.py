@@ -367,6 +367,18 @@ WHERE rank <= 5
 SELECT id AS doc_id, min(r) AS cluster_id, (id = min(r)) AS keep
 FROM reach GROUP BY id
 """,
+    # the maintained-store fold MUST equal the from-scratch clustering
+    # over the full corpus — the oracle IS that rebuild (the
+    # fold == rebuild device of incremental_graph_stats), so this key
+    # reuses dup_clusters' SQL verbatim
+    "incremental_dup_clusters": "WITH RECURSIVE "
+    + _SHINGLES_SQL.strip()
+    + ","
+    + _CLUSTER_CTES
+    + """
+SELECT id AS doc_id, min(r) AS cluster_id, (id = min(r)) AS keep
+FROM reach GROUP BY id
+""",
     "inverted_index": """
 WITH toks AS (
   SELECT DISTINCT doc_id, t.token

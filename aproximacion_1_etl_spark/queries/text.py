@@ -400,6 +400,82 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(cands)
 
 
+_DUP_CLUSTER_STORE_CACHE: dict[tuple, tuple[DataFrame, DataFrame]] = {}
+
+
+def _dup_cluster_store(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """The SIMULATED persisted dedup state over the existing corpus
+    (doc_id % 4 != 0, the incremental_near_dup batch scheme):
+    (signature store, converged cluster assignment). In production
+    both live on disk — signatures appended per accepted batch,
+    clusters maintained by the fold this store feeds; here they are
+    rebuilt once, memoized per (corpus, session) and eagerly
+    checkpointed, with the bench timing the build as its own
+    ``dup_cluster_store_build_sec`` line item (the
+    _persisted_graph_store device) so the maintenance key's number is
+    the FOLD's cost."""
+    key = (
+        _artifact_key(sf_dir, "documents"),
+        spark.sparkContext.applicationId,
+    )
+    cached = _DUP_CLUSTER_STORE_CACHE.get(key)
+    if cached is None:
+        old = load_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % 4 != 0
+        )
+        sigs = minhash_signatures(
+            word_shingles(old, distinct=False)
+        ).localCheckpoint(eager=True)
+        store = (
+            dedup_clusters(minhash_candidate_pairs(sigs, min_matching_bands=2))
+            .select("doc_id", "cluster_id")
+            .localCheckpoint(eager=True)
+        )
+        cached = (sigs, store)
+        _DUP_CLUSTER_STORE_CACHE[key] = cached
+    return cached
+
+
+def q_incremental_dup_clusters(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """§2.10 INCREMENTAL DEDUP-CLUSTER MAINTENANCE — the maintained-
+    state family's dedup member (next to incremental_near_dup's
+    signature store and incremental_graph_stats' fold): the daily
+    batch (doc_id % 4 == 0) is shingled ONCE; its LSH collisions
+    against the persisted signature store plus its within-batch
+    candidate pairs fold into the PERSISTED cluster assignment
+    (text/dedup.py::fold_dup_clusters — union-find on the contracted
+    root graph, relabel through a batch-bounded remap), so corpus
+    dedup clusters survive daily appends without re-clustering
+    history. The DuckDB oracle is the FROM-SCRATCH clustering over
+    the full corpus (the dup_clusters SQL verbatim) — hash equality
+    IS the fold == rebuild proof."""
+    from aproximacion_1_etl_spark.text.dedup import (
+        fold_dup_clusters,
+        signature_collisions,
+    )
+
+    corpus_sigs, store = _dup_cluster_store(spark, sf_dir)
+    new = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 4 == 0
+    )
+    new_sigs = minhash_signatures(
+        word_shingles(new, distinct=False)
+    ).localCheckpoint(eager=True)
+    vs_store = signature_collisions(
+        new_sigs, corpus_sigs, min_matching_bands=2
+    ).select(
+        F.col("doc_new").alias("doc_a"), F.col("doc_old").alias("doc_b")
+    )
+    within = minhash_candidate_pairs(
+        new_sigs, min_matching_bands=2
+    ).select("doc_a", "doc_b")
+    return fold_dup_clusters(store, vs_store.unionByName(within))
+
+
 def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted-index build (posting lists) over the document corpus:
     token -> document frequency + the first 10 posting doc_ids. The
@@ -2103,6 +2179,8 @@ __all__ = [
     "q_length_histogram",
     "q_near_dup_verified",
     "q_dup_clusters",
+    "q_incremental_dup_clusters",
+    "_dup_cluster_store",
     "q_inverted_index",
     "q_chunk_documents",
     "q_semantic_chunking",

@@ -151,19 +151,7 @@ def minhash_candidate_pairs(
     bands per pair. The self-join key includes the band index so buckets
     from different bands never cross.
     """
-    melted = signatures.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"), F.col(f"sig_{b}").alias("sig")
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bs"),
-    ).select(id_col, "bs.band", "bs.sig")
+    melted = _melt_bands(signatures, bands, id_col)
     a = melted.alias("a")
     # No join hint: (band, sig) is high-cardinality (md5 strings), so at
     # corpus scale AQE picks a well-distributed sort-merge join with the
@@ -222,24 +210,60 @@ def incremental_minhash_dedup(
         id_col=id_col,
     )
 
-    def melt(sigs: DataFrame) -> DataFrame:
-        return sigs.select(
-            F.col(id_col),
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("band"),
-                            F.col(f"sig_{b}").alias("sig"),
-                        )
-                        for b in range(bands)
-                    ]
-                )
-            ).alias("bs"),
-        ).select(id_col, "bs.band", "bs.sig")
+    return signature_collisions(
+        new_sigs, corpus_signatures, bands=bands,
+        min_matching_bands=min_matching_bands, id_col=id_col,
+    ).select(
+        "doc_new",
+        "doc_old",
+        F.col("matching_bands").cast("bigint").alias("matching_bands"),
+        (
+            F.floor(
+                (F.col("matching_bands") / F.lit(bands)) * 10000.0 + 0.5
+            )
+            / 10000.0
+        ).alias("est_jaccard"),
+    )
 
-    a = melt(new_sigs).alias("a")
-    b = melt(corpus_signatures).alias("b")
+
+def _melt_bands(
+    sigs: DataFrame, bands: int, id_col: str
+) -> DataFrame:
+    """(id, band, sig) rows from a wide sig_0..sig_{bands-1} signature
+    relation — the shared banding melt of minhash_candidate_pairs /
+    signature_collisions."""
+    return sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.col(f"sig_{b}").alias("sig"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bs"),
+    ).select(id_col, "bs.band", "bs.sig")
+
+
+def signature_collisions(
+    new_sigs: DataFrame,
+    corpus_signatures: DataFrame,
+    bands: int = DEFAULT_BANDS,
+    min_matching_bands: int = 2,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Banded LSH collisions BETWEEN two signature relations (batch
+    vs persisted store): (doc_new, doc_old, matching_bands) for pairs
+    sharing >= ``min_matching_bands`` band signatures — the signature-
+    level core of ``incremental_minhash_dedup``, exposed so callers
+    that already hold the batch's signatures (e.g. the cluster fold,
+    which also needs within-batch pairs from the same signatures)
+    don't shingle the batch twice."""
+    a = _melt_bands(new_sigs, bands, id_col).alias("a")
+    b = _melt_bands(corpus_signatures, bands, id_col).alias("b")
     return (
         a.join(
             b,
@@ -254,18 +278,6 @@ def incremental_minhash_dedup(
         )
         .agg(F.count("*").alias("matching_bands"))
         .filter(F.col("matching_bands") >= min_matching_bands)
-        .select(
-            "doc_new",
-            "doc_old",
-            F.col("matching_bands").cast("bigint").alias("matching_bands"),
-            (
-                F.floor(
-                    (F.col("matching_bands") / F.lit(bands)) * 10000.0
-                    + 0.5
-                )
-                / 10000.0
-            ).alias("est_jaccard"),
-        )
     )
 
 
@@ -729,6 +741,91 @@ def dedup_clusters(
         F.col("id").alias("doc_id"),
         F.col("label").alias("cluster_id"),
         (F.col("id") == F.col("label")).alias("keep"),
+    )
+
+
+def fold_dup_clusters(
+    store: DataFrame,
+    new_pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """INCREMENTAL dedup-cluster maintenance — the missing member of
+    the maintained-state family (VERDICT r9 task 3), and the
+    production shape for ``dup_clusters``: fold a batch of NEW
+    candidate pairs into a PERSISTED cluster assignment so corpus
+    dedup clusters survive daily appends without re-clustering
+    history. Pairs with incremental_minhash_dedup's signature store
+    (only the batch is ever shingled) the way ttl_window_dedup_fold
+    pairs with its eviction policy.
+
+    ``store`` is the converged assignment over the existing corpus —
+    (doc_id, cluster_id) where cluster_id = min doc id reachable in
+    the pair graph (exactly ``dedup_clusters``'s output; only docs
+    with >= 1 pair appear). ``new_pairs`` is any batch of
+    NOT-YET-FOLDED pairs: new-vs-store LSH collisions, within-batch
+    pairs, even late-arriving old-old evidence — the fold is correct
+    for all of them.
+
+    Union-find style, on the CONTRACTED graph only:
+
+    1. each pair endpoint adopts its ROOT — the store's cluster_id
+       for known docs, its own id for store-absent docs (new docs and
+       old singletons);
+    2. contracted edges (root_a != root_b) run the SAME bounded
+       min-label propagation as ``dedup_clusters`` — but over a
+       relation bounded by the batch's pair count, never the corpus:
+       a new doc bridging two 1M-doc clusters moves 1 contracted
+       edge, not 2M rows;
+    3. the store RELABELS through the (old root -> new min root)
+       mapping — one broadcast-sized join against a remap relation
+       bounded by the roots the batch touched — and store-absent
+       endpoints append with their new label.
+
+    Because every old component's root IS its min doc id, the min
+    over connected roots equals the min over the merged component's
+    members — so fold(store, Δpairs) == rebuild(all pairs), which is
+    exactly what the catalog key's from-scratch oracle pins (the
+    fold == rebuild device of incremental_graph_stats). Returns the
+    next store: (doc_id, cluster_id, keep)."""
+    root = store.select(
+        F.col("doc_id").alias("_rid"), F.col("cluster_id").alias("_root")
+    )
+    pa = (
+        new_pairs.select(F.col(a_col).alias("_a"), F.col(b_col).alias("_b"))
+        .join(root, F.col("_a") == F.col("_rid"), "left")
+        .select(
+            F.coalesce("_root", "_a").alias("root_a"), "_b"
+        )
+        .join(root, F.col("_b") == F.col("_rid"), "left")
+        .select("root_a", F.coalesce("_root", "_b").alias("root_b"))
+    )
+    contracted = pa.filter(F.col("root_a") != F.col("root_b"))
+    labels = dedup_clusters(
+        contracted, a_col="root_a", b_col="root_b", max_iters=max_iters
+    ).select(
+        F.col("doc_id").alias("_node"), F.col("cluster_id").alias("_label")
+    )
+    # the remap / append relations are bounded by the batch's touched
+    # roots — eager-cut so the relabel join doesn't re-run the loop
+    labels = labels.localCheckpoint(eager=True)
+    relabeled = (
+        store.join(labels, store["cluster_id"] == labels["_node"], "left")
+        .select(
+            "doc_id",
+            F.coalesce("_label", "cluster_id").alias("cluster_id"),
+        )
+    )
+    appended = labels.join(
+        store, labels["_node"] == store["doc_id"], "left_anti"
+    ).select(
+        F.col("_node").alias("doc_id"), F.col("_label").alias("cluster_id")
+    )
+    return relabeled.unionByName(appended).select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("keep"),
     )
 
 

@@ -34,6 +34,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from aproximacion_1_etl_spark.queries import (
     ALL_QUERIES,
+    _dup_cluster_store,
     _persisted_graph_store,
     _trained_append_codebook,
     _trained_bpe_merges,
@@ -370,6 +371,10 @@ def _run_segment(keys: list[str]) -> dict:
         # own line item so incremental_graph_stats' number is the
         # FOLD's cost, not 3x it
         ("graph_store_build_sec", _persisted_graph_store),
+        # simulated persisted dedup state (signature store + converged
+        # cluster assignment) — its build is the history the fold key
+        # exists to avoid re-running, so it's a store line item too
+        ("dup_cluster_store_build_sec", _dup_cluster_store),
     ]:
         t0 = time.time()
         builder(spark, SF_DIR)

@@ -861,3 +861,82 @@ def test_kcore_matches_python_peel(spark, edges, k):
         for r in kcore(df, k=k, max_rounds=20).collect()
     }
     assert got == expected
+
+
+def test_fold_dup_clusters_bridge_merges_two_old_clusters(spark):
+    """The VERDICT r10 merge-wave case: a persisted store with two
+    converged clusters {1,2,3} and {10,11}; a NEW doc 20 pairs with a
+    member of each — the fold must merge both old clusters and the
+    new doc under the global min id, relabeling store rows it never
+    re-derived."""
+    from aproximacion_1_etl_spark.text.dedup import fold_dup_clusters
+
+    store = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)],
+        "doc_id BIGINT, cluster_id BIGINT",
+    )
+    new_pairs = spark.createDataFrame(
+        [(3, 20), (20, 11)], "doc_a BIGINT, doc_b BIGINT"
+    )
+    got = {
+        r.doc_id: (r.cluster_id, r.keep)
+        for r in fold_dup_clusters(store, new_pairs).collect()
+    }
+    assert got == {
+        1: (1, True), 2: (1, False), 3: (1, False),
+        10: (1, False), 11: (1, False), 20: (1, False),
+    }
+
+    # an empty batch is a no-op relabel
+    empty = spark.createDataFrame([], "doc_a BIGINT, doc_b BIGINT")
+    unchanged = {
+        r.doc_id: (r.cluster_id, r.keep)
+        for r in fold_dup_clusters(store, empty).collect()
+    }
+    assert unchanged == {
+        1: (1, True), 2: (1, False), 3: (1, False),
+        10: (10, True), 11: (10, False),
+    }
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 14), st.integers(0, 14)).filter(
+            lambda e: e[0] != e[1]
+        ),
+        min_size=2, max_size=12,
+    ),
+    cut=st.integers(1, 11),
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_fold_dup_clusters_equals_rebuild_random_waves(spark, edges, cut):
+    """fold(store(old pairs), new pairs) == rebuild(all pairs) across
+    random pair graphs and split points — including batches that
+    bridge old components, within-batch-only chains, late old-old
+    evidence, and store-absent singletons."""
+    from aproximacion_1_etl_spark.text.dedup import (
+        dedup_clusters,
+        fold_dup_clusters,
+    )
+
+    pairs = [(min(a, b), max(a, b)) for a, b in edges]
+    cut = min(cut, len(pairs) - 1)
+    old, new = pairs[:cut], pairs[cut:]
+
+    eold = spark.createDataFrame(old, "doc_a BIGINT, doc_b BIGINT")
+    enew = spark.createDataFrame(new, "doc_a BIGINT, doc_b BIGINT")
+    store = dedup_clusters(eold).select("doc_id", "cluster_id")
+    store = store.localCheckpoint(eager=True)
+
+    got = {
+        r.doc_id: (r.cluster_id, r.keep)
+        for r in fold_dup_clusters(store, enew).collect()
+    }
+    want = {
+        r.doc_id: (r.cluster_id, r.keep)
+        for r in dedup_clusters(
+            spark.createDataFrame(pairs, "doc_a BIGINT, doc_b BIGINT")
+        ).collect()
+    }
+    assert got == want, (old, new)
