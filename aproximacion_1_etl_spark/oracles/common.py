@@ -816,6 +816,148 @@ FROM ranked r JOIN spans s ON s.ckey = r.doc_id
 """
 
 
+def _chunk_vec_ctes(budget: int = 25, dim: int = 64) -> str:
+    """CTE chain for the pooled CHUNK-VECTOR index — mirror of
+    queries/text.py::_chunk_vector_index: the shared sentence→chunk
+    assignment (_sentence_chunk_ctes), the corpus-size-derived
+    sentence→vector hash rule ((doc_id·131 + sent_idx) mod |vectors|,
+    the modulus from the engine's own count), and per-dimension
+    DECIMAL(38,18) mean-pooling divided once into doubles (the
+    centroid-mean device — order-independent, bit-identical).
+    Requires ``e`` (embeddings as v) in scope — compose after
+    _ivf_cent_ctes. Emits cvec (ckey, doc_id, chunk_id, v) and
+    cspans (ckey + sentence spans)."""
+    dims = ",\n    ".join(
+        f"CAST(sum(CAST(v[{d + 1}] AS DECIMAL(38,18))) AS DOUBLE)"
+        f" / count(*)"
+        for d in range(dim)
+    )
+    return f"""{_sentence_chunk_ctes(budget)},
+nvec AS (SELECT count(*) AS n FROM e),
+sasgn AS (
+  SELECT doc_id, chunk_id, sent_idx,
+         (doc_id * 131 + sent_idx) % (SELECT n FROM nvec) AS vec_id
+  FROM sc_bins),
+svec AS (SELECT s.doc_id, s.chunk_id, e.v
+         FROM sasgn s JOIN e ON e.vec_id = s.vec_id),
+cvec AS (
+  SELECT CAST(doc_id * 100000 + chunk_id AS BIGINT) AS ckey,
+         doc_id, chunk_id, [\n    {dims}] AS v
+  FROM svec GROUP BY doc_id, chunk_id),
+cspans AS (
+  SELECT CAST(doc_id * 100000 + chunk_id AS BIGINT) AS ckey,
+         doc_id, chunk_id,
+         min(sent_idx) AS sent_start, max(sent_idx) AS sent_end
+  FROM sc_bins GROUP BY doc_id, chunk_id)"""
+
+
+def _chunk_ann_ctes(nprobe: int = 4) -> str:
+    """The trained-IVF chunk ANN ranking CTEs (mirror of
+    text/vector.py::ann_topk_ivf_queries over the cvec index): 6-dp
+    cell assignment of chunk vectors and query vectors against the
+    SAME recomputed codebook (_ivf_cent_ctes' cent), nprobe cells per
+    query, 9-dp exact cosine within probed cells. Emits ``cr``
+    (query_id, ckey, cos_sim, rank — unfiltered ranks; consumers cut
+    at their k)."""
+    ids = ", ".join(str(q) for q in sorted(_BM25_QUERIES))
+    return f"""cd AS (SELECT t.ckey, t.v, c.cid,
+             floor((list_dot_product(t.v, t.v) + c.cc
+                    - 2.0 * list_dot_product(t.v, c.cv)) * 1000000.0 + 0.5)
+               / 1000000.0 AS d6
+      FROM cvec t CROSS JOIN cent c),
+cassign AS (SELECT ckey, v, cid AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY ckey
+                                 ORDER BY d6 ASC, cid ASC) AS rn FROM cd)
+  WHERE rn = 1),
+qd AS (SELECT e.vec_id, e.v, c.cid,
+              floor((list_dot_product(e.v, e.v) + c.cc
+                     - 2.0 * list_dot_product(e.v, c.cv)) * 1000000.0 + 0.5)
+                / 1000000.0 AS d6
+       FROM e CROSS JOIN cent c WHERE e.vec_id IN ({ids})),
+qprobes AS (SELECT vec_id AS query_id, v AS qv, cid AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY d6 ASC, cid ASC) AS rn FROM qd)
+  WHERE rn <= {nprobe}),
+ccand AS (SELECT p.query_id, a.ckey, p.qv, a.v
+          FROM cassign a JOIN qprobes p ON a.cell = p.cell),
+cs AS (SELECT query_id, ckey,
+              floor((list_dot_product(qv, v) /
+                     (sqrt(list_dot_product(qv, qv)) *
+                      sqrt(list_dot_product(v, v)))) * 1000000000.0 + 0.5)
+                / 1000000000.0 AS cos_sim
+       FROM ccand),
+cr AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos_sim DESC, ckey ASC)
+                   AS rank
+      FROM cs)"""
+
+
+def _chunk_ann_sql(k: int = 10, budget: int = 25) -> str:
+    """Generated mirror of q_chunk_ann_retrieval: trained-codebook
+    recurrence + pooled chunk vectors + the IVF probe/cosine chain,
+    hits joined back to their sentence spans."""
+    return f"""
+WITH {_ivf_cent_ctes()},
+{_chunk_vec_ctes(budget)},
+{_chunk_ann_ctes()}
+SELECT CAST(cr.query_id AS BIGINT) AS query_id,
+       s.doc_id, s.chunk_id, s.sent_start, s.sent_end,
+       floor(cos_sim * 10000.0 + 0.5) / 10000.0 AS cos_sim,
+       CAST(rank AS BIGINT) AS rank
+FROM cr JOIN cspans s USING (ckey)
+WHERE rank <= {k}
+"""
+
+
+def _chunk_hybrid_sql(
+    k: int = 10, depth: int = 20, rrf_k: int = 60, budget: int = 25
+) -> str:
+    """Generated mirror of q_chunk_hybrid_retrieval: chunk-level BM25
+    (the _chunk_retrieval_sql chunk_rel + _bm25_sql device) and the
+    chunk-level trained-IVF ANN ranking fused with the _rrf_sql
+    two-term reciprocal-rank sum, spans joined back by chunk key."""
+    return f"""
+WITH {_ivf_cent_ctes()},
+{_chunk_vec_ctes(budget)},
+chmap AS (
+  SELECT t.doc_id, t.pos, t.tok, b.chunk_id
+  FROM sc_tok t JOIN sc_bins b
+    ON b.doc_id = t.doc_id AND b.sent_idx = t.sent_idx),
+chunk_rel AS (
+  SELECT CAST(doc_id * 100000 + chunk_id AS BIGINT) AS doc_id,
+         string_agg(tok, ' ' ORDER BY pos) AS text
+  FROM chmap GROUP BY doc_id, chunk_id),
+lex AS ({_bm25_sql(_BM25_QUERIES, k=depth, relation="chunk_rel")}),
+{_chunk_ann_ctes()},
+sem AS (SELECT query_id, ckey, rank FROM cr WHERE rank <= {depth}),
+f AS (
+  SELECT coalesce(l.query_id, s.query_id) AS query_id,
+         coalesce(l.doc_id, s.ckey) AS ckey,
+         l.rank AS lex_rank, s.rank AS sem_rank
+  FROM lex l FULL OUTER JOIN sem s
+    ON l.query_id = s.query_id AND l.doc_id = s.ckey),
+sc AS (
+  SELECT query_id, ckey,
+         coalesce(CAST(1.0 AS DOUBLE) / ({rrf_k} + lex_rank),
+                  CAST(0.0 AS DOUBLE))
+       + coalesce(CAST(1.0 AS DOUBLE) / ({rrf_k} + sem_rank),
+                  CAST(0.0 AS DOUBLE)) AS s,
+         lex_rank, sem_rank
+  FROM f),
+r AS (SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY s DESC, ckey ASC) AS rank
+      FROM sc)
+SELECT CAST(r.query_id AS BIGINT) AS query_id,
+       sp.doc_id, sp.chunk_id, sp.sent_start, sp.sent_end,
+       floor(s * 1000000.0 + 0.5) / 1000000.0 AS rrf_score,
+       CAST(lex_rank AS BIGINT) AS lex_rank,
+       CAST(sem_rank AS BIGINT) AS sem_rank,
+       CAST(r.rank AS BIGINT) AS rank
+FROM r JOIN cspans sp USING (ckey)
+WHERE r.rank <= {k}
+"""
+
+
 def _retrieval_eval_sql(depth: int = 10, truth_k: int = 5) -> str:
     """Generated mirror of q_retrieval_eval_report: the _bm25_sql,
     _rrf_sql, and _ann_brute_sql mirrors as nested CTEs (inner WITHs
@@ -2142,6 +2284,10 @@ __all__ = [
     "_retrieval_eval_sql",
     "_sentence_chunk_ctes",
     "_chunk_retrieval_sql",
+    "_chunk_ann_sql",
+    "_chunk_hybrid_sql",
+    "_chunk_vec_ctes",
+    "_chunk_ann_ctes",
     "_semantic_dedup_sql",
     "_ivf_index_append_sql",
     "_ann_topk_ivf_sql",

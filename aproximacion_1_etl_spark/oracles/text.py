@@ -410,6 +410,10 @@ WHERE length(substr(text, chunk_id * 300 + 1, 400)) > 0
     # predicate, exclusive running sums, integer-div snap, and
     # last-sentence overlap lag as the Spark plan — all exact integers
     "chunk_retrieval_spans": _chunk_retrieval_sql(25, 10),
+    # trained-IVF ANN over the pooled chunk-vector index, spans joined
+    "chunk_ann_retrieval": _chunk_ann_sql(10, 25),
+    # chunk BM25 top-20 + chunk ANN top-20 fused by RRF into top-10
+    "chunk_hybrid_retrieval": _chunk_hybrid_sql(10, 20, 60, 25),
     "semantic_chunking": "WITH "
     + _sentence_chunk_ctes(25)
     + """,

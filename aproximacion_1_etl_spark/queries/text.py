@@ -805,6 +805,204 @@ def q_chunk_retrieval_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CHUNK_INDEX_CACHE: dict[tuple, DataFrame] = {}
+_EMB_DIM = 64
+
+
+def _chunk_vector_index(
+    spark: SparkSession, sf_dir: str, budget: int = 25
+) -> DataFrame:
+    """The persisted CHUNK-VECTOR INDEX for semantic chunk retrieval:
+    one row per chunk — (ckey, doc_id, chunk_id, sent_start, sent_end,
+    embedding) — where the chunk embedding is the MEAN-POOL of its
+    sentences' embeddings. Sentence embeddings come from a
+    deterministic fake embedder (hash-assign each sentence a vector
+    from the embeddings table: vec_id = (doc_id·131 + sent_idx) mod
+    |vectors|, the count joined in-plan as a broadcast 1-row
+    aggregate so the rule is corpus-size-derived on both engines);
+    the pooling is the REAL pipeline shape — per-dimension
+    DECIMAL(38,18) sums divided once into doubles, so the pooled
+    vectors are order-independent and bit-identical cross-engine (the
+    centroid-mean device of train_ivf_centroids). Sentence→chunk
+    boundaries are the ONE shared assignment (_sentence_chunk_bins)
+    with q_semantic_chunking / q_chunk_retrieval_spans, so spans
+    cannot drift between lexical and semantic hits. Memoized per
+    (corpus, session) + eagerly checkpointed like the other simulated
+    persisted stores; the bench times the build as its own
+    ``chunk_index_build_sec`` line item (in production this index is
+    written once per corpus and read by every retrieval)."""
+    key = (
+        _artifact_key(sf_dir, "documents"),
+        _artifact_key(sf_dir, "embeddings"),
+        budget,
+        spark.sparkContext.applicationId,
+    )
+    cached = _CHUNK_INDEX_CACHE.get(key)
+    if cached is None:
+        from aproximacion_1_etl_spark.text.vector import _as_double
+
+        docs = load_table(spark, sf_dir, "documents")
+        bins = _sentence_chunk_bins(docs, budget)
+        emb = _as_double(
+            load_table(spark, sf_dir, "embeddings"), "embedding"
+        )
+        nv = emb.agg(F.count("*").alias("_n_vecs"))
+        sa = bins.crossJoin(F.broadcast(nv)).select(
+            "doc_id",
+            "chunk_id",
+            "sent_idx",
+            (
+                (F.col("doc_id") * 131 + F.col("sent_idx"))
+                % F.col("_n_vecs")
+            ).cast("bigint").alias("vec_id"),
+        )
+        sv = sa.join(emb, "vec_id")
+        pooled = sv.groupBy("doc_id", "chunk_id").agg(
+            F.count("*").alias("_n"),
+            F.min("sent_idx").cast("bigint").alias("sent_start"),
+            F.max("sent_idx").cast("bigint").alias("sent_end"),
+            *[
+                F.sum(
+                    F.col("embedding")[d].cast("decimal(38,18)")
+                ).alias(f"_s{d}")
+                for d in range(_EMB_DIM)
+            ],
+        )
+        cached = pooled.select(
+            (F.col("doc_id") * 100000 + F.col("chunk_id"))
+            .cast("bigint")
+            .alias("ckey"),
+            "doc_id",
+            "chunk_id",
+            "sent_start",
+            "sent_end",
+            F.array(
+                *[
+                    F.col(f"_s{d}").cast("double") / F.col("_n")
+                    for d in range(_EMB_DIM)
+                ]
+            ).alias("embedding"),
+        ).localCheckpoint(eager=True)
+        _CHUNK_INDEX_CACHE[key] = cached
+    return cached
+
+
+def _chunk_ann_hits(
+    spark: SparkSession, sf_dir: str, k: int
+) -> DataFrame:
+    """ANN top-``k`` chunks per query through the trained-IVF path:
+    query vectors are the BM25 query ids' document embeddings, the
+    corpus is the pooled chunk-vector index, the coarse quantizer is
+    the SAME trained codebook the doc-level ANN keys use (trained
+    once on the base embeddings — the production pattern: one
+    representative-sample codebook indexes every derived-vector
+    collection). Map-side cell assignment on both sides; only
+    probed-cell candidates reach the broadcast query join."""
+    from aproximacion_1_etl_spark.text.analysis import BM25_QUERIES
+    from aproximacion_1_etl_spark.text.vector import ann_topk_ivf_queries
+
+    idx = _chunk_vector_index(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(
+        F.col("vec_id").isin(sorted(BM25_QUERIES))
+    ).select(
+        F.col("vec_id").cast("bigint").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+    )
+    return ann_topk_ivf_queries(
+        idx.select(F.col("ckey").alias("vec_id"), "embedding"),
+        queries,
+        centroids=_trained_codebook(spark, sf_dir),
+        k=k,
+        nprobe=4,
+    ).withColumnRenamed("vec_id", "ckey")
+
+
+def q_chunk_ann_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 CHUNK-LEVEL ANN RETRIEVAL — the semantic side of the RAG
+    retrieval stack (VERDICT r9 task 7), completing
+    q_chunk_retrieval_spans' lexical ranking: per-chunk embeddings
+    (mean-pooled sentence vectors, _chunk_vector_index) are indexed
+    through the trained-IVF path and each query's top-10 chunks come
+    back with the SAME (doc_id, chunk_id, sent_start, sent_end)
+    sentence-span provenance as the lexical hits — one shared
+    sentence→chunk assignment, so a semantic hit cites the exact
+    span. Oracle rebuilds the pooled vectors and the full trained-IVF
+    chain in-engine (the _ivf_cent_ctes device), so the key is fully
+    value-checked."""
+    hits = _chunk_ann_hits(spark, sf_dir, k=10)
+    idx = _chunk_vector_index(spark, sf_dir)
+    return hits.join(idx.drop("embedding"), "ckey").select(
+        "query_id",
+        "doc_id",
+        "chunk_id",
+        "sent_start",
+        "sent_end",
+        "cos_sim",
+        F.col("rank").cast("bigint").alias("rank"),
+    )
+
+
+def q_chunk_hybrid_retrieval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """§2.10 HYBRID CHUNK RETRIEVAL — the fused RAG retrieval stage:
+    the chunk-level BM25 top-20 (q_chunk_retrieval_spans' ranking)
+    and the chunk-level trained-IVF ANN top-20 (q_chunk_ann_retrieval)
+    fuse by reciprocal-rank fusion into one top-10 per query, every
+    hit still carrying its sentence-span provenance. Fusion touches
+    only the two |queries|·20 ranked lists (rrf_fuse) — at 100 TB the
+    expensive work happened in the retrievers; the fusion join is
+    broadcast-scale by construction."""
+    from aproximacion_1_etl_spark.text.analysis import (
+        BM25_QUERIES,
+        bm25_topk,
+        rrf_fuse,
+    )
+
+    budget = 25
+    docs = load_table(spark, sf_dir, "documents")
+    st = _sentence_tokens(docs)
+    bins = _sentence_chunk_bins(docs, budget)
+    tok_chunks = st.join(
+        bins.select("doc_id", "sent_idx", "chunk_id"),
+        ["doc_id", "sent_idx"],
+    )
+    chunk_texts = tok_chunks.groupBy("doc_id", "chunk_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda x: x["tok"],
+            ),
+        ).alias("text")
+    ).select(
+        (F.col("doc_id") * 100000 + F.col("chunk_id"))
+        .cast("bigint")
+        .alias("ckey"),
+        "text",
+    )
+    lex = bm25_topk(
+        chunk_texts.select(F.col("ckey").alias("doc_id"), "text"),
+        BM25_QUERIES,
+        k=20,
+    ).select("query_id", F.col("doc_id").alias("ckey"), "rank")
+    sem = _chunk_ann_hits(spark, sf_dir, k=20)
+    fused = rrf_fuse(lex, sem, k=10, id_col="ckey")
+    idx = _chunk_vector_index(spark, sf_dir)
+    return fused.join(idx.drop("embedding"), "ckey").select(
+        "query_id",
+        "doc_id",
+        "chunk_id",
+        "sent_start",
+        "sent_end",
+        "rrf_score",
+        "lex_rank",
+        "sem_rank",
+        F.col("rank").cast("bigint").alias("rank"),
+    )
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-window packing: assign documents (ordered by doc_id
     within language) to fixed token-budget bins by running-sum
@@ -2186,6 +2384,9 @@ __all__ = [
     "q_semantic_chunking",
     "q_curriculum_order",
     "q_chunk_retrieval_spans",
+    "q_chunk_ann_retrieval",
+    "q_chunk_hybrid_retrieval",
+    "_chunk_vector_index",
     "q_pack_sequences",
     "q_token_entropy",
     "q_bigram_pmi",

@@ -387,6 +387,74 @@ def ann_topk_ivf(
     )
 
 
+def ann_topk_ivf_queries(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: dict[int, list[float]],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k where the QUERY VECTORS come from a
+    different relation than the indexed corpus — the shape every
+    derived-vector index needs (chunk vectors indexed, document/user
+    vectors querying), generalizing ``ann_topk_ivf`` (whose queries
+    are corpus rows). ``queries`` is (query_id, qvec); the codebook is
+    a trained driver-held artifact baked as plan literals, so cell
+    assignment of BOTH sides is map-side codegen — the corpus is
+    scanned once, only probed-cell candidates reach the broadcast
+    query join and the top-k window (same 100-TB shape as
+    ann_topk_ivf). Returns (query_id, <id_col>, cos_sim 4dp, rank)."""
+    corpus = _as_double(corpus, vec_col)
+    queries = _as_double(queries, "qvec")
+    cdots = {cid: sum(x * x for x in v) for cid, v in centroids.items()}
+    spread = corpus.repartition(
+        corpus.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+    )
+    with_vv = spread.withColumn("_vv", F.expr(_sql_dot(vec_col, vec_col)))
+    dist = F.expr(_dist_structs_sql(centroids, cdots, vec_col, "_vv", 6))
+    assigned = with_vv.select(
+        id_col,
+        vec_col,
+        F.array_min(dist).getField("cid").alias("cell"),
+    )
+    qvv = queries.withColumn("_qv", F.expr(_sql_dot("qvec", "qvec")))
+    qdist = F.expr(_dist_structs_sql(centroids, cdots, "qvec", "_qv", 6))
+    probes = qvv.select(
+        "query_id",
+        "qvec",
+        F.explode(F.slice(F.array_sort(qdist), 1, nprobe)).alias("p"),
+    ).select("query_id", "qvec", F.col("p.cid").alias("cell"))
+    cand = (
+        assigned.join(F.broadcast(probes), "cell")
+        # one cell per vector + distinct probed cells make duplicates
+        # impossible today; the guard keeps the result correct under
+        # any future codebook/probing change (ann_topk_ivf's rule)
+        .dropDuplicates(["query_id", id_col])
+    )
+    scored = cand.select(
+        "query_id",
+        id_col,
+        _fround(cosine_sim(F.col("qvec"), F.col(vec_col)), 9).alias(
+            "cos_sim"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            id_col,
+            _fround(F.col("cos_sim"), 4).alias("cos_sim"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
 def semantic_dedup(
     embeddings: DataFrame,
     threshold: float = 0.92,

@@ -34,6 +34,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from aproximacion_1_etl_spark.queries import (
     ALL_QUERIES,
+    _chunk_vector_index,
     _dup_cluster_store,
     _persisted_graph_store,
     _trained_append_codebook,
@@ -299,6 +300,12 @@ HEADLINE = [
     "morton_cells",
     "point_in_polygon_join",
     "containment_dedup",
+    # round-10: maintained dedup-cluster store and the chunk-level
+    # semantic/hybrid retrieval pair (index build reported separately
+    # as chunk_index_build_sec)
+    "incremental_dup_clusters",
+    "chunk_ann_retrieval",
+    "chunk_hybrid_retrieval",
     # Python-worker queries LAST: applyInPandas spins up 32 Python
     # workers and leaves GC pressure that inflates the next JVM-only
     # query by ~3x (measured: dedup_minhash_lsh 6.96s after it vs 1.9s
@@ -375,6 +382,9 @@ def _run_segment(keys: list[str]) -> dict:
         # cluster assignment) — its build is the history the fold key
         # exists to avoid re-running, so it's a store line item too
         ("dup_cluster_store_build_sec", _dup_cluster_store),
+        # the pooled chunk-vector index (written once per corpus in
+        # production, read by every chunk retrieval)
+        ("chunk_index_build_sec", _chunk_vector_index),
     ]:
         t0 = time.time()
         builder(spark, SF_DIR)

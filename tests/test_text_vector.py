@@ -1534,3 +1534,84 @@ def test_chunk_retrieval_spans_cite_real_sentence_spans(spark, sf_dir):
         by_q.setdefault(h.query_id, []).append(h.rank)
     for q, ranks in by_q.items():
         assert sorted(ranks) == list(range(1, len(ranks) + 1)), q
+
+
+def test_chunk_ann_and_hybrid_spans_match_lexical_chunker(spark, sf_dir):
+    """Round-10 consistency contract: the semantic (ANN) and hybrid
+    chunk hits must carry EXACTLY the sentence spans the shared
+    chunker assigns — one sentence→chunk assignment across lexical,
+    semantic, and chunking keys, so provenance cannot drift between
+    retrieval modes."""
+    from aproximacion_1_etl_spark.queries import ALL_QUERIES
+
+    spans = {
+        (r.doc_id, r.chunk_id): (r.sent_start, r.sent_end)
+        for r in ALL_QUERIES["semantic_chunking"](spark, sf_dir).collect()
+    }
+    ann = ALL_QUERIES["chunk_ann_retrieval"](spark, sf_dir).collect()
+    assert ann, "ANN retrieval returned no hits"
+    for r in ann:
+        assert spans[(r.doc_id, r.chunk_id)] == (
+            r.sent_start,
+            r.sent_end,
+        ), (r.doc_id, r.chunk_id)
+        assert 1 <= r.rank <= 10 and -1.0 <= r.cos_sim <= 1.0
+
+    hyb = ALL_QUERIES["chunk_hybrid_retrieval"](spark, sf_dir).collect()
+    assert hyb, "hybrid retrieval returned no hits"
+    lex_spans = {
+        (r.doc_id, r.chunk_id): (r.sent_start, r.sent_end)
+        for r in ALL_QUERIES["chunk_retrieval_spans"](
+            spark, sf_dir
+        ).collect()
+    }
+    for r in hyb:
+        assert spans[(r.doc_id, r.chunk_id)] == (
+            r.sent_start,
+            r.sent_end,
+        ), (r.doc_id, r.chunk_id)
+        # a fused hit with a lexical rank must agree with the lexical
+        # key's span for that chunk too
+        if r.lex_rank is not None and (r.doc_id, r.chunk_id) in lex_spans:
+            assert lex_spans[(r.doc_id, r.chunk_id)] == (
+                r.sent_start,
+                r.sent_end,
+            )
+        # RRF invariant: every fused hit was retrieved by >= 1 system
+        assert r.lex_rank is not None or r.sem_rank is not None
+
+
+def test_chunk_vector_index_pools_sentence_vectors_exactly(spark, sf_dir):
+    """The pooled chunk vector equals the per-dimension mean of its
+    sentences' hash-assigned embeddings (decimal-exact, python-checked
+    on a sample), and the index is keyed consistently (ckey =
+    doc_id*100000 + chunk_id)."""
+    from aproximacion_1_etl_spark.queries import ALL_QUERIES
+    from aproximacion_1_etl_spark.queries.text import (
+        _chunk_vector_index,
+        _sentence_chunk_bins,
+    )
+    from aproximacion_1_etl_spark.sources.tables import load_table
+    import pyspark.sql.functions as F
+
+    idx = _chunk_vector_index(spark, sf_dir)
+    rows = idx.orderBy("ckey").limit(5).collect()
+    assert rows
+    emb = {
+        r.vec_id: list(r.embedding)
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+    n_vecs = len(emb)
+    docs = load_table(spark, sf_dir, "documents")
+    bins = _sentence_chunk_bins(docs, 25).collect()
+    by_chunk: dict[tuple, list[int]] = {}
+    for b in bins:
+        by_chunk.setdefault((b.doc_id, b.chunk_id), []).append(b.sent_idx)
+    for r in rows:
+        assert r.ckey == r.doc_id * 100000 + r.chunk_id
+        sents = by_chunk[(r.doc_id, r.chunk_id)]
+        assert r.sent_start == min(sents) and r.sent_end == max(sents)
+        vecs = [emb[(r.doc_id * 131 + s) % n_vecs] for s in sents]
+        for d in range(0, 64, 17):  # sampled dims
+            want = sum(v[d] for v in vecs) / len(vecs)
+            assert abs(r.embedding[d] - want) < 1e-9, (r.ckey, d)
