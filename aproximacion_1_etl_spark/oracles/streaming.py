@@ -9,6 +9,18 @@ ORACLES: dict[str, str] = {
     # the streamed fold must equal the from-scratch rebuild — same SQL
     # as the batch key (both maintain the identical full-graph store)
     "streaming_graph_stats": _graph_stats_rebuild_sql(),
+    # streaming twin of incremental_dup_clusters: the final persisted
+    # cluster store must equal the from-scratch clustering over the
+    # full corpus whatever the wave boundaries - same rebuild SQL as
+    # the batch twin and dup_clusters
+    "streaming_dup_clusters": "WITH RECURSIVE "
+    + _SHINGLES_SQL.strip()
+    + ","
+    + _CLUSTER_CTES
+    + """
+SELECT id AS doc_id, min(r) AS cluster_id, (id = min(r)) AS keep
+FROM reach GROUP BY id
+""",
     "streaming_sliding_counts": """
 WITH b AS (SELECT min(ts) AS mn, max(ts) AS mx FROM events),
 wins AS (SELECT unnest(generate_series(date_trunc('day', mn) - INTERVAL 1 DAY,

@@ -2140,7 +2140,111 @@ def q_streaming_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             shutil.rmtree(ckpt, ignore_errors=True)
 
 
+def q_streaming_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 + §2.10: dedup-CLUSTER maintenance AS A STREAM — the
+    streaming twin of ``incremental_dup_clusters``, completing the
+    batch/streaming trio the maintained-state family uses everywhere
+    (profile, quantiles, IVF append, graph stats): documents arrive in
+    three doc_id-band waves; foreachBatch (1) signatures ONLY the
+    batch, (2) collects its LSH candidate pairs — collisions against
+    the persisted SIGNATURE store plus within-batch pairs, (3) folds
+    them into the persisted CLUSTER store
+    (text/dedup.py::fold_dup_clusters — union-find on the contracted
+    root graph; wave 1 bootstraps from the empty store, which the
+    fold handles uniformly), and (4) appends the batch's signatures.
+    Both stores swap/append via the established two-step devices. The
+    final cluster store must equal the from-scratch clustering over
+    the full corpus — the oracle IS that rebuild (dup_clusters SQL,
+    shared with the batch twin), so hash equality proves the
+    multi-wave fold converges to the rebuild whatever the wave
+    boundaries."""
+    import shutil
+    import time as _time
+
+    from aproximacion_1_etl_spark.text.dedup import (
+        fold_dup_clusters,
+        minhash_candidate_pairs,
+        minhash_signatures,
+        signature_collisions,
+        word_shingles,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = tempfile.mkdtemp(prefix="graft_sdc_")
+    ckpt = tempfile.mkdtemp(prefix="ckpt_sdc_")
+    src = os.path.join(base, "src")
+    sig_store = os.path.join(base, "sigs")
+    cl_store = os.path.join(base, "clusters")
+    cl_next = os.path.join(base, "_clusters_next")
+
+    def handle_batch(batch, batch_id: int) -> None:
+        bspark = batch.sparkSession
+        bsigs = minhash_signatures(
+            word_shingles(batch, distinct=False)
+        ).localCheckpoint(eager=True)
+        within = minhash_candidate_pairs(
+            bsigs, min_matching_bands=2
+        ).select("doc_a", "doc_b")
+        if os.path.isdir(sig_store):
+            prior_sigs = bspark.read.parquet(sig_store)
+            vs_store = signature_collisions(
+                bsigs, prior_sigs, min_matching_bands=2
+            ).select(
+                F.col("doc_new").alias("doc_a"),
+                F.col("doc_old").alias("doc_b"),
+            )
+            pairs = vs_store.unionByName(within)
+            store = bspark.read.parquet(cl_store).select(
+                "doc_id", "cluster_id"
+            )
+        else:
+            pairs = within
+            store = bspark.createDataFrame(
+                [], "doc_id BIGINT, cluster_id BIGINT"
+            )
+        folded = fold_dup_clusters(store, pairs)
+        # two-step swap: the fold READS the store it replaces
+        folded.write.mode("overwrite").parquet(cl_next)
+        bspark.read.parquet(cl_next).write.mode("overwrite").parquet(
+            cl_store
+        )
+        bsigs.write.mode("append").parquet(sig_store)
+
+    try:
+        now = _time.time()
+        for i in range(3):
+            docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(
+                os.path.join(src, f"w{i + 1}")
+            )
+            pdir = os.path.join(src, f"w{i + 1}")
+            ts = now - 60 * (3 - i)
+            for f in os.listdir(pdir):
+                os.utime(os.path.join(pdir, f), (ts, ts))
+        q = (
+            spark.readStream.schema("doc_id BIGINT, text STRING")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(src, "*"))
+            .writeStream.foreachBatch(handle_batch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+        out = spark.read.parquet(cl_store).select(
+            "doc_id",
+            "cluster_id",
+            (F.col("doc_id") == F.col("cluster_id")).alias("keep"),
+        )
+        return _reclaimed(out, base, ckpt)
+    finally:
+        if os.path.isdir(base):
+            shutil.rmtree(base, ignore_errors=True)
+        if os.path.isdir(ckpt):
+            shutil.rmtree(ckpt, ignore_errors=True)
+
+
 __all__ = [
+    "q_streaming_dup_clusters",
     "q_streaming_ttl_dedup",
     "q_streaming_graph_stats",
     "q_streaming_profile",

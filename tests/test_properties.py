@@ -940,3 +940,42 @@ def test_fold_dup_clusters_equals_rebuild_random_waves(spark, edges, cut):
         ).collect()
     }
     assert got == want, (old, new)
+
+
+def test_fold_dup_clusters_chains_across_three_waves(spark):
+    """Wave-chained folds converge to the rebuild (the streaming
+    twin's invariant): each wave folds only its own not-yet-seen
+    pairs; after three waves the store equals one-shot clustering."""
+    from aproximacion_1_etl_spark.text.dedup import (
+        dedup_clusters,
+        fold_dup_clusters,
+    )
+
+    waves = [
+        [(1, 2), (5, 6)],          # two seed clusters
+        [(2, 3), (8, 9)],          # grow one, add another
+        [(3, 5), (9, 12), (0, 8)], # bridge 1-2-3~5-6; 0~8~9~12
+    ]
+    store = spark.createDataFrame([], "doc_id BIGINT, cluster_id BIGINT")
+    for pairs in waves:
+        nxt = fold_dup_clusters(
+            store,
+            spark.createDataFrame(pairs, "doc_a BIGINT, doc_b BIGINT"),
+        )
+        store = nxt.select("doc_id", "cluster_id").localCheckpoint(
+            eager=True
+        )
+    got = {
+        r.doc_id: r.cluster_id for r in store.collect()
+    }
+    want = {
+        r.doc_id: r.cluster_id
+        for r in dedup_clusters(
+            spark.createDataFrame(
+                [p for w in waves for p in w],
+                "doc_a BIGINT, doc_b BIGINT",
+            )
+        ).collect()
+    }
+    assert got == want
+    assert got[6] == 1 and got[12] == 0  # the two merged components
