@@ -14,6 +14,9 @@ from .common import *  # noqa: F401,F403
 ORACLES: dict[str, str] = {
     "lsh_band_plan": _lsh_band_plan_sql(_LSH_PLAN_LADDER),
     "bm25_topk": _bm25_sql(_BM25_QUERIES),
+    # maintained-index fold must equal the from-scratch pass - the
+    # oracle IS that rebuild (bm25_topk SQL verbatim)
+    "incremental_bm25_index": _bm25_sql(_BM25_QUERIES),
     "lm_trigram_score": """
 WITH dtc AS (SELECT doc_id, lang, tri, count(*) AS cnt
              FROM (SELECT doc_id, lang, substr(text, i, 3) AS tri

@@ -805,6 +805,88 @@ def q_chunk_retrieval_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BM25_INDEX_CACHE: dict[tuple, tuple] = {}
+
+
+def _bm25_index_store(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The SIMULATED persisted BM25 index over the existing corpus
+    (doc_id % 4 != 0): (postings, df, stats) from
+    text/analysis.py::bm25_index, memoized per (corpus, session) and
+    eagerly checkpointed — in production these are parquet relations
+    (postings bucketed by term) maintained by fold_bm25_index; the
+    bench times the build as ``bm25_index_build_sec`` so the
+    maintenance key's number is the fold + scoring cost."""
+    from aproximacion_1_etl_spark.text.analysis import bm25_index
+
+    key = (
+        _artifact_key(sf_dir, "documents"),
+        spark.sparkContext.applicationId,
+    )
+    cached = _BM25_INDEX_CACHE.get(key)
+    if cached is None:
+        old = load_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % 4 != 0
+        )
+        postings, df0, stats = bm25_index(old)
+        cached = (
+            postings.localCheckpoint(eager=True),
+            df0.localCheckpoint(eager=True),
+            stats.localCheckpoint(eager=True),
+        )
+        _BM25_INDEX_CACHE[key] = cached
+    return cached
+
+
+def q_incremental_bm25_index(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """§2.10 INCREMENTAL BM25 INDEX MAINTENANCE — the retrieval-
+    freshness member of the maintained-state family (next to the
+    signature, cluster, graph, profile, and IVF stores): the daily
+    batch (doc_id % 4 == 0) is tokenized ONCE and folded into the
+    persisted inverted index (postings append; per-term dfs add via a
+    full-outer coalesce join; 1-row exact-integer totals add —
+    text/analysis.py::fold_bm25_index), then the standard queries
+    score THROUGH THE FOLDED INDEX via the exact scoring tail
+    bm25_topk itself uses (bm25_score_from_index). The oracle is the
+    from-scratch BM25 over the full corpus (the bm25_topk SQL
+    verbatim) — hash equality proves fold == rebuild: folded df / N /
+    avgdl reproduce the one-shot statistics bit-for-bit (totals are
+    stored as exact integers; avgdl is one double division)."""
+    from aproximacion_1_etl_spark.text.analysis import (
+        BM25_QUERIES,
+        bm25_score_from_index,
+        fold_bm25_index,
+    )
+
+    postings, df0, stats = _bm25_index_store(spark, sf_dir)
+    batch = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 4 == 0
+    )
+    postings2, df2, stats2 = fold_bm25_index(postings, df0, stats, batch)
+    qrows = [
+        (qid, t)
+        for qid, terms in sorted(BM25_QUERIES.items())
+        for t in sorted(set(terms))
+    ]
+    qdf = spark.createDataFrame(qrows, "query_id INT, term STRING")
+    qterms = qdf.select("term").distinct()
+    qtf = postings2.join(F.broadcast(qterms), "term")
+    # restrict the maintained df relation to the query terms BEFORE it
+    # is broadcast into scoring — the full-vocabulary relation must
+    # never ride a broadcast at corpus scale
+    dfq = df2.join(F.broadcast(qterms), "term")
+    stats_fmt = stats2.select(
+        "n_docs",
+        (F.col("total_dl").cast("double") / F.col("n_docs")).alias(
+            "avgdl"
+        ),
+    )
+    return bm25_score_from_index(qtf, dfq, stats_fmt, qdf, k=10)
+
+
 _CHUNK_INDEX_CACHE: dict[tuple, DataFrame] = {}
 _EMB_DIM = 64
 
@@ -2379,6 +2461,8 @@ __all__ = [
     "q_dup_clusters",
     "q_incremental_dup_clusters",
     "_dup_cluster_store",
+    "q_incremental_bm25_index",
+    "_bm25_index_store",
     "q_inverted_index",
     "q_chunk_documents",
     "q_semantic_chunking",

@@ -232,6 +232,32 @@ def bm25_topk(
         F.count("*").alias("n_docs"),
         F.avg(F.size(splitc)).alias("avgdl"),
     )
+    return bm25_score_from_index(
+        qtf, df0, stats, qdf, k=k, k1=k1, b=b, id_col=id_col
+    )
+
+
+def bm25_score_from_index(
+    qtf: DataFrame,
+    df0: DataFrame,
+    stats: DataFrame,
+    qdf: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The BM25 scoring tail over INDEX RELATIONS — extracted from
+    ``bm25_topk`` so a MAINTAINED index (persisted postings / df /
+    corpus stats folded forward per batch, fold_bm25_index) scores
+    through the IDENTICAL expressions as the from-scratch pass:
+    ``qtf`` = (term, <id_col>, dl, tf) postings already restricted to
+    query terms, ``df0`` = (term, df), ``stats`` = one row
+    (n_docs, avgdl), ``qdf`` = (query_id, term). idf / length-norm
+    mirror the DuckDB oracle operand-for-operand; score sums are
+    decimal-cast (order-independent); ties break on ascending id."""
+    from pyspark.sql import Window
+
     idf = F.log(
         F.lit(1.0)
         + (F.col("n_docs") - F.col("df") + F.lit(0.5))
@@ -268,6 +294,86 @@ def bm25_topk(
             F.col("rank").cast("bigint").alias("rank"),
         )
     )
+
+
+def bm25_index(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """MATERIALIZED BM25 inverted-index relations from a document
+    batch — what a maintained retrieval index persists (bm25_topk
+    computes the same statistics in-plan for one-shot scoring):
+    (postings, df, stats) where postings = (term, <id_col>, dl, tf),
+    df = (term, df), and stats = one row (n_docs, total_dl) with
+    total_dl an EXACT integer sum — the fold stores totals, never
+    averages, so the folded avgdl (one double division of exact
+    integers) is bit-identical to a from-scratch pass at any fold
+    depth. One shuffle builds the postings; df is a reduce of them;
+    at 100 TB the persisted postings bucket by term so query-term
+    lookups are pruned reads."""
+    splitc = F.split(F.col(text_col), " ")
+    spread = docs.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+    )
+    toks = spread.select(
+        id_col, F.size(splitc).alias("dl"), F.explode(splitc).alias("term")
+    )
+    postings = toks.groupBy(id_col, "term").agg(
+        F.max("dl").alias("dl"), F.count("*").alias("tf")
+    )
+    df0 = postings.groupBy("term").agg(F.count("*").alias("df"))
+    stats = spread.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(splitc)).cast("bigint").alias("total_dl"),
+    )
+    return postings, df0, stats
+
+
+def fold_bm25_index(
+    postings: DataFrame,
+    df0: DataFrame,
+    stats: DataFrame,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Fold a batch of NEW documents into a maintained BM25 index —
+    the retrieval-freshness member of the maintained-state family:
+    only the batch is tokenized; postings append (doc sets are
+    disjoint by contract), per-term dfs ADD through a full-outer
+    coalesce join (O(|store terms| + |batch terms|), never a corpus
+    rescan), and the 1-row totals add. Scoring the folded index
+    through ``bm25_score_from_index`` must equal a from-scratch
+    ``bm25_topk`` over the full corpus — the catalog key's oracle is
+    exactly that rebuild."""
+    np_, ndf, nst = bm25_index(new_docs, text_col=text_col, id_col=id_col)
+    postings2 = postings.unionByName(np_)
+    df2 = (
+        df0.withColumnRenamed("df", "_a")
+        .join(ndf.withColumnRenamed("df", "_b"), "term", "full_outer")
+        .select(
+            "term",
+            (
+                F.coalesce(F.col("_a"), F.lit(0))
+                + F.coalesce(F.col("_b"), F.lit(0))
+            ).alias("df"),
+        )
+    )
+    stats2 = (
+        stats.select(
+            F.col("n_docs").alias("_n1"), F.col("total_dl").alias("_t1")
+        )
+        .crossJoin(
+            nst.select(
+                F.col("n_docs").alias("_n2"),
+                F.col("total_dl").alias("_t2"),
+            )
+        )
+        .select(
+            (F.col("_n1") + F.col("_n2")).alias("n_docs"),
+            (F.col("_t1") + F.col("_t2")).cast("bigint").alias("total_dl"),
+        )
+    )
+    return postings2, df2, stats2
 
 
 def rrf_fuse(

@@ -34,6 +34,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from aproximacion_1_etl_spark.queries import (
     ALL_QUERIES,
+    _bm25_index_store,
     _chunk_vector_index,
     _dup_cluster_store,
     _persisted_graph_store,
@@ -306,6 +307,7 @@ HEADLINE = [
     "incremental_dup_clusters",
     "chunk_ann_retrieval",
     "chunk_hybrid_retrieval",
+    "incremental_bm25_index",
     # Python-worker queries LAST: applyInPandas spins up 32 Python
     # workers and leaves GC pressure that inflates the next JVM-only
     # query by ~3x (measured: dedup_minhash_lsh 6.96s after it vs 1.9s
@@ -385,6 +387,8 @@ def _run_segment(keys: list[str]) -> dict:
         # the pooled chunk-vector index (written once per corpus in
         # production, read by every chunk retrieval)
         ("chunk_index_build_sec", _chunk_vector_index),
+        # the persisted BM25 inverted index the fold key maintains
+        ("bm25_index_build_sec", _bm25_index_store),
     ]:
         t0 = time.time()
         builder(spark, SF_DIR)

@@ -1615,3 +1615,64 @@ def test_chunk_vector_index_pools_sentence_vectors_exactly(spark, sf_dir):
         for d in range(0, 64, 17):  # sampled dims
             want = sum(v[d] for v in vecs) / len(vecs)
             assert abs(r.embedding[d] - want) < 1e-9, (r.ckey, d)
+
+
+def test_bm25_index_fold_scores_equal_from_scratch(spark):
+    """fold_bm25_index + bm25_score_from_index == bm25_topk over the
+    full corpus, bit-for-bit (scores AND ranks): the folded df / N /
+    avgdl reproduce the one-shot statistics exactly because totals
+    are stored as exact integers."""
+    import pyspark.sql.functions as F
+
+    from aproximacion_1_etl_spark.text.analysis import (
+        bm25_index,
+        bm25_score_from_index,
+        bm25_topk,
+        fold_bm25_index,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "join hash scan join"),
+            (2, "merge sort merge"),
+            (3, "hash hash filter"),
+            (4, "scan order filter slow"),
+            (5, "join merge order"),
+            (6, "slow slow slow scan"),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    queries = {0: ["join", "hash"], 1: ["slow", "scan", "order"]}
+    old = docs.filter(F.col("doc_id") <= 4)
+    batch = docs.filter(F.col("doc_id") > 4)
+
+    postings, df0, stats = bm25_index(old)
+    p2, d2, s2 = fold_bm25_index(postings, df0, stats, batch)
+    qrows = [
+        (qid, t)
+        for qid, terms in sorted(queries.items())
+        for t in sorted(set(terms))
+    ]
+    qdf = spark.createDataFrame(qrows, "query_id INT, term STRING")
+    qterms = qdf.select("term").distinct()
+    got = {
+        (r.query_id, r.doc_id): (r.score, r.rank)
+        for r in bm25_score_from_index(
+            p2.join(F.broadcast(qterms), "term"),
+            d2.join(F.broadcast(qterms), "term"),
+            s2.select(
+                "n_docs",
+                (
+                    F.col("total_dl").cast("double") / F.col("n_docs")
+                ).alias("avgdl"),
+            ),
+            qdf,
+            k=10,
+        ).collect()
+    }
+    want = {
+        (r.query_id, r.doc_id): (r.score, r.rank)
+        for r in bm25_topk(docs, queries, k=10).collect()
+    }
+    assert got == want
+    assert len(want) > 4  # both queries actually matched docs
