@@ -958,6 +958,40 @@ WHERE r.rank <= {k}
 """
 
 
+def _chunk_ann_recall_sql(k: int = 10, budget: int = 25) -> str:
+    """Generated mirror of q_chunk_ann_recall: exact 9-dp cosine
+    top-k over the SAME pooled chunk vectors (cvec) vs the trained-IVF
+    chunk ranking (cr), intersected per query — the _ann_recall_sql
+    device pointed at the derived-vector index."""
+    ids = ", ".join(str(q) for q in sorted(_BM25_QUERIES))
+    return f"""
+WITH {_ivf_cent_ctes()},
+{_chunk_vec_ctes(budget)},
+{_chunk_ann_ctes()},
+qv AS (SELECT vec_id AS query_id, v AS qv FROM e
+       WHERE vec_id IN ({ids})),
+ex AS (SELECT query_id, ckey FROM (
+  SELECT q.query_id, c.ckey,
+         row_number() OVER (PARTITION BY q.query_id ORDER BY
+           floor((list_dot_product(q.qv, c.v) /
+                  (sqrt(list_dot_product(q.qv, q.qv)) *
+                   sqrt(list_dot_product(c.v, c.v)))) * 1000000000.0
+                 + 0.5) / 1000000000.0 DESC, c.ckey ASC) AS rn
+  FROM cvec c CROSS JOIN qv q) WHERE rn <= {k}),
+ap AS (SELECT query_id, ckey FROM cr WHERE rank <= {k}),
+hits AS (SELECT e2.query_id, count(*) AS n_hit
+         FROM ex e2 JOIN ap
+           ON ap.query_id = e2.query_id AND ap.ckey = e2.ckey
+         GROUP BY 1),
+pq AS (SELECT query_id, count(*) AS n_exact FROM ex GROUP BY 1)
+SELECT CAST(pq.query_id AS BIGINT) AS query_id,
+       CAST(n_exact AS BIGINT) AS n_exact,
+       CAST(coalesce(n_hit, 0) AS BIGINT) AS n_hit,
+       CAST(coalesce(n_hit, 0) AS DOUBLE) / {k} AS recall
+FROM pq LEFT JOIN hits ON pq.query_id = hits.query_id
+"""
+
+
 def _retrieval_eval_sql(depth: int = 10, truth_k: int = 5) -> str:
     """Generated mirror of q_retrieval_eval_report: the _bm25_sql,
     _rrf_sql, and _ann_brute_sql mirrors as nested CTEs (inner WITHs
@@ -2286,6 +2320,7 @@ __all__ = [
     "_chunk_retrieval_sql",
     "_chunk_ann_sql",
     "_chunk_hybrid_sql",
+    "_chunk_ann_recall_sql",
     "_chunk_vec_ctes",
     "_chunk_ann_ctes",
     "_semantic_dedup_sql",

@@ -417,6 +417,8 @@ WHERE length(substr(text, chunk_id * 300 + 1, 400)) > 0
     "chunk_ann_retrieval": _chunk_ann_sql(10, 25),
     # chunk BM25 top-20 + chunk ANN top-20 fused by RRF into top-10
     "chunk_hybrid_retrieval": _chunk_hybrid_sql(10, 20, 60, 25),
+    # recall@10 of the trained-IVF chunk index vs exact chunk cosine
+    "chunk_ann_recall": _chunk_ann_recall_sql(10, 25),
     "semantic_chunking": "WITH "
     + _sentence_chunk_ctes(25)
     + """,

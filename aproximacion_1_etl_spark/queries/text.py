@@ -1025,6 +1025,74 @@ def q_chunk_ann_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_chunk_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 CHUNK-INDEX QUALITY GATE — recall@10 of the trained-IVF
+    chunk retrieval against the exact-cosine top-10 over the SAME
+    pooled chunk vectors (ann_recall_at_k's device pointed at the new
+    derived-vector index): every approximate index the engine ships
+    carries its continuous recall measurement, and the chunk index is
+    no exception. The exact side is one broadcast-queries pass over
+    the chunk relation (fine — it is a sampled quality gate, not a
+    lookup path); both sides are |Q|·k lists so the intersection is
+    shuffle-trivial at any corpus size."""
+    from aproximacion_1_etl_spark.text.analysis import BM25_QUERIES
+    from aproximacion_1_etl_spark.text.vector import (
+        _as_double,
+        _fround as _vr,
+        cosine_sim,
+    )
+
+    k = 10
+    idx = _chunk_vector_index(spark, sf_dir)
+    emb = _as_double(
+        load_table(spark, sf_dir, "embeddings"), "embedding"
+    )
+    queries = emb.filter(
+        F.col("vec_id").isin(sorted(BM25_QUERIES))
+    ).select(
+        F.col("vec_id").cast("bigint").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+    )
+    scored = idx.crossJoin(F.broadcast(queries)).select(
+        "query_id",
+        "ckey",
+        _vr(cosine_sim(F.col("qvec"), F.col("embedding")), 9).alias(
+            "cos_sim"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("ckey").asc()
+    )
+    exact = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "ckey")
+    )
+    approx = _chunk_ann_hits(spark, sf_dir, k=k).select(
+        "query_id", "ckey"
+    )
+    hits = exact.join(approx, ["query_id", "ckey"], "left_semi")
+    per_q = (
+        exact.groupBy("query_id")
+        .agg(F.count("*").cast("bigint").alias("n_exact"))
+        .join(
+            hits.groupBy("query_id").agg(
+                F.count("*").cast("bigint").alias("n_hit")
+            ),
+            "query_id",
+            "left",
+        )
+    )
+    return per_q.select(
+        "query_id",
+        "n_exact",
+        F.coalesce("n_hit", F.lit(0)).cast("bigint").alias("n_hit"),
+        (
+            F.coalesce("n_hit", F.lit(0)).cast("double") / F.lit(k)
+        ).alias("recall"),
+    )
+
+
 def q_chunk_hybrid_retrieval(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -2470,6 +2538,7 @@ __all__ = [
     "q_chunk_retrieval_spans",
     "q_chunk_ann_retrieval",
     "q_chunk_hybrid_retrieval",
+    "q_chunk_ann_recall",
     "_chunk_vector_index",
     "q_pack_sequences",
     "q_token_entropy",

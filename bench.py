@@ -308,6 +308,7 @@ HEADLINE = [
     "chunk_ann_retrieval",
     "chunk_hybrid_retrieval",
     "incremental_bm25_index",
+    "chunk_ann_recall",
     # Python-worker queries LAST: applyInPandas spins up 32 Python
     # workers and leaves GC pressure that inflates the next JVM-only
     # query by ~3x (measured: dedup_minhash_lsh 6.96s after it vs 1.9s
