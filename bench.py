@@ -579,7 +579,104 @@ def _perf_gate_block(detail: dict) -> dict:
             f["verdict"] = pg.adjudicate(
                 measures, ref_queries[key], threshold, band
             )
+    # final layer: any surviving 'regression' is re-measured with the
+    # REFERENCE COMMIT'S CODE in this same host window (a git-worktree
+    # child running the ref bench.py --child). If the unchanged old
+    # code reads just as slow here, the window is guilty, not the code
+    # (perf_gate.refcode_verdict) — the r9 BENCH_AB same-window device
+    # as tooling, so a slow host can no longer convict untouched keys.
+    convicted = sorted(
+        k for k, f in block["flagged"].items()
+        if f.get("verdict") == "regression"
+    )
+    if convicted and ":" in ref_spec:
+        old = _refcode_child(ref_spec.split(":", 1)[0], convicted)
+        if isinstance(old, str):
+            block["refcode_error"] = old
+        else:
+            old_norms, old_ratio = old
+            for key in convicted:
+                f = block["flagged"][key]
+                o = old_norms.get(key)
+                if o is not None:
+                    f["refcode_isolated"] = round(o * old_ratio, 3)
+                    f["refcode_rel"] = round(o / ref_queries[key], 2)
+                news = [
+                    m[key] for m in (norms1, norms2) if key in m
+                ]
+                f["verdict"] = pg.refcode_verdict(
+                    news, o, ref_queries[key], threshold
+                )
     return block
+
+
+def _refcode_child(commit: str, keys: list[str]):
+    """Measure ``keys`` with the code of ``commit`` in THIS host
+    window: materialize a detached git worktree of the commit and run
+    ITS bench.py --child there. Returns ({key: normalized sec},
+    probe_ratio) or an error string. The worktree is always removed."""
+    import shutil
+    import subprocess
+    import tempfile
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    wt = tempfile.mkdtemp(prefix="graft_refcode_")
+    out_path = wt + ".json"
+    try:
+        # the ref VALUES live at <commit>:BENCH_DETAIL.json, but the
+        # CODE that produced them is the commit where that artifact
+        # last changed (a later commit can carry an older detail file
+        # forward) — resolve it so the A/B really runs the old code
+        r = subprocess.run(
+            ["git", "-C", repo, "log", "-n", "1", "--format=%H",
+             commit, "--", "BENCH_DETAIL.json"],
+            capture_output=True, text=True,
+        )
+        if r.returncode == 0 and r.stdout.strip():
+            commit = r.stdout.strip()
+        r = subprocess.run(
+            ["git", "-C", repo, "worktree", "add", "--force",
+             "--detach", wt, commit],
+            capture_output=True, text=True,
+        )
+        if r.returncode != 0:
+            return f"worktree add failed: {r.stderr.strip()[:200]}"
+        old_bench = os.path.join(wt, "bench.py")
+        if not os.path.exists(old_bench):
+            return "ref commit has no bench.py"
+        proc = subprocess.run(
+            [sys.executable, old_bench, "--child", out_path, *keys],
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+            cwd=wt,
+        )
+        if proc.returncode != 0:
+            return f"refcode child exit {proc.returncode}"
+        with open(out_path) as fh:
+            child = json.load(fh)
+        ratio = 1.0
+        try:
+            from tools import perf_gate as pg
+
+            ratio = pg._probe_ratio(
+                {"segment_probes": [child.get("probe_secs", {})]}
+            )
+        except Exception:
+            pass
+        return (
+            {k: t / ratio for k, t in child.get("timings", {}).items()},
+            ratio,
+        )
+    except Exception as e:
+        return f"{type(e).__name__}: {e}"
+    finally:
+        subprocess.run(
+            ["git", "-C", repo, "worktree", "remove", "--force", wt],
+            capture_output=True,
+        )
+        if os.path.exists(out_path):
+            os.unlink(out_path)
+        if os.path.isdir(wt):
+            shutil.rmtree(wt, ignore_errors=True)
 
 
 def main() -> None:

@@ -250,3 +250,24 @@ def test_perf_gate_committed_history_reads_git_artifacts(tmp_path):
     assert committed_history(["bpe"], repo=str(tmp_path / "nope")) == {
         "bpe": []
     }
+
+
+def test_perf_gate_refcode_verdict_rule():
+    """Round-10 final adjudication layer: a surviving regression is
+    re-measured with the REF COMMIT'S CODE in the same window — if the
+    unchanged code also exceeds threshold there and the new code is
+    not materially slower side-by-side, the window is guilty
+    ('window_drift'); a key where old code stays fast, or new reads
+    >1.15x old, remains a regression."""
+    from tools.perf_gate import refcode_verdict
+
+    ref, thr = 1.0, 1.3
+    # old code equally slow in this window -> window drift
+    assert refcode_verdict([1.6, 1.55], 1.6, ref, thr) == "window_drift"
+    # old code still fast -> real regression
+    assert refcode_verdict([1.6, 1.55], 1.0, ref, thr) == "regression"
+    # old code slow but new is >1.15x old side-by-side -> regression
+    assert refcode_verdict([2.0, 1.9], 1.5, ref, thr) == "regression"
+    # could not measure old code -> keep the finding
+    assert refcode_verdict([1.6], None, ref, thr) == "regression"
+    assert refcode_verdict([], 1.6, ref, thr) == "regression"

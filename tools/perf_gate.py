@@ -189,6 +189,32 @@ def adjudicate(
     return "regression"
 
 
+def refcode_verdict(
+    new_norms: list[float],
+    old_norm: float | None,
+    ref: float,
+    threshold: float,
+    tol: float = 1.15,
+) -> str:
+    """Final adjudication layer (round-10): a key whose regression
+    verdict survived two children + the history band is re-measured
+    with the REFERENCE COMMIT'S CODE in the SAME host window (git
+    worktree child). If the unchanged old code also exceeds the
+    threshold here AND the new code is not materially slower than the
+    old code side-by-side (best new <= old x ``tol``), the window is
+    guilty, not the code — verdict 'window_drift'. Only a key where
+    the old code stays fast while the new code is slow (or the new
+    code reads >``tol`` x the old code) remains a 'regression'. This
+    is the r9 BENCH_AB device (same-code A/B in one window) as
+    tooling instead of a judge's by-hand artifact."""
+    if old_norm is None or not new_norms:
+        return "regression"  # could not re-measure: keep the finding
+    old_rel = old_norm / ref
+    if old_rel > threshold and min(new_norms) <= old_norm * tol:
+        return "window_drift"
+    return "regression"
+
+
 def compare(cur: dict, ref_queries: dict, threshold: float) -> dict:
     """Pure probe-normalized comparison of a BENCH_DETAIL-shaped dict
     against a reference's per-key times. Returns a JSON-able block —
