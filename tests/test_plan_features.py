@@ -419,6 +419,22 @@ def test_r7_session_plan_contracts(spark, sf_dir):
         # r9: map-side codebook assignment + per-ladder aggregates
         # over two checkpointed micro-relations
         "ivf_nprobe_plan": 20,
+        # r10: the cluster fold's visible plan is the contracted-root
+        # relabel + append over checkpointed store/label relations —
+        # the min-label loop lives behind its per-round cuts
+        "incremental_dup_clusters": 6,
+        # r10: map-side cell assignment over the checkpointed chunk
+        # index + broadcast probe join + top-k window
+        "chunk_ann_retrieval": 7,
+        # r10: chunk BM25 rebuild (one doc_id window chain) + the ANN
+        # branch + the |Q|·20 RRF fusion + span joins
+        "chunk_hybrid_retrieval": 30,
+        # r10: exact brute pass over the chunk index + the IVF branch
+        # + the |Q|·k intersection
+        "chunk_ann_recall": 12,
+        # r10: batch tokenize + postings/df folds + query-term-pruned
+        # scoring over the checkpointed index relations
+        "incremental_bm25_index": 18,
     }.items():
         got = exchanges(plan_of(key))
         assert got <= bound, (key, got, bound)
