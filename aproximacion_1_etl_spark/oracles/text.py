@@ -17,6 +17,9 @@ ORACLES: dict[str, str] = {
     # maintained-index fold must equal the from-scratch pass - the
     # oracle IS that rebuild (bm25_topk SQL verbatim)
     "incremental_bm25_index": _bm25_sql(_BM25_QUERIES),
+    # streaming twin: multi-wave fold must reproduce the one-shot
+    # statistics bit-for-bit - same rebuild SQL
+    "streaming_bm25_index": _bm25_sql(_BM25_QUERIES),
     "lm_trigram_score": """
 WITH dtc AS (SELECT doc_id, lang, tri, count(*) AS cnt
              FROM (SELECT doc_id, lang, substr(text, i, 3) AS tri

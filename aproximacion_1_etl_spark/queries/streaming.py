@@ -2243,7 +2243,121 @@ def q_streaming_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             shutil.rmtree(ckpt, ignore_errors=True)
 
 
+def q_streaming_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 + §2.10: BM25 INDEX MAINTENANCE AS A STREAM — the
+    streaming twin of ``incremental_bm25_index``, completing the BM25
+    trio next to the cluster and graph trios: documents arrive in
+    three doc_id-band waves; foreachBatch tokenizes ONLY the batch and
+    folds it into the persisted index (text/analysis.py::
+    fold_bm25_index — postings APPEND, the disjoint-doc-set property
+    making an append-only postings store sufficient; per-term dfs and
+    the 1-row exact-integer totals swap via the two-step device).
+    After the last wave the standard queries score THROUGH the
+    maintained index (bm25_score_from_index). Oracle = the from-
+    scratch BM25 over the full corpus (bm25_topk SQL, shared with the
+    batch twin) — hash equality proves the multi-wave fold reproduces
+    the one-shot statistics bit-for-bit."""
+    import shutil
+    import time as _time
+
+    from aproximacion_1_etl_spark.text.analysis import (
+        BM25_QUERIES,
+        bm25_index,
+        bm25_score_from_index,
+        fold_bm25_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = tempfile.mkdtemp(prefix="graft_sbi_")
+    ckpt = tempfile.mkdtemp(prefix="ckpt_sbi_")
+    src = os.path.join(base, "src")
+    post_store = os.path.join(base, "postings")
+    df_store = os.path.join(base, "df")
+    df_next = os.path.join(base, "_df_next")
+    stats_store = os.path.join(base, "stats")
+    stats_next = os.path.join(base, "_stats_next")
+
+    def handle_batch(batch, batch_id: int) -> None:
+        bspark = batch.sparkSession
+        if os.path.isdir(post_store):
+            np_, df2, st2 = fold_bm25_index(
+                # the fold only APPENDS new postings; pass the batch
+                # postings through by folding against empty postings
+                # and merging df/stats against the stores
+                bspark.createDataFrame(
+                    [], "doc_id BIGINT, term STRING, dl INT, tf BIGINT"
+                ),
+                bspark.read.parquet(df_store),
+                bspark.read.parquet(stats_store),
+                batch,
+            )
+        else:
+            np_, df2, st2 = bm25_index(batch)
+        # postings are append-only (doc sets disjoint across waves)
+        np_.write.mode("append").parquet(post_store)
+        # df / stats swap via write-aside (the fold reads the store
+        # it replaces)
+        df2.write.mode("overwrite").parquet(df_next)
+        bspark.read.parquet(df_next).write.mode("overwrite").parquet(
+            df_store
+        )
+        st2.write.mode("overwrite").parquet(stats_next)
+        bspark.read.parquet(stats_next).write.mode("overwrite").parquet(
+            stats_store
+        )
+
+    try:
+        now = _time.time()
+        for i in range(3):
+            docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(
+                os.path.join(src, f"w{i + 1}")
+            )
+            pdir = os.path.join(src, f"w{i + 1}")
+            ts = now - 60 * (3 - i)
+            for f in os.listdir(pdir):
+                os.utime(os.path.join(pdir, f), (ts, ts))
+        q = (
+            spark.readStream.schema("doc_id BIGINT, text STRING")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(src, "*"))
+            .writeStream.foreachBatch(handle_batch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+        qrows = [
+            (qid, t)
+            for qid, terms in sorted(BM25_QUERIES.items())
+            for t in sorted(set(terms))
+        ]
+        qdf = spark.createDataFrame(qrows, "query_id INT, term STRING")
+        qterms = qdf.select("term").distinct()
+        postings = spark.read.parquet(post_store)
+        dff = spark.read.parquet(df_store)
+        stats = spark.read.parquet(stats_store)
+        out = bm25_score_from_index(
+            postings.join(F.broadcast(qterms), "term"),
+            dff.join(F.broadcast(qterms), "term"),
+            stats.select(
+                "n_docs",
+                (
+                    F.col("total_dl").cast("double") / F.col("n_docs")
+                ).alias("avgdl"),
+            ),
+            qdf,
+            k=10,
+        )
+        return _reclaimed(out, base, ckpt)
+    finally:
+        if os.path.isdir(base):
+            shutil.rmtree(base, ignore_errors=True)
+        if os.path.isdir(ckpt):
+            shutil.rmtree(ckpt, ignore_errors=True)
+
+
 __all__ = [
+    "q_streaming_bm25_index",
     "q_streaming_dup_clusters",
     "q_streaming_ttl_dedup",
     "q_streaming_graph_stats",
