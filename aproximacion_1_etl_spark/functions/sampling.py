@@ -176,11 +176,26 @@ def weighted_sample_topk(
     md5-prefix trick as ``deterministic_sample`` so every engine and
     every run picks the identical sample.
     """
+    return _topk_by_score(
+        _aes_scored(df, key_col, weight_col), key_col, k, strata_col
+    )
+
+
+def _aes_scored(df: DataFrame, key_col: str, weight_col: str) -> DataFrame:
+    """The A-ES score column: u^(1/w), u a hash-derived uniform in
+    (0,1] — a PURE deterministic function of the row's key and weight,
+    which is exactly what makes the sample maintainable (a stored
+    row's score never changes, so a fold only scores the batch)."""
     u = (F.conv(_hash_prefix(F.col(key_col)), 16, 10).cast("double") + 1) / (
         _SPACE + 1
     )
     w = F.greatest(F.col(weight_col).cast("double"), F.lit(1.0))
-    scored = df.withColumn("sample_score", F.pow(u, 1.0 / w))
+    return df.withColumn("sample_score", F.pow(u, 1.0 / w))
+
+
+def _topk_by_score(
+    scored: DataFrame, key_col: str, k: int, strata_col: str | None
+) -> DataFrame:
     from pyspark.sql import Window
 
     parts = [strata_col] if strata_col else []
@@ -191,6 +206,33 @@ def weighted_sample_topk(
         scored.withColumn("sample_rank", F.row_number().over(win))
         .filter(F.col("sample_rank") <= k)
         .drop("sample_rank")
+    )
+
+
+def fold_weighted_sample(
+    store: DataFrame,
+    new_rows: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    strata_col: str | None = None,
+) -> DataFrame:
+    """Fold a batch into a MAINTAINED A-ES sample — the sampling
+    member of the maintained-state family: because each row's score is
+    a pure deterministic function of its key and weight
+    (``_aes_scored``), top-k(store ∪ scored(batch)) equals the
+    one-shot top-k over the full corpus — a maintained sample survives
+    daily appends without re-scoring history. ``store`` is the
+    persisted prior sample (``weighted_sample_topk`` output: original
+    columns + sample_score); per-batch cost is O(|batch| + strata·k) —
+    the union the window sees is never corpus-sized. The catalog key's
+    oracle is the one-shot sample over the full corpus (fold ==
+    rebuild, the family's standard proof)."""
+    return _topk_by_score(
+        store.unionByName(_aes_scored(new_rows, key_col, weight_col)),
+        key_col,
+        k,
+        strata_col,
     )
 
 

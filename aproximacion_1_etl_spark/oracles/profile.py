@@ -213,6 +213,22 @@ FROM (SELECT *, row_number() OVER (
       FROM s)
 WHERE rn <= 25
 """,
+    # maintained-sample fold must equal the one-shot sample - the
+    # oracle IS that rebuild (weighted_sample SQL verbatim)
+    "incremental_weighted_sample": """
+WITH s AS (
+  SELECT lang, doc_id,
+         pow((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) + 1)
+               / 65537.0,
+             1.0 / greatest(CAST(n_chars AS DOUBLE), 1.0)) AS sample_score
+  FROM documents)
+SELECT lang, doc_id,
+       floor(sample_score * 1000000.0 + 0.5) / 1000000.0 AS score
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY lang ORDER BY sample_score DESC, doc_id ASC) AS rn
+      FROM s)
+WHERE rn <= 25
+""",
     "robust_stats": """
 SELECT event_type,
        CAST(count(*) AS BIGINT) AS n,

@@ -370,6 +370,46 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incremental_weighted_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """§2.10 MAINTAINED A-ES SAMPLE — the sampling member of the
+    maintained-state family: the persisted per-language top-25
+    weighted sample over the existing corpus (doc_id % 4 != 0) is
+    FOLDED with the daily batch (functions/sampling.py::
+    fold_weighted_sample) — only the batch is scored (scores are pure
+    functions of key+weight, so stored scores never change), and the
+    window sees |store| + |batch| rows, never the corpus. Oracle =
+    the one-shot weighted sample over the full corpus (the
+    weighted_sample SQL verbatim) — fold == rebuild."""
+    from aproximacion_1_etl_spark.functions.sampling import (
+        fold_weighted_sample,
+        weighted_sample_topk,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang", "doc_id", "n_chars"
+    )
+    store = weighted_sample_topk(
+        docs.filter(F.col("doc_id") % 4 != 0),
+        key_col="doc_id",
+        weight_col="n_chars",
+        k=25,
+        strata_col="lang",
+    ).localCheckpoint(eager=True)
+    folded = fold_weighted_sample(
+        store,
+        docs.filter(F.col("doc_id") % 4 == 0),
+        key_col="doc_id",
+        weight_col="n_chars",
+        k=25,
+        strata_col="lang",
+    )
+    return folded.select(
+        "lang", "doc_id", _fround(F.col("sample_score"), 6).alias("score")
+    )
+
+
 def q_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order statistics family (§2.6): discrete percentiles
     (percentile_disc picks an actual data value — deterministic, unlike
@@ -936,6 +976,7 @@ __all__ = [
     "q_column_profile",
     "q_hll_sketch_union",
     "q_weighted_sample",
+    "q_incremental_weighted_sample",
     "q_robust_stats",
     "q_skyline_pareto",
     "q_skyline_pareto_3d",

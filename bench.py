@@ -309,6 +309,7 @@ HEADLINE = [
     "chunk_hybrid_retrieval",
     "incremental_bm25_index",
     "chunk_ann_recall",
+    "incremental_weighted_sample",
     # Python-worker queries LAST: applyInPandas spins up 32 Python
     # workers and leaves GC pressure that inflates the next JVM-only
     # query by ~3x (measured: dedup_minhash_lsh 6.96s after it vs 1.9s

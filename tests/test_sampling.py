@@ -250,3 +250,44 @@ def test_sample_to_size_engine_full_rate(spark):
     df = spark.range(0, 300).withColumnRenamed("id", "k")
     kept = deterministic_sample_to_size(df, "k", 1000, max_rate=1.0)
     assert kept.count() == 300
+
+
+def test_fold_weighted_sample_equals_rebuild(spark):
+    """The maintained A-ES sample: top-k(store ∪ scored(batch)) ==
+    one-shot top-k over the full relation — including a batch row
+    displacing a stored row (higher weight -> higher score odds), and
+    per-stratum independence."""
+    import pyspark.sql.functions as F
+
+    from aproximacion_1_etl_spark.functions.sampling import (
+        fold_weighted_sample,
+        weighted_sample_topk,
+    )
+
+    rows = [
+        ("a", i, (i * 37) % 90 + 10) for i in range(40)
+    ] + [("b", 100 + i, (i * 53) % 90 + 10) for i in range(40)]
+    df = spark.createDataFrame(rows, "lang STRING, doc_id BIGINT, w BIGINT")
+    old = df.filter(F.col("doc_id") % 4 != 0)
+    batch = df.filter(F.col("doc_id") % 4 == 0)
+
+    store = weighted_sample_topk(
+        old, key_col="doc_id", weight_col="w", k=5, strata_col="lang"
+    ).localCheckpoint(eager=True)
+    got = {
+        (r.lang, r.doc_id): r.sample_score
+        for r in fold_weighted_sample(
+            store, batch, key_col="doc_id", weight_col="w", k=5,
+            strata_col="lang",
+        ).collect()
+    }
+    want = {
+        (r.lang, r.doc_id): r.sample_score
+        for r in weighted_sample_topk(
+            df, key_col="doc_id", weight_col="w", k=5, strata_col="lang"
+        ).collect()
+    }
+    assert got == want
+    # the fold genuinely displaced at least one stored row
+    stored = {(r.lang, r.doc_id) for r in store.collect()}
+    assert any(key not in stored for key in got)
