@@ -370,28 +370,52 @@ def _run_segment(keys: list[str]) -> dict:
     # signal: min-of-3 would record steady-state but max would carry
     # first-run training, e.g. model_calibration_ece "spread" 512% in
     # r4 was logreg training, not noise).
+    # SEGMENT-AWARE training (round-10): each builder runs only when a
+    # key in THIS segment consumes its artifact — with 9 builders
+    # (~35 s), an adjudication child measuring two flagged analytics
+    # keys was paying every codebook and store build for nothing.
+    # Under-mapping is benign (the consumer's first rep pays the
+    # memoized build; min-of-RUNS still reads steady state) — only the
+    # train_secs attribution would move, never a key's reported time.
+    seg = set(keys)
     train_secs: dict[str, float] = {}
-    for label, builder in [
-        ("ivf_codebook_train_sec", _trained_codebook),
-        ("pq_codebook_train_sec", _trained_pq_books),
-        ("logreg_train_sec", _trained_logreg_weights),
-        ("bpe_merges_train_sec", _trained_bpe_merges),
-        ("append_codebook_train_sec", _trained_append_codebook),
+    for label, builder, consumers in [
+        ("ivf_codebook_train_sec", _trained_codebook,
+         {"ann_topk_ivf", "ann_topk_ivfpq", "ivf_nprobe_plan",
+          "kmeans_cluster_profile", "semantic_dedup",
+          "chunk_ann_retrieval", "chunk_hybrid_retrieval",
+          "chunk_ann_recall"}),
+        ("pq_codebook_train_sec", _trained_pq_books,
+         {"ann_topk_pq", "ann_topk_ivfpq", "embedding_quantize_int8"}),
+        ("logreg_train_sec", _trained_logreg_weights,
+         {"model_auc", "model_calibration_ece", "isotonic_calibration"}),
+        ("bpe_merges_train_sec", _trained_bpe_merges,
+         {"bpe_encode_corpus", "bpe_fertility_stats",
+          "padding_efficiency_report", "bpe_train_merges"}),
+        ("append_codebook_train_sec", _trained_append_codebook,
+         {"ivf_index_append", "streaming_ivf_append", "ann_topk_ivfpq"}),
         # the simulated persisted graph store (VERDICT r9 #4): in
         # production a parquet read, here a bulk census — timed as its
         # own line item so incremental_graph_stats' number is the
         # FOLD's cost, not 3x it
-        ("graph_store_build_sec", _persisted_graph_store),
+        ("graph_store_build_sec", _persisted_graph_store,
+         {"incremental_graph_stats"}),
         # simulated persisted dedup state (signature store + converged
         # cluster assignment) — its build is the history the fold key
         # exists to avoid re-running, so it's a store line item too
-        ("dup_cluster_store_build_sec", _dup_cluster_store),
+        ("dup_cluster_store_build_sec", _dup_cluster_store,
+         {"incremental_dup_clusters"}),
         # the pooled chunk-vector index (written once per corpus in
         # production, read by every chunk retrieval)
-        ("chunk_index_build_sec", _chunk_vector_index),
+        ("chunk_index_build_sec", _chunk_vector_index,
+         {"chunk_ann_retrieval", "chunk_hybrid_retrieval",
+          "chunk_ann_recall"}),
         # the persisted BM25 inverted index the fold key maintains
-        ("bm25_index_build_sec", _bm25_index_store),
+        ("bm25_index_build_sec", _bm25_index_store,
+         {"incremental_bm25_index"}),
     ]:
+        if not (consumers & seg):
+            continue
         t0 = time.time()
         builder(spark, SF_DIR)
         train_secs[label] = round(time.time() - t0, 3)
