@@ -876,11 +876,18 @@ def main() -> None:
             probe_ratio_median = round(
                 _median(seg_medians), 3
             )
-    # training repeats once per segment (fresh memo per JVM); report
-    # the steady-state min — it is a separate line item either way
+    # training repeats per segment THAT NEEDS IT (fresh memo per JVM;
+    # segment-aware since r10, so a label may appear in any subset of
+    # segments); report the steady-state min across the segments that
+    # actually built it
+    all_labels = {lb for r in results for lb in r["train_secs"]}
     train_secs = {
-        label: min(r["train_secs"][label] for r in results)
-        for label in results[0]["train_secs"]
+        label: min(
+            r["train_secs"][label]
+            for r in results
+            if label in r["train_secs"]
+        )
+        for label in sorted(all_labels)
     }
     load_start = results[0]["loadavg_start"]
     load_end = results[-1]["loadavg_end"]
