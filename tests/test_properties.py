@@ -979,3 +979,162 @@ def test_fold_dup_clusters_chains_across_three_waves(spark):
     }
     assert got == want
     assert got[6] == 1 and got[12] == 0  # the two merged components
+
+
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["join", "hash", "scan", "merge", "sort",
+                             "slow", "order", "filter", "alpha", "beta"]),
+            min_size=1, max_size=8,
+        ),
+        min_size=3, max_size=10,
+    ),
+    cut=st.integers(1, 8),
+)
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_bm25_fold_equals_rebuild_random_corpora(spark, texts, cut):
+    """fold_bm25_index == from-scratch bm25_topk (scores AND ranks,
+    bit-for-bit) across random corpora and split points — the folded
+    df / N / avgdl must reproduce the one-shot statistics exactly."""
+    import pyspark.sql.functions as F
+
+    from aproximacion_1_etl_spark.text.analysis import (
+        bm25_index,
+        bm25_score_from_index,
+        bm25_topk,
+        fold_bm25_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in enumerate(texts)],
+        "doc_id BIGINT, text STRING",
+    )
+    cut = min(cut, len(texts) - 1)
+    old = docs.filter(F.col("doc_id") < cut)
+    batch = docs.filter(F.col("doc_id") >= cut)
+    queries = {0: ["join", "hash"], 1: ["slow", "order"]}
+
+    p, d0, s0 = bm25_index(old)
+    p2, d2, s2 = fold_bm25_index(p, d0, s0, batch)
+    qrows = [
+        (qid, t)
+        for qid, terms in sorted(queries.items())
+        for t in sorted(set(terms))
+    ]
+    qdf = spark.createDataFrame(qrows, "query_id INT, term STRING")
+    qterms = qdf.select("term").distinct()
+    got = {
+        (r.query_id, r.doc_id): (r.score, r.rank)
+        for r in bm25_score_from_index(
+            p2.join(F.broadcast(qterms), "term"),
+            d2.join(F.broadcast(qterms), "term"),
+            s2.select(
+                "n_docs",
+                (F.col("total_dl").cast("double") / F.col("n_docs"))
+                .alias("avgdl"),
+            ),
+            qdf,
+            k=10,
+        ).collect()
+    }
+    want = {
+        (r.query_id, r.doc_id): (r.score, r.rank)
+        for r in bm25_topk(docs, queries, k=10).collect()
+    }
+    assert got == want
+
+
+def test_signature_collisions_union_covers_full_candidates(spark):
+    """The candidate-equality assumption under the cluster fold: for a
+    corpus split into old/new, signature_collisions(new, old) plus
+    within-batch pairs plus within-old pairs equals
+    minhash_candidate_pairs over the FULL corpus (as unordered
+    pairs) — so the fold sees exactly the pairs the rebuild sees."""
+    import pyspark.sql.functions as F
+
+    from aproximacion_1_etl_spark.text.dedup import (
+        minhash_candidate_pairs,
+        minhash_signatures,
+        signature_collisions,
+        word_shingles,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (i, base if i % 3 == 0 else f"{base} extra{i} tail{i} pad{i}")
+        for i in range(12)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    old = docs.filter(F.col("doc_id") % 4 != 0)
+    new = docs.filter(F.col("doc_id") % 4 == 0)
+    sig = lambda d: minhash_signatures(word_shingles(d, distinct=False))
+    old_sigs, new_sigs = sig(old), sig(new)
+
+    cross = {
+        frozenset((r.doc_new, r.doc_old))
+        for r in signature_collisions(
+            new_sigs, old_sigs, min_matching_bands=2
+        ).collect()
+    }
+    within_new = {
+        frozenset((r.doc_a, r.doc_b))
+        for r in minhash_candidate_pairs(
+            new_sigs, min_matching_bands=2
+        ).collect()
+    }
+    within_old = {
+        frozenset((r.doc_a, r.doc_b))
+        for r in minhash_candidate_pairs(
+            old_sigs, min_matching_bands=2
+        ).collect()
+    }
+    full = {
+        frozenset((r.doc_a, r.doc_b))
+        for r in minhash_candidate_pairs(
+            sig(docs), min_matching_bands=2
+        ).collect()
+    }
+    assert cross | within_new | within_old == full
+    assert cross, "no cross pairs - the test corpus is degenerate"
+
+
+def test_ann_topk_ivf_queries_consistent_with_corpus_query_form(
+    spark, sf_dir
+):
+    """ann_topk_ivf_queries with queries drawn FROM the corpus must
+    rank identically to ann_topk_ivf (modulo the self-match, which
+    only the corpus-query form excludes)."""
+    from aproximacion_1_etl_spark.queries.common import _trained_codebook
+    from aproximacion_1_etl_spark.sources.tables import load_table
+    from aproximacion_1_etl_spark.text.vector import (
+        ann_topk_ivf,
+        ann_topk_ivf_queries,
+    )
+    import pyspark.sql.functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _trained_codebook(spark, sf_dir)
+    qids = [0, 1, 2]
+    a = {
+        (r.query_id, r.vec_id): r.cos_sim
+        for r in ann_topk_ivf(
+            emb, query_ids=qids, k=12, nprobe=4, centroids=cents
+        ).collect()
+    }
+    queries = emb.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").cast("bigint").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+    )
+    b = {
+        (r.query_id, r.vec_id): r.cos_sim
+        for r in ann_topk_ivf_queries(
+            emb, queries, centroids=cents, k=13, nprobe=4
+        ).collect()
+        if r.vec_id != r.query_id
+    }
+    # every pair the corpus-query form ranked appears with the same
+    # 4-dp cosine in the external-query form
+    for key, cs in a.items():
+        assert key in b and b[key] == cs, key
