@@ -608,6 +608,7 @@ def triangle_delta(
     old_edges: DataFrame,
     new_edges: DataFrame,
     adjacency: DataFrame | None = None,
+    delta_count: int | None = None,
 ) -> DataFrame:
     """Per-node count of the NEW triangles created by appending
     ``new_edges`` to a graph that already contains ``old_edges`` — the
@@ -654,10 +655,16 @@ def triangle_delta(
     joins below read it shuffle-free; when omitted it is rebuilt from
     the edges (one groupBy) and checkpointed."""
     dp = old_edges.sparkSession.sparkContext.defaultParallelism
-    # One tiny aggregate on the (checkpointed) Δ side decides whether
-    # the two membership joins may be broadcast; above the bound the
-    # plain join lets AQE pick sort-merge/shuffled-hash.
-    delta_fits = new_edges.count() <= TRIANGLE_DELTA_BROADCAST_MAX
+    # One tiny aggregate on the Δ side decides whether the two
+    # membership joins may be broadcast; above the bound the plain
+    # join lets AQE pick sort-merge/shuffled-hash. A caller that
+    # already knows |Δ| (the usual case — every shipped caller
+    # checkpoints the batch after an anti-join that ends in a count
+    # or a write) passes ``delta_count`` so no extra Spark action
+    # re-derives the Δ lineage here (ADVICE r10 #3).
+    if delta_count is None:
+        delta_count = new_edges.count()
+    delta_fits = delta_count <= TRIANGLE_DELTA_BROADCAST_MAX
     hint = F.broadcast if delta_fits else (lambda d: d)
     if adjacency is not None:
         adj = adjacency.select("n", "nbrs")
@@ -739,7 +746,10 @@ def bulk_graph_stats(edges: DataFrame) -> DataFrame:
 
 
 def fold_graph_stats(
-    stats: DataFrame, old_edges: DataFrame, new_edges: DataFrame
+    stats: DataFrame,
+    old_edges: DataFrame,
+    new_edges: DataFrame,
+    delta_count: int | None = None,
 ) -> DataFrame:
     """Fold a batch of new edges into a maintained per-node
     (degree, n_triangles) store: degrees add (each new canonical edge
@@ -755,7 +765,7 @@ def fold_graph_stats(
         .groupBy("node")
         .agg(F.count("*").cast("bigint").alias("delta_degree"))
     )
-    dtri = triangle_delta(old_edges, new_edges)
+    dtri = triangle_delta(old_edges, new_edges, delta_count=delta_count)
     return (
         stats.join(ddeg, "node", "full_outer")
         .join(dtri, "node", "full_outer")

@@ -370,33 +370,65 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WEIGHTED_SAMPLE_STORE_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _weighted_sample_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SIMULATED persisted A-ES weighted sample over the existing
+    corpus (doc_id % 4 != 0): the per-language top-25 from
+    functions/sampling.py::weighted_sample_topk, memoized per
+    (corpus, session) and eagerly checkpointed like the other
+    simulated persisted stores (_dup_cluster_store / _bm25_index_store
+    — ADVICE r10 #4: rebuilding it inline charged the store build to
+    the fold on every bench rep). In production this is a tiny
+    parquet relation maintained by fold_weighted_sample; the bench
+    times the build as ``weighted_sample_store_build_sec`` so the
+    maintenance key's number is the FOLD's cost."""
+    from aproximacion_1_etl_spark.functions.sampling import (
+        weighted_sample_topk,
+    )
+
+    key = (
+        _artifact_key(sf_dir, "documents"),
+        spark.sparkContext.applicationId,
+    )
+    cached = _WEIGHTED_SAMPLE_STORE_CACHE.get(key)
+    if cached is None:
+        docs = load_table(spark, sf_dir, "documents").select(
+            "lang", "doc_id", "n_chars"
+        )
+        cached = weighted_sample_topk(
+            docs.filter(F.col("doc_id") % 4 != 0),
+            key_col="doc_id",
+            weight_col="n_chars",
+            k=25,
+            strata_col="lang",
+        ).localCheckpoint(eager=True)
+        _WEIGHTED_SAMPLE_STORE_CACHE[key] = cached
+    return cached
+
+
 def q_incremental_weighted_sample(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """§2.10 MAINTAINED A-ES SAMPLE — the sampling member of the
     maintained-state family: the persisted per-language top-25
-    weighted sample over the existing corpus (doc_id % 4 != 0) is
-    FOLDED with the daily batch (functions/sampling.py::
-    fold_weighted_sample) — only the batch is scored (scores are pure
-    functions of key+weight, so stored scores never change), and the
-    window sees |store| + |batch| rows, never the corpus. Oracle =
-    the one-shot weighted sample over the full corpus (the
-    weighted_sample SQL verbatim) — fold == rebuild."""
+    weighted sample over the existing corpus (doc_id % 4 != 0,
+    memoized as _weighted_sample_store) is FOLDED with the daily
+    batch (functions/sampling.py::fold_weighted_sample) — only the
+    batch is scored (scores are pure functions of key+weight, so
+    stored scores never change), and the window sees |store| +
+    |batch| rows, never the corpus. Oracle = the one-shot weighted
+    sample over the full corpus (the weighted_sample SQL verbatim) —
+    fold == rebuild."""
     from aproximacion_1_etl_spark.functions.sampling import (
         fold_weighted_sample,
-        weighted_sample_topk,
     )
 
     docs = load_table(spark, sf_dir, "documents").select(
         "lang", "doc_id", "n_chars"
     )
-    store = weighted_sample_topk(
-        docs.filter(F.col("doc_id") % 4 != 0),
-        key_col="doc_id",
-        weight_col="n_chars",
-        k=25,
-        strata_col="lang",
-    ).localCheckpoint(eager=True)
+    store = _weighted_sample_store(spark, sf_dir)
     folded = fold_weighted_sample(
         store,
         docs.filter(F.col("doc_id") % 4 == 0),
@@ -977,6 +1009,7 @@ __all__ = [
     "q_hll_sketch_union",
     "q_weighted_sample",
     "q_incremental_weighted_sample",
+    "_weighted_sample_store",
     "q_robust_stats",
     "q_skyline_pareto",
     "q_skyline_pareto_3d",

@@ -321,9 +321,16 @@ def bm25_index(
         F.max("dl").alias("dl"), F.count("*").alias("tf")
     )
     df0 = postings.groupBy("term").agg(F.count("*").alias("df"))
+    # coalesce: SUM over zero rows is NULL, and an EMPTY batch is
+    # normal in a maintained deployment (a no-new-docs day) — without
+    # it fold_bm25_index would add NULL into the running total_dl and
+    # permanently poison avgdl (ADVICE r10 #1); an empty batch must
+    # fold as (0 docs, 0 tokens), a no-op.
     stats = spread.agg(
         F.count("*").alias("n_docs"),
-        F.sum(F.size(splitc)).cast("bigint").alias("total_dl"),
+        F.coalesce(F.sum(F.size(splitc)), F.lit(0))
+        .cast("bigint")
+        .alias("total_dl"),
     )
     return postings, df0, stats
 
@@ -335,16 +342,43 @@ def fold_bm25_index(
     new_docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    guard_redelivery: bool = True,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Fold a batch of NEW documents into a maintained BM25 index —
     the retrieval-freshness member of the maintained-state family:
-    only the batch is tokenized; postings append (doc sets are
-    disjoint by contract), per-term dfs ADD through a full-outer
-    coalesce join (O(|store terms| + |batch terms|), never a corpus
-    rescan), and the 1-row totals add. Scoring the folded index
-    through ``bm25_score_from_index`` must equal a from-scratch
-    ``bm25_topk`` over the full corpus — the catalog key's oracle is
-    exactly that rebuild."""
+    only the batch is tokenized; postings append, per-term dfs ADD
+    through a full-outer coalesce join (O(|store terms| + |batch
+    terms|), never a corpus rescan), and the 1-row totals add.
+    Scoring the folded index through ``bm25_score_from_index`` must
+    equal a from-scratch ``bm25_topk`` over the full corpus — the
+    catalog key's oracle is exactly that rebuild.
+
+    RE-DELIVERY GUARD (``guard_redelivery``, default on — VERDICT r10
+    task 1): under at-least-once delivery a micro-batch can arrive
+    twice, and an unguarded append would silently double-count
+    df/tf/totals and drift the index — the failure class the TTL
+    stream's ``assert_watermark_monotone`` and the notify sink's
+    exactly-once ledger already guard elsewhere. Before tokenizing,
+    the batch is anti-joined against the store's doc ids: ``seen`` is
+    the store-side semi-join of postings against the BROADCAST batch
+    ids, so both joins are map-side and the intermediate relation is
+    bounded by the batch's key count, never the store's. A fully
+    re-delivered batch folds as empty — a no-op (the empty-batch
+    stats coalesce in ``bm25_index`` makes the totals add 0, not
+    NULL). The one store-postings scan is the local-mode cost; a
+    production deployment reads a doc-id ledger relation (the
+    bucketed sidecar the notify sink's ledger models) instead of the
+    postings themselves. Disjointness is thus ENFORCED, not assumed:
+    a doc can only ever be counted once, whatever the delivery
+    semantics."""
+    if guard_redelivery:
+        batch_ids = new_docs.select(id_col).distinct()
+        seen = (
+            postings.join(F.broadcast(batch_ids), id_col, "left_semi")
+            .select(id_col)
+            .distinct()
+        )
+        new_docs = new_docs.join(F.broadcast(seen), id_col, "left_anti")
     np_, ndf, nst = bm25_index(new_docs, text_col=text_col, id_col=id_col)
     postings2 = postings.unionByName(np_)
     df2 = (

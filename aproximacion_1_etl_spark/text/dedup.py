@@ -788,7 +788,16 @@ def fold_dup_clusters(
     members — so fold(store, Δpairs) == rebuild(all pairs), which is
     exactly what the catalog key's from-scratch oracle pins (the
     fold == rebuild device of incremental_graph_stats). Returns the
-    next store: (doc_id, cluster_id, keep)."""
+    next store: (doc_id, cluster_id, keep).
+
+    RE-DELIVERY AUDIT (VERDICT r10 task 1): unlike an additive index
+    fold, this fold is NATURALLY IDEMPOTENT under at-least-once
+    delivery — a re-delivered pair's endpoints already share a root,
+    so it contracts to root_a == root_b and is filtered before the
+    propagation; the relabel then maps every root to itself and the
+    append side is empty. fold(fold(store, P), P) == fold(store, P)
+    by construction — no ledger or anti-join guard is needed (the
+    property test replaying a duplicate pair wave pins this)."""
     root = store.select(
         F.col("doc_id").alias("_rid"), F.col("cluster_id").alias("_root")
     )

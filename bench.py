@@ -43,6 +43,7 @@ from aproximacion_1_etl_spark.queries import (
     _trained_codebook,
     _trained_logreg_weights,
     _trained_pq_books,
+    _weighted_sample_store,
 )
 from aproximacion_1_etl_spark.session import get_spark
 
@@ -413,6 +414,10 @@ def _run_segment(keys: list[str]) -> dict:
         # the persisted BM25 inverted index the fold key maintains
         ("bm25_index_build_sec", _bm25_index_store,
          {"incremental_bm25_index"}),
+        # the persisted A-ES weighted sample (ADVICE r10 #4: the key
+        # used to rebuild + checkpoint this inline on every rep)
+        ("weighted_sample_store_build_sec", _weighted_sample_store,
+         {"incremental_weighted_sample"}),
     ]:
         if not (consumers & seg):
             continue
@@ -587,6 +592,14 @@ def _perf_gate_block(detail: dict) -> dict:
         measures = [
             m[key] for m in (norms1, norms2) if key in m
         ]
+        # RAW child seconds for the history-band check — the band is
+        # raw committed in-suite times, so de-normalize each child
+        # measure by its own probe ratio (ADVICE r10 #2)
+        raws = [
+            m[key] * r
+            for m, r in ((norms1, ratio1), (norms2, ratio2))
+            if key in m and r is not None
+        ]
         if key in norms1:
             f["isolated"] = round(norms1[key] * ratio1, 3)
             f["isolated_probe_ratio"] = round(ratio1, 3)
@@ -602,7 +615,8 @@ def _perf_gate_block(detail: dict) -> dict:
             f["verdict"] = "unadjudicated"
         else:
             f["verdict"] = pg.adjudicate(
-                measures, ref_queries[key], threshold, band
+                measures, ref_queries[key], threshold, band,
+                iso_raws=raws,
             )
     # final layer: any surviving 'regression' is re-measured with the
     # REFERENCE COMMIT'S CODE in this same host window (a git-worktree

@@ -1046,6 +1046,108 @@ def test_bm25_fold_equals_rebuild_random_corpora(spark, texts, cut):
     assert got == want
 
 
+def _bm25_store_snapshot(p, d, s):
+    """Order-insensitive full-state snapshot of a (postings, df,
+    stats) BM25 store for bit-identity assertions."""
+    return (
+        sorted(map(tuple, p.collect())),
+        sorted(map(tuple, d.collect())),
+        sorted(map(tuple, s.collect())),
+    )
+
+
+def test_bm25_fold_empty_batch_is_noop(spark):
+    """ADVICE r10 #1: an EMPTY batch (a no-new-docs day in a real
+    deployment) must fold as a no-op — before the stats coalesce,
+    SUM over zero rows was NULL and one empty wave permanently
+    poisoned total_dl/avgdl for every later score."""
+    from aproximacion_1_etl_spark.text.analysis import (
+        bm25_index,
+        fold_bm25_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "join hash scan"), (1, "merge sort join")],
+        "doc_id BIGINT, text STRING",
+    )
+    empty = spark.createDataFrame([], "doc_id BIGINT, text STRING")
+    p, d0, s0 = bm25_index(docs)
+    p2, d2, s2 = fold_bm25_index(p, d0, s0, empty)
+    assert _bm25_store_snapshot(p2, d2, s2) == _bm25_store_snapshot(
+        p, d0, s0
+    )
+    row = s2.collect()[0]
+    assert row.n_docs == 2 and row.total_dl == 6  # not NULL
+
+
+def test_bm25_fold_redelivered_batch_is_noop(spark):
+    """VERDICT r10 task 1: re-delivering a micro-batch (normal under
+    at-least-once delivery) must NOT double-count df/tf/totals — the
+    guard anti-joins the batch's doc ids against the store before the
+    append, so fold(fold(store, B), B) == fold(store, B)
+    bit-for-bit. A half-re-delivered wave (some docs old, some truly
+    new) folds exactly its new docs."""
+    import pyspark.sql.functions as F
+
+    from aproximacion_1_etl_spark.text.analysis import (
+        bm25_index,
+        fold_bm25_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "join hash scan"), (1, "merge sort join"),
+         (2, "slow order filter"), (3, "alpha beta join")],
+        "doc_id BIGINT, text STRING",
+    )
+    old = docs.filter(F.col("doc_id") < 2)
+    batch = docs.filter(F.col("doc_id") >= 2)
+    p, d0, s0 = bm25_index(old)
+    once = fold_bm25_index(p, d0, s0, batch)
+    snap1 = _bm25_store_snapshot(*once)
+    twice = fold_bm25_index(*once, batch)  # exact duplicate wave
+    assert _bm25_store_snapshot(*twice) == snap1
+    # partial re-delivery: doc 3 again + genuinely-new doc 4
+    mixed = spark.createDataFrame(
+        [(3, "alpha beta join"), (4, "scan scan scan")],
+        "doc_id BIGINT, text STRING",
+    )
+    p3, d3, s3 = fold_bm25_index(*twice, mixed)
+    row = s3.collect()[0]
+    assert row.n_docs == 5 and row.total_dl == 15
+    assert p3.filter(F.col("doc_id") == 3).count() == 3  # not doubled
+    # and the unguarded form still exists for exactly-once callers
+    p4, d4, s4 = fold_bm25_index(
+        *once, batch, guard_redelivery=False
+    )
+    assert s4.collect()[0].n_docs == 6  # double-counted, by contract
+
+
+def test_fold_dup_clusters_redelivered_pairs_idempotent(spark):
+    """VERDICT r10 task 1 (audit half): fold_dup_clusters is NATURALLY
+    idempotent — a re-delivered pair contracts to root_a == root_b and
+    drops out before propagation, so replaying a whole wave (alone or
+    mixed with genuinely new pairs) changes nothing it shouldn't."""
+    from aproximacion_1_etl_spark.text.dedup import fold_dup_clusters
+
+    store = spark.createDataFrame([], "doc_id BIGINT, cluster_id BIGINT")
+    wave = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], "doc_a BIGINT, doc_b BIGINT"
+    )
+    s1 = fold_dup_clusters(store, wave).select("doc_id", "cluster_id")
+    s1 = s1.localCheckpoint(eager=True)
+    snap1 = sorted(map(tuple, s1.collect()))
+    # exact duplicate wave -> bit-identical store
+    s2 = fold_dup_clusters(s1, wave).select("doc_id", "cluster_id")
+    assert sorted(map(tuple, s2.collect())) == snap1
+    # duplicates mixed with a genuinely-new bridge pair
+    mixed = spark.createDataFrame(
+        [(1, 2), (3, 7)], "doc_a BIGINT, doc_b BIGINT"
+    )
+    s3 = fold_dup_clusters(s1, mixed)
+    got = {r.doc_id: r.cluster_id for r in s3.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 7: 1, 8: 1}
+
+
 def test_signature_collisions_union_covers_full_candidates(spark):
     """The candidate-equality assumption under the cluster fold: for a
     corpus split into old/new, signature_collisions(new, old) plus

@@ -210,6 +210,40 @@ def test_perf_gate_adjudicate_verdict_rule():
     assert adjudicate([2.0, 1.9], ref, thr, [0.9, 1.1]) == "regression"
 
 
+def test_perf_gate_adjudicate_band_uses_raw_seconds():
+    """ADVICE r10 #2: the history band is RAW committed in-suite
+    seconds, so the band comparison must use the RAW isolated child
+    seconds — on a fast host (probe ratio < 1) the normalized time is
+    deflated and a real regression could hide inside the band."""
+    from tools.perf_gate import adjudicate
+
+    ref, thr = 1.0, 1.3
+    # fast host: probe ratio 0.8 -> norm 1.6 = raw 2.0. Band max 1.4
+    # (*1.10 tol = 1.54): the normalized time would sneak in-band,
+    # the raw time correctly does not.
+    assert (
+        adjudicate([1.6], ref, thr, [0.9, 1.4], iso_raws=[2.0])
+        == "regression"
+    )
+    # slow host: raw 1.5 is in-band even though norm ([1.45]) alone
+    # would also be — raw decides either way
+    assert (
+        adjudicate([1.45], ref, thr, [0.9, 1.4], iso_raws=[1.5])
+        == "within_history_band"
+    )
+    # no raws supplied (legacy caller) -> pre-fix behavior preserved
+    assert (
+        adjudicate([1.45], ref, thr, [0.9, 1.4])
+        == "within_history_band"
+    )
+    # threshold check stays NORMALIZED: norm under threshold is noise
+    # no matter what the raw reads
+    assert (
+        adjudicate([1.2], ref, thr, [0.9, 1.0], iso_raws=[5.0])
+        == "position_noise"
+    )
+
+
 def test_perf_gate_committed_history_reads_git_artifacts(tmp_path):
     """committed_history reads per-key times from the last N commits
     that touched BENCH_DETAIL.json in an arbitrary git repo — the

@@ -163,6 +163,7 @@ def adjudicate(
     threshold: float,
     history: list[float],
     band_tol: float = 1.10,
+    iso_raws: list[float] | None = None,
 ) -> str:
     """Pure verdict rule for a flagged key (round-10, pytest-driven):
     a key is a REGRESSION only when (a) EVERY fresh-JVM isolated
@@ -171,7 +172,24 @@ def adjudicate(
     isolated time also sits above the committed history band
     (max of the key's last certified times x ``band_tol``); a time
     the repo has already certified is a host-window difference, not
-    a code regression. Verdicts:
+    a code regression.
+
+    UNITS (ADVICE r10 #2): the history band is built from RAW
+    committed in-suite seconds, so the band comparison must use the
+    RAW isolated child seconds (``iso_raws`` — the child time before
+    probe division), not the probe-normalized ones: on a fast host
+    (probe ratio < 1) a normalized time is deflated and a real
+    regression could slip inside the band. The threshold check in (a)
+    stays normalized — it compares against the probe-normalized
+    reference the flag was raised from. Raw isolated times are
+    head-of-segment single-key floors while the band is in-suite
+    min-of-reps (position bias only ever INFLATES in-suite numbers),
+    so raw-vs-raw is conservative in the safe direction: a genuinely
+    regressed key reads slow even at the head position. When
+    ``iso_raws`` is absent (older callers) the normalized times are
+    used, preserving the pre-fix behavior.
+
+    Verdicts:
 
     - 'position_noise'     — a re-measure came in under threshold
       (the in-suite flag was segment position / ambient load);
@@ -184,7 +202,8 @@ def adjudicate(
     rels = [x / ref for x in iso_norms]
     if min(rels) <= threshold:
         return "position_noise"
-    if history and min(iso_norms) <= max(history) * band_tol:
+    band_side = iso_raws if iso_raws else iso_norms
+    if history and min(band_side) <= max(history) * band_tol:
         return "within_history_band"
     return "regression"
 
