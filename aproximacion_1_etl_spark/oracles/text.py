@@ -373,6 +373,22 @@ WHERE rank <= 5
 SELECT id AS doc_id, min(r) AS cluster_id, (id = min(r)) AS keep
 FROM reach GROUP BY id
 """,
+    # the deletion key MUST equal the from-scratch clustering over the
+    # POST-DELETE corpus (doc_id % 7 != 0 — the RTBF wave removed):
+    # the same dup_clusters SQL with the delete predicate injected
+    # into the shingle base via the fail-fast anchor device of
+    # _corpus_release_sql (module-end assertion guards the anchor)
+    "dup_clusters_forget": "WITH RECURSIVE "
+    + _SHINGLES_SQL.strip().replace(
+        "FROM documents WHERE",
+        "FROM documents WHERE doc_id % 7 != 0 AND ",
+    )
+    + ","
+    + _CLUSTER_CTES
+    + """
+SELECT id AS doc_id, min(r) AS cluster_id, (id = min(r)) AS keep
+FROM reach GROUP BY id
+""",
     # the maintained-store fold MUST equal the from-scratch clustering
     # over the full corpus — the oracle IS that rebuild (the
     # fold == rebuild device of incremental_graph_stats), so this key
@@ -1054,3 +1070,15 @@ JOIN sizes sa ON src_a = sa.source
 JOIN sizes sb ON src_b = sb.source
 """,
 }
+
+# fail-fast anchor guard (the _corpus_release_sql device): the
+# dup_clusters_forget oracle injects its delete predicate textually
+# into _SHINGLES_SQL — a reworded CTE must fail HERE with a clear
+# message, not later as an opaque cert hash mismatch from an
+# unfiltered (all-documents) clustering.
+if "doc_id % 7 != 0" not in ORACLES["dup_clusters_forget"]:
+    raise AssertionError(
+        "dup_clusters_forget oracle: rebase anchor 'FROM documents "
+        "WHERE' not found in _SHINGLES_SQL — the CTE was reworded; "
+        "update the injection anchor"
+    )

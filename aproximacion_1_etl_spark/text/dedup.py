@@ -838,6 +838,77 @@ def fold_dup_clusters(
     )
 
 
+def forget_doc_clusters(
+    store: DataFrame,
+    sig_store: DataFrame,
+    deleted_ids: DataFrame,
+    min_matching_bands: int = 2,
+    max_iters: int = 20,
+) -> DataFrame:
+    """DELETION support for the maintained dedup-cluster store —
+    the governance edge of the trio (VERDICT r10 task 6), pairing
+    with the RTBF cascade the way ``fold_dup_clusters`` pairs with
+    the append path: removing a document can SPLIT a component (a
+    bridge doc was the only LSH link between two halves), so a plain
+    row delete would leave the survivors mislabeled as one cluster.
+
+    Rebuild-affected-components device, batch-bounded throughout:
+
+    1. the AFFECTED ROOTS are the cluster_ids of the deleted docs
+       (broadcast semi-join of the store against the deleted ids —
+       |deleted|-bounded);
+    2. the affected components' SURVIVING members re-derive their
+       candidate pairs from the persisted signature store restricted
+       to exactly those members (components are CLOSED under the LSH
+       pair relation — a pair can never cross a component boundary,
+       so the restriction loses nothing vs a full rebuild), and
+       re-cluster with the same bounded min-label propagation;
+    3. a survivor left with NO surviving pair drops out of the store
+       (the store holds only docs with >= 1 pair — exactly what a
+       from-scratch build over the post-delete corpus produces);
+    4. every untouched component passes through unchanged.
+
+    Cost: the store and signature relations are each scanned once
+    (filter/semi-join — in production both are bucketed by doc_id so
+    the member restriction is a pruned read); the pair re-derivation
+    and propagation run over the affected components' members only —
+    a delete in a 1M-cluster corpus pays for ITS component, never the
+    corpus. forget(store, D) == rebuild(corpus \\ D) — the catalog
+    key's oracle is exactly that from-scratch rebuild.
+
+    ``store``: (doc_id, cluster_id) converged assignment.
+    ``sig_store``: the persisted minhash signature relation over the
+    SAME corpus (``minhash_signatures`` output). ``deleted_ids``: the
+    (small) relation of doc ids to forget. Returns the next store:
+    (doc_id, cluster_id, keep)."""
+    del_ids = deleted_ids.select("doc_id").distinct()
+    affected = (
+        store.join(F.broadcast(del_ids), "doc_id", "left_semi")
+        .select("cluster_id")
+        .distinct()
+    )
+    members = (
+        store.join(F.broadcast(affected), "cluster_id", "left_semi")
+        .join(F.broadcast(del_ids), "doc_id", "left_anti")
+        .select("doc_id")
+    )
+    member_sigs = sig_store.join(members, "doc_id", "left_semi")
+    pairs = minhash_candidate_pairs(
+        member_sigs, min_matching_bands=min_matching_bands
+    )
+    relabeled = dedup_clusters(pairs, max_iters=max_iters).select(
+        "doc_id", "cluster_id"
+    )
+    untouched = store.join(
+        F.broadcast(affected), "cluster_id", "left_anti"
+    ).select("doc_id", "cluster_id")
+    return untouched.unionByName(relabeled).select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("keep"),
+    )
+
+
 def cluster_safe_split(
     docs: DataFrame,
     pairs: DataFrame,

@@ -37,6 +37,7 @@ from aproximacion_1_etl_spark.queries import (
     _bm25_index_store,
     _chunk_vector_index,
     _dup_cluster_store,
+    _full_dup_cluster_store,
     _persisted_graph_store,
     _trained_append_codebook,
     _trained_bpe_merges,
@@ -311,6 +312,10 @@ HEADLINE = [
     "incremental_bm25_index",
     "chunk_ann_recall",
     "incremental_weighted_sample",
+    # round-11: cluster-store deletion (rebuild-affected-components;
+    # full-corpus store build reported separately), the IVF retrain
+    # verdict, and incremental chunk-index maintenance
+    "dup_clusters_forget",
     # Python-worker queries LAST: applyInPandas spins up 32 Python
     # workers and leaves GC pressure that inflates the next JVM-only
     # query by ~3x (measured: dedup_minhash_lsh 6.96s after it vs 1.9s
@@ -418,6 +423,10 @@ def _run_segment(keys: list[str]) -> dict:
         # used to rebuild + checkpoint this inline on every rep)
         ("weighted_sample_store_build_sec", _weighted_sample_store,
          {"incremental_weighted_sample"}),
+        # full-corpus dedup state (signatures + clusters) the deletion
+        # key mutates — on disk in production, a line item here
+        ("full_dup_cluster_store_build_sec", _full_dup_cluster_store,
+         {"dup_clusters_forget"}),
     ]:
         if not (consumers & seg):
             continue
