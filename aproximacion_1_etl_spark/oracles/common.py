@@ -734,6 +734,105 @@ scan AS (SELECT p.query_id, p.probe_rank, pop.pop
     return head + "\nUNION ALL\n".join(parts)
 
 
+def _ivf_retrain_plan_sql() -> str:
+    """Mirror of q_ivf_retrain_plan / text/vector.py::
+    ivf_retrain_report: codebook recurrence on the STORE slice
+    (vec_id % 2 = 0 — the _ivf_cent_ctes device of
+    _ivf_index_append_sql), shared 6-dp assignment + per-query probe
+    order, then per append wave the base/new cell-count merge with
+    the hot rule (n_total·n_cells > 2·grand_total), the 9-dp exact
+    and nprobe=4 IVF top-10 over the appended corpus slice, and the
+    fixed 4-row evidence report. Exact integers everywhere until the
+    two 6-dp one-division ratios per wave — identical on both
+    engines."""
+    qids, nq, k, nprobe = "0, 2, 4", 3, 10, 4
+    waves = [(1, "vec_id % 8 = 1"), (2, "vec_id % 8 IN (1, 3, 5)")]
+    cos9 = (
+        "floor((list_dot_product(q.qv, {v}) / "
+        "(sqrt(list_dot_product(q.qv, q.qv)) * "
+        "sqrt(list_dot_product({v}, {v})))) * 1000000000.0 + 0.5) "
+        "/ 1000000000.0"
+    )
+    head = f"""WITH {_ivf_cent_ctes(where="vec_id % 2 = 0")},
+kc AS (SELECT CAST(count(*) AS BIGINT) AS n_cells FROM cent),
+eall AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+dall AS (SELECT eall.vec_id, c.cid,
+             floor((list_dot_product(eall.v, eall.v) + c.cc
+                    - 2.0 * list_dot_product(eall.v, c.cv)) * 1000000.0
+                   + 0.5) / 1000000.0 AS d6
+      FROM eall CROSS JOIN cent c),
+asg AS (SELECT vec_id, CAST(cid AS INT) AS cell FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY d6 ASC, cid ASC) AS rn
+          FROM dall) WHERE rn = 1),
+probes AS (SELECT vec_id AS query_id, CAST(cid AS INT) AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY d6 ASC, cid ASC) AS rn
+    FROM dall WHERE vec_id IN ({qids})) WHERE rn <= {nprobe}),
+qv AS (SELECT vec_id AS query_id, v AS qv FROM eall
+       WHERE vec_id IN ({qids})),
+base AS (SELECT cell, count(*) AS n_baseline FROM asg
+         WHERE vec_id % 2 = 0 GROUP BY 1)"""
+    parts = [head]
+    tails = []
+    for w, pred in waves:
+        parts.append(f""",
+new{w} AS (SELECT cell, count(*) AS n_new FROM asg
+           WHERE {pred} GROUP BY 1),
+m{w} AS (SELECT coalesce(b.cell, n.cell) AS cell,
+              coalesce(b.n_baseline, 0) AS n_baseline,
+              coalesce(n.n_new, 0) AS n_new
+         FROM base b FULL OUTER JOIN new{w} n ON b.cell = n.cell),
+t{w} AS (SELECT CAST(sum(n_baseline) AS BIGINT) AS tb,
+              CAST(sum(n_new) AS BIGINT) AS tn,
+              CAST(sum(n_baseline + n_new) AS BIGINT) AS ta FROM m{w}),
+h{w} AS (SELECT CAST(count(*) AS BIGINT) AS n_hot
+         FROM m{w}, t{w}, kc
+         WHERE (n_baseline + n_new) * n_cells > 2 * ta),
+corp{w} AS (SELECT * FROM eall WHERE vec_id % 2 = 0 OR {pred}),
+ex{w} AS (SELECT query_id, vec_id FROM (
+    SELECT q.query_id, c.vec_id,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY
+             {cos9.format(v="c.v")} DESC, c.vec_id ASC) AS rn
+    FROM corp{w} c CROSS JOIN qv q WHERE c.vec_id != q.query_id)
+  WHERE rn <= {k}),
+cand{w} AS (SELECT DISTINCT p.query_id, c.vec_id, c.v
+            FROM corp{w} c JOIN asg a ON a.vec_id = c.vec_id
+            JOIN probes p ON p.cell = a.cell
+                         AND c.vec_id != p.query_id),
+ap{w} AS (SELECT query_id, vec_id FROM (
+    SELECT cd.query_id, cd.vec_id,
+           row_number() OVER (PARTITION BY cd.query_id ORDER BY
+             {cos9.format(v="cd.v")} DESC, cd.vec_id ASC) AS rn
+    FROM cand{w} cd JOIN qv q ON q.query_id = cd.query_id)
+  WHERE rn <= {k}),
+hit{w} AS (SELECT CAST(count(*) AS BIGINT) AS hits
+           FROM ex{w} e JOIN ap{w} a
+             ON e.query_id = a.query_id AND e.vec_id = a.vec_id)""")
+        nk = nq * k
+        tails.append(f"""SELECT CAST({w} AS INT) AS wave,
+       'growth' AS evidence,
+       floor((tn * 1.0 / tb) * 1000000.0 + 0.5) / 1000000.0 AS value,
+       CAST(0.5 AS DOUBLE) AS bound, (tn * 2 >= tb) AS breach FROM t{w}
+UNION ALL
+SELECT CAST({w} AS INT), 'hot_cells',
+       floor((n_hot * 1.0 / n_cells) * 1000000.0 + 0.5) / 1000000.0,
+       CAST(0.125 AS DOUBLE), (n_hot * 8 > n_cells) FROM h{w}, kc
+UNION ALL
+SELECT CAST({w} AS INT), 'recall_probe',
+       floor((hits * 1.0 / {nk}) * 1000000.0 + 0.5) / 1000000.0,
+       CAST(0.5 AS DOUBLE), (hits * 2 < {nk}) FROM hit{w}
+UNION ALL
+SELECT CAST({w} AS INT), 'verdict',
+       CASE WHEN (tn * 2 >= tb) OR (n_hot * 8 > n_cells)
+              OR (hits * 2 < {nk})
+            THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END,
+       CAST(1.0 AS DOUBLE),
+       ((tn * 2 >= tb) OR (n_hot * 8 > n_cells) OR (hits * 2 < {nk}))
+FROM t{w}, h{w}, hit{w}, kc""")
+    return "".join(parts) + "\n" + "\nUNION ALL\n".join(tails)
+
+
 def _ann_brute_sql(query_ids: str = "0, 1, 2, 3, 4", k: int = 10) -> str:
     """Generated mirror of text/vector.py::ann_topk_bruteforce."""
     return f"""
@@ -2315,6 +2414,7 @@ __all__ = [
     "_ann_topk_pq_sql",
     "_ann_topk_ivfpq_sql",
     "_ivf_nprobe_plan_sql",
+    "_ivf_retrain_plan_sql",
     "_retrieval_eval_sql",
     "_sentence_chunk_ctes",
     "_chunk_retrieval_sql",

@@ -8,6 +8,7 @@ ORACLES: dict[str, str] = {
     "semantic_dedup": _semantic_dedup_sql(target_cell=8),
     "ann_topk_ivf": _ann_topk_ivf_sql(),
     "ivf_nprobe_plan": _ivf_nprobe_plan_sql(),
+    "ivf_retrain_plan": _ivf_retrain_plan_sql(),
     "retrieval_eval_report": _retrieval_eval_sql(),
     "ivf_index_append": _ivf_index_append_sql(),
     "ann_topk_pq": _ann_topk_pq_sql(),

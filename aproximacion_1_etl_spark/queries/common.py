@@ -308,6 +308,36 @@ def _trained_append_codebook(
     return cb
 
 
+_HALF_CODEBOOK_CACHE: dict[tuple, dict[int, list[float]]] = {}
+
+
+def _trained_half_codebook(
+    spark: SparkSession, sf_dir: str
+) -> dict[int, list[float]]:
+    """Codebook trained on the retrain-plan key's STORE slice
+    (vec_id % 2 == 0) — the aging index whose drift
+    q_ivf_retrain_plan measures as successive waves append against
+    it. Memoized on (sf_dir, parquet mtime) like every model
+    artifact; benched as its own ``half_codebook_train_sec`` line
+    item."""
+    from aproximacion_1_etl_spark.text.vector import (
+        derive_n_centroids,
+        train_ivf_centroids,
+    )
+
+    key = _artifact_key(sf_dir, "embeddings")
+    cb = _HALF_CODEBOOK_CACHE.get(key)
+    if cb is None:
+        old = load_table(spark, sf_dir, "embeddings").filter(
+            F.col("vec_id") % 2 == 0
+        )
+        cb = train_ivf_centroids(
+            old, n_centroids=derive_n_centroids(old.count()), iterations=3
+        )
+        _HALF_CODEBOOK_CACHE[key] = cb
+    return cb
+
+
 _BPE_MERGES_CACHE: dict[tuple, list[tuple[str, str]]] = {}
 
 
@@ -1269,6 +1299,7 @@ __all__ = [
     "_trained_pq_books",
     "_APPEND_CODEBOOK_CACHE",
     "_trained_append_codebook",
+    "_trained_half_codebook",
     "_BPE_MERGES_CACHE",
     "_trained_bpe_merges",
     "BLOCKLIST_DOMAINS",

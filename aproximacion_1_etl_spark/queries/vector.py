@@ -356,6 +356,49 @@ def q_ivf_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_index_append(emb.filter(F.col("vec_id") % 4 == 0), cb, baseline)
 
 
+def q_ivf_retrain_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 IVF CODEBOOK DRIFT TRIGGER (VERDICT r10 task 7) — the
+    decision the recall gates feed: the maintained index's codebook
+    was trained on the store slice (vec_id % 2 == 0,
+    _trained_half_codebook); two successive append waves arrive
+    (wave 1: vec_id % 8 == 1 — a normal day; wave 2: the cumulative
+    vec_id % 8 in {1,3,5} backlog) and for each the report folds the
+    wave's cell populations into the store's counts and measures the
+    codebook's recall probe over the appended corpus, emitting
+    retrain/no-retrain WITH the measured evidence
+    (text/vector.py::ivf_retrain_report). The shipped corpus flips
+    the verdict between the waves: wave 1's 25% growth stays inside
+    every bound (no_retrain), wave 2's 75% growth breaches the 1/2
+    volume bound (retrain) — the pytest pins the flip point, and the
+    DuckDB oracle re-derives the codebook in-engine (_ivf_cent_ctes
+    on the store slice) and mirrors every exact-integer comparison."""
+    from aproximacion_1_etl_spark.text.vector import ivf_retrain_report
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    store = emb.filter(F.col("vec_id") % 2 == 0)
+    cb = _trained_half_codebook(spark, sf_dir)
+    qids = [0, 2, 4]
+    waves = [
+        (1, emb.filter(F.col("vec_id") % 8 == 1)),
+        (2, emb.filter((F.col("vec_id") % 8).isin(1, 3, 5))),
+    ]
+    outs = []
+    for wave, batch in waves:
+        outs.append(
+            ivf_retrain_report(store, batch, cb, qids).select(
+                F.lit(wave).cast("int").alias("wave"),
+                "evidence",
+                "value",
+                "bound",
+                "breach",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
 def q_hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.10 hybrid retrieval: BM25 lexical top-20 and exact-cosine
     semantic top-20 per query, fused by reciprocal-rank fusion
@@ -866,6 +909,7 @@ __all__ = [
     "q_ann_topk_pq",
     "q_ann_topk_ivfpq",
     "q_ivf_nprobe_plan",
+    "q_ivf_retrain_plan",
     "q_retrieval_eval_report",
     "q_ivf_index_append",
     "q_hybrid_rrf_retrieval",

@@ -945,6 +945,134 @@ def ivf_merge_cell_stats(
     )
 
 
+def ivf_retrain_report(
+    store: DataFrame,
+    batch: DataFrame,
+    centroids: dict[int, list[float]],
+    query_ids: list[int],
+    k: int = 10,
+    nprobe: int = 4,
+    growth_bound: tuple[int, int] = (1, 2),
+    hot_bound: tuple[int, int] = (1, 8),
+    recall_bound: tuple[int, int] = (1, 2),
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF CODEBOOK DRIFT TRIGGER — the decision layer the recall
+    gates feed (VERDICT r10 task 7): the recall measurements
+    (ann_recall_at_k, chunk_ann_recall) and the population flags
+    (ivf_index_append) exist, but nothing DECIDED when to retrain.
+    This folds an appended batch's cell-population stats into the
+    maintained per-cell counts and measures a recall probe of the
+    trained codebook over the appended corpus, then emits a
+    retrain / no-retrain verdict with every piece of measured
+    evidence next to its bound (the ivf_nprobe_plan report idea:
+    a sizing decision read off measurements, not formulas):
+
+    - ``growth``     — |batch| / |store| (the volume signal: sqrt(n)
+      cells for the old n are too few); breach when
+      den·tot_new >= num·tot_base (exact integers; default >= 1/2,
+      the retrain_due rule of ivf_merge_cell_stats);
+    - ``hot_cells``  — fraction of cells whose post-append population
+      exceeds 2x the mean (the skew signal: appends concentrating in
+      few cells mean the centroids no longer tile the distribution);
+      breach when den·n_hot > num·n_cells (default > 1/8);
+    - ``recall_probe`` — measured recall@k of the nprobe-cell IVF
+      search vs the exact top-k over the SAME appended corpus for the
+      probe query set (the quality signal — the ground-truth join is
+      |Q|·k-sized); breach when den·hits < num·|Q|·k (default < 1/2);
+    - ``verdict``    — retrain when ANY evidence breached.
+
+    Every comparison is a product of exact integers, so the report
+    value-checks bit-for-bit against the DuckDB oracle; the two
+    one-division ratios round 6 dp. Scale shape: two map-side
+    assignment scans (store, batch — the literal-codebook argmin, no
+    shuffle), a |cells|-sized merge, one brute probe pass bounded by
+    |Q| broadcast queries, and 1-row aggregates cross-joined into the
+    fixed 4-row report."""
+    n_cells = len(centroids)
+    nq = len(query_ids)
+    base_counts = (
+        ivf_assign_cells(store, centroids, id_col, vec_col)
+        .groupBy("cell")
+        .agg(F.count("*").alias("n_baseline"))
+    )
+    merged = ivf_index_append(
+        batch, centroids, base_counts, id_col, vec_col
+    )
+    tots = merged.agg(
+        F.sum("n_baseline").cast("bigint").alias("tb"),
+        F.sum("n_new").cast("bigint").alias("tn"),
+        F.sum(F.when(F.col("hot"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_hot"),
+    )
+    corpus = store.unionByName(batch)
+    exact = ann_topk_bruteforce(
+        corpus, query_ids=query_ids, k=k, id_col=id_col, vec_col=vec_col
+    ).select("query_id", id_col)
+    approx = ann_topk_ivf(
+        corpus,
+        query_ids=query_ids,
+        k=k,
+        nprobe=nprobe,
+        centroids=centroids,
+        id_col=id_col,
+        vec_col=vec_col,
+    ).select("query_id", id_col)
+    hitrow = (
+        exact.join(approx, ["query_id", id_col], "left_semi")
+        .agg(F.count("*").cast("bigint").alias("hits"))
+    )
+    ev = F.broadcast(tots).crossJoin(F.broadcast(hitrow))
+    gnum, gden = growth_bound
+    hnum, hden = hot_bound
+    rnum, rden = recall_bound
+    growth_breach = F.col("tn") * F.lit(gden) >= F.col("tb") * F.lit(gnum)
+    hot_breach = F.col("n_hot") * F.lit(hden) > F.lit(n_cells * hnum)
+    recall_breach = F.col("hits") * F.lit(rden) < F.lit(nq * k * rnum)
+    rows = [
+        ev.select(
+            F.lit("growth").alias("evidence"),
+            _fround(F.col("tn") * F.lit(1.0) / F.col("tb"), 6).alias(
+                "value"
+            ),
+            F.lit(round(gnum / gden, 6)).alias("bound"),
+            growth_breach.alias("breach"),
+        ),
+        ev.select(
+            F.lit("hot_cells").alias("evidence"),
+            _fround(F.col("n_hot") * F.lit(1.0) / F.lit(n_cells), 6).alias(
+                "value"
+            ),
+            F.lit(round(hnum / hden, 6)).alias("bound"),
+            hot_breach.alias("breach"),
+        ),
+        ev.select(
+            F.lit("recall_probe").alias("evidence"),
+            _fround(F.col("hits") * F.lit(1.0) / F.lit(nq * k), 6).alias(
+                "value"
+            ),
+            F.lit(round(rnum / rden, 6)).alias("bound"),
+            recall_breach.alias("breach"),
+        ),
+        ev.select(
+            F.lit("verdict").alias("evidence"),
+            F.when(
+                growth_breach | hot_breach | recall_breach, F.lit(1.0)
+            )
+            .otherwise(F.lit(0.0))
+            .alias("value"),
+            F.lit(1.0).alias("bound"),
+            (growth_breach | hot_breach | recall_breach).alias("breach"),
+        ),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
 def _py_dot(a: list[float], b: list[float]) -> float:
     """Left-to-right fold — bit-matches _sql_dot / DuckDB
     list_dot_product so driver-computed distance tables agree with

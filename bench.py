@@ -42,6 +42,7 @@ from aproximacion_1_etl_spark.queries import (
     _trained_append_codebook,
     _trained_bpe_merges,
     _trained_codebook,
+    _trained_half_codebook,
     _trained_logreg_weights,
     _trained_pq_books,
     _weighted_sample_store,
@@ -316,6 +317,7 @@ HEADLINE = [
     # full-corpus store build reported separately), the IVF retrain
     # verdict, and incremental chunk-index maintenance
     "dup_clusters_forget",
+    "ivf_retrain_plan",
     # Python-worker queries LAST: applyInPandas spins up 32 Python
     # workers and leaves GC pressure that inflates the next JVM-only
     # query by ~3x (measured: dedup_minhash_lsh 6.96s after it vs 1.9s
@@ -400,6 +402,10 @@ def _run_segment(keys: list[str]) -> dict:
           "padding_efficiency_report", "bpe_train_merges"}),
         ("append_codebook_train_sec", _trained_append_codebook,
          {"ivf_index_append", "streaming_ivf_append", "ann_topk_ivfpq"}),
+        # the aging store-slice codebook whose drift the retrain-plan
+        # key measures
+        ("half_codebook_train_sec", _trained_half_codebook,
+         {"ivf_retrain_plan"}),
         # the simulated persisted graph store (VERDICT r9 #4): in
         # production a parquet read, here a bulk census — timed as its
         # own line item so incremental_graph_stats' number is the

@@ -375,6 +375,66 @@ def test_semantic_dedup_banding_matches_plain_when_vacuous(spark):
     )
 
 
+def _retrain_report_dict(spark, store_rows, batch_rows, **kw):
+    from aproximacion_1_etl_spark.text.vector import ivf_retrain_report
+
+    schema = "vec_id BIGINT, embedding ARRAY<DOUBLE>"
+    store = spark.createDataFrame(store_rows, schema)
+    batch = spark.createDataFrame(batch_rows, schema)
+    return {
+        r.evidence: (r.value, r.breach)
+        for r in ivf_retrain_report(store, batch, **kw).collect()
+    }
+
+
+def test_ivf_retrain_report_growth_flip_point(spark):
+    """VERDICT r10 task 7: the retrain verdict flips EXACTLY at the
+    50% growth bound — a 1-of-4 batch stays no_retrain, a 2-of-4
+    batch (2·tot_new >= tot_base at equality) flips to retrain, with
+    recall/hot evidence clean in both (all vectors share one cell so
+    the nprobe=1 probe captures the exact top-k)."""
+    cents = {0: [1.0, 0.0], 1: [8.0, 0.0]}
+    store = [
+        (0, [1.0, 0.01]), (1, [1.1, 0.0]),
+        (2, [0.9, 0.02]), (3, [1.05, 0.03]),
+    ]
+    kw = dict(centroids=cents, query_ids=[0], k=2, nprobe=1)
+    small = _retrain_report_dict(
+        spark, store, [(9, [1.0, 0.05])], **kw
+    )
+    assert small["growth"] == (0.25, False)
+    assert small["recall_probe"] == (1.0, False)
+    assert small["verdict"] == (0.0, False)
+    big = _retrain_report_dict(
+        spark, store, [(9, [1.0, 0.05]), (10, [0.95, 0.04])], **kw
+    )
+    assert big["growth"] == (0.5, True)  # boundary: 2*2 >= 4
+    assert big["recall_probe"] == (1.0, False)
+    assert big["verdict"] == (1.0, True)
+
+
+def test_ivf_retrain_report_recall_breach_triggers(spark):
+    """The quality evidence alone must trigger retrain: the query's
+    exact top-k lives in the UNPROBED cell (high-magnitude vectors
+    share the query's direction but quantize to the far centroid), so
+    the nprobe=1 probe recalls 0 of it — retrain even though growth
+    and skew are clean."""
+    cents = {0: [1.0, 0.0], 1: [8.0, 0.0]}
+    store = [
+        (0, [1.0, 0.01]),   # query, cell 0
+        (1, [0.1, 1.0]),    # cell 0, near-orthogonal to the query
+        (2, [10.0, 0.1]),   # cell 1, cosine ~1 to the query
+        (3, [11.0, 0.2]),   # cell 1, cosine ~1 to the query
+    ]
+    rep = _retrain_report_dict(
+        spark, store, [(9, [0.2, 1.0])],
+        centroids=cents, query_ids=[0], k=2, nprobe=1,
+    )
+    assert rep["growth"][1] is False and rep["hot_cells"][1] is False
+    assert rep["recall_probe"] == (0.0, True)
+    assert rep["verdict"] == (1.0, True)
+
+
 def test_ivf_index_append_flags_hot_cells_and_retrain(spark):
     """Incremental index maintenance: a new batch that concentrates in
     one cell flips that cell's hot flag; a batch that grows the corpus
