@@ -950,6 +950,34 @@ cspans AS (
   FROM sc_bins GROUP BY doc_id, chunk_id)"""
 
 
+def _incremental_chunk_index_sql(budget: int = 25) -> str:
+    """Mirror of q_incremental_chunk_index: the FROM-SCRATCH chunk
+    index over the full corpus — pooled chunk vectors
+    (_chunk_vec_ctes) for the vector half's 6-dp squared-norm digest,
+    and per-chunk token counts / distinct-term counts from the shared
+    sentence→chunk assignment for the postings half (count(*) over a
+    chunk's tokens IS the reconstructed text's dl; count(DISTINCT)
+    its posting count). Fold == rebuild pins both halves at once."""
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+{_chunk_vec_ctes(budget)},
+ctoks AS (SELECT b.doc_id, b.chunk_id, t.tok
+          FROM sc_tok t JOIN sc_bins b
+            ON b.doc_id = t.doc_id AND b.sent_idx = t.sent_idx),
+dig AS (SELECT CAST(doc_id * 100000 + chunk_id AS BIGINT) AS ckey,
+               CAST(count(*) AS BIGINT) AS dl,
+               CAST(count(DISTINCT tok) AS BIGINT) AS n_terms
+        FROM ctoks GROUP BY doc_id, chunk_id)
+SELECT c.ckey, c.doc_id, c.chunk_id, s.sent_start, s.sent_end,
+       d.dl, d.n_terms,
+       floor(list_dot_product(c.v, c.v) * 1000000.0 + 0.5) / 1000000.0
+         AS vv
+FROM cvec c
+JOIN cspans s ON s.ckey = c.ckey
+JOIN dig d ON d.ckey = c.ckey
+"""
+
+
 def _chunk_ann_ctes(nprobe: int = 4) -> str:
     """The trained-IVF chunk ANN ranking CTEs (mirror of
     text/vector.py::ann_topk_ivf_queries over the cvec index): 6-dp
@@ -2419,6 +2447,7 @@ __all__ = [
     "_sentence_chunk_ctes",
     "_chunk_retrieval_sql",
     "_chunk_ann_sql",
+    "_incremental_chunk_index_sql",
     "_chunk_hybrid_sql",
     "_chunk_ann_recall_sql",
     "_chunk_vec_ctes",

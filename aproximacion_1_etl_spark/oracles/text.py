@@ -434,6 +434,7 @@ WHERE length(substr(text, chunk_id * 300 + 1, 400)) > 0
     "chunk_retrieval_spans": _chunk_retrieval_sql(25, 10),
     # trained-IVF ANN over the pooled chunk-vector index, spans joined
     "chunk_ann_retrieval": _chunk_ann_sql(10, 25),
+    "incremental_chunk_index": _incremental_chunk_index_sql(25),
     # chunk BM25 top-20 + chunk ANN top-20 fused by RRF into top-10
     "chunk_hybrid_retrieval": _chunk_hybrid_sql(10, 20, 60, 25),
     # recall@10 of the trained-IVF chunk index vs exact chunk cosine

@@ -705,6 +705,34 @@ def _sentence_chunk_bins(docs: DataFrame, budget: int) -> DataFrame:
     )
 
 
+def _chunk_texts(docs: DataFrame, budget: int) -> DataFrame:
+    """Reconstructed chunk texts from the ONE shared sentence→chunk
+    assignment — the relation chunk-level BM25 indexes over, shared
+    by the lexical retrieval key, the hybrid fusion key, and the
+    incremental chunk-index fold so their tokenization cannot drift.
+    Returns (ckey, doc_id, chunk_id, text)."""
+    st = _sentence_tokens(docs)
+    bins = _sentence_chunk_bins(docs, budget)
+    tok_chunks = st.join(
+        bins.select("doc_id", "sent_idx", "chunk_id"),
+        ["doc_id", "sent_idx"],
+    )
+    return tok_chunks.groupBy("doc_id", "chunk_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda x: x["tok"],
+            ),
+        ).alias("text")
+    ).select(
+        _chunk_key(F.col("doc_id"), F.col("chunk_id")).alias("ckey"),
+        "doc_id",
+        "chunk_id",
+        "text",
+    )
+
+
 def q_semantic_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.10 SENTENCE-WINDOW SEMANTIC CHUNKING for RAG — completes the
     chunk→embed→ANN→rerank pipeline next to q_chunk_documents (fixed
@@ -855,31 +883,16 @@ def q_chunk_retrieval_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     budget = 25
     docs = load_table(spark, sf_dir, "documents")
-    st = _sentence_tokens(docs)
     bins = _sentence_chunk_bins(docs, budget)
-    tok_chunks = st.join(
-        bins.select("doc_id", "sent_idx", "chunk_id"),
-        ["doc_id", "sent_idx"],
-    )
-    chunk_texts = tok_chunks.groupBy("doc_id", "chunk_id").agg(
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-                lambda x: x["tok"],
-            ),
-        ).alias("text")
-    )
     spans = bins.groupBy("doc_id", "chunk_id").agg(
         F.min("sent_idx").cast("bigint").alias("sent_start"),
         F.max("sent_idx").cast("bigint").alias("sent_end"),
     )
     chunks = (
-        chunk_texts.join(spans, ["doc_id", "chunk_id"])
+        _chunk_texts(docs, budget)
+        .join(spans, ["doc_id", "chunk_id"])
         .select(
-            _chunk_key(F.col("doc_id"), F.col("chunk_id")).alias(
-                "ckey"
-            ),
+            "ckey",
             "doc_id",
             "chunk_id",
             "sent_start",
@@ -1022,52 +1035,172 @@ def _chunk_vector_index(
     )
     cached = _CHUNK_INDEX_CACHE.get(key)
     if cached is None:
-        from aproximacion_1_etl_spark.text.vector import _as_double
-
         docs = load_table(spark, sf_dir, "documents")
-        bins = _sentence_chunk_bins(docs, budget)
-        emb = _as_double(
-            load_table(spark, sf_dir, "embeddings"), "embedding"
-        )
-        nv = emb.agg(F.count("*").alias("_n_vecs"))
-        sa = bins.crossJoin(F.broadcast(nv)).select(
-            "doc_id",
-            "chunk_id",
-            "sent_idx",
-            (
-                (F.col("doc_id") * 131 + F.col("sent_idx"))
-                % F.col("_n_vecs")
-            ).cast("bigint").alias("vec_id"),
-        )
-        sv = sa.join(emb, "vec_id")
-        pooled = sv.groupBy("doc_id", "chunk_id").agg(
-            F.count("*").alias("_n"),
-            F.min("sent_idx").cast("bigint").alias("sent_start"),
-            F.max("sent_idx").cast("bigint").alias("sent_end"),
-            *[
-                F.sum(
-                    F.col("embedding")[d].cast("decimal(38,18)")
-                ).alias(f"_s{d}")
-                for d in range(_EMB_DIM)
-            ],
-        )
-        cached = pooled.select(
-            _chunk_key(F.col("doc_id"), F.col("chunk_id")).alias(
-                "ckey"
-            ),
-            "doc_id",
-            "chunk_id",
-            "sent_start",
-            "sent_end",
-            F.array(
-                *[
-                    F.col(f"_s{d}").cast("double") / F.col("_n")
-                    for d in range(_EMB_DIM)
-                ]
-            ).alias("embedding"),
+        cached = _pooled_chunk_vectors(
+            spark, sf_dir, docs, budget
         ).localCheckpoint(eager=True)
         _CHUNK_INDEX_CACHE[key] = cached
     return cached
+
+
+def _pooled_chunk_vectors(
+    spark: SparkSession, sf_dir: str, docs: DataFrame, budget: int = 25
+) -> DataFrame:
+    """The pooling pass of the chunk-vector index over ANY document
+    relation — ONE definition shared by the full-corpus build
+    (_chunk_vector_index) and the incremental fold
+    (q_incremental_chunk_index), so fold == rebuild cannot drift:
+    chunks are per-document, and the sentence→vector hash rule's
+    modulus is |embeddings| (corpus-independent of which docs are
+    pooled), so pooling a batch produces bit-identical rows to the
+    same docs inside a full build. Returns (ckey, doc_id, chunk_id,
+    sent_start, sent_end, embedding)."""
+    from aproximacion_1_etl_spark.text.vector import _as_double
+
+    bins = _sentence_chunk_bins(docs, budget)
+    emb = _as_double(
+        load_table(spark, sf_dir, "embeddings"), "embedding"
+    )
+    nv = emb.agg(F.count("*").alias("_n_vecs"))
+    sa = bins.crossJoin(F.broadcast(nv)).select(
+        "doc_id",
+        "chunk_id",
+        "sent_idx",
+        (
+            (F.col("doc_id") * 131 + F.col("sent_idx"))
+            % F.col("_n_vecs")
+        ).cast("bigint").alias("vec_id"),
+    )
+    sv = sa.join(emb, "vec_id")
+    pooled = sv.groupBy("doc_id", "chunk_id").agg(
+        F.count("*").alias("_n"),
+        F.min("sent_idx").cast("bigint").alias("sent_start"),
+        F.max("sent_idx").cast("bigint").alias("sent_end"),
+        *[
+            F.sum(
+                F.col("embedding")[d].cast("decimal(38,18)")
+            ).alias(f"_s{d}")
+            for d in range(_EMB_DIM)
+        ],
+    )
+    return pooled.select(
+        _chunk_key(F.col("doc_id"), F.col("chunk_id")).alias("ckey"),
+        "doc_id",
+        "chunk_id",
+        "sent_start",
+        "sent_end",
+        F.array(
+            *[
+                F.col(f"_s{d}").cast("double") / F.col("_n")
+                for d in range(_EMB_DIM)
+            ]
+        ).alias("embedding"),
+    )
+
+
+_CHUNK_STORE_CACHE: dict[tuple, tuple] = {}
+
+
+def _chunk_index_store(
+    spark: SparkSession, sf_dir: str, budget: int = 25
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """The SIMULATED persisted RAG chunk-index state over the
+    existing corpus (doc_id % 4 != 0): the pooled chunk-VECTOR index
+    plus the chunk-level BM25 inverted index (postings, df, stats —
+    keyed by ckey), both built from the ONE shared sentence→chunk
+    assignment. In production these are parquet relations maintained
+    by the incremental fold; here memoized per (corpus, session) +
+    eagerly checkpointed, with the build timed as its own
+    ``chunk_store_build_sec`` bench line item so the maintenance
+    key's number is the FOLD's cost."""
+    from aproximacion_1_etl_spark.text.analysis import bm25_index
+
+    key = (
+        _artifact_key(sf_dir, "documents"),
+        _artifact_key(sf_dir, "embeddings"),
+        budget,
+        spark.sparkContext.applicationId,
+    )
+    cached = _CHUNK_STORE_CACHE.get(key)
+    if cached is None:
+        old = load_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % 4 != 0
+        )
+        vecidx = _pooled_chunk_vectors(
+            spark, sf_dir, old, budget
+        ).localCheckpoint(eager=True)
+        ct = _chunk_texts(old, budget).select(
+            F.col("ckey").alias("doc_id"), "text"
+        )
+        postings, df0, stats = bm25_index(ct)
+        cached = (
+            vecidx,
+            postings.localCheckpoint(eager=True),
+            df0.localCheckpoint(eager=True),
+            stats.localCheckpoint(eager=True),
+        )
+        _CHUNK_STORE_CACHE[key] = cached
+    return cached
+
+
+def q_incremental_chunk_index(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """§2.10 INCREMENTAL CHUNK-INDEX MAINTENANCE — the RAG-freshness
+    twin (VERDICT r10 task 3): the one persisted store that still
+    rebuilt per corpus was the chunk index, so retrieval went stale
+    under daily appends. The daily batch (doc_id % 4 == 0) is
+    sentence-tokenized ONCE and folded into BOTH halves of the
+    persisted chunk index in one pass: its pooled chunk VECTORS
+    append to the vector index (chunks are per-document and the
+    sentence→vector hash modulus is |embeddings|, so batch pooling is
+    bit-identical to the same docs inside a full build —
+    _pooled_chunk_vectors is the one shared definition), and its
+    reconstructed chunk texts fold into the chunk-level BM25 postings
+    through the guarded fold_bm25_index (postings append, dfs add,
+    exact-integer totals — re-delivered chunk keys are no-ops).
+    History is never re-pooled or re-tokenized.
+
+    Output: one row per chunk of the FULLY-FOLDED index carrying both
+    halves' evidence — the span provenance + the pooled vector's
+    squared norm (the _sql_dot device, 6 dp) from the vector half,
+    and dl + distinct-term count from the postings half. The DuckDB
+    oracle is the FROM-SCRATCH chunk index over the full corpus (the
+    _chunk_vec_ctes rebuild) — hash equality proves fold == rebuild
+    for both halves at once."""
+    from aproximacion_1_etl_spark.text.analysis import fold_bm25_index
+    from aproximacion_1_etl_spark.text.vector import _sql_dot
+
+    budget = 25
+    vecidx, postings, df0, stats = _chunk_index_store(
+        spark, sf_dir, budget
+    )
+    batch = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 4 == 0
+    )
+    folded_vec = vecidx.unionByName(
+        _pooled_chunk_vectors(spark, sf_dir, batch, budget)
+    )
+    bct = _chunk_texts(batch, budget).select(
+        F.col("ckey").alias("doc_id"), "text"
+    )
+    p2, _d2, _s2 = fold_bm25_index(postings, df0, stats, bct)
+    dig = p2.groupBy("doc_id").agg(
+        F.max("dl").cast("bigint").alias("dl"),
+        F.count("*").cast("bigint").alias("n_terms"),
+    ).select(F.col("doc_id").alias("ckey"), "dl", "n_terms")
+    return folded_vec.join(dig, "ckey").select(
+        "ckey",
+        "doc_id",
+        "chunk_id",
+        "sent_start",
+        "sent_end",
+        "dl",
+        "n_terms",
+        _fround(
+            F.expr(_sql_dot("embedding", "embedding")), 6
+        ).alias("vv"),
+    )
 
 
 def _chunk_ann_hits(
@@ -1213,26 +1346,10 @@ def q_chunk_hybrid_retrieval(
 
     budget = 25
     docs = load_table(spark, sf_dir, "documents")
-    st = _sentence_tokens(docs)
-    bins = _sentence_chunk_bins(docs, budget)
-    tok_chunks = st.join(
-        bins.select("doc_id", "sent_idx", "chunk_id"),
-        ["doc_id", "sent_idx"],
-    )
-    chunk_texts = tok_chunks.groupBy("doc_id", "chunk_id").agg(
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-                lambda x: x["tok"],
-            ),
-        ).alias("text")
-    ).select(
-        _chunk_key(F.col("doc_id"), F.col("chunk_id")).alias("ckey"),
-        "text",
-    )
     lex = bm25_topk(
-        chunk_texts.select(F.col("ckey").alias("doc_id"), "text"),
+        _chunk_texts(docs, budget).select(
+            F.col("ckey").alias("doc_id"), "text"
+        ),
         BM25_QUERIES,
         k=20,
     ).select("query_id", F.col("doc_id").alias("ckey"), "rank")
@@ -2641,6 +2758,8 @@ __all__ = [
     "q_chunk_hybrid_retrieval",
     "q_chunk_ann_recall",
     "_chunk_vector_index",
+    "_chunk_index_store",
+    "q_incremental_chunk_index",
     "q_pack_sequences",
     "q_token_entropy",
     "q_bigram_pmi",

@@ -35,6 +35,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from aproximacion_1_etl_spark.queries import (
     ALL_QUERIES,
     _bm25_index_store,
+    _chunk_index_store,
     _chunk_vector_index,
     _dup_cluster_store,
     _full_dup_cluster_store,
@@ -318,6 +319,7 @@ HEADLINE = [
     # verdict, and incremental chunk-index maintenance
     "dup_clusters_forget",
     "ivf_retrain_plan",
+    "incremental_chunk_index",
     # Python-worker queries LAST: applyInPandas spins up 32 Python
     # workers and leaves GC pressure that inflates the next JVM-only
     # query by ~3x (measured: dedup_minhash_lsh 6.96s after it vs 1.9s
@@ -425,6 +427,10 @@ def _run_segment(keys: list[str]) -> dict:
         # the persisted BM25 inverted index the fold key maintains
         ("bm25_index_build_sec", _bm25_index_store,
          {"incremental_bm25_index"}),
+        # the persisted RAG chunk state (vector index + chunk-BM25
+        # postings over the existing corpus) the chunk fold maintains
+        ("chunk_store_build_sec", _chunk_index_store,
+         {"incremental_chunk_index"}),
         # the persisted A-ES weighted sample (ADVICE r10 #4: the key
         # used to rebuild + checkpoint this inline on every rep)
         ("weighted_sample_store_build_sec", _weighted_sample_store,

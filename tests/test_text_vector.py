@@ -1677,6 +1677,75 @@ def test_chunk_vector_index_pools_sentence_vectors_exactly(spark, sf_dir):
             assert abs(r.embedding[d] - want) < 1e-9, (r.ckey, d)
 
 
+def test_incremental_chunk_index_fold_equals_rebuild(spark, sf_dir):
+    """VERDICT r10 task 3: folding a wave of NEW docs into the
+    persisted chunk index (vectors append, chunk-BM25 postings fold)
+    equals the from-scratch index over the grown corpus, bit-for-bit
+    on both halves' digests — and a second wave folds onto the
+    FOLDED state just as exactly (history is never re-pooled)."""
+    import pyspark.sql.functions as F
+
+    from aproximacion_1_etl_spark.queries.text import (
+        _chunk_texts,
+        _pooled_chunk_vectors,
+    )
+    from aproximacion_1_etl_spark.sources.tables import load_table
+    from aproximacion_1_etl_spark.text.analysis import (
+        bm25_index,
+        fold_bm25_index,
+    )
+    from aproximacion_1_etl_spark.text.vector import _sql_dot
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def digest(vec_df, postings_df):
+        dig = postings_df.groupBy("doc_id").agg(
+            F.max("dl").cast("bigint").alias("dl"),
+            F.count("*").cast("bigint").alias("n_terms"),
+        ).select(F.col("doc_id").alias("ckey"), "dl", "n_terms")
+        out = vec_df.join(dig, "ckey").select(
+            "ckey", "sent_start", "sent_end", "dl", "n_terms",
+            F.floor(
+                F.expr(_sql_dot("embedding", "embedding")) * 1e6 + 0.5
+            ).alias("vv6"),
+        )
+        return sorted(map(tuple, out.collect()))
+
+    def build(d):
+        vec = _pooled_chunk_vectors(spark, sf_dir, d, 25)
+        ct = _chunk_texts(d, 25).select(
+            F.col("ckey").alias("doc_id"), "text"
+        )
+        return vec, bm25_index(ct)
+
+    base = docs.filter(F.col("doc_id") % 3 == 0)
+    wave1 = docs.filter(F.col("doc_id") % 3 == 1)
+    wave2 = docs.filter(F.col("doc_id") % 3 == 2)
+    vec0, (p0, d0, s0) = build(base)
+    vec0 = vec0.localCheckpoint(eager=True)
+    p0, d0, s0 = (x.localCheckpoint(eager=True) for x in (p0, d0, s0))
+    # wave 1 fold == rebuild over base+wave1
+    v1 = vec0.unionByName(_pooled_chunk_vectors(spark, sf_dir, wave1, 25))
+    f1 = fold_bm25_index(
+        p0, d0, s0,
+        _chunk_texts(wave1, 25).select(
+            F.col("ckey").alias("doc_id"), "text"
+        ),
+    )
+    rv, (rp, _rd, _rs) = build(docs.filter(F.col("doc_id") % 3 != 2))
+    assert digest(v1, f1[0]) == digest(rv, rp)
+    # wave 2 folds onto the FOLDED state -> equals full rebuild
+    v2 = v1.unionByName(_pooled_chunk_vectors(spark, sf_dir, wave2, 25))
+    f2 = fold_bm25_index(
+        *f1,
+        _chunk_texts(wave2, 25).select(
+            F.col("ckey").alias("doc_id"), "text"
+        ),
+    )
+    fv, (fp, _fd, _fs) = build(docs)
+    assert digest(v2, f2[0]) == digest(fv, fp)
+
+
 def test_bm25_index_fold_scores_equal_from_scratch(spark):
     """fold_bm25_index + bm25_score_from_index == bm25_topk over the
     full corpus, bit-for-bit (scores AND ranks): the folded df / N /
