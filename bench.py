@@ -508,6 +508,74 @@ def _run_segment(keys: list[str]) -> dict:
     }
 
 
+STREAM_TWINS = [
+    "streaming_graph_stats",
+    "streaming_dup_clusters",
+    "streaming_bm25_index",
+]
+
+
+def _run_stream_folds() -> dict:
+    """Measure the maintained-state STREAMING twins' per-wave fold
+    costs (VERDICT r10 task 4): each twin runs once in this fresh JVM
+    and its foreachBatch handlers record per-micro-batch wall time
+    (fold compute + store swap I/O) into
+    queries.streaming.STREAM_FOLD_SECS — the number a real deployment
+    pays per wave, separated from the one-off harness cost (writing
+    the wave files, stream start/stop, final rendering) exactly the
+    way the store-build line items separate build from fold on the
+    batch side. Wave 1 of each twin is the BOOTSTRAP build (bulk
+    build into an empty store), so the steady-state per-wave fold
+    cost is waves 2+."""
+    spark = get_spark(
+        "bench-streams",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=int(CPUS),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    from aproximacion_1_etl_spark.queries.streaming import (
+        STREAM_FOLD_SECS,
+    )
+
+    # JVM/codegen warmup so wave-1 bootstrap isn't charged startup
+    ALL_QUERIES["flagship_order_lifecycle"](spark, SF_DIR).count()
+    out: dict[str, dict] = {}
+    for key in STREAM_TWINS:
+        STREAM_FOLD_SECS.pop(key, None)
+        t0 = time.time()
+        ALL_QUERIES[key](spark, SF_DIR).count()
+        total = round(time.time() - t0, 3)
+        folds = STREAM_FOLD_SECS.get(key, [])
+        out[key] = {
+            "total_sec": total,
+            "fold_secs": folds,
+            # steady-state per-wave fold: waves AFTER the bootstrap
+            "steady_fold_secs": folds[1:],
+        }
+    spark.stop()
+    return {"stream_folds": out}
+
+
+def _should_retry_segment(
+    result: dict, max_load: float, index: int
+) -> bool:
+    """Host-load retry rule (VERDICT r10 task 5, pytest-driven): a
+    segment is retried when its ENTRY loadavg exceeded the documented
+    threshold — but only segment 0's entry reading is ambient (every
+    later segment starts seconds after the previous one saturated the
+    cores, so its 1-min loadavg carries OUR tail and would retry
+    every clean run)."""
+    return index == 0 and result.get("loadavg_start", 0.0) > max_load
+
+
+def _pick_segment_run(first: dict, retry: dict) -> dict:
+    """Accept whichever attempt started on the quieter host; ties go
+    to the retry (the delay existed to let ambient load drain)."""
+    f = first.get("loadavg_start", float("inf"))
+    r = retry.get("loadavg_start", float("inf"))
+    return retry if r <= f else first
+
+
 def _perf_gate_block(detail: dict) -> dict:
     """Probe-normalized comparison vs the previous cert, embedded in
     BENCH_DETAIL.json, with flagged keys auto-adjudicated by one
@@ -751,6 +819,13 @@ def main() -> None:
             json.dump(result, fh)
         return
 
+    if sys.argv[1:2] == ["--child-streams"]:
+        out_path = sys.argv[2]
+        result = _run_stream_folds()
+        with open(out_path, "w") as fh:
+            json.dump(result, fh)
+        return
+
     if sys.argv[1:2] == ["--isolated"]:
         # position-bias audit (round-8): re-measure the N slowest keys
         # of the last full run, each ALONE in its own fresh JVM, and
@@ -825,19 +900,14 @@ def main() -> None:
         print(json.dumps({"isolated": iso}, separators=(",", ":")))
         return
 
+    stream_folds = None
     if seg_size <= 0:
         # legacy single-JVM mode (fast iteration; numbers carry the
         # in-suite contamination the segmented default removes)
         results = [_run_segment(list(HEADLINE))]
         n_segments = 1
     else:
-        segments = [
-            HEADLINE[i : i + seg_size]
-            for i in range(0, len(HEADLINE), seg_size)
-        ]
-        n_segments = len(segments)
-        results = []
-        for i, seg in enumerate(segments):
+        def _launch_child(args: list[str], what: str) -> dict:
             with tempfile.NamedTemporaryFile(
                 mode="r", suffix=".json", prefix="graft_bench_seg_",
                 delete=False,
@@ -852,7 +922,7 @@ def main() -> None:
                 with open(err_path, "wb") as err_fh:
                     proc = subprocess.run(
                         [sys.executable, os.path.abspath(__file__),
-                         "--child", out_path, *seg],
+                         args[0], out_path, *args[1:]],
                         stdout=subprocess.DEVNULL,
                         stderr=err_fh,
                     )
@@ -862,15 +932,54 @@ def main() -> None:
                         err_fh.seek(max(0, err_fh.tell() - 2000))
                         tail = err_fh.read().decode("utf-8", "replace")
                     raise RuntimeError(
-                        f"bench segment {i + 1}/{n_segments} failed "
+                        f"bench {what} failed "
                         f"(exit {proc.returncode}); stderr tail:\n{tail}"
                     )
                 with open(out_path) as fh:
-                    results.append(json.load(fh))
+                    return json.load(fh)
             finally:
                 for p in (out_path, err_path):
                     if os.path.exists(p):
                         os.unlink(p)
+
+        segments = [
+            HEADLINE[i : i + seg_size]
+            for i in range(0, len(HEADLINE), seg_size)
+        ]
+        n_segments = len(segments)
+        results = []
+        for i, seg in enumerate(segments):
+            what = f"segment {i + 1}/{n_segments}"
+            result = _launch_child(["--child", *seg], what)
+            # host-load retry (VERDICT r10 task 5): r9 AND r10 both
+            # certified on a busy host (load_flagged), growing the
+            # raw headline for non-reasons the probe machinery then
+            # had to normalize away. When the AMBIENT entry loadavg
+            # (segment 0 only — later segments' readings carry our
+            # own tail) exceeds $SPARK_GRAFT_MAX_LOAD, wait
+            # $SPARK_GRAFT_LOAD_RETRY_DELAY (default 60 s) for the
+            # ambient load to drain and re-run the segment once,
+            # keeping whichever attempt started quieter.
+            if _should_retry_segment(result, MAX_LOAD, i):
+                delay = float(
+                    os.environ.get("SPARK_GRAFT_LOAD_RETRY_DELAY", "60")
+                )
+                time.sleep(delay)
+                retry = _launch_child(
+                    ["--child", *seg], what + " (load retry)"
+                )
+                picked = _pick_segment_run(result, retry)
+                picked["load_retried"] = True
+                picked["load_first_attempt"] = result["loadavg_start"]
+                result = picked
+            results.append(result)
+        # streaming-twin fold attribution (its own fresh JVM, after
+        # the suite so its Python-worker/GC tail can't contaminate
+        # any suite segment); $SPARK_GRAFT_BENCH_STREAMS=0 skips
+        if os.environ.get("SPARK_GRAFT_BENCH_STREAMS", "1") != "0":
+            stream_folds = _launch_child(
+                ["--child-streams"], "stream-folds child"
+            ).get("stream_folds")
 
     timings = {k: v for r in results for k, v in r["timings"].items()}
     spread_pct = {
@@ -989,6 +1098,11 @@ def main() -> None:
             else None
         ),
         "spread_pct": spread_pct,
+        # per-wave fold costs of the maintained-state streaming twins
+        # (fold compute + store swap per micro-batch; wave 1 is the
+        # bootstrap build) — the streaming counterpart of the
+        # *_store_build_sec / fold split on the batch side
+        "stream_folds": stream_folds,
         **train_secs,
         "loadavg_start": round(load_start, 2),
         "loadavg_end": round(load_end, 2),

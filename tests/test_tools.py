@@ -210,6 +210,45 @@ def test_perf_gate_adjudicate_verdict_rule():
     assert adjudicate([2.0, 1.9], ref, thr, [0.9, 1.1]) == "regression"
 
 
+def test_bench_load_retry_rules():
+    """VERDICT r10 task 5: a segment retries when its ENTRY loadavg
+    exceeds the threshold — but only segment 0 (later segments' 1-min
+    readings carry our own saturation tail and would retry every
+    clean run) — and the accepted attempt is whichever started on the
+    quieter host, ties to the retry."""
+    import bench
+
+    assert bench._should_retry_segment({"loadavg_start": 5.0}, 4.0, 0)
+    assert not bench._should_retry_segment({"loadavg_start": 5.0}, 4.0, 1)
+    assert not bench._should_retry_segment({"loadavg_start": 3.9}, 4.0, 0)
+    assert not bench._should_retry_segment({}, 4.0, 0)
+    first = {"loadavg_start": 5.0, "timings": {"a": 2.0}}
+    quieter = {"loadavg_start": 1.0, "timings": {"a": 1.0}}
+    worse = {"loadavg_start": 9.0}
+    tie = {"loadavg_start": 5.0}
+    assert bench._pick_segment_run(first, quieter) is quieter
+    assert bench._pick_segment_run(first, worse) is first
+    assert bench._pick_segment_run(first, tie) is tie
+
+
+def test_streaming_twin_records_per_wave_fold_times(spark, sf_dir):
+    """VERDICT r10 task 4: the streaming twins' foreachBatch handlers
+    record one fold wall-time per micro-batch into STREAM_FOLD_SECS,
+    so the bench can report per-wave fold cost (wave 1 = bootstrap)
+    as line items instead of leaving the streaming fold cost
+    pytest-proven but unmeasured."""
+    from aproximacion_1_etl_spark.queries import ALL_QUERIES
+    from aproximacion_1_etl_spark.queries.streaming import (
+        STREAM_FOLD_SECS,
+    )
+
+    STREAM_FOLD_SECS.pop("streaming_bm25_index", None)
+    assert ALL_QUERIES["streaming_bm25_index"](spark, sf_dir).count() > 0
+    folds = STREAM_FOLD_SECS.get("streaming_bm25_index")
+    assert folds is not None and len(folds) == 3  # one per wave
+    assert all(t >= 0.0 for t in folds)
+
+
 def test_perf_gate_adjudicate_band_uses_raw_seconds():
     """ADVICE r10 #2: the history band is RAW committed in-suite
     seconds, so the band comparison must use the RAW isolated child
