@@ -2303,6 +2303,25 @@ def q_streaming_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         t0 = _time.time()
         bspark = batch.sparkSession
         if os.path.isdir(post_store):
+            # RE-DELIVERY GUARD (uniform with the batch twin): drop
+            # doc ids already in the persisted postings before the
+            # fold — the checkpointed AvailableNow stream is
+            # exactly-once in the happy path, but a wiped checkpoint
+            # or an at-least-once source redelivers, and an additive
+            # index must not double-count (fold_bm25_index's own
+            # guard can't see the parquet store because the appended
+            # postings are written here, not through the returned
+            # union)
+            prior_posts = bspark.read.parquet(post_store)
+            batch_ids = batch.select("doc_id").distinct()
+            seen = (
+                prior_posts.join(
+                    F.broadcast(batch_ids), "doc_id", "left_semi"
+                )
+                .select("doc_id")
+                .distinct()
+            )
+            batch = batch.join(F.broadcast(seen), "doc_id", "left_anti")
             np_, df2, st2 = fold_bm25_index(
                 # the fold only APPENDS new postings; pass the batch
                 # postings through by folding against empty postings

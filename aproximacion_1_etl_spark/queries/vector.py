@@ -372,12 +372,24 @@ def q_ivf_retrain_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     volume bound (retrain) — the pytest pins the flip point, and the
     DuckDB oracle re-derives the codebook in-engine (_ivf_cent_ctes
     on the store slice) and mirrors every exact-integer comparison."""
-    from aproximacion_1_etl_spark.text.vector import ivf_retrain_report
+    from aproximacion_1_etl_spark.text.vector import (
+        ivf_assign_cells,
+        ivf_retrain_report,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
     store = emb.filter(F.col("vec_id") % 2 == 0)
     cb = _trained_half_codebook(spark, sf_dir)
     qids = [0, 2, 4]
+    # the maintained per-cell stats: assigned ONCE across both waves
+    # (in production this relation is read from the index, not
+    # derived) and eager-cut so neither wave re-scans the store
+    base = (
+        ivf_assign_cells(store, cb)
+        .groupBy("cell")
+        .agg(F.count("*").alias("n_baseline"))
+        .localCheckpoint(eager=True)
+    )
     waves = [
         (1, emb.filter(F.col("vec_id") % 8 == 1)),
         (2, emb.filter((F.col("vec_id") % 8).isin(1, 3, 5))),
@@ -385,7 +397,9 @@ def q_ivf_retrain_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     outs = []
     for wave, batch in waves:
         outs.append(
-            ivf_retrain_report(store, batch, cb, qids).select(
+            ivf_retrain_report(
+                store, batch, cb, qids, baseline_counts=base
+            ).select(
                 F.lit(wave).cast("int").alias("wave"),
                 "evidence",
                 "value",

@@ -957,6 +957,7 @@ def ivf_retrain_report(
     recall_bound: tuple[int, int] = (1, 2),
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    baseline_counts: DataFrame | None = None,
 ) -> DataFrame:
     """IVF CODEBOOK DRIFT TRIGGER — the decision layer the recall
     gates feed (VERDICT r10 task 7): the recall measurements
@@ -989,14 +990,22 @@ def ivf_retrain_report(
     assignment scans (store, batch — the literal-codebook argmin, no
     shuffle), a |cells|-sized merge, one brute probe pass bounded by
     |Q| broadcast queries, and 1-row aggregates cross-joined into the
-    fixed 4-row report."""
+    fixed 4-row report (eager-cut to 1 row so the report rows share
+    ONE evaluation of the evidence subtrees instead of four).
+    ``baseline_counts``: the maintained (cell, n_baseline) stats
+    relation when the caller already has it (the production case —
+    and the multi-wave planner computes it once across waves); when
+    omitted it is derived from ``store`` with one assignment scan."""
     n_cells = len(centroids)
     nq = len(query_ids)
-    base_counts = (
-        ivf_assign_cells(store, centroids, id_col, vec_col)
-        .groupBy("cell")
-        .agg(F.count("*").alias("n_baseline"))
-    )
+    if baseline_counts is not None:
+        base_counts = baseline_counts
+    else:
+        base_counts = (
+            ivf_assign_cells(store, centroids, id_col, vec_col)
+            .groupBy("cell")
+            .agg(F.count("*").alias("n_baseline"))
+        )
     merged = ivf_index_append(
         batch, centroids, base_counts, id_col, vec_col
     )
@@ -1024,7 +1033,9 @@ def ivf_retrain_report(
         exact.join(approx, ["query_id", id_col], "left_semi")
         .agg(F.count("*").cast("bigint").alias("hits"))
     )
-    ev = F.broadcast(tots).crossJoin(F.broadcast(hitrow))
+    # ONE row — eager-cut so the four report rows below read it
+    # instead of re-evaluating the merge/probe subtrees per row
+    ev = tots.crossJoin(hitrow).localCheckpoint(eager=True)
     gnum, gden = growth_bound
     hnum, hden = hot_bound
     rnum, rden = recall_bound
