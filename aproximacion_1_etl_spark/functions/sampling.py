@@ -216,6 +216,7 @@ def fold_weighted_sample(
     weight_col: str,
     k: int,
     strata_col: str | None = None,
+    guard_redelivery: bool = True,
 ) -> DataFrame:
     """Fold a batch into a MAINTAINED A-ES sample — the sampling
     member of the maintained-state family: because each row's score is
@@ -227,7 +228,24 @@ def fold_weighted_sample(
     columns + sample_score); per-batch cost is O(|batch| + strata·k) —
     the union the window sees is never corpus-sized. The catalog key's
     oracle is the one-shot sample over the full corpus (fold ==
-    rebuild, the family's standard proof)."""
+    rebuild, the family's standard proof).
+
+    RE-DELIVERY GUARD (``guard_redelivery``, default on — the r11
+    audit of every maintained fold): a re-delivered batch row whose
+    key already sits in the stored sample would enter the union TWICE
+    with the identical score (scores are pure functions of key +
+    weight), and row_number would keep BOTH copies inside the top-k —
+    a duplicated member silently evicting a legitimate k-th one. The
+    store is strata·k-sized, so dropping batch keys already stored is
+    one broadcast anti-join. Keys are immutable by the append-only
+    contract (a changed weight would change the score and is not a
+    re-delivery), so the guard never drops a legitimate update."""
+    if guard_redelivery:
+        new_rows = new_rows.join(
+            F.broadcast(store.select(key_col).distinct()),
+            key_col,
+            "left_anti",
+        )
     return _topk_by_score(
         store.unionByName(_aes_scored(new_rows, key_col, weight_col)),
         key_col,

@@ -2200,6 +2200,22 @@ def q_streaming_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     def handle_batch(batch, batch_id: int) -> None:
         t0 = _time.time()
         bspark = batch.sparkSession
+        if os.path.isdir(sig_store):
+            # RE-DELIVERY GUARD (r11 fold audit): a re-appended
+            # signature row would DOUBLE the per-band match counts in
+            # minhash_candidate_pairs' HAVING >= 2 rule — duplicate
+            # sig rows manufacture candidate pairs. Same bounded
+            # semi/anti device as the BM25 twins.
+            prior_ids = bspark.read.parquet(sig_store)
+            batch_ids = batch.select("doc_id").distinct()
+            seen = (
+                prior_ids.join(
+                    F.broadcast(batch_ids), "doc_id", "left_semi"
+                )
+                .select("doc_id")
+                .distinct()
+            )
+            batch = batch.join(F.broadcast(seen), "doc_id", "left_anti")
         bsigs = minhash_signatures(
             word_shingles(batch, distinct=False)
         ).localCheckpoint(eager=True)

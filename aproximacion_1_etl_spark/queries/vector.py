@@ -348,12 +348,19 @@ def q_ivf_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     cb = _trained_append_codebook(spark, sf_dir)
+    old = emb.filter(F.col("vec_id") % 4 != 0)
     baseline = (
-        ivf_assign_cells(emb.filter(F.col("vec_id") % 4 != 0), cb)
+        ivf_assign_cells(old, cb)
         .groupBy("cell")
         .agg(F.count("*").alias("n_baseline"))
     )
-    return ivf_index_append(emb.filter(F.col("vec_id") % 4 == 0), cb, baseline)
+    return ivf_index_append(
+        emb.filter(F.col("vec_id") % 4 == 0),
+        cb,
+        baseline,
+        # re-delivery guard: already-indexed ids are the store slice
+        indexed_ids=old.select("vec_id"),
+    )
 
 
 def q_ivf_retrain_plan(spark: SparkSession, sf_dir: str) -> DataFrame:

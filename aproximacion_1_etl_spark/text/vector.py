@@ -866,6 +866,7 @@ def ivf_index_append(
     baseline_counts: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    indexed_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental IVF index maintenance — the daily-batch shape for
     the ANN layer (mirrors incremental_minhash_dedup for the signature
@@ -892,7 +893,28 @@ def ivf_index_append(
     value-checks bit-for-bit against the DuckDB oracle. Scale: one
     scan of the new batch + a |cells|-sized outer join; per-batch cost
     is O(|batch| * n_centroids * dim) map-side work regardless of
-    history length."""
+    history length.
+
+    RE-DELIVERY GUARD (``indexed_ids``, optional — the r11 audit of
+    every maintained fold): the cell stats are ADDITIVE, so an
+    at-least-once duplicate batch double-counts populations and can
+    falsely trip the hot / retrain_due policy. When the caller passes
+    the index's id relation (in a real IVF index the inverted lists
+    themselves — here any (id_col, ...) relation of already-indexed
+    vectors), already-indexed batch ids are dropped before counting:
+    the store side is semi-joined against the BROADCAST batch ids
+    first, so both joins are map-side and the intermediate is bounded
+    by the batch's key count (the fold_bm25_index guard device).
+    Omitted, the disjointness contract is the caller's (exactly-once
+    checkpointed streams)."""
+    if indexed_ids is not None:
+        batch_ids = new_batch.select(id_col).distinct()
+        seen = (
+            indexed_ids.join(F.broadcast(batch_ids), id_col, "left_semi")
+            .select(id_col)
+            .distinct()
+        )
+        new_batch = new_batch.join(F.broadcast(seen), id_col, "left_anti")
     new_counts = (
         ivf_assign_cells(new_batch, centroids, id_col, vec_col)
         .groupBy("cell")

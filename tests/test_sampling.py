@@ -291,3 +291,46 @@ def test_fold_weighted_sample_equals_rebuild(spark):
     # the fold genuinely displaced at least one stored row
     stored = {(r.lang, r.doc_id) for r in store.collect()}
     assert any(key not in stored for key in got)
+
+
+def test_fold_weighted_sample_redelivered_batch_is_noop(spark):
+    """r11 fold audit: without the guard, a re-delivered batch row
+    whose key already sits in the sample enters the union twice with
+    the identical score and row_number keeps BOTH copies inside the
+    top-k — a duplicated member evicting a legitimate k-th one. The
+    guard makes fold(fold(s, B), B) == fold(s, B) with no duplicate
+    keys; the unguarded form still exhibits the duplication (pinning
+    why the guard exists)."""
+    import pyspark.sql.functions as F
+
+    from aproximacion_1_etl_spark.functions.sampling import (
+        fold_weighted_sample,
+        weighted_sample_topk,
+    )
+
+    rows = [("a", i, (i * 37) % 90 + 10) for i in range(20)]
+    df = spark.createDataFrame(rows, "lang STRING, doc_id BIGINT, w BIGINT")
+    old = df.filter(F.col("doc_id") % 4 != 0)
+    batch = df.filter(F.col("doc_id") % 4 == 0)
+    store = weighted_sample_topk(
+        old, key_col="doc_id", weight_col="w", k=5, strata_col="lang"
+    ).localCheckpoint(eager=True)
+    once = fold_weighted_sample(
+        store, batch, key_col="doc_id", weight_col="w", k=5,
+        strata_col="lang",
+    ).localCheckpoint(eager=True)
+    snap = sorted((r.lang, r.doc_id, r.sample_score) for r in once.collect())
+    twice = fold_weighted_sample(
+        once, batch, key_col="doc_id", weight_col="w", k=5,
+        strata_col="lang",
+    )
+    got = sorted((r.lang, r.doc_id, r.sample_score) for r in twice.collect())
+    assert got == snap
+    assert len({(la, d) for la, d, _ in got}) == len(got)  # unique keys
+    # unguarded: the duplicate wave really does corrupt the sample
+    raw = fold_weighted_sample(
+        once, batch, key_col="doc_id", weight_col="w", k=5,
+        strata_col="lang", guard_redelivery=False,
+    ).collect()
+    keys = [(r.lang, r.doc_id) for r in raw]
+    assert len(set(keys)) < len(keys)  # duplicated member, by contract

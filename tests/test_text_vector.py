@@ -387,6 +387,42 @@ def _retrain_report_dict(spark, store_rows, batch_rows, **kw):
     }
 
 
+def test_ivf_index_append_redelivery_guard(spark):
+    """r11 fold audit: the cell stats are additive, so a re-delivered
+    batch double-counts populations — with ``indexed_ids`` passed,
+    already-indexed batch vectors are dropped before counting and
+    only the genuinely-new vector lands in n_new."""
+    import pyspark.sql.functions as F
+
+    from aproximacion_1_etl_spark.text.vector import (
+        ivf_assign_cells,
+        ivf_index_append,
+    )
+
+    cents = {0: [1.0, 0.0], 1: [8.0, 0.0]}
+    schema = "vec_id BIGINT, embedding ARRAY<DOUBLE>"
+    store = spark.createDataFrame(
+        [(0, [1.0, 0.1]), (1, [0.9, 0.0]), (2, [8.1, 0.2]),
+         (3, [7.9, 0.1])],
+        schema,
+    )
+    # ids 2 and 3 are a re-delivery; 9 is genuinely new
+    batch = spark.createDataFrame(
+        [(2, [8.1, 0.2]), (3, [7.9, 0.1]), (9, [1.2, 0.0])], schema
+    )
+    baseline = (
+        ivf_assign_cells(store, cents)
+        .groupBy("cell")
+        .agg(F.count("*").alias("n_baseline"))
+    )
+    guarded = ivf_index_append(
+        batch, cents, baseline, indexed_ids=store.select("vec_id")
+    )
+    assert guarded.agg(F.sum("n_new")).collect()[0][0] == 1
+    unguarded = ivf_index_append(batch, cents, baseline)
+    assert unguarded.agg(F.sum("n_new")).collect()[0][0] == 3
+
+
 def test_ivf_retrain_report_growth_flip_point(spark):
     """VERDICT r10 task 7: the retrain verdict flips EXACTLY at the
     50% growth bound — a 1-of-4 batch stays no_retrain, a 2-of-4
