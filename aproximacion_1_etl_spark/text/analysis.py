@@ -378,7 +378,14 @@ def fold_bm25_index(
             .select(id_col)
             .distinct()
         )
-        new_docs = new_docs.join(F.broadcast(seen), id_col, "left_anti")
+        # lineage cut: the guarded batch feeds three outputs
+        # (postings/df/stats) — without the cut each replans the
+        # store-scan guard subtree (+10 exchanges on the catalog key's
+        # plan contract); lazy so the fold stays action-free until the
+        # caller evaluates
+        new_docs = new_docs.join(
+            F.broadcast(seen), id_col, "left_anti"
+        ).localCheckpoint(eager=False)
     np_, ndf, nst = bm25_index(new_docs, text_col=text_col, id_col=id_col)
     postings2 = postings.unionByName(np_)
     df2 = (
