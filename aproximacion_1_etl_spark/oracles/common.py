@@ -734,6 +734,39 @@ scan AS (SELECT p.query_id, p.probe_rank, pop.pop
     return head + "\nUNION ALL\n".join(parts)
 
 
+def _ivf_index_forget_sql() -> str:
+    """Mirror of q_ivf_index_forget: codebook trained on the
+    historical slice (vec_id % 4 != 0 — the _ivf_index_append_sql
+    device), ONE 6-dp argmin assignment relation over the full
+    corpus, the full census vs the RTBF wave's census (vec_id % 6 =
+    0), and the exact-integer decrements + emptied flag."""
+    return f"""
+WITH {_ivf_cent_ctes(where="vec_id % 4 != 0")},
+eall AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+d AS (SELECT eall.vec_id, c.cid,
+             floor((list_dot_product(eall.v, eall.v) + c.cc
+                    - 2.0 * list_dot_product(eall.v, c.cv)) * 1000000.0
+                   + 0.5) / 1000000.0 AS d6
+      FROM eall CROSS JOIN cent c),
+asg AS (SELECT vec_id, CAST(cid AS INT) AS cell FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY d6 ASC, cid ASC) AS rn
+          FROM d) WHERE rn = 1),
+cur AS (SELECT cell, count(*) AS n_before FROM asg GROUP BY 1),
+rm AS (SELECT cell, count(*) AS n_removed FROM asg
+       WHERE vec_id % 6 = 0 GROUP BY 1)
+SELECT coalesce(c.cell, r.cell) AS cell,
+       CAST(coalesce(c.n_before, 0) AS BIGINT) AS n_before,
+       CAST(coalesce(r.n_removed, 0) AS BIGINT) AS n_removed,
+       CAST(coalesce(c.n_before, 0) - coalesce(r.n_removed, 0)
+            AS BIGINT) AS n_after,
+       (coalesce(c.n_before, 0) > 0
+        AND coalesce(c.n_before, 0) - coalesce(r.n_removed, 0) = 0)
+         AS emptied
+FROM cur c FULL OUTER JOIN rm r ON c.cell = r.cell
+"""
+
+
 def _ivf_retrain_plan_sql() -> str:
     """Mirror of q_ivf_retrain_plan / text/vector.py::
     ivf_retrain_report: codebook recurrence on the STORE slice
@@ -950,17 +983,34 @@ cspans AS (
   FROM sc_bins GROUP BY doc_id, chunk_id)"""
 
 
-def _incremental_chunk_index_sql(budget: int = 25) -> str:
-    """Mirror of q_incremental_chunk_index: the FROM-SCRATCH chunk
-    index over the full corpus — pooled chunk vectors
-    (_chunk_vec_ctes) for the vector half's 6-dp squared-norm digest,
-    and per-chunk token counts / distinct-term counts from the shared
-    sentence→chunk assignment for the postings half (count(*) over a
-    chunk's tokens IS the reconstructed text's dl; count(DISTINCT)
-    its posting count). Fold == rebuild pins both halves at once."""
+def _incremental_chunk_index_sql(budget: int = 25, where: str = "") -> str:
+    """Mirror of q_incremental_chunk_index (and, with ``where``, of
+    q_chunk_index_forget's post-delete rebuild): the FROM-SCRATCH
+    chunk index over the (optionally filtered) corpus — pooled chunk
+    vectors (_chunk_vec_ctes) for the vector half's 6-dp squared-norm
+    digest, and per-chunk token counts / distinct-term counts from
+    the shared sentence→chunk assignment for the postings half
+    (count(*) over a chunk's tokens IS the reconstructed text's dl;
+    count(DISTINCT) its posting count). Fold/forget == rebuild pins
+    both halves at once. The ``where`` predicate injects into the
+    sc_base document scan with the established fail-fast anchor
+    device."""
+    chunk_ctes = _chunk_vec_ctes(budget)
+    if where:
+        anchor = "FROM documents)"
+        injected = chunk_ctes.replace(
+            anchor, f"FROM documents WHERE {where})"
+        )
+        if injected == chunk_ctes:
+            raise AssertionError(
+                "_incremental_chunk_index_sql: rebase anchor "
+                "'FROM documents)' not found in _chunk_vec_ctes — the "
+                "CTE was reworded; update the injection anchor"
+            )
+        chunk_ctes = injected
     return f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-{_chunk_vec_ctes(budget)},
+{chunk_ctes},
 ctoks AS (SELECT b.doc_id, b.chunk_id, t.tok
           FROM sc_tok t JOIN sc_bins b
             ON b.doc_id = t.doc_id AND b.sent_idx = t.sent_idx),
@@ -2443,6 +2493,7 @@ __all__ = [
     "_ann_topk_ivfpq_sql",
     "_ivf_nprobe_plan_sql",
     "_ivf_retrain_plan_sql",
+    "_ivf_index_forget_sql",
     "_retrieval_eval_sql",
     "_sentence_chunk_ctes",
     "_chunk_retrieval_sql",

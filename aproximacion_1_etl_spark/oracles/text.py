@@ -20,6 +20,15 @@ ORACLES: dict[str, str] = {
     # streaming twin: multi-wave fold must reproduce the one-shot
     # statistics bit-for-bit - same rebuild SQL
     "streaming_bm25_index": _bm25_sql(_BM25_QUERIES),
+    # the RTBF deletion edge: scoring through the SHRUNK index must
+    # equal the from-scratch BM25 over the post-delete corpus —
+    # forget == rebuild (the dup_clusters_forget device applied to
+    # the retrieval index)
+    "bm25_index_forget": _bm25_sql(
+        _BM25_QUERIES,
+        relation="(SELECT doc_id, text FROM documents"
+        " WHERE doc_id % 5 != 0) rem",
+    ),
     "lm_trigram_score": """
 WITH dtc AS (SELECT doc_id, lang, tri, count(*) AS cnt
              FROM (SELECT doc_id, lang, substr(text, i, 3) AS tri
@@ -435,6 +444,9 @@ WHERE length(substr(text, chunk_id * 300 + 1, 400)) > 0
     # trained-IVF ANN over the pooled chunk-vector index, spans joined
     "chunk_ann_retrieval": _chunk_ann_sql(10, 25),
     "incremental_chunk_index": _incremental_chunk_index_sql(25),
+    "chunk_index_forget": _incremental_chunk_index_sql(
+        25, where="doc_id % 4 != 0 AND doc_id % 6 != 3"
+    ),
     # chunk BM25 top-20 + chunk ANN top-20 fused by RRF into top-10
     "chunk_hybrid_retrieval": _chunk_hybrid_sql(10, 20, 60, 25),
     # recall@10 of the trained-IVF chunk index vs exact chunk cosine

@@ -1001,6 +1001,83 @@ def q_incremental_bm25_index(
     return bm25_score_from_index(qtf, dfq, stats_fmt, qdf, k=10)
 
 
+_FULL_BM25_INDEX_CACHE: dict[tuple, tuple] = {}
+
+
+def _full_bm25_index_store(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The SIMULATED persisted BM25 index over the FULL corpus — the
+    store the deletion key shrinks (the fold twin's _bm25_index_store
+    covers the 75% slice appends start from). Memoized per (corpus,
+    session) + eagerly checkpointed; benched as
+    ``full_bm25_index_build_sec`` so the forget key's number is the
+    wave-bounded shrink + scoring cost."""
+    from aproximacion_1_etl_spark.text.analysis import bm25_index
+
+    key = (
+        _artifact_key(sf_dir, "documents"),
+        spark.sparkContext.applicationId,
+    )
+    cached = _FULL_BM25_INDEX_CACHE.get(key)
+    if cached is None:
+        docs = load_table(spark, sf_dir, "documents")
+        postings, df0, stats = bm25_index(docs)
+        cached = (
+            postings.localCheckpoint(eager=True),
+            df0.localCheckpoint(eager=True),
+            stats.localCheckpoint(eager=True),
+        )
+        _FULL_BM25_INDEX_CACHE[key] = cached
+    return cached
+
+
+def q_bm25_index_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 BM25 INDEX DELETION — the RTBF edge of the maintained
+    retrieval index (r11; pairs with incremental_bm25_index the way
+    dup_clusters_forget pairs with incremental_dup_clusters): an RTBF
+    wave (doc_id % 5 == 0) is removed from the persisted inverted
+    index through the deleted docs' OWN postings (postings anti-join,
+    per-term df decrements, exact-integer totals subtract —
+    text/analysis.py::forget_bm25_index; nothing corpus-sized moves),
+    then the standard queries score THROUGH the shrunk index via the
+    exact scoring tail. Oracle = from-scratch BM25 over the
+    post-delete corpus — hash equality proves forget == rebuild:
+    the decremented df / N / avgdl reproduce the rebuild's statistics
+    bit-for-bit."""
+    from aproximacion_1_etl_spark.text.analysis import (
+        BM25_QUERIES,
+        bm25_score_from_index,
+        forget_bm25_index,
+    )
+
+    postings, df0, stats = _full_bm25_index_store(spark, sf_dir)
+    deleted = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 == 0)
+        .select("doc_id")
+    )
+    postings2, df2, stats2 = forget_bm25_index(
+        postings, df0, stats, deleted
+    )
+    qrows = [
+        (qid, t)
+        for qid, terms in sorted(BM25_QUERIES.items())
+        for t in sorted(set(terms))
+    ]
+    qdf = spark.createDataFrame(qrows, "query_id INT, term STRING")
+    qterms = qdf.select("term").distinct()
+    qtf = postings2.join(F.broadcast(qterms), "term")
+    dfq = df2.join(F.broadcast(qterms), "term")
+    stats_fmt = stats2.select(
+        "n_docs",
+        (F.col("total_dl").cast("double") / F.col("n_docs")).alias(
+            "avgdl"
+        ),
+    )
+    return bm25_score_from_index(qtf, dfq, stats_fmt, qdf, k=10)
+
+
 _CHUNK_INDEX_CACHE: dict[tuple, DataFrame] = {}
 _EMB_DIM = 64
 
@@ -1190,6 +1267,57 @@ def q_incremental_chunk_index(
         F.count("*").cast("bigint").alias("n_terms"),
     ).select(F.col("doc_id").alias("ckey"), "dl", "n_terms")
     return folded_vec.join(dig, "ckey").select(
+        "ckey",
+        "doc_id",
+        "chunk_id",
+        "sent_start",
+        "sent_end",
+        "dl",
+        "n_terms",
+        _fround(
+            F.expr(_sql_dot("embedding", "embedding")), 6
+        ).alias("vv"),
+    )
+
+
+def q_chunk_index_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 CHUNK-INDEX DELETION — the RTBF CASCADE through the RAG
+    store (r11; completes the deletion edges: clusters, BM25, IVF
+    stats, and now the chunk index): deleting a document must remove
+    ALL its chunks from both halves of the persisted chunk index, and
+    the deleted doc's chunk keys are recovered from the index ITSELF
+    (the (ckey, doc_id) rows of the vector half — no re-tokenization
+    of deleted content, which RTBF may not even retain). The vector
+    half anti-joins the wave's doc ids; the postings half shrinks
+    through forget_bm25_index keyed by the recovered ckeys (per-term
+    df decrements, exact-integer totals subtract — wave-bounded).
+    The wave is doc_id % 6 == 3 (all such ids sit in the store's
+    slice). Oracle = the from-scratch chunk index over the
+    post-delete corpus — forget == rebuild for both halves at once
+    (the incremental_chunk_index digest shape)."""
+    from aproximacion_1_etl_spark.text.analysis import forget_bm25_index
+    from aproximacion_1_etl_spark.text.vector import _sql_dot
+
+    budget = 25
+    vecidx, postings, df0, stats = _chunk_index_store(
+        spark, sf_dir, budget
+    )
+    deleted = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 6 == 3)
+        .select("doc_id")
+    )
+    vec2 = vecidx.join(F.broadcast(deleted), "doc_id", "left_anti")
+    del_ckeys = (
+        vecidx.join(F.broadcast(deleted), "doc_id", "left_semi")
+        .select(F.col("ckey").alias("doc_id"))
+    )
+    p2, _d2, _s2 = forget_bm25_index(postings, df0, stats, del_ckeys)
+    dig = p2.groupBy("doc_id").agg(
+        F.max("dl").cast("bigint").alias("dl"),
+        F.count("*").cast("bigint").alias("n_terms"),
+    ).select(F.col("doc_id").alias("ckey"), "dl", "n_terms")
+    return vec2.join(dig, "ckey").select(
         "ckey",
         "doc_id",
         "chunk_id",
@@ -2760,6 +2888,9 @@ __all__ = [
     "_chunk_vector_index",
     "_chunk_index_store",
     "q_incremental_chunk_index",
+    "q_bm25_index_forget",
+    "q_chunk_index_forget",
+    "_full_bm25_index_store",
     "q_pack_sequences",
     "q_token_entropy",
     "q_bigram_pmi",

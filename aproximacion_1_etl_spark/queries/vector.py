@@ -363,6 +363,37 @@ def q_ivf_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_index_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 IVF INDEX DELETION — the RTBF edge of the ANN family
+    (r11; completes append/retrain-plan/forget for the vector store
+    the way the BM25 and cluster stores got their deletion edges): an
+    RTBF wave (vec_id % 6 == 0) is removed from the maintained
+    per-cell stats by re-assigning ONLY the wave map-side (cell
+    assignment is a pure function of vector + codebook, so the
+    decrements recover exactly the insert-time cells — no history
+    scan); per-cell n_before/n_removed/n_after plus the ``emptied``
+    shrink-side retrain signal come back as exact integers
+    (text/vector.py::ivf_index_forget). Oracle = from-scratch cell
+    census of the post-delete corpus joined against the full census —
+    forget == rebuild."""
+    from aproximacion_1_etl_spark.text.vector import (
+        ivf_assign_cells,
+        ivf_index_forget,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = _trained_append_codebook(spark, sf_dir)
+    current = (
+        ivf_assign_cells(emb, cb)
+        .groupBy("cell")
+        .agg(F.count("*").alias("n_total"))
+    )
+    deleted = emb.filter(F.col("vec_id") % 6 == 0)
+    return ivf_index_forget(
+        deleted, cb, current, indexed_ids=emb.select("vec_id")
+    )
+
+
 def q_ivf_retrain_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.10 IVF CODEBOOK DRIFT TRIGGER (VERDICT r10 task 7) — the
     decision the recall gates feed: the maintained index's codebook
@@ -931,6 +962,7 @@ __all__ = [
     "q_ann_topk_ivfpq",
     "q_ivf_nprobe_plan",
     "q_ivf_retrain_plan",
+    "q_ivf_index_forget",
     "q_retrieval_eval_report",
     "q_ivf_index_append",
     "q_hybrid_rrf_retrieval",

@@ -417,6 +417,67 @@ def fold_bm25_index(
     return postings2, df2, stats2
 
 
+def forget_bm25_index(
+    postings: DataFrame,
+    df0: DataFrame,
+    stats: DataFrame,
+    deleted_ids: DataFrame,
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """DELETE documents from a maintained BM25 index — the governance
+    edge of the retrieval family (pairs with ``fold_bm25_index`` the
+    way ``forget_doc_clusters`` pairs with ``fold_dup_clusters``): an
+    RTBF wave must disappear from retrieval without a corpus rescan.
+
+    All three relations shrink through the deleted docs' OWN postings,
+    bounded by the wave (the fold guard's semi/anti device): postings
+    anti-join the broadcast deleted ids; per-term dfs DECREMENT by the
+    removed docs' term counts (a left join of the full-vocab df
+    against the |deleted terms|-sized broadcast decrement relation —
+    terms whose df reaches 0 drop out, exactly what a from-scratch
+    build over the remaining corpus produces); and the 1-row totals
+    subtract the removed docs' exact-integer counts. Scoring the
+    shrunk index through ``bm25_score_from_index`` must equal a
+    from-scratch ``bm25_topk`` over the post-delete corpus — the
+    catalog key's oracle IS that rebuild (forget == rebuild).
+
+    Naturally idempotent: forgetting an id with no postings removes
+    nothing, so a re-delivered RTBF wave is a no-op. Returns the next
+    (postings, df, stats)."""
+    del_ids = deleted_ids.select(id_col).distinct()
+    removed = postings.join(F.broadcast(del_ids), id_col, "left_semi")
+    removed = removed.localCheckpoint(eager=False)
+    rm_df = removed.groupBy("term").agg(F.count("*").alias("_rm"))
+    rm_stats = (
+        removed.groupBy(id_col)
+        .agg(F.max("dl").alias("_dl"))
+        .agg(
+            F.count("*").alias("_n_rm"),
+            F.coalesce(F.sum("_dl"), F.lit(0))
+            .cast("bigint")
+            .alias("_dl_rm"),
+        )
+    )
+    postings2 = postings.join(F.broadcast(del_ids), id_col, "left_anti")
+    df2 = (
+        df0.join(F.broadcast(rm_df), "term", "left")
+        .select(
+            "term",
+            (F.col("df") - F.coalesce(F.col("_rm"), F.lit(0))).alias(
+                "df"
+            ),
+        )
+        .filter(F.col("df") > 0)
+    )
+    stats2 = stats.crossJoin(F.broadcast(rm_stats)).select(
+        (F.col("n_docs") - F.col("_n_rm")).alias("n_docs"),
+        (F.col("total_dl") - F.col("_dl_rm"))
+        .cast("bigint")
+        .alias("total_dl"),
+    )
+    return postings2, df2, stats2
+
+
 def rrf_fuse(
     ranked_a: DataFrame,
     ranked_b: DataFrame,

@@ -967,6 +967,75 @@ def ivf_merge_cell_stats(
     )
 
 
+def ivf_index_forget(
+    deleted_batch: DataFrame,
+    centroids: dict[int, list[float]],
+    current_counts: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    indexed_ids: DataFrame | None = None,
+) -> DataFrame:
+    """DELETE vectors from a maintained IVF index's cell stats — the
+    RTBF edge of the ANN family (r11; pairs with ``ivf_index_append``
+    the way ``forget_bm25_index`` pairs with ``fold_bm25_index``):
+    cell assignment is a pure deterministic function of (vector,
+    codebook), so re-assigning the RTBF wave map-side recovers
+    exactly the cells each vector incremented at insert time — the
+    per-cell decrements need no history scan. ``current_counts`` is
+    the persisted (cell, n_total) stats relation.
+
+    ``indexed_ids`` (optional, the append guard mirrored): when the
+    caller passes the index's id relation, the wave is semi-joined
+    against it so an id never indexed (or already forgotten — a
+    re-delivered RTBF wave) subtracts nothing; both joins are bounded
+    by the wave's key count via the broadcast semi/anti device.
+
+    Output per cell: (cell, n_before, n_removed, n_after, emptied) —
+    ``emptied`` flags a cell whose population reached 0 (the
+    shrink-side retrain signal: empty cells mean the codebook tiles
+    space the data no longer occupies). Exact integers throughout;
+    forget == rebuild is the catalog key's oracle proof."""
+    if indexed_ids is not None:
+        batch_ids = deleted_batch.select(id_col).distinct()
+        live = (
+            indexed_ids.join(F.broadcast(batch_ids), id_col, "left_semi")
+            .select(id_col)
+            .distinct()
+        )
+        deleted_batch = deleted_batch.join(
+            F.broadcast(live), id_col, "left_semi"
+        )
+    rm = (
+        ivf_assign_cells(deleted_batch, centroids, id_col, vec_col)
+        .groupBy("cell")
+        .agg(F.count("*").alias("n_removed"))
+    )
+    return (
+        current_counts.select(
+            F.col("cell").cast("int").alias("cell"),
+            F.col("n_total").cast("bigint").alias("n_before"),
+        )
+        .join(rm, "cell", "full_outer")
+        .select(
+            "cell",
+            F.coalesce("n_before", F.lit(0))
+            .cast("bigint")
+            .alias("n_before"),
+            F.coalesce("n_removed", F.lit(0))
+            .cast("bigint")
+            .alias("n_removed"),
+        )
+        .withColumn(
+            "n_after",
+            (F.col("n_before") - F.col("n_removed")).cast("bigint"),
+        )
+        .withColumn(
+            "emptied",
+            (F.col("n_before") > 0) & (F.col("n_after") == 0),
+        )
+    )
+
+
 def ivf_retrain_report(
     store: DataFrame,
     batch: DataFrame,

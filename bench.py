@@ -38,6 +38,7 @@ from aproximacion_1_etl_spark.queries import (
     _chunk_index_store,
     _chunk_vector_index,
     _dup_cluster_store,
+    _full_bm25_index_store,
     _full_dup_cluster_store,
     _persisted_graph_store,
     _trained_append_codebook,
@@ -320,6 +321,11 @@ HEADLINE = [
     "dup_clusters_forget",
     "ivf_retrain_plan",
     "incremental_chunk_index",
+    # round-11b: the RTBF deletion edges of the other maintained
+    # stores (BM25 index, IVF cell stats, the RAG chunk index)
+    "bm25_index_forget",
+    "ivf_index_forget",
+    "chunk_index_forget",
     # Python-worker queries LAST: applyInPandas spins up 32 Python
     # workers and leaves GC pressure that inflates the next JVM-only
     # query by ~3x (measured: dedup_minhash_lsh 6.96s after it vs 1.9s
@@ -403,7 +409,8 @@ def _run_segment(keys: list[str]) -> dict:
          {"bpe_encode_corpus", "bpe_fertility_stats",
           "padding_efficiency_report", "bpe_train_merges"}),
         ("append_codebook_train_sec", _trained_append_codebook,
-         {"ivf_index_append", "streaming_ivf_append", "ann_topk_ivfpq"}),
+         {"ivf_index_append", "streaming_ivf_append", "ann_topk_ivfpq",
+          "ivf_index_forget"}),
         # the aging store-slice codebook whose drift the retrain-plan
         # key measures
         ("half_codebook_train_sec", _trained_half_codebook,
@@ -430,7 +437,10 @@ def _run_segment(keys: list[str]) -> dict:
         # the persisted RAG chunk state (vector index + chunk-BM25
         # postings over the existing corpus) the chunk fold maintains
         ("chunk_store_build_sec", _chunk_index_store,
-         {"incremental_chunk_index"}),
+         {"incremental_chunk_index", "chunk_index_forget"}),
+        # the full-corpus BM25 index the deletion key shrinks
+        ("full_bm25_index_build_sec", _full_bm25_index_store,
+         {"bm25_index_forget"}),
         # the persisted A-ES weighted sample (ADVICE r10 #4: the key
         # used to rebuild + checkpoint this inline on every rep)
         ("weighted_sample_store_build_sec", _weighted_sample_store,

@@ -1782,6 +1782,98 @@ def test_incremental_chunk_index_fold_equals_rebuild(spark, sf_dir):
     assert digest(v2, f2[0]) == digest(fv, fp)
 
 
+def _bm25_store_snapshot(p, d, s):
+    """Order-insensitive full-state snapshot of a (postings, df,
+    stats) BM25 store for bit-identity assertions."""
+    return (
+        sorted(map(tuple, p.collect())),
+        sorted(map(tuple, d.collect())),
+        sorted(map(tuple, s.collect())),
+    )
+
+
+def test_forget_bm25_index_inverts_fold_and_is_idempotent(spark):
+    """r11 RTBF edge: forget(fold(store, B), ids(B)) == store
+    bit-for-bit (the deletion exactly inverts the append — postings
+    anti-join, df decrements with zero-df terms dropping out, exact
+    totals subtract), a re-delivered RTBF wave is a no-op, and
+    forgetting an id that was never indexed removes nothing."""
+    import pyspark.sql.functions as F
+
+    from aproximacion_1_etl_spark.text.analysis import (
+        bm25_index,
+        fold_bm25_index,
+        forget_bm25_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "join hash scan"), (2, "merge sort join"),
+         (3, "slow order filter"), (4, "alpha beta join")],
+        "doc_id BIGINT, text STRING",
+    )
+    old = docs.filter(F.col("doc_id") <= 2)
+    batch = docs.filter(F.col("doc_id") >= 3)
+    store = bm25_index(old)
+    snap0 = _bm25_store_snapshot(*store)
+    folded = fold_bm25_index(*store, batch)
+    ids = batch.select("doc_id")
+    back = forget_bm25_index(*folded, ids)
+    assert _bm25_store_snapshot(*back) == snap0
+    # 'alpha'/'beta'/'slow'... terms unique to the batch hit df=0 and
+    # drop out entirely (matching a from-scratch rebuild)
+    assert back[1].filter(F.col("term") == "alpha").count() == 0
+    # idempotent: the same RTBF wave again removes nothing
+    again = forget_bm25_index(*back, ids)
+    assert _bm25_store_snapshot(*again) == snap0
+    # unknown ids are a no-op
+    stranger = spark.createDataFrame([(99,)], "doc_id BIGINT")
+    assert _bm25_store_snapshot(*forget_bm25_index(*back, stranger)) == snap0
+
+
+def test_ivf_index_forget_decrements_and_guards(spark):
+    """r11 RTBF edge for the ANN cell stats: the wave's map-side
+    re-assignment recovers the insert-time cells, counts decrement
+    exactly, a fully-emptied cell flags ``emptied``, and with
+    ``indexed_ids`` passed a never-indexed (or already-forgotten) id
+    subtracts nothing."""
+    import pyspark.sql.functions as F
+
+    from aproximacion_1_etl_spark.text.vector import (
+        ivf_assign_cells,
+        ivf_index_forget,
+    )
+
+    cents = {0: [1.0, 0.0], 1: [8.0, 0.0]}
+    schema = "vec_id BIGINT, embedding ARRAY<DOUBLE>"
+    corpus = spark.createDataFrame(
+        [(0, [1.0, 0.1]), (1, [0.9, 0.0]), (2, [8.1, 0.2]),
+         (3, [7.9, 0.1])],
+        schema,
+    )
+    current = (
+        ivf_assign_cells(corpus, cents)
+        .groupBy("cell")
+        .agg(F.count("*").alias("n_total"))
+    )
+    # delete both cell-1 vectors plus a never-indexed id
+    wave = spark.createDataFrame(
+        [(2, [8.1, 0.2]), (3, [7.9, 0.1]), (99, [8.0, 0.0])], schema
+    )
+    got = {
+        r.cell: (r.n_before, r.n_removed, r.n_after, r.emptied)
+        for r in ivf_index_forget(
+            wave, cents, current, indexed_ids=corpus.select("vec_id")
+        ).collect()
+    }
+    assert got == {0: (2, 0, 2, False), 1: (2, 2, 0, True)}
+    # unguarded, the stranger id DOES subtract (by contract)
+    raw = {
+        r.cell: r.n_removed
+        for r in ivf_index_forget(wave, cents, current).collect()
+    }
+    assert raw[1] == 3
+
+
 def test_bm25_index_fold_scores_equal_from_scratch(spark):
     """fold_bm25_index + bm25_score_from_index == bm25_topk over the
     full corpus, bit-for-bit (scores AND ranks): the folded df / N /
