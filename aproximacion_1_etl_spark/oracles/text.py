@@ -49,6 +49,53 @@ SELECT dtc.doc_id, dtc.lang, CAST(sum(dtc.cnt) AS BIGINT) AS n_tri,
 FROM dtc JOIN model m ON dtc.lang = m.lang AND dtc.tri = m.tri
 GROUP BY 1, 2
 """,
+    # maintained-LM fold must equal scoring through the from-scratch
+    # full-corpus model — model over ALL docs, scores over the batch
+    # (fold == rebuild, the family's standard proof)
+    "incremental_lm_index": """
+WITH dtc AS (SELECT doc_id, lang, tri, count(*) AS cnt
+             FROM (SELECT doc_id, lang, substr(text, i, 3) AS tri
+                   FROM (SELECT doc_id, lang, text,
+                                unnest(generate_series(1, len(text) - 2))
+                                  AS i
+                         FROM documents))
+             GROUP BY 1, 2, 3),
+c3 AS (SELECT lang, tri, sum(cnt) AS c3 FROM dtc GROUP BY 1, 2),
+c2 AS (SELECT lang, substr(tri, 1, 2) AS bi, sum(c3) AS c2
+       FROM c3 GROUP BY 1, 2),
+model AS (SELECT c3.lang, c3.tri, ln(c3.c3 / c2.c2) AS lp
+          FROM c3 JOIN c2
+            ON c3.lang = c2.lang AND substr(c3.tri, 1, 2) = c2.bi)
+SELECT dtc.doc_id, dtc.lang, CAST(sum(dtc.cnt) AS BIGINT) AS n_tri,
+       floor((CAST(sum(CAST(m.lp AS DECIMAL(38,18)) * dtc.cnt) AS DOUBLE)
+              / sum(dtc.cnt)) * 10000.0 + 0.5) / 10000.0 AS avg_logp
+FROM dtc JOIN model m ON dtc.lang = m.lang AND dtc.tri = m.tri
+WHERE dtc.doc_id % 4 = 0
+GROUP BY 1, 2
+""",
+    # LM deletion edge: scoring through the SHRUNK counts must equal
+    # train + score from scratch over the post-delete corpus
+    "lm_index_forget": """
+WITH dtc AS (SELECT doc_id, lang, tri, count(*) AS cnt
+             FROM (SELECT doc_id, lang, substr(text, i, 3) AS tri
+                   FROM (SELECT doc_id, lang, text,
+                                unnest(generate_series(1, len(text) - 2))
+                                  AS i
+                         FROM documents
+                         WHERE doc_id % 5 != 0))
+             GROUP BY 1, 2, 3),
+c3 AS (SELECT lang, tri, sum(cnt) AS c3 FROM dtc GROUP BY 1, 2),
+c2 AS (SELECT lang, substr(tri, 1, 2) AS bi, sum(c3) AS c2
+       FROM c3 GROUP BY 1, 2),
+model AS (SELECT c3.lang, c3.tri, ln(c3.c3 / c2.c2) AS lp
+          FROM c3 JOIN c2
+            ON c3.lang = c2.lang AND substr(c3.tri, 1, 2) = c2.bi)
+SELECT dtc.doc_id, dtc.lang, CAST(sum(dtc.cnt) AS BIGINT) AS n_tri,
+       floor((CAST(sum(CAST(m.lp AS DECIMAL(38,18)) * dtc.cnt) AS DOUBLE)
+              / sum(dtc.cnt)) * 10000.0 + 0.5) / 10000.0 AS avg_logp
+FROM dtc JOIN model m ON dtc.lang = m.lang AND dtc.tri = m.tri
+GROUP BY 1, 2
+""",
     "prefix_filter_join": """
 WITH toks AS (
   SELECT DISTINCT doc_id, lang, source, tok

@@ -573,6 +573,25 @@ def lm_trigram_score(
     trigrams -> one keyed groupBy per doc. Two shuffles total; the
     model broadcast replaces a corpus-sized join at any scale.
     """
+    doc_tri_counts = _doc_tri_counts(docs, text_col, id_col, lang_col)
+    tri_counts = doc_tri_counts.groupBy("lang", "tri").agg(
+        F.sum("cnt").alias("c3")
+    )
+    return lm_score_from_counts(doc_tri_counts, tri_counts, id_col)
+
+
+def _doc_tri_counts(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """(doc, lang, tri, cnt) — the per-doc character-trigram counts
+    that feed BOTH the model aggregation and the scoring join. ONE
+    corpus explode: halves the fan-out work vs exploding once per
+    branch, and the scoring join runs on distinct doc-trigrams, not
+    raw instances. Factored out (r11) so the maintained-LM fold
+    tokenizes only its batch through the same definition."""
     t = F.col(text_col)
     tris = F.explode(
         F.transform(
@@ -580,11 +599,6 @@ def lm_trigram_score(
             lambda i: t.substr(i, F.lit(3)),
         )
     )
-    # ONE corpus explode: per-doc trigram counts are the base relation
-    # for both the model (re-aggregated over docs) and the scoring join
-    # (each distinct (doc, tri) weighted by its count) — halves the
-    # fan-out work vs exploding once per branch, and the scoring join
-    # runs on distinct doc-trigrams, not raw instances.
     # Rebalance BEFORE the trigram fan-out (same rule as the minhash
     # shingle explode): a single-file local input scans as one
     # partition, which would serialize the ~|chars|-per-doc explode on
@@ -599,7 +613,7 @@ def lm_trigram_score(
     # generate_series(1, len-2) is simply empty. Drop such docs before
     # the explode so both engines agree (same precedent as word_shingles
     # filtering F.size(toks) >= n in dedup.py).
-    doc_tri_counts = (
+    return (
         spread.filter(F.length(t) >= 3)
         .select(
             id_col, F.col(lang_col).alias("lang"), tris.alias("tri")
@@ -607,9 +621,97 @@ def lm_trigram_score(
         .groupBy(id_col, "lang", "tri")
         .agg(F.count("*").alias("cnt"))
     )
-    tri_counts = doc_tri_counts.groupBy("lang", "tri").agg(
-        F.sum("cnt").alias("c3")
+
+
+def lm_counts(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """MATERIALIZED trigram-LM state from a document batch — what a
+    maintained LM persists: (lang, tri, c3) exact counts. The prefix
+    marginal c2 is DERIVED (the trigram table re-aggregated by its
+    2-char prefix), so one relation is the whole model state and the
+    fold is a single additive merge."""
+    return (
+        _doc_tri_counts(docs, text_col, id_col, lang_col)
+        .groupBy("lang", "tri")
+        .agg(F.sum("cnt").alias("c3"))
     )
+
+
+def fold_lm_counts(store: DataFrame, batch_counts: DataFrame) -> DataFrame:
+    """Fold a batch's trigram counts into the maintained LM state —
+    the language-model member of the maintained-state family: exact
+    integer counts ADD through a full-outer coalesce merge
+    (O(|store triples| + |batch triples|), never a corpus rescan);
+    because c2 derives from c3, one merge maintains the whole model,
+    and scoring through the folded counts is bit-identical to a
+    from-scratch pass (the catalog key's oracle).
+
+    Re-delivery: counts are additive and carry no doc ids, so this
+    fold relies on the CALLER's delivery guard — the doc-id
+    anti-join device of the BM25/IVF folds or a processed-batch
+    ledger (sources/notify.py); the catalog/streaming callers slice
+    disjoint batches by construction."""
+    a = store.select(
+        "lang", "tri", F.col("c3").alias("_a")
+    )
+    b = batch_counts.select(
+        "lang", "tri", F.col("c3").alias("_b")
+    )
+    return a.join(b, ["lang", "tri"], "full_outer").select(
+        "lang",
+        "tri",
+        (
+            F.coalesce(F.col("_a"), F.lit(0))
+            + F.coalesce(F.col("_b"), F.lit(0))
+        ).cast("bigint").alias("c3"),
+    )
+
+
+def forget_lm_counts(
+    store: DataFrame, deleted_counts: DataFrame
+) -> DataFrame:
+    """DELETE documents' trigram counts from the maintained LM state —
+    the RTBF edge of the LM member (pairs with ``fold_lm_counts`` the
+    way forget_bm25_index pairs with its fold): exact integer counts
+    SUBTRACT through the same full-outer merge, and trigrams whose
+    count reaches 0 drop out (exactly what retraining on the
+    post-delete corpus produces, so forget == rebuild). The deleted
+    docs' counts come from their text at delete time (an RTBF request
+    carries the doc being erased) — no corpus rescan. Forgetting
+    counts never folded in subtracts below zero loudly rather than
+    silently: the filter keeps c3 > 0, and the catalog key's rebuild
+    oracle would flag any imbalance as a hash mismatch."""
+    a = store.select("lang", "tri", F.col("c3").alias("_a"))
+    b = deleted_counts.select("lang", "tri", F.col("c3").alias("_b"))
+    return (
+        a.join(b, ["lang", "tri"], "full_outer")
+        .select(
+            "lang",
+            "tri",
+            (
+                F.coalesce(F.col("_a"), F.lit(0))
+                - F.coalesce(F.col("_b"), F.lit(0))
+            ).cast("bigint").alias("c3"),
+        )
+        .filter(F.col("c3") > 0)
+    )
+
+
+def lm_score_from_counts(
+    doc_tri_counts: DataFrame,
+    tri_counts: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The exact scoring tail shared by the one-shot
+    ``lm_trigram_score`` and the maintained-LM key: derive the prefix
+    marginal from the (lang, tri, c3) state, broadcast the bounded
+    model (alphabet^3 per language — it IS the model) onto the
+    per-doc trigram counts, and take the decimal-exact weighted mean
+    ln p per doc."""
     bi_counts = (
         tri_counts.groupBy("lang", F.substring("tri", 1, 2).alias("bi"))
         .agg(F.sum("c3").alias("c2"))

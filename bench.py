@@ -40,6 +40,7 @@ from aproximacion_1_etl_spark.queries import (
     _dup_cluster_store,
     _full_bm25_index_store,
     _full_dup_cluster_store,
+    _lm_counts_store,
     _persisted_graph_store,
     _trained_append_codebook,
     _trained_bpe_merges,
@@ -326,6 +327,9 @@ HEADLINE = [
     "bm25_index_forget",
     "ivf_index_forget",
     "chunk_index_forget",
+    # round-11b: maintained trigram-LM (fold + batch scoring; RTBF)
+    "incremental_lm_index",
+    "lm_index_forget",
     # Python-worker queries LAST: applyInPandas spins up 32 Python
     # workers and leaves GC pressure that inflates the next JVM-only
     # query by ~3x (measured: dedup_minhash_lsh 6.96s after it vs 1.9s
@@ -441,6 +445,9 @@ def _run_segment(keys: list[str]) -> dict:
         # the full-corpus BM25 index the deletion key shrinks
         ("full_bm25_index_build_sec", _full_bm25_index_store,
          {"bm25_index_forget"}),
+        # the persisted trigram-LM state the LM fold/forget maintain
+        ("lm_counts_build_sec", _lm_counts_store,
+         {"incremental_lm_index", "lm_index_forget"}),
         # the persisted A-ES weighted sample (ADVICE r10 #4: the key
         # used to rebuild + checkpoint this inline on every rep)
         ("weighted_sample_store_build_sec", _weighted_sample_store,

@@ -1148,6 +1148,64 @@ def test_fold_dup_clusters_redelivered_pairs_idempotent(spark):
     assert got == {1: 1, 2: 1, 3: 1, 7: 1, 8: 1}
 
 
+@given(
+    texts=st.lists(
+        st.text(alphabet="abcd ", min_size=0, max_size=12),
+        min_size=3,
+        max_size=8,
+    ),
+    cut=st.integers(1, 6),
+)
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_lm_fold_and_forget_equal_rebuild_random_corpora(
+    spark, texts, cut
+):
+    """r11 maintained LM: scoring through fold(store, batch-counts)
+    equals the one-shot lm_trigram_score over the full corpus
+    (bit-for-bit — counts are exact integers), and forget(folded,
+    batch-counts) inverts the fold back to the store state, across
+    random corpora (including sub-3-char docs the short-doc guard
+    drops) and split points."""
+    import pyspark.sql.functions as F
+
+    from aproximacion_1_etl_spark.text.analysis import (
+        _doc_tri_counts,
+        fold_lm_counts,
+        forget_lm_counts,
+        lm_counts,
+        lm_score_from_counts,
+        lm_trigram_score,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "es", t)
+         for i, t in enumerate(texts)],
+        "doc_id BIGINT, lang STRING, text STRING",
+    )
+    cut = min(cut, len(texts) - 1)
+    old = docs.filter(F.col("doc_id") < cut)
+    batch = docs.filter(F.col("doc_id") >= cut)
+    store = lm_counts(old).localCheckpoint(eager=True)
+    folded = fold_lm_counts(store, lm_counts(batch))
+    got = {
+        (r.doc_id, r.lang): (r.n_tri, r.avg_logp)
+        for r in lm_score_from_counts(
+            _doc_tri_counts(docs), folded
+        ).collect()
+    }
+    want = {
+        (r.doc_id, r.lang): (r.n_tri, r.avg_logp)
+        for r in lm_trigram_score(docs).collect()
+    }
+    assert got == want
+    # forget inverts fold: the shrunk state equals the store
+    back = forget_lm_counts(folded, lm_counts(batch))
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, store.collect())
+    )
+
+
 def test_forget_doc_clusters_bridge_split(spark):
     """VERDICT r10 task 6: removing a BRIDGE doc from the maintained
     cluster store must SPLIT its component — the affected component's
