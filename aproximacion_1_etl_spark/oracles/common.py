@@ -294,6 +294,7 @@ def _ivf_cent_ctes(
     dim: int = 64,
     min_c: int = 16,
     where: str = "",
+    prefix: str = "",
 ) -> str:
     """Mirror of text/vector.py::train_ivf_centroids — Lloyd's k-means
     unrolled one (assign, mean, coalesce) CTE trio per iteration, so the
@@ -307,25 +308,32 @@ def _ivf_cent_ctes(
     exact DECIMAL(38,18) sums divided in one double division —
     order-independent in both engines, so the recurrence is
     bit-reproducible. Empty cells keep their previous centroid
-    (coalesce), mirroring the Spark dict update."""
+    (coalesce), mirroring the Spark dict update.
+
+    ``prefix`` namespaces every CTE (e -> <p>e, cent -> <p>cent, ...)
+    so TWO codebooks (e.g. the aging one and a retrained one) can
+    train inside one statement without name collisions (r11,
+    q_ivf_retrain_execute's oracle)."""
     wh = f" WHERE {where}" if where else ""
+    p = prefix
     parts = [
-        f"e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings{wh})",
-        f"nc AS (SELECT greatest({min_c}, CAST(ceiling(sqrt(CAST(count(*)"
-        f" AS DOUBLE))) AS BIGINT)) AS n FROM e)",
-        "cent0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1"
-        " AS INT) AS cid, v AS cv\n"
-        "          FROM e WHERE vec_id < (SELECT n FROM nc))",
+        f"{p}e AS (SELECT vec_id, embedding::DOUBLE[] AS v"
+        f" FROM embeddings{wh})",
+        f"{p}nc AS (SELECT greatest({min_c}, CAST(ceiling(sqrt(CAST("
+        f"count(*) AS DOUBLE))) AS BIGINT)) AS n FROM {p}e)",
+        f"{p}cent0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id)"
+        " - 1 AS INT) AS cid, v AS cv\n"
+        f"          FROM {p}e WHERE vec_id < (SELECT n FROM {p}nc))",
     ]
     for i in range(1, iterations + 1):
         parts.append(
-            f"""asg{i} AS (SELECT vec_id, v, cid FROM (
+            f"""{p}asg{i} AS (SELECT vec_id, v, cid FROM (
     SELECT e.vec_id, e.v, c.cid,
            row_number() OVER (PARTITION BY e.vec_id ORDER BY
              floor((list_dot_product(e.v, e.v) + list_dot_product(c.cv, c.cv)
                     - 2.0 * list_dot_product(e.v, c.cv)) * 1000000000.0 + 0.5)
                / 1000000000.0 ASC, c.cid ASC) AS rn
-    FROM e CROSS JOIN cent{i - 1} c) WHERE rn = 1)"""
+    FROM {p}e e CROSS JOIN {p}cent{i - 1} c) WHERE rn = 1)"""
         )
         dims = ",\n    ".join(
             f"CAST(sum(CAST(v[{d + 1}] AS DECIMAL(38,18))) AS DOUBLE)"
@@ -333,17 +341,17 @@ def _ivf_cent_ctes(
             for d in range(dim)
         )
         parts.append(
-            f"mean{i} AS (SELECT cid, [\n    {dims}] AS cv"
-            f" FROM asg{i} GROUP BY cid)"
+            f"{p}mean{i} AS (SELECT cid, [\n    {dims}] AS cv"
+            f" FROM {p}asg{i} GROUP BY cid)"
         )
         parts.append(
-            f"cent{i} AS (SELECT p.cid, coalesce(m.cv, p.cv) AS cv\n"
-            f"            FROM cent{i - 1} p"
-            f" LEFT JOIN mean{i} m ON p.cid = m.cid)"
+            f"{p}cent{i} AS (SELECT p.cid, coalesce(m.cv, p.cv) AS cv\n"
+            f"            FROM {p}cent{i - 1} p"
+            f" LEFT JOIN {p}mean{i} m ON p.cid = m.cid)"
         )
     parts.append(
-        "cent AS (SELECT cid, cv, list_dot_product(cv, cv) AS cc"
-        f" FROM cent{iterations})"
+        f"{p}cent AS (SELECT cid, cv, list_dot_product(cv, cv) AS cc"
+        f" FROM {p}cent{iterations})"
     )
     return ",\n".join(parts)
 
@@ -765,6 +773,93 @@ SELECT coalesce(c.cell, r.cell) AS cell,
          AS emptied
 FROM cur c FULL OUTER JOIN rm r ON c.cell = r.cell
 """
+
+
+def _ivf_retrain_execute_sql() -> str:
+    """Mirror of q_ivf_retrain_execute: BOTH codebooks trained
+    in-engine — the aging one on the store slice (vec_id % 2 = 0,
+    unprefixed CTEs) and the retrained one on the appended corpus
+    (prefix ``r_``) — then for each the 6-dp assignment, nprobe=4
+    probe set, probed-cell scan cost, and 9-dp IVF top-10 vs ONE
+    shared exact ground truth over the same appended corpus; the
+    global efficiency_improved flag (exact cross-multiplication:
+    retrained hits·aging scanned >= aging hits·retrained scanned —
+    recall per scanned row did not degrade) rides both rows (the
+    retrain_due-repeats-per-row precedent)."""
+    pred = "vec_id % 2 = 0 OR vec_id % 8 IN (1, 3, 5)"
+    qids, nq, k, nprobe = "0, 2, 4", 3, 10, 4
+    cos9 = (
+        "floor((list_dot_product(q.qv, {v}) / "
+        "(sqrt(list_dot_product(q.qv, q.qv)) * "
+        "sqrt(list_dot_product({v}, {v})))) * 1000000000.0 + 0.5) "
+        "/ 1000000000.0"
+    )
+
+    def block(tag: str, cent: str) -> str:
+        return f""",
+{tag}d AS (SELECT c.vec_id, c.v, ct.cid,
+             floor((list_dot_product(c.v, c.v) + ct.cc
+                    - 2.0 * list_dot_product(c.v, ct.cv)) * 1000000.0
+                   + 0.5) / 1000000.0 AS d6
+      FROM corp c CROSS JOIN {cent} ct),
+{tag}asg AS (SELECT vec_id, CAST(cid AS INT) AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY d6 ASC, cid ASC) AS rn
+    FROM {tag}d) WHERE rn = 1),
+{tag}pop AS (SELECT cell, CAST(count(*) AS BIGINT) AS pop
+             FROM {tag}asg GROUP BY 1),
+{tag}tot AS (SELECT CAST(sum(pop) AS BIGINT) AS n_total FROM {tag}pop),
+{tag}probes AS (SELECT vec_id AS query_id, CAST(cid AS INT) AS cell
+                FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY d6 ASC, cid ASC) AS rn
+    FROM {tag}d WHERE vec_id IN ({qids})) WHERE rn <= {nprobe}),
+{tag}scan AS (SELECT CAST(sum(pop) AS BIGINT) AS scanned_rows
+              FROM {tag}probes p JOIN {tag}pop USING (cell)),
+{tag}cand AS (SELECT DISTINCT p.query_id, c.vec_id, c.v
+              FROM corp c JOIN {tag}asg a ON a.vec_id = c.vec_id
+              JOIN {tag}probes p ON p.cell = a.cell
+                                AND c.vec_id != p.query_id),
+{tag}ap AS (SELECT query_id, vec_id FROM (
+    SELECT cd.query_id, cd.vec_id,
+           row_number() OVER (PARTITION BY cd.query_id ORDER BY
+             {cos9.format(v="cd.v")} DESC, cd.vec_id ASC) AS rn
+    FROM {tag}cand cd JOIN qv q ON q.query_id = cd.query_id)
+  WHERE rn <= {k}),
+{tag}hits AS (SELECT CAST(count(*) AS BIGINT) AS hits
+              FROM ex e JOIN {tag}ap a
+                ON e.query_id = a.query_id AND e.vec_id = a.vec_id)"""
+
+    def row(name: str, tag: str) -> str:
+        nk = nq * k
+        return f"""SELECT '{name}' AS codebook, hits,
+       floor((hits * 1.0 / {nk}) * 1000000.0 + 0.5) / 1000000.0
+         AS recall,
+       scanned_rows,
+       floor((scanned_rows * 1.0 / ({nq} * (SELECT n_total
+                                            FROM {tag}tot)))
+             * 1000000.0 + 0.5) / 1000000.0 AS scan_frac,
+       ((SELECT hits FROM newhits) * (SELECT scanned_rows FROM oldscan)
+        >= (SELECT hits FROM oldhits)
+           * (SELECT scanned_rows FROM newscan))
+         AS efficiency_improved
+FROM {tag}hits h, {tag}scan s"""
+
+    return f"""
+WITH {_ivf_cent_ctes(where="vec_id % 2 = 0")},
+{_ivf_cent_ctes(where=pred, prefix="r_")},
+corp AS (SELECT * FROM r_e),
+qv AS (SELECT vec_id AS query_id, v AS qv FROM corp
+       WHERE vec_id IN ({qids})),
+ex AS (SELECT query_id, vec_id FROM (
+    SELECT q.query_id, c.vec_id,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY
+             {cos9.format(v="c.v")} DESC, c.vec_id ASC) AS rn
+    FROM corp c CROSS JOIN qv q WHERE c.vec_id != q.query_id)
+  WHERE rn <= {k}){block("old", "cent")}{block("new", "r_cent")}
+{row("aging", "old")}
+UNION ALL
+{row("retrained", "new")}"""
 
 
 def _ivf_retrain_plan_sql() -> str:
@@ -2494,6 +2589,7 @@ __all__ = [
     "_ivf_nprobe_plan_sql",
     "_ivf_retrain_plan_sql",
     "_ivf_index_forget_sql",
+    "_ivf_retrain_execute_sql",
     "_retrieval_eval_sql",
     "_sentence_chunk_ctes",
     "_chunk_retrieval_sql",

@@ -338,6 +338,41 @@ def _trained_half_codebook(
     return cb
 
 
+_RETRAIN_CODEBOOK_CACHE: dict[tuple, dict[int, list[float]]] = {}
+
+
+def _trained_retrain_codebook(
+    spark: SparkSession, sf_dir: str
+) -> dict[int, list[float]]:
+    """The RETRAINED codebook over the appended corpus
+    (vec_id % 2 == 0 plus the vec_id % 8 in {1,3,5} backlog — exactly
+    the corpus whose drift flipped q_ivf_retrain_plan's verdict):
+    what executing the retrain decision produces.
+    q_ivf_retrain_execute measures its recall/cost against the aging
+    half-corpus codebook. Memoized + benched as
+    ``retrain_codebook_train_sec`` like every model artifact."""
+    from aproximacion_1_etl_spark.text.vector import (
+        derive_n_centroids,
+        train_ivf_centroids,
+    )
+
+    key = _artifact_key(sf_dir, "embeddings")
+    cb = _RETRAIN_CODEBOOK_CACHE.get(key)
+    if cb is None:
+        emb = load_table(spark, sf_dir, "embeddings")
+        corpus = emb.filter(
+            (F.col("vec_id") % 2 == 0)
+            | (F.col("vec_id") % 8).isin(1, 3, 5)
+        )
+        cb = train_ivf_centroids(
+            corpus,
+            n_centroids=derive_n_centroids(corpus.count()),
+            iterations=3,
+        )
+        _RETRAIN_CODEBOOK_CACHE[key] = cb
+    return cb
+
+
 _BPE_MERGES_CACHE: dict[tuple, list[tuple[str, str]]] = {}
 
 
@@ -1300,6 +1335,7 @@ __all__ = [
     "_APPEND_CODEBOOK_CACHE",
     "_trained_append_codebook",
     "_trained_half_codebook",
+    "_trained_retrain_codebook",
     "_BPE_MERGES_CACHE",
     "_trained_bpe_merges",
     "BLOCKLIST_DOMAINS",

@@ -1036,6 +1036,79 @@ def ivf_index_forget(
     )
 
 
+def ivf_recall_cost(
+    corpus: DataFrame,
+    query_ids: list[int],
+    centroids: dict[int, list[float]],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exact: DataFrame | None = None,
+) -> DataFrame:
+    """ONE-ROW measured (hits, scanned_rows, n_total) of a codebook on
+    a corpus — the recall-vs-cost observables every IVF sizing /
+    retraining decision reads (the per-ladder aggregate of
+    ivf_nprobe_plan factored into a reusable single measurement):
+    hits = |exact top-k ∩ nprobe-probed IVF top-k| over the probe
+    query set, scanned_rows = the probed cells' total population
+    (the fraction-of-corpus price those probes pay). ``exact`` lets
+    the caller share one brute-force ground truth across codebooks
+    (it is codebook-independent). Exact integers; callers derive the
+    two ratio forms."""
+    emb = _as_double(corpus, vec_col)
+    cdots = {cid: sum(x * x for x in v) for cid, v in centroids.items()}
+    spread = emb.repartition(
+        emb.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+    )
+    with_vv = spread.withColumn("_vv", F.expr(_sql_dot(vec_col, vec_col)))
+    dist_structs = F.expr(
+        _dist_structs_sql(centroids, cdots, vec_col, "_vv", 6)
+    )
+    assigned = with_vv.select(
+        id_col,
+        F.array_min(dist_structs).getField("cid").alias("cell"),
+    )
+    pop = assigned.groupBy("cell").agg(
+        F.count("*").cast("bigint").alias("pop")
+    )
+    tot = pop.agg(F.sum("pop").cast("bigint").alias("n_total"))
+    probes = (
+        with_vv.filter(F.col(id_col).isin(query_ids))
+        .select(
+            F.explode(
+                F.slice(F.array_sort(dist_structs), 1, nprobe)
+            ).alias("p")
+        )
+        .select(F.col("p.cid").alias("cell"))
+    )
+    scanned = (
+        probes.join(pop, "cell")
+        .agg(F.sum("pop").cast("bigint").alias("scanned_rows"))
+    )
+    if exact is None:
+        exact = ann_topk_bruteforce(
+            corpus, query_ids=query_ids, k=k, id_col=id_col,
+            vec_col=vec_col,
+        ).select("query_id", id_col)
+    approx = ann_topk_ivf(
+        corpus,
+        query_ids=query_ids,
+        k=k,
+        nprobe=nprobe,
+        centroids=centroids,
+        id_col=id_col,
+        vec_col=vec_col,
+    ).select("query_id", id_col)
+    hits = (
+        exact.join(approx, ["query_id", id_col], "left_semi")
+        .agg(F.count("*").cast("bigint").alias("hits"))
+    )
+    return hits.crossJoin(F.broadcast(scanned)).crossJoin(
+        F.broadcast(tot)
+    )
+
+
 def ivf_retrain_report(
     store: DataFrame,
     batch: DataFrame,

@@ -48,6 +48,7 @@ from aproximacion_1_etl_spark.queries import (
     _trained_half_codebook,
     _trained_logreg_weights,
     _trained_pq_books,
+    _trained_retrain_codebook,
     _weighted_sample_store,
 )
 from aproximacion_1_etl_spark.session import get_spark
@@ -330,6 +331,8 @@ HEADLINE = [
     # round-11b: maintained trigram-LM (fold + batch scoring; RTBF)
     "incremental_lm_index",
     "lm_index_forget",
+    # round-11b: the retrain decision EXECUTED and measured
+    "ivf_retrain_execute",
     # Python-worker queries LAST: applyInPandas spins up 32 Python
     # workers and leaves GC pressure that inflates the next JVM-only
     # query by ~3x (measured: dedup_minhash_lsh 6.96s after it vs 1.9s
@@ -418,7 +421,10 @@ def _run_segment(keys: list[str]) -> dict:
         # the aging store-slice codebook whose drift the retrain-plan
         # key measures
         ("half_codebook_train_sec", _trained_half_codebook,
-         {"ivf_retrain_plan"}),
+         {"ivf_retrain_plan", "ivf_retrain_execute"}),
+        # the retrained codebook the execute key measures the payoff of
+        ("retrain_codebook_train_sec", _trained_retrain_codebook,
+         {"ivf_retrain_execute"}),
         # the simulated persisted graph store (VERDICT r9 #4): in
         # production a parquet read, here a bulk census — timed as its
         # own line item so incremental_graph_stats' number is the

@@ -423,6 +423,30 @@ def test_ivf_index_append_redelivery_guard(spark):
     assert unguarded.agg(F.sum("n_new")).collect()[0][0] == 3
 
 
+def test_ivf_recall_cost_exact_observables(spark):
+    """r11 retrain-execute observables: hits / scanned_rows / n_total
+    are exact integers a hand-checkable 2-cell geometry pins — at
+    nprobe=1 the query's exact top-2 lives in the unprobed cell
+    (0 hits, 2 rows scanned); at nprobe=2 both cells are probed
+    (2 hits, all 4 rows scanned)."""
+    from aproximacion_1_etl_spark.text.vector import ivf_recall_cost
+
+    cents = {0: [1.0, 0.0], 1: [8.0, 0.0]}
+    corpus = spark.createDataFrame(
+        [(0, [1.0, 0.01]), (1, [0.1, 1.0]), (2, [10.0, 0.1]),
+         (3, [11.0, 0.2])],
+        "vec_id BIGINT, embedding ARRAY<DOUBLE>",
+    )
+    narrow = ivf_recall_cost(
+        corpus, [0], cents, k=2, nprobe=1
+    ).collect()[0]
+    assert (narrow.hits, narrow.scanned_rows, narrow.n_total) == (0, 2, 4)
+    wide = ivf_recall_cost(
+        corpus, [0], cents, k=2, nprobe=2
+    ).collect()[0]
+    assert (wide.hits, wide.scanned_rows, wide.n_total) == (2, 4, 4)
+
+
 def test_ivf_retrain_report_growth_flip_point(spark):
     """VERDICT r10 task 7: the retrain verdict flips EXACTLY at the
     50% growth bound — a 1-of-4 batch stays no_retrain, a 2-of-4
