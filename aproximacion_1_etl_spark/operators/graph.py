@@ -783,6 +783,53 @@ def fold_graph_stats(
     )
 
 
+def forget_graph_stats(
+    stats: DataFrame,
+    remaining_edges: DataFrame,
+    deleted_edges: DataFrame,
+    delta_count: int | None = None,
+) -> DataFrame:
+    """DELETE edges from the maintained per-node (degree, n_triangles)
+    store — the RTBF edge of the graph member (r11; pairs with
+    ``fold_graph_stats`` the way every maintained store gained its
+    deletion inverse): degrees decrement by the deleted edges'
+    endpoint counts, and the DESTROYED triangles are exactly
+    ``triangle_delta(remaining, deleted)`` — a triangle is destroyed
+    iff it contains >= 1 deleted edge, which is precisely the
+    triangles the SAME kernel counts (each once, at its
+    lexicographically smallest deleted edge) when the deleted set
+    plays the Δ role against the surviving graph. Nothing wedge-sized
+    about history is re-enumerated: per-wave cost is O(|Δ|·d̄ +
+    |store|), the fold's own bound. A node whose degree reaches 0
+    drops out of the store — exactly what a from-scratch rebuild over
+    the remaining edges produces (forget == rebuild, the catalog
+    key's oracle)."""
+    ddeg = (
+        deleted_edges.select(F.col("u").alias("node"))
+        .unionAll(deleted_edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("delta_degree"))
+    )
+    dtri = triangle_delta(
+        remaining_edges, deleted_edges, delta_count=delta_count
+    )
+    return (
+        stats.join(ddeg, "node", "left")
+        .join(dtri, "node", "left")
+        .select(
+            "node",
+            (
+                F.col("degree") - F.coalesce("delta_degree", F.lit(0))
+            ).cast("bigint").alias("degree"),
+            (
+                F.col("n_triangles")
+                - F.coalesce("delta_triangles", F.lit(0))
+            ).cast("bigint").alias("n_triangles"),
+        )
+        .filter(F.col("degree") > 0)
+    )
+
+
 def personalized_pagerank(
     edges: DataFrame,
     seeds: list[int],

@@ -2440,7 +2440,7 @@ ORDER BY rank_ppm DESC, l_partkey LIMIT 20"""
     return "".join(parts)
 
 
-def _graph_stats_rebuild_sql() -> str:
+def _graph_stats_rebuild_sql(edge_where: str = "") -> str:
     """From-scratch rebuild of the maintained per-node
     (degree, n_triangles) store over the capped part co-order graph —
     ONE definition consumed by BOTH incremental_graph_stats and
@@ -2450,8 +2450,16 @@ def _graph_stats_rebuild_sql() -> str:
     avoid the same way). Basket cap mirrors queries/graph.py::
     _capped_order_parts (HAVING count(*) <= 64); triangle enumeration
     is the orientation-free a<b<c triple join; rank ties break by
-    node."""
-    return """
+    node. ``edge_where`` (r11, graph_stats_forget's oracle) filters
+    the edge relation — the rebuild over the SURVIVING edges the
+    deletion must equal."""
+    ef = (
+        f",\nef AS MATERIALIZED (SELECT * FROM e WHERE {edge_where})"
+        if edge_where
+        else ""
+    )
+    src = "ef" if edge_where else "e"
+    return f"""
 WITH op0 AS MATERIALIZED (
   SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
 op AS MATERIALIZED (
@@ -2460,15 +2468,15 @@ op AS MATERIALIZED (
 e AS MATERIALIZED (
   SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
   FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
-                     AND a.l_partkey < b.l_partkey),
+                     AND a.l_partkey < b.l_partkey){ef},
 deg AS (
   SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
-    SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+    SELECT u AS node FROM {src} UNION ALL SELECT v AS node FROM {src})
   GROUP BY 1),
 t AS (
   SELECT e1.u AS a, e1.v AS b, e2.v AS c
-  FROM e e1 JOIN e e2 ON e1.v = e2.u
-            JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+  FROM {src} e1 JOIN {src} e2 ON e1.v = e2.u
+            JOIN {src} e3 ON e3.u = e1.u AND e3.v = e2.v),
 tri AS (
   SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
   FROM (SELECT unnest([a, b, c]) AS node FROM t) GROUP BY 1),

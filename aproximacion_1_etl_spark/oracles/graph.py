@@ -12,6 +12,11 @@ ORACLES: dict[str, str] = {
     # fold == rebuild. ONE builder shared verbatim with the streaming
     # twin (oracles/common.py::_graph_stats_rebuild_sql).
     "incremental_graph_stats": _graph_stats_rebuild_sql(),
+    # RTBF edge: rebuild over the SURVIVING edges (both endpoints
+    # outside the product-forget wave)
+    "graph_stats_forget": _graph_stats_rebuild_sql(
+        edge_where="u % 10 != 0 AND v % 10 != 0"
+    ),
     "graph_kcore": _kcore_sql(k=3, rounds=14),
     "event_bigrams": """
 WITH p AS (

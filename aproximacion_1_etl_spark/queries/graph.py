@@ -748,6 +748,64 @@ def q_incremental_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _graph_stats_top20(folded)
 
 
+_FULL_GRAPH_STORE_CACHE: dict[tuple, tuple[DataFrame, DataFrame]] = {}
+
+
+def _full_graph_store(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """The SIMULATED persisted graph store over the FULL capped
+    co-order graph — the state the deletion key shrinks (the
+    incremental twin's _persisted_graph_store covers the pre-cut
+    history a fold starts from). Memoized + eagerly checkpointed;
+    benched as ``full_graph_store_build_sec``."""
+    key = (
+        _artifact_key(sf_dir, "orders"),
+        spark.sparkContext.applicationId,
+    )
+    cached = _FULL_GRAPH_STORE_CACHE.get(key)
+    if cached is None:
+        from aproximacion_1_etl_spark.operators.graph import (
+            bulk_graph_stats,
+        )
+
+        edges = _basket_edges(
+            _capped_order_baskets(spark, sf_dir)
+        ).localCheckpoint(eager=True)
+        stats = bulk_graph_stats(edges).localCheckpoint(eager=True)
+        cached = (edges, stats)
+        _FULL_GRAPH_STORE_CACHE[key] = cached
+    return cached
+
+
+def q_graph_stats_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 GRAPH-STORE DELETION — the RTBF edge of the graph member
+    (r11; the last maintained store to gain its deletion inverse): a
+    product-forget wave removes every co-order edge incident to the
+    deleted parts (l_partkey % 10 == 0) from the maintained per-node
+    (degree, n_triangles) store. Degrees decrement by the deleted
+    edges' endpoint counts; the DESTROYED triangles are
+    triangle_delta(remaining, deleted) — the fold's own kernel with
+    the deleted set in the Δ role (a triangle dies iff it contains
+    >= 1 deleted edge, counted once at its smallest deleted edge), so
+    deletion costs what a day-batch fold costs, never a wedge rescan
+    of history; fully-disconnected nodes (including every deleted
+    part) drop out of the store. Oracle = the from-scratch stats
+    rebuild over the surviving edge set — forget == rebuild. Output:
+    top-20 surviving nodes by maintained triangle count."""
+    from aproximacion_1_etl_spark.operators.graph import (
+        forget_graph_stats,
+    )
+
+    edges, stats = _full_graph_store(spark, sf_dir)
+    doomed = (F.col("u") % 10 == 0) | (F.col("v") % 10 == 0)
+    deleted = edges.filter(doomed).localCheckpoint(eager=True)
+    remaining = edges.filter(~doomed)
+    return _graph_stats_top20(
+        forget_graph_stats(stats, remaining, deleted)
+    )
+
+
 _GRAPH_STORE_CACHE: dict[tuple, tuple[DataFrame, DataFrame]] = {}
 
 
@@ -794,6 +852,8 @@ __all__ = [
     "q_personalized_pagerank",
     "q_incremental_graph_stats",
     "_persisted_graph_store",
+    "_full_graph_store",
+    "q_graph_stats_forget",
     "q_event_bigrams",
     "q_type_cooccurrence",
     "q_triangle_cooccurrence",

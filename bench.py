@@ -40,6 +40,7 @@ from aproximacion_1_etl_spark.queries import (
     _dup_cluster_store,
     _full_bm25_index_store,
     _full_dup_cluster_store,
+    _full_graph_store,
     _lm_counts_store,
     _persisted_graph_store,
     _trained_append_codebook,
@@ -331,8 +332,10 @@ HEADLINE = [
     # round-11b: maintained trigram-LM (fold + batch scoring; RTBF)
     "incremental_lm_index",
     "lm_index_forget",
-    # round-11b: the retrain decision EXECUTED and measured
+    # round-11b: the retrain decision EXECUTED and measured, plus the
+    # graph store's RTBF edge
     "ivf_retrain_execute",
+    "graph_stats_forget",
     # Python-worker queries LAST: applyInPandas spins up 32 Python
     # workers and leaves GC pressure that inflates the next JVM-only
     # query by ~3x (measured: dedup_minhash_lsh 6.96s after it vs 1.9s
@@ -431,6 +434,9 @@ def _run_segment(keys: list[str]) -> dict:
         # FOLD's cost, not 3x it
         ("graph_store_build_sec", _persisted_graph_store,
          {"incremental_graph_stats"}),
+        # the full-graph store the deletion key shrinks
+        ("full_graph_store_build_sec", _full_graph_store,
+         {"graph_stats_forget"}),
         # simulated persisted dedup state (signature store + converged
         # cluster assignment) — its build is the history the fold key
         # exists to avoid re-running, so it's a store line item too

@@ -226,6 +226,58 @@ def _brute_triangles(edges):
     return counts
 
 
+def test_forget_graph_stats_equals_rebuild_random_graphs(spark):
+    """r11 RTBF edge: forget(store(full), deleted) == bulk rebuild
+    over the remaining edges across random graphs and delete sets —
+    the destroyed triangles are triangle_delta(remaining, deleted)
+    (the fold's kernel with the deleted set in the Δ role), degrees
+    decrement, and fully-disconnected nodes drop out of the store."""
+    import random
+
+    from aproximacion_1_etl_spark.operators.graph import (
+        bulk_graph_stats,
+        forget_graph_stats,
+    )
+
+    rng = random.Random(23)
+    for trial in range(4):
+        n_nodes = rng.choice([8, 12, 16])
+        density = rng.choice([0.3, 0.45])
+        edges = sorted(
+            (a, b)
+            for a in range(n_nodes)
+            for b in range(a + 1, n_nodes)
+            if rng.random() < density
+        )
+        if len(edges) < 5:
+            continue
+        # delete every edge touching a random node set (the
+        # product-forget shape), plus one extra random edge
+        doomed_nodes = set(rng.sample(range(n_nodes), 2))
+        deleted = [
+            e for e in edges if e[0] in doomed_nodes or e[1] in doomed_nodes
+        ]
+        spare = [e for e in edges if e not in deleted]
+        if spare:
+            deleted.append(spare[rng.randrange(len(spare))])
+        remaining = [e for e in edges if e not in deleted]
+        if not deleted or not remaining:
+            continue
+        efull = spark.createDataFrame(edges, "u BIGINT, v BIGINT")
+        edel = spark.createDataFrame(deleted, "u BIGINT, v BIGINT")
+        erem = spark.createDataFrame(remaining, "u BIGINT, v BIGINT")
+        store = bulk_graph_stats(efull).localCheckpoint(eager=True)
+        got = {
+            r.node: (r.degree, r.n_triangles)
+            for r in forget_graph_stats(store, erem, edel).collect()
+        }
+        want = {
+            r.node: (r.degree, r.n_triangles)
+            for r in bulk_graph_stats(erem).collect()
+        }
+        assert got == want, (trial, edges, deleted)
+
+
 def test_triangle_delta_fold_equals_rebuild_random_graphs(spark):
     """fold(store(old), Δ) == rebuild(old ∪ Δ) across random graphs
     and split points — including Δ triangles with 2 and 3 new edges
