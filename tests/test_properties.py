@@ -1150,6 +1150,74 @@ def test_fold_dup_clusters_redelivered_pairs_idempotent(spark):
 
 @given(
     texts=st.lists(
+        st.lists(
+            st.sampled_from(["join", "hash", "scan", "merge", "sort",
+                             "slow", "order", "filter", "alpha", "beta"]),
+            min_size=1, max_size=8,
+        ),
+        min_size=3, max_size=10,
+    ),
+    dmod=st.integers(2, 4),
+)
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_bm25_forget_equals_rebuild_random_corpora(spark, texts, dmod):
+    """r11 RTBF edge, property form: scoring through
+    forget_bm25_index(full index, wave) equals a from-scratch
+    bm25_topk over the surviving corpus — scores AND ranks,
+    bit-for-bit — across random corpora and delete rules (including
+    waves that delete every doc containing some query term, so df
+    decrements to 0 on scored terms)."""
+    import pyspark.sql.functions as F
+
+    from aproximacion_1_etl_spark.text.analysis import (
+        bm25_index,
+        bm25_score_from_index,
+        bm25_topk,
+        forget_bm25_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in enumerate(texts)],
+        "doc_id BIGINT, text STRING",
+    )
+    deleted = docs.filter(F.col("doc_id") % dmod == 0).select("doc_id")
+    remaining = docs.filter(F.col("doc_id") % dmod != 0)
+    if remaining.count() == 0:
+        return
+    queries = {0: ["join", "hash"], 1: ["slow", "order"]}
+    p, d0, s0 = bm25_index(docs)
+    p2, d2, s2 = forget_bm25_index(p, d0, s0, deleted)
+    qrows = [
+        (qid, t)
+        for qid, terms in sorted(queries.items())
+        for t in sorted(set(terms))
+    ]
+    qdf = spark.createDataFrame(qrows, "query_id INT, term STRING")
+    qterms = qdf.select("term").distinct()
+    got = {
+        (r.query_id, r.doc_id): (r.score, r.rank)
+        for r in bm25_score_from_index(
+            p2.join(F.broadcast(qterms), "term"),
+            d2.join(F.broadcast(qterms), "term"),
+            s2.select(
+                "n_docs",
+                (F.col("total_dl").cast("double") / F.col("n_docs"))
+                .alias("avgdl"),
+            ),
+            qdf,
+            k=10,
+        ).collect()
+    }
+    want = {
+        (r.query_id, r.doc_id): (r.score, r.rank)
+        for r in bm25_topk(remaining, queries, k=10).collect()
+    }
+    assert got == want
+
+
+@given(
+    texts=st.lists(
         st.text(alphabet="abcd ", min_size=0, max_size=12),
         min_size=3,
         max_size=8,

@@ -1898,6 +1898,62 @@ def test_ivf_index_forget_decrements_and_guards(spark):
     assert raw[1] == 3
 
 
+def test_chunk_index_forget_equals_rebuild(spark, sf_dir):
+    """r11 RTBF cascade through the RAG store: deleting docs from the
+    persisted chunk index (vector half anti-join + postings shrink via
+    the deleted chunks' keys recovered from the index itself) equals
+    the from-scratch chunk index over the surviving docs — both
+    halves' digests, bit-for-bit."""
+    import pyspark.sql.functions as F
+
+    from aproximacion_1_etl_spark.queries.text import (
+        _chunk_texts,
+        _pooled_chunk_vectors,
+    )
+    from aproximacion_1_etl_spark.sources.tables import load_table
+    from aproximacion_1_etl_spark.text.analysis import (
+        bm25_index,
+        forget_bm25_index,
+    )
+    from aproximacion_1_etl_spark.text.vector import _sql_dot
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def digest(vec_df, postings_df):
+        dig = postings_df.groupBy("doc_id").agg(
+            F.max("dl").cast("bigint").alias("dl"),
+            F.count("*").cast("bigint").alias("n_terms"),
+        ).select(F.col("doc_id").alias("ckey"), "dl", "n_terms")
+        out = vec_df.join(dig, "ckey").select(
+            "ckey", "sent_start", "sent_end", "dl", "n_terms",
+            F.floor(
+                F.expr(_sql_dot("embedding", "embedding")) * 1e6 + 0.5
+            ).alias("vv6"),
+        )
+        return sorted(map(tuple, out.collect()))
+
+    vec = _pooled_chunk_vectors(spark, sf_dir, docs, 25).localCheckpoint(
+        eager=True
+    )
+    p, d0, s0 = bm25_index(
+        _chunk_texts(docs, 25).select(F.col("ckey").alias("doc_id"), "text")
+    )
+    deleted = docs.filter(F.col("doc_id") % 3 == 1).select("doc_id")
+    vec2 = vec.join(F.broadcast(deleted), "doc_id", "left_anti")
+    del_ckeys = vec.join(
+        F.broadcast(deleted), "doc_id", "left_semi"
+    ).select(F.col("ckey").alias("doc_id"))
+    p2, _d2, _s2 = forget_bm25_index(p, d0, s0, del_ckeys)
+    survivors = docs.filter(F.col("doc_id") % 3 != 1)
+    rvec = _pooled_chunk_vectors(spark, sf_dir, survivors, 25)
+    rp, _rd, _rs = bm25_index(
+        _chunk_texts(survivors, 25).select(
+            F.col("ckey").alias("doc_id"), "text"
+        )
+    )
+    assert digest(vec2, p2) == digest(rvec, rp)
+
+
 def test_bm25_index_fold_scores_equal_from_scratch(spark):
     """fold_bm25_index + bm25_score_from_index == bm25_topk over the
     full corpus, bit-for-bit (scores AND ranks): the folded df / N /
