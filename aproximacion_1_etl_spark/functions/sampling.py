@@ -239,9 +239,14 @@ def fold_weighted_sample(
     store is strata·k-sized, so dropping batch keys already stored is
     one broadcast anti-join. Keys are immutable by the append-only
     contract (a changed weight would change the score and is not a
-    re-delivery), so the guard never drops a legitimate update."""
+    re-delivery), so the guard never drops a legitimate update. The
+    guard also dedups WITHIN the batch (ADVICE r11 #3): two
+    deliveries compacted into ONE trigger — the same key twice in one
+    micro-batch — would pass a store-only anti-join and enter the
+    union twice with identical scores, so the batch is
+    ``dropDuplicates(key)``-ed first (batch-bounded)."""
     if guard_redelivery:
-        new_rows = new_rows.join(
+        new_rows = new_rows.dropDuplicates([key_col]).join(
             F.broadcast(store.select(key_col).distinct()),
             key_col,
             "left_anti",

@@ -785,7 +785,7 @@ def fold_graph_stats(
 
 def forget_graph_stats(
     stats: DataFrame,
-    remaining_edges: DataFrame,
+    edge_store: DataFrame,
     deleted_edges: DataFrame,
     delta_count: int | None = None,
 ) -> DataFrame:
@@ -803,15 +803,44 @@ def forget_graph_stats(
     |store|), the fold's own bound. A node whose degree reaches 0
     drops out of the store — exactly what a from-scratch rebuild over
     the remaining edges produces (forget == rebuild, the catalog
-    key's oracle)."""
+    key's oracle).
+
+    IDEMPOTENT under re-delivery (ADVICE r11 #1): ``edge_store`` is
+    the persisted canonical edge relation BEFORE this wave, and the
+    wave is first SEMI-JOINED against it (the ``ivf_index_forget``
+    ``indexed_ids`` device) — an edge not in the store (already
+    deleted by an earlier delivery of the same RTBF wave, or never
+    present) contributes nothing to ddeg/dtri, so replaying a wave
+    against the already-shrunk store is a bit-exact no-op instead of
+    a silent second decrement that the ``degree > 0`` filter would
+    swallow. The surviving edge set triangle_delta needs is derived
+    here (store ∖ wave), not passed in, so guard and remainder can
+    never disagree. Both derivations are broadcast semi/anti-joins
+    against the wave's canonical keys — wave-bounded, one store
+    scan."""
+    key = [F.least("u", "v").alias("_ku"), F.greatest("u", "v").alias("_kv")]
+    wave_keys = deleted_edges.select(*key).distinct()
+    store_keyed = edge_store.withColumn("_ku", key[0]).withColumn(
+        "_kv", key[1]
+    )
+    deleted = (
+        store_keyed.join(
+            F.broadcast(wave_keys), ["_ku", "_kv"], "left_semi"
+        )
+        .drop("_ku", "_kv")
+        .localCheckpoint(eager=False)
+    )
+    remaining_edges = store_keyed.join(
+        F.broadcast(wave_keys), ["_ku", "_kv"], "left_anti"
+    ).drop("_ku", "_kv")
     ddeg = (
-        deleted_edges.select(F.col("u").alias("node"))
-        .unionAll(deleted_edges.select(F.col("v").alias("node")))
+        deleted.select(F.col("u").alias("node"))
+        .unionAll(deleted.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.count("*").cast("bigint").alias("delta_degree"))
     )
     dtri = triangle_delta(
-        remaining_edges, deleted_edges, delta_count=delta_count
+        remaining_edges, deleted, delta_count=delta_count
     )
     return (
         stats.join(ddeg, "node", "left")

@@ -800,9 +800,11 @@ def q_graph_stats_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges, stats = _full_graph_store(spark, sf_dir)
     doomed = (F.col("u") % 10 == 0) | (F.col("v") % 10 == 0)
     deleted = edges.filter(doomed).localCheckpoint(eager=True)
-    remaining = edges.filter(~doomed)
+    # the forget takes the PRE-delete edge store and guards/derives
+    # the wave and the survivors itself (re-delivery idempotence,
+    # ADVICE r11 #1)
     return _graph_stats_top20(
-        forget_graph_stats(stats, remaining, deleted)
+        forget_graph_stats(stats, edges, deleted)
     )
 
 

@@ -1908,7 +1908,6 @@ def q_incremental_lm_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aproximacion_1_etl_spark.text.analysis import (
         _doc_tri_counts,
         fold_lm_counts,
-        lm_counts,
         lm_score_from_counts,
     )
 

@@ -269,13 +269,27 @@ def test_forget_graph_stats_equals_rebuild_random_graphs(spark):
         store = bulk_graph_stats(efull).localCheckpoint(eager=True)
         got = {
             r.node: (r.degree, r.n_triangles)
-            for r in forget_graph_stats(store, erem, edel).collect()
+            for r in forget_graph_stats(store, efull, edel).collect()
         }
         want = {
             r.node: (r.degree, r.n_triangles)
             for r in bulk_graph_stats(erem).collect()
         }
         assert got == want, (trial, edges, deleted)
+        # RE-DELIVERY idempotence (ADVICE r11 #1): replaying the SAME
+        # wave against the already-shrunk store must be a no-op — the
+        # wave semi-joins against the current edge store, so edges
+        # already deleted contribute nothing (no second decrement, no
+        # silent drop of surviving nodes via the degree > 0 filter)
+        shrunk = spark.createDataFrame(
+            [(n, d, t) for n, (d, t) in got.items()],
+            "node BIGINT, degree BIGINT, n_triangles BIGINT",
+        )
+        again = {
+            r.node: (r.degree, r.n_triangles)
+            for r in forget_graph_stats(shrunk, erem, edel).collect()
+        }
+        assert again == want, (trial, edges, deleted)
 
 
 def test_triangle_delta_fold_equals_rebuild_random_graphs(spark):

@@ -334,3 +334,40 @@ def test_fold_weighted_sample_redelivered_batch_is_noop(spark):
     ).collect()
     keys = [(r.lang, r.doc_id) for r in raw]
     assert len(set(keys)) < len(keys)  # duplicated member, by contract
+
+
+def test_fold_weighted_sample_within_batch_duplicates(spark):
+    """ADVICE r11 #3: a batch that ITSELF contains duplicate key rows
+    (two deliveries compacted into one trigger) passes a store-only
+    anti-join — the guard now dropDuplicates the batch first, so
+    fold(store, B ∪ B) == fold(store, B) with unique sample keys."""
+    import pyspark.sql.functions as F
+
+    from aproximacion_1_etl_spark.functions.sampling import (
+        fold_weighted_sample,
+        weighted_sample_topk,
+    )
+
+    rows = [("a", i, (i * 37) % 90 + 10) for i in range(20)]
+    df = spark.createDataFrame(rows, "lang STRING, doc_id BIGINT, w BIGINT")
+    old = df.filter(F.col("doc_id") % 4 != 0)
+    batch = df.filter(F.col("doc_id") % 4 == 0)
+    store = weighted_sample_topk(
+        old, key_col="doc_id", weight_col="w", k=5, strata_col="lang"
+    ).localCheckpoint(eager=True)
+    clean = sorted(
+        (r.lang, r.doc_id, r.sample_score)
+        for r in fold_weighted_sample(
+            store, batch, key_col="doc_id", weight_col="w", k=5,
+            strata_col="lang",
+        ).collect()
+    )
+    dup = sorted(
+        (r.lang, r.doc_id, r.sample_score)
+        for r in fold_weighted_sample(
+            store, batch.unionByName(batch), key_col="doc_id",
+            weight_col="w", k=5, strata_col="lang",
+        ).collect()
+    )
+    assert dup == clean
+    assert len({(la, d) for la, d, _ in dup}) == len(dup)
