@@ -533,7 +533,13 @@ def q_dup_clusters_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") % 7 == 0)
         .select("doc_id")
     )
-    return forget_doc_clusters(store, sigs, deleted)
+    # the forget also shrinks the SIGNATURE store (r12 — content-
+    # derived MinHash rows are data an RTBF request may not retain);
+    # production persists both returns, the catalog key's oracle
+    # checks the cluster assignment and the rtbf_audit_report key
+    # checks signature absence across every maintained surface
+    store2, _sigs2 = forget_doc_clusters(store, sigs, deleted)
+    return store2
 
 
 def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
