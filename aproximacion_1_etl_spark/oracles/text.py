@@ -491,6 +491,10 @@ WHERE length(substr(text, chunk_id * 300 + 1, 400)) > 0
     # trained-IVF ANN over the pooled chunk-vector index, spans joined
     "chunk_ann_retrieval": _chunk_ann_sql(10, 25),
     "incremental_chunk_index": _incremental_chunk_index_sql(25),
+    # streaming twin: the multi-wave guarded fold must reproduce the
+    # from-scratch chunk index over the full corpus for BOTH halves —
+    # same rebuild SQL as the batch twin
+    "streaming_chunk_index": _incremental_chunk_index_sql(25),
     "chunk_index_forget": _incremental_chunk_index_sql(
         25, where="doc_id % 4 != 0 AND doc_id % 6 != 3"
     ),
@@ -1136,6 +1140,12 @@ JOIN sizes sb ON src_b = sb.source
 # into _SHINGLES_SQL — a reworded CTE must fail HERE with a clear
 # message, not later as an opaque cert hash mismatch from an
 # unfiltered (all-documents) clustering.
+# streaming twin of the maintained trigram LM: the multi-wave
+# GUARDED fold (doc-id ledger) must reproduce the from-scratch model,
+# so scoring the full corpus through it equals the one-shot
+# lm_trigram_score — the oracle IS that SQL, verbatim
+ORACLES["streaming_lm_index"] = ORACLES["lm_trigram_score"]
+
 if "doc_id % 7 != 0" not in ORACLES["dup_clusters_forget"]:
     raise AssertionError(
         "dup_clusters_forget oracle: rebase anchor 'FROM documents "

@@ -2415,7 +2415,243 @@ def q_streaming_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             shutil.rmtree(ckpt, ignore_errors=True)
 
 
+def q_streaming_lm_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 + §2.10: TRIGRAM-LM MAINTENANCE AS A STREAM — the
+    streaming twin of ``incremental_lm_index`` (r12 task 3; the LM
+    was one of the two newest maintained stores still without one):
+    documents arrive in three doc_id-band waves; foreachBatch
+    trigram-counts ONLY the batch and folds it into the persisted
+    (lang, tri, c3) model state through the DELIVERY-GUARDED fold
+    (text/analysis.py::fold_lm_counts_guarded — a doc-id ledger
+    relation persists next to the counts, so a re-delivered wave or a
+    duplicate doc within one trigger folds as a bit-exact no-op; both
+    relations swap via the write-aside device because the fold reads
+    the store it replaces). After the last wave the full corpus is
+    quality-scored THROUGH the maintained model via the shared
+    scoring tail. Oracle = the one-shot ``lm_trigram_score`` SQL over
+    the full corpus — hash equality proves the multi-wave guarded
+    fold reproduces the from-scratch model bit-for-bit."""
+    import shutil
+    import time as _time
+
+    from aproximacion_1_etl_spark.text.analysis import (
+        _doc_tri_counts,
+        fold_lm_counts_guarded,
+        lm_score_from_counts,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    base = tempfile.mkdtemp(prefix="graft_sli_")
+    ckpt = tempfile.mkdtemp(prefix="ckpt_sli_")
+    src = os.path.join(base, "src")
+    counts_store = os.path.join(base, "counts")
+    counts_next = os.path.join(base, "_counts_next")
+    ledger_store = os.path.join(base, "ledger")
+    ledger_next = os.path.join(base, "_ledger_next")
+
+    def handle_batch(batch, batch_id: int) -> None:
+        t0 = _time.time()
+        bspark = batch.sparkSession
+        if os.path.isdir(counts_store):
+            store = bspark.read.parquet(counts_store)
+            seen = bspark.read.parquet(ledger_store)
+        else:
+            store = bspark.createDataFrame(
+                [], "lang STRING, tri STRING, c3 BIGINT"
+            )
+            seen = bspark.createDataFrame([], "doc_id BIGINT")
+        counts2, ledger2 = fold_lm_counts_guarded(store, seen, batch)
+        # both relations read the store they replace -> two-step
+        # write-aside swap (the bm25 twin's df/stats device)
+        counts2.write.mode("overwrite").parquet(counts_next)
+        bspark.read.parquet(counts_next).write.mode(
+            "overwrite"
+        ).parquet(counts_store)
+        ledger2.write.mode("overwrite").parquet(ledger_next)
+        bspark.read.parquet(ledger_next).write.mode(
+            "overwrite"
+        ).parquet(ledger_store)
+        _record_fold("streaming_lm_index", t0)
+
+    try:
+        now = _time.time()
+        for i in range(3):
+            docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(
+                os.path.join(src, f"w{i + 1}")
+            )
+            pdir = os.path.join(src, f"w{i + 1}")
+            ts = now - 60 * (3 - i)
+            for f in os.listdir(pdir):
+                os.utime(os.path.join(pdir, f), (ts, ts))
+        q = (
+            spark.readStream.schema(
+                "doc_id BIGINT, lang STRING, text STRING"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(src, "*"))
+            .writeStream.foreachBatch(handle_batch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+        counts = spark.read.parquet(counts_store)
+        out = lm_score_from_counts(_doc_tri_counts(docs), counts)
+        # per-doc scores are corpus-sized: distributed reclaim, never
+        # a driver collect
+        return _reclaimed_dist(out, base, ckpt)
+    finally:
+        if os.path.isdir(base):
+            shutil.rmtree(base, ignore_errors=True)
+        if os.path.isdir(ckpt):
+            shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def q_streaming_chunk_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 + §2.10: RAG CHUNK-INDEX MAINTENANCE AS A STREAM — the
+    streaming twin of ``incremental_chunk_index`` (r12 task 3; the
+    chunk index was the other maintained store without one):
+    documents arrive in three doc_id-band waves; foreachBatch
+    sentence-tokenizes ONLY the batch and folds it into BOTH halves
+    of the persisted chunk index — pooled chunk VECTORS append to the
+    vector half (pooling is corpus-independent, so batch rows are
+    bit-identical to a full build's), and reconstructed chunk texts
+    fold into the chunk-level BM25 half (postings append, dfs add,
+    exact-integer totals swap). Re-delivery guard at the DOC level
+    (the bm25 twin's device): batch doc ids anti-join the vector
+    half's stored ids, making a re-delivered wave a no-op for both
+    halves at once (chunk keys derive injectively from doc ids).
+    After the last wave the digest joins both halves per chunk — the
+    ``incremental_chunk_index`` output shape, sharing its
+    from-scratch rebuild oracle: hash equality proves the multi-wave
+    fold == rebuild for both halves."""
+    import shutil
+    import time as _time
+
+    from aproximacion_1_etl_spark.queries.text import (
+        _chunk_texts,
+        _pooled_chunk_vectors,
+    )
+    from aproximacion_1_etl_spark.text.analysis import (
+        bm25_index,
+        fold_bm25_index,
+    )
+    from aproximacion_1_etl_spark.text.vector import _sql_dot
+
+    budget = 25
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    base = tempfile.mkdtemp(prefix="graft_sci_")
+    ckpt = tempfile.mkdtemp(prefix="ckpt_sci_")
+    src = os.path.join(base, "src")
+    vec_store = os.path.join(base, "vec")
+    post_store = os.path.join(base, "postings")
+    df_store = os.path.join(base, "df")
+    df_next = os.path.join(base, "_df_next")
+    stats_store = os.path.join(base, "stats")
+    stats_next = os.path.join(base, "_stats_next")
+
+    def handle_batch(batch, batch_id: int) -> None:
+        t0 = _time.time()
+        bspark = batch.sparkSession
+        batch = batch.dropDuplicates(["doc_id"])
+        if os.path.isdir(vec_store):
+            batch_ids = batch.select("doc_id").distinct()
+            seen = (
+                bspark.read.parquet(vec_store)
+                .join(F.broadcast(batch_ids), "doc_id", "left_semi")
+                .select("doc_id")
+                .distinct()
+            )
+            batch = batch.join(F.broadcast(seen), "doc_id", "left_anti")
+        batch = batch.localCheckpoint(eager=False)
+        pooled = _pooled_chunk_vectors(bspark, sf_dir, batch, budget)
+        pooled.write.mode("append").parquet(vec_store)
+        bct = _chunk_texts(batch, budget).select(
+            F.col("ckey").alias("doc_id"), "text"
+        )
+        if os.path.isdir(df_store):
+            # doc-level guard above already enforced disjointness and
+            # chunk keys derive injectively from doc ids — skip the
+            # fold's own ckey-level guard (one store scan saved)
+            np_, df2, st2 = fold_bm25_index(
+                bspark.createDataFrame(
+                    [], "doc_id BIGINT, term STRING, dl INT, tf BIGINT"
+                ),
+                bspark.read.parquet(df_store),
+                bspark.read.parquet(stats_store),
+                bct,
+                id_col="doc_id",
+                guard_redelivery=False,
+            )
+        else:
+            np_, df2, st2 = bm25_index(bct)
+        np_.write.mode("append").parquet(post_store)
+        df2.write.mode("overwrite").parquet(df_next)
+        bspark.read.parquet(df_next).write.mode("overwrite").parquet(
+            df_store
+        )
+        st2.write.mode("overwrite").parquet(stats_next)
+        bspark.read.parquet(stats_next).write.mode("overwrite").parquet(
+            stats_store
+        )
+        _record_fold("streaming_chunk_index", t0)
+
+    try:
+        now = _time.time()
+        for i in range(3):
+            docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(
+                os.path.join(src, f"w{i + 1}")
+            )
+            pdir = os.path.join(src, f"w{i + 1}")
+            ts = now - 60 * (3 - i)
+            for f in os.listdir(pdir):
+                os.utime(os.path.join(pdir, f), (ts, ts))
+        q = (
+            spark.readStream.schema(
+                "doc_id BIGINT, lang STRING, text STRING"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(src, "*"))
+            .writeStream.foreachBatch(handle_batch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+        vecidx = spark.read.parquet(vec_store)
+        postings = spark.read.parquet(post_store)
+        dig = postings.groupBy("doc_id").agg(
+            F.max("dl").cast("bigint").alias("dl"),
+            F.count("*").cast("bigint").alias("n_terms"),
+        ).select(F.col("doc_id").alias("ckey"), "dl", "n_terms")
+        out = vecidx.join(dig, "ckey").select(
+            "ckey",
+            "doc_id",
+            "chunk_id",
+            "sent_start",
+            "sent_end",
+            "dl",
+            "n_terms",
+            _fround(
+                F.expr(_sql_dot("embedding", "embedding")), 6
+            ).alias("vv"),
+        )
+        # per-chunk digest is corpus-sized: distributed reclaim
+        return _reclaimed_dist(out, base, ckpt)
+    finally:
+        if os.path.isdir(base):
+            shutil.rmtree(base, ignore_errors=True)
+        if os.path.isdir(ckpt):
+            shutil.rmtree(ckpt, ignore_errors=True)
+
+
 __all__ = [
+    "q_streaming_lm_index",
+    "q_streaming_chunk_index",
     "q_streaming_bm25_index",
     "q_streaming_dup_clusters",
     "q_streaming_ttl_dedup",

@@ -541,6 +541,10 @@ STREAM_TWINS = [
     "streaming_graph_stats",
     "streaming_dup_clusters",
     "streaming_bm25_index",
+    # round-12: the two newest maintained stores' twins (guarded LM
+    # fold + ledger swap; chunk-index two-half fold)
+    "streaming_lm_index",
+    "streaming_chunk_index",
 ]
 
 
