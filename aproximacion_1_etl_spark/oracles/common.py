@@ -2576,6 +2576,166 @@ FROM hist""")
     return head + "\nUNION ALL\n".join(parts)
 
 
+def _dup_clusters_sql(doc_where: str = "") -> str:
+    """The from-scratch near-dup clustering over the (optionally
+    filtered) corpus — ONE builder now shared by the dup_clusters /
+    dup_clusters_forget catalog entries AND the RTBF audit's
+    cluster-surface counts, so the audit's rebuild can never drift
+    from the keys it audits. ``doc_where`` injects into the shingle
+    base with the established fail-fast anchor device."""
+    sh = _SHINGLES_SQL.strip()
+    if doc_where:
+        injected = sh.replace(
+            "FROM documents WHERE",
+            f"FROM documents WHERE {doc_where} AND ",
+        )
+        if injected == sh:
+            raise AssertionError(
+                "_dup_clusters_sql: rebase anchor 'FROM documents "
+                "WHERE' not found in _SHINGLES_SQL — the CTE was "
+                "reworded; update the injection anchor"
+            )
+        sh = injected
+    return (
+        "WITH RECURSIVE "
+        + sh
+        + ","
+        + _CLUSTER_CTES
+        + """
+SELECT id AS doc_id, min(r) AS cluster_id, (id = min(r)) AS keep
+FROM reach GROUP BY id
+"""
+    )
+
+
+def _graph_node_relation_sql(edge_where: str = "") -> str:
+    """The FULL per-node store relation of _graph_stats_rebuild_sql —
+    the same rebuild with the top-20 rank cut stripped (fail-fast
+    anchor device), so the RTBF audit can count the whole maintained
+    graph store before/after a product-forget wave."""
+    sql = _graph_stats_rebuild_sql(edge_where)
+    out = sql.replace("FROM r WHERE rank <= 20", "FROM r")
+    if out == sql:
+        raise AssertionError(
+            "_graph_node_relation_sql: rebase anchor 'FROM r WHERE "
+            "rank <= 20' not found in _graph_stats_rebuild_sql — the "
+            "tail was reworded; update the strip anchor"
+        )
+    return out
+
+
+def _rtbf_audit_sql(budget: int = 25) -> str:
+    """Mirror of q_rtbf_audit_report — the cross-store RTBF audit
+    capstone (r12 task 4): ten (surface, n_before, n_deleted,
+    n_after, n_subject_still_visible) rows, every count computed from
+    a FROM-SCRATCH rebuild over the pre-/post-delete corpus (never
+    from the engine's folds), and every visibility column computed as
+    a genuine subject-membership sum over the post-delete rebuild —
+    all-zeros because a rebuild over erased data cannot see the
+    subject, which is exactly the bar the engine's composed forget
+    edges must meet. Surface relations reuse the SAME SQL builders as
+    the per-store catalog keys (_dup_clusters_sql,
+    _incremental_chunk_index_sql, _graph_node_relation_sql, the BM25
+    tokenizer and LM trigram CTE shapes), so audit and store oracles
+    cannot drift."""
+    doc_where = "doc_id % 7 != 0"
+    band = "substring(md5(CAST({k} AS VARCHAR)), 1, 4) < '0800'"
+
+    def rel_row(surface, full_sql, after_sql, vis_pred):
+        return f"""
+SELECT '{surface}' AS surface, _b.n_before,
+       CAST(_b.n_before - _a.n_after AS BIGINT) AS n_deleted,
+       _a.n_after, _a.vis AS n_subject_still_visible
+FROM (SELECT CAST(count(*) AS BIGINT) AS n_before
+      FROM ({full_sql.strip()}) _x) _b,
+     (SELECT CAST(count(*) AS BIGINT) AS n_after,
+             CAST(coalesce(sum(CASE WHEN {vis_pred}
+                                    THEN 1 ELSE 0 END), 0) AS BIGINT)
+               AS vis
+      FROM ({after_sql.strip()}) _y) _a"""
+
+    def dv_row(surface, table, key_expr, join=""):
+        b = band.format(k=key_expr)
+        return f"""
+SELECT '{surface}' AS surface, _b.n_before,
+       CAST(_b.n_before - _a.n_after AS BIGINT) AS n_deleted,
+       _a.n_after, _a.vis AS n_subject_still_visible
+FROM (SELECT CAST(count(*) AS BIGINT) AS n_before FROM {table}{join}) _b,
+     (SELECT CAST(count(*) AS BIGINT) AS n_after,
+             CAST(coalesce(sum(CASE WHEN {b} THEN 1 ELSE 0 END), 0)
+                  AS BIGINT) AS vis
+      FROM {table}{join} WHERE NOT ({b})) _a"""
+
+    postings = (
+        "SELECT doc_id, term FROM (SELECT doc_id,"
+        " unnest(string_split(text, ' ')) AS term FROM documents{w})"
+        " GROUP BY 1, 2"
+    )
+    sig_docs = (
+        "SELECT doc_id FROM documents"
+        " WHERE len(string_split(text, ' ')) >= 3{a}"
+    )
+    lm_tris = (
+        "SELECT lang, tri, CAST(count(*) AS BIGINT) AS c3"
+        " FROM (SELECT lang, substr(text, i, 3) AS tri"
+        "       FROM (SELECT lang, text,"
+        "                    unnest(generate_series(1, len(text) - 2)) AS i"
+        "             FROM documents{w})) GROUP BY 1, 2"
+    )
+    rows = [
+        dv_row("dv_events", "events", "user_id"),
+        dv_row("dv_orders", "orders", "o_custkey"),
+        dv_row(
+            "dv_lineitem", "lineitem li", "ord.o_custkey",
+            join=" JOIN orders ord ON ord.o_orderkey = li.l_orderkey",
+        ),
+        rel_row(
+            "cluster_store",
+            _dup_clusters_sql(),
+            _dup_clusters_sql(doc_where),
+            "doc_id % 7 = 0 OR cluster_id % 7 = 0",
+        ),
+        rel_row(
+            "signature_store",
+            sig_docs.format(a=""),
+            sig_docs.format(a=f" AND {doc_where}"),
+            "doc_id % 7 = 0",
+        ),
+        rel_row(
+            "bm25_postings",
+            postings.format(w=""),
+            postings.format(w=f" WHERE {doc_where}"),
+            "doc_id % 7 = 0",
+        ),
+        rel_row(
+            "chunk_index",
+            _incremental_chunk_index_sql(budget),
+            _incremental_chunk_index_sql(budget, where=doc_where),
+            "doc_id % 7 = 0",
+        ),
+        rel_row(
+            "lm_counts",
+            lm_tris.format(w=""),
+            lm_tris.format(w=f" WHERE {doc_where}"),
+            "c3 <= 0",
+        ),
+        rel_row(
+            "graph_store",
+            _graph_node_relation_sql(),
+            _graph_node_relation_sql(
+                edge_where="u % 10 != 0 AND v % 10 != 0"
+            ),
+            "l_partkey % 10 = 0",
+        ),
+        rel_row(
+            "ivf_index",
+            "SELECT vec_id FROM embeddings",
+            "SELECT vec_id FROM embeddings WHERE vec_id % 7 != 0",
+            "vec_id % 7 = 0",
+        ),
+    ]
+    return "\nUNION ALL\n".join(rows)
+
 
 __all__ = [
     "_ppr_sql",
@@ -2603,6 +2763,9 @@ __all__ = [
     "_chunk_retrieval_sql",
     "_chunk_ann_sql",
     "_incremental_chunk_index_sql",
+    "_dup_clusters_sql",
+    "_graph_node_relation_sql",
+    "_rtbf_audit_sql",
     "_chunk_hybrid_sql",
     "_chunk_ann_recall_sql",
     "_chunk_vec_ctes",

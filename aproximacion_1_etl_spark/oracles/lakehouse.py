@@ -5,6 +5,10 @@ from __future__ import annotations
 from .common import *  # noqa: F401,F403
 
 ORACLES: dict[str, str] = {
+    # the cross-store RTBF audit capstone (r12 task 4): every count a
+    # from-scratch pre-/post-delete rebuild, every visibility column a
+    # genuine subject-membership sum over the post-delete rebuild
+    "rtbf_audit_report": _rtbf_audit_sql(25),
     "merge_on_read": """
 SELECT c_custkey, c_name, c_nationkey,
        floor((CASE WHEN c_nationkey = 5 AND c_custkey % 3 = 0 THEN -1.0

@@ -421,30 +421,17 @@ FROM (SELECT *, row_number() OVER (
       FROM scored)
 WHERE rank <= 5
 """,
-    "dup_clusters": "WITH RECURSIVE "
-    + _SHINGLES_SQL.strip()
-    + ","
-    + _CLUSTER_CTES
-    + """
-SELECT id AS doc_id, min(r) AS cluster_id, (id = min(r)) AS keep
-FROM reach GROUP BY id
-""",
+    # ONE builder (oracles/common.py::_dup_clusters_sql) now serves
+    # dup_clusters, the deletion key, and the RTBF audit's
+    # cluster-surface counts — the audit cannot drift from the keys
+    # it audits
+    "dup_clusters": _dup_clusters_sql(),
     # the deletion key MUST equal the from-scratch clustering over the
     # POST-DELETE corpus (doc_id % 7 != 0 — the RTBF wave removed):
     # the same dup_clusters SQL with the delete predicate injected
     # into the shingle base via the fail-fast anchor device of
-    # _corpus_release_sql (module-end assertion guards the anchor)
-    "dup_clusters_forget": "WITH RECURSIVE "
-    + _SHINGLES_SQL.strip().replace(
-        "FROM documents WHERE",
-        "FROM documents WHERE doc_id % 7 != 0 AND ",
-    )
-    + ","
-    + _CLUSTER_CTES
-    + """
-SELECT id AS doc_id, min(r) AS cluster_id, (id = min(r)) AS keep
-FROM reach GROUP BY id
-""",
+    # _corpus_release_sql (the builder asserts the anchor)
+    "dup_clusters_forget": _dup_clusters_sql("doc_id % 7 != 0"),
     # the maintained-store fold MUST equal the from-scratch clustering
     # over the full corpus — the oracle IS that rebuild (the
     # fold == rebuild device of incremental_graph_stats), so this key

@@ -822,6 +822,163 @@ def q_forget_user_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def _audit_row(
+    surface: str, n_before: int, after_df: DataFrame, visible_pred
+) -> tuple:
+    """One RTBF-audit manifest row over a post-forget store relation:
+    (surface, n_before, n_before - n_after, n_after, rows still
+    referencing a deleted subject). The relation is eagerly
+    checkpointed first — it is consumed by two actions, and several
+    callers pass iterative-forget outputs (re-clustering loops) that
+    must not re-run per action. Factored out so the resurrection-bug
+    pytest can point the SAME counter at a deliberately stale store
+    and watch the visibility column go nonzero."""
+    after_df = after_df.localCheckpoint(eager=True)
+    n_after = after_df.count()
+    still = after_df.filter(visible_pred).count()
+    return (surface, n_before, n_before - n_after, n_after, still)
+
+
+def q_rtbf_audit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 CROSS-STORE RTBF AUDIT — the governance capstone (r12
+    task 4): one report that erases a subject set and verifies
+    absence across EVERY maintained surface the engine persists — the
+    audit a regulator actually asks for, and the composition proof
+    that the forget edges built across r4–r12 compose. Ten rows
+    (surface, n_before, n_deleted, n_after,
+    n_subject_still_visible):
+
+    - dv_events / dv_orders / dv_lineitem — the DV-cascade erasure
+      (q_forget_user_cascade's manifest, FK-resolved through orders),
+      subject = the md5-band customer/user set;
+    - cluster_store + signature_store — forget_doc_clusters over the
+      full dedup state (subject = doc_id % 7), the signature half
+      being the r12 RTBF closure (content-derived MinHash rows gone);
+    - bm25_postings — forget_bm25_index (same doc wave);
+    - chunk_index — the chunk-vector half anti-joined (same wave;
+      the postings-half cascade is chunk_index_forget's own oracle);
+    - lm_counts — forget_lm_counts (same wave; aggregate state
+      carries no doc ids, so its visibility column counts non-positive
+      residue rows — the only subject-shaped residue counts can hold;
+      per-value absence is lm_index_forget's full-hash oracle);
+    - graph_store — forget_graph_stats (subject = parts % 10);
+    - ivf_index — ivf_index_forget's exact cell-census totals plus the
+      shrunk indexed-ids relation (subject = vec_id % 7).
+
+    Subjects live in different id spaces per domain (users, documents,
+    vectors, products) — a real RTBF closure touches each store in
+    its own key space; what composes is the erasure, and what this key
+    pins is that every post-forget store is rebuild-sized with a
+    zero visibility column. The DuckDB oracle recomputes every count
+    from a FROM-SCRATCH rebuild over the pre-/post-delete corpus
+    (oracles/common.py::_rtbf_audit_sql, reusing the per-store
+    builders), so hash equality == forget-equals-rebuild across all
+    ten surfaces at once. All counts are driver-held ints (the
+    cascade manifest's established bounded-audit device); the stores
+    themselves are the memoized simulated-persisted relations the
+    per-store keys already maintain."""
+    from aproximacion_1_etl_spark.operators.graph import (
+        forget_graph_stats,
+    )
+    from aproximacion_1_etl_spark.queries.common import (
+        _trained_append_codebook,
+    )
+    from aproximacion_1_etl_spark.queries.graph import _full_graph_store
+    from aproximacion_1_etl_spark.queries.text import (
+        _chunk_vector_index,
+        _full_bm25_index_store,
+        _full_dup_cluster_store,
+    )
+    from aproximacion_1_etl_spark.text.analysis import (
+        forget_bm25_index,
+        forget_lm_counts,
+        lm_counts,
+    )
+    from aproximacion_1_etl_spark.text.dedup import forget_doc_clusters
+    from aproximacion_1_etl_spark.text.vector import (
+        ivf_assign_cells,
+        ivf_index_forget,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    in_wave = F.col("doc_id") % 7 == 0
+    doc_wave = docs.filter(in_wave).select("doc_id")
+    rows: list[tuple] = []
+
+    # dv_* — the versioned-store cascade manifest, relabeled
+    for r in q_forget_user_cascade(spark, sf_dir).collect():
+        rows.append((
+            "dv_" + r.table_name, r.n_before, r.n_deleted, r.n_after,
+            r.n_subject_still_visible,
+        ))
+
+    # cluster + signature stores (one forget call maintains both)
+    sigs, store = _full_dup_cluster_store(spark, sf_dir)
+    store2, sigs2 = forget_doc_clusters(store, sigs, doc_wave)
+    rows.append(_audit_row(
+        "cluster_store", store.count(), store2,
+        in_wave | (F.col("cluster_id") % 7 == 0),
+    ))
+    rows.append(_audit_row("signature_store", sigs.count(), sigs2, in_wave))
+
+    # BM25 inverted index
+    postings, df0, stats = _full_bm25_index_store(spark, sf_dir)
+    p2, _d2, _s2 = forget_bm25_index(postings, df0, stats, doc_wave)
+    rows.append(_audit_row("bm25_postings", postings.count(), p2, in_wave))
+
+    # RAG chunk-vector index
+    vecidx = _chunk_vector_index(spark, sf_dir)
+    vec2 = vecidx.join(F.broadcast(doc_wave), "doc_id", "left_anti")
+    rows.append(_audit_row("chunk_index", vecidx.count(), vec2, in_wave))
+
+    # trigram-LM counts
+    full_lm = lm_counts(docs).localCheckpoint(eager=True)
+    shrunk = forget_lm_counts(full_lm, lm_counts(docs.filter(in_wave)))
+    rows.append(_audit_row(
+        "lm_counts", full_lm.count(), shrunk, F.col("c3") <= 0,
+    ))
+
+    # co-order graph store (product forget)
+    edges, gstats = _full_graph_store(spark, sf_dir)
+    deleted_edges = edges.filter(
+        (F.col("u") % 10 == 0) | (F.col("v") % 10 == 0)
+    ).localCheckpoint(eager=True)
+    gstats2 = forget_graph_stats(gstats, edges, deleted_edges)
+    rows.append(_audit_row(
+        "graph_store", gstats.count(), gstats2, F.col("node") % 10 == 0,
+    ))
+
+    # IVF cell census + indexed-ids relation (vector forget)
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = _trained_append_codebook(spark, sf_dir)
+    current = (
+        ivf_assign_cells(emb, cb)
+        .groupBy("cell")
+        .agg(F.count("*").alias("n_total"))
+    )
+    vwave = emb.filter(F.col("vec_id") % 7 == 0)
+    rep = ivf_index_forget(
+        vwave, cb, current, indexed_ids=emb.select("vec_id")
+    ).agg(
+        F.sum("n_before").alias("nb"),
+        F.sum("n_removed").alias("nr"),
+        F.sum("n_after").alias("na"),
+    ).collect()[0]
+    ids2 = emb.select("vec_id").join(
+        F.broadcast(vwave.select("vec_id")), "vec_id", "left_anti"
+    )
+    rows.append((
+        "ivf_index", rep.nb, rep.nr, rep.na,
+        ids2.filter(F.col("vec_id") % 7 == 0).count(),
+    ))
+
+    return spark.createDataFrame(
+        rows,
+        "surface string, n_before bigint, n_deleted bigint, "
+        "n_after bigint, n_subject_still_visible bigint",
+    )
+
+
 def q_merge_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merge-on-read scan over a snapshot table with accumulated delta
     batches (sources/versioned.py::write_delta/read_merged): the
@@ -1508,6 +1665,8 @@ __all__ = [
     "q_record_linkage",
     "q_l_diversity_audit",
     "q_forget_user_cascade",
+    "q_rtbf_audit_report",
+    "_audit_row",
     "q_merge_on_read",
     "q_gated_publish",
     "q_snapshot_schema_evolution",

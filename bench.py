@@ -336,6 +336,10 @@ HEADLINE = [
     # graph store's RTBF edge
     "ivf_retrain_execute",
     "graph_stats_forget",
+    # round-12: the cross-store RTBF audit capstone (composes the
+    # forget edges over every maintained surface; store builds are
+    # attributed to their own line items below)
+    "rtbf_audit_report",
     # Python-worker queries LAST: applyInPandas spins up 32 Python
     # workers and leaves GC pressure that inflates the next JVM-only
     # query by ~3x (measured: dedup_minhash_lsh 6.96s after it vs 1.9s
@@ -420,7 +424,7 @@ def _run_segment(keys: list[str]) -> dict:
           "padding_efficiency_report", "bpe_train_merges"}),
         ("append_codebook_train_sec", _trained_append_codebook,
          {"ivf_index_append", "streaming_ivf_append", "ann_topk_ivfpq",
-          "ivf_index_forget"}),
+          "ivf_index_forget", "rtbf_audit_report"}),
         # the aging store-slice codebook whose drift the retrain-plan
         # key measures
         ("half_codebook_train_sec", _trained_half_codebook,
@@ -436,7 +440,7 @@ def _run_segment(keys: list[str]) -> dict:
          {"incremental_graph_stats"}),
         # the full-graph store the deletion key shrinks
         ("full_graph_store_build_sec", _full_graph_store,
-         {"graph_stats_forget"}),
+         {"graph_stats_forget", "rtbf_audit_report"}),
         # simulated persisted dedup state (signature store + converged
         # cluster assignment) — its build is the history the fold key
         # exists to avoid re-running, so it's a store line item too
@@ -446,7 +450,7 @@ def _run_segment(keys: list[str]) -> dict:
         # production, read by every chunk retrieval)
         ("chunk_index_build_sec", _chunk_vector_index,
          {"chunk_ann_retrieval", "chunk_hybrid_retrieval",
-          "chunk_ann_recall"}),
+          "chunk_ann_recall", "rtbf_audit_report"}),
         # the persisted BM25 inverted index the fold key maintains
         ("bm25_index_build_sec", _bm25_index_store,
          {"incremental_bm25_index"}),
@@ -456,7 +460,7 @@ def _run_segment(keys: list[str]) -> dict:
          {"incremental_chunk_index", "chunk_index_forget"}),
         # the full-corpus BM25 index the deletion key shrinks
         ("full_bm25_index_build_sec", _full_bm25_index_store,
-         {"bm25_index_forget"}),
+         {"bm25_index_forget", "rtbf_audit_report"}),
         # the persisted trigram-LM state the LM fold/forget maintain
         ("lm_counts_build_sec", _lm_counts_store,
          {"incremental_lm_index", "lm_index_forget"}),
@@ -467,7 +471,7 @@ def _run_segment(keys: list[str]) -> dict:
         # full-corpus dedup state (signatures + clusters) the deletion
         # key mutates — on disk in production, a line item here
         ("full_dup_cluster_store_build_sec", _full_dup_cluster_store,
-         {"dup_clusters_forget"}),
+         {"dup_clusters_forget", "rtbf_audit_report"}),
     ]:
         if not (consumers & seg):
             continue

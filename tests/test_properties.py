@@ -1487,6 +1487,53 @@ def test_forget_doc_clusters_bridge_split(spark):
         )
 
 
+def test_rtbf_audit_catches_planted_resurrection_bug(spark):
+    """r12 task 4: the cross-store audit's visibility counter must
+    CATCH a store that silently retained subject data. Plant the
+    exact pre-r12 bug — forgetting the cluster assignment while
+    leaving the signature store stale — and the audit row over the
+    stale signatures reports nonzero n_subject_still_visible, while
+    the true (shrunk) signature store audits clean with
+    rebuild-matching counts."""
+    import pyspark.sql.functions as F
+
+    from aproximacion_1_etl_spark.queries.lakehouse import _audit_row
+    from aproximacion_1_etl_spark.text.dedup import (
+        forget_doc_clusters,
+        minhash_signatures,
+        word_shingles,
+    )
+
+    ta = "alpha beta gamma delta epsilon zeta eta theta"
+    tc = "red blue green yellow purple orange pink brown"
+    docs = spark.createDataFrame(
+        [(1, ta), (2, ta), (7, ta), (10, tc), (11, tc), (14, tc)],
+        "doc_id BIGINT, text STRING",
+    )
+    from aproximacion_1_etl_spark.text.dedup import (
+        dedup_clusters,
+        minhash_candidate_pairs,
+    )
+
+    sigs = minhash_signatures(
+        word_shingles(docs, distinct=False)
+    ).localCheckpoint(eager=True)
+    store = (
+        dedup_clusters(minhash_candidate_pairs(sigs, min_matching_bands=2))
+        .select("doc_id", "cluster_id")
+        .localCheckpoint(eager=True)
+    )
+    wave = docs.filter(F.col("doc_id") % 7 == 0).select("doc_id")
+    in_wave = F.col("doc_id") % 7 == 0
+    _store2, sigs2 = forget_doc_clusters(store, sigs, wave)
+    clean = _audit_row("signature_store", sigs.count(), sigs2, in_wave)
+    assert clean == ("signature_store", 6, 2, 4, 0)
+    # the planted bug: cluster forget applied, signature store left
+    # STALE (the pre-r12 behavior) — the audit must go nonzero
+    planted = _audit_row("signature_store", sigs.count(), sigs, in_wave)
+    assert planted[4] == 2  # docs 7 and 14 still visible -> caught
+
+
 def test_chunk_key_overflow_raises_loud(spark):
     """VERDICT r10 'What's wrong' #2: a document with >= 100k chunks
     (a >= 2.5M-token doc at budget 25) used to silently ALIAS into the
