@@ -66,6 +66,25 @@ SELECT event_type, 0.99,
        floor(quantile_cont(value, 0.99) * 10000.0 + 0.5) / 10000.0, TRUE
 FROM events GROUP BY event_type
 """,
+    # the non-invertible-sketch deletion policy: affected (subject-
+    # touched) daily cells rebuild from surviving facts, untouched
+    # cells pass through — counts recomputed from scratch; est_ok is
+    # the established engine-side bound flag (TRUE expected)
+    "sketch_forget_rebuild": """
+WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day, user_id,
+                  substring(md5(CAST(user_id AS VARCHAR)), 1, 4)
+                    < '0800' AS subj
+           FROM events),
+aff AS (SELECT DISTINCT event_type, day FROM e WHERE subj),
+aft AS (SELECT event_type, day,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+        FROM e WHERE NOT subj GROUP BY 1, 2)
+SELECT aft.event_type, strftime(aft.day, '%Y-%m-%d') AS day,
+       (aff.event_type IS NOT NULL) AS rebuilt, aft.n_exact,
+       TRUE AS est_ok
+FROM aft LEFT JOIN aff
+  ON aft.event_type = aff.event_type AND aft.day = aff.day
+""",
     "hll_rollup": """
 WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day, user_id
            FROM events)

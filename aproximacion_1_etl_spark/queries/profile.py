@@ -734,6 +734,88 @@ def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sketch_forget_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 + §2.10 SKETCH-STORE DELETION BY WINDOWED REBUILD — the
+    RTBF family's honest boundary (r12 task 5): an HLL sketch is NOT
+    invertible — a user folded into a daily distinct-count sketch
+    cannot be subtracted back out (the information is gone by design;
+    the same holds for CMS over-estimates). The deletion policy for
+    the non-invertible members of the maintained family is therefore
+    the WINDOWED REBUILD the daily-partial layout exists to bound:
+
+    1. the subject set is the md5-band selector the DV cascade erases
+       (the SAME subjects, so this key is that cascade's sketch-store
+       closure);
+    2. the AFFECTED cells are the distinct (event_type, day) partials
+       the subjects ever touched — in production read from the DV
+       delete scan's manifest, here derived by one subject-filtered
+       pass (day-partition-pruned at scale);
+    3. ONLY those cells re-sketch from their surviving facts (a
+       broadcast semi-join against the affected-cell set — a
+       day-pruned read of the partitioned fact table at 100 TB);
+       every untouched partial passes through BYTE-UNCHANGED — that
+       is the bound: deletion costs the subjects' active days, never
+       the store's history;
+    4. a cell whose users were ALL subjects drops out entirely —
+       exactly what a from-scratch build over the post-delete facts
+       produces.
+
+    Output per surviving cell: (event_type, day, rebuilt,
+    n_exact, est_ok) — ``rebuilt`` marks the re-sketched cells,
+    ``n_exact`` is the post-delete exact distinct count (verification
+    only, the established exact-value device), and ``est_ok`` asserts
+    the cell's sketch estimate (original sketch for untouched cells,
+    rebuilt sketch for affected ones) is within max(2, 5%) of the
+    post-delete exact — the sketch_union/hll_rollup error contract.
+    The DuckDB oracle recomputes the affected-cell set and the exact
+    post-delete counts from scratch: hash equality proves
+    forget == rebuild per touched day, plus estimate-validity across
+    the whole store."""
+    from aproximacion_1_etl_spark.functions.sampling import _hash_prefix
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day"), "user_id"
+    )
+    subject = _hash_prefix(F.col("user_id")) < "0800"
+    # the persisted daily-partial sketch store (eager cut: the store
+    # pre-exists the delete; nothing below may re-scan its build)
+    daily = ev.groupBy("event_type", "day").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    ).localCheckpoint(eager=True)
+    affected = ev.filter(subject).select("event_type", "day").distinct()
+    rebuilt = (
+        ev.filter(~subject)
+        .join(F.broadcast(affected), ["event_type", "day"], "left_semi")
+        .groupBy("event_type", "day")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+    )
+    untouched = daily.join(
+        F.broadcast(affected), ["event_type", "day"], "left_anti"
+    )
+    store2 = untouched.unionByName(rebuilt)
+    exact_after = ev.filter(~subject).groupBy("event_type", "day").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    flag = affected.withColumn("_aff", F.lit(True))
+    return (
+        store2.select(
+            "event_type", "day", F.hll_sketch_estimate("sk").alias("est")
+        )
+        .join(exact_after, ["event_type", "day"])
+        .join(F.broadcast(flag), ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce("_aff", F.lit(False)).alias("rebuilt"),
+            F.col("n_exact").cast("bigint").alias("n_exact"),
+            (
+                F.abs(F.col("est") - F.col("n_exact"))
+                <= F.greatest(F.lit(2.0), F.lit(0.05) * F.col("n_exact"))
+            ).alias("est_ok"),
+        )
+    )
+
+
 def q_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-GROUP mergeable quantiles (the SLA-report shape: p50/p90/p99
     latency per event_type) from per-(group, bucket) histogram state —
@@ -1017,6 +1099,7 @@ __all__ = [
     "q_hll_sliding_distinct",
     "q_segment_overlap_sketch",
     "q_hll_rollup",
+    "q_sketch_forget_rebuild",
     "q_grouped_quantiles",
     "q_weighted_quantiles",
     "q_winsorized_stats",

@@ -338,8 +338,10 @@ HEADLINE = [
     "graph_stats_forget",
     # round-12: the cross-store RTBF audit capstone (composes the
     # forget edges over every maintained surface; store builds are
-    # attributed to their own line items below)
+    # attributed to their own line items below) and the
+    # non-invertible-sketch deletion policy (windowed rebuild)
     "rtbf_audit_report",
+    "sketch_forget_rebuild",
     # Python-worker queries LAST: applyInPandas spins up 32 Python
     # workers and leaves GC pressure that inflates the next JVM-only
     # query by ~3x (measured: dedup_minhash_lsh 6.96s after it vs 1.9s

@@ -1534,6 +1534,66 @@ def test_rtbf_audit_catches_planted_resurrection_bug(spark):
     assert planted[4] == 2  # docs 7 and 14 still visible -> caught
 
 
+def test_sketch_forget_windowed_rebuild_paths(spark):
+    """r12 task 5: the non-invertible-sketch deletion policy — on a
+    corpus where the subject set touches only SOME daily cells, the
+    windowed rebuild (a) re-sketches exactly the affected cells from
+    surviving facts, (b) passes untouched cells through with their
+    ORIGINAL sketch bytes (the cost bound: deletion pays for the
+    subjects' active days, never history), (c) drops a cell whose
+    users were all subjects, and the resulting store's estimates
+    equal a from-scratch post-delete rebuild cell for cell."""
+    import pyspark.sql.functions as F
+
+    rows = []
+    # day 1: subject user 7 active alongside others; day 2: only
+    # non-subjects; day 3: ONLY subject users (cell must vanish)
+    for u in (7, 100, 101):
+        rows.append(("click", "2024-01-01", u))
+    for u in (100, 101, 102):
+        rows.append(("click", "2024-01-02", u))
+    for u in (7, 8):
+        rows.append(("click", "2024-01-03", u))
+    ev = spark.createDataFrame(
+        rows, "event_type STRING, day STRING, user_id BIGINT"
+    ).select("event_type", F.to_date("day").alias("day"), "user_id")
+    subject = F.col("user_id").isin(7, 8)
+    daily = ev.groupBy("event_type", "day").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    ).localCheckpoint(eager=True)
+    affected = ev.filter(subject).select("event_type", "day").distinct()
+    rebuilt = (
+        ev.filter(~subject)
+        .join(F.broadcast(affected), ["event_type", "day"], "left_semi")
+        .groupBy("event_type", "day")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+    )
+    untouched = daily.join(
+        F.broadcast(affected), ["event_type", "day"], "left_anti"
+    )
+    store2 = untouched.unionByName(rebuilt)
+    got = {
+        (r.event_type, str(r.day)): bytes(r.sk)
+        for r in store2.collect()
+    }
+    # (c) day 3 vanished; days 1-2 present
+    assert set(got) == {("click", "2024-01-01"), ("click", "2024-01-02")}
+    scratch = {
+        (r.event_type, str(r.day)): bytes(r.sk)
+        for r in ev.filter(~subject)
+        .groupBy("event_type", "day")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .collect()
+    }
+    # (a) affected day 1 == from-scratch post-delete sketch
+    assert got[("click", "2024-01-01")] == scratch[("click", "2024-01-01")]
+    # (b) untouched day 2 kept the ORIGINAL store's sketch bytes
+    orig = {
+        (r.event_type, str(r.day)): bytes(r.sk) for r in daily.collect()
+    }
+    assert got[("click", "2024-01-02")] == orig[("click", "2024-01-02")]
+
+
 def test_chunk_key_overflow_raises_loud(spark):
     """VERDICT r10 'What's wrong' #2: a document with >= 100k chunks
     (a >= 2.5M-token doc at budget 25) used to silently ALIAS into the
