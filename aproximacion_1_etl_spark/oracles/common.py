@@ -362,28 +362,38 @@ def _pq_cent_ctes(
     iterations: int = 3,
     n_centroids: int = 16,
     include_e: bool = True,
+    where: str = "",
+    prefix: str = "",
+    e_sql: str = "",
 ) -> str:
     """Mirror of text/vector.py::train_pq_codebooks: the per-subspace
     k-means recurrence unrolled like _ivf_cent_ctes, once per
     subspace (same 9-dp rounded assignment, exact decimal means,
     coalesce for empty cells) — all m codebooks recomputed in-engine
-    bit-for-bit."""
-    parts = (
-        ["e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"]
-        if include_e
-        else []
+    bit-for-bit. ``where`` filters the training relation and
+    ``prefix`` namespaces every CTE (the _ivf_cent_ctes retrain
+    devices), so two codebook GENERATIONS can train side by side in
+    one statement (_pq_retrain_execute_sql); ``e_sql`` overrides the
+    training-relation body entirely (the drift corpus's shifted
+    union)."""
+    p = prefix
+    w = f" WHERE {where}" if where else ""
+    body = (
+        e_sql
+        or f"SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings{w}"
     )
+    parts = [f"{p}e AS ({body})"] if include_e else []
     for s in range(m):
         sl = f"list_slice(v, {s * d_sub + 1}, {s * d_sub + d_sub})"
-        parts.append(f"sub{s} AS (SELECT vec_id, {sl} AS sv FROM e)")
+        parts.append(f"{p}sub{s} AS (SELECT vec_id, {sl} AS sv FROM {p}e)")
         parts.append(
-            f"c{s}_0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id)"
-            f" - 1 AS INT) AS cid, sv AS cv FROM sub{s}"
+            f"{p}c{s}_0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id)"
+            f" - 1 AS INT) AS cid, sv AS cv FROM {p}sub{s}"
             f" WHERE vec_id < {n_centroids})"
         )
         for i in range(1, iterations + 1):
             parts.append(
-                f"""a{s}_{i} AS (SELECT vec_id, sv, cid FROM (
+                f"""{p}a{s}_{i} AS (SELECT vec_id, sv, cid FROM (
     SELECT t.vec_id, t.sv, c.cid,
            row_number() OVER (PARTITION BY t.vec_id ORDER BY
              floor((list_dot_product(t.sv, t.sv)
@@ -391,7 +401,7 @@ def _pq_cent_ctes(
                     - 2.0 * list_dot_product(t.sv, c.cv))
                    * 1000000000.0 + 0.5) / 1000000000.0 ASC,
              c.cid ASC) AS rn
-    FROM sub{s} t CROSS JOIN c{s}_{i - 1} c) WHERE rn = 1)"""
+    FROM {p}sub{s} t CROSS JOIN {p}c{s}_{i - 1} c) WHERE rn = 1)"""
             )
             dims = ", ".join(
                 f"CAST(sum(CAST(sv[{d + 1}] AS DECIMAL(38,18)))"
@@ -399,18 +409,123 @@ def _pq_cent_ctes(
                 for d in range(d_sub)
             )
             parts.append(
-                f"m{s}_{i} AS (SELECT cid, [{dims}] AS cv"
-                f" FROM a{s}_{i} GROUP BY cid)"
+                f"{p}m{s}_{i} AS (SELECT cid, [{dims}] AS cv"
+                f" FROM {p}a{s}_{i} GROUP BY cid)"
             )
             parts.append(
-                f"c{s}_{i} AS (SELECT p.cid, coalesce(mm.cv, p.cv) AS cv"
-                f" FROM c{s}_{i - 1} p"
-                f" LEFT JOIN m{s}_{i} mm ON p.cid = mm.cid)"
+                f"{p}c{s}_{i} AS (SELECT p.cid, coalesce(mm.cv, p.cv) AS cv"
+                f" FROM {p}c{s}_{i - 1} p"
+                f" LEFT JOIN {p}m{s}_{i} mm ON p.cid = mm.cid)"
             )
         parts.append(
-            f"cent_s{s} AS (SELECT cid, cv FROM c{s}_{iterations})"
+            f"{p}cent_s{s} AS (SELECT cid, cv FROM {p}c{s}_{iterations})"
         )
     return ",\n".join(parts)
+
+
+def _pq_retrain_execute_sql(
+    m: int = 8,
+    d_sub: int = 8,
+    k: int = 10,
+    query_ids: tuple = (0, 2, 1, 3),
+) -> str:
+    """Mirror of q_pq_retrain_execute: BOTH PQ codebook generations
+    trained in-engine — the aging one on the store slice
+    (vec_id % 2 = 0, unprefixed CTEs) and the retrained one on the
+    DRIFTED appended corpus (prefix ``r_``: the store plus the
+    vec_id % 8 in {1,3,5} waves with NEGATED vectors — a new encoder
+    region the aging subspace centroids never saw; negation is exact
+    in IEEE, so the shift is bit-portable) — then each generation
+    encodes the SAME drifted corpus (6-dp subspace assignment),
+    builds the per-query 6-dp distance tables, ranks by the
+    exact-decimal ADC sum with the vec_id tie-break, and is scored
+    against ONE shared exact squared-L2 ground truth (9-dp,
+    self-excluded) over store AND wave queries. The global
+    recall_recovered flag (retrained hits >= aging hits, exact
+    integers) rides both rows."""
+    drift_e = (
+        "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings"
+        " WHERE vec_id % 2 = 0"
+        " UNION ALL"
+        " SELECT vec_id, list_transform(embedding::DOUBLE[], x -> -x)"
+        " AS v FROM embeddings"
+        " WHERE vec_id % 2 != 0 AND vec_id % 8 IN (1, 3, 5)"
+    )
+    ids = ", ".join(str(i) for i in query_ids)
+    nk = len(query_ids) * k
+    d6 = (
+        "floor((list_dot_product({q}, {q}) + list_dot_product(c.cv, c.cv)"
+        " - 2.0 * list_dot_product({q}, c.cv)) * 1000000.0 + 0.5)"
+        " / 1000000.0"
+    )
+    csubs = ",\n".join(
+        f"csub{s} AS (SELECT vec_id,"
+        f" list_slice(v, {s * d_sub + 1}, {s * d_sub + d_sub}) AS sv"
+        f" FROM corp)"
+        for s in range(m)
+    )
+
+    def block(tag: str, p: str) -> str:
+        code_branches = " UNION ALL ".join(
+            f"""SELECT vec_id, {s} AS s, cell FROM (
+  SELECT t.vec_id, c.cid AS cell,
+         row_number() OVER (PARTITION BY t.vec_id ORDER BY
+           {d6.format(q='t.sv')} ASC, c.cid ASC) AS rn
+  FROM csub{s} t CROSS JOIN {p}cent_s{s} c) WHERE rn = 1"""
+            for s in range(m)
+        )
+        qdt_branches = " UNION ALL ".join(
+            f"""SELECT {s} AS s, t.vec_id AS query_id, c.cid,
+       {d6.format(q='t.sv')} AS d
+FROM (SELECT vec_id, sv FROM csub{s} WHERE vec_id IN ({ids})) t
+CROSS JOIN {p}cent_s{s} c"""
+            for s in range(m)
+        )
+        return f""",
+{tag}codes AS ({code_branches}),
+{tag}qdt AS ({qdt_branches}),
+{tag}ap AS (SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY ad ASC, vec_id ASC) AS rn
+    FROM (SELECT q.query_id, cd.vec_id,
+                 CAST(sum(CAST(q.d AS DECIMAL(38,18))) AS DOUBLE) AS ad
+          FROM {tag}codes cd JOIN {tag}qdt q
+            ON cd.s = q.s AND cd.cell = q.cid
+          WHERE cd.vec_id != q.query_id
+          GROUP BY 1, 2)) WHERE rn <= {k}),
+{tag}hits AS (SELECT CAST(count(*) AS BIGINT) AS hits
+              FROM ex e JOIN {tag}ap a
+                ON e.query_id = a.query_id AND e.vec_id = a.vec_id)"""
+
+    def row(name: str, tag: str) -> str:
+        return f"""SELECT '{name}' AS codebook, hits,
+       floor((hits * 1.0 / {nk}) * 1000000.0 + 0.5) / 1000000.0
+         AS recall,
+       ((SELECT hits FROM newhits) >= (SELECT hits FROM oldhits))
+         AS recall_recovered
+FROM {tag}hits"""
+
+    return f"""
+WITH {_pq_cent_ctes(m=m, d_sub=d_sub, where="vec_id % 2 = 0")},
+{_pq_cent_ctes(m=m, d_sub=d_sub, prefix="r_", e_sql=drift_e)},
+corp AS (SELECT * FROM r_e),
+{csubs},
+qv AS (SELECT vec_id AS query_id, v AS qv FROM corp
+       WHERE vec_id IN ({ids})),
+ex AS (SELECT query_id, vec_id FROM (
+    SELECT q.query_id, c.vec_id,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY
+             floor((list_dot_product(c.v, c.v)
+                    + list_dot_product(q.qv, q.qv)
+                    - 2.0 * list_dot_product(c.v, q.qv))
+                   * 1000000000.0 + 0.5) / 1000000000.0 ASC,
+             c.vec_id ASC) AS rn
+    FROM corp c CROSS JOIN qv q WHERE c.vec_id != q.query_id)
+  WHERE rn <= {k}){block("old", "")}{block("new", "r_")}
+{row("aging", "old")}
+UNION ALL
+{row("retrained", "new")}"""
 
 
 def _ann_topk_pq_sql(
@@ -2758,6 +2873,7 @@ __all__ = [
     "_ivf_retrain_plan_sql",
     "_ivf_index_forget_sql",
     "_ivf_retrain_execute_sql",
+    "_pq_retrain_execute_sql",
     "_retrieval_eval_sql",
     "_sentence_chunk_ctes",
     "_chunk_retrieval_sql",

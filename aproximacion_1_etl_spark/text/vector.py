@@ -1109,6 +1109,118 @@ def ivf_recall_cost(
     )
 
 
+def l2_topk_exact(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact squared-L2 top-k per query vector — the ground truth the
+    PQ/ADC family is measured against (``ann_topk_bruteforce`` is its
+    cosine sibling; ADC approximates L2, so its recall gate must rank
+    by the SAME metric). Broadcast nested-loop like the cosine form;
+    distance rounded to 9 dp before ordering with a vec_id tie-break,
+    so the ranking is engine-portable. Output (query_id, vec_id,
+    rank)."""
+    emb = _as_double(embeddings, vec_col)
+    queries = emb.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    pairs = emb.join(
+        F.broadcast(queries), F.col(id_col) != F.col("query_id")
+    )
+    d = (
+        F.expr(_sql_dot(vec_col, vec_col))
+        + F.expr(_sql_dot("qvec", "qvec"))
+        - 2.0 * F.expr(_sql_dot(vec_col, "qvec"))
+    )
+    scored = pairs.select(
+        "query_id", id_col,
+        (F.floor(d * 1e9 + F.lit(0.5)) / 1e9).alias("d9"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("d9").asc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, F.col("rank").cast("bigint").alias("rank"))
+    )
+
+
+def pq_recall_report(
+    corpus: DataFrame,
+    query_ids: list[int],
+    aging_books: dict[int, dict[int, list[float]]],
+    retrained_books: dict[int, dict[int, list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ RETRAIN PAYOFF — ``ivf_retrain_execute``'s measured-payoff
+    device pointed at the PRODUCT-QUANTIZATION codebooks (r12 task 7):
+    aging PQ codes degrade ADC ranking as the corpus grows just like
+    an aging coarse codebook degrades cell recall — the subspace
+    centroids tile yesterday's distribution and were seeded from
+    yesterday's ids, so new-region vectors all collapse onto far
+    codewords and their ADC distances stop discriminating. Both
+    codebook generations score the SAME corpus through
+    ``ann_topk_pq`` (6-dp distance tables, exact-decimal ADC sums)
+    against ONE shared exact squared-L2 ground truth
+    (``l2_topk_exact`` — the metric ADC approximates). PQ scan cost
+    is generation-independent (ADC touches every code either way), so
+    the payoff observable is recall alone: one row per codebook with
+    exact-integer ``hits`` and the global ``recall_recovered`` flag —
+    retrained hits >= aging hits, an exact integer compare riding
+    both rows (the efficiency_improved precedent)."""
+    nk = len(query_ids) * k
+    exact = (
+        l2_topk_exact(corpus, query_ids, k=k, id_col=id_col,
+                      vec_col=vec_col)
+        .select("query_id", id_col)
+        .localCheckpoint(eager=True)
+    )
+    measured = {}
+    for name, books in (
+        ("aging", aging_books), ("retrained", retrained_books)
+    ):
+        ap = ann_topk_pq(
+            corpus, query_ids=query_ids, books=books, k=k,
+            id_col=id_col, vec_col=vec_col,
+        ).select("query_id", id_col)
+        measured[name] = (
+            exact.join(ap, ["query_id", id_col], "left_semi")
+            .agg(F.count("*").cast("bigint").alias("hits"))
+            .localCheckpoint(eager=True)
+        )
+    flag = (
+        measured["retrained"].select(F.col("hits").alias("_nh"))
+        .crossJoin(measured["aging"].select(F.col("hits").alias("_oh")))
+        .select((F.col("_nh") >= F.col("_oh")).alias("recall_recovered"))
+        .localCheckpoint(eager=True)
+    )
+    rows = []
+    for name in ("aging", "retrained"):
+        rows.append(
+            measured[name].crossJoin(flag).select(
+                F.lit(name).alias("codebook"),
+                "hits",
+                (
+                    F.floor(
+                        F.col("hits") * F.lit(1.0) / F.lit(nk) * 1e6
+                        + F.lit(0.5)
+                    ) / 1e6
+                ).alias("recall"),
+                "recall_recovered",
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
 def ivf_retrain_report(
     store: DataFrame,
     batch: DataFrame,

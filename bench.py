@@ -47,9 +47,11 @@ from aproximacion_1_etl_spark.queries import (
     _trained_bpe_merges,
     _trained_codebook,
     _trained_half_codebook,
+    _trained_half_pq_books,
     _trained_logreg_weights,
     _trained_pq_books,
     _trained_retrain_codebook,
+    _trained_retrain_pq_books,
     _weighted_sample_store,
 )
 from aproximacion_1_etl_spark.session import get_spark
@@ -342,6 +344,9 @@ HEADLINE = [
     # non-invertible-sketch deletion policy (windowed rebuild)
     "rtbf_audit_report",
     "sketch_forget_rebuild",
+    # round-12: PQ retrain parity (both book generations are their own
+    # train line items)
+    "pq_retrain_execute",
     # Python-worker queries LAST: applyInPandas spins up 32 Python
     # workers and leaves GC pressure that inflates the next JVM-only
     # query by ~3x (measured: dedup_minhash_lsh 6.96s after it vs 1.9s
@@ -434,6 +439,11 @@ def _run_segment(keys: list[str]) -> dict:
         # the retrained codebook the execute key measures the payoff of
         ("retrain_codebook_train_sec", _trained_retrain_codebook,
          {"ivf_retrain_execute"}),
+        # the PQ retrain pair's two book generations (r12 task 7)
+        ("half_pq_books_train_sec", _trained_half_pq_books,
+         {"pq_retrain_execute"}),
+        ("retrain_pq_books_train_sec", _trained_retrain_pq_books,
+         {"pq_retrain_execute"}),
         # the simulated persisted graph store (VERDICT r9 #4): in
         # production a parquet read, here a bulk census — timed as its
         # own line item so incremental_graph_stats' number is the

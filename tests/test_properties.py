@@ -1594,6 +1594,49 @@ def test_sketch_forget_windowed_rebuild_paths(spark):
     assert got[("click", "2024-01-02")] == orig[("click", "2024-01-02")]
 
 
+def test_pq_retrain_recall_flip(spark):
+    """r12 task 7: the PQ retrain payoff flag flips with the evidence.
+    A corpus drifts into a region (negated vectors) the aging books
+    never tiled: books retrained on the drifted corpus recover ADC
+    recall (recall_recovered=True), and swapping the generations'
+    roles flips the flag to False — the flag reads the measurement,
+    not the labels."""
+    from aproximacion_1_etl_spark.text.vector import (
+        pq_recall_report,
+        train_pq_codebooks,
+    )
+
+    def vec(i: int, sign: float) -> list[float]:
+        base = [((i * 7 + d * 13) % 11) / 11.0 + 1.0 for d in range(8)]
+        return [sign * x for x in base]
+
+    rows = [(i, vec(i, 1.0)) for i in range(0, 40, 2)] + [
+        (i, vec(i, -1.0)) for i in range(1, 40, 2)
+    ]
+    corpus = spark.createDataFrame(
+        rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>"
+    ).localCheckpoint(eager=True)
+    store = corpus.filter("vec_id % 2 = 0")
+    aging = train_pq_codebooks(store, m=2, n_centroids=4, iterations=2)
+    fresh = train_pq_codebooks(corpus, m=2, n_centroids=4, iterations=2)
+    rep = {
+        r.codebook: (r.hits, r.recall_recovered)
+        for r in pq_recall_report(
+            corpus, [0, 1], aging, fresh, k=5
+        ).collect()
+    }
+    assert rep["retrained"][0] > rep["aging"][0]
+    assert rep["aging"][1] is True and rep["retrained"][1] is True
+    # roles swapped: the measurement now says recall got WORSE
+    swapped = {
+        r.codebook: r.recall_recovered
+        for r in pq_recall_report(
+            corpus, [0, 1], fresh, aging, k=5
+        ).collect()
+    }
+    assert swapped == {"aging": False, "retrained": False}
+
+
 def test_chunk_key_overflow_raises_loud(spark):
     """VERDICT r10 'What's wrong' #2: a document with >= 100k chunks
     (a >= 2.5M-token doc at budget 25) used to silently ALIAS into the
