@@ -60,6 +60,14 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 MAX_LOAD = float(os.environ.get("SPARK_GRAFT_MAX_LOAD", "4.0"))
+# Mid-run drift retry band (r12): a segment whose own head-of-segment
+# probe ratio exceeds this is re-run once. A SPIKE threshold — set
+# above the ~1.3-1.4x persistent host drift the probe normalization
+# already corrects, so a uniformly slow afternoon doesn't double the
+# whole run.
+PROBE_RETRY_BAND = float(
+    os.environ.get("SPARK_GRAFT_PROBE_RETRY_BAND", "1.5")
+)
 
 # Host-drift PROBES (round-8): three never-touched sub-second keys,
 # re-measured at the head of EVERY fresh-JVM segment. Their ratio to
@@ -625,6 +633,59 @@ def _pick_segment_run(first: dict, retry: dict) -> dict:
     return retry if r <= f else first
 
 
+def _load_probe_baseline() -> dict | None:
+    """The pinned clean-run probe floor (tools/probe_baseline.json),
+    or None on a fresh clone."""
+    if not os.path.exists(PROBE_BASELINE_PATH):
+        return None
+    with open(PROBE_BASELINE_PATH) as fh:
+        return json.load(fh)["probe_secs"]
+
+
+def _probe_ratio_of(result: dict, baseline: dict | None) -> float | None:
+    """One segment's own head-of-segment drift estimate: the median
+    probe-time ratio to the pinned baseline (the same statistic the
+    run-level probe_ratio_median aggregates)."""
+    if not baseline:
+        return None
+    p = result.get("probe_secs") or {}
+    rs = [p[k] / baseline[k] for k in p if baseline.get(k)]
+    if not rs:
+        return None
+    s = sorted(rs)
+    n = len(s)
+    return (s[n // 2] + s[(n - 1) // 2]) / 2.0
+
+
+def _should_retry_probe(
+    result: dict, baseline: dict | None, band: float
+) -> bool:
+    """Mid-run drift retry rule (r12 task 6, extending the segment-0
+    entry-load rule to EVERY segment): the entry loadavg can only see
+    drift that arrived before segment 0, but the r10→r11 raw-headline
+    growth came from drift arriving MID-run. Each segment's own probe
+    ratio is position-independent evidence (probes run at the segment
+    head in a fresh JVM), so a segment whose ratio exceeds the
+    documented band ($SPARK_GRAFT_PROBE_RETRY_BAND, default 1.5 — a
+    SPIKE threshold, chosen above the ~1.3-1.4x persistent drift that
+    normalization already handles, so a uniformly slow host doesn't
+    double every segment) is re-run once after the drain delay."""
+    r = _probe_ratio_of(result, baseline)
+    return r is not None and r > band
+
+
+def _pick_probe_run(
+    first: dict, retry: dict, baseline: dict | None
+) -> dict:
+    """Accept whichever attempt measured on the less-drifted host
+    (lower own-probe ratio); ties go to the retry."""
+    rf = _probe_ratio_of(first, baseline)
+    rr = _probe_ratio_of(retry, baseline)
+    rf = float("inf") if rf is None else rf
+    rr = float("inf") if rr is None else rr
+    return retry if rr <= rf else first
+
+
 def _perf_gate_block(detail: dict) -> dict:
     """Probe-normalized comparison vs the previous cert, embedded in
     BENCH_DETAIL.json, with flagged keys auto-adjudicated by one
@@ -991,6 +1052,7 @@ def main() -> None:
                     if os.path.exists(p):
                         os.unlink(p)
 
+        probe_baseline = _load_probe_baseline()
         segments = [
             HEADLINE[i : i + seg_size]
             for i in range(0, len(HEADLINE), seg_size)
@@ -1021,6 +1083,25 @@ def main() -> None:
                 picked["load_retried"] = True
                 picked["load_first_attempt"] = result["loadavg_start"]
                 result = picked
+            elif _should_retry_probe(
+                result, probe_baseline, PROBE_RETRY_BAND
+            ):
+                # mid-run drift retry (r12): this segment's own probe
+                # ratio spiked past the band — re-run once after the
+                # drain delay, keep the less-drifted attempt
+                delay = float(
+                    os.environ.get("SPARK_GRAFT_LOAD_RETRY_DELAY", "60")
+                )
+                time.sleep(delay)
+                retry = _launch_child(
+                    ["--child", *seg], what + " (probe retry)"
+                )
+                picked = _pick_probe_run(result, retry, probe_baseline)
+                picked["probe_retried"] = True
+                picked["probe_first_ratio"] = round(
+                    _probe_ratio_of(result, probe_baseline) or -1.0, 3
+                )
+                result = picked
             results.append(result)
         # streaming-twin fold attribution (its own fresh JVM, after
         # the suite so its Python-worker/GC tail can't contaminate
@@ -1037,8 +1118,9 @@ def main() -> None:
     # probe-normalized drift adjudication: per segment, the median
     # probe/baseline ratio; >1 means the host ran that much slower
     # than on the clean baseline run, uniformly visible on untouched
-    # keys (the r7 ambient pattern). The raw total stays the headline
-    # number; normalized_value is the like-for-like comparator.
+    # keys (the r7 ambient pattern). Since r12 the NORMALIZED total is
+    # the headline value (raw_value rides next to it): the raw number
+    # grew two straight rounds from host drift alone.
     segment_probes = [r.get("probe_secs", {}) for r in results]
     probe_baseline = None
     probe_ratio_per_segment = None
@@ -1115,9 +1197,24 @@ def main() -> None:
     # the whole round's perf invisible. The compact line holds the
     # adjudication essentials (totals, subset, load flag, 10 slowest);
     # everything else lives in the detail file.
+    raw_total = round(sum(timings.values()), 3)
+    normalized_total = (
+        round(sum(timings.values()) / probe_ratio_median, 3)
+        if probe_ratio_median
+        else None
+    )
     detail = {
-        "metric": "headline_queries_total_wall",
-        "value": round(sum(timings.values()), 3),
+        # HEADLINE = the probe-NORMALIZED total (r12 task 6 — the raw
+        # number grew two rounds straight from host drift alone, and
+        # the normalized value was already the number every
+        # adjudication actually used). raw_value stays next to it;
+        # per-key "queries" remain RAW seconds — perf_gate normalizes
+        # per-run itself and its committed history bands are raw.
+        "metric": "headline_queries_total_wall_normalized",
+        "value": (
+            normalized_total if normalized_total is not None else raw_total
+        ),
+        "raw_value": raw_total,
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
@@ -1135,17 +1232,29 @@ def main() -> None:
         "segment_loads": [
             [r["loadavg_start"], r["loadavg_end"]] for r in results
         ],
+        # which segments re-ran and why (entry-load rule or the r12
+        # mid-run probe-drift rule) — the retry decisions must be
+        # adjudicable from the committed artifact
+        "segment_retries": [
+            {
+                k: r[k]
+                for k in (
+                    "load_retried", "load_first_attempt",
+                    "probe_retried", "probe_first_ratio",
+                )
+                if k in r
+            }
+            for r in results
+        ],
         # head-of-segment probe times + their ratio to the pinned
         # clean baseline (tools/probe_baseline.json): the automated
         # form of the r7 hand-built drift adjudication
         "segment_probes": segment_probes,
         "probe_ratio_per_segment": probe_ratio_per_segment,
         "probe_ratio_median": probe_ratio_median,
-        "normalized_value": (
-            round(sum(timings.values()) / probe_ratio_median, 3)
-            if probe_ratio_median
-            else None
-        ),
+        # kept for cross-round readers of older BENCH_DETAILs; equals
+        # "value" whenever a probe baseline exists
+        "normalized_value": normalized_total,
         "spread_pct": spread_pct,
         # per-wave fold costs of the maintained-state streaming twins
         # (fold compute + store swap per micro-batch; wave 1 is the
@@ -1188,8 +1297,9 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "headline_queries_total_wall",
+                "metric": detail["metric"],
                 "value": detail["value"],
+                "raw_value": detail["raw_value"],
                 "unit": "sec",
                 "sf": sf_val,
                 "r1_subset_wall": detail["r1_subset_wall"],

@@ -231,6 +231,33 @@ def test_bench_load_retry_rules():
     assert bench._pick_segment_run(first, tie) is tie
 
 
+def test_bench_probe_retry_rules():
+    """r12 task 6: ANY segment retries when its own head-of-segment
+    probe ratio exceeds the documented band (mid-run drift the
+    segment-0 entry-load rule cannot see); the accepted attempt is
+    whichever measured on the less-drifted host, ties to the retry.
+    No baseline -> never retries (fresh clone)."""
+    import bench
+
+    base = {"a": 1.0, "b": 2.0, "c": 4.0}
+    hot = {"probe_secs": {"a": 2.0, "b": 4.0, "c": 8.0}}   # ratio 2.0
+    warm = {"probe_secs": {"a": 1.4, "b": 2.8, "c": 5.6}}  # ratio 1.4
+    cool = {"probe_secs": {"a": 1.0, "b": 2.1, "c": 4.0}}  # ~1.0
+    assert bench._probe_ratio_of(hot, base) == 2.0
+    assert bench._should_retry_probe(hot, base, 1.5)
+    assert not bench._should_retry_probe(warm, base, 1.5)  # persistent
+    assert not bench._should_retry_probe(cool, base, 1.5)
+    assert not bench._should_retry_probe(hot, None, 1.5)   # no baseline
+    assert not bench._should_retry_probe({}, base, 1.5)    # no probes
+    assert bench._pick_probe_run(hot, cool, base) is cool
+    assert bench._pick_probe_run(cool, hot, base) is cool
+    assert bench._pick_probe_run(hot, hot, base) is hot  # tie -> retry
+    # headline promotion (r12): the detail/stdout "value" is the
+    # normalized total — pinned by reading the committed BENCH_DETAIL
+    # after the next cert; here pin the band constant's default
+    assert bench.PROBE_RETRY_BAND >= 1.3  # above persistent drift
+
+
 def test_streaming_twin_records_per_wave_fold_times(spark, sf_dir):
     """VERDICT r10 task 4: the streaming twins' foreachBatch handlers
     record one fold wall-time per micro-batch into STREAM_FOLD_SECS,
