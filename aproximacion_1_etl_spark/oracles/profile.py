@@ -85,6 +85,21 @@ SELECT aft.event_type, strftime(aft.day, '%Y-%m-%d') AS day,
 FROM aft LEFT JOIN aff
   ON aft.event_type = aff.event_type AND aft.day = aff.day
 """,
+    # the LINEAR-sketch deletion edge: by CMS linearity, subtracting
+    # the subject's own sketch equals a from-scratch sketch of the
+    # post-delete facts — the oracle IS that rebuild, bit-exact
+    # integer cells (md5-prefix hashing mirrored)
+    "cms_forget_subtract": """
+WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day
+           FROM events
+           WHERE substring(md5(CAST(user_id AS VARCHAR)), 1, 4)
+                 >= '0800')
+SELECT strftime(day, '%Y-%m-%d') AS day, CAST(j AS INT) AS j,
+       substring(md5(j || ':' || event_type), 1, 2) AS cell,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM e, (SELECT unnest([0, 1, 2, 3]) AS j)
+GROUP BY 1, 2, 3
+""",
     "hll_rollup": """
 WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day, user_id
            FROM events)

@@ -816,6 +816,98 @@ def q_sketch_forget_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cms_cells(ev: DataFrame, depth: int = 4) -> DataFrame:
+    """Relational COUNT-MIN SKETCH partials over (day, event_type):
+    one row per (day, hash-row j, cell, count), cell = the first 2
+    hex chars of md5(j ':' key) — 256 buckets per row, uniform, and
+    engine-portable (the md5-prefix device every sampler here uses,
+    so DuckDB mirrors the cells bit-for-bit). A RELATION instead of
+    an opaque byte blob is what makes the sketch's LINEARITY usable:
+    partials merge by additive union (the LM-fold shape) and — unlike
+    HLL — subtract exactly."""
+    rows = F.explode(
+        F.array(*[
+            F.struct(
+                F.lit(j).alias("j"),
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{j}:"), F.col("event_type"))),
+                    1, 2,
+                ).alias("cell"),
+            )
+            for j in range(depth)
+        ])
+    )
+    return (
+        ev.select(F.date_format("day", "yyyy-MM-dd").alias("day"),
+                  rows.alias("r"))
+        .groupBy("day", F.col("r.j").alias("j"), F.col("r.cell").alias("cell"))
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+
+
+def q_cms_forget_subtract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 + §2.10 LINEAR-SKETCH DELETION BY EXACT SUBTRACTION — the
+    count-min side of the sketch-deletion pair (r12; next to
+    ``sketch_forget_rebuild``): where an HLL partial is genuinely
+    non-invertible (max of hashes — rebuild is the floor), a CMS is
+    LINEAR: every cell is a SUM of per-event contributions, so an
+    RTBF wave deletes by sketching the SUBJECT'S OWN events (known at
+    delete time from the DV scan) and subtracting cell-wise — the
+    turnstile model. The store shrinks WITHOUT touching a single
+    surviving fact: deletion costs O(|subject events| + |store
+    cells|), strictly cheaper than the HLL policy's per-day rebuild,
+    and by linearity the result is BIT-IDENTICAL to a from-scratch
+    sketch of the post-delete facts — which is exactly the oracle
+    (forget == rebuild, exact integer counts). Cells that reach 0
+    drop out; a negative cell (a wave subtracted twice) raises
+    in-plan — the forget_lm_counts loud-underflow device. The sketch
+    is the daily-partial (day, j, cell, cnt) relation of
+    ``_cms_cells`` (md5-prefix hashing, engine-portable), keyed on
+    event_type with the DV cascade's md5-band subject set."""
+    from aproximacion_1_etl_spark.functions.sampling import _hash_prefix
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day"), "user_id"
+    )
+    subject = _hash_prefix(F.col("user_id")) < "0800"
+    # the persisted store (pre-exists the delete; eager cut)
+    store = _cms_cells(ev).localCheckpoint(eager=True)
+    # the wave's own sketch — from the subject's events only
+    wave = _cms_cells(ev.filter(subject))
+    keys = ["day", "j", "cell"]
+    a = store.select(*keys, F.col("cnt").alias("_a"))
+    b = wave.select(*keys, F.col("cnt").alias("_b"))
+    cnt = (
+        F.coalesce(F.col("_a"), F.lit(0))
+        - F.coalesce(F.col("_b"), F.lit(0))
+    ).cast("bigint")
+    guarded = F.when(
+        cnt < 0,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "cms_forget_subtract underflow: subtracting a "
+                    "wave never folded in for (day, j, cell)=("
+                ),
+                F.col("day"), F.lit(", "),
+                F.col("j").cast("string"), F.lit(", "),
+                F.col("cell"),
+                F.lit(") — each delete wave must be delivered once"),
+            )
+        ),
+    ).otherwise(cnt)
+    return (
+        a.join(b, keys, "full_outer")
+        .select(
+            "day",
+            F.col("j").cast("int").alias("j"),
+            "cell",
+            guarded.alias("cnt"),
+        )
+        .filter(F.col("cnt") > 0)
+    )
+
+
 def q_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-GROUP mergeable quantiles (the SLA-report shape: p50/p90/p99
     latency per event_type) from per-(group, bucket) histogram state —
@@ -1100,6 +1192,8 @@ __all__ = [
     "q_segment_overlap_sketch",
     "q_hll_rollup",
     "q_sketch_forget_rebuild",
+    "q_cms_forget_subtract",
+    "_cms_cells",
     "q_grouped_quantiles",
     "q_weighted_quantiles",
     "q_winsorized_stats",

@@ -352,6 +352,7 @@ HEADLINE = [
     # non-invertible-sketch deletion policy (windowed rebuild)
     "rtbf_audit_report",
     "sketch_forget_rebuild",
+    "cms_forget_subtract",
     # round-12: PQ retrain parity (both book generations are their own
     # train line items)
     "pq_retrain_execute",

@@ -1594,6 +1594,55 @@ def test_sketch_forget_windowed_rebuild_paths(spark):
     assert got[("click", "2024-01-02")] == orig[("click", "2024-01-02")]
 
 
+def test_cms_forget_subtract_linearity_and_loud_underflow(spark):
+    """r12: the CMS is a LINEAR sketch — subtracting the subject's own
+    sketch equals a from-scratch sketch of the post-delete facts
+    (bit-exact integer cells), without touching surviving facts; and
+    subtracting the same wave twice raises in-plan instead of
+    silently corrupting shared cells."""
+    import pyspark.sql.functions as F
+    import pytest
+    from pyspark.errors import PySparkException
+
+    from aproximacion_1_etl_spark.queries.profile import _cms_cells
+
+    rows = [("click", "2024-01-01", u) for u in (7, 8, 100)] + [
+        ("view", "2024-01-02", u) for u in (7, 101, 102)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_type STRING, day STRING, user_id BIGINT"
+    ).select("event_type", F.to_date("day").alias("day"), "user_id")
+    subject = F.col("user_id").isin(7, 8)
+    store = _cms_cells(ev).localCheckpoint(eager=True)
+    wave = _cms_cells(ev.filter(subject)).localCheckpoint(eager=True)
+    keys = ["day", "j", "cell"]
+
+    def subtract(a_df, b_df):
+        a = a_df.select(*keys, F.col("cnt").alias("_a"))
+        b = b_df.select(*keys, F.col("cnt").alias("_b"))
+        cnt = (
+            F.coalesce("_a", F.lit(0)) - F.coalesce("_b", F.lit(0))
+        ).cast("bigint")
+        guarded = F.when(
+            cnt < 0, F.raise_error(F.lit("underflow"))
+        ).otherwise(cnt)
+        return (
+            a.join(b, keys, "full_outer")
+            .select(*keys, guarded.alias("cnt"))
+            .filter(F.col("cnt") > 0)
+        )
+
+    shrunk = subtract(store, wave).localCheckpoint(eager=True)
+    rebuilt = _cms_cells(ev.filter(~subject))
+    assert sorted(map(tuple, shrunk.collect())) == sorted(
+        map(tuple, rebuilt.collect())
+    )
+    # double-delete: day-1 cells came only from users 7/8/100 — a
+    # second subtraction of the wave drives them negative -> loud
+    with pytest.raises(PySparkException, match="underflow"):
+        subtract(shrunk, wave).collect()
+
+
 def test_pq_retrain_recall_flip(spark):
     """r12 task 7: the PQ retrain payoff flag flips with the evidence.
     A corpus drifts into a region (negated vectors) the aging books
