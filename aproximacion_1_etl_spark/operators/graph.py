@@ -815,24 +815,27 @@ def forget_graph_stats(
     a silent second decrement that the ``degree > 0`` filter would
     swallow. The surviving edge set triangle_delta needs is derived
     here (store ∖ wave), not passed in, so guard and remainder can
-    never disagree. Both derivations are broadcast semi/anti-joins
-    against the wave's canonical keys — wave-bounded, one store
-    scan."""
+    never disagree. ONE mark-and-split pass derives both: the store
+    left-joins the deduped wave keys once, the marked relation is
+    lazily checkpointed once (triangle_delta consumes the survivors
+    several times — adjacency build + two hint joins — and must not
+    re-run the join per consumer), and the two sides are narrow
+    filters over it. No forced broadcast (an RTBF wave can be a
+    material fraction of the store, as the product-forget key's is;
+    AQE still broadcasts a small wave from runtime stats)."""
     key = [F.least("u", "v").alias("_ku"), F.greatest("u", "v").alias("_kv")]
-    wave_keys = deleted_edges.select(*key).distinct()
-    store_keyed = edge_store.withColumn("_ku", key[0]).withColumn(
-        "_kv", key[1]
+    wave_keys = deleted_edges.select(*key).distinct().withColumn(
+        "_hit", F.lit(True)
     )
-    deleted = (
-        store_keyed.join(
-            F.broadcast(wave_keys), ["_ku", "_kv"], "left_semi"
-        )
+    marked = (
+        edge_store.withColumn("_ku", key[0])
+        .withColumn("_kv", key[1])
+        .join(wave_keys, ["_ku", "_kv"], "left")
         .drop("_ku", "_kv")
         .localCheckpoint(eager=False)
     )
-    remaining_edges = store_keyed.join(
-        F.broadcast(wave_keys), ["_ku", "_kv"], "left_anti"
-    ).drop("_ku", "_kv")
+    deleted = marked.filter(F.col("_hit")).drop("_hit")
+    remaining_edges = marked.filter(F.col("_hit").isNull()).drop("_hit")
     ddeg = (
         deleted.select(F.col("u").alias("node"))
         .unionAll(deleted.select(F.col("v").alias("node")))
