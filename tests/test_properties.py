@@ -1594,6 +1594,123 @@ def test_sketch_forget_windowed_rebuild_paths(spark):
     assert got[("click", "2024-01-02")] == orig[("click", "2024-01-02")]
 
 
+@given(
+    texts=st.lists(
+        st.text(alphabet="abcd ", min_size=0, max_size=12),
+        min_size=4,
+        max_size=10,
+    ),
+    cut=st.integers(1, 8),
+    dup_first=st.booleans(),
+)
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_lm_guarded_fold_equals_rebuild_random_corpora(
+    spark, texts, cut, dup_first
+):
+    """r12 LM guard, property form: across random corpora and split
+    points, folding the batch through the GUARDED fold (store +
+    ledger), then re-delivering the whole batch again — optionally
+    with the batch itself pre-duplicated — always lands on exactly
+    the from-scratch counts over the full corpus, and the ledger
+    equals the full doc-id set."""
+    import pyspark.sql.functions as F
+
+    from aproximacion_1_etl_spark.text.analysis import (
+        fold_lm_counts_guarded,
+        lm_counts,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "es", t)
+         for i, t in enumerate(texts)],
+        "doc_id BIGINT, lang STRING, text STRING",
+    )
+    cut = min(cut, len(texts) - 1)
+    old = docs.filter(F.col("doc_id") < cut)
+    batch = docs.filter(F.col("doc_id") >= cut)
+    if dup_first:
+        batch = batch.unionByName(batch)
+    store = lm_counts(old).localCheckpoint(eager=True)
+    ledger = old.select("doc_id").localCheckpoint(eager=True)
+    c1, l1 = fold_lm_counts_guarded(store, ledger, batch)
+    c1 = c1.localCheckpoint(eager=True)
+    l1 = l1.localCheckpoint(eager=True)
+    c2, l2 = fold_lm_counts_guarded(c1, l1, batch)  # full re-delivery
+    want = sorted(map(tuple, lm_counts(docs).collect()))
+    assert sorted(map(tuple, c1.collect())) == want
+    assert sorted(map(tuple, c2.collect())) == want
+    assert sorted(r.doc_id for r in l2.collect()) == list(
+        range(len(texts))
+    )
+
+
+@given(
+    n_users=st.integers(4, 10),
+    n_days=st.integers(2, 5),
+    seed=st.integers(0, 10_000),
+)
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_sketch_forget_rebuild_equals_scratch_random_events(
+    spark, n_users, n_days, seed
+):
+    """r12 sketch deletion, property form: across random event sets
+    and subject choices, the windowed rebuild (affected cells
+    re-sketched, untouched cells passed through) produces a store
+    whose per-cell estimates equal a from-scratch HLL build over the
+    post-delete facts — including corpora where the subject set
+    touches none, some, or all cells."""
+    import random
+
+    import pyspark.sql.functions as F
+
+    rng = random.Random(seed)
+    rows = []
+    for u in range(n_users):
+        for _ in range(rng.randint(1, 6)):
+            d = rng.randrange(n_days)
+            rows.append(
+                ("click" if rng.random() < 0.5 else "view",
+                 f"2024-01-{d + 1:02d}", u)
+            )
+    subjects = set(rng.sample(range(n_users), rng.randint(0, 2)))
+    ev = spark.createDataFrame(
+        rows, "event_type STRING, day STRING, user_id BIGINT"
+    ).select("event_type", F.to_date("day").alias("day"), "user_id")
+    subj = F.col("user_id").isin(*subjects) if subjects else F.lit(False)
+    daily = ev.groupBy("event_type", "day").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    ).localCheckpoint(eager=True)
+    affected = ev.filter(subj).select("event_type", "day").distinct()
+    rebuilt = (
+        ev.filter(~subj)
+        .join(F.broadcast(affected), ["event_type", "day"], "left_semi")
+        .groupBy("event_type", "day")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+    )
+    store2 = daily.join(
+        F.broadcast(affected), ["event_type", "day"], "left_anti"
+    ).unionByName(rebuilt)
+    got = {
+        (r.event_type, str(r.day)): r.est
+        for r in store2.select(
+            "event_type", "day",
+            F.hll_sketch_estimate("sk").alias("est"),
+        ).collect()
+    }
+    want = {
+        (r.event_type, str(r.day)): r.est
+        for r in ev.filter(~subj)
+        .groupBy("event_type", "day")
+        .agg(F.hll_sketch_estimate(
+            F.hll_sketch_agg("user_id")
+        ).alias("est"))
+        .collect()
+    }
+    assert got == want
+
+
 def test_cms_forget_subtract_linearity_and_loud_underflow(spark):
     """r12: the CMS is a LINEAR sketch — subtracting the subject's own
     sketch equals a from-scratch sketch of the post-delete facts
