@@ -274,6 +274,13 @@ def test_streaming_twin_records_per_wave_fold_times(spark, sf_dir):
     folds = STREAM_FOLD_SECS.get("streaming_bm25_index")
     assert folds is not None and len(folds) == 3  # one per wave
     assert all(t >= 0.0 for t in folds)
+    # r12 twins record the same way (the LM twin also exercises the
+    # guarded fold + ledger swap end-to-end under the stream)
+    STREAM_FOLD_SECS.pop("streaming_lm_index", None)
+    assert ALL_QUERIES["streaming_lm_index"](spark, sf_dir).count() > 0
+    lm_folds = STREAM_FOLD_SECS.get("streaming_lm_index")
+    assert lm_folds is not None and len(lm_folds) == 3
+    assert all(t >= 0.0 for t in lm_folds)
 
 
 def test_perf_gate_adjudicate_band_uses_raw_seconds():
