@@ -231,6 +231,32 @@ def test_bench_load_retry_rules():
     assert bench._pick_segment_run(first, tie) is tie
 
 
+def test_bench_detail_artifact_normalized_headline():
+    """r12 task 6 pinned on the COMMITTED artifact: the detail file's
+    headline is the probe-normalized total (raw_value next to it,
+    equal to the sum of the raw per-key timings), the metric name
+    says so, and the retry decisions are recorded per segment."""
+    import json
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "BENCH_DETAIL.json",
+    )
+    with open(path) as fh:
+        d = json.load(fh)
+    assert d["metric"] == "headline_queries_total_wall_normalized"
+    assert abs(d["raw_value"] - sum(d["queries"].values())) < 0.01
+    if d.get("probe_ratio_median"):
+        assert abs(
+            d["value"] - d["raw_value"] / d["probe_ratio_median"]
+        ) < 0.01
+        assert d["normalized_value"] == d["value"]
+    else:
+        assert d["value"] == d["raw_value"]
+    assert len(d["segment_retries"]) == d["segments"]
+
+
 def test_bench_probe_retry_rules():
     """r12 task 6: ANY segment retries when its own head-of-segment
     probe ratio exceeds the documented band (mid-run drift the
