@@ -1895,6 +1895,21 @@ def _lm_counts_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cached
 
 
+def _lm_store_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The doc-id LEDGER paired with ``_lm_counts_store`` (r13,
+    VERDICT r12 task 6): the ids of every document ever folded into
+    the persisted LM state. In production this is the bucketed
+    sidecar relation ``fold_lm_counts_guarded`` maintains next to the
+    counts; here it is the store slice's ids read straight off the
+    corpus (one column, probed only by batch-bounded broadcast
+    semi-joins, so it needs no checkpoint)."""
+    return (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 4 != 0)
+        .select("doc_id")
+    )
+
+
 def q_incremental_lm_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.10 INCREMENTAL LANGUAGE-MODEL MAINTENANCE — the LM member
     of the maintained-state family (r11; next to the BM25, cluster,
@@ -1906,14 +1921,20 @@ def q_incremental_lm_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents are then quality-scored THROUGH THE FOLDED MODEL via
     the exact scoring tail lm_trigram_score itself uses — the
     production shape: history trains, each day's arrivals get scored
-    against the full-corpus statistics without a corpus rescan. The
-    DuckDB oracle trains the model from scratch over the FULL corpus
-    and scores the same batch — hash equality proves fold ==
-    rebuild (the counts are exact integers; lp is one double
-    division + ln)."""
+    against the full-corpus statistics without a corpus rescan. Since
+    r13 the fold routes through the DELIVERY-GUARDED form (VERDICT
+    r12 task 6 — no query-code caller uses the raw additive merge any
+    more): the batch anti-joins the store's doc-id ledger
+    (_lm_store_ledger) before folding, so the exactly-once contract
+    the raw merge merely documents is enforced in-plan; the
+    pre-computed per-doc counts are passed through ``doc_counts`` so
+    the batch still tokenizes exactly once. The DuckDB oracle trains
+    the model from scratch over the FULL corpus and scores the same
+    batch — hash equality proves fold == rebuild (the counts are
+    exact integers; lp is one double division + ln)."""
     from aproximacion_1_etl_spark.text.analysis import (
         _doc_tri_counts,
-        fold_lm_counts,
+        fold_lm_counts_guarded,
         lm_score_from_counts,
     )
 
@@ -1924,11 +1945,11 @@ def q_incremental_lm_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch_doc_counts = _doc_tri_counts(batch).localCheckpoint(
         eager=False
     )
-    folded = fold_lm_counts(
+    folded, _ledger = fold_lm_counts_guarded(
         store,
-        batch_doc_counts.groupBy("lang", "tri").agg(
-            F.sum("cnt").alias("c3")
-        ),
+        _lm_store_ledger(spark, sf_dir),
+        batch,
+        doc_counts=batch_doc_counts,
     )
     return lm_score_from_counts(batch_doc_counts, folded)
 
@@ -1941,11 +1962,14 @@ def q_lm_index_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the persisted model state (text/analysis.py::
     forget_lm_counts — zero-count trigrams drop out, matching a
     retrain); the surviving corpus re-scores through the shrunk
-    model via the shared scoring tail. Oracle = train + score from
-    scratch over the post-delete corpus — forget == rebuild."""
+    model via the shared scoring tail. The bring-to-full append
+    routes through the delivery-guarded fold (r13, like
+    q_incremental_lm_index — the raw merge has no query-code callers
+    left). Oracle = train + score from scratch over the post-delete
+    corpus — forget == rebuild."""
     from aproximacion_1_etl_spark.text.analysis import (
         _doc_tri_counts,
-        fold_lm_counts,
+        fold_lm_counts_guarded,
         forget_lm_counts,
         lm_counts,
         lm_score_from_counts,
@@ -1956,7 +1980,9 @@ def q_lm_index_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bring the store to full-corpus state first (the maintained
     # model after all appends), then forget the RTBF wave
     batch = docs.filter(F.col("doc_id") % 4 == 0)
-    full_state = fold_lm_counts(store, lm_counts(batch))
+    full_state, _ledger = fold_lm_counts_guarded(
+        store, _lm_store_ledger(spark, sf_dir), batch
+    )
     deleted = docs.filter(F.col("doc_id") % 5 == 0)
     shrunk = forget_lm_counts(full_state, lm_counts(deleted))
     remaining = docs.filter(F.col("doc_id") % 5 != 0)
@@ -2994,6 +3020,7 @@ __all__ = [
     "q_incremental_lm_index",
     "q_lm_index_forget",
     "_lm_counts_store",
+    "_lm_store_ledger",
     "_full_bm25_index_store",
     "q_pack_sequences",
     "q_token_entropy",

@@ -235,16 +235,28 @@ def test_bench_detail_artifact_normalized_headline():
     """r12 task 6 pinned on the COMMITTED artifact: the detail file's
     headline is the probe-normalized total (raw_value next to it,
     equal to the sum of the raw per-key timings), the metric name
-    says so, and the retry decisions are recorded per segment."""
+    says so, and the retry decisions are recorded per segment.
+    Skips when the artifact is absent (fresh clone) or predates the
+    normalized-headline format (a mid-iteration artifact regenerated
+    by an older bench.py) — the invariants pin the FORMAT of what
+    bench.py writes, not the presence of a particular run (ADVICE
+    r12 #4: pinning the committed file broke the unit suite on any
+    bench re-run not committed in lockstep)."""
     import json
     import os
+
+    import pytest
 
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "BENCH_DETAIL.json",
     )
+    if not os.path.exists(path):
+        pytest.skip("no BENCH_DETAIL.json (fresh clone / pre-bench)")
     with open(path) as fh:
         d = json.load(fh)
+    if d.get("metric") != "headline_queries_total_wall_normalized":
+        pytest.skip("BENCH_DETAIL.json predates the normalized format")
     assert d["metric"] == "headline_queries_total_wall_normalized"
     assert abs(d["raw_value"] - sum(d["queries"].values())) < 0.01
     if d.get("probe_ratio_median"):
