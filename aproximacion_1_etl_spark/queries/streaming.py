@@ -41,6 +41,51 @@ def _record_fold(key: str, t0: float) -> None:
     )
 
 
+def _committed_batch_ids(base: str) -> list[int]:
+    """Batch ids whose store versions carry a commit marker, sorted.
+
+    The BATCH-VERSIONED COMMIT protocol (ADVICE r12 #1/#2): a
+    maintained store with more than one relation cannot swap its
+    halves atomically with independent overwrites — a crash between
+    the counts swap and the ledger swap leaves updated counts with a
+    stale ledger (double-count on re-run), and a guard keyed on the
+    first-written half makes a crashed wave's re-run a no-op for the
+    never-written half (a permanently dropped wave). Instead, each
+    foreachBatch trigger writes EVERY output relation to NEW
+    ``<name>_b{batch_id}`` directories (never overwriting what it
+    reads) and then creates ONE ``_commit_{batch_id}`` marker — the
+    single atomic commit point. Readers (the next trigger, the final
+    render) resolve state from the HIGHEST COMMITTED version only:
+
+    - crash anywhere before the marker → the partial version dirs are
+      invisible; Spark re-runs the trigger under the SAME batch_id
+      (checkpoint contract) and overwrites them from the same prior
+      committed state — exactly-once;
+    - crash after the marker but before Spark's own checkpoint commit
+      → the re-run sees its batch_id already committed and returns
+      without touching any store — the committed version stands,
+      nothing double-folds, nothing drops.
+
+    Old versions accumulate for the 3-wave catalog keys (production
+    would vacuum versions older than the checkpoint horizon)."""
+    try:
+        names = os.listdir(base)
+    except FileNotFoundError:
+        return []
+    return sorted(
+        int(n[len("_commit_"):])
+        for n in names
+        if n.startswith("_commit_") and n[len("_commit_"):].isdigit()
+    )
+
+
+def _mark_batch_committed(base: str, batch_id: int) -> None:
+    """The atomic commit point of ``_committed_batch_ids``'s
+    protocol: one empty marker file, created last."""
+    with open(os.path.join(base, f"_commit_{batch_id}"), "w"):
+        pass
+
+
 def q_streaming_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.9 + §2.10: the mergeable profile AS A STREAM — completes the
     batch / incremental / streaming trio (table_profile /
@@ -2424,9 +2469,14 @@ def q_streaming_lm_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     (lang, tri, c3) model state through the DELIVERY-GUARDED fold
     (text/analysis.py::fold_lm_counts_guarded — a doc-id ledger
     relation persists next to the counts, so a re-delivered wave or a
-    duplicate doc within one trigger folds as a bit-exact no-op; both
-    relations swap via the write-aside device because the fold reads
-    the store it replaces). After the last wave the full corpus is
+    duplicate doc within one trigger folds as a bit-exact no-op).
+    Both relations commit ATOMICALLY through the batch-versioned
+    protocol (``_committed_batch_ids`` — ADVICE r12 #1: the old
+    counts-then-ledger overwrite pair had a crash window between the
+    two swaps in which a re-run double-counted the wave; now each
+    trigger writes both relations to new ``_b{batch_id}`` dirs and
+    flips one marker, and a replayed already-committed trigger is a
+    pure no-op). After the last wave the full corpus is
     quality-scored THROUGH the maintained model via the shared
     scoring tail. Oracle = the one-shot ``lm_trigram_score`` SQL over
     the full corpus — hash equality proves the multi-wave guarded
@@ -2446,33 +2496,39 @@ def q_streaming_lm_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = tempfile.mkdtemp(prefix="graft_sli_")
     ckpt = tempfile.mkdtemp(prefix="ckpt_sli_")
     src = os.path.join(base, "src")
-    counts_store = os.path.join(base, "counts")
-    counts_next = os.path.join(base, "_counts_next")
-    ledger_store = os.path.join(base, "ledger")
-    ledger_next = os.path.join(base, "_ledger_next")
 
     def handle_batch(batch, batch_id: int) -> None:
         t0 = _time.time()
         bspark = batch.sparkSession
-        if os.path.isdir(counts_store):
-            store = bspark.read.parquet(counts_store)
-            seen = bspark.read.parquet(ledger_store)
+        committed = _committed_batch_ids(base)
+        if batch_id in committed:
+            # replay of a committed trigger (crash after the marker,
+            # before Spark's checkpoint commit): the committed
+            # version stands
+            return
+        if committed:
+            last = committed[-1]
+            store = bspark.read.parquet(
+                os.path.join(base, f"counts_b{last}")
+            )
+            seen = bspark.read.parquet(
+                os.path.join(base, f"ledger_b{last}")
+            )
         else:
             store = bspark.createDataFrame(
                 [], "lang STRING, tri STRING, c3 BIGINT"
             )
             seen = bspark.createDataFrame([], "doc_id BIGINT")
         counts2, ledger2 = fold_lm_counts_guarded(store, seen, batch)
-        # both relations read the store they replace -> two-step
-        # write-aside swap (the bm25 twin's df/stats device)
-        counts2.write.mode("overwrite").parquet(counts_next)
-        bspark.read.parquet(counts_next).write.mode(
-            "overwrite"
-        ).parquet(counts_store)
-        ledger2.write.mode("overwrite").parquet(ledger_next)
-        bspark.read.parquet(ledger_next).write.mode(
-            "overwrite"
-        ).parquet(ledger_store)
+        # new version dirs — never overwrite what the fold reads, so
+        # no write-aside roundtrip is needed any more
+        counts2.write.mode("overwrite").parquet(
+            os.path.join(base, f"counts_b{batch_id}")
+        )
+        ledger2.write.mode("overwrite").parquet(
+            os.path.join(base, f"ledger_b{batch_id}")
+        )
+        _mark_batch_committed(base, batch_id)
         _record_fold("streaming_lm_index", t0)
 
     try:
@@ -2497,7 +2553,8 @@ def q_streaming_lm_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-        counts = spark.read.parquet(counts_store)
+        last = _committed_batch_ids(base)[-1]
+        counts = spark.read.parquet(os.path.join(base, f"counts_b{last}"))
         out = lm_score_from_counts(_doc_tri_counts(docs), counts)
         # per-doc scores are corpus-sized: distributed reclaim, never
         # a driver collect
@@ -2515,16 +2572,24 @@ def q_streaming_chunk_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk index was the other maintained store without one):
     documents arrive in three doc_id-band waves; foreachBatch
     sentence-tokenizes ONLY the batch and folds it into BOTH halves
-    of the persisted chunk index — pooled chunk VECTORS append to the
+    of the persisted chunk index — pooled chunk VECTORS land in the
     vector half (pooling is corpus-independent, so batch rows are
     bit-identical to a full build's), and reconstructed chunk texts
     fold into the chunk-level BM25 half (postings append, dfs add,
-    exact-integer totals swap). Re-delivery guard at the DOC level
-    (the bm25 twin's device): batch doc ids anti-join the vector
-    half's stored ids, making a re-delivered wave a no-op for both
-    halves at once (chunk keys derive injectively from doc ids).
-    After the last wave the digest joins both halves per chunk — the
-    ``incremental_chunk_index`` output shape, sharing its
+    exact-integer totals). Re-delivery guard at the DOC level (the
+    bm25 twin's device): batch doc ids anti-join the vector half's
+    COMMITTED ids, making a re-delivered wave a no-op for both halves
+    at once (chunk keys derive injectively from doc ids). All four
+    relations commit ATOMICALLY through the batch-versioned protocol
+    (``_committed_batch_ids`` — ADVICE r12 #2: the old layout
+    appended the vector half first and keyed the guard on it, so a
+    crash between the two halves made the re-run a no-op for the
+    never-written BM25 half, permanently dropping the wave's
+    postings; now the append halves write per-batch ``_b{batch_id}``
+    dirs, the cumulative df/stats halves write new versions, and one
+    marker commits all four — a replayed committed trigger is a pure
+    no-op). After the last wave the digest joins both halves per
+    chunk — the ``incremental_chunk_index`` output shape, sharing its
     from-scratch rebuild oracle: hash equality proves the multi-wave
     fold == rebuild for both halves."""
     import shutil
@@ -2547,21 +2612,22 @@ def q_streaming_chunk_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = tempfile.mkdtemp(prefix="graft_sci_")
     ckpt = tempfile.mkdtemp(prefix="ckpt_sci_")
     src = os.path.join(base, "src")
-    vec_store = os.path.join(base, "vec")
-    post_store = os.path.join(base, "postings")
-    df_store = os.path.join(base, "df")
-    df_next = os.path.join(base, "_df_next")
-    stats_store = os.path.join(base, "stats")
-    stats_next = os.path.join(base, "_stats_next")
 
     def handle_batch(batch, batch_id: int) -> None:
         t0 = _time.time()
         bspark = batch.sparkSession
+        committed = _committed_batch_ids(base)
+        if batch_id in committed:
+            # replay of a committed trigger: the committed version
+            # stands for all four relations at once
+            return
         batch = batch.dropDuplicates(["doc_id"])
-        if os.path.isdir(vec_store):
+        if committed:
             batch_ids = batch.select("doc_id").distinct()
             seen = (
-                bspark.read.parquet(vec_store)
+                bspark.read.parquet(
+                    *[os.path.join(base, f"vec_b{i}") for i in committed]
+                )
                 .join(F.broadcast(batch_ids), "doc_id", "left_semi")
                 .select("doc_id")
                 .distinct()
@@ -2569,35 +2635,41 @@ def q_streaming_chunk_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             batch = batch.join(F.broadcast(seen), "doc_id", "left_anti")
         batch = batch.localCheckpoint(eager=False)
         pooled = _pooled_chunk_vectors(bspark, sf_dir, batch, budget)
-        pooled.write.mode("append").parquet(vec_store)
+        pooled.write.mode("overwrite").parquet(
+            os.path.join(base, f"vec_b{batch_id}")
+        )
         bct = _chunk_texts(batch, budget).select(
             F.col("ckey").alias("doc_id"), "text"
         )
-        if os.path.isdir(df_store):
+        if committed:
             # doc-level guard above already enforced disjointness and
             # chunk keys derive injectively from doc ids — skip the
             # fold's own ckey-level guard (one store scan saved)
+            last = committed[-1]
             np_, df2, st2 = fold_bm25_index(
                 bspark.createDataFrame(
                     [], "doc_id BIGINT, term STRING, dl INT, tf BIGINT"
                 ),
-                bspark.read.parquet(df_store),
-                bspark.read.parquet(stats_store),
+                bspark.read.parquet(os.path.join(base, f"df_b{last}")),
+                bspark.read.parquet(
+                    os.path.join(base, f"stats_b{last}")
+                ),
                 bct,
                 id_col="doc_id",
                 guard_redelivery=False,
             )
         else:
             np_, df2, st2 = bm25_index(bct)
-        np_.write.mode("append").parquet(post_store)
-        df2.write.mode("overwrite").parquet(df_next)
-        bspark.read.parquet(df_next).write.mode("overwrite").parquet(
-            df_store
+        np_.write.mode("overwrite").parquet(
+            os.path.join(base, f"post_b{batch_id}")
         )
-        st2.write.mode("overwrite").parquet(stats_next)
-        bspark.read.parquet(stats_next).write.mode("overwrite").parquet(
-            stats_store
+        df2.write.mode("overwrite").parquet(
+            os.path.join(base, f"df_b{batch_id}")
         )
+        st2.write.mode("overwrite").parquet(
+            os.path.join(base, f"stats_b{batch_id}")
+        )
+        _mark_batch_committed(base, batch_id)
         _record_fold("streaming_chunk_index", t0)
 
     try:
@@ -2622,8 +2694,13 @@ def q_streaming_chunk_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-        vecidx = spark.read.parquet(vec_store)
-        postings = spark.read.parquet(post_store)
+        committed = _committed_batch_ids(base)
+        vecidx = spark.read.parquet(
+            *[os.path.join(base, f"vec_b{i}") for i in committed]
+        )
+        postings = spark.read.parquet(
+            *[os.path.join(base, f"post_b{i}") for i in committed]
+        )
         dig = postings.groupBy("doc_id").agg(
             F.max("dl").cast("bigint").alias("dl"),
             F.count("*").cast("bigint").alias("n_terms"),

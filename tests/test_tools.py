@@ -321,6 +321,37 @@ def test_streaming_twin_records_per_wave_fold_times(spark, sf_dir):
     assert all(t >= 0.0 for t in lm_folds)
 
 
+def test_batch_versioned_commit_protocol(tmp_path):
+    """ADVICE r12 #1/#2: multi-relation maintained stores commit each
+    foreachBatch trigger through ONE marker file over per-batch
+    version dirs — partial (crashed, marker-less) versions are
+    invisible, markers sort numerically, and a foreign file cannot
+    masquerade as a marker."""
+    import os
+
+    from aproximacion_1_etl_spark.queries.streaming import (
+        _committed_batch_ids,
+        _mark_batch_committed,
+    )
+
+    base = str(tmp_path)
+    assert _committed_batch_ids(os.path.join(base, "missing")) == []
+    assert _committed_batch_ids(base) == []
+    _mark_batch_committed(base, 0)
+    _mark_batch_committed(base, 2)
+    _mark_batch_committed(base, 1)
+    assert _committed_batch_ids(base) == [0, 1, 2]
+    # partial version dirs without a marker stay invisible; non-marker
+    # names (and non-numeric suffixes) are ignored
+    os.mkdir(os.path.join(base, "counts_b7"))
+    with open(os.path.join(base, "_commit_abc"), "w"):
+        pass
+    assert _committed_batch_ids(base) == [0, 1, 2]
+    # idempotent re-mark (a replayed trigger re-commits harmlessly)
+    _mark_batch_committed(base, 2)
+    assert _committed_batch_ids(base) == [0, 1, 2]
+
+
 def test_perf_gate_adjudicate_band_uses_raw_seconds():
     """ADVICE r10 #2: the history band is RAW committed in-suite
     seconds, so the band comparison must use the RAW isolated child
