@@ -259,6 +259,101 @@ def fold_weighted_sample(
     )
 
 
+def forget_weighted_sample(
+    store: DataFrame,
+    deleted_keys: DataFrame,
+    key_col: str,
+    k: int,
+    reserve: int,
+    strata_col: str | None = None,
+) -> DataFrame:
+    """DELETE subjects from a MAINTAINED A-ES sample — the RTBF edge
+    of the sampling member (r13, VERDICT r12 task 1: the one
+    maintained store without one, and the most literally
+    RTBF-relevant state the engine persists, since a sample store
+    holds RAW member rows). ``store`` is the persisted top-(k +
+    ``reserve``) per stratum (``weighted_sample_topk`` with
+    k+reserve): the OVER-SAMPLE RESERVE is what makes deletion exact
+    without a corpus rescan. Because A-ES scores are pure functions
+    of (key, weight), the store's rows are exactly the
+    (k+reserve) highest-scoring rows of the corpus — so after
+    evicting a delete wave, the survivors are exactly the highest-
+    scoring rows of the POST-DELETE corpus, and the visible top-k
+    read off them equals a from-scratch sample over the post-delete
+    corpus (forget == rebuild, the family's standard proof) as long
+    as no stratum lost more than ``reserve`` stored rows.
+
+    Scale shape: one broadcast left join marks the wave against the
+    strata·(k+reserve)-sized store, and the per-stratum exhaustion
+    stats aggregate over that same marked relation (the graph-forget
+    mark-and-split device — guard and survivors derive from ONE
+    relation so they can never disagree). Nothing rescans the corpus.
+
+    LOUD on reserve exhaustion (the forget_lm_counts raise device): a
+    stratum that stored the FULL k+reserve rows (so the corpus may
+    extend beyond the store) and lost so many that fewer than k
+    survive cannot be backfilled from the store — the next-best
+    corpus rows were never retained. That stratum's sample must be
+    REBUILT from the surviving corpus (the documented floor, the
+    sketch_forget_rebuild precedent); proceeding silently would
+    publish a sample that under-fills k or, worse, mismatches the
+    rebuild. A stratum stored SHORT of k+reserve holds its ENTIRE
+    corpus stratum, so eviction there is complete truth and never
+    raises, however many rows it loses. Deleting keys absent from
+    the store removes nothing — a re-delivered RTBF wave is a no-op.
+
+    Returns the SHRUNK STORE (reserve depleted by the evictions;
+    production tops it back up at the next rebuild window). The
+    visible sample is the top-k read: ``_topk_by_score(shrunk,
+    key_col, k, strata_col)``."""
+    parts = [strata_col] if strata_col else []
+    cap = k + reserve
+    del_keys = deleted_keys.select(key_col).distinct()
+    marked = store.join(
+        F.broadcast(del_keys.withColumn("_d", F.lit(True))),
+        key_col,
+        "left",
+    ).localCheckpoint(eager=False)
+    n_before = F.count("*")
+    n_evicted = F.coalesce(
+        F.sum(F.when(F.col("_d"), 1).otherwise(0)), F.lit(0)
+    )
+    exhausted = (n_before == cap) & ((n_before - n_evicted) < k)
+    guard = (
+        F.when(
+            exhausted,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "forget_weighted_sample reserve exhausted: a "
+                        "stratum lost more than the reserve "
+                        f"({reserve}) stored rows and can no longer "
+                        "back-fill the top-"
+                    ),
+                    F.lit(str(k)),
+                    F.lit(
+                        " sample from the store — rebuild that "
+                        "stratum's sample from the surviving corpus"
+                    ),
+                )
+            ),
+        )
+        .otherwise(F.lit(True))
+        .alias("_ok")
+    )
+    stats = marked.groupBy(*parts).agg(guard)
+    survivors = marked.filter(F.col("_d").isNull()).drop("_d")
+    if parts:
+        out = survivors.join(F.broadcast(stats), parts)
+    else:
+        out = survivors.crossJoin(F.broadcast(stats))
+    # the guard must survive column pruning: a bare .drop would let
+    # Catalyst prune _ok and with it the raise_error expression — the
+    # filter forces the when() to evaluate per stratum (it is always
+    # True when it does not raise)
+    return out.filter(F.col("_ok")).drop("_ok")
+
+
 def stratified_sample(
     df: DataFrame, key_col: str, strata_col: str, rates: dict[str, float]
 ) -> DataFrame:

@@ -263,6 +263,26 @@ FROM (SELECT *, row_number() OVER (
       FROM s)
 WHERE rn <= 25
 """,
+    # sample-store deletion must equal the one-shot sample over the
+    # POST-DELETE corpus — the oracle IS that from-scratch rebuild
+    # (the weighted_sample SQL rebased onto doc_id % 9 != 0): the
+    # engine evicts the wave from the persisted top-(k+reserve) store
+    # and reads the visible top-25 off the survivors, which by
+    # score-purity equals this rebuild (forget == rebuild)
+    "weighted_sample_forget": """
+WITH s AS (
+  SELECT lang, doc_id,
+         pow((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) + 1)
+               / 65537.0,
+             1.0 / greatest(CAST(n_chars AS DOUBLE), 1.0)) AS sample_score
+  FROM documents WHERE doc_id % 9 != 0)
+SELECT lang, doc_id,
+       floor(sample_score * 1000000.0 + 0.5) / 1000000.0 AS score
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY lang ORDER BY sample_score DESC, doc_id ASC) AS rn
+      FROM s)
+WHERE rn <= 25
+""",
     "robust_stats": """
 SELECT event_type,
        CAST(count(*) AS BIGINT) AS n,

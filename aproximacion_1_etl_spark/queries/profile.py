@@ -442,6 +442,90 @@ def q_incremental_weighted_sample(
     )
 
 
+_WEIGHTED_SAMPLE_RESERVE_CACHE: dict[tuple, DataFrame] = {}
+
+# visible sample size / over-sample reserve of the maintained A-ES
+# store (k + reserve rows stored per stratum). Oracles import these
+# instead of re-typing the literals (the sampler-module convention).
+WEIGHTED_SAMPLE_K = 25
+WEIGHTED_SAMPLE_RESERVE = 15
+
+
+def _weighted_sample_reserve_store(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The SIMULATED persisted A-ES sample WITH OVER-SAMPLE RESERVE
+    (r13): per-language top-(k+reserve) = top-40 over the FULL
+    corpus — the store shape ``forget_weighted_sample`` needs to
+    delete exactly (the reserve is what back-fills the visible top-25
+    after an eviction). Memoized per (corpus, session) + eagerly
+    checkpointed like every simulated persisted store; benched as
+    ``weighted_sample_reserve_build_sec`` so the deletion key's
+    number is the FORGET's cost."""
+    from aproximacion_1_etl_spark.functions.sampling import (
+        weighted_sample_topk,
+    )
+
+    key = (
+        _artifact_key(sf_dir, "documents"),
+        spark.sparkContext.applicationId,
+    )
+    cached = _WEIGHTED_SAMPLE_RESERVE_CACHE.get(key)
+    if cached is None:
+        docs = load_table(spark, sf_dir, "documents").select(
+            "lang", "doc_id", "n_chars"
+        )
+        cached = weighted_sample_topk(
+            docs,
+            key_col="doc_id",
+            weight_col="n_chars",
+            k=WEIGHTED_SAMPLE_K + WEIGHTED_SAMPLE_RESERVE,
+            strata_col="lang",
+        ).localCheckpoint(eager=True)
+        _WEIGHTED_SAMPLE_RESERVE_CACHE[key] = cached
+    return cached
+
+
+def q_weighted_sample_forget(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """§2.10 SAMPLE-STORE DELETION — the RTBF edge of the maintained
+    A-ES weighted sample (r13, VERDICT r12 task 1: the one maintained
+    store the governance story missed, and the one that retains RAW
+    member rows): an RTBF wave (doc_id % 9 == 0) is evicted from the
+    persisted per-language top-(25+15) reserve store
+    (functions/sampling.py::forget_weighted_sample — one broadcast
+    mark-and-split pass, loud in-plan raise if any stratum's
+    evictions exhaust the 15-row reserve), and the VISIBLE top-25 is
+    read off the survivors. Because A-ES scores are pure functions of
+    (key, weight), the survivors are exactly the highest-scoring rows
+    of the post-delete corpus, so the visible sample equals a
+    from-scratch ``weighted_sample_topk`` over the post-delete
+    corpus — the DuckDB oracle IS that rebuild (forget == rebuild)."""
+    from aproximacion_1_etl_spark.functions.sampling import (
+        _topk_by_score,
+        forget_weighted_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    store = _weighted_sample_reserve_store(spark, sf_dir)
+    wave = docs.filter(F.col("doc_id") % 9 == 0).select("doc_id")
+    shrunk = forget_weighted_sample(
+        store,
+        wave,
+        key_col="doc_id",
+        k=WEIGHTED_SAMPLE_K,
+        reserve=WEIGHTED_SAMPLE_RESERVE,
+        strata_col="lang",
+    )
+    visible = _topk_by_score(
+        shrunk, "doc_id", WEIGHTED_SAMPLE_K, "lang"
+    )
+    return visible.select(
+        "lang", "doc_id", _fround(F.col("sample_score"), 6).alias("score")
+    )
+
+
 def q_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order statistics family (§2.6): discrete percentiles
     (percentile_disc picks an actual data value — deterministic, unlike
@@ -1183,7 +1267,9 @@ __all__ = [
     "q_hll_sketch_union",
     "q_weighted_sample",
     "q_incremental_weighted_sample",
+    "q_weighted_sample_forget",
     "_weighted_sample_store",
+    "_weighted_sample_reserve_store",
     "q_robust_stats",
     "q_skyline_pareto",
     "q_skyline_pareto_3d",

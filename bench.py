@@ -52,6 +52,7 @@ from aproximacion_1_etl_spark.queries import (
     _trained_pq_books,
     _trained_retrain_codebook,
     _trained_retrain_pq_books,
+    _weighted_sample_reserve_store,
     _weighted_sample_store,
 )
 from aproximacion_1_etl_spark.session import get_spark
@@ -356,6 +357,9 @@ HEADLINE = [
     # round-12: PQ retrain parity (both book generations are their own
     # train line items)
     "pq_retrain_execute",
+    # round-13: the sample store's RTBF edge (reserve-store build is
+    # its own line item below)
+    "weighted_sample_forget",
     # Python-worker queries LAST: applyInPandas spins up 32 Python
     # workers and leaves GC pressure that inflates the next JVM-only
     # query by ~3x (measured: dedup_minhash_lsh 6.96s after it vs 1.9s
@@ -489,6 +493,10 @@ def _run_segment(keys: list[str]) -> dict:
         # used to rebuild + checkpoint this inline on every rep)
         ("weighted_sample_store_build_sec", _weighted_sample_store,
          {"incremental_weighted_sample"}),
+        # the over-sample reserve store (top-(k+reserve) over the full
+        # corpus) the sample-deletion key shrinks
+        ("weighted_sample_reserve_build_sec", _weighted_sample_reserve_store,
+         {"weighted_sample_forget", "rtbf_audit_report"}),
         # full-corpus dedup state (signatures + clusters) the deletion
         # key mutates — on disk in production, a line item here
         ("full_dup_cluster_store_build_sec", _full_dup_cluster_store,

@@ -371,3 +371,143 @@ def test_fold_weighted_sample_within_batch_duplicates(spark):
     )
     assert dup == clean
     assert len({(la, d) for la, d, _ in dup}) == len(dup)
+
+
+def test_forget_weighted_sample_equals_rebuild(spark):
+    """r13 RTBF edge: evicting a delete wave from the top-(k+reserve)
+    store and reading the visible top-k equals a from-scratch
+    weighted sample over the post-delete corpus (score purity makes
+    the survivors exactly the post-delete corpus's best rows)."""
+    import pyspark.sql.functions as F
+
+    from aproximacion_1_etl_spark.functions.sampling import (
+        _topk_by_score,
+        forget_weighted_sample,
+        weighted_sample_topk,
+    )
+
+    rows = [
+        ("a", i, (i * 37) % 90 + 10) for i in range(60)
+    ] + [("b", 100 + i, (i * 53) % 90 + 10) for i in range(60)]
+    df = spark.createDataFrame(rows, "lang STRING, doc_id BIGINT, w BIGINT")
+    k, reserve = 5, 4
+    store = weighted_sample_topk(
+        df, key_col="doc_id", weight_col="w", k=k + reserve,
+        strata_col="lang",
+    ).localCheckpoint(eager=True)
+    wave = df.filter(F.col("doc_id") % 7 == 0).select("doc_id")
+    shrunk = forget_weighted_sample(
+        store, wave, key_col="doc_id", k=k, reserve=reserve,
+        strata_col="lang",
+    )
+    got = {
+        (r.lang, r.doc_id): r.sample_score
+        for r in _topk_by_score(shrunk, "doc_id", k, "lang").collect()
+    }
+    want = {
+        (r.lang, r.doc_id): r.sample_score
+        for r in weighted_sample_topk(
+            df.filter(F.col("doc_id") % 7 != 0),
+            key_col="doc_id", weight_col="w", k=k, strata_col="lang",
+        ).collect()
+    }
+    assert got == want
+    # the wave really evicted at least one stored row
+    stored = {(r.lang, r.doc_id) for r in store.collect()}
+    evicted = stored - {
+        (r.lang, r.doc_id) for r in shrunk.collect()
+    }
+    assert evicted
+    # re-delivered wave: evicting already-evicted keys is a no-op
+    again = forget_weighted_sample(
+        shrunk.localCheckpoint(eager=True), wave, key_col="doc_id",
+        k=k, reserve=reserve, strata_col="lang",
+    )
+    assert sorted(
+        (r.lang, r.doc_id) for r in again.collect()
+    ) == sorted((r.lang, r.doc_id) for r in shrunk.collect())
+
+
+def test_forget_weighted_sample_reserve_exhaustion_raises(spark):
+    """r13: a stratum that stored the FULL k+reserve rows (corpus may
+    extend beyond the store) and lost more than the reserve cannot
+    back-fill the visible top-k — the forget must raise in-plan, not
+    silently publish an under-filled (or rebuild-mismatched)
+    sample."""
+    import pytest
+    from pyspark.errors import PySparkException
+    from pyspark.sql import functions as F
+
+    from aproximacion_1_etl_spark.functions.sampling import (
+        forget_weighted_sample,
+        weighted_sample_topk,
+    )
+
+    rows = [("a", i, (i * 37) % 90 + 10) for i in range(40)]
+    df = spark.createDataFrame(rows, "lang STRING, doc_id BIGINT, w BIGINT")
+    k, reserve = 3, 2
+    store = weighted_sample_topk(
+        df, key_col="doc_id", weight_col="w", k=k + reserve,
+        strata_col="lang",
+    ).localCheckpoint(eager=True)
+    assert store.count() == k + reserve  # full reserve: 40 > k+reserve
+    # delete reserve+1 of the stored keys -> fewer than k survive
+    doomed = store.limit(reserve + 1).select("doc_id")
+    bad = forget_weighted_sample(
+        store, doomed, key_col="doc_id", k=k, reserve=reserve,
+        strata_col="lang",
+    )
+    with pytest.raises(PySparkException, match="reserve exhausted"):
+        bad.collect()
+    # deleting exactly `reserve` stored keys still works (boundary)
+    ok = forget_weighted_sample(
+        store, store.limit(reserve).select("doc_id"),
+        key_col="doc_id", k=k, reserve=reserve, strata_col="lang",
+    )
+    assert ok.count() == k
+
+
+def test_forget_weighted_sample_whole_stratum_never_raises(spark):
+    """r13: a stratum stored SHORT of k+reserve holds its ENTIRE
+    corpus stratum — eviction there is complete truth and must not
+    raise however many rows it loses (forget == rebuild even when
+    fewer than k survive)."""
+    from pyspark.sql import functions as F
+
+    from aproximacion_1_etl_spark.functions.sampling import (
+        _topk_by_score,
+        forget_weighted_sample,
+        weighted_sample_topk,
+    )
+
+    # stratum 'tiny' has only 4 corpus rows < k+reserve = 5
+    rows = [("tiny", i, 10 + i) for i in range(4)] + [
+        ("big", 100 + i, (i * 31) % 80 + 10) for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "lang STRING, doc_id BIGINT, w BIGINT")
+    k, reserve = 3, 2
+    store = weighted_sample_topk(
+        df, key_col="doc_id", weight_col="w", k=k + reserve,
+        strata_col="lang",
+    ).localCheckpoint(eager=True)
+    # delete 3 of tiny's 4 rows -> 1 survivor < k, but no raise
+    wave = df.filter(
+        (F.col("lang") == "tiny") & (F.col("doc_id") < 3)
+    ).select("doc_id")
+    shrunk = forget_weighted_sample(
+        store, wave, key_col="doc_id", k=k, reserve=reserve,
+        strata_col="lang",
+    )
+    got = {
+        (r.lang, r.doc_id)
+        for r in _topk_by_score(shrunk, "doc_id", k, "lang").collect()
+    }
+    want = {
+        (r.lang, r.doc_id)
+        for r in weighted_sample_topk(
+            df.join(wave, "doc_id", "left_anti"),
+            key_col="doc_id", weight_col="w", k=k, strata_col="lang",
+        ).collect()
+    }
+    assert got == want
+    assert sum(1 for la, _ in got if la == "tiny") == 1
