@@ -6,6 +6,24 @@ from .common import *  # noqa: F401,F403
 
 ORACLES: dict[str, str] = {
     "streaming_ivf_append": _ivf_index_append_sql(),
+    # streaming twin of incremental_weighted_sample: the store after
+    # the last wave's guarded fold must equal the one-shot A-ES
+    # sample over the full corpus (scores are pure row functions, so
+    # fold order cannot matter) — the weighted_sample SQL verbatim
+    "streaming_weighted_sample": """
+WITH s AS (
+  SELECT lang, doc_id,
+         pow((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) + 1)
+               / 65537.0,
+             1.0 / greatest(CAST(n_chars AS DOUBLE), 1.0)) AS sample_score
+  FROM documents)
+SELECT lang, doc_id,
+       floor(sample_score * 1000000.0 + 0.5) / 1000000.0 AS score
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY lang ORDER BY sample_score DESC, doc_id ASC) AS rn
+      FROM s)
+WHERE rn <= 25
+""",
     # the streamed fold must equal the from-scratch rebuild — same SQL
     # as the batch key (both maintain the identical full-graph store)
     "streaming_graph_stats": _graph_stats_rebuild_sql(),

@@ -2566,6 +2566,114 @@ def q_streaming_lm_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             shutil.rmtree(ckpt, ignore_errors=True)
 
 
+def q_streaming_weighted_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """§2.9 + §2.10: A-ES SAMPLE MAINTENANCE AS A STREAM — the
+    streaming twin of ``incremental_weighted_sample`` (r13, VERDICT
+    r12 task 5: with the forget edge landed, this closes the sample
+    store's family symmetry — fold / forget / streaming twin, like
+    every other maintained store). Documents arrive in three
+    doc_id-band waves; foreachBatch scores ONLY the batch (A-ES
+    scores are pure row functions, so the fold is order-independent —
+    the cheapest twin of the family) and folds it into the persisted
+    per-language top-25 sample through the RE-DELIVERY-GUARDED fold
+    (functions/sampling.py::fold_weighted_sample — a batch key
+    already stored, or duplicated within one trigger, is dropped
+    before the union so it cannot enter twice with its identical
+    score and evict a legitimate member). The single store relation
+    commits through the batch-versioned protocol
+    (``_committed_batch_ids``): each wave writes a new
+    ``store_b{batch_id}`` dir + marker, so the fold never overwrites
+    the version it reads and a replayed committed trigger is a pure
+    no-op. Per-wave cost is O(|batch| + strata·k) — the window sees
+    store ∪ scored(batch), never the corpus. Oracle = the one-shot
+    ``weighted_sample`` SQL over the full corpus — hash equality
+    proves the multi-wave fold reproduces the from-scratch sample
+    bit-for-bit."""
+    import shutil
+    import time as _time
+
+    from aproximacion_1_etl_spark.functions.sampling import (
+        fold_weighted_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    base = tempfile.mkdtemp(prefix="graft_sws_")
+    ckpt = tempfile.mkdtemp(prefix="ckpt_sws_")
+    src = os.path.join(base, "src")
+
+    def handle_batch(batch, batch_id: int) -> None:
+        t0 = _time.time()
+        bspark = batch.sparkSession
+        committed = _committed_batch_ids(base)
+        if batch_id in committed:
+            return  # replay of a committed trigger
+        if committed:
+            store = bspark.read.parquet(
+                os.path.join(base, f"store_b{committed[-1]}")
+            )
+        else:
+            store = bspark.createDataFrame(
+                [],
+                "doc_id BIGINT, lang STRING, n_chars BIGINT, "
+                "sample_score DOUBLE",
+            )
+        folded = fold_weighted_sample(
+            store,
+            batch,
+            key_col="doc_id",
+            weight_col="n_chars",
+            k=25,
+            strata_col="lang",
+        )
+        folded.write.mode("overwrite").parquet(
+            os.path.join(base, f"store_b{batch_id}")
+        )
+        _mark_batch_committed(base, batch_id)
+        _record_fold("streaming_weighted_sample", t0)
+
+    try:
+        now = _time.time()
+        for i in range(3):
+            docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(
+                os.path.join(src, f"w{i + 1}")
+            )
+            pdir = os.path.join(src, f"w{i + 1}")
+            ts = now - 60 * (3 - i)
+            for f in os.listdir(pdir):
+                os.utime(os.path.join(pdir, f), (ts, ts))
+        q = (
+            spark.readStream.schema(
+                "doc_id BIGINT, lang STRING, n_chars BIGINT"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(src, "*"))
+            .writeStream.foreachBatch(handle_batch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+        last = _committed_batch_ids(base)[-1]
+        out = spark.read.parquet(
+            os.path.join(base, f"store_b{last}")
+        ).select(
+            "lang",
+            "doc_id",
+            F.expr("floor(sample_score * 1000000.0 + 0.5) / 1000000.0")
+            .alias("score"),
+        )
+        return _reclaimed(out, base, ckpt)
+    finally:
+        if os.path.isdir(base):
+            shutil.rmtree(base, ignore_errors=True)
+        if os.path.isdir(ckpt):
+            shutil.rmtree(ckpt, ignore_errors=True)
+
+
 def q_streaming_chunk_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.9 + §2.10: RAG CHUNK-INDEX MAINTENANCE AS A STREAM — the
     streaming twin of ``incremental_chunk_index`` (r12 task 3; the
@@ -2729,6 +2837,7 @@ def q_streaming_chunk_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 __all__ = [
     "q_streaming_lm_index",
     "q_streaming_chunk_index",
+    "q_streaming_weighted_sample",
     "q_streaming_bm25_index",
     "q_streaming_dup_clusters",
     "q_streaming_ttl_dedup",

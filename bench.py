@@ -578,6 +578,9 @@ STREAM_TWINS = [
     # fold + ledger swap; chunk-index two-half fold)
     "streaming_lm_index",
     "streaming_chunk_index",
+    # round-13: the sample store's twin (order-independent fold — the
+    # cheapest of the family)
+    "streaming_weighted_sample",
 ]
 
 
