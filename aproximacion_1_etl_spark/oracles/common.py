@@ -528,6 +528,183 @@ UNION ALL
 {row("retrained", "new")}"""
 
 
+def _pq_retrain_plan_sql(
+    m: int = 8,
+    d_sub: int = 8,
+    k: int = 10,
+    query_ids: tuple = (0, 2, 1),
+    qerr: tuple = (2, 1),
+    recall: tuple = (3, 10),
+) -> str:
+    """Mirror of q_pq_retrain_plan (r13 — the PQ drift trigger): the
+    AGING books re-trained in-engine on the store slice
+    (_pq_cent_ctes, vec_id % 2 = 0), then for each appended wave
+    (wave 1: the unshifted vec_id % 8 = 1 day; wave 2: the negated
+    vec_id % 8 in {1,3,5} backlog — the execute key's drift) the two
+    evidence lines are recomputed from scratch:
+
+    - quant_error: per-row reconstruction error = the decimal sum of
+      per-subspace 6-dp min distances to the aging codewords, floored
+      to an exact err6 integer (text/vector.py::
+      pq_quantization_error's portability pattern); the batch/store
+      mean ratio compares by exact DECIMAL cross-multiplication;
+    - recall_probe: the aging books ADC-rank the wave's appended
+      corpus (6-dp distance tables, exact-decimal ADC sums) against
+      the exact squared-L2 ground truth; integer hits vs den·hits <
+      num·|Q|·k.
+
+    Every comparison the verdict hangs on is exact integer/decimal
+    arithmetic, so the 6-row report value-checks bit-for-bit."""
+    ids = ", ".join(str(i) for i in query_ids)
+    nqk = len(query_ids) * k
+    qnum, qden = qerr
+    rnum, rden = recall
+    d6 = (
+        "floor((list_dot_product({q}, {q}) + list_dot_product(c.cv, c.cv)"
+        " - 2.0 * list_dot_product({q}, c.cv)) * 1000000.0 + 0.5)"
+        " / 1000000.0"
+    )
+    wave_rel = {
+        1: (
+            "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings"
+            " WHERE vec_id % 2 != 0 AND vec_id % 8 = 1"
+        ),
+        2: (
+            "SELECT vec_id, list_transform(embedding::DOUBLE[], x -> -x)"
+            " AS v FROM embeddings"
+            " WHERE vec_id % 2 != 0 AND vec_id % 8 IN (1, 3, 5)"
+        ),
+    }
+
+    def err_ctes(tag: str, rel: str) -> str:
+        """Per-row err6 sums for one relation (``rel`` names a CTE)."""
+        parts = []
+        for s in range(m):
+            sl = f"list_slice(v, {s * d_sub + 1}, {s * d_sub + d_sub})"
+            parts.append(
+                f"{tag}md{s} AS (SELECT vec_id, min(d) AS md FROM ("
+                f"SELECT t.vec_id, {d6.format(q='t.sv')} AS d FROM "
+                f"(SELECT vec_id, {sl} AS sv FROM {rel}) t "
+                f"CROSS JOIN cent_s{s} c) GROUP BY vec_id)"
+            )
+        dsum = " + ".join(
+            f"CAST(m{s}.md AS DECIMAL(38,18))" for s in range(m)
+        )
+        joins = " ".join(
+            f"JOIN {tag}md{s} m{s} USING (vec_id)" for s in range(1, m)
+        )
+        parts.append(
+            f"{tag}err AS (SELECT CAST(sum(err6) AS BIGINT) AS se,"
+            f" CAST(count(*) AS BIGINT) AS n FROM ("
+            f"SELECT m0.vec_id, CAST(floor(CAST(({dsum}) AS DOUBLE)"
+            f" * 1000000.0 + 0.5) AS BIGINT) AS err6"
+            f" FROM {tag}md0 m0 {joins}))"
+        )
+        return ",\n".join(parts)
+
+    def recall_ctes(tag: str) -> str:
+        """ADC-vs-exact hit count for one wave's corp ({tag}corp)."""
+        csubs = ",\n".join(
+            f"{tag}csub{s} AS (SELECT vec_id,"
+            f" list_slice(v, {s * d_sub + 1}, {s * d_sub + d_sub}) AS sv"
+            f" FROM {tag}corp)"
+            for s in range(m)
+        )
+        code_branches = " UNION ALL ".join(
+            f"""SELECT vec_id, {s} AS s, cell FROM (
+  SELECT t.vec_id, c.cid AS cell,
+         row_number() OVER (PARTITION BY t.vec_id ORDER BY
+           {d6.format(q='t.sv')} ASC, c.cid ASC) AS rn
+  FROM {tag}csub{s} t CROSS JOIN cent_s{s} c) WHERE rn = 1"""
+            for s in range(m)
+        )
+        qdt_branches = " UNION ALL ".join(
+            f"""SELECT {s} AS s, t.vec_id AS query_id, c.cid,
+       {d6.format(q='t.sv')} AS d
+FROM (SELECT vec_id, sv FROM {tag}csub{s} WHERE vec_id IN ({ids})) t
+CROSS JOIN cent_s{s} c"""
+            for s in range(m)
+        )
+        return f"""{csubs},
+{tag}qv AS (SELECT vec_id AS query_id, v AS qv FROM {tag}corp
+            WHERE vec_id IN ({ids})),
+{tag}ex AS (SELECT query_id, vec_id FROM (
+    SELECT q.query_id, c.vec_id,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY
+             floor((list_dot_product(c.v, c.v)
+                    + list_dot_product(q.qv, q.qv)
+                    - 2.0 * list_dot_product(c.v, q.qv))
+                   * 1000000000.0 + 0.5) / 1000000000.0 ASC,
+             c.vec_id ASC) AS rn
+    FROM {tag}corp c CROSS JOIN {tag}qv q
+    WHERE c.vec_id != q.query_id) WHERE rn <= {k}),
+{tag}codes AS ({code_branches}),
+{tag}qdt AS ({qdt_branches}),
+{tag}ap AS (SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY ad ASC, vec_id ASC) AS rn
+    FROM (SELECT q.query_id, cd.vec_id,
+                 CAST(sum(CAST(q.d AS DECIMAL(38,18))) AS DOUBLE) AS ad
+          FROM {tag}codes cd JOIN {tag}qdt q
+            ON cd.s = q.s AND cd.cell = q.cid
+          WHERE cd.vec_id != q.query_id
+          GROUP BY 1, 2)) WHERE rn <= {k}),
+{tag}hits AS (SELECT CAST(count(*) AS BIGINT) AS hits
+              FROM {tag}ex e JOIN {tag}ap a
+                ON e.query_id = a.query_id AND e.vec_id = a.vec_id)"""
+
+    def wave_rows(w: int) -> str:
+        t = f"w{w}"
+        qb = (
+            f"CAST(ev.wse AS DECIMAL(38,0)) * ev.sn * {qden}"
+            f" > CAST(ev.sse AS DECIMAL(38,0)) * ev.wn * {qnum}"
+        )
+        rb = f"ev.hits * {rden} < {rnum * nqk}"
+        return f"""SELECT CAST({w} AS INT) AS wave,
+       'quant_error' AS evidence,
+       floor(((CAST(ev.wse AS DOUBLE) / CAST(ev.wn AS DOUBLE))
+              / (CAST(ev.sse AS DOUBLE) / CAST(ev.sn AS DOUBLE)))
+             * 1000000.0 + 0.5) / 1000000.0 AS value,
+       {round(qnum / qden, 6)} AS bound,
+       ({qb}) AS breach
+FROM {t}ev ev
+UNION ALL
+SELECT CAST({w} AS INT) AS wave, 'recall_probe' AS evidence,
+       floor((ev.hits * 1.0 / {nqk}) * 1000000.0 + 0.5) / 1000000.0
+         AS value,
+       {round(rnum / rden, 6)} AS bound,
+       ({rb}) AS breach
+FROM {t}ev ev
+UNION ALL
+SELECT CAST({w} AS INT) AS wave, 'verdict' AS evidence,
+       CASE WHEN ({qb}) OR ({rb}) THEN 1.0 ELSE 0.0 END AS value,
+       1.0 AS bound,
+       (({qb}) OR ({rb})) AS breach
+FROM {t}ev ev"""
+
+    wave_blocks = []
+    for w in (1, 2):
+        wave_blocks.append(
+            f"w{w}e AS ({wave_rel[w]}),\n"
+            f"w{w}corp AS (SELECT * FROM e UNION ALL SELECT * FROM w{w}e),\n"
+            + err_ctes(f"w{w}", f"w{w}e")
+            + ",\n"
+            + recall_ctes(f"w{w}")
+            + f",\nw{w}ev AS (SELECT we.se AS wse, we.n AS wn,"
+            f" se.se AS sse, se.n AS sn, h.hits"
+            f" FROM w{w}err we, serr se, w{w}hits h)"
+        )
+    joined_waves = ",\n".join(wave_blocks)
+    return f"""
+WITH {_pq_cent_ctes(m=m, d_sub=d_sub, where="vec_id % 2 = 0")},
+{err_ctes("s", "e")},
+{joined_waves}
+{wave_rows(1)}
+UNION ALL
+{wave_rows(2)}"""
+
+
 def _ann_topk_pq_sql(
     m: int = 8,
     d_sub: int = 8,
@@ -2874,6 +3051,7 @@ __all__ = [
     "_ivf_index_forget_sql",
     "_ivf_retrain_execute_sql",
     "_pq_retrain_execute_sql",
+    "_pq_retrain_plan_sql",
     "_retrieval_eval_sql",
     "_sentence_chunk_ctes",
     "_chunk_retrieval_sql",

@@ -12,6 +12,7 @@ ORACLES: dict[str, str] = {
     "ivf_index_forget": _ivf_index_forget_sql(),
     "ivf_retrain_execute": _ivf_retrain_execute_sql(),
     "pq_retrain_execute": _pq_retrain_execute_sql(),
+    "pq_retrain_plan": _pq_retrain_plan_sql(),
     "retrieval_eval_report": _retrieval_eval_sql(),
     "ivf_index_append": _ivf_index_append_sql(),
     "ann_topk_pq": _ann_topk_pq_sql(),

@@ -539,6 +539,74 @@ def q_ivf_retrain_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rows[0].unionByName(rows[1])
 
 
+def q_pq_retrain_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 PQ CODEBOOK DRIFT TRIGGER (r13, VERDICT r12 task 3) —
+    the DECISION half of the PQ retrain pair: q_pq_retrain_execute
+    measures the payoff of retraining the subspace books, but nothing
+    decided WHEN; this is ``ivf_retrain_plan``'s shape pointed at the
+    PQ side (text/vector.py::pq_drift_report). The aging books
+    (trained on the vec_id % 2 == 0 store slice) face two appended
+    waves: wave 1 is a normal day (vec_id % 8 == 1, the store's own
+    distribution) and wave 2 is the cumulative NEGATED backlog
+    (vec_id % 8 in {1,3,5}, mirrored into the region the drifted
+    corpus lives in — q_pq_retrain_execute's drift). Each wave's
+    report folds two measured evidence lines against exact bounds:
+
+    - ``quant_error``: batch-vs-store mean reconstruction error under
+      the aging books (exact 6-dp integer sums, DECIMAL
+      cross-multiplied). The shipped MIRROR drift leaves this ~1.1 on
+      both waves — negation preserves per-subspace quantization
+      geometry almost exactly — which is precisely why a
+      reconstruction-error gate ALONE is insufficient evidence and
+      the probe below is not optional;
+    - ``recall_probe``: measured ADC recall@10 of the aging books
+      over the appended corpus vs the exact squared-L2 ground truth;
+      wave 1 passes (10/30 hits >= the 3/10 bound), wave 2's ranking
+      collapse breaches (6/30) and flips the verdict to retrain —
+      the flip q_pq_retrain_execute then acts on.
+
+    The pytest pins the flip point and separately drives the
+    quant_error breach with a genuinely out-of-range batch; the
+    DuckDB oracle re-trains the aging books in-engine
+    (_pq_cent_ctes) and mirrors every error sum, distance table,
+    decimal ADC sum, exact ground truth, and integer comparison."""
+    from aproximacion_1_etl_spark.text.vector import pq_drift_report
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    store = emb.filter(F.col("vec_id") % 2 == 0).select(
+        "vec_id", "embedding"
+    )
+    books = _trained_half_pq_books(spark, sf_dir)
+    qids = [0, 2, 1]
+    drifted = _pq_drift_corpus(spark, sf_dir).join(
+        store.select("vec_id"), "vec_id", "left_anti"
+    )
+    waves = [
+        (
+            1,
+            emb.filter(
+                (F.col("vec_id") % 2 != 0) & (F.col("vec_id") % 8 == 1)
+            ).select("vec_id", "embedding"),
+        ),
+        (2, drifted),
+    ]
+    outs = []
+    for wave, batch in waves:
+        outs.append(
+            pq_drift_report(store, batch, books, qids, k=10).select(
+                F.lit(wave).cast("int").alias("wave"),
+                "evidence",
+                "value",
+                "bound",
+                "breach",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
 def q_pq_retrain_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.10 PQ RETRAIN PARITY (r12 task 7) — ivf_retrain_execute's
     measured-payoff device pointed at the PRODUCT-QUANTIZATION
@@ -1091,6 +1159,7 @@ __all__ = [
     "q_ivf_index_forget",
     "q_ivf_retrain_execute",
     "q_pq_retrain_execute",
+    "q_pq_retrain_plan",
     "q_retrieval_eval_report",
     "q_ivf_index_append",
     "q_hybrid_rrf_retrieval",

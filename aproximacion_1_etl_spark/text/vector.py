@@ -1221,6 +1221,159 @@ def pq_recall_report(
     return out
 
 
+def pq_quantization_error(
+    embeddings: DataFrame,
+    books: dict[int, dict[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-row PQ RECONSTRUCTION ERROR under a codebook generation:
+    sum over subspaces of the 6-dp min distance between the row's
+    sub-vector and its nearest codeword — exactly the distance
+    ``pq_encode``'s assignment minimizes, so this is the quantity
+    that grows when the corpus drifts away from the books. One
+    map-side projection (books are plan literals, the
+    _dist_structs_sql shared-lambda device), no shuffle; the decimal
+    sum of 6-dp terms is exact, and the emitted ``err6`` =
+    floor(err·1e6 + 0.5) is an exact BIGINT both engines reproduce
+    (the ADC-sum portability pattern). Returns (id, err6)."""
+    m = len(books)
+    d_sub = len(next(iter(books[0].values())))
+    emb = _as_double(embeddings, vec_col)
+    parts = []
+    for s in range(m):
+        sl = f"slice(`{vec_col}`, {s * d_sub + 1}, {d_sub})"
+        cdots = {cid: sum(x * x for x in v) for cid, v in books[s].items()}
+        ds = _dist_structs_sql(books[s], cdots, sl, _sql_dot(sl, sl), 6)
+        parts.append(f"CAST(array_min({ds}).d AS DECIMAL(38,18))")
+    err = f"CAST(({' + '.join(parts)}) AS DOUBLE)"
+    return emb.select(
+        id_col,
+        F.expr(
+            f"CAST(floor({err} * 1000000.0 + 0.5) AS BIGINT)"
+        ).alias("err6"),
+    )
+
+
+def pq_drift_report(
+    store: DataFrame,
+    batch: DataFrame,
+    books: dict[int, dict[int, list[float]]],
+    query_ids: list[int],
+    k: int = 10,
+    qerr_bound: tuple[int, int] = (2, 1),
+    recall_bound: tuple[int, int] = (3, 10),
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ CODEBOOK DRIFT TRIGGER — the DECISION half of the PQ
+    retrain pair (r13, VERDICT r12 task 3: ``pq_recall_report`` /
+    q_pq_retrain_execute act on a retrain verdict, but nothing
+    DECIDED when the subspace books need retraining;
+    ``ivf_retrain_report`` is the coarse-side precedent). Folds an
+    appended batch against the aging books and emits retrain /
+    no-retrain with every piece of measured evidence next to its
+    bound:
+
+    - ``quant_error``  — the batch's mean per-row reconstruction
+      error (``pq_quantization_error``) relative to the STORE's
+      baseline mean error under the same books: codes of a drifted
+      region collapse onto far-away codewords, so this ratio is the
+      direct per-subspace-geometry drift signal (int8-audit-style
+      saturation reads off the same quantity); breach when
+      den·se_batch·n_store > num·se_store·n_batch — the sums are
+      exact 6-dp integers, so the cross-multiplication is exact on
+      both engines (computed in DECIMAL so no product can overflow);
+    - ``recall_probe`` — measured ADC recall@k of the aging books
+      over the appended corpus vs the exact squared-L2 ground truth
+      (``l2_topk_exact`` — the metric ADC approximates) for the
+      probe query set; breach when den·hits < num·|Q|·k;
+    - ``verdict``      — retrain when ANY evidence breached.
+
+    Scale shape: two map-side error scans (store, batch — codebook
+    literals, no shuffle) reduced to one row each, one ADC pass + one
+    brute ground-truth pass bounded by |Q| broadcast queries, and
+    1-row aggregates cross-joined into the fixed 3-row report
+    (eager-cut so the rows share ONE evaluation of the evidence
+    subtrees). In production the store's baseline error sum is a
+    persisted scalar written at training time — deriving it here
+    costs one extra scan of the store slice."""
+    nq = len(query_ids)
+    se_store = pq_quantization_error(
+        store, books, id_col=id_col, vec_col=vec_col
+    ).agg(
+        F.sum("err6").cast("bigint").alias("_se_s"),
+        F.count("*").cast("bigint").alias("_n_s"),
+    )
+    se_batch = pq_quantization_error(
+        batch, books, id_col=id_col, vec_col=vec_col
+    ).agg(
+        F.sum("err6").cast("bigint").alias("_se_b"),
+        F.count("*").cast("bigint").alias("_n_b"),
+    )
+    corpus = store.unionByName(batch)
+    exact = l2_topk_exact(
+        corpus, query_ids, k=k, id_col=id_col, vec_col=vec_col
+    ).select("query_id", id_col)
+    approx = ann_topk_pq(
+        corpus, query_ids=query_ids, books=books, k=k,
+        id_col=id_col, vec_col=vec_col,
+    ).select("query_id", id_col)
+    hitrow = exact.join(approx, ["query_id", id_col], "left_semi").agg(
+        F.count("*").cast("bigint").alias("_hits")
+    )
+    # ONE row — eager-cut so the three report rows read it instead of
+    # re-evaluating the scans per row (the ivf_retrain_report device)
+    ev = (
+        se_store.crossJoin(se_batch)
+        .crossJoin(hitrow)
+        .localCheckpoint(eager=True)
+    )
+    qnum, qden = qerr_bound
+    rnum, rden = recall_bound
+    dec = "decimal(38,0)"
+    qerr_breach = (
+        F.col("_se_b").cast(dec) * F.col("_n_s") * F.lit(qden)
+        > F.col("_se_s").cast(dec) * F.col("_n_b") * F.lit(qnum)
+    )
+    recall_breach = F.col("_hits") * F.lit(rden) < F.lit(nq * k * rnum)
+    # ratio of means from exact ints via IEEE double division (each
+    # cast value < 2^53, division order fixed -> engine-portable)
+    qerr_value = _fround(
+        (F.col("_se_b").cast("double") / F.col("_n_b").cast("double"))
+        / (F.col("_se_s").cast("double") / F.col("_n_s").cast("double")),
+        6,
+    )
+    rows = [
+        ev.select(
+            F.lit("quant_error").alias("evidence"),
+            qerr_value.alias("value"),
+            F.lit(round(qnum / qden, 6)).alias("bound"),
+            qerr_breach.alias("breach"),
+        ),
+        ev.select(
+            F.lit("recall_probe").alias("evidence"),
+            _fround(F.col("_hits") * F.lit(1.0) / F.lit(nq * k), 6).alias(
+                "value"
+            ),
+            F.lit(round(rnum / rden, 6)).alias("bound"),
+            recall_breach.alias("breach"),
+        ),
+        ev.select(
+            F.lit("verdict").alias("evidence"),
+            F.when(qerr_breach | recall_breach, F.lit(1.0))
+            .otherwise(F.lit(0.0))
+            .alias("value"),
+            F.lit(1.0).alias("bound"),
+            (qerr_breach | recall_breach).alias("breach"),
+        ),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
 def ivf_retrain_report(
     store: DataFrame,
     batch: DataFrame,

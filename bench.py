@@ -358,8 +358,11 @@ HEADLINE = [
     # train line items)
     "pq_retrain_execute",
     # round-13: the sample store's RTBF edge (reserve-store build is
-    # its own line item below)
+    # its own line item below) and the PQ drift trigger (the decision
+    # half pq_retrain_execute acts on; aging books are a train line
+    # item)
     "weighted_sample_forget",
+    "pq_retrain_plan",
     # Python-worker queries LAST: applyInPandas spins up 32 Python
     # workers and leaves GC pressure that inflates the next JVM-only
     # query by ~3x (measured: dedup_minhash_lsh 6.96s after it vs 1.9s
@@ -454,7 +457,7 @@ def _run_segment(keys: list[str]) -> dict:
          {"ivf_retrain_execute"}),
         # the PQ retrain pair's two book generations (r12 task 7)
         ("half_pq_books_train_sec", _trained_half_pq_books,
-         {"pq_retrain_execute"}),
+         {"pq_retrain_execute", "pq_retrain_plan"}),
         ("retrain_pq_books_train_sec", _trained_retrain_pq_books,
          {"pq_retrain_execute"}),
         # the simulated persisted graph store (VERDICT r9 #4): in

@@ -2013,3 +2013,77 @@ def test_bm25_index_fold_scores_equal_from_scratch(spark):
     }
     assert got == want
     assert len(want) > 4  # both queries actually matched docs
+
+
+def _pq_drift_dict(spark, store_rows, batch_rows, books, **kw):
+    from aproximacion_1_etl_spark.text.vector import pq_drift_report
+
+    schema = "vec_id BIGINT, embedding ARRAY<DOUBLE>"
+    store = spark.createDataFrame(store_rows, schema)
+    batch = spark.createDataFrame(batch_rows, schema)
+    return {
+        r.evidence: (r.value, r.breach)
+        for r in pq_drift_report(store, batch, books, **kw).collect()
+    }
+
+
+def test_pq_drift_report_quant_error_flip_point(spark):
+    """r13 (VERDICT r12 task 3): the PQ drift trigger's
+    reconstruction-error evidence — a batch near the aging codewords
+    stays no_retrain, a genuinely out-of-range batch (x5 scale, a
+    region the books never tiled) breaches the 2x mean-error bound
+    and flips the verdict. k = |corpus|-1 makes both ranked sets the
+    full corpus so the recall probe is clean in both cases and the
+    flip isolates the error evidence."""
+    books = {
+        0: {0: [0.0, 0.0], 1: [1.0, 1.0]},
+        1: {0: [0.0, 0.0], 1: [1.0, 1.0]},
+    }
+    store = [
+        (0, [0.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 1.0, 1.0, 1.0]),
+        (2, [0.1, 0.0, 0.0, 0.1]),
+        (3, [0.9, 1.0, 1.0, 0.9]),
+    ]
+    kw = dict(query_ids=[0], k=5)
+    benign = _pq_drift_dict(
+        spark, store, [(9, [1.0, 0.9, 0.9, 1.0]), (10, [0.1, 0.1, 0.0, 0.0])],
+        books, **kw,
+    )
+    assert benign["quant_error"][1] is False
+    assert benign["recall_probe"] == (1.0, False)
+    assert benign["verdict"] == (0.0, False)
+    drifted = _pq_drift_dict(
+        spark, store, [(9, [5.0, 5.0, 5.0, 5.0]), (10, [4.0, 5.0, 5.0, 4.0])],
+        books, **kw,
+    )
+    assert drifted["quant_error"][1] is True
+    assert drifted["quant_error"][0] > 2.0
+    assert drifted["recall_probe"] == (1.0, False)
+    assert drifted["verdict"] == (1.0, True)
+
+
+def test_pq_drift_report_recall_breach_triggers(spark):
+    """The ranking evidence alone must trigger retrain — the shipped
+    mirror drift's failure mode in miniature: every corpus row
+    quantizes to the SAME codeword, so ADC distances stop
+    discriminating and the tie-break ranks a decoy above the true
+    nearest neighbor, while per-row reconstruction error stays inside
+    the 2x bound (exactly why a quant-error gate alone is
+    insufficient evidence)."""
+    books = {
+        0: {0: [0.0, 0.0], 1: [5.0, 5.0]},
+        1: {0: [0.0, 0.0], 1: [5.0, 5.0]},
+    }
+    store = [
+        (0, [1.0, 1.0, 1.0, 1.0]),   # the probe query
+        (1, [0.0, 0.0, 0.0, 0.0]),   # decoy: same code, far in L2
+        (2, [1.1, 1.1, 1.1, 1.1]),   # true nearest neighbor
+    ]
+    rep = _pq_drift_dict(
+        spark, store, [(9, [0.9, 0.9, 0.9, 0.9])], books,
+        query_ids=[0], k=1,
+    )
+    assert rep["quant_error"][1] is False
+    assert rep["recall_probe"] == (0.0, True)
+    assert rep["verdict"] == (1.0, True)
