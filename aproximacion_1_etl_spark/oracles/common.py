@@ -3026,6 +3026,93 @@ FROM (SELECT CAST(count(*) AS BIGINT) AS n_before FROM {table}{join}) _b,
             "vec_id % 7 = 0",
         ),
     ]
+    # ---- r13 surfaces (VERDICT r12 task 2) ----
+    from aproximacion_1_etl_spark.queries.profile import (
+        WEIGHTED_SAMPLE_K,
+        WEIGHTED_SAMPLE_RESERVE,
+    )
+
+    cap = WEIGHTED_SAMPLE_K + WEIGHTED_SAMPLE_RESERVE
+    ws_ranked = (
+        "SELECT lang, doc_id FROM ("
+        "SELECT lang, doc_id, row_number() OVER ("
+        "PARTITION BY lang ORDER BY "
+        "pow((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)"
+        " AS INTEGER) + 1) / 65537.0,"
+        " 1.0 / greatest(CAST(n_chars AS DOUBLE), 1.0)) DESC,"
+        " doc_id ASC) AS rn FROM documents) "
+        f"WHERE rn <= {cap}{{extra}}"
+    )
+    ub = "substring(md5(CAST(o_custkey AS VARCHAR)), 1, 4) < '0800'"
+    prof_cols = [
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority",
+    ]
+    stack = " UNION ALL ".join(
+        f"SELECT '{c}' AS column_name, CAST({c} AS VARCHAR) AS value"
+        f" FROM o WHERE {c} IS NOT NULL"
+        for c in prof_cols
+    )
+    # NOTE on representations: only COUNTS surface in the audit rows,
+    # and both engines' double/date-to-string casts are injective, so
+    # distinct counts agree even where the text forms differ; the vis
+    # predicate touches only o_custkey values (integers — identical
+    # text both sides)
+    pd_rel = (
+        "SELECT DISTINCT column_name, value FROM ({stack}) _st"
+    )
+    eb = "substring(md5(CAST(user_id AS VARCHAR)), 1, 4) < '0800'"
+    hist_rel = (
+        "SELECT bucket FROM ("
+        "SELECT LEAST(512, CAST(floor((value - (SELECT min(value) FROM"
+        " events)) / ((SELECT (max(value) - min(value)) / 512.0 FROM"
+        " events))) AS INT) + 1) AS bucket"
+        " FROM events{w}) GROUP BY bucket"
+    )
+    cms_rel = (
+        "SELECT day, j, cell FROM ("
+        "SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, j,"
+        " substring(md5(j || ':' || event_type), 1, 2) AS cell"
+        " FROM events, (SELECT unnest([0, 1, 2, 3]) AS j){w})"
+        " GROUP BY 1, 2, 3"
+    )
+    rows += [
+        rel_row(
+            "weighted_sample",
+            ws_ranked.format(extra=""),
+            ws_ranked.format(extra=" AND doc_id % 7 != 0"),
+            "doc_id % 7 = 0",
+        ),
+        rel_row(
+            "profile_distinct",
+            "WITH o AS (SELECT * FROM orders) "
+            + pd_rel.format(stack=stack),
+            f"WITH o AS (SELECT * FROM orders WHERE NOT ({ub})) "
+            + pd_rel.format(stack=stack),
+            "column_name = 'o_custkey' AND"
+            " substring(md5(value), 1, 4) < '0800'",
+        ),
+        rel_row(
+            "quantile_hist",
+            hist_rel.format(w=""),
+            hist_rel.format(w=f" WHERE NOT ({eb})"),
+            "bucket < 0",
+        ),
+        rel_row(
+            "hll_sketch_cells",
+            "SELECT event_type, CAST(ts AS DATE) AS day FROM events"
+            " GROUP BY 1, 2",
+            "SELECT event_type, CAST(ts AS DATE) AS day FROM events"
+            f" WHERE NOT ({eb}) GROUP BY 1, 2",
+            "FALSE",
+        ),
+        rel_row(
+            "cms_sketch_cells",
+            cms_rel.format(w=""),
+            cms_rel.format(w=f" WHERE NOT ({eb})"),
+            "cell IS NULL",
+        ),
+    ]
     return "\nUNION ALL\n".join(rows)
 
 

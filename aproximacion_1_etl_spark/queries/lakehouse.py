@@ -841,12 +841,12 @@ def _audit_row(
 
 def q_rtbf_audit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.10 CROSS-STORE RTBF AUDIT — the governance capstone (r12
-    task 4): one report that erases a subject set and verifies
-    absence across EVERY maintained surface the engine persists — the
-    audit a regulator actually asks for, and the composition proof
-    that the forget edges built across r4–r12 compose. Ten rows
-    (surface, n_before, n_deleted, n_after,
-    n_subject_still_visible):
+    task 4; completed to every maintained surface in r13): one report
+    that erases a subject set and verifies absence across EVERY
+    maintained surface the engine persists — the audit a regulator
+    actually asks for, and the composition proof that the forget
+    edges built across r4–r13 compose. Fifteen rows (surface,
+    n_before, n_deleted, n_after, n_subject_still_visible):
 
     - dv_events / dv_orders / dv_lineitem — the DV-cascade erasure
       (q_forget_user_cascade's manifest, FK-resolved through orders),
@@ -863,7 +863,22 @@ def q_rtbf_audit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
       per-value absence is lm_index_forget's full-hash oracle);
     - graph_store — forget_graph_stats (subject = parts % 10);
     - ivf_index — ivf_index_forget's exact cell-census totals plus the
-      shrunk indexed-ids relation (subject = vec_id % 7).
+      shrunk indexed-ids relation (subject = vec_id % 7);
+    - weighted_sample — forget_weighted_sample over the top-(k+r)
+      reserve store (r13; the store that holds RAW member rows —
+      same doc wave);
+    - profile_distinct — the distinct-VALUE profile state over orders
+      (raw observed values, the most PII-shaped state persisted):
+      keyed recount bounded by the subject's own values, vis = the
+      subject band's custkey values still present;
+    - quantile_hist — the fixed-geometry histogram-quantile state:
+      linear, so the subject's own bucket partials subtract exactly;
+    - hll_sketch_cells — the daily HLL partial store via the r12
+      windowed-rebuild policy; vis = cells whose estimate violates
+      the max(2, 5%) contract vs the post-delete exact;
+    - cms_sketch_cells — the daily CMS relation via the r12 exact
+      turnstile subtraction (events-side subjects = the DV cascade's
+      md5 band throughout).
 
     Subjects live in different id spaces per domain (users, documents,
     vectors, products) — a real RTBF closure touches each store in
@@ -873,7 +888,7 @@ def q_rtbf_audit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from a FROM-SCRATCH rebuild over the pre-/post-delete corpus
     (oracles/common.py::_rtbf_audit_sql, reusing the per-store
     builders), so hash equality == forget-equals-rebuild across all
-    ten surfaces at once. All counts are driver-held ints (the
+    fifteen surfaces at once. All counts are driver-held ints (the
     cascade manifest's established bounded-audit device); the stores
     themselves are the memoized simulated-persisted relations the
     per-store keys already maintain."""
@@ -970,6 +985,167 @@ def q_rtbf_audit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows.append((
         "ivf_index", rep.nb, rep.nr, rep.na,
         ids2.filter(F.col("vec_id") % 7 == 0).count(),
+    ))
+
+    # ---- r13 surfaces (VERDICT r12 task 2): the five maintained
+    # stores the r12 capstone missed ----
+    from aproximacion_1_etl_spark.functions.profile import distinct_state
+    from aproximacion_1_etl_spark.functions.sampling import (
+        _hash_prefix,
+        forget_weighted_sample,
+    )
+    from aproximacion_1_etl_spark.queries.profile import (
+        WEIGHTED_SAMPLE_K,
+        WEIGHTED_SAMPLE_RESERVE,
+        _cms_cells,
+        _weighted_sample_reserve_store,
+    )
+
+    # weighted-sample reserve store (doc wave; the r13 forget edge) —
+    # the store that holds RAW member rows
+    ws_store = _weighted_sample_reserve_store(spark, sf_dir)
+    ws2 = forget_weighted_sample(
+        ws_store, doc_wave, key_col="doc_id", k=WEIGHTED_SAMPLE_K,
+        reserve=WEIGHTED_SAMPLE_RESERVE, strata_col="lang",
+    )
+    rows.append(_audit_row(
+        "weighted_sample", ws_store.count(), ws2, in_wave,
+    ))
+
+    # profile distinct-VALUE state (the most PII-shaped state the
+    # engine persists: raw observed values). Distinct-value relations
+    # carry no multiplicities, so the deletion policy is the KEYED
+    # RECOUNT bounded by the subject's own values (the windowed-
+    # rebuild device): untouched values pass through the anti-join,
+    # affected values survive only if a surviving row re-confirms
+    # them — identical to a from-scratch rebuild, priced at the
+    # subject's value set, not the store's history.
+    prof_cols = [
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority",
+    ]
+    o = load_table(spark, sf_dir, "orders")
+    user_subject = _hash_prefix(F.col("o_custkey")) < "0800"
+    pd_full = distinct_state(o, prof_cols).localCheckpoint(eager=True)
+    affected = distinct_state(o.filter(user_subject), prof_cols)
+    confirmed = distinct_state(
+        o.filter(~user_subject), prof_cols
+    ).join(affected, ["column_name", "value"], "left_semi")
+    pd2 = pd_full.join(
+        affected, ["column_name", "value"], "left_anti"
+    ).unionByName(confirmed)
+    rows.append(_audit_row(
+        "profile_distinct", pd_full.count(), pd2,
+        (F.col("column_name") == "o_custkey")
+        & (_hash_prefix(F.col("value")) < "0800"),
+    ))
+
+    # histogram-quantile state (fixed bucket geometry persisted at
+    # store creation): bucket counts are LINEAR, so the RTBF wave
+    # deletes by sketching the subject's own events and subtracting
+    # bucket-wise — empty buckets drop, exactly the rebuild
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("value").cast("double").alias("value"),
+        "user_id",
+        "event_type",
+        F.to_date("ts").alias("day"),
+    )
+    ev_subject = _hash_prefix(F.col("user_id")) < "0800"
+    n_b = 512
+    b = ev.agg(
+        F.min("value").alias("_lo"), F.max("value").alias("_hi")
+    ).collect()[0]
+    lo, hi = float(b["_lo"]), float(b["_hi"])
+    width = (hi - lo) / n_b if hi > lo else 1.0
+    from aproximacion_1_etl_spark.queries.common import _hist_bucket
+
+    def _hist(rel):
+        return (
+            rel.select(
+                _hist_bucket(F.col("value"), lo, width, n_b).alias(
+                    "bucket"
+                )
+            )
+            .groupBy("bucket")
+            .agg(F.count("*").cast("bigint").alias("n"))
+        )
+
+    h_full = _hist(ev).localCheckpoint(eager=True)
+    h_subj = _hist(ev.filter(ev_subject))
+    h2 = (
+        h_full.withColumnRenamed("n", "_a")
+        .join(h_subj.withColumnRenamed("n", "_b"), "bucket", "left")
+        .select(
+            "bucket",
+            (
+                F.col("_a") - F.coalesce(F.col("_b"), F.lit(0))
+            ).cast("bigint").alias("n"),
+        )
+        .filter(F.col("n") > 0)
+    )
+    rows.append(_audit_row(
+        "quantile_hist", h_full.count(), h2, F.col("n") <= 0,
+    ))
+
+    # HLL daily-partial sketch store (non-invertible -> windowed
+    # rebuild of ONLY the subject-touched cells, the r12
+    # sketch_forget_rebuild policy); visibility = cells whose
+    # estimate violates the max(2, 5%) contract vs the post-delete
+    # exact (the bound-is-the-contract device — zero when the rebuild
+    # really erased the subjects)
+    daily = ev.groupBy("event_type", "day").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    ).localCheckpoint(eager=True)
+    aff_cells = (
+        ev.filter(ev_subject).select("event_type", "day").distinct()
+    )
+    rebuilt = (
+        ev.filter(~ev_subject)
+        .join(F.broadcast(aff_cells), ["event_type", "day"], "left_semi")
+        .groupBy("event_type", "day")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+    )
+    hll2 = daily.join(
+        F.broadcast(aff_cells), ["event_type", "day"], "left_anti"
+    ).unionByName(rebuilt)
+    exact_after = ev.filter(~ev_subject).groupBy(
+        "event_type", "day"
+    ).agg(F.countDistinct("user_id").alias("_nx"))
+    hll2_checked = (
+        hll2.select(
+            "event_type", "day",
+            F.hll_sketch_estimate("sk").alias("_est"),
+        )
+        .join(exact_after, ["event_type", "day"])
+    )
+    rows.append(_audit_row(
+        "hll_sketch_cells", daily.count(), hll2_checked,
+        F.abs(F.col("_est") - F.col("_nx"))
+        > F.greatest(F.lit(2.0), F.lit(0.05) * F.col("_nx")),
+    ))
+
+    # CMS daily-partial sketch store (linear -> exact cell-wise
+    # turnstile subtraction of the subject's own sketch, the r12
+    # cms_forget_subtract policy; zero cells drop, negatives raise)
+    cms_ev = ev.select("event_type", "day", "user_id")
+    cms_full = _cms_cells(cms_ev).localCheckpoint(eager=True)
+    cms_wave = _cms_cells(cms_ev.filter(ev_subject))
+    ckeys = ["day", "j", "cell"]
+    cms2 = (
+        cms_full.withColumnRenamed("cnt", "_a")
+        .join(
+            cms_wave.withColumnRenamed("cnt", "_b"), ckeys, "left"
+        )
+        .select(
+            *ckeys,
+            (
+                F.col("_a") - F.coalesce(F.col("_b"), F.lit(0))
+            ).cast("bigint").alias("cnt"),
+        )
+        .filter(F.col("cnt") > 0)
+    )
+    rows.append(_audit_row(
+        "cms_sketch_cells", cms_full.count(), cms2, F.col("cnt") <= 0,
     ))
 
     return spark.createDataFrame(

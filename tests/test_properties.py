@@ -1938,3 +1938,27 @@ def test_ann_topk_ivf_queries_consistent_with_corpus_query_form(
     # 4-dp cosine in the external-query form
     for key, cs in a.items():
         assert key in b and b[key] == cs, key
+
+
+def test_rtbf_audit_covers_every_maintained_surface(spark, sf_dir):
+    """r13 (VERDICT r12 task 2): the capstone audit now covers all
+    FIFTEEN maintained surfaces — the r12 ten plus the weighted-sample
+    reserve store, the profile distinct-value state, the
+    histogram-quantile state, and the HLL/CMS sketch stores — and
+    every surface's n_subject_still_visible is zero (the erased
+    subjects are invisible everywhere at once)."""
+    from aproximacion_1_etl_spark.queries import ALL_QUERIES
+
+    rows = ALL_QUERIES["rtbf_audit_report"](spark, sf_dir).collect()
+    surfaces = {r.surface for r in rows}
+    assert surfaces == {
+        "dv_events", "dv_orders", "dv_lineitem",
+        "cluster_store", "signature_store", "bm25_postings",
+        "chunk_index", "lm_counts", "graph_store", "ivf_index",
+        "weighted_sample", "profile_distinct", "quantile_hist",
+        "hll_sketch_cells", "cms_sketch_cells",
+    }
+    assert len(rows) == 15
+    for r in rows:
+        assert r.n_subject_still_visible == 0, r.surface
+        assert r.n_after == r.n_before - r.n_deleted, r.surface
