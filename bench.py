@@ -701,14 +701,119 @@ def _pick_probe_run(
     return retry if rr <= rf else first
 
 
+def _isolated_child(keys: list[str]):
+    """One fresh JVM, the given keys at the segment head (right
+    after the probes) — the position/ambient effects that generate
+    false flags deep in a segment are absent here. Returns
+    (normalized timings, probe_ratio) or an error string. Shared by
+    the perf-gate adjudicator and the r13 sampled-isolation block."""
+    import subprocess
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(
+        mode="r", suffix=".json", prefix="graft_adjudicate_",
+        delete=False,
+    ) as fh:
+        out_path = fh.name
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__),
+             "--child", out_path, *keys],
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+        )
+        if proc.returncode != 0:
+            return f"child exit {proc.returncode}"
+        with open(out_path) as fh:
+            child = json.load(fh)
+    except Exception as e:
+        return f"{type(e).__name__}: {e}"
+    finally:
+        if os.path.exists(out_path):
+            os.unlink(out_path)
+    ratio = 1.0
+    try:
+        from tools import perf_gate as pg
+
+        ratio = pg._probe_ratio(
+            {"segment_probes": [child.get("probe_secs", {})]}
+        )
+    except Exception:
+        pass
+    return (
+        {k: t / ratio for k, t in child["timings"].items()},
+        ratio,
+    )
+
+
+def _sampled_isolation_block(detail: dict) -> dict | None:
+    """r13 (VERDICT r12 task 4): quantify the headline's in-suite
+    contention inheritance EVERY run, not just on flagged keys — a
+    random ~$SPARK_GRAFT_ISO_SAMPLE-key sample (default 25; 0
+    disables) of this run's keys is re-measured in fresh JVMs at head
+    position, and each key's ``isolated_rel`` = probe-normalized
+    isolated seconds / previous-cert reference seconds. On a build
+    with no real regressions the sample's MEDIAN sits ≈ 1.0 even
+    when the in-suite normalized headline grew from contention the
+    3-key probe under-corrects (r12: common-key in-suite median 1.076
+    while every isolated re-measure landed at or below reference).
+    The sampled keys are recorded so the draw is auditable; the
+    median rides the compact stdout line as
+    ``isolated_rel_median_sampled``."""
+    import random
+
+    n = int(os.environ.get("SPARK_GRAFT_ISO_SAMPLE", "25"))
+    if n <= 0:
+        return None
+    ref_spec = os.environ.get(
+        "SPARK_GRAFT_PERF_REF", "HEAD:BENCH_DETAIL.json"
+    )
+    try:
+        from tools import perf_gate
+
+        ref_queries = perf_gate._load_ref(ref_spec).get("queries") or {}
+    except (Exception, SystemExit) as e:
+        return {"error": f"{type(e).__name__}: {e}", "ref": ref_spec}
+    candidates = sorted(
+        k for k in detail.get("queries", {}) if k in ref_queries
+    )
+    if not candidates:
+        return None
+    sample = sorted(random.sample(candidates, min(n, len(candidates))))
+    block: dict = {"ref": ref_spec, "keys": sample}
+    rels: dict[str, float] = {}
+    iso_sec: dict[str, float] = {}
+    ratios: list[float] = []
+    group = 5  # small groups keep every key near the head position
+    for i in range(0, len(sample), group):
+        keys = sample[i : i + group]
+        res = _isolated_child(keys)
+        if isinstance(res, str):
+            block.setdefault("errors", []).append(res)
+            continue
+        norms, ratio = res
+        ratios.append(round(ratio, 3))
+        for k in keys:
+            if k in norms:
+                iso_sec[k] = round(norms[k] * ratio, 3)
+                rels[k] = round(norms[k] / ref_queries[k], 3)
+    block["probe_ratios"] = ratios
+    block["isolated_sec"] = iso_sec
+    block["isolated_rel"] = rels
+    vals = sorted(rels.values())
+    if vals:
+        m = len(vals)
+        block["isolated_rel_median"] = round(
+            (vals[m // 2] + vals[(m - 1) // 2]) / 2.0, 3
+        )
+    return block
+
+
 def _perf_gate_block(detail: dict) -> dict:
     """Probe-normalized comparison vs the previous cert, embedded in
     BENCH_DETAIL.json, with flagged keys auto-adjudicated by one
     fresh-JVM head-position re-measure. Never fails the bench: any
     error is recorded in the block instead of raised."""
-    import subprocess
-    import tempfile
-
     ref_spec = os.environ.get(
         "SPARK_GRAFT_PERF_REF", "HEAD:BENCH_DETAIL.json"
     )
@@ -732,45 +837,7 @@ def _perf_gate_block(detail: dict) -> dict:
     ) == "0":
         return block
 
-    def _child_run(keys: list[str]):
-        """One fresh JVM, the given keys at the segment head (right
-        after the probes) — the position/ambient effects that generate
-        false flags deep in a segment are absent here. Returns
-        (normalized timings, probe_ratio) or an error string."""
-        with tempfile.NamedTemporaryFile(
-            mode="r", suffix=".json", prefix="graft_adjudicate_",
-            delete=False,
-        ) as fh:
-            out_path = fh.name
-        try:
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__),
-                 "--child", out_path, *keys],
-                stdout=subprocess.DEVNULL,
-                stderr=subprocess.DEVNULL,
-            )
-            if proc.returncode != 0:
-                return f"child exit {proc.returncode}"
-            with open(out_path) as fh:
-                child = json.load(fh)
-        except Exception as e:
-            return f"{type(e).__name__}: {e}"
-        finally:
-            if os.path.exists(out_path):
-                os.unlink(out_path)
-        ratio = 1.0
-        try:
-            from tools import perf_gate as pg
-
-            ratio = pg._probe_ratio(
-                {"segment_probes": [child.get("probe_secs", {})]}
-            )
-        except Exception:
-            pass
-        return (
-            {k: t / ratio for k, t in child["timings"].items()},
-            ratio,
-        )
+    _child_run = _isolated_child
 
     # round-10 self-confirming adjudication: a 'regression' verdict
     # needs (1) a SECOND agreeing fresh-JVM re-measure — one noisy
@@ -802,6 +869,15 @@ def _perf_gate_block(detail: dict) -> dict:
         history = pg.committed_history(list(block["flagged"]))
     except Exception:
         history = {}
+    # r13 (VERDICT r12 task 4): a pinned quiet-host band file
+    # (tools/history_bands.json, NORMALIZED units) takes precedence
+    # over the rolling committed history — three loaded-host rounds
+    # compound max(history) upward until a real regression hides
+    # inside the band; the pin resets it to one adjudicated floor
+    try:
+        pinned = pg.pinned_bands() or {}
+    except Exception:
+        pinned = {}
     for key, f in block["flagged"].items():
         measures = [
             m[key] for m in (norms1, norms2) if key in m
@@ -822,6 +898,11 @@ def _perf_gate_block(detail: dict) -> dict:
             f["isolated2"] = round(norms2[key] * ratio2, 3)
             f["isolated2_rel"] = round(norms2[key] / ref_queries[key], 2)
         band = history.get(key) or []
+        band_normalized = False
+        if key in pinned:
+            band = [pinned[key]]
+            band_normalized = True
+            f["band_source"] = "pinned"
         if band:
             f["history_band"] = [round(min(band), 3), round(max(band), 3)]
         if key in needs_confirm and key not in norms2:
@@ -830,7 +911,7 @@ def _perf_gate_block(detail: dict) -> dict:
         else:
             f["verdict"] = pg.adjudicate(
                 measures, ref_queries[key], threshold, band,
-                iso_raws=raws,
+                iso_raws=raws, band_normalized=band_normalized,
             )
     # final layer: any surviving 'regression' is re-measured with the
     # REFERENCE COMMIT'S CODE in this same host window (a git-worktree
@@ -1299,6 +1380,10 @@ def main() -> None:
     # 'position_noise'/'within_history_band' verdict is a measured
     # non-finding. The embedded block is what the judge reads.
     detail["perf_gate"] = _perf_gate_block(detail)
+    # r13 task 4: the sampled fresh-JVM isolation audit — the
+    # contention the normalized headline still inherits, quantified
+    # on a random key sample every run (expect median ≈ 1.0)
+    detail["sampled_isolated"] = _sampled_isolation_block(detail)
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
@@ -1322,6 +1407,12 @@ def main() -> None:
                 "loadavg_start": detail["loadavg_start"],
                 "load_flagged": detail["load_flagged"],
                 "probe_ratio_median": detail["probe_ratio_median"],
+                # r13: median isolated_rel over the sampled fresh-JVM
+                # re-measures — ≈1.0 means the normalized headline's
+                # growth is contention, not per-key regressions
+                "isolated_rel_median_sampled": (
+                    detail["sampled_isolated"] or {}
+                ).get("isolated_rel_median"),
                 # perf-gate summary: flags vs the previous cert and
                 # how many survived the fresh-JVM re-measure (a
                 # non-zero second number is a REAL regression)

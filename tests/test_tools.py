@@ -447,3 +447,86 @@ def test_perf_gate_refcode_verdict_rule():
     # could not measure old code -> keep the finding
     assert refcode_verdict([1.6], None, ref, thr) == "regression"
     assert refcode_verdict([], 1.6, ref, thr) == "regression"
+
+
+def test_perf_gate_pinned_bands_roundtrip(tmp_path, monkeypatch):
+    """r13 task 4: --write-bands pins NORMALIZED per-key floors from
+    the current detail artifact, refuses a loaded-host source unless
+    forced, and pinned_bands() reads them back."""
+    import json
+
+    from tools import perf_gate
+
+    detail = {
+        "queries": {"a": 2.0, "b": 1.0},
+        "loadavg_start": 0.5,
+        "n_queries": 2,
+        "sf": 0.1,
+        "probe_ratio_median": 2.0,
+        "segment_probes": [],
+    }
+    dpath = tmp_path / "BENCH_DETAIL.json"
+    bpath = tmp_path / "history_bands.json"
+    dpath.write_text(json.dumps(detail))
+    monkeypatch.setattr(perf_gate, "DETAIL", str(dpath))
+    monkeypatch.setattr(perf_gate, "BANDS", str(bpath))
+    # no probe baseline file in tmp -> _probe_ratio falls back to the
+    # stored probe_ratio_median (2.0): bands are raw/2
+    monkeypatch.setattr(perf_gate, "BASELINE", str(tmp_path / "nope"))
+    assert perf_gate.write_bands() == 0
+    assert perf_gate.pinned_bands() == {"a": 1.0, "b": 0.5}
+    # loaded host refused without --force
+    detail["loadavg_start"] = 3.2
+    dpath.write_text(json.dumps(detail))
+    assert perf_gate.write_bands() == 1
+    assert perf_gate.write_bands(force=True) == 0
+    src = json.loads(bpath.read_text())["source"]
+    assert src["forced"] is True and src["loadavg_start"] == 3.2
+
+
+def test_perf_gate_adjudicate_band_normalized_units():
+    """r13: a pinned band is normalized, so the band check compares
+    normalized child measures (raw-vs-raw remains the rule for the
+    rolling committed band)."""
+    from tools.perf_gate import adjudicate
+
+    ref, thr = 1.0, 1.3
+    # normalized measure 1.5 on a slow host (ratio 2 -> raw 3.0):
+    # with a RAW band [1.6] the raw side (3.0) is outside -> would be
+    # a regression under raw units...
+    assert (
+        adjudicate([1.5, 1.5], ref, thr, [1.6], iso_raws=[3.0, 3.0])
+        == "regression"
+    )
+    # ...but a PINNED normalized band [1.6] compares the normalized
+    # 1.5 -> inside the band
+    assert (
+        adjudicate(
+            [1.5, 1.5], ref, thr, [1.6], iso_raws=[3.0, 3.0],
+            band_normalized=True,
+        )
+        == "within_history_band"
+    )
+
+
+def test_bench_sampled_isolation_block_gating(monkeypatch):
+    """r13: the sampled-isolation audit disables on
+    SPARK_GRAFT_ISO_SAMPLE=0, records an unresolvable ref as an error
+    block, and returns None when no key overlaps the reference."""
+    import bench
+
+    monkeypatch.setenv("SPARK_GRAFT_ISO_SAMPLE", "0")
+    assert bench._sampled_isolation_block({"queries": {"a": 1.0}}) is None
+    monkeypatch.setenv("SPARK_GRAFT_ISO_SAMPLE", "5")
+    monkeypatch.setenv("SPARK_GRAFT_PERF_REF", "no_such_ref_file.json")
+    blk = bench._sampled_isolation_block({"queries": {"a": 1.0}})
+    assert "error" in blk
+    # overlapping-key selection: empty intersection -> None (no child
+    # JVMs launched)
+    import tools.perf_gate as pg
+
+    monkeypatch.setenv("SPARK_GRAFT_PERF_REF", "HEAD:BENCH_DETAIL.json")
+    monkeypatch.setattr(
+        pg, "_load_ref", lambda spec: {"queries": {"zzz": 1.0}}
+    )
+    assert bench._sampled_isolation_block({"queries": {"a": 1.0}}) is None

@@ -14,6 +14,9 @@ Usage:
   python tools/perf_gate.py --write-baseline   # pin current probes
   python tools/perf_gate.py --check-baseline [0.10]  # probe floor
       re-measured isolated vs the pin; warns >10% drift either way
+  python tools/perf_gate.py --write-bands [--force]  # pin per-key
+      NORMALIZED history-band floors from the current BENCH_DETAIL
+      (r13; refuses a loaded-host source run unless --force)
 
 bench.py also runs the comparison AUTOMATICALLY after every full run
 (reference: $SPARK_GRAFT_PERF_REF, default HEAD:BENCH_DETAIL.json —
@@ -38,6 +41,7 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 DETAIL = os.path.join(REPO, "BENCH_DETAIL.json")
 BASELINE = os.path.join(REPO, "tools", "probe_baseline.json")
+BANDS = os.path.join(REPO, "tools", "history_bands.json")
 
 
 def _load(path: str) -> dict:
@@ -120,6 +124,66 @@ def _probe_ratio(cur: dict) -> float:
     return cur.get("probe_ratio_median") or 1.0
 
 
+def pinned_bands() -> dict | None:
+    """The PINNED per-key history bands (tools/history_bands.json,
+    r13 — VERDICT r12 task 4): probe-NORMALIZED per-key seconds from
+    one adjudicated run, written by ``--write-bands``. Rationale: the
+    rolling ``committed_history`` band is the max of the last 4
+    committed artifacts' RAW in-suite times — three consecutive
+    loaded-host rounds compound that max upward until a genuinely
+    regressed key fits inside it. The pin resets the band to one
+    known-good floor in host-independent (normalized) units; keys
+    missing from the pin (new this round) fall back to the rolling
+    band. Returns {key: normalized_sec} or None when no pin exists."""
+    if not os.path.exists(BANDS):
+        return None
+    return _load(BANDS)["queries"]
+
+
+def write_bands(force: bool = False) -> int:
+    """Pin tools/history_bands.json from the current
+    BENCH_DETAIL.json: per-key band value = raw in-suite seconds /
+    the run's probe ratio (normalized units, matched by
+    ``adjudicate(band_normalized=True)``). Refuses a loaded-host
+    source run (ambient entry loadavg >= 1.0 — the exact compounding
+    this file exists to stop) unless ``force``; the source run's
+    load and probe ratio are recorded either way so the pin's
+    provenance is auditable."""
+    detail = _load(DETAIL)
+    load = float(detail.get("loadavg_start") or 0.0)
+    ratio = _probe_ratio(detail)
+    if load >= 1.0 and not force:
+        print(
+            f"refusing to pin bands from a loaded run (ambient entry "
+            f"loadavg {load} >= 1.0) — rerun on a quiet host or pass "
+            "--force (the probe normalization is recorded, but a "
+            "quiet-host floor is the point of the pin)"
+        )
+        return 1
+    queries = {
+        k: round(t / ratio, 3)
+        for k, t in (detail.get("queries") or {}).items()
+    }
+    out = {
+        "queries": queries,
+        "source": {
+            "sf": detail.get("sf"),
+            "n_queries": detail.get("n_queries"),
+            "loadavg_start": detail.get("loadavg_start"),
+            "probe_ratio_median": round(ratio, 3),
+            "forced": bool(force and load >= 1.0),
+        },
+    }
+    with open(BANDS, "w") as fh:
+        json.dump(out, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    print(
+        f"pinned {len(queries)} normalized band floors "
+        f"(source load {load}, probe ratio {round(ratio, 3)})"
+    )
+    return 0
+
+
 def committed_history(keys, n: int = 4, repo: str = REPO) -> dict:
     """Per-key committed bench history: the 'queries' values of each
     of the last ``n`` commits that touched BENCH_DETAIL.json, read
@@ -164,6 +228,7 @@ def adjudicate(
     history: list[float],
     band_tol: float = 1.10,
     iso_raws: list[float] | None = None,
+    band_normalized: bool = False,
 ) -> str:
     """Pure verdict rule for a flagged key (round-10, pytest-driven):
     a key is a REGRESSION only when (a) EVERY fresh-JVM isolated
@@ -189,6 +254,12 @@ def adjudicate(
     ``iso_raws`` is absent (older callers) the normalized times are
     used, preserving the pre-fix behavior.
 
+    ``band_normalized`` (r13): a band read from the PINNED
+    tools/history_bands.json is stored in probe-NORMALIZED units, so
+    the comparison uses the normalized child measures (unit
+    consistency the other way around — raw-vs-raw for the rolling
+    committed band, normalized-vs-normalized for the pin).
+
     Verdicts:
 
     - 'position_noise'     — a re-measure came in under threshold
@@ -202,7 +273,10 @@ def adjudicate(
     rels = [x / ref for x in iso_norms]
     if min(rels) <= threshold:
         return "position_noise"
-    band_side = iso_raws if iso_raws else iso_norms
+    if band_normalized:
+        band_side = iso_norms
+    else:
+        band_side = iso_raws if iso_raws else iso_norms
     if history and min(band_side) <= max(history) * band_tol:
         return "within_history_band"
     return "regression"
@@ -366,6 +440,8 @@ def main() -> int:
     if args[:1] == ["--write-baseline"]:
         write_baseline()
         return 0
+    if args[:1] == ["--write-bands"]:
+        return write_bands(force="--force" in args[1:])
     if args[:1] == ["--check-baseline"]:
         drift = float(args[1]) if args[1:] else 0.10
         return check_baseline(drift)
