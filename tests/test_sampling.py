@@ -511,3 +511,73 @@ def test_forget_weighted_sample_whole_stratum_never_raises(spark):
     }
     assert got == want
     assert sum(1 for la, _ in got if la == "tiny") == 1
+
+
+def test_weighted_sample_stream_replay_semantics(spark, tmp_path):
+    """r13: the batch-versioned commit protocol's REPLAY semantics,
+    driven end-to-end with the public helpers the streaming twin
+    uses — fold wave 1, commit, fold wave 2, commit, then REPLAY
+    wave 2 exactly as a crashed-after-marker trigger would (skip on
+    committed batch_id): the store must be byte-stable and equal the
+    one-shot sample over both waves."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from aproximacion_1_etl_spark.functions.sampling import (
+        fold_weighted_sample,
+        weighted_sample_topk,
+    )
+    from aproximacion_1_etl_spark.queries.streaming import (
+        _committed_batch_ids,
+        _mark_batch_committed,
+    )
+
+    base = str(tmp_path)
+    rows = [("a", i, (i * 37) % 90 + 10) for i in range(40)]
+    df = spark.createDataFrame(rows, "lang STRING, doc_id BIGINT, w BIGINT")
+    waves = {0: df.filter(F.col("doc_id") % 2 == 0),
+             1: df.filter(F.col("doc_id") % 2 == 1)}
+
+    def handle(batch_id):
+        committed = _committed_batch_ids(base)
+        if batch_id in committed:
+            return  # replay of a committed trigger
+        if committed:
+            store = spark.read.parquet(
+                os.path.join(base, f"store_b{committed[-1]}")
+            )
+        else:
+            store = spark.createDataFrame(
+                [], "lang STRING, doc_id BIGINT, w BIGINT, "
+                "sample_score DOUBLE"
+            )
+        folded = fold_weighted_sample(
+            store, waves[batch_id], key_col="doc_id", weight_col="w",
+            k=5, strata_col="lang",
+        )
+        folded.write.mode("overwrite").parquet(
+            os.path.join(base, f"store_b{batch_id}")
+        )
+        _mark_batch_committed(base, batch_id)
+
+    handle(0)
+    handle(1)
+    snap = sorted(
+        map(tuple, spark.read.parquet(
+            os.path.join(base, "store_b1")
+        ).collect())
+    )
+    handle(1)  # replayed committed trigger: pure no-op
+    again = sorted(
+        map(tuple, spark.read.parquet(
+            os.path.join(base, "store_b1")
+        ).collect())
+    )
+    assert again == snap
+    want = sorted(
+        map(tuple, weighted_sample_topk(
+            df, key_col="doc_id", weight_col="w", k=5, strata_col="lang"
+        ).collect())
+    )
+    assert snap == want

@@ -2087,3 +2087,37 @@ def test_pq_drift_report_recall_breach_triggers(spark):
     assert rep["quant_error"][1] is False
     assert rep["recall_probe"] == (0.0, True)
     assert rep["verdict"] == (1.0, True)
+
+
+def test_pq_drift_report_recall_boundary_exact(spark):
+    """r13: the recall bound is an exact integer comparison —
+    breach iff hits·den < num·|Q|·k. Pin both sides of the boundary
+    with k = |corpus|-1 geometries: a perfect-recall corpus sits at
+    hits = nq·k (no breach at any bound < 1), and the same-code decoy
+    corpus at k=1 sits at hits = 0 (breach at any positive bound) —
+    the two integer extremes the DECIMAL/integer arithmetic must
+    rank identically to DuckDB's."""
+    books = {
+        0: {0: [0.0, 0.0], 1: [5.0, 5.0]},
+        1: {0: [0.0, 0.0], 1: [5.0, 5.0]},
+    }
+    store = [
+        (0, [1.0, 1.0, 1.0, 1.0]),
+        (1, [0.0, 0.0, 0.0, 0.0]),
+        (2, [1.1, 1.1, 1.1, 1.1]),
+    ]
+    batch = [(9, [0.9, 0.9, 0.9, 0.9])]
+    # perfect recall: k = n-1 ranks the whole corpus on both sides
+    full = _pq_drift_dict(
+        spark, store, batch, books, query_ids=[0], k=3,
+        recall_bound=(99, 100),
+    )
+    assert full["recall_probe"] == (1.0, False)
+    # zero recall at k=1 (ADC tie-break picks the decoy): even the
+    # loosest positive bound breaches
+    none = _pq_drift_dict(
+        spark, store, batch, books, query_ids=[0], k=1,
+        recall_bound=(1, 100),
+    )
+    assert none["recall_probe"] == (0.0, True)
+    assert none["verdict"][1] is True

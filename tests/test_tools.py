@@ -319,6 +319,15 @@ def test_streaming_twin_records_per_wave_fold_times(spark, sf_dir):
     lm_folds = STREAM_FOLD_SECS.get("streaming_lm_index")
     assert lm_folds is not None and len(lm_folds) == 3
     assert all(t >= 0.0 for t in lm_folds)
+    # r13 twin records the same way (also exercises the guarded A-ES
+    # fold + batch-versioned store commits under the stream)
+    STREAM_FOLD_SECS.pop("streaming_weighted_sample", None)
+    assert (
+        ALL_QUERIES["streaming_weighted_sample"](spark, sf_dir).count() > 0
+    )
+    ws_folds = STREAM_FOLD_SECS.get("streaming_weighted_sample")
+    assert ws_folds is not None and len(ws_folds) == 3
+    assert all(t >= 0.0 for t in ws_folds)
 
 
 def test_batch_versioned_commit_protocol(tmp_path):
