@@ -1962,3 +1962,84 @@ def test_rtbf_audit_covers_every_maintained_surface(spark, sf_dir):
     for r in rows:
         assert r.n_subject_still_visible == 0, r.surface
         assert r.n_after == r.n_before - r.n_deleted, r.surface
+
+
+@given(
+    weights=st.lists(
+        st.integers(min_value=1, max_value=500), min_size=6, max_size=24
+    ),
+    wave_mod=st.integers(min_value=2, max_value=5),
+)
+@settings(**SETTINGS)
+def test_forget_weighted_sample_property_forget_equals_rebuild(
+    spark, weights, wave_mod
+):
+    """r13 property form of the sample-store RTBF edge: over random
+    weights and wave selectors, evicting the wave from the
+    top-(k+reserve) store and reading the visible top-k equals the
+    one-shot sample over the post-delete corpus — WHENEVER the
+    reserve holds (or the store holds the whole corpus); when the
+    reserve is exhausted the forget raises instead of silently
+    diverging. The two branches together are the operator's whole
+    contract."""
+    from pyspark.errors import PySparkException
+
+    from aproximacion_1_etl_spark.functions.sampling import (
+        _topk_by_score,
+        forget_weighted_sample,
+        weighted_sample_topk,
+    )
+
+    k, reserve = 3, 2
+    rows = [("s", i, w) for i, w in enumerate(weights)]
+    df = spark.createDataFrame(rows, "lang STRING, doc_id BIGINT, w BIGINT")
+    store = weighted_sample_topk(
+        df, key_col="doc_id", weight_col="w", k=k + reserve,
+        strata_col="lang",
+    ).localCheckpoint(eager=True)
+    stored = {r.doc_id for r in store.collect()}
+    wave_keys = {i for i in range(len(weights)) if i % wave_mod == 0}
+    wave = spark.createDataFrame(
+        [(i,) for i in sorted(wave_keys)] or [(None,)], "doc_id BIGINT"
+    ).filter(F.col("doc_id").isNotNull())
+    shrunk = forget_weighted_sample(
+        store, wave, key_col="doc_id", k=k, reserve=reserve,
+        strata_col="lang",
+    )
+    evicted = len(stored & wave_keys)
+    exhausted = len(stored) == k + reserve and len(stored) - evicted < k
+    if exhausted:
+        try:
+            shrunk.collect()
+            raise AssertionError("expected reserve-exhaustion raise")
+        except PySparkException as e:
+            assert "reserve exhausted" in str(e)
+        return
+    got = {
+        r.doc_id
+        for r in _topk_by_score(shrunk, "doc_id", k, "lang").collect()
+    }
+    want = {
+        r.doc_id
+        for r in weighted_sample_topk(
+            df.filter(~F.col("doc_id").isin(list(wave_keys))),
+            key_col="doc_id", weight_col="w", k=k, strata_col="lang",
+        ).collect()
+    }
+    assert got == want
+
+
+def test_lm_store_ledger_matches_store_slice(spark, sf_dir):
+    """r13 (task 6 wiring): the ledger relation paired with the
+    memoized LM counts store must list exactly the store slice's doc
+    ids — a drifted ledger would make the guarded fold silently drop
+    (ledger too wide) or double-fold (too narrow) legitimate docs."""
+    from aproximacion_1_etl_spark.queries.text import _lm_store_ledger
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    want = {
+        r.doc_id for r in docs.filter(F.col("doc_id") % 4 != 0)
+        .select("doc_id").collect()
+    }
+    got = {r.doc_id for r in _lm_store_ledger(spark, sf_dir).collect()}
+    assert got == want
