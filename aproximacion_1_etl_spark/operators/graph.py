@@ -204,6 +204,7 @@ def adamic_adar_scores(
     Output: (s1, s2, common_nbrs, aa_score) with s1 < s2, aa_score an
     exact decimal-summed double — deterministic across partitionings.
     """
+    dp = edges.sparkSession.sparkContext.defaultParallelism
     lists = (
         edges.select(node, nbr)
         .distinct()
@@ -213,6 +214,15 @@ def adamic_adar_scores(
     )
     if max_degree is not None:
         lists = lists.filter(F.size("ss") <= max_degree)
+    # Explicit repartition before the d(d-1)/2-fold wedge explode: the
+    # neighbor-list relation is byte-small (one array row per pivot),
+    # so AQE's byte-based coalescing (parallelismFirst=false) shrinks
+    # it to 1-2 post-shuffle tasks — and the CPU-heavy explode plus
+    # the decimal partial aggregation then run serially (measured at
+    # sf0.1: 8.7M wedges, 17.9 s key -> 4.4 s with the spread). Same
+    # device as count_triangles' canon repartition; a user repartition
+    # is preserved by AQE.
+    lists = lists.repartition(dp)
     wedges = lists.select(
         (F.lit(1.0) / F.log(F.size("ss").cast("double"))).alias("w"),
         F.explode(
@@ -329,9 +339,18 @@ def connected_components(
         )
         .distinct()
     )
-    b = e.unionByName(
-        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint(eager=True)
+    dp = edges.sparkSession.sparkContext.defaultParallelism
+    # b is re-joined on v EVERY round and never changes: pin its
+    # partitioning to the join key once, before the checkpoint
+    # (LogicalRDD preserves outputPartitioning), so each round only
+    # shuffles the |V|-sized label vector, never the edge relation.
+    b = (
+        e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        .repartition(dp, "v")
+        .localCheckpoint(eager=True)
+    )
     labels = (
         b.select(F.col("u").alias("node"))
         .distinct()
@@ -340,30 +359,41 @@ def connected_components(
     )
     converged = False
     for _ in range(max_iterations):
+        # The round's min-label aggregate CARRIES each node's previous
+        # label beside the new one (own rows are tagged; min over the
+        # tagged copy == the old label, every node has exactly one own
+        # row), so the convergence probe below is a narrow filter over
+        # the just-checkpointed relation instead of a |V| shuffle join
+        # of new vs old per round — one whole exchange removed from
+        # every round at any scale.
         nb = b.join(labels, b["v"] == labels["node"]).select(
-            F.col("u").alias("node"), F.col("comp")
+            F.col("u").alias("node"),
+            F.col("comp"),
+            F.lit(None).cast(labels.schema["comp"].dataType).alias("_own"),
         )
         new = (
-            labels.unionByName(nb)
+            labels.select(
+                "node", "comp", F.col("comp").alias("_own")
+            )
+            .unionByName(nb)
             .groupBy("node")
-            .agg(F.min("comp").alias("comp"))
+            .agg(
+                F.min("comp").alias("comp"),
+                F.min("_own").alias("_old"),
+            )
         )
         jump = new.select(
             F.col("node").alias("_jn"), F.col("comp").alias("_jc")
         )
         new = (
             new.join(jump, new["comp"] == jump["_jn"])
-            .select("node", F.col("_jc").alias("comp"))
+            .select("node", F.col("_jc").alias("comp"), "_old")
             .localCheckpoint(eager=True)
         )
         changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
+            new.where(F.col("comp") != F.col("_old")).limit(1).count()
         )
-        labels = new
+        labels = new.select("node", "comp")
         if changed == 0:
             converged = True
             break
@@ -550,9 +580,18 @@ def kcore(
         )
         .distinct()
     )
-    alive = e.unionByName(
-        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint(eager=True)
+    dp = edges.sparkSession.sparkContext.defaultParallelism
+    # pinned u-partitioning (preserved through localCheckpoint and the
+    # broadcast semi-joins below): every round's degree aggregate
+    # groups on u, so aligning the checkpointed relation with that key
+    # removes the per-round shuffle in front of the aggregate
+    alive = (
+        e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        .repartition(dp, "u")
+        .localCheckpoint(eager=True)
+    )
     # probe-FIRST loop: max_rounds counts PEELS, so the cap equals the
     # graph's peel depth exactly (a probe-last loop would need
     # depth + 1 and raise spuriously on a cap set to the known depth)
@@ -573,9 +612,13 @@ def kcore(
                 "degeneracy peel depth of the graph)"
             )
         keep = deg.filter(F.col("d") >= k).select("u")
+        # v-side restriction FIRST, u-side LAST: whichever join shape
+        # the planner picks, the surviving relation leaves this round
+        # keyed on u — the next round's degree groupBy then reuses the
+        # partitioning instead of paying a fresh exchange
         alive = (
-            alive.join(keep, "u", "left_semi")
-            .join(keep.withColumnRenamed("u", "v"), "v", "left_semi")
+            alive.join(keep.withColumnRenamed("u", "v"), "v", "left_semi")
+            .join(keep, "u", "left_semi")
             .localCheckpoint(eager=True)
         )
         peels += 1

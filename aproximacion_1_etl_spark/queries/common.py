@@ -1338,29 +1338,58 @@ def _co_order_edges(
     (BFS rounds, component rounds) reuses it instead of re-running the
     per-order self-join (measured 12.2 s -> 6.0 s on bfs_hop_distance
     when the build ran per-round)."""
-    op = li.select("l_orderkey", "l_partkey").distinct()
+    # Basket form (one fact shuffle, map-side pairwise expansion) —
+    # the _capped_order_baskets plan shape: collect_set dedups (no
+    # pre-distinct pass) AND applies the basket cap as a size() filter
+    # (no separate count aggregate + semi-join), and the sorted array
+    # emits each unordered pair once (u < v), so the dedup/min_orders
+    # aggregate shuffles HALF the directed pair volume the old
+    # per-order self-join exchanged. Both orientations are mirrored
+    # map-side after the aggregate. The explicit repartitions keep the
+    # byte-small basket relation at full width under AQE's byte-based
+    # coalescing (the adamic_adar / count_triangles device) and leave
+    # the checkpointed edge relation keyed on src for the per-round
+    # frontier joins every consumer loop runs.
+    dp = li.sparkSession.sparkContext.defaultParallelism
+    per_order = (
+        li.select("l_orderkey", "l_partkey")
+        .repartition(dp, F.col("l_orderkey"))
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
+        .filter(F.size("ps") >= 2)
+    )
     if max_basket is not None:
-        small = (
-            op.groupBy("l_orderkey")
-            .agg(F.count("*").alias("_b"))
-            .filter(F.col("_b") <= max_basket)
-            .select("l_orderkey")
-        )
-        op = op.join(small, "l_orderkey", "left_semi")
-    a = op.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src")
-    )
-    b = op.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst")
-    )
-    pairs = a.join(b, "ok").filter(F.col("src") != F.col("dst"))
+        per_order = per_order.filter(F.size("ps") <= max_basket)
+    pairs = per_order.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ps"),
+                    lambda x, i: F.transform(
+                        F.slice(
+                            F.col("ps"), i + F.lit(2), F.size(F.col("ps"))
+                        ),
+                        lambda y: F.struct(x.alias("u"), y.alias("v")),
+                    ),
+                )
+            )
+        ).alias("e")
+    ).select("e.u", "e.v")
     if min_orders > 1:
-        edges = pairs.groupBy("src", "dst").agg(
-            F.count("*").alias("_w")
-        ).filter(F.col("_w") >= min_orders).select("src", "dst")
+        und = (
+            pairs.groupBy("u", "v")
+            .agg(F.count("*").alias("_w"))
+            .filter(F.col("_w") >= min_orders)
+            .select("u", "v")
+        )
     else:
-        edges = pairs.select("src", "dst").distinct()
-    return edges.localCheckpoint(eager=True)
+        und = pairs.distinct()
+    edges = und.select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    ).unionByName(
+        und.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    return edges.repartition(dp, "src").localCheckpoint(eager=True)
 
 
 def _geo_points(spark: SparkSession, sf_dir: str) -> DataFrame:
