@@ -761,6 +761,7 @@ def q_forget_user_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aproximacion_1_etl_spark.functions.sampling import _hash_prefix
     from aproximacion_1_etl_spark.sources.versioned import (
         delete_rows,
+        read_snapshot,
         read_snapshot_with_dv,
         write_snapshot,
     )
@@ -800,17 +801,33 @@ def q_forget_user_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     band_sql = (
         "substring(md5(cast(_subject_key as string)), 1, 4) < '0800'"
     )
-    rows = []
+    def _one(entry: tuple) -> tuple:
+        name, df, pk = entry
+        path = f"{base}/{name}"
+        write_snapshot(df, path)
+        # count the LANDED snapshot, not the source plan: a bare
+        # parquet count() resolves from footer row counts, where
+        # re-counting df would replay the FK-denormalizing join a
+        # second time for the same number
+        n_before = read_snapshot(spark, path).count()
+        n_del = delete_rows(spark, path, pk, band_sql)
+        after = read_snapshot_with_dv(spark, path)
+        # n_after and the still-visible check share one scan
+        # (count + count_if in a single aggregation action)
+        r = after.agg(
+            F.count(F.lit(1)).alias("_na"),
+            F.count_if(band).alias("_st"),
+        ).collect()[0]
+        return (name, n_before, n_del, int(r["_na"]), int(r["_st"]))
+
     try:
-        for name, df, pk in plan:
-            path = f"{base}/{name}"
-            write_snapshot(df, path)
-            n_before = df.count()
-            n_del = delete_rows(spark, path, pk, band_sql)
-            after = read_snapshot_with_dv(spark, path)
-            n_after = after.count()
-            still = after.filter(band).count()
-            rows.append((name, n_before, n_del, n_after, still))
+        # the three tables touch disjoint snapshot dirs — overlap
+        # their write/delete/count chains (driver-blocking actions)
+        # in a small pool; map preserves the manifest's table order
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            rows = list(pool.map(_one, plan))
         return spark.createDataFrame(
             rows,
             "table_name string, n_before bigint, n_deleted bigint, "
@@ -827,15 +844,20 @@ def _audit_row(
 ) -> tuple:
     """One RTBF-audit manifest row over a post-forget store relation:
     (surface, n_before, n_before - n_after, n_after, rows still
-    referencing a deleted subject). The relation is eagerly
-    checkpointed first — it is consumed by two actions, and several
-    callers pass iterative-forget outputs (re-clustering loops) that
-    must not re-run per action. Factored out so the resurrection-bug
-    pytest can point the SAME counter at a deliberately stale store
-    and watch the visibility column go nonzero."""
-    after_df = after_df.localCheckpoint(eager=True)
-    n_after = after_df.count()
-    still = after_df.filter(visible_pred).count()
+    referencing a deleted subject). Both counts come from ONE
+    aggregation action (count + count_if over the same pass), so the
+    post-forget relation — several callers pass iterative-forget
+    outputs (re-clustering loops) — is computed exactly once, with no
+    intermediate checkpoint materialization. Factored out so the
+    resurrection-bug pytest can point the SAME counter at a
+    deliberately stale store and watch the visibility column go
+    nonzero."""
+    r = after_df.agg(
+        F.count(F.lit(1)).alias("_n_after"),
+        F.count_if(visible_pred).alias("_n_visible"),
+    ).collect()[0]
+    n_after = int(r["_n_after"])
+    still = int(r["_n_visible"])
     return (surface, n_before, n_before - n_after, n_after, still)
 
 
@@ -918,82 +940,13 @@ def q_rtbf_audit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     in_wave = F.col("doc_id") % 7 == 0
     doc_wave = docs.filter(in_wave).select("doc_id")
-    rows: list[tuple] = []
 
-    # dv_* — the versioned-store cascade manifest, relabeled
-    for r in q_forget_user_cascade(spark, sf_dir).collect():
-        rows.append((
-            "dv_" + r.table_name, r.n_before, r.n_deleted, r.n_after,
-            r.n_subject_still_visible,
-        ))
-
-    # cluster + signature stores (one forget call maintains both)
-    sigs, store = _full_dup_cluster_store(spark, sf_dir)
-    store2, sigs2 = forget_doc_clusters(store, sigs, doc_wave)
-    rows.append(_audit_row(
-        "cluster_store", store.count(), store2,
-        in_wave | (F.col("cluster_id") % 7 == 0),
-    ))
-    rows.append(_audit_row("signature_store", sigs.count(), sigs2, in_wave))
-
-    # BM25 inverted index
-    postings, df0, stats = _full_bm25_index_store(spark, sf_dir)
-    p2, _d2, _s2 = forget_bm25_index(postings, df0, stats, doc_wave)
-    rows.append(_audit_row("bm25_postings", postings.count(), p2, in_wave))
-
-    # RAG chunk-vector index
-    vecidx = _chunk_vector_index(spark, sf_dir)
-    vec2 = vecidx.join(F.broadcast(doc_wave), "doc_id", "left_anti")
-    rows.append(_audit_row("chunk_index", vecidx.count(), vec2, in_wave))
-
-    # trigram-LM counts
-    full_lm = lm_counts(docs).localCheckpoint(eager=True)
-    shrunk = forget_lm_counts(full_lm, lm_counts(docs.filter(in_wave)))
-    rows.append(_audit_row(
-        "lm_counts", full_lm.count(), shrunk, F.col("c3") <= 0,
-    ))
-
-    # co-order graph store (product forget)
-    edges, gstats = _full_graph_store(spark, sf_dir)
-    deleted_edges = edges.filter(
-        (F.col("u") % 10 == 0) | (F.col("v") % 10 == 0)
-    ).localCheckpoint(eager=True)
-    gstats2 = forget_graph_stats(gstats, edges, deleted_edges)
-    rows.append(_audit_row(
-        "graph_store", gstats.count(), gstats2, F.col("node") % 10 == 0,
-    ))
-
-    # IVF cell census + indexed-ids relation (vector forget)
-    emb = load_table(spark, sf_dir, "embeddings")
-    cb = _trained_append_codebook(spark, sf_dir)
-    current = (
-        ivf_assign_cells(emb, cb)
-        .groupBy("cell")
-        .agg(F.count("*").alias("n_total"))
-    )
-    vwave = emb.filter(F.col("vec_id") % 7 == 0)
-    rep = ivf_index_forget(
-        vwave, cb, current, indexed_ids=emb.select("vec_id")
-    ).agg(
-        F.sum("n_before").alias("nb"),
-        F.sum("n_removed").alias("nr"),
-        F.sum("n_after").alias("na"),
-    ).collect()[0]
-    ids2 = emb.select("vec_id").join(
-        F.broadcast(vwave.select("vec_id")), "vec_id", "left_anti"
-    )
-    rows.append((
-        "ivf_index", rep.nb, rep.nr, rep.na,
-        ids2.filter(F.col("vec_id") % 7 == 0).count(),
-    ))
-
-    # ---- r13 surfaces (VERDICT r12 task 2): the five maintained
-    # stores the r12 capstone missed ----
     from aproximacion_1_etl_spark.functions.profile import distinct_state
     from aproximacion_1_etl_spark.functions.sampling import (
         _hash_prefix,
         forget_weighted_sample,
     )
+    from aproximacion_1_etl_spark.queries.common import _hist_bucket
     from aproximacion_1_etl_spark.queries.profile import (
         WEIGHTED_SAMPLE_K,
         WEIGHTED_SAMPLE_RESERVE,
@@ -1001,152 +954,297 @@ def q_rtbf_audit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         _weighted_sample_reserve_store,
     )
 
-    # weighted-sample reserve store (doc wave; the r13 forget edge) —
-    # the store that holds RAW member rows
+    # ---- serial prep: every memoized simulated-persisted store is
+    # touched ONCE here, before the task pool below, so the builds
+    # stay single-threaded (the getters memoize per session) and each
+    # audit task starts from checkpointed state.
+    sigs, store = _full_dup_cluster_store(spark, sf_dir)
+    postings, df0, stats = _full_bm25_index_store(spark, sf_dir)
+    vecidx = _chunk_vector_index(spark, sf_dir)
+    edges, gstats = _full_graph_store(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = _trained_append_codebook(spark, sf_dir)
     ws_store = _weighted_sample_reserve_store(spark, sf_dir)
-    ws2 = forget_weighted_sample(
-        ws_store, doc_wave, key_col="doc_id", k=WEIGHTED_SAMPLE_K,
-        reserve=WEIGHTED_SAMPLE_RESERVE, strata_col="lang",
-    )
-    rows.append(_audit_row(
-        "weighted_sample", ws_store.count(), ws2, in_wave,
-    ))
-
-    # profile distinct-VALUE state (the most PII-shaped state the
-    # engine persists: raw observed values). Distinct-value relations
-    # carry no multiplicities, so the deletion policy is the KEYED
-    # RECOUNT bounded by the subject's own values (the windowed-
-    # rebuild device): untouched values pass through the anti-join,
-    # affected values survive only if a surviving row re-confirms
-    # them — identical to a from-scratch rebuild, priced at the
-    # subject's value set, not the store's history.
-    prof_cols = [
-        "o_orderkey", "o_custkey", "o_orderstatus",
-        "o_totalprice", "o_orderdate", "o_orderpriority",
-    ]
-    o = load_table(spark, sf_dir, "orders")
-    user_subject = _hash_prefix(F.col("o_custkey")) < "0800"
-    pd_full = distinct_state(o, prof_cols).localCheckpoint(eager=True)
-    affected = distinct_state(o.filter(user_subject), prof_cols)
-    confirmed = distinct_state(
-        o.filter(~user_subject), prof_cols
-    ).join(affected, ["column_name", "value"], "left_semi")
-    pd2 = pd_full.join(
-        affected, ["column_name", "value"], "left_anti"
-    ).unionByName(confirmed)
-    rows.append(_audit_row(
-        "profile_distinct", pd_full.count(), pd2,
-        (F.col("column_name") == "o_custkey")
-        & (_hash_prefix(F.col("value")) < "0800"),
-    ))
-
-    # histogram-quantile state (fixed bucket geometry persisted at
-    # store creation): bucket counts are LINEAR, so the RTBF wave
-    # deletes by sketching the subject's own events and subtracting
-    # bucket-wise — empty buckets drop, exactly the rebuild
+    # ONE materialization of the projected event relation feeds every
+    # sketch/histogram surface below (bucket extrema + 2 histogram
+    # passes + 3 HLL passes + 2 CMS passes): checkpoint it instead of
+    # re-scanning and re-projecting the fact table per pass
     ev = load_table(spark, sf_dir, "events").select(
         F.col("value").cast("double").alias("value"),
         "user_id",
         "event_type",
         F.to_date("ts").alias("day"),
-    )
-    ev_subject = _hash_prefix(F.col("user_id")) < "0800"
-    n_b = 512
-    b = ev.agg(
-        F.min("value").alias("_lo"), F.max("value").alias("_hi")
-    ).collect()[0]
-    lo, hi = float(b["_lo"]), float(b["_hi"])
-    width = (hi - lo) / n_b if hi > lo else 1.0
-    from aproximacion_1_etl_spark.queries.common import _hist_bucket
-
-    def _hist(rel):
-        return (
-            rel.select(
-                _hist_bucket(F.col("value"), lo, width, n_b).alias(
-                    "bucket"
-                )
-            )
-            .groupBy("bucket")
-            .agg(F.count("*").cast("bigint").alias("n"))
-        )
-
-    h_full = _hist(ev).localCheckpoint(eager=True)
-    h_subj = _hist(ev.filter(ev_subject))
-    h2 = (
-        h_full.withColumnRenamed("n", "_a")
-        .join(h_subj.withColumnRenamed("n", "_b"), "bucket", "left")
-        .select(
-            "bucket",
-            (
-                F.col("_a") - F.coalesce(F.col("_b"), F.lit(0))
-            ).cast("bigint").alias("n"),
-        )
-        .filter(F.col("n") > 0)
-    )
-    rows.append(_audit_row(
-        "quantile_hist", h_full.count(), h2, F.col("n") <= 0,
-    ))
-
-    # HLL daily-partial sketch store (non-invertible -> windowed
-    # rebuild of ONLY the subject-touched cells, the r12
-    # sketch_forget_rebuild policy); visibility = cells whose
-    # estimate violates the max(2, 5%) contract vs the post-delete
-    # exact (the bound-is-the-contract device — zero when the rebuild
-    # really erased the subjects)
-    daily = ev.groupBy("event_type", "day").agg(
-        F.hll_sketch_agg("user_id").alias("sk")
     ).localCheckpoint(eager=True)
-    aff_cells = (
-        ev.filter(ev_subject).select("event_type", "day").distinct()
-    )
-    rebuilt = (
-        ev.filter(~ev_subject)
-        .join(F.broadcast(aff_cells), ["event_type", "day"], "left_semi")
-        .groupBy("event_type", "day")
-        .agg(F.hll_sketch_agg("user_id").alias("sk"))
-    )
-    hll2 = daily.join(
-        F.broadcast(aff_cells), ["event_type", "day"], "left_anti"
-    ).unionByName(rebuilt)
-    exact_after = ev.filter(~ev_subject).groupBy(
-        "event_type", "day"
-    ).agg(F.countDistinct("user_id").alias("_nx"))
-    hll2_checked = (
-        hll2.select(
-            "event_type", "day",
-            F.hll_sketch_estimate("sk").alias("_est"),
-        )
-        .join(exact_after, ["event_type", "day"])
-    )
-    rows.append(_audit_row(
-        "hll_sketch_cells", daily.count(), hll2_checked,
-        F.abs(F.col("_est") - F.col("_nx"))
-        > F.greatest(F.lit(2.0), F.lit(0.05) * F.col("_nx")),
-    ))
+    ev_subject = _hash_prefix(F.col("user_id")) < "0800"
 
-    # CMS daily-partial sketch store (linear -> exact cell-wise
-    # turnstile subtraction of the subject's own sketch, the r12
-    # cms_forget_subtract policy; zero cells drop, negatives raise)
-    cms_ev = ev.select("event_type", "day", "user_id")
-    cms_full = _cms_cells(cms_ev).localCheckpoint(eager=True)
-    cms_wave = _cms_cells(cms_ev.filter(ev_subject))
-    ckeys = ["day", "j", "cell"]
-    cms2 = (
-        cms_full.withColumnRenamed("cnt", "_a")
-        .join(
-            cms_wave.withColumnRenamed("cnt", "_b"), ckeys, "left"
-        )
-        .select(
-            *ckeys,
+    # ---- the fifteen surfaces as INDEPENDENT tasks, run through a
+    # small driver thread pool. Each surface is its own chain of
+    # driver-blocking actions against disjoint state; sequentially,
+    # every action's tail left the cluster idle. Spark's scheduler
+    # runs concurrent jobs FIFO, so 4 in-flight surfaces back-fill
+    # each other's stragglers (measured: 27-29 s -> see PERF.md) while
+    # every per-surface computation — and the emitted manifest row —
+    # is byte-identical to the sequential form (tasks are slotted in
+    # a fixed order, results concatenated by slot).
+
+    def _t_cascade() -> list[tuple]:
+        # dv_* — the versioned-store cascade manifest, relabeled
+        return [
             (
-                F.col("_a") - F.coalesce(F.col("_b"), F.lit(0))
-            ).cast("bigint").alias("cnt"),
+                "dv_" + r.table_name, r.n_before, r.n_deleted,
+                r.n_after, r.n_subject_still_visible,
+            )
+            for r in q_forget_user_cascade(spark, sf_dir).collect()
+        ]
+
+    def _t_cluster_sig() -> list[tuple]:
+        # cluster + signature stores (one forget call maintains both)
+        store2, sigs2 = forget_doc_clusters(store, sigs, doc_wave)
+        return [
+            _audit_row(
+                "cluster_store", store.count(), store2,
+                in_wave | (F.col("cluster_id") % 7 == 0),
+            ),
+            _audit_row(
+                "signature_store", sigs.count(), sigs2, in_wave
+            ),
+        ]
+
+    def _t_bm25() -> list[tuple]:
+        # BM25 inverted index
+        p2, _d2, _s2 = forget_bm25_index(postings, df0, stats, doc_wave)
+        return [
+            _audit_row("bm25_postings", postings.count(), p2, in_wave)
+        ]
+
+    def _t_chunk() -> list[tuple]:
+        # RAG chunk-vector index
+        vec2 = vecidx.join(F.broadcast(doc_wave), "doc_id", "left_anti")
+        return [
+            _audit_row("chunk_index", vecidx.count(), vec2, in_wave)
+        ]
+
+    def _t_lm() -> list[tuple]:
+        # trigram-LM counts
+        full_lm = lm_counts(docs).localCheckpoint(eager=True)
+        shrunk = forget_lm_counts(
+            full_lm, lm_counts(docs.filter(in_wave))
         )
-        .filter(F.col("cnt") > 0)
-    )
-    rows.append(_audit_row(
-        "cms_sketch_cells", cms_full.count(), cms2, F.col("cnt") <= 0,
-    ))
+        return [
+            _audit_row(
+                "lm_counts", full_lm.count(), shrunk, F.col("c3") <= 0
+            )
+        ]
+
+    def _t_graph() -> list[tuple]:
+        # co-order graph store (product forget)
+        deleted_edges = edges.filter(
+            (F.col("u") % 10 == 0) | (F.col("v") % 10 == 0)
+        ).localCheckpoint(eager=True)
+        gstats2 = forget_graph_stats(gstats, edges, deleted_edges)
+        return [
+            _audit_row(
+                "graph_store", gstats.count(), gstats2,
+                F.col("node") % 10 == 0,
+            )
+        ]
+
+    def _t_ivf() -> list[tuple]:
+        # IVF cell census + indexed-ids relation (vector forget)
+        current = (
+            ivf_assign_cells(emb, cb)
+            .groupBy("cell")
+            .agg(F.count("*").alias("n_total"))
+        )
+        vwave = emb.filter(F.col("vec_id") % 7 == 0)
+        rep = ivf_index_forget(
+            vwave, cb, current, indexed_ids=emb.select("vec_id")
+        ).agg(
+            F.sum("n_before").alias("nb"),
+            F.sum("n_removed").alias("nr"),
+            F.sum("n_after").alias("na"),
+        ).collect()[0]
+        ids2 = emb.select("vec_id").join(
+            F.broadcast(vwave.select("vec_id")), "vec_id", "left_anti"
+        )
+        return [(
+            "ivf_index", rep.nb, rep.nr, rep.na,
+            ids2.filter(F.col("vec_id") % 7 == 0).count(),
+        )]
+
+    # ---- r13 surfaces (VERDICT r12 task 2): the five maintained
+    # stores the r12 capstone missed ----
+
+    def _t_ws() -> list[tuple]:
+        # weighted-sample reserve store (doc wave; the r13 forget
+        # edge) — the store that holds RAW member rows
+        ws2 = forget_weighted_sample(
+            ws_store, doc_wave, key_col="doc_id", k=WEIGHTED_SAMPLE_K,
+            reserve=WEIGHTED_SAMPLE_RESERVE, strata_col="lang",
+        )
+        return [
+            _audit_row(
+                "weighted_sample", ws_store.count(), ws2, in_wave
+            )
+        ]
+
+    def _t_profile() -> list[tuple]:
+        # profile distinct-VALUE state (the most PII-shaped state the
+        # engine persists: raw observed values). Distinct-value
+        # relations carry no multiplicities, so the deletion policy is
+        # the KEYED RECOUNT bounded by the subject's own values (the
+        # windowed-rebuild device): untouched values pass through the
+        # anti-join, affected values survive only if a surviving row
+        # re-confirms them — identical to a from-scratch rebuild,
+        # priced at the subject's value set, not the store's history.
+        prof_cols = [
+            "o_orderkey", "o_custkey", "o_orderstatus",
+            "o_totalprice", "o_orderdate", "o_orderpriority",
+        ]
+        o = load_table(spark, sf_dir, "orders")
+        user_subject = _hash_prefix(F.col("o_custkey")) < "0800"
+        pd_full = distinct_state(o, prof_cols).localCheckpoint(
+            eager=True
+        )
+        affected = distinct_state(o.filter(user_subject), prof_cols)
+        confirmed = distinct_state(
+            o.filter(~user_subject), prof_cols
+        ).join(affected, ["column_name", "value"], "left_semi")
+        pd2 = pd_full.join(
+            affected, ["column_name", "value"], "left_anti"
+        ).unionByName(confirmed)
+        return [
+            _audit_row(
+                "profile_distinct", pd_full.count(), pd2,
+                (F.col("column_name") == "o_custkey")
+                & (_hash_prefix(F.col("value")) < "0800"),
+            )
+        ]
+
+    def _t_hist() -> list[tuple]:
+        # histogram-quantile state (fixed bucket geometry persisted at
+        # store creation): bucket counts are LINEAR, so the RTBF wave
+        # deletes by sketching the subject's own events and
+        # subtracting bucket-wise — empty buckets drop, exactly the
+        # rebuild
+        n_b = 512
+        b = ev.agg(
+            F.min("value").alias("_lo"), F.max("value").alias("_hi")
+        ).collect()[0]
+        lo, hi = float(b["_lo"]), float(b["_hi"])
+        width = (hi - lo) / n_b if hi > lo else 1.0
+
+        def _hist(rel):
+            return (
+                rel.select(
+                    _hist_bucket(F.col("value"), lo, width, n_b).alias(
+                        "bucket"
+                    )
+                )
+                .groupBy("bucket")
+                .agg(F.count("*").cast("bigint").alias("n"))
+            )
+
+        h_full = _hist(ev).localCheckpoint(eager=True)
+        h_subj = _hist(ev.filter(ev_subject))
+        h2 = (
+            h_full.withColumnRenamed("n", "_a")
+            .join(h_subj.withColumnRenamed("n", "_b"), "bucket", "left")
+            .select(
+                "bucket",
+                (
+                    F.col("_a") - F.coalesce(F.col("_b"), F.lit(0))
+                ).cast("bigint").alias("n"),
+            )
+            .filter(F.col("n") > 0)
+        )
+        return [
+            _audit_row(
+                "quantile_hist", h_full.count(), h2, F.col("n") <= 0
+            )
+        ]
+
+    def _t_hll() -> list[tuple]:
+        # HLL daily-partial sketch store (non-invertible -> windowed
+        # rebuild of ONLY the subject-touched cells, the r12
+        # sketch_forget_rebuild policy); visibility = cells whose
+        # estimate violates the max(2, 5%) contract vs the post-delete
+        # exact (the bound-is-the-contract device — zero when the
+        # rebuild really erased the subjects)
+        daily = ev.groupBy("event_type", "day").agg(
+            F.hll_sketch_agg("user_id").alias("sk")
+        ).localCheckpoint(eager=True)
+        aff_cells = (
+            ev.filter(ev_subject).select("event_type", "day").distinct()
+        )
+        rebuilt = (
+            ev.filter(~ev_subject)
+            .join(
+                F.broadcast(aff_cells), ["event_type", "day"],
+                "left_semi",
+            )
+            .groupBy("event_type", "day")
+            .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        )
+        hll2 = daily.join(
+            F.broadcast(aff_cells), ["event_type", "day"], "left_anti"
+        ).unionByName(rebuilt)
+        exact_after = ev.filter(~ev_subject).groupBy(
+            "event_type", "day"
+        ).agg(F.countDistinct("user_id").alias("_nx"))
+        hll2_checked = (
+            hll2.select(
+                "event_type", "day",
+                F.hll_sketch_estimate("sk").alias("_est"),
+            )
+            .join(exact_after, ["event_type", "day"])
+        )
+        return [
+            _audit_row(
+                "hll_sketch_cells", daily.count(), hll2_checked,
+                F.abs(F.col("_est") - F.col("_nx"))
+                > F.greatest(F.lit(2.0), F.lit(0.05) * F.col("_nx")),
+            )
+        ]
+
+    def _t_cms() -> list[tuple]:
+        # CMS daily-partial sketch store (linear -> exact cell-wise
+        # turnstile subtraction of the subject's own sketch, the r12
+        # cms_forget_subtract policy; zero cells drop, negatives
+        # raise)
+        cms_ev = ev.select("event_type", "day", "user_id")
+        cms_full = _cms_cells(cms_ev).localCheckpoint(eager=True)
+        cms_wave = _cms_cells(cms_ev.filter(ev_subject))
+        ckeys = ["day", "j", "cell"]
+        cms2 = (
+            cms_full.withColumnRenamed("cnt", "_a")
+            .join(
+                cms_wave.withColumnRenamed("cnt", "_b"), ckeys, "left"
+            )
+            .select(
+                *ckeys,
+                (
+                    F.col("_a") - F.coalesce(F.col("_b"), F.lit(0))
+                ).cast("bigint").alias("cnt"),
+            )
+            .filter(F.col("cnt") > 0)
+        )
+        return [
+            _audit_row(
+                "cms_sketch_cells", cms_full.count(), cms2,
+                F.col("cnt") <= 0,
+            )
+        ]
+
+    tasks = [
+        _t_cascade, _t_cluster_sig, _t_bm25, _t_chunk, _t_lm,
+        _t_graph, _t_ivf, _t_ws, _t_profile, _t_hist, _t_hll, _t_cms,
+    ]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        results = list(pool.map(lambda t: t(), tasks))
+    rows: list[tuple] = [row for rs in results for row in rs]
 
     return spark.createDataFrame(
         rows,
