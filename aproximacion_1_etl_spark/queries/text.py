@@ -2252,11 +2252,24 @@ def q_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     t = F.col("text")
-    w = Window.partitionBy(F.sha2(normalized(t), 256)).orderBy("doc_id")
-    flags = d.select(
+    # stage predicates evaluated map-side at full width BEFORE the
+    # content-hash window shuffle: the scan is one small-bytes parquet
+    # split and the window's reduce side coalesces to 1-2 tasks, so
+    # computing the regex-heavy flags there serialized them
+    pre = d.repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    ).select(
+        "doc_id",
         (F.length(t) >= 100).alias("len_ok"),
         (lang_id(t) != "und").alias("lang_ok"),
         (quality_score(t) >= 0.5).alias("quality_ok"),
+        F.sha2(normalized(t), 256).alias("_ch"),
+    )
+    w = Window.partitionBy("_ch").orderBy("doc_id")
+    flags = pre.select(
+        "len_ok",
+        "lang_ok",
+        "quality_ok",
         (F.row_number().over(w) == 1).alias("first_of_content"),
     )
     agg = flags.agg(
@@ -2420,11 +2433,22 @@ def q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aproximacion_1_etl_spark.text.dedup import normalized
 
     d = load_table(spark, sf_dir, "documents")
-    wch = Window.partitionBy(F.sha2(normalized(F.col("text")), 256))
-    flags = d.select(
-        "doc_id",
-        "source",
-        (F.count("*").over(wch) > 1).alias("is_exact_dup"),
+    # content hash computed map-side at full width (the single
+    # small-bytes scan split would otherwise serialize it)
+    dp = spark.sparkContext.defaultParallelism
+    wch = Window.partitionBy("_ch")
+    flags = (
+        d.repartition(dp, "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            F.sha2(normalized(F.col("text")), 256).alias("_ch"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            (F.count("*").over(wch) > 1).alias("is_exact_dup"),
+        )
     )
     sigs = minhash_signatures(word_shingles(d, distinct=False))
     cands = minhash_candidate_pairs(sigs, min_matching_bands=2)
@@ -2470,22 +2494,34 @@ def q_corpus_release(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     t = F.col("text")
+    dp = spark.sparkContext.defaultParallelism
+    # Evaluate the expensive per-row gate expressions (lang_id /
+    # quality_score regexes) MAP-SIDE at full width, as a carried
+    # boolean: the documents scan is one small-bytes parquet split and
+    # the content-hash window's post-shuffle side AQE-coalesces to 1-2
+    # tasks, so expressed as a post-window filter the regexes ran
+    # nearly serially. The gate predicate itself is unchanged — it is
+    # still ANDed with rn == 1 after the window.
+    flagged = d.repartition(dp, "doc_id").withColumn(
+        "_gate",
+        (F.length(t) >= 100)
+        & (lang_id(t) != "und")
+        & (quality_score(t) >= 0.5),
+    )
     wch = Window.partitionBy(F.sha2(normalized(t), 256)).orderBy("doc_id")
     clean = (
-        d.withColumn("rn", F.row_number().over(wch))
-        .filter(
-            (F.length(t) >= 100)
-            & (lang_id(t) != "und")
-            & (quality_score(t) >= 0.5)
-            & (F.col("rn") == 1)
-        )
-        .drop("rn")
+        flagged.withColumn("rn", F.row_number().over(wch))
+        .filter(F.col("_gate") & (F.col("rn") == 1))
+        .drop("rn", "_gate")
     )
     # materialize the cleaned corpus once: the shingle/split branch
     # and the final manifest join otherwise each replay the quality
     # gate + content-hash dedup window (a real release job writes the
-    # cleaned corpus at this point anyway)
-    clean = clean.localCheckpoint()
+    # cleaned corpus at this point anyway). Re-keyed to doc_id at full
+    # width first, so the manifest's token_count pass and the split
+    # join downstream run wide instead of on the window's coalesced
+    # 1-2 post-shuffle partitions.
+    clean = clean.repartition(dp, "doc_id").localCheckpoint()
     sigs = minhash_signatures(word_shingles(clean, distinct=False))
     cands = minhash_candidate_pairs(sigs, min_matching_bands=2)
     split = cluster_safe_split(

@@ -695,19 +695,20 @@ def dedup_clusters(
     sym = pairs.select(
         F.col(a_col).alias("src"), F.col(b_col).alias("dst")
     ).union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
-    sym = sym.repartition(default_par, "src").localCheckpoint()
+    sym = sym.localCheckpoint()
     # Size the LOOP partitioning to the materialized graph, not the
     # cluster: the edge relation is usually orders of magnitude smaller
     # than the corpus (only docs with a near-dup candidate appear), and
-    # each round costs ~3 jobs whose task-scheduling overhead dominates
-    # when thousands of rows are spread over default_par partitions.
-    # The count is ~free (sym was just checkpointed) and coalesce is
-    # narrow. At 100 TB-scale graphs n//50k >= default_par, so this is
-    # a no-op exactly where full parallelism matters. Measured at
-    # sf0.1 (6292 edges): 0.85 s/round -> 0.45 s/round.
+    # each round's jobs' task-scheduling overhead dominates when
+    # thousands of rows are spread over default_par partitions. The
+    # count is ~free (sym was just checkpointed). At 100 TB-scale
+    # graphs n//50k >= default_par, so this is a no-op exactly where
+    # full parallelism matters. The re-checkpoint pins the loop
+    # relation's partitioning to the per-round JOIN key (dst), so each
+    # round shuffles only the label vector, never the edge relation.
     n_edges = sym.count()
     parts = max(2, min(default_par, n_edges // 50_000 + 1))
-    sym = sym.coalesce(parts)
+    sym = sym.repartition(parts, "dst").localCheckpoint()
     labels = (
         sym.select(F.col("src").alias("id"))
         .distinct()
@@ -715,26 +716,40 @@ def dedup_clusters(
         .localCheckpoint()
     )
     for _ in range(max_iters):
-        nbr = (
-            sym.join(labels, sym["dst"] == labels["id"])
-            .groupBy("src")
-            .agg(F.min("label").alias("nbr_min"))
+        # ONE join + ONE aggregate per round (the connected_components
+        # fused form): each node's own label rides the union tagged in
+        # a second column, so min(label) over own ∪ neighbor rows is
+        # the propagation step and min(_own) recovers the previous
+        # label for the convergence probe — a narrow filter over the
+        # just-checkpointed relation, not a second join.
+        nbr = sym.join(labels, sym["dst"] == labels["id"]).select(
+            F.col("src").alias("id"),
+            F.col("label"),
+            F.lit(None).cast(labels.schema["label"].dataType).alias(
+                "_own"
+            ),
         )
+        # LAZY checkpoint + a FULL count of changed rows as the round's
+        # single materializing action: the filter is narrow over the
+        # checkpoint-marked relation, so counting it computes (and
+        # persists) every partition — one job per round where the
+        # eager-checkpoint + limit(1) probe pair cost two, and the
+        # changed-count termination test is unchanged.
         new_labels = (
-            labels.join(nbr, labels["id"] == nbr["src"], "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("label"), F.coalesce("nbr_min", F.col("label"))
-                ).alias("label"),
-                (F.col("nbr_min") < F.col("label")).alias("changed"),
+            labels.select("id", "label", F.col("label").alias("_own"))
+            .unionByName(nbr)
+            .groupBy("id")
+            .agg(
+                F.min("label").alias("label"),
+                F.min("_own").alias("_old"),
             )
             .coalesce(parts)
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         labels = new_labels.select("id", "label")
         if (
-            new_labels.filter(F.col("changed")).limit(1).count() == 0
+            new_labels.filter(F.col("label") < F.col("_old")).count()
+            == 0
         ):
             break
     return labels.select(
