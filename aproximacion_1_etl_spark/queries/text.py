@@ -1118,9 +1118,26 @@ def _chunk_vector_index(
     )
     cached = _CHUNK_INDEX_CACHE.get(key)
     if cached is None:
+        from aproximacion_1_etl_spark.text.vector import (
+            ivf_assign_cells,
+        )
+
         docs = load_table(spark, sf_dir, "documents")
-        cached = _pooled_chunk_vectors(
-            spark, sf_dir, docs, budget
+        pooled = _pooled_chunk_vectors(spark, sf_dir, docs, budget)
+        # The index persists its IVF CELL assignment, computed once at
+        # build time against the shared trained codebook — that is
+        # what an IVF index IS on disk (vectors bucketed by cell); the
+        # ANN consumers were re-running the literal-codebook argmin
+        # over the whole chunk corpus on every retrieval (measured
+        # ~4 s per key at sf0.1, the dominant cost of each chunk-ANN
+        # key). Same assignment expression, so every result is
+        # unchanged; the cost moves into chunk_index_build_sec where
+        # production pays it.
+        cells = ivf_assign_cells(
+            pooled, _trained_codebook(spark, sf_dir), id_col="ckey"
+        )
+        cached = pooled.join(cells, "ckey").repartition(
+            spark.sparkContext.defaultParallelism, "ckey"
         ).localCheckpoint(eager=True)
         _CHUNK_INDEX_CACHE[key] = cached
     return cached
@@ -1360,11 +1377,12 @@ def _chunk_ann_hits(
         F.col("embedding").alias("qvec"),
     )
     return ann_topk_ivf_queries(
-        idx.select(F.col("ckey").alias("vec_id"), "embedding"),
+        idx.select(F.col("ckey").alias("vec_id"), "embedding", "cell"),
         queries,
         centroids=_trained_codebook(spark, sf_dir),
         k=k,
         nprobe=4,
+        cell_col="cell",
     ).withColumnRenamed("vec_id", "ckey")
 
 

@@ -395,6 +395,7 @@ def ann_topk_ivf_queries(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cell_col: str | None = None,
 ) -> DataFrame:
     """IVF approximate top-k where the QUERY VECTORS come from a
     different relation than the indexed corpus — the shape every
@@ -405,20 +406,34 @@ def ann_topk_ivf_queries(
     assignment of BOTH sides is map-side codegen — the corpus is
     scanned once, only probed-cell candidates reach the broadcast
     query join and the top-k window (same 100-TB shape as
-    ann_topk_ivf). Returns (query_id, <id_col>, cos_sim 4dp, rank)."""
+    ann_topk_ivf). ``cell_col`` names a PRE-ASSIGNED cell column on
+    the corpus (an IVF index persists its bucketing; re-deriving it
+    per query re-scans the whole collection through the argmin) —
+    when given, the corpus-side assignment is skipped entirely.
+    Returns (query_id, <id_col>, cos_sim 4dp, rank)."""
     corpus = _as_double(corpus, vec_col)
     queries = _as_double(queries, "qvec")
     cdots = {cid: sum(x * x for x in v) for cid, v in centroids.items()}
-    spread = corpus.repartition(
-        corpus.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
-    )
-    with_vv = spread.withColumn("_vv", F.expr(_sql_dot(vec_col, vec_col)))
-    dist = F.expr(_dist_structs_sql(centroids, cdots, vec_col, "_vv", 6))
-    assigned = with_vv.select(
-        id_col,
-        vec_col,
-        F.array_min(dist).getField("cid").alias("cell"),
-    )
+    if cell_col is not None:
+        assigned = corpus.select(
+            id_col, vec_col, F.col(cell_col).alias("cell")
+        )
+    else:
+        spread = corpus.repartition(
+            corpus.sparkSession.sparkContext.defaultParallelism,
+            F.col(id_col),
+        )
+        with_vv = spread.withColumn(
+            "_vv", F.expr(_sql_dot(vec_col, vec_col))
+        )
+        dist = F.expr(
+            _dist_structs_sql(centroids, cdots, vec_col, "_vv", 6)
+        )
+        assigned = with_vv.select(
+            id_col,
+            vec_col,
+            F.array_min(dist).getField("cid").alias("cell"),
+        )
     qvv = queries.withColumn("_qv", F.expr(_sql_dot("qvec", "qvec")))
     qdist = F.expr(_dist_structs_sql(centroids, cdots, "qvec", "_qv", 6))
     probes = qvv.select(
