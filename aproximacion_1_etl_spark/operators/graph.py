@@ -782,10 +782,13 @@ def triangle_delta(
         )
         .select("u", "v", "w")
     )
-    per_node = (
-        tri.select(F.col("u").alias("node"))
-        .unionAll(tri.select(F.col("v").alias("node")))
-        .unionAll(tri.select(F.col("w").alias("node")))
+    # ONE explode emits all three endpoints per new triangle — the
+    # previous 3-way unionAll re-ran the candidate joins + membership
+    # filters once per branch (tri is not checkpointed; union branches
+    # share no work), tripling the Δ-probe stage exactly the way
+    # count_triangles' emit did before its r13 fusion.
+    per_node = tri.select(
+        F.explode(F.array("u", "v", "w")).alias("node")
     )
     return per_node.groupBy("node").agg(
         F.count("*").cast("bigint").alias("delta_triangles")
@@ -954,12 +957,13 @@ def personalized_pagerank(
     the iterate relation holds ONLY nodes with nonzero rank (seeds ∪
     nodes reached within i hops), so each round's join touches the
     reachable frontier, never |V|; a seed set in a 100 TB graph pays
-    for its neighborhood, not the graph. Per round: one join against
-    the out-degree relation + one decimal-cast aggregate (order-
-    independent sums — what makes the unrolled SQL oracle bit-exact),
-    then teleport rows UNION ALL damped rows summed per node (at most
-    2 addends per node: a single IEEE addition, commutative, so
-    cross-engine safe), with an eager lineage cut per round.
+    for its neighborhood, not the graph. Per round: one probe of the
+    degree-annotated edge relation (annotated once, before the loop,
+    by a co-partitioned |E| join) + ONE decimal-cast aggregate (order-
+    independent sums — what makes the unrolled SQL oracle bit-exact)
+    carrying damped contributions and teleport mass in a tagged union
+    (at most 2 addends per node: a single IEEE addition, commutative,
+    so cross-engine safe), with an eager lineage cut per round.
 
     ``eps`` > 0 enables FORWARD-PUSH TRUNCATION, the device that makes
     PPR local at any graph size: after each round, nodes whose rank
@@ -986,27 +990,28 @@ def personalized_pagerank(
     seeds = sorted({int(s) for s in seeds})
     spark = edges.sparkSession
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    # out-degree joins the FRONTIER side each round, never the edges:
-    # rank/out_deg is computed on the (<= |V|)-sized rank vector and
-    # the |E|-sized relation is only ever probed by that small side
-    # (AQE broadcasts it when small) — the first cut annotated the
-    # edges with their degree, which materialized an |E| shuffle
-    # before the loop even started.
-    deg = e.groupBy("src").agg(
-        F.count("*").alias("out_deg")
-    ).localCheckpoint(eager=True)
+    # Annotate each edge with its tail's out-degree ONCE, before the
+    # loop: deg's aggregate and e share the src key (every shipped
+    # caller hands in an edge relation already keyed on src), so the
+    # annotation is one co-partitioned |E| join amortized over every
+    # round — the per-round form joined the rank vector against a
+    # separate |V| degree relation first, an extra join + broadcast
+    # per round whose product was immediately re-joined to e anyway.
+    # rank/out_deg stays the SAME one IEEE division per frontier
+    # node's edges (same operands), so ranks are bit-identical.
+    ew = e.join(e.groupBy("src").agg(F.count("*").alias("out_deg")),
+                "src").localCheckpoint(eager=True)
     k = len(seeds)
     seed_df = spark.createDataFrame(
         [(int(s),) for s in seeds], "node BIGINT"
     )
     teleport = seed_df.select(
-        "node", (F.lit(1.0 - damping) / k).alias("rank")
+        "node",
+        F.lit(None).cast("double").alias("w"),
+        (F.lit(1.0 - damping) / k).alias("_tele"),
     )
     ranks = seed_df.select("node", (F.lit(1.0) / k).alias("rank"))
     for _ in range(iterations):
-        frontier = ranks.join(
-            deg, ranks["node"] == deg["src"]
-        ).select("src", (F.col("rank") / F.col("out_deg")).alias("w"))
         # explicit broadcast ONLY under eps-truncation: there the
         # frontier is provably bounded by seed-mass/eps, and the
         # checkpointed lineage blinds AQE's stats so it would fall
@@ -1017,24 +1022,31 @@ def personalized_pagerank(
         # 100-TB scale this module targets — eps=0 is the exact
         # small-graph/debug recurrence and takes the plain join
         # (AQE still broadcasts it when runtime stats say it's small).
-        fr = F.broadcast(frontier) if eps > 0.0 else frontier
-        received = (
-            e.join(fr, "src")
-            .groupBy(F.col("dst").alias("node"))
-            .agg(
-                F.sum(F.col("w").cast("decimal(38,20)")).alias("received")
-            )
-            .select(
-                "node",
-                (
-                    F.lit(damping) * F.col("received").cast("double")
-                ).alias("rank"),
-            )
+        fr = ranks.withColumnRenamed("node", "src")
+        fr = F.broadcast(fr) if eps > 0.0 else fr
+        # ONE aggregate per round: damped contributions and teleport
+        # mass ride one tagged union (the connected_components fused
+        # form) — sum() skips the teleport rows' NULL w, max() skips
+        # the contribution rows' NULL _tele, and the final rank is
+        # the same single IEEE addition of at most two addends the
+        # two-aggregate form summed (addition is commutative, so the
+        # fixed operand order cannot change the value).
+        contrib = ew.join(fr, "src").select(
+            F.col("dst").alias("node"),
+            (F.col("rank") / F.col("out_deg")).alias("w"),
+            F.lit(None).cast("double").alias("_tele"),
         )
-        ranks = (
-            teleport.unionByName(received)
-            .groupBy("node")
-            .agg(F.sum("rank").alias("rank"))
+        parts = contrib.unionByName(teleport).groupBy("node").agg(
+            F.sum(F.col("w").cast("decimal(38,20)")).alias("received"),
+            F.max("_tele").alias("_tele"),
+        )
+        damped = F.lit(damping) * F.col("received").cast("double")
+        ranks = parts.select(
+            "node",
+            F.when(F.col("received").isNull(), F.col("_tele"))
+            .when(F.col("_tele").isNull(), damped)
+            .otherwise(F.col("_tele") + damped)
+            .alias("rank"),
         )
         if eps > 0.0:
             ranks = ranks.filter(F.col("rank") >= eps)

@@ -97,6 +97,7 @@ def fit_stump(
     y_expr,
     h_col: str = "h",
     candidates: range = range(23),
+    extra_aggs: dict | None = None,
 ) -> dict:
     """One-pass depth-1 regression split for ``y_expr ~ h_col``: every
     candidate's left-count and left-sum ride generated conditional
@@ -105,7 +106,14 @@ def fit_stump(
     per-node structure. The returned split (c, meanL, meanR, sse) is
     driver-held model state (bounded: one struct per node); means and
     the argmin score are snapped (9 dp / 6 dp) so a DuckDB replay of
-    the same sums picks the identical split."""
+    the same sums picks the identical split.
+
+    ``extra_aggs``: caller-supplied {name: aggregate Column} that RIDE
+    the same one-pass aggregation (e.g. the boosting loop's previous-
+    round ensemble SSE — both depend only on state known before this
+    pass, so fusing them halves the loop's driver-blocking actions);
+    their values come back under ``extras`` keyed by name, computed by
+    the byte-identical expressions a separate .agg() would have run."""
     import pyspark.sql.functions as F
 
     aggs = [
@@ -123,6 +131,8 @@ def fit_stump(
                 F.when(cond, y_expr).otherwise(0.0).cast("decimal(38,18)")
             ).alias(f"sl{c}")
         )
+    for name, col in (extra_aggs or {}).items():
+        aggs.append(col.alias(name))
     row = df.agg(*aggs).collect()[0]
     n, s, q = int(row["n"]), float(row["s"]), float(row["q"])
 
@@ -160,4 +170,6 @@ def fit_stump(
     best["n"] = n
     best["mean_all"] = snap(s / n, 1e9)
     best["total_sse"] = snap(q - s * s / n, 1e6)
+    if extra_aggs:
+        best["extras"] = {name: row[name] for name in extra_aggs}
     return best

@@ -1680,31 +1680,46 @@ def q_gradient_boost_stumps(
         )
         lr = 0.5
         pred = F.lit(f0)
-        rows = []
+
+        def _sse_of(p):
+            return (
+                F.sum(
+                    ((F.col("y") - p) * (F.col("y") - p)).cast(
+                        "decimal(38,18)"
+                    )
+                ).cast("double")
+            )
+
+        # Round r's ensemble SSE and round r+1's stump fit both depend
+        # only on pred_r, so each round's SSE RIDES the next round's
+        # one-pass fit aggregation (fit_stump extra_aggs) — 4 actions
+        # over the cached relation instead of 7 (one fit + one SSE per
+        # round), with the SSE computed by the byte-identical decimal
+        # expression (guide §1.2: fewer passes, same per-pass work).
+        stumps = []
+        sses = []
         for rnd in (1, 2, 3):
             resid = F.col("y") - pred
-            st = fit_stump(feat, resid, "h")
+            extras = {"sse": _sse_of(pred)} if rnd > 1 else None
+            st = fit_stump(feat, resid, "h", extra_aggs=extras)
+            if extras is not None:
+                sses.append(float(st["extras"]["sse"]))
+            stumps.append(st)
             pred = pred + F.lit(lr) * F.when(
                 F.col("h") <= st["c"], F.lit(st["mean_l"])
             ).otherwise(F.lit(st["mean_r"]))
-            sse_row = feat.agg(
-                F.sum(
-                    ((F.col("y") - pred) * (F.col("y") - pred)).cast(
-                        "decimal(38,18)"
-                    )
-                )
-                .cast("double")
-                .alias("sse")
-            ).collect()[0]
-            rows.append(
-                (
-                    rnd,
-                    int(st["c"]),
-                    _math.floor(st["mean_l"] * 1e4 + 0.5) / 1e4,
-                    _math.floor(st["mean_r"] * 1e4 + 0.5) / 1e4,
-                    _math.floor(float(sse_row["sse"]) * 1e2 + 0.5) / 1e2,
-                )
+        final_row = feat.agg(_sse_of(pred).alias("sse")).collect()[0]
+        sses.append(float(final_row["sse"]))
+        rows = [
+            (
+                rnd,
+                int(st["c"]),
+                _math.floor(st["mean_l"] * 1e4 + 0.5) / 1e4,
+                _math.floor(st["mean_r"] * 1e4 + 0.5) / 1e4,
+                _math.floor(sse * 1e2 + 0.5) / 1e2,
             )
+            for (rnd, st, sse) in zip((1, 2, 3), stumps, sses)
+        ]
         return spark.createDataFrame(
             rows,
             "round int, split_hour int, mean_left double, "

@@ -627,6 +627,9 @@ def _capped_order_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.join(small, "l_orderkey", "left_semi").join(o, "l_orderkey")
 
 
+_CAPPED_BASKETS_CACHE: dict[tuple, DataFrame] = {}
+
+
 def _capped_order_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-order SORTED distinct part baskets with the max_basket=64
     cap and the order date, in ONE fact shuffle: collect_set dedupes
@@ -637,7 +640,24 @@ def _capped_order_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkpointed: both date slices of the batch key expand from this
     one materialization. (The first cut of the incremental key built
     edges per slice from flat rows — 4 fact-sized shuffles and 11.3 s
-    at sf0.1; this form measures 3.5 s for both slices together.)"""
+    at sf0.1; this form measures 3.5 s for both slices together.)
+
+    MEMOIZED per (facts, session) since r14: the graph-store builders
+    (_persisted_graph_store, _full_graph_store) and the incremental
+    key's batch slice each derived this same deterministic relation
+    with its own fact shuffle — three collect_set passes over
+    lineitem per segment where one serves all (VERDICT r13 task 4:
+    share the edge/signature relations inside a segment). Every
+    consumer takes a narrow filter of the one checkpointed relation;
+    first touch in a bench segment is a store-builder line item."""
+    key = (
+        _artifact_key(sf_dir, "orders"),
+        _artifact_key(sf_dir, "lineitem"),
+        spark.sparkContext.applicationId,
+    )
+    cached = _CAPPED_BASKETS_CACHE.get(key)
+    if cached is not None:
+        return cached
     dp = spark.sparkContext.defaultParallelism
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
@@ -645,7 +665,7 @@ def _capped_order_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("l_orderkey"), "o_orderdate"
     )
-    return (
+    cached = (
         li.repartition(dp, F.col("l_orderkey"))
         .groupBy("l_orderkey")
         .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
@@ -653,6 +673,8 @@ def _capped_order_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(o, "l_orderkey")
         .localCheckpoint(eager=True)
     )
+    _CAPPED_BASKETS_CACHE[key] = cached
+    return cached
 
 
 def _basket_edges(baskets: DataFrame) -> DataFrame:

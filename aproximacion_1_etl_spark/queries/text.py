@@ -882,39 +882,29 @@ def q_chunk_retrieval_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     overflow-asserted in-plan) keeps the BM25 ranker's tie-break
     deterministic and reversible. Top-10 chunks per query, rank ties
     by chunk key."""
-    from aproximacion_1_etl_spark.text.analysis import (
-        BM25_QUERIES,
-        bm25_topk,
-    )
-
     budget = 25
     docs = load_table(spark, sf_dir, "documents")
     bins = _sentence_chunk_bins(docs, budget)
     spans = bins.groupBy("doc_id", "chunk_id").agg(
         F.min("sent_idx").cast("bigint").alias("sent_start"),
         F.max("sent_idx").cast("bigint").alias("sent_end"),
-    )
-    chunks = (
-        _chunk_texts(docs, budget)
-        .join(spans, ["doc_id", "chunk_id"])
-        .select(
-            "ckey",
-            "doc_id",
-            "chunk_id",
-            "sent_start",
-            "sent_end",
-            "text",
-        )
-        .localCheckpoint(eager=True)
-    )
-    ranked = bm25_topk(
-        chunks.select(F.col("ckey").alias("doc_id"), "text"),
-        BM25_QUERIES,
-        k=10,
     ).select(
+        _chunk_key(F.col("doc_id"), F.col("chunk_id")).alias("ckey"),
+        "doc_id",
+        "chunk_id",
+        "sent_start",
+        "sent_end",
+    )
+    # ranked lists come THROUGH the persisted chunk postings
+    # (_full_chunk_bm25_store) — bit-identical to the old in-plan
+    # bm25_topk over reconstructed chunk texts (fold == rebuild
+    # equality), without re-tokenizing every chunk per run; the span
+    # provenance join needs only the |Q|·k hits' spans, so the
+    # checkpointed full chunk-text relation is gone too.
+    ranked = _chunk_bm25_topk(spark, sf_dir, k=10, budget=budget).select(
         "query_id", F.col("doc_id").alias("ckey"), "score", "rank"
     )
-    return ranked.join(chunks.drop("text"), "ckey").select(
+    return ranked.join(spans, "ckey").select(
         "query_id",
         "doc_id",
         "chunk_id",
@@ -1243,6 +1233,79 @@ def _chunk_index_store(
     return cached
 
 
+_FULL_CHUNK_BM25_CACHE: dict[tuple, tuple] = {}
+
+
+def _full_chunk_bm25_store(
+    spark: SparkSession, sf_dir: str, budget: int = 25
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The persisted chunk-level BM25 inverted index over the FULL
+    corpus — (postings, df, stats) keyed by ckey — the lexical half
+    of the chunk index the way _chunk_vector_index persists the
+    semantic half (VERDICT r13 task 5: the hybrid key re-tokenized
+    every chunk and rebuilt tf in-plan on each run; production writes
+    the postings once per corpus and every retrieval reads them).
+    Built by text/analysis.py::bm25_index over the shared
+    _chunk_texts reconstruction, memoized per (corpus, session) +
+    eagerly checkpointed; consumers score THROUGH the index via
+    bm25_score_from_index — the exact scoring tail bm25_topk itself
+    uses, with stored exact-integer totals, so ranked lists are
+    bit-identical to the in-plan form (the incremental_bm25_index
+    fold == rebuild equality, pinned by that key's oracle)."""
+    from aproximacion_1_etl_spark.text.analysis import bm25_index
+
+    key = (
+        _artifact_key(sf_dir, "documents"),
+        budget,
+        spark.sparkContext.applicationId,
+    )
+    cached = _FULL_CHUNK_BM25_CACHE.get(key)
+    if cached is None:
+        docs = load_table(spark, sf_dir, "documents")
+        ct = _chunk_texts(docs, budget).select(
+            F.col("ckey").alias("doc_id"), "text"
+        )
+        postings, df0, stats = bm25_index(ct)
+        cached = (
+            postings.localCheckpoint(eager=True),
+            df0.localCheckpoint(eager=True),
+            stats.localCheckpoint(eager=True),
+        )
+        _FULL_CHUNK_BM25_CACHE[key] = cached
+    return cached
+
+
+def _chunk_bm25_topk(
+    spark: SparkSession, sf_dir: str, k: int, budget: int = 25
+) -> DataFrame:
+    """Chunk-level BM25 top-``k`` per query THROUGH the persisted
+    chunk postings (one definition for the spans key and the hybrid
+    key): query-term postings and df are restricted before broadcast,
+    avgdl is the stored exact-integer division."""
+    from aproximacion_1_etl_spark.text.analysis import (
+        BM25_QUERIES,
+        bm25_score_from_index,
+    )
+
+    postings, df0, stats = _full_chunk_bm25_store(spark, sf_dir, budget)
+    qrows = [
+        (qid, t)
+        for qid, terms in sorted(BM25_QUERIES.items())
+        for t in sorted(set(terms))
+    ]
+    qdf = spark.createDataFrame(qrows, "query_id INT, term STRING")
+    qterms = qdf.select("term").distinct()
+    qtf = postings.join(F.broadcast(qterms), "term")
+    dfq = df0.join(F.broadcast(qterms), "term")
+    stats_fmt = stats.select(
+        "n_docs",
+        (F.col("total_dl").cast("double") / F.col("n_docs")).alias(
+            "avgdl"
+        ),
+    )
+    return bm25_score_from_index(qtf, dfq, stats_fmt, qdf, k=k)
+
+
 def q_incremental_chunk_index(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -1490,21 +1553,16 @@ def q_chunk_hybrid_retrieval(
     only the two |queries|·20 ranked lists (rrf_fuse) — at 100 TB the
     expensive work happened in the retrievers; the fusion join is
     broadcast-scale by construction."""
-    from aproximacion_1_etl_spark.text.analysis import (
-        BM25_QUERIES,
-        bm25_topk,
-        rrf_fuse,
-    )
+    from aproximacion_1_etl_spark.text.analysis import rrf_fuse
 
     budget = 25
-    docs = load_table(spark, sf_dir, "documents")
-    lex = bm25_topk(
-        _chunk_texts(docs, budget).select(
-            F.col("ckey").alias("doc_id"), "text"
-        ),
-        BM25_QUERIES,
-        k=20,
-    ).select("query_id", F.col("doc_id").alias("ckey"), "rank")
+    # lexical top-20 THROUGH the persisted chunk postings — the
+    # r13-flagged ~3 s/run chunk re-tokenization + in-plan tf build
+    # moves into the once-per-corpus _full_chunk_bm25_store build
+    # (ranked lists bit-identical: fold == rebuild equality)
+    lex = _chunk_bm25_topk(spark, sf_dir, k=20, budget=budget).select(
+        "query_id", F.col("doc_id").alias("ckey"), "rank"
+    )
     sem = _chunk_ann_hits(spark, sf_dir, k=20)
     fused = rrf_fuse(lex, sem, k=10, id_col="ckey")
     idx = _chunk_vector_index(spark, sf_dir)
@@ -3068,6 +3126,7 @@ __all__ = [
     "q_chunk_ann_recall",
     "_chunk_vector_index",
     "_chunk_index_store",
+    "_full_chunk_bm25_store",
     "q_incremental_chunk_index",
     "q_bm25_index_forget",
     "q_chunk_index_forget",

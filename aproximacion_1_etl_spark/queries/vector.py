@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
+from aproximacion_1_etl_spark.functions.concurrency import overlap
 from aproximacion_1_etl_spark.sources.tables import load_table
 from aproximacion_1_etl_spark.text.multimodal import (
     attach_media,
@@ -288,14 +289,17 @@ def q_retrieval_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE bm25 pass and ONE brute pass at depth 20, checkpointed
     # (tiny: |Q|·20 rows each); the depth-10 ranking and the top-5
     # truth are rank FILTERS of those lists (identical by definition —
-    # the top-10 of a top-20 list IS the top-10), halving the plan
-    lex20 = bm25_topk(docs, BM25_QUERIES, k=20).localCheckpoint(
-        eager=True
-    )
-    sem20 = (
-        ann_topk_bruteforce(emb, query_ids=qids, k=20)
+    # the top-10 of a top-20 list IS the top-10), halving the plan.
+    # The two passes read disjoint tables and are independent — they
+    # overlap through the driver pool (guide §2.6) so neither
+    # retrieval's action tail idles the cluster.
+    lex20, sem20 = overlap(
+        lambda: bm25_topk(docs, BM25_QUERIES, k=20).localCheckpoint(
+            eager=True
+        ),
+        lambda: ann_topk_bruteforce(emb, query_ids=qids, k=20)
         .withColumnRenamed("vec_id", "doc_id")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True),
     )
     truth = sem20.filter(F.col("rank") <= 5).select("query_id", "doc_id")
     lex10 = lex20.filter(F.col("rank") <= 10).select(
@@ -428,27 +432,84 @@ def q_ivf_retrain_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_baseline"))
         .localCheckpoint(eager=True)
     )
+    # wave 2's appended corpus (store ∪ {1,3,5} backlog) is exactly
+    # the retrain-execute corpus, and the brute-force recall ground
+    # truth is codebook-independent — read the one shared memoized
+    # materialization instead of re-running the brute pass here
+    # (VERDICT r13 task 3). Wave 1's corpus differs; its truth stays
+    # in-plan.
     waves = [
-        (1, emb.filter(F.col("vec_id") % 8 == 1)),
-        (2, emb.filter((F.col("vec_id") % 8).isin(1, 3, 5))),
+        (1, emb.filter(F.col("vec_id") % 8 == 1), None),
+        (
+            2,
+            emb.filter((F.col("vec_id") % 8).isin(1, 3, 5)),
+            _retrain_exact_topk(spark, sf_dir),
+        ),
     ]
-    outs = []
-    for wave, batch in waves:
-        outs.append(
-            ivf_retrain_report(
-                store, batch, cb, qids, baseline_counts=base
-            ).select(
-                F.lit(wave).cast("int").alias("wave"),
-                "evidence",
-                "value",
-                "bound",
-                "breach",
-            )
+
+    # the two waves' evidence chains are independent (each report
+    # eager-cuts its own 1-row evidence relation internally); their
+    # driver-blocking evaluations overlap through the pool (guide
+    # §2.6) — the maintained stats, the codebook and the shared truth
+    # are materialized above, BEFORE the pool, per the memo-warm
+    # invariant. Results slot in wave order, so the report is
+    # row-identical.
+    def _wave(wave: int, batch: DataFrame, exact):
+        return ivf_retrain_report(
+            store, batch, cb, qids, baseline_counts=base, exact=exact
+        ).select(
+            F.lit(wave).cast("int").alias("wave"),
+            "evidence",
+            "value",
+            "bound",
+            "breach",
         )
+
+    outs = overlap(
+        *[
+            lambda w=wave, b=batch, e=exact: _wave(w, b, e)
+            for wave, batch, exact in waves
+        ]
+    )
     out = outs[0]
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+_RETRAIN_EXACT_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _retrain_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The brute-force cosine top-10 ground truth over the APPENDED
+    retrain corpus (store slice ∪ the cumulative %8∈{1,3,5} backlog)
+    for probe queries [0, 2, 4] — codebook-independent, so the drift
+    trigger's wave-2 recall probe (q_ivf_retrain_plan) and both of
+    q_ivf_retrain_execute's codebook evaluations measure against the
+    ONE materialization instead of each re-running the |corpus|·|Q|
+    brute pass (VERDICT r13 task 3: share the ground truths between
+    the plan/execute pair within a session). Memoized per (corpus,
+    session) + eagerly checkpointed like the codebook artifacts;
+    deterministic, so the cache never changes a result."""
+    from aproximacion_1_etl_spark.text.vector import ann_topk_bruteforce
+
+    key = (
+        _artifact_key(sf_dir, "embeddings"),
+        spark.sparkContext.applicationId,
+    )
+    cached = _RETRAIN_EXACT_CACHE.get(key)
+    if cached is None:
+        emb = load_table(spark, sf_dir, "embeddings")
+        corpus = emb.filter(
+            (F.col("vec_id") % 2 == 0) | (F.col("vec_id") % 8).isin(1, 3, 5)
+        )
+        cached = (
+            ann_topk_bruteforce(corpus, query_ids=[0, 2, 4], k=10)
+            .select("query_id", "vec_id")
+            .localCheckpoint(eager=True)
+        )
+        _RETRAIN_EXACT_CACHE[key] = cached
+    return cached
 
 
 def q_ivf_retrain_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -472,10 +533,7 @@ def q_ivf_retrain_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
     choosing iso-recall instead raises nprobe and still scans less).
     Oracle trains BOTH codebooks in-engine (the prefix-namespaced
     _ivf_cent_ctes) and mirrors every measurement."""
-    from aproximacion_1_etl_spark.text.vector import (
-        ann_topk_bruteforce,
-        ivf_recall_cost,
-    )
+    from aproximacion_1_etl_spark.text.vector import ivf_recall_cost
 
     emb = load_table(spark, sf_dir, "embeddings")
     corpus = emb.filter(
@@ -483,19 +541,26 @@ def q_ivf_retrain_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qids = [0, 2, 4]
     k, nprobe = 10, 4
-    exact = (
-        ann_topk_bruteforce(corpus, query_ids=qids, k=k)
-        .select("query_id", "vec_id")
-        .localCheckpoint(eager=True)
-    )
-    measured = {}
-    for name, cb in (
+    # the shared memoized ground truth (codebook-independent — the
+    # drift trigger's wave-2 probe reads the same materialization)
+    exact = _retrain_exact_topk(spark, sf_dir)
+    # the two codebooks' measurement chains are independent; their
+    # driver-blocking evaluations overlap through the pool (guide
+    # §2.6). Both codebook memos are materialized HERE, before the
+    # pool, per the memo-warm invariant; results slot by name.
+    books = [
         ("aging", _trained_half_codebook(spark, sf_dir)),
         ("retrained", _trained_retrain_codebook(spark, sf_dir)),
-    ):
-        measured[name] = ivf_recall_cost(
-            corpus, qids, cb, k=k, nprobe=nprobe, exact=exact
-        ).localCheckpoint(eager=True)
+    ]
+    rows_m = overlap(
+        *[
+            lambda c=cb: ivf_recall_cost(
+                corpus, qids, c, k=k, nprobe=nprobe, exact=exact
+            ).localCheckpoint(eager=True)
+            for _name, cb in books
+        ]
+    )
+    measured = {name: df for (name, _cb), df in zip(books, rows_m)}
     nk = len(qids) * k
     recovered = (
         measured["retrained"]
@@ -590,17 +655,24 @@ def q_pq_retrain_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (2, drifted),
     ]
-    outs = []
-    for wave, batch in waves:
-        outs.append(
-            pq_drift_report(store, batch, books, qids, k=10).select(
-                F.lit(wave).cast("int").alias("wave"),
-                "evidence",
-                "value",
-                "bound",
-                "breach",
-            )
+    # the two waves' evidence chains are independent (each report
+    # eager-cuts its own 1-row evidence relation internally); they
+    # overlap through the driver pool (guide §2.6) — the books memo
+    # is materialized above, before the pool, and the drifted corpus
+    # is a pure lazy definition (no shared state). Results slot in
+    # wave order: row-identical report.
+    def _wave(wave: int, batch: DataFrame):
+        return pq_drift_report(store, batch, books, qids, k=10).select(
+            F.lit(wave).cast("int").alias("wave"),
+            "evidence",
+            "value",
+            "bound",
+            "breach",
         )
+
+    outs = overlap(
+        *[lambda w=wave, b=batch: _wave(w, b) for wave, batch in waves]
+    )
     out = outs[0]
     for o in outs[1:]:
         out = out.unionByName(o)
@@ -796,33 +868,37 @@ def q_kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         m.getField("cid").alias("cell"),
         m.getField("d").alias("d6"),
     )
-    stats = assigned.groupBy("cell").agg(
-        F.count("*").cast("bigint").alias("n"),
-        (
-            F.sum(F.col("d6").cast("decimal(38,18)")).cast("double")
-            / F.count("*")
-        ).alias("md"),
+    # ONE corpus pass: aggregate straight to the (cell, label) grain —
+    # the per-cell stats the old second aggregate re-derived from a
+    # SECOND full-corpus argmin scan (stats and lbl each evaluated
+    # `assigned`, and the codebook-literal argmin is the key's entire
+    # cost) roll up from the tiny grid instead. Decimal partial sums
+    # re-sum exactly (decimal addition is exact and associative), so
+    # the per-cell mean distance is bit-identical.
+    grid = assigned.groupBy("cell", "label").agg(
+        F.count("*").alias("n_l"),
+        F.sum(F.col("d6").cast("decimal(38,18)")).alias("sd"),
     )
+    wcell = Window.partitionBy("cell")
     wl = Window.partitionBy("cell").orderBy(
         F.col("n_l").desc(), F.col("label").asc()
     )
-    lbl = (
-        assigned.groupBy("cell", "label")
-        .agg(F.count("*").alias("n_l"))
-        .withColumn("rn", F.row_number().over(wl))
-        .filter(F.col("rn") == 1)
-        .select(
-            "cell",
-            F.col("label").alias("top_label"),
-            F.col("n_l").cast("bigint").alias("top_label_n"),
-        )
-    )
-    return stats.join(lbl, "cell").select(
+    rolled = grid.select(
+        "cell",
+        "label",
+        "n_l",
+        F.sum("n_l").over(wcell).cast("bigint").alias("n"),
+        (
+            F.sum("sd").over(wcell).cast("double")
+            / F.sum("n_l").over(wcell)
+        ).alias("md"),
+    ).withColumn("rn", F.row_number().over(wl)).filter(F.col("rn") == 1)
+    return rolled.select(
         F.col("cell").cast("int").alias("cell"),
         "n",
         _fround(F.col("md"), 6).alias("mean_dist"),
-        "top_label",
-        "top_label_n",
+        F.col("label").alias("top_label"),
+        F.col("n_l").cast("bigint").alias("top_label_n"),
     )
 
 

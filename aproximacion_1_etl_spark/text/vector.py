@@ -1189,6 +1189,8 @@ def pq_recall_report(
     exact-integer ``hits`` and the global ``recall_recovered`` flag —
     retrained hits >= aging hits, an exact integer compare riding
     both rows (the efficiency_improved precedent)."""
+    from aproximacion_1_etl_spark.functions.concurrency import overlap
+
     nk = len(query_ids) * k
     exact = (
         l2_topk_exact(corpus, query_ids, k=k, id_col=id_col,
@@ -1196,19 +1198,24 @@ def pq_recall_report(
         .select("query_id", id_col)
         .localCheckpoint(eager=True)
     )
-    measured = {}
-    for name, books in (
-        ("aging", aging_books), ("retrained", retrained_books)
-    ):
+
+    # the two generations' ADC rankings are independent (both read
+    # the checkpointed ground truth); their driver-blocking hit
+    # counts overlap through the pool (guide §2.6), slotted by name
+    def _hits(books):
         ap = ann_topk_pq(
             corpus, query_ids=query_ids, books=books, k=k,
             id_col=id_col, vec_col=vec_col,
         ).select("query_id", id_col)
-        measured[name] = (
+        return (
             exact.join(ap, ["query_id", id_col], "left_semi")
             .agg(F.count("*").cast("bigint").alias("hits"))
             .localCheckpoint(eager=True)
         )
+
+    gens = [("aging", aging_books), ("retrained", retrained_books)]
+    rows_m = overlap(*[lambda b=books: _hits(b) for _n, books in gens])
+    measured = {name: df for (name, _b), df in zip(gens, rows_m)}
     flag = (
         measured["retrained"].select(F.col("hits").alias("_nh"))
         .crossJoin(measured["aging"].select(F.col("hits").alias("_oh")))
@@ -1402,6 +1409,7 @@ def ivf_retrain_report(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     baseline_counts: DataFrame | None = None,
+    exact: DataFrame | None = None,
 ) -> DataFrame:
     """IVF CODEBOOK DRIFT TRIGGER — the decision layer the recall
     gates feed (VERDICT r10 task 7): the recall measurements
@@ -1439,7 +1447,12 @@ def ivf_retrain_report(
     ``baseline_counts``: the maintained (cell, n_baseline) stats
     relation when the caller already has it (the production case —
     and the multi-wave planner computes it once across waves); when
-    omitted it is derived from ``store`` with one assignment scan."""
+    omitted it is derived from ``store`` with one assignment scan.
+    ``exact``: the (query_id, <id_col>) brute-force ground truth over
+    store ∪ batch when the caller already materialized it (it is
+    codebook-independent, so the plan/execute pair shares one); when
+    omitted it is derived here with one brute pass — the ivf_recall_
+    cost contract."""
     n_cells = len(centroids)
     nq = len(query_ids)
     if baseline_counts is not None:
@@ -1461,9 +1474,11 @@ def ivf_retrain_report(
         .alias("n_hot"),
     )
     corpus = store.unionByName(batch)
-    exact = ann_topk_bruteforce(
-        corpus, query_ids=query_ids, k=k, id_col=id_col, vec_col=vec_col
-    ).select("query_id", id_col)
+    if exact is None:
+        exact = ann_topk_bruteforce(
+            corpus, query_ids=query_ids, k=k, id_col=id_col,
+            vec_col=vec_col,
+        ).select("query_id", id_col)
     approx = ann_topk_ivf(
         corpus,
         query_ids=query_ids,
@@ -2157,6 +2172,8 @@ def ivf_nprobe_plan(
     query is the same rounded distance sort, the brute-force truth is
     the existing exact top-k, and per-ladder aggregates run over
     (|Q|·k)- and (|Q|·nprobe_max)-sized checkpointed relations."""
+    from aproximacion_1_etl_spark.functions.concurrency import overlap
+
     emb = _as_double(embeddings, vec_col)
     cdots = {cid: sum(x * x for x in v) for cid, v in centroids.items()}
     nq = len(query_ids)
@@ -2168,18 +2185,21 @@ def ivf_nprobe_plan(
     dist_structs = F.expr(
         _dist_structs_sql(centroids, cdots, vec_col, "_vv", 6)
     )
-    assigned = with_vv.select(
-        id_col,
-        F.array_min(dist_structs).getField("cid").alias("cell"),
-    )
-    pop = (
-        assigned.groupBy("cell")
-        .agg(F.count("*").cast("bigint").alias("pop"))
-        .localCheckpoint(eager=True)
-    )
-    tot = pop.agg(F.sum("pop").cast("bigint").alias("n_total"))
-    probes = (
-        with_vv.filter(F.col(id_col).isin(query_ids))
+    # THREE independent driver-blocking materializations (the corpus
+    # argmin assignment, the per-query probe order, the brute-force
+    # ground truth) overlap through the driver pool (guide §2.6)
+    # instead of running serially; everything downstream — pop, tot,
+    # capture, the per-ladder aggregates — is a cheap derivation of
+    # these checkpointed relations evaluated lazily in the final
+    # action. The assignment itself is checkpointed ONCE where the
+    # serial form evaluated the full-corpus argmin twice (the pop
+    # checkpoint and the capture checkpoint each re-ran it).
+    assigned, probes, truth = overlap(
+        lambda: with_vv.select(
+            id_col,
+            F.array_min(dist_structs).getField("cid").alias("cell"),
+        ).localCheckpoint(eager=True),
+        lambda: with_vv.filter(F.col(id_col).isin(query_ids))
         .select(
             F.col(id_col).alias("query_id"),
             F.posexplode(
@@ -2191,19 +2211,31 @@ def ivf_nprobe_plan(
             (F.col("_i") + 1).alias("probe_rank"),
             F.col("p.cid").alias("cell"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True),
+        lambda: ann_topk_bruteforce(
+            emb, query_ids=query_ids, k=k, id_col=id_col, vec_col=vec_col
+        )
+        .select("query_id", id_col)
+        .localCheckpoint(eager=True),
     )
-    truth = ann_topk_bruteforce(
-        emb, query_ids=query_ids, k=k, id_col=id_col, vec_col=vec_col
-    ).select("query_id", id_col)
-    capture = (
-        truth.join(assigned, id_col)
+    # second overlapped wave: the two remaining corpus-touching
+    # reductions (each one pass over the persisted assignment) — their
+    # tiny outputs are checkpointed so the 4 per-ladder aggregates
+    # never rescan anything corpus-sized
+    pop, capture = overlap(
+        lambda: assigned.groupBy("cell")
+        .agg(F.count("*").cast("bigint").alias("pop"))
+        .localCheckpoint(eager=True),
+        lambda: truth.join(assigned, id_col)
         .join(probes, ["query_id", "cell"], "left")
         .groupBy("query_id", id_col)
         .agg(F.min("probe_rank").alias("captured_rank"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True),
     )
-    scan = probes.join(pop, "cell").localCheckpoint(eager=True)
+    tot = pop.agg(F.sum("pop").cast("bigint").alias("n_total"))
+    # scan is a |Q|·pmax ⋈ |cells| join of two checkpointed relations;
+    # re-deriving it per ladder step is cheaper than a 4th checkpoint
+    scan = probes.join(pop, "cell")
     outs = []
     for p in ladder:
         hits = capture.agg(

@@ -36,6 +36,7 @@ from aproximacion_1_etl_spark.queries import (
     ALL_QUERIES,
     _bm25_index_store,
     _chunk_index_store,
+    _full_chunk_bm25_store,
     _chunk_vector_index,
     _dup_cluster_store,
     _full_bm25_index_store,
@@ -486,6 +487,12 @@ def _run_segment(keys: list[str]) -> dict:
         # postings over the existing corpus) the chunk fold maintains
         ("chunk_store_build_sec", _chunk_index_store,
          {"incremental_chunk_index", "chunk_index_forget"}),
+        # the FULL-corpus chunk-level BM25 postings the lexical chunk
+        # retrievals score through (r14: additive line item so the
+        # once-per-corpus build cost the hybrid/spans keys no longer
+        # pay per run stays visible next to their deltas)
+        ("chunk_bm25_index_build_sec", _full_chunk_bm25_store,
+         {"chunk_retrieval_spans", "chunk_hybrid_retrieval"}),
         # the full-corpus BM25 index the deletion key shrinks
         ("full_bm25_index_build_sec", _full_bm25_index_store,
          {"bm25_index_forget", "rtbf_audit_report"}),

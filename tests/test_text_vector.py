@@ -495,6 +495,35 @@ def test_ivf_retrain_report_recall_breach_triggers(spark):
     assert rep["verdict"] == (1.0, True)
 
 
+def test_ivf_retrain_report_shared_exact_matches_internal(spark):
+    """r14: the plan/execute pair shares one memoized brute-force
+    ground truth (it is codebook-independent), so ivf_retrain_report
+    gained an ``exact`` pass-through — a caller-materialized truth
+    over store ∪ batch must reproduce the internally-derived report
+    row for row."""
+    from aproximacion_1_etl_spark.text.vector import ann_topk_bruteforce
+
+    cents = {0: [1.0, 0.0], 1: [8.0, 0.0]}
+    store = [
+        (0, [1.0, 0.01]),
+        (1, [0.1, 1.0]),
+        (2, [10.0, 0.1]),
+        (3, [11.0, 0.2]),
+    ]
+    batch = [(9, [0.2, 1.0]), (10, [7.5, 0.3])]
+    schema = "vec_id BIGINT, embedding ARRAY<DOUBLE>"
+    corpus = spark.createDataFrame(store + batch, schema)
+    exact = (
+        ann_topk_bruteforce(corpus, query_ids=[0], k=2)
+        .select("query_id", "vec_id")
+        .localCheckpoint(eager=True)
+    )
+    kw = dict(centroids=cents, query_ids=[0], k=2, nprobe=1)
+    internal = _retrain_report_dict(spark, store, batch, **kw)
+    shared = _retrain_report_dict(spark, store, batch, exact=exact, **kw)
+    assert shared == internal
+
+
 def test_ivf_index_append_flags_hot_cells_and_retrain(spark):
     """Incremental index maintenance: a new batch that concentrates in
     one cell flips that cell's hot flag; a batch that grows the corpus
